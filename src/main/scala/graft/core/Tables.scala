@@ -1,0 +1,47 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Typed readers over the driver corpus (/root/repo/TESTDATA.md) plus the
+  * reference's CSV source conventions.
+  *
+  * Reference analog: every DAG re-reads one wide denormalized CSV per task
+  * with pandas (`airflow/dags/CompleteETL.py:20` and 15 clones) and ships
+  * the whole dataset as JSON between tasks. Here a table is one lazy scan;
+  * Catalyst prunes columns and pushes predicates into the Parquet reader,
+  * so at 100 TB only the referenced columns/row-groups are read.
+  */
+object Tables {
+  val all: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") normalizeTs(df) else df
+  }
+
+  /** `events.ts` is nanosecond-precision parquet; Spark's TimestampType is
+    * microseconds. When the session reads nanos as Long
+    * (spark.sql.legacy.parquet.nanosAsLong), convert via integer-division
+    * truncation — the same truncation DuckDB applies casting TIMESTAMP_NS
+    * to TIMESTAMP, which keeps oracle parity exact. */
+  private def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _        => df
+    }
+
+  /** Reference CSV conventions (SURVEY §2.1 S1/S2): header row, explicit
+    * schema (never inferred in production paths), and the Ergast `\N` null
+    * sentinel handled declaratively at the source — one option replacing
+    * ~10 hand-rolled per-row checks in the reference (e.g.
+    * `airflow/dags/fpractice_etl.py:17`, `CompleteETL.py:851-853`). */
+  def csv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("nullValue", "\\N")
+      .schema(schema)
+      .csv(path)
+}

@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, StringType}
+
+/** Text-analysis primitives for the LLM-data-pipeline extension surface
+  * (driver mandate, SURVEY §0/§7.2 step 7), over `documents.text`.
+  *
+  * Everything is a built-in-function composition (split / filter /
+  * transform higher-order functions) — codegen-friendly, no UDFs, and each
+  * has an exactly-equivalent DuckDB SQL form used by the oracles. Shared
+  * constant lists (stopwords, language markers, minhash seeds) live here so
+  * Spark code and generated oracle SQL can never drift apart.
+  */
+object Text {
+
+  /** Whitespace tokenization. `trim` first so neither engine produces
+    * leading/trailing empty tokens. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Canonical form for fingerprinting: lowercase, collapsed whitespace. */
+  def normalize(text: Column): Column =
+    lower(regexp_replace(text, "\\s+", " "))
+
+  /** Document fingerprint — md5 over the normalized text (hex string is
+    * identical across engines, unlike murmur-based `hash()`). */
+  def fingerprint(text: Column): Column = md5(normalize(text))
+
+  val stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+  def stopwordCount(text: Column): Column =
+    size(filter(tokens(lower(text)), t => t.isInCollection(stopwords)))
+
+  /** Punctuation count = chars removed by stripping [a-zA-Z0-9 ]. */
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[^a-zA-Z0-9 ]", ""))
+
+  /** Language-ID marker words, scored per language with a fixed tie-break
+    * order (en, de, fr, es). An n-gram/stopword heuristic, not a model —
+    * deterministic and SQL-expressible by design. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "with"),
+    "de" -> Seq("der", "und", "die", "mit"),
+    "fr" -> Seq("le", "et", "la", "avec"),
+    "es" -> Seq("el", "y", "los", "con"))
+
+  private def markerCount(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(lower(text)), t => t.isInCollection(words)))
+
+  def langId(text: Column): Column = {
+    val Seq(en, de, fr, es) = langMarkers.map { case (_, w) => markerCount(text, w) }
+    when(en + de + fr + es === 0, lit("und"))
+      .when(en >= greatest(de, fr, es), lit("en"))
+      .when(de >= greatest(fr, es), lit("de"))
+      .when(fr >= es, lit("fr"))
+      .otherwise(lit("es"))
+  }
+
+  /** Word n-gram shingles (default 3) as an array column; fewer than n
+    * tokens → empty array (exploding drops the document, matching DuckDB's
+    * UNNEST of an empty list). */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val tk = tokens(lower(text))
+    when(size(tk) >= n,
+        transform(sequence(lit(1), size(tk) - (n - 1)),
+          i => concat_ws(" ", slice(tk, i, lit(n)))))
+      .otherwise(array().cast(ArrayType(StringType)))
+  }
+
+  /** Minhash seeds: signature i = min over shingles of md5(i || shingle).
+    * md5-as-string-min is engine-portable; murmur `hash()` is not. With
+    * bands of `bandSize` consecutive signatures, a candidate-duplicate pair
+    * is any two docs sharing a band value — the standard shingle → minhash
+    * → band → bucket-join LSH pipeline, all shuffle-based and scalable. */
+  val minhashSeeds: Seq[Int] = 0 until 8
+  val bandSize: Int = 2
+}

@@ -1,0 +1,334 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.{Stable, Tables}
+import graft.ops.{Dedup, Scalars}
+
+/** The reference's operator inventory (SURVEY §2), one named query per
+  * operator family, run on the driver's TPC-H-ish corpus (SURVEY §7.1).
+  * Every query is deterministically ordered and type-stabilized so the
+  * DuckDB oracle hash-matches.
+  */
+object RefQueries {
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Shared decimal-stable revenue term: l_extendedprice*(1-l_discount).
+    * Oracle form: CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS
+    * DECIMAL(18,4))) AS DOUBLE). */
+  private def revenue: Column =
+    Stable.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+
+  /** lineitem⋈orders⋈customer⋈nation⋈region star join (J1). nation/region
+    * are broadcast (tiny dims — no shuffle of the fact side for them even
+    * at 100 TB); the fact-side joins shuffle on their keys and AQE handles
+    * skew. Reference join surface: the Power BI star model over
+    * `DDL Final.sql` FK edges (SURVEY §2.4 J1). */
+  private def star(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // q01 — D1 distinct + O1 sort desc + F1 calendar split: the reference's
+    // date-dimension pipeline (`airflow/dags/date_etl.py`) verbatim in
+    // semantics. Also the flagship `entry` query.
+    QuerySpec("q01_dates_dim",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .select(to_date(col("o_orderdate")).as("date")).distinct()
+          .select(col("date") +: Scalars.calendar(col("date")): _*)
+          .orderBy(col("date").desc),
+      Some("""SELECT date, CAST(day(date) AS INTEGER) AS day,
+             | CAST(month(date) AS INTEGER) AS month,
+             | CAST(year(date) AS INTEGER) AS year
+             |FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS date FROM orders)
+             |ORDER BY date DESC""".stripMargin)),
+
+    // q02 — D2 keep-first key dedup with explicit total order
+    // (`airflow/dags/location_etl.py:19` family): first order per customer.
+    QuerySpec("q02_dedup_keepfirst",
+      (s, dir) =>
+        Dedup.keepFirst(t(s, dir, "orders"), Seq("o_custkey"),
+            Seq(col("o_orderdate").asc, col("o_orderkey").asc))
+          .orderBy("o_custkey"),
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+             |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn FROM orders)
+             |WHERE rn = 1 ORDER BY o_custkey""".stripMargin)),
+
+    // q03 — D3 composite-key dedup (`airflow/dags/laps_etl.py:34-56`):
+    // first shipment per (part, supplier).
+    QuerySpec("q03_dedup_composite",
+      (s, dir) =>
+        Dedup.keepFirst(t(s, dir, "lineitem"), Seq("l_partkey", "l_suppkey"),
+            Seq(col("l_shipdate").asc, col("l_orderkey").asc, col("l_linenumber").asc))
+          .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+            "l_quantity", "l_shipdate")
+          .orderBy("l_partkey", "l_suppkey"),
+      Some("""SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_shipdate
+             |FROM (SELECT *, row_number() OVER (PARTITION BY l_partkey, l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn FROM lineitem)
+             |WHERE rn = 1 ORDER BY l_partkey, l_suppkey""".stripMargin)),
+
+    // q04 — D1 full-row distinct over a projection.
+    QuerySpec("q04_distinct_pair",
+      (s, dir) =>
+        t(s, dir, "lineitem").select("l_returnflag", "l_linestatus")
+          .distinct().orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // q05 — P1/P2 projection + rename (`airflow/dags/location_etl.py:31-38`
+    // dict-rebuild renames, as aliases pushed into the scan).
+    QuerySpec("q05_project_rename",
+      (s, dir) =>
+        t(s, dir, "customer").select(
+          col("c_custkey").as("cust_id"), col("c_name").as("cust_name"),
+          col("c_nationkey").as("nation_id"), col("c_acctbal").as("balance"),
+          col("c_mktsegment").as("segment")).orderBy("cust_id"),
+      Some("""SELECT c_custkey AS cust_id, c_name AS cust_name, c_nationkey AS nation_id,
+             | c_acctbal AS balance, c_mktsegment AS segment
+             |FROM customer ORDER BY cust_id""".stripMargin)),
+
+    // q06 — P4/P5/P6 null-guard + value filters
+    // (`airflow/dags/fpractice_etl.py:47`, `sprint_etl.py:49`).
+    QuerySpec("q06_filter_nulls",
+      (s, dir) =>
+        t(s, dir, "events")
+          .filter(coalesce(col("value"), lit(0.0)) > 100 && col("props").isNotNull)
+          .select("event_id", "user_id", "event_type", "value")
+          .orderBy("event_id"),
+      Some("""SELECT event_id, user_id, event_type, value FROM events
+             |WHERE coalesce(value, 0) > 100 AND props IS NOT NULL
+             |ORDER BY event_id""".stripMargin)),
+
+    // q07 — J1 star-schema join + A3 aggregate: revenue per region/nation.
+    QuerySpec("q07_star_join_revenue",
+      (s, dir) =>
+        star(s, dir).groupBy("r_name", "n_name")
+          .agg(revenue.as("revenue"), count(lit(1)).as("n_items"))
+          .orderBy("r_name", "n_name"),
+      Some("""SELECT r_name, n_name,
+             | CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+             | count(*) AS n_items
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin)),
+
+    // q08 — J2 referential-integrity anti-join (`DDL Final.sql:140-161`):
+    // customers with no orders.
+    QuerySpec("q08_orphan_customers",
+      (s, dir) =>
+        t(s, dir, "customer")
+          .join(t(s, dir, "orders").select(col("o_custkey").as("c_custkey")),
+            Seq("c_custkey"), "left_anti")
+          .select("c_custkey", "c_name").orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // q09 — J3 existence semi-join (deleted dev iteration's per-row
+    // `SELECT COUNT(*)` probe, set-oriented).
+    QuerySpec("q09_active_customers",
+      (s, dir) =>
+        t(s, dir, "customer")
+          .join(t(s, dir, "orders").select(col("o_custkey").as("c_custkey")),
+            Seq("c_custkey"), "left_semi")
+          .select("c_custkey", "c_name").orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // q10 — A3 grouped aggregates (TPC-H Q1 shape: the BI sums/averages of
+    // `README.md:10-18` over measures). Partial+final hash agg, map-side
+    // combine — the 100 TB-safe default.
+    QuerySpec("q10_pricing_summary",
+      (s, dir) =>
+        t(s, dir, "lineitem").groupBy("l_returnflag", "l_linestatus").agg(
+          Stable.dsum(col("l_quantity"), 2).as("sum_qty"),
+          Stable.dsum(col("l_extendedprice"), 2).as("sum_base"),
+          revenue.as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+             | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+             | CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+             | count(*) AS count_order
+             |FROM lineitem GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // q11 — A2 existence/count probe as a set-oriented groupBy count.
+    QuerySpec("q11_event_counts",
+      (s, dir) =>
+        t(s, dir, "events").groupBy("event_type")
+          .agg(count(lit(1)).as("n")).orderBy("event_type"),
+      Some("SELECT event_type, count(*) AS n FROM events GROUP BY event_type ORDER BY event_type")),
+
+    // q12 — §2.6 ranking window (standings recomputation cross-check:
+    // `rank()` over partition, `DDL Final.sql:110-120` semantics).
+    QuerySpec("q12_rank_in_nation",
+      (s, dir) =>
+        t(s, dir, "customer").select(
+          col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+          rank().over(Window.partitionBy("c_nationkey")
+            .orderBy(col("c_acctbal").desc, col("c_custkey"))).as("rnk"))
+          .orderBy("c_nationkey", "rnk", "c_custkey"),
+      Some("""SELECT c_custkey, c_nationkey, c_acctbal,
+             | CAST(rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS INTEGER) AS rnk
+             |FROM customer ORDER BY c_nationkey, rnk, c_custkey""".stripMargin)),
+
+    // q13 — O3 top-k: aggregate-then-join (pre-aggregation keeps the join
+    // input small at scale), TakeOrderedAndProject for the global top-10.
+    QuerySpec("q13_topk_customers",
+      (s, dir) => {
+        val rev = t(s, dir, "orders").groupBy("o_custkey")
+          .agg(Stable.dsum(col("o_totalprice"), 2).as("revenue"))
+        rev.join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .select(col("c_custkey"), col("c_name"), col("revenue"))
+          .orderBy(col("revenue").desc, col("c_custkey")).limit(10)
+      },
+      Some("""SELECT c_custkey, c_name,
+             | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_custkey, c_name ORDER BY revenue DESC, c_custkey LIMIT 10""".stripMargin)),
+
+    // q14 — O2 sort asc + O3 row cap (`CompleteETL.py:796-801` 1000-row
+    // Laps cap — here an honest ordered limit, not a workaround).
+    QuerySpec("q14_limit_cap",
+      (s, dir) =>
+        // (l_orderkey, l_linenumber) is NOT unique in this corpus — include
+        // l_quantity so the order is total over the projected columns and
+        // the limit cut is deterministic.
+        t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+          .orderBy("l_orderkey", "l_linenumber", "l_quantity").limit(1000),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+             |ORDER BY l_orderkey, l_linenumber, l_quantity LIMIT 1000""".stripMargin)),
+
+    // q15 — F1 calendar split per row (`date_etl.py:28-30`).
+    QuerySpec("q15_calendar_split",
+      (s, dir) =>
+        t(s, dir, "orders").select(
+            col("o_orderkey") +: Scalars.calendar(to_date(col("o_orderdate"))): _*)
+          .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+             | CAST(day(CAST(o_orderdate AS DATE)) AS INTEGER) AS day,
+             | CAST(month(CAST(o_orderdate AS DATE)) AS INTEGER) AS month,
+             | CAST(year(CAST(o_orderdate AS DATE)) AS INTEGER) AS year
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // q16 — F2 age derivation, fixed reference year for determinism
+    // (`driver_etl.py:49` is NOT birthday-adjusted; neither is this).
+    QuerySpec("q16_order_age",
+      (s, dir) =>
+        t(s, dir, "orders").select(col("o_orderkey"),
+          Scalars.age(to_date(col("o_orderdate")), 2026).as("age"))
+          .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, CAST(2026 - year(CAST(o_orderdate AS DATE)) AS INTEGER) AS age
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // q17 — F5 time formatting to canonical 'HH:mm:ss'.
+    QuerySpec("q17_time_format",
+      (s, dir) =>
+        t(s, dir, "events").select(col("event_id"),
+          date_format(col("ts"), "HH:mm:ss").as("t")).orderBy("event_id"),
+      Some("""SELECT event_id, strftime(CAST(ts AS TIMESTAMP), '%H:%M:%S') AS t
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // q18 — F9 relative race-time resolution (`time_etl.py:11-27`): build
+    // a '+ss.ff' gap or absolute 'HH:mm:ss' string from event data, then
+    // resolve both branches to canonical 'HH:mm:ss.SSS'.
+    QuerySpec("q18_race_time_gap",
+      (s, dir) => {
+        val raw = when(col("value") >= 100, date_format(col("ts"), "HH:mm:ss"))
+          .otherwise(concat(lit("+"), format_string("%.2f", col("value"))))
+        t(s, dir, "events")
+          .select(col("event_id"), raw.as("raw_time"),
+            Scalars.resolveRaceTime(raw).as("abs_time"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, raw_time,
+             | CASE WHEN raw_time LIKE '+%'
+             |   THEN strftime(make_timestamp(CAST(round(CAST(substr(raw_time, 2) AS DOUBLE) * 1000) AS BIGINT) * 1000), '%H:%M:%S.%g')
+             |   ELSE strftime(strptime(raw_time, '%H:%M:%S'), '%H:%M:%S.%g') END AS abs_time
+             |FROM (SELECT event_id,
+             |  CASE WHEN value >= 100 THEN strftime(CAST(ts AS TIMESTAMP), '%H:%M:%S')
+             |       ELSE '+' || printf('%.2f', value) END AS raw_time
+             |  FROM events) ORDER BY event_id""".stripMargin)),
+
+    // q19 — F11/F12 permissive cast + sentinel→0 default
+    // (`quali_etl.py:57`, `results_etl.py:46`).
+    QuerySpec("q19_cast_default",
+      (s, dir) =>
+        t(s, dir, "orders").select(col("o_orderkey"),
+          coalesce(expr("try_cast(split_part(o_orderpriority, '-', 1) AS INT)"), lit(0)).as("pri"),
+          coalesce(expr("try_cast(o_orderstatus AS INT)"), lit(0)).as("status_num"))
+          .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+             | coalesce(TRY_CAST(split_part(o_orderpriority, '-', 1) AS INTEGER), 0) AS pri,
+             | coalesce(TRY_CAST(o_orderstatus AS INTEGER), 0) AS status_num
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // q20 — JSON extraction from events.props (extension scalar, SURVEY
+    // §2.8 footnote).
+    QuerySpec("q20_json_extract",
+      (s, dir) =>
+        t(s, dir, "events").select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+          .orderBy("event_id"),
+      Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // q21 — grouping-set rollup over the star join (engine surface beyond
+    // the reference's flat GROUP BY — SURVEY §2.5 footnote).
+    QuerySpec("q21_rollup_revenue",
+      (s, dir) =>
+        star(s, dir).rollup(col("r_name"), col("n_name"))
+          .agg(revenue.as("revenue"), count(lit(1)).as("n_items"))
+          .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first),
+      Some("""SELECT r_name, n_name,
+             | CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+             | count(*) AS n_items
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY ROLLUP (r_name, n_name)
+             |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin)),
+
+    // q22 — distinct-count aggregate per group.
+    QuerySpec("q22_distinct_parts",
+      (s, dir) =>
+        t(s, dir, "lineitem").groupBy("l_returnflag")
+          .agg(countDistinct(col("l_partkey")).as("n_parts"),
+            count(lit(1)).as("n_rows"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, count(*) AS n_rows
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // q23 — tumbling event-time window aggregation (batch form of the
+    // streaming surface, SURVEY §2.9; oracle = date_trunc buckets).
+    QuerySpec("q23_events_hourly",
+      (s, dir) =>
+        t(s, dir, "events")
+          .groupBy(window(col("ts"), "1 hour"))
+          .agg(count(lit(1)).as("n_events"),
+            Stable.dsum(col("value"), 2).as("sum_value"))
+          // timestamp_ntz: window.start is a (UTC-adjusted) TimestampType;
+          // DuckDB's date_trunc yields a naive timestamp — write naive.
+          .select(col("window.start").cast("timestamp_ntz").as("hour_start"),
+            col("n_events"), col("sum_value"))
+          .orderBy("hour_start"),
+      Some("""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+             | count(*) AS n_events,
+             | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)))
+}
