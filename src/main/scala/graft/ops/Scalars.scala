@@ -44,7 +44,10 @@ object Scalars {
     * truncated to ms (`airflow/dags/laps_etl.py:42-45`). */
   def parseLapTime(c: Column): Column =
     date_format(
-      coalesce(to_timestamp(c, "m:ss.SSS"), to_timestamp(c, "H:mm:ss.SSS")),
+      coalesce(
+        to_timestamp(c, "m:ss.SSS"),
+        to_timestamp(c, "H:mm:ss.SSS"),
+        to_timestamp(c, "H:mm:ss.SSSSSS")), // µs input; format truncates → ms
       "HH:mm:ss.SSS")
 
   /** F9 relative race-time resolution (`airflow/dags/time_etl.py:11-27`):
