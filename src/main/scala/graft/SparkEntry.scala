@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{QuerySpec, RefQueries, TextQueries, VectorQueries}
+import graft.queries.{EventQueries, QuerySpec, RefQueries, TextQueries, VectorQueries}
 import graft.streaming.StreamQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -12,7 +12,8 @@ import graft.streaming.StreamQueries
 object SparkEntry {
 
   private lazy val specs: Seq[QuerySpec] =
-    RefQueries.specs ++ TextQueries.specs ++ VectorQueries.specs ++ StreamQueries.specs
+    RefQueries.specs ++ TextQueries.specs ++ VectorQueries.specs ++
+      EventQueries.specs ++ StreamQueries.specs
 
   /** Session invariants the engine depends on, applied defensively in case
     * the driver's session was built without them:

@@ -71,11 +71,25 @@ object Text {
       .otherwise(array().cast(ArrayType(StringType)))
   }
 
-  /** Minhash seeds: signature i = min over shingles of md5(i || shingle).
-    * md5-as-string-min is engine-portable; murmur `hash()` is not. With
-    * bands of `bandSize` consecutive signatures, a candidate-duplicate pair
-    * is any two docs sharing a band value — the standard shingle → minhash
-    * → band → bucket-join LSH pipeline, all shuffle-based and scalable. */
-  val minhashSeeds: Seq[Int] = 0 until 8
+  /** Minhash parameters: each shingle is hashed ONCE (md5 → first 8 hex
+    * chars → 32-bit int, portable across engines unlike murmur `hash()`),
+    * then permuted by k cheap LCG maps `h_i = (a_i*h + b_i) mod (2^31-1)`;
+    * the signature is the per-doc min of each. One expensive hash + k
+    * integer ops beats k md5s, and integer min-agg buffers are far cheaper
+    * to shuffle than 32-char strings. With bands of `bandSize` consecutive
+    * signatures, a candidate-duplicate pair is any two docs sharing a band
+    * value — the standard shingle → minhash → band → bucket-join LSH
+    * pipeline. a_i < 2^28 and h < 2^32 keep a_i*h + b_i < 2^63 (no
+    * overflow in either engine). */
+  val minhashParams: Seq[(Long, Long)] = Seq(
+    (1664525L, 1013904223L), (22695477L, 1L), (69069L, 362437L),
+    (1103515245L, 12345L), (134775813L, 1L), (214013L, 2531011L),
+    (16807L, 0L), (48271L, 0L))
+  val minhashMod: Long = 2147483647L
   val bandSize: Int = 2
+
+  /** Portable 32-bit shingle/token hash: md5 hex prefix as integer.
+    * Oracle form: CAST('0x' || substr(md5(x), 1, 8) AS BIGINT). */
+  def hash32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 }

@@ -1,0 +1,79 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+
+/** Time-series operators over `events` — the join/window families Spark
+  * gives for free that the reference's semantics imply but never exercise
+  * (SURVEY §2.4 "other join families", §2.6). Both are composed from
+  * windows rather than custom plans: an as-of join is `last(...ignoreNulls)`
+  * over an ordered frame; sessionization is a lag-gap cumulative sum. Each
+  * is one shuffle on (user_id) — the natural partitioning key at scale.
+  *
+  * Ordering parity trap: `ts` is ns in the source; both engines order by
+  * the µs-truncated value plus event_id so ties are broken identically.
+  */
+object EventQueries {
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // q36 — as-of join: for each purchase, the most recent prior signup
+    // of the same user (NULL if none).
+    QuerySpec("q36_asof_signup",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val prior = last(
+          when(col("event_type") === "signup", col("ts")), ignoreNulls = true).over(w)
+        ev.withColumn("prev_signup_ts", prior)
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"),
+            col("ts").cast("timestamp_ntz").as("purchase_ts"),
+            col("prev_signup_ts").cast("timestamp_ntz").as("prev_signup_ts"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, purchase_ts, prev_signup_ts FROM (
+             |  SELECT event_id, user_id, event_type,
+             |    CAST(ts AS TIMESTAMP) AS purchase_ts,
+             |    last_value(CASE WHEN event_type = 'signup' THEN CAST(ts AS TIMESTAMP) END IGNORE NULLS)
+             |      OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_signup_ts
+             |  FROM events)
+             |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin)),
+
+    // q37 — gap-based sessionization (30 min inactivity closes a session):
+    // lag diff → new-session flag → running sum = session id → per-session
+    // rollup. The batch analog of Structured Streaming session windows.
+    QuerySpec("q37_sessionize",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val gapUs = unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)
+        val newSess = when(gapUs.isNull || gapUs > 30L * 60 * 1000000, 1).otherwise(0)
+        ev.withColumn("sess_id",
+            sum(newSess).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy("user_id", "sess_id")
+          .agg(count(lit(1)).as("n_events"),
+            min(col("ts")).cast("timestamp_ntz").as("sess_start"),
+            max(col("ts")).cast("timestamp_ntz").as("sess_end"))
+          .orderBy("user_id", "sess_id")
+      },
+      Some("""SELECT user_id, sess_id, count(*) AS n_events,
+             | min(CAST(ts AS TIMESTAMP)) AS sess_start,
+             | max(CAST(ts AS TIMESTAMP)) AS sess_end
+             |FROM (
+             |  SELECT user_id, ts, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
+             |  FROM (
+             |    SELECT user_id, ts, event_id,
+             |      CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+             |             - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+             |             > 30 * 60 * 1000000 THEN 1
+             |           WHEN lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) IS NULL THEN 1
+             |           ELSE 0 END AS new_sess
+             |    FROM events))
+             |GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin)))
+}

@@ -330,5 +330,43 @@ object RefQueries {
       Some("""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
              | count(*) AS n_events,
              | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)))
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // q38 — set operators (INTERSECT / EXCEPT): customers ordering in
+    // 1997 vs 1998. Spark plans both as joins — same shuffle shape as J2/J3.
+    QuerySpec("q38_set_ops",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        def keys(y: Int) = o.filter(year(col("o_orderdate")) === y)
+          .select("o_custkey").distinct()
+        val both   = keys(1997).intersect(keys(1998)).withColumn("tag", lit("both"))
+        val only97 = keys(1997).except(keys(1998)).withColumn("tag", lit("only_1997"))
+        both.union(only97).select("tag", "o_custkey").orderBy("tag", "o_custkey")
+      },
+      Some("""SELECT 'both' AS tag, o_custkey FROM (
+             |  SELECT DISTINCT o_custkey FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1997
+             |  INTERSECT
+             |  SELECT DISTINCT o_custkey FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1998)
+             |UNION ALL
+             |SELECT 'only_1997' AS tag, o_custkey FROM (
+             |  SELECT DISTINCT o_custkey FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1997
+             |  EXCEPT
+             |  SELECT DISTINCT o_custkey FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1998)
+             |ORDER BY tag, o_custkey""".stripMargin)),
+
+    // q39 — CUBE grouping sets over two independent dimensions.
+    QuerySpec("q39_cube_revenue",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .cube(col("o_orderpriority"), col("l_returnflag"))
+          .agg(revenue.as("revenue"), count(lit(1)).as("n_items"))
+          .orderBy(col("o_orderpriority").asc_nulls_first,
+            col("l_returnflag").asc_nulls_first),
+      Some("""SELECT o_orderpriority, l_returnflag,
+             | CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+             | count(*) AS n_items
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY CUBE (o_orderpriority, l_returnflag)
+             |ORDER BY o_orderpriority NULLS FIRST, l_returnflag NULLS FIRST""".stripMargin)))
 }

@@ -32,6 +32,60 @@ object TextQueries {
        | ELSE 'es' END""".stripMargin
   }
 
+  /** Shared LSH candidate generation (used by q29 and the q35 verify):
+    * shingle → hash32 → LCG-permuted minhash mins → bands → bucket-local
+    * ordered pairs. Returns columns (doc_a, doc_b), distinct, unordered. */
+  private def minhashCandidates(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val ex = docs.select(col("doc_id"), explode(Text.shingles(col("text"))).as("sh"))
+      .select(col("doc_id"), Text.hash32(col("sh")).as("h"))
+    val mins = Text.minhashParams.zipWithIndex.map { case ((a, b), i) =>
+      min((col("h") * a + b) % Text.minhashMod).as(s"m$i")
+    }
+    val sig = ex.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    val nBands = Text.minhashParams.size / Text.bandSize
+    val bandCols = (0 until nBands).map { b =>
+      val lo = b * Text.bandSize
+      struct(lit(b).as("band_idx"),
+        concat_ws("|", (lo until lo + Text.bandSize).map(i => col(s"m$i")): _*).as("band_val"))
+    }
+    val banded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
+      .select(col("doc_id"), col("b.band_idx"), col("b.band_val"))
+    // Bucket-local pair generation: one shuffle to group by band bucket,
+    // then ordered pairs via a HOF — no self-join (which would recompute
+    // the signature pipeline twice) and no O(n²) work outside a bucket.
+    banded.groupBy("band_idx", "band_val")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), y -> struct(x AS doc_a, y AS doc_b))))"
+      )).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .distinct()
+  }
+
+  /** DuckDB CTE chain mirroring [[minhashCandidates]] exactly, generated
+    * from the same constants. Ends with `cand(doc_a, doc_b)`; also exposes
+    * `ex(doc_id, sh)` for the Jaccard verify. */
+  private val duckMinhashCtes: String = {
+    val minExprs = Text.minhashParams.zipWithIndex.map { case ((a, b), i) =>
+      s"min((CAST('0x' || substr(md5(sh), 1, 8) AS BIGINT) * $a + $b) % ${Text.minhashMod}) AS m$i"
+    }.mkString(", ")
+    val nBands = Text.minhashParams.size / Text.bandSize
+    val bandExprs = (0 until nBands).map { b =>
+      val lo = b * Text.bandSize
+      val cat = (lo until lo + Text.bandSize).map(i => s"CAST(m$i AS VARCHAR)").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band_idx, $cat AS band_val FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""WITH toks AS (SELECT doc_id, $duckTokens AS w FROM documents),
+       |ex AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+       |       FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)),
+       |sig AS (SELECT doc_id, $minExprs FROM ex GROUP BY doc_id),
+       |bands AS ($bandExprs),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |  ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
   val specs: Seq[QuerySpec] = Seq(
 
     // q24 — exact deduplication: hash-groupBy on content digest, keep
@@ -107,55 +161,72 @@ object TextQueries {
              | substr(md5(lower(regexp_replace(text, '\s+', ' ', 'g'))), 1, 8) AS fp_short
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
-    // q29 — MinHash-LSH near-duplicate candidates: shingle → minhash
-    // signature → band → bucket self-join. All set-oriented: explode +
-    // groupBy + equi-join, the 100 TB-scalable LSH shape (candidate pairs
-    // only ever meet inside a band bucket; no O(n²) cross join).
+    // q29 — MinHash-LSH near-duplicate candidates: shingle → 32-bit hash →
+    // LCG-permuted minhash signature → band → bucket-local pairs. All
+    // set-oriented: explode + groupBy + equi-shuffle, the 100 TB-scalable
+    // LSH shape (candidate pairs only ever meet inside a band bucket; no
+    // O(n²) cross join, no self-join recompute).
     QuerySpec("q29_minhash_pairs",
+      (s, dir) => minhashCandidates(Tables.load(s, dir, "documents"))
+        .orderBy("doc_a", "doc_b"),
+      Some(s"""$duckMinhashCtes
+              |SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // q34 — SimHash document fingerprint: 32-bit bitwise-majority over
+    // per-token hashes. One shuffle (groupBy doc) over 32 int sums; the
+    // bit reconstruction is pure projection. Near-dup docs land at small
+    // Hamming distance.
+    QuerySpec("q34_simhash",
       (s, dir) => {
-        val docs = Tables.load(s, dir, "documents")
-        val ex = docs.select(col("doc_id"),
-          explode(Text.shingles(col("text"))).as("sh"))
-        val mins = Text.minhashSeeds.map(i =>
-          min(md5(concat(lit(i.toString), col("sh")))).as(s"m$i"))
-        val sig = ex.groupBy("doc_id").agg(mins.head, mins.tail: _*)
-        val nBands = Text.minhashSeeds.size / Text.bandSize
-        val bandCols = (0 until nBands).map { b =>
-          val lo = b * Text.bandSize
-          struct(lit(b).as("band_idx"),
-            md5(concat_ws("|", (lo until lo + Text.bandSize).map(i => col(s"m$i")): _*)).as("band_val"))
-        }
-        val bands = sig.select(col("doc_id"),
-            explode(array(bandCols: _*)).as("b"))
-          .select(col("doc_id"), col("b.band_idx"), col("b.band_val"))
-        val a = bands.as("a")
-        val b = bands.as("b")
-        a.join(b, col("a.band_idx") === col("b.band_idx") &&
-            col("a.band_val") === col("b.band_val") &&
-            col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .distinct()
-          .orderBy("doc_a", "doc_b")
+        val toks = Tables.load(s, dir, "documents").select(col("doc_id"),
+          explode(Text.tokens(lower(col("text")))).as("tok"))
+        val withH = toks.select(col("doc_id"), Text.hash32(col("tok")).as("h"))
+        val sums = (0 until 32).map(i =>
+          sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1, 1)
+            .otherwise(-1)).as(s"s$i"))
+        val agged = withH.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+        val sim = (0 until 32).map(i =>
+          when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
+        agged.select(col("doc_id"), sim.as("simhash")).orderBy("doc_id")
       },
       Some {
-        val seeds = Text.minhashSeeds
-        val minExprs = seeds.map(i => s"min(md5('$i' || sh)) AS m$i").mkString(", ")
-        val nBands = seeds.size / Text.bandSize
-        val bandExprs = (0 until nBands).map { b =>
-          val lo = b * Text.bandSize
-          val cat = (lo until lo + Text.bandSize).map(i => s"m$i").mkString(" || '|' || ")
-          s"SELECT doc_id, $b AS band_idx, md5($cat) AS band_val FROM sig"
-        }.mkString(" UNION ALL ")
-        s"""WITH toks AS (SELECT doc_id, $duckTokens AS w FROM documents),
-           |ex AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
-           |       FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)),
-           |sig AS (SELECT doc_id, $minExprs FROM ex GROUP BY doc_id),
-           |bands AS ($bandExprs)
-           |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |FROM bands a JOIN bands b
-           |  ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
-           |ORDER BY doc_a, doc_b""".stripMargin
+        val sumExprs = (0 until 32)
+          .map(i => s"SUM(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS s$i")
+          .mkString(", ")
+        val bitExprs = (0 until 32)
+          .map(i => s"CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH tok AS (SELECT doc_id, unnest($duckTokens) AS tok FROM documents),
+           |h AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS h FROM tok),
+           |s AS (SELECT doc_id, $sumExprs FROM h GROUP BY doc_id)
+           |SELECT doc_id, CAST($bitExprs AS BIGINT) AS simhash FROM s ORDER BY doc_id""".stripMargin
       }),
+
+    // q35 — n-gram Jaccard verification of LSH candidates: exact
+    // similarity on the distinct-shingle sets, but ONLY for pairs the
+    // bands surfaced — the verify step of the dedup pipeline (candidate
+    // count ≪ n², so the exact set ops stay cheap at scale).
+    QuerySpec("q35_ngram_jaccard",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val sets = docs.select(col("doc_id"),
+            explode(Text.shingles(col("text"))).as("sh"))
+          .groupBy("doc_id").agg(collect_set(col("sh")).as("shs"))
+        val cand = minhashCandidates(docs)
+        cand
+          .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("sa")), "doc_a")
+          .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("sb")), "doc_b")
+          .select(col("doc_a"), col("doc_b"),
+            round(size(array_intersect(col("sa"), col("sb"))).cast("double") /
+              size(array_union(col("sa"), col("sb"))), 4).as("jaccard"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""$duckMinhashCtes,
+              |sets AS (SELECT doc_id, list(DISTINCT sh) AS shs FROM ex GROUP BY doc_id)
+              |SELECT c.doc_a, c.doc_b,
+              | round(CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE) / len(list_distinct(a.shs || b.shs)), 4) AS jaccard
+              |FROM cand c JOIN sets a ON a.doc_id = c.doc_a JOIN sets b ON b.doc_id = c.doc_b
+              |ORDER BY c.doc_a, c.doc_b""".stripMargin)),
 
     // q30 — multimodal-column plumbing: treat the payload as opaque bytes
     // and run an imperative per-partition "decode" (SURVEY §0 driver

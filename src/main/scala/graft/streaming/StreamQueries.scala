@@ -47,5 +47,33 @@ object StreamQueries {
       },
       Some("""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
              | event_type, count(*) AS n_events
-             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)))
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // q40 — streaming deduplication: dropDuplicates state across
+    // micro-batches, then an aggregate whose result is order-independent
+    // (distinct users per event type), so which duplicate survives doesn't
+    // affect the output. Batch oracle: COUNT(DISTINCT). For unbounded
+    // streams the production form is dropDuplicatesWithinWatermark; plain
+    // dropDuplicates is correct for this bounded AvailableNow backfill.
+    QuerySpec("q40_stream_dedup",
+      (s, dir) => {
+        val schema = s.read.parquet(s"$dir/events.parquet").schema
+        val mem = "stream_" + UUID.randomUUID().toString.replace("-", "")
+        val tmp = java.nio.file.Files.createTempDirectory("graft_stream_")
+        java.nio.file.Files.createSymbolicLink(
+          tmp.resolve("events.parquet"),
+          java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
+        val q = s.readStream.schema(schema).parquet(tmp.toString)
+          .dropDuplicates("user_id", "event_type")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_users"))
+          .writeStream.format("memory").queryName(mem)
+          .outputMode("complete").trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(mem).select("event_type", "n_users")
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(DISTINCT user_id) AS n_users
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)))
 }
