@@ -22,6 +22,28 @@ object VectorQueries {
   private def duckCos(a: String, b: String): String =
     s"${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)}))"
 
+  /** Deterministic random-hyperplane components for sign-LSH, derived from
+    * md5 so both engines can reproduce them exactly:
+    * r_j[i] = (int32("j_i") mod 2001 - 1000) / 1000 ∈ [-1, 1].
+    * Spark embeds the values as literals (computed here with the same md5);
+    * the oracle recomputes them in SQL. */
+  private val nPlanes = 8
+  private def h32(sd: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(sd.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(4).map(b => f"${b & 0xff}%02x").mkString, 16)
+  }
+  private[queries] val planes: Seq[Seq[Double]] =
+    (0 until nPlanes).map(j => (1 to dim).map(i =>
+      (h32(s"${j}_$i") % 2001 - 1000) / 1000.0))
+  private val duckPlanes =
+    s"""planes AS (
+       |  SELECT j, list(val ORDER BY i) AS r FROM (
+       |    SELECT j, i,
+       |      (CAST('0x' || substr(md5(j || '_' || i), 1, 8) AS BIGINT) % 2001 - 1000) / 1000.0 AS val
+       |    FROM generate_series(0, ${nPlanes - 1}) t(j), generate_series(1, $dim) s(i))
+       |  GROUP BY j)""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
 
     // q31 — brute-force cosine top-5 for 8 query vectors. The query set is
@@ -82,5 +104,52 @@ object VectorQueries {
               |  FROM embeddings e, cents c),
               |best AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, cent_id) AS rn FROM assigned)
               |SELECT cent_id, count(*) AS bucket_size, min(vec_id) AS min_vec, max(vec_id) AS max_vec
-              |FROM best WHERE rn = 1 GROUP BY cent_id ORDER BY cent_id""".stripMargin)))
+              |FROM best WHERE rn = 1 GROUP BY cent_id ORDER BY cent_id""".stripMargin)),
+
+    // q41 — embedding-cosine near-duplicate detection via sign-LSH:
+    // bucket = 8 hyperplane sign bits, candidate pairs only within a
+    // bucket, then exact cosine filter. The scale shape: the n² pair space
+    // collapses to per-bucket pair generation (one shuffle on the 8-bit
+    // signature), and the expensive exact cosine runs only on candidates.
+    QuerySpec("q41_embed_neardup",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val bits = planes.zipWithIndex.map { case (p, j) =>
+          val planeCol = array(p.map(lit): _*)
+          when(Vectors.dot(col("embedding"), planeCol) > 0, lit("1")).otherwise(lit("0"))
+        }
+        val bucketed = emb.select(col("vec_id"), col("embedding"),
+          concat(bits: _*).as("bucket"))
+        val pairs = bucketed.groupBy("bucket")
+          .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
+          .filter(size(col("ids")) > 1)
+          .select(explode(expr(
+            "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), y -> struct(x AS vec_a, y AS vec_b))))"
+          )).as("p"))
+          .select(col("p.vec_a"), col("p.vec_b"))
+        pairs
+          .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")
+          .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), "vec_b")
+          .select(col("vec_a"), col("vec_b"),
+            round(Vectors.cosine(col("ea"), col("eb")), 6).as("cos_sim"))
+          .filter(col("cos_sim") > 0.4)
+          .orderBy("vec_a", "vec_b")
+      },
+      Some(s"""WITH $duckPlanes,
+              |sig AS (
+              |  SELECT vec_id, string_agg(CASE WHEN d > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS bucket FROM (
+              |    SELECT e.vec_id, p.j,
+              |      list_sum(list_transform(generate_series(1, $dim), i -> CAST(e.embedding[i] AS DOUBLE) * p.r[i])) AS d
+              |    FROM embeddings e, planes p)
+              |  GROUP BY vec_id),
+              |cand AS (
+              |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+              |  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+              |SELECT c.vec_a, c.vec_b,
+              |  round(${duckCos("ea.embedding", "eb.embedding")}, 6) AS cos_sim
+              |FROM cand c
+              |JOIN embeddings ea ON ea.vec_id = c.vec_a
+              |JOIN embeddings eb ON eb.vec_id = c.vec_b
+              |WHERE round(${duckCos("ea.embedding", "eb.embedding")}, 6) > 0.4
+              |ORDER BY c.vec_a, c.vec_b""".stripMargin)))
 }
