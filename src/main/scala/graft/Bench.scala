@@ -13,6 +13,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm-up: JIT + codegen + filesystem metadata, so the first measured
+    // query isn't charged for session startup.
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/region.parquet").count()
     // noop sink forces full execution of every operator (a bare count()
     // would let Catalyst prune most of the work for projection queries).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -29,6 +29,7 @@ object SparkEntry {
     trySet("spark.sql.session.timeZone", "UTC")
     trySet("spark.sql.legacy.parquet.nanosAsLong", "true")
     trySet("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    graft.functions.GraftFunctions.register(s)
   }
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */

@@ -209,10 +209,15 @@ object TextQueries {
     QuerySpec("q35_ngram_jaccard",
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
-        val sets = docs.select(col("doc_id"),
-            explode(Text.shingles(col("text"))).as("sh"))
-          .groupBy("doc_id").agg(collect_set(col("sh")).as("shs"))
         val cand = minhashCandidates(docs)
+        // Only candidate docs need their shingle sets materialized — the
+        // semi-join keeps the collect_set shuffle proportional to the
+        // (small) candidate population, not the corpus.
+        val candIds = cand.select(col("doc_a").as("doc_id"))
+          .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+        val sets = docs.join(candIds, Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), explode(Text.shingles(col("text"))).as("sh"))
+          .groupBy("doc_id").agg(collect_set(col("sh")).as("shs"))
         cand
           .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("sa")), "doc_a")
           .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("sb")), "doc_b")

@@ -59,7 +59,7 @@ object VectorQueries {
         val scored = emb.crossJoin(broadcast(q))
           .filter(col("vec_id") =!= col("q_id"))
           .select(col("q_id"), col("vec_id"),
-            round(Vectors.cosine(col("q_vec"), col("embedding")), 6).as("cos_sim"))
+            round(call_function("graft_cosine", col("q_vec"), col("embedding")), 6).as("cos_sim"))
         val w = Window.partitionBy("q_id")
           .orderBy(col("cos_sim").desc, col("vec_id"))
         scored.withColumn("rnk", row_number().over(w))
@@ -88,7 +88,7 @@ object VectorQueries {
           .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
         val assigned = emb.crossJoin(broadcast(cents))
           .select(col("vec_id"), col("label"), col("cent_id"),
-            round(Vectors.cosine(col("cent_vec"), col("embedding")), 6).as("cos_sim"))
+            round(call_function("graft_cosine", col("cent_vec"), col("embedding")), 6).as("cos_sim"))
         val w = Window.partitionBy("vec_id")
           .orderBy(col("cos_sim").desc, col("cent_id"))
         assigned.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
@@ -131,7 +131,7 @@ object VectorQueries {
           .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")
           .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), "vec_b")
           .select(col("vec_a"), col("vec_b"),
-            round(Vectors.cosine(col("ea"), col("eb")), 6).as("cos_sim"))
+            round(call_function("graft_cosine", col("ea"), col("eb")), 6).as("cos_sim"))
           .filter(col("cos_sim") > 0.4)
           .orderBy("vec_a", "vec_b")
       },

@@ -24,4 +24,15 @@ class VectorsSpec extends AnyFunSuite {
     val r = df.select(Vectors.dot(col("a"), col("b"))).as[Double].collect().head
     assert(r == 3.5)
   }
+
+  test("native graft_cosine expression is bit-identical to the HOF form") {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 4).select(col("embedding").as("e2"))
+    val mismatches = emb.crossJoin(q)
+      .select((call_function("graft_cosine", col("embedding"), col("e2"))
+        === Vectors.cosine(col("embedding"), col("e2"))).as("eq"))
+      .filter(!col("eq")).count()
+    assert(mismatches == 0)
+  }
 }
