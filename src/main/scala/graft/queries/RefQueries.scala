@@ -368,5 +368,22 @@ object RefQueries {
              | count(*) AS n_items
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              |GROUP BY CUBE (o_orderpriority, l_returnflag)
-             |ORDER BY o_orderpriority NULLS FIRST, l_returnflag NULLS FIRST""".stripMargin)))
+             |ORDER BY o_orderpriority NULLS FIRST, l_returnflag NULLS FIRST""".stripMargin)),
+
+    // q43 — exact percentiles per group (Spark `percentile` ≡ DuckDB
+    // `quantile_cont`: sort + linear interpolation; both exact, so unlike
+    // approx sketches this is oracle-comparable). Round guards the last
+    // interpolation bit.
+    QuerySpec("q43_percentiles",
+      (s, dir) =>
+        t(s, dir, "lineitem").groupBy("l_returnflag").agg(
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("p50_qty"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90_price"),
+          count(lit(1)).as("n"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             | round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+             | round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price,
+             | count(*) AS n
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)))
 }

@@ -262,5 +262,48 @@ object TextQueries {
              | CAST(64 + strlen(text) % 576 AS INTEGER) AS width,
              | CAST(64 + (strlen(text) * 7) % 416 AS INTEGER) AS height,
              | CAST(ascii(substr(text, 1, 1)) AS INTEGER) AS first_byte
-             |FROM documents ORDER BY doc_id""".stripMargin)))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // q44 — document chunking into overlapping token windows (size 50,
+    // stride 40) — the standard training-data windowing op. Pure
+    // sequence/slice HOFs: a narrow per-row explode, no shuffle until the
+    // final sort.
+    QuerySpec("q44_chunk_tokens",
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .withColumn("tk", Text.tokens(lower(col("text"))))
+          .select(col("doc_id"),
+            explode(expr("sequence(0, (size(tk) - 1) DIV 40)")).as("k"),
+            col("tk"))
+          .select(col("doc_id"), col("k").cast("int").as("chunk_idx"),
+            size(expr("slice(tk, k * 40 + 1, 50)")).as("n_tokens"),
+            expr("element_at(tk, CAST(k * 40 + 1 AS INT))").as("first_token"))
+          .orderBy("doc_id", "chunk_idx"),
+      Some(s"""SELECT doc_id, CAST(k AS INTEGER) AS chunk_idx,
+              | CAST(len(w[k*40+1 : k*40+50]) AS INTEGER) AS n_tokens,
+              | w[k*40+1] AS first_token
+              |FROM (SELECT doc_id, $duckTokens AS w FROM documents),
+              |     UNNEST(generate_series(0, CAST(floor((len(w)-1)/40) AS BIGINT))) AS t(k)
+              |ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // q45 — deterministic train/val/test split assignment: hash the
+    // content (not a row number) so the split is stable under reordering,
+    // dedup, and re-runs — the reproducible-split op every training
+    // pipeline needs. 80/10/10 by md5-derived bucket.
+    QuerySpec("q45_split_assign",
+      (s, dir) => {
+        val bucket = Text.hash32(col("text")) % 100
+        val split = when(bucket < 80, "train").when(bucket < 90, "val")
+          .otherwise("test")
+        Tables.load(s, dir, "documents")
+          .select(col("lang"), split.as("split"))
+          .groupBy("lang", "split").agg(count(lit(1)).as("n_docs"))
+          .orderBy("lang", "split")
+      },
+      Some("""SELECT lang,
+             | CASE WHEN CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % 100 < 80 THEN 'train'
+             |      WHEN CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % 100 < 90 THEN 'val'
+             |      ELSE 'test' END AS split,
+             | count(*) AS n_docs
+             |FROM documents GROUP BY 1, 2 ORDER BY lang, split""".stripMargin)))
 }
