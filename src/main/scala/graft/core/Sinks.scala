@@ -1,0 +1,44 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** Set-oriented sinks (SURVEY §2.1 S3/S4/S7). The reference loads with one
+  * INSERT statement + network round-trip + autocommit per row
+  * (`airflow/dags/driver_etl.py:87-96`) — which forced its 1000-row Laps
+  * cap — and resets via hand-run `DELETE FROM` scripts
+  * (`DDL Final.sql:338-352`). Here every sink is a distributed write;
+  * overwrite mode subsumes the reset.
+  */
+object Sinks {
+
+  /** Parquet, optionally hive-partitioned. Partition columns become
+    * directories → partition pruning at read time (the scan shows
+    * `PartitionFilters`), the first-order scan reducer at 100 TB. */
+  def parquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  /** Bucketed managed table: pre-shuffles rows into `nBuckets` by
+    * `bucketCols`, so joins/aggregations on those keys skip the exchange
+    * entirely — the co-located-join strategy for repeated fact⋈fact work. */
+  def bucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+      nBuckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet").saveAsTable(table)
+
+  /** JDBC append with batched, parameter-bound statements — the
+    * set-oriented replacement for the reference's per-row MsSqlOperator
+    * loop. (No database exists in this environment; exercised only for
+    * config shape.) */
+  def jdbc(df: DataFrame, url: String, table: String,
+      user: String, password: String, batchSize: Int = 10000): Unit =
+    df.write.mode(SaveMode.Append).format("jdbc")
+      .option("url", url).option("dbtable", table)
+      .option("user", user).option("password", password)
+      .option("batchsize", batchSize.toString)
+      .option("isolationLevel", "READ_COMMITTED")
+      .save()
+}

@@ -305,5 +305,26 @@ object TextQueries {
              |      WHEN CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % 100 < 90 THEN 'val'
              |      ELSE 'test' END AS split,
              | count(*) AS n_docs
-             |FROM documents GROUP BY 1, 2 ORDER BY lang, split""".stripMargin)))
+             |FROM documents GROUP BY 1, 2 ORDER BY lang, split""".stripMargin)),
+
+    // q47 — deterministic stratified sampling: the 10 docs with smallest
+    // content hash per language. Reproducible on any cluster layout (hash
+    // order, not physical order) — the "give me a stable N-per-stratum
+    // sample" op. WindowGroupLimit keeps it one shuffle + local top-k.
+    QuerySpec("q47_stratified_sample",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+          .orderBy(Text.hash32(col("text")).asc, col("doc_id").asc)
+        Tables.load(s, dir, "documents")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 10)
+          .select(col("lang"), col("doc_id"), col("rn"))
+          .orderBy("lang", "rn")
+      },
+      Some("""SELECT lang, doc_id, CAST(rn AS INTEGER) AS rn FROM (
+             |  SELECT lang, doc_id, row_number() OVER (
+             |    PARTITION BY lang
+             |    ORDER BY CAST('0x' || substr(md5(text), 1, 8) AS BIGINT), doc_id) AS rn
+             |  FROM documents)
+             |WHERE rn <= 10 ORDER BY lang, rn""".stripMargin)))
 }

@@ -99,5 +99,56 @@ object StreamQueries {
       Some("""SELECT ws AS win_start, count(*) AS n_events FROM (
              |  SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP)) - (k * INTERVAL '15 minutes') AS ws
              |  FROM events, generate_series(0, 3) t(k))
-             |GROUP BY ws ORDER BY ws""".stripMargin)))
+             |GROUP BY ws ORDER BY ws""".stripMargin)),
+
+    // q46 — custom stateful streaming via flatMapGroupsWithState
+    // (KeyValueGroupedDataset): per-user gap-based session counting, the
+    // arbitrary-state API the built-in windows can't express. This bounded
+    // AvailableNow backfill delivers each user's events in one batch, so
+    // the group iterator sees the full history; an unbounded deployment
+    // would carry open sessions in GroupState across batches. Semantics
+    // match the q37 batch sessionization (30 min gap, µs precision).
+    QuerySpec("q46_stream_sessions",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+        val ds = eventStream(s, dir)
+          .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"))
+          .as[(Long, Long, Long)]
+        val out = ds.groupByKey(_._1)
+          .flatMapGroupsWithState[List[Long], (Long, Long, Long)](
+            OutputMode.Append, GroupStateTimeout.NoTimeout) {
+            case (uid, it, _) =>
+              val times = it.map(e => (e._2, e._3)).toSeq.sorted
+              var n = 0L; var prev = Long.MinValue
+              times.foreach { case (t, _) =>
+                if (prev == Long.MinValue || t - prev > 30L * 60 * 1000000) n += 1
+                prev = t
+              }
+              Iterator((uid, n, times.size.toLong))
+          }
+          .toDF("user_id", "n_sessions", "n_events")
+        runAppend(s, out).orderBy("user_id")
+      },
+      Some("""SELECT user_id, CAST(max(sess_id) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
+             |  SELECT user_id, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
+             |  FROM (
+             |    SELECT user_id, ts, event_id,
+             |      CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+             |             - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+             |             > 30 * 60 * 1000000 THEN 1
+             |           WHEN lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) IS NULL THEN 1
+             |           ELSE 0 END AS new_sess
+             |    FROM events))
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)))
+
+  /** Append-mode variant of [[runComplete]] for flatMapGroupsWithState. */
+  private def runAppend(s: SparkSession, df: DataFrame): DataFrame = {
+    val mem = "stream_" + UUID.randomUUID().toString.replace("-", "")
+    val q = df.writeStream.format("memory").queryName(mem)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(mem)
+  }
 }

@@ -1,0 +1,59 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.core.Sinks
+import graft.ops.Skew
+
+class SinksSkewSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("partitioned parquet write: readable, prunable") {
+    val df = Seq((1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0))
+      .toDF("id", "part", "v")
+    val dir = Files.createTempDirectory("sink").toString
+    Sinks.parquet(df, dir, partitionBy = Seq("part"))
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 3)
+    val pruned = back.filter(col("part") === "a")
+    assert(pruned.count() == 2)
+    // partition filter must reach the scan, not a post-filter
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("isnotnull(part"), plan)
+  }
+
+  test("bucketed table write: no exchange when aggregating on bucket key") {
+    val df = Seq((1L, 5.0), (1L, 6.0), (2L, 7.0)).toDF("k", "v")
+    Sinks.bucketed(df, "bucketed_t", Seq("k"), nBuckets = 4)
+    val agg = spark.table("bucketed_t").groupBy("k").agg(sum($"v"))
+    assert(agg.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      == Map(1L -> 11.0, 2L -> 7.0))
+    // bucketing satisfies the hash-partitioning requirement: no Exchange
+    assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"))
+    spark.sql("DROP TABLE bucketed_t")
+  }
+
+  test("salted aggregation equals plain aggregation") {
+    val df = (1 to 1000).map(i => (if (i % 10 == 0) "hot" else s"k$i", i.toDouble))
+      .toDF("k", "v")
+    val plain = df.groupBy("k").count().orderBy("k").collect().toSeq
+    val salted = Skew.saltedCount(df, Seq("k"), salts = 8)
+      .orderBy("k").collect().toSeq
+    assert(salted.map(r => (r.getString(0), r.getLong(1)))
+      == plain.map(r => (r.getString(0), r.getLong(1))))
+  }
+
+  test("salted join equals plain join") {
+    val big = (1 to 500).map(i => (i % 5, i)).toDF("k", "payload")
+    val small = Seq((0, "z"), (1, "o"), (2, "t"), (3, "th"), (4, "f"))
+      .toDF("k", "name")
+    val plain = big.join(small, "k").orderBy("payload")
+      .select("k", "payload", "name").collect().toSeq
+    val salted = Skew.saltedJoin(big, small, "k", salts = 4).orderBy("payload")
+      .select("k", "payload", "name").collect().toSeq
+    assert(salted == plain)
+  }
+}
