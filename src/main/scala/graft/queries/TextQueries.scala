@@ -209,12 +209,18 @@ object TextQueries {
     QuerySpec("q35_ngram_jaccard",
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
+        // The candidate set is referenced twice below (id restriction +
+        // final join): persist at the explicit branch point so the LSH
+        // pipeline runs once (SURVEY §4: cache only at branch points).
+        // It is tiny — pairs, not documents.
         val cand = minhashCandidates(docs)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // Only candidate docs need their shingle sets materialized — the
         // semi-join keeps the collect_set shuffle proportional to the
         // (small) candidate population, not the corpus.
-        val candIds = cand.select(col("doc_a").as("doc_id"))
-          .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+        val candIds = cand
+          .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+          .distinct()
         val sets = docs.join(candIds, Seq("doc_id"), "left_semi")
           .select(col("doc_id"), explode(Text.shingles(col("text"))).as("sh"))
           .groupBy("doc_id").agg(collect_set(col("sh")).as("shs"))
