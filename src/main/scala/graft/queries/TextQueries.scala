@@ -332,5 +332,24 @@ object TextQueries {
              |    PARTITION BY lang
              |    ORDER BY CAST('0x' || substr(md5(text), 1, 8) AS BIGINT), doc_id) AS rn
              |  FROM documents)
-             |WHERE rn <= 10 ORDER BY lang, rn""".stripMargin)))
+             |WHERE rn <= 10 ORDER BY lang, rn""".stripMargin)),
+
+    // q48 — content scrubbing/redaction: mask digit runs (the PII-redaction
+    // shape: phone/ID scrubbing before training). Pure regexp projection —
+    // narrow, codegen'd, no shuffle before the sort. The pattern stays in
+    // the RE2∩Java-regex common subset so both engines agree.
+    QuerySpec("q48_redact",
+      (s, dir) => {
+        val redacted = regexp_replace(col("text"), "[0-9]+", "#NUM")
+        Tables.load(s, dir, "documents").select(col("doc_id"),
+          length(redacted).as("n_chars_redacted"),
+          (size(split(redacted, "#NUM", -1)) - 1).as("n_redactions"),
+          substring(redacted, 1, 40).as("prefix"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             | CAST(length(regexp_replace(text, '[0-9]+', '#NUM', 'g')) AS INTEGER) AS n_chars_redacted,
+             | CAST(len(string_split(regexp_replace(text, '[0-9]+', '#NUM', 'g'), '#NUM')) - 1 AS INTEGER) AS n_redactions,
+             | substr(regexp_replace(text, '[0-9]+', '#NUM', 'g'), 1, 40) AS prefix
+             |FROM documents ORDER BY doc_id""".stripMargin)))
 }
