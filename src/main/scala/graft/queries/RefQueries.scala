@@ -267,9 +267,12 @@ object RefQueries {
     // (`quali_etl.py:57`, `results_etl.py:46`).
     QuerySpec("q19_cast_default",
       (s, dir) =>
+        // Non-ANSI cast (configure() pins ansi off) returns NULL on junk
+        // WITHOUT raising: try_cast's TryEval catches a Java exception per
+        // failing row — ~4× slower here where most rows fail the parse.
         t(s, dir, "orders").select(col("o_orderkey"),
-          coalesce(expr("try_cast(split_part(o_orderpriority, '-', 1) AS INT)"), lit(0)).as("pri"),
-          coalesce(expr("try_cast(o_orderstatus AS INT)"), lit(0)).as("status_num"))
+          coalesce(split_part(col("o_orderpriority"), lit("-"), lit(1)).cast("int"), lit(0)).as("pri"),
+          coalesce(col("o_orderstatus").cast("int"), lit(0)).as("status_num"))
           .orderBy("o_orderkey"),
       Some("""SELECT o_orderkey,
              | coalesce(TRY_CAST(split_part(o_orderpriority, '-', 1) AS INTEGER), 0) AS pri,
@@ -385,5 +388,34 @@ object RefQueries {
              | round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
              | round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price,
              | count(*) AS n
-             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)))
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // q49 — the BI-layer flagship (SURVEY §2.5 A3 + §2.6): standings-style
+    // "top 3 customers per region by revenue" — star join → pre-aggregate
+    // → ranking window → filter. Aggregation happens BEFORE the window, so
+    // the rank shuffle carries one row per (region, customer), not per
+    // lineitem.
+    QuerySpec("q49_region_top_customers",
+      (s, dir) => {
+        val rev = star(s, dir).groupBy("r_name", "c_custkey", "c_name")
+          .agg(revenue.as("revenue"))
+        val w = Window.partitionBy("r_name")
+          .orderBy(col("revenue").desc, col("c_custkey"))
+        rev.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+          .select("r_name", "rnk", "c_custkey", "c_name", "revenue")
+          .orderBy("r_name", "rnk")
+      },
+      Some("""SELECT r_name, rnk, c_custkey, c_name, revenue FROM (
+             |  SELECT r_name, c_custkey, c_name, revenue,
+             |    CAST(row_number() OVER (PARTITION BY r_name ORDER BY revenue DESC, c_custkey) AS INTEGER) AS rnk
+             |  FROM (
+             |    SELECT r_name, c_custkey, c_name,
+             |      CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+             |    FROM lineitem
+             |    JOIN orders ON l_orderkey = o_orderkey
+             |    JOIN customer ON o_custkey = c_custkey
+             |    JOIN nation ON c_nationkey = n_nationkey
+             |    JOIN region ON n_regionkey = r_regionkey
+             |    GROUP BY r_name, c_custkey, c_name))
+             |WHERE rnk <= 3 ORDER BY r_name, rnk""".stripMargin)))
 }
