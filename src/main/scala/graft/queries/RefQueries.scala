@@ -283,9 +283,12 @@ object RefQueries {
     // §2.8 footnote).
     QuerySpec("q20_json_extract",
       (s, dir) =>
-        t(s, dir, "events").select(col("event_id"),
-          get_json_object(col("props"), "$.k").cast("int").as("k"))
-          .orderBy("event_id"),
+        // sort-below-heavy-projection: keeps JSON parsing out of the
+        // range-sampling pass (NOTES.md)
+        t(s, dir, "events").select("event_id", "props")
+          .orderBy("event_id")
+          .select(col("event_id"),
+            get_json_object(col("props"), "$.k").cast("int").as("k")),
       Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
              |FROM events ORDER BY event_id""".stripMargin)),
 

@@ -121,14 +121,19 @@ object TextQueries {
         val nTok  = Text.tokenCount(col("text"))
         val nStop = Text.stopwordCount(col("text"))
         val nPun  = Text.punctCount(col("text"))
-        Tables.load(s, dir, "documents").select(col("doc_id"),
-          length(col("text")).as("n_chars_m"),
-          nPun.as("n_punct"),
-          nStop.as("n_stop"),
-          nTok.as("n_tokens"),
-          round(nStop.cast("double") / nTok, 4).as("stop_ratio"),
-          round(nPun.cast("double") / length(col("text")), 4).as("punct_ratio"))
+        // Sort the narrow base FIRST: a global orderBy samples its child
+        // for range bounds, so putting the heavy tokenization above the
+        // Sort keeps it out of the sampling pass (it would run twice
+        // otherwise — see NOTES.md).
+        Tables.load(s, dir, "documents").select("doc_id", "text")
           .orderBy("doc_id")
+          .select(col("doc_id"),
+            length(col("text")).as("n_chars_m"),
+            nPun.as("n_punct"),
+            nStop.as("n_stop"),
+            nTok.as("n_tokens"),
+            round(nStop.cast("double") / nTok, 4).as("stop_ratio"),
+            round(nPun.cast("double") / length(col("text")), 4).as("punct_ratio"))
       },
       Some(s"""SELECT doc_id,
               | CAST(length(text) AS INTEGER) AS n_chars_m,
