@@ -75,5 +75,34 @@ object EventQueries {
              |           WHEN lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) IS NULL THEN 1
              |           ELSE 0 END AS new_sess
              |    FROM events))
-             |GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin)))
+             |GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin)),
+
+    // q52 — range (interval) join: for each error event, how many other
+    // events of the same user fall within ±5 minutes. Equi key (user_id)
+    // + range predicate: Spark plans the equi part as a hash/sort-merge
+    // join and evaluates the band as a post-condition — the standard
+    // interval-join shape; at scale the user_id shuffle bounds each
+    // comparison set to one user's events.
+    QuerySpec("q52_range_join",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val err = ev.filter(col("event_type") === "error")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val oth = ev.select(col("user_id").as("uid2"),
+          col("ts").as("ts2"), col("event_id").as("eid2"))
+        err.join(oth,
+            col("user_id") === col("uid2") && col("eid2") =!= col("event_id") &&
+              col("ts2").between(
+                col("ts") - expr("INTERVAL 5 MINUTES"),
+                col("ts") + expr("INTERVAL 5 MINUTES")))
+          .groupBy("event_id").agg(count(lit(1)).as("n_neighbors"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT a.event_id, count(*) AS n_neighbors
+             |FROM events a JOIN events b
+             |  ON a.user_id = b.user_id AND b.event_id <> a.event_id
+             |  AND CAST(b.ts AS TIMESTAMP) BETWEEN CAST(a.ts AS TIMESTAMP) - INTERVAL 5 MINUTE
+             |                                  AND CAST(a.ts AS TIMESTAMP) + INTERVAL 5 MINUTE
+             |WHERE a.event_type = 'error'
+             |GROUP BY a.event_id ORDER BY a.event_id""".stripMargin)))
 }

@@ -420,5 +420,61 @@ object RefQueries {
              |    JOIN nation ON c_nationkey = n_nationkey
              |    JOIN region ON n_regionkey = r_regionkey
              |    GROUP BY r_name, c_custkey, c_name))
-             |WHERE rnk <= 3 ORDER BY r_name, rnk""".stripMargin)))
+             |WHERE rnk <= 3 ORDER BY r_name, rnk""".stripMargin)),
+
+    // q51 — pivot: linestatus values become revenue columns (conditional
+    // aggregation under the hood; explicit value list avoids the extra
+    // distinct-values job at scale).
+    QuerySpec("q51_pivot_revenue",
+      (s, dir) =>
+        t(s, dir, "lineitem").groupBy("l_returnflag")
+          .pivot("l_linestatus", Seq("F", "O"))
+          .agg(revenue)
+          .withColumnRenamed("F", "rev_F").withColumnRenamed("O", "rev_O")
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             | CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4)) END) AS DOUBLE) AS rev_F,
+             | CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4)) END) AS DOUBLE) AS rev_O
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // q53 — explicit GROUPING SETS through the SQL front-end (spark.sql is
+    // engine surface too; the DataFrame API covers rollup/cube in q21/q39).
+    QuerySpec("q53_grouping_sets",
+      (s, dir) => {
+        t(s, dir, "lineitem").createOrReplaceTempView("li_gs")
+        t(s, dir, "orders").createOrReplaceTempView("ord_gs")
+        s.sql("""SELECT o_orderpriority, l_returnflag,
+                |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                |  count(*) AS n
+                |FROM li_gs JOIN ord_gs ON l_orderkey = o_orderkey
+                |GROUP BY GROUPING SETS ((o_orderpriority), (l_returnflag))
+                |ORDER BY o_orderpriority ASC NULLS FIRST, l_returnflag ASC NULLS FIRST""".stripMargin)
+      },
+      Some("""SELECT o_orderpriority, l_returnflag,
+             | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             | count(*) AS n
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY GROUPING SETS ((o_orderpriority), (l_returnflag))
+             |ORDER BY o_orderpriority ASC NULLS FIRST, l_returnflag ASC NULLS FIRST""".stripMargin)),
+
+    // q54 — set-oriented upsert guard (SURVEY §2.4 J3: the deleted per-row
+    // existence probe): batch left-anti existing → union. At scale this is
+    // one shuffle on the key — the idempotent-ingest pattern replacing the
+    // reference's cross-run dedup bug (D4).
+    QuerySpec("q54_upsert_guard",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val existing = ev.filter(col("event_id") % 10 =!= 0)
+        val batch = ev.filter(col("event_id") % 2 === 0)
+        val toInsert = batch.join(existing.select("event_id"), Seq("event_id"), "left_anti")
+        existing.unionByName(toInsert)
+          .groupBy("event_type").agg(count(lit(1)).as("n"))
+          .orderBy("event_type")
+      },
+      Some("""WITH existing AS (SELECT * FROM events WHERE event_id % 10 <> 0),
+             |batch AS (SELECT * FROM events WHERE event_id % 2 = 0),
+             |ins AS (SELECT * FROM batch WHERE event_id NOT IN (SELECT event_id FROM existing))
+             |SELECT event_type, count(*) AS n
+             |FROM (SELECT * FROM existing UNION ALL SELECT * FROM ins)
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)))
 }

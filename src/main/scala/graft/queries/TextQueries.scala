@@ -86,6 +86,36 @@ object TextQueries {
        |  ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id)""".stripMargin
   }
 
+  /** 32-bit SimHash per document: bitwise majority over token hashes
+    * (shared by q34 and the q50 pairing). */
+  private def simhashDf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val withH = docs
+      .select(col("doc_id"), explode(Text.tokens(lower(col("text")))).as("tok"))
+      .select(col("doc_id"), Text.hash32(col("tok")).as("h"))
+    val sums = (0 until 32).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1, 1)
+        .otherwise(-1)).as(s"s$i"))
+    val agged = withH.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+    val sim = (0 until 32).map(i =>
+      when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
+    agged.select(col("doc_id"), sim.as("simhash"))
+  }
+
+  /** DuckDB CTE chain mirroring [[simhashDf]]; ends with
+    * `sim(doc_id, simhash)`. */
+  private val duckSimhashCtes: String = {
+    val sumExprs = (0 until 32)
+      .map(i => s"SUM(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS s$i")
+      .mkString(", ")
+    val bitExprs = (0 until 32)
+      .map(i => s"CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id, unnest($duckTokens) AS tok FROM documents),
+       |h AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS h FROM tok),
+       |s AS (SELECT doc_id, $sumExprs FROM h GROUP BY doc_id),
+       |sim AS (SELECT doc_id, CAST($bitExprs AS BIGINT) AS simhash FROM s)""".stripMargin
+  }
+
   val specs: Seq[QuerySpec] = Seq(
 
     // q24 — exact deduplication: hash-groupBy on content digest, keep
@@ -180,32 +210,52 @@ object TextQueries {
     // q34 — SimHash document fingerprint: 32-bit bitwise-majority over
     // per-token hashes. One shuffle (groupBy doc) over 32 int sums; the
     // bit reconstruction is pure projection. Near-dup docs land at small
-    // Hamming distance.
+    // Hamming distance (paired in q50).
     QuerySpec("q34_simhash",
+      (s, dir) => simhashDf(Tables.load(s, dir, "documents")).orderBy("doc_id"),
+      Some(s"""$duckSimhashCtes
+              |SELECT doc_id, simhash FROM sim ORDER BY doc_id""".stripMargin)),
+
+    // q50 — simhash near-dup pairing: block on the 4 bytes of the
+    // fingerprint (two docs within Hamming≤12 of 32 bits usually share a
+    // byte), generate pairs bucket-locally, verify exact Hamming distance
+    // with bit_count(xor). Same collapse-the-pair-space shape as q29/q41.
+    QuerySpec("q50_simhash_pairs",
       (s, dir) => {
-        val toks = Tables.load(s, dir, "documents").select(col("doc_id"),
-          explode(Text.tokens(lower(col("text")))).as("tok"))
-        val withH = toks.select(col("doc_id"), Text.hash32(col("tok")).as("h"))
-        val sums = (0 until 32).map(i =>
-          sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1, 1)
-            .otherwise(-1)).as(s"s$i"))
-        val agged = withH.groupBy("doc_id").agg(sums.head, sums.tail: _*)
-        val sim = (0 until 32).map(i =>
-          when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
-        agged.select(col("doc_id"), sim.as("simhash")).orderBy("doc_id")
+        val sim = simhashDf(Tables.load(s, dir, "documents"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val bytes = (0 until 4).map(j => struct(lit(j).as("bi"),
+          shiftright(col("simhash"), j * 8).bitwiseAND(lit(255L)).as("bv")))
+        val pairs = sim
+          .select(col("doc_id"), explode(array(bytes: _*)).as("b"))
+          .select(col("doc_id"), col("b.bi"), col("b.bv"))
+          .groupBy("bi", "bv")
+          .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+          .filter(size(col("ids")) > 1)
+          .select(explode(expr(
+            "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), y -> struct(x AS doc_a, y AS doc_b))))"
+          )).as("p"))
+          .select(col("p.doc_a"), col("p.doc_b")).distinct()
+        pairs
+          .join(sim.select(col("doc_id").as("doc_a"), col("simhash").as("sa")), "doc_a")
+          .join(sim.select(col("doc_id").as("doc_b"), col("simhash").as("sb")), "doc_b")
+          .select(col("doc_a"), col("doc_b"),
+            expr("bit_count(sa ^ sb)").as("hamming"))
+          .filter(col("hamming") <= 12)
+          .orderBy("doc_a", "doc_b")
       },
-      Some {
-        val sumExprs = (0 until 32)
-          .map(i => s"SUM(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS s$i")
-          .mkString(", ")
-        val bitExprs = (0 until 32)
-          .map(i => s"CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END")
-          .mkString(" + ")
-        s"""WITH tok AS (SELECT doc_id, unnest($duckTokens) AS tok FROM documents),
-           |h AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS h FROM tok),
-           |s AS (SELECT doc_id, $sumExprs FROM h GROUP BY doc_id)
-           |SELECT doc_id, CAST($bitExprs AS BIGINT) AS simhash FROM s ORDER BY doc_id""".stripMargin
-      }),
+      Some(s"""$duckSimhashCtes,
+              |bands AS (SELECT doc_id, j AS bi, (simhash >> (j * 8)) & 255 AS bv
+              |          FROM sim, generate_series(0, 3) t(j)),
+              |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              |  FROM bands a JOIN bands b
+              |  ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id)
+              |SELECT c.doc_a, c.doc_b,
+              |  CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INTEGER) AS hamming
+              |FROM cand c JOIN sim sa ON sa.doc_id = c.doc_a
+              |            JOIN sim sb ON sb.doc_id = c.doc_b
+              |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 12
+              |ORDER BY doc_a, doc_b""".stripMargin)),
 
     // q35 — n-gram Jaccard verification of LSH candidates: exact
     // similarity on the distinct-shingle sets, but ONLY for pairs the
