@@ -406,5 +406,40 @@ object TextQueries {
              | CAST(length(regexp_replace(text, '[0-9]+', '#NUM', 'g')) AS INTEGER) AS n_chars_redacted,
              | CAST(len(string_split(regexp_replace(text, '[0-9]+', '#NUM', 'g'), '#NUM')) - 1 AS INTEGER) AS n_redactions,
              | substr(regexp_replace(text, '[0-9]+', '#NUM', 'g'), 1, 40) AS prefix
-             |FROM documents ORDER BY doc_id""".stripMargin)))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // q55 — multimodal frame sampling: treat the payload as opaque bytes
+    // and emit every other 256-byte block ("frames" of a video/audio
+    // stream), with offset + length + a rolling checksum per frame. Same
+    // mapPartitions plumbing as q30 — imperative per-partition decode over
+    // a binary column, narrow (no shuffle), deterministic STUB in place of
+    // a real codec. Oracle recomputes the checksum from character codes
+    // (texts are ASCII, so bytes ≡ codepoints).
+    QuerySpec("q55_frame_sample",
+      (s, dir) => {
+        import s.implicits._
+        val ds = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+        ds.mapPartitions(_.flatMap { case (id, txt) =>
+          val payload = txt.getBytes("UTF-8") // stand-in media bytes
+          val stride = 512; val frameLen = 256
+          Iterator.range(0, payload.length, stride).zipWithIndex.map {
+            case (off, k) =>
+              val len = math.min(frameLen, payload.length - off)
+              var sum = 0L
+              var i = off
+              while (i < off + len) { sum += payload(i) & 0xff; i += 1 }
+              (id, k, off, len, (sum % 997).toInt)
+          }
+        }).toDF("doc_id", "frame_idx", "offset", "frame_len", "checksum")
+          .orderBy("doc_id", "frame_idx")
+      },
+      Some("""SELECT doc_id, CAST(k AS INTEGER) AS frame_idx,
+             | CAST(k * 512 AS INTEGER) AS offset,
+             | CAST(least(256, strlen(text) - k * 512) AS INTEGER) AS frame_len,
+             | CAST(CAST(list_sum(list_transform(generate_series(1, CAST(least(256, strlen(text) - k * 512) AS BIGINT)),
+             |   i -> ascii(substr(text, CAST(k * 512 + i AS INTEGER), 1)))) AS BIGINT) % 997 AS INTEGER) AS checksum
+             |FROM (SELECT doc_id, text FROM documents),
+             |     UNNEST(generate_series(0, CAST(floor((strlen(text) - 1) / 512) AS BIGINT))) AS t(k)
+             |ORDER BY doc_id, frame_idx""".stripMargin)))
 }

@@ -1,0 +1,75 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import org.scalacheck.Prop.forAll
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Scalars}
+
+/** Property-based checks (SURVEY §5.3): dedup idempotence, parse/format
+  * round-trips, NULL-on-junk, age non-negativity — over generated inputs
+  * rather than fixtures. Case counts are kept small: each case runs a
+  * Spark job. */
+object GraftProperties extends Properties("graft") {
+
+  import TestSpark.spark
+  import spark.implicits._
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(15)
+
+  private val rowsGen: Gen[List[(Int, Int, String)]] =
+    Gen.listOfN(30, for {
+      k <- Gen.choose(1, 5)
+      o <- Gen.choose(1, 10)
+      v <- Gen.alphaStr.map(_.take(5))
+    } yield (k, o, v)).suchThat(_.nonEmpty)
+
+  property("keepFirst is idempotent") = forAll(rowsGen) { rows =>
+    val df = rows.toDF("k", "o", "v")
+    val once = Dedup.keepFirst(df, Seq("k"), Seq(col("o").asc, col("v").asc))
+    val twice = Dedup.keepFirst(once, Seq("k"), Seq(col("o").asc, col("v").asc))
+    once.orderBy("k", "o", "v").collect().toSeq ==
+      twice.orderBy("k", "o", "v").collect().toSeq
+  }
+
+  property("keepFirst keeps exactly one row per key") = forAll(rowsGen) { rows =>
+    val df = rows.toDF("k", "o", "v")
+    val out = Dedup.keepFirst(df, Seq("k"), Seq(col("o").asc, col("v").asc))
+    out.count() == rows.map(_._1).distinct.size
+  }
+
+  private val hmsGen: Gen[(Int, Int, Int)] = for {
+    h <- Gen.choose(0, 23); m <- Gen.choose(0, 59); s <- Gen.choose(0, 59)
+  } yield (h, m, s)
+
+  property("parseTimeHms round-trips valid times") = forAll(hmsGen) {
+    case (h, m, s) =>
+      val in = f"$h%02d:$m%02d:$s%02d"
+      val out = Seq(in).toDF("v")
+        .select(Scalars.parseTimeHms(col("v"))).as[String].collect().head
+      out == in
+  }
+
+  property("resolveRaceTime of '+s.SSS' gaps lands at the gap offset") =
+    forAll(Gen.choose(0, 59), Gen.choose(0, 999)) { (sec, ms) =>
+      val in = f"+$sec%d.$ms%03d"
+      val out = Seq(in).toDF("v")
+        .select(Scalars.resolveRaceTime(col("v"))).as[String].collect().head
+      out == f"00:00:$sec%02d.$ms%03d"
+    }
+
+  property("intOrZero is total: junk → 0, ints round-trip") =
+    forAll(Gen.oneOf(Gen.alphaStr, Gen.choose(-1000, 1000).map(_.toString))) { v =>
+      val out = Seq(v).toDF("v")
+        .select(Scalars.intOrZero(col("v"))).as[Int].collect().head
+      if (v.nonEmpty && v.matches("-?[0-9]+")) out == v.toInt else out == 0
+    }
+
+  property("age is non-negative for past dates") =
+    forAll(Gen.choose(1900, 2026), Gen.choose(1, 12), Gen.choose(1, 28)) {
+      (y, m, d) =>
+        val out = Seq(f"$y%04d-$m%02d-$d%02d").toDF("v")
+          .select(Scalars.age(to_date(col("v")), 2026)).as[Int].collect().head
+        out >= 0 && out == 2026 - y
+    }
+}
