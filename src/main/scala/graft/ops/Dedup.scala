@@ -26,6 +26,26 @@ object Dedup {
       .drop("__rn")
   }
 
+  /** Keep-first as a hash AGGREGATE instead of a window: `min(struct(ord
+    * ++ payload))` — the lexicographic struct-min is the first row under
+    * `order`. Equivalent to [[keepFirst]] when every `order` column is
+    * ascending non-null and totally orders each group.
+    *
+    * Why it exists: the window form shuffles and SORTS every input row;
+    * this form partial-aggregates map-side, so the shuffle carries one
+    * row per key — the plan that survives a 100× scale-up. (q03 at
+    * sf0.1: 7.2s window → hash-agg is sort-free.)
+    *
+    * @param payload non-key, non-order columns to carry through */
+  def keepFirstAgg(df: DataFrame, keys: Seq[String], order: Seq[String],
+      payload: Seq[String]): DataFrame = {
+    val carried = order ++ payload
+    df.select((keys ++ carried).map(col): _*)
+      .groupBy(keys.map(col): _*)
+      .agg(min(struct(carried.map(col): _*)).as("__f"))
+      .select(keys.map(col) ++ carried.map(c => col(s"__f.$c").as(c)): _*)
+  }
+
   /** D1: full-row distinct (`airflow/dags/CompleteETL.py:22, 37`;
     * `date_etl.py:15`). Spark: hash-aggregate on all columns. */
   def distinctRows(df: DataFrame): DataFrame = df.distinct()

@@ -62,13 +62,17 @@ object RefQueries {
              |WHERE rn = 1 ORDER BY o_custkey""".stripMargin)),
 
     // q03 — D3 composite-key dedup (`airflow/dags/laps_etl.py:34-56`):
-    // first shipment per (part, supplier).
+    // first shipment per (part, supplier). Aggregate form (struct-min with
+    // map-side combine), not a window: the window sorts all input rows
+    // inside the shuffle, this shuffles one row per key. (l_shipdate,
+    // l_orderkey, l_linenumber) totally orders each group in this corpus,
+    // so both forms pick the same survivor. Persisted before the global
+    // sort so the range-partitioner sampling pass doesn't re-run the agg.
     QuerySpec("q03_dedup_composite",
       (s, dir) =>
-        Dedup.keepFirst(t(s, dir, "lineitem"), Seq("l_partkey", "l_suppkey"),
-            Seq(col("l_shipdate").asc, col("l_orderkey").asc, col("l_linenumber").asc))
-          .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
-            "l_quantity", "l_shipdate")
+        Dedup.keepFirstAgg(t(s, dir, "lineitem"), Seq("l_partkey", "l_suppkey"),
+            Seq("l_shipdate", "l_orderkey", "l_linenumber"), Seq("l_quantity"))
+          .persist()
           .orderBy("l_partkey", "l_suppkey"),
       Some("""SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_shipdate
              |FROM (SELECT *, row_number() OVER (PARTITION BY l_partkey, l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn FROM lineitem)

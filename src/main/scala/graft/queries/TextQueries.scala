@@ -36,7 +36,8 @@ object TextQueries {
     * shingle → hash32 → LCG-permuted minhash mins → bands → bucket-local
     * ordered pairs. Returns columns (doc_a, doc_b), distinct, unordered. */
   private def minhashCandidates(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val ex = docs.select(col("doc_id"), explode(Text.shingles(col("text"))).as("sh"))
+    val ex = docs.select(col("doc_id"), Text.tokens(lower(col("text"))).as("tk"))
+      .select(col("doc_id"), explode(Text.shinglesFromTokens(col("tk"))).as("sh"))
       .select(col("doc_id"), Text.hash32(col("sh")).as("h"))
     val mins = Text.minhashParams.zipWithIndex.map { case ((a, b), i) =>
       min((col("h") * a + b) % Text.minhashMod).as(s"m$i")
@@ -218,30 +219,33 @@ object TextQueries {
 
     // q50 — simhash near-dup pairing: block on the 4 bytes of the
     // fingerprint (two docs within Hamming≤12 of 32 bits usually share a
-    // byte), generate pairs bucket-locally, verify exact Hamming distance
-    // with bit_count(xor). Same collapse-the-pair-space shape as q29/q41.
+    // byte), verify exact Hamming distance with bit_count(xor).
+    //
+    // Pair generation is a BROADCAST self-join of the (tiny, persisted)
+    // banded table, carrying the fingerprint so Hamming filters BEFORE the
+    // pair-dedup shuffle. The bucket-local collect_list+HOF form (q29's
+    // shape) is wrong here: simhash byte-bands are heavily skewed (one
+    // byte value can hold >25% of all docs), so a single array row
+    // explodes ~1M pairs in one task and the distinct then shuffles the
+    // full 2.8M-pair space before the filter. With the broadcast probe the
+    // hot bucket's pairs are emitted across all stream partitions inside
+    // codegen, and only Hamming-surviving pairs reach a shuffle.
     QuerySpec("q50_simhash_pairs",
       (s, dir) => {
         val sim = simhashDf(Tables.load(s, dir, "documents"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val bytes = (0 until 4).map(j => struct(lit(j).as("bi"),
           shiftright(col("simhash"), j * 8).bitwiseAND(lit(255L)).as("bv")))
-        val pairs = sim
-          .select(col("doc_id"), explode(array(bytes: _*)).as("b"))
-          .select(col("doc_id"), col("b.bi"), col("b.bv"))
-          .groupBy("bi", "bv")
-          .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-          .filter(size(col("ids")) > 1)
-          .select(explode(expr(
-            "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), y -> struct(x AS doc_a, y AS doc_b))))"
-          )).as("p"))
-          .select(col("p.doc_a"), col("p.doc_b")).distinct()
-        pairs
-          .join(sim.select(col("doc_id").as("doc_a"), col("simhash").as("sa")), "doc_a")
-          .join(sim.select(col("doc_id").as("doc_b"), col("simhash").as("sb")), "doc_b")
-          .select(col("doc_a"), col("doc_b"),
-            expr("bit_count(sa ^ sb)").as("hamming"))
+        val bands = sim
+          .select(col("doc_id"), col("simhash"), explode(array(bytes: _*)).as("b"))
+          .select(col("doc_id"), col("simhash"), col("b.bi"), col("b.bv"))
+        bands.select(col("bi"), col("bv"), col("doc_id").as("doc_a"), col("simhash").as("sa"))
+          .join(broadcast(bands.select(col("bi"), col("bv"),
+            col("doc_id").as("doc_b"), col("simhash").as("sb"))), Seq("bi", "bv"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"), expr("bit_count(sa ^ sb)").as("hamming"))
           .filter(col("hamming") <= 12)
+          .distinct()
           .orderBy("doc_a", "doc_b")
       },
       Some(s"""$duckSimhashCtes,
@@ -277,7 +281,8 @@ object TextQueries {
           .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
           .distinct()
         val sets = docs.join(candIds, Seq("doc_id"), "left_semi")
-          .select(col("doc_id"), explode(Text.shingles(col("text"))).as("sh"))
+          .select(col("doc_id"), Text.tokens(lower(col("text"))).as("tk"))
+          .select(col("doc_id"), explode(Text.shinglesFromTokens(col("tk"))).as("sh"))
           .groupBy("doc_id").agg(collect_set(col("sh")).as("shs"))
         cand
           .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("sa")), "doc_a")
