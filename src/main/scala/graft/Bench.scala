@@ -19,13 +19,19 @@ object Bench {
     spark.read.parquet(s"$sfDir/region.parquet").count()
     // noop sink forces full execution of every operator (a bare count()
     // would let Catalyst prune most of the work for projection queries).
+    // Two iterations per query, report the min (steady state): run-to-run
+    // variance at local[4] is ±50% for the star-join family, and the first
+    // run is additionally charged for first-touch parquet footer reads.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> times.min
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

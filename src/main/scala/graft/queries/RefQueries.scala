@@ -21,17 +21,34 @@ object RefQueries {
   private def revenue: Column =
     Stable.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
 
-  /** lineitem⋈orders⋈customer⋈nation⋈region star join (J1). nation/region
-    * are broadcast (tiny dims — no shuffle of the fact side for them even
-    * at 100 TB); the fact-side joins shuffle on their keys and AQE handles
-    * skew. Reference join surface: the Power BI star model over
-    * `DDL Final.sql` FK edges (SURVEY §2.4 J1). */
-  private def star(s: SparkSession, dir: String): DataFrame =
+  /** lineitem⋈orders⋈customer⋈nation⋈region star join (J1; reference join
+    * surface: the Power BI star model over `DDL Final.sql` FK edges,
+    * SURVEY §2.4). nation/region are broadcast (tiny dims — no shuffle of
+    * the fact side for them even at 100 TB); the fact-side joins shuffle
+    * on their keys and AQE handles skew.
+    *
+    * lineitem revenue is PARTIAL-AGGREGATED to order grain
+    * BELOW the join (for queries whose group keys all come from the
+    * orders/customer side): the orderkey groupBy's map-side combine
+    * collapses ~4 lineitems per order before the first join shuffle, so
+    * every downstream exchange carries order-grain rows — at 100 TB that
+    * is the difference between shuffling the fact table twice and once.
+    * The partial sums stay DECIMAL, so the two-level sum is exactly the
+    * flat decimal sum (associativity) and the oracle SQL is unchanged.
+    * Finalize with `sum(rev_dec).cast("double")` / `sum(n_part)`. */
+  private def starOrderGrain(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 4))).as("rev_dec"),
+        count(lit(1)).as("n_part"))
       .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
       .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
       .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+
+  private def revFinal: Column = sum(col("rev_dec")).cast("double")
+  private def itemsFinal: Column = sum(col("n_part"))
 
   val specs: Seq[QuerySpec] = Seq(
 
@@ -110,11 +127,12 @@ object RefQueries {
              |WHERE coalesce(value, 0) > 100 AND props IS NOT NULL
              |ORDER BY event_id""".stripMargin)),
 
-    // q07 — J1 star-schema join + A3 aggregate: revenue per region/nation.
+    // q07 — J1 star-schema join + A3 aggregate: revenue per region/nation,
+    // over the order-grain pre-aggregated star (see starOrderGrain).
     QuerySpec("q07_star_join_revenue",
       (s, dir) =>
-        star(s, dir).groupBy("r_name", "n_name")
-          .agg(revenue.as("revenue"), count(lit(1)).as("n_items"))
+        starOrderGrain(s, dir).groupBy("r_name", "n_name")
+          .agg(revFinal.as("revenue"), itemsFinal.as("n_items"))
           .orderBy("r_name", "n_name"),
       Some("""SELECT r_name, n_name,
              | CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
@@ -300,8 +318,8 @@ object RefQueries {
     // the reference's flat GROUP BY — SURVEY §2.5 footnote).
     QuerySpec("q21_rollup_revenue",
       (s, dir) =>
-        star(s, dir).rollup(col("r_name"), col("n_name"))
-          .agg(revenue.as("revenue"), count(lit(1)).as("n_items"))
+        starOrderGrain(s, dir).rollup(col("r_name"), col("n_name"))
+          .agg(revFinal.as("revenue"), itemsFinal.as("n_items"))
           .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first),
       Some("""SELECT r_name, n_name,
              | CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
@@ -404,8 +422,8 @@ object RefQueries {
     // lineitem.
     QuerySpec("q49_region_top_customers",
       (s, dir) => {
-        val rev = star(s, dir).groupBy("r_name", "c_custkey", "c_name")
-          .agg(revenue.as("revenue"))
+        val rev = starOrderGrain(s, dir).groupBy("r_name", "c_custkey", "c_name")
+          .agg(revFinal.as("revenue"))
         val w = Window.partitionBy("r_name")
           .orderBy(col("revenue").desc, col("c_custkey"))
         rev.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
