@@ -107,6 +107,65 @@ object VectorQueries {
               |SELECT cent_id, count(*) AS bucket_size, min(vec_id) AS min_vec, max(vec_id) AS max_vec
               |FROM best WHERE rn = 1 GROUP BY cent_id ORDER BY cent_id""".stripMargin)),
 
+    // q59 — IVF SEARCH with bounded probing (nprobe=2): the actual ANN
+    // query path that q32's assignment enables. Each query vector ranks
+    // the 4 centroids, probes only its 2 nearest buckets, and computes
+    // exact cosine against just those candidates — at scale the corpus
+    // scan is replaced by a shuffle-join on the bucket id that touches
+    // nprobe/k of the data. Centroids and the query set are broadcast
+    // (both tiny); recall vs the exact q31 top-k is the accuracy trade.
+    QuerySpec("q59_ivf_search",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val cents = emb.filter(col("vec_id") < 4)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
+        val wv = Window.partitionBy("vec_id")
+          .orderBy(col("a_sim").desc, col("cent_id"))
+        val assigned = emb.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("embedding"), col("cent_id"),
+            round(call_function("graft_cosine", col("cent_vec"), col("embedding")), 6).as("a_sim"))
+          .withColumn("rn", row_number().over(wv)).filter(col("rn") === 1)
+          .select(col("vec_id"), col("embedding"), col("cent_id"))
+        val wq = Window.partitionBy("q_id")
+          .orderBy(col("p_sim").desc, col("cent_id"))
+        val probes = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+          .crossJoin(broadcast(cents))
+          .select(col("q_id"), col("q_vec"), col("cent_id"),
+            round(call_function("graft_cosine", col("cent_vec"), col("q_vec")), 6).as("p_sim"))
+          .withColumn("pn", row_number().over(wq)).filter(col("pn") <= 2)
+          .select(col("q_id"), col("q_vec"), col("cent_id"))
+        val wk = Window.partitionBy("q_id")
+          .orderBy(col("cos_sim").desc, col("vec_id"))
+        broadcast(probes).join(assigned, "cent_id")
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"),
+            round(call_function("graft_cosine", col("q_vec"), col("embedding")), 6).as("cos_sim"))
+          .withColumn("rnk", row_number().over(wk)).filter(col("rnk") <= 5)
+          .select("q_id", "vec_id", "cos_sim", "rnk")
+          .orderBy("q_id", "rnk")
+      },
+      Some(s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent_vec FROM embeddings WHERE vec_id < 4),
+              |assigned AS (SELECT vec_id, embedding, cent_id FROM (
+              |  SELECT e.vec_id, e.embedding, c.cent_id,
+              |    row_number() OVER (PARTITION BY e.vec_id
+              |      ORDER BY round(${duckCos("c.cent_vec", "e.embedding")}, 6) DESC, c.cent_id) AS rn
+              |  FROM embeddings e, cents c) WHERE rn = 1),
+              |probes AS (SELECT q_id, q_vec, cent_id FROM (
+              |  SELECT q.vec_id AS q_id, q.embedding AS q_vec, c.cent_id,
+              |    row_number() OVER (PARTITION BY q.vec_id
+              |      ORDER BY round(${duckCos("c.cent_vec", "q.embedding")}, 6) DESC, c.cent_id) AS pn
+              |  FROM embeddings q, cents c WHERE q.vec_id < 8) WHERE pn <= 2),
+              |scored AS (
+              |  SELECT p.q_id, a.vec_id,
+              |    round(${duckCos("p.q_vec", "a.embedding")}, 6) AS cos_sim
+              |  FROM probes p JOIN assigned a ON a.cent_id = p.cent_id
+              |  WHERE a.vec_id <> p.q_id),
+              |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+              |    ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rnk FROM scored)
+              |SELECT q_id, vec_id, cos_sim, rnk FROM ranked WHERE rnk <= 5
+              |ORDER BY q_id, rnk""".stripMargin)),
+
     // q56 — IVF with LEARNED centroids (k-means lite): deterministic seeds
     // (vec_id 0..3) → assign → per-dimension mean update → re-assign.
     // The distributed k-means shape: centroids are k·d-tiny and broadcast

@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan property guards: these are the scale behaviors the engine
+  * is designed around (SURVEY §4) — if a refactor silently loses predicate
+  * pushdown, column pruning, a broadcast, or partial aggregation, the
+  * queries still return correct rows but stop being 100 TB-shaped. Each
+  * assertion reads the executed plan string, which is stable across
+  * re-plans at this scale. */
+class PlanSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private val sf = "/root/testdata/sf0.001"
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf)
+      .queryExecution.executedPlan.toString
+
+  test("q06: filters are pushed into the parquet scan") {
+    val p = plan("q06_filter_nulls")
+    assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"),
+      s"no pushed filters in:\n$p")
+  }
+
+  test("q04: scan reads only the 2 projected columns of 16-column lineitem") {
+    val p = plan("q04_distinct_pair")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("l_returnflag") && !read.contains("l_extendedprice"),
+      s"scan not pruned: $read")
+  }
+
+  test("q07: dimension joins are broadcast, fact join is not") {
+    val p = plan("q07_star_join_revenue")
+    assert(p.contains("BroadcastHashJoin"), "nation/region should broadcast")
+  }
+
+  test("q07: aggregation runs partial then final") {
+    val p = plan("q07_star_join_revenue")
+    assert(p.contains("partial_sum") || p.contains("partial sum") ||
+      "HashAggregate".r.findAllIn(p).size >= 2,
+      s"no partial aggregation in:\n$p")
+  }
+
+  test("q13: top-k compiles to TakeOrderedAndProject (no global sort)") {
+    val p = plan("q13_topk_customers")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k not pushed:\n$p")
+  }
+
+  test("q31: query set is broadcast against the candidate scan") {
+    val p = plan("q31_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"query vectors not broadcast:\n$p")
+  }
+
+  test("q10: whole-stage codegen covers the aggregation (final AQE plan)") {
+    // AQE prints codegen spans only in the finalized plan, so execute first
+    val df = SparkEntry.queries("q10_pricing_summary")(spark, sf)
+    df.collect()
+    // codegen spans print as "*(n) Operator" in the tree form
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*(") && p.contains("HashAggregate"),
+      s"no codegen spans:\n$p")
+  }
+}
