@@ -104,5 +104,20 @@ object EventQueries {
              |  AND CAST(b.ts AS TIMESTAMP) BETWEEN CAST(a.ts AS TIMESTAMP) - INTERVAL 5 MINUTE
              |                                  AND CAST(a.ts AS TIMESTAMP) + INTERVAL 5 MINUTE
              |WHERE a.event_type = 'error'
-             |GROUP BY a.event_id ORDER BY a.event_id""".stripMargin)))
+             |GROUP BY a.event_id ORDER BY a.event_id""".stripMargin)),
+
+    // q60 — HLL sketch distinct counting (SURVEY §2.5 footnote): at 100 TB
+    // exact countDistinct shuffles every distinct value; HLL++ is one pass
+    // over the data with fixed-size mergeable sketches — the only shape
+    // that survives a billion-key cardinality estimate. No DuckDB oracle
+    // (sketch internals are engine-specific → rows-only check); accuracy
+    // vs the exact count is asserted in NewOpsSpec at rsd=0.01.
+    QuerySpec("q60_approx_distinct",
+      (s, dir) =>
+        Tables.load(s, dir, "events")
+          .groupBy("event_type")
+          .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+            count(lit(1)).as("n_events"))
+          .orderBy("event_type"),
+      None))
 }

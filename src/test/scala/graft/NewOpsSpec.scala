@@ -31,6 +31,20 @@ class NewOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q60_approx_distinct: HLL estimate within 5% of exact") {
+    import org.apache.spark.sql.functions._
+    val approx = run("q60_approx_distinct").collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("approx_users")).toMap
+    val exact = spark.read.parquet(s"$sf/events.parquet")
+      .groupBy("event_type").agg(countDistinct("user_id").as("n")).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n")).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, n) =>
+      assert(math.abs(approx(k) - n).toDouble / n <= 0.05,
+        s"$k: approx=${approx(k)} exact=$n")
+    }
+  }
+
   test("q58_moving_avg: frame of one equals the row's own price") {
     val rows = run("q58_moving_avg").collect()
     assert(rows.nonEmpty)
