@@ -21,6 +21,11 @@ object Stable {
   def dsum(c: Column, scale: Int = 2): Column =
     sum(c.cast(DecimalType(18, scale))).cast("double")
 
+  /** Partial form: keeps the sum DECIMAL so it can be re-aggregated
+    * (rollup/cube over pre-aggregated groups) before one final cast. */
+  def dsumDec(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale)))
+
   def davg(c: Column, scale: Int = 2): Column =
     sum(c.cast(DecimalType(18, scale))).cast("double") / count(lit(1))
 }

@@ -315,11 +315,18 @@ object RefQueries {
              |FROM events ORDER BY event_id""".stripMargin)),
 
     // q21 — grouping-set rollup over the star join (engine surface beyond
-    // the reference's flat GROUP BY — SURVEY §2.5 footnote).
+    // the reference's flat GROUP BY — SURVEY §2.5 footnote). Flat-aggregate
+    // FIRST, rollup over the 25-row result: Spark's Expand duplicates every
+    // input row per grouping set before the partial agg, so rolling up the
+    // raw rows triples the agg input; rolling up decimal partials is exact
+    // (associativity) and the Expand touches only |groups| rows.
     QuerySpec("q21_rollup_revenue",
       (s, dir) =>
-        starOrderGrain(s, dir).rollup(col("r_name"), col("n_name"))
-          .agg(revFinal.as("revenue"), itemsFinal.as("n_items"))
+        starOrderGrain(s, dir).groupBy("r_name", "n_name")
+          .agg(sum(col("rev_dec")).as("g_rev"), sum(col("n_part")).as("g_n"))
+          .rollup(col("r_name"), col("n_name"))
+          .agg(sum(col("g_rev")).cast("double").as("revenue"),
+            sum(col("g_n")).as("n_items"))
           .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first),
       Some("""SELECT r_name, n_name,
              | CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
@@ -382,13 +389,19 @@ object RefQueries {
              |  SELECT DISTINCT o_custkey FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1998)
              |ORDER BY tag, o_custkey""".stripMargin)),
 
-    // q39 — CUBE grouping sets over two independent dimensions.
+    // q39 — CUBE grouping sets over two independent dimensions. Same
+    // flat-aggregate-then-cube shape as q21: the Expand runs over the
+    // ~20-row flat result instead of 4× the joined fact rows.
     QuerySpec("q39_cube_revenue",
       (s, dir) =>
         t(s, dir, "lineitem")
           .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority", "l_returnflag")
+          .agg(Stable.dsumDec(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+            .as("g_rev"), count(lit(1)).as("g_n"))
           .cube(col("o_orderpriority"), col("l_returnflag"))
-          .agg(revenue.as("revenue"), count(lit(1)).as("n_items"))
+          .agg(sum(col("g_rev")).cast("double").as("revenue"),
+            sum(col("g_n")).as("n_items"))
           .orderBy(col("o_orderpriority").asc_nulls_first,
             col("l_returnflag").asc_nulls_first),
       Some("""SELECT o_orderpriority, l_returnflag,
