@@ -41,4 +41,19 @@ object Sinks {
       .option("batchsize", batchSize.toString)
       .option("isolationLevel", "READ_COMMITTED")
       .save()
+
+  /** Streaming micro-batch sink (SURVEY §2.9): `foreachBatch` bridges a
+    * stream to any batch writer — the Structured Streaming form of the
+    * reference's daily-refresh load. Each micro-batch arrives as a plain
+    * DataFrame for a set-oriented write; the checkpoint plus per-batch
+    * target path give exactly-once delivery across restarts. */
+  def foreachBatchParquet(stream: DataFrame, outDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.write.mode(SaveMode.Overwrite).parquet(s"$outDir/batch_$batchId")
+      }
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
 }

@@ -141,7 +141,43 @@ object StreamQueries {
              |           WHEN lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) IS NULL THEN 1
              |           ELSE 0 END AS new_sess
              |    FROM events))
-             |GROUP BY user_id ORDER BY user_id""".stripMargin)))
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // q61 — built-in session_window aggregation (SURVEY §2.9): dynamic
+    // gap-merged windows per user, 30 min inactivity gap. Unlike the q37
+    // batch form (row-ordinal islands) the session is a first-class window
+    // struct and the state store merges windows incrementally. Boundary
+    // semantics: Spark opens a NEW session when the gap is exactly the
+    // duration (next.start < current.end merges, `<` strict) — the oracle
+    // islands on `>=`, where q37's batch rule is `>`. Session end =
+    // last event + gap in both engines.
+    QuerySpec("q61_stream_session_window",
+      (s, dir) => {
+        val agg = eventStream(s, dir)
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+          .agg(count(lit(1)).as("n_events"))
+        runComplete(s, agg)
+          .select(col("user_id"),
+            col("session_window.start").cast("timestamp_ntz").as("sess_start"),
+            col("session_window.end").cast("timestamp_ntz").as("sess_end"),
+            col("n_events"))
+          .orderBy("user_id", "sess_start")
+      },
+      Some("""SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS sess_start,
+             | max(CAST(ts AS TIMESTAMP)) + INTERVAL 30 MINUTE AS sess_end,
+             | count(*) AS n_events
+             |FROM (
+             |  SELECT user_id, ts, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
+             |  FROM (
+             |    SELECT user_id, ts, event_id,
+             |      CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+             |             - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+             |             >= 30 * 60 * 1000000 THEN 1
+             |           WHEN lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) IS NULL THEN 1
+             |           ELSE 0 END AS new_sess
+             |    FROM events))
+             |GROUP BY user_id, sess_id ORDER BY user_id, sess_start""".stripMargin)))
 
   /** Append-mode variant of [[runComplete]] for flatMapGroupsWithState. */
   private def runAppend(s: SparkSession, df: DataFrame): DataFrame = {

@@ -25,6 +25,20 @@ class SinksSkewSpec extends AnyFunSuite {
       plan.contains("isnotnull(part"), plan)
   }
 
+  test("foreachBatch sink: stream lands each micro-batch as a batch write") {
+    val srcDir = Files.createTempDirectory("fb_src")
+    Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("id", "tag")
+      .write.mode("overwrite").parquet(srcDir.toString)
+    val schema = spark.read.parquet(srcDir.toString).schema
+    val outDir = Files.createTempDirectory("fb_out").toString
+    val q = Sinks.foreachBatchParquet(
+      spark.readStream.schema(schema).parquet(srcDir.toString), outDir)
+    q.awaitTermination()
+    val back = spark.read.parquet(s"$outDir/batch_0")
+    assert(back.count() == 3)
+    assert(back.columns.sorted.toSeq == Seq("id", "tag"))
+  }
+
   test("bucketed table write: no exchange when aggregating on bucket key") {
     val df = Seq((1L, 5.0), (1L, 6.0), (2L, 7.0)).toDF("k", "v")
     Sinks.bucketed(df, "bucketed_t", Seq("k"), nBuckets = 4)
