@@ -476,5 +476,34 @@ object TextQueries {
              | CAST(len(list_filter(words, w -> length(w) > 6)) AS INTEGER) AS n_long,
              | array_to_string(list_sort(words)[1:3], ' ') AS first3_sorted
              |FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // q62 — BPE-style regex tokenization (driver mandate: token counting =
+    // whitespace + a BPE-ish regex; q25 is the whitespace half). The
+    // GPT-family pre-tokenizer splits words / digit runs / punctuation
+    // before merges — this is that split, with per-class counts. Pattern
+    // kept in the RE2∩Java common subset (NOTES rule 9); all per-class
+    // filters run on the bound token array, scan-local, no shuffle except
+    // the final sort.
+    QuerySpec("q62_bpe_tokens",
+      (s, dir) => {
+        Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+          .orderBy("doc_id")
+          .select(col("doc_id"),
+            expr("""regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0)""").as("tk"))
+          .select(col("doc_id"),
+            size(col("tk")).as("n_bpe"),
+            size(filter(col("tk"), t => t.rlike("^[A-Za-z]+$"))).as("n_word"),
+            size(filter(col("tk"), t => t.rlike("^[0-9]+$"))).as("n_num"),
+            size(filter(col("tk"), t => !t.rlike("^[A-Za-z0-9]"))).as("n_punct"),
+            array_join(slice(col("tk"), 1, 8), "|").as("head8"))
+      },
+      Some("""SELECT doc_id,
+             | CAST(len(tk) AS INTEGER) AS n_bpe,
+             | CAST(len(list_filter(tk, t -> regexp_full_match(t, '[A-Za-z]+'))) AS INTEGER) AS n_word,
+             | CAST(len(list_filter(tk, t -> regexp_full_match(t, '[0-9]+'))) AS INTEGER) AS n_num,
+             | CAST(len(list_filter(tk, t -> NOT regexp_matches(t, '^[A-Za-z0-9]'))) AS INTEGER) AS n_punct,
+             | array_to_string(tk[1:8], '|') AS head8
+             |FROM (SELECT doc_id, regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]') AS tk FROM documents)
              |ORDER BY doc_id""".stripMargin)))
 }
