@@ -52,6 +52,14 @@ class PlanSpec extends AnyFunSuite {
       s"query vectors not broadcast:\n$p")
   }
 
+  test("q49: rank<=k filter compiles to partial+final WindowGroupLimit") {
+    val df = SparkEntry.queries("q49_region_top_customers")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"top-3-per-region not group-limited before the final window:\n$p")
+  }
+
   test("q10: whole-stage codegen covers the aggregation (final AQE plan)") {
     // AQE prints codegen spans only in the finalized plan, so execute first
     val df = SparkEntry.queries("q10_pricing_summary")(spark, sf)
