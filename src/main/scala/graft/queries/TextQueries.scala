@@ -448,6 +448,45 @@ object TextQueries {
              |     UNNEST(generate_series(0, CAST(floor((strlen(text) - 1) / 512) AS BIGINT))) AS t(k)
              |ORDER BY doc_id, frame_idx""".stripMargin)),
 
+    // q63 — multimodal resize/thumbnail: completes the decode → feature →
+    // resize → frame-sample quartet (q30 metadata, q55 frames). Decode is
+    // the same deterministic STUB as q30 (no media libs in container);
+    // the resize arithmetic — fit the longer side to 256 preserving
+    // aspect, never upscale — is the real logic, done per-partition over
+    // the binary payload. Narrow transform, no shuffle before the sort.
+    QuerySpec("q63_resize_stub",
+      (s, dir) => {
+        import s.implicits._
+        val ds = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+        ds.mapPartitions(_.map { case (id, txt) =>
+          val payload = txt.getBytes("UTF-8") // stand-in media bytes
+          val nBytes = payload.length
+          val width  = 64 + nBytes % 576     // STUB decode (as q30)
+          val height = 64 + (nBytes * 7) % 416
+          val longSide = math.max(width, height)
+          val (tw, th) =
+            if (longSide <= 256) (width, height)
+            else (width * 256 / longSide, height * 256 / longSide)
+          (id, width, height, tw, th, tw.toLong * th * 3)
+        }).toDF("doc_id", "width", "height", "thumb_w", "thumb_h", "thumb_bytes")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, width, height, thumb_w, thumb_h,
+             | CAST(thumb_w AS BIGINT) * thumb_h * 3 AS thumb_bytes
+             |FROM (
+             |  SELECT doc_id, width, height,
+             |    CAST(CASE WHEN greatest(width, height) <= 256 THEN width
+             |      ELSE width * 256 // greatest(width, height) END AS INTEGER) AS thumb_w,
+             |    CAST(CASE WHEN greatest(width, height) <= 256 THEN height
+             |      ELSE height * 256 // greatest(width, height) END AS INTEGER) AS thumb_h
+             |  FROM (
+             |    SELECT doc_id,
+             |      CAST(64 + strlen(text) % 576 AS INTEGER) AS width,
+             |      CAST(64 + (strlen(text) * 7) % 416 AS INTEGER) AS height
+             |    FROM documents))
+             |ORDER BY doc_id""".stripMargin)),
+
     // q57 — array-function catalogue over tokenized documents (engine
     // surface: the array/map scalar breadth SURVEY §2.8 lists as extension
     // only). distinct / slice / transform+max / filter / sort — all
