@@ -312,14 +312,11 @@ object TextQueries {
           .select(col("doc_id"), col("text")).as[(Long, String)]
         ds.mapPartitions(_.map { case (id, txt) =>
           val payload = txt.getBytes("UTF-8") // stand-in for image/audio bytes
-          val nBytes = payload.length
-          // STUB decode: real decoders (JPEG/audio) are not available in
-          // this container; dimensions are a deterministic fake derived
-          // from payload size so the oracle can verify the plumbing.
-          val width  = 64 + nBytes % 576
-          val height = 64 + (nBytes * 7) % 416
-          val firstByte = payload(0) & 0xff
-          (id, nBytes, width, height, firstByte)
+          // STUB decode (Multimodal.stubDims): real decoders are not in
+          // this container; dims are a deterministic fake from payload
+          // size so the oracle can verify the plumbing.
+          val (width, height) = graft.functions.Multimodal.stubDims(payload.length)
+          (id, payload.length, width, height, payload(0) & 0xff)
         }).toDF("doc_id", "n_bytes", "width", "height", "first_byte")
           .orderBy("doc_id")
       },
@@ -427,14 +424,8 @@ object TextQueries {
           .select(col("doc_id"), col("text")).as[(Long, String)]
         ds.mapPartitions(_.flatMap { case (id, txt) =>
           val payload = txt.getBytes("UTF-8") // stand-in media bytes
-          val stride = 512; val frameLen = 256
-          Iterator.range(0, payload.length, stride).zipWithIndex.map {
-            case (off, k) =>
-              val len = math.min(frameLen, payload.length - off)
-              var sum = 0L
-              var i = off
-              while (i < off + len) { sum += payload(i) & 0xff; i += 1 }
-              (id, k, off, len, (sum % 997).toInt)
+          graft.functions.Multimodal.frames(payload).map {
+            case (k, off, len, chk) => (id, k, off, len, chk)
           }
         }).toDF("doc_id", "frame_idx", "offset", "frame_len", "checksum")
           .orderBy("doc_id", "frame_idx")
@@ -461,13 +452,8 @@ object TextQueries {
           .select(col("doc_id"), col("text")).as[(Long, String)]
         ds.mapPartitions(_.map { case (id, txt) =>
           val payload = txt.getBytes("UTF-8") // stand-in media bytes
-          val nBytes = payload.length
-          val width  = 64 + nBytes % 576     // STUB decode (as q30)
-          val height = 64 + (nBytes * 7) % 416
-          val longSide = math.max(width, height)
-          val (tw, th) =
-            if (longSide <= 256) (width, height)
-            else (width * 256 / longSide, height * 256 / longSide)
+          val (width, height) = graft.functions.Multimodal.stubDims(payload.length)
+          val (tw, th) = graft.functions.Multimodal.fitThumb(width, height)
           (id, width, height, tw, th, tw.toLong * th * 3)
         }).toDF("doc_id", "width", "height", "thumb_w", "thumb_h", "thumb_bytes")
           .orderBy("doc_id")
