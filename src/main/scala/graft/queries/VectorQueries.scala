@@ -190,7 +190,9 @@ object VectorQueries {
         val c0 = emb.filter(col("vec_id") < 4)
           .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
         // Lloyd update: per-(cluster, dim) decimal mean, re-packed into an
-        // ordered array<double> centroid.
+        // ordered array<double> centroid. Persisted at the branch point —
+        // referenced by both the re-assignment and the checksum join, and
+        // its lineage is a full assignment pass over the corpus.
         val c1 = nearest(c0)
           .select(col("cent_id"), posexplode(col("embedding")))
           .groupBy("cent_id", "pos")
@@ -199,6 +201,7 @@ object VectorQueries {
           .groupBy("cent_id")
           .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), x -> x.cv)")
             .as("cent_vec"))
+          .persist()
         nearest(c1).groupBy("cent_id")
           .agg(count(lit(1)).as("bucket_size"),
             min(col("vec_id")).as("min_vec"), max(col("vec_id")).as("max_vec"))
