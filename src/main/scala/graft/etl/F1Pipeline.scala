@@ -124,7 +124,7 @@ object F1Pipeline {
       .select(col("raceId") +: (1 to 3).flatMap(n => Seq(
         Scalars.parseDate(col(s"fp${n}_date")).as(s"fp${n}_date"),
         Scalars.parseTimeHms(col(s"fp${n}_time")).as(s"fp${n}_time"))): _*)
-    val payload = parsed.columns.filter(_ != "raceId").map(col)
+    val payload = parsed.columns.filter(_ != "raceId").toIndexedSeq.map(col)
     parsed.filter(coalesce(payload: _*).isNotNull).orderBy("raceId")
   }
 

@@ -81,8 +81,9 @@ case class CosineSimilarity(left: Expression, right: Expression)
 object GraftFunctions {
 
   private[functions] val cosineInfo = new ExpressionInfo(
-    classOf[CosineSimilarity].getName, null, "graft_cosine",
-    "graft_cosine(a, b) - cosine similarity of two float vectors", "")
+    classOf[CosineSimilarity].getName, "", "graft_cosine",
+    "graft_cosine(a, b) - cosine similarity of two float vectors",
+    "", "", "", "", "", "", "built-in")
 
   /** Idempotent registration into an existing session (used by
     * SparkEntry.configure so driver-built sessions get the function). */

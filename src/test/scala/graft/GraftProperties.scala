@@ -72,4 +72,30 @@ object GraftProperties extends Properties("graft") {
           .select(Scalars.age(to_date(col("v")), 2026)).as[Int].collect().head
         out >= 0 && out == 2026 - y
     }
+
+  // q03's correctness rests on this: the struct-min aggregate picks the
+  // same survivor as the window form whenever the order columns totally
+  // order each group (the generator de-dups (k, o) pairs to guarantee it).
+  private val totalOrderRows: Gen[List[(Int, Int, String)]] =
+    rowsGen.map(_.groupBy(r => (r._1, r._2)).values.map(_.head).toList)
+      .suchThat(_.nonEmpty)
+
+  property("keepFirstAgg equals windowed keepFirst under a total order") =
+    forAll(totalOrderRows) { rows =>
+      val df = rows.toDF("k", "o", "v")
+      val win = Dedup.keepFirst(df, Seq("k"), Seq(col("o").asc, col("v").asc))
+        .select("k", "o", "v").orderBy("k").collect().toSeq
+      val agg = Dedup.keepFirstAgg(df, Seq("k"), Seq("o"), Seq("v"))
+        .select("k", "o", "v").orderBy("k").collect().toSeq
+      win == agg
+    }
+
+  property("fitThumb: never upscales, long side lands exactly on 256") =
+    forAll(Gen.choose(1, 4000), Gen.choose(1, 4000)) { (w, h) =>
+      val (tw, th) = graft.functions.Multimodal.fitThumb(w, h)
+      val noUpscale = tw <= w && th <= h
+      val small = w <= 256 && h <= 256
+      val fits = if (small) (tw, th) == (w, h) else math.max(tw, th) == 256
+      noUpscale && fits
+    }
 }
