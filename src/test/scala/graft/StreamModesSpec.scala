@@ -1,0 +1,38 @@
+package graft
+
+import java.nio.file.Files
+import java.util.UUID
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Output-mode semantics (SURVEY §2.9): for a bounded AvailableNow
+  * backfill processed in one micro-batch, update mode must emit exactly
+  * the rows complete mode ends with — each touched window once. Guards
+  * the mode choice in the stream queries against silent semantic drift. */
+class StreamModesSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def run(df: DataFrame, mode: String): Seq[(String, Long)] = {
+    val mem = "modes_" + UUID.randomUUID().toString.replace("-", "")
+    val q = df.writeStream.format("memory").queryName(mem)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(mem).as[(String, Long)].collect().toSeq.sorted
+  }
+
+  test("update mode == complete mode for a single AvailableNow batch") {
+    val dir = Files.createTempDirectory("modes_src")
+    Seq(("a", 1), ("a", 2), ("b", 3), ("b", 4), ("c", 5)).toDF("k", "v")
+      .write.mode("overwrite").parquet(dir.toString)
+    val schema = spark.read.parquet(dir.toString).schema
+    def agg = spark.readStream.schema(schema).parquet(dir.toString)
+      .groupBy("k").agg(count(lit(1)).as("n"))
+    val complete = run(agg, "complete")
+    val update = run(agg, "update")
+    assert(complete == Seq(("a", 2L), ("b", 2L), ("c", 1L)))
+    assert(update == complete)
+  }
+}
