@@ -167,14 +167,15 @@ object VectorQueries {
               |ORDER BY q_id, rnk""".stripMargin)),
 
     // q56 — IVF with LEARNED centroids (k-means lite): deterministic seeds
-    // (vec_id 0..3) → assign → per-dimension mean update → re-assign.
-    // The distributed k-means shape: centroids are k·d-tiny and broadcast
-    // every iteration; assignment is map-side over the candidates; the
-    // update is one shuffle keyed (cluster, dim) with partial aggregation.
-    // At 100 TB only the update shuffle grows, and it carries k·d rows out.
-    // Oracle parity: means are decimal-stable (associative) and the
-    // re-assignment compares 6-decimal-rounded cosines, so the learned
-    // centroids are bit-identical across engines.
+    // (vec_id 0..3), then TWO Lloyd iterations (assign → per-dimension
+    // mean update), then the final assignment stats. The distributed
+    // k-means shape: centroids are k·d-tiny and broadcast every iteration;
+    // assignment is map-side over the candidates; each update is one
+    // shuffle keyed (cluster, dim) with partial aggregation carrying k·d
+    // rows out; learned centroids persist at their branch points (4-row
+    // tables whose lineage is a full corpus pass). Oracle parity: means
+    // are decimal-stable (associative) and assignments compare 6-decimal-
+    // rounded cosines, so centroids are bit-identical across engines.
     QuerySpec("q56_kmeans_ivf",
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")
@@ -187,13 +188,7 @@ object VectorQueries {
           scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
             .select("vec_id", "embedding", "cent_id")
         }
-        val c0 = emb.filter(col("vec_id") < 4)
-          .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
-        // Lloyd update: per-(cluster, dim) decimal mean, re-packed into an
-        // ordered array<double> centroid. Persisted at the branch point —
-        // referenced by both the re-assignment and the checksum join, and
-        // its lineage is a full assignment pass over the corpus.
-        val c1 = nearest(c0)
+        def update(assigned: DataFrame): DataFrame = assigned
           .select(col("cent_id"), posexplode(col("embedding")))
           .groupBy("cent_id", "pos")
           .agg((sum(col("col").cast("double").cast("decimal(18,9)")).cast("double") /
@@ -202,10 +197,13 @@ object VectorQueries {
           .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), x -> x.cv)")
             .as("cent_vec"))
           .persist()
-        nearest(c1).groupBy("cent_id")
+        val c0 = emb.filter(col("vec_id") < 4)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
+        val c2 = update(nearest(update(nearest(c0))))
+        nearest(c2).groupBy("cent_id")
           .agg(count(lit(1)).as("bucket_size"),
             min(col("vec_id")).as("min_vec"), max(col("vec_id")).as("max_vec"))
-          .join(c1.select(col("cent_id"),
+          .join(c2.select(col("cent_id"),
             round(expr("aggregate(cent_vec, 0D, (acc, x) -> acc + x)"), 6)
               .as("cent_checksum")), "cent_id")
           .orderBy("cent_id")
@@ -221,17 +219,27 @@ object VectorQueries {
               |    CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS cv
               |  FROM a0, generate_series(1, $dim) t(i) GROUP BY cent_id, i),
               |c1 AS (SELECT cent_id, list(cv ORDER BY i) AS cent_vec FROM u1 GROUP BY cent_id),
-              |a1 AS (SELECT vec_id, cent_id FROM (
-              |  SELECT e.vec_id, c.cent_id,
+              |a1 AS (SELECT vec_id, embedding, cent_id FROM (
+              |  SELECT e.vec_id, e.embedding, c.cent_id,
               |    row_number() OVER (PARTITION BY e.vec_id
               |      ORDER BY round(${duckCos("c.cent_vec", "e.embedding")}, 6) DESC, c.cent_id) AS rn
               |  FROM embeddings e, c1 c) WHERE rn = 1),
+              |u2 AS (
+              |  SELECT cent_id, i,
+              |    CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS cv
+              |  FROM a1, generate_series(1, $dim) t(i) GROUP BY cent_id, i),
+              |c2 AS (SELECT cent_id, list(cv ORDER BY i) AS cent_vec FROM u2 GROUP BY cent_id),
+              |a2 AS (SELECT vec_id, cent_id FROM (
+              |  SELECT e.vec_id, c.cent_id,
+              |    row_number() OVER (PARTITION BY e.vec_id
+              |      ORDER BY round(${duckCos("c.cent_vec", "e.embedding")}, 6) DESC, c.cent_id) AS rn
+              |  FROM embeddings e, c2 c) WHERE rn = 1),
               |sizes AS (SELECT cent_id, count(*) AS bucket_size,
               |    min(vec_id) AS min_vec, max(vec_id) AS max_vec
-              |  FROM a1 GROUP BY cent_id)
+              |  FROM a2 GROUP BY cent_id)
               |SELECT s.cent_id, s.bucket_size, s.min_vec, s.max_vec,
               |  round(list_sum(k.cent_vec), 6) AS cent_checksum
-              |FROM sizes s JOIN c1 k ON s.cent_id = k.cent_id
+              |FROM sizes s JOIN c2 k ON s.cent_id = k.cent_id
               |ORDER BY s.cent_id""".stripMargin)),
 
     // q41 — embedding-cosine near-duplicate detection via sign-LSH:
