@@ -513,6 +513,34 @@ object RefQueries {
              |FROM (SELECT * FROM existing UNION ALL SELECT * FROM ins)
              |GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // q65 — MULTISET set operators + full-outer join: exceptAll /
+    // intersectAll keep duplicate multiplicity (q38 covers the distinct
+    // forms), and the per-key tallies of the two results meet in a
+    // full-outer join (the remaining join family; inner=J1, left_anti=q08,
+    // left_semi=q09). Both engines implement the multiset semantics as a
+    // count-and-replicate aggregation — one shuffle per side.
+    QuerySpec("q65_multiset_ops",
+      (s, dir) => {
+        def side(flag: String) = t(s, dir, "lineitem")
+          .filter(col("l_returnflag") === flag)
+          .select((col("l_orderkey") % 100).as("k"))
+        val a = side("A"); val b = side("R")
+        val onlyA = a.exceptAll(b).groupBy("k").agg(count(lit(1)).as("n_only_a"))
+        val both = a.intersectAll(b).groupBy("k").agg(count(lit(1)).as("n_both"))
+        onlyA.join(both, Seq("k"), "full_outer")
+          .na.fill(0L, Seq("n_only_a", "n_both"))
+          .orderBy("k")
+      },
+      Some("""WITH a AS (SELECT l_orderkey % 100 AS k FROM lineitem WHERE l_returnflag = 'A'),
+             |b AS (SELECT l_orderkey % 100 AS k FROM lineitem WHERE l_returnflag = 'R'),
+             |ex AS (SELECT k, count(*) AS n_only_a
+             |       FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) GROUP BY k),
+             |i AS (SELECT k, count(*) AS n_both
+             |      FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b) GROUP BY k)
+             |SELECT coalesce(ex.k, i.k) AS k,
+             |  coalesce(n_only_a, 0) AS n_only_a, coalesce(n_both, 0) AS n_both
+             |FROM ex FULL OUTER JOIN i ON ex.k = i.k ORDER BY k""".stripMargin)),
+
     // q58 — window FRAME specs (SURVEY §2.6: rowsBetween + lag): per-
     // customer 3-order moving average and inter-order gap. The moving
     // average is frame-sum / frame-count over DECIMAL, not avg(double):
