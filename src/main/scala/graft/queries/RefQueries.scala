@@ -513,6 +513,23 @@ object RefQueries {
              |FROM (SELECT * FROM existing UNION ALL SELECT * FROM ins)
              |GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // q66 — approximate percentiles (Greenwald-Khanna sketch): the scale
+    // path for q43's exact form — exact percentile needs a per-group full
+    // sort; the sketch is one pass with fixed-size mergeable state, the
+    // only shape at 100 TB. accuracy=10000 bounds rank error at n/10000.
+    // Sketch internals are engine-specific → rows-only check (like q60);
+    // NewOpsSpec brackets each estimate between exact neighboring
+    // percentiles instead.
+    QuerySpec("q66_approx_percentile",
+      (s, dir) =>
+        t(s, dir, "lineitem").groupBy("l_returnflag")
+          .agg(
+            expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("p50_approx"),
+            expr("approx_percentile(l_extendedprice, 0.9, 10000)").as("p90_approx"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag"),
+      None),
+
     // q65 — MULTISET set operators + full-outer join: exceptAll /
     // intersectAll keep duplicate multiplicity (q38 covers the distinct
     // forms), and the per-key tallies of the two results meet in a

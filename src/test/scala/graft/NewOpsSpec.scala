@@ -45,6 +45,24 @@ class NewOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q66_approx_percentile: estimates bracketed by exact neighbors") {
+    import org.apache.spark.sql.functions._
+    val approx = run("q66_approx_percentile").collect()
+      .map(r => r.getAs[String]("l_returnflag") ->
+        (r.getAs[Double]("p50_approx"), r.getAs[Double]("p90_approx"))).toMap
+    val exact = spark.read.parquet(s"$sf/lineitem.parquet")
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, array(0.48, 0.52, 0.88, 0.92))").as("ps"))
+      .collect()
+      .map(r => r.getAs[String]("l_returnflag") -> r.getSeq[Double](1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, ps) =>
+      val (p50, p90) = approx(k)
+      assert(p50 >= ps(0) && p50 <= ps(1), s"$k p50=$p50 not in [${ps(0)}, ${ps(1)}]")
+      assert(p90 >= ps(2) && p90 <= ps(3), s"$k p90=$p90 not in [${ps(2)}, ${ps(3)}]")
+    }
+  }
+
   test("q58_moving_avg: frame of one equals the row's own price") {
     val rows = run("q58_moving_avg").collect()
     assert(rows.nonEmpty)
