@@ -102,4 +102,15 @@ object Text {
     * Oracle form: CAST('0x' || substr(md5(x), 1, 8) AS BIGINT). */
   def hash32(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Character-trigram language profiles — the n-gram half of the lang-ID
+    * mandate (q67; [[langMarkers]]/q27 is the word-marker half). Scores
+    * are chars removed by non-overlapping left-to-right replace of each
+    * trigram — identical semantics in Spark and DuckDB `replace`. Fixed
+    * tie-break order (en, de, fr, es), like [[langId]]. */
+  val langTrigrams: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" th", "the", "ing"),
+    "de" -> Seq("der", "sch", "ein"),
+    "fr" -> Seq("les", "ent", "que"),
+    "es" -> Seq("los", " el", "ado"))
 }

@@ -185,6 +185,40 @@ object TextQueries {
       Some(s"""SELECT doc_id, lang, $duckLangId AS lang_pred
               |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // q67 — language ID by character-TRIGRAM profile (the n-gram
+    // heuristic form; q27 is the marker-word form). Score = characters
+    // removed by replacing each language's trigrams (non-overlapping
+    // left-to-right in both engines), argmax with the q27 tie order.
+    // Pure scan-local string work — no shuffle before the sort.
+    QuerySpec("q67_lang_ngram",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), lower(col("text")).as("s"))
+        def score(grams: Seq[String]) = grams.map(g =>
+          length(col("s")) - length(expr(s"replace(s, '$g', '')"))).reduce(_ + _)
+        val Seq(en, de, fr, es) = Text.langTrigrams.map { case (_, gs) => score(gs) }
+        docs.select(col("doc_id"), col("lang"),
+            when(en + de + fr + es === 0, lit("und"))
+              .when(en >= greatest(de, fr, es), lit("en"))
+              .when(de >= greatest(fr, es), lit("de"))
+              .when(fr >= es, lit("fr"))
+              .otherwise(lit("es")).as("lang_pred"))
+          .orderBy("doc_id")
+      },
+      Some {
+        def sc(gs: Seq[String]) = gs.map(g =>
+          s"(length(s) - length(replace(s, '$g', '')))").mkString(" + ")
+        val Seq(en, de, fr, es) = Text.langTrigrams.map { case (_, gs) => sc(gs) }
+        s"""SELECT doc_id, lang,
+           | CASE WHEN $en + $de + $fr + $es = 0 THEN 'und'
+           |   WHEN $en >= greatest($de, $fr, $es) THEN 'en'
+           |   WHEN $de >= greatest($fr, $es) THEN 'de'
+           |   WHEN $fr >= $es THEN 'fr'
+           |   ELSE 'es' END AS lang_pred
+           |FROM (SELECT doc_id, lang, lower(text) AS s FROM documents)
+           |ORDER BY doc_id""".stripMargin
+      }),
+
     // q28 — document fingerprinting: md5 over normalized text.
     QuerySpec("q28_fingerprint",
       (s, dir) =>
