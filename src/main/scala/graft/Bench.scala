@@ -22,21 +22,33 @@ object Bench {
     // Two iterations per query, report the min (steady state): run-to-run
     // variance at local[4] is ±50% for the star-join family, and the first
     // run is additionally charged for first-touch parquet footer reads.
+    // A failed iteration records Double.MaxValue, never its (short)
+    // elapsed time — min() must not let a fast failure report a
+    // misleadingly LOW time for a half-broken query. An all-failed query
+    // therefore reports ~1.8e308, loud in the JSON, plus a "failed" list.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+          }
+        if (ok) (System.nanoTime() - t0) / 1e9 else Double.MaxValue
       }
+      // Queries persist() at genuine branch points; drop those blocks here
+      // so cached data can't accumulate across the 60+ queries × 2 runs
+      // and skew later timings (persists are sized per query, not per
+      // process lifetime).
+      spark.catalog.clearCache()
       name -> times.min
     }.toMap
+    val failed = results.filter(_._2 == Double.MaxValue).keys.toSeq.sorted
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

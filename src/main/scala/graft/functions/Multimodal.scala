@@ -11,9 +11,11 @@ package graft.functions
 object Multimodal {
 
   /** STUB decode: deterministic fake (width, height) derived from payload
-    * size, standing in for a JPEG/video header parse. */
-  def stubDims(nBytes: Int): (Int, Int) =
-    (64 + nBytes % 576, 64 + (nBytes * 7) % 416)
+    * size, standing in for a JPEG/video header parse. Long arithmetic:
+    * `nBytes * 7` in Int overflows past ~306 MB payloads (negative dims,
+    * diverging from the oracle's BIGINT math) — real media bytes get big. */
+  def stubDims(nBytes: Long): (Int, Int) =
+    ((64 + nBytes % 576).toInt, (64 + nBytes * 7 % 416).toInt)
 
   /** Aspect-preserving fit of (w, h) into maxSide², never upscaling. */
   def fitThumb(w: Int, h: Int, maxSide: Int = 256): (Int, Int) = {

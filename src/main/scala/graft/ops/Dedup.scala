@@ -36,7 +36,17 @@ object Dedup {
     * row per key — the plan that survives a 100× scale-up. (q03 at
     * sf0.1: 7.2s window → hash-agg is sort-free.)
     *
-    * @param payload non-key, non-order columns to carry through */
+    * DIVERGENCE MODE (deliberate, documented): `payload` participates in
+    * the struct comparison as a trailing tiebreak. When `order` does NOT
+    * totally order a group, the survivor is the row with the smallest
+    * (order ++ payload) tuple — deterministic, but potentially a
+    * *different* row than [[keepFirst]] (whose tie survivor is whichever
+    * row_number sorted first, i.e. partition-order-dependent and NOT
+    * deterministic). If tie-on-order rows must survive by some other
+    * policy, supply an `order` that is total (e.g. append a unique key).
+    *
+    * @param payload non-key, non-order columns to carry through (also the
+    *   comparison tiebreak — see divergence note) */
   def keepFirstAgg(df: DataFrame, keys: Seq[String], order: Seq[String],
       payload: Seq[String]): DataFrame = {
     val carried = order ++ payload

@@ -33,12 +33,20 @@ object Skew {
 
   /** Skew join without broadcast: salt the big side randomly, replicate
     * every small-side row across all `salts` values, join on
-    * (key, salt). Each hot-key bucket lands on a different reducer. */
-  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
-      salts: Int = 16): DataFrame = {
+    * (keys, salt). Each hot-key bucket lands on `salts` different
+    * reducers instead of one. Trade: the replicated side's shuffle volume
+    * grows `salts`× — bounded and distributed, unlike a broadcast of a
+    * corpus-proportional table (which OOMs the driver/executors at scale).
+    * Every matching pair still meets exactly once (the salted row's one
+    * random salt meets the one matching replica). */
+  def saltedJoin(big: DataFrame, replicated: DataFrame, keys: Seq[String],
+      salts: Int): DataFrame = {
     val b = big.withColumn("__salt", (rand(42) * salts).cast("int"))
-    val saltValues = small.sparkSession.range(salts)
+    val saltValues = replicated.sparkSession.range(salts)
       .select(col("id").cast("int").as("__salt"))
-    b.join(small.crossJoin(saltValues), Seq(key, "__salt")).drop("__salt")
+    b.join(replicated.crossJoin(saltValues), keys :+ "__salt").drop("__salt")
   }
+
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      salts: Int = 16): DataFrame = saltedJoin(big, small, Seq(key), salts)
 }

@@ -255,15 +255,19 @@ object TextQueries {
     // fingerprint (two docs within Hamming≤12 of 32 bits usually share a
     // byte), verify exact Hamming distance with bit_count(xor).
     //
-    // Pair generation is a BROADCAST self-join of the (tiny, persisted)
-    // banded table, carrying the fingerprint so Hamming filters BEFORE the
-    // pair-dedup shuffle. The bucket-local collect_list+HOF form (q29's
-    // shape) is wrong here: simhash byte-bands are heavily skewed (one
-    // byte value can hold >25% of all docs), so a single array row
-    // explodes ~1M pairs in one task and the distinct then shuffles the
-    // full 2.8M-pair space before the filter. With the broadcast probe the
-    // hot bucket's pairs are emitted across all stream partitions inside
-    // codegen, and only Hamming-surviving pairs reach a shuffle.
+    // Pair generation is a SALTED self-join of the banded table — NOT a
+    // broadcast: the banded table is the full corpus ×4 (doc_id + simhash
+    // per byte-band), i.e. O(corpus), so broadcasting it would OOM every
+    // executor at scale. The bucket-local collect_list+HOF form (q29's
+    // shape) is also wrong here: simhash byte-bands are heavily skewed
+    // (one byte value can hold >25% of all docs), so a single array row
+    // explodes ~1M pairs in one task. The salted join spreads each hot
+    // bucket over `salts` reducers (probe side salted randomly, build
+    // side replicated salts×: bounded, distributed shuffle growth instead
+    // of unbounded broadcast memory), the Hamming filter runs before the
+    // pair-dedup shuffle, and at small scale the planner still
+    // auto-broadcasts the replicated side by its size estimate — the
+    // size-capped decision the explicit hint was wrongly overriding.
     QuerySpec("q50_simhash_pairs",
       (s, dir) => {
         val sim = simhashDf(Tables.load(s, dir, "documents"))
@@ -273,9 +277,10 @@ object TextQueries {
         val bands = sim
           .select(col("doc_id"), col("simhash"), explode(array(bytes: _*)).as("b"))
           .select(col("doc_id"), col("simhash"), col("b.bi"), col("b.bv"))
-        bands.select(col("bi"), col("bv"), col("doc_id").as("doc_a"), col("simhash").as("sa"))
-          .join(broadcast(bands.select(col("bi"), col("bv"),
-            col("doc_id").as("doc_b"), col("simhash").as("sb"))), Seq("bi", "bv"))
+        graft.ops.Skew.saltedJoin(
+            bands.select(col("bi"), col("bv"), col("doc_id").as("doc_a"), col("simhash").as("sa")),
+            bands.select(col("bi"), col("bv"), col("doc_id").as("doc_b"), col("simhash").as("sb")),
+            Seq("bi", "bv"), salts = 8)
           .filter(col("doc_a") < col("doc_b"))
           .select(col("doc_a"), col("doc_b"), expr("bit_count(sa ^ sb)").as("hamming"))
           .filter(col("hamming") <= 12)

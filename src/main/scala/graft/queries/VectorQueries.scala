@@ -173,7 +173,9 @@ object VectorQueries {
     // assignment is map-side over the candidates; each update is one
     // shuffle keyed (cluster, dim) with partial aggregation carrying k·d
     // rows out; learned centroids persist at their branch points (4-row
-    // tables whose lineage is a full corpus pass). Oracle parity: means
+    // tables whose lineage is a full corpus pass — the blocks are dropped
+    // by the harness's per-query clearCache, since no action happens
+    // inside this builder to unpersist after). Oracle parity: means
     // are decimal-stable (associative) and assignments compare 6-decimal-
     // rounded cosines, so centroids are bit-identical across engines.
     QuerySpec("q56_kmeans_ivf",

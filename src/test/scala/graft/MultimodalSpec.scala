@@ -37,6 +37,11 @@ class MultimodalSpec extends AnyFunSuite {
   test("stub decode + thumbnail fit: aspect preserved, never upscaled") {
     val (w, h) = Multimodal.stubDims(1300)
     assert(w == 64 + 1300 % 576 && h == 64 + 1300 * 7 % 416)
+    // >306 MB payload: nBytes * 7 overflows Int — must stay positive and
+    // match BIGINT arithmetic (ADVICE r1)
+    val (bw, bh) = Multimodal.stubDims(400000000L)
+    assert(bw == (64 + 400000000L % 576).toInt && bw > 0)
+    assert(bh == (64 + 400000000L * 7 % 416).toInt && bh > 0)
     assert(Multimodal.fitThumb(640, 480) == (256, 192))
     assert(Multimodal.fitThumb(100, 250) == (100, 250)) // no upscale
     assert(Multimodal.fitThumb(480, 640) == (192, 256))
