@@ -32,17 +32,22 @@ object TextQueries {
        | ELSE 'es' END""".stripMargin
   }
 
-  /** Shared LSH candidate generation (used by q29 and the q35 verify):
-    * shingle → hash32 → LCG-permuted minhash mins → bands → bucket-local
-    * ordered pairs. Returns columns (doc_a, doc_b), distinct, unordered. */
-  private def minhashCandidates(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  /** MinHash signature per document: shingle → hash32 → k LCG-permuted
+    * mins as columns m0..m{k-1} (shared by the q29/q35 candidate pipeline
+    * and the q75 signature-similarity estimate). */
+  private def minhashSig(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val ex = docs.select(col("doc_id"), Text.tokens(lower(col("text"))).as("tk"))
       .select(col("doc_id"), explode(Text.shinglesFromTokens(col("tk"))).as("sh"))
       .select(col("doc_id"), Text.hash32(col("sh")).as("h"))
     val mins = Text.minhashParams.zipWithIndex.map { case ((a, b), i) =>
       min((col("h") * a + b) % Text.minhashMod).as(s"m$i")
     }
-    val sig = ex.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    ex.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH candidate pairs from a signature table: bands → bucket-local
+    * ordered pairs. Returns columns (doc_a, doc_b), distinct, unordered. */
+  private def candidatesFromSig(sig: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val nBands = Text.minhashParams.size / Text.bandSize
     val bandCols = (0 until nBands).map { b =>
       val lo = b * Text.bandSize
@@ -63,6 +68,10 @@ object TextQueries {
       .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
   }
+
+  /** Shared LSH candidate generation (q29 and the q35 verify). */
+  private def minhashCandidates(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    candidatesFromSig(minhashSig(docs))
 
   /** DuckDB CTE chain mirroring [[minhashCandidates]] exactly, generated
     * from the same constants. Ends with `cand(doc_a, doc_b)`; also exposes
@@ -629,5 +638,144 @@ object TextQueries {
              | CAST(len(list_filter(tk, t -> NOT regexp_matches(t, '^[A-Za-z0-9]'))) AS INTEGER) AS n_punct,
              | array_to_string(tk[1:8], '|') AS head8
              |FROM (SELECT doc_id, regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]') AS tk FROM documents)
-             |ORDER BY doc_id""".stripMargin)))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // q68 — MAP-typed scalar catalogue (SURVEY §2.8 lists map scalars as
+    // extension surface): per-document word-count MAP built the scalable
+    // way — explode + groupBy(doc, word) + map_from_entries(collect_list)
+    // — then map_keys / map_values / map_filter / element_at / aggregate
+    // over it. Every projected output is key-order-independent (sizes,
+    // lookups, sorted joins), so collect_list's nondeterministic order
+    // cannot break parity; DuckDB mirrors the map with per-group
+    // conditional aggregation (it has no comparable MAP algebra).
+    QuerySpec("q68_map_funcs",
+      (s, dir) => {
+        val wc = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), explode(Text.tokens(lower(col("text")))).as("w"))
+          .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        wc.groupBy("doc_id")
+          .agg(map_from_entries(collect_list(struct(col("w"), col("c")))).as("m"))
+          .select(col("doc_id"),
+            size(col("m")).as("n_keys"),
+            coalesce(element_at(col("m"), "the"), lit(0L)).as("n_the"),
+            size(expr("map_filter(m, (k, v) -> v >= 3)")).as("n_freq3"),
+            array_join(slice(array_sort(map_keys(col("m"))), 1, 5), ",").as("keys5"),
+            expr("aggregate(map_values(m), 0L, (acc, x) -> acc + x)").as("sum_counts"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH wc AS (
+              |  SELECT doc_id, w, count(*) AS c
+              |  FROM (SELECT doc_id, unnest($duckTokens) AS w FROM documents)
+              |  GROUP BY doc_id, w)
+              |SELECT doc_id,
+              |  CAST(count(*) AS INTEGER) AS n_keys,
+              |  coalesce(max(CASE WHEN w = 'the' THEN c END), 0) AS n_the,
+              |  CAST(count(*) FILTER (WHERE c >= 3) AS INTEGER) AS n_freq3,
+              |  array_to_string(list_sort(list(w))[1:5], ',') AS keys5,
+              |  CAST(sum(c) AS BIGINT) AS sum_counts
+              |FROM wc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // q71 — fuzzy (edit-distance) near-dup candidates: block on
+    // (lang, length-bucket), generate bucket-local ordered pairs (q29's
+    // LSH shape — blocking keeps the pair space linear-ish, never n²),
+    // then Levenshtein over 30-char normalized prefixes as the cheap
+    // verify. The string-similarity member of the dedup family (exact=q24,
+    // minhash=q29, simhash=q50, embedding=q41).
+    QuerySpec("q71_edit_distance",
+      (s, dir) => {
+        val base = Tables.load(s, dir, "documents")
+          .select(col("lang"), expr("CAST(length(text) AS BIGINT) DIV 100").as("lb"),
+            struct(col("doc_id"), substring(Text.normalize(col("text")), 1, 30).as("pfx")).as("e"))
+        base.groupBy("lang", "lb")
+          .agg(sort_array(collect_list(col("e"))).as("xs"))
+          .filter(size(col("xs")) > 1)
+          .select(explode(expr(
+            "flatten(transform(xs, (x, i) -> transform(slice(xs, i + 2, size(xs)), y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b, x.pfx AS pa, y.pfx AS pb))))"
+          )).as("p"))
+          .select(col("p.doc_a"), col("p.doc_b"),
+            levenshtein(col("p.pa"), col("p.pb")).as("dist"))
+          .filter(col("dist") <= 10)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""WITH b AS (SELECT doc_id, lang, length(text) // 100 AS lb,
+             |    substr(lower(regexp_replace(text, '\s+', ' ', 'g')), 1, 30) AS pfx
+             |  FROM documents)
+             |SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+             |  CAST(levenshtein(a.pfx, b2.pfx) AS INTEGER) AS dist
+             |FROM b a JOIN b b2
+             |  ON a.lang = b2.lang AND a.lb = b2.lb AND a.doc_id < b2.doc_id
+             |WHERE levenshtein(a.pfx, b2.pfx) <= 10
+             |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // q74 — TF-IDF term ranking: per-doc term frequency (one explode +
+    // groupBy shuffle), corpus document frequency (second groupBy over the
+    // already-distinct doc-term pairs), score = tf·ln(N/df), top-3 terms
+    // per doc. The df join is keyed on the term — a plain shuffle join
+    // that scales with vocabulary (NOT broadcast: vocab at 100 TB is
+    // corpus-proportional); N is a 1-row aggregate, broadcast for free.
+    QuerySpec("q74_tfidf",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val tf = docs
+          .select(col("doc_id"), explode(Text.tokens(lower(col("text")))).as("w"))
+          .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+          .orderBy(col("score").desc, col("w").asc)
+        tf.join(df, "w").crossJoin(broadcast(n))
+          .select(col("doc_id"), col("w"),
+            (col("tf") * log(col("n_docs").cast("double") / col("df"))).as("score"))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+          .select(col("doc_id"), col("rn"), col("w").as("term"),
+            round(col("score"), 6).as("tfidf"))
+          .orderBy("doc_id", "rn")
+      },
+      Some(s"""WITH tf AS (
+              |  SELECT doc_id, w, count(*) AS tf
+              |  FROM (SELECT doc_id, unnest($duckTokens) AS w FROM documents)
+              |  GROUP BY doc_id, w),
+              |df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+              |n AS (SELECT count(*) AS n_docs FROM documents),
+              |scored AS (
+              |  SELECT doc_id, tf.w, tf * ln(CAST(n_docs AS DOUBLE) / df) AS score
+              |  FROM tf JOIN df ON tf.w = df.w CROSS JOIN n),
+              |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+              |    ORDER BY score DESC, w ASC) AS INTEGER) AS rn FROM scored)
+              |SELECT doc_id, rn, w AS term, round(score, 6) AS tfidf
+              |FROM ranked WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin)),
+
+    // q75 — minhash-signature Jaccard ESTIMATE for LSH candidates: the
+    // sketch-only similarity (fraction of agreeing signature components),
+    // against which q35's exact verify is the ground truth. The signature
+    // table is persisted at its branch point (bands + two pair joins), so
+    // the shingle pipeline runs once; estimates are pure zip_with over
+    // the k=8 component arrays — no per-shingle work after the sketch.
+    QuerySpec("q75_minhash_estimate",
+      (s, dir) => {
+        val k = Text.minhashParams.size
+        val sig = minhashSig(Tables.load(s, dir, "documents"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val sigArr = sig.select(col("doc_id"),
+          array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+        candidatesFromSig(sig)
+          .join(sigArr.select(col("doc_id").as("doc_a"), col("sig").as("sa")), "doc_a")
+          .join(sigArr.select(col("doc_id").as("doc_b"), col("sig").as("sb")), "doc_b")
+          .select(col("doc_a"), col("doc_b"),
+            round(size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y),
+              b => b)).cast("double") / k, 4).as("est_jaccard"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some {
+        val k = Text.minhashParams.size
+        val agree = (0 until k)
+          .map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        s"""$duckMinhashCtes
+           |SELECT c.doc_a, c.doc_b,
+           |  round(CAST($agree AS DOUBLE) / $k, 4) AS est_jaccard
+           |FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a
+           |            JOIN sig sb ON sb.doc_id = c.doc_b
+           |ORDER BY doc_a, doc_b""".stripMargin
+      }))
 }
