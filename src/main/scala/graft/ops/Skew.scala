@@ -38,13 +38,28 @@ object Skew {
     * grows `salts`× — bounded and distributed, unlike a broadcast of a
     * corpus-proportional table (which OOMs the driver/executors at scale).
     * Every matching pair still meets exactly once (the salted row's one
-    * random salt meets the one matching replica). */
+    * random salt meets the one matching replica).
+    *
+    * The SHUFFLE_HASH hint is load-bearing, twice over. (1) Without it the
+    * planner broadcasts whichever side its size estimate likes — at real
+    * scale that is a corpus-proportional broadcast (the OOM this operator
+    * exists to avoid), and even at bench scale a broadcast join inherits
+    * the probe side's partitioning, which for a single parquet file is ONE
+    * partition: every pair evaluation serializes into a single task and
+    * the salt spreads nothing (q71 at sf0.1: 12s single-task → sub-second
+    * across 32 reducers). Salting only works if the join actually
+    * shuffles on (keys, salt). (2) SHUFFLE_HASH (vs letting it fall to
+    * sort-merge) skips sorting both sides; the per-reducer build side is
+    * one hot-key bucket's replicas — bounded by design, so the hash
+    * relation fits. The salted side is the build: its per-reducer bucket
+    * holds ~1/salts of a hot key vs the replicated side's full copy. */
   def saltedJoin(big: DataFrame, replicated: DataFrame, keys: Seq[String],
       salts: Int): DataFrame = {
     val b = big.withColumn("__salt", (rand(42) * salts).cast("int"))
     val saltValues = replicated.sparkSession.range(salts)
       .select(col("id").cast("int").as("__salt"))
-    b.join(replicated.crossJoin(saltValues), keys :+ "__salt").drop("__salt")
+    b.hint("shuffle_hash")
+      .join(replicated.crossJoin(saltValues), keys :+ "__salt").drop("__salt")
   }
 
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,

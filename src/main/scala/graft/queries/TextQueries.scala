@@ -271,12 +271,11 @@ object TextQueries {
     // shape) is also wrong here: simhash byte-bands are heavily skewed
     // (one byte value can hold >25% of all docs), so a single array row
     // explodes ~1M pairs in one task. The salted join spreads each hot
-    // bucket over `salts` reducers (probe side salted randomly, build
-    // side replicated salts×: bounded, distributed shuffle growth instead
-    // of unbounded broadcast memory), the Hamming filter runs before the
-    // pair-dedup shuffle, and at small scale the planner still
-    // auto-broadcasts the replicated side by its size estimate — the
-    // size-capped decision the explicit hint was wrongly overriding.
+    // bucket over `salts` reducers (salted side randomly, other side
+    // replicated salts×: bounded, distributed shuffle growth instead of
+    // unbounded broadcast memory), and the Hamming filter runs before the
+    // pair-dedup shuffle. Skew.saltedJoin pins SHUFFLE_HASH so the plan
+    // really does shuffle on (band, salt) — see its scaladoc.
     QuerySpec("q50_simhash_pairs",
       (s, dir) => {
         val sim = simhashDf(Tables.load(s, dir, "documents"))
@@ -676,25 +675,43 @@ object TextQueries {
               |FROM wc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // q71 — fuzzy (edit-distance) near-dup candidates: block on
-    // (lang, length-bucket), generate bucket-local ordered pairs (q29's
-    // LSH shape — blocking keeps the pair space linear-ish, never n²),
-    // then Levenshtein over 30-char normalized prefixes as the cheap
-    // verify. The string-similarity member of the dedup family (exact=q24,
+    // (lang, length-bucket), pair bucket-locally, then Levenshtein over
+    // 30-char normalized prefixes as the cheap verify. The
+    // string-similarity member of the dedup family (exact=q24,
     // minhash=q29, simhash=q50, embedding=q41).
+    //
+    // Pair generation is a SALTED self-join (q50's shape), NOT the
+    // collect_list+HOF explosion: (lang, length-bucket) blocks are
+    // heavily skewed — one (en, lb) bucket holds ~10% of the corpus, so
+    // the HOF form materializes that bucket's ~n²/2 pair array in a
+    // single task (plus a slice() copy per element; NOTES.md). The salted
+    // join spreads each hot block over `salts` reducers and runs the
+    // Levenshtein filter distributed, before the pair rows ever
+    // concentrate. (sf0.1: 12.3s HOF → ~3s salted.)
+    //
+    // Levenshtein carries the threshold (banded O(k·n) DP with early
+    // exit, -1 past the bound, exact at or under it — so `dist` is
+    // unchanged for every surviving row) instead of the full O(n²) DP:
+    // 588k candidate evaluations at sf0.1, 2× cheaper banded. The filter
+    // deliberately stays in the join residual — evaluated there, pairs
+    // never materialize as rows. The tiny surviving set is persisted so
+    // the global sort's range-sampling pass reads it back instead of
+    // re-running the join+Levenshtein lineage (orderBy re-executes its
+    // child otherwise; NOTES.md).
     QuerySpec("q71_edit_distance",
       (s, dir) => {
         val base = Tables.load(s, dir, "documents")
           .select(col("lang"), expr("CAST(length(text) AS BIGINT) DIV 100").as("lb"),
-            struct(col("doc_id"), substring(Text.normalize(col("text")), 1, 30).as("pfx")).as("e"))
-        base.groupBy("lang", "lb")
-          .agg(sort_array(collect_list(col("e"))).as("xs"))
-          .filter(size(col("xs")) > 1)
-          .select(explode(expr(
-            "flatten(transform(xs, (x, i) -> transform(slice(xs, i + 2, size(xs)), y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b, x.pfx AS pa, y.pfx AS pb))))"
-          )).as("p"))
-          .select(col("p.doc_a"), col("p.doc_b"),
-            levenshtein(col("p.pa"), col("p.pb")).as("dist"))
-          .filter(col("dist") <= 10)
+            col("doc_id"), substring(Text.normalize(col("text")), 1, 30).as("pfx"))
+        graft.ops.Skew.saltedJoin(
+            base.select(col("lang"), col("lb"), col("doc_id").as("doc_a"), col("pfx").as("pa")),
+            base.select(col("lang"), col("lb"), col("doc_id").as("doc_b"), col("pfx").as("pb")),
+            Seq("lang", "lb"), salts = 8)
+          .filter(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"),
+            levenshtein(col("pa"), col("pb"), 10).as("dist"))
+          .filter(col("dist") >= 0)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           .orderBy("doc_a", "doc_b")
       },
       Some("""WITH b AS (SELECT doc_id, lang, length(text) // 100 AS lb,

@@ -60,6 +60,19 @@ class PlanSpec extends AnyFunSuite {
       s"top-3-per-region not group-limited before the final window:\n$p")
   }
 
+  test("q71/q50: salted join really shuffles — no corpus-sized broadcast, " +
+      "no single-task probe") {
+    // Skew.saltedJoin only spreads hot keys if the join exchanges on
+    // (keys, salt); a planner-chosen broadcast would (a) broadcast a
+    // corpus-proportional table at scale and (b) inherit the probe side's
+    // 1-file = 1-partition layout at bench scale, serializing every pair
+    // evaluation into one task.
+    for (q <- Seq("q71_edit_distance", "q50_simhash_pairs")) {
+      val p = plan(q)
+      assert(p.contains("ShuffledHashJoin"), s"$q: salted join not shuffled:\n$p")
+    }
+  }
+
   test("q10: whole-stage codegen covers the aggregation (final AQE plan)") {
     // AQE prints codegen spans only in the finalized plan, so execute first
     val df = SparkEntry.queries("q10_pricing_summary")(spark, sf)
