@@ -367,6 +367,28 @@ object RefQueries {
              | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // q70 — unpivot/melt (wide → long), the inverse of q51's pivot and a
+    // staple of training-data prep (per-measure rows for feature
+    // pipelines). Native Dataset.unpivot: a local generator — each input
+    // row expands to one row per measure with zero shuffle; the only
+    // exchange in the plan is the final sort. Measures are cast to one
+    // common type up front (long schemas must be homogeneous).
+    QuerySpec("q70_unpivot",
+      (s, dir) =>
+        t(s, dir, "part")
+          .unpivot(
+            Array(col("p_partkey")),
+            Array(col("p_size").cast("double").as("p_size"),
+              col("p_retailprice")),
+            "measure", "val")
+          .orderBy("p_partkey", "measure"),
+      Some("""SELECT p_partkey, 'p_size' AS measure, CAST(p_size AS DOUBLE) AS val
+             |FROM part
+             |UNION ALL
+             |SELECT p_partkey, 'p_retailprice' AS measure, p_retailprice AS val
+             |FROM part
+             |ORDER BY p_partkey, measure""".stripMargin)),
+
     // q38 — set operators (INTERSECT / EXCEPT): customers ordering in
     // 1997 vs 1998. Spark plans both as joins — same shuffle shape as J2/J3.
     QuerySpec("q38_set_ops",

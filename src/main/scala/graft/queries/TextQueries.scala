@@ -678,7 +678,9 @@ object TextQueries {
     // (lang, length-bucket), pair bucket-locally, then Levenshtein over
     // 30-char normalized prefixes as the cheap verify. The
     // string-similarity member of the dedup family (exact=q24,
-    // minhash=q29, simhash=q50, embedding=q41).
+    // minhash=q29, simhash=q50, embedding=q41; q72 is the linear-time
+    // sorted-neighborhood alternative for blocks that grow with the
+    // corpus).
     //
     // Pair generation is a SALTED self-join (q50's shape), NOT the
     // collect_list+HOF explosion: (lang, length-bucket) blocks are
@@ -722,6 +724,56 @@ object TextQueries {
              |FROM b a JOIN b b2
              |  ON a.lang = b2.lang AND a.lb = b2.lb AND a.doc_id < b2.doc_id
              |WHERE levenshtein(a.pfx, b2.pfx) <= 10
+             |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // q72 — sorted-neighborhood near-dup candidates (SNM): within each
+    // (lang, length-bucket) block, sort by normalized prefix and pair
+    // every doc with its next `w` neighbors only. The LINEAR-pair-space
+    // member of the dedup family: q71's blocked self-join evaluates
+    // O(Σ n_k²) pairs, which stops scaling once blocks grow with the
+    // corpus; SNM evaluates O(n·w) — near-dup prefixes sort adjacently,
+    // so the window catches them without enumerating the block. Pairing
+    // is lead() over the block sort; each position pair is emitted once,
+    // (least, greatest) normalizes orientation. Scale note: the window
+    // sorts each block in one task — for blocks beyond one task, split
+    // them into sub-blocks with a w-row overlap (boundary pairs are
+    // preserved by the replicated overlap) before the window.
+    QuerySpec("q72_sorted_neighborhood",
+      (s, dir) => {
+        val w = 5
+        val base = Tables.load(s, dir, "documents")
+          .select(col("lang"), expr("CAST(length(text) AS BIGINT) DIV 100").as("lb"),
+            col("doc_id"), substring(Text.normalize(col("text")), 1, 30).as("pfx"))
+        val win = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang", "lb").orderBy("pfx", "doc_id")
+        val leads = (1 to w).map(k => struct(
+          lead(col("doc_id"), k).over(win).as("id2"),
+          lead(col("pfx"), k).over(win).as("p2")))
+        base
+          // window exprs and the generator can't share one projection —
+          // materialize the lead array first, explode in the next select
+          .select(col("doc_id"), col("pfx"), array(leads: _*).as("nbs"))
+          .select(col("doc_id"), col("pfx"), explode(col("nbs")).as("nb"))
+          .filter(col("nb.id2").isNotNull)
+          .select(least(col("doc_id"), col("nb.id2")).as("doc_a"),
+            greatest(col("doc_id"), col("nb.id2")).as("doc_b"),
+            levenshtein(col("pfx"), col("nb.p2"), 10).as("dist"))
+          .filter(col("dist") >= 0)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""WITH b AS (SELECT doc_id, lang, length(text) // 100 AS lb,
+             |    substr(lower(regexp_replace(text, '\s+', ' ', 'g')), 1, 30) AS pfx
+             |  FROM documents),
+             |r AS (SELECT doc_id, pfx, lang, lb,
+             |    row_number() OVER (PARTITION BY lang, lb ORDER BY pfx, doc_id) AS rn
+             |  FROM b)
+             |SELECT least(a.doc_id, c.doc_id) AS doc_a,
+             |  greatest(a.doc_id, c.doc_id) AS doc_b,
+             |  CAST(levenshtein(a.pfx, c.pfx) AS INTEGER) AS dist
+             |FROM r a JOIN r c
+             |  ON a.lang = c.lang AND a.lb = c.lb
+             |  AND c.rn BETWEEN a.rn + 1 AND a.rn + 5
+             |WHERE levenshtein(a.pfx, c.pfx) <= 10
              |ORDER BY doc_a, doc_b""".stripMargin)),
 
     // q74 — TF-IDF term ranking: per-doc term frequency (one explode +

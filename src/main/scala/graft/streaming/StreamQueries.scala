@@ -6,6 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.LongType
+import graft.core.{Stable, Tables}
 import graft.queries.QuerySpec
 
 /** Structured Streaming surface (SURVEY §2.9): the reference's `@daily`
@@ -142,6 +143,37 @@ object StreamQueries {
              |           ELSE 0 END AS new_sess
              |    FROM events))
              |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // q69 — stream-static join (SURVEY §2.9 + §2.4 J1): each micro-batch
+    // of the event stream equi-joins the static customer→nation dimension
+    // to enrich events with the region hierarchy before a stateful
+    // aggregate. The static side is re-resolved per micro-batch and, being
+    // dimension-sized, planned as a broadcast-hash join — the stream-side
+    // rows never shuffle for the join (only for the agg). At 100 TB the
+    // dimension stays broadcast-able by construction (customers, not
+    // facts); were it fact-sized, the scale path is pre-bucketing the
+    // static side on the join key, not a stream-side shuffle.
+    QuerySpec("q69_stream_static_join",
+      (s, dir) => {
+        val dim = Tables.load(s, dir, "customer")
+          .join(Tables.load(s, dir, "nation"),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey").as("user_id"), col("n_name"))
+        val agg = eventStream(s, dir)
+          .join(dim, "user_id")
+          .groupBy(col("n_name"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            Stable.dsum(col("value"), 2).as("sum_value"))
+        runComplete(s, agg)
+          .select("n_name", "event_type", "n_events", "sum_value")
+          .orderBy("n_name", "event_type")
+      },
+      Some("""SELECT n_name, event_type, count(*) AS n_events,
+             | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM events e
+             |JOIN customer c ON e.user_id = c.c_custkey
+             |JOIN nation n ON c.c_nationkey = n.n_nationkey
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     // q61 — built-in session_window aggregation (SURVEY §2.9): dynamic
     // gap-merged windows per user, 30 min inactivity gap. Unlike the q37
