@@ -776,6 +776,78 @@ object TextQueries {
              |WHERE levenshtein(a.pfx, c.pfx) <= 10
              |ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // q76 — dedup clusters: connected components over the minhash
+    // candidate pairs (q29's edges), the step that turns pairwise
+    // near-dup hits into KEEP/DROP decisions (cluster id = min doc_id in
+    // the component; survivors = one doc per cluster). Pregel-style
+    // min-label propagation: each round is one keyed shuffle join
+    // (neighbor labels) + one min-aggregate, repeated to fixpoint —
+    // O(component diameter) rounds, every round fully distributed. The
+    // driver loop only counts label changes (a scalar per round); labels
+    // persist per round and the previous round unpersists, keeping the
+    // lineage one round deep (iterative plans otherwise grow without
+    // bound). At 100 TB the round count compresses with the
+    // large-star/small-star variant; the per-round plan is unchanged.
+    QuerySpec("q76_dedup_clusters",
+      (s, dir) => {
+        import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        val cand = minhashCandidates(Tables.load(s, dir, "documents"))
+          .persist(MEMORY_AND_DISK)
+        val fwd = cand.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        val edges = fwd
+          .union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+          .persist(MEMORY_AND_DISK)
+        // Materialize the corpus-scale LSH pipeline at the session's full
+        // shuffle parallelism + AQE, THEN retune for the iterative phase:
+        // the edge/label sets are candidate-sized (≪ corpus), so each
+        // round's joins would otherwise pay full fixed-cost shuffle
+        // machinery, and AQE's per-stage re-planning + broadcast
+        // conversion adds ~0.4s/round of pure scheduling at this size
+        // (rounds are short-lived plans — there is nothing for AQE to
+        // adapt). Same knobs a cluster deployment would turn per phase.
+        edges.count()
+        val pKey = "spark.sql.shuffle.partitions"
+        val aKey = "spark.sql.adaptive.enabled"
+        val pPrev = s.conf.get(pKey)
+        val aPrev = s.conf.get(aKey)
+        s.conf.set(pKey, "4")
+        s.conf.set(aKey, "false")
+        try {
+          var labels = edges.select(col("src")).distinct()
+            .select(col("src").as("doc_id"), col("src").as("cid"))
+            .persist(MEMORY_AND_DISK)
+          var changed = 1L
+          var rounds = 0
+          while (changed > 0 && rounds < 30) {
+            val nbrMin = edges
+              .join(labels.select(col("doc_id").as("dst"), col("cid")), "dst")
+              .groupBy("src").agg(min("cid").as("nm"))
+              .select(col("src").as("doc_id"), col("nm"))
+            val next = labels
+              .join(nbrMin, Seq("doc_id"), "left")
+              .select(col("doc_id"),
+                least(col("cid"), coalesce(col("nm"), col("cid"))).as("cid"))
+              .persist(MEMORY_AND_DISK)
+            changed = next
+              .join(labels.withColumnRenamed("cid", "old"), "doc_id")
+              .filter(col("cid") =!= col("old")).count()
+            labels.unpersist()
+            labels = next
+            rounds += 1
+          }
+          labels.select(col("doc_id"), col("cid").as("cluster_id"))
+            .orderBy("doc_id")
+        } finally { s.conf.set(pKey, pPrev); s.conf.set(aKey, aPrev) }
+      },
+      Some(s"""${duckMinhashCtes.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+              |edges AS (SELECT doc_a AS a, doc_b AS b FROM cand
+              |          UNION SELECT doc_b, doc_a FROM cand),
+              |reach AS (SELECT a AS src, b AS dst FROM edges
+              |          UNION
+              |          SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+              |SELECT src AS doc_id, CAST(least(src, min(dst)) AS BIGINT) AS cluster_id
+              |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin)),
+
     // q74 — TF-IDF term ranking: per-doc term frequency (one explode +
     // groupBy shuffle), corpus document frequency (second groupBy over the
     // already-distinct doc-term pairs), score = tf·ln(N/df), top-3 terms
