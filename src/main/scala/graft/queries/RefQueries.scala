@@ -50,6 +50,16 @@ object RefQueries {
   private def revFinal: Column = sum(col("rev_dec")).cast("double")
   private def itemsFinal: Column = sum(col("n_part"))
 
+  /** One SQL text, two engines (q77): runs verbatim through Spark's
+    * parser AND as its own DuckDB oracle. Decimal-stabilized sum per
+    * NOTES oracle-parity rule 1. */
+  private val portableSql: String =
+    """SELECT c_mktsegment, o_orderpriority, count(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment, o_orderpriority
+      |ORDER BY c_mktsegment, o_orderpriority""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
 
     // q01 — D1 distinct + O1 sort desc + F1 calendar split: the reference's
@@ -388,6 +398,19 @@ object RefQueries {
              |SELECT p_partkey, 'p_retailprice' AS measure, p_retailprice AS val
              |FROM part
              |ORDER BY p_partkey, measure""".stripMargin)),
+
+    // q77 — the SQL entry path: temp views + one ANSI SQL string that runs
+    // UNCHANGED on both engines (Spark's parser/Catalyst and DuckDB get
+    // the identical text — the literal portability claim of the SQL
+    // surface, S6/A3). Same optimizations as the DataFrame path: one
+    // logical plan, broadcast dim join, partial+final agg.
+    QuerySpec("q77_sql_api",
+      (s, dir) => {
+        Seq("customer", "orders").foreach(t =>
+          Tables.load(s, dir, t).createOrReplaceTempView(t))
+        s.sql(portableSql)
+      },
+      Some(portableSql)),
 
     // q38 — set operators (INTERSECT / EXCEPT): customers ordering in
     // 1997 vs 1998. Spark plans both as joins — same shuffle shape as J2/J3.
