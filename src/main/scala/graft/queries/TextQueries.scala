@@ -18,6 +18,12 @@ object TextQueries {
 
   // DuckDB fragments mirroring Text.* definitions exactly.
   private val duckTokens = """string_split_regex(trim(lower(text)), '\s+')"""
+
+  /** Count-min sketch shape (q78): 4 hash rows (reusing the minhash LCG
+    * params over the portable md5-int32) × 512 cells. */
+  private[graft] val cmsRows: Seq[((Long, Long), Int)] =
+    Text.minhashParams.take(4).zipWithIndex
+  private[graft] val cmsWidth = 512L
   private def duckMarkerCount(lang: String): String =
     s"len(list_filter($duckTokens, x -> x IN (${markerList(lang)})))"
 
@@ -847,6 +853,56 @@ object TextQueries {
               |          SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
               |SELECT src AS doc_id, CAST(least(src, min(dst)) AS BIGINT) AS cluster_id
               |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin)),
+
+    // q78 — heavy hitters via a count-min sketch, the third sketch family
+    // member (HLL=q60, approx-percentile=q66) — and unlike those two it
+    // is HASH-compared: the CMS is fully deterministic given the shared
+    // portable hash (md5-int32 + the first 4 minhash LCG rows, width
+    // 512), so DuckDB rebuilds the identical sketch from the same
+    // generated constants. The sketch itself is one groupBy over (row,
+    // cell): d·width = 2048 cells TOTAL, a size that is INDEPENDENT of
+    // corpus scale — which is why probing joins against broadcast(cms)
+    // honestly at 100 TB (the one join in this repo whose broadcast side
+    // cannot grow). Estimate = min over rows; CMS guarantees est ≥ true
+    // count (collisions only inflate), asserted per-token in a spec.
+    QuerySpec("q78_cms_heavy_hitters",
+      (s, dir) => {
+        val toks = Tables.load(s, dir, "documents")
+          .select(explode(Text.tokens(lower(col("text")))).as("w"))
+        val cellsOf = (h: org.apache.spark.sql.Column) => array(cmsRows.map { case ((a, b), j) =>
+          struct(lit(j).as("j"), (((h * a + b) % Text.minhashMod) % cmsWidth).as("cell"))
+        }: _*)
+        val cms = toks
+          .select(explode(cellsOf(Text.hash32(col("w")))).as("jc"))
+          .groupBy(col("jc.j").as("j"), col("jc.cell").as("cell"))
+          .agg(count(lit(1)).as("cnt"))
+        val cand = toks.groupBy("w").agg(count(lit(1)).as("n_true"))
+        val probes = cand
+          .select(col("w"), col("n_true"), cellsOf(Text.hash32(col("w"))).as("jcs"))
+          .select(col("w"), col("n_true"), explode(col("jcs")).as("jc"))
+          .select(col("w"), col("n_true"), col("jc.j").as("j"), col("jc.cell").as("cell"))
+        probes.join(broadcast(cms), Seq("j", "cell"))
+          .groupBy("w", "n_true").agg(min("cnt").as("est"))
+          .orderBy(col("est").desc, col("w")).limit(20)
+          .select(col("w"), col("est"), col("n_true"))
+      },
+      Some {
+        val cellCase = "CASE j " + cmsRows.map { case ((a, b), j) =>
+          s"WHEN $j THEN ((h * $a + $b) % ${Text.minhashMod}) % $cmsWidth"
+        }.mkString(" ") + " END"
+        s"""WITH tok AS (SELECT unnest($duckTokens) AS w FROM documents),
+           |th AS (SELECT w, CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) AS h FROM tok),
+           |cells AS (SELECT j, $cellCase AS cell, count(*) AS cnt
+           |  FROM th, generate_series(0, ${cmsRows.size - 1}) t(j) GROUP BY 1, 2),
+           |cand AS (SELECT w, count(*) AS n_true,
+           |    CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) AS h
+           |  FROM tok GROUP BY w),
+           |probes AS (SELECT w, n_true, j, $cellCase AS cell
+           |  FROM cand, generate_series(0, ${cmsRows.size - 1}) t(j)),
+           |est AS (SELECT w, n_true, min(cnt) AS est
+           |  FROM probes JOIN cells USING (j, cell) GROUP BY 1, 2)
+           |SELECT w, est, n_true FROM est ORDER BY est DESC, w LIMIT 20""".stripMargin
+      }),
 
     // q74 — TF-IDF term ranking: per-doc term frequency (one explode +
     // groupBy shuffle), corpus document frequency (second groupBy over the

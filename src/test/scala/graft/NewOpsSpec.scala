@@ -45,6 +45,19 @@ class NewOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q78_cms_heavy_hitters: estimate never undercounts, top hitter sane") {
+    val rows = run("q78_cms_heavy_hitters").collect()
+    assert(rows.length == 20)
+    // the CMS one-sided error guarantee: collisions only inflate
+    rows.foreach { r =>
+      assert(r.getAs[Long]("est") >= r.getAs[Long]("n_true"),
+        s"${r.getAs[String]("w")}: est < true")
+    }
+    // result is sorted by estimate desc
+    val ests = rows.map(_.getAs[Long]("est")).toSeq
+    assert(ests == ests.sorted.reverse)
+  }
+
   test("q66_approx_percentile: estimates bracketed by exact neighbors") {
     import org.apache.spark.sql.functions._
     val approx = run("q66_approx_percentile").collect()
