@@ -90,6 +90,21 @@ object GraftProperties extends Properties("graft") {
       win == agg
     }
 
+  // The documented DIVERGENCE MODE (Dedup.scala scaladoc): when `order`
+  // does NOT totally order a group, keepFirstAgg's survivor is the row
+  // with the smallest (order ++ payload) tuple — deterministic, equal to
+  // the window form ordered by (order, payload). Generator here allows
+  // duplicate (k, o) pairs on purpose.
+  property("keepFirstAgg tie-on-order survivor is the min-payload row") =
+    forAll(rowsGen.suchThat(_.nonEmpty)) { rows =>
+      val df = rows.toDF("k", "o", "v")
+      val win = Dedup.keepFirst(df, Seq("k"), Seq(col("o").asc, col("v").asc))
+        .select("k", "o", "v").orderBy("k").collect().toSeq
+      val agg = Dedup.keepFirstAgg(df, Seq("k"), Seq("o"), Seq("v"))
+        .select("k", "o", "v").orderBy("k").collect().toSeq
+      win == agg
+    }
+
   property("fitThumb: never upscales, long side lands exactly on 256") =
     forAll(Gen.choose(1, 4000), Gen.choose(1, 4000)) { (w, h) =>
       val (tw, th) = graft.functions.Multimodal.fitThumb(w, h)
