@@ -13,11 +13,11 @@ object AnalyticsQueries {
 
   val specs: Seq[QuerySpec] = Seq(
 
-    // q69 — UNPIVOT/melt: the inverse of q51's pivot — wide measure
+    // q79 — melt-after-aggregate: the inverse of q51's pivot — wide measure
     // columns back to (metric, value) long form. Aggregate FIRST (6
     // groups), then unpivot the 6×4 cells: the reshape touches |groups|
     // rows, never the fact table, so the melt is free at any scale.
-    QuerySpec("q69_unpivot",
+    QuerySpec("q79_melt_agg",
       (s, dir) => {
         val wide = Tables.load(s, dir, "lineitem")
           .groupBy("l_returnflag", "l_linestatus")
@@ -44,12 +44,12 @@ object AnalyticsQueries {
              |  UNION ALL SELECT l_returnflag, l_linestatus, 'tax', tax FROM w)
              |ORDER BY l_returnflag, l_linestatus, metric""".stripMargin)),
 
-    // q70 — statistical aggregates (stddev/variance/correlation/
+    // q80 — statistical aggregates (stddev/variance/correlation/
     // covariance): the moments the BI layer computes over measures.
     // All partial+final mergeable (sum/sum-of-squares/co-moments), so the
     // map-side combine shape survives scale-up. Rounded before compare —
     // the moment formulas accumulate doubles in engine-specific order.
-    QuerySpec("q70_stats_aggs",
+    QuerySpec("q80_stats_aggs",
       (s, dir) =>
         Tables.load(s, dir, "lineitem").groupBy("l_returnflag").agg(
           round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
@@ -66,13 +66,13 @@ object AnalyticsQueries {
              | count(*) AS n
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
-    // q72 — date-spine gap filling: generate the full calendar between
+    // q81 — date-spine gap filling: generate the full calendar between
     // min and max order date (sequence + explode from a 1-row range
     // aggregate), left-join the daily counts, zero-fill missing days —
     // the time-series densification every downstream window/trend op
     // assumes. At scale the spine is O(days) (tiny, broadcast); the
     // daily aggregation is the only fact-table shuffle.
-    QuerySpec("q72_date_spine",
+    QuerySpec("q81_date_spine",
       (s, dir) => {
         val d = Tables.load(s, dir, "orders")
           .select(to_date(col("o_orderdate")).as("d"))
