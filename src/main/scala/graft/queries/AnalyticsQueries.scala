@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.{Stable, Tables}
 
@@ -89,5 +90,83 @@ object AnalyticsQueries {
              |    CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM r),
              |daily AS (SELECT d, count(*) AS n FROM d GROUP BY d)
              |SELECT day, coalesce(n, 0) AS n_orders
-             |FROM spine LEFT JOIN daily ON day = d ORDER BY day""".stripMargin)))
+             |FROM spine LEFT JOIN daily ON day = d ORDER BY day""".stripMargin)),
+
+    // q82 — ranking distributions + RANGE frame: ntile/percent_rank/
+    // cume_dist over a unique ordering, and a value-RANGE running sum
+    // (all orders within $1000 below the current one). One shuffle on
+    // the partition key serves all four window functions — the two
+    // window specs share partitioning, so Catalyst plans one Exchange
+    // and two in-partition Sorts. Determinism: the rank ordering is made
+    // total with o_orderkey; the RANGE frame sums a *set* (peer rows
+    // included either side), so the decimal cast keeps the two engines'
+    // accumulation orders from diverging.
+    QuerySpec("q82_window_frames",
+      (s, dir) => {
+        val wRank = Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        val wRange = Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice")).rangeBetween(-1000L, Window.currentRow)
+        Tables.load(s, dir, "orders").select(
+            col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+            ntile(4).over(wRank).as("quartile"),
+            round(percent_rank().over(wRank), 6).as("pct_rank"),
+            round(cume_dist().over(wRank), 6).as("cume"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).over(wRange)
+              .cast("double").as("nearby_sum"))
+          .orderBy("o_orderpriority", "o_totalprice", "o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderpriority, o_totalprice,
+             | CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+             | round(percent_rank() OVER w, 6) AS pct_rank,
+             | round(cume_dist() OVER w, 6) AS cume,
+             | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+             |   (PARTITION BY o_orderpriority ORDER BY o_totalprice
+             |    RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS nearby_sum
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+             |ORDER BY o_orderpriority, o_totalprice, o_orderkey""".stripMargin)),
+
+    // q83 — FULL OUTER join: daily order counts vs daily event counts,
+    // null-filled where either side has no activity that day. Both sides
+    // pre-aggregate to date grain first (map-side combine), so the outer
+    // join moves |distinct days| rows, never the fact tables — the shape
+    // that keeps outer joins cheap at 100 TB.
+    QuerySpec("q83_full_outer",
+      (s, dir) => {
+        val od = Tables.load(s, dir, "orders")
+          .groupBy(to_date(col("o_orderdate")).as("d"))
+          .agg(count(lit(1)).as("n_orders"))
+        val ed = Tables.load(s, dir, "events")
+          .groupBy(to_date(col("ts")).as("d"))
+          .agg(count(lit(1)).as("n_events"))
+        od.join(ed, Seq("d"), "full_outer")
+          .select(col("d"), coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+            coalesce(col("n_events"), lit(0L)).as("n_events"))
+          .orderBy("d")
+      },
+      Some("""WITH od AS (SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n_orders
+             |            FROM orders GROUP BY 1),
+             |     ed AS (SELECT CAST(ts AS DATE) AS d, count(*) AS n_events
+             |            FROM events GROUP BY 1)
+             |SELECT COALESCE(od.d, ed.d) AS d,
+             |       COALESCE(n_orders, 0) AS n_orders,
+             |       COALESCE(n_events, 0) AS n_events
+             |FROM od FULL OUTER JOIN ed ON od.d = ed.d
+             |ORDER BY d""".stripMargin)),
+
+    // q84 — salted two-phase aggregation through the correctness gate:
+    // `Skew.saltedAgg` spreads each key over 16 random salt buckets,
+    // partial-counts per (key, salt), then final-sums per key — the
+    // hot-key histogram shape (at 100 TB one event_type can dwarf the
+    // rest; the salt bounds any single reducer at ~1/16 of a hot key).
+    // Result is provably identical to the plain GROUP BY the oracle runs.
+    QuerySpec("q84_salted_histogram",
+      (s, dir) =>
+        graft.ops.Skew.saltedCount(
+            Tables.load(s, dir, "events").select("event_type"),
+            Seq("event_type"), salts = 16)
+          .orderBy("event_type"),
+      Some("""SELECT event_type, count(*) AS n FROM events
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)))
 }

@@ -84,4 +84,50 @@ class NewOpsSpec extends AnyFunSuite {
       assert(part.count(r => r.isNullAt(r.fieldIndex("gap_days"))) == 1)
     }
   }
+
+  test("q82_window_frames: rank distributions and RANGE sum are coherent") {
+    val rows = run("q82_window_frames").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val q = r.getAs[Int]("quartile")
+      assert(q >= 1 && q <= 4)
+      val pr = r.getAs[Double]("pct_rank")
+      val cd = r.getAs[Double]("cume")
+      assert(pr >= 0.0 && pr <= 1.0 && cd > 0.0 && cd <= 1.0)
+      // the RANGE frame always includes the current row
+      assert(r.getAs[Double]("nearby_sum") >= r.getAs[Double]("o_totalprice") - 1e-6)
+    }
+    // quartiles within a partition are monotone in the rank order
+    rows.groupBy(_.getAs[String]("o_orderpriority")).values.foreach { part =>
+      val qs = part.sortBy(r =>
+        (r.getAs[Double]("o_totalprice"), r.getAs[Long]("o_orderkey")))
+        .map(_.getAs[Int]("quartile")).toSeq
+      assert(qs == qs.sorted)
+    }
+  }
+
+  test("q83_full_outer: every day from either side appears exactly once") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q83_full_outer").collect()
+    val days = rows.map(_.getAs[java.sql.Date]("d").toString)
+    assert(days.distinct.length == days.length)
+    val orderDays = spark.read.parquet(s"$sf/orders.parquet")
+      .select(to_date(col("o_orderdate")).cast("string")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(orderDays.subsetOf(days.toSet))
+    // outer rows: a day with zero orders must have events, and vice versa
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_orders") + r.getAs[Long]("n_events") > 0)
+    }
+  }
+
+  test("q84_salted_histogram equals the plain groupBy count") {
+    import org.apache.spark.sql.functions._
+    val salted = run("q84_salted_histogram").collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n")).toMap
+    val plain = spark.read.parquet(s"$sf/events.parquet")
+      .groupBy("event_type").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n")).toMap
+    assert(salted == plain)
+  }
 }
