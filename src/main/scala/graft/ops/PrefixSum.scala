@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed prefix sum — cumulative sum in the total order of a unique
+  * key, without the single-task global window (`Window.orderBy(key)` with
+  * no partition key moves ALL rows to one reducer; at 100 TB that is the
+  * operator that never finishes).
+  *
+  * Classic two-phase shape instead:
+  *  1. range-partition on the key (so partition p holds a contiguous key
+  *     range, every key in p greater than every key in p-1),
+  *  2. per-partition window cumsum (parallel across partitions),
+  *  3. per-partition totals → exclusive running offsets — an
+  *     O(numPartitions)-row problem, safe to window on one reducer —
+  *     broadcast back and added.
+  *
+  * The result is a pure function of (key order, values): partition
+  * boundaries (sampled by the range partitioner) affect only the layout,
+  * never the returned sums.
+  */
+object PrefixSum {
+
+  /** Adds column `out` = sum of `valueCol` over all rows with key ≤ this
+    * row's key. `keyCol` must be unique (it defines the total order);
+    * `valueCol` must be integral (sums stay exact).
+    */
+  def cumsum(df: DataFrame, keyCol: String, valueCol: String, out: String,
+      numParts: Int = 32): DataFrame = {
+    // One evaluation of spark_partition_id, pinned by the persist below:
+    // the ranged exchange samples boundaries per execution, so the pid
+    // column must never be recomputed across the two uses of `local`.
+    val ranged = df.repartitionByRange(numParts, col(keyCol))
+      .withColumn("__pid", spark_partition_id())
+    val wLocal = Window.partitionBy("__pid").orderBy(keyCol)
+    val local = ranged
+      .withColumn("__local", sum(col(valueCol)).over(wLocal))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Exclusive prefix of the per-partition totals. The unpartitioned
+    // window is deliberate: numParts rows, not data rows.
+    val wOff = Window.orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy("__pid")
+      .agg(sum(col(valueCol)).as("__tot"))
+      .withColumn("__off", coalesce(sum(col("__tot")).over(wOff), lit(0L)))
+      .select("__pid", "__off")
+    local.join(broadcast(offsets), "__pid")
+      .withColumn(out, col("__local") + col("__off"))
+      .drop("__pid", "__local")
+  }
+}

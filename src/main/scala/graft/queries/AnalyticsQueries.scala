@@ -114,6 +114,9 @@ object AnalyticsQueries {
             round(cume_dist().over(wRank), 6).as("cume"),
             sum(col("o_totalprice").cast("decimal(18,2)")).over(wRange)
               .cast("double").as("nearby_sum"))
+          // The final sort's range-partitioner sampling would otherwise
+          // re-execute both window passes (NOTES: persist-before-orderBy).
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           .orderBy("o_orderpriority", "o_totalprice", "o_orderkey")
       },
       Some("""SELECT o_orderkey, o_orderpriority, o_totalprice,
@@ -168,5 +171,42 @@ object AnalyticsQueries {
             Seq("event_type"), salts = 16)
           .orderBy("event_type"),
       Some("""SELECT event_type, count(*) AS n FROM events
-             |GROUP BY event_type ORDER BY event_type""".stripMargin)))
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // q85 — token-budget shard packing (training-data batch shaping):
+    // assign documents, in doc_id order, to consecutive shards of ≤8192
+    // tokens each (a doc starts a new shard when the running total would
+    // cross the budget — the deterministic streaming-pack rule
+    // shard = floor(tokens_before_this_doc / budget) is monotone, so
+    // shards are contiguous doc_id ranges). The running total is
+    // `ops.PrefixSum.cumsum` — range-partitioned two-phase prefix sum,
+    // NOT a single-task global window, so the pack scales with the
+    // corpus. Oracle uses the windowed SQL form (fine at oracle scale).
+    QuerySpec("q85_token_shards",
+      (s, dir) => {
+        val toks = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            size(graft.functions.Text.tokens(lower(col("text")))).cast("long")
+              .as("n_tokens"))
+        graft.ops.PrefixSum.cumsum(toks, "doc_id", "n_tokens", "cum_tokens")
+          .withColumn("shard",
+            floor((col("cum_tokens") - col("n_tokens")) / lit(8192)))
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("shard_tokens"),
+            min(col("doc_id")).as("first_doc"),
+            max(col("doc_id")).as("last_doc"))
+          .orderBy("shard")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |    CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |c AS (SELECT doc_id, n_tokens,
+             |    SUM(n_tokens) OVER (ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+             |  FROM t)
+             |SELECT CAST(FLOOR((cum_tokens - n_tokens) / 8192.0) AS BIGINT) AS shard,
+             |  count(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+             |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+             |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)))
 }

@@ -299,6 +299,10 @@ object TextQueries {
           .select(col("doc_a"), col("doc_b"), expr("bit_count(sa ^ sb)").as("hamming"))
           .filter(col("hamming") <= 12)
           .distinct()
+          // Tiny surviving pair set: persist so the final sort's
+          // range-partitioner sampling pass reads the cache instead of
+          // re-running the banded join (NOTES: persist-before-orderBy).
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           .orderBy("doc_a", "doc_b")
       },
       Some(s"""$duckSimhashCtes,

