@@ -208,5 +208,48 @@ object AnalyticsQueries {
              |SELECT CAST(FLOOR((cum_tokens - n_tokens) / 8192.0) AS BIGINT) AS shard,
              |  count(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
              |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
-             |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)))
+             |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // q86 — non-equi interval join via `ops.RangeJoin`: classify every
+    // order into irregular price bands (decile boundaries), matching on
+    // containment alone — no equi key. A bare BETWEEN join would plan as
+    // BroadcastNestedLoopJoin (O(points × intervals), and no viable plan
+    // at all once both sides are large); the binned form equi-joins on a
+    // quantized bin, restoring hash-join physics (PlanSpec asserts no
+    // nested loop). Boundary parity: decile values are rounded to cents
+    // in BOTH engines before banding, so an order lands in the same band
+    // bit-for-bit (half-open [lo, hi); top band hi = max + 1).
+    QuerySpec("q86_price_bands",
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+        val stats = o.agg(
+          expr("percentile(o_totalprice, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
+            .as("qs"),
+          min(col("o_totalprice")).as("mn"), max(col("o_totalprice")).as("mx"))
+        val bounds = concat(array(col("mn")),
+          transform(col("qs"), x => round(x, 2)), array(col("mx") + 1))
+        val bands = stats
+          .select(explode(sequence(lit(0), lit(9))).as("band_id"), bounds.as("b"))
+          .select(col("band_id").cast("long").as("band_id"),
+            element_at(col("b"), col("band_id") + 1).as("lo"),
+            element_at(col("b"), col("band_id") + 2).as("hi"))
+        graft.ops.RangeJoin.pointInInterval(o, "o_totalprice",
+            bands, "lo", "hi", binWidth = 10000.0)
+          .groupBy("band_id")
+          .agg(count(lit(1)).as("n_orders"),
+            Stable.dsum(col("o_totalprice"), 2).as("band_revenue"))
+          .orderBy("band_id")
+      },
+      Some("""WITH s AS (SELECT
+             |    quantile_cont(o_totalprice, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs,
+             |    min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders),
+             |b AS (SELECT i AS band_id,
+             |    CASE WHEN i = 0 THEN mn ELSE round(qs[i], 2) END AS lo,
+             |    CASE WHEN i = 9 THEN mx + 1 ELSE round(qs[i + 1], 2) END AS hi
+             |  FROM s, generate_series(0, 9) t(i))
+             |SELECT band_id, count(*) AS n_orders,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS band_revenue
+             |FROM orders o JOIN b ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+             |GROUP BY band_id ORDER BY band_id""".stripMargin)))
 }

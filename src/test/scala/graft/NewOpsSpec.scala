@@ -140,6 +140,17 @@ class NewOpsSpec extends AnyFunSuite {
       spark.read.parquet(s"$sf/documents.parquet").count())
   }
 
+  test("q86_price_bands: bands partition all orders, deciles roughly even") {
+    val rows = run("q86_price_bands").collect()
+    assert(rows.nonEmpty && rows.forall { r =>
+      val b = r.getAs[Long]("band_id"); b >= 0 && b <= 9
+    })
+    val total = spark.read.parquet(s"$sf/orders.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_orders")).sum == total)
+    // decile bands: no band holds more than a quarter of the data
+    assert(rows.forall(_.getAs[Long]("n_orders") <= total / 4 + 1))
+  }
+
   test("q84_salted_histogram equals the plain groupBy count") {
     import org.apache.spark.sql.functions._
     val salted = run("q84_salted_histogram").collect()

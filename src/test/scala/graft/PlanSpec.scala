@@ -82,4 +82,11 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("*(") && p.contains("HashAggregate"),
       s"no codegen spans:\n$p")
   }
+
+  test("q86: binned range join planned as a hash join, never a nested loop") {
+    val p = plan("q86_price_bands")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join degenerated to a nested loop:\n$p")
+    assert(p.contains("HashJoin"), s"no hash join on the bin key:\n$p")
+  }
 }
