@@ -83,6 +83,31 @@ class PlanSpec extends AnyFunSuite {
       s"no codegen spans:\n$p")
   }
 
+  test("runtime bloom filter prunes the fact side of a dim-filtered join") {
+    // The 100 TB mechanism: a selective dimension filter becomes a bloom
+    // `might_contain` evaluated at the fact scan, so most fact rows die
+    // before the join shuffle. Size thresholds are tuned for cluster
+    // scale (application side >= 10 GB), so at fixture scale the spec
+    // drops the floor to prove the plan shape; a real deployment keeps
+    // the defaults and gets this automatically past the thresholds.
+    import org.apache.spark.sql.functions._
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val prev = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      val ord = spark.read.parquet(s"$sf/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val p = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").count()
+        .queryExecution.executedPlan.toString
+      assert(p.contains("might_contain"),
+        s"no runtime bloom filter on the fact scan:\n$p")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("q86: binned range join planned as a hash join, never a nested loop") {
     val p = plan("q86_price_bands")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
