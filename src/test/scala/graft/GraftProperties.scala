@@ -107,11 +107,14 @@ object GraftProperties extends Properties("graft") {
 
   // PrefixSum must equal the single-partition window cumsum regardless of
   // how the range partitioner splits the keys (4 partitions over ≤40 keys
-  // forces multi-partition paths; unique keys by construction).
+  // forces multi-partition paths; sparse unique keys — the op orders by
+  // key value, not by key density).
   private val cumsumGen: Gen[List[(Long, Long)]] =
-    Gen.listOfN(40, Gen.choose(0L, 1000L)).map(_.zipWithIndex.map {
-      case (v, i) => (i.toLong, v)
-    })
+    Gen.listOfN(40, for {
+      k <- Gen.choose(-100000L, 100000L)
+      v <- Gen.choose(0L, 1000L)
+    } yield (k, v)).map(_.groupBy(_._1).values.map(_.head).toList)
+      .suchThat(_.nonEmpty)
 
   property("PrefixSum.cumsum equals the global window cumsum") =
     forAll(cumsumGen) { rows =>
@@ -120,6 +123,35 @@ object GraftProperties extends Properties("graft") {
         .select("k", "c").orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
       var acc = 0L
       val want = rows.sortBy(_._1).map { case (k, v) => acc += v; (k, acc) }
+      got == want
+    }
+
+  // The binned range join must return exactly the pairs a naive
+  // containment filter returns — for any bin width (the knob changes the
+  // plan, never the result), including intervals spanning many bins,
+  // empty intervals (lo == hi), and negative values.
+  private val rangeJoinGen: Gen[(List[Long], List[(Long, Long)], Double)] =
+    for {
+      pts <- Gen.listOfN(25, Gen.choose(-50L, 50L))
+      ivs <- Gen.listOfN(8, for {
+        lo <- Gen.choose(-60L, 60L)
+        w <- Gen.choose(0L, 40L)
+      } yield (lo, lo + w))
+      bw <- Gen.oneOf(1.0, 3.0, 7.5, 100.0)
+    } yield (pts, ivs, bw)
+
+  property("RangeJoin.pointInInterval equals the naive containment join") =
+    forAll(rangeJoinGen) { case (pts, ivs, bw) =>
+      val p = pts.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("pid", "p")
+      val iv = ivs.zipWithIndex.map { case ((lo, hi), i) => (i.toLong, lo, hi) }
+        .toDF("iid", "lo", "hi")
+      val got = graft.ops.RangeJoin.pointInInterval(p, "p", iv, "lo", "hi", bw)
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = (for {
+        (v, i) <- pts.zipWithIndex
+        ((lo, hi), j) <- ivs.zipWithIndex
+        if v >= lo && v < hi
+      } yield (i.toLong, j.toLong)).toSet
       got == want
     }
 
