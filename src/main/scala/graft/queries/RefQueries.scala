@@ -60,6 +60,17 @@ object RefQueries {
       |GROUP BY c_mktsegment, o_orderpriority
       |ORDER BY c_mktsegment, o_orderpriority""".stripMargin
 
+  /** One SQL text, two engines (q87): correlated subquery forms. */
+  private val subquerySql: String =
+    """SELECT c_custkey, c_mktsegment,
+      |  (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+      |              AND o.o_totalprice > 150000)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+      |                  AND o.o_orderstatus = 'F' AND o.o_totalprice < 5000)
+      |ORDER BY c_custkey""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
 
     // q01 — D1 distinct + O1 sort desc + F1 calendar split: the reference's
@@ -411,6 +422,22 @@ object RefQueries {
         s.sql(portableSql)
       },
       Some(portableSql)),
+
+    // q87 — subquery surface of the SQL entry path: correlated EXISTS /
+    // NOT EXISTS and a correlated scalar subquery, one text verbatim on
+    // both engines (same contract as q77). Catalyst decorrelates all
+    // three into distributed joins — EXISTS → left-semi, NOT EXISTS →
+    // left-anti, scalar count → aggregate + left-outer — so the
+    // row-at-a-time subquery *syntax* costs one keyed shuffle each, not
+    // one probe per customer row (the reference's per-row existence
+    // check, `__pycache__/q.cpython-38.pyc`, done set-oriented).
+    QuerySpec("q87_sql_subqueries",
+      (s, dir) => {
+        Seq("customer", "orders").foreach(t =>
+          Tables.load(s, dir, t).createOrReplaceTempView(t))
+        s.sql(subquerySql)
+      },
+      Some(subquerySql)),
 
     // q38 — set operators (INTERSECT / EXCEPT): customers ordering in
     // 1997 vs 1998. Spark plans both as joins — same shuffle shape as J2/J3.
