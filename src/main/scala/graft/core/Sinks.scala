@@ -42,6 +42,30 @@ object Sinks {
       .option("isolationLevel", "READ_COMMITTED")
       .save()
 
+  /** File-count-controlled write — the small-files defense. A 1000-task
+    * stage writing per-task files turns a 100 TB table into millions of
+    * KB-sized parquet files whose footer reads then dominate every scan.
+    * `repartition(nFiles)` bounds the file count; `maxRecordsPerFile`
+    * caps the other direction (no single task writing a 10 GB file).
+    * The round-robin repartition also rebalances skewed upstream
+    * partitions, so file sizes come out even. */
+  def sizedParquet(df: DataFrame, path: String, nFiles: Int,
+      maxRecordsPerFile: Long = 0L): Unit =
+    df.repartition(nFiles).write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile.toString)
+      .parquet(path)
+
+  /** Compaction: rewrite a fragmented parquet directory into `nFiles`
+    * evenly-sized files at `outPath`. Reads lazily + writes to a NEW
+    * directory (Spark cannot safely overwrite an input path it is
+    * reading); the caller swaps directories after the write commits —
+    * the same commit-then-swap discipline every table format uses. */
+  def compact(spark: org.apache.spark.sql.SparkSession, inPath: String,
+      outPath: String, nFiles: Int): Unit = {
+    require(inPath != outPath, "compaction must write to a new directory")
+    sizedParquet(spark.read.parquet(inPath), outPath, nFiles)
+  }
+
   /** Streaming micro-batch sink (SURVEY §2.9): `foreachBatch` bridges a
     * stream to any batch writer — the Structured Streaming form of the
     * reference's daily-refresh load. Each micro-batch arrives as a plain

@@ -25,6 +25,27 @@ class SinksSkewSpec extends AnyFunSuite {
       plan.contains("isnotnull(part"), plan)
   }
 
+  test("sizedParquet + compact: fragmented table rewritten to N even files") {
+    def parquetFiles(dir: String): Array[java.io.File] =
+      new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+    val df = spark.range(10000).select(col("id"), (col("id") % 7).as("k"))
+    val frag = Files.createTempDirectory("frag").toString + "/t"
+    // simulate the fragmented state: one file per upstream task
+    df.repartition(32).write.parquet(frag)
+    assert(parquetFiles(frag).length == 32)
+    val out = Files.createTempDirectory("compact").toString + "/t"
+    Sinks.compact(spark, frag, out, nFiles = 4)
+    val files = parquetFiles(out)
+    assert(files.length == 4)
+    // round-robin repartition → even sizes (within 25%)
+    val sizes = files.map(_.length())
+    assert(sizes.max < sizes.min * 1.25, sizes.mkString(","))
+    assert(spark.read.parquet(out).count() == 10000)
+    // data survives byte-for-byte (same multiset of rows)
+    assert(spark.read.parquet(out).except(df).isEmpty &&
+      df.except(spark.read.parquet(out)).isEmpty)
+  }
+
   test("foreachBatch sink: stream lands each micro-batch as a batch write") {
     val srcDir = Files.createTempDirectory("fb_src")
     Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("id", "tag")
