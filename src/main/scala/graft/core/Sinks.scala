@@ -66,6 +66,21 @@ object Sinks {
     sizedParquet(spark.read.parquet(inPath), outPath, nFiles)
   }
 
+  /** Clustered write: range-partition on `cols` so each output file owns
+    * a disjoint key range, and sort within files so parquet row-group
+    * min/max stats are tight. A point or range predicate on `cols` then
+    * prunes to the few files/row-groups whose range overlaps — the scan
+    * reads O(selectivity), not O(table). This is the data-layout half of
+    * scan pruning (the query half — predicate pushdown — is free); at
+    * 100 TB it is the difference between touching 2 files and 20,000. */
+  def clusteredParquet(df: DataFrame, path: String, nFiles: Int,
+      cols: Seq[String]): Unit = {
+    val keys = cols.map(org.apache.spark.sql.functions.col)
+    df.repartitionByRange(nFiles, keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** Streaming micro-batch sink (SURVEY §2.9): `foreachBatch` bridges a
     * stream to any batch writer — the Structured Streaming form of the
     * reference's daily-refresh load. Each micro-batch arrives as a plain

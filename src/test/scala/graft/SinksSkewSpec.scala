@@ -46,6 +46,40 @@ class SinksSkewSpec extends AnyFunSuite {
       df.except(spark.read.parquet(out)).isEmpty)
   }
 
+  test("clusteredParquet: files own disjoint sorted key ranges (skipping-ready)") {
+    // Row-group min/max skipping happens inside the reader; what the
+    // writer controls — and this asserts from the parquet footers — is
+    // the layout that makes skipping effective: every file (and every
+    // row group) owns a key range disjoint from all others, so a point
+    // predicate overlaps exactly one.
+    import scala.jdk.CollectionConverters._
+    val df = spark.range(20000).select(col("id"), (col("id") * 3).as("v"))
+    val dir = Files.createTempDirectory("clust").toString + "/t"
+    Sinks.clusteredParquet(df, dir, nFiles = 8, cols = Seq("id"))
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val ranges = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          val stats = r.getFooter.getBlocks.asScala
+            .flatMap(_.getColumns.asScala)
+            .filter(_.getPath.toDotString == "id").map(_.getStatistics)
+          (stats.map(_.genericGetMin.asInstanceOf[java.lang.Long].longValue).min,
+            stats.map(_.genericGetMax.asInstanceOf[java.lang.Long].longValue).max)
+        } finally r.close()
+      }.sortBy(_._1)
+    assert(ranges.length == 8)
+    // pairwise disjoint and totally ordered: max of file i < min of file i+1
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) => assert(hi < lo, ranges.mkString(","))
+      case _ =>
+    }
+    // and the full keyspace is covered
+    assert(ranges.head._1 == 0L && ranges.last._2 == 19999L)
+  }
+
   test("foreachBatch sink: stream lands each micro-batch as a batch write") {
     val srcDir = Files.createTempDirectory("fb_src")
     Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("id", "tag")
