@@ -908,6 +908,32 @@ object TextQueries {
            |SELECT w, est, n_true FROM est ORDER BY est DESC, w LIMIT 20""".stripMargin
       }),
 
+    // q88 — dense vocabulary ids: assign consecutive 1-based integer ids
+    // to distinct tokens in lexicographic order — the tokenizer-building
+    // step of a training pipeline. The classic trap is
+    // `row_number() OVER (ORDER BY token)`: an unpartitioned window that
+    // funnels the whole vocabulary through ONE task. `ops.PrefixSum`
+    // over a constant 1 gives the identical ranks from a range-partition
+    // + per-partition window + O(partitions) offset merge — dense id
+    // assignment at any vocabulary size (the Spark-first replacement for
+    // RDD zipWithIndex, which breaks the declarative plan). String keys
+    // order by binary UTF-8 in both engines.
+    QuerySpec("q88_vocab_ids",
+      (s, dir) => {
+        val vocab = Tables.load(s, dir, "documents")
+          .select(explode(Text.tokens(lower(col("text")))).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("tf"))
+          .withColumn("__one", lit(1L))
+        graft.ops.PrefixSum.cumsum(vocab, "token", "__one", "vocab_id")
+          .select(col("token"), col("tf"), col("vocab_id"))
+          .orderBy("token")
+      },
+      Some(s"""WITH tok AS (SELECT unnest($duckTokens) AS token FROM documents),
+              |g AS (SELECT token, count(*) AS tf FROM tok GROUP BY token)
+              |SELECT token, tf,
+              |  row_number() OVER (ORDER BY token) AS vocab_id
+              |FROM g ORDER BY token""".stripMargin)),
+
     // q74 — TF-IDF term ranking: per-doc term frequency (one explode +
     // groupBy shuffle), corpus document frequency (second groupBy over the
     // already-distinct doc-term pairs), score = tf·ln(N/df), top-3 terms
