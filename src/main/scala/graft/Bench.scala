@@ -25,7 +25,7 @@ object Bench {
     // A failed iteration records Double.MaxValue, never its (short)
     // elapsed time — min() must not let a fast failure report a
     // misleadingly LOW time for a half-broken query. An all-failed query
-    // therefore reports ~1.8e308, loud in the JSON, plus a "failed" list.
+    // reports -1 in the JSON (bounded width) plus a "failed" name list.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
@@ -44,11 +44,21 @@ object Bench {
       name -> times.min
     }.toMap
     val failed = results.filter(_._2 == Double.MaxValue).keys.toSeq.sorted
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The driver keeps only the last ~2000 chars of stdout and parses the
+    // JSON line out of that tail: the line MUST stay well under that
+    // budget or the parse silently fails (rounds 1-3 all had parsed=null).
+    // Short "qNN" keys + 3-decimal rounding keep ~90 queries near ~1.3KB;
+    // the full-name map goes to stderr (free-form per the contract).
+    def fmt(v: Double): String =
+      if (v == Double.MaxValue) "-1" else f"$v%.3f"
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k.split("_").head + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}""")
+    val total = results.values.filter(_ != Double.MaxValue).sum
+    System.err.println("[bench] full names: " + results.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"$k=${fmt(v)}" }.mkString(" "))
+    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,158 @@
+package graft.ops
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
+/** Connected components over an edge list — the step that turns pairwise
+  * near-duplicate hits into cluster ids (cluster = component, id = the
+  * component's minimum node id).
+  *
+  * Two interchangeable algorithms, identical output:
+  *
+  *  - [[minLabelPropagation]]: each round joins labels across edges and
+  *    takes the neighborhood min — one keyed shuffle + one aggregate per
+  *    round, O(component diameter) rounds. Simple and cheap when
+  *    components are small (the near-dup case: most clusters are pairs
+  *    or triples).
+  *
+  *  - [[alternatingStar]]: the large-star/small-star algorithm (Kiveris
+  *    et al., "Connected Components in MapReduce and Beyond", SoCC'14):
+  *    each round rewires every node toward its neighborhood minimum,
+  *    halving tree heights — O(log n) rounds regardless of diameter.
+  *    The 100 TB path when components can be long chains (e.g.
+  *    transitive near-dup drift), where propagation would need
+  *    diameter-many shuffles.
+  *
+  * Iterative-lineage discipline (load-bearing): each round's result plan
+  * references the previous round's plan SEVERAL times (joins/unions), so
+  * the logical plan grows exponentially with round count — persist()
+  * caches blocks but does NOT truncate the plan, and by ~8 rounds plan
+  * analysis alone OOMs the driver. Every round therefore ends in an
+  * eager `localCheckpoint` (truncates lineage to a materialized RDD);
+  * the previous round's blocks are unpersisted deterministically rather
+  * than waiting on driver GC + ContextCleaner. A multi-tenant cluster
+  * deployment would swap `localCheckpoint` for reliable `checkpoint`
+  * (HDFS dir) to survive executor loss; the loop shape is identical.
+  */
+object ConnectedComponents {
+
+  /** Eagerly localCheckpoints `df` and returns the checkpointed frame
+    * plus the RDDs it newly persisted (so the caller can free them once
+    * the next round is materialized). Assumes single-threaded use of the
+    * session between the before/after snapshots (true for this repo's
+    * query entry points). */
+  private def truncate(df: DataFrame): (DataFrame, Seq[RDD[_]]) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val out = df.localCheckpoint(eager = true)
+    val added = sc.getPersistentRDDs.view
+      .filterKeys(id => !before.contains(id)).values.toSeq
+    (out, added)
+  }
+
+  private def free(rdds: Seq[RDD[_]]): Unit =
+    rdds.foreach(_.unpersist(blocking = true))
+
+  /** Labels every node appearing in `edges` (cols `src`, `dst`; direction
+    * ignored, self-loops allowed and dropped) with the min node id of its
+    * component. Output: (node, cid). */
+  def minLabelPropagation(edges: DataFrame, maxRounds: Int = 30): DataFrame = {
+    val fwd = edges.select(col("src"), col("dst")).filter(col("src") =!= col("dst"))
+    val sym = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .persist(MEMORY_AND_DISK)
+    var (labels, labelRdds) = truncate(
+      sym.select(col("src")).distinct()
+        .select(col("src").as("node"), col("src").as("cid")))
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < maxRounds) {
+      val nbrMin = sym
+        .join(labels.select(col("node").as("dst"), col("cid")), "dst")
+        .groupBy("src").agg(min("cid").as("nm"))
+        .select(col("src").as("node"), col("nm"))
+      val (next, nextRdds) = truncate(
+        labels.join(nbrMin, Seq("node"), "left")
+          .select(col("node"),
+            least(col("cid"), coalesce(col("nm"), col("cid"))).as("cid")))
+      changed = next
+        .join(labels.withColumnRenamed("cid", "old"), "node")
+        .filter(col("cid") =!= col("old")).count()
+      free(labelRdds)
+      labels = next
+      labelRdds = nextRdds
+      rounds += 1
+    }
+    sym.unpersist(blocking = true)
+    labels
+  }
+
+  /** Same labeling via alternating large-star/small-star rounds.
+    *
+    * large-star: every node attaches its LARGER neighbors to the minimum
+    * of its closed neighborhood. small-star: every node attaches itself
+    * and its smaller neighbors to the minimum of its smaller-or-self
+    * closed neighborhood. Both preserve connectivity; the fixpoint is a
+    * star forest rooted at each component's minimum. */
+  def alternatingStar(edges: DataFrame, maxRounds: Int = 20): DataFrame = {
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val m = sym.groupBy("src").agg(min(col("dst")).as("mn"))
+        .select(col("src"), least(col("mn"), col("src")).as("m"))
+      sym.join(m, "src")
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      // orient every edge large→small, group by the large endpoint
+      val oriented = e
+        .select(greatest(col("src"), col("dst")).as("src"),
+          least(col("src"), col("dst")).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      val m = oriented.groupBy("src").agg(min(col("dst")).as("m"))
+      val withM = oriented.join(m, "src")
+      // attach the smaller neighbors to m, and the center to m
+      withM.filter(col("dst") =!= col("m"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .union(withM.select(col("src"), col("m").as("dst")))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+    }
+    val nodes = edges.select(col("src")).union(edges.select(col("dst")))
+      .distinct().select(col("src").as("node")).persist(MEMORY_AND_DISK)
+    var (cur, curRdds) = truncate(
+      edges.select(col("src"), col("dst"))
+        .filter(col("src") =!= col("dst")).distinct())
+    // fixpoint = edge SET unchanged; both sides are distinct, so
+    // (count, xor of a 64-bit row hash) is a one-job set fingerprint —
+    // collision odds ~2^-64 vs TWO full anti-join jobs for except().
+    def fingerprint(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(src, dst))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var curFp = fingerprint(cur)
+    var stable = false
+    var rounds = 0
+    while (!stable && rounds < maxRounds) {
+      val (next, nextRdds) = truncate(smallStar(largeStar(cur)))
+      val nextFp = fingerprint(next)
+      stable = nextFp == curFp
+      free(curRdds)
+      cur = next
+      curRdds = nextRdds
+      curFp = nextFp
+      rounds += 1
+    }
+    // star forest: every non-root points at its component min
+    val labeled = nodes
+      .join(cur.select(col("src").as("node"), col("dst").as("cid")),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("cid"), col("node")).as("cid"))
+    nodes.unpersist(blocking = true)
+    labeled
+  }
+}

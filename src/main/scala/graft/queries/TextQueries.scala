@@ -804,9 +804,6 @@ object TextQueries {
         val cand = minhashCandidates(Tables.load(s, dir, "documents"))
           .persist(MEMORY_AND_DISK)
         val fwd = cand.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        val edges = fwd
-          .union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-          .persist(MEMORY_AND_DISK)
         // Materialize the corpus-scale LSH pipeline at the session's full
         // shuffle parallelism + AQE, THEN retune for the iterative phase:
         // the edge/label sets are candidate-sized (≪ corpus), so each
@@ -815,7 +812,7 @@ object TextQueries {
         // conversion adds ~0.4s/round of pure scheduling at this size
         // (rounds are short-lived plans — there is nothing for AQE to
         // adapt). Same knobs a cluster deployment would turn per phase.
-        edges.count()
+        cand.count()
         val pKey = "spark.sql.shuffle.partitions"
         val aKey = "spark.sql.adaptive.enabled"
         val pPrev = s.conf.get(pKey)
@@ -823,29 +820,8 @@ object TextQueries {
         s.conf.set(pKey, "4")
         s.conf.set(aKey, "false")
         try {
-          var labels = edges.select(col("src")).distinct()
-            .select(col("src").as("doc_id"), col("src").as("cid"))
-            .persist(MEMORY_AND_DISK)
-          var changed = 1L
-          var rounds = 0
-          while (changed > 0 && rounds < 30) {
-            val nbrMin = edges
-              .join(labels.select(col("doc_id").as("dst"), col("cid")), "dst")
-              .groupBy("src").agg(min("cid").as("nm"))
-              .select(col("src").as("doc_id"), col("nm"))
-            val next = labels
-              .join(nbrMin, Seq("doc_id"), "left")
-              .select(col("doc_id"),
-                least(col("cid"), coalesce(col("nm"), col("cid"))).as("cid"))
-              .persist(MEMORY_AND_DISK)
-            changed = next
-              .join(labels.withColumnRenamed("cid", "old"), "doc_id")
-              .filter(col("cid") =!= col("old")).count()
-            labels.unpersist()
-            labels = next
-            rounds += 1
-          }
-          labels.select(col("doc_id"), col("cid").as("cluster_id"))
+          graft.ops.ConnectedComponents.minLabelPropagation(fwd)
+            .select(col("node").as("doc_id"), col("cid").as("cluster_id"))
             .orderBy("doc_id")
         } finally { s.conf.set(pKey, pPrev); s.conf.set(aKey, aPrev) }
       },

@@ -155,6 +155,52 @@ object GraftProperties extends Properties("graft") {
       got == want
     }
 
+  // Both connected-components algorithms must label every node with its
+  // component minimum — checked against a sequential union-find on random
+  // graphs (chains, cliques, isolated pairs, self-loops all arise).
+  private val edgesGen: Gen[List[(Long, Long)]] =
+    Gen.listOfN(16, for {
+      a <- Gen.choose(0L, 11L)
+      b <- Gen.choose(0L, 11L)
+    } yield (a, b)).suchThat(_.exists { case (a, b) => a != b })
+
+  private def unionFind(edges: List[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(n => n -> find(n)).toMap
+  }
+
+  property("ConnectedComponents.minLabelPropagation matches union-find") =
+    forAll(edgesGen) { edges =>
+      val df = edges.toDF("src", "dst")
+      val got = graft.ops.ConnectedComponents.minLabelPropagation(df)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      spark.catalog.clearCache()
+      val want = unionFind(edges.filter { case (a, b) => a != b })
+      got == want
+    }
+
+  property("ConnectedComponents.alternatingStar matches union-find") =
+    forAll(edgesGen) { edges =>
+      val df = edges.toDF("src", "dst")
+      val got = graft.ops.ConnectedComponents.alternatingStar(df)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      spark.catalog.clearCache()
+      // alternatingStar labels all nodes incl. self-loop-only ones; the
+      // union-find reference only tracks nodes on a real edge, so compare
+      // on the union-find's domain and require self-labels elsewhere
+      val want = unionFind(edges.filter { case (a, b) => a != b })
+      want.forall { case (n, c) => got.get(n).contains(c) } &&
+        got.forall { case (n, c) => want.contains(n) || c == n }
+    }
+
   property("fitThumb: never upscales, long side lands exactly on 256") =
     forAll(Gen.choose(1, 4000), Gen.choose(1, 4000)) { (w, h) =>
       val (tw, th) = graft.functions.Multimodal.fitThumb(w, h)
