@@ -199,6 +199,9 @@ object RefQueries {
           Stable.dsum(col("l_extendedprice"), 2).as("sum_base"),
           revenue.as("sum_disc_price"),
           count(lit(1)).as("count_order"))
+          // tiny result, expensive child: persist so the range-sampling
+          // pass doesn't re-run the decimal aggregation (NOTES perf rule)
+          .persist()
           .orderBy("l_returnflag", "l_linestatus"),
       Some("""SELECT l_returnflag, l_linestatus,
              | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -348,6 +351,7 @@ object RefQueries {
           .rollup(col("r_name"), col("n_name"))
           .agg(sum(col("g_rev")).cast("double").as("revenue"),
             sum(col("g_n")).as("n_items"))
+          .persist()
           .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first),
       Some("""SELECT r_name, n_name,
              | CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
@@ -474,6 +478,7 @@ object RefQueries {
           .cube(col("o_orderpriority"), col("l_returnflag"))
           .agg(sum(col("g_rev")).cast("double").as("revenue"),
             sum(col("g_n")).as("n_items"))
+          .persist()
           .orderBy(col("o_orderpriority").asc_nulls_first,
             col("l_returnflag").asc_nulls_first),
       Some("""SELECT o_orderpriority, l_returnflag,
@@ -493,6 +498,9 @@ object RefQueries {
           round(expr("percentile(l_quantity, 0.5)"), 6).as("p50_qty"),
           round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90_price"),
           count(lit(1)).as("n"))
+          // 3-row result, exact-percentile child: persist so the sort's
+          // sampling pass doesn't re-run the value-buffering aggregate
+          .persist()
           .orderBy("l_returnflag"),
       Some("""SELECT l_returnflag,
              | round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
@@ -647,6 +655,9 @@ object RefQueries {
               count(lit(1)).over(frame), 4).as("mov_avg3"),
             datediff(to_date(col("o_orderdate")),
               to_date(lag(col("o_orderdate"), 1).over(byCust))).as("gap_days"))
+          // persist so the final sort's sampling pass reads the window
+          // output instead of re-running both window passes
+          .persist()
           .orderBy("o_custkey", "o_orderkey")
       },
       Some("""SELECT o_custkey, o_orderkey, o_orderdate,

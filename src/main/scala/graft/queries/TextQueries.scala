@@ -79,6 +79,50 @@ object TextQueries {
   private def minhashCandidates(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     candidatesFromSig(minhashSig(docs))
 
+  /** Sorted-neighborhood (SNM) candidate pairs shared by q72/q89: within
+    * each (lang, length-bucket) block, sort by the normalized 30-char
+    * prefix and pair each doc with its next `w` neighbors only, keeping
+    * pairs whose prefix edit distance is ≤ 10 (banded levenshtein — see
+    * NOTES round-3). Linear O(n·w) pair space; each position pair is
+    * emitted once, (least, greatest) normalizes orientation. */
+  private def snmPairs(docs: org.apache.spark.sql.DataFrame, w: Int = 5): org.apache.spark.sql.DataFrame = {
+    val base = docs
+      .select(col("lang"), expr("CAST(length(text) AS BIGINT) DIV 100").as("lb"),
+        col("doc_id"), substring(Text.normalize(col("text")), 1, 30).as("pfx"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang", "lb").orderBy("pfx", "doc_id")
+    val leads = (1 to w).map(k => struct(
+      lead(col("doc_id"), k).over(win).as("id2"),
+      lead(col("pfx"), k).over(win).as("p2")))
+    base
+      // window exprs and the generator can't share one projection —
+      // materialize the lead array first, explode in the next select
+      .select(col("doc_id"), col("pfx"), array(leads: _*).as("nbs"))
+      .select(col("doc_id"), col("pfx"), explode(col("nbs")).as("nb"))
+      .filter(col("nb.id2").isNotNull)
+      .select(least(col("doc_id"), col("nb.id2")).as("doc_a"),
+        greatest(col("doc_id"), col("nb.id2")).as("doc_b"),
+        levenshtein(col("pfx"), col("nb.p2"), 10).as("dist"))
+      .filter(col("dist") >= 0)
+  }
+
+  /** DuckDB CTE chain mirroring [[snmPairs]] (w=5); no `WITH` prefix so
+    * it composes after other chains. Ends with `snm(doc_a, doc_b, dist)`. */
+  private val duckSnmCtes: String =
+    """snmb AS (SELECT doc_id, lang, length(text) // 100 AS lb,
+      |    substr(lower(regexp_replace(text, '\s+', ' ', 'g')), 1, 30) AS pfx
+      |  FROM documents),
+      |snmr AS (SELECT doc_id, pfx, lang, lb,
+      |    row_number() OVER (PARTITION BY lang, lb ORDER BY pfx, doc_id) AS rn
+      |  FROM snmb),
+      |snm AS (SELECT least(a.doc_id, c.doc_id) AS doc_a,
+      |    greatest(a.doc_id, c.doc_id) AS doc_b,
+      |    CAST(levenshtein(a.pfx, c.pfx) AS INTEGER) AS dist
+      |  FROM snmr a JOIN snmr c
+      |    ON a.lang = c.lang AND a.lb = c.lb
+      |    AND c.rn BETWEEN a.rn + 1 AND a.rn + 5
+      |  WHERE levenshtein(a.pfx, c.pfx) <= 10)""".stripMargin
+
   /** DuckDB CTE chain mirroring [[minhashCandidates]] exactly, generated
     * from the same constants. Ends with `cand(doc_a, doc_b)`; also exposes
     * `ex(doc_id, sh)` for the Jaccard verify. */
@@ -599,17 +643,20 @@ object TextQueries {
     // sort order is binary in both.
     QuerySpec("q57_array_funcs",
       (s, dir) => {
-        val words = Text.tokens(col("text"))
         // sort the narrow base first: keeps the array work out of the
-        // range-partitioner sampling pass (NOTES perf rule)
+        // range-partitioner sampling pass (NOTES perf rule), and bind the
+        // tokenization to a real column before fanning out — inlining it
+        // into the five array exprs re-tokenizes per reference (HOF
+        // lambdas defeat subexpression elimination, NOTES perf rule)
         Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
           .orderBy("doc_id")
+          .select(col("doc_id"), Text.tokens(col("text")).as("words"))
           .select(col("doc_id"),
-            size(array_distinct(words)).as("n_distinct"),
-            array_join(slice(words, 1, 5), "-").as("head5"),
-            array_max(transform(words, w => length(w))).as("longest"),
-            size(filter(words, w => length(w) > 6)).as("n_long"),
-            array_join(slice(sort_array(words), 1, 3), " ").as("first3_sorted"))
+            size(array_distinct(col("words"))).as("n_distinct"),
+            array_join(slice(col("words"), 1, 5), "-").as("head5"),
+            array_max(transform(col("words"), w => length(w))).as("longest"),
+            size(filter(col("words"), w => length(w) > 6)).as("n_long"),
+            array_join(slice(sort_array(col("words")), 1, 3), " ").as("first3_sorted"))
       },
       Some("""SELECT doc_id,
              | CAST(len(list_distinct(words)) AS INTEGER) AS n_distinct,
@@ -749,42 +796,10 @@ object TextQueries {
     // them into sub-blocks with a w-row overlap (boundary pairs are
     // preserved by the replicated overlap) before the window.
     QuerySpec("q72_sorted_neighborhood",
-      (s, dir) => {
-        val w = 5
-        val base = Tables.load(s, dir, "documents")
-          .select(col("lang"), expr("CAST(length(text) AS BIGINT) DIV 100").as("lb"),
-            col("doc_id"), substring(Text.normalize(col("text")), 1, 30).as("pfx"))
-        val win = org.apache.spark.sql.expressions.Window
-          .partitionBy("lang", "lb").orderBy("pfx", "doc_id")
-        val leads = (1 to w).map(k => struct(
-          lead(col("doc_id"), k).over(win).as("id2"),
-          lead(col("pfx"), k).over(win).as("p2")))
-        base
-          // window exprs and the generator can't share one projection —
-          // materialize the lead array first, explode in the next select
-          .select(col("doc_id"), col("pfx"), array(leads: _*).as("nbs"))
-          .select(col("doc_id"), col("pfx"), explode(col("nbs")).as("nb"))
-          .filter(col("nb.id2").isNotNull)
-          .select(least(col("doc_id"), col("nb.id2")).as("doc_a"),
-            greatest(col("doc_id"), col("nb.id2")).as("doc_b"),
-            levenshtein(col("pfx"), col("nb.p2"), 10).as("dist"))
-          .filter(col("dist") >= 0)
-          .orderBy("doc_a", "doc_b")
-      },
-      Some("""WITH b AS (SELECT doc_id, lang, length(text) // 100 AS lb,
-             |    substr(lower(regexp_replace(text, '\s+', ' ', 'g')), 1, 30) AS pfx
-             |  FROM documents),
-             |r AS (SELECT doc_id, pfx, lang, lb,
-             |    row_number() OVER (PARTITION BY lang, lb ORDER BY pfx, doc_id) AS rn
-             |  FROM b)
-             |SELECT least(a.doc_id, c.doc_id) AS doc_a,
-             |  greatest(a.doc_id, c.doc_id) AS doc_b,
-             |  CAST(levenshtein(a.pfx, c.pfx) AS INTEGER) AS dist
-             |FROM r a JOIN r c
-             |  ON a.lang = c.lang AND a.lb = c.lb
-             |  AND c.rn BETWEEN a.rn + 1 AND a.rn + 5
-             |WHERE levenshtein(a.pfx, c.pfx) <= 10
-             |ORDER BY doc_a, doc_b""".stripMargin)),
+      (s, dir) => snmPairs(Tables.load(s, dir, "documents"))
+        .orderBy("doc_a", "doc_b"),
+      Some(s"""WITH $duckSnmCtes
+             |SELECT doc_a, doc_b, dist FROM snm ORDER BY doc_a, doc_b""".stripMargin)),
 
     // q76 — dedup clusters: connected components over the minhash
     // candidate pairs (q29's edges), the step that turns pairwise
@@ -980,5 +995,52 @@ object TextQueries {
            |FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a
            |            JOIN sig sb ON sb.doc_id = c.doc_b
            |ORDER BY doc_a, doc_b""".stripMargin
-      }))
+      }),
+
+    // q89 — multi-signal dedup clustering: union the candidate pairs from
+    // TWO independent near-dup signals (minhash-LSH shingle overlap +
+    // sorted-neighborhood prefix edit distance — real pipelines OR their
+    // signals, since each detector has blind spots), then label clusters
+    // with the large-star/small-star connected-components variant:
+    // O(log n) rounds regardless of component diameter, vs label
+    // propagation's O(diameter) in q76 — the 100 TB path when transitive
+    // near-dup drift chains components. `keep` marks the cluster survivor
+    // (min doc_id). Same per-phase retuning as q76: the corpus-scale
+    // candidate generation materializes at full parallelism, the
+    // candidate-sized iterative phase drops to 4 partitions with AQE off.
+    QuerySpec("q89_multi_signal_clusters",
+      (s, dir) => {
+        import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        val docs = Tables.load(s, dir, "documents")
+        val edges = minhashCandidates(docs)
+          .union(snmPairs(docs).select(col("doc_a"), col("doc_b")))
+          .distinct()
+          .persist(MEMORY_AND_DISK)
+        edges.count()
+        val pKey = "spark.sql.shuffle.partitions"
+        val aKey = "spark.sql.adaptive.enabled"
+        val pPrev = s.conf.get(pKey)
+        val aPrev = s.conf.get(aKey)
+        s.conf.set(pKey, "4")
+        s.conf.set(aKey, "false")
+        try {
+          graft.ops.ConnectedComponents.alternatingStar(
+              edges.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+            .select(col("node").as("doc_id"), col("cid").as("cluster_id"),
+              (col("node") === col("cid")).as("keep"))
+            .orderBy("doc_id")
+        } finally { s.conf.set(pKey, pPrev); s.conf.set(aKey, aPrev) }
+      },
+      Some(s"""${duckMinhashCtes.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+              |$duckSnmCtes,
+              |allcand AS (SELECT doc_a, doc_b FROM cand
+              |            UNION SELECT doc_a, doc_b FROM snm),
+              |edges AS (SELECT doc_a AS a, doc_b AS b FROM allcand
+              |          UNION SELECT doc_b, doc_a FROM allcand),
+              |reach AS (SELECT a AS src, b AS dst FROM edges
+              |          UNION
+              |          SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+              |SELECT src AS doc_id, CAST(least(src, min(dst)) AS BIGINT) AS cluster_id,
+              |  src = least(src, min(dst)) AS keep
+              |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin)))
 }
