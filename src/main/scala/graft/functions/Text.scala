@@ -103,6 +103,31 @@ object Text {
   def hash32(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
+  /** Content-defined chunking, boundary half: 1-based positions of tokens
+    * whose portable hash ≡ 0 (mod `mod`) — a chunk ends at each such
+    * token (expected chunk length ≈ mod). Boundaries depend only on the
+    * token itself, so chunking is SHIFT-INVARIANT: an edit perturbs at
+    * most the chunk it lands in and re-aligns at the next boundary
+    * (asserted in TextSpec). Bind the result to a real column before
+    * [[cdcChunks]] — it is referenced twice there and HOF lambdas defeat
+    * subexpression elimination. */
+  def cdcBoundaries(tk: Column, mod: Int = 13): Column =
+    filter(sequence(lit(1), size(tk)),
+      i => hash32(element_at(tk, i)) % mod === 0)
+
+  /** Content-defined chunking, assembly half: chunk ranges from BOUND
+    * token-array + boundary-position columns, as an array of
+    * struct(s, e, chunk) over inclusive 1-based [s..e]; callers drop
+    * empty ranges with e >= s. Per-chunk `slice` copies partition the
+    * token array, so total work is O(tokens) (unlike per-element slice,
+    * NOTES perf rule). */
+  def cdcChunks(tk: Column, bpos: Column): Column =
+    zip_with(
+      concat(array(lit(1)), transform(bpos, p => p + 1)),
+      concat(bpos, array(size(tk))),
+      (a, b) => struct(a.as("s"), b.as("e"),
+        concat_ws(" ", slice(tk, a, b - a + 1)).as("chunk")))
+
   /** Character-trigram language profiles — the n-gram half of the lang-ID
     * mandate (q67; [[langMarkers]]/q27 is the word-marker half). Scores
     * are chars removed by non-overlapping left-to-right replace of each

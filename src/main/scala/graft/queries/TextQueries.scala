@@ -1042,5 +1042,96 @@ object TextQueries {
               |          SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
               |SELECT src AS doc_id, CAST(least(src, min(dst)) AS BIGINT) AS cluster_id,
               |  src = least(src, min(dst)) AS keep
-              |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin)))
+              |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin)),
+
+    // q90 — benchmark decontamination: flag training documents that share
+    // any long n-gram (8-gram shingle) with an eval/benchmark set — the
+    // standard pre-training contamination check. The eval set here is the
+    // doc_id % 7 == 0 slice (standing in for an external benchmark
+    // corpus). Scale shape: the probe side is benchmark-sized — BOUNDED
+    // by the eval corpus, independent of training-corpus scale — so
+    // broadcast is honest at 100 TB (unlike corpus-proportional tables);
+    // the training side streams through one scan + one hash join, and
+    // the eval filter is pushed into its own scan (each branch scans
+    // only its slice).
+    QuerySpec("q90_decontamination",
+      (s, dir) => {
+        val sh = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), Text.tokens(lower(col("text"))).as("tk"))
+          .select(col("doc_id"),
+            explode(Text.shinglesFromTokens(col("tk"), 8)).as("sh"))
+        val probes = sh.filter(col("doc_id") % 7 === 0)
+          .select("sh").distinct()
+        sh.filter(col("doc_id") % 7 =!= 0)
+          .join(broadcast(probes), "sh")
+          .groupBy("doc_id").agg(countDistinct(col("sh")).as("n_hits"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val cat8 = (0 until 8).map(j => s"w[i+$j]").mkString(" || ' ' || ")
+        s"""WITH toks AS (SELECT doc_id, $duckTokens AS w FROM documents),
+           |sh AS (SELECT doc_id, $cat8 AS sh
+           |       FROM toks, UNNEST(generate_series(1, len(w) - 7)) AS t(i)),
+           |probes AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 7 = 0)
+           |SELECT doc_id, count(DISTINCT sh.sh) AS n_hits
+           |FROM sh JOIN probes USING (sh)
+           |WHERE doc_id % 7 <> 0
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      }),
+
+    // q91 — duplicated text spans via content-defined chunking (CDC): cut
+    // every document at content-determined token boundaries (token hash
+    // % 13 == 0, expected ~13-token chunks), hash each chunk, and report
+    // chunks that occur more than once across the corpus — exact
+    // substring-level dedup, the rsync/dataset-dedup shape that catches
+    // shared passages exact-doc dedup (q24) misses. Content-defined
+    // boundaries make chunking SHIFT-INVARIANT: an insertion early in a
+    // document changes only the chunk it lands in, so shared suffixes
+    // still hash identically — a fixed-width splitter would misalign
+    // every later chunk. Scale shape: all chunking is scan-local HOF work
+    // (boundary positions partition the token array, so the per-chunk
+    // slices total O(tokens)); the only shuffle is the final
+    // groupBy(chunk_hash), which scales with corpus size exactly like
+    // exact dedup. The portable md5-based hash32 keeps both engines'
+    // boundaries bit-identical.
+    QuerySpec("q91_cdc_chunks",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        // three separate projections so the token array and boundary
+        // positions are bound ONCE each (multiply-referenced non-cheap
+        // exprs defeat CollapseProject, so these stay distinct operators)
+        val toks = docs.select(col("doc_id"), Text.tokens(lower(col("text"))).as("tk"))
+        val withB = toks.select(col("doc_id"), col("tk"),
+          Text.cdcBoundaries(col("tk"), 13).as("bpos"))
+        val chunks = withB
+          .select(col("doc_id"),
+            explode(Text.cdcChunks(col("tk"), col("bpos"))).as("c"))
+          .filter(col("c.e") >= col("c.s") && col("c.chunk") =!= "")
+        chunks
+          .select(col("doc_id"), md5(col("c.chunk")).as("chunk_hash"),
+            (col("c.e") - col("c.s") + 1).cast("int").as("n_toks"))
+          .groupBy("chunk_hash")
+          .agg(countDistinct(col("doc_id")).as("n_docs"),
+            count(lit(1)).as("n_occ"), min(col("n_toks")).as("n_toks"))
+          .filter(col("n_occ") > 1)
+          .orderBy("chunk_hash")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $duckTokens AS w FROM documents),
+              |bp AS (SELECT doc_id, w,
+              |  list_filter(generate_series(1, len(w)),
+              |    i -> (CAST('0x'||substr(md5(w[i]),1,8) AS BIGINT)) % 13 = 0) AS bpos
+              |  FROM toks),
+              |se AS (SELECT doc_id, w,
+              |  list_prepend(1, list_transform(bpos, p -> p + 1)) AS starts,
+              |  list_append(bpos, len(w)) AS ends FROM bp),
+              |ch AS (SELECT doc_id, array_to_string(w[se2[1]:se2[2]], ' ') AS chunk,
+              |    CAST(se2[2] - se2[1] + 1 AS INTEGER) AS n_toks
+              |  FROM se, UNNEST(list_zip(starts, ends)) AS t(se2)
+              |  WHERE se2[2] >= se2[1]),
+              |h AS (SELECT doc_id, md5(chunk) AS chunk_hash, n_toks
+              |  FROM ch WHERE chunk <> '')
+              |SELECT chunk_hash, count(DISTINCT doc_id) AS n_docs,
+              |  count(*) AS n_occ, CAST(min(n_toks) AS INTEGER) AS n_toks
+              |FROM h GROUP BY chunk_hash HAVING count(*) > 1
+              |ORDER BY chunk_hash""".stripMargin)))
 }

@@ -47,4 +47,39 @@ class TextSpec extends AnyFunSuite {
       .as[(Int, Int)].collect().head
     assert(r == ((1, 2)))
   }
+
+  private def chunksOf(texts: String*): Seq[Seq[String]] = {
+    val df = texts.toDF("text")
+      .select(Text.tokens(lower(col("text"))).as("tk"))
+      .select(col("tk"), Text.cdcBoundaries(col("tk"), 3).as("bpos"))
+      .select(filter(Text.cdcChunks(col("tk"), col("bpos")),
+        c => c.getField("e") >= c.getField("s") && c.getField("chunk") =!= "")
+        .as("cs"))
+      .select(transform(col("cs"), c => c.getField("chunk")).as("chunks"))
+    df.as[Seq[String]].collect().toSeq
+  }
+
+  test("cdc chunks: reassembly covers the document exactly") {
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val Seq(cs) = chunksOf(text)
+    assert(cs.size > 1) // mod=3 must cut a 20-token doc at least once
+    assert(cs.mkString(" ") == text)
+  }
+
+  test("cdc chunks: shift-invariant — an early insertion leaves the tail aligned") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega " +
+      "one two three four five six seven eight nine ten"
+    val edited = "INSERTED " + base
+    val Seq(orig, mod) = chunksOf(base, edited)
+    // content-defined boundaries re-align after the chunk containing the
+    // edit: the trailing chunks must match verbatim, with at most the
+    // first chunk differing (a fixed-width splitter would misalign all)
+    val commonSuffix = orig.reverse.zip(mod.reverse)
+      .takeWhile { case (a, b) => a == b }.size
+    assert(orig.size > 2, s"need several chunks, got $orig")
+    assert(commonSuffix >= orig.size - 1,
+      s"suffix $commonSuffix of ${orig.size}: $orig vs $mod")
+  }
 }
