@@ -72,20 +72,22 @@ object ConnectedComponents {
         .join(labels.select(col("node").as("dst"), col("cid")), "dst")
         .groupBy("src").agg(min("cid").as("nm"))
         .select(col("src").as("node"), col("nm"))
+      // carry the changed flag inside the round's result: the checkpoint
+      // materializes it for free, and the convergence count reads the
+      // materialized RDD — no second join against the old labels
       val (next, nextRdds) = truncate(
         labels.join(nbrMin, Seq("node"), "left")
           .select(col("node"),
-            least(col("cid"), coalesce(col("nm"), col("cid"))).as("cid")))
-      changed = next
-        .join(labels.withColumnRenamed("cid", "old"), "node")
-        .filter(col("cid") =!= col("old")).count()
+            least(col("cid"), coalesce(col("nm"), col("cid"))).as("cid"),
+            (col("nm").isNotNull && col("nm") < col("cid")).as("chg")))
+      changed = next.filter(col("chg")).count()
       free(labelRdds)
       labels = next
       labelRdds = nextRdds
       rounds += 1
     }
     sym.unpersist(blocking = true)
-    labels
+    labels.select(col("node"), col("cid"))
   }
 
   /** Same labeling via alternating large-star/small-star rounds.
@@ -95,16 +97,19 @@ object ConnectedComponents {
     * and its smaller neighbors to the minimum of its smaller-or-self
     * closed neighborhood. Both preserve connectivity; the fixpoint is a
     * star forest rooted at each component's minimum. */
-  def alternatingStar(edges: DataFrame, maxRounds: Int = 20): DataFrame = {
+  def alternatingStar(edges: DataFrame, maxRounds: Int = 20,
+      assumeDistinct: Boolean = false): DataFrame = {
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       val m = sym.groupBy("src").agg(min(col("dst")).as("mn"))
         .select(col("src"), least(col("mn"), col("src")).as("m"))
+      // no distinct here: duplicate edges don't change smallStar's mins
+      // and its final distinct dedups the round's output — one fewer
+      // shuffle per round
       sym.join(m, "src")
         .filter(col("dst") > col("src"))
         .select(col("dst").as("src"), col("m").as("dst"))
         .filter(col("src") =!= col("dst"))
-        .distinct()
     }
     def smallStar(e: DataFrame): DataFrame = {
       // orient every edge large→small, group by the large endpoint
@@ -123,9 +128,11 @@ object ConnectedComponents {
     }
     val nodes = edges.select(col("src")).union(edges.select(col("dst")))
       .distinct().select(col("src").as("node")).persist(MEMORY_AND_DISK)
-    var (cur, curRdds) = truncate(
-      edges.select(col("src"), col("dst"))
-        .filter(col("src") =!= col("dst")).distinct())
+    val base = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+    // callers that already hold a distinct edge set (e.g. a distinct()'d
+    // candidate union) skip the extra dedup shuffle
+    var (cur, curRdds) = truncate(if (assumeDistinct) base else base.distinct())
     // fixpoint = edge SET unchanged; both sides are distinct, so
     // (count, xor of a 64-bit row hash) is a one-job set fingerprint —
     // collision odds ~2^-64 vs TWO full anti-join jobs for except().

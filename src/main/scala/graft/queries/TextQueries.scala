@@ -1025,7 +1025,8 @@ object TextQueries {
         s.conf.set(aKey, "false")
         try {
           graft.ops.ConnectedComponents.alternatingStar(
-              edges.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+              edges.select(col("doc_a").as("src"), col("doc_b").as("dst")),
+              assumeDistinct = true)
             .select(col("node").as("doc_id"), col("cid").as("cluster_id"),
               (col("node") === col("cid")).as("keep"))
             .orderBy("doc_id")

@@ -289,5 +289,89 @@ object VectorQueries {
               |JOIN embeddings ea ON ea.vec_id = c.vec_a
               |JOIN embeddings eb ON eb.vec_id = c.vec_b
               |WHERE round(${duckCos("ea.embedding", "eb.embedding")}, 6) > 0.4
-              |ORDER BY c.vec_a, c.vec_b""".stripMargin)))
+              |ORDER BY c.vec_a, c.vec_b""".stripMargin)),
+
+    // q92 — product quantization (PQ): split each 64-dim vector into 4
+    // independent 16-dim subspaces, learn a tiny per-subspace codebook
+    // (k=4, one Lloyd iteration from the same deterministic seeds as
+    // q56), and encode every vector as 4 small codes + its summed
+    // quantization error. PQ is the memory side of large-scale ANN
+    // (IVF=q56/q59 bounds candidates, PQ shrinks residency ~64×: 4 bytes
+    // vs 64 floats); at 100 TB the codebook is k·m tiny rows — the other
+    // honestly-broadcastable table — while vectors stream through
+    // assignment, and encoded tables join/scan at byte width. L2 (the PQ
+    // metric) folds squared diffs in index order after float→double
+    // widening, so distances are bit-identical across engines before the
+    // 6-decimal round; code ties break on cent_id; the error sum is
+    // decimal-stabilized (NOTES rule 1).
+    QuerySpec("q92_pq_encode",
+      (s, dir) => {
+        val m = 4
+        val sd = dim / m
+        val emb = Tables.load(s, dir, "embeddings")
+        val sv = emb.select(col("vec_id"), explode(expr(
+            s"transform(sequence(0, ${m - 1}), s -> struct(s AS sub, slice(embedding, s*$sd + 1, $sd) AS v))")).as("x"))
+          .select(col("vec_id"), col("x.sub").as("sub"), col("x.v").as("v"))
+          .persist()
+        def l2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+          aggregate(
+            zip_with(a, b, (x, y) =>
+              (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+            lit(0.0), (acc, x) => acc + x)
+        val c0 = sv.filter(col("vec_id") < m)
+          .select(col("sub"), col("vec_id").cast("int").as("cent_id"), col("v").as("cv"))
+        def assign(cents: DataFrame): DataFrame = {
+          val w = Window.partitionBy("vec_id", "sub")
+            .orderBy(col("d").asc, col("cent_id"))
+          sv.join(broadcast(cents), "sub")
+            .select(col("vec_id"), col("sub"), col("v"), col("cent_id"),
+              round(l2(col("v"), col("cv")), 6).as("d"))
+            .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+            .select(col("vec_id"), col("sub"), col("v"), col("cent_id"), col("d"))
+        }
+        def update(assigned: DataFrame): DataFrame = assigned
+          .select(col("sub"), col("cent_id"), posexplode(col("v")))
+          .groupBy("sub", "cent_id", "pos")
+          .agg((sum(col("col").cast("double").cast("decimal(18,9)")).cast("double") /
+            count(lit(1))).as("cv1"))
+          .groupBy("sub", "cent_id")
+          .agg(expr("transform(array_sort(collect_list(struct(pos, cv1))), x -> x.cv1)")
+            .as("cv"))
+          .persist()
+        assign(update(assign(c0)))
+          .groupBy("vec_id")
+          .agg(
+            expr("array_join(transform(array_sort(collect_list(struct(sub, cent_id))), x -> CAST(x.cent_id AS STRING)), '-')")
+              .as("pq_code"),
+            round(sum(col("d").cast("decimal(18,6)")).cast("double"), 6).as("q_err"))
+          .orderBy("vec_id")
+      },
+      Some {
+        val sd = dim / 4
+        def l2(a: String, b: String): String =
+          s"list_sum(list_transform(generate_series(1, $sd), i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))))"
+        s"""WITH sv AS (SELECT vec_id, s AS sub, embedding[s*$sd+1 : s*$sd+$sd] AS v
+           |  FROM embeddings, UNNEST(generate_series(0, 3)) t(s)),
+           |c0 AS (SELECT sub, CAST(vec_id AS INTEGER) AS cent_id, v AS cv
+           |  FROM sv WHERE vec_id < 4),
+           |a0 AS (SELECT vec_id, sub, v, cent_id FROM (
+           |  SELECT sv.vec_id, sv.sub, sv.v, c.cent_id,
+           |    row_number() OVER (PARTITION BY sv.vec_id, sv.sub
+           |      ORDER BY round(${l2("sv.v", "c.cv")}, 6) ASC, c.cent_id) AS rn
+           |  FROM sv JOIN c0 c USING (sub)) WHERE rn = 1),
+           |u AS (SELECT sub, cent_id, i,
+           |    CAST(SUM(CAST(CAST(v[i] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS cv1
+           |  FROM a0, generate_series(1, $sd) t(i) GROUP BY sub, cent_id, i),
+           |c1 AS (SELECT sub, cent_id, list(cv1 ORDER BY i) AS cv FROM u GROUP BY sub, cent_id),
+           |a1 AS (SELECT vec_id, sub, cent_id, d FROM (
+           |  SELECT sv.vec_id, sv.sub, c.cent_id,
+           |    round(${l2("sv.v", "c.cv")}, 6) AS d,
+           |    row_number() OVER (PARTITION BY sv.vec_id, sv.sub
+           |      ORDER BY round(${l2("sv.v", "c.cv")}, 6) ASC, c.cent_id) AS rn
+           |  FROM sv JOIN c1 c USING (sub)) WHERE rn = 1)
+           |SELECT vec_id,
+           |  string_agg(CAST(cent_id AS VARCHAR), '-' ORDER BY sub) AS pq_code,
+           |  round(CAST(SUM(CAST(d AS DECIMAL(18,6))) AS DOUBLE), 6) AS q_err
+           |FROM a1 GROUP BY vec_id ORDER BY vec_id""".stripMargin
+      }))
 }
