@@ -23,6 +23,88 @@ object VectorQueries {
   private def duckCos(a: String, b: String): String =
     s"${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)}))"
 
+  // --- product quantization (q92/q93): pqM subspaces × pqSd dims, k=pqM
+  // centroids per subspace, one Lloyd iteration from the vec_id < pqM
+  // seeds (the q56 determinism pattern, per subspace) ---
+  private val pqM = 4
+  private val pqSd = dim / pqM
+
+  /** (vec_id, sub, v): vectors split into pqM subvectors. Callers persist
+    * — every PQ consumer references it several times. */
+  private def pqSubvectors(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), explode(expr(
+        s"transform(sequence(0, ${pqM - 1}), s -> struct(s AS sub, slice(embedding, s*$pqSd + 1, $pqSd) AS v))")).as("x"))
+      .select(col("vec_id"), col("x.sub").as("sub"), col("x.v").as("v"))
+
+  /** Index-order L2² fold after float→double widening — bit-identical to
+    * [[duckPqL2]] (same mechanism as Vectors.dot / NOTES rule 3). */
+  private def pqL2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Nearest codebook entry per (vec_id, sub): (vec_id, sub, v, cent_id,
+    * d); ties on rounded distance break toward the lower cent_id. */
+  private def pqAssign(sv: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id", "sub").orderBy(col("d").asc, col("cent_id"))
+    sv.join(broadcast(cents), "sub")
+      .select(col("vec_id"), col("sub"), col("v"), col("cent_id"),
+        round(pqL2(col("v"), col("cv")), 6).as("d"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("sub"), col("v"), col("cent_id"), col("d"))
+  }
+
+  /** One-Lloyd-iteration per-subspace codebook: (sub, cent_id, cv),
+    * persisted (tiny: pqM² rows; at any corpus scale it stays k·m rows —
+    * honestly broadcastable). */
+  private def pqCodebook(sv: DataFrame): DataFrame = {
+    val c0 = sv.filter(col("vec_id") < pqM)
+      .select(col("sub"), col("vec_id").cast("int").as("cent_id"), col("v").as("cv"))
+    pqAssign(sv, c0)
+      .select(col("sub"), col("cent_id"), posexplode(col("v")))
+      .groupBy("sub", "cent_id", "pos")
+      .agg((sum(col("col").cast("double").cast("decimal(18,9)")).cast("double") /
+        count(lit(1))).as("cv1"))
+      .groupBy("sub", "cent_id")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, cv1))), x -> x.cv1)")
+        .as("cv"))
+      .persist()
+  }
+
+  /** Full PQ encoding: per (vec_id, sub) the learned code + distance. */
+  private def pqCodes(emb: DataFrame): DataFrame = {
+    val sv = pqSubvectors(emb).persist()
+    pqAssign(sv, pqCodebook(sv))
+  }
+
+  private def duckPqL2(a: String, b: String): String =
+    s"list_sum(list_transform(generate_series(1, $pqSd), i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))))"
+
+  /** DuckDB CTE chain mirroring [[pqCodes]]; exposes `sv`, the trained
+    * codebook `c1(sub, cent_id, cv)` and codes `a1(vec_id, sub, cent_id,
+    * d)`. */
+  private val duckPqCtes: String =
+    s"""WITH sv AS (SELECT vec_id, s AS sub, embedding[s*$pqSd+1 : s*$pqSd+$pqSd] AS v
+       |  FROM embeddings, UNNEST(generate_series(0, ${pqM - 1})) t(s)),
+       |c0 AS (SELECT sub, CAST(vec_id AS INTEGER) AS cent_id, v AS cv
+       |  FROM sv WHERE vec_id < $pqM),
+       |a0 AS (SELECT vec_id, sub, v, cent_id FROM (
+       |  SELECT sv.vec_id, sv.sub, sv.v, c.cent_id,
+       |    row_number() OVER (PARTITION BY sv.vec_id, sv.sub
+       |      ORDER BY round(${duckPqL2("sv.v", "c.cv")}, 6) ASC, c.cent_id) AS rn
+       |  FROM sv JOIN c0 c USING (sub)) WHERE rn = 1),
+       |u AS (SELECT sub, cent_id, i,
+       |    CAST(SUM(CAST(CAST(v[i] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS cv1
+       |  FROM a0, generate_series(1, $pqSd) t(i) GROUP BY sub, cent_id, i),
+       |c1 AS (SELECT sub, cent_id, list(cv1 ORDER BY i) AS cv FROM u GROUP BY sub, cent_id),
+       |a1 AS (SELECT vec_id, sub, cent_id, d FROM (
+       |  SELECT sv.vec_id, sv.sub, c.cent_id,
+       |    round(${duckPqL2("sv.v", "c.cv")}, 6) AS d,
+       |    row_number() OVER (PARTITION BY sv.vec_id, sv.sub
+       |      ORDER BY round(${duckPqL2("sv.v", "c.cv")}, 6) ASC, c.cent_id) AS rn
+       |  FROM sv JOIN c1 c USING (sub)) WHERE rn = 1)""".stripMargin
+
   /** Deterministic random-hyperplane components for sign-LSH, derived from
     * md5 so both engines can reproduce them exactly:
     * r_j[i] = (int32("j_i") mod 2001 - 1000) / 1000 ∈ [-1, 1].
@@ -305,73 +387,62 @@ object VectorQueries {
     // 6-decimal round; code ties break on cent_id; the error sum is
     // decimal-stabilized (NOTES rule 1).
     QuerySpec("q92_pq_encode",
-      (s, dir) => {
-        val m = 4
-        val sd = dim / m
-        val emb = Tables.load(s, dir, "embeddings")
-        val sv = emb.select(col("vec_id"), explode(expr(
-            s"transform(sequence(0, ${m - 1}), s -> struct(s AS sub, slice(embedding, s*$sd + 1, $sd) AS v))")).as("x"))
-          .select(col("vec_id"), col("x.sub").as("sub"), col("x.v").as("v"))
-          .persist()
-        def l2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-          aggregate(
-            zip_with(a, b, (x, y) =>
-              (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
-            lit(0.0), (acc, x) => acc + x)
-        val c0 = sv.filter(col("vec_id") < m)
-          .select(col("sub"), col("vec_id").cast("int").as("cent_id"), col("v").as("cv"))
-        def assign(cents: DataFrame): DataFrame = {
-          val w = Window.partitionBy("vec_id", "sub")
-            .orderBy(col("d").asc, col("cent_id"))
-          sv.join(broadcast(cents), "sub")
-            .select(col("vec_id"), col("sub"), col("v"), col("cent_id"),
-              round(l2(col("v"), col("cv")), 6).as("d"))
-            .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-            .select(col("vec_id"), col("sub"), col("v"), col("cent_id"), col("d"))
-        }
-        def update(assigned: DataFrame): DataFrame = assigned
-          .select(col("sub"), col("cent_id"), posexplode(col("v")))
-          .groupBy("sub", "cent_id", "pos")
-          .agg((sum(col("col").cast("double").cast("decimal(18,9)")).cast("double") /
-            count(lit(1))).as("cv1"))
-          .groupBy("sub", "cent_id")
-          .agg(expr("transform(array_sort(collect_list(struct(pos, cv1))), x -> x.cv1)")
-            .as("cv"))
-          .persist()
-        assign(update(assign(c0)))
+      (s, dir) => pqCodes(Tables.load(s, dir, "embeddings"))
           .groupBy("vec_id")
           .agg(
             expr("array_join(transform(array_sort(collect_list(struct(sub, cent_id))), x -> CAST(x.cent_id AS STRING)), '-')")
               .as("pq_code"),
             round(sum(col("d").cast("decimal(18,6)")).cast("double"), 6).as("q_err"))
-          .orderBy("vec_id")
+          .orderBy("vec_id"),
+      Some(s"""$duckPqCtes
+              |SELECT vec_id,
+              |  string_agg(CAST(cent_id AS VARCHAR), '-' ORDER BY sub) AS pq_code,
+              |  round(CAST(SUM(CAST(d AS DECIMAL(18,6))) AS DOUBLE), 6) AS q_err
+              |FROM a1 GROUP BY vec_id ORDER BY vec_id""".stripMargin)),
+
+    // q93 — PQ asymmetric-distance (ADC) search: queries stay full
+    // precision, the database is only its 4 PQ codes. Per query, a
+    // distance TABLE (4 subspaces × 4 centroids = 16 rows) is computed
+    // once against the codebook; approximate distance per database
+    // vector is then just 4 table lookups summed — no full-precision
+    // vector access on the scan side. Scale shape: the distance tables
+    // are (queries × k × m) rows — bounded by the query batch, broadcast
+    // honestly — and the probe side joins the byte-width codes table, so
+    // the scan cost is independent of the original vector width. Top-5
+    // per query by rounded ADC, ties on vec_id.
+    QuerySpec("q93_pq_adc_search",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val sv = pqSubvectors(emb).persist()
+        val cb = pqCodebook(sv)
+        val codes = pqAssign(sv, cb).select("vec_id", "sub", "cent_id")
+        val dt = sv.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("sub"), col("v").as("qv"))
+          .join(cb, "sub")
+          .select(col("q_id"), col("sub"), col("cent_id"),
+            round(pqL2(col("qv"), col("cv")), 6).as("d"))
+        val w = Window.partitionBy("q_id").orderBy(col("adc").asc, col("vec_id"))
+        codes.join(broadcast(dt), Seq("sub", "cent_id"))
+          .groupBy("q_id", "vec_id")
+          .agg(round(sum(col("d").cast("decimal(18,6)")).cast("double"), 6).as("adc"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+          .select("q_id", "rnk", "vec_id", "adc")
+          .orderBy("q_id", "rnk")
       },
-      Some {
-        val sd = dim / 4
-        def l2(a: String, b: String): String =
-          s"list_sum(list_transform(generate_series(1, $sd), i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))))"
-        s"""WITH sv AS (SELECT vec_id, s AS sub, embedding[s*$sd+1 : s*$sd+$sd] AS v
-           |  FROM embeddings, UNNEST(generate_series(0, 3)) t(s)),
-           |c0 AS (SELECT sub, CAST(vec_id AS INTEGER) AS cent_id, v AS cv
-           |  FROM sv WHERE vec_id < 4),
-           |a0 AS (SELECT vec_id, sub, v, cent_id FROM (
-           |  SELECT sv.vec_id, sv.sub, sv.v, c.cent_id,
-           |    row_number() OVER (PARTITION BY sv.vec_id, sv.sub
-           |      ORDER BY round(${l2("sv.v", "c.cv")}, 6) ASC, c.cent_id) AS rn
-           |  FROM sv JOIN c0 c USING (sub)) WHERE rn = 1),
-           |u AS (SELECT sub, cent_id, i,
-           |    CAST(SUM(CAST(CAST(v[i] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS cv1
-           |  FROM a0, generate_series(1, $sd) t(i) GROUP BY sub, cent_id, i),
-           |c1 AS (SELECT sub, cent_id, list(cv1 ORDER BY i) AS cv FROM u GROUP BY sub, cent_id),
-           |a1 AS (SELECT vec_id, sub, cent_id, d FROM (
-           |  SELECT sv.vec_id, sv.sub, c.cent_id,
-           |    round(${l2("sv.v", "c.cv")}, 6) AS d,
-           |    row_number() OVER (PARTITION BY sv.vec_id, sv.sub
-           |      ORDER BY round(${l2("sv.v", "c.cv")}, 6) ASC, c.cent_id) AS rn
-           |  FROM sv JOIN c1 c USING (sub)) WHERE rn = 1)
-           |SELECT vec_id,
-           |  string_agg(CAST(cent_id AS VARCHAR), '-' ORDER BY sub) AS pq_code,
-           |  round(CAST(SUM(CAST(d AS DECIMAL(18,6))) AS DOUBLE), 6) AS q_err
-           |FROM a1 GROUP BY vec_id ORDER BY vec_id""".stripMargin
-      }))
+      Some(s"""$duckPqCtes,
+              |qs AS (SELECT vec_id AS q_id, sub, v AS qv FROM sv WHERE vec_id < 8),
+              |dt AS (SELECT q_id, c1.sub, c1.cent_id,
+              |    round(${duckPqL2("qs.qv", "c1.cv")}, 6) AS d
+              |  FROM qs JOIN c1 USING (sub)),
+              |scores AS (SELECT dt.q_id, a1.vec_id,
+              |    round(CAST(SUM(CAST(dt.d AS DECIMAL(18,6))) AS DOUBLE), 6) AS adc
+              |  FROM a1 JOIN dt ON a1.sub = dt.sub AND a1.cent_id = dt.cent_id
+              |  GROUP BY dt.q_id, a1.vec_id),
+              |ranked AS (SELECT q_id, vec_id, adc,
+              |    CAST(row_number() OVER (PARTITION BY q_id
+              |      ORDER BY adc ASC, vec_id) AS INTEGER) AS rnk
+              |  FROM scores WHERE vec_id <> q_id)
+              |SELECT q_id, rnk, vec_id, adc FROM ranked WHERE rnk <= 5
+              |ORDER BY q_id, rnk""".stripMargin)))
 }
