@@ -87,6 +87,7 @@ object ConnectedComponents {
       rounds += 1
     }
     sym.unpersist(blocking = true)
+    System.err.println(s"[cc] minLabelPropagation converged in $rounds rounds")
     labels.select(col("node"), col("cid"))
   }
 
@@ -154,6 +155,7 @@ object ConnectedComponents {
       curFp = nextFp
       rounds += 1
     }
+    System.err.println(s"[cc] alternatingStar converged in $rounds rounds")
     // star forest: every non-root points at its component min
     val labeled = nodes
       .join(cur.select(col("src").as("node"), col("dst").as("cid")),

@@ -114,4 +114,21 @@ class PlanSpec extends AnyFunSuite {
       s"range join degenerated to a nested loop:\n$p")
     assert(p.contains("HashJoin"), s"no hash join on the bin key:\n$p")
   }
+
+  test("q90: the benchmark probe set is broadcast, never shuffled") {
+    // the probe side is bounded by the eval corpus; the training side
+    // must stream through a broadcast hash join, not a shuffle exchange
+    val p = plan("q90_decontamination")
+    assert(p.contains("BroadcastHashJoin"), s"probe set not broadcast:\n$p")
+  }
+
+  test("q91: chunking is scan-local — no join anywhere in the plan") {
+    val p = plan("q91_cdc_chunks")
+    assert(!p.contains("Join"), s"CDC chunking grew a join:\n$p")
+  }
+
+  test("q93: ADC probes the codes through a broadcast of the distance tables") {
+    val p = plan("q93_pq_adc_search")
+    assert(p.contains("BroadcastHashJoin"), s"distance tables not broadcast:\n$p")
+  }
 }
