@@ -87,7 +87,12 @@ object ConnectedComponents {
       rounds += 1
     }
     sym.unpersist(blocking = true)
-    System.err.println(s"[cc] minLabelPropagation converged in $rounds rounds")
+    if (changed > 0)
+      System.err.println(s"[cc] WARNING minLabelPropagation hit maxRounds=$maxRounds " +
+        s"with $changed labels still moving — labels are NOT converged; " +
+        "components wider than maxRounds hops need alternatingStar (O(log n) rounds)")
+    else
+      System.err.println(s"[cc] minLabelPropagation converged in $rounds rounds")
     labels.select(col("node"), col("cid"))
   }
 

@@ -106,6 +106,12 @@ object TextQueries {
       .filter(col("dist") >= 0)
   }
 
+  /** Target mixture rates (percent of docs kept per language) for q95;
+    * the oracle CASE expression is generated from this single source. */
+  private val mixRates: Seq[(String, Int)] =
+    Seq("en" -> 40, "de" -> 80, "fr" -> 80, "es" -> 60, "zh" -> 50)
+  private val mixDefault = 30
+
   /** DuckDB CTE chain mirroring [[snmPairs]] (w=5); no `WITH` prefix so
     * it composes after other chains. Ends with `snm(doc_a, doc_b, dist)`. */
   private val duckSnmCtes: String =
@@ -1134,5 +1140,74 @@ object TextQueries {
               |SELECT chunk_hash, count(DISTINCT doc_id) AS n_docs,
               |  count(*) AS n_occ, CAST(min(n_toks) AS INTEGER) AS n_toks
               |FROM h GROUP BY chunk_hash HAVING count(*) > 1
-              |ORDER BY chunk_hash""".stripMargin)))
+              |ORDER BY chunk_hash""".stripMargin)),
+
+    // q94 — BPE merge-pair statistics: the counting step of byte-pair-
+    // encoding tokenizer training. Words are collapsed to (word, freq)
+    // FIRST — the vocabulary is corpus-sublinear, so every later stage
+    // (pair enumeration over character positions, the pair aggregate)
+    // works on vocab-scale data, never corpus-scale; this is exactly how
+    // production BPE trainers avoid rescanning the corpus per merge.
+    // Output = the top-20 adjacent character pairs by frequency-weighted
+    // count — the first merge candidates. (Full training iterates
+    // merge → recount on the vocab table; the loop shape is the
+    // checkpoint-per-round pattern of ops.ConnectedComponents.)
+    QuerySpec("q94_bpe_merges",
+      (s, dir) => {
+        val wc = Tables.load(s, dir, "documents")
+          .select(explode(Text.tokens(lower(col("text")))).as("word"))
+          .groupBy("word").agg(count(lit(1)).as("cnt"))
+        wc
+          // sequence(1, n) DESCENDS when n < 1 (unlike DuckDB's empty
+          // generate_series) — guard 1-char words explicitly
+          .filter(length(col("word")) >= 2)
+          .select(col("cnt"), explode(expr(
+            "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))")).as("pair"))
+          .groupBy("pair").agg(sum(col("cnt")).as("weight"))
+          .orderBy(col("weight").desc, col("pair"))
+          .limit(20)
+      },
+      Some(s"""WITH w AS (SELECT unnest($duckTokens) AS word FROM documents),
+              |wc AS (SELECT word, count(*) AS cnt FROM w GROUP BY word),
+              |p AS (SELECT substring(word, i, 2) AS pair, cnt
+              |      FROM wc, UNNEST(generate_series(1, len(word) - 1)) AS t(i)
+              |      WHERE len(word) >= 2)
+              |SELECT pair, CAST(SUM(cnt) AS BIGINT) AS weight
+              |FROM p GROUP BY pair ORDER BY weight DESC, pair LIMIT 20""".stripMargin)),
+
+    // q95 — deterministic data-mixture downsampling: hit per-language
+    // target rates by selecting docs whose portable doc_id hash lands
+    // under the rate threshold — no RNG state, so the sample is
+    // reproducible run-to-run and machine-to-machine (the property that
+    // makes mixture rebalancing idempotent across pipeline re-runs, same
+    // mechanism as q45's hash splits). Selection is a scan-local
+    // predicate: at 100 TB the sampled subset never materializes more
+    // than its own rows, and the summary is one vocab-small aggregate.
+    // Rates live in ONE Scala map; the oracle CASE is generated from it
+    // (NOTES rule 7).
+    QuerySpec("q95_mixture_sample",
+      (s, dir) => {
+        val sel = Text.hash32(col("doc_id").cast("string")) % 100 <
+          mixRates.foldLeft(lit(mixDefault)) { case (acc, (l, r)) =>
+            when(col("lang") === l, lit(r)).otherwise(acc)
+          }
+        Tables.load(s, dir, "documents")
+          .select(col("lang"), when(sel, 1L).otherwise(0L).as("s"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_total"), sum(col("s")).as("n_sampled"))
+          .select(col("lang"), col("n_total"), col("n_sampled"),
+            round(col("n_sampled").cast("double") / col("n_total"), 4).as("ratio"))
+          .orderBy("lang")
+      },
+      Some {
+        val caseSql = "CASE lang " + mixRates.map { case (l, r) =>
+          s"WHEN '$l' THEN $r"
+        }.mkString(" ") + s" ELSE $mixDefault END"
+        s"""SELECT lang, count(*) AS n_total,
+           |  CAST(SUM(CASE WHEN (CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8) AS BIGINT)) % 100 < $caseSql
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+           |  round(CAST(SUM(CASE WHEN (CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8) AS BIGINT)) % 100 < $caseSql
+           |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS ratio
+           |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+      }))
 }

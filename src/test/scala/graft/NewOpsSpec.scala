@@ -160,4 +160,17 @@ class NewOpsSpec extends AnyFunSuite {
       .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n")).toMap
     assert(salted == plain)
   }
+
+  test("alternatingStar labels an 80-hop chain inside its O(log n) round budget") {
+    // the load-bearing difference between the two CC algorithms: label
+    // propagation needs diameter rounds (79 here — beyond its cap, it
+    // warns and returns unconverged labels), large-star/small-star
+    // collapses the same chain in <= ~2·log2(n)+2 rounds
+    import spark.implicits._
+    val chain = (0L until 79L).map(i => (i, i + 1)).toDF("src", "dst")
+    val labels = graft.ops.ConnectedComponents.alternatingStar(chain, maxRounds = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 80 && labels.values.forall(_ == 0L),
+      s"chain not collapsed to component min: ${labels.toSeq.sortBy(_._1).take(10)}")
+  }
 }
