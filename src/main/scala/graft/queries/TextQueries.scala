@@ -1209,5 +1209,59 @@ object TextQueries {
            |  round(CAST(SUM(CASE WHEN (CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8) AS BIGINT)) % 100 < $caseSql
            |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS ratio
            |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
-      }))
+      }),
+
+    // q96 — the pretraining-corpus preparation pipeline END TO END, as
+    // one lineage: quality signals (token count, stopword ratio,
+    // punctuation ratio) → language gate → exact dedup (keep-first by
+    // fingerprint) → PII redaction → emit the clean-text digest. Every
+    // stage reuses the operator the standalone queries gate one by one
+    // (q25/q26/q27/q24/q48), demonstrating that the pieces compose into
+    // a single Catalyst plan: all scoring is scan-local, the ONLY
+    // shuffle before the final sort is the dedup groupBy on the
+    // fingerprint — at 100 TB the pipeline is one pass over the corpus
+    // plus one content-keyed exchange. Ratios are rounded identically in
+    // both engines BEFORE the threshold compare (q86 lesson), so filter
+    // membership cannot flip on the last ulp.
+    QuerySpec("q96_pretrain_prep",
+      (s, dir) => {
+        val nTok = Text.tokenCount(col("text"))
+        val nStop = Text.stopwordCount(col("text"))
+        val nPun = Text.punctCount(col("text"))
+        val scored = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("text"),
+            Text.langId(col("text")).as("lang_id"),
+            Text.fingerprint(col("text")).as("fp"),
+            nTok.as("n_tokens"),
+            round(nStop.cast("double") / nTok, 4).as("stop_ratio"),
+            round(nPun.cast("double") / length(col("text")), 4).as("punct_ratio"))
+          .filter(col("lang_id").isin("en", "de", "fr", "es") &&
+            col("stop_ratio") >= 0.02 && col("punct_ratio") <= 0.2 &&
+            col("n_tokens") >= 20)
+        scored
+          .groupBy("fp")
+          .agg(min(struct(col("doc_id"), col("lang_id"), col("n_tokens"),
+            col("stop_ratio"), col("punct_ratio"), col("text"))).as("r"))
+          .select(col("r.doc_id").as("doc_id"), col("r.lang_id").as("lang_id"),
+            col("r.n_tokens").as("n_tokens"),
+            col("r.stop_ratio").as("stop_ratio"),
+            col("r.punct_ratio").as("punct_ratio"),
+            md5(regexp_replace(col("r.text"), "[0-9]+", "#NUM")).as("clean_md5"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH scored AS (SELECT doc_id, text, $duckLangId AS lang_id,
+              |    md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp,
+              |    CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS n_tokens,
+              |    round(CAST(len(list_filter($duckTokens, x -> x IN ($stopList))) AS DOUBLE)
+              |      / len(string_split_regex(trim(text), '\\s+')), 4) AS stop_ratio,
+              |    round(CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+              |      / length(text), 4) AS punct_ratio
+              |  FROM documents),
+              |f AS (SELECT * FROM scored
+              |  WHERE lang_id IN ('en', 'de', 'fr', 'es')
+              |    AND stop_ratio >= 0.02 AND punct_ratio <= 0.2 AND n_tokens >= 20),
+              |d AS (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM f)
+              |SELECT doc_id, lang_id, n_tokens, stop_ratio, punct_ratio,
+              |  md5(regexp_replace(text, '[0-9]+', '#NUM', 'g')) AS clean_md5
+              |FROM d WHERE rn = 1 ORDER BY doc_id""".stripMargin)))
 }
