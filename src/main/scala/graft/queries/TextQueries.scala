@@ -1263,5 +1263,69 @@ object TextQueries {
               |d AS (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM f)
               |SELECT doc_id, lang_id, n_tokens, stop_ratio, punct_ratio,
               |  md5(regexp_replace(text, '[0-9]+', '#NUM', 'g')) AS clean_md5
-              |FROM d WHERE rn = 1 ORDER BY doc_id""".stripMargin)))
+              |FROM d WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
+
+    // q97 — per-column data profiling: row count, null count, distinct
+    // count, and formatted min/max for a mixed-type column set. Shape
+    // matters: N distinct-aggregates in ONE aggregate plan through an
+    // Expand that multiplies every input row N+1× (measured 5.6s at
+    // sf0.1); instead each column pre-groups on its own values — the
+    // groupBy dedups map-side, so the shuffle carries one row per
+    // DISTINCT value — and every stat (n = Σcnt, nulls = cnt of the null
+    // group, distincts = non-null group count, min/max over group keys)
+    // falls out of the tiny grouped table. Each branch's scan prunes to
+    // its single column. The ingest-validation op of a pipeline: schema
+    // drift, null regressions, out-of-range values surface here first.
+    // Min/max are formatted EXPLICITLY per type (decimal 2dp, timestamp
+    // pattern) because raw double/timestamp → string rendering is the
+    // one place the engines' defaults drift.
+    QuerySpec("q97_profile",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+        def dec(c: org.apache.spark.sql.Column) =
+          c.cast("decimal(18,2)").cast("string")
+        def ts(c: org.apache.spark.sql.Column) =
+          date_format(c, "yyyy-MM-dd HH:mm:ss")
+        def str(c: org.apache.spark.sql.Column) = c.cast("string")
+        def prof(name: String, fmt: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+          li.groupBy(col(name).as("v")).agg(count(lit(1)).as("cnt"))
+            .agg(sum(col("cnt")).as("n"),
+              coalesce(sum(when(col("v").isNull, col("cnt"))), lit(0L)).as("n_null"),
+              count(when(col("v").isNotNull, lit(1))).as("n_distinct"),
+              fmt(min(col("v"))).as("min_val"), fmt(max(col("v"))).as("max_val"))
+            .select(lit(name).as("column_name"), col("n"), col("n_null"),
+              col("n_distinct"), col("min_val"), col("max_val"))
+        prof("l_extendedprice", dec)
+          .unionAll(prof("l_quantity", dec))
+          .unionAll(prof("l_returnflag", str))
+          .unionAll(prof("l_shipdate", ts))
+          .orderBy("column_name")
+      },
+      Some("""SELECT * FROM (
+             | SELECT 'l_extendedprice' AS column_name, count(*) AS n,
+             |   CAST(SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+             |   count(DISTINCT l_extendedprice) AS n_distinct,
+             |   CAST(CAST(min(l_extendedprice) AS DECIMAL(18,2)) AS VARCHAR) AS min_val,
+             |   CAST(CAST(max(l_extendedprice) AS DECIMAL(18,2)) AS VARCHAR) AS max_val
+             | FROM lineitem
+             | UNION ALL
+             | SELECT 'l_quantity', count(*),
+             |   CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |   count(DISTINCT l_quantity),
+             |   CAST(CAST(min(l_quantity) AS DECIMAL(18,2)) AS VARCHAR),
+             |   CAST(CAST(max(l_quantity) AS DECIMAL(18,2)) AS VARCHAR)
+             | FROM lineitem
+             | UNION ALL
+             | SELECT 'l_returnflag', count(*),
+             |   CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |   count(DISTINCT l_returnflag), min(l_returnflag), max(l_returnflag)
+             | FROM lineitem
+             | UNION ALL
+             | SELECT 'l_shipdate', count(*),
+             |   CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |   count(DISTINCT l_shipdate),
+             |   strftime(min(l_shipdate), '%Y-%m-%d %H:%M:%S'),
+             |   strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S')
+             | FROM lineitem)
+             |ORDER BY column_name""".stripMargin)))
 }
