@@ -669,5 +669,46 @@ object RefQueries {
              |WINDOW frame AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
              |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
              |  bycust AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-             |ORDER BY o_custkey, o_orderkey""".stripMargin)))
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // q98 — SCD Type-2 dimension build: collapse each customer's order
+    // priority history into validity intervals — change detection (value
+    // differs from its lag) keeps one row per version, then valid_to =
+    // the next version's valid_from and the open interval is current.
+    // The warehouse surface the reference's star schema implies but its
+    // per-row loader could never express: as one declarative lineage
+    // both windows share a single (custkey) shuffle partitioning, so the
+    // whole history rebuild is ONE exchange at any scale — and the
+    // as-of-join query (q36) is the read side of the same table shape.
+    QuerySpec("q98_scd2",
+      (s, dir) => {
+        val byCust = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        val changes = t(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+            col("o_orderpriority"),
+            lag(col("o_orderpriority"), 1).over(byCust).as("prev"))
+          .filter(col("prev").isNull || col("o_orderpriority") =!= col("prev"))
+        changes
+          .select(col("o_custkey"), col("o_orderpriority"),
+            col("o_orderdate").as("valid_from"),
+            lead(col("o_orderdate"), 1).over(byCust).as("valid_to"),
+            row_number().over(byCust).as("version"))
+          .withColumn("is_current", col("valid_to").isNull)
+          .orderBy("o_custkey", "version")
+      },
+      Some("""WITH c AS (
+             |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+             |    lag(o_orderpriority, 1) OVER bycust AS prev
+             |  FROM orders
+             |  WINDOW bycust AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+             |v AS (
+             |  SELECT o_custkey, o_orderpriority, o_orderdate AS valid_from,
+             |    lead(o_orderdate, 1) OVER w AS valid_to,
+             |    CAST(row_number() OVER w AS INTEGER) AS version
+             |  FROM c WHERE prev IS NULL OR o_orderpriority <> prev
+             |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+             |SELECT o_custkey, o_orderpriority, valid_from, valid_to, version,
+             |  valid_to IS NULL AS is_current
+             |FROM v ORDER BY o_custkey, version""".stripMargin)))
 }
