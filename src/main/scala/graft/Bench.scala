@@ -44,21 +44,28 @@ object Bench {
       name -> times.min
     }.toMap
     val failed = results.filter(_._2 == Double.MaxValue).keys.toSeq.sorted
-    // The driver keeps only the last ~2000 chars of stdout and parses the
-    // JSON line out of that tail: the line MUST stay well under that
-    // budget or the parse silently fails (rounds 1-3 all had parsed=null).
-    // Short "qNN" keys + 3-decimal rounding keep ~90 queries near ~1.3KB;
-    // the full-name map goes to stderr (free-form per the contract).
-    def fmt(v: Double): String =
-      if (v == Double.MaxValue) "-1" else f"$v%.3f"
+    System.err.println("[bench] full names: " + results.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"$k=${fmt(v)}" }.mkString(" "))
+    println(formatLine(results, failed, sfDir))
+    spark.stop()
+  }
+
+  private def fmt(v: Double): String =
+    if (v == Double.MaxValue) "-1" else f"$v%.3f"
+
+  /** The driver keeps only the last ~2000 chars of stdout and parses the
+    * JSON line out of that tail: the line MUST stay well under that
+    * budget or the parse silently fails (rounds 1-3 all had parsed=null).
+    * Short "qNN" keys + 3-decimal rounding keep ~100 queries near ~1.4KB;
+    * the full-name map goes to stderr (free-form per the contract).
+    * BenchFormatSpec guards the budget as the query count grows. */
+  private[graft] def formatLine(results: Map[String, Double],
+      failed: Seq[String], sfDir: String): String = {
     val qs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k.split("_").head + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.values.filter(_ != Double.MaxValue).sum
-    System.err.println("[bench] full names: " + results.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"$k=${fmt(v)}" }.mkString(" "))
-    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}""")
-    spark.stop()
+    f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}"""
   }
 }
