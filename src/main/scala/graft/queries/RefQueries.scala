@@ -710,5 +710,47 @@ object RefQueries {
              |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
              |SELECT o_custkey, o_orderpriority, valid_from, valid_to, version,
              |  valid_to IS NULL AS is_current
-             |FROM v ORDER BY o_custkey, version""".stripMargin)))
+             |FROM v ORDER BY o_custkey, version""".stripMargin)),
+
+    // q99 — snapshot diff: classify every key across two pipeline-run
+    // versions of a table as added / removed / changed / unchanged — the
+    // data-regression check that runs between ingest runs before a new
+    // snapshot is published. One full-outer join on the key (single
+    // shuffle both sides at any scale; AQE handles skewed keys), change
+    // detection compares the payload columns. The two versions are
+    // simulated deterministically from `orders` (keys % 50 = 0 absent
+    // from the old run, % 97 = 0 absent from the new one, % 70 = 0
+    // repriced — so all four classes occur).
+    QuerySpec("q99_snapshot_diff",
+      (s, dir) => {
+        val base = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+        val old = base.filter(col("o_orderkey") % 50 =!= 0)
+          .withColumnRenamed("o_totalprice", "old_price")
+        val neu = base.filter(col("o_orderkey") % 97 =!= 0)
+          .select(col("o_orderkey"),
+            when(col("o_orderkey") % 70 === 0, col("o_totalprice") * 2)
+              .otherwise(col("o_totalprice")).as("new_price"))
+        old.join(neu, Seq("o_orderkey"), "full_outer")
+          .select(when(col("old_price").isNull, "added")
+            .when(col("new_price").isNull, "removed")
+            .when(col("old_price") =!= col("new_price"), "changed")
+            .otherwise("unchanged").as("change_type"))
+          .groupBy("change_type").agg(count(lit(1)).as("n"))
+          .orderBy("change_type")
+      },
+      Some("""WITH old AS (SELECT o_orderkey, o_totalprice AS old_price
+             |  FROM orders WHERE o_orderkey % 50 <> 0),
+             |neu AS (SELECT o_orderkey,
+             |    CASE WHEN o_orderkey % 70 = 0 THEN o_totalprice * 2
+             |         ELSE o_totalprice END AS new_price
+             |  FROM orders WHERE o_orderkey % 97 <> 0),
+             |d AS (SELECT CASE
+             |    WHEN old_price IS NULL THEN 'added'
+             |    WHEN new_price IS NULL THEN 'removed'
+             |    WHEN old_price <> new_price THEN 'changed'
+             |    ELSE 'unchanged' END AS change_type
+             |  FROM old FULL OUTER JOIN neu USING (o_orderkey))
+             |SELECT change_type, count(*) AS n FROM d
+             |GROUP BY change_type ORDER BY change_type""".stripMargin)))
 }
