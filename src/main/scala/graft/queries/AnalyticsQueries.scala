@@ -251,5 +251,81 @@ object AnalyticsQueries {
              |SELECT band_id, count(*) AS n_orders,
              |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS band_revenue
              |FROM orders o JOIN b ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
-             |GROUP BY band_id ORDER BY band_id""".stripMargin)))
+             |GROUP BY band_id ORDER BY band_id""".stripMargin)),
+
+    // q100 — per-group z-score outlier detection (anomaly screening, the
+    // row-level application of q80's scalar moments): flag customers
+    // whose account balance is >2σ from their nation's mean. Group
+    // moments come from DECIMAL sums (n, Σx, Σx²) — exact and
+    // order-independent — so mean/σ derive deterministically in ONE fixed
+    // double expression evaluated identically by both engines; plain
+    // stddev_samp would accumulate doubles in engine-specific order.
+    // Shape: one partial+final aggregate pass (25 groups), stats
+    // broadcast back onto the row scan — no second corpus shuffle.
+    QuerySpec("q100_zscore_outliers",
+      (s, dir) => {
+        val c = Tables.load(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+        val stats = c.groupBy("c_nationkey").agg(
+          count(lit(1)).as("n"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("s1"),
+          sum((col("c_acctbal") * col("c_acctbal")).cast("decimal(28,4)"))
+            .cast("double").as("s2"))
+        val mean = col("s1") / col("n")
+        val sd = sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
+        c.join(broadcast(stats), Seq("c_nationkey"))
+          .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+            round((col("c_acctbal") - mean) / sd, 4).as("z"))
+          .filter(abs(col("z")) > 2)
+          .orderBy("c_custkey")
+      },
+      Some("""WITH st AS (SELECT c_nationkey, count(*) AS n,
+             |    CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+             |    CAST(SUM(CAST(c_acctbal * c_acctbal AS DECIMAL(28,4))) AS DOUBLE) AS s2
+             |  FROM customer GROUP BY 1)
+             |SELECT c_custkey, c.c_nationkey, c_acctbal,
+             |  round((c_acctbal - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1)), 4) AS z
+             |FROM customer c JOIN st ON c.c_nationkey = st.c_nationkey
+             |WHERE abs(round((c_acctbal - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1)), 4)) > 2
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // q101 — k-anonymity generalization (privacy audit before a dataset
+    // release): group rows by quasi-identifiers (nation, market segment);
+    // groups under k=5 are generalized one level (segment suppressed to
+    // '*'), and any still-small remainder fully suppressed ('*','*').
+    // The escalation ladder runs entirely on GROUP COUNTS (125 rows) —
+    // one corpus-grain shuffle total, every later step is dimension-table
+    // sized no matter how large the input.
+    QuerySpec("q101_kanonymity",
+      (s, dir) => {
+        val k = 5
+        val g0 = Tables.load(s, dir, "customer")
+          .groupBy(col("c_nationkey").cast("string").as("nation"),
+            col("c_mktsegment").as("segment"))
+          .agg(count(lit(1)).as("n"))
+        val keep0 = g0.filter(col("n") >= k).withColumn("level", lit(0))
+        val g1 = g0.filter(col("n") < k)
+          .groupBy("nation").agg(sum(col("n")).as("n"))
+        val keep1 = g1.filter(col("n") >= k)
+          .select(col("nation"), lit("*").as("segment"), col("n"), lit(1).as("level"))
+        val keep2 = g1.filter(col("n") < k)
+          .agg(sum(col("n")).as("n"))
+          .filter(col("n").isNotNull)
+          .select(lit("*").as("nation"), lit("*").as("segment"), col("n"),
+            lit(2).as("level"))
+        keep0.select("nation", "segment", "n", "level")
+          .union(keep1).union(keep2)
+          .orderBy("nation", "segment")
+      },
+      Some("""WITH g0 AS (SELECT CAST(c_nationkey AS VARCHAR) AS nation,
+             |    c_mktsegment AS segment, count(*) AS n
+             |  FROM customer GROUP BY 1, 2),
+             |g1 AS (SELECT nation, CAST(SUM(n) AS BIGINT) AS n FROM g0
+             |  WHERE n < 5 GROUP BY 1),
+             |g2 AS (SELECT CAST(SUM(n) AS BIGINT) AS n FROM g1 WHERE n < 5
+             |  HAVING SUM(n) IS NOT NULL)
+             |SELECT nation, segment, n, 0 AS level FROM g0 WHERE n >= 5
+             |UNION ALL SELECT nation, '*', n, 1 FROM g1 WHERE n >= 5
+             |UNION ALL SELECT '*', '*', n, 2 FROM g2
+             |ORDER BY nation, segment""".stripMargin)))
 }

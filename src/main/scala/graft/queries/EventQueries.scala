@@ -119,5 +119,81 @@ object EventQueries {
           .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
             count(lit(1)).as("n_events"))
           .orderBy("event_type"),
-      None))
+      None),
+
+    // q102 — funnel analysis (view → click → purchase): a user completes
+    // a stage only if its first event falls strictly after the previous
+    // stage's first event. One shuffle to user grain with three
+    // conditional-min aggregates (partial+final mergeable), then the
+    // funnel reduces 125 user rows to one summary row — the canonical
+    // product-analytics conversion query at any event volume.
+    QuerySpec("q102_funnel",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        def firstTs(t: String) =
+          min(when(col("event_type") === t, unix_micros(col("ts"))))
+        val perUser = ev.groupBy("user_id").agg(
+          firstTs("view").as("v"), firstTs("click").as("c"),
+          firstTs("purchase").as("p"))
+        val s1 = col("v").isNotNull
+        val s2 = s1 && col("c").isNotNull && col("c") > col("v")
+        val s3 = s2 && col("p").isNotNull && col("p") > col("c")
+        perUser.agg(
+            sum(when(s1, 1L).otherwise(0L)).as("n_view"),
+            sum(when(s2, 1L).otherwise(0L)).as("n_click"),
+            sum(when(s3, 1L).otherwise(0L)).as("n_purchase"))
+          .select(col("n_view"), col("n_click"), col("n_purchase"),
+            round(col("n_click") / col("n_view"), 4).as("view_to_click"),
+            round(col("n_purchase") / col("n_click"), 4).as("click_to_purchase"))
+      },
+      Some("""WITH u AS (SELECT user_id,
+             |    min(CASE WHEN event_type = 'view' THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS v,
+             |    min(CASE WHEN event_type = 'click' THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS c,
+             |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS p
+             |  FROM events GROUP BY 1),
+             |f AS (SELECT
+             |    CAST(SUM(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+             |    CAST(SUM(CASE WHEN v IS NOT NULL AND c IS NOT NULL AND c > v
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+             |    CAST(SUM(CASE WHEN v IS NOT NULL AND c IS NOT NULL AND c > v
+             |      AND p IS NOT NULL AND p > c THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase
+             |  FROM u)
+             |SELECT n_view, n_click, n_purchase,
+             |  round(n_click / n_view, 4) AS view_to_click,
+             |  round(n_purchase / n_click, 4) AS click_to_purchase
+             |FROM f""".stripMargin)),
+
+    // q103 — cohort retention: users grouped by the ISO week of their
+    // first activity (cohort), counted in each subsequent active week.
+    // Grain collapses user-week first (one shuffle on user_id), the
+    // cohort week is a per-user window min over that already-collapsed
+    // set, so no second pass over raw events; week offsets are exact µs
+    // arithmetic (week boundaries are whole multiples).
+    QuerySpec("q103_retention",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val uw = ev.select(col("user_id"),
+            date_trunc("week", col("ts")).as("week")).distinct()
+        val cohort = min(col("week"))
+          .over(Window.partitionBy("user_id"))
+        uw.withColumn("cohort", cohort)
+          .withColumn("week_offset",
+            ((unix_micros(col("week")) - unix_micros(col("cohort"))) /
+              lit(604800000000L)).cast("long"))
+          .groupBy(col("cohort").cast("timestamp_ntz").as("cohort_week"),
+            col("week_offset"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy("cohort_week", "week_offset")
+      },
+      Some("""WITH uw AS (SELECT DISTINCT user_id,
+             |    date_trunc('week', CAST(ts AS TIMESTAMP)) AS week
+             |  FROM events),
+             |c AS (SELECT user_id, week,
+             |    min(week) OVER (PARTITION BY user_id) AS cohort
+             |  FROM uw)
+             |SELECT CAST(cohort AS TIMESTAMP) AS cohort_week,
+             |  CAST((epoch_us(week) - epoch_us(cohort)) / 604800000000 AS BIGINT)
+             |    AS week_offset,
+             |  count(*) AS n_users
+             |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)))
 }

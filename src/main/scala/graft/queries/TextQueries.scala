@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.core.Tables
 import graft.functions.Text
 
@@ -1327,5 +1328,34 @@ object TextQueries {
              |   strftime(min(l_shipdate), '%Y-%m-%d %H:%M:%S'),
              |   strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S')
              | FROM lineitem)
-             |ORDER BY column_name""".stripMargin)))
+             |ORDER BY column_name""".stripMargin)),
+
+    // q104 — duplicate rate per source (corpus-health report): exact-dup
+    // rank within each content fingerprint (first doc_id is the original,
+    // the rest are duplicates), rolled up to the source that contributed
+    // them. Two keyed shuffles (fingerprint, then source — the second
+    // over source-count grain only after the window), the per-source
+    // quality signal a crawl pipeline uses to deprioritize feeds.
+    QuerySpec("q104_dup_rate_source",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            Text.fingerprint(col("text")).as("fp"))
+        val w = Window.partitionBy("fp").orderBy("doc_id")
+        docs.withColumn("rn", row_number().over(w))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dups"))
+          .withColumn("dup_share", round(col("n_dups") / col("n_docs"), 4))
+          .orderBy("source")
+      },
+      Some("""WITH d AS (SELECT doc_id, source,
+             |    row_number() OVER (
+             |      PARTITION BY md5(lower(regexp_replace(text, '\s+', ' ', 'g')))
+             |      ORDER BY doc_id) AS rn
+             |  FROM documents)
+             |SELECT source, count(*) AS n_docs,
+             |  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+             |  round(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) / count(*), 4) AS dup_share
+             |FROM d GROUP BY source ORDER BY source""".stripMargin)))
 }
