@@ -327,5 +327,38 @@ object AnalyticsQueries {
              |SELECT nation, segment, n, 0 AS level FROM g0 WHERE n >= 5
              |UNION ALL SELECT nation, '*', n, 1 FROM g1 WHERE n >= 5
              |UNION ALL SELECT '*', '*', n, 2 FROM g2
-             |ORDER BY nation, segment""".stripMargin)))
+             |ORDER BY nation, segment""".stripMargin)),
+
+    // q106 — incremental re-aggregation: merge DAILY partial aggregates
+    // into monthly rollups without touching the fact table again — the
+    // materialized-view maintenance pattern (at 100 TB the daily partial
+    // table is ~1/30th the month's rows; month-end rollup reads partials
+    // only). Valid because the partials are mergeable state: counts add,
+    // and DECIMAL sums are associative (double sums are not — merging
+    // double partials would drift from direct aggregation). The ORACLE
+    // aggregates the raw rows directly, proving merged == direct.
+    QuerySpec("q106_merge_partials",
+      (s, dir) => {
+        val daily = Tables.load(s, dir, "orders")
+          .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).as("s1"))
+        daily
+          .groupBy(date_trunc("month", col("day")).cast("timestamp_ntz")
+            .as("month"))
+          .agg(sum(col("n")).as("n_orders"),
+            sum(col("s1")).cast("double").as("revenue"))
+          // no round(): revenue is a decimal-exact double and the single
+          // IEEE division is bit-identical in both engines, whereas a
+          // 2-decimal quotient CAN land exactly halfway at 4 decimals
+          // (observed: x.41875), where the engines' round() disagree.
+          .withColumn("avg_order", col("revenue") / col("n_orders"))
+          .orderBy("month")
+      },
+      Some("""SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+             |  count(*) AS n_orders,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    / count(*) AS avg_order
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)))
 }

@@ -1357,5 +1357,30 @@ object TextQueries {
              |SELECT source, count(*) AS n_docs,
              |  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
              |  round(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) / count(*), 4) AS dup_share
-             |FROM d GROUP BY source ORDER BY source""".stripMargin)))
+             |FROM d GROUP BY source ORDER BY source""".stripMargin)),
+
+    // q105 — weighted sampling without replacement (Efraimidis–Spirakis
+    // A-ES): each doc draws a deterministic pseudo-uniform u from its
+    // portable id hash, and the top-k by ln(u)/weight are the sample —
+    // selection probability proportional to weight (here n_chars, so the
+    // sample skews to long docs the way a token-budgeted corpus draw
+    // should). One scan + TakeOrderedAndProject: no shuffle of the
+    // corpus, k rows to the driver side regardless of input size.
+    // Ordering is on the ROUNDED key + doc_id so the top-k cut can't
+    // flip on a last-ulp ln() difference between engines.
+    QuerySpec("q105_weighted_sample",
+      (s, dir) => {
+        val u = (Text.hash32(col("doc_id").cast("string")) % 999983 + 1) /
+          lit(999984.0)
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            round(log(u) / col("n_chars"), 6).as("skey"))
+          .orderBy(desc("skey"), col("doc_id"))
+          .limit(20)
+      },
+      Some("""SELECT doc_id, source, n_chars,
+             |  round(ln(((CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8) AS BIGINT)) % 999983 + 1)
+             |        / 999984.0) / n_chars, 6) AS skey
+             |FROM documents
+             |ORDER BY skey DESC, doc_id LIMIT 20""".stripMargin)))
 }

@@ -105,6 +105,30 @@ class SinksSkewSpec extends AnyFunSuite {
     spark.sql("DROP TABLE bucketed_t")
   }
 
+  test("bucketed-bucketed join: co-located, no exchange on either side") {
+    // The fact⋈fact shape that motivates bucketing at 100 TB: both sides
+    // pre-bucketed on the join key with the SAME bucket count join
+    // without shuffling either input (sort-merge over co-located files).
+    val fact1 = (1 to 200).map(i => (i.toLong % 40, i.toDouble)).toDF("k", "a")
+    val fact2 = (1 to 300).map(i => (i.toLong % 50, i * 2.0)).toDF("k", "b")
+    Sinks.bucketed(fact1, "bkt_f1", Seq("k"), nBuckets = 4)
+    Sinks.bucketed(fact2, "bkt_f2", Seq("k"), nBuckets = 4)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("bkt_f1").join(spark.table("bkt_f2"), "k")
+        .groupBy("k").count()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"expected no exchange:\n$plan")
+      // same result as the un-bucketed join
+      val expect = fact1.join(fact2, "k").groupBy("k").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(j.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == expect)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    spark.sql("DROP TABLE bkt_f1")
+    spark.sql("DROP TABLE bkt_f2")
+  }
+
   test("salted aggregation equals plain aggregation") {
     val df = (1 to 1000).map(i => (if (i % 10 == 0) "hot" else s"k$i", i.toDouble))
       .toDF("k", "v")
