@@ -131,4 +131,22 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q93_pq_adc_search")
     assert(p.contains("BroadcastHashJoin"), s"distance tables not broadcast:\n$p")
   }
+
+  test("q100: group stats join back via broadcast — no second corpus shuffle") {
+    val p = plan("q100_zscore_outliers")
+    assert(p.contains("BroadcastHashJoin"), s"stats not broadcast:\n$p")
+  }
+
+  test("q105: weighted sample compiles to TakeOrderedAndProject") {
+    val p = plan("q105_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"weighted top-k fell back to a global sort:\n$p")
+  }
+
+  test("q106: monthly rollup reads daily partials — two aggregate levels, no join") {
+    val p = plan("q106_merge_partials")
+    assert(!p.contains("Join"), s"partial merge grew a join:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 4, // partial+final × 2 levels
+      s"expected two partial+final aggregate levels:\n$p")
+  }
 }
