@@ -1382,5 +1382,86 @@ object TextQueries {
              |  round(ln(((CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8) AS BIGINT)) % 999983 + 1)
              |        / 999984.0) / n_chars, 6) AS skey
              |FROM documents
-             |ORDER BY skey DESC, doc_id LIMIT 20""".stripMargin)))
+             |ORDER BY skey DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // q107 — in-document repetition ratio (the Gopher-style "fraction of
+    // duplicate 3-grams" quality rule): docs that repeat themselves are
+    // boilerplate/spam candidates. Entirely scan-local higher-order
+    // functions — the token array is bound ONCE in a lower projection
+    // (inlining it would re-tokenize per lambda reference), 3-grams via
+    // index transform (no per-element slice() copies), and the ratio is
+    // one raw IEEE division of two identical ints (a round() here could
+    // land on an exactly-representable half, where engines disagree).
+    QuerySpec("q107_repetition",
+      (s, dir) => {
+        val toks = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), Text.tokens(lower(col("text"))).as("t"))
+        val n = size(col("t"))
+        // guard n < 3: Spark sequence(1, 0) DESCENDS ([1, 0]) instead of
+        // returning empty like DuckDB generate_series, and element_at(_, 0)
+        // throws — short docs must take the empty-array branch explicitly
+        val grams = when(n >= 3,
+          transform(sequence(lit(1), n - 2), i => concat_ws(" ",
+            element_at(col("t"), i), element_at(col("t"), i + 1),
+            element_at(col("t"), i + 2))))
+          .otherwise(array().cast("array<string>"))
+        toks.select(col("doc_id"), grams.as("g"))
+          .select(col("doc_id"),
+            size(col("g")).as("n_grams"),
+            when(size(col("g")) > 0,
+              (size(col("g")) - size(array_distinct(col("g")))) / size(col("g")))
+              .otherwise(0.0).as("rep_ratio"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tk AS (SELECT doc_id,
+             |    string_split_regex(trim(lower(text)), '\s+') AS t
+             |  FROM documents),
+             |g AS (SELECT doc_id, list_transform(generate_series(1, len(t) - 2),
+             |    i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]) AS g
+             |  FROM tk)
+             |SELECT doc_id, CAST(len(g) AS INTEGER) AS n_grams,
+             |  CASE WHEN len(g) > 0
+             |    THEN (len(g) - len(list_distinct(g))) / len(g)
+             |    ELSE 0.0 END AS rep_ratio
+             |FROM g ORDER BY doc_id""".stripMargin)),
+
+    // q108 — unigram log-probability scoring (the CCNet/KenLM-shaped
+    // quality signal, with the corpus itself as the language model): build
+    // the unigram distribution once, score every doc by its mean negative
+    // log-probability. Two corpus passes: token explode → vocab counts
+    // (one shuffle on token), then doc scoring re-joins tokens to the
+    // vocab — vocab-sized build side (words, not documents; a shuffle
+    // join at 100 TB only if the vocab outgrows broadcast). Per-token
+    // log-probs are rounded to 6 decimals and summed as DECIMAL so the
+    // per-doc sum is order-independent; the final mean is one raw IEEE
+    // division.
+    QuerySpec("q108_unigram_logprob",
+      (s, dir) => {
+        val tok = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(Text.tokens(lower(col("text")))).as("t"))
+        val vocab = tok.groupBy("t").agg(count(lit(1)).as("cnt"))
+        val total = vocab.agg(sum(col("cnt")).cast("double").as("total"))
+        val lp = vocab.crossJoin(broadcast(total))
+          .select(col("t"),
+            round(log(col("cnt") / col("total")), 6)
+              .cast("decimal(12,6)").as("lp"))
+        tok.join(lp, Seq("t"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tok"), sum(col("lp")).as("slp"))
+          .select(col("doc_id"), col("n_tok"),
+            (-col("slp").cast("double") / col("n_tok")).as("avg_nll"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+             |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+             |  FROM documents),
+             |v AS (SELECT t, count(*) AS cnt FROM tok GROUP BY 1),
+             |tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM v),
+             |lp AS (SELECT t, CAST(round(ln(cnt / total), 6) AS DECIMAL(12,6)) AS lp
+             |  FROM v, tot)
+             |SELECT doc_id, count(*) AS n_tok,
+             |  -CAST(SUM(lp) AS DOUBLE) / count(*) AS avg_nll
+             |FROM tok JOIN lp USING (t)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)))
 }
