@@ -39,4 +39,20 @@ class SourceFormatsSpec extends AnyFunSuite {
       s"no ORC pushdown: $plan")
     assert(filtered.count() == 2)
   }
+
+  test("schema evolution: mergeSchema unifies files with added columns") {
+    // At 100 TB a table's files span months of pipeline versions — late
+    // files carry new columns. mergeSchema reads the union schema; rows
+    // from old files surface NULL for columns they predate.
+    val dir = Files.createTempDirectory("src_evolve").toString + "/t"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+      .write.mode("append").parquet(dir)
+    Seq((3L, "c", 9.5)).toDF("id", "name", "score")
+      .write.mode("append").parquet(dir)
+    val back = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(back.columns.sorted.toSeq == Seq("id", "name", "score"))
+    val r = back.orderBy("id").collect()
+    assert(r(0).isNullAt(r(0).fieldIndex("score")))
+    assert(r(2).getDouble(r(2).fieldIndex("score")) == 9.5)
+  }
 }

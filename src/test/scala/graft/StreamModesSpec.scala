@@ -35,4 +35,32 @@ class StreamModesSpec extends AnyFunSuite {
     assert(complete == Seq(("a", 2L), ("b", 2L), ("c", 1L)))
     assert(update == complete)
   }
+
+  test("checkpoint resume: second AvailableNow run processes ONLY new files") {
+    // Incremental ingestion — the engine's replacement for the reference's
+    // daily full re-read (SURVEY §2.9): a restarted stream resumes from
+    // the checkpoint's file log, so each file is processed exactly once
+    // across runs no matter how often the job is re-launched.
+    val src = Files.createTempDirectory("ckpt_src")
+    val out = Files.createTempDirectory("ckpt_out").toString
+    val ckpt = Files.createTempDirectory("ckpt_loc").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "tag")
+      .write.mode("append").parquet(src.toString)
+    val schema = spark.read.parquet(src.toString).schema
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(src.toString)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce()
+    assert(spark.read.parquet(out).count() == 2)
+    Seq((3L, "c")).toDF("id", "tag")
+      .write.mode("append").parquet(src.toString)
+    runOnce()
+    val rows = spark.read.parquet(out).as[(Long, String)].collect().toSeq.sorted
+    // batch-1 rows NOT reprocessed; batch-2 file picked up exactly once
+    assert(rows == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+  }
 }
