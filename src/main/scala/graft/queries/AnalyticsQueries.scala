@@ -360,5 +360,41 @@ object AnalyticsQueries {
              |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
              |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
              |    / count(*) AS avg_order
-             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)))
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // q111 — equi-width histogram (20 bins) of l_extendedprice: the
+    // distributed-histogram shape — pass 1 is a 1-row min/max aggregate
+    // (broadcast), pass 2 assigns bins map-side and aggregates 20 rows
+    // out. No sampling, no sort; the fact table is scanned twice but
+    // shuffles only bin-grain rows. Parity: bin = floor((x-lo)/w) is the
+    // same IEEE ops in both engines (no rounding needed anywhere — every
+    // compared double is computed by an identical expression); the max
+    // value is clamped into the last bin. Empty bins are absent on both
+    // sides identically.
+    QuerySpec("q111_histogram",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+        val bounds = li.agg(min(col("l_extendedprice")).as("lo"),
+          max(col("l_extendedprice")).as("hi"))
+        val w = (col("hi") - col("lo")) / lit(20.0)
+        li.crossJoin(broadcast(bounds))
+          .select(least(floor((col("l_extendedprice") - col("lo")) / w),
+            lit(19L)).as("bin"), col("lo"), col("hi"))
+          .groupBy("bin", "lo", "hi")
+          .agg(count(lit(1)).as("n"))
+          .select(col("bin"), col("n"),
+            (col("lo") + col("bin").cast("double") * w).as("edge_lo"),
+            (col("lo") + (col("bin") + 1).cast("double") * w).as("edge_hi"))
+          .orderBy("bin")
+      },
+      Some("""WITH b AS (SELECT min(l_extendedprice) AS lo,
+             |    max(l_extendedprice) AS hi FROM lineitem),
+             |bins AS (SELECT
+             |    CAST(least(floor((l_extendedprice - lo) / ((hi - lo) / 20.0)), 19) AS BIGINT) AS bin,
+             |    lo, hi
+             |  FROM lineitem, b)
+             |SELECT bin, count(*) AS n,
+             |  lo + CAST(bin AS DOUBLE) * ((hi - lo) / 20.0) AS edge_lo,
+             |  lo + CAST(bin + 1 AS DOUBLE) * ((hi - lo) / 20.0) AS edge_hi
+             |FROM bins GROUP BY bin, lo, hi ORDER BY bin""".stripMargin)))
 }

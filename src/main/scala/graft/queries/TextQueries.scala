@@ -1463,5 +1463,114 @@ object TextQueries {
              |SELECT doc_id, count(*) AS n_tok,
              |  -CAST(SUM(lp) AS DOUBLE) / count(*) AS avg_nll
              |FROM tok JOIN lp USING (t)
-             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)))
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // q109 — BM25 retrieval: score a fixed term query against the corpus
+    // (the search-engine upgrade of q74's TF-IDF; Robertson/Sparck-Jones
+    // idf, k1=1.2, b=0.75). ONE corpus pass: tokens explode into a single
+    // per-doc aggregate that carries doc length AND the per-queryterm
+    // conditional counts, so no corpus-keyed join exists at all; corpus
+    // stats (avgdl, df per term) are a 1-row aggregate of that per-doc
+    // table, broadcast into the scoring projection. Top-10 docs by score —
+    // TakeOrderedAndProject, k rows off the cluster. Oracle parity: all
+    // BM25 constants are interpolated from the same Scala doubles
+    // (toString round-trips), scores are per-term-rounded then summed in
+    // a fixed left-fold, ties break on doc_id.
+    QuerySpec("q109_bm25", {
+      val qterms = Seq("spark", "join", "stream")
+      val k1 = 1.2
+      val b = 0.75
+      (s, dir) => {
+        val tok = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), explode(Text.tokens(lower(col("text")))).as("w"))
+        val aggs = count(lit(1)).as("dl") +:
+          qterms.map(t => sum(when(col("w") === t, 1L).otherwise(0L)).as(s"tf_$t"))
+        val perDoc = tok.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+        val stAggs =
+          (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl") +:
+          count(lit(1)).cast("double").as("n_docs") +:
+          qterms.map(t =>
+            sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).cast("double").as(s"df_$t"))
+        val stats = perDoc.agg(stAggs.head, stAggs.tail: _*)
+        val score = qterms.map { t =>
+          val tf = col(s"tf_$t").cast("double")
+          val df = col(s"df_$t")
+          val idf = log(lit(1.0) +
+            (col("n_docs") - df + lit(0.5)) / (df + lit(0.5)))
+          val norm = tf + lit(k1) *
+            (lit(1.0) - lit(b) + lit(b) * col("dl").cast("double") / col("avgdl"))
+          when(col(s"tf_$t") > 0, round(idf * (tf * lit(k1 + 1)) / norm, 6))
+            .otherwise(lit(0.0))
+        }.reduce(_ + _)
+        perDoc.crossJoin(broadcast(stats))
+          .select(col("doc_id"), col("dl"), score.as("bm25"))
+          .filter(col("bm25") > 0)
+          .orderBy(desc("bm25"), col("doc_id"))
+          .limit(10)
+      }
+    }, {
+      val qterms = Seq("spark", "join", "stream")
+      val k1 = 1.2
+      val b = 0.75
+      val tfCols = qterms.map(t =>
+        s"SUM(CASE WHEN w = '$t' THEN 1 ELSE 0 END) AS tf_$t").mkString(", ")
+      val dfCols = qterms.map(t =>
+        s"CAST(SUM(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_$t")
+        .mkString(", ")
+      val scoreSql = qterms.map { t =>
+        s"""CASE WHEN tf_$t > 0 THEN round(
+           |    ln(1.0 + (n_docs - df_$t + 0.5) / (df_$t + 0.5))
+           |    * (CAST(tf_$t AS DOUBLE) * ${k1 + 1})
+           |    / (CAST(tf_$t AS DOUBLE)
+           |       + $k1 * (1.0 - $b + $b * CAST(dl AS DOUBLE) / avgdl)), 6)
+           |  ELSE 0.0 END""".stripMargin
+      }.mkString(" + ")
+      Some(s"""WITH tok AS (SELECT doc_id,
+              |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+              |  FROM documents),
+              |pd AS (SELECT doc_id, count(*) AS dl, $tfCols
+              |  FROM tok GROUP BY doc_id),
+              |st AS (SELECT
+              |    CAST(SUM(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
+              |    CAST(count(*) AS DOUBLE) AS n_docs, $dfCols
+              |  FROM pd)
+              |SELECT doc_id, dl, bm25 FROM (
+              |  SELECT doc_id, dl, $scoreSql AS bm25 FROM pd, st)
+              |WHERE bm25 > 0 ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin)
+    }),
+
+    // q112 — per-document token Shannon entropy (lexical-diversity
+    // quality signal: near-zero entropy = the repeated-token boilerplate
+    // q107 flags by ratio). Uses the streaming-friendly identity
+    // H = ln(n) - (Σ c·ln c)/n so ONE explode + two keyed aggregations
+    // suffice — no per-doc second pass to learn n first. The Σ c·ln c
+    // partial is per-term-rounded then summed as DECIMAL (order-
+    // independent across any partitioning); the final entropy is rounded
+    // to 6 decimals because the bare ln(n) term differs by 1 ulp between
+    // the JVM and libm for some inputs (observed at sf0.001).
+    QuerySpec("q112_token_entropy",
+      (s, dir) => {
+        val tok = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(Text.tokens(lower(col("text")))).as("w"))
+        tok.groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg(sum(col("c")).as("n_tok"),
+            sum(round(col("c") * log(col("c").cast("double")), 6)
+              .cast("decimal(14,6)")).as("sclc"))
+          .select(col("doc_id"), col("n_tok"),
+            round(log(col("n_tok").cast("double")) -
+              col("sclc").cast("double") / col("n_tok").cast("double"), 6)
+              .as("entropy"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, unnest($duckTokens) AS w
+              |  FROM documents),
+              |tf AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2),
+              |agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tok,
+              |    SUM(CAST(round(c * ln(CAST(c AS DOUBLE)), 6) AS DECIMAL(14,6))) AS sclc
+              |  FROM tf GROUP BY 1)
+              |SELECT doc_id, n_tok,
+              |  round(ln(CAST(n_tok AS DOUBLE)) - CAST(sclc AS DOUBLE) / CAST(n_tok AS DOUBLE), 6) AS entropy
+              |FROM agg ORDER BY doc_id""".stripMargin)))
 }

@@ -127,6 +127,54 @@ object VectorQueries {
        |    FROM generate_series(0, ${nPlanes - 1}) t(j), generate_series(1, $dim) s(i))
        |  GROUP BY j)""".stripMargin
 
+  /** Brute-force cosine top-5 for the 8 query vectors (q31's pipeline;
+    * also the ground truth q110 evaluates the IVF search against):
+    * (q_id, vec_id, cos_sim, rnk), rnk <= 5, unordered. */
+  private def bruteTopK(emb: DataFrame): DataFrame = {
+    val q = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val scored = emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(call_function("graft_cosine", col("q_vec"), col("embedding")), 6).as("cos_sim"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select("q_id", "vec_id", "cos_sim", "rnk")
+  }
+
+  /** IVF top-5 with nprobe=2 over the 4 fixed centroids (q59's pipeline;
+    * the approximate side of q110's recall): same shape as [[bruteTopK]]. */
+  private def ivfTopK(emb: DataFrame): DataFrame = {
+    val cents = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
+    val wv = Window.partitionBy("vec_id")
+      .orderBy(col("a_sim").desc, col("cent_id"))
+    val assigned = emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("cent_id"),
+        round(call_function("graft_cosine", col("cent_vec"), col("embedding")), 6).as("a_sim"))
+      .withColumn("rn", row_number().over(wv)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id"))
+    val wq = Window.partitionBy("q_id")
+      .orderBy(col("p_sim").desc, col("cent_id"))
+    val probes = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      .crossJoin(broadcast(cents))
+      .select(col("q_id"), col("q_vec"), col("cent_id"),
+        round(call_function("graft_cosine", col("cent_vec"), col("q_vec")), 6).as("p_sim"))
+      .withColumn("pn", row_number().over(wq)).filter(col("pn") <= 2)
+      .select(col("q_id"), col("q_vec"), col("cent_id"))
+    val wk = Window.partitionBy("q_id")
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    broadcast(probes).join(assigned, "cent_id")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(call_function("graft_cosine", col("q_vec"), col("embedding")), 6).as("cos_sim"))
+      .withColumn("rnk", row_number().over(wk)).filter(col("rnk") <= 5)
+      .select("q_id", "vec_id", "cos_sim", "rnk")
+  }
+
   val specs: Seq[QuerySpec] = Seq(
 
     // q31 — brute-force cosine top-5 for 8 query vectors. The query set is
@@ -135,21 +183,8 @@ object VectorQueries {
     // q_id. At 100 TB the same plan holds: broadcast queries, narrow scan,
     // rank shuffle of |q|·k rows.
     QuerySpec("q31_cosine_topk",
-      (s, dir) => {
-        val emb = Tables.load(s, dir, "embeddings")
-        val q = emb.filter(col("vec_id") < 8)
-          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-        val scored = emb.crossJoin(broadcast(q))
-          .filter(col("vec_id") =!= col("q_id"))
-          .select(col("q_id"), col("vec_id"),
-            round(call_function("graft_cosine", col("q_vec"), col("embedding")), 6).as("cos_sim"))
-        val w = Window.partitionBy("q_id")
-          .orderBy(col("cos_sim").desc, col("vec_id"))
-        scored.withColumn("rnk", row_number().over(w))
-          .filter(col("rnk") <= 5)
-          .select("q_id", "vec_id", "cos_sim", "rnk")
-          .orderBy("q_id", "rnk")
-      },
+      (s, dir) => bruteTopK(Tables.load(s, dir, "embeddings"))
+        .orderBy("q_id", "rnk"),
       Some(s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 8),
               |scored AS (
               |  SELECT q.q_id, e.vec_id,
@@ -197,36 +232,8 @@ object VectorQueries {
     // nprobe/k of the data. Centroids and the query set are broadcast
     // (both tiny); recall vs the exact q31 top-k is the accuracy trade.
     QuerySpec("q59_ivf_search",
-      (s, dir) => {
-        val emb = Tables.load(s, dir, "embeddings")
-        val cents = emb.filter(col("vec_id") < 4)
-          .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
-        val wv = Window.partitionBy("vec_id")
-          .orderBy(col("a_sim").desc, col("cent_id"))
-        val assigned = emb.crossJoin(broadcast(cents))
-          .select(col("vec_id"), col("embedding"), col("cent_id"),
-            round(call_function("graft_cosine", col("cent_vec"), col("embedding")), 6).as("a_sim"))
-          .withColumn("rn", row_number().over(wv)).filter(col("rn") === 1)
-          .select(col("vec_id"), col("embedding"), col("cent_id"))
-        val wq = Window.partitionBy("q_id")
-          .orderBy(col("p_sim").desc, col("cent_id"))
-        val probes = emb.filter(col("vec_id") < 8)
-          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-          .crossJoin(broadcast(cents))
-          .select(col("q_id"), col("q_vec"), col("cent_id"),
-            round(call_function("graft_cosine", col("cent_vec"), col("q_vec")), 6).as("p_sim"))
-          .withColumn("pn", row_number().over(wq)).filter(col("pn") <= 2)
-          .select(col("q_id"), col("q_vec"), col("cent_id"))
-        val wk = Window.partitionBy("q_id")
-          .orderBy(col("cos_sim").desc, col("vec_id"))
-        broadcast(probes).join(assigned, "cent_id")
-          .filter(col("vec_id") =!= col("q_id"))
-          .select(col("q_id"), col("vec_id"),
-            round(call_function("graft_cosine", col("q_vec"), col("embedding")), 6).as("cos_sim"))
-          .withColumn("rnk", row_number().over(wk)).filter(col("rnk") <= 5)
-          .select("q_id", "vec_id", "cos_sim", "rnk")
-          .orderBy("q_id", "rnk")
-      },
+      (s, dir) => ivfTopK(Tables.load(s, dir, "embeddings"))
+        .orderBy("q_id", "rnk"),
       Some(s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent_vec FROM embeddings WHERE vec_id < 4),
               |assigned AS (SELECT vec_id, embedding, cent_id FROM (
               |  SELECT e.vec_id, e.embedding, c.cent_id,
@@ -444,5 +451,63 @@ object VectorQueries {
               |      ORDER BY adc ASC, vec_id) AS INTEGER) AS rnk
               |  FROM scores WHERE vec_id <> q_id)
               |SELECT q_id, rnk, vec_id, adc FROM ranked WHERE rnk <= 5
-              |ORDER BY q_id, rnk""".stripMargin)))
+              |ORDER BY q_id, rnk""".stripMargin)),
+
+    // q110 — ANN recall@5: the evaluation op every approximate index
+    // needs — join the IVF search results (q59's pipeline, nprobe=2)
+    // against the brute-force ground truth (q31's pipeline) and report
+    // hits/5 per query. Left join from the exact side so a query with
+    // zero approximate hits still reports recall 0. Scale shape: both
+    // sides end at |queries|·k rows, so the comparison join is
+    // negligible no matter the corpus size — the cost is the two
+    // searches themselves, which is the point of measuring on a sampled
+    // query batch. Division by the exact k is one IEEE op, identical in
+    // both engines.
+    QuerySpec("q110_ann_recall",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val exact = bruteTopK(emb).select(col("q_id"), col("vec_id"))
+        val approx = ivfTopK(emb)
+          .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+        exact.join(approx, Seq("q_id", "vec_id"), "left")
+          .groupBy("q_id")
+          .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+          .select(col("q_id"), col("hits"),
+            (col("hits") / lit(5.0)).as("recall_at_5"))
+          .orderBy("q_id")
+      },
+      Some(s"""WITH bq AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 8),
+              |bscored AS (
+              |  SELECT bq.q_id, e.vec_id,
+              |    round(${duckCos("bq.q_vec", "e.embedding")}, 6) AS cos_sim
+              |  FROM embeddings e, bq WHERE e.vec_id <> bq.q_id),
+              |ex AS (SELECT q_id, vec_id FROM (
+              |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+              |    ORDER BY cos_sim DESC, vec_id) AS rnk FROM bscored)
+              |  WHERE rnk <= 5),
+              |cents AS (SELECT vec_id AS cent_id, embedding AS cent_vec FROM embeddings WHERE vec_id < 4),
+              |assigned AS (SELECT vec_id, embedding, cent_id FROM (
+              |  SELECT e.vec_id, e.embedding, c.cent_id,
+              |    row_number() OVER (PARTITION BY e.vec_id
+              |      ORDER BY round(${duckCos("c.cent_vec", "e.embedding")}, 6) DESC, c.cent_id) AS rn
+              |  FROM embeddings e, cents c) WHERE rn = 1),
+              |probes AS (SELECT q_id, q_vec, cent_id FROM (
+              |  SELECT q.vec_id AS q_id, q.embedding AS q_vec, c.cent_id,
+              |    row_number() OVER (PARTITION BY q.vec_id
+              |      ORDER BY round(${duckCos("c.cent_vec", "q.embedding")}, 6) DESC, c.cent_id) AS pn
+              |  FROM embeddings q, cents c WHERE q.vec_id < 8) WHERE pn <= 2),
+              |ascored AS (
+              |  SELECT p.q_id, a.vec_id,
+              |    round(${duckCos("p.q_vec", "a.embedding")}, 6) AS cos_sim
+              |  FROM probes p JOIN assigned a ON a.cent_id = p.cent_id
+              |  WHERE a.vec_id <> p.q_id),
+              |ap AS (SELECT q_id, vec_id FROM (
+              |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+              |    ORDER BY cos_sim DESC, vec_id) AS rnk FROM ascored)
+              |  WHERE rnk <= 5)
+              |SELECT ex.q_id,
+              |  CAST(SUM(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+              |  CAST(SUM(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) / 5.0 AS recall_at_5
+              |FROM ex LEFT JOIN ap ON ex.q_id = ap.q_id AND ex.vec_id = ap.vec_id
+              |GROUP BY ex.q_id ORDER BY ex.q_id""".stripMargin)))
 }
