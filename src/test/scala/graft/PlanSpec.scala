@@ -149,4 +149,22 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 4, // partial+final × 2 levels
       s"expected two partial+final aggregate levels:\n$p")
   }
+
+  test("q109: corpus stats broadcast into scoring; top-10 never globally sorts") {
+    val p = plan("q109_bm25")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"1-row BM25 stats not broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-10 not limit-pushed:\n$p")
+    // one corpus pass per aggregate consumer, never a corpus-keyed join:
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"BM25 grew a corpus-keyed shuffle join:\n$p")
+  }
+
+  test("q111: histogram bounds broadcast; bin aggregation is partial+final") {
+    val p = plan("q111_histogram")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"min/max bounds not broadcast:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"bin counts not partially aggregated:\n$p")
+  }
 }
