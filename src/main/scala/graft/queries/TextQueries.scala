@@ -1572,5 +1572,68 @@ object TextQueries {
               |  FROM tf GROUP BY 1)
               |SELECT doc_id, n_tok,
               |  round(ln(CAST(n_tok AS DOUBLE)) - CAST(sclc AS DOUBLE) / CAST(n_tok AS DOUBLE), 6) AS entropy
-              |FROM agg ORDER BY doc_id""".stripMargin)))
+              |FROM agg ORDER BY doc_id""".stripMargin)),
+
+    // q113 — tokenizer application: every document becomes its ordered
+    // id sequence under the q88 dense vocabulary. The corpus-scale work
+    // is one posexplode + one shuffle join keyed on the token (honest at
+    // 100 TB — the vocab outgrows broadcast with the corpus) + one
+    // doc-keyed aggregation that reassembles order via array_sort over
+    // (pos, id) structs — no window, no global sort. Output ids are a
+    // space-joined string so the gate compares scalars, not lists.
+    QuerySpec("q113_token_ids",
+      (s, dir) => {
+        val tok = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            posexplode(Text.tokens(lower(col("text")))))
+          .toDF("doc_id", "pos", "w")
+        val vocab = tok.groupBy(col("w").as("token")).agg(count(lit(1)).as("tf"))
+          .withColumn("__one", lit(1L))
+        val ids = graft.ops.PrefixSum.cumsum(vocab, "token", "__one", "vocab_id")
+          .select(col("token"), col("vocab_id"))
+        tok.join(ids, tok("w") === ids("token"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tok"),
+            expr("array_join(transform(array_sort(collect_list(struct(pos, vocab_id))), x -> CAST(x.vocab_id AS STRING)), ' ')")
+              .as("ids"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, $duckTokens AS t FROM documents),
+              |tok AS (SELECT doc_id,
+              |    unnest(generate_series(1, len(t))) AS pos, unnest(t) AS w
+              |  FROM tk),
+              |v AS (SELECT w AS token, row_number() OVER (ORDER BY w) AS vocab_id
+              |  FROM (SELECT DISTINCT w FROM tok))
+              |SELECT doc_id, count(*) AS n_tok,
+              |  string_agg(CAST(vocab_id AS VARCHAR), ' ' ORDER BY pos) AS ids
+              |FROM tok JOIN v ON tok.w = v.token
+              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // q114 — deterministic epoch shuffle + sharding: the training-loader
+    // op — a seedable global permutation of the corpus (portable hash of
+    // doc_id + epoch tag, id tiebreak packed into one key) mapped to
+    // (shard, pos_in_shard) with 64 docs per shard. The permutation rank
+    // comes from ops.PrefixSum (range-partition + per-partition cumsum)
+    // — NO single-reducer global window, so re-sharding 100 TB is one
+    // ranged exchange. Same seed → same shards on any cluster layout;
+    // next epoch is just a different tag.
+    QuerySpec("q114_epoch_shuffle",
+      (s, dir) => {
+        val keyed = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            (Text.hash32(concat(col("doc_id").cast("string"), lit("_ep7")))
+              * lit(1000000000L) + col("doc_id")).as("skey"))
+          .withColumn("__one", lit(1L))
+        graft.ops.PrefixSum.cumsum(keyed, "skey", "__one", "pos")
+          .select(col("doc_id"), expr("(pos - 1) div 64").as("shard"),
+            expr("(pos - 1) % 64").as("pos_in_shard"))
+          .orderBy("shard", "pos_in_shard")
+      },
+      Some("""WITH k AS (SELECT doc_id,
+             |    CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR) || '_ep7'),1,8) AS BIGINT)
+             |      * 1000000000 + doc_id AS skey
+             |  FROM documents),
+             |p AS (SELECT doc_id, row_number() OVER (ORDER BY skey) AS pos FROM k)
+             |SELECT doc_id, (pos - 1) // 64 AS shard, (pos - 1) % 64 AS pos_in_shard
+             |FROM p ORDER BY shard, pos_in_shard""".stripMargin)))
 }
