@@ -161,6 +161,69 @@ class NewOpsSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("q109_bm25: scores positive, ranked descending, and tf-monotone") {
+    val rows = run("q109_bm25").collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val scores = rows.map(_.getAs[Double]("bm25"))
+    assert(scores.forall(_ > 0))
+    assert(scores.sameElements(scores.sortBy(-_)), "not ranked by score desc")
+  }
+
+  test("q110_ann_recall: one row per query, recall = hits/5 within [0,1]") {
+    val rows = run("q110_ann_recall").collect()
+    assert(rows.length == 8) // 8 query vectors, left join keeps them all
+    rows.foreach { r =>
+      val hits = r.getAs[Long]("hits")
+      val rec = r.getAs[Double]("recall_at_5")
+      assert(hits >= 0 && hits <= 5)
+      assert(rec == hits / 5.0)
+    }
+  }
+
+  test("q111_histogram: bins partition all rows, edges tile [lo, hi]") {
+    val rows = run("q111_histogram").collect()
+    val total = spark.read.parquet(s"$sf/lineitem.parquet").count()
+    assert(rows.map(_.getAs[Long]("n")).sum == total)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("bin") >= 0 && r.getAs[Long]("bin") <= 19)
+      assert(r.getAs[Double]("edge_lo") < r.getAs[Double]("edge_hi"))
+    }
+  }
+
+  test("q112_token_entropy: 0 <= H <= ln(n_tok) for every doc") {
+    val rows = run("q112_token_entropy").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val h = r.getAs[Double]("entropy")
+      val n = r.getAs[Long]("n_tok")
+      assert(h >= 0.0 && h <= math.log(n.toDouble) + 1e-6,
+        s"entropy $h outside [0, ln($n)]")
+    }
+  }
+
+  test("q113_token_ids: id sequence length equals the doc's token count") {
+    val rows = run("q113_token_ids").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[String]("ids").split(" ").length == r.getAs[Long]("n_tok"))
+    }
+  }
+
+  test("q114_epoch_shuffle: a permutation into dense 64-doc shards") {
+    val rows = run("q114_epoch_shuffle").collect()
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.length == total, "not a permutation: row count differs")
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length == total)
+    // every shard except the last is exactly full, positions are dense
+    val byShard = rows.groupBy(_.getAs[Long]("shard"))
+    val last = byShard.keys.max
+    byShard.foreach { case (s, rs) =>
+      val sz = if (s == last) (total - 1) % 64 + 1 else 64
+      assert(rs.length == sz, s"shard $s has ${rs.length} docs, expected $sz")
+      assert(rs.map(_.getAs[Long]("pos_in_shard")).sorted.sameElements(0L until sz))
+    }
+  }
+
   test("alternatingStar labels an 80-hop chain inside its O(log n) round budget") {
     // the load-bearing difference between the two CC algorithms: label
     // propagation needs diameter rounds (79 here — beyond its cap, it
