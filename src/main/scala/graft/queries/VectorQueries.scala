@@ -45,15 +45,25 @@ object VectorQueries {
       lit(0.0), (acc, x) => acc + x)
 
   /** Nearest codebook entry per (vec_id, sub): (vec_id, sub, v, cent_id,
-    * d); ties on rounded distance break toward the lower cent_id. */
-  private def pqAssign(sv: DataFrame, cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy("vec_id", "sub").orderBy(col("d").asc, col("cent_id"))
+    * d); ties on rounded distance break toward the lower cent_id.
+    *
+    * Struct-MIN aggregate, not a row_number window: the window form
+    * shuffles AND sorts all k·n scored rows; the aggregate partial-
+    * aggregates map-side so the exchange carries one row per (vec_id,
+    * sub) — the same keep-first lesson as Dedup.keepFirstAgg (NOTES).
+    * min(struct(d, cent_id)) = smallest distance, tie toward the lower
+    * cent_id — exactly the window's (d ASC, cent_id) order. `v` is
+    * constant within the group (same subvector × k centroids), so
+    * first(v) is deterministic in value. */
+  private def pqAssign(sv: DataFrame, cents: DataFrame): DataFrame =
     sv.join(broadcast(cents), "sub")
       .select(col("vec_id"), col("sub"), col("v"), col("cent_id"),
         round(pqL2(col("v"), col("cv")), 6).as("d"))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("sub"), col("v"), col("cent_id"), col("d"))
-  }
+      .groupBy("vec_id", "sub")
+      .agg(min(struct(col("d"), col("cent_id"))).as("m"),
+        first(col("v")).as("v"))
+      .select(col("vec_id"), col("sub"), col("v"),
+        col("m.cent_id").as("cent_id"), col("m.d").as("d"))
 
   /** One-Lloyd-iteration per-subspace codebook: (sub, cent_id, cv),
     * persisted (tiny: pqM² rows; at any corpus scale it stays k·m rows —
@@ -144,18 +154,38 @@ object VectorQueries {
       .select("q_id", "vec_id", "cos_sim", "rnk")
   }
 
+  /** Nearest centroid per vector as a struct-MAX aggregate (same scale
+    * rationale as [[pqAssign]]: map-side partial agg, one shuffled row
+    * per vector, no sort — the window form moves k·n rows). max of
+    * (cos_sim, -cent_id) = highest similarity, tie toward the LOWER
+    * cent_id — exactly the window's (cos_sim DESC, cent_id) order.
+    * embedding is constant per vec_id, so first() is deterministic.
+    * `cos` defaults to the codegen'd graft_cosine Expression
+    * (array<float> only); q56 passes the HOF form because its learned
+    * centroids are array<double> means. */
+  private def nearestCentroid(emb: DataFrame, cents: DataFrame,
+      cos: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column =
+        (a, b) => call_function("graft_cosine", a, b),
+      carryEmbedding: Boolean = true): DataFrame = {
+    val scored = emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("cent_id"),
+        round(cos(col("cent_vec"), col("embedding")), 6).as("a_sim"))
+    val key = max(struct(col("a_sim"), (-col("cent_id")).as("nc"))).as("m")
+    if (carryEmbedding)
+      scored.groupBy("vec_id")
+        .agg(key, first(col("embedding")).as("embedding"))
+        .select(col("vec_id"), col("embedding"), (-col("m.nc")).as("cent_id"))
+    else
+      scored.groupBy("vec_id").agg(key)
+        .select(col("vec_id"), (-col("m.nc")).as("cent_id"))
+  }
+
   /** IVF top-5 with nprobe=2 over the 4 fixed centroids (q59's pipeline;
     * the approximate side of q110's recall): same shape as [[bruteTopK]]. */
   private def ivfTopK(emb: DataFrame): DataFrame = {
     val cents = emb.filter(col("vec_id") < 4)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
-    val wv = Window.partitionBy("vec_id")
-      .orderBy(col("a_sim").desc, col("cent_id"))
-    val assigned = emb.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("cent_id"),
-        round(call_function("graft_cosine", col("cent_vec"), col("embedding")), 6).as("a_sim"))
-      .withColumn("rn", row_number().over(wv)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cent_id"))
+    val assigned = nearestCentroid(emb, cents)
     val wq = Window.partitionBy("q_id")
       .orderBy(col("p_sim").desc, col("cent_id"))
     val probes = emb.filter(col("vec_id") < 8)
@@ -204,12 +234,7 @@ object VectorQueries {
         val emb = Tables.load(s, dir, "embeddings")
         val cents = emb.filter(col("vec_id") < 4)
           .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
-        val assigned = emb.crossJoin(broadcast(cents))
-          .select(col("vec_id"), col("label"), col("cent_id"),
-            round(call_function("graft_cosine", col("cent_vec"), col("embedding")), 6).as("cos_sim"))
-        val w = Window.partitionBy("vec_id")
-          .orderBy(col("cos_sim").desc, col("cent_id"))
-        assigned.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        nearestCentroid(emb, cents, carryEmbedding = false)
           .groupBy("cent_id")
           .agg(count(lit(1)).as("bucket_size"),
             min(col("vec_id")).as("min_vec"), max(col("vec_id")).as("max_vec"))
@@ -270,15 +295,8 @@ object VectorQueries {
     QuerySpec("q56_kmeans_ivf",
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")
-        def nearest(cents: DataFrame): DataFrame = {
-          val scored = emb.crossJoin(broadcast(cents))
-            .select(col("vec_id"), col("embedding"), col("cent_id"),
-              round(Vectors.cosine(col("cent_vec"), col("embedding")), 6).as("cos_sim"))
-          val w = Window.partitionBy("vec_id")
-            .orderBy(col("cos_sim").desc, col("cent_id"))
-          scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-            .select("vec_id", "embedding", "cent_id")
-        }
+        def nearest(cents: DataFrame): DataFrame =
+          nearestCentroid(emb, cents, Vectors.cosine)
         def update(assigned: DataFrame): DataFrame = assigned
           .select(col("cent_id"), posexplode(col("embedding")))
           .groupBy("cent_id", "pos")
@@ -291,7 +309,8 @@ object VectorQueries {
         val c0 = emb.filter(col("vec_id") < 4)
           .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
         val c2 = update(nearest(update(nearest(c0))))
-        nearest(c2).groupBy("cent_id")
+        nearestCentroid(emb, c2, Vectors.cosine, carryEmbedding = false)
+          .groupBy("cent_id")
           .agg(count(lit(1)).as("bucket_size"),
             min(col("vec_id")).as("min_vec"), max(col("vec_id")).as("max_vec"))
           .join(c2.select(col("cent_id"),

@@ -160,6 +160,13 @@ class PlanSpec extends AnyFunSuite {
       s"BM25 grew a corpus-keyed shuffle join:\n$p")
   }
 
+  test("q32: centroid assignment is a partial struct-max aggregate, not a window") {
+    val p = plan("q32_ivf_assign")
+    assert(!p.contains("Window"), s"assignment regressed to a window rank:\n$p")
+    assert(p.contains("partial_max(struct"),
+      s"no map-side partial aggregation before the vec_id exchange:\n$p")
+  }
+
   test("q111: histogram bounds broadcast; bin aggregation is partial+final") {
     val p = plan("q111_histogram")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
