@@ -266,7 +266,48 @@ object StreamQueries {
              |           WHEN lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) IS NULL THEN 1
              |           ELSE 0 END AS new_sess
              |    FROM events))
-             |GROUP BY user_id, sess_id ORDER BY user_id, sess_start""".stripMargin)))
+             |GROUP BY user_id, sess_id ORDER BY user_id, sess_start""".stripMargin)),
+
+    // q115 — UPDATE output mode, the incremental-sink half of the
+    // streaming surface (complete/append are covered above): a running
+    // per-key aggregate that emits ONLY the keys changed by each
+    // micro-batch. The event file is re-laid into 4 files and streamed
+    // one file per trigger, so the aggregate genuinely updates across 4
+    // batches; foreachBatch captures (batchId, key, running count) and
+    // the final state per key — its last emitted update — must equal the
+    // batch GROUP BY. This is the 100 TB sink shape: per-batch deltas
+    // (changed keys only) instead of complete-mode snapshots of the
+    // whole result table.
+    QuerySpec("q115_stream_update",
+      (s, dir) => {
+        import org.apache.spark.sql.{Dataset, Row, SaveMode}
+        val tmp = Files.createTempDirectory("graft_upd_").toString
+        Tables.load(s, dir, "events")
+          .repartitionByRange(4, col("event_id"))
+          .write.mode(SaveMode.Overwrite).parquet(tmp)
+        val schema = s.read.parquet(tmp).schema
+        val agg = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(tmp)
+          .groupBy("event_type").agg(count(lit(1)).as("n_events"))
+        val buf = scala.collection.mutable.ArrayBuffer[(Long, String, Long)]()
+        withStateParts(s) {
+          val q = agg.writeStream.outputMode("update")
+            .foreachBatch { (b: Dataset[Row], id: Long) =>
+              val rows = b.collect() // keys changed this batch — tiny
+              buf.synchronized {
+                buf ++= rows.map(r => (id, r.getString(0), r.getLong(1)))
+              }: Unit
+            }
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        val last = buf.groupBy(_._2).values.map(_.maxBy(_._1)).toSeq
+        s.createDataFrame(last.map { case (_, k, n) => (k, n) })
+          .toDF("event_type", "n_events")
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n_events
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)))
 
   /** Append-mode variant of [[runComplete]] for flatMapGroupsWithState. */
   private def runAppend(s: SparkSession, df: DataFrame): DataFrame =
