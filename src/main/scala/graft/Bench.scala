@@ -53,16 +53,27 @@ object Bench {
   private def fmt(v: Double): String =
     if (v == Double.MaxValue) "-1" else f"$v%.3f"
 
+  /** JSON-line value format: adaptive precision keeps the line inside
+    * the driver's tail budget even if every query degraded to 4-digit
+    * seconds (2 decimals under 10 s is far below run-to-run variance;
+    * the 3-decimal map goes to stderr). */
+  private def fmtJson(v: Double): String =
+    if (v == Double.MaxValue) "-1"
+    else if (v < 10) f"$v%.2f"
+    else if (v < 100) f"$v%.1f"
+    else f"$v%.0f"
+
   /** The driver keeps only the last ~2000 chars of stdout and parses the
     * JSON line out of that tail: the line MUST stay well under that
     * budget or the parse silently fails (rounds 1-3 all had parsed=null).
-    * Short "qNN" keys + 3-decimal rounding keep ~100 queries near ~1.4KB;
-    * the full-name map goes to stderr (free-form per the contract).
+    * Short "qNN" keys + adaptive precision keep ~115 queries near ~1.4KB
+    * even in a worst case where every query takes 4-digit seconds; the
+    * full-name 3-decimal map goes to stderr (free-form per the contract).
     * BenchFormatSpec guards the budget as the query count grows. */
   private[graft] def formatLine(results: Map[String, Double],
       failed: Seq[String], sfDir: String): String = {
     val qs = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k.split("_").head + "\":" + fmt(v) }
+      .map { case (k, v) => "\"" + k.split("_").head + "\":" + fmtJson(v) }
       .mkString("{", ",", "}")
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.values.filter(_ != Double.MaxValue).sum

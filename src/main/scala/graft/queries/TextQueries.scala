@@ -1635,5 +1635,40 @@ object TextQueries {
              |  FROM documents),
              |p AS (SELECT doc_id, row_number() OVER (ORDER BY skey) AS pos FROM k)
              |SELECT doc_id, (pos - 1) // 64 AS shard, (pos - 1) % 64 AS pos_in_shard
-             |FROM p ORDER BY shard, pos_in_shard""".stripMargin)))
+             |FROM p ORDER BY shard, pos_in_shard""".stripMargin)),
+
+    // q116 — Bloom-filter membership screen (the last classic sketch
+    // next to HLL q60 / CMS q78 / minhash q75): an incoming batch is
+    // probed against a Bloom filter of the existing corpus's content
+    // fingerprints — definite-new docs skip the expensive dedup path
+    // entirely, only probable-dups proceed to exact verification. Build
+    // is a distributed treeAggregate (`stat.bloomFilter`, public API —
+    // `bloom_filter_agg` is not SQL-registered in this build); the
+    // filter is megabytes at any corpus size (bits ∝ items, ~9 bits/item
+    // at 3% fpp) and ships broadcast, exactly like the optimizer's own
+    // runtime bloom joins (PlanSpec). The probe is the one deliberate
+    // UDF in the repo: no public native expression accepts this filter,
+    // and the call is a bit-test per row. Bloom bits are a set — the
+    // build is insertion-order-independent, so counts are deterministic
+    // — but no DuckDB oracle can replicate the hash family: rows-only
+    // gate + no-false-negative invariant in NewOpsSpec (q60/q66
+    // precedent).
+    QuerySpec("q116_bloom_newdocs",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            Text.fingerprint(col("text")).as("fp"))
+        val existing = docs.filter(col("doc_id") % 2 === 0)
+        val incoming = docs.filter(col("doc_id") % 2 === 1)
+        val bf = existing.stat.bloomFilter("fp",
+          math.max(existing.count(), 1L), 0.03)
+        val bfB = s.sparkContext.broadcast(bf)
+        val maybeDup = udf((x: String) => bfB.value.mightContain(x))
+        incoming
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(maybeDup(col("fp")), 1L).otherwise(0L)).as("n_maybe_dup"))
+          .orderBy("source")
+      },
+      None))
 }

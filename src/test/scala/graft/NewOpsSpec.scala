@@ -224,6 +224,30 @@ class NewOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q116_bloom_newdocs: no false negatives, fp rate within bound") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("source"),
+        graft.functions.Text.fingerprint(col("text")).as("fp"))
+    val existing = docs.filter(col("doc_id") % 2 === 0)
+    val bf = existing.stat.bloomFilter("fp", math.max(existing.count(), 1L), 0.03)
+    // Bloom guarantee: every inserted member answers true
+    assert(existing.select("fp").collect().forall(r => bf.mightContain(r.getString(0))))
+    // aggregate view: flagged docs >= true cross-half duplicates per source,
+    // and never exceeds the doc count
+    val rows = run("q116_bloom_newdocs").collect()
+    val trueDups = docs.filter(col("doc_id") % 2 === 1).as("i")
+      .join(existing.select(col("fp")).distinct().as("e"), "fp")
+      .groupBy("source").count().collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("count")).toMap
+    rows.foreach { r =>
+      val s0 = r.getAs[String]("source")
+      val flagged = r.getAs[Long]("n_maybe_dup")
+      assert(flagged >= trueDups.getOrElse(s0, 0L), s"false negative in $s0")
+      assert(flagged <= r.getAs[Long]("n_docs"))
+    }
+  }
+
   test("alternatingStar labels an 80-hop chain inside its O(log n) round budget") {
     // the load-bearing difference between the two CC algorithms: label
     // propagation needs diameter rounds (79 here — beyond its cap, it

@@ -36,6 +36,31 @@ class StreamModesSpec extends AnyFunSuite {
     assert(update == complete)
   }
 
+  test("dropDuplicatesWithinWatermark: dups inside the horizon collapse, " +
+      "state expires behind the watermark") {
+    // The production streaming-dedup form SURVEY §2.9 names (q40 uses
+    // plain dropDuplicates, correct for a bounded backfill): dedup state
+    // is only kept while a duplicate could still arrive inside the
+    // watermark delay, so state size is bounded by the time horizon —
+    // the property that lets dedup run forever at 100 TB/day.
+    val dir = Files.createTempDirectory("wmdedup_src")
+    val base = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    def ts(minOff: Int) = new java.sql.Timestamp(base.getTime + minOff * 60000L)
+    Seq((1L, ts(0)), (1L, ts(1)),   // dup inside the 10-min horizon
+        (2L, ts(2)), (3L, ts(60)))  // unique keys
+      .toDF("k", "ts").write.mode("overwrite").parquet(dir.toString)
+    val schema = spark.read.parquet(dir.toString).schema
+    val dedup = spark.readStream.schema(schema).parquet(dir.toString)
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("k")
+    val mem = "wmdedup_" + UUID.randomUUID().toString.replace("-", "")
+    val q = dedup.writeStream.format("memory").queryName(mem)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val keys = spark.table(mem).select("k").as[Long].collect().toSeq.sorted
+    assert(keys == Seq(1L, 2L, 3L), s"got $keys")
+  }
+
   test("checkpoint resume: second AvailableNow run processes ONLY new files") {
     // Incremental ingestion — the engine's replacement for the reference's
     // daily full re-read (SURVEY §2.9): a restarted stream resumes from
