@@ -1643,10 +1643,14 @@ object TextQueries {
     // fingerprints — definite-new docs skip the expensive dedup path
     // entirely, only probable-dups proceed to exact verification. Build
     // is a distributed treeAggregate (`stat.bloomFilter`, public API —
-    // `bloom_filter_agg` is not SQL-registered in this build); the
-    // filter is megabytes at any corpus size (bits ∝ items, ~9 bits/item
-    // at 3% fpp) and ships broadcast, exactly like the optimizer's own
-    // runtime bloom joins (PlanSpec). The probe is the one deliberate
+    // `bloom_filter_agg` is not SQL-registered in this build). Scale
+    // honesty: bloom bits grow with the build side (~9 bits/item at 3%
+    // fpp), so broadcast only works while the BUILD set is bounded — a
+    // blocklist, a benchmark set, yesterday's increment. Against a full
+    // 100 TB corpus you invert the roles (build over the small incoming
+    // batch, probe the corpus scan) or hash-partition both sides and
+    // keep one bloom per partition; same op, flipped build side. The
+    // probe is the one deliberate
     // UDF in the repo: no public native expression accepts this filter,
     // and the call is a bit-test per row. Bloom bits are a set — the
     // build is insertion-order-independent, so counts are deterministic
