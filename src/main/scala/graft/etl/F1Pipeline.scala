@@ -218,4 +218,15 @@ object F1Pipeline {
       "DriverStandings" -> driverStandings(w),
       "TeamStandings" -> teamStandings(w))
   }
+
+  /** The reference's entire daily job in one call (every DAG in
+    * `airflow/dags/` re-expressed): read the wide CSV once, build all 15
+    * tables, write each as parquet under `outDir/<Table>`. Overwrite mode
+    * subsumes the reference's hand-run `DELETE FROM` resets
+    * (`DDL Final.sql:338-352`); rerunning is idempotent. This is the
+    * switch-over entry point for a user of the reference. */
+  def run(spark: org.apache.spark.sql.SparkSession, csvPath: String,
+      outDir: String, refYear: Int = 2026): Unit =
+    buildAll(graft.core.Tables.csv(spark, csvPath, F1Schema.wide), refYear)
+      .foreach { case (t, df) => graft.core.Sinks.parquet(df, s"$outDir/$t") }
 }

@@ -86,8 +86,11 @@ class F1PipelineSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("f1csv")
     val f = dir.resolve("wide.csv")
     Files.writeString(f, (cols.mkString(",") +: Seq(r1, r2, r3, r4)).mkString("\n"))
-    F1Pipeline.buildAll(Tables.csv(spark, f.toString, F1Schema.wide), refYear = 2026)
+    csvPath = f.toString
+    F1Pipeline.buildAll(Tables.csv(spark, csvPath, F1Schema.wide), refYear = 2026)
   }
+
+  private var csvPath: String = _
 
   private def rows(t: String): Seq[Row] = tables(t).collect().toSeq
 
@@ -164,5 +167,17 @@ class F1PipelineSpec extends AnyFunSuite {
       tables("Race").withColumnRenamed("locationId", "locationId"),
       tables("LocationDimension"), Seq("locationId"))
     assert(orphans.count() == 0)
+  }
+
+  test("run: the one-call daily job writes all 15 tables, idempotently") {
+    val expected = tables.keySet // forces the fixture (sets csvPath)
+    val out = Files.createTempDirectory("f1out").toString
+    F1Pipeline.run(spark, csvPath, out)
+    F1Pipeline.run(spark, csvPath, out) // rerun == the reference's @daily
+    val written = new java.io.File(out).listFiles().map(_.getName).toSet
+    assert(written == expected, s"missing: ${expected -- written}")
+    assert(spark.read.parquet(s"$out/DateDimension").count() == 2)
+    assert(spark.read.parquet(s"$out/Results").count()
+      == tables("Results").count())
   }
 }
