@@ -61,6 +61,52 @@ class StreamModesSpec extends AnyFunSuite {
     assert(keys == Seq(1L, 2L, 3L), s"got $keys")
   }
 
+  test("watermark drops late data: an event behind the checkpointed " +
+      "watermark never reaches its (already-final) window") {
+    // SURVEY §2.9 "watermarks + late-data drop": run 1 advances the
+    // watermark past a window and finalizes it (append emits it); run 2
+    // delivers an event for that window that is older than the
+    // checkpoint-persisted watermark — state for the window is gone and
+    // the event is discarded, so the emitted count never changes. This
+    // is the mechanism that bounds window state at 100 TB/day.
+    val src = Files.createTempDirectory("late_src")
+    val out = Files.createTempDirectory("late_out").toString
+    val ckpt = Files.createTempDirectory("late_ckpt").toString
+    def ts(hm: String) = java.sql.Timestamp.valueOf(s"2026-01-01 $hm:00")
+    def runOnce(): Unit = {
+      val schema = spark.read.parquet(src.toString).schema
+      val q = spark.readStream.schema(schema).parquet(src.toString)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "30 minutes")).agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("ws"), col("n"))
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def emitted(): Map[java.sql.Timestamp, Long] =
+      spark.read.parquet(out).as[(java.sql.Timestamp, Long)]
+        .collect().groupMapReduce(_._1)(_._2)(_ + _)
+    // run 1: two on-time events in [10:00, 10:30), then 11:00 pushes the
+    // watermark to 10:50 — that window is final and emitted
+    Seq((1L, ts("10:05")), (2L, ts("10:20")), (3L, ts("11:00")))
+      .toDF("id", "ts").write.mode("append").parquet(src.toString)
+    runOnce()
+    val afterRun1 = emitted()
+    assert(afterRun1.get(ts("10:00")).contains(2L),
+      s"window not finalized: $afterRun1")
+    // run 2: a LATE event for the final window (10:10 < watermark 10:50)
+    // plus an on-time one that finalizes [11:00, 11:30)
+    Seq((4L, ts("10:10")), (5L, ts("11:40")))
+      .toDF("id", "ts").write.mode("append").parquet(src.toString)
+    runOnce()
+    val afterRun2 = emitted()
+    assert(afterRun2.get(ts("10:00")).contains(2L),
+      s"late event leaked into the finalized window: $afterRun2")
+    assert(afterRun2.get(ts("11:00")).contains(1L),
+      s"on-time window missing: $afterRun2")
+  }
+
   test("checkpoint resume: second AvailableNow run processes ONLY new files") {
     // Incremental ingestion — the engine's replacement for the reference's
     // daily full re-read (SURVEY §2.9): a restarted stream resumes from
