@@ -1637,6 +1637,80 @@ object TextQueries {
              |SELECT doc_id, (pos - 1) // 64 AS shard, (pos - 1) % 64 AS pos_in_shard
              |FROM p ORDER BY shard, pos_in_shard""".stripMargin)),
 
+    // q117 — deterministic quality-classifier scoring (the fastText-
+    // quality-filter stand-in every corpus pipeline runs): a fixed
+    // logistic model over the q26 feature set — sigmoid(w·x + b) with
+    // hand-set weights — and the keep/drop decision at p >= 0.5.
+    // Entirely scan-local projection (codegen; zero shuffles beyond the
+    // final sort); at 100 TB, model scoring is a map-side op by
+    // construction. Parity: features are the 4-decimal-rounded ratios
+    // q26 already proves portable, the logit is one fixed left-fold,
+    // and the sigmoid output is rounded to 6 (transcendental — NOTES
+    // q112 lesson).
+    QuerySpec("q117_quality_logit",
+      (s, dir) => {
+        val nTok = Text.tokenCount(col("text"))
+        val stopR = round(
+          Text.stopwordCount(col("text")).cast("double") / nTok, 4)
+        val punR = round(
+          Text.punctCount(col("text")).cast("double") / length(col("text")), 4)
+        val logit = lit(-2.0) +
+          lit(0.45) * log(length(col("text")).cast("double")) +
+          lit(3.0) * stopR - lit(6.0) * punR -
+          lit(0.002) * nTok.cast("double")
+        val p = round(lit(1.0) / (lit(1.0) + exp(-logit)), 6)
+        Tables.load(s, dir, "documents").select("doc_id", "text")
+          .orderBy("doc_id")
+          .select(col("doc_id"), p.as("quality_p"), (p >= 0.5).as("keep"))
+      },
+      Some(s"""SELECT doc_id,
+              |  round(1.0 / (1.0 + exp(-(-2.0
+              |    + 0.45 * ln(CAST(length(text) AS DOUBLE))
+              |    + 3.0 * round(CAST(len(list_filter($duckTokens, x -> x IN ($stopList))) AS DOUBLE)
+              |                  / len(string_split_regex(trim(text), '\\s+')), 4)
+              |    - 6.0 * round(CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+              |                  / length(text), 4)
+              |    - 0.002 * CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)))), 6) AS quality_p,
+              |  round(1.0 / (1.0 + exp(-(-2.0
+              |    + 0.45 * ln(CAST(length(text) AS DOUBLE))
+              |    + 3.0 * round(CAST(len(list_filter($duckTokens, x -> x IN ($stopList))) AS DOUBLE)
+              |                  / len(string_split_regex(trim(text), '\\s+')), 4)
+              |    - 6.0 * round(CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+              |                  / length(text), 4)
+              |    - 0.002 * CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)))), 6) >= 0.5 AS keep
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // q118 — per-language corpus card (the dataset-datasheet summary a
+    // release pipeline publishes): docs, tokens, mean length, and token
+    // share per language. One corpus pass into a language-grain
+    // aggregate; the share denominator is a 1-row re-aggregate of the
+    // per-language table (grains, not rows), broadcast back. All outputs
+    // are exact-integer arithmetic plus one IEEE division each — no
+    // rounding needed.
+    QuerySpec("q118_corpus_card",
+      (s, dir) => {
+        val per = Tables.load(s, dir, "documents")
+          .select(col("lang"), col("n_chars"),
+            Text.tokenCount(col("text")).cast("long").as("n_tok"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).as("n_tokens"),
+            (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"))
+        val tot = per.agg(sum(col("n_tokens")).cast("double").as("tot_tokens"))
+        per.crossJoin(broadcast(tot))
+          .select(col("lang"), col("n_docs"), col("n_tokens"), col("avg_chars"),
+            (col("n_tokens") / col("tot_tokens")).as("token_share"))
+          .orderBy("lang")
+      },
+      Some("""WITH per AS (SELECT lang, count(*) AS n_docs,
+             |    CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens,
+             |    CAST(SUM(n_chars) AS DOUBLE) / count(*) AS avg_chars
+             |  FROM documents GROUP BY lang),
+             |tot AS (SELECT CAST(SUM(n_tokens) AS DOUBLE) AS tot_tokens FROM per)
+             |SELECT lang, n_docs, n_tokens, avg_chars,
+             |  n_tokens / tot_tokens AS token_share
+             |FROM per, tot ORDER BY lang""".stripMargin)),
+
     // q116 — Bloom-filter membership screen (the last classic sketch
     // next to HLL q60 / CMS q78 / minhash q75): an incoming batch is
     // probed against a Bloom filter of the existing corpus's content
