@@ -248,6 +248,25 @@ class NewOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q117_quality_logit: probabilities in (0,1), keep consistent with threshold") {
+    val rows = run("q117_quality_logit").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val p = r.getAs[Double]("quality_p")
+      assert(p > 0.0 && p < 1.0)
+      assert(r.getAs[Boolean]("keep") == (p >= 0.5))
+    }
+  }
+
+  test("q118_corpus_card: token shares sum to 1, doc counts cover the corpus") {
+    val rows = run("q118_corpus_card").collect()
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total)
+    val shareSum = rows.map(_.getAs[Double]("token_share")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-9, s"shares sum to $shareSum")
+    rows.foreach(r => assert(r.getAs[Double]("avg_chars") > 0))
+  }
+
   test("alternatingStar labels an 80-hop chain inside its O(log n) round budget") {
     // the load-bearing difference between the two CC algorithms: label
     // propagation needs diameter rounds (79 here — beyond its cap, it
