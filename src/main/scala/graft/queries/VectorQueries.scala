@@ -528,5 +528,66 @@ object VectorQueries {
               |  CAST(SUM(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
               |  CAST(SUM(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) / 5.0 AS recall_at_5
               |FROM ex LEFT JOIN ap ON ex.q_id = ap.q_id AND ex.vec_id = ap.vec_id
-              |GROUP BY ex.q_id ORDER BY ex.q_id""".stripMargin)))
+              |GROUP BY ex.q_id ORDER BY ex.q_id""".stripMargin)),
+
+    // q119 — reciprocal rank of the IVF search (q110's rank-sensitive
+    // companion: recall says WHETHER truth was found, RR says how HIGH
+    // it surfaced): per query, 1/rank of the first IVF result that is
+    // in the exact top-5; 0 when none is. Same |queries|·k-row
+    // comparison shape as q110 — evaluation cost is the searches, not
+    // the join. The left join from the query set keeps zero-hit queries
+    // in the report.
+    QuerySpec("q119_ann_mrr",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val ex = bruteTopK(emb).select(col("q_id"), col("vec_id"))
+        val firstHit = ivfTopK(emb).select(col("q_id"), col("vec_id"), col("rnk"))
+          .join(ex, Seq("q_id", "vec_id"), "left_semi")
+          .groupBy("q_id").agg(min(col("rnk")).as("fhr"))
+        ex.select("q_id").distinct()
+          .join(firstHit, Seq("q_id"), "left")
+          .select(col("q_id"),
+            coalesce(col("fhr"), lit(0)).as("first_hit_rank"),
+            when(col("fhr").isNotNull, lit(1.0) / col("fhr"))
+              .otherwise(lit(0.0)).as("rr"))
+          .orderBy("q_id")
+      },
+      Some(s"""WITH bq AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 8),
+              |bscored AS (
+              |  SELECT bq.q_id, e.vec_id,
+              |    round(${duckCos("bq.q_vec", "e.embedding")}, 6) AS cos_sim
+              |  FROM embeddings e, bq WHERE e.vec_id <> bq.q_id),
+              |ex AS (SELECT q_id, vec_id FROM (
+              |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+              |    ORDER BY cos_sim DESC, vec_id) AS rnk FROM bscored)
+              |  WHERE rnk <= 5),
+              |cents AS (SELECT vec_id AS cent_id, embedding AS cent_vec FROM embeddings WHERE vec_id < 4),
+              |assigned AS (SELECT vec_id, embedding, cent_id FROM (
+              |  SELECT e.vec_id, e.embedding, c.cent_id,
+              |    row_number() OVER (PARTITION BY e.vec_id
+              |      ORDER BY round(${duckCos("c.cent_vec", "e.embedding")}, 6) DESC, c.cent_id) AS rn
+              |  FROM embeddings e, cents c) WHERE rn = 1),
+              |probes AS (SELECT q_id, q_vec, cent_id FROM (
+              |  SELECT q.vec_id AS q_id, q.embedding AS q_vec, c.cent_id,
+              |    row_number() OVER (PARTITION BY q.vec_id
+              |      ORDER BY round(${duckCos("c.cent_vec", "q.embedding")}, 6) DESC, c.cent_id) AS pn
+              |  FROM embeddings q, cents c WHERE q.vec_id < 8) WHERE pn <= 2),
+              |ascored AS (
+              |  SELECT p.q_id, a.vec_id,
+              |    round(${duckCos("p.q_vec", "a.embedding")}, 6) AS cos_sim
+              |  FROM probes p JOIN assigned a ON a.cent_id = p.cent_id
+              |  WHERE a.vec_id <> p.q_id),
+              |ap AS (SELECT q_id, vec_id, CAST(rnk AS INTEGER) AS rnk FROM (
+              |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+              |    ORDER BY cos_sim DESC, vec_id) AS rnk FROM ascored)
+              |  WHERE rnk <= 5),
+              |hits AS (SELECT ap.q_id, min(ap.rnk) AS fhr
+              |  FROM ap JOIN ex ON ap.q_id = ex.q_id AND ap.vec_id = ex.vec_id
+              |  GROUP BY ap.q_id)
+              |SELECT q.q_id, COALESCE(fhr, 0) AS first_hit_rank,
+              |  CASE WHEN fhr IS NOT NULL THEN CAST(1 AS DOUBLE) / fhr
+              |       ELSE CAST(0 AS DOUBLE) END AS rr
+              |FROM (SELECT DISTINCT q_id FROM ex) q
+              |LEFT JOIN hits ON q.q_id = hits.q_id
+              |ORDER BY q.q_id""".stripMargin)))
 }
