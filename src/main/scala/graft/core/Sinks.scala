@@ -31,8 +31,9 @@ object Sinks {
 
   /** JDBC append with batched, parameter-bound statements — the
     * set-oriented replacement for the reference's per-row MsSqlOperator
-    * loop. (No database exists in this environment; exercised only for
-    * config shape.) */
+    * loop. Exercised end-to-end against embedded Derby (on Spark's
+    * classpath) in JdbcSinkSpec: F1 Driver rows round-trip
+    * write→read-back, and append appends. */
   def jdbc(df: DataFrame, url: String, table: String,
       user: String, password: String, batchSize: Int = 10000): Unit =
     df.write.mode(SaveMode.Append).format("jdbc")

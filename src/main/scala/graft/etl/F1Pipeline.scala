@@ -229,4 +229,64 @@ object F1Pipeline {
       outDir: String, refYear: Int = 2026): Unit =
     buildAll(graft.core.Tables.csv(spark, csvPath, F1Schema.wide), refYear)
       .foreach { case (t, df) => graft.core.Sinks.parquet(df, s"$outDir/$t") }
+
+  /** Natural key per star table — the upsert-guard join keys for
+    * [[runIncremental]] (same keys the builders dedup on). */
+  private[graft] val naturalKeys: Map[String, Seq[String]] = Map(
+    "DateDimension" -> Seq("date"),
+    "LocationDimension" -> Seq("locationId"),
+    "StatusDimension" -> Seq("statusId"),
+    "Driver" -> Seq("driverId"),
+    "Team" -> Seq("constructorId"),
+    "Race" -> Seq("race_id"),
+    "TimeDimension" -> Seq("raceId"),
+    "Sprint" -> Seq("raceId"),
+    "FreePractice" -> Seq("raceId"),
+    "Qualification" -> Seq("race_id", "driver_id"),
+    "Laps" -> Seq("raceId", "driver_id", "lap"),
+    "PitStop" -> Seq("race_id", "driver_id", "stop_number"),
+    "Results" -> Seq("resultId"),
+    "DriverStandings" -> Seq("driverStandingsId"),
+    "TeamStandings" -> Seq("constructorStandingsId"))
+
+  /** The reference's `@daily` cadence (`airflow/dags/CompleteETL.py:974-
+    * 1042`: scheduled full reload) restated set-orientedly as an
+    * INCREMENTAL, date-partitioned append:
+    *
+    * - Each run processes one day's CSV drop and appends ONLY rows whose
+    *   natural key is not already present — the q54 upsert-guard
+    *   (left_anti against the existing table's keys), so overlapping
+    *   drops and re-runs of the same day are idempotent, without the
+    *   reference's DELETE-then-reload window of emptiness.
+    * - Output is hive-partitioned by `load_date` (the Airflow `ds` of the
+    *   run): `outDir/<Table>/load_date=YYYY-MM-DD/`. A consumer filtering
+    *   on load_date scans only that day's files (partition pruning) —
+    *   and each day's append touches no existing file.
+    *
+    * Scale shape: the guard reads ONLY the key columns of the existing
+    * table (column pruning reaches the parquet scan) and anti-joins on
+    * the natural key — one shuffle keyed the same way the table was
+    * built; nothing corpus-sized is broadcast or collected. A 100 TB
+    * table costs one key-column scan per day, not a rewrite.
+    */
+  def runIncremental(spark: org.apache.spark.sql.SparkSession,
+      csvPath: String, outDir: String, loadDate: String,
+      refYear: Int = 2026): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    buildAll(graft.core.Tables.csv(spark, csvPath, F1Schema.wide), refYear)
+      .foreach { case (t, df) =>
+        val path = s"$outDir/$t"
+        val keys = naturalKeys(t)
+        val fresh =
+          if (fs.exists(new org.apache.hadoop.fs.Path(path))) {
+            val existingKeys = spark.read.parquet(path)
+              .select(keys.map(col): _*)
+            df.join(existingKeys, keys, "left_anti")
+          } else df
+        fresh.withColumn("load_date", lit(loadDate).cast("date"))
+          .write.mode(org.apache.spark.sql.SaveMode.Append)
+          .partitionBy("load_date").parquet(path)
+      }
+  }
 }

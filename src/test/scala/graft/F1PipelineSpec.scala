@@ -3,8 +3,7 @@ package graft
 import java.nio.file.Files
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.Row
-import graft.core.Tables
-import graft.etl.{F1Pipeline, F1Schema}
+import graft.etl.F1Pipeline
 
 /** Golden end-to-end test of the reference's ETL surface (SURVEY §5.4):
   * wide CSV (with `\N` sentinels, malformed dates/times, duplicate keys,
@@ -13,84 +12,9 @@ import graft.etl.{F1Pipeline, F1Schema}
 class F1PipelineSpec extends AnyFunSuite {
   import TestSpark.spark
 
-  private val cols = F1Schema.wide.fields.map(_.name)
-
-  private val defaults: Map[String, String] = Map(
-    "date" -> "2021-05-02",
-    "circuitId" -> "1", "circuitRef" -> "monaco", "name_x" -> "Circuit A",
-    "location" -> "Loc", "country" -> "X", "lat" -> "1.5", "lng" -> "2.5",
-    "url_x" -> "http://a",
-    "statusId" -> "1", "status" -> "Finished",
-    "driverId" -> "1", "forename" -> "Max", "surname" -> "V",
-    "dob" -> "1990-12-31", "nationality" -> "NL", "url" -> "http://d",
-    "number" -> "33", "constructorRef" -> "rb", "driverRef" -> "max",
-    "code" -> "VER",
-    "constructorId" -> "10", "name" -> "RB",
-    "nationality_constructors" -> "AT", "url_constructors" -> "http://t",
-    "raceId" -> "100", "round" -> "1",
-    "fp1_date" -> "2021-04-30", "fp1_time" -> "11:00:00",
-    "fp2_date" -> "2021-04-30", "fp2_time" -> "15:00:00",
-    "fp3_date" -> "2021-05-01", "fp3_time" -> "12:00:00",
-    "stop" -> "1", "lap_pitstops" -> "12", "time_pitstops" -> "15:03:20",
-    "duration" -> "22.0", "milliseconds_pitstops" -> "22000",
-    "quali_date" -> "2021-05-01", "quali_time" -> "14:00:00",
-    "position" -> "\\N",
-    "driverStandingsId" -> "500", "points_driverstandings" -> "25.0",
-    "position_driverstandings" -> "1", "wins" -> "1",
-    "sprint_date" -> "'2021-05-01'", "sprint_time" -> "'14:30:00'",
-    "constructorStandingsId" -> "600", "points_constructorstandings" -> "40.0",
-    "position_constructorstandings" -> "1", "wins_constructorstandings" -> "1",
-    "time" -> "+17.123", "time_races" -> "14:00:05",
-    "resultId" -> "1000", "positionOrder" -> "1", "points" -> "25.0",
-    "laps" -> "66", "grid" -> "1", "rank" -> "1", "fastestLap" -> "60",
-    "fastestLapTime" -> "1:12.909", "fastestLapSpeed" -> "207.235",
-    "lap" -> "1", "time_laptimes" -> "1:02.345", "position_laptimes" -> "1",
-    "milliseconds_laptimes" -> "62345")
-
-  private def row(over: (String, String)*): String = {
-    val m = defaults ++ over
-    cols.map(m(_)).mkString(",")
-  }
-
-  private lazy val tables: Map[String, org.apache.spark.sql.DataFrame] = {
-    val r1 = row() // fully valid
-    val r2 = row( // duplicate keys of r1, different payload → must lose
-      "name_x" -> "Circuit A2", "status" -> "Retired2", "surname" -> "V2",
-      "name" -> "RB2", "position_laptimes" -> "9")
-    val r3 = row( // second key set, heavy on \N and junk
-      "raceId" -> "101", "date" -> "2021-05-09",
-      "circuitId" -> "2", "name_x" -> "Circuit B",
-      "statusId" -> "2", "status" -> "Retired",
-      "driverId" -> "2", "dob" -> "\\N", "driverRef" -> "xx",
-      "surname" -> "B", "number" -> "\\N",
-      "constructorId" -> "11", "name" -> "AM",
-      "resultId" -> "1001", "driverStandingsId" -> "501",
-      "constructorStandingsId" -> "601",
-      "fp1_date" -> "\\N", "fp1_time" -> "\\N", "fp2_date" -> "\\N",
-      "fp2_time" -> "\\N", "fp3_date" -> "\\N", "fp3_time" -> "\\N",
-      "sprint_date" -> "\\N", "sprint_time" -> "\\N",
-      "time" -> "\\N", "time_races" -> "\\N",
-      "quali_date" -> "2021-05-08", "quali_time" -> "13:00:00",
-      "position" -> "5",
-      "lap" -> "2", "time_laptimes" -> "1:02:03.456789",
-      "duration" -> "abc", "fastestLapTime" -> "\\N",
-      "fastestLapSpeed" -> "\\N")
-    val r4 = row( // third key set: absolute + '+m:ss.sss' race times
-      "raceId" -> "102", "date" -> "2021-05-09",
-      "circuitId" -> "2", "name_x" -> "Circuit B2", "statusId" -> "2",
-      "driverId" -> "3", "dob" -> "2000-01-29", "surname" -> "C",
-      "constructorId" -> "11", "resultId" -> "1002",
-      "driverStandingsId" -> "502", "constructorStandingsId" -> "602",
-      "time" -> "1:31:44.904", "time_races" -> "+1:02.456",
-      "position" -> "7", "lap" -> "3")
-    val dir = Files.createTempDirectory("f1csv")
-    val f = dir.resolve("wide.csv")
-    Files.writeString(f, (cols.mkString(",") +: Seq(r1, r2, r3, r4)).mkString("\n"))
-    csvPath = f.toString
-    F1Pipeline.buildAll(Tables.csv(spark, csvPath, F1Schema.wide), refYear = 2026)
-  }
-
-  private var csvPath: String = _
+  // Fixture rows + pipeline output shared with the sink specs.
+  private def tables = F1Fixture.tables
+  private def csvPath = F1Fixture.csvPath
 
   private def rows(t: String): Seq[Row] = tables(t).collect().toSeq
 
