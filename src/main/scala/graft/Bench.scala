@@ -41,17 +41,38 @@ object Bench {
       // and skew later timings (persists are sized per query, not per
       // process lifetime).
       spark.catalog.clearCache()
+      // Stream each result as it lands: if ambient load contaminates a
+      // run (BENCH_r04 was adjudicated 6.6× inflated by a loaded box),
+      // the in-sequence drift is visible — "everything after minute 7
+      // slowed" reads differently from "this query is slow".
+      System.err.println(s"[bench] $name=${fmt(times.min)}")
       name -> times.min
     }.toMap
     val failed = results.filter(_._2 == Double.MaxValue).keys.toSeq.sorted
     System.err.println("[bench] full names: " + results.toSeq.sortBy(_._1)
       .map { case (k, v) => s"$k=${fmt(v)}" }.mkString(" "))
-    println(formatLine(results, failed, sfDir))
-    spark.stop()
+    val line = formatLine(results, failed, sfDir)
+    // Side-channel copy for humans/debugging; the stdout line below is
+    // the driver contract.
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("/tmp/bench.json"), line + "\n")
+    catch { case _: Throwable => () }
+    // Print once now (in case stop() dies), then stop Spark and print
+    // again LAST: no late executor/log line can land after the JSON and
+    // push it out of the driver's 2000-char stdout tail (r04's
+    // parsed=null: the line fit but wasn't last enough).
+    println(line)
+    try spark.stop() catch { case _: Throwable => () }
+    println(line)
   }
 
+  // Locale.ROOT formatting throughout: the f-interpolator is
+  // locale-sensitive, and a JVM defaulting to e.g. de_DE would emit
+  // "1,23" — breaking the driver-parsed JSON contract (ADVICE r04).
+  private def num(fmtStr: String, v: Double): String =
+    String.format(java.util.Locale.ROOT, fmtStr, Double.box(v))
+
   private def fmt(v: Double): String =
-    if (v == Double.MaxValue) "-1" else f"$v%.3f"
+    if (v == Double.MaxValue) "-1" else num("%.3f", v)
 
   /** JSON-line value format: adaptive precision keeps the line inside
     * the driver's tail budget even if every query degraded to 4-digit
@@ -59,9 +80,9 @@ object Bench {
     * the 3-decimal map goes to stderr). */
   private def fmtJson(v: Double): String =
     if (v == Double.MaxValue) "-1"
-    else if (v < 10) f"$v%.2f"
-    else if (v < 100) f"$v%.1f"
-    else f"$v%.0f"
+    else if (v < 10) num("%.2f", v)
+    else if (v < 100) num("%.1f", v)
+    else num("%.0f", v)
 
   /** The driver keeps only the last ~2000 chars of stdout and parses the
     * JSON line out of that tail: the line MUST stay well under that
@@ -77,6 +98,6 @@ object Bench {
       .mkString("{", ",", "}")
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.values.filter(_ != Double.MaxValue).sum
-    f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":${num("%.2f", total)},"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}"""
   }
 }

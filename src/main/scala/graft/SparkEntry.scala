@@ -38,10 +38,21 @@ object SparkEntry {
     specs.head.fn(spark, "/root/testdata/sf0.001")
   }
 
-  /** One per implemented operator from SURVEY.md §2. */
+  /** One per implemented operator from SURVEY.md §2.
+    *
+    * Each query runs under [[graft.core.Cleanup]]: persists made at
+    * branch points during construction are released by the first
+    * terminal action the caller runs, so cached blocks are query-scoped
+    * — no harness-side clearCache needed for hygiene. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     specs.map(q => q.name -> { (s: SparkSession, dir: String) =>
-      configure(s); q.fn(s, dir)
+      configure(s)
+      val (df, tracked) = graft.core.Cleanup.track(q.fn(s, dir))
+      // Arm on the RESULT's session, not `s`: phase-tuned queries
+      // (q76/q89) return frames homed on a session clone, and the
+      // terminal action notifies that clone's listener manager.
+      graft.core.Cleanup.unpersistAfterNextAction(df.sparkSession, tracked)
+      df
     }).toMap
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.core.Cleanup.PersistTrackedOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -28,16 +29,28 @@ object PrefixSum {
     * `valueCol` must be integral (sums stay exact).
     */
   def cumsum(df: DataFrame, keyCol: String, valueCol: String, out: String,
-      numParts: Int = 32): DataFrame = {
+      numParts: Int = 32): DataFrame =
+    cumsum(df, Seq(keyCol), valueCol, out, numParts)
+
+  /** Multi-column total order: the TUPLE `keyCols` must be unique. This
+    * is the scale-safe form when no single column is both unique and
+    * orderable — e.g. (hash, id) tiebreaks — packing such a tuple into
+    * one numeric key (hash*K + id) silently caps id < K and breaks
+    * injectivity beyond it (ADVICE r04 on q114). Range partitioning and
+    * the per-partition window both order lexicographically on the tuple,
+    * so no packing is needed at any id range.
+    */
+  def cumsum(df: DataFrame, keyCols: Seq[String], valueCol: String,
+      out: String, numParts: Int): DataFrame = {
     // One evaluation of spark_partition_id, pinned by the persist below:
     // the ranged exchange samples boundaries per execution, so the pid
     // column must never be recomputed across the two uses of `local`.
-    val ranged = df.repartitionByRange(numParts, col(keyCol))
+    val ranged = df.repartitionByRange(numParts, keyCols.map(col): _*)
       .withColumn("__pid", spark_partition_id())
-    val wLocal = Window.partitionBy("__pid").orderBy(keyCol)
+    val wLocal = Window.partitionBy("__pid").orderBy(keyCols.map(col): _*)
     val local = ranged
       .withColumn("__local", sum(col(valueCol)).over(wLocal))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     // Exclusive prefix of the per-partition totals. The unpartitioned
     // window is deliberate: numParts rows, not data rows.
     val wOff = Window.orderBy("__pid")

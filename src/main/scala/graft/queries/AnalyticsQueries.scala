@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.core.Cleanup.PersistTrackedOps
 import graft.core.{Stable, Tables}
 
 /** Analytics-surface extensions beyond the reference's flat GROUP BY
@@ -116,7 +117,7 @@ object AnalyticsQueries {
               .cast("double").as("nearby_sum"))
           // The final sort's range-partitioner sampling would otherwise
           // re-execute both window passes (NOTES: persist-before-orderBy).
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persistTracked()
           .orderBy("o_orderpriority", "o_totalprice", "o_orderkey")
       },
       Some("""SELECT o_orderkey, o_orderpriority, o_totalprice,

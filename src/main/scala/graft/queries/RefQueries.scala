@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.core.Cleanup.PersistTrackedOps
 import graft.core.{Stable, Tables}
 import graft.ops.{Dedup, Scalars}
 
@@ -110,7 +111,7 @@ object RefQueries {
       (s, dir) =>
         Dedup.keepFirstAgg(t(s, dir, "lineitem"), Seq("l_partkey", "l_suppkey"),
             Seq("l_shipdate", "l_orderkey", "l_linenumber"), Seq("l_quantity"))
-          .persist()
+          .persistTracked()
           .orderBy("l_partkey", "l_suppkey"),
       Some("""SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_shipdate
              |FROM (SELECT *, row_number() OVER (PARTITION BY l_partkey, l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn FROM lineitem)
@@ -201,7 +202,7 @@ object RefQueries {
           count(lit(1)).as("count_order"))
           // tiny result, expensive child: persist so the range-sampling
           // pass doesn't re-run the decimal aggregation (NOTES perf rule)
-          .persist()
+          .persistTracked()
           .orderBy("l_returnflag", "l_linestatus"),
       Some("""SELECT l_returnflag, l_linestatus,
              | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -351,7 +352,7 @@ object RefQueries {
           .rollup(col("r_name"), col("n_name"))
           .agg(sum(col("g_rev")).cast("double").as("revenue"),
             sum(col("g_n")).as("n_items"))
-          .persist()
+          .persistTracked()
           .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first),
       Some("""SELECT r_name, n_name,
              | CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
@@ -478,7 +479,7 @@ object RefQueries {
           .cube(col("o_orderpriority"), col("l_returnflag"))
           .agg(sum(col("g_rev")).cast("double").as("revenue"),
             sum(col("g_n")).as("n_items"))
-          .persist()
+          .persistTracked()
           .orderBy(col("o_orderpriority").asc_nulls_first,
             col("l_returnflag").asc_nulls_first),
       Some("""SELECT o_orderpriority, l_returnflag,
@@ -500,7 +501,7 @@ object RefQueries {
           count(lit(1)).as("n"))
           // 3-row result, exact-percentile child: persist so the sort's
           // sampling pass doesn't re-run the value-buffering aggregate
-          .persist()
+          .persistTracked()
           .orderBy("l_returnflag"),
       Some("""SELECT l_returnflag,
              | round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
@@ -657,7 +658,7 @@ object RefQueries {
               to_date(lag(col("o_orderdate"), 1).over(byCust))).as("gap_days"))
           // persist so the final sort's sampling pass reads the window
           // output instead of re-running both window passes
-          .persist()
+          .persistTracked()
           .orderBy("o_custkey", "o_orderkey")
       },
       Some("""SELECT o_custkey, o_orderkey, o_orderdate,
