@@ -1,21 +1,122 @@
 package graft.functions
 
+import java.nio.{ByteBuffer, ByteOrder}
+
 /** Multimodal-column processing primitives (driver mandate: image/audio/
-  * video as opaque `binary` columns with typed metadata; decode STUBBED —
-  * no media libs in this container — but the byte-level plumbing real).
-  * Shared by q30 (metadata), q63 (resize), q55 (frame sampling) and the
-  * BinaryType fixture spec, so query semantics and tests cannot drift.
-  * All functions are driver-free per-row logic, used inside
-  * `mapPartitions` — a narrow, no-shuffle transform at any scale.
+  * video as opaque `binary` columns with typed metadata). Shared by q30
+  * (image metadata), q63 (resize), q55 (frame sampling), q120 (audio
+  * metadata) and the BinaryType fixture spec, so query semantics and
+  * tests cannot drift. All functions are driver-free per-row logic, used
+  * inside `mapPartitions` — a narrow, no-shuffle transform at any scale.
+  *
+  * Decode policy: COMPRESSED formats (JPEG/MP3/H.264) need codec libs
+  * this container does not have, so those decoders stay out of scope.
+  * UNCOMPRESSED container headers are pure byte layout, and those are
+  * decoded for real here: [[decodeBmpDims]] parses a BITMAPINFOHEADER,
+  * [[decodeWav]] walks RIFF chunks to the fmt/data pair. The matching
+  * [[bmpBytes]]/[[wavBytes]] encoders exist to SYNTHESIZE test payloads
+  * (the driver corpus has no media column), mirroring how a real
+  * pipeline's upstream produced the container. Decoders are permissive:
+  * malformed payloads return None and the row is skipped, the P8
+  * error-row policy (SURVEY §2.3).
   */
 object Multimodal {
 
-  /** STUB decode: deterministic fake (width, height) derived from payload
-    * size, standing in for a JPEG/video header parse. Long arithmetic:
-    * `nBytes * 7` in Int overflows past ~306 MB payloads (negative dims,
-    * diverging from the oracle's BIGINT math) — real media bytes get big. */
+  /** Deterministic fixture dims derived from payload size — the dim
+    * GENERATOR for synthesized test media (the corpus has no real
+    * images; a given doc must always map to the same picture). Long
+    * arithmetic: `nBytes * 7` in Int overflows past ~306 MB payloads
+    * (negative dims, diverging from the oracle's BIGINT math). */
   def stubDims(nBytes: Long): (Int, Int) =
     ((64 + nBytes % 576).toInt, (64 + nBytes * 7 % 416).toInt)
+
+  /** A real (minimal) BMP: 14-byte BITMAPFILEHEADER + 40-byte
+    * BITMAPINFOHEADER, 24bpp BI_RGB, little-endian throughout — the
+    * layout every BMP reader parses. `pixels` is appended verbatim
+    * (callers pass a stand-in payload; header decode never reads it). */
+  def bmpBytes(width: Int, height: Int, pixels: Array[Byte] = Array.empty)
+      : Array[Byte] = {
+    val rowBytes = (width * 3 + 3) / 4 * 4 // rows pad to 4-byte boundary
+    val bb = ByteBuffer.allocate(54 + pixels.length)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte)
+      .putInt(54 + rowBytes * math.abs(height)) // declared file size
+      .putInt(0)                                // reserved
+      .putInt(54)                               // pixel-array offset
+      .putInt(40)                               // biSize (BITMAPINFOHEADER)
+      .putInt(width).putInt(height)
+      .putShort(1)                              // planes
+      .putShort(24)                             // bpp
+      .putInt(0)                                // BI_RGB
+      .putInt(rowBytes * math.abs(height))      // biSizeImage
+      .putInt(2835).putInt(2835)                // 72 dpi in px/metre
+      .putInt(0).putInt(0)                      // palette
+      .put(pixels)
+    bb.array()
+  }
+
+  /** REAL header decode: (width, height) from the BITMAPINFOHEADER —
+    * magic "BM" checked, int32 LE at offsets 18/22. None on anything
+    * that is not a parseable BMP header. */
+  def decodeBmpDims(b: Array[Byte]): Option[(Int, Int)] =
+    if (b.length < 26 || b(0) != 'B' || b(1) != 'M') None
+    else {
+      val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+      Some((bb.getInt(18), bb.getInt(22)))
+    }
+
+  /** A real (minimal) PCM WAV: RIFF header, canonical 16-byte fmt chunk,
+    * data chunk whose declared size is `nSamples` 16-bit frames. `pcm`
+    * is appended verbatim (stand-in samples). */
+  def wavBytes(sampleRate: Int, channels: Int, nSamples: Int,
+      pcm: Array[Byte] = Array.empty): Array[Byte] = {
+    val blockAlign = channels * 2 // 16-bit PCM
+    val dataSize = nSamples * blockAlign
+    val bb = ByteBuffer.allocate(44 + pcm.length)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII"))
+      .putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII"))
+      .putInt(16)                               // fmt chunk size
+      .putShort(1)                              // PCM
+      .putShort(channels.toShort)
+      .putInt(sampleRate)
+      .putInt(sampleRate * blockAlign)          // byte rate
+      .putShort(blockAlign.toShort)
+      .putShort(16)                             // bits/sample
+      .put("data".getBytes("US-ASCII"))
+      .putInt(dataSize)
+      .put(pcm)
+    bb.array()
+  }
+
+  /** REAL RIFF decode: walk the chunk list (not fixed offsets — WAVs in
+    * the wild carry LIST/INFO chunks before fmt) to the fmt and data
+    * chunks; returns (sampleRate, channels, bitsPerSample, nSamples).
+    * None unless both chunks are present and the layout is sane. */
+  def decodeWav(b: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    if (b.length < 44) return None
+    def ascii(off: Int, n: Int) = new String(b, off, n, "US-ASCII")
+    if (ascii(0, 4) != "RIFF" || ascii(8, 4) != "WAVE") return None
+    val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+    var off = 12
+    var fmt: Option[(Int, Int, Int)] = None // (rate, channels, bits)
+    var dataSize = -1L
+    while (off + 8 <= b.length && (fmt.isEmpty || dataSize < 0)) {
+      val id = ascii(off, 4)
+      val size = bb.getInt(off + 4)
+      if (size < 0) return None
+      if (id == "fmt " && size >= 16 && off + 8 + 16 <= b.length)
+        fmt = Some((bb.getInt(off + 12), bb.getShort(off + 10).toInt,
+          bb.getShort(off + 22).toInt))
+      if (id == "data") dataSize = size.toLong
+      off += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    fmt.collect { case (rate, ch, bits) if dataSize >= 0 && ch > 0 && bits > 0 =>
+      (rate, ch, bits, dataSize / (ch * bits / 8))
+    }
+  }
 
   /** Aspect-preserving fit of (w, h) into maxSide², never upscaling. */
   def fitThumb(w: Int, h: Int, maxSide: Int = 256): (Int, Int) = {

@@ -34,6 +34,45 @@ class MultimodalSpec extends AnyFunSuite {
     assert(d2.getInt(2) == 0 && d2.getInt(3) == 100)
   }
 
+  test("BMP: encode → decode round-trips dims; non-BMP bytes rejected") {
+    for ((w, h) <- Seq((640, 416), (1, 1), (64, 479)))
+      assert(Multimodal.decodeBmpDims(Multimodal.bmpBytes(w, h)) == Some((w, h)))
+    // pixel payload must not disturb the header parse
+    assert(Multimodal.decodeBmpDims(
+      Multimodal.bmpBytes(33, 44, Array.fill(99)(7.toByte))) == Some((33, 44)))
+    assert(Multimodal.decodeBmpDims("not an image".getBytes) == None)
+    assert(Multimodal.decodeBmpDims(Array[Byte]('B', 'M', 0)) == None) // truncated
+    assert(Multimodal.decodeBmpDims(Array.empty) == None)
+  }
+
+  test("BMP header bytes: little-endian layout a third-party reader expects") {
+    val b = Multimodal.bmpBytes(640, 416)
+    assert(b.length == 54)
+    assert(b(0) == 'B' && b(1) == 'M')
+    // width 640 = 0x280 LE at offset 18; height 416 = 0x1A0 at 22
+    assert((b(18) & 0xff) == 0x80 && (b(19) & 0xff) == 0x02 && b(20) == 0 && b(21) == 0)
+    assert((b(22) & 0xff) == 0xa0 && (b(23) & 0xff) == 0x01 && b(24) == 0 && b(25) == 0)
+    assert((b(28) & 0xff) == 24) // bpp
+  }
+
+  test("WAV: encode → decode round-trips format; chunk walk skips extras") {
+    assert(Multimodal.decodeWav(Multimodal.wavBytes(16000, 2, 1234)) ==
+      Some((16000, 2, 16, 1234L)))
+    assert(Multimodal.decodeWav(
+      Multimodal.wavBytes(8000, 1, 50, Array.fill(100)(1.toByte))) ==
+      Some((8000, 1, 16, 50L)))
+    // a LIST chunk before fmt — decoders that hardcode offsets break here
+    val base = Multimodal.wavBytes(44100, 1, 10)
+    val withList = java.nio.ByteBuffer.allocate(base.length + 12)
+      .put(base, 0, 12)
+      .put("LIST".getBytes("US-ASCII")).putInt(Integer.reverseBytes(4))
+      .put("INFO".getBytes("US-ASCII"))
+      .put(base, 12, base.length - 12).array()
+    assert(Multimodal.decodeWav(withList) == Some((44100, 1, 16, 10L)))
+    assert(Multimodal.decodeWav("RIFFxxxxJUNK".getBytes ++ Array.fill(40)(0.toByte)) == None)
+    assert(Multimodal.decodeWav(Array.fill(10)(0.toByte)) == None)
+  }
+
   test("stub decode + thumbnail fit: aspect preserved, never upscaled") {
     val (w, h) = Multimodal.stubDims(1300)
     assert(w == 64 + 1300 % 576 && h == 64 + 1300 * 7 % 416)
