@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.core.Cleanup.PersistTrackedOps
 import graft.core.Tables
 import graft.functions.Text
 
@@ -336,7 +337,7 @@ object TextQueries {
     QuerySpec("q50_simhash_pairs",
       (s, dir) => {
         val sim = simhashDf(Tables.load(s, dir, "documents"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persistTracked()
         val bytes = (0 until 4).map(j => struct(lit(j).as("bi"),
           shiftright(col("simhash"), j * 8).bitwiseAND(lit(255L)).as("bv")))
         val bands = sim
@@ -353,7 +354,7 @@ object TextQueries {
           // Tiny surviving pair set: persist so the final sort's
           // range-partitioner sampling pass reads the cache instead of
           // re-running the banded join (NOTES: persist-before-orderBy).
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persistTracked()
           .orderBy("doc_a", "doc_b")
       },
       Some(s"""$duckSimhashCtes,
@@ -381,7 +382,7 @@ object TextQueries {
         // pipeline runs once (SURVEY §4: cache only at branch points).
         // It is tiny — pairs, not documents.
         val cand = minhashCandidates(docs)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persistTracked()
         // Only candidate docs need their shingle sets materialized — the
         // semi-join keeps the collect_set shuffle proportional to the
         // (small) candidate population, not the corpus.
@@ -407,32 +408,39 @@ object TextQueries {
               |FROM cand c JOIN sets a ON a.doc_id = c.doc_a JOIN sets b ON b.doc_id = c.doc_b
               |ORDER BY c.doc_a, c.doc_b""".stripMargin)),
 
-    // q30 — multimodal-column plumbing: treat the payload as opaque bytes
-    // and run an imperative per-partition "decode" (SURVEY §0 driver
-    // mandate). The decode itself is a clearly-marked deterministic STUB
-    // (no media libs in this container); the Spark-side shape — binary
-    // payload, mapPartitions batch processing, typed output schema — is
-    // real. At scale this is a narrow (no-shuffle) transform.
+    // q30 — multimodal-column plumbing (SURVEY §0 driver mandate): the
+    // corpus has no media column, so each doc's bytes are wrapped in a
+    // REAL BMP container (Multimodal.bmpBytes — genuine BITMAPFILEHEADER
+    // + BITMAPINFOHEADER layout; fixture dims from stubDims, since a doc
+    // must map to the same picture deterministically), and the query
+    // decodes width/height by actually PARSING those header bytes
+    // (decodeBmpDims: magic check + int32 LE at offsets 18/22). Rows
+    // whose payload fails the parse are skipped — the P8 permissive
+    // error-row policy. The Spark shape — binary payload, mapPartitions
+    // batch processing, typed output schema — is the 100 TB shape: a
+    // narrow (no-shuffle) transform.
     QuerySpec("q30_binary_meta",
       (s, dir) => {
         import s.implicits._
         val ds = Tables.load(s, dir, "documents")
           .select(col("doc_id"), col("text")).as[(Long, String)]
-        ds.mapPartitions(_.map { case (id, txt) =>
-          val payload = txt.getBytes("UTF-8") // stand-in for image/audio bytes
-          // STUB decode (Multimodal.stubDims): real decoders are not in
-          // this container; dims are a deterministic fake from payload
-          // size so the oracle can verify the plumbing.
-          val (width, height) = graft.functions.Multimodal.stubDims(payload.length)
-          (id, payload.length, width, height, payload(0) & 0xff)
+        ds.mapPartitions(_.flatMap { case (id, txt) =>
+          val pixels = txt.getBytes("UTF-8") // stand-in pixel bytes
+          val (w0, h0) = graft.functions.Multimodal.stubDims(pixels.length)
+          val media = graft.functions.Multimodal.bmpBytes(w0, h0, pixels)
+          // the decode reads ONLY the header bytes, not the fixture vars
+          graft.functions.Multimodal.decodeBmpDims(media).map {
+            case (width, height) =>
+              (id, media.length, width, height, media(0) & 0xff)
+          }
         }).toDF("doc_id", "n_bytes", "width", "height", "first_byte")
           .orderBy("doc_id")
       },
       Some("""SELECT doc_id,
-             | CAST(strlen(text) AS INTEGER) AS n_bytes,
+             | CAST(54 + strlen(text) AS INTEGER) AS n_bytes,
              | CAST(64 + strlen(text) % 576 AS INTEGER) AS width,
              | CAST(64 + (strlen(text) * 7) % 416 AS INTEGER) AS height,
-             | CAST(ascii(substr(text, 1, 1)) AS INTEGER) AS first_byte
+             | 66 AS first_byte
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // q44 — document chunking into overlapping token windows (size 50,
@@ -548,21 +556,26 @@ object TextQueries {
              |ORDER BY doc_id, frame_idx""".stripMargin)),
 
     // q63 — multimodal resize/thumbnail: completes the decode → feature →
-    // resize → frame-sample quartet (q30 metadata, q55 frames). Decode is
-    // the same deterministic STUB as q30 (no media libs in container);
-    // the resize arithmetic — fit the longer side to 256 preserving
-    // aspect, never upscale — is the real logic, done per-partition over
-    // the binary payload. Narrow transform, no shuffle before the sort.
+    // resize → frame-sample quartet (q30 metadata, q55 frames, q120
+    // audio). Source dims come from the same REAL BMP-header parse as
+    // q30 (bmpBytes fixture → decodeBmpDims); the resize arithmetic —
+    // fit the longer side to 256 preserving aspect, never upscale — runs
+    // per-partition over the binary payload. Narrow transform, no
+    // shuffle before the sort.
     QuerySpec("q63_resize_stub",
       (s, dir) => {
         import s.implicits._
         val ds = Tables.load(s, dir, "documents")
           .select(col("doc_id"), col("text")).as[(Long, String)]
-        ds.mapPartitions(_.map { case (id, txt) =>
-          val payload = txt.getBytes("UTF-8") // stand-in media bytes
-          val (width, height) = graft.functions.Multimodal.stubDims(payload.length)
-          val (tw, th) = graft.functions.Multimodal.fitThumb(width, height)
-          (id, width, height, tw, th, tw.toLong * th * 3)
+        ds.mapPartitions(_.flatMap { case (id, txt) =>
+          val (w0, h0) = graft.functions.Multimodal.stubDims(
+            txt.getBytes("UTF-8").length)
+          val media = graft.functions.Multimodal.bmpBytes(w0, h0)
+          graft.functions.Multimodal.decodeBmpDims(media).map {
+            case (width, height) =>
+              val (tw, th) = graft.functions.Multimodal.fitThumb(width, height)
+              (id, width, height, tw, th, tw.toLong * th * 3)
+          }
         }).toDF("doc_id", "width", "height", "thumb_w", "thumb_h", "thumb_bytes")
           .orderBy("doc_id")
       },
@@ -580,6 +593,45 @@ object TextQueries {
              |      CAST(64 + (strlen(text) * 7) % 416 AS INTEGER) AS height
              |    FROM documents))
              |ORDER BY doc_id""".stripMargin)),
+
+    // q120 — audio-column metadata: the WAV half of the multimodal
+    // mandate (q30/q63 cover images). Fixture: each doc's bytes become
+    // the PCM payload of a REAL RIFF/WAVE container (wavBytes — genuine
+    // chunk layout; rate/channels derived deterministically from the
+    // doc). Decode: Multimodal.decodeWav WALKS the chunk list (not fixed
+    // offsets — real WAVs carry LIST/INFO chunks) to the fmt and data
+    // chunks and reports sample rate, channels, bit depth and duration.
+    // Failed parses are skipped (P8 policy). Narrow transform — the
+    // 100 TB shape for per-file media metadata extraction.
+    QuerySpec("q120_wav_meta",
+      (s, dir) => {
+        import s.implicits._
+        val ds = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+        ds.mapPartitions(_.flatMap { case (id, txt) =>
+          val pcm = txt.getBytes("UTF-8") // stand-in sample bytes
+          val rate = if (id % 3 == 0) 16000 else 8000
+          val channels = (1 + id % 2).toInt
+          val media = graft.functions.Multimodal.wavBytes(
+            rate, channels, pcm.length / (channels * 2), pcm)
+          graft.functions.Multimodal.decodeWav(media).map {
+            case (r, ch, bits, n) =>
+              (id, media.length, r, ch, bits, n,
+                math.round(n * 1000.0 / r))
+          }
+        }).toDF("doc_id", "n_bytes", "sample_rate", "channels",
+            "bits_per_sample", "n_samples", "duration_ms")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             | CAST(44 + strlen(text) AS INTEGER) AS n_bytes,
+             | CAST(CASE WHEN doc_id % 3 = 0 THEN 16000 ELSE 8000 END AS INTEGER) AS sample_rate,
+             | CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+             | 16 AS bits_per_sample,
+             | CAST(strlen(text) // ((1 + doc_id % 2) * 2) AS BIGINT) AS n_samples,
+             | CAST(round(strlen(text) // ((1 + doc_id % 2) * 2) * 1000.0
+             |   / CASE WHEN doc_id % 3 = 0 THEN 16000 ELSE 8000 END) AS BIGINT) AS duration_ms
+             |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // q64 — rolling-hash document fingerprinting (winnowing): Karp-Rabin
     // 8-gram Horner hashes (base 257 mod 1000003) over the normalized
@@ -777,7 +829,7 @@ object TextQueries {
           .select(col("doc_a"), col("doc_b"),
             levenshtein(col("pa"), col("pb"), 10).as("dist"))
           .filter(col("dist") >= 0)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persistTracked()
           .orderBy("doc_a", "doc_b")
       },
       Some("""WITH b AS (SELECT doc_id, lang, length(text) // 100 AS lb,
@@ -824,7 +876,7 @@ object TextQueries {
       (s, dir) => {
         import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
         val cand = minhashCandidates(Tables.load(s, dir, "documents"))
-          .persist(MEMORY_AND_DISK)
+          .persistTracked()
         val fwd = cand.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         // Materialize the corpus-scale LSH pipeline at the session's full
         // shuffle parallelism + AQE, THEN retune for the iterative phase:
@@ -835,17 +887,17 @@ object TextQueries {
         // (rounds are short-lived plans — there is nothing for AQE to
         // adapt). Same knobs a cluster deployment would turn per phase.
         cand.count()
-        val pKey = "spark.sql.shuffle.partitions"
-        val aKey = "spark.sql.adaptive.enabled"
-        val pPrev = s.conf.get(pKey)
-        val aPrev = s.conf.get(aKey)
-        s.conf.set(pKey, "4")
-        s.conf.set(aKey, "false")
-        try {
-          graft.ops.ConnectedComponents.minLabelPropagation(fwd)
-            .select(col("node").as("doc_id"), col("cid").as("cluster_id"))
-            .orderBy("doc_id")
-        } finally { s.conf.set(pKey, pPrev); s.conf.set(aKey, aPrev) }
+        // Phase switch WITHOUT touching the shared session's conf: the
+        // iterative rounds plan on a tuned session CLONE (own SQLConf,
+        // shared context/cache), so a concurrent query on `s` never
+        // plans under the iterative phase's settings (VERDICT r04 #3).
+        val ns = graft.core.Tuned.session(s,
+          "spark.sql.shuffle.partitions" -> "4",
+          "spark.sql.adaptive.enabled" -> "false")
+        graft.ops.ConnectedComponents.minLabelPropagation(
+            graft.core.Tuned.rehome(fwd, ns))
+          .select(col("node").as("doc_id"), col("cid").as("cluster_id"))
+          .orderBy("doc_id")
       },
       Some(s"""${duckMinhashCtes.replaceFirst("^WITH ", "WITH RECURSIVE ")},
               |edges AS (SELECT doc_a AS a, doc_b AS b FROM cand
@@ -980,7 +1032,7 @@ object TextQueries {
       (s, dir) => {
         val k = Text.minhashParams.size
         val sig = minhashSig(Tables.load(s, dir, "documents"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persistTracked()
         val sigArr = sig.select(col("doc_id"),
           array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
         candidatesFromSig(sig)
@@ -1022,22 +1074,20 @@ object TextQueries {
         val edges = minhashCandidates(docs)
           .union(snmPairs(docs).select(col("doc_a"), col("doc_b")))
           .distinct()
-          .persist(MEMORY_AND_DISK)
+          .persistTracked()
         edges.count()
-        val pKey = "spark.sql.shuffle.partitions"
-        val aKey = "spark.sql.adaptive.enabled"
-        val pPrev = s.conf.get(pKey)
-        val aPrev = s.conf.get(aKey)
-        s.conf.set(pKey, "4")
-        s.conf.set(aKey, "false")
-        try {
-          graft.ops.ConnectedComponents.alternatingStar(
-              edges.select(col("doc_a").as("src"), col("doc_b").as("dst")),
-              assumeDistinct = true)
-            .select(col("node").as("doc_id"), col("cid").as("cluster_id"),
-              (col("node") === col("cid")).as("keep"))
-            .orderBy("doc_id")
-        } finally { s.conf.set(pKey, pPrev); s.conf.set(aKey, aPrev) }
+        // Same non-mutating phase switch as q76: iterative rounds on a
+        // tuned session clone, shared session conf untouched.
+        val ns = graft.core.Tuned.session(s,
+          "spark.sql.shuffle.partitions" -> "4",
+          "spark.sql.adaptive.enabled" -> "false")
+        graft.ops.ConnectedComponents.alternatingStar(
+            graft.core.Tuned.rehome(
+              edges.select(col("doc_a").as("src"), col("doc_b").as("dst")), ns),
+            assumeDistinct = true)
+          .select(col("node").as("doc_id"), col("cid").as("cluster_id"),
+            (col("node") === col("cid")).as("keep"))
+          .orderBy("doc_id")
       },
       Some(s"""${duckMinhashCtes.replaceFirst("^WITH ", "WITH RECURSIVE ")},
               |$duckSnmCtes,
@@ -1611,29 +1661,32 @@ object TextQueries {
 
     // q114 — deterministic epoch shuffle + sharding: the training-loader
     // op — a seedable global permutation of the corpus (portable hash of
-    // doc_id + epoch tag, id tiebreak packed into one key) mapped to
-    // (shard, pos_in_shard) with 64 docs per shard. The permutation rank
-    // comes from ops.PrefixSum (range-partition + per-partition cumsum)
-    // — NO single-reducer global window, so re-sharding 100 TB is one
-    // ranged exchange. Same seed → same shards on any cluster layout;
-    // next epoch is just a different tag.
+    // doc_id + epoch tag, doc_id tiebreak) mapped to (shard,
+    // pos_in_shard) with 64 docs per shard. The permutation rank comes
+    // from ops.PrefixSum ordered on the TUPLE (hash, doc_id) — no
+    // single-reducer global window, and no numeric key-packing (the old
+    // hash*1e9+doc_id form silently required doc_id < 1e9; tuple
+    // ordering is injective at any id range — ADVICE r04). Re-sharding
+    // 100 TB is one ranged exchange. Same seed → same shards on any
+    // cluster layout; next epoch is just a different tag.
     QuerySpec("q114_epoch_shuffle",
       (s, dir) => {
         val keyed = Tables.load(s, dir, "documents")
           .select(col("doc_id"),
-            (Text.hash32(concat(col("doc_id").cast("string"), lit("_ep7")))
-              * lit(1000000000L) + col("doc_id")).as("skey"))
+            Text.hash32(concat(col("doc_id").cast("string"), lit("_ep7")))
+              .as("ep_hash"))
           .withColumn("__one", lit(1L))
-        graft.ops.PrefixSum.cumsum(keyed, "skey", "__one", "pos")
+        graft.ops.PrefixSum.cumsum(keyed, Seq("ep_hash", "doc_id"),
+            "__one", "pos", 32)
           .select(col("doc_id"), expr("(pos - 1) div 64").as("shard"),
             expr("(pos - 1) % 64").as("pos_in_shard"))
           .orderBy("shard", "pos_in_shard")
       },
       Some("""WITH k AS (SELECT doc_id,
              |    CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR) || '_ep7'),1,8) AS BIGINT)
-             |      * 1000000000 + doc_id AS skey
+             |      AS ep_hash
              |  FROM documents),
-             |p AS (SELECT doc_id, row_number() OVER (ORDER BY skey) AS pos FROM k)
+             |p AS (SELECT doc_id, row_number() OVER (ORDER BY ep_hash, doc_id) AS pos FROM k)
              |SELECT doc_id, (pos - 1) // 64 AS shard, (pos - 1) % 64 AS pos_in_shard
              |FROM p ORDER BY shard, pos_in_shard""".stripMargin)),
 

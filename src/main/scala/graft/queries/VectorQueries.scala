@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.core.Cleanup.PersistTrackedOps
 import graft.core.Tables
 import graft.functions.Vectors
 
@@ -79,12 +80,12 @@ object VectorQueries {
       .groupBy("sub", "cent_id")
       .agg(expr("transform(array_sort(collect_list(struct(pos, cv1))), x -> x.cv1)")
         .as("cv"))
-      .persist()
+      .persistTracked()
   }
 
   /** Full PQ encoding: per (vec_id, sub) the learned code + distance. */
   private def pqCodes(emb: DataFrame): DataFrame = {
-    val sv = pqSubvectors(emb).persist()
+    val sv = pqSubvectors(emb).persistTracked()
     pqAssign(sv, pqCodebook(sv))
   }
 
@@ -120,7 +121,9 @@ object VectorQueries {
     * r_j[i] = (int32("j_i") mod 2001 - 1000) / 1000 ∈ [-1, 1].
     * Spark embeds the values as literals (computed here with the same md5);
     * the oracle recomputes them in SQL. */
-  private val nPlanes = 8
+  private val nPlanes = 16
+  private val lshBands = 2          // q41: 2 bands × 8 sign bits each
+  private val lshBandBits = nPlanes / lshBands
   private def h32(sd: String): Long = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(sd.getBytes("UTF-8"))
@@ -305,7 +308,7 @@ object VectorQueries {
           .groupBy("cent_id")
           .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), x -> x.cv)")
             .as("cent_vec"))
-          .persist()
+          .persistTracked()
         val c0 = emb.filter(col("vec_id") < 4)
           .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
         val c2 = update(nearest(update(nearest(c0))))
@@ -353,10 +356,21 @@ object VectorQueries {
               |ORDER BY s.cent_id""".stripMargin)),
 
     // q41 — embedding-cosine near-duplicate detection via sign-LSH:
-    // bucket = 8 hyperplane sign bits, candidate pairs only within a
-    // bucket, then exact cosine filter. The scale shape: the n² pair space
-    // collapses to per-bucket pair generation (one shuffle on the 8-bit
-    // signature), and the expensive exact cosine runs only on candidates.
+    // 16 hyperplane sign bits split into 2 bands of 8; a pair is a
+    // candidate if it matches in EITHER full band (minhash-style banding
+    // — boosts recall while each band key stays selective), then an
+    // exact cosine filter verifies.
+    //
+    // Pair generation is a SALTED self-join of the banded table (q50's
+    // shape), NOT groupBy(bucket)+collect_list+HOF-combinations: an
+    // 8-bit band has only 256 values, so at corpus scale one bucket
+    // holds O(n/256) ids and a single collect_list task would
+    // materialize an O((n/256)²) pair array — the exact skew failure
+    // q50 diagnosed for simhash byte-bands. Skew.saltedJoin spreads
+    // each hot bucket over `salts` reducers and pins SHUFFLE_HASH so
+    // nothing corpus-sized is broadcast (PlanSpec pins this). The
+    // candidate set is deduped across bands BEFORE the two corpus
+    // joins that fetch embeddings, so exact cosine runs once per pair.
     QuerySpec("q41_embed_neardup",
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")
@@ -364,16 +378,19 @@ object VectorQueries {
           val planeCol = array(p.map(lit): _*)
           when(Vectors.dot(col("embedding"), planeCol) > 0, lit("1")).otherwise(lit("0"))
         }
-        val bucketed = emb.select(col("vec_id"), col("embedding"),
-          concat(bits: _*).as("bucket"))
-        val pairs = bucketed.groupBy("bucket")
-          .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
-          .filter(size(col("ids")) > 1)
-          .select(explode(expr(
-            "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), y -> struct(x AS vec_a, y AS vec_b))))"
-          )).as("p"))
-          .select(col("p.vec_a"), col("p.vec_b"))
-        pairs
+        val sig = emb.select(col("vec_id"), concat(bits: _*).as("sig"))
+        val bands = sig.select(col("vec_id"), explode(array(
+            (0 until lshBands).map(b => struct(lit(b).as("bi"),
+              substring(col("sig"), b * lshBandBits + 1, lshBandBits).as("bv"))): _*)).as("b"))
+          .select(col("vec_id"), col("b.bi"), col("b.bv"))
+        val cand = graft.ops.Skew.saltedJoin(
+            bands.select(col("bi"), col("bv"), col("vec_id").as("vec_a")),
+            bands.select(col("bi"), col("bv"), col("vec_id").as("vec_b")),
+            Seq("bi", "bv"), salts = 8)
+          .filter(col("vec_a") < col("vec_b"))
+          .select("vec_a", "vec_b")
+          .distinct()
+        cand
           .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")
           .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), "vec_b")
           .select(col("vec_a"), col("vec_b"),
@@ -383,14 +400,18 @@ object VectorQueries {
       },
       Some(s"""WITH $duckPlanes,
               |sig AS (
-              |  SELECT vec_id, string_agg(CASE WHEN d > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS bucket FROM (
+              |  SELECT vec_id, string_agg(CASE WHEN d > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS sig FROM (
               |    SELECT e.vec_id, p.j,
               |      list_sum(list_transform(generate_series(1, $dim), i -> CAST(e.embedding[i] AS DOUBLE) * p.r[i])) AS d
               |    FROM embeddings e, planes p)
               |  GROUP BY vec_id),
+              |bands AS (
+              |  SELECT vec_id, b AS bi, substr(sig, b * $lshBandBits + 1, $lshBandBits) AS bv
+              |  FROM sig, generate_series(0, ${lshBands - 1}) t(b)),
               |cand AS (
-              |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-              |  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+              |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+              |  FROM bands a JOIN bands b
+              |    ON a.bi = b.bi AND a.bv = b.bv AND a.vec_id < b.vec_id)
               |SELECT c.vec_a, c.vec_b,
               |  round(${duckCos("ea.embedding", "eb.embedding")}, 6) AS cos_sim
               |FROM cand c
@@ -439,7 +460,7 @@ object VectorQueries {
     QuerySpec("q93_pq_adc_search",
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")
-        val sv = pqSubvectors(emb).persist()
+        val sv = pqSubvectors(emb).persistTracked()
         val cb = pqCodebook(sv)
         val codes = pqAssign(sv, cb).select("vec_id", "sub", "cent_id")
         val dt = sv.filter(col("vec_id") < 8)
@@ -485,9 +506,15 @@ object VectorQueries {
     QuerySpec("q110_ann_recall",
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")
+        // Both search results are |queries|·k rows; persist so the final
+        // sort's range-sampling pass (and any reuse) reads the cache
+        // instead of re-running the corpus-scale searches (ADVICE r04:
+        // ivfTopK's assignment alone is a corpus×centroids cross-join).
         val exact = bruteTopK(emb).select(col("q_id"), col("vec_id"))
+          .persistTracked()
         val approx = ivfTopK(emb)
           .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+          .persistTracked()
         exact.join(approx, Seq("q_id", "vec_id"), "left")
           .groupBy("q_id")
           .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
@@ -540,8 +567,13 @@ object VectorQueries {
     QuerySpec("q119_ann_mrr",
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")
+        // ex feeds BOTH the semi-join and the query-set spine, and the
+        // final sort's sampling pass would otherwise re-run both
+        // searches — persist the |queries|·k-row results (ADVICE r04).
         val ex = bruteTopK(emb).select(col("q_id"), col("vec_id"))
+          .persistTracked()
         val firstHit = ivfTopK(emb).select(col("q_id"), col("vec_id"), col("rnk"))
+          .persistTracked()
           .join(ex, Seq("q_id", "vec_id"), "left_semi")
           .groupBy("q_id").agg(min(col("rnk")).as("fhr"))
         ex.select("q_id").distinct()

@@ -73,6 +73,18 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q41: LSH pair generation is a salted shuffle join, not a " +
+      "bucket-sized collect_list") {
+    // An 8-bit band holds O(n/256) ids at corpus scale; a
+    // groupBy(bucket)+collect_list would materialize an O((n/256)²)
+    // pair array in one task. The salted SHUFFLE_HASH self-join spreads
+    // each hot bucket over `salts` reducers instead.
+    val p = plan("q41_embed_neardup")
+    assert(p.contains("ShuffledHashJoin"), s"q41: band join not shuffled:\n$p")
+    assert(!p.contains("collect_list"),
+      s"q41: bucket-sized collect_list back in the plan:\n$p")
+  }
+
   test("q10: whole-stage codegen covers the aggregation (final AQE plan)") {
     // AQE prints codegen spans only in the finalized plan, so execute first
     val df = SparkEntry.queries("q10_pricing_summary")(spark, sf)
