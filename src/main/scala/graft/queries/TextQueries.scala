@@ -1262,6 +1262,65 @@ object TextQueries {
            |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
       }),
 
+    // q123 — temperature-based mixture reweighting (the count^α source
+    // sampler behind every multi-source pretraining mix — α<1 upsamples
+    // small sources relative to their share): per-source quota_s =
+    // T·w_s/W with w_s = round(sqrt(n_s)·1e6) (α = 0.5) and T = 40% of
+    // the corpus, then the quota_s docs with the smallest portable hash
+    // in each source are kept. ALL quota arithmetic is integer (exact
+    // w in micros, BIGINT div), so both engines compute identical
+    // quotas — a float share·T would ceil() differently on the last ulp.
+    //
+    // Scale shape: one tiny per-source aggregate (|sources| rows,
+    // broadcast back), one window ranked by hash WITHIN source —
+    // parallelism = source count; a deployment with few huge sources
+    // subshards the ring like q122. Selection-by-rank (not by hash
+    // threshold like q95) hits quotas EXACTLY, which is what mixture
+    // specs demand.
+    QuerySpec("q123_temperature_mix",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val stats = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
+          .withColumn("w", round(sqrt(col("n_s")) * 1e6).cast("long"))
+        val tot = stats.agg(sum(col("n_s")).as("n_tot"), sum(col("w")).as("big_w"))
+        // Column `/` is always double division in Spark — DIV keeps the
+        // quota arithmetic in exact BIGINT like the oracle's `//`.
+        val quotas = stats.crossJoin(broadcast(tot))
+          .select(col("source"), col("n_s"),
+            greatest(lit(1L),
+              expr("(n_tot * 2 DIV 5) * w DIV big_w")).as("quota"))
+        val wsrc = Window.partitionBy("source")
+          .orderBy(col("h"), col("doc_id"))
+        docs.select(col("doc_id"), col("source"),
+            Text.hash32(concat(col("doc_id").cast("string"), lit("_mix"))).as("h"))
+          .withColumn("rn", row_number().over(wsrc))
+          .join(broadcast(quotas), "source")
+          .filter(col("rn") <= col("quota"))
+          .select(col("doc_id"), col("source"), col("rn").cast("long").as("rank_in_source"),
+            col("quota"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH stats AS (
+             |  SELECT source, count(*) AS n_s,
+             |    CAST(round(sqrt(count(*)) * 1e6) AS BIGINT) AS w
+             |  FROM documents GROUP BY source),
+             |tot AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n_tot,
+             |               CAST(SUM(w) AS BIGINT) AS big_w FROM stats),
+             |quotas AS (
+             |  SELECT source, n_s,
+             |    CAST(greatest(1, ((n_tot * 2 // 5) * w) // big_w) AS BIGINT) AS quota
+             |  FROM stats, tot),
+             |ranked AS (
+             |  SELECT doc_id, source,
+             |    row_number() OVER (PARTITION BY source ORDER BY
+             |      CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)||'_mix'),1,8) AS BIGINT),
+             |      doc_id) AS rn
+             |  FROM documents)
+             |SELECT r.doc_id, r.source, CAST(r.rn AS BIGINT) AS rank_in_source, q.quota
+             |FROM ranked r JOIN quotas q ON r.source = q.source
+             |WHERE r.rn <= q.quota
+             |ORDER BY r.doc_id""".stripMargin)),
+
     // q96 — the pretraining-corpus preparation pipeline END TO END, as
     // one lineage: quality signals (token count, stopword ratio,
     // punctuation ratio) → language gate → exact dedup (keep-first by

@@ -621,5 +621,116 @@ object VectorQueries {
               |       ELSE CAST(0 AS DOUBLE) END AS rr
               |FROM (SELECT DISTINCT q_id FROM ex) q
               |LEFT JOIN hits ON q.q_id = hits.q_id
-              |ORDER BY q.q_id""".stripMargin)))
+              |ORDER BY q.q_id""".stripMargin)),
+
+    // q121 — SemDeDup (Abbas et al. '23): semantic deduplication by
+    // clustering embeddings, then flagging within-cluster near-dups by
+    // exact cosine — the embedding-space complement of the text-space
+    // LSH families (q29/q34/q41). A vector is a duplicate iff a LOWER-id
+    // vector in its cluster has cos > 0.4 (deterministic survivor rule).
+    //
+    // The scale argument is the clustering itself: pairs are generated
+    // ONLY within a cluster, so the n² pair space collapses to
+    // Σ|cluster|² — and a deployment grows the centroid count with the
+    // corpus (k ≈ √n) to hold cluster sizes constant. Clusters are few
+    // and therefore HOT join keys: the self-join routes through
+    // Skew.saltedJoin (SHUFFLE_HASH, hot cluster spread over `salts`
+    // reducers — q41/q50's shape; nothing corpus-sized broadcast or
+    // collect_list'd). Embeddings ride through the one salted shuffle,
+    // avoiding two pair-keyed fetch joins afterward.
+    QuerySpec("q121_semdedup",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val cents = emb.filter(col("vec_id") < 4)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
+        val assigned = nearestCentroid(emb, cents).persistTracked()
+        val dups = graft.ops.Skew.saltedJoin(
+            assigned.select(col("cent_id"), col("vec_id"), col("embedding").as("ea")),
+            assigned.select(col("cent_id"), col("vec_id").as("vec_b"),
+              col("embedding").as("eb")),
+            Seq("cent_id"), salts = 8)
+          .filter(col("vec_b") < col("vec_id"))
+          .filter(round(call_function("graft_cosine", col("ea"), col("eb")), 6) > 0.4)
+          .select("vec_id").distinct()
+          .withColumn("d", lit(true))
+        assigned.select("vec_id", "cent_id")
+          .join(dups, Seq("vec_id"), "left")
+          .select(col("vec_id"), col("cent_id"),
+            coalesce(col("d"), lit(false)).as("is_dup"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent_vec
+              |    FROM embeddings WHERE vec_id < 4),
+              |assigned AS (SELECT vec_id, embedding, cent_id FROM (
+              |  SELECT e.vec_id, e.embedding, c.cent_id,
+              |    row_number() OVER (PARTITION BY e.vec_id
+              |      ORDER BY round(${duckCos("c.cent_vec", "e.embedding")}, 6) DESC, c.cent_id) AS rn
+              |  FROM embeddings e, cents c) WHERE rn = 1),
+              |dups AS (SELECT DISTINCT a.vec_id
+              |  FROM assigned a JOIN assigned b
+              |    ON a.cent_id = b.cent_id AND b.vec_id < a.vec_id
+              |  WHERE round(${duckCos("a.embedding", "b.embedding")}, 6) > 0.4)
+              |SELECT s.vec_id, s.cent_id, d.vec_id IS NOT NULL AS is_dup
+              |FROM assigned s LEFT JOIN dups d ON s.vec_id = d.vec_id
+              |ORDER BY s.vec_id""".stripMargin)),
+
+    // q122 — contrastive triplet mining over the (so far unused) label
+    // column: per anchor, a deterministic positive (same label) and
+    // negative (next label) — the pair-construction op behind contrastive
+    // embedding training (SimCLR/CLIP-style), done corpus-side.
+    //
+    // Scale shape: anchors ring within (label, shard) — shard is a
+    // portable hash mod 4 — ordered by an independent portable hash; the
+    // positive is the ring successor (one lag-window pass, LINEAR, no
+    // pair space at all), the negative is the same-rank (mod size)
+    // member of the next label's same shard ring (one join keyed by
+    // (label, shard, rank)). Window partitions are (labels × shards), so
+    // a deployment raises the shard count with the corpus to keep every
+    // ring bounded — no global sort, no skewed single-label reducer.
+    // Singleton rings yield no anchor (sz > 1 guard). Determinism: both
+    // hashes are the md5-prefix portable hash both engines compute.
+    QuerySpec("q122_triplet_mining",
+      (s, dir) => {
+        import graft.functions.Text
+        val w = Window.partitionBy("label", "shard").orderBy("h", "vec_id")
+        val ranked = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"),
+            Text.hash32(concat(col("vec_id").cast("string"), lit("_trip"))).as("h"),
+            pmod(Text.hash32(concat(col("vec_id").cast("string"), lit("_shard"))),
+              lit(4)).as("shard"))
+          .withColumn("r", row_number().over(w))
+          .withColumn("sz", count(lit(1)).over(Window.partitionBy("label", "shard")))
+          .withColumn("pos_id", coalesce(lead(col("vec_id"), 1).over(w),
+            first(col("vec_id")).over(w.rowsBetween(
+              Window.unboundedPreceding, Window.unboundedFollowing))))
+          .persistTracked()
+        val anchors = ranked.filter(col("sz") > 1)
+          .select(col("vec_id"), col("label"), col("shard"), col("r"),
+            col("pos_id"))
+        val negs = ranked.select(col("label").as("n_label"),
+          col("shard").as("n_shard"), col("r").as("n_r"),
+          col("sz").as("n_sz"), col("vec_id").as("neg_id"))
+        anchors.join(negs,
+            negs("n_label") === pmod(anchors("label") + 1, lit(10)) &&
+            negs("n_shard") === anchors("shard") &&
+            negs("n_r") === pmod(anchors("r") - 1, negs("n_sz")) + 1)
+          .select(col("vec_id"), col("label"), col("pos_id"), col("neg_id"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH b AS (SELECT vec_id, label,
+             |    CAST('0x'||substr(md5(CAST(vec_id AS VARCHAR)||'_trip'),1,8) AS BIGINT) AS h,
+             |    CAST('0x'||substr(md5(CAST(vec_id AS VARCHAR)||'_shard'),1,8) AS BIGINT) % 4 AS shard
+             |  FROM embeddings),
+             |r AS (SELECT vec_id, label, shard,
+             |    row_number() OVER (PARTITION BY label, shard ORDER BY h, vec_id) AS r,
+             |    count(*) OVER (PARTITION BY label, shard) AS sz,
+             |    coalesce(lead(vec_id) OVER (PARTITION BY label, shard ORDER BY h, vec_id),
+             |      first_value(vec_id) OVER (PARTITION BY label, shard ORDER BY h, vec_id
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) AS pos_id
+             |  FROM b)
+             |SELECT a.vec_id, a.label, a.pos_id, n.vec_id AS neg_id
+             |FROM (SELECT * FROM r WHERE sz > 1) a
+             |JOIN r n ON n.label = (a.label + 1) % 10 AND n.shard = a.shard
+             |  AND n.r = ((a.r - 1) % n.sz) + 1
+             |ORDER BY a.vec_id""".stripMargin)))
 }

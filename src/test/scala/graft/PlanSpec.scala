@@ -85,6 +85,26 @@ class PlanSpec extends AnyFunSuite {
       s"q41: bucket-sized collect_list back in the plan:\n$p")
   }
 
+  test("q121: within-cluster pair join is salted+shuffled; corpus never broadcast") {
+    // 4 clusters = 4 hot keys: only a shuffled hash join on
+    // (cent_id, salt) spreads a hot cluster's pair space across
+    // reducers. A broadcast would ship the corpus-proportional assigned
+    // table; collect_list would rebuild the q41 single-task pair array.
+    val p = plan("q121_semdedup")
+    assert(p.contains("ShuffledHashJoin"), s"q121: pair join not shuffled:\n$p")
+    assert(!p.contains("collect_list"), s"q121: bucket pair array in plan:\n$p")
+  }
+
+  test("q122: triplet rings window on (label, shard) — no global-order window") {
+    // An empty-partition window (Window.orderBy with no partitionBy)
+    // moves the corpus to ONE reducer; the rings must stay keyed.
+    val p = plan("q122_triplet_mining")
+    val windowLines = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windowLines.nonEmpty)
+    assert(!p.contains("SinglePartition"),
+      s"q122: a single-partition exchange in the plan:\n$p")
+  }
+
   test("q10: whole-stage codegen covers the aggregation (final AQE plan)") {
     // AQE prints codegen spans only in the finalized plan, so execute first
     val df = SparkEntry.queries("q10_pricing_summary")(spark, sf)

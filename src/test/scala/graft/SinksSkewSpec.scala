@@ -139,6 +139,31 @@ class SinksSkewSpec extends AnyFunSuite {
       == plain.map(r => (r.getString(0), r.getLong(1))))
   }
 
+  test("salted join physically spreads one hot key across partitions") {
+    // PlanSpec pins the SHUFFLE_HASH shape; this pins the POINT of it:
+    // the pair space of a single hot key actually lands on many
+    // reducers. AQE off (it would coalesce these tiny partitions back
+    // together — at real scale the buckets are too big to coalesce) and
+    // 16 shuffle partitions, on a Tuned clone so the shared test
+    // session's conf is untouched.
+    val ns = graft.core.Tuned.session(spark,
+      "spark.sql.shuffle.partitions" -> "16",
+      "spark.sql.adaptive.enabled" -> "false")
+    val left = ns.createDataFrame((1 to 400).map(i => ("hot", i)))
+      .toDF("k", "a")
+    val right = ns.createDataFrame((1 to 50).map(i => ("hot", i)))
+      .toDF("k", "b")
+    val joined = Skew.saltedJoin(left, right, "k", salts = 8)
+    val sizes = joined.rdd
+      .mapPartitions(it => Iterator(it.size)).collect().filter(_ > 0)
+    assert(sizes.sum == 400 * 50, "pair multiplicity broken by salting")
+    assert(sizes.length >= 4,
+      s"hot key's pairs landed on only ${sizes.length} reducers: " +
+        sizes.mkString(","))
+    assert(sizes.max <= sizes.sum / 3,
+      s"one reducer still owns ${sizes.max} of ${sizes.sum} pairs")
+  }
+
   test("salted join equals plain join") {
     val big = (1 to 500).map(i => (i % 5, i)).toDF("k", "payload")
     val small = Seq((0, "z"), (1, "o"), (2, "t"), (3, "th"), (4, "f"))
