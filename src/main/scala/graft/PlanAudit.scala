@@ -23,9 +23,12 @@ object PlanAudit {
         val smells = Seq(
           "CartesianProduct" -> p.contains("CartesianProduct"),
           "BroadcastNestedLoopJoin" -> p.contains("BroadcastNestedLoopJoin"),
+          // NOTE: PrefixSum's numParts-row offsets window and 1-row
+          // global aggregates legitimately flag here — the smell is only
+          // real when the exchanged frame is corpus-sized (triage table
+          // in NOTES "Plan-smell sweep").
           "SinglePartition-exchange" ->
-            p.linesIterator.exists(l => l.contains("Exchange SinglePartition")
-              && !l.contains("rangepartitioning"))
+            p.contains("Exchange SinglePartition")
         ).collect { case (s, true) => s }
         if (smells.nonEmpty) { flagged += 1; println(s"[audit] $name: ${smells.mkString(", ")}") }
       } catch { case e: Throwable => println(s"[audit] $name: ERROR ${e.getMessage}") }

@@ -24,6 +24,11 @@ object Tuned {
         try ns.conf.set(k, v) catch { case _: Throwable => () }
     }
     overrides.foreach { case (k, v) => ns.conf.set(k, v) }
+    // Session-scoped FUNCTION registrations don't transfer either: a
+    // clone-homed plan referencing graft_cosine would fail analysis with
+    // "Undefined function". Re-register the engine's functions on every
+    // clone so phase-tuned queries can use the full surface.
+    graft.functions.GraftFunctions.register(ns)
     ns
   }
 

@@ -272,14 +272,17 @@ object F1Pipeline {
   def runIncremental(spark: org.apache.spark.sql.SparkSession,
       csvPath: String, outDir: String, loadDate: String,
       refYear: Int = 2026): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
     buildAll(graft.core.Tables.csv(spark, csvPath, F1Schema.wide), refYear)
       .foreach { case (t, df) =>
         val path = s"$outDir/$t"
         val keys = naturalKeys(t)
+        val hPath = new org.apache.hadoop.fs.Path(path)
+        // the PATH's filesystem, not the default one: outDir is object
+        // storage (s3a/abfs) in the deployment this method argues for,
+        // and FileSystem.get(conf) would throw "Wrong FS" there
+        val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val fresh =
-          if (fs.exists(new org.apache.hadoop.fs.Path(path))) {
+          if (fs.exists(hPath)) {
             val existingKeys = spark.read.parquet(path)
               .select(keys.map(col): _*)
             df.join(existingKeys, keys, "left_anti")

@@ -100,21 +100,30 @@ object Multimodal {
     def ascii(off: Int, n: Int) = new String(b, off, n, "US-ASCII")
     if (ascii(0, 4) != "RIFF" || ascii(8, 4) != "WAVE") return None
     val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
-    var off = 12
+    // Long offsets: a hostile/corrupt declared chunk size near
+    // Int.MaxValue must walk off the END (loop exits), not wrap an Int
+    // negative and index out of bounds — decoders return None, never
+    // throw (P8 skip policy).
+    var off = 12L
     var fmt: Option[(Int, Int, Int)] = None // (rate, channels, bits)
     var dataSize = -1L
     while (off + 8 <= b.length && (fmt.isEmpty || dataSize < 0)) {
-      val id = ascii(off, 4)
-      val size = bb.getInt(off + 4)
+      val o = off.toInt
+      val id = ascii(o, 4)
+      val size = bb.getInt(o + 4)
       if (size < 0) return None
       if (id == "fmt " && size >= 16 && off + 8 + 16 <= b.length)
-        fmt = Some((bb.getInt(off + 12), bb.getShort(off + 10).toInt,
-          bb.getShort(off + 22).toInt))
+        fmt = Some((bb.getInt(o + 12), bb.getShort(o + 10).toInt,
+          bb.getShort(o + 22).toInt))
       if (id == "data") dataSize = size.toLong
-      off += 8 + size + (size & 1) // chunks are word-aligned
+      off += 8L + size + (size & 1) // chunks are word-aligned
     }
-    fmt.collect { case (rate, ch, bits) if dataSize >= 0 && ch > 0 && bits > 0 =>
-      (rate, ch, bits, dataSize / (ch * bits / 8))
+    // bytes-per-frame guard: sub-byte sample widths (e.g. 4-bit ADPCM)
+    // or zero channels must skip the row, not divide by zero.
+    fmt.collect {
+      case (rate, ch, bits) if dataSize >= 0 && ch > 0 && bits >= 8 &&
+          bits % 8 == 0 && ch.toLong * bits / 8 > 0 =>
+        (rate, ch, bits, dataSize / (ch * bits / 8))
     }
   }
 

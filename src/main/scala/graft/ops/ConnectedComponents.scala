@@ -40,17 +40,27 @@ object ConnectedComponents {
 
   /** Eagerly localCheckpoints `df` and returns the checkpointed frame
     * plus the RDDs it newly persisted (so the caller can free them once
-    * the next round is materialized). Assumes single-threaded use of the
-    * session between the before/after snapshots (true for this repo's
-    * query entry points). */
-  private def truncate(df: DataFrame): (DataFrame, Seq[RDD[_]]) = {
-    val sc = df.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet
-    val out = df.localCheckpoint(eager = true)
-    val added = sc.getPersistentRDDs.view
-      .filterKeys(id => !before.contains(id)).values.toSeq
-    (out, added)
-  }
+    * the next round is materialized).
+    *
+    * The before/after snapshot diff is context-global, so it is guarded
+    * by a JVM-wide lock: without it, two CC queries running concurrently
+    * could capture each other's round checkpoints in their `added` sets
+    * and free() them — and an unpersisted localCheckpoint is
+    * UNRECOVERABLE (lineage is truncated), failing the other query. The
+    * lock serializes only the (snapshot, checkpoint, snapshot) window,
+    * not the rounds. A plain persist() from an unrelated concurrent
+    * query landing inside the window is still possible and merely costs
+    * that query a recompute (documented in ConcurrencySpec). */
+  private val truncateLock = new Object
+  private def truncate(df: DataFrame): (DataFrame, Seq[RDD[_]]) =
+    truncateLock.synchronized {
+      val sc = df.sparkSession.sparkContext
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint(eager = true)
+      val added = sc.getPersistentRDDs.view
+        .filterKeys(id => !before.contains(id)).values.toSeq
+      (out, added)
+    }
 
   private def free(rdds: Seq[RDD[_]]): Unit =
     rdds.foreach(_.unpersist(blocking = true))

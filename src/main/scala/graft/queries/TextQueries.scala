@@ -1267,9 +1267,11 @@ object TextQueries {
     // small sources relative to their share): per-source quota_s =
     // T·w_s/W with w_s = round(sqrt(n_s)·1e6) (α = 0.5) and T = 40% of
     // the corpus, then the quota_s docs with the smallest portable hash
-    // in each source are kept. ALL quota arithmetic is integer (exact
-    // w in micros, BIGINT div), so both engines compute identical
-    // quotas — a float share·T would ceil() differently on the last ulp.
+    // in each source are kept. ALL quota arithmetic is exact fixed-point
+    // (w in micros; the T·w product in DECIMAL(38,0)/HUGEINT, since it
+    // reaches ~1e29 at 1e10 docs and would wrap a BIGINT), so both
+    // engines compute identical quotas — a float share·T would ceil()
+    // differently on the last ulp.
     //
     // Scale shape: one tiny per-source aggregate (|sources| rows,
     // broadcast back), one window ranked by hash WITHIN source —
@@ -1283,12 +1285,17 @@ object TextQueries {
         val stats = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
           .withColumn("w", round(sqrt(col("n_s")) * 1e6).cast("long"))
         val tot = stats.agg(sum(col("n_s")).as("n_tot"), sum(col("w")).as("big_w"))
-        // Column `/` is always double division in Spark — DIV keeps the
-        // quota arithmetic in exact BIGINT like the oracle's `//`.
+        // Quota arithmetic in DECIMAL(38,0): T·w reaches ~1e29 for a
+        // 1e10-doc corpus, which overflows BIGINT (and with ANSI off
+        // would WRAP negative and clamp every big source to quota=1);
+        // 38-digit decimals keep the product exact far beyond any
+        // corpus. The oracle mirrors with HUGEINT. Column `/` is double
+        // division in Spark — floor(decimal/decimal) keeps it exact.
         val quotas = stats.crossJoin(broadcast(tot))
           .select(col("source"), col("n_s"),
-            greatest(lit(1L),
-              expr("(n_tot * 2 DIV 5) * w DIV big_w")).as("quota"))
+            greatest(lit(1L), expr(
+              """CAST(floor(CAST(n_tot * 2 DIV 5 AS DECIMAL(38,0)) * w / big_w)
+                 AS BIGINT)""")).as("quota"))
         val wsrc = Window.partitionBy("source")
           .orderBy(col("h"), col("doc_id"))
         docs.select(col("doc_id"), col("source"),
@@ -1308,7 +1315,7 @@ object TextQueries {
              |               CAST(SUM(w) AS BIGINT) AS big_w FROM stats),
              |quotas AS (
              |  SELECT source, n_s,
-             |    CAST(greatest(1, ((n_tot * 2 // 5) * w) // big_w) AS BIGINT) AS quota
+             |    CAST(greatest(1, (CAST(n_tot * 2 // 5 AS HUGEINT) * w) // big_w) AS BIGINT) AS quota
              |  FROM stats, tot),
              |ranked AS (
              |  SELECT doc_id, source,

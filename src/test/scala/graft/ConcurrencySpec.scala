@@ -13,6 +13,12 @@ import org.scalatest.funsuite.AnyFunSuite
   * on a Tuned.session clone, so (a) results are identical when another
   * query runs concurrently on the same session and (b) the shared
   * session's conf is never observed to change.
+  *
+  * Known-benign residual: ConnectedComponents.truncate's snapshot diff
+  * can capture a CONCURRENT query's plain persist() and free it early —
+  * that costs the other query a recompute, never correctness (CC-vs-CC
+  * checkpoint interleaving, the unrecoverable case, is excluded by
+  * truncate's JVM-wide lock).
   */
 class ConcurrencySpec extends AnyFunSuite {
   import TestSpark.spark

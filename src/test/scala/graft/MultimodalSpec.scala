@@ -73,6 +73,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeWav(Array.fill(10)(0.toByte)) == None)
   }
 
+  test("WAV decode never throws on malformed-but-plausible containers") {
+    // 4-bit ADPCM: bits/8 == 0 — must skip (None), not divide by zero
+    val adpcm = Multimodal.wavBytes(8000, 1, 10)
+    val bb4 = java.nio.ByteBuffer.wrap(adpcm.clone())
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb4.putShort(34, 4) // bitsPerSample := 4
+    assert(Multimodal.decodeWav(bb4.array()) == None)
+    // declared chunk size near Int.MaxValue: the walk must run off the
+    // end and return None, not wrap an Int offset negative and throw
+    val big = Multimodal.wavBytes(8000, 1, 10)
+    val bbBig = java.nio.ByteBuffer.wrap(big.clone())
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bbBig.putInt(16, Int.MaxValue - 3) // fmt chunk size := 0x7FFFFFFC
+    assert(Multimodal.decodeWav(bbBig.array()) == None)
+    // zero channels must also skip
+    val zc = Multimodal.wavBytes(8000, 1, 10)
+    val bbZc = java.nio.ByteBuffer.wrap(zc.clone())
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bbZc.putShort(22, 0) // channels := 0
+    assert(Multimodal.decodeWav(bbZc.array()) == None)
+  }
+
   test("stub decode + thumbnail fit: aspect preserved, never upscaled") {
     val (w, h) = Multimodal.stubDims(1300)
     assert(w == 64 + 1300 % 576 && h == 64 + 1300 * 7 % 416)
