@@ -209,4 +209,56 @@ object GraftProperties extends Properties("graft") {
       val fits = if (small) (tw, th) == (w, h) else math.max(tw, th) == 256
       noUpscale && fits
     }
+
+  // Decoders run inside mapPartitions over opaque corpus bytes — an
+  // exception there kills the task, not the row, so totality (None, not
+  // throw) on ARBITRARY bytes is the P8 contract the queries rely on.
+  private val bytesGen: Gen[Array[Byte]] =
+    Gen.chooseNum(0, 120).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(Byte.MinValue, Byte.MaxValue)).map(_.toArray))
+
+  property("decodeBmpDims is total: any bytes → Some or None, never throws") =
+    forAll(bytesGen) { b =>
+      graft.functions.Multimodal.decodeBmpDims(b)
+      true
+    }
+
+  property("decodeWav is total, even with valid RIFF/WAVE magic prefixes") =
+    forAll(bytesGen) { b =>
+      graft.functions.Multimodal.decodeWav(b)
+      // adversarial variant: correct magic, random chunk soup
+      val withMagic = ("RIFF".getBytes("US-ASCII") ++ b.take(4) ++
+        "WAVE".getBytes("US-ASCII") ++ b.drop(8))
+      graft.functions.Multimodal.decodeWav(withMagic)
+      true
+    }
+
+  property("BMP/WAV encode→decode round-trips for any sane parameters") =
+    forAll(Gen.choose(1, 8192), Gen.choose(1, 8192), Gen.choose(8000, 192000),
+      Gen.choose(1, 8), Gen.choose(0, 1 << 20)) { (w, h, rate, ch, n) =>
+      val bmp = graft.functions.Multimodal.decodeBmpDims(
+        graft.functions.Multimodal.bmpBytes(w, h)) == Some((w, h))
+      val wav = graft.functions.Multimodal.decodeWav(
+        graft.functions.Multimodal.wavBytes(rate, ch, n)) ==
+        Some((rate, ch, 16, n.toLong))
+      bmp && wav
+    }
+
+  property("PrefixSum.cumsum tuple order matches a sequential scan") =
+    forAll(Gen.listOfN(25, for {
+      h <- Gen.choose(0L, 3L) // few distinct hashes → ties force the
+      id <- Gen.choose(0L, 1000000L) // id tiebreak to carry the order
+      v <- Gen.choose(1L, 9L)
+    } yield (h, id, v)).map(_.distinctBy(t => (t._1, t._2)))
+      .suchThat(_.nonEmpty)) { rows =>
+      val df = rows.toDF("h", "id", "v")
+      val got = graft.ops.PrefixSum.cumsum(df, Seq("h", "id"), "v", "cs", 4)
+        .select("h", "id", "cs")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      spark.catalog.clearCache()
+      val want = rows.sortBy(t => (t._1, t._2))
+        .scanLeft((0L, 0L) -> 0L) { case ((_, acc), (h, id, v)) =>
+          (h, id) -> (acc + v) }.tail.toMap
+      got == want
+    }
 }
