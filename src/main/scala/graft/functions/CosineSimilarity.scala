@@ -8,13 +8,17 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
-/** Native Catalyst cosine similarity over two `array<float>` columns.
+/** Native Catalyst cosine similarity over two `array<float>` or
+  * `array<double>` columns (sides may mix — e.g. float corpus vectors
+  * against double learned-centroid means in q56's Lloyd iterations,
+  * which otherwise fall back to the interpreted HOF path).
   *
   * The composable form ([[Vectors.cosine]]) builds three zip_with arrays
-  * and folds each — correct, but it allocates intermediates per row. This
-  * expression is the perf path the extension mandate calls for (custom
-  * `Expression` with `doGenCode` beats a UDF): one fused loop, no
-  * allocation, stays inside whole-stage codegen.
+  * and folds each — correct, but it allocates intermediates per row and
+  * evaluates lambdas interpreted. This expression is the perf path the
+  * extension mandate calls for (custom `Expression` with `doGenCode`
+  * beats a UDF): one fused loop, no allocation, stays inside whole-stage
+  * codegen.
   *
   * Numerics are IDENTICAL to the HOF form and the DuckDB oracle: floats
   * widen to double before multiplying, and dot/norm accumulators fold in
@@ -24,18 +28,24 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  private def elemType(e: Expression): Option[DataType] = e.dataType match {
+    case ArrayType(FloatType, _)  => Some(FloatType)
+    case ArrayType(DoubleType, _) => Some(DoubleType)
+    case _                        => None
+  }
+
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(FloatType, _) => true
-      case _ => false
-    })
-    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    if (Seq(left, right).forall(elemType(_).isDefined))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"graft_cosine requires two array<float> arguments, got " +
+      s"graft_cosine requires two array<float|double> arguments, got " +
         s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
   }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_cosine"
+
+  @transient private lazy val leftFloat = elemType(left).contains(FloatType)
+  @transient private lazy val rightFloat = elemType(right).contains(FloatType)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -44,8 +54,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
-      val xv = x.getFloat(i).toDouble
-      val yv = y.getFloat(i).toDouble
+      val xv = if (leftFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rightFloat) y.getFloat(i).toDouble else y.getDouble(i)
       dot += xv * yv; na += xv * xv; nb += yv * yv
       i += 1
     }
@@ -61,15 +71,82 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val xv = ctx.freshName("xv")
       val yv = ctx.freshName("yv")
+      val getX = if (leftFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val getY = if (rightFloat) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double $xv = (double) $a.getFloat($i);
-         |  double $yv = (double) $b.getFloat($i);
+         |  double $xv = $getX;
+         |  double $yv = $getY;
          |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
          |}
          |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Native dot product over `array<float|double>` columns — the
+  * [[CosineSimilarity]] loop without the norms. Exists for the hot
+  * paths that fold MANY dots per row (q41 evaluates one per hyperplane
+  * per vector), where the interpreted zip_with+aggregate lambda cost
+  * multiplies. Index-order double accumulation — bit-identical to
+  * [[Vectors.dot]] and the oracle's list_sum(list_transform(...)). */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def elemType(e: Expression): Option[DataType] = e.dataType match {
+    case ArrayType(FloatType, _)  => Some(FloatType)
+    case ArrayType(DoubleType, _) => Some(DoubleType)
+    case _                        => None
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (Seq(left, right).forall(elemType(_).isDefined))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_dot requires two array<float|double> arguments, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  @transient private lazy val leftFloat = elemType(left).contains(FloatType)
+  @transient private lazy val rightFloat = elemType(right).contains(FloatType)
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (leftFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rightFloat) y.getFloat(i).toDouble else y.getDouble(i)
+      dot += xv * yv
+      i += 1
+    }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val getX = if (leftFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val getY = if (rightFloat) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += ($getX) * ($getY);
+         |}
+         |${ev.value} = $dot;
        """.stripMargin
     })
 
@@ -82,14 +159,22 @@ object GraftFunctions {
 
   private[functions] val cosineInfo = new ExpressionInfo(
     classOf[CosineSimilarity].getName, "", "graft_cosine",
-    "graft_cosine(a, b) - cosine similarity of two float vectors",
+    "graft_cosine(a, b) - cosine similarity of two float/double vectors",
+    "", "", "", "", "", "", "built-in")
+
+  private[functions] val dotInfo = new ExpressionInfo(
+    classOf[DotProduct].getName, "", "graft_dot",
+    "graft_dot(a, b) - dot product of two float/double vectors",
     "", "", "", "", "", "", "built-in")
 
   /** Idempotent registration into an existing session (used by
-    * SparkEntry.configure so driver-built sessions get the function). */
-  def register(spark: SparkSession): Unit =
+    * SparkEntry.configure so driver-built sessions get the functions). */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cosine", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+  }
 }
 
 /** `SparkSessionExtensions` hook: sessions built with
@@ -97,9 +182,14 @@ object GraftFunctions {
   * spark.sql.extensions=graft.functions.GraftExtensions) get the native
   * functions without any per-session registration call. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("graft_cosine"),
       GraftFunctions.cosineInfo,
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      GraftFunctions.dotInfo,
+      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+  }
 }

@@ -163,9 +163,10 @@ object VectorQueries {
     * (cos_sim, -cent_id) = highest similarity, tie toward the LOWER
     * cent_id — exactly the window's (cos_sim DESC, cent_id) order.
     * embedding is constant per vec_id, so first() is deterministic.
-    * `cos` defaults to the codegen'd graft_cosine Expression
-    * (array<float> only); q56 passes the HOF form because its learned
-    * centroids are array<double> means. */
+    * `cos` defaults to the codegen'd graft_cosine Expression, which
+    * accepts array<float> and array<double> sides (q56's learned
+    * centroid means are doubles); the parameter remains for callers
+    * wanting a different metric. */
   private def nearestCentroid(emb: DataFrame, cents: DataFrame,
       cos: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column =
         (a, b) => call_function("graft_cosine", a, b),
@@ -298,8 +299,12 @@ object VectorQueries {
     QuerySpec("q56_kmeans_ivf",
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")
+        // graft_cosine now accepts array<double> (the learned centroid
+        // means) as well as array<float>, so every Lloyd iteration runs
+        // the fused codegen loop instead of the interpreted HOF fold —
+        // numerics are bit-identical (same index-order double adds).
         def nearest(cents: DataFrame): DataFrame =
-          nearestCentroid(emb, cents, Vectors.cosine)
+          nearestCentroid(emb, cents)
         def update(assigned: DataFrame): DataFrame = assigned
           .select(col("cent_id"), posexplode(col("embedding")))
           .groupBy("cent_id", "pos")
@@ -312,7 +317,7 @@ object VectorQueries {
         val c0 = emb.filter(col("vec_id") < 4)
           .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
         val c2 = update(nearest(update(nearest(c0))))
-        nearestCentroid(emb, c2, Vectors.cosine, carryEmbedding = false)
+        nearestCentroid(emb, c2, carryEmbedding = false)
           .groupBy("cent_id")
           .agg(count(lit(1)).as("bucket_size"),
             min(col("vec_id")).as("min_vec"), max(col("vec_id")).as("max_vec"))
@@ -376,7 +381,10 @@ object VectorQueries {
         val emb = Tables.load(s, dir, "embeddings")
         val bits = planes.zipWithIndex.map { case (p, j) =>
           val planeCol = array(p.map(lit): _*)
-          when(Vectors.dot(col("embedding"), planeCol) > 0, lit("1")).otherwise(lit("0"))
+          // graft_dot: fused codegen loop — one interpreted HOF fold per
+          // plane per vector (16×) was the scan's dominant cost
+          when(call_function("graft_dot", col("embedding"), planeCol) > 0,
+            lit("1")).otherwise(lit("0"))
         }
         val sig = emb.select(col("vec_id"), concat(bits: _*).as("sig"))
         val bands = sig.select(col("vec_id"), explode(array(

@@ -35,4 +35,27 @@ class VectorsSpec extends AnyFunSuite {
       .filter(!col("eq")).count()
     assert(mismatches == 0)
   }
+
+  test("graft_cosine/graft_dot accept double arrays, bit-identical to HOFs") {
+    // the q56 shape: float corpus side × double learned-centroid side
+    graft.functions.GraftFunctions.register(spark)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val d = emb.filter(col("vec_id") < 4)
+      .select(expr("transform(embedding, x -> CAST(x AS DOUBLE) * 1.5)").as("e2"))
+    val mismatches = emb.crossJoin(d)
+      .select(
+        (call_function("graft_cosine", col("embedding"), col("e2"))
+          === Vectors.cosine(col("embedding"), col("e2"))).as("ceq"),
+        (call_function("graft_dot", col("embedding"), col("e2"))
+          === Vectors.dot(col("embedding"), col("e2"))).as("deq"))
+      .filter(!col("ceq") || !col("deq")).count()
+    assert(mismatches == 0)
+    // double × double side as well
+    val dd = spark.range(1).select(
+      call_function("graft_dot",
+        expr("array(CAST(0.5 AS DOUBLE), CAST(2.0 AS DOUBLE))"),
+        expr("array(CAST(2.0 AS DOUBLE), CAST(0.25 AS DOUBLE))")))
+      .as[Double].collect().head
+    assert(dd == 1.5)
+  }
 }
