@@ -167,6 +167,11 @@ object GraftFunctions {
     "graft_dot(a, b) - dot product of two float/double vectors",
     "", "", "", "", "", "", "built-in")
 
+  private[functions] val hash32Info = new ExpressionInfo(
+    classOf[Hash32].getName, "", "graft_hash32",
+    "graft_hash32(s) - md5-prefix portable 32-bit hash as bigint",
+    "", "", "", "", "", "", "built-in")
+
   /** Idempotent registration into an existing session (used by
     * SparkEntry.configure so driver-built sessions get the functions). */
   def register(spark: SparkSession): Unit = {
@@ -174,6 +179,8 @@ object GraftFunctions {
       "graft_cosine", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_hash32", exprs => Hash32(exprs(0)), "built-in")
   }
 }
 
@@ -191,5 +198,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot"),
       GraftFunctions.dotInfo,
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_hash32"),
+      GraftFunctions.hash32Info,
+      (exprs: Seq[Expression]) => Hash32(exprs(0))))
   }
 }

@@ -99,9 +99,12 @@ object Text {
   val bandSize: Int = 2
 
   /** Portable 32-bit shingle/token hash: md5 hex prefix as integer.
-    * Oracle form: CAST('0x' || substr(md5(x), 1, 8) AS BIGINT). */
+    * Oracle form: CAST('0x' || substr(md5(x), 1, 8) AS BIGINT).
+    * Runs as the fused [[Hash32]] codegen expression (no hex string
+    * round-trip); registered by GraftFunctions on every engine session
+    * (SparkEntry.configure, Tuned clones, TestSpark). */
   def hash32(c: Column): Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+    call_function("graft_hash32", c)
 
   /** Content-defined chunking, boundary half: 1-based positions of tokens
     * whose portable hash ≡ 0 (mod `mod`) — a chunk ends at each such

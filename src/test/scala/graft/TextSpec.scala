@@ -8,6 +8,21 @@ class TextSpec extends AnyFunSuite {
   import TestSpark.spark
   import spark.implicits._
 
+  test("hash32: fused native expression is bit-identical to the composed md5 form") {
+    // the composed form IS the oracle contract
+    // (CAST('0x'||substr(md5(x),1,8) AS BIGINT)); the Hash32 Expression
+    // must never diverge from it — over real corpus tokens plus edge
+    // strings (empty, unicode, long)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(explode(split(lower(col("text")), " ")).as("s"))
+      .union(Seq("", "é—ü", "x" * 5000, "\\N", "0").toDF("s"))
+    val mismatches = docs.select(
+        Text.hash32(col("s")).as("fused"),
+        conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long").as("composed"))
+      .filter(col("fused") =!= col("composed")).count()
+    assert(mismatches == 0)
+  }
+
   test("tokenCount handles multi-space and padding") {
     val df = Seq("  the  quick   fox ").toDF("text")
     assert(df.select(Text.tokenCount(col("text"))).as[Int].collect().head == 3)
