@@ -908,6 +908,58 @@ object TextQueries {
               |SELECT src AS doc_id, CAST(least(src, min(dst)) AS BIGINT) AS cluster_id
               |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin)),
 
+    // q124 — keep-BEST dedup policy: q76 finds the clusters; this query
+    // chooses the survivor a production pipeline actually keeps — the
+    // LONGEST member (max token count, tie → lower doc_id), not the
+    // lowest id. The argmax is a struct-MAX aggregate over (n_tokens,
+    // -doc_id) — one exchange at cluster grain, the same shape as
+    // nearestCentroid's assignment (no per-cluster sort). Token counts
+    // are scan-local; clustering reuses the LSH candidates + min-label
+    // propagation on a tuned session clone, exactly q76's scale
+    // machinery.
+    QuerySpec("q124_dedup_keep_longest",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val cand = minhashCandidates(docs).persistTracked()
+        val fwd = cand.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        cand.count()
+        val ns = graft.core.Tuned.session(s,
+          "spark.sql.shuffle.partitions" -> "4",
+          "spark.sql.adaptive.enabled" -> "false")
+        val labels = graft.core.Tuned.rehome(
+          graft.ops.ConnectedComponents.minLabelPropagation(
+            graft.core.Tuned.rehome(fwd, ns)), s)
+        val withLen = labels
+          .join(docs.select(col("doc_id").as("node"),
+            Text.tokenCount(col("text")).as("n_tokens")), "node")
+        val best = withLen.groupBy("cid")
+          .agg(max(struct(col("n_tokens"), (-col("node")).as("nid"))).as("m"))
+          .select(col("cid"), (-col("m.nid")).as("keep_id"))
+        withLen.join(best, "cid")
+          .select(col("node").as("doc_id"), col("cid").as("cluster_id"),
+            col("n_tokens"), (col("node") === col("keep_id")).as("keep"))
+          .orderBy("doc_id")
+      },
+      Some(s"""${duckMinhashCtes.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+              |edges AS (SELECT doc_a AS a, doc_b AS b FROM cand
+              |          UNION SELECT doc_b, doc_a FROM cand),
+              |reach AS (SELECT a AS src, b AS dst FROM edges
+              |          UNION
+              |          SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+              |labels AS (SELECT src AS doc_id, CAST(least(src, min(dst)) AS BIGINT) AS cluster_id
+              |  FROM reach GROUP BY src),
+              |lens AS (SELECT doc_id,
+              |    CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS n_tokens
+              |  FROM documents),
+              |j AS (SELECT l.doc_id, l.cluster_id, n.n_tokens
+              |  FROM labels l JOIN lens n USING (doc_id)),
+              |best AS (SELECT cluster_id, doc_id AS keep_id FROM (
+              |  SELECT cluster_id, doc_id, row_number() OVER (PARTITION BY cluster_id
+              |    ORDER BY n_tokens DESC, doc_id) AS rn FROM j) WHERE rn = 1)
+              |SELECT j.doc_id, j.cluster_id, j.n_tokens, j.doc_id = b.keep_id AS keep
+              |FROM j JOIN best b ON j.cluster_id = b.cluster_id
+              |ORDER BY j.doc_id""".stripMargin)),
+
     // q78 — heavy hitters via a count-min sketch, the third sketch family
     // member (HLL=q60, approx-percentile=q66) — and unlike those two it
     // is HASH-compared: the CMS is fully deterministic given the shared
