@@ -1919,5 +1919,289 @@ object TextQueries {
             sum(when(maybeDup(col("fp")), 1L).otherwise(0L)).as("n_maybe_dup"))
           .orderBy("source")
       },
-      None))
+      None),
+
+    // q125 — sequence packing for training: concatenate the token stream
+    // in doc_id order and chunk it into fixed 512-token context windows;
+    // each document gets its start offset, the window its first token
+    // lands in, and whether it straddles a window boundary (the stat a
+    // packing-efficiency report needs). The cumulative offset is the
+    // distributed two-phase PrefixSum (range partition + per-partition
+    // window + broadcast offsets) — NOT a global Window.orderBy, which
+    // funnels the whole corpus through one reducer at 100 TB. All
+    // arithmetic is exact integers; floor-div by 512.0 is exact below
+    // 2^53 total tokens.
+    QuerySpec("q125_seq_pack",
+      (s, dir) => {
+        val toks = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            Text.tokenCount(col("text")).cast("long").as("n_tok"))
+        graft.ops.PrefixSum.cumsum(toks, "doc_id", "n_tok", "cum")
+          .select(col("doc_id"), col("n_tok"),
+            (col("cum") - col("n_tok")).as("start_off"),
+            floor((col("cum") - col("n_tok")) / lit(512.0)).cast("long").as("seq_id"),
+            (floor((col("cum") - 1) / lit(512.0)) >
+              floor((col("cum") - col("n_tok")) / lit(512.0))).as("spans"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+             |  FROM documents),
+             |c AS (SELECT doc_id, n_tok,
+             |    CAST(SUM(n_tok) OVER (ORDER BY doc_id) AS BIGINT) AS cum FROM t)
+             |SELECT doc_id, n_tok, cum - n_tok AS start_off,
+             |  CAST(floor((cum - n_tok) / 512.0) AS BIGINT) AS seq_id,
+             |  floor((cum - 1) / 512.0) > floor((cum - n_tok) / 512.0) AS spans
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // q126 — pointwise mutual information over within-document token
+    // co-occurrence (the collocation signal behind phrase mining and
+    // tokenizer-merge candidates). Pair generation is SCAN-LOCAL: each
+    // doc's sorted-distinct token array emits its own (t1 < t2) pairs via
+    // index HOFs — no doc_id self-join shuffle; the only exchanges are
+    // the pair-grain and token-grain aggregates (vocab-bounded, not
+    // corpus-bounded). The marginal join is term-keyed (vocab may
+    // outgrow broadcast at 100 TB — q108's rule); only the 1-row corpus
+    // count broadcasts. One ln + one round(6) per surviving pair keeps
+    // the doubles bit-identical across engines.
+    QuerySpec("q126_pmi_pairs",
+      (s, dir) => {
+        val dt = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            array_sort(array_distinct(Text.tokens(lower(col("text"))))).as("w"))
+          .persistTracked()
+        val k = size(col("w"))
+        val pairs = when(k >= 2,
+            flatten(transform(sequence(lit(1), k - 1),
+              i => transform(sequence(i + lit(1), k),
+                j => struct(element_at(col("w"), i).as("t1"),
+                  element_at(col("w"), j).as("t2"))))))
+          .otherwise(array().cast("array<struct<t1:string,t2:string>>"))
+        val pc = dt.select(explode(pairs).as("p"))
+          .groupBy(col("p.t1").as("t1"), col("p.t2").as("t2"))
+          .agg(count(lit(1)).as("n_ab"))
+        val mg = dt.select(explode(col("w")).as("t"))
+          .groupBy("t").agg(count(lit(1)).as("df"))
+        val nd = dt.agg(count(lit(1)).cast("double").as("n_docs"))
+        pc.join(mg.select(col("t").as("t1"), col("df").as("df_a")), "t1")
+          .join(mg.select(col("t").as("t2"), col("df").as("df_b")), "t2")
+          .crossJoin(broadcast(nd))
+          .select(col("t1"), col("t2"), col("n_ab"),
+            round(log(col("n_ab") * col("n_docs") / (col("df_a") * col("df_b"))), 6)
+              .as("pmi"))
+          .orderBy(desc("pmi"), col("t1"), col("t2")).limit(30)
+      },
+      Some("""WITH dt AS (SELECT doc_id,
+             |    list_sort(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) AS w
+             |  FROM documents),
+             |tok AS (SELECT doc_id, unnest(w) AS t FROM dt),
+             |pr AS (SELECT a.t AS t1, b.t AS t2 FROM tok a JOIN tok b
+             |       ON a.doc_id = b.doc_id AND a.t < b.t),
+             |pc AS (SELECT t1, t2, count(*) AS n_ab FROM pr GROUP BY t1, t2),
+             |mg AS (SELECT t, count(*) AS df FROM tok GROUP BY t),
+             |nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents)
+             |SELECT t1, t2, n_ab,
+             |  round(ln(n_ab * n_docs / (ma.df * mb.df)), 6) AS pmi
+             |FROM pc JOIN mg ma ON pc.t1 = ma.t JOIN mg mb ON pc.t2 = mb.t, nd
+             |ORDER BY pmi DESC, t1, t2 LIMIT 30""".stripMargin)),
+
+    // q127 — inverted index build (term → document-frequency + capped
+    // posting list), the retrieval-side artifact next to TF-IDF q74 /
+    // BM25 q109. Postings are capped at 10 doc_ids BEFORE collecting
+    // (row_number within term, a term-grain window — parallel across the
+    // vocabulary), so no task ever materializes a common term's
+    // corpus-sized posting list; df is the exact count from a separate
+    // term-grain aggregate. Postings serialize as a comma-joined string —
+    // engine-portable, unlike nested-array hash comparison.
+    QuerySpec("q127_inverted_index",
+      (s, dir) => {
+        val tok = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), explode(Text.tokens(lower(col("text")))).as("t"))
+          .distinct()
+          .persistTracked()
+        val win = Window.partitionBy("t").orderBy("doc_id")
+        val top = tok.withColumn("rn", row_number().over(win))
+          .filter(col("rn") <= 10)
+          .groupBy("t")
+          .agg(concat_ws(",",
+            sort_array(collect_list(col("doc_id"))).cast("array<string>"))
+            .as("postings"))
+        val dfq = tok.groupBy("t").agg(count(lit(1)).as("df"))
+        dfq.join(top, "t")
+          .select(col("t").as("term"), col("df"), col("postings"))
+          .orderBy(desc("df"), col("term"))
+      },
+      Some(s"""WITH tok AS (SELECT DISTINCT doc_id, t FROM
+              |    (SELECT doc_id, unnest($duckTokens) AS t FROM documents)),
+              |top AS (SELECT t, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+              |  FROM (SELECT t, doc_id, row_number() OVER (PARTITION BY t ORDER BY doc_id) AS rn
+              |        FROM tok)
+              |  WHERE rn <= 10 GROUP BY t),
+              |d AS (SELECT t, count(*) AS df FROM tok GROUP BY t)
+              |SELECT t AS term, df, postings FROM d JOIN top USING (t)
+              |ORDER BY df DESC, term""".stripMargin)),
+
+    // q128 — corpus growth / dedup-saturation curve: as ingestion batches
+    // arrive (batch = doc_id DIV 100 here; date or crawl-id in
+    // production), how many NEW unique contents does each batch add, and
+    // what is the cumulative unique count? First-occurrence batch per
+    // fingerprint is a content-keyed min-aggregate (one shuffle); the
+    // cumulative window then runs over BATCH-grain rows — thousands of
+    // batches, not documents, so the single-partition window is the
+    // bounded PrefixSum-offsets shape, not a corpus funnel.
+    QuerySpec("q128_growth_curve",
+      (s, dir) => {
+        val h = Tables.load(s, dir, "documents")
+          .select(floor(col("doc_id") / lit(100.0)).cast("long").as("batch"),
+            Text.fingerprint(col("text")).as("fp"))
+        val firsts = h.groupBy("fp").agg(min(col("batch")).as("batch"))
+        val nu = firsts.groupBy("batch").agg(count(lit(1)).as("new_uniques"))
+        val sz = h.groupBy("batch").agg(count(lit(1)).as("n_docs"))
+        val w = Window.orderBy("batch")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        sz.join(nu, Seq("batch"), "left")
+          .na.fill(0L, Seq("new_uniques"))
+          .withColumn("cum_uniques", sum(col("new_uniques")).over(w))
+          .select(col("batch"), col("n_docs"), col("new_uniques"),
+            col("cum_uniques"),
+            round(lit(1.0) - col("new_uniques") / col("n_docs"), 6).as("dup_rate"))
+          .orderBy("batch")
+      },
+      Some("""WITH h AS (SELECT CAST(floor(doc_id / 100.0) AS BIGINT) AS batch,
+             |    md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+             |  FROM documents),
+             |f AS (SELECT fp, min(batch) AS batch FROM h GROUP BY fp),
+             |nu AS (SELECT batch, count(*) AS new_uniques FROM f GROUP BY batch),
+             |sz AS (SELECT batch, count(*) AS n_docs FROM h GROUP BY batch)
+             |SELECT sz.batch, n_docs, COALESCE(new_uniques, 0) AS new_uniques,
+             |  CAST(SUM(COALESCE(new_uniques, 0)) OVER (ORDER BY sz.batch) AS BIGINT) AS cum_uniques,
+             |  round(1.0 - COALESCE(new_uniques, 0) / n_docs, 6) AS dup_rate
+             |FROM sz LEFT JOIN nu ON sz.batch = nu.batch
+             |ORDER BY sz.batch""".stripMargin)),
+
+    // q129 — out-of-vocabulary rate per document against the corpus's own
+    // top-20 token vocabulary (the coverage check a tokenizer release
+    // runs). The vocab is rank-bounded (top-K by count, tie → token
+    // order) — K rows, honestly broadcast at any corpus size; the
+    // per-doc OOV fraction is then one scan + one doc-grain aggregate.
+    QuerySpec("q129_oov_rate",
+      (s, dir) => {
+        val tok = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), explode(Text.tokens(lower(col("text")))).as("t"))
+          .persistTracked()
+        val vocab = tok.groupBy("t").agg(count(lit(1)).as("c"))
+          .orderBy(desc("c"), col("t")).limit(20)
+          .select(col("t"), lit(1).as("inv"))
+        tok.join(broadcast(vocab), Seq("t"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tok"),
+            sum(when(col("inv").isNull, 1L).otherwise(0L)).as("n_oov"))
+          .select(col("doc_id"), col("n_tok"), col("n_oov"),
+            round(col("n_oov") / col("n_tok"), 6).as("oov_rate"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, unnest($duckTokens) AS t FROM documents),
+              |v AS (SELECT t FROM (SELECT t, count(*) AS c FROM tok GROUP BY t
+              |       ORDER BY c DESC, t LIMIT 20)),
+              |j AS (SELECT doc_id,
+              |    CASE WHEN t IN (SELECT t FROM v) THEN 0 ELSE 1 END AS oov FROM tok)
+              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+              |  CAST(SUM(oov) AS BIGINT) AS n_oov,
+              |  round(SUM(oov) / count(*), 6) AS oov_rate
+              |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // q130 — length-bucketed inference batching: bucket documents by
+    // token-count band (corpus quartile boundaries 32/56/76, fixed so
+    // both engines agree bit-for-bit), then assign contiguous batch ids
+    // of 8 docs WITHIN each bucket in doc_id order. The within-bucket
+    // rank is cum − min(cum) over the (bucket, doc_id) PrefixSum of ones
+    // — per-GROUP distributed ranking with NO per-group single reducer
+    // (a Window.partitionBy(bucket) would put a quarter of the corpus on
+    // one task at this bucket count); the bucket-grain offset table (4
+    // rows) broadcasts back.
+    QuerySpec("q130_length_batches",
+      (s, dir) => {
+        val base = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            Text.tokenCount(col("text")).cast("long").as("n_tok"))
+          .withColumn("bucket",
+            when(col("n_tok") < 32, 0).when(col("n_tok") < 56, 1)
+              .when(col("n_tok") < 76, 2).otherwise(3))
+          .withColumn("__one", lit(1L))
+        val cum = graft.ops.PrefixSum.cumsum(base, Seq("bucket", "doc_id"),
+          "__one", "cum", 32)
+        val offs = cum.groupBy("bucket").agg(min(col("cum")).as("b0"))
+        cum.join(broadcast(offs), "bucket")
+          .select(col("doc_id"), col("n_tok"), col("bucket"),
+            floor((col("cum") - col("b0")) / lit(8.0)).cast("long").as("batch_id"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH b AS (SELECT doc_id,
+             |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+             |  FROM documents),
+             |k AS (SELECT doc_id, n_tok,
+             |    CASE WHEN n_tok < 32 THEN 0 WHEN n_tok < 56 THEN 1
+             |         WHEN n_tok < 76 THEN 2 ELSE 3 END AS bucket FROM b)
+             |SELECT doc_id, n_tok, bucket,
+             |  CAST(floor((row_number() OVER (PARTITION BY bucket ORDER BY doc_id) - 1) / 8.0) AS BIGINT) AS batch_id
+             |FROM k ORDER BY doc_id""".stripMargin)),
+
+    // q131 — PageRank over the near-duplicate candidate graph (rank the
+    // canonical doc inside each duplicate neighborhood), 3 fixed-point
+    // iterations in exact INTEGER arithmetic: ranks scaled by 1e12,
+    // contributions and damping use integral DIV, so both engines
+    // produce bit-identical BIGINTs — no float summation-order hazard in
+    // an iterative aggregate. Each iteration is one edges×ranks shuffle
+    // join plus one dst-grain sum; a production-depth loop would add
+    // per-round lineage truncation like ConnectedComponents, but 3
+    // unrolled rounds keep the plan linear. Dangling nodes: none by
+    // construction — edges are symmetrized, so every node both sends and
+    // receives.
+    QuerySpec("q131_pagerank",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val cand = minhashCandidates(docs).persistTracked()
+        val edges = cand.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          .union(cand.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+          .persistTracked()
+        val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        val n = deg.count()
+        var state = deg.select(col("src").as("node"), col("deg"),
+          lit(1000000000000L / n).as("r"))
+        for (_ <- 1 to 3) {
+          val recv = edges
+            .join(state.select(col("node").as("src"), expr("r div deg").as("c")),
+              "src")
+            .groupBy(col("dst").as("node"))
+            .agg(sum(col("c")).as("inr"))
+          state = state.drop("r").join(recv, "node")
+            .select(col("node"), col("deg"),
+              (lit(150000000000L / n) + expr("(85 * inr) div 100")).as("r"))
+        }
+        state.select(col("node").as("doc_id"), col("r").as("pr"))
+          .orderBy("doc_id")
+      },
+      Some(s"""$duckMinhashCtes,
+              |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+              |          UNION ALL SELECT doc_b, doc_a FROM cand),
+              |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+              |n AS (SELECT count(*) AS n FROM deg),
+              |r0 AS (SELECT src AS node, deg,
+              |    1000000000000 // (SELECT n FROM n) AS r FROM deg),
+              |c1 AS (SELECT e.dst AS node, CAST(SUM(r0.r // r0.deg) AS BIGINT) AS inr
+              |  FROM edges e JOIN r0 ON e.src = r0.node GROUP BY e.dst),
+              |r1 AS (SELECT d.src AS node, d.deg,
+              |    CAST(150000000000 // (SELECT n FROM n) + (85 * inr) // 100 AS BIGINT) AS r
+              |  FROM deg d JOIN c1 ON d.src = c1.node),
+              |c2 AS (SELECT e.dst AS node, CAST(SUM(r1.r // r1.deg) AS BIGINT) AS inr
+              |  FROM edges e JOIN r1 ON e.src = r1.node GROUP BY e.dst),
+              |r2 AS (SELECT d.src AS node, d.deg,
+              |    CAST(150000000000 // (SELECT n FROM n) + (85 * inr) // 100 AS BIGINT) AS r
+              |  FROM deg d JOIN c2 ON d.src = c2.node),
+              |c3 AS (SELECT e.dst AS node, CAST(SUM(r2.r // r2.deg) AS BIGINT) AS inr
+              |  FROM edges e JOIN r2 ON e.src = r2.node GROUP BY e.dst),
+              |r3 AS (SELECT d.src AS node, d.deg,
+              |    CAST(150000000000 // (SELECT n FROM n) + (85 * inr) // 100 AS BIGINT) AS r
+              |  FROM deg d JOIN c3 ON d.src = c3.node)
+              |SELECT node AS doc_id, r AS pr FROM r3 ORDER BY doc_id""".stripMargin)))
 }

@@ -1,0 +1,102 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariant specs for the round-5 additions q125–q131; exact-value
+  * equivalence is covered by the DuckDB oracle gate (all seven are
+  * hash-compared). These pin the semantic contracts the oracle can't
+  * express: packing geometry, cap bounds, monotonicity, conservation. */
+class PipelineOpsSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private val sf = "/root/testdata/sf0.001"
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("q125_seq_pack: offsets are a gapless token-stream layout") {
+    val rows = run("q125_seq_pack").collect()
+    assert(rows.nonEmpty)
+    // doc_id order = output order; each start_off is the previous end
+    var expectedOff = 0L
+    rows.foreach { r =>
+      val (nTok, off) = (r.getAs[Long]("n_tok"), r.getAs[Long]("start_off"))
+      assert(off == expectedOff, s"doc ${r.getAs[Long]("doc_id")}: gap")
+      assert(r.getAs[Long]("seq_id") == off / 512)
+      // spans ⇔ the doc's last token falls in a later window
+      assert(r.getAs[Boolean]("spans") == ((off + nTok - 1) / 512 > off / 512))
+      expectedOff = off + nTok
+    }
+  }
+
+  test("q126_pmi_pairs: pairs are ordered, counts bounded by marginals") {
+    val rows = run("q126_pmi_pairs").collect()
+    assert(rows.nonEmpty && rows.length <= 30)
+    rows.foreach { r =>
+      assert(r.getAs[String]("t1") < r.getAs[String]("t2"))
+      assert(!r.getAs[Double]("pmi").isNaN)
+    }
+    // co-occurrence can never exceed either marginal df
+    val marg = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("explode(array_distinct(split(trim(lower(text)), '\\\\s+'))) AS t")
+      .groupBy("t").count().collect()
+      .map(r => r.getAs[String]("t") -> r.getAs[Long]("count")).toMap
+    rows.foreach { r =>
+      val bound = math.min(marg(r.getAs[String]("t1")), marg(r.getAs[String]("t2")))
+      assert(r.getAs[Long]("n_ab") <= bound)
+    }
+  }
+
+  test("q127_inverted_index: postings capped at 10, sorted, df consistent") {
+    val rows = run("q127_inverted_index").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ids = r.getAs[String]("postings").split(",").map(_.toLong).toSeq
+      assert(ids.length == math.min(r.getAs[Long]("df"), 10L))
+      assert(ids == ids.sorted, "postings must list the 10 SMALLEST doc_ids")
+    }
+  }
+
+  test("q128_growth_curve: cumulative uniques reconcile with exact distinct") {
+    val rows = run("q128_growth_curve").collect()
+    assert(rows.nonEmpty)
+    val cums = rows.map(_.getAs[Long]("cum_uniques")).toSeq
+    assert(cums == cums.sorted, "cumulative count must be non-decreasing")
+    val totalUnique = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("md5(lower(regexp_replace(text, '\\\\s+', ' '))) AS fp")
+      .distinct().count()
+    assert(cums.last == totalUnique)
+    assert(rows.map(_.getAs[Long]("new_uniques")).sum == totalUnique)
+  }
+
+  test("q129_oov_rate: oov counts bounded by token counts") {
+    val rows = run("q129_oov_rate").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, oov) = (r.getAs[Long]("n_tok"), r.getAs[Long]("n_oov"))
+      assert(oov >= 0 && oov <= n)
+      val rate = r.getAs[Double]("oov_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+  }
+
+  test("q130_length_batches: batches hold ≤8 docs and are contiguous per bucket") {
+    val rows = run("q130_length_batches").collect()
+    assert(rows.length ==
+      spark.read.parquet(s"$sf/documents.parquet").count())
+    rows.groupBy(r => (r.getAs[Int]("bucket"), r.getAs[Long]("batch_id")))
+      .foreach { case (_, rs) => assert(rs.length <= 8) }
+    rows.groupBy(_.getAs[Int]("bucket")).foreach { case (_, rs) =>
+      val ids = rs.map(_.getAs[Long]("batch_id")).distinct.sorted.toSeq
+      assert(ids == (0L until ids.length).toSeq, "batch ids must be gapless")
+    }
+  }
+
+  test("q131_pagerank: integer ranks conserve mass and respect the floor") {
+    val rows = run("q131_pagerank").collect()
+    assert(rows.nonEmpty)
+    val n = rows.length
+    val base = 150000000000L / n
+    rows.foreach(r => assert(r.getAs[Long]("pr") >= base))
+    // integer truncation only LOSES mass: total stays under the 1e12 scale
+    assert(rows.map(_.getAs[Long]("pr")).sum <= 1000000000000L)
+  }
+}
