@@ -753,5 +753,89 @@ object RefQueries {
              |    ELSE 'unchanged' END AS change_type
              |  FROM old FULL OUTER JOIN neu USING (o_orderkey))
              |SELECT change_type, count(*) AS n FROM d
-             |GROUP BY change_type ORDER BY change_type""".stripMargin)))
+             |GROUP BY change_type ORDER BY change_type""".stripMargin)),
+
+    // q136 — TPC-H Q3 shape (shipping-priority): the classic
+    // filter-heavy 3-way fact join with a top-k by aggregated revenue.
+    // Both date predicates and the segment filter push into their
+    // parquet scans BEFORE the joins; the aggregate runs at order grain;
+    // the top-10 is a TakeOrdered, not a global sort. Revenue goes
+    // through the shared DECIMAL(18,4) stabilization so the sum is
+    // summation-order-independent (Stable.dsum — the q07 rule).
+    // l_orderkey added to the reference ordering as a determinism
+    // tie-break.
+    QuerySpec("q136_tpch_q3",
+      (s, dir) => {
+        val cust = t(s, dir, "customer")
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select("c_custkey")
+        val ord = t(s, dir, "orders")
+          .filter(col("o_orderdate") < lit("1995-09-01").cast("timestamp"))
+          .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+        val li = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") > lit("1995-09-01").cast("timestamp"))
+          .select("l_orderkey", "l_extendedprice", "l_discount")
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+          .agg(revenue.as("revenue"))
+          .select(col("l_orderkey"), col("revenue"), col("o_orderdate"),
+            col("o_orderpriority"))
+          .orderBy(desc("revenue"), col("o_orderdate"), col("l_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT l_orderkey,
+             |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+             |  o_orderdate, o_orderpriority
+             |FROM customer
+             |JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON l_orderkey = o_orderkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |  AND o_orderdate < TIMESTAMP '1995-09-01'
+             |  AND l_shipdate > TIMESTAMP '1995-09-01'
+             |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+             |ORDER BY revenue DESC, o_orderdate, l_orderkey
+             |LIMIT 10""".stripMargin)),
+
+    // q137 — TPC-H Q5 shape (local-supplier volume): the 6-way join
+    // whose twist is the NON-FK equality c_nationkey = s_nationkey
+    // (customer and supplier must share a nation). nation/region are
+    // broadcast (tiny dims); the three fact-side joins shuffle on their
+    // keys; the year window prunes the orders scan. Same decimal-stable
+    // revenue; n_name tiebreak for determinism.
+    QuerySpec("q137_tpch_q5",
+      (s, dir) => {
+        val ord = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+          .select("o_orderkey", "o_custkey")
+        val li = t(s, dir, "lineitem")
+          .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+        val supp = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+        val nat = t(s, dir, "nation")
+        val reg = t(s, dir, "region").filter(col("r_name") === "ASIA")
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .join(supp, col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("n_name")
+          .agg(revenue.as("revenue"))
+          .orderBy(desc("revenue"), col("n_name"))
+      },
+      Some("""SELECT n_name,
+             |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+             |FROM customer
+             |JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON l_orderkey = o_orderkey
+             |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE r_name = 'ASIA'
+             |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+             |  AND o_orderdate < TIMESTAMP '1997-01-01'
+             |GROUP BY n_name
+             |ORDER BY revenue DESC, n_name""".stripMargin)))
 }

@@ -2203,5 +2203,120 @@ object TextQueries {
               |r3 AS (SELECT d.src AS node, d.deg,
               |    CAST(150000000000 // (SELECT n FROM n) + (85 * inr) // 100 AS BIGINT) AS r
               |  FROM deg d JOIN c3 ON d.src = c3.node)
-              |SELECT node AS doc_id, r AS pr FROM r3 ORDER BY doc_id""".stripMargin)))
+              |SELECT node AS doc_id, r AS pr FROM r3 ORDER BY doc_id""".stripMargin)),
+
+    // q133 — ADAPTIVE quality filtering: instead of a fixed length
+    // cutoff, each language keeps documents at or above its own 25th
+    // percentile of token count (per-stratum thresholds are how real
+    // corpus filters avoid crushing low-resource languages). The
+    // threshold table is language-grain — bounded, honestly broadcast;
+    // exact `percentile` ≡ DuckDB `quantile_cont` (the q43 parity), so
+    // the filter decision hash-matches. At 100 TB the exact-percentile
+    // buffer would yield to approx_percentile per the q66 note — exact
+    // keeps the oracle comparable here.
+    QuerySpec("q133_adaptive_filter",
+      (s, dir) => {
+        val base = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            Text.tokenCount(col("text")).cast("long").as("n_tok"))
+          .persistTracked()
+        val thr = base.groupBy("lang")
+          .agg(round(expr("percentile(n_tok, 0.25)"), 6).as("thr"))
+        base.join(broadcast(thr), "lang")
+          .groupBy("lang", "thr")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("n_tok") >= col("thr"), 1L).otherwise(0L)).as("n_kept"))
+          .select(col("lang"), col("thr"), col("n_docs"), col("n_kept"),
+            round(col("n_kept") / col("n_docs"), 6).as("keep_rate"))
+          .orderBy("lang")
+      },
+      Some("""WITH b AS (SELECT doc_id, lang,
+             |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+             |  FROM documents),
+             |t AS (SELECT lang, round(quantile_cont(n_tok, 0.25), 6) AS thr
+             |      FROM b GROUP BY lang)
+             |SELECT b.lang, thr, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(SUM(CASE WHEN n_tok >= thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             |  round(SUM(CASE WHEN n_tok >= thr THEN 1 ELSE 0 END) / count(*), 6) AS keep_rate
+             |FROM b JOIN t ON b.lang = t.lang
+             |GROUP BY b.lang, thr ORDER BY b.lang""".stripMargin)),
+
+    // q134 — Zipf rank-frequency slope of the corpus vocabulary (a
+    // one-number distribution-shift fingerprint: natural text sits near
+    // −1; template/boilerplate corpora flatten). Ranks come from the
+    // (−count, token) PrefixSum of ones — vocabulary-scale dense ranking
+    // with no single-reducer window (the q88 rule). The least-squares
+    // slope is computed from DECIMAL sums of per-term rounded log points,
+    // so the five aggregates are summation-order-independent; the final
+    // slope is one IEEE division.
+    QuerySpec("q134_zipf_slope",
+      (s, dir) => {
+        val vocab = Tables.load(s, dir, "documents")
+          .select(explode(Text.tokens(lower(col("text")))).as("t"))
+          .groupBy("t").agg(count(lit(1)).as("cnt"))
+          .withColumn("negc", -col("cnt"))
+          .withColumn("__one", lit(1L))
+        val ranked = graft.ops.PrefixSum.cumsum(vocab, Seq("negc", "t"),
+          "__one", "rnk", 32)
+        val xy = ranked.select(
+          round(log(col("rnk").cast("double")), 6).cast("decimal(12,6)").as("x"),
+          round(log(col("cnt").cast("double")), 6).cast("decimal(12,6)").as("y"))
+        xy.agg(count(lit(1)).as("n"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"))
+          .select(col("n").as("n_terms"),
+            round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+              .as("zipf_slope"))
+      },
+      Some(s"""WITH tok AS (SELECT unnest($duckTokens) AS t FROM documents),
+              |v AS (SELECT t, count(*) AS cnt FROM tok GROUP BY t),
+              |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, t) AS rnk FROM v),
+              |xy AS (SELECT CAST(round(ln(CAST(rnk AS DOUBLE)), 6) AS DECIMAL(12,6)) AS x,
+              |              CAST(round(ln(CAST(cnt AS DOUBLE)), 6) AS DECIMAL(12,6)) AS y FROM r),
+              |s AS (SELECT CAST(count(*) AS BIGINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+              |             SUM(x*y) AS sxy, SUM(x*x) AS sxx FROM xy)
+              |SELECT n AS n_terms,
+              |  round(CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE), 6) AS zipf_slope
+              |FROM s""".stripMargin)),
+
+    // q135 — cross-document boilerplate detection (the C4/RefinedWeb
+    // rule: content repeated across MANY documents is template, not
+    // prose). A 3-gram's document frequency comes from a distinct
+    // (doc, gram) aggregate; grams hitting ≥5 distinct docs are
+    // boilerplate, and each document reports what fraction of its gram
+    // stream is templated. Gram generation is scan-local (q107's HOF
+    // shape); both exchanges are gram-keyed — the boilerplate set is NOT
+    // broadcast (at corpus scale it grows with the template population,
+    // q108's vocab rule).
+    QuerySpec("q135_boilerplate",
+      (s, dir) => {
+        val toks = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), Text.tokens(lower(col("text"))).as("t"))
+        val grams = toks.select(col("doc_id"),
+            explode(Text.shinglesFromTokens(col("t"), 3)).as("g"))
+          .persistTracked()
+        val boiler = grams.select(col("doc_id"), col("g")).distinct()
+          .groupBy("g").agg(count(lit(1)).as("df"))
+          .filter(col("df") >= 5).select(col("g"), lit(1).as("b"))
+        grams.join(boiler, Seq("g"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("b").isNotNull, 1L).otherwise(0L)).as("n_boiler"))
+          .select(col("doc_id"), col("n_grams"), col("n_boiler"),
+            round(col("n_boiler") / col("n_grams"), 6).as("boiler_ratio"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tk AS (SELECT doc_id,
+             |    string_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
+             |g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 2),
+             |    i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS g FROM tk),
+             |d AS (SELECT g, count(*) AS df
+             |      FROM (SELECT DISTINCT doc_id, g FROM g) GROUP BY g),
+             |b AS (SELECT g FROM d WHERE df >= 5)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+             |  CAST(SUM(CASE WHEN g.g IN (SELECT g FROM b) THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+             |  round(SUM(CASE WHEN g.g IN (SELECT g FROM b) THEN 1 ELSE 0 END) / count(*), 6) AS boiler_ratio
+             |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin)))
 }

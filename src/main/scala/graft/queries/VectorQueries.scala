@@ -740,5 +740,47 @@ object VectorQueries {
              |FROM (SELECT * FROM r WHERE sz > 1) a
              |JOIN r n ON n.label = (a.label + 1) % 10 AND n.shard = a.shard
              |  AND n.r = ((a.r - 1) % n.sz) + 1
-             |ORDER BY a.vec_id""".stripMargin)))
+             |ORDER BY a.vec_id""".stripMargin)),
+
+    // q132 — FILTERED vector search (the production ANN shape: "nearest
+    // neighbors among docs passing a metadata predicate"). The corpus
+    // side joins embeddings to document metadata and filters BEFORE
+    // scoring — the lang/n_chars predicates push into the documents
+    // parquet scan, so the expensive cosine pass runs only over
+    // survivors (pre-filtering, not post-filtering which under-fills
+    // top-k). Same broadcast-query-batch + one-corpus-pass shape as
+    // q31; the metadata join is id-keyed, co-partitioned with the
+    // embedding scan at scale.
+    QuerySpec("q132_filtered_ann",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val meta = Tables.load(s, dir, "documents")
+          .filter(col("lang") === "en" && col("n_chars") >= 150)
+          .select(col("doc_id").as("vec_id"))
+        val corpus = emb.join(meta, "vec_id")
+        val q = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        val scored = corpus.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"),
+            round(call_function("graft_cosine", col("q_vec"), col("embedding")), 6)
+              .as("cos_sim"))
+        val w = Window.partitionBy("q_id")
+          .orderBy(col("cos_sim").desc, col("vec_id"))
+        scored.withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 5)
+          .select("q_id", "vec_id", "cos_sim", "rnk")
+          .orderBy("q_id", "rnk")
+      },
+      Some(s"""WITH f AS (SELECT e.vec_id, e.embedding FROM embeddings e
+              |  JOIN documents d ON e.vec_id = d.doc_id
+              |  WHERE d.lang = 'en' AND d.n_chars >= 150),
+              |q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 8),
+              |scored AS (
+              |  SELECT q.q_id, f.vec_id,
+              |    round(${duckCos("q.q_vec", "f.embedding")}, 6) AS cos_sim
+              |  FROM f, q WHERE f.vec_id <> q.q_id),
+              |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rnk FROM scored)
+              |SELECT q_id, vec_id, cos_sim, rnk FROM ranked WHERE rnk <= 5
+              |ORDER BY q_id, rnk""".stripMargin)))
 }

@@ -90,6 +90,62 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q132_filtered_ann: results come only from the filtered corpus") {
+    val rows = run("q132_filtered_ann").collect()
+    assert(rows.nonEmpty)
+    val allowed = spark.read.parquet(s"$sf/documents.parquet")
+      .filter("lang = 'en' AND n_chars >= 150")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    rows.foreach(r => assert(allowed(r.getAs[Long]("vec_id"))))
+    // per query: ranks 1..k, similarity non-increasing
+    rows.groupBy(_.getAs[Long]("q_id")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rnk"))
+      assert(sorted.map(_.getAs[Int]("rnk")).toSeq == (1 to sorted.length))
+      val sims = sorted.map(_.getAs[Double]("cos_sim")).toSeq
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("q133_adaptive_filter: p25 threshold keeps at least 75% per language") {
+    val rows = run("q133_adaptive_filter").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, kept) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_kept"))
+      assert(kept <= n)
+      // the interpolated p25 sits at index (n−1)/4, so at most
+      // floor((n−1)/4)+1 values can fall strictly below it
+      assert(kept >= n - (n - 1) / 4 - 1, s"lang ${r.getAs[String]("lang")}: $kept/$n")
+    }
+  }
+
+  test("q134_zipf_slope: slope is negative and finite") {
+    val rows = run("q134_zipf_slope").collect()
+    assert(rows.length == 1)
+    val slope = rows.head.getAs[Double]("zipf_slope")
+    assert(!slope.isNaN && slope < 0.0, s"slope=$slope")
+  }
+
+  test("q135_boilerplate: templated fraction bounded and df threshold honored") {
+    val rows = run("q135_boilerplate").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_boiler") <= r.getAs[Long]("n_grams"))
+      val ratio = r.getAs[Double]("boiler_ratio")
+      assert(ratio >= 0.0 && ratio <= 1.0)
+    }
+  }
+
+  test("q136/q137 TPC-H shapes: bounded, revenue-ordered, non-empty") {
+    val q3 = run("q136_tpch_q3").collect()
+    assert(q3.nonEmpty && q3.length <= 10)
+    val rev3 = q3.map(_.getAs[Double]("revenue")).toSeq
+    assert(rev3.zip(rev3.tail).forall { case (a, b) => a >= b })
+    val q5 = run("q137_tpch_q5").collect()
+    assert(q5.nonEmpty)
+    val rev5 = q5.map(_.getAs[Double]("revenue")).toSeq
+    assert(rev5.zip(rev5.tail).forall { case (a, b) => a >= b })
+  }
+
   test("q131_pagerank: integer ranks conserve mass and respect the floor") {
     val rows = run("q131_pagerank").collect()
     assert(rows.nonEmpty)
