@@ -2318,5 +2318,69 @@ object TextQueries {
              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
              |  CAST(SUM(CASE WHEN g.g IN (SELECT g FROM b) THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
              |  round(SUM(CASE WHEN g.g IN (SELECT g FROM b) THEN 1 ELSE 0 END) / count(*), 6) AS boiler_ratio
-             |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin)))
+             |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // q138 — train/val/test LEAKAGE audit: near-duplicate pairs that
+    // straddle a split boundary (the q45 hash-split) are evaluation
+    // contamination — a val/test doc whose near-twin sits in train. The
+    // pair space is the minhash-LSH candidate set (bucketed, never
+    // all-pairs); split labels join on each endpoint id — two id-keyed
+    // shuffle joins against a narrow (id, split) projection. Cross-split
+    // survivors are exactly the docs a release pipeline must quarantine.
+    QuerySpec("q138_split_leakage",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val bucket = Text.hash32(col("text")) % 100
+        val split = when(bucket < 80, "train").when(bucket < 90, "val")
+          .otherwise("test")
+        val sp = docs.select(col("doc_id"), split.as("split"))
+        minhashCandidates(docs)
+          .join(sp.select(col("doc_id").as("doc_a"), col("split").as("split_a")),
+            "doc_a")
+          .join(sp.select(col("doc_id").as("doc_b"), col("split").as("split_b")),
+            "doc_b")
+          .filter(col("split_a") =!= col("split_b"))
+          .select("doc_a", "doc_b", "split_a", "split_b")
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""$duckMinhashCtes,
+              |sp AS (SELECT doc_id,
+              |  CASE WHEN CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % 100 < 80 THEN 'train'
+              |       WHEN CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % 100 < 90 THEN 'val'
+              |       ELSE 'test' END AS split
+              |  FROM documents)
+              |SELECT doc_a, doc_b, a.split AS split_a, b.split AS split_b
+              |FROM cand JOIN sp a ON doc_a = a.doc_id JOIN sp b ON doc_b = b.doc_id
+              |WHERE a.split <> b.split
+              |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // q139 — repeat-factor mixture expansion (the "epochs per source"
+    // knob): undersized sources repeat up to 4× toward the largest
+    // source's count — ceil division in exact integers, the multiplier
+    // the q123 temperature quota would hand to the loader. The expansion
+    // itself is a scan-local explode of sequence(1, rep) — no shuffle
+    // until the copy-grain count; the per-source factor table is
+    // source-grain, honestly broadcast.
+    QuerySpec("q139_repeat_mixture",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val cnt = docs.groupBy("source").agg(count(lit(1)).as("n"))
+        val m = cnt.agg(max(col("n")).as("m"))
+        val rep = cnt.crossJoin(broadcast(m))
+          .select(col("source"),
+            least(lit(4L), expr("(m + n - 1) div n")).as("rep"))
+        docs.select("doc_id", "source")
+          .join(broadcast(rep), "source")
+          .select(col("source"), explode(sequence(lit(1L), col("rep"))).as("copy"))
+          .groupBy("source", "copy").agg(count(lit(1)).as("n_docs"))
+          .orderBy("source", "copy")
+      },
+      Some("""WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+             |m AS (SELECT max(n) AS m FROM c),
+             |r AS (SELECT source, least(4, (m + n - 1) // n) AS rep FROM c, m),
+             |e AS (SELECT d.source, t.copy
+             |  FROM documents d JOIN r ON d.source = r.source,
+             |  UNNEST(generate_series(1, rep)) AS t(copy))
+             |SELECT source, copy, count(*) AS n_docs FROM e
+             |GROUP BY source, copy ORDER BY source, copy""".stripMargin)))
 }

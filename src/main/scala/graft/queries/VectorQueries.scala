@@ -782,5 +782,40 @@ object VectorQueries {
               |  FROM f, q WHERE f.vec_id <> q.q_id),
               |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rnk FROM scored)
               |SELECT q_id, vec_id, cos_sim, rnk FROM ranked WHERE rnk <= 5
+              |ORDER BY q_id, rnk""".stripMargin)),
+
+    // q140 — hard-negative mining for contrastive training: for each
+    // anchor, the 3 most-SIMILAR vectors carrying a DIFFERENT label (the
+    // negatives that actually move a contrastive loss — q122's hash-ring
+    // negatives are cheap but random; these are the expensive informative
+    // ones). Same broadcast-anchor one-corpus-pass shape as q31; the
+    // label inequality filters before ranking, so top-k can't be starved
+    // by same-label neighbors.
+    QuerySpec("q140_hard_negatives",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+            col("embedding").as("q_vec"))
+        val scored = emb.crossJoin(broadcast(q))
+          .filter(col("label") =!= col("q_label"))
+          .select(col("q_id"), col("vec_id"),
+            round(call_function("graft_cosine", col("q_vec"), col("embedding")), 6)
+              .as("cos_sim"))
+        val w = Window.partitionBy("q_id")
+          .orderBy(col("cos_sim").desc, col("vec_id"))
+        scored.withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select("q_id", "vec_id", "cos_sim", "rnk")
+          .orderBy("q_id", "rnk")
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS q_id, label AS q_label, embedding AS q_vec
+              |          FROM embeddings WHERE vec_id < 16),
+              |scored AS (
+              |  SELECT q.q_id, e.vec_id,
+              |    round(${duckCos("q.q_vec", "e.embedding")}, 6) AS cos_sim
+              |  FROM embeddings e, q WHERE e.label <> q.q_label),
+              |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rnk FROM scored)
+              |SELECT q_id, vec_id, cos_sim, rnk FROM ranked WHERE rnk <= 3
               |ORDER BY q_id, rnk""".stripMargin)))
 }

@@ -146,6 +146,41 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rev5.zip(rev5.tail).forall { case (a, b) => a >= b })
   }
 
+  test("q138_split_leakage: every reported pair crosses a split boundary") {
+    val rows = run("q138_split_leakage").collect()
+    rows.foreach(r =>
+      assert(r.getAs[String]("split_a") != r.getAs[String]("split_b")))
+  }
+
+  test("q139_repeat_mixture: every copy carries the full source, max 4 epochs") {
+    val rows = run("q139_repeat_mixture").collect()
+    assert(rows.nonEmpty)
+    val bySource = rows.groupBy(_.getAs[String]("source"))
+    val counts = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy("source").count().collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("count")).toMap
+    bySource.foreach { case (src, rs) =>
+      assert(rs.length <= 4, s"$src: more than 4 epochs")
+      rs.foreach(r => assert(r.getAs[Long]("n_docs") == counts(src)))
+      val copies = rs.map(_.getAs[Long]("copy")).sorted.toSeq
+      assert(copies == (1L to copies.length).toSeq)
+    }
+    // the largest source is never repeated
+    val largest = counts.maxBy(_._2)._1
+    assert(bySource(largest).length == 1)
+  }
+
+  test("q140_hard_negatives: negatives always carry a different label") {
+    val rows = run("q140_hard_negatives").collect()
+    assert(rows.nonEmpty)
+    val labels = spark.read.parquet(s"$sf/embeddings.parquet").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    rows.foreach { r =>
+      assert(labels(r.getAs[Long]("vec_id")) != labels(r.getAs[Long]("q_id")))
+      assert(r.getAs[Int]("rnk") >= 1 && r.getAs[Int]("rnk") <= 3)
+    }
+  }
+
   test("q131_pagerank: integer ranks conserve mass and respect the floor") {
     val rows = run("q131_pagerank").collect()
     assert(rows.nonEmpty)
