@@ -366,7 +366,93 @@ object StreamQueries {
           .orderBy("event_type")
       },
       Some("""SELECT event_type, count(*) AS n_events
-             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)))
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // q141 — watermarked stream-stream LEFT OUTER interval join (q73 is
+    // the inner form): clicks with no purchase inside the 30-min window
+    // must still be emitted, null-padded — which only happens when the
+    // join's watermark (the MIN of both sides') passes their eviction
+    // bound. A bounded AvailableNow backfill would end with every
+    // unmatched row still in state and silently drop them, so the relay
+    // appends a second, later-mtime file carrying one far-future click
+    // and one far-future purchase sentinel (max ts + 30 days): the
+    // second micro-batch advances both watermarks past every real event
+    // and the engine's no-new-data eviction batch flushes the outer
+    // rows. Sentinels themselves never surface — the click sentinel is
+    // never passed by the watermark and the purchase sentinel is an
+    // unmatched RIGHT row — but the negative-id filter pins that
+    // structurally. purchase_id is coalesced to -1 on both engines:
+    // NULL ordering differs between Spark (first) and DuckDB (last),
+    // and the gate compares rows in order.
+    QuerySpec("q141_stream_left_outer",
+      (s0, dir) => {
+        import org.apache.spark.sql.SaveMode
+        val s = stateSession(s0)
+        val fp = eventsFingerprint(dir)
+        outerRelay.keys.filter(k => k._1 == dir && k._2 != fp)
+          .foreach(k => outerRelay.remove(k).foreach(deleteRecursively))
+        val tmp = outerRelay.getOrElseUpdate((dir, fp), {
+          val t = Files.createTempDirectory("graft_outer_").toString
+          val ev = Tables.load(s, dir, "events")
+            .select("event_id", "ts", "user_id", "event_type")
+          ev.coalesce(1).write.mode(SaveMode.Overwrite).parquet(t)
+          val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+          val sentTs = new java.sql.Timestamp(maxTs.getTime + 30L * 86400 * 1000)
+          import s.implicits._
+          Seq((-1L, sentTs, -1L, "click"), (-2L, sentTs, -2L, "purchase"))
+            .toDF("event_id", "ts", "user_id", "event_type")
+            .coalesce(1).write.mode(SaveMode.Append).parquet(t)
+          // the file source orders new files by modification time: pin
+          // the sentinel file strictly AFTER the backfill file so it
+          // forms the second micro-batch at any filesystem timestamp
+          // granularity
+          val files = java.nio.file.Files.list(Paths.get(t))
+          try {
+            val parts = files.iterator().asScala
+              .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+              .sortBy(p => java.nio.file.Files.getLastModifiedTime(p).toMillis)
+            java.nio.file.Files.setLastModifiedTime(parts.last,
+              java.nio.file.attribute.FileTime.fromMillis(
+                java.nio.file.Files.getLastModifiedTime(parts.head).toMillis + 60000))
+          } finally files.close()
+          t
+        })
+        val schema = s.read.parquet(tmp).schema
+        val src = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(tmp)
+        val clicks = src.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("click_ts"),
+            col("event_id").as("click_id"))
+          .withWatermark("click_ts", "1 hour")
+        val purchases = src.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+            col("event_id").as("purchase_id"))
+          .withWatermark("purchase_ts", "1 hour")
+        val joined = clicks.join(purchases,
+          expr("""user_id = p_user AND
+                  purchase_ts >= click_ts AND
+                  purchase_ts <= click_ts + interval 30 minutes"""),
+          "left_outer")
+        runAppend(joined)
+          .filter(col("user_id") >= 0)
+          .select(col("user_id"), col("click_id"),
+            coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"))
+          .orderBy("user_id", "click_id", "purchase_id")
+      },
+      Some("""SELECT a.user_id AS user_id, a.event_id AS click_id,
+             |  COALESCE(b.event_id, -1) AS purchase_id
+             |FROM (SELECT * FROM events WHERE event_type = 'click') a
+             |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+             |  ON a.user_id = b.user_id
+             |  AND CAST(b.ts AS TIMESTAMP) >= CAST(a.ts AS TIMESTAMP)
+             |  AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
+             |ORDER BY 1, 2, 3""".stripMargin)))
+
+  /** Memo for q141's 2-file relay (backfill + watermark-advancing
+    * sentinel file), keyed like [[relaidEvents]]. */
+  private val outerRelay =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+  sys.addShutdownHook(outerRelay.values.foreach(deleteRecursively))
 
   /** Append-mode variant of [[runComplete]] for flatMapGroupsWithState. */
   private def runAppend(df: DataFrame): DataFrame = {

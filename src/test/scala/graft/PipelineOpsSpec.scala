@@ -181,6 +181,18 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q141_stream_left_outer: watermark eviction emits the unmatched side") {
+    val rows = run("q141_stream_left_outer").collect()
+    assert(rows.nonEmpty)
+    val (unmatched, matched) =
+      rows.partition(_.getAs[Long]("purchase_id") == -1L)
+    // if eviction never fired the unmatched side would be silently lost;
+    // if the join degenerated everything would be unmatched
+    assert(unmatched.nonEmpty, "no null-padded rows: outer state was dropped")
+    assert(matched.nonEmpty, "no matched rows: join condition broken")
+    rows.foreach(r => assert(r.getAs[Long]("user_id") >= 0, "sentinel leaked"))
+  }
+
   test("q131_pagerank: integer ranks conserve mass and respect the floor") {
     val rows = run("q131_pagerank").collect()
     assert(rows.nonEmpty)
