@@ -2169,6 +2169,11 @@ object TextQueries {
         var state = deg.select(col("src").as("node"), col("deg"),
           lit(1000000000000L / n).as("r"))
         for (_ <- 1 to 3) {
+          // each round references the previous state TWICE (contribution
+          // select + carry join); persist flattens what would otherwise
+          // re-execute the whole prior chain 2^rounds times (the CC
+          // lineage lesson, bounded here at 3 unrolled rounds)
+          state = state.persistTracked()
           val recv = edges
             .join(state.select(col("node").as("src"), expr("r div deg").as("c")),
               "src")
@@ -2382,5 +2387,36 @@ object TextQueries {
              |  FROM documents d JOIN r ON d.source = r.source,
              |  UNNEST(generate_series(1, rep)) AS t(copy))
              |SELECT source, copy, count(*) AS n_docs FROM e
-             |GROUP BY source, copy ORDER BY source, copy""".stripMargin)))
+             |GROUP BY source, copy ORDER BY source, copy""".stripMargin)),
+
+    // q142 — triangle counting over the near-duplicate candidate graph:
+    // a triangle means three documents that are all pairwise LSH-similar
+    // — the clique signal that separates a genuine duplicate CLUSTER
+    // from a chain of borderline pairs (q76's components can be either).
+    // Edges are already id-ordered (doc_a < doc_b), so each triangle
+    // a<b<c is enumerated exactly once by the classic two-join: wedges
+    // (a-b, b-c) then the closing a-c probe — both joins key on a vertex
+    // id. At 100 TB graph scale the same plan orders endpoints by degree
+    // first (pivot on the low-degree vertex) so wedge fan-out is
+    // bounded; the candidate graph here is already near-linear in docs.
+    QuerySpec("q142_dup_triangles",
+      (s, dir) => {
+        val e = minhashCandidates(Tables.load(s, dir, "documents"))
+          .persistTracked()
+        val tri = e.select(col("doc_a").as("a"), col("doc_b").as("b"))
+          .join(e.select(col("doc_a").as("b"), col("doc_b").as("c")), "b")
+          .join(e.select(col("doc_a").as("a"), col("doc_b").as("c")),
+            Seq("a", "c"))
+        tri.select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+          .groupBy("doc_id").agg(count(lit(1)).as("n_triangles"))
+          .orderBy("doc_id")
+      },
+      Some(s"""$duckMinhashCtes,
+              |tri AS (SELECT ab.doc_a AS a, ab.doc_b AS b, bc.doc_b AS c
+              |  FROM cand ab JOIN cand bc ON ab.doc_b = bc.doc_a
+              |  JOIN cand ac ON ac.doc_a = ab.doc_a AND ac.doc_b = bc.doc_b),
+              |n AS (SELECT a AS d FROM tri UNION ALL SELECT b FROM tri
+              |      UNION ALL SELECT c FROM tri)
+              |SELECT d AS doc_id, count(*) AS n_triangles FROM n
+              |GROUP BY d ORDER BY doc_id""".stripMargin)))
 }

@@ -193,6 +193,14 @@ class PipelineOpsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getAs[Long]("user_id") >= 0, "sentinel leaked"))
   }
 
+  test("q142_dup_triangles: per-node credits sum to 3 per triangle") {
+    val rows = run("q142_dup_triangles").collect()
+    // empty is legal on a tiny fixture (no 3-clique), but if present the
+    // total credit must be a multiple of 3 and every count positive
+    rows.foreach(r => assert(r.getAs[Long]("n_triangles") >= 1))
+    assert(rows.map(_.getAs[Long]("n_triangles")).sum % 3 == 0)
+  }
+
   test("q131_pagerank: integer ranks conserve mass and respect the floor") {
     val rows = run("q131_pagerank").collect()
     assert(rows.nonEmpty)
