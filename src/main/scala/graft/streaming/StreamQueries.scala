@@ -446,13 +446,72 @@ object StreamQueries {
              |  ON a.user_id = b.user_id
              |  AND CAST(b.ts AS TIMESTAMP) >= CAST(a.ts AS TIMESTAMP)
              |  AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
-             |ORDER BY 1, 2, 3""".stripMargin)))
+             |ORDER BY 1, 2, 3""".stripMargin)),
+
+    // q143 — the Spark 4 `transformWithState` arbitrary-state operator
+    // (§2.9's newest member, succeeding q46's mapGroupsWithState): a
+    // [[RunningTotalsProcessor]] keeps one named ValueState per user in
+    // a ROCKSDB state store — the disk-backed store a 100 TB/day
+    // deployment runs, where keyed state outgrows the executor heap and
+    // the default HDFS-backed in-memory provider stops scaling; the
+    // provider is pinned per-query on the session clone. Update output
+    // mode emits each key's running totals per batch; count and max are
+    // order-insensitive, so the result is deterministic at any
+    // partitioning. Oracle: the batch GROUP BY.
+    QuerySpec("q143_stream_twstate",
+      (s0, dir) => {
+        import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+        val s = graft.core.Tuned.session(s0,
+          "spark.sql.shuffle.partitions" -> "8",
+          "spark.sql.streaming.stateStore.providerClass" ->
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        import s.implicits._
+        val src = eventStream(s, dir)
+          .select(col("user_id").cast("long"), col("event_id").cast("long"))
+          .as[(Long, Long)]
+        val out = src.groupByKey(_._1)
+          .transformWithState(new RunningTotalsProcessor,
+            TimeMode.None(), OutputMode.Update())
+          .toDF("user_id", "n_events", "last_event_id")
+        val mem = "stream_" + UUID.randomUUID().toString.replace("-", "")
+        val q = out.writeStream.format("memory").queryName(mem)
+          .outputMode("update").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table(mem)
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, count(*) AS n_events,
+             |  max(event_id) AS last_event_id
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)))
 
   /** Memo for q141's 2-file relay (backfill + watermark-advancing
     * sentinel file), keyed like [[relaidEvents]]. */
   private val outerRelay =
     scala.collection.concurrent.TrieMap.empty[(String, String), String]
   sys.addShutdownHook(outerRelay.values.foreach(deleteRecursively))
+
+  /** q143's processor — the Spark 4 `transformWithState` arbitrary-state
+    * API (the successor to mapGroupsWithState q46 uses): an explicit
+    * named [[org.apache.spark.sql.streaming.ValueState]] handle per key,
+    * updated per input batch, emitting the running (count, max event id)
+    * for the key. Per-row math is order-insensitive (count + max), so
+    * partition-internal iterator order can't affect the result. */
+  private[streaming] class RunningTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long), (Long, Long, Long)] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var st: ValueState[(Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long)]("totals",
+        org.apache.spark.sql.Encoders.product[(Long, Long)], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+        tv: TimerValues): Iterator[(Long, Long, Long)] = {
+      var (n, mx) = if (st.exists()) st.get() else (0L, Long.MinValue)
+      rows.foreach { case (_, eid) => n += 1; if (eid > mx) mx = eid }
+      st.update((n, mx))
+      Iterator.single((key, n, mx))
+    }
+  }
 
   /** Append-mode variant of [[runComplete]] for flatMapGroupsWithState. */
   private def runAppend(df: DataFrame): DataFrame = {
