@@ -68,10 +68,14 @@ object VectorQueries {
 
   /** One-Lloyd-iteration per-subspace codebook: (sub, cent_id, cv),
     * persisted (tiny: pqM² rows; at any corpus scale it stays k·m rows —
-    * honestly broadcastable). */
-  private def pqCodebook(sv: DataFrame): DataFrame = {
-    val c0 = sv.filter(col("vec_id") < pqM)
-      .select(col("sub"), col("vec_id").cast("int").as("cent_id"), col("v").as("cv"))
+    * honestly broadcastable). `seedFrom` picks the seed id window
+    * [seedFrom, seedFrom+pqM) — q144 trains on coarse-cell RESIDUALS,
+    * where the default 0-seeds are the coarse centroids' own all-zero
+    * residuals (a degenerate codebook). */
+  private def pqCodebook(sv: DataFrame, seedFrom: Int = 0): DataFrame = {
+    val c0 = sv.filter(col("vec_id") >= seedFrom && col("vec_id") < seedFrom + pqM)
+      .select(col("sub"), (col("vec_id") - seedFrom).cast("int").as("cent_id"),
+        col("v").as("cv"))
     pqAssign(sv, c0)
       .select(col("sub"), col("cent_id"), posexplode(col("v")))
       .groupBy("sub", "cent_id", "pos")
@@ -817,5 +821,118 @@ object VectorQueries {
               |  FROM embeddings e, q WHERE e.label <> q.q_label),
               |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rnk FROM scored)
               |SELECT q_id, vec_id, cos_sim, rnk FROM ranked WHERE rnk <= 3
+              |ORDER BY q_id, rnk""".stripMargin)),
+
+    // q144 — IVF-PQ residual search, the full FAISS composition the
+    // separate pieces (q56 IVF, q92 PQ, q93 ADC) build toward: assign
+    // each vector to a coarse cell, PQ-encode its RESIDUAL from the cell
+    // centroid (residuals cluster far tighter than raw vectors — the
+    // reason IVF-PQ beats flat PQ), then answer queries by probing
+    // nprobe=2 cells with an ADC lookup table over the residual
+    // codebook. Scale shape: codebook and centroids stay k·m rows
+    // (broadcast); the probe join keys on (cell, sub, code) — byte-width
+    // codes, never raw vectors, cross the shuffle; per-sub ADC terms sum
+    // as DECIMAL so the 4-way sum is order-independent. Codebook seeds
+    // come from ids 4–7: ids 0–3 are the coarse centroids themselves,
+    // whose residuals are all-zero (degenerate seeds).
+    QuerySpec("q144_ivfpq_search",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val cents = emb.filter(col("vec_id") < 4)
+          .select(col("vec_id").cast("int").as("cent_id"),
+            col("embedding").as("cent_vec"))
+        val resid = nearestCentroid(emb, cents)
+          .join(broadcast(cents), "cent_id")
+          .select(col("vec_id"), col("cent_id").as("list_id"),
+            zip_with(col("embedding"), col("cent_vec"),
+              (a, b) => a.cast("double") - b.cast("double")).as("embedding"))
+          .persistTracked()
+        val sv = pqSubvectors(resid.select("vec_id", "embedding")).persistTracked()
+        val cb = pqCodebook(sv, seedFrom = 4)
+        val codes = pqAssign(sv, cb)
+          .select(col("vec_id"), col("sub"), col("cent_id").as("code"))
+          .join(resid.select(col("vec_id"), col("list_id")), "vec_id")
+          .persistTracked()
+        val scoredCents = emb.filter(col("vec_id") < 8).crossJoin(broadcast(cents))
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+            col("cent_id"), col("cent_vec"),
+            round(call_function("graft_cosine", col("cent_vec"), col("embedding")), 6)
+              .as("sim"))
+        val wp = Window.partitionBy("q_id").orderBy(col("sim").desc, col("cent_id"))
+        val probed = scoredCents.withColumn("pn", row_number().over(wp))
+          .filter(col("pn") <= 2)
+          .select(col("q_id"), col("cent_id").as("list_id"),
+            zip_with(col("q_vec"), col("cent_vec"),
+              (a, b) => a.cast("double") - b.cast("double")).as("q_res"))
+        val qsv = probed.select(col("q_id"), col("list_id"), explode(expr(
+            s"transform(sequence(0, ${pqM - 1}), s -> struct(s AS sub, slice(q_res, s*$pqSd + 1, $pqSd) AS qv))")).as("x"))
+          .select(col("q_id"), col("list_id"), col("x.sub").as("sub"),
+            col("x.qv").as("qv"))
+        val lut = qsv.join(broadcast(cb), "sub")
+          .select(col("q_id"), col("list_id"), col("sub"),
+            col("cent_id").as("code"),
+            round(pqL2(col("qv"), col("cv")), 6).cast("decimal(18,6)").as("pd"))
+        val sc = codes.join(lut, Seq("list_id", "sub", "code"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .groupBy("q_id", "vec_id")
+          .agg(sum(col("pd")).as("adc_dec"))
+          .select(col("q_id"), col("vec_id"),
+            col("adc_dec").cast("double").as("adc"))
+        val wr = Window.partitionBy("q_id").orderBy(col("adc").asc, col("vec_id"))
+        sc.withColumn("rnk", row_number().over(wr)).filter(col("rnk") <= 5)
+          .select("q_id", "vec_id", "adc", "rnk")
+          .orderBy("q_id", "rnk")
+      },
+      Some(s"""WITH cents AS (SELECT CAST(vec_id AS INTEGER) AS cent_id, embedding AS cent_vec
+              |  FROM embeddings WHERE vec_id < 4),
+              |assigned AS (SELECT vec_id, embedding, cent_id FROM (
+              |  SELECT e.vec_id, e.embedding, c.cent_id,
+              |    row_number() OVER (PARTITION BY e.vec_id
+              |      ORDER BY round(${duckCos("c.cent_vec", "e.embedding")}, 6) DESC, c.cent_id) AS rn
+              |  FROM embeddings e, cents c) WHERE rn = 1),
+              |resid AS (SELECT a.vec_id, a.cent_id AS list_id,
+              |    list_transform(generate_series(1, $dim), i ->
+              |      CAST(a.embedding[i] AS DOUBLE) - CAST(c.cent_vec[i] AS DOUBLE)) AS r
+              |  FROM assigned a JOIN cents c ON a.cent_id = c.cent_id),
+              |sv AS (SELECT vec_id, s AS sub, r[s*$pqSd+1 : s*$pqSd+$pqSd] AS v
+              |  FROM resid, UNNEST(generate_series(0, ${pqM - 1})) t(s)),
+              |c0 AS (SELECT sub, CAST(vec_id - 4 AS INTEGER) AS cent_id, v AS cv
+              |  FROM sv WHERE vec_id >= 4 AND vec_id < 8),
+              |a0 AS (SELECT vec_id, sub, v, cent_id FROM (
+              |  SELECT sv.vec_id, sv.sub, sv.v, c.cent_id,
+              |    row_number() OVER (PARTITION BY sv.vec_id, sv.sub
+              |      ORDER BY round(${duckPqL2("sv.v", "c.cv")}, 6) ASC, c.cent_id) AS rn
+              |  FROM sv JOIN c0 c USING (sub)) WHERE rn = 1),
+              |u AS (SELECT sub, cent_id, i,
+              |    CAST(SUM(CAST(CAST(v[i] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS cv1
+              |  FROM a0, generate_series(1, $pqSd) t(i) GROUP BY sub, cent_id, i),
+              |c1 AS (SELECT sub, cent_id, list(cv1 ORDER BY i) AS cv FROM u GROUP BY sub, cent_id),
+              |a1 AS (SELECT vec_id, sub, cent_id AS code FROM (
+              |  SELECT sv.vec_id, sv.sub, c.cent_id,
+              |    row_number() OVER (PARTITION BY sv.vec_id, sv.sub
+              |      ORDER BY round(${duckPqL2("sv.v", "c.cv")}, 6) ASC, c.cent_id) AS rn
+              |  FROM sv JOIN c1 c USING (sub)) WHERE rn = 1),
+              |codes AS (SELECT a1.vec_id, r.list_id, a1.sub, a1.code
+              |  FROM a1 JOIN resid r ON a1.vec_id = r.vec_id),
+              |probes AS (SELECT q_id, list_id, q_res FROM (
+              |  SELECT q.vec_id AS q_id, c.cent_id AS list_id,
+              |    list_transform(generate_series(1, $dim), i ->
+              |      CAST(q.embedding[i] AS DOUBLE) - CAST(c.cent_vec[i] AS DOUBLE)) AS q_res,
+              |    row_number() OVER (PARTITION BY q.vec_id
+              |      ORDER BY round(${duckCos("c.cent_vec", "q.embedding")}, 6) DESC, c.cent_id) AS pn
+              |  FROM embeddings q, cents c WHERE q.vec_id < 8) WHERE pn <= 2),
+              |qsv AS (SELECT q_id, list_id, s AS sub, q_res[s*$pqSd+1 : s*$pqSd+$pqSd] AS qv
+              |  FROM probes, UNNEST(generate_series(0, ${pqM - 1})) t(s)),
+              |lut AS (SELECT q_id, list_id, sub, c1.cent_id AS code,
+              |    CAST(round(${duckPqL2("qv", "c1.cv")}, 6) AS DECIMAL(18,6)) AS pd
+              |  FROM qsv JOIN c1 USING (sub)),
+              |sc AS (SELECT l.q_id, k.vec_id, CAST(SUM(pd) AS DOUBLE) AS adc
+              |  FROM codes k JOIN lut l
+              |    ON k.list_id = l.list_id AND k.sub = l.sub AND k.code = l.code
+              |  WHERE k.vec_id <> l.q_id
+              |  GROUP BY l.q_id, k.vec_id),
+              |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+              |    ORDER BY adc ASC, vec_id) AS INTEGER) AS rnk FROM sc)
+              |SELECT q_id, vec_id, adc, rnk FROM ranked WHERE rnk <= 5
               |ORDER BY q_id, rnk""".stripMargin)))
 }

@@ -201,6 +201,19 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n_triangles")).sum % 3 == 0)
   }
 
+  test("q144_ivfpq_search: 5 ranked candidates per query, ADC non-decreasing") {
+    val rows = run("q144_ivfpq_search").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("q_id")).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rnk"))
+      assert(sorted.map(_.getAs[Int]("rnk")).toSeq == (1 to sorted.length))
+      val ds = sorted.map(_.getAs[Double]("adc")).toSeq
+      assert(ds.zip(ds.tail).forall { case (a, b) => a <= b }, s"q$q not sorted")
+      assert(ds.forall(_ >= 0.0))
+      assert(!sorted.exists(_.getAs[Long]("vec_id") == q), "self-match leaked")
+    }
+  }
+
   test("q131_pagerank: integer ranks conserve mass and respect the floor") {
     val rows = run("q131_pagerank").collect()
     assert(rows.nonEmpty)
