@@ -934,5 +934,106 @@ object VectorQueries {
               |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
               |    ORDER BY adc ASC, vec_id) AS INTEGER) AS rnk FROM sc)
               |SELECT q_id, vec_id, adc, rnk FROM ranked WHERE rnk <= 5
+              |ORDER BY q_id, rnk""".stripMargin)),
+
+    // q145 — per-label centroid (mean pooling): the embedding-
+    // aggregation shape behind both class prototypes (few-shot heads,
+    // SemDeDup's cluster centers) and chunk→document pooling. posexplode
+    // turns the vector column into (label, pos, component) rows; the
+    // per-(label, pos) mean goes through DECIMAL(18,9) so the sum is
+    // summation-order-independent (the Stable rule applied element-wise
+    // — same mechanism as the PQ codebook update). Output stays long-
+    // form (label, pos, c): nested arrays don't hash-compare portably
+    // (the q127 lesson), and label·dim rows is grain-sized, not
+    // corpus-sized.
+    QuerySpec("q145_label_centroids",
+      (s, dir) => {
+        Tables.load(s, dir, "embeddings")
+          .select(col("label"), posexplode(col("embedding")))
+          .groupBy(col("label"), col("pos"))
+          .agg(count(lit(1)).as("n_vecs"),
+            (sum(col("col").cast("double").cast("decimal(18,9)")).cast("double") /
+              count(lit(1))).as("c"))
+          .select(col("label"), col("pos"), col("n_vecs"),
+            round(col("c"), 6).as("c"))
+          .orderBy("label", "pos")
+      },
+      Some(s"""SELECT label, CAST(i - 1 AS INTEGER) AS pos,
+              |  CAST(count(*) AS BIGINT) AS n_vecs,
+              |  round(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE) / count(*), 6) AS c
+              |FROM embeddings, generate_series(1, $dim) t(i)
+              |GROUP BY label, i ORDER BY label, pos""".stripMargin)),
+
+    // q146 — reciprocal-rank fusion of two retrievers (exact cosine
+    // top-10 and flat-PQ ADC top-10): the standard ensemble a hybrid
+    // search stack runs over its lexical + vector legs. RRF score =
+    // Σ 1/(60 + rank) over the lists a candidate appears in — rank
+    // arithmetic only, so the two-term double sum is written in the
+    // same literal order on both engines and rounds to 9. The full
+    // outer join on (query, candidate) is |q|·k-row — evaluation-grain,
+    // like q110/q119.
+    QuerySpec("q146_rank_fusion",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings").persistTracked()
+        val q = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        val wA = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id"))
+        val topA = emb.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"),
+            round(call_function("graft_cosine", col("q_vec"), col("embedding")), 6)
+              .as("cos_sim"))
+          .withColumn("ra", row_number().over(wA)).filter(col("ra") <= 10)
+          .select("q_id", "vec_id", "ra")
+        val sv = pqSubvectors(emb).persistTracked()
+        val cb = pqCodebook(sv)
+        val codes = pqAssign(sv, cb).select("vec_id", "sub", "cent_id")
+        val dt = sv.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("sub"), col("v").as("qv"))
+          .join(cb, "sub")
+          .select(col("q_id"), col("sub"), col("cent_id"),
+            round(pqL2(col("qv"), col("cv")), 6).as("d"))
+        val wB = Window.partitionBy("q_id").orderBy(col("adc").asc, col("vec_id"))
+        val topB = codes.join(broadcast(dt), Seq("sub", "cent_id"))
+          .groupBy("q_id", "vec_id")
+          .agg(round(sum(col("d").cast("decimal(18,6)")).cast("double"), 6).as("adc"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("rb", row_number().over(wB)).filter(col("rb") <= 10)
+          .select("q_id", "vec_id", "rb")
+        val fused = topA.join(topB, Seq("q_id", "vec_id"), "full_outer")
+          .select(col("q_id"), col("vec_id"),
+            round(
+              coalesce(lit(1.0) / (lit(60) + col("ra")), lit(0.0)) +
+                coalesce(lit(1.0) / (lit(60) + col("rb")), lit(0.0)), 9).as("rrf"))
+        val wF = Window.partitionBy("q_id").orderBy(col("rrf").desc, col("vec_id"))
+        fused.withColumn("rnk", row_number().over(wF)).filter(col("rnk") <= 5)
+          .select("q_id", "vec_id", "rrf", "rnk")
+          .orderBy("q_id", "rnk")
+      },
+      Some(s"""$duckPqCtes,
+              |qv AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 8),
+              |ta AS (SELECT q_id, vec_id, ra FROM (
+              |  SELECT q.q_id, e.vec_id,
+              |    row_number() OVER (PARTITION BY q.q_id
+              |      ORDER BY round(${duckCos("q.q_vec", "e.embedding")}, 6) DESC, e.vec_id) AS ra
+              |  FROM embeddings e, qv q WHERE e.vec_id <> q.q_id) WHERE ra <= 10),
+              |dt AS (SELECT sv.vec_id AS q_id, sv.sub, c.cent_id,
+              |    round(${duckPqL2("sv.v", "c.cv")}, 6) AS d
+              |  FROM sv JOIN c1 c USING (sub) WHERE sv.vec_id < 8),
+              |sc AS (SELECT dt.q_id, a1.vec_id,
+              |    round(CAST(SUM(CAST(dt.d AS DECIMAL(18,6))) AS DOUBLE), 6) AS adc
+              |  FROM a1 JOIN dt ON a1.sub = dt.sub AND a1.cent_id = dt.cent_id
+              |  WHERE a1.vec_id <> dt.q_id GROUP BY dt.q_id, a1.vec_id),
+              |tb AS (SELECT q_id, vec_id, rb FROM (
+              |  SELECT q_id, vec_id,
+              |    row_number() OVER (PARTITION BY q_id ORDER BY adc ASC, vec_id) AS rb
+              |  FROM sc) WHERE rb <= 10),
+              |f AS (SELECT COALESCE(ta.q_id, tb.q_id) AS q_id,
+              |    COALESCE(ta.vec_id, tb.vec_id) AS vec_id,
+              |    round(COALESCE(1.0/(60 + ra), 0) + COALESCE(1.0/(60 + rb), 0), 9) AS rrf
+              |  FROM ta FULL OUTER JOIN tb ON ta.q_id = tb.q_id AND ta.vec_id = tb.vec_id),
+              |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+              |    ORDER BY rrf DESC, vec_id) AS INTEGER) AS rnk FROM f)
+              |SELECT q_id, vec_id, rrf, rnk FROM ranked WHERE rnk <= 5
               |ORDER BY q_id, rnk""".stripMargin)))
 }
