@@ -127,6 +127,127 @@ object Multimodal {
     }
   }
 
+  private val PngSig: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** A real (minimal) 8-bit grayscale PNG: signature, IHDR, one IDAT
+    * carrying a hand-rolled zlib stream of STORED deflate blocks over
+    * the filter-0 scanlines, IEND — every chunk CRC32-summed per the
+    * spec. Stored blocks keep the byte layout deterministic across JVMs
+    * (Deflater's compressed output varies by zlib build; the stored
+    * framing is fixed: 2-byte zlib header + 5 bytes per ≤64 KiB block +
+    * raw bytes + 4-byte Adler-32), so oracles can predict IDAT length
+    * arithmetically. `gray` must hold width*height pixel bytes. */
+  def pngBytes(width: Int, height: Int, gray: Array[Byte]): Array[Byte] = {
+    require(gray.length == width * height, "gray must be width*height bytes")
+    val raw = new Array[Byte](height * (width + 1))
+    var r = 0
+    while (r < height) { // filter byte 0 + row pixels
+      System.arraycopy(gray, r * width, raw, r * (width + 1) + 1, width)
+      r += 1
+    }
+    val nBlocks = math.max(1, (raw.length + 65534) / 65535)
+    val zlib = ByteBuffer.allocate(2 + 5 * nBlocks + raw.length + 4)
+    zlib.put(0x78.toByte).put(0x01.toByte) // CM=8, fastest, no dict
+    var off = 0
+    while (off < raw.length || (raw.length == 0 && off == 0)) {
+      val n = math.min(65535, raw.length - off)
+      val fin = off + n >= raw.length
+      zlib.put(if (fin) 1.toByte else 0.toByte)
+        .put((n & 0xff).toByte).put((n >> 8).toByte)        // LEN (LE)
+        .put((~n & 0xff).toByte).put((~n >> 8 & 0xff).toByte) // NLEN
+        .put(raw, off, n)
+      off += math.max(n, 1)
+      if (fin) off = raw.length + 1
+    }
+    val adler = new java.util.zip.Adler32(); adler.update(raw)
+    zlib.putInt(adler.getValue.toInt)
+    val ihdr = ByteBuffer.allocate(13)
+      .putInt(width).putInt(height)
+      .put(8.toByte)  // bit depth
+      .put(0.toByte)  // color type: grayscale
+      .put(0.toByte).put(0.toByte).put(0.toByte) // deflate/adaptive/none
+      .array()
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val t = typ.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(t); crc.update(data)
+      ByteBuffer.allocate(12 + data.length)
+        .putInt(data.length).put(t).put(data).putInt(crc.getValue.toInt)
+        .array()
+    }
+    PngSig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", zlib.array()) ++
+      chunk("IEND", Array.empty)
+  }
+
+  /** REAL PNG decode for 8-bit grayscale: verifies the signature, walks
+    * the chunk list verifying EVERY chunk's CRC32, parses IHDR, then
+    * zlib-INFLATES the concatenated IDAT stream (java.util.zip.Inflater
+    * — any conformant zlib stream, not just [[pngBytes]]'s stored
+    * blocks) and checks the scanline geometry (filter byte per row).
+    * Returns (width, height, bitDepth, colorType, nChunks, idatBytes,
+    * pixelSum); None on any CRC mismatch, bad layout, or inflate error
+    * (P8 skip policy). */
+  def decodePng(b: Array[Byte])
+      : Option[(Int, Int, Int, Int, Int, Int, Long)] = {
+    if (b.length < 8 + 12 * 2 ||
+      !java.util.Arrays.equals(b.slice(0, 8), PngSig)) return None
+    val bb = ByteBuffer.wrap(b) // PNG ints are big-endian = BB default
+    var off = 8
+    var ihdr: Option[(Int, Int, Int, Int)] = None
+    val idat = new java.io.ByteArrayOutputStream()
+    var nChunks = 0
+    var ended = false
+    while (!ended && off + 12 <= b.length) {
+      val len = bb.getInt(off)
+      if (len < 0 || off + 12L + len > b.length) return None
+      val crc = new java.util.zip.CRC32()
+      crc.update(b, off + 4, 4 + len) // CRC spans type + data
+      if (crc.getValue != (bb.getInt(off + 8 + len) & 0xffffffffL))
+        return None
+      nChunks += 1
+      new String(b, off + 4, 4, "US-ASCII") match {
+        case "IHDR" if len >= 13 =>
+          ihdr = Some((bb.getInt(off + 8), bb.getInt(off + 12),
+            b(off + 16) & 0xff, b(off + 17) & 0xff))
+        case "IDAT" => idat.write(b, off + 8, len)
+        case "IEND" => ended = true
+        case _      => () // ancillary chunks (tEXt, pHYs, …) skip
+      }
+      off += 12 + len
+    }
+    ihdr match {
+      case Some((w, h, depth, color)) if ended && w > 0 && h > 0 &&
+          depth == 8 && color == 0 &&
+          h.toLong * (w + 1) <= Int.MaxValue =>
+        val inf = new java.util.zip.Inflater()
+        inf.setInput(idat.toByteArray)
+        val out = new Array[Byte](h * (w + 1))
+        try {
+          val n = inf.inflate(out)
+          if (n != out.length || !inf.finished()) None
+          else {
+            var sum = 0L; var bad = false; var r = 0
+            while (r < h && !bad) {
+              if (out(r * (w + 1)) != 0) bad = true // filter 0 only
+              else {
+                var c = 0
+                while (c < w) {
+                  sum += out(r * (w + 1) + 1 + c) & 0xff; c += 1
+                }
+              }
+              r += 1
+            }
+            if (bad) None
+            else Some((w, h, depth, color, nChunks, idat.size(), sum))
+          }
+        } catch {
+          case _: java.util.zip.DataFormatException => None
+        } finally inf.end()
+      case _ => None
+    }
+  }
+
   /** Aspect-preserving fit of (w, h) into maxSide², never upscaling. */
   def fitThumb(w: Int, h: Int, maxSide: Int = 256): (Int, Int) = {
     val longSide = math.max(w, h)

@@ -633,6 +633,51 @@ object TextQueries {
              |   / CASE WHEN doc_id % 3 = 0 THEN 16000 ELSE 8000 END) AS BIGINT) AS duration_ms
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // q151 — REAL PNG decode: synthesize a valid 8-bit grayscale PNG per
+    // doc (pixels = text bytes tiled over a (1 + n%32) × (1 + id%8)
+    // canvas), then decode it the way a reader must — signature check,
+    // per-chunk CRC32 verification, IHDR parse, and a genuine zlib
+    // INFLATE of the IDAT stream before validating scanline filters and
+    // summing pixels. The encoder's stored-block zlib framing keeps
+    // every output byte arithmetic (Multimodal.pngBytes), so the oracle
+    // derives n_bytes/idat_bytes/px_sum from the text column alone —
+    // the decode path (CRC32 + Inflater) is the thing under test.
+    // Narrow per-row transform, the 100 TB media-metadata shape (q120).
+    QuerySpec("q151_png_decode",
+      (s, dir) => {
+        import s.implicits._
+        val ds = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+        ds.mapPartitions(_.flatMap { case (id, txt) =>
+          val bytes = txt.getBytes("UTF-8")
+          val w = 1 + (bytes.length % 32)
+          val h = (1 + id % 8).toInt
+          val gray = Array.tabulate(w * h)(i => bytes(i % bytes.length))
+          val png = graft.functions.Multimodal.pngBytes(w, h, gray)
+          graft.functions.Multimodal.decodePng(png).map {
+            case (pw, ph, depth, color, nChunks, idatB, pxSum) =>
+              (id, png.length, pw, ph, depth, color, nChunks, idatB, pxSum)
+          }
+        }).toDF("doc_id", "n_bytes", "width", "height", "bit_depth",
+            "color_type", "n_chunks", "idat_bytes", "px_sum")
+          .orderBy("doc_id")
+      },
+      Some("""WITH g AS (SELECT doc_id, text,
+             |    1 + strlen(text) % 32 AS w, 1 + doc_id % 8 AS h
+             |  FROM documents),
+             |px AS (SELECT doc_id, CAST(SUM(ascii(substr(text,
+             |      CAST(i % strlen(text) AS INTEGER) + 1, 1))) AS BIGINT) AS px_sum
+             |  FROM g, generate_series(0, 255) t(i) WHERE i < w * h
+             |  GROUP BY doc_id)
+             |SELECT g.doc_id,
+             |  CAST(h * (w + 1) + 68 AS INTEGER) AS n_bytes,
+             |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+             |  8 AS bit_depth, 0 AS color_type, 3 AS n_chunks,
+             |  CAST(h * (w + 1) + 11 AS INTEGER) AS idat_bytes,
+             |  px.px_sum
+             |FROM g JOIN px ON g.doc_id = px.doc_id
+             |ORDER BY g.doc_id""".stripMargin)),
+
     // q64 — rolling-hash document fingerprinting (winnowing): Karp-Rabin
     // 8-gram Horner hashes (base 257 mod 1000003) over the normalized
     // text, then the MOSS/winnowing selection — min hash of each 4-gram

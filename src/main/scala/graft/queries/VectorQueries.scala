@@ -1035,5 +1035,78 @@ object VectorQueries {
               |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
               |    ORDER BY rrf DESC, vec_id) AS INTEGER) AS rnk FROM f)
               |SELECT q_id, vec_id, rrf, rnk FROM ranked WHERE rnk <= 5
-              |ORDER BY q_id, rnk""".stripMargin)))
+              |ORDER BY q_id, rnk""".stripMargin)),
+
+    // q147 — int8 scalar quantization of the embedding column: the
+    // standard 4× compression applied to corpus-scale vector stores
+    // before ANN serving. Per-vector (asymmetric) min/max calibration →
+    // code_i = round((x_i − mn)/scale) clamped to [0,255]; the query
+    // reports the code mass and the reconstruction MSE of the dequant
+    // mn + code·scale. Everything is a scan-local HOF over the array —
+    // no shuffle before the final sort, the narrow 100 TB shape. Floats
+    // widen to double BEFORE arithmetic and both engines fold in index
+    // order (the pqL2/duckDot rule), so doubles are bit-identical and
+    // the rounds can't diverge. scale=0 (constant vector) maps every
+    // code to 0 on both sides.
+    QuerySpec("q147_int8_quant",
+      (s, dir) => {
+        val p = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"),
+            array_min(col("embedding")).cast("double").as("mn"),
+            array_max(col("embedding")).cast("double").as("mx"))
+          .withColumn("scale", (col("mx") - col("mn")) / lit(255.0))
+        val codes = p.withColumn("codes",
+          transform(col("embedding"), x =>
+            when(col("scale") === 0, lit(0))
+              .otherwise(least(lit(255), greatest(lit(0),
+                round((x.cast("double") - col("mn")) / col("scale"))
+                  .cast("int"))))))
+        // The display rounding happens in a SECOND select: aliasing
+        // round(mn,6) AS mn in the same list would silently rebind the
+        // fold lambdas' col("mn") to the ROUNDED alias via Spark's
+        // lateral-column-alias resolution (observed: mse shifted 2e-4
+        // relative) — see NOTES "lateral alias shadowing".
+        codes.select(col("vec_id"), col("mn"), col("mx"),
+            aggregate(col("codes"), lit(0L),
+              (a, c) => a + c.cast("long")).as("code_sum"),
+            // floor(x·1e9) not round(x, 9): the MSE is ~1e-7 and the two
+            // engines' decimal rounding disagrees at the last digit on
+            // boundary doubles (Spark: exact BigDecimal HALF_UP; DuckDB:
+            // float multiply trick). One IEEE multiply + floor is
+            // bit-deterministic on both.
+            floor(
+              aggregate(
+                zip_with(col("embedding"), col("codes"), (x, c) => {
+                  val e = x.cast("double") -
+                    (col("mn") + c.cast("double") * col("scale"))
+                  e * e
+                }),
+                lit(0.0), (a, e) => a + e) / lit(dim) * lit(1e9))
+              .cast("long").as("mse_e9"))
+          .select(col("vec_id"),
+            round(col("mn"), 6).as("mn"), round(col("mx"), 6).as("mx"),
+            col("code_sum"), col("mse_e9"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH p AS (SELECT vec_id, embedding,
+              |    CAST(list_min(embedding) AS DOUBLE) AS mn,
+              |    CAST(list_max(embedding) AS DOUBLE) AS mx,
+              |    (CAST(list_max(embedding) AS DOUBLE)
+              |      - CAST(list_min(embedding) AS DOUBLE)) / 255.0 AS scale
+              |  FROM embeddings),
+              |c AS (SELECT vec_id, mn, mx, scale, embedding,
+              |    list_transform(generate_series(1, $dim), i ->
+              |      CASE WHEN scale = 0 THEN 0
+              |        ELSE LEAST(255, GREATEST(0, CAST(round(
+              |          (CAST(embedding[i] AS DOUBLE) - mn) / scale) AS INTEGER)))
+              |      END) AS codes
+              |  FROM p)
+              |SELECT vec_id, round(mn, 6) AS mn, round(mx, 6) AS mx,
+              |  CAST(list_sum(codes) AS BIGINT) AS code_sum,
+              |  CAST(floor(list_reduce(list_transform(generate_series(1, $dim), i ->
+              |    (CAST(embedding[i] AS DOUBLE) - (mn + codes[i] * scale))
+              |    * (CAST(embedding[i] AS DOUBLE) - (mn + codes[i] * scale))),
+              |    (a, b) -> a + b)
+              |    / $dim * 1e9) AS BIGINT) AS mse_e9
+              |FROM c ORDER BY vec_id""".stripMargin)))
 }

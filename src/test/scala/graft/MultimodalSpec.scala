@@ -95,6 +95,41 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeWav(bbZc.array()) == None)
   }
 
+  test("PNG: encode → decode round-trips dims, chunk CRCs, and pixels") {
+    for ((w, h) <- Seq((1, 1), (32, 8), (300, 250))) {
+      val gray = Array.tabulate(w * h)(i => (i * 13 % 256).toByte)
+      val png = Multimodal.pngBytes(w, h, gray)
+      // signature a third-party reader checks
+      assert((png(0) & 0xff) == 0x89 && png(1) == 'P' && png(2) == 'N' && png(3) == 'G')
+      val (pw, ph, depth, color, nChunks, idatB, pxSum) =
+        Multimodal.decodePng(png).get
+      assert((pw, ph, depth, color, nChunks) == (w, h, 8, 0, 3))
+      // stored-block zlib framing is arithmetic: raw + 5/64KiB-block + 6
+      val raw = h * (w + 1)
+      assert(idatB == raw + 5 * math.max(1, (raw + 65534) / 65535) + 6)
+      assert(pxSum == gray.map(_ & 0xffL).sum)
+    }
+    // >64 KiB of scanlines: multi-block stored stream must still inflate
+    val big = Multimodal.pngBytes(300, 250, Array.fill(75000)(7.toByte))
+    assert(Multimodal.decodePng(big).exists(_._7 == 75000L * 7))
+  }
+
+  test("PNG decode rejects corruption: CRC flip, bad filter, truncation") {
+    val png = Multimodal.pngBytes(16, 4, Array.fill(64)(9.toByte))
+    // flip one pixel byte inside IDAT: chunk CRC32 must catch it
+    val corrupt = png.clone()
+    corrupt(8 + 25 + 12) = (corrupt(8 + 25 + 12) ^ 0x01).toByte
+    assert(Multimodal.decodePng(corrupt) == None)
+    assert(Multimodal.decodePng(png.dropRight(7)) == None)  // truncated IEND
+    assert(Multimodal.decodePng("not a png at all, but long enough to try"
+      .getBytes) == None)
+    assert(Multimodal.decodePng(Array.empty) == None)
+    // declared chunk length beyond the buffer must not throw
+    val hostile = png.clone()
+    java.nio.ByteBuffer.wrap(hostile).putInt(8, Int.MaxValue - 2)
+    assert(Multimodal.decodePng(hostile) == None)
+  }
+
   test("stub decode + thumbnail fit: aspect preserved, never upscaled") {
     val (w, h) = Multimodal.stubDims(1300)
     assert(w == 64 + 1300 % 576 && h == 64 + 1300 * 7 % 416)
