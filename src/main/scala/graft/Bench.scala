@@ -93,8 +93,12 @@ object Bench {
     * BenchFormatSpec guards the budget as the query count grows. */
   private[graft] def formatLine(results: Map[String, Double],
       failed: Seq[String], sfDir: String): String = {
+    // Key = the NN digits only ("q148_bigram_lm" → "148"): at 150+
+    // queries the "q" prefix alone is 150 bytes of the tail budget, and
+    // the full names are already on stderr + in the failed array.
     val qs = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k.split("_").head + "\":" + fmtJson(v) }
+      .map { case (k, v) =>
+        "\"" + k.split("_").head.stripPrefix("q") + "\":" + fmtJson(v) }
       .mkString("{", ",", "}")
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.values.filter(_ != Double.MaxValue).sum

@@ -678,6 +678,119 @@ object TextQueries {
              |FROM g JOIN px ON g.doc_id = px.doc_id
              |ORDER BY g.doc_id""".stripMargin)),
 
+    // q148 — interpolated bigram language-model scoring (the perplexity
+    // filter a pretraining pipeline runs once the unigram screen of q108
+    // is too blunt): p(w2|w1) = 0.75·c(w1,w2)/c(w1) + 0.25·c(w2)/N.
+    // Bigram generation is scan-local (one HOF over the token array — no
+    // positional self-join); the model lives at the BIGRAM-VOCAB grain
+    // (c2 joined to the two unigram marginals, term-keyed shuffle joins,
+    // nothing corpus-sized broadcast — the q108/q74 vocab rule), and the
+    // one corpus-sized shuffle is the doc-bigrams ⋈ model join on
+    // (w1, w2). Per-bigram log-probs round to 6 then sum as DECIMAL so
+    // the per-doc reduction is summation-order-free; the final mean is
+    // one IEEE division.
+    QuerySpec("q148_bigram_lm",
+      (s, dir) => {
+        val tok = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), Text.tokens(lower(col("text"))).as("ts"))
+        val uni = tok.select(explode(col("ts")).as("t"))
+          .groupBy("t").agg(count(lit(1)).as("c1"))
+        val total = uni.agg(sum(col("c1")).cast("double").as("total"))
+        val big = tok.filter(size(col("ts")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            """transform(sequence(1, size(ts) - 1),
+              |  i -> struct(element_at(ts, i) AS w1,
+              |              element_at(ts, i + 1) AS w2))""".stripMargin)).as("b"))
+          .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        val c2 = big.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+        val lp = c2
+          .join(uni.select(col("t").as("w1"), col("c1").as("c1w1")), "w1")
+          .join(uni.select(col("t").as("w2"), col("c1").as("c1w2")), "w2")
+          .crossJoin(broadcast(total))
+          .select(col("w1"), col("w2"),
+            round(log(lit(0.75) * col("cb") / col("c1w1") +
+              lit(0.25) * col("c1w2") / col("total")), 6)
+              .cast("decimal(12,6)").as("lp"))
+        big.join(lp, Seq("w1", "w2"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_big"), sum(col("lp")).as("slp"))
+          .select(col("doc_id"), col("n_big"),
+            (-col("slp").cast("double") / col("n_big")).as("avg_nll"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, $duckTokens AS w FROM documents),
+              |bg AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+              |  FROM tok, UNNEST(generate_series(1, len(w) - 1)) AS t(i)),
+              |uni AS (SELECT t, count(*) AS c1
+              |  FROM (SELECT unnest(w) AS t FROM tok) GROUP BY t),
+              |tot AS (SELECT CAST(SUM(c1) AS DOUBLE) AS total FROM uni),
+              |c2 AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2),
+              |lp AS (SELECT c2.w1, c2.w2,
+              |    CAST(round(ln(0.75e0 * c2.cb / u1.c1
+              |      + 0.25e0 * u2.c1 / tot.total), 6) AS DECIMAL(12,6)) AS lp
+              |  FROM c2 JOIN uni u1 ON u1.t = c2.w1
+              |          JOIN uni u2 ON u2.t = c2.w2, tot)
+              |SELECT doc_id, count(*) AS n_big,
+              |  -CAST(SUM(lp) AS DOUBLE) / count(*) AS avg_nll
+              |FROM bg JOIN lp ON bg.w1 = lp.w1 AND bg.w2 = lp.w2
+              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // q149 — FUZZY benchmark decontamination: q90 catches exact 8-gram
+    // overlap; this is its near-duplicate upgrade (the standard paired
+    // check — paraphrased/reformatted benchmark leakage). Both sides run
+    // through the ONE shared minhash signature pipeline; the benchmark
+    // slice's bands are BENCHMARK-bounded, so the bands join broadcasts
+    // the probe side honestly (q90's scale argument) while the training
+    // corpus streams through scan → band → hash join. Candidates then
+    // verify on full-signature agreement (q75's estimator) and flag at
+    // est ≥ 0.5 — no pairwise work outside shared LSH buckets.
+    QuerySpec("q149_fuzzy_decontam",
+      (s, dir) => {
+        val k = Text.minhashParams.size
+        val nBands = k / Text.bandSize
+        val sig = minhashSig(Tables.load(s, dir, "documents"))
+          .persistTracked()
+        val bandCols = (0 until nBands).map { b =>
+          val lo = b * Text.bandSize
+          struct(lit(b).as("band_idx"),
+            concat_ws("|", (lo until lo + Text.bandSize).map(i => col(s"m$i")): _*).as("band_val"))
+        }
+        val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
+          .select(col("doc_id"), col("b.band_idx"), col("b.band_val"))
+        val cand = bands.filter(col("doc_id") % 7 =!= 0)
+          .join(broadcast(bands.filter(col("doc_id") % 7 === 0)
+              .select(col("doc_id").as("bench_id"), col("band_idx"), col("band_val"))),
+            Seq("band_idx", "band_val"))
+          .select(col("doc_id"), col("bench_id")).distinct()
+        val sigArr = sig.select(col("doc_id"),
+          array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+        cand
+          .join(sigArr.select(col("doc_id"), col("sig").as("sa")), "doc_id")
+          .join(sigArr.select(col("doc_id").as("bench_id"), col("sig").as("sb")), "bench_id")
+          .select(col("doc_id"), col("bench_id"),
+            round(size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y),
+              b => b)).cast("double") / k, 4).as("est_jaccard"))
+          .filter(col("est_jaccard") >= 0.5)
+          .orderBy("doc_id", "bench_id")
+      },
+      Some {
+        val k = Text.minhashParams.size
+        val agree = (0 until k)
+          .map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        s"""$duckMinhashCtes,
+           |xc AS (SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS bench_id
+           |  FROM bands a JOIN bands b
+           |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+           |  WHERE a.doc_id % 7 <> 0 AND b.doc_id % 7 = 0)
+           |SELECT xc.doc_id, xc.bench_id,
+           |  round(CAST($agree AS DOUBLE) / $k, 4) AS est_jaccard
+           |FROM xc JOIN sig sa ON sa.doc_id = xc.doc_id
+           |        JOIN sig sb ON sb.doc_id = xc.bench_id
+           |WHERE round(CAST($agree AS DOUBLE) / $k, 4) >= 0.5
+           |ORDER BY xc.doc_id, xc.bench_id""".stripMargin
+      }),
+
     // q64 — rolling-hash document fingerprinting (winnowing): Karp-Rabin
     // 8-gram Horner hashes (base 257 mod 1000003) over the normalized
     // text, then the MOSS/winnowing selection — min hash of each 4-gram

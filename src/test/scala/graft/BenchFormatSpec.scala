@@ -28,6 +28,6 @@ class BenchFormatSpec extends AnyFunSuite {
   test("a failed query reports -1, never a huge or misleading number") {
     val line = Bench.formatLine(
       Map("q01_x" -> Double.MaxValue, "q02_y" -> 1.0), Seq("q01_x"), "sf")
-    assert(line.contains("\"q01\":-1") && line.contains("\"failed\":[\"q01_x\"]"))
+    assert(line.contains("\"01\":-1") && line.contains("\"failed\":[\"q01_x\"]"))
   }
 }
