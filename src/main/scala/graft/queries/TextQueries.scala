@@ -791,6 +791,90 @@ object TextQueries {
            |ORDER BY xc.doc_id, xc.bench_id""".stripMargin
       }),
 
+    // q150 — curriculum phase assignment: order the corpus easy→hard
+    // (difficulty proxy = integer mean word length, deterministic BIGINT
+    // division) and split it into 4 phases of EQUAL TOKEN BUDGET, not
+    // equal doc count — the schedule a curriculum-ordered pretraining
+    // run consumes. The global cumulative token count comes from the
+    // distributed PrefixSum (range partition + per-partition window +
+    // broadcast offsets — NO single-reducer global window, the q113/q125
+    // rule); the phase is then pure integer arithmetic against the 1-row
+    // total. All-integer → exact on both engines.
+    QuerySpec("q150_curriculum",
+      (s, dir) => {
+        val base = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars"),
+            size(Text.tokens(lower(col("text")))).cast("long").as("n_tok"))
+          .withColumn("diff", expr("n_chars DIV n_tok"))
+        val cum = graft.ops.PrefixSum.cumsum(
+          base, Seq("diff", "doc_id"), "n_tok", "cum", 32)
+        val total = base.agg(sum(col("n_tok")).as("total"))
+        cum.crossJoin(broadcast(total))
+          .select(col("doc_id"), col("diff"), col("n_tok"), col("cum"),
+            least(lit(3L),
+              expr("((cum - n_tok) * 4) DIV total")).as("phase"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH b AS (SELECT doc_id, n_chars,
+              |    CAST(len($duckTokens) AS BIGINT) AS n_tok,
+              |    n_chars // CAST(len($duckTokens) AS BIGINT) AS diff
+              |  FROM documents),
+              |c AS (SELECT doc_id, diff, n_tok,
+              |    CAST(SUM(n_tok) OVER (ORDER BY diff, doc_id
+              |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM b),
+              |t AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS total FROM b)
+              |SELECT doc_id, diff, n_tok, cum,
+              |  least(CAST(3 AS BIGINT), ((cum - n_tok) * 4) // total) AS phase
+              |FROM c, t ORDER BY doc_id""".stripMargin)),
+
+    // q153 — per-source distribution drift: KL(p_source ‖ p_corpus) over
+    // the rank-bounded top-20 vocabulary — the data-quality gauge that
+    // flags a source whose token mix diverges from the corpus (scraper
+    // drift, template spam). The vocab is K-row → broadcast is honest
+    // (q129's rule); per-source restricted counts are one (source, term)
+    // aggregate, and the KL terms round to 6 then sum as DECIMAL at the
+    // source grain (order-free). q(t) > 0 always (top-20 global terms);
+    // p(t) = 0 terms contribute 0 by absence.
+    QuerySpec("q153_source_kl",
+      (s, dir) => {
+        val tok = Tables.load(s, dir, "documents")
+          .select(col("source"), explode(Text.tokens(lower(col("text")))).as("t"))
+        val top = tok.groupBy("t").agg(count(lit(1)).as("cg"))
+          .orderBy(desc("cg"), col("t")).limit(20)
+          .persistTracked()
+        val gtot = top.agg(sum(col("cg")).as("gt"))
+        val st = tok.join(broadcast(top.select("t")), "t")
+          .groupBy("source", "t").agg(count(lit(1)).as("cs"))
+        val stot = st.groupBy("source").agg(sum(col("cs")).as("ts"))
+        st.join(stot, "source")
+          .join(broadcast(top), "t").crossJoin(broadcast(gtot))
+          .select(col("source"),
+            round((col("cs") / col("ts")) *
+              log((col("cs") / col("ts")) / (col("cg") / col("gt"))), 6)
+              .cast("decimal(12,6)").as("term"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_terms"),
+            sum(col("term")).cast("double").as("kl"))
+          .orderBy("source")
+      },
+      Some(s"""WITH tok AS (SELECT source, unnest($duckTokens) AS t FROM documents),
+              |top AS (SELECT t, count(*) AS cg FROM tok GROUP BY t
+              |  ORDER BY cg DESC, t LIMIT 20),
+              |gtot AS (SELECT CAST(SUM(cg) AS BIGINT) AS gt FROM top),
+              |st AS (SELECT source, tok.t, count(*) AS cs FROM tok
+              |  JOIN top ON tok.t = top.t GROUP BY source, tok.t),
+              |stot AS (SELECT source, CAST(SUM(cs) AS BIGINT) AS ts
+              |  FROM st GROUP BY source),
+              |terms AS (SELECT st.source,
+              |    CAST(round((st.cs / stot.ts) *
+              |      ln((st.cs / stot.ts) / (top.cg / gtot.gt)), 6)
+              |      AS DECIMAL(12,6)) AS term
+              |  FROM st JOIN stot ON st.source = stot.source
+              |          JOIN top ON st.t = top.t, gtot)
+              |SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+              |  CAST(SUM(term) AS DOUBLE) AS kl
+              |FROM terms GROUP BY source ORDER BY source""".stripMargin)),
+
     // q64 — rolling-hash document fingerprinting (winnowing): Karp-Rabin
     // 8-gram Horner hashes (base 257 mod 1000003) over the normalized
     // text, then the MOSS/winnowing selection — min hash of each 4-gram

@@ -1108,5 +1108,64 @@ object VectorQueries {
               |    * (CAST(embedding[i] AS DOUBLE) - (mn + codes[i] * scale))),
               |    (a, b) -> a + b)
               |    / $dim * 1e9) AS BIGINT) AS mse_e9
-              |FROM c ORDER BY vec_id""".stripMargin)))
+              |FROM c ORDER BY vec_id""".stripMargin)),
+
+    // q152 — Matryoshka truncation evaluation: recall@5 of top-k search
+    // run on only the FIRST 16/32 dimensions against the full-dim exact
+    // top-5 — the measurement behind serving embeddings at reduced
+    // dimension (MRL-style tiered retrieval: coarse search on a prefix,
+    // rerank on the full vector). Same broadcast-queries / narrow-scan /
+    // |q|·k-rank shape as q31/q110, run once per prefix width; the
+    // sliced cosine reuses the codegen'd graft_cosine on slice().
+    QuerySpec("q152_matryoshka",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings").persistTracked()
+        val q = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        def top5(d: Int) = {
+          val w = Window.partitionBy("q_id")
+            .orderBy(col("cs").desc, col("vec_id"))
+          emb.crossJoin(broadcast(q))
+            .filter(col("vec_id") =!= col("q_id"))
+            .select(col("q_id"), col("vec_id"),
+              round(call_function("graft_cosine",
+                slice(col("q_vec"), 1, d),
+                slice(col("embedding"), 1, d)), 6).as("cs"))
+            .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+            .select(col("q_id"), col("vec_id"))
+        }
+        val exact = top5(dim).persistTracked()
+        Seq(16, 32).map { d =>
+          exact.join(top5(d).withColumn("hit", lit(1L)),
+              Seq("q_id", "vec_id"), "left")
+            .groupBy("q_id")
+            .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+            .select(col("q_id"), lit(d).as("dim_kept"), col("hits"),
+              (col("hits") / lit(5.0)).as("recall_at_5"))
+        }.reduce(_.unionByName(_)).orderBy("q_id", "dim_kept")
+      },
+      Some {
+        def dc(a: String, b: String, d: Int) = {
+          def dot(x: String, y: String) =
+            s"list_sum(list_transform(generate_series(1, $d), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
+          s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+        }
+        def t5(name: String, d: Int) =
+          s"""$name AS (SELECT q_id, vec_id FROM (
+             |  SELECT bq.q_id, e.vec_id, row_number() OVER (PARTITION BY bq.q_id
+             |    ORDER BY round(${dc("bq.q_vec", "e.embedding", d)}, 6) DESC, e.vec_id) AS rnk
+             |  FROM embeddings e, bq WHERE e.vec_id <> bq.q_id) WHERE rnk <= 5)""".stripMargin
+        def ev(src: String, d: Int) =
+          s"""SELECT ex.q_id, $d AS dim_kept,
+             |  CAST(SUM(CASE WHEN $src.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+             |  CAST(SUM(CASE WHEN $src.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) / 5.0 AS recall_at_5
+             |FROM ex LEFT JOIN $src ON ex.q_id = $src.q_id AND ex.vec_id = $src.vec_id
+             |GROUP BY ex.q_id""".stripMargin
+        s"""WITH bq AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 8),
+           |${t5("ex", dim)},
+           |${t5("t16", 16)},
+           |${t5("t32", 32)}
+           |SELECT * FROM (${ev("t16", 16)} UNION ALL ${ev("t32", 32)})
+           |ORDER BY q_id, dim_kept""".stripMargin
+      }))
 }
