@@ -837,5 +837,78 @@ object RefQueries {
              |  AND o_orderdate >= TIMESTAMP '1996-01-01'
              |  AND o_orderdate < TIMESTAMP '1997-01-01'
              |GROUP BY n_name
-             |ORDER BY revenue DESC, n_name""".stripMargin)))
+             |ORDER BY revenue DESC, n_name""".stripMargin)),
+
+    // q154 — TPC-H Q10 shape (returned-item reporting): quarter-windowed
+    // orders joined to 'R'-flagged lineitems, revenue re-aggregated at
+    // customer grain with the nation dim broadcast, top-20 by lost
+    // revenue. Both filters push into their parquet scans below the
+    // joins; the top-20 is a TakeOrdered. Same decimal-stable revenue as
+    // q136/q137; c_custkey tiebreak for determinism.
+    QuerySpec("q154_tpch_q10",
+      (s, dir) => {
+        val ord = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+          .select("o_orderkey", "o_custkey")
+        val li = t(s, dir, "lineitem")
+          .filter(col("l_returnflag") === "R")
+          .select("l_orderkey", "l_extendedprice", "l_discount")
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, dir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+          .agg(revenue.as("revenue"))
+          .orderBy(desc("revenue"), col("c_custkey"))
+          .limit(20)
+      },
+      Some("""SELECT c_custkey, c_name, c_acctbal, n_name,
+             |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+             |FROM customer
+             |JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON l_orderkey = o_orderkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+             |  AND o_orderdate < TIMESTAMP '1996-04-01'
+             |  AND l_returnflag = 'R'
+             |GROUP BY c_custkey, c_name, c_acctbal, n_name
+             |ORDER BY revenue DESC, c_custkey
+             |LIMIT 20""".stripMargin)),
+
+    // q155 — TPC-H Q18 shape (large-volume customers): the HAVING-
+    // subquery form restated as agg-below-join — sum(l_quantity) runs
+    // ONCE at order grain before any join (map-side combine collapses
+    // the fact table to order-grain rows), the >300 screen prunes to a
+    // tiny survivor set, and orders/customer join onto survivors. At
+    // 100 TB that ordering is the difference between shuffling lineitem
+    // once at order grain and joining the raw fact twice (the reference
+    // HAVING form re-scans). Quantity sums are decimal-stabilized; the
+    // reference's o_totalprice desc, o_orderdate ordering gets an
+    // o_orderkey tiebreak.
+    QuerySpec("q155_tpch_q18",
+      (s, dir) => {
+        val big = t(s, dir, "lineitem")
+          .groupBy("l_orderkey")
+          .agg(Stable.dsum(col("l_quantity"), 2).as("sum_qty"))
+          .filter(col("sum_qty") > 300)
+        big.join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, dir, "customer").select("c_custkey", "c_name"),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+          .orderBy(desc("o_totalprice"), col("o_orderdate"), col("o_orderkey"))
+          .limit(100)
+      },
+      Some("""WITH big AS (
+             |  SELECT l_orderkey,
+             |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+             |  FROM lineitem GROUP BY l_orderkey
+             |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 300)
+             |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+             |FROM big
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+             |LIMIT 100""".stripMargin)))
 }
