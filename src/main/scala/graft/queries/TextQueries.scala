@@ -2660,5 +2660,133 @@ object TextQueries {
               |n AS (SELECT a AS d FROM tri UNION ALL SELECT b FROM tri
               |      UNION ALL SELECT c FROM tri)
               |SELECT d AS doc_id, count(*) AS n_triangles FROM n
-              |GROUP BY d ORDER BY doc_id""".stripMargin)))
+              |GROUP BY d ORDER BY doc_id""".stripMargin)),
+
+    // q156 — DSIR-style importance weights (Xie et al. 2023): score every
+    // document by how target-like its hashed n-gram feature profile is —
+    // w(doc) = Σ_tokens log(p_target(bucket)/p_raw(bucket)) — the
+    // data-selection screen that upweights documents resembling a trusted
+    // target slice (here lang='en') without training a model. Tokens hash
+    // into 64 buckets (portable md5 hash32), the two bucket distributions
+    // are add-half smoothed, and the 64-row log-ratio table broadcasts to
+    // one scan-grain join; per-bucket log-ratios round to 6 then sum as
+    // DECIMAL at doc grain (order-free, the q148 rule). One corpus-sized
+    // shuffle total (the doc-grain reduction) — the bucket tables are
+    // feature-space-sized, corpus-independent.
+    QuerySpec("q156_dsir_weights",
+      (s, dir) => {
+        val tok = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            explode(Text.tokens(lower(col("text")))).as("t"))
+          .select(col("doc_id"), col("lang"),
+            (Text.hash32(col("t")) % 64).as("bk"))
+          .persistTracked()
+        val raw = tok.groupBy("bk").agg(count(lit(1)).as("rb"))
+        val tgt = tok.filter(col("lang") === "en")
+          .groupBy("bk").agg(count(lit(1)).as("tb"))
+        val rTot = raw.agg(sum(col("rb")).cast("double").as("r_total"))
+        val tTot = tgt.agg(sum(col("tb")).cast("double").as("t_total"))
+        val lam = raw.join(tgt, Seq("bk"), "left")
+          .crossJoin(broadcast(rTot)).crossJoin(broadcast(tTot))
+          .select(col("bk"),
+            round(log(((coalesce(col("tb"), lit(0L)) + 0.5) / (col("t_total") + 32.0)) /
+                ((col("rb") + 0.5) / (col("r_total") + 32.0))), 6)
+              .cast("decimal(12,6)").as("lam"))
+        tok.join(broadcast(lam), "bk")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tok"), sum(col("lam")).as("slam"))
+          .select(col("doc_id"), col("n_tok"),
+            col("slam").cast("double").as("w"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH b AS (SELECT doc_id, lang,
+              |    CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 64 AS bk
+              |  FROM (SELECT doc_id, lang, unnest($duckTokens) AS t FROM documents)),
+              |raw AS (SELECT bk, count(*) AS rb FROM b GROUP BY bk),
+              |tgt AS (SELECT bk, count(*) AS tb FROM b WHERE lang = 'en' GROUP BY bk),
+              |rt AS (SELECT CAST(SUM(rb) AS DOUBLE) AS r_total FROM raw),
+              |tt AS (SELECT CAST(SUM(tb) AS DOUBLE) AS t_total FROM tgt),
+              |lam AS (SELECT raw.bk,
+              |    CAST(round(ln(((COALESCE(tb, 0) + 0.5) / (t_total + 32.0)) /
+              |      ((rb + 0.5) / (r_total + 32.0))), 6) AS DECIMAL(12,6)) AS lam
+              |  FROM raw LEFT JOIN tgt ON raw.bk = tgt.bk, rt, tt)
+              |SELECT doc_id, count(*) AS n_tok, CAST(SUM(lam) AS DOUBLE) AS w
+              |FROM b JOIN lam ON b.bk = lam.bk
+              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // q157 — tokenizer fertility per language: subword-per-word and
+    // chars-per-subword ratios of the q62 GPT-2-ish pre-tokenizer against
+    // the whitespace word count — the standard gauge of how expensive
+    // each language is to tokenize (fertility ≫ 1 means the tokenizer
+    // fragments that language's text). Pure scan-local projections into a
+    // lang-grain aggregate (5 groups); integer sums, two IEEE divisions
+    // at the end.
+    QuerySpec("q157_fertility",
+      (s, dir) => {
+        Tables.load(s, dir, "documents")
+          .select(col("lang"),
+            Text.tokenCount(col("text")).cast("long").as("nw"),
+            size(expr("""regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0)"""))
+              .cast("long").as("ns"),
+            length(col("text")).cast("long").as("nc"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("n_words"),
+            sum(col("ns")).as("n_sub"), sum(col("nc")).as("n_chars"))
+          .select(col("lang"), col("n_docs"), col("n_words"), col("n_sub"),
+            round(col("n_sub") / col("n_words"), 6).as("fertility"),
+            round(col("n_chars") / col("n_sub"), 6).as("chars_per_sub"))
+          .orderBy("lang")
+      },
+      Some("""WITH a AS (SELECT lang, count(*) AS n_docs,
+             |    CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_words,
+             |    CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS n_sub,
+             |    CAST(SUM(length(text)) AS BIGINT) AS n_chars
+             |  FROM documents GROUP BY lang)
+             |SELECT lang, n_docs, n_words, n_sub,
+             |  round(n_sub / n_words, 6) AS fertility,
+             |  round(n_chars / n_sub, 6) AS chars_per_sub
+             |FROM a ORDER BY lang""".stripMargin)),
+
+    // q158 — cross-source corpus overlap matrix: shingle-set Jaccard for
+    // every source pair — the contamination/provenance diagnostic that
+    // shows which scrape feeds duplicate each other (exact doc-level dup
+    // across sources is zero here; shared 3-gram shingles still expose
+    // template reuse). The self-join keys on the shingle hash at
+    // source-grain DISTINCT sets, so a shingle shared by k sources emits
+    // C(k,2) ≤ |sources|² pairs — bounded per key by the source count,
+    // never corpus-sized; per-source set sizes broadcast (|sources| rows).
+    QuerySpec("q158_source_overlap",
+      (s, dir) => {
+        val tok = Tables.load(s, dir, "documents")
+          .select(col("source"), Text.tokens(lower(col("text"))).as("tk"))
+        val sh = tok
+          .select(col("source"), explode(Text.shinglesFromTokens(col("tk"), 3)).as("sh"))
+          .select(col("source"), Text.hash32(col("sh")).as("h"))
+          .distinct()
+          .persistTracked()
+        val sizes = sh.groupBy("source").agg(count(lit(1)).as("n"))
+        sh.select(col("source").as("src_a"), col("h"))
+          .join(sh.select(col("source").as("src_b"), col("h")), "h")
+          .filter(col("src_a") < col("src_b"))
+          .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
+          .join(broadcast(sizes.select(col("source").as("src_a"), col("n").as("na"))), "src_a")
+          .join(broadcast(sizes.select(col("source").as("src_b"), col("n").as("nb"))), "src_b")
+          .select(col("src_a"), col("src_b"), col("n_shared"),
+            round(col("n_shared").cast("double") /
+              (col("na") + col("nb") - col("n_shared")), 6).as("jaccard"))
+          .orderBy("src_a", "src_b")
+      },
+      Some(s"""WITH toks AS (SELECT source, $duckTokens AS w FROM documents),
+              |sh AS (SELECT DISTINCT source,
+              |    CAST('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 8) AS BIGINT) AS h
+              |  FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)),
+              |sizes AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+              |p AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+              |  FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+              |  GROUP BY a.source, b.source)
+              |SELECT src_a, src_b, n_shared,
+              |  round(CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared), 6) AS jaccard
+              |FROM p JOIN sizes sa ON p.src_a = sa.source
+              |       JOIN sizes sb ON p.src_b = sb.source
+              |ORDER BY src_a, src_b""".stripMargin)))
 }
