@@ -1167,5 +1167,115 @@ object VectorQueries {
            |${t5("t32", 32)}
            |SELECT * FROM (${ev("t16", 16)} UNION ALL ${ev("t32", 32)})
            |ORDER BY q_id, dim_kept""".stripMargin
+      }),
+
+    // q159 — kNN label classification: predict each query vector's label
+    // by majority vote of its top-5 cosine neighbors (the retrieval-as-
+    // classifier eval that measures whether the embedding space separates
+    // the labels). Neighbor search is the shared bruteTopK (broadcast
+    // 8-row query batch, one corpus pass); the vote is a |q|·k-row
+    // aggregate with a deterministic tie-break (more votes, then lower
+    // label — the q32 tie rule). `correct` joins the prediction back to
+    // the query's own label.
+    QuerySpec("q159_knn_classify",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings").persistTracked()
+        val votes = bruteTopK(emb)
+          .join(emb.select(col("vec_id"), col("label")), "vec_id")
+          .groupBy("q_id", "label").agg(count(lit(1)).as("n_votes"))
+        val w = Window.partitionBy("q_id")
+          .orderBy(col("n_votes").desc, col("label"))
+        votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("q_id"), col("label").as("pred_label"), col("n_votes"))
+          .join(emb.select(col("vec_id").as("q_id"), col("label").as("true_label")), "q_id")
+          .select(col("q_id"), col("true_label"), col("pred_label"), col("n_votes"),
+            (col("pred_label") === col("true_label")).cast("int").as("correct"))
+          .orderBy("q_id")
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 8),
+              |scored AS (
+              |  SELECT q.q_id, e.vec_id,
+              |    round(${duckCos("q.q_vec", "e.embedding")}, 6) AS cos_sim
+              |  FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+              |nn AS (SELECT q_id, vec_id FROM (
+              |  SELECT *, row_number() OVER (PARTITION BY q_id
+              |    ORDER BY cos_sim DESC, vec_id) AS rnk FROM scored) WHERE rnk <= 5),
+              |votes AS (SELECT nn.q_id, e.label, count(*) AS n_votes
+              |  FROM nn JOIN embeddings e ON nn.vec_id = e.vec_id
+              |  GROUP BY nn.q_id, e.label),
+              |best AS (SELECT *, row_number() OVER (PARTITION BY q_id
+              |  ORDER BY n_votes DESC, label) AS rn FROM votes)
+              |SELECT b.q_id, t.label AS true_label, b.label AS pred_label, b.n_votes,
+              |  CAST(b.label = t.label AS INTEGER) AS correct
+              |FROM best b JOIN embeddings t ON t.vec_id = b.q_id
+              |WHERE b.rn = 1 ORDER BY b.q_id""".stripMargin)),
+
+    // q160 — Davies-Bouldin cluster quality over the q32 IVF partition:
+    // per-cluster scatter S_i (mean Euclidean distance to the assigned
+    // centroid) and DB_i = max_{j≠i} (S_i+S_j)/M_ij where M_ij is the
+    // centroid separation — the internal clustering validity index that
+    // tells an IVF build whether its buckets are tight enough to bound
+    // nprobe. Assignment reuses nearestCentroid (broadcast k-row
+    // centroids, struct-max — one row per vector out of the exchange);
+    // scatter is a cluster-grain decimal mean of 6-rounded distances;
+    // the R_ij matrix is k² rows of driver-free arithmetic. Distances
+    // fold index-order after float→double widening (the duckDot rule),
+    // so both engines see identical doubles before each round.
+    QuerySpec("q160_cluster_quality",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val cents = emb.filter(col("vec_id") < 4)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
+        def l2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+          sqrt(aggregate(
+            zip_with(a, b, (x, y) =>
+              (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+            lit(0.0), (acc, x) => acc + x))
+        val scatter = nearestCentroid(emb, cents)
+          .join(broadcast(cents), "cent_id")
+          .select(col("cent_id"),
+            round(l2(col("embedding"), col("cent_vec")), 6)
+              .cast("decimal(18,6)").as("d"))
+          .groupBy("cent_id")
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("d")).cast("double") / count(lit(1)), 6).as("s_i"))
+          .persistTracked()
+        val sep = cents.select(col("cent_id").as("ci"), col("cent_vec").as("va"))
+          .crossJoin(cents.select(col("cent_id").as("cj"), col("cent_vec").as("vb")))
+          .filter(col("ci") =!= col("cj"))
+          .select(col("ci"), col("cj"), round(l2(col("va"), col("vb")), 6).as("m_ij"))
+        sep
+          .join(broadcast(scatter.select(col("cent_id").as("ci"), col("s_i").as("sa"))), "ci")
+          .join(broadcast(scatter.select(col("cent_id").as("cj"), col("s_i").as("sb"))), "cj")
+          .groupBy(col("ci").as("cent_id"))
+          .agg(round(max((col("sa") + col("sb")) / col("m_ij")), 6).as("db_i"))
+          .join(scatter, "cent_id")
+          .select(col("cent_id"), col("n"), col("s_i"), col("db_i"))
+          .orderBy("cent_id")
+      },
+      Some {
+        val l2 = (a: String, b: String) =>
+          s"sqrt(list_sum(list_transform(generate_series(1, $dim), i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)))))"
+        s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent_vec FROM embeddings WHERE vec_id < 4),
+           |assigned AS (SELECT vec_id, cent_id, embedding FROM (
+           |  SELECT e.vec_id, c.cent_id, e.embedding,
+           |    row_number() OVER (PARTITION BY e.vec_id
+           |      ORDER BY round(${duckCos("c.cent_vec", "e.embedding")}, 6) DESC, c.cent_id) AS rn
+           |  FROM embeddings e, cents c) WHERE rn = 1),
+           |scatter AS (SELECT a.cent_id, count(*) AS n,
+           |    round(CAST(SUM(CAST(round(${l2("a.embedding", "c.cent_vec")}, 6) AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS s_i
+           |  FROM assigned a JOIN cents c ON a.cent_id = c.cent_id
+           |  GROUP BY a.cent_id),
+           |sep AS (SELECT a.cent_id AS ci, b.cent_id AS cj,
+           |    round(${l2("a.cent_vec", "b.cent_vec")}, 6) AS m_ij
+           |  FROM cents a JOIN cents b ON a.cent_id <> b.cent_id),
+           |db AS (SELECT ci AS cent_id,
+           |    round(max((sa.s_i + sb.s_i) / m_ij), 6) AS db_i
+           |  FROM sep JOIN scatter sa ON sep.ci = sa.cent_id
+           |           JOIN scatter sb ON sep.cj = sb.cent_id
+           |  GROUP BY ci)
+           |SELECT s.cent_id, s.n, s.s_i, db.db_i
+           |FROM scatter s JOIN db ON s.cent_id = db.cent_id
+           |ORDER BY s.cent_id""".stripMargin
       }))
 }
