@@ -22,14 +22,21 @@ object Tables {
     if (name == "events") normalizeTs(df) else df
   }
 
-  /** `events.ts` is nanosecond-precision parquet; Spark's TimestampType is
-    * microseconds. When the session reads nanos as Long
-    * (spark.sql.legacy.parquet.nanosAsLong), convert via integer-division
-    * truncation — the same truncation DuckDB applies casting TIMESTAMP_NS
-    * to TIMESTAMP, which keeps oracle parity exact. */
+  /** `events.ts` arrives in whatever physical type the corpus generator
+    * chose that round; normalize every variant to session-local
+    * TimestampType (UTC session) so downstream event-time logic — windows,
+    * watermarks, unix_micros — sees one type:
+    *   - nanosecond parquet read as Long (spark.sql.legacy.parquet
+    *     .nanosAsLong): integer-division truncation to µs, the same
+    *     truncation DuckDB applies casting TIMESTAMP_NS to TIMESTAMP;
+    *   - µs parquet without isAdjustedToUTC (Spark infers TIMESTAMP_NTZ):
+    *     cast to TimestampType — under the UTC session timezone the
+    *     wall-clock reinterpretation is the identity on the stored µs,
+    *     matching DuckDB's naive TIMESTAMP read bit for bit. */
   private def normalizeTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case LongType => df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
       case _        => df
     }
 
