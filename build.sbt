@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output must NOT pass through sbt's logger: the logger
+// prefixes every line with "[info] ", and the driver parses the Bench
+// JSON line from the last 2000 chars of raw stdout (a prefixed line
+// never matches; rounds 1-5 all recorded parsed=null). StdoutOutput
+// inherits the parent's stdout directly — bare lines, no prefix.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -32,8 +32,14 @@ object Tables {
     *   - µs parquet without isAdjustedToUTC (Spark infers TIMESTAMP_NTZ):
     *     cast to TimestampType — under the UTC session timezone the
     *     wall-clock reinterpretation is the identity on the stored µs,
-    *     matching DuckDB's naive TIMESTAMP read bit for bit. */
-  private def normalizeTs(df: DataFrame): DataFrame =
+    *     matching DuckDB's naive TIMESTAMP read bit for bit.
+    *
+    * ONE definition serves batch ([[load]]) and streaming
+    * ([[graft.streaming.StreamQueries]] `eventStream`): the rules were
+    * previously duplicated and kept in sync only by comments (ADVICE r5)
+    * — a physical variant added to one side would have silently diverged
+    * stream vs batch event-time semantics. */
+  private[graft] def normalizeTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case LongType => df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))

@@ -6,7 +6,6 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
-import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 import graft.core.{Stable, Tables}
 import graft.queries.QuerySpec
 
@@ -30,14 +29,9 @@ object StreamQueries {
       tmp.resolve("events.parquet"),
       Paths.get(s"$dir/events.parquet").toAbsolutePath)
     val src = s.readStream.schema(schema).parquet(tmp.toString)
-    schema("ts").dataType match {
-      // ns-as-Long and NTZ variants both normalize to TimestampType, the
-      // only type event-time (watermarks, windows) accepts — mirrors
-      // Tables.normalizeTs so stream and batch sides agree.
-      case LongType => src.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      case TimestampNTZType => src.withColumn("ts", col("ts").cast(TimestampType))
-      case _ => src
-    }
+    // Shared definition with the batch loader: stream and batch sides
+    // normalize event-time by construction, not by comment (ADVICE r5).
+    Tables.normalizeTs(src)
   }
 
   /** Run a (bounded) streaming DataFrame to completion into a uniquely
