@@ -910,5 +910,180 @@ object RefQueries {
              |JOIN orders ON l_orderkey = o_orderkey
              |JOIN customer ON o_custkey = c_custkey
              |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
-             |LIMIT 100""".stripMargin)))
+             |LIMIT 100""".stripMargin)),
+
+    // q161 — TPC-H Q4 shape (order-priority checking): EXISTS restated
+    // as a LEFT SEMI join. The probe side is projected to l_orderkey
+    // only and partial-aggregates map-side inside the semi join (Spark
+    // dedups build keys), so the shuffle carries key-only rows; the
+    // quarter window prunes the orders scan. The semi join — not
+    // `IN (collect)` and not an inner-join + distinct — is the
+    // at-scale form: no fact-side row multiplication, no driver set.
+    // (Q4's l_commitdate < l_receiptdate predicate has no corpus
+    // column; l_returnflag = 'R' stands in as the line-level screen.)
+    QuerySpec("q161_tpch_q4",
+      (s, dir) => {
+        val ord = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+          .select("o_orderkey", "o_orderpriority")
+        val flagged = t(s, dir, "lineitem")
+          .filter(col("l_returnflag") === "R")
+          .select("l_orderkey")
+        ord.join(flagged, col("o_orderkey") === col("l_orderkey"), "left_semi")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS order_count
+             |FROM orders
+             |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+             |  AND o_orderdate < TIMESTAMP '1996-04-01'
+             |  AND EXISTS (SELECT 1 FROM lineitem
+             |              WHERE l_orderkey = o_orderkey
+             |                AND l_returnflag = 'R')
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // q162 — TPC-H Q12 shape (shipping-mode priority split): the
+    // conditional-aggregation form — CASE inside SUM, one pass, no
+    // self-join per priority class. The year window pushes into the
+    // lineitem scan; the join shuffles at lineitem grain on orderkey
+    // (only orderkey+priority projected from orders). l_linestatus
+    // stands in for the absent l_shipmode.
+    QuerySpec("q162_tpch_q12",
+      (s, dir) => {
+        val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        val li = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+          .select("l_orderkey", "l_linestatus")
+        li.join(t(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy("l_linestatus")
+          .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+            sum(when(!hi, 1L).otherwise(0L)).as("low_line_count"))
+          .orderBy("l_linestatus")
+      },
+      Some("""SELECT l_linestatus,
+             |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             |       THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+             |       THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             |  AND l_shipdate < TIMESTAMP '1997-01-01'
+             |GROUP BY l_linestatus
+             |ORDER BY l_linestatus""".stripMargin)),
+
+    // q163 — TPC-H Q16 shape (parts/supplier relationship): NOT IN
+    // restated as a LEFT ANTI join, plus COUNT(DISTINCT) over a
+    // pre-distincted bridge. lineitem's (partkey, suppkey) pairs are
+    // distincted FIRST (map-side combine collapses the ~4× line
+    // multiplicity before any join); the excluded-supplier set
+    // (negative balance, standing in for Q16's complaints LIKE) is
+    // key-only and broadcast; the part screen prunes below the join.
+    QuerySpec("q163_tpch_q16",
+      (s, dir) => {
+        val ps = t(s, dir, "lineitem")
+          .select(col("l_partkey"), col("l_suppkey")).distinct()
+        val excl = t(s, dir, "supplier")
+          .filter(col("s_acctbal") < 0).select("s_suppkey")
+        val pt = t(s, dir, "part")
+          .filter(col("p_brand") =!= "Brand#23" && col("p_size") <= 25)
+          .select("p_partkey", "p_brand", "p_type", "p_size")
+        ps.join(broadcast(excl), col("l_suppkey") === col("s_suppkey"), "left_anti")
+          .join(pt, col("l_partkey") === col("p_partkey"))
+          .groupBy("p_brand", "p_type", "p_size")
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+          .orderBy(desc("supplier_cnt"), col("p_brand"), col("p_type"),
+            col("p_size"))
+      },
+      Some("""SELECT p_brand, p_type, p_size,
+             |  count(DISTINCT l_suppkey) AS supplier_cnt
+             |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+             |JOIN part ON l_partkey = p_partkey
+             |WHERE p_brand <> 'Brand#23' AND p_size <= 25
+             |  AND l_suppkey NOT IN
+             |      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+             |GROUP BY p_brand, p_type, p_size
+             |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)),
+
+    // q164 — TPC-H Q17 shape (small-quantity-order revenue): the
+    // correlated AVG subquery decorrelated into a part-grain pre-agg
+    // joined back to the brand-filtered lines — the fact table is
+    // scanned once, pre-filtered by the broadcast part screen, and the
+    // avg join is at part grain. Parity: avg = CAST(decimal SUM AS
+    // DOUBLE)/count, then one IEEE multiply by 0.2 — bit-identical in
+    // both engines, so the < comparison can't flip at boundaries
+    // (q86/q147 rule).
+    QuerySpec("q164_tpch_q17",
+      (s, dir) => {
+        val br = t(s, dir, "part")
+          .filter(col("p_brand") === "Brand#23").select("p_partkey")
+        val liB = t(s, dir, "lineitem")
+          .select("l_partkey", "l_quantity", "l_extendedprice")
+          .join(broadcast(br), col("l_partkey") === col("p_partkey"))
+          .persistTracked()
+        val avgq = liB.groupBy("l_partkey")
+          .agg((sum(col("l_quantity")
+              .cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double") / count(lit(1))).as("avg_qty"))
+        liB.join(avgq, "l_partkey")
+          .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+          .agg(round(Stable.dsum(col("l_extendedprice"), 4) / lit(7.0), 4)
+            .as("avg_yearly"))
+      },
+      Some("""WITH liB AS (
+             |  SELECT l_partkey, l_quantity, l_extendedprice
+             |  FROM lineitem JOIN part ON l_partkey = p_partkey
+             |  WHERE p_brand = 'Brand#23'),
+             |a AS (
+             |  SELECT l_partkey,
+             |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             |      / count(*) AS avg_qty
+             |  FROM liB GROUP BY l_partkey)
+             |SELECT round(
+             |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+             |      / 7.0, 4) AS avg_yearly
+             |FROM liB JOIN a USING (l_partkey)
+             |WHERE l_quantity < 0.2 * avg_qty""".stripMargin)),
+
+    // q165 — TPC-H Q22 shape (global-customer sales opportunity): a
+    // scalar aggregate subquery (avg positive balance) as a 1-row
+    // broadcast cross join — corpus-size-independent — and NOT EXISTS
+    // (orders) as a LEFT ANTI join on the key-only probe. The avg is
+    // decimal-sum/count like q164 so the > screen is boundary-exact.
+    QuerySpec("q165_tpch_q22",
+      (s, dir) => {
+        val cust = t(s, dir, "customer")
+          .select("c_custkey", "c_nationkey", "c_acctbal")
+        val avgBal = cust.filter(col("c_acctbal") > 0.0)
+          .agg((sum(col("c_acctbal")
+              .cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double") / count(lit(1))).as("avg_bal"))
+        cust.crossJoin(broadcast(avgBal))
+          .filter(col("c_acctbal") > col("avg_bal"))
+          .join(t(s, dir, "orders").select("o_custkey"),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy("c_nationkey")
+          .agg(count(lit(1)).as("numcust"),
+            sum(col("c_acctbal")
+                .cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+              .cast("double").as("totacctbal"))
+          .orderBy("c_nationkey")
+      },
+      Some("""WITH a AS (
+             |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             |      / count(*) AS avg_bal
+             |  FROM customer WHERE c_acctbal > 0.0)
+             |SELECT c_nationkey, count(*) AS numcust,
+             |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS totacctbal
+             |FROM customer, a
+             |WHERE c_acctbal > avg_bal
+             |  AND NOT EXISTS (SELECT 1 FROM orders
+             |                  WHERE o_custkey = c_custkey)
+             |GROUP BY c_nationkey
+             |ORDER BY c_nationkey""".stripMargin)))
 }
