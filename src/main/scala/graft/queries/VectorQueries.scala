@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core.Cleanup.PersistTrackedOps
-import graft.core.Tables
+import graft.core.{Stable, Tables}
 import graft.functions.Vectors
 
 /** Similarity search over `embeddings.embedding` (array<float>, 64-dim) —
@@ -1277,5 +1277,185 @@ object VectorQueries {
            |SELECT s.cent_id, s.n, s.s_i, db.db_i
            |FROM scatter s JOIN db ON s.cent_id = db.cent_id
            |ORDER BY s.cent_id""".stripMargin
+      }),
+
+    // q166 — 1-bit (binary/sign) embedding quantization with Hamming
+    // shortlist + exact rerank: each vector compresses 64 floats →
+    // ONE 64-bit long (sign bit per dimension); candidate generation is
+    // bit_count(sig XOR q_sig) — a register-width popcount per
+    // candidate, no float math — then only the 20 Hamming-nearest per
+    // query are reranked with exact cosine. This is the memory-bound
+    // ANN regime: at 100 TB the signature column is 256× smaller than
+    // the embedding column, scans stay narrow (sig only until the
+    // rerank joins back), and the rerank touches |q|·20 vectors.
+    // The oracle computes Hamming as the per-dimension sign-disagreement
+    // count — same value, no packing — so the shortlist is identical.
+    QuerySpec("q166_binary_quant",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        // sig[i] = sign bit of embedding[i]; OR-fold, no add overflow.
+        val sig = expr(s"""aggregate(sequence(0, ${dim - 1}), CAST(0 AS BIGINT),
+          (acc, i) -> CASE WHEN embedding[i] > CAST(0.0 AS DOUBLE)
+                      THEN acc | shiftleft(CAST(1 AS BIGINT), i) ELSE acc END)""")
+        val sigs = emb.select(col("vec_id"), col("embedding"), sig.as("sig"))
+          .persistTracked()
+        val q = sigs.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+            col("sig").as("q_sig"))
+        val wh = Window.partitionBy("q_id")
+          .orderBy(col("ham"), col("vec_id"))
+        val shortlist = sigs.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("q_vec"), col("vec_id"), col("embedding"),
+            bit_count(expr("sig ^ q_sig")).as("ham"))
+          .withColumn("hrnk", row_number().over(wh))
+          .filter(col("hrnk") <= 20)
+        val wc = Window.partitionBy("q_id")
+          .orderBy(col("cos_sim").desc, col("vec_id"))
+        shortlist
+          .select(col("q_id"), col("vec_id"), col("ham"),
+            round(call_function("graft_cosine", col("q_vec"), col("embedding")), 6)
+              .as("cos_sim"))
+          .withColumn("rnk", row_number().over(wc))
+          .filter(col("rnk") <= 5)
+          .select("q_id", "vec_id", "ham", "cos_sim", "rnk")
+          .orderBy("q_id", "rnk")
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
+              |  FROM embeddings WHERE vec_id < 8),
+              |ham AS (
+              |  SELECT q.q_id, q.q_vec, e.vec_id, e.embedding,
+              |    CAST(list_sum(list_transform(generate_series(1, $dim),
+              |      i -> CASE WHEN (CAST(e.embedding[i] AS DOUBLE) > 0.0)
+              |                  <> (CAST(q.q_vec[i] AS DOUBLE) > 0.0)
+              |           THEN 1 ELSE 0 END)) AS INTEGER) AS ham
+              |  FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+              |short AS (SELECT * FROM (
+              |  SELECT *, row_number() OVER (PARTITION BY q_id
+              |    ORDER BY ham, vec_id) AS hrnk FROM ham) WHERE hrnk <= 20),
+              |rr AS (
+              |  SELECT q_id, vec_id, ham,
+              |    round(${duckCos("q_vec", "embedding")}, 6) AS cos_sim
+              |  FROM short),
+              |ranked AS (SELECT q_id, vec_id, ham, cos_sim,
+              |    CAST(row_number() OVER (PARTITION BY q_id
+              |      ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rnk
+              |  FROM rr)
+              |SELECT q_id, vec_id, ham, cos_sim, rnk FROM ranked
+              |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin)),
+
+    // q167 — embedding whitening (per-component standardization), the
+    // standard post-processing before similarity search / clustering:
+    // component means and second moments are ONE corpus pass grouped on
+    // pos (64 groups; map-side partial agg emits 64 rows per task, so
+    // the tiny group count is not a skew problem), the 64-row stats
+    // frame is broadcast back, and each vector's whitened norm is a
+    // scan-local fold. All sums are fixed-scale decimal (Stable rule)
+    // so partial-merge order can't shift them; variance and the final
+    // norm are single IEEE ops over identical doubles in both engines.
+    QuerySpec("q167_embed_whiten",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val e = emb.select(col("vec_id"), posexplode(col("embedding")))
+          .select(col("vec_id"), col("pos"), col("col").cast("double").as("x"))
+        val st = e.groupBy("pos")
+          .agg((Stable.dsum(col("x"), 9) / count(lit(1))).as("mean"),
+            (sum((col("x") * col("x"))
+                .cast(org.apache.spark.sql.types.DecimalType(18, 14)))
+              .cast("double") / count(lit(1))).as("ex2"))
+          .select(col("pos"), col("mean"),
+            sqrt(col("ex2") - col("mean") * col("mean")).as("sd"))
+        e.join(broadcast(st), "pos")
+          .select(col("vec_id"),
+            ((col("x") - col("mean")) / col("sd")).as("w"))
+          .groupBy("vec_id")
+          .agg(round(sqrt(Stable.dsum(col("w") * col("w"), 9) / lit(dim)), 6)
+            .as("wnorm"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, i AS pos,
+              |    CAST(embedding[i] AS DOUBLE) AS x
+              |  FROM embeddings, generate_series(1, $dim) t(i)),
+              |st AS (SELECT pos,
+              |    CAST(SUM(CAST(x AS DECIMAL(18,9))) AS DOUBLE)
+              |      / count(*) AS mean,
+              |    CAST(SUM(CAST(x*x AS DECIMAL(18,14))) AS DOUBLE)
+              |      / count(*) AS ex2
+              |  FROM e GROUP BY pos),
+              |w AS (SELECT vec_id,
+              |    (x - mean) / sqrt(ex2 - mean*mean) AS w
+              |  FROM e JOIN st USING (pos))
+              |SELECT vec_id,
+              |  round(sqrt(CAST(SUM(CAST(w*w AS DECIMAL(18,9))) AS DOUBLE)
+              |    / $dim), 6) AS wnorm
+              |FROM w GROUP BY vec_id ORDER BY vec_id""".stripMargin)),
+
+    // q168 — greedy k-center coreset selection (the 2-approximation
+    // farthest-point traversal used for data pruning / diverse-subset
+    // selection): start from vec_id 0, then k-1 rounds of "pick the
+    // point farthest from every chosen center" (cosine distance,
+    // rounded; ties toward the lower vec_id). Each round is ONE narrow
+    // corpus pass — the running min-distance column is updated against
+    // the single new center (broadcast), so the work is O(k·n) total
+    // with no joins and no shuffle except the k TakeOrdered(1)
+    // argmax reductions. The per-round 1-row collect is bounded by k —
+    // this is the standard distributed form (centers live on the
+    // driver; n never does). The oracle unrolls the same 3 rounds as
+    // CTEs with an identical round/least lattice, so selections can't
+    // diverge at distance ties.
+    QuerySpec("q168_kcenter_coreset",
+      (s, dir) => {
+        val spark = s
+        val emb = Tables.load(s, dir, "embeddings")
+        val e = emb.select(col("vec_id"), col("embedding")).persistTracked()
+        // distance to the joined-in center column `cv`
+        val dToCv =
+          round(lit(1) - call_function("graft_cosine",
+            col("embedding"), col("cv")), 6)
+        val c0 = broadcast(e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("cv")))
+        var cur = e.crossJoin(c0)
+          .select(col("vec_id"), col("embedding"), dToCv.as("dmin"))
+        var chosen = Seq[(Int, Long, Double)]((0, 0L, 0.0))
+        for (step <- 1 to 3) {
+          val top = cur.select(col("vec_id"), col("dmin"))
+            .orderBy(desc("dmin"), col("vec_id")).limit(1).collect()(0)
+          val (nid, nd) = (top.getLong(0), top.getDouble(1))
+          chosen = chosen :+ ((step, nid, nd))
+          val cN = broadcast(e.filter(col("vec_id") === nid)
+            .select(col("embedding").as("cv")))
+          cur = cur.crossJoin(cN)
+            .select(col("vec_id"), col("embedding"),
+              least(col("dmin"), dToCv).as("dmin"))
+        }
+        import spark.implicits._
+        chosen.toDF("step", "vec_id", "dmin").orderBy("step")
+      },
+      Some {
+        val d = (v: String, c: String) => s"round(1 - ${duckCos(v, c)}, 6)"
+        s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+           |c0 AS (SELECT v AS cv FROM e WHERE vec_id = 0),
+           |d1 AS (SELECT e.vec_id, e.v, ${d("e.v", "c0.cv")} AS dmin
+           |  FROM e CROSS JOIN c0),
+           |m1 AS (SELECT vec_id, dmin FROM d1
+           |  ORDER BY dmin DESC, vec_id LIMIT 1),
+           |c1 AS (SELECT e.v AS cv FROM e JOIN m1 USING (vec_id)),
+           |d2 AS (SELECT d1.vec_id, d1.v,
+           |    least(d1.dmin, ${d("d1.v", "c1.cv")}) AS dmin
+           |  FROM d1 CROSS JOIN c1),
+           |m2 AS (SELECT vec_id, dmin FROM d2
+           |  ORDER BY dmin DESC, vec_id LIMIT 1),
+           |c2 AS (SELECT e.v AS cv FROM e JOIN m2 USING (vec_id)),
+           |d3 AS (SELECT d2.vec_id, d2.v,
+           |    least(d2.dmin, ${d("d2.v", "c2.cv")}) AS dmin
+           |  FROM d2 CROSS JOIN c2),
+           |m3 AS (SELECT vec_id, dmin FROM d3
+           |  ORDER BY dmin DESC, vec_id LIMIT 1)
+           |SELECT CAST(0 AS INTEGER) AS step, CAST(0 AS BIGINT) AS vec_id,
+           |  CAST(0.0 AS DOUBLE) AS dmin
+           |UNION ALL SELECT 1, vec_id, dmin FROM m1
+           |UNION ALL SELECT 2, vec_id, dmin FROM m2
+           |UNION ALL SELECT 3, vec_id, dmin FROM m3
+           |ORDER BY step""".stripMargin
       }))
 }
