@@ -397,5 +397,46 @@ object AnalyticsQueries {
              |SELECT bin, count(*) AS n,
              |  lo + CAST(bin AS DOUBLE) * ((hi - lo) / 20.0) AS edge_lo,
              |  lo + CAST(bin + 1 AS DOUBLE) * ((hi - lo) / 20.0) AS edge_hi
-             |FROM bins GROUP BY bin, lo, hi ORDER BY bin""".stripMargin)))
+             |FROM bins GROUP BY bin, lo, hi ORDER BY bin""".stripMargin)),
+
+    // q169 — Z-order (Morton) clustering key: interleave the low 8 bits
+    // of two join/filter dimensions into a 16-bit z-value, then audit
+    // locality per leading-byte cell (the 16×16 grid a z-sorted file
+    // layout would pack into row groups). Within every cell both
+    // dimensions span ≤ 16 values — the min/max bounds prove that a
+    // z-sorted write clusters BOTH columns at once, which is what makes
+    // parquet min/max skipping effective for 2-D predicates at 100 TB
+    // (a single-column sort clusters one dimension and shreds the
+    // other). The z fold is scan-local arithmetic (DIV/pow — exact for
+    // these widths in both engines); the aggregate shuffles cell-grain
+    // rows only. Sinks.clustered writes use exactly this key shape.
+    QuerySpec("q169_zorder_cells",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+          .select((col("l_partkey") % 256).as("x"),
+            (col("l_suppkey") % 256).as("y"))
+        val z = expr("""aggregate(sequence(0, 7), CAST(0 AS BIGINT),
+          (acc, i) -> acc
+            + ((x DIV CAST(pow(2, i) AS BIGINT)) % 2) * CAST(pow(2, 2*i) AS BIGINT)
+            + ((y DIV CAST(pow(2, i) AS BIGINT)) % 2) * CAST(pow(2, 2*i+1) AS BIGINT))""")
+        li.select(col("x"), col("y"), z.as("z"))
+          .groupBy((col("z") - (col("z") % 256)).as("zcell"))
+          .agg(count(lit(1)).as("n"),
+            min(col("x")).as("x_lo"), max(col("x")).as("x_hi"),
+            min(col("y")).as("y_lo"), max(col("y")).as("y_hi"))
+          .orderBy("zcell")
+      },
+      Some("""WITH pts AS (SELECT l_partkey % 256 AS x, l_suppkey % 256 AS y
+             |  FROM lineitem),
+             |zv AS (SELECT x, y,
+             |    list_sum(list_transform(generate_series(0, 7), i ->
+             |      (CAST(floor(x / pow(2, i)) AS BIGINT) % 2)
+             |        * CAST(pow(2, 2*i) AS BIGINT)
+             |      + (CAST(floor(y / pow(2, i)) AS BIGINT) % 2)
+             |        * CAST(pow(2, 2*i+1) AS BIGINT))) AS z
+             |  FROM pts)
+             |SELECT CAST(z - (z % 256) AS BIGINT) AS zcell, count(*) AS n,
+             |  min(x) AS x_lo, max(x) AS x_hi,
+             |  min(y) AS y_lo, max(y) AS y_hi
+             |FROM zv GROUP BY zcell ORDER BY zcell""".stripMargin)))
 }
