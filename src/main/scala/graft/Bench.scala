@@ -82,7 +82,12 @@ object Bench {
     if (v == Double.MaxValue) "-1"
     else if (v < 10) num("%.2f", v)
     else if (v < 100) num("%.1f", v)
-    else num("%.0f", v)
+    // Clamp at 3 digits: a ≥1000 s single query at sf0.1 only happens on
+    // a broken/contended run (r04's worst contaminated value was 96 s);
+    // "999" flags it in bounded width, the exact value stays on stderr
+    // and inside "value" (the true total). Keeps the worst-case line
+    // width flat as the query count grows (BenchFormatSpec budget).
+    else num("%.0f", math.min(v, 999))
 
   /** The driver keeps only the last ~2000 chars of stdout and parses the
     * JSON line out of that tail: the line MUST stay well under that

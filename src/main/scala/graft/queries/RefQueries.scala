@@ -1085,5 +1085,231 @@ object RefQueries {
              |  AND NOT EXISTS (SELECT 1 FROM orders
              |                  WHERE o_custkey = c_custkey)
              |GROUP BY c_nationkey
-             |ORDER BY c_nationkey""".stripMargin)))
+             |ORDER BY c_nationkey""".stripMargin)),
+
+    // q170 — TPC-H Q6 shape (forecasting-revenue change): the pure
+    // predicate-pushdown query — every filter (date window, discount
+    // band, quantity cap) reaches the parquet scan as a PushedFilter,
+    // the scan projects two columns, and the aggregate is a map-side
+    // partial + 1-row final. At 100 TB this query's cost is the scan's
+    // row-group skipping, nothing else — there is no shuffle of data
+    // rows at all.
+    QuerySpec("q170_tpch_q6",
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(round(Stable.dsum(col("l_extendedprice") * col("l_discount"), 6), 4)
+          .as("revenue")),
+      Some("""SELECT round(
+             |  CAST(SUM(CAST(l_extendedprice*l_discount AS DECIMAL(18,6))) AS DOUBLE),
+             |  4) AS revenue
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             |  AND l_shipdate < TIMESTAMP '1997-01-01'
+             |  AND l_discount >= 0.05 AND l_discount <= 0.07
+             |  AND l_quantity < 24""".stripMargin)),
+
+    // q171 — TPC-H Q7 shape (volume shipping between two nations): the
+    // double-dimension-constrained join — the supplier side and the
+    // customer side each resolve to a nation name, and the pair filter
+    // ((A,B) or (B,A)) runs where both are first available. nation is
+    // broadcast twice under different aliases; the fact-side joins
+    // shuffle at lineitem then order grain; the year split comes from
+    // l_shipdate.
+    QuerySpec("q171_tpch_q7",
+      (s, dir) => {
+        val n1 = t(s, dir, "nation")
+          .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+        val n2 = t(s, dir, "nation")
+          .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+        val pairOk = (col("supp_nation") === "NATION_3" &&
+            col("cust_nation") === "NATION_7") ||
+          (col("supp_nation") === "NATION_7" &&
+            col("cust_nation") === "NATION_3")
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+          .join(t(s, dir, "supplier").select("s_suppkey", "s_nationkey"),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+          .join(t(s, dir, "orders").select("o_orderkey", "o_custkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, dir, "customer").select("c_custkey", "c_nationkey"),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+          .filter(pairOk)
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).as("l_year"))
+          .agg(revenue.as("revenue"))
+          .orderBy("supp_nation", "cust_nation", "l_year")
+      },
+      Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             |  CAST(year(l_shipdate) AS INTEGER) AS l_year,
+             |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+             |FROM lineitem
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+             |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             |  AND l_shipdate < TIMESTAMP '1998-01-01'
+             |  AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+             |    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+             |GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+             |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)),
+
+    // q172 — TPC-H Q8 shape (national market share): conditional share
+    // of a conditional aggregate — numerator and denominator are the
+    // SAME decimal sum split by a CASE on the supplier's nation, so one
+    // pass computes both (no self-join, no second scan). The region
+    // screen rides the broadcast customer-side nation; the part type
+    // screen prunes the part join's build side.
+    QuerySpec("q172_tpch_q8",
+      (s, dir) => {
+        val volDec = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 4))
+        val natR = broadcast(t(s, dir, "nation")
+          .join(t(s, dir, "region").filter(col("r_name") === "ASIA"),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey").as("c_nk")))
+        val nS = broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")))
+        t(s, dir, "lineitem")
+          .join(t(s, dir, "part").filter(col("p_type") === "STANDARD")
+            .select("p_partkey"), col("l_partkey") === col("p_partkey"))
+          .join(t(s, dir, "orders")
+            .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+            .select("o_orderkey", "o_custkey", "o_orderdate"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, dir, "customer").select("c_custkey", "c_nationkey"),
+            col("o_custkey") === col("c_custkey"))
+          .join(natR, col("c_nationkey") === col("c_nk"))
+          .join(t(s, dir, "supplier").select("s_suppkey", "s_nationkey"),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(nS, col("s_nationkey") === col("s_nk"))
+          .groupBy(year(col("o_orderdate")).as("o_year"))
+          .agg(round(
+            sum(when(col("supp_nation") === "NATION_5", volDec)
+              .otherwise(lit(0).cast(
+                org.apache.spark.sql.types.DecimalType(18, 4)))).cast("double") /
+            sum(volDec).cast("double"), 6).as("mkt_share"))
+          .orderBy("o_year")
+      },
+      Some("""SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             |  round(
+             |    CAST(SUM(CASE WHEN n2.n_name = 'NATION_5'
+             |      THEN CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))
+             |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) /
+             |    CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE),
+             |    6) AS mkt_share
+             |FROM lineitem
+             |JOIN part ON l_partkey = p_partkey
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+             |JOIN region ON n1.n_regionkey = r_regionkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+             |WHERE p_type = 'STANDARD' AND r_name = 'ASIA'
+             |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+             |  AND o_orderdate < TIMESTAMP '1998-01-01'
+             |GROUP BY year(o_orderdate)
+             |ORDER BY o_year""".stripMargin)),
+
+    // q173 — TPC-H Q13 shape (customer order-count distribution): the
+    // distribution-of-an-aggregate — LEFT OUTER join so zero-order
+    // customers keep c_count = 0, then a second aggregation over the
+    // first's results. The outer join shuffles at order grain once; the
+    // second groupBy touches |customers| rows. (Q13's comment NOT LIKE
+    // screen has no corpus column; o_orderpriority <> '5-LOW' stands
+    // in.)
+    QuerySpec("q173_tpch_q13",
+      (s, dir) => {
+        val ord = t(s, dir, "orders")
+          .filter(col("o_orderpriority") =!= "5-LOW")
+          .select("o_orderkey", "o_custkey")
+        t(s, dir, "customer").select("c_custkey")
+          .join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+          .groupBy("c_custkey")
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy("c_count")
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(desc("custdist"), desc("c_count"))
+      },
+      Some("""SELECT c_count, count(*) AS custdist
+             |FROM (
+             |  SELECT c_custkey, count(o_orderkey) AS c_count
+             |  FROM customer
+             |  LEFT OUTER JOIN orders ON c_custkey = o_custkey
+             |    AND o_orderpriority <> '5-LOW'
+             |  GROUP BY c_custkey)
+             |GROUP BY c_count
+             |ORDER BY custdist DESC, c_count DESC""".stripMargin)),
+
+    // q174 — TPC-H Q14 shape (promotion effect): percentage-of-total as
+    // a CASE split inside one aggregate pass over the month window —
+    // numerator and denominator share the scan and the join, and the
+    // part side carries only (p_partkey, p_type).
+    QuerySpec("q174_tpch_q14",
+      (s, dir) => {
+        val volDec = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 4))
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+          .join(t(s, dir, "part").select("p_partkey", "p_type"),
+            col("l_partkey") === col("p_partkey"))
+          .agg(round(lit(100.0) *
+            sum(when(col("p_type") === "PROMO", volDec)
+              .otherwise(lit(0).cast(
+                org.apache.spark.sql.types.DecimalType(18, 4)))).cast("double") /
+            sum(volDec).cast("double"), 6).as("promo_revenue"))
+      },
+      Some("""SELECT round(100.0 *
+             |    CAST(SUM(CASE WHEN p_type = 'PROMO'
+             |      THEN CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))
+             |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) /
+             |    CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE),
+             |    6) AS promo_revenue
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+             |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin)),
+
+    // q175 — TPC-H Q15 shape (top supplier): max-of-an-aggregate
+    // self-comparison — supplier revenue aggregates once (persisted:
+    // referenced by both the max and the final filter), the 1-row max
+    // broadcasts back, and equality selects the winner(s). The decimal
+    // sums make the equality exact — no epsilon needed. Replaces Q15's
+    // view with the same two-reference dataflow.
+    QuerySpec("q175_tpch_q15",
+      (s, dir) => {
+        val rev = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+          .groupBy("l_suppkey")
+          .agg(revenue.as("total_revenue"))
+          .persistTracked()
+        val mx = rev.agg(max(col("total_revenue")).as("mx"))
+        rev.crossJoin(broadcast(mx))
+          .filter(col("total_revenue") === col("mx"))
+          .join(t(s, dir, "supplier").select("s_suppkey", "s_name"),
+            col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+          .orderBy("s_suppkey")
+      },
+      Some("""WITH rev AS (
+             |  SELECT l_suppkey,
+             |    CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+             |  FROM lineitem
+             |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             |    AND l_shipdate < TIMESTAMP '1996-04-01'
+             |  GROUP BY l_suppkey)
+             |SELECT s_suppkey, s_name, total_revenue
+             |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+             |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+             |ORDER BY s_suppkey""".stripMargin)))
 }
