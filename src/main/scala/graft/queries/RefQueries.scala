@@ -1311,5 +1311,267 @@ object RefQueries {
              |SELECT s_suppkey, s_name, total_revenue
              |FROM rev JOIN supplier ON l_suppkey = s_suppkey
              |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
-             |ORDER BY s_suppkey""".stripMargin)))
+             |ORDER BY s_suppkey""".stripMargin)),
+
+    // q176 — TPC-H Q2 shape (minimum-cost supplier): the correlated
+    // MIN subquery as a per-part struct-MIN argmin — one aggregate
+    // whose partial combines map-side, instead of Q2's re-scan of the
+    // supplier bridge inside the subquery. The struct carries
+    // (s_acctbal, s_suppkey, names...) so the argmin's payload rides
+    // the same aggregate; (acctbal, suppkey) is unique, so the carried
+    // names are deterministic. Region screen broadcasts; the bridge is
+    // distincted (partkey, suppkey) before any join.
+    QuerySpec("q176_tpch_q2",
+      (s, dir) => {
+        val pt = t(s, dir, "part")
+          .filter(col("p_size") === 15 && col("p_type") === "STANDARD")
+          .select("p_partkey")
+        val supEu = t(s, dir, "supplier")
+          .join(broadcast(t(s, dir, "nation")
+            .join(t(s, dir, "region").filter(col("r_name") === "EUROPE"),
+              col("n_regionkey") === col("r_regionkey"))
+            .select("n_nationkey", "n_name")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+        t(s, dir, "lineitem")
+          .select(col("l_partkey"), col("l_suppkey")).distinct()
+          .join(pt, col("l_partkey") === col("p_partkey"))
+          .join(supEu, col("l_suppkey") === col("s_suppkey"))
+          .groupBy("p_partkey")
+          .agg(min(struct(col("s_acctbal"), col("s_suppkey"),
+            col("s_name"), col("n_name"))).as("m"))
+          .select(col("m.s_acctbal").as("s_acctbal"), col("m.s_name").as("s_name"),
+            col("m.n_name").as("n_name"), col("p_partkey"))
+          .orderBy(desc("s_acctbal"), col("n_name"), col("s_name"),
+            col("p_partkey"))
+          .limit(100)
+      },
+      Some("""WITH bridge AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+             |cand AS (
+             |  SELECT p_partkey, s_acctbal, s_name, n_name,
+             |    row_number() OVER (PARTITION BY p_partkey
+             |      ORDER BY s_acctbal, s_suppkey) AS rn
+             |  FROM bridge
+             |  JOIN part ON l_partkey = p_partkey
+             |  JOIN supplier ON l_suppkey = s_suppkey
+             |  JOIN nation ON s_nationkey = n_nationkey
+             |  JOIN region ON n_regionkey = r_regionkey
+             |  WHERE p_size = 15 AND p_type = 'STANDARD' AND r_name = 'EUROPE')
+             |SELECT s_acctbal, s_name, n_name, p_partkey
+             |FROM cand WHERE rn = 1
+             |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+             |LIMIT 100""".stripMargin)),
+
+    // q177 — TPC-H Q9 shape (product-type profit): multi-fact profit
+    // expression computed per row BEFORE aggregation (one IEEE
+    // expression in both engines, then a decimal-stable sum), grouped
+    // by supplier nation × order year. The part screen (name contains)
+    // cannot push as a parquet stat filter but prunes the join's build
+    // side; supply cost is proxied as 0.6·p_retailprice·l_quantity
+    // (the corpus has no partsupp).
+    QuerySpec("q177_tpch_q9",
+      (s, dir) => {
+        val amount = col("l_extendedprice") * (lit(1) - col("l_discount")) -
+          lit(0.6) * col("p_retailprice") * col("l_quantity")
+        t(s, dir, "lineitem")
+          .join(t(s, dir, "part").filter(col("p_name").contains("red"))
+            .select("p_partkey", "p_retailprice"),
+            col("l_partkey") === col("p_partkey"))
+          .join(t(s, dir, "supplier").select("s_suppkey", "s_nationkey"),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(t(s, dir, "nation")),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(t(s, dir, "orders").select("o_orderkey", "o_orderdate"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("n_name").as("nation"),
+            year(col("o_orderdate")).as("o_year"))
+          .agg(Stable.dsum(amount, 4).as("sum_profit"))
+          .orderBy(col("nation"), desc("o_year"))
+      },
+      Some("""SELECT n_name AS nation,
+             |  CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             |  CAST(SUM(CAST(l_extendedprice*(1-l_discount)
+             |    - 0.6*p_retailprice*l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+             |    AS sum_profit
+             |FROM lineitem
+             |JOIN part ON l_partkey = p_partkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN orders ON l_orderkey = o_orderkey
+             |WHERE p_name LIKE '%red%'
+             |GROUP BY n_name, year(o_orderdate)
+             |ORDER BY nation, o_year DESC""".stripMargin)),
+
+    // q178 — TPC-H Q11 shape (important stock identification): a
+    // grouped value screened against a fraction of the SAME value's
+    // grand total — the scalar subquery is the group frame re-aggregated
+    // to one row and broadcast back (no second scan of the bridge). The
+    // nation screen broadcasts into the bridge join; value is proxied
+    // as p_retailprice over distinct (part, supplier) pairs.
+    QuerySpec("q178_tpch_q11",
+      (s, dir) => {
+        val supN = broadcast(t(s, dir, "supplier")
+          .join(broadcast(t(s, dir, "nation")
+            .filter(col("n_name") === "NATION_7").select("n_nationkey")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select("s_suppkey"))
+        val vals = t(s, dir, "lineitem")
+          .select(col("l_partkey"), col("l_suppkey")).distinct()
+          .join(supN, col("l_suppkey") === col("s_suppkey"))
+          .join(t(s, dir, "part").select("p_partkey", "p_brand", "p_retailprice"),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy("p_brand")
+          .agg(Stable.dsum(col("p_retailprice"), 2).as("value"))
+          .persistTracked()
+        val tot = vals.agg((sum(col("value").cast(
+            org.apache.spark.sql.types.DecimalType(18, 2))).cast("double") *
+          lit(0.05)).as("threshold"))
+        vals.crossJoin(broadcast(tot))
+          .filter(col("value") > col("threshold"))
+          .select(col("p_brand"), col("value"))
+          .orderBy(desc("value"), col("p_brand"))
+      },
+      Some("""WITH vals AS (
+             |  SELECT p_brand,
+             |    CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS value
+             |  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) b
+             |  JOIN supplier ON l_suppkey = s_suppkey
+             |  JOIN nation ON s_nationkey = n_nationkey
+             |  JOIN part ON l_partkey = p_partkey
+             |  WHERE n_name = 'NATION_7'
+             |  GROUP BY p_brand)
+             |SELECT p_brand, value FROM vals
+             |WHERE value > (SELECT CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) * 0.05
+             |               FROM vals)
+             |ORDER BY value DESC, p_brand""".stripMargin)),
+
+    // q179 — TPC-H Q19 shape (discounted revenue, OR-of-ANDs): three
+    // conjunctive branches over BOTH sides of the join, OR'd — the
+    // optimizer can push only the per-side envelope (size ≤ 15,
+    // quantity ≤ 30) to the scans; the disjunction itself must run
+    // post-join. One pass, one row out.
+    QuerySpec("q179_tpch_q19",
+      (s, dir) => {
+        val branch = (col("p_brand") === "Brand#1" &&
+            col("p_size").between(1, 5) && col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#2" &&
+            col("p_size").between(1, 10) && col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#3" &&
+            col("p_size").between(1, 15) && col("l_quantity").between(20, 30))
+        t(s, dir, "lineitem")
+          .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+          .join(t(s, dir, "part").select("p_partkey", "p_brand", "p_size"),
+            col("l_partkey") === col("p_partkey"))
+          .filter(branch)
+          .agg(round(revenue, 4).as("revenue"))
+      },
+      Some("""SELECT round(
+             |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE),
+             |  4) AS revenue
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+             |       AND l_quantity BETWEEN 1 AND 11)
+             |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+             |       AND l_quantity BETWEEN 10 AND 20)
+             |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+             |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin)),
+
+    // q180 — TPC-H Q20 shape (potential part promotion): the nested
+    // IN-chain as aggregates + semi joins — shipped quantity per
+    // (supplier, part) in the year aggregates once at that grain, the
+    // >100 screen (standing in for 0.5·availqty; no partsupp) keeps
+    // qualifying pairs, the part-name screen prunes them, and the
+    // surviving supplier keys semi-join suppliers. No correlated
+    // re-scans — each input is read once.
+    QuerySpec("q180_tpch_q20",
+      (s, dir) => {
+        val qty96 = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+          .groupBy("l_partkey", "l_suppkey")
+          .agg(Stable.dsum(col("l_quantity"), 2).as("qty"))
+        val cand = qty96
+          .join(t(s, dir, "part").filter(col("p_name").startsWith("small"))
+            .select("p_partkey"), col("l_partkey") === col("p_partkey"))
+          .filter(col("qty") > 100)
+          .select("l_suppkey")
+        t(s, dir, "supplier")
+          .join(broadcast(t(s, dir, "nation")
+            .filter(col("n_name") === "NATION_3").select("n_nationkey")),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(cand, col("s_suppkey") === col("l_suppkey"), "left_semi")
+          .select("s_name", "s_acctbal")
+          .orderBy("s_name")
+      },
+      Some("""SELECT s_name, s_acctbal
+             |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+             |WHERE n_name = 'NATION_3'
+             |  AND s_suppkey IN (
+             |    SELECT l_suppkey
+             |    FROM lineitem JOIN part ON l_partkey = p_partkey
+             |    WHERE p_name LIKE 'small%'
+             |      AND l_shipdate >= TIMESTAMP '1996-01-01'
+             |      AND l_shipdate < TIMESTAMP '1997-01-01'
+             |    GROUP BY l_partkey, l_suppkey
+             |    HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 100)
+             |ORDER BY s_name""".stripMargin)),
+
+    // q181 — TPC-H Q21 shape (suppliers who kept orders waiting):
+    // Q21's EXISTS/NOT-EXISTS pair over other lineitems of the same
+    // order restated as ONE order-grain aggregate — n_suppliers and
+    // n_failing_suppliers (distinct counts, the failing one
+    // null-screened through CASE) — so the fact table is scanned once
+    // instead of three times. A supplier waits an order if: the order
+    // is 'F', he failed in it, it has another supplier, and no OTHER
+    // supplier failed (ns > 1 AND nf = 1). l_returnflag = 'R' stands in
+    // for the missing l_receiptdate > l_commitdate.
+    QuerySpec("q181_tpch_q21",
+      (s, dir) => {
+        val liO = t(s, dir, "lineitem")
+          .groupBy("l_orderkey")
+          .agg(countDistinct(col("l_suppkey")).as("ns"),
+            countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
+              .as("nf"))
+          .filter(col("ns") > 1 && col("nf") === 1)
+          .select("l_orderkey")
+        val fails = t(s, dir, "lineitem")
+          .filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey").as("f_orderkey"), col("l_suppkey"))
+          .distinct()
+        fails
+          .join(liO, col("f_orderkey") === col("l_orderkey"), "left_semi")
+          .join(t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+            .select("o_orderkey"), col("f_orderkey") === col("o_orderkey"),
+            "left_semi")
+          .join(t(s, dir, "supplier").select("s_suppkey", "s_name", "s_nationkey"),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(t(s, dir, "nation")
+            .filter(col("n_name") === "NATION_1").select("n_nationkey")),
+            col("s_nationkey") === col("n_nationkey"))
+          .groupBy("s_name")
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(desc("numwait"), col("s_name"))
+          .limit(20)
+      },
+      Some("""WITH liO AS (
+             |  SELECT l_orderkey
+             |  FROM lineitem
+             |  GROUP BY l_orderkey
+             |  HAVING count(DISTINCT l_suppkey) > 1
+             |     AND count(DISTINCT CASE WHEN l_returnflag = 'R'
+             |                             THEN l_suppkey END) = 1),
+             |fails AS (
+             |  SELECT DISTINCT l_orderkey AS f_orderkey, l_suppkey
+             |  FROM lineitem WHERE l_returnflag = 'R')
+             |SELECT s_name, count(*) AS numwait
+             |FROM fails
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |WHERE n_name = 'NATION_1'
+             |  AND f_orderkey IN (SELECT l_orderkey FROM liO)
+             |  AND f_orderkey IN (SELECT o_orderkey FROM orders
+             |                     WHERE o_orderstatus = 'F')
+             |GROUP BY s_name
+             |ORDER BY numwait DESC, s_name
+             |LIMIT 20""".stripMargin)))
 }
