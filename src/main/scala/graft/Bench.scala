@@ -74,19 +74,19 @@ object Bench {
   private def fmt(v: Double): String =
     if (v == Double.MaxValue) "-1" else num("%.3f", v)
 
-  /** JSON-line value format: adaptive precision keeps the line inside
-    * the driver's tail budget even if every query degraded to 4-digit
-    * seconds (2 decimals under 10 s is far below run-to-run variance;
-    * the 3-decimal map goes to stderr). */
+  /** JSON-line value format, width-bounded at 3 CHARS for every value:
+    * "9.9" below 10 s (0.1 s resolution ≪ run-to-run variance), integer
+    * seconds to "999" above (a ≥1000 s single query at sf0.1 only
+    * happens on a broken/contended run — r04's worst contaminated value
+    * was 96 s). The bound is what keeps the LINE length flat in the
+    * query count: at 181 queries, 4-char values ("0.39") already pushed
+    * the realistic line past the driver's 2000-char tail. Exact
+    * 3-decimal times stay on stderr; the true total stays in "value".
+    * The 9.95 split avoids "%.1f" rounding 9.96 up to the 4-char
+    * "10.0". */
   private def fmtJson(v: Double): String =
     if (v == Double.MaxValue) "-1"
-    else if (v < 10) num("%.2f", v)
-    else if (v < 100) num("%.1f", v)
-    // Clamp at 3 digits: a ≥1000 s single query at sf0.1 only happens on
-    // a broken/contended run (r04's worst contaminated value was 96 s);
-    // "999" flags it in bounded width, the exact value stays on stderr
-    // and inside "value" (the true total). Keeps the worst-case line
-    // width flat as the query count grows (BenchFormatSpec budget).
+    else if (v < 9.95) num("%.1f", v)
     else num("%.0f", math.min(v, 999))
 
   /** The driver keeps only the last ~2000 chars of stdout and parses the
@@ -98,15 +98,21 @@ object Bench {
     * BenchFormatSpec guards the budget as the query count grows. */
   private[graft] def formatLine(results: Map[String, Double],
       failed: Seq[String], sfDir: String): String = {
-    // Key = the NN digits only ("q148_bigram_lm" → "148"): at 150+
-    // queries the "q" prefix alone is 150 bytes of the tail budget, and
-    // the full names are already on stderr + in the failed array.
+    // Key = the NN digits only, leading zeros stripped ("q01_dates_dim"
+    // → "1", "q148_bigram_lm" → "148"): at 150+ queries the "q" prefix
+    // alone is 150 bytes of the tail budget, and the full names are
+    // already on stderr + in the failed array.
     val qs = results.toSeq.sortBy(_._1)
       .map { case (k, v) =>
-        "\"" + k.split("_").head.stripPrefix("q") + "\":" + fmtJson(v) }
+        val digits = k.split("_").head.stripPrefix("q")
+        "\"" + digits.dropWhile(_ == '0') + "\":" + fmtJson(v) }
       .mkString("{", ",", "}")
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.values.filter(_ != Double.MaxValue).sum
-    s"""{"metric":"total","value":${num("%.2f", total)},"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}"""
+    // sf as the bare scale factor ("0.1"), not the directory path — the
+    // path costs ~20 chars of tail budget and the driver knows the dir.
+    val sf = sfDir.split("/").filter(_.nonEmpty).lastOption
+      .getOrElse(sfDir).stripPrefix("sf")
+    s"""{"metric":"total","value":${num("%.2f", total)},"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sf"}"""
   }
 }

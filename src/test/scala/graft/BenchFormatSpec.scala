@@ -11,23 +11,37 @@ class BenchFormatSpec extends AnyFunSuite {
 
   test("bench JSON line fits the driver's 2000-char tail with headroom") {
     val names = SparkEntry.queries.keys.toSeq
-    val results = names.map(_ -> 1234.567).toMap // worst-case width values
+    // Every value renders at its 3-char width bound regardless of
+    // magnitude (fmtJson), so any value is worst-case; use a mix that
+    // exercises all three format branches.
+    val results = names.zipWithIndex.map { case (n, i) =>
+      n -> Seq(9.94, 55.5, 1234.567)(i % 3) }.toMap
     val line = Bench.formatLine(results, Nil, "/root/testdata/sf0.1")
-    assert(line.length < 1800, s"bench JSON line is ${line.length} chars " +
+    // Budget: the JSON line is printed LAST by the forked JVM (bare, via
+    // StdoutOutput); the only stdout after it is sbt's own
+    // "[success] Total time: ..." line, measured ≈75 chars. The line,
+    // its newline, and that suffix must ALL fit in the driver's
+    // 2000-char tail: 2000 − 75 − ~45 safety = 1880. Values are bounded
+    // at 3 chars and keys are bare digits — if this trips again, the
+    // remaining lever is dropping the per-query map below a count
+    // threshold.
+    assert(line.length < 1880, s"bench JSON line is ${line.length} chars " +
       s"for ${names.size} queries — shrink keys/precision before the " +
       "driver's 2000-char tail (minus the sbt suffix) truncates it")
   }
 
   test("qNN key prefixes are unique across the query set") {
     val names = SparkEntry.queries.keys.toSeq
-    val prefixes = names.map(_.split("_").head)
-    assert(prefixes.distinct.size == names.size,
-      s"duplicate short keys: ${prefixes.diff(prefixes.distinct).distinct}")
+    // The emitted key is the digits with leading zeros stripped — assert
+    // uniqueness of what actually lands in the JSON map.
+    val keys = names.map(_.split("_").head.stripPrefix("q").dropWhile(_ == '0'))
+    assert(keys.distinct.size == names.size,
+      s"duplicate short keys: ${keys.diff(keys.distinct).distinct}")
   }
 
   test("a failed query reports -1, never a huge or misleading number") {
     val line = Bench.formatLine(
       Map("q01_x" -> Double.MaxValue, "q02_y" -> 1.0), Seq("q01_x"), "sf")
-    assert(line.contains("\"01\":-1") && line.contains("\"failed\":[\"q01_x\"]"))
+    assert(line.contains("\"1\":-1") && line.contains("\"failed\":[\"q01_x\"]"))
   }
 }

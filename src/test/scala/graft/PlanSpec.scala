@@ -206,4 +206,38 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2,
       s"bin counts not partially aggregated:\n$p")
   }
+
+  test("q161: EXISTS plans as a LEFT SEMI join, not inner join + distinct") {
+    val p = plan("q161_tpch_q4")
+    assert(p.contains("LeftSemi"), s"no semi join in:\n$p")
+  }
+
+  test("q163: NOT IN plans as a broadcast LEFT ANTI join") {
+    val p = plan("q163_tpch_q16")
+    assert(p.contains("LeftAnti"), s"no anti join in:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"excluded-supplier set not broadcast:\n$p")
+  }
+
+  test("q166: Hamming shortlist rank compiles to partial WindowGroupLimit; " +
+      "popcount stays in codegen") {
+    val p = plan("q166_binary_quant")
+    // Partial+Final WindowGroupLimit = per-partition top-20 prefilter
+    // before the rank exchange — the shortlist never globally sorts the
+    // scored corpus.
+    assert(p.contains("WindowGroupLimit"),
+      s"shortlist rank lost its group-limit pushdown:\n$p")
+    assert(p.contains("bit_count"), s"popcount not in the plan:\n$p")
+  }
+
+  test("q170: every Q6 predicate reaches the parquet scan; " +
+      "scan projects only the needed columns") {
+    val p = plan("q170_tpch_q6")
+    val pushed = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("l_shipdate") && pushed.contains("l_discount") &&
+      pushed.contains("l_quantity"), s"filters not pushed: $pushed")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!read.contains("l_orderkey") && !read.contains("l_tax"),
+      s"scan not pruned: $read")
+  }
 }
