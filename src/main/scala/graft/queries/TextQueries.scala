@@ -2788,5 +2788,38 @@ object TextQueries {
               |  round(CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared), 6) AS jaccard
               |FROM p JOIN sizes sa ON p.src_a = sa.source
               |       JOIN sizes sb ON p.src_b = sb.source
-              |ORDER BY src_a, src_b""".stripMargin)))
+              |ORDER BY src_a, src_b""".stripMargin)),
+
+    // q182 — sharded-export manifest with content checksums: the data
+    // delivery op — when a prepared corpus ships to a training cluster,
+    // each shard travels with (row count, byte count, content checksum)
+    // so the consumer can verify integrity without re-reading the
+    // producer's catalog. Shard assignment is the portable id hash (the
+    // same deterministic routing an exporter would use to write the
+    // files); the checksum is a SUM of per-document portable hashes —
+    // commutative exact integer arithmetic, so it is partition- and
+    // order-independent by construction (any write parallelism yields
+    // the same manifest). One corpus pass, shard-grain rows out.
+    QuerySpec("q182_export_manifest",
+      (s, dir) => {
+        val h = (c: org.apache.spark.sql.Column) =>
+          call_function("graft_hash32", c)
+        Tables.load(s, dir, "documents")
+          .select((h(col("doc_id").cast("string")) % 8).as("shard"),
+            col("n_chars"), h(col("text")).as("th"))
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"),
+            sum(col("th")).as("content_checksum"))
+          .orderBy("shard")
+      },
+      Some("""SELECT
+             |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 8 AS shard,
+             |  count(*) AS n_docs,
+             |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             |  CAST(SUM(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT)) AS BIGINT)
+             |    AS content_checksum
+             |FROM documents
+             |GROUP BY 1
+             |ORDER BY shard""".stripMargin)))
 }

@@ -279,4 +279,45 @@ class NewOpsSpec extends AnyFunSuite {
     assert(labels.size == 80 && labels.values.forall(_ == 0L),
       s"chain not collapsed to component min: ${labels.toSeq.sortBy(_._1).take(10)}")
   }
+
+  test("q166_binary_quant: Hamming distances bounded by the signature " +
+      "width; rerank returns exactly top-5 per query") {
+    val rows = run("q166_binary_quant").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ham = r.getAs[Int]("ham")
+      assert(ham >= 0 && ham <= 64, s"hamming $ham outside [0,64]")
+      val cs = r.getAs[Double]("cos_sim")
+      assert(cs >= -1.000001 && cs <= 1.000001)
+    }
+    rows.groupBy(_.getAs[Long]("q_id")).foreach { case (q, rs) =>
+      assert(rs.length == 5, s"query $q returned ${rs.length} results")
+      assert(rs.map(_.getAs[Int]("rnk")).sorted.sameElements(1 to 5))
+    }
+  }
+
+  test("q167_embed_whiten: whitened norms are positive, finite, and " +
+      "average ~1 (unit-variance components)") {
+    val rows = run("q167_embed_whiten").collect()
+    val norms = rows.map(_.getAs[Double]("wnorm"))
+    assert(norms.forall(n => n > 0 && !n.isNaN && !n.isInfinite))
+    // mean of wnorm² over the corpus is exactly 1 by construction
+    // (each component standardized over the same population); the
+    // norm itself concentrates near 1.
+    val meanSq = norms.map(n => n * n).sum / norms.length
+    assert(math.abs(meanSq - 1.0) < 0.01, s"mean wnorm² = $meanSq")
+  }
+
+  test("q168_kcenter_coreset: selections are distinct and the " +
+      "min-distance radius is non-increasing in step") {
+    val rows = run("q168_kcenter_coreset").collect().sortBy(_.getAs[Int]("step"))
+    assert(rows.length == 4)
+    val ids = rows.map(_.getAs[Long]("vec_id"))
+    assert(ids.distinct.length == 4, s"duplicate centers: ${ids.toSeq}")
+    // greedy farthest-point: each later pick's distance-to-chosen can
+    // only shrink (the chosen set grows)
+    val ds = rows.drop(1).map(_.getAs[Double]("dmin"))
+    assert(ds.zip(ds.drop(1)).forall { case (a, b) => b <= a + 1e-9 },
+      s"radius not non-increasing: ${ds.toSeq}")
+  }
 }
