@@ -142,6 +142,32 @@ object StreamQueries {
       Some("""SELECT event_type, count(DISTINCT user_id) AS n_users
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // q183 — bounded-state stream dedup: dropDuplicatesWithinWatermark,
+    // the production form of q40 — q40's dropDuplicates keeps EVERY key
+    // in the state store forever (unbounded growth: at 100 TB/day the
+    // store OOMs or spills without bound), while the within-watermark
+    // variant expires a key's state once the watermark passes it, so
+    // state is bounded by (delay window × key arrival rate) regardless
+    // of stream lifetime. Dedup-correctness contract: duplicates must
+    // arrive within the delay of each other — here the 90-day delay
+    // covers the fixture's whole span, so the result equals exact
+    // distinct under ANY micro-batching and the DuckDB oracle holds
+    // (same oracle as q40, deliberately: same answer, bounded state).
+    QuerySpec("q183_stream_dedup_ttl",
+      (s0, dir) => {
+        val s = stateSession(s0)
+        val agg = eventStream(s, dir)
+          .withWatermark("ts", "90 days")
+          .dropDuplicatesWithinWatermark("user_id", "event_type")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_users"))
+        runComplete(agg)
+          .select("event_type", "n_users")
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(DISTINCT user_id) AS n_users
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // q42 — sliding event-time windows (1 h length, 15 min slide) with a
     // watermark on a real stream: each event lands in 4 overlapping
     // windows. Oracle: every event joined to offsets 0..3 on the 15-min
