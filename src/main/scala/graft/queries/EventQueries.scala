@@ -195,5 +195,34 @@ object EventQueries {
              |  CAST((epoch_us(week) - epoch_us(cohort)) / 604800000000 AS BIGINT)
              |    AS week_offset,
              |  count(*) AS n_users
-             |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)))
+             |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // q184 — per-entity sequence assembly (the chat/journey builder):
+    // collapse each user's event log into ONE ordered interaction
+    // string — the op that turns raw logs into conversation-style
+    // training sequences. Order-sensitive aggregation is the
+    // portability trap here: collect_list has NO deterministic order
+    // under parallel merge, so the sort lives in the VALUE —
+    // array_sort over (ts, event_id) structs (event_id breaks ts
+    // ties), then project the payload. One shuffle at user grain;
+    // per-user state is bounded by that user's activity, not the
+    // corpus (the same grain a sessionized chat assembly has at
+    // 100 TB — pair with q37's session split when a user's full
+    // history is unbounded).
+    QuerySpec("q184_journey_assembly",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        ev.groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            concat_ws("|", transform(
+              array_sort(collect_list(struct(col("ts"), col("event_id"),
+                col("event_type")))),
+              x => x.getField("event_type"))).as("journey"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, count(*) AS n_events,
+             |  string_agg(event_type, '|' ORDER BY ts, event_id) AS journey
+             |FROM events
+             |GROUP BY user_id
+             |ORDER BY user_id""".stripMargin)))
 }

@@ -2821,5 +2821,45 @@ object TextQueries {
              |    AS content_checksum
              |FROM documents
              |GROUP BY 1
-             |ORDER BY shard""".stripMargin)))
+             |ORDER BY shard""".stripMargin)),
+
+    // q185 — token-budget corpus selection: the data-mixing op "take
+    // the best documents until the token budget is spent" — rank by a
+    // quality signal (q26's stopword ratio), then keep the prefix whose
+    // cumulative token count fits the budget. The cumulative sum runs
+    // through PrefixSum (range-partition two-phase), NOT a global
+    // window: at 100 TB the ranking is the only total order in the
+    // query and it must not serialize onto one reducer. Inclusion is a
+    // prefix property of the (qual DESC, doc_id) order, so the result
+    // is independent of partition boundaries by PrefixSum's contract.
+    QuerySpec("q185_budget_select",
+      (s, dir) => {
+        val nTok = Text.tokenCount(col("text"))
+        val nStop = Text.stopwordCount(col("text"))
+        val base = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), nTok.as("n_tokens"),
+            round(nStop.cast("double") / nTok, 4).as("qual"))
+          // negated sort key: PrefixSum orders ascending on the tuple,
+          // the selection wants quality DESCENDING. qual >= 0 always, so
+          // no mixed ±0.0 ordering divergence.
+          .withColumn("negq", -col("qual"))
+        graft.ops.PrefixSum
+          .cumsum(base, Seq("negq", "doc_id"), "n_tokens", "cum_tokens", 32)
+          .filter(col("cum_tokens") <= 20000)
+          .select(col("doc_id"), col("qual"),
+            col("n_tokens").cast("int").as("n_tokens"), col("cum_tokens"))
+          .orderBy(desc("qual"), col("doc_id"))
+      },
+      Some(s"""WITH b AS (SELECT doc_id,
+              |    CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS n_tokens,
+              |    round(CAST(len(list_filter($duckTokens, x -> x IN ($stopList))) AS DOUBLE)
+              |      / len(string_split_regex(trim(text), '\\s+')), 4) AS qual
+              |  FROM documents),
+              |c AS (SELECT doc_id, qual, n_tokens,
+              |    CAST(SUM(n_tokens) OVER (ORDER BY qual DESC, doc_id
+              |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+              |  FROM b)
+              |SELECT doc_id, qual, n_tokens, cum_tokens FROM c
+              |WHERE cum_tokens <= 20000
+              |ORDER BY qual DESC, doc_id""".stripMargin)))
 }
