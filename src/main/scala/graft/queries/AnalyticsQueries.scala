@@ -441,5 +441,48 @@ object AnalyticsQueries {
              |SELECT CAST(z - (z % 256) AS BIGINT) AS zcell, count(*) AS n,
              |  min(x) AS x_lo, max(x) AS x_hi,
              |  min(y) AS y_lo, max(y) AS y_hi
-             |FROM zv GROUP BY zcell ORDER BY zcell""".stripMargin)))
+             |FROM zv GROUP BY zcell ORDER BY zcell""".stripMargin)),
+
+    // q188 — per-group winsorization (robust-stats data cleaning):
+    // clip each group's values into its own [p05, p95] band and report
+    // the winsorized mean plus clip counts — the outlier treatment
+    // numeric feature pipelines apply before normalization. Group
+    // quantiles are one exact-percentile aggregate (group-grain rows),
+    // broadcast back; the clip is scan-local. Parity: bounds rounded to
+    // cents before ANY comparison (q86 rule — raw interpolated doubles
+    // differ in final ulps between engines); the clipped value is
+    // decimal-cast for the order-independent mean.
+    QuerySpec("q188_winsorize",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_extendedprice"))
+        val qs = li.groupBy("l_returnflag")
+          .agg(round(expr("percentile(l_extendedprice, 0.05)"), 2).as("p05"),
+            round(expr("percentile(l_extendedprice, 0.95)"), 2).as("p95"))
+        li.join(broadcast(qs), "l_returnflag")
+          .select(col("l_returnflag"), col("p05"), col("p95"),
+            least(greatest(col("l_extendedprice"), col("p05")), col("p95"))
+              .as("w"),
+            (col("l_extendedprice") < col("p05")).cast("long").as("lo"),
+            (col("l_extendedprice") > col("p95")).cast("long").as("hi"))
+          .groupBy("l_returnflag", "p05", "p95")
+          .agg(count(lit(1)).as("n"),
+            sum("lo").as("n_clip_lo"), sum("hi").as("n_clip_hi"),
+            round(Stable.dsum(col("w"), 2) / count(lit(1)), 4).as("win_mean"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH q AS (SELECT l_returnflag,
+             |    round(quantile_cont(l_extendedprice, 0.05), 2) AS p05,
+             |    round(quantile_cont(l_extendedprice, 0.95), 2) AS p95
+             |  FROM lineitem GROUP BY l_returnflag)
+             |SELECT l.l_returnflag, p05, p95, count(*) AS n,
+             |  CAST(SUM(CASE WHEN l_extendedprice < p05 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_clip_lo,
+             |  CAST(SUM(CASE WHEN l_extendedprice > p95 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_clip_hi,
+             |  round(CAST(SUM(CAST(least(greatest(l_extendedprice, p05), p95)
+             |      AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS win_mean
+             |FROM lineitem l JOIN q USING (l_returnflag)
+             |GROUP BY l.l_returnflag, p05, p95
+             |ORDER BY l.l_returnflag""".stripMargin)))
 }

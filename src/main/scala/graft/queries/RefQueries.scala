@@ -1573,5 +1573,75 @@ object RefQueries {
              |                     WHERE o_orderstatus = 'F')
              |GROUP BY s_name
              |ORDER BY numwait DESC, s_name
-             |LIMIT 20""".stripMargin)))
+             |LIMIT 20""".stripMargin)),
+
+    // q187 — point-in-time dimension lookup (the feature-store
+    // correctness op): for each (entity, probe time), the SCD2 version
+    // (q98's intervals) valid AT that time — the join that prevents
+    // training-serving skew and future-leakage in feature pipelines.
+    // Implemented as the as-of UNION trick, not an interval join:
+    // versions and probes union on (key, time), one window per key
+    // carries the last version forward, probes read it — ONE shuffle on
+    // the entity key at any scale, no per-probe re-scan of the history
+    // (Q2-style correlated form) and no interval explosion. Tie rules:
+    // a version starting exactly at the probe time IS visible
+    // (src orders versions first); same-timestamp versions resolve to
+    // the highest version number, matching the oracle's
+    // (valid_from DESC, version DESC) pick.
+    QuerySpec("q187_pit_lookup",
+      (s, dir) => {
+        val byCust = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        val versions = t(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+            col("o_orderpriority"),
+            lag(col("o_orderpriority"), 1).over(byCust).as("prev"))
+          .filter(col("prev").isNull || col("o_orderpriority") =!= col("prev"))
+          .select(col("o_custkey").as("k"), col("o_orderdate").as("t"),
+            lit(0).as("src"), col("o_orderpriority").as("prio"),
+            row_number().over(
+              Window.partitionBy("o_custkey")
+                .orderBy(col("o_orderdate"), col("o_orderkey"))).as("version"))
+        val probes = t(s, dir, "customer")
+          .select(col("c_custkey").as("k"),
+            explode(array(
+              lit("1997-01-01").cast("timestamp"),
+              lit("1999-01-01").cast("timestamp"),
+              lit("2001-01-01").cast("timestamp"))).as("t"),
+            lit(1).as("src"), lit(null).cast("string").as("prio"),
+            lit(null).cast("int").as("version"))
+        val w = Window.partitionBy("k")
+          .orderBy(col("t"), col("src"), col("version"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        versions.unionByName(probes)
+          .select(col("k"), col("t"), col("src"),
+            last(col("version"), ignoreNulls = true).over(w).as("version"),
+            last(col("prio"), ignoreNulls = true).over(w).as("o_orderpriority"))
+          .filter(col("src") === 1)
+          .select(col("k").as("o_custkey"),
+            col("t").cast("timestamp_ntz").as("probe_ts"),
+            col("o_orderpriority"), col("version"))
+          .orderBy("o_custkey", "probe_ts")
+      },
+      Some("""WITH c AS (
+             |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+             |    lag(o_orderpriority, 1) OVER w AS prev
+             |  FROM orders
+             |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+             |v AS (
+             |  SELECT o_custkey, o_orderpriority, o_orderdate AS valid_from,
+             |    CAST(row_number() OVER w2 AS INTEGER) AS version
+             |  FROM c WHERE prev IS NULL OR o_orderpriority <> prev
+             |  WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+             |p AS (SELECT c_custkey, t AS probe_ts FROM customer,
+             |  UNNEST([TIMESTAMP '1997-01-01', TIMESTAMP '1999-01-01',
+             |          TIMESTAMP '2001-01-01']) AS u(t)),
+             |j AS (SELECT p.c_custkey, p.probe_ts, v.o_orderpriority, v.version,
+             |    row_number() OVER (PARTITION BY p.c_custkey, p.probe_ts
+             |      ORDER BY v.valid_from DESC, v.version DESC) AS rn
+             |  FROM p LEFT JOIN v
+             |    ON v.o_custkey = p.c_custkey AND v.valid_from <= p.probe_ts)
+             |SELECT c_custkey AS o_custkey, probe_ts, o_orderpriority, version
+             |FROM j WHERE rn = 1
+             |ORDER BY o_custkey, probe_ts""".stripMargin)))
 }

@@ -34,6 +34,17 @@ object StreamQueries {
     Tables.normalizeTs(src)
   }
 
+  /** documents.parquet as a file-source stream — same temp-dir symlink
+    * mechanism as [[eventStream]]; no event-time column to normalize. */
+  private def docStream(s: SparkSession, dir: String): DataFrame = {
+    val schema = s.read.parquet(s"$dir/documents.parquet").schema
+    val tmp = Files.createTempDirectory("graft_stream_")
+    Files.createSymbolicLink(
+      tmp.resolve("documents.parquet"),
+      Paths.get(s"$dir/documents.parquet").toAbsolutePath)
+    s.readStream.schema(schema).parquet(tmp.toString)
+  }
+
   /** Run a (bounded) streaming DataFrame to completion into a uniquely
     * named memory sink; return the sink table. Complete output mode: the
     * input ends, so every window must be emitted without waiting for a
@@ -153,6 +164,37 @@ object StreamQueries {
     // covers the fixture's whole span, so the result equals exact
     // distinct under ANY micro-batching and the DuckDB oracle holds
     // (same oracle as q40, deliberately: same answer, bounded state).
+    QuerySpec("q186_stream_ingest_gate",
+      (s0, dir) => {
+        val s = stateSession(s0)
+        // The q96 ingest gate as a CONTINUOUS query: quality screen →
+        // content fingerprint → keyed dedup → per-source stats, the
+        // shape a 100 TB/day corpus ingest runs forever. The dedup key
+        // is (source, fingerprint) so the surviving counts are
+        // micro-batch-order-independent (a fingerprint shared across
+        // sources survives once per source; a first-arrival-wins rule
+        // would make the per-source split depend on arrival order and
+        // break determinism). State grows with unique keys — q183's
+        // within-watermark variant is the bounded-state form.
+        val gated = docStream(s, dir)
+          .filter(col("n_chars") >= 200)
+          .select(col("source"),
+            call_function("graft_hash32", col("text")).as("fp"))
+          .dropDuplicates("source", "fp")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_unique_docs"))
+        runComplete(gated)
+          .select("source", "n_unique_docs")
+          .orderBy("source")
+      },
+      Some("""SELECT source,
+             |  count(DISTINCT CAST('0x' || substr(md5(text), 1, 8) AS BIGINT))
+             |    AS n_unique_docs
+             |FROM documents
+             |WHERE n_chars >= 200
+             |GROUP BY source
+             |ORDER BY source""".stripMargin)),
+
     QuerySpec("q183_stream_dedup_ttl",
       (s0, dir) => {
         val s = stateSession(s0)
