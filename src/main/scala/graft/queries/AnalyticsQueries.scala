@@ -484,5 +484,156 @@ object AnalyticsQueries {
              |      AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS win_mean
              |FROM lineitem l JOIN q USING (l_returnflag)
              |GROUP BY l.l_returnflag, p05, p95
-             |ORDER BY l.l_returnflag""".stripMargin)))
+             |ORDER BY l.l_returnflag""".stripMargin)),
+
+    // q189 — exact covariance/correlation matrix (multivariate feature
+    // statistics): cov and corr for every pair of three measures, per
+    // group, in ONE aggregate pass — the raw-moment identities
+    // (cov = E[xy] − E[x]E[y]) over fixed-scale decimal sums, so the
+    // result is partial-merge-order-independent where the built-in
+    // covar_samp/corr (running double accumulators) are not. Per-row
+    // products are single IEEE multiplies (identical in both engines);
+    // every division/sqrt happens once per GROUP on identical doubles.
+    QuerySpec("q189_covariance",
+      (s, dir) => {
+        val n = count(lit(1)).cast("double")
+        def m(c: org.apache.spark.sql.Column, scale: Int) =
+          sum(c.cast(org.apache.spark.sql.types.DecimalType(18, scale)))
+            .cast("double") / n
+        val x = col("l_quantity"); val y = col("l_extendedprice")
+        val z = col("l_discount")
+        Tables.load(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            m(x, 2).as("ex"), m(y, 2).as("ey"), m(z, 4).as("ez"),
+            m(x * x, 2).as("exx"), m(y * y, 2).as("eyy"), m(z * z, 6).as("ezz"),
+            m(x * y, 2).as("exy"), m(x * z, 4).as("exz"), m(y * z, 4).as("eyz"))
+          .select(col("l_returnflag"), col("n"),
+            round(col("exy") - col("ex") * col("ey"), 4).as("cov_qty_price"),
+            round(col("exz") - col("ex") * col("ez"), 6).as("cov_qty_disc"),
+            round((col("exy") - col("ex") * col("ey")) /
+              (sqrt(col("exx") - col("ex") * col("ex")) *
+               sqrt(col("eyy") - col("ey") * col("ey"))), 6).as("corr_qty_price"),
+            round((col("eyz") - col("ey") * col("ez")) /
+              (sqrt(col("eyy") - col("ey") * col("ey")) *
+               sqrt(col("ezz") - col("ez") * col("ez"))), 6).as("corr_price_disc"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH a AS (SELECT l_returnflag, count(*) AS n,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)/count(*) AS ex,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)/count(*) AS ey,
+             |  CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)/count(*) AS ez,
+             |  CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(18,2))) AS DOUBLE)/count(*) AS exx,
+             |  CAST(SUM(CAST(l_extendedprice*l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)/count(*) AS eyy,
+             |  CAST(SUM(CAST(l_discount*l_discount AS DECIMAL(18,6))) AS DOUBLE)/count(*) AS ezz,
+             |  CAST(SUM(CAST(l_quantity*l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)/count(*) AS exy,
+             |  CAST(SUM(CAST(l_quantity*l_discount AS DECIMAL(18,4))) AS DOUBLE)/count(*) AS exz,
+             |  CAST(SUM(CAST(l_extendedprice*l_discount AS DECIMAL(18,4))) AS DOUBLE)/count(*) AS eyz
+             |  FROM lineitem GROUP BY l_returnflag)
+             |SELECT l_returnflag, n,
+             |  round(exy - ex*ey, 4) AS cov_qty_price,
+             |  round(exz - ex*ez, 6) AS cov_qty_disc,
+             |  round((exy - ex*ey) / (sqrt(exx - ex*ex) * sqrt(eyy - ey*ey)), 6)
+             |    AS corr_qty_price,
+             |  round((eyz - ey*ez) / (sqrt(eyy - ey*ey) * sqrt(ezz - ez*ez)), 6)
+             |    AS corr_price_disc
+             |FROM a ORDER BY l_returnflag""".stripMargin)),
+
+    // q190 — two-sample z-test (experimentation analytics): assign a
+    // deterministic variant (user parity), compare the metric means,
+    // report the z statistic — the A/B readout every event pipeline
+    // serves. One aggregate pass produces both arms (conditional
+    // decimal sums); the z expression is a handful of IEEE ops on
+    // per-arm scalars, identical in both engines.
+    QuerySpec("q190_ab_ztest",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+          .select((col("user_id") % 2).as("variant"), col("value"))
+        def armSum(v: Int, c: org.apache.spark.sql.Column, scale: Int) =
+          sum(when(col("variant") === v, c).otherwise(lit(null))
+            .cast(org.apache.spark.sql.types.DecimalType(18, scale)))
+            .cast("double")
+        def armN(v: Int) = sum(when(col("variant") === v, 1L).otherwise(0L))
+        val agg = ev.agg(
+          armN(0).as("n_a"), armN(1).as("n_b"),
+          armSum(0, col("value"), 6).as("sa"),
+          armSum(1, col("value"), 6).as("sb"),
+          armSum(0, col("value") * col("value"), 6).as("sa2"),
+          armSum(1, col("value") * col("value"), 6).as("sb2"))
+        agg.select(col("n_a"), col("n_b"),
+            (col("sa") / col("n_a")).as("ma"), (col("sb") / col("n_b")).as("mb"),
+            (col("sa2") / col("n_a")).as("ma2"), (col("sb2") / col("n_b")).as("mb2"))
+          .select(col("n_a"), col("n_b"),
+            round(col("ma"), 4).as("mean_a"), round(col("mb"), 4).as("mean_b"),
+            round((col("mb") - col("ma")) /
+              sqrt((col("ma2") - col("ma") * col("ma")) / col("n_a") +
+                   (col("mb2") - col("mb") * col("mb")) / col("n_b")), 4).as("z"))
+      },
+      Some("""WITH a AS (SELECT
+             |  CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             |  CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             |  CAST(SUM(CASE WHEN user_id % 2 = 0 THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS sa,
+             |  CAST(SUM(CASE WHEN user_id % 2 = 1 THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS sb,
+             |  CAST(SUM(CASE WHEN user_id % 2 = 0 THEN CAST(value*value AS DECIMAL(18,6)) END) AS DOUBLE) AS sa2,
+             |  CAST(SUM(CASE WHEN user_id % 2 = 1 THEN CAST(value*value AS DECIMAL(18,6)) END) AS DOUBLE) AS sb2
+             |  FROM events),
+             |m AS (SELECT n_a, n_b, sa/n_a AS ma, sb/n_b AS mb,
+             |    sa2/n_a AS ma2, sb2/n_b AS mb2 FROM a)
+             |SELECT n_a, n_b, round(ma, 4) AS mean_a, round(mb, 4) AS mean_b,
+             |  round((mb - ma) / sqrt((ma2 - ma*ma)/n_a + (mb2 - mb*mb)/n_b), 4) AS z
+             |FROM m""".stripMargin)),
+
+    // q191 — co-purchase lift (market-basket affinity): part pairs that
+    // appear in the same order more often than independence predicts.
+    // Pair generation is SCAN-LOCAL — each order's distinct parts
+    // (≤ 13 in this corpus; basket-bounded in general) expand to
+    // in-order pairs inside the row via a HOF, so the pair space never
+    // shuffles raw lineitems and is Σ|basket|² — linear in orders, not
+    // corpus². Part frequencies join at part grain; the 1-row order
+    // total broadcasts; lift's one division rounds at the end.
+    QuerySpec("q191_copurchase_lift",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+        val baskets = li.groupBy("l_orderkey")
+          .agg(array_sort(collect_set(col("l_partkey"))).as("parts"))
+          .persistTracked()
+        val pairs = baskets.select(explode(expr(
+            """flatten(transform(parts, (a, i) ->
+               transform(slice(parts, i + 2, size(parts)), b ->
+                 struct(a, b AS b))))""")).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(count(lit(1)).as("n_ab"))
+          .filter(col("n_ab") >= 2)
+        val freq = baskets.select(explode(col("parts")).as("pk"))
+          .groupBy("pk").agg(count(lit(1)).as("n_p"))
+        val tot = baskets.agg(count(lit(1)).as("n_orders"))
+        pairs
+          .join(freq.select(col("pk").as("a"), col("n_p").as("n_a")), "a")
+          .join(freq.select(col("pk").as("b"), col("n_p").as("n_b")), "b")
+          .crossJoin(broadcast(tot))
+          .select(col("a"), col("b"), col("n_ab"),
+            round(col("n_ab") * col("n_orders") /
+              (col("n_a") * col("n_b")).cast("double"), 6).as("lift"))
+          .orderBy(desc("n_ab"), desc("lift"), col("a"), col("b"))
+          .limit(20)
+      },
+      Some("""WITH baskets AS (
+             |  SELECT l_orderkey, list_sort(list(DISTINCT l_partkey)) AS parts
+             |  FROM lineitem GROUP BY l_orderkey),
+             |pk AS (SELECT l_orderkey, UNNEST(parts) AS pk FROM baskets),
+             |pairs AS (
+             |  SELECT x.pk AS a, y.pk AS b, count(*) AS n_ab
+             |  FROM pk x JOIN pk y
+             |    ON x.l_orderkey = y.l_orderkey AND x.pk < y.pk
+             |  GROUP BY 1, 2 HAVING count(*) >= 2),
+             |freq AS (SELECT pk, count(*) AS n_p FROM pk GROUP BY pk),
+             |tot AS (SELECT count(*) AS n_orders FROM baskets)
+             |SELECT a, b, n_ab,
+             |  round(n_ab * n_orders / CAST(fa.n_p * fb.n_p AS DOUBLE), 6) AS lift
+             |FROM pairs
+             |JOIN freq fa ON pairs.a = fa.pk
+             |JOIN freq fb ON pairs.b = fb.pk
+             |CROSS JOIN tot
+             |ORDER BY n_ab DESC, lift DESC, a, b
+             |LIMIT 20""".stripMargin)))
 }
