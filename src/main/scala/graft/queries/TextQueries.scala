@@ -2861,5 +2861,42 @@ object TextQueries {
               |  FROM b)
               |SELECT doc_id, qual, n_tokens, cum_tokens FROM c
               |WHERE cum_tokens <= 20000
-              |ORDER BY qual DESC, doc_id""".stripMargin)))
+              |ORDER BY qual DESC, doc_id""".stripMargin)),
+
+    // q192 — canonical-form dedup: normalize (lowercase, strip
+    // non-alphanumerics, collapse whitespace) BEFORE fingerprinting, so
+    // documents differing only in case/punctuation/spacing — invisible
+    // to q24's exact hash — land in one cluster. The canonicalization
+    // is scan-local string work; the shuffle is keyed on the canonical
+    // hash exactly like exact dedup. Reports each cluster with >1
+    // distinct RAW form (formatting-only duplicates): the docs exact
+    // dedup would wrongly keep as "unique". min(doc_id) is the
+    // keep-first survivor.
+    QuerySpec("q192_canonical_dedup",
+      (s, dir) => {
+        val canon = trim(regexp_replace(regexp_replace(
+          lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            call_function("graft_hash32", col("text")).as("raw_h"),
+            call_function("graft_hash32", canon).as("canon_h"))
+          .groupBy("canon_h")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("raw_h")).as("n_raw_forms"),
+            min(col("doc_id")).as("survivor"))
+          .filter(col("n_docs") > 1 && col("n_raw_forms") > 1)
+          .orderBy("canon_h")
+      },
+      Some("""WITH h AS (SELECT doc_id,
+             |    CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) AS raw_h,
+             |    CAST('0x' || substr(md5(trim(regexp_replace(regexp_replace(
+             |      lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))), 1, 8)
+             |      AS BIGINT) AS canon_h
+             |  FROM documents)
+             |SELECT canon_h, count(*) AS n_docs,
+             |  count(DISTINCT raw_h) AS n_raw_forms,
+             |  min(doc_id) AS survivor
+             |FROM h GROUP BY canon_h
+             |HAVING count(*) > 1 AND count(DISTINCT raw_h) > 1
+             |ORDER BY canon_h""".stripMargin)))
 }
