@@ -2863,40 +2863,44 @@ object TextQueries {
               |WHERE cum_tokens <= 20000
               |ORDER BY qual DESC, doc_id""".stripMargin)),
 
-    // q192 — canonical-form dedup: normalize (lowercase, strip
-    // non-alphanumerics, collapse whitespace) BEFORE fingerprinting, so
-    // documents differing only in case/punctuation/spacing — invisible
-    // to q24's exact hash — land in one cluster. The canonicalization
-    // is scan-local string work; the shuffle is keyed on the canonical
-    // hash exactly like exact dedup. Reports each cluster with >1
-    // distinct RAW form (formatting-only duplicates): the docs exact
-    // dedup would wrongly keep as "unique". min(doc_id) is the
-    // keep-first survivor.
+    // q192 — canonical-form (bag-of-words) dedup profile: the canonical
+    // fingerprint lowercases, strips non-alphanumerics, collapses
+    // whitespace, then SORTS the tokens — an order-insensitive bag
+    // fingerprint that catches reordered/templated near-duplicates
+    // (same content, shuffled sections) that q24's exact hash and even
+    // shingle-based minhash score low. Per source: docs whose canonical
+    // form differs from the raw text (normalization impact) and the
+    // distinct canonical count (the post-dedup size a canonical-keyed
+    // dedup would produce). Canonicalization is scan-local (per-row
+    // sort of that row's tokens — no cross-row work); the aggregate is
+    // keyed like exact dedup.
     QuerySpec("q192_canonical_dedup",
       (s, dir) => {
-        val canon = trim(regexp_replace(regexp_replace(
-          lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+        val canon = concat_ws(" ", array_sort(split(trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
+          " +", " ")), " ")))
         Tables.load(s, dir, "documents")
-          .select(col("doc_id"),
+          .select(col("source"),
             call_function("graft_hash32", col("text")).as("raw_h"),
             call_function("graft_hash32", canon).as("canon_h"))
-          .groupBy("canon_h")
+          .groupBy("source")
           .agg(count(lit(1)).as("n_docs"),
-            countDistinct(col("raw_h")).as("n_raw_forms"),
-            min(col("doc_id")).as("survivor"))
-          .filter(col("n_docs") > 1 && col("n_raw_forms") > 1)
-          .orderBy("canon_h")
+            sum(when(col("raw_h") =!= col("canon_h"), 1L).otherwise(0L))
+              .as("n_normalized"),
+            countDistinct(col("canon_h")).as("n_canon_distinct"))
+          .orderBy("source")
       },
-      Some("""WITH h AS (SELECT doc_id,
+      Some("""WITH h AS (SELECT source,
              |    CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) AS raw_h,
-             |    CAST('0x' || substr(md5(trim(regexp_replace(regexp_replace(
-             |      lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))), 1, 8)
-             |      AS BIGINT) AS canon_h
+             |    CAST('0x' || substr(md5(array_to_string(list_sort(
+             |      string_split(trim(regexp_replace(regexp_replace(
+             |        lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')),
+             |      ' ')), ' ')), 1, 8) AS BIGINT) AS canon_h
              |  FROM documents)
-             |SELECT canon_h, count(*) AS n_docs,
-             |  count(DISTINCT raw_h) AS n_raw_forms,
-             |  min(doc_id) AS survivor
-             |FROM h GROUP BY canon_h
-             |HAVING count(*) > 1 AND count(DISTINCT raw_h) > 1
-             |ORDER BY canon_h""".stripMargin)))
+             |SELECT source, count(*) AS n_docs,
+             |  CAST(SUM(CASE WHEN raw_h <> canon_h THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_normalized,
+             |  count(DISTINCT canon_h) AS n_canon_distinct
+             |FROM h GROUP BY source
+             |ORDER BY source""".stripMargin)))
 }
