@@ -107,12 +107,17 @@ object Bench {
         val digits = k.split("_").head.stripPrefix("q")
         "\"" + digits.dropWhile(_ == '0') + "\":" + fmtJson(v) }
       .mkString("{", ",", "}")
-    val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // "failed" appears only when non-empty: the empty array is 12 dead
+    // chars of tail budget on every healthy run, and failures are also
+    // visible as -1 values in the map.
+    val fs =
+      if (failed.isEmpty) ""
+      else failed.map("\"" + _ + "\"").mkString(""""failed":[""", ",", "],")
     val total = results.values.filter(_ != Double.MaxValue).sum
     // sf as the bare scale factor ("0.1"), not the directory path — the
     // path costs ~20 chars of tail budget and the driver knows the dir.
     val sf = sfDir.split("/").filter(_.nonEmpty).lastOption
       .getOrElse(sfDir).stripPrefix("sf")
-    s"""{"metric":"total","value":${num("%.2f", total)},"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sf"}"""
+    s"""{"metric":"total","value":${num("%.2f", total)},"unit":"sec","queries":$qs,$fs"sf":"$sf"}"""
   }
 }

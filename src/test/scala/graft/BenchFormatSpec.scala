@@ -19,13 +19,14 @@ class BenchFormatSpec extends AnyFunSuite {
     val line = Bench.formatLine(results, Nil, "/root/testdata/sf0.1")
     // Budget: the JSON line is printed LAST by the forked JVM (bare, via
     // StdoutOutput); the only stdout after it is sbt's own
-    // "[success] Total time: ..." line, measured ≈75 chars. The line,
-    // its newline, and that suffix must ALL fit in the driver's
-    // 2000-char tail: 2000 − 75 − ~45 safety = 1880. Values are bounded
-    // at 3 chars and keys are bare digits — if this trips again, the
-    // remaining lever is dropping the per-query map below a count
-    // threshold.
-    assert(line.length < 1880, s"bench JSON line is ${line.length} chars " +
+    // "[success] Total time: ..." line, measured ≈75 chars, plus two
+    // newlines. The line and that suffix must ALL fit in the driver's
+    // 2000-char tail: 2000 − 77 = 1923 → limit 1920. Values are bounded
+    // at 3 chars, keys are bare digits, empty "failed" is omitted — if
+    // this trips again (~196+ queries), the remaining lever is dropping
+    // the per-query map below a count threshold (totals + stderr map
+    // stay).
+    assert(line.length < 1920, s"bench JSON line is ${line.length} chars " +
       s"for ${names.size} queries — shrink keys/precision before the " +
       "driver's 2000-char tail (minus the sbt suffix) truncates it")
   }
