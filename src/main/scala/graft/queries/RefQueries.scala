@@ -1599,9 +1599,9 @@ object RefQueries {
           .filter(col("prev").isNull || col("o_orderpriority") =!= col("prev"))
           .select(col("o_custkey").as("k"), col("o_orderdate").as("t"),
             lit(0).as("src"), col("o_orderpriority").as("prio"),
-            row_number().over(
-              Window.partitionBy("o_custkey")
-                .orderBy(col("o_orderdate"), col("o_orderkey"))).as("version"))
+            // same byCust spec as the lag: version numbering and change
+            // detection MUST order identically or versions mis-number
+            row_number().over(byCust).as("version"))
         val probes = t(s, dir, "customer")
           .select(col("c_custkey").as("k"),
             explode(array(

@@ -18,32 +18,28 @@ import graft.queries.QuerySpec
   */
 object StreamQueries {
 
-  /** events.parquet as a file-source stream. The source requires a
-    * directory, so the single file is exposed through a temp-dir symlink
-    * (the corpus is read-only). ns→µs normalization mirrors
-    * [[graft.core.Tables.load]]. */
-  private def eventStream(s: SparkSession, dir: String): DataFrame = {
-    val schema = s.read.parquet(s"$dir/events.parquet").schema
+  /** A corpus table as a file-source stream. The source requires a
+    * directory, so the single read-only file is exposed through a
+    * temp-dir symlink. One mechanism for every streamed table — a fix
+    * here (cleanup, schema options) applies to all stream sources. */
+  private def fileStream(s: SparkSession, dir: String, table: String): DataFrame = {
+    val schema = s.read.parquet(s"$dir/$table.parquet").schema
     val tmp = Files.createTempDirectory("graft_stream_")
     Files.createSymbolicLink(
-      tmp.resolve("events.parquet"),
-      Paths.get(s"$dir/events.parquet").toAbsolutePath)
-    val src = s.readStream.schema(schema).parquet(tmp.toString)
-    // Shared definition with the batch loader: stream and batch sides
-    // normalize event-time by construction, not by comment (ADVICE r5).
-    Tables.normalizeTs(src)
-  }
-
-  /** documents.parquet as a file-source stream — same temp-dir symlink
-    * mechanism as [[eventStream]]; no event-time column to normalize. */
-  private def docStream(s: SparkSession, dir: String): DataFrame = {
-    val schema = s.read.parquet(s"$dir/documents.parquet").schema
-    val tmp = Files.createTempDirectory("graft_stream_")
-    Files.createSymbolicLink(
-      tmp.resolve("documents.parquet"),
-      Paths.get(s"$dir/documents.parquet").toAbsolutePath)
+      tmp.resolve(s"$table.parquet"),
+      Paths.get(s"$dir/$table.parquet").toAbsolutePath)
     s.readStream.schema(schema).parquet(tmp.toString)
   }
+
+  /** events as a stream; ns→µs normalization is the SAME definition as
+    * the batch loader (ADVICE r5) — stream and batch event-time agree
+    * by construction. */
+  private def eventStream(s: SparkSession, dir: String): DataFrame =
+    Tables.normalizeTs(fileStream(s, dir, "events"))
+
+  /** documents as a stream — no event-time column to normalize. */
+  private def docStream(s: SparkSession, dir: String): DataFrame =
+    fileStream(s, dir, "documents")
 
   /** Run a (bounded) streaming DataFrame to completion into a uniquely
     * named memory sink; return the sink table. Complete output mode: the
@@ -153,17 +149,7 @@ object StreamQueries {
       Some("""SELECT event_type, count(DISTINCT user_id) AS n_users
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
-    // q183 — bounded-state stream dedup: dropDuplicatesWithinWatermark,
-    // the production form of q40 — q40's dropDuplicates keeps EVERY key
-    // in the state store forever (unbounded growth: at 100 TB/day the
-    // store OOMs or spills without bound), while the within-watermark
-    // variant expires a key's state once the watermark passes it, so
-    // state is bounded by (delay window × key arrival rate) regardless
-    // of stream lifetime. Dedup-correctness contract: duplicates must
-    // arrive within the delay of each other — here the 90-day delay
-    // covers the fixture's whole span, so the result equals exact
-    // distinct under ANY micro-batching and the DuckDB oracle holds
-    // (same oracle as q40, deliberately: same answer, bounded state).
+    // q186 — continuous corpus ingest gate (details in the spec body).
     QuerySpec("q186_stream_ingest_gate",
       (s0, dir) => {
         val s = stateSession(s0)
@@ -195,6 +181,17 @@ object StreamQueries {
              |GROUP BY source
              |ORDER BY source""".stripMargin)),
 
+    // q183 — bounded-state stream dedup: dropDuplicatesWithinWatermark,
+    // the production form of q40 — q40's dropDuplicates keeps EVERY key
+    // in the state store forever (unbounded growth: at 100 TB/day the
+    // store OOMs or spills without bound), while the within-watermark
+    // variant expires a key's state once the watermark passes it, so
+    // state is bounded by (delay window × key arrival rate) regardless
+    // of stream lifetime. Dedup-correctness contract: duplicates must
+    // arrive within the delay of each other — here the 90-day delay
+    // covers the fixture's whole span, so the result equals exact
+    // distinct under ANY micro-batching and the DuckDB oracle holds
+    // (same oracle as q40, deliberately: same answer, bounded state).
     QuerySpec("q183_stream_dedup_ttl",
       (s0, dir) => {
         val s = stateSession(s0)

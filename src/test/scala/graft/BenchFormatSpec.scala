@@ -11,11 +11,11 @@ class BenchFormatSpec extends AnyFunSuite {
 
   test("bench JSON line fits the driver's 2000-char tail with headroom") {
     val names = SparkEntry.queries.keys.toSeq
-    // Every value renders at its 3-char width bound regardless of
-    // magnitude (fmtJson), so any value is worst-case; use a mix that
-    // exercises all three format branches.
+    // Worst-case width values only: 9.94 → "9.9" and 1234.567 → "999"
+    // both render the 3-char bound. (Do NOT mix in 10–99 s values —
+    // they render 2 chars and would under-measure the line.)
     val results = names.zipWithIndex.map { case (n, i) =>
-      n -> Seq(9.94, 55.5, 1234.567)(i % 3) }.toMap
+      n -> Seq(9.94, 1234.567)(i % 2) }.toMap
     val line = Bench.formatLine(results, Nil, "/root/testdata/sf0.1")
     // Budget: the JSON line is printed LAST by the forked JVM (bare, via
     // StdoutOutput); the only stdout after it is sbt's own
