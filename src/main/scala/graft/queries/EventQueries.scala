@@ -224,5 +224,60 @@ object EventQueries {
              |  string_agg(event_type, '|' ORDER BY ts, event_id) AS journey
              |FROM events
              |GROUP BY user_id
-             |ORDER BY user_id""".stripMargin)))
+             |ORDER BY user_id""".stripMargin)),
+
+    // q193 — fractional (linear) attribution: each purchase splits one
+    // unit of credit equally across the user's view/click touches in
+    // the preceding 7 days. The touch counts come from RANGE-framed
+    // conditional window counts over the user's event line — one
+    // user-keyed shuffle, no purchase×touch self-join (the naive form
+    // is quadratic in per-user activity). Frames order on epoch
+    // MICROseconds in both engines so sub-second boundaries can't
+    // diverge; the frame [t−7d, t) excludes the purchase instant
+    // itself. Per-purchase credits are single IEEE divisions; their
+    // corpus sums are decimal-stabilized (merge-order-independent).
+    QuerySpec("q193_attribution",
+      (s, dir) => {
+        val week = 7L * 24 * 3600 * 1000000
+        val w = Window.partitionBy("user_id").orderBy("us")
+          .rangeBetween(-week, -1L)
+        val scored = Tables.load(s, dir, "events")
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+          .withColumn("cv",
+            count(when(col("event_type") === "view", 1)).over(w))
+          .withColumn("cc",
+            count(when(col("event_type") === "click", 1)).over(w))
+          .filter(col("event_type") === "purchase")
+        val n = col("cv") + col("cc")
+        scored.agg(
+          sum(when(n > 0, 1L).otherwise(0L)).as("n_attributed"),
+          sum(when(n === 0, 1L).otherwise(0L)).as("n_unattributed"),
+          round(sum(when(n > 0, col("cv").cast("double") / n)
+            .cast(org.apache.spark.sql.types.DecimalType(18, 9)))
+            .cast("double"), 4).as("view_credit"),
+          round(sum(when(n > 0, col("cc").cast("double") / n)
+            .cast(org.apache.spark.sql.types.DecimalType(18, 9)))
+            .cast("double"), 4).as("click_credit"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
+             |  FROM events),
+             |s AS (SELECT event_type,
+             |    count(*) FILTER (event_type = 'view') OVER w AS cv,
+             |    count(*) FILTER (event_type = 'click') OVER w AS cc
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us
+             |    RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING)),
+             |p AS (SELECT cv, cc FROM s WHERE event_type = 'purchase')
+             |SELECT
+             |  CAST(SUM(CASE WHEN cv + cc > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_attributed,
+             |  CAST(SUM(CASE WHEN cv + cc = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_unattributed,
+             |  round(CAST(SUM(CAST(CASE WHEN cv + cc > 0
+             |    THEN CAST(cv AS DOUBLE) / (cv + cc) END AS DECIMAL(18,9)))
+             |    AS DOUBLE), 4) AS view_credit,
+             |  round(CAST(SUM(CAST(CASE WHEN cv + cc > 0
+             |    THEN CAST(cc AS DOUBLE) / (cv + cc) END AS DECIMAL(18,9)))
+             |    AS DOUBLE), 4) AS click_credit
+             |FROM p""".stripMargin)))
 }
