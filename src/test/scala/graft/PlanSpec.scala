@@ -230,6 +230,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("bit_count"), s"popcount not in the plan:\n$p")
   }
 
+  test("q187: PIT lookup is the as-of union — no join operator at all, " +
+      "only entity-keyed window exchanges") {
+    val p = plan("q187_pit_lookup")
+    // The whole lookup is scans → union → windows: any Join node means
+    // it regressed to a correlated/interval join (per-probe history
+    // re-scan or interval explosion).
+    assert(!p.contains("Join"), s"PIT lookup regressed to a join:\n$p")
+    // Exactly two hash exchanges, both on the entity key: the SCD2
+    // change-detection windows (orders branch, below the union) and
+    // the as-of window above it. The union's probe side arrives
+    // unpartitioned, so the second exchange is inherent to the trick.
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges == 2,
+      s"expected exactly 2 entity-keyed exchanges, found $hashExchanges:\n$p")
+  }
+
   test("q170: every Q6 predicate reaches the parquet scan; " +
       "scan projects only the needed columns") {
     val p = plan("q170_tpch_q6")
