@@ -635,5 +635,47 @@ object AnalyticsQueries {
              |JOIN freq fb ON pairs.b = fb.pk
              |CROSS JOIN tot
              |ORDER BY n_ab DESC, lift DESC, a, b
-             |LIMIT 20""".stripMargin)))
+             |LIMIT 20""".stripMargin)),
+
+    // q194 — cumulative-deviation anomaly detection (CUSUM-style
+    // drift/burst screening on an ingest time series): daily order
+    // counts vs their corpus mean, cumulated in date order; the
+    // largest |cumulative deviation| marks where the series departs
+    // its expected rate — the monitoring op that catches a broken
+    // upstream feed. The fact table collapses to DATE grain first
+    // (map-side combine), so the ordered cumsum window runs over
+    // calendar-bounded rows (q81's precedent: bounded by days, not
+    // corpus size — NOT a corpus-sized single-reducer window). The
+    // per-day deviations are decimal-cast before the running sum so
+    // the cumulation is exact in both engines (q58 window rule).
+    QuerySpec("q194_cusum_anomaly",
+      (s, dir) => {
+        val daily = Tables.load(s, dir, "orders")
+          .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+          .agg(count(lit(1)).as("n"))
+        val st = daily.agg(
+          (sum(col("n")).cast("double") / count(lit(1))).as("mean"))
+        val w = Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        daily.crossJoin(broadcast(st))
+          .withColumn("s", sum((col("n") - col("mean"))
+            .cast(org.apache.spark.sql.types.DecimalType(18, 6))).over(w)
+            .cast("double"))
+          .select(col("day").cast("timestamp_ntz").as("day"), col("n"),
+            round(col("s"), 4).as("cum_dev"))
+          .orderBy(abs(col("s")).desc, col("day"))
+          .limit(10)
+      },
+      Some("""WITH daily AS (
+             |  SELECT date_trunc('day', o_orderdate) AS day, count(*) AS n
+             |  FROM orders GROUP BY 1),
+             |st AS (SELECT CAST(SUM(n) AS DOUBLE) / count(*) AS mean FROM daily),
+             |c AS (SELECT day, n,
+             |    CAST(SUM(CAST(n - mean AS DECIMAL(18,6)))
+             |      OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS s
+             |  FROM daily, st)
+             |SELECT CAST(day AS TIMESTAMP) AS day, n, round(s, 4) AS cum_dev
+             |FROM c
+             |ORDER BY abs(s) DESC, day
+             |LIMIT 10""".stripMargin)))
 }

@@ -261,4 +261,24 @@ object GraftProperties extends Properties("graft") {
           (h, id) -> (acc + v) }.tail.toMap
       got == want
     }
+
+  // q169's Morton key: interleaving is a bijection on the 8-bit × 8-bit
+  // grid — deinterleaving the SQL-computed z recovers (x, y) exactly,
+  // so z-sorted layouts can never collide two distinct cells.
+  property("Morton interleave round-trips (x, y) through z") =
+    forAll(Gen.listOfN(20, for {
+      x <- Gen.choose(0L, 255L); y <- Gen.choose(0L, 255L)
+    } yield (x, y)).suchThat(_.nonEmpty)) { pts =>
+      val z = (0 until 8).map { i =>
+        shiftleft(shiftright(col("x"), i).bitwiseAND(lit(1L)), 2 * i) +
+          shiftleft(shiftright(col("y"), i).bitwiseAND(lit(1L)), 2 * i + 1)
+      }.reduce(_ + _)
+      val got = pts.toDF("x", "y").select(col("x"), col("y"), z.as("z"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      got.forall { case (x, y, zv) =>
+        val xBack = (0 until 8).map(i => ((zv >> (2 * i)) & 1L) << i).sum
+        val yBack = (0 until 8).map(i => ((zv >> (2 * i + 1)) & 1L) << i).sum
+        xBack == x && yBack == y && zv >= 0 && zv < 65536
+      }
+    }
 }
