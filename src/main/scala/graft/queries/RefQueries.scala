@@ -1643,5 +1643,39 @@ object RefQueries {
              |    ON v.o_custkey = p.c_custkey AND v.valid_from <= p.probe_ts)
              |SELECT c_custkey AS o_custkey, probe_ts, o_orderpriority, version
              |FROM j WHERE rn = 1
-             |ORDER BY o_custkey, probe_ts""".stripMargin)))
+             |ORDER BY o_custkey, probe_ts""".stripMargin)),
+
+    // q196 — leave-one-out target encoding (the categorical-feature op
+    // supervised pipelines use to avoid target leakage): each row's
+    // category is encoded as the mean target of all OTHER rows in the
+    // category — (S_cat − own) / (n_cat − 1). Category sums aggregate
+    // once (category-grain rows), broadcast back, and the LOO value is
+    // scan-local arithmetic: one pass, no self-join, no window. Sums
+    // are decimal-exact; the subtraction and division are per-row IEEE
+    // ops on identical doubles in both engines.
+    QuerySpec("q196_target_encode",
+      (s, dir) => {
+        val ord = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+        val cats = ord.groupBy("o_orderpriority")
+          .agg(sum(col("o_totalprice")
+              .cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("s_cat"),
+            count(lit(1)).as("n_cat"))
+        ord.join(broadcast(cats), "o_orderpriority")
+          .filter(col("n_cat") > 1)
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            round((col("s_cat") - col("o_totalprice")) / (col("n_cat") - 1), 6)
+              .as("loo_encoding"))
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH c AS (SELECT o_orderpriority,
+             |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s_cat,
+             |    count(*) AS n_cat
+             |  FROM orders GROUP BY o_orderpriority)
+             |SELECT o_orderkey, o_orderpriority,
+             |  round((s_cat - o_totalprice) / (n_cat - 1), 6) AS loo_encoding
+             |FROM orders JOIN c USING (o_orderpriority)
+             |WHERE n_cat > 1
+             |ORDER BY o_orderkey""".stripMargin)))
 }

@@ -2902,5 +2902,45 @@ object TextQueries {
              |    AS n_normalized,
              |  count(DISTINCT canon_h) AS n_canon_distinct
              |FROM h GROUP BY source
-             |ORDER BY source""".stripMargin)))
+             |ORDER BY source""".stripMargin)),
+
+    // q195 — k-fold cross-validation statistics: deterministic 5-fold
+    // assignment (portable content-id hash, stable under reordering
+    // like q45's splits), then for each fold the statistics of its
+    // TRAINING COMPLEMENT (all other folds) — computed as global sums
+    // minus fold sums, ONE corpus pass + 5-row frame arithmetic,
+    // instead of re-aggregating the corpus k times. Counts and char
+    // sums are exact integers, so complement means are a single IEEE
+    // division in both engines.
+    QuerySpec("q195_kfold_stats",
+      (s, dir) => {
+        val folds = Tables.load(s, dir, "documents")
+          .select((call_function("graft_hash32",
+            col("doc_id").cast("string")) % 5).as("fold"), col("n_chars"))
+          .groupBy("fold")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+          .persistTracked()
+        val tot = folds.agg(sum(col("n_docs")).as("tn"),
+          sum(col("sum_chars")).as("ts"))
+        folds.crossJoin(broadcast(tot))
+          .select(col("fold"), col("n_docs"),
+            (col("tn") - col("n_docs")).as("train_docs"),
+            round((col("ts") - col("sum_chars")).cast("double") /
+              (col("tn") - col("n_docs")), 6).as("train_mean_chars"))
+          .orderBy("fold")
+      },
+      Some("""WITH f AS (SELECT
+             |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 5
+             |      AS fold,
+             |    count(*) AS n_docs,
+             |    CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+             |  FROM documents GROUP BY 1),
+             |t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS tn,
+             |    CAST(SUM(sum_chars) AS BIGINT) AS ts FROM f)
+             |SELECT fold, n_docs,
+             |  CAST(tn - n_docs AS BIGINT) AS train_docs,
+             |  round(CAST(ts - sum_chars AS DOUBLE) / (tn - n_docs), 6)
+             |    AS train_mean_chars
+             |FROM f, t
+             |ORDER BY fold""".stripMargin)))
 }
