@@ -92,21 +92,28 @@ object Bench {
   /** The driver keeps only the last ~2000 chars of stdout and parses the
     * JSON line out of that tail: the line MUST stay well under that
     * budget or the parse silently fails (rounds 1-3 all had parsed=null).
-    * Short "qNN" keys + adaptive precision keep ~115 queries near ~1.4KB
-    * even in a worst case where every query takes 4-digit seconds; the
-    * full-name 3-decimal map goes to stderr (free-form per the contract).
-    * BenchFormatSpec guards the budget as the query count grows. */
+    * Past ~195 queries even 3-char values with bare-digit keys outgrow
+    * the tail, so the line's "queries" map carries the TOP-40 most
+    * expensive queries (the profile's whole signal at this resolution)
+    * plus "rest" = the summed remainder — bounded width at ANY query
+    * count. Every failed query appears regardless of rank. The complete
+    * 3-decimal full-name map still goes to stderr and /tmp/bench.json.
+    * BenchFormatSpec guards the budget. */
   private[graft] def formatLine(results: Map[String, Double],
       failed: Seq[String], sfDir: String): String = {
     // Key = the NN digits only, leading zeros stripped ("q01_dates_dim"
-    // → "1", "q148_bigram_lm" → "148"): at 150+ queries the "q" prefix
-    // alone is 150 bytes of the tail budget, and the full names are
-    // already on stderr + in the failed array.
-    val qs = results.toSeq.sortBy(_._1)
-      .map { case (k, v) =>
-        val digits = k.split("_").head.stripPrefix("q")
-        "\"" + digits.dropWhile(_ == '0') + "\":" + fmtJson(v) }
-      .mkString("{", ",", "}")
+    // → "1", "q148_bigram_lm" → "148"): the full names are on stderr +
+    // in the failed array.
+    def key(k: String): String =
+      k.split("_").head.stripPrefix("q").dropWhile(_ == '0')
+    val (fail, ok) = results.toSeq.partition(_._2 == Double.MaxValue)
+    val top = ok.sortBy { case (k, v) => (-v, k) }.take(40)
+    val restSum = ok.diff(top).map(_._2).sum
+    val shown = (fail ++ top).sortBy(_._1)
+      .map { case (k, v) => "\"" + key(k) + "\":" + fmtJson(v) }
+    val rest =
+      if (ok.size > top.size) Seq("\"rest\":" + num("%.2f", restSum)) else Nil
+    val qs = (shown ++ rest).mkString("{", ",", "}")
     // "failed" appears only when non-empty: the empty array is 12 dead
     // chars of tail budget on every healthy run, and failures are also
     // visible as -1 values in the map.

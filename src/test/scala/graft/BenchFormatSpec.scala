@@ -19,16 +19,26 @@ class BenchFormatSpec extends AnyFunSuite {
     val line = Bench.formatLine(results, Nil, "/root/testdata/sf0.1")
     // Budget: the JSON line is printed LAST by the forked JVM (bare, via
     // StdoutOutput); the only stdout after it is sbt's own
-    // "[success] Total time: ..." line, measured ≈75 chars, plus two
-    // newlines. The line and that suffix must ALL fit in the driver's
-    // 2000-char tail: 2000 − 77 = 1923 → limit 1920. Values are bounded
-    // at 3 chars, keys are bare digits, empty "failed" is omitted — if
-    // this trips again (~196+ queries), the remaining lever is dropping
-    // the per-query map below a count threshold (totals + stderr map
-    // stay).
-    assert(line.length < 1920, s"bench JSON line is ${line.length} chars " +
-      s"for ${names.size} queries — shrink keys/precision before the " +
-      "driver's 2000-char tail (minus the sbt suffix) truncates it")
+    // "[success] Total time: ..." line, measured ≈75 chars, plus
+    // newlines — so the HARD ceiling is ~1920 of the driver's 2000-char
+    // tail. Since the map is top-40 + "rest", the line is bounded at
+    // any query count; assert far below the ceiling so failures mean a
+    // real format regression, not query growth.
+    assert(line.length < 1200, s"bench JSON line is ${line.length} chars " +
+      s"for ${names.size} queries — the top-40+rest map should bound " +
+      "this at any query count (hard ceiling: ~1920 of the 2000 tail)")
+  }
+
+  test("every failed query appears in the line regardless of rank; " +
+      "rest sums the unshown remainder") {
+    val results = (1 to 60).map(i => f"q$i%02d_x" -> i.toDouble).toMap +
+      ("q99_fail" -> Double.MaxValue)
+    val line = Bench.formatLine(results, Seq("q99_fail"), "sf0.1")
+    assert(line.contains("\"99\":-1"), s"failed query missing: $line")
+    // top-40 of 60 leaves 1..20 unshown: rest = 210.00
+    assert(line.contains("\"rest\":210.00"), s"wrong rest: $line")
+    assert(!line.contains("\"20\":") && line.contains("\"21\":"),
+      s"top-40 cut misplaced: $line")
   }
 
   test("qNN key prefixes are unique across the query set") {
