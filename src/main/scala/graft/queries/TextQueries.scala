@@ -2942,5 +2942,89 @@ object TextQueries {
              |  round(CAST(ts - sum_chars AS DOUBLE) / (tn - n_docs), 6)
              |    AS train_mean_chars
              |FROM f, t
-             |ORDER BY fold""".stripMargin)))
+             |ORDER BY fold""".stripMargin)),
+
+    // q197 — set-similarity join via PREFIX FILTERING (the ppjoin
+    // candidate principle — a different generation mechanism from every
+    // LSH family here): order each doc's SHINGLES rarest-first by
+    // global document frequency; any pair with Jaccard ≥ θ MUST share
+    // an element inside its first n − ⌈θn⌉ + 1 elements, so only those
+    // prefixes join. Rare-first ordering makes prefix buckets small by
+    // construction (a ubiquitous shingle never lands in a prefix),
+    // which is why this beats banding for high thresholds at scale.
+    // Sets are 3-gram shingles, not unigram tokens — this corpus draws
+    // from a small shared vocabulary, so token sets are non-
+    // discriminative (θ=0.6 passes ~35% of ALL pairs) while shingle
+    // sets isolate true near-dups. Candidates verify with exact
+    // Jaccard (shingle-grain joins bounded by the candidate
+    // population, not the corpus — q35's semi-join rule). θ = 0.6;
+    // the ⌈3n/5⌉ arithmetic is the same integer expression in both
+    // engines.
+    QuerySpec("q197_prefix_filter_join",
+      (s, dir) => {
+        val t1 = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), explode(array_distinct(
+            Text.shinglesFromTokens(Text.tokens(lower(col("text")))))).as("tok"))
+          .persistTracked()
+        val dfx = t1.groupBy("tok").agg(count(lit(1)).as("df"))
+        val wDoc = Window.partitionBy("doc_id").orderBy(col("df"), col("tok"))
+        val ranked = t1.join(dfx, "tok")
+          .withColumn("rn", row_number().over(wDoc))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+        val prefix = ranked
+          .filter(col("rn") <= col("n") - expr("(n*3 + 4) DIV 5") + 1)
+          .select(col("tok"), col("doc_id"))
+        val cand = prefix
+          .join(prefix.select(col("tok"), col("doc_id").as("doc_b")), "tok")
+          .filter(col("doc_id") < col("doc_b"))
+          .select(col("doc_id").as("doc_a"), col("doc_b")).distinct()
+          .persistTracked()
+        val candIds = cand
+          .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+          .distinct()
+        val t1v = t1.join(candIds, Seq("doc_id"), "left_semi")
+        val sizes = t1.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+        val shared = cand
+          .join(t1v.select(col("doc_id").as("doc_a"), col("tok")), "doc_a")
+          .join(t1v.select(col("doc_id").as("doc_b"), col("tok")),
+            Seq("doc_b", "tok"))
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+        val jac = round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")), 6)
+        shared
+          .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("na")), "doc_a")
+          .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("nb")), "doc_b")
+          .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
+          .filter(col("jaccard") >= 0.6)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""WITH tk AS (SELECT doc_id,
+             |    string_split_regex(trim(lower(text)), '\s+') AS w
+             |  FROM documents),
+             |t1 AS (SELECT DISTINCT doc_id,
+             |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS tok
+             |  FROM tk, UNNEST(generate_series(1, len(w) - 2)) t(i)),
+             |dfx AS (SELECT tok, count(*) AS df FROM t1 GROUP BY tok),
+             |ranked AS (SELECT t1.doc_id, t1.tok,
+             |    row_number() OVER (PARTITION BY doc_id ORDER BY df, tok) AS rn,
+             |    count(*) OVER (PARTITION BY doc_id) AS n
+             |  FROM t1 JOIN dfx USING (tok)),
+             |prefix AS (SELECT doc_id, tok FROM ranked
+             |  WHERE rn <= n - ((n*3 + 4) // 5) + 1),
+             |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             |  FROM prefix a JOIN prefix b
+             |    ON a.tok = b.tok AND a.doc_id < b.doc_id),
+             |sizes AS (SELECT doc_id, count(*) AS sz FROM t1 GROUP BY doc_id),
+             |shared AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
+             |  FROM cand c JOIN t1 x ON x.doc_id = c.doc_a
+             |               JOIN t1 y ON y.doc_id = c.doc_b AND y.tok = x.tok
+             |  GROUP BY c.doc_a, c.doc_b)
+             |SELECT doc_a, doc_b,
+             |  round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6)
+             |    AS jaccard
+             |FROM shared
+             |JOIN sizes sa ON doc_a = sa.doc_id
+             |JOIN sizes sb ON doc_b = sb.doc_id
+             |WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.6
+             |ORDER BY doc_a, doc_b""".stripMargin)))
 }
