@@ -2957,23 +2957,38 @@ object TextQueries {
     // discriminative (θ=0.6 passes ~35% of ALL pairs) while shingle
     // sets isolate true near-dups. Candidates verify with exact
     // Jaccard (shingle-grain joins bounded by the candidate
-    // population, not the corpus — q35's semi-join rule). θ = 0.6;
-    // the ⌈3n/5⌉ arithmetic is the same integer expression in both
+    // population, not the corpus — q35's semi-join rule). θ = 0.8
+    // (the standard near-dup bar; at θ=0.6 this corpus's small shared
+    // vocabulary still yields ~300k candidates at sf0.1 — prefix
+    // length scales with 1−θ, so the threshold IS the cost knob);
+    // the ⌈4n/5⌉ arithmetic is the same integer expression in both
     // engines.
     QuerySpec("q197_prefix_filter_join",
       (s, dir) => {
+        // Bind the token array BEFORE shingling: shinglesFromTokens
+        // references its input once per element, and an unbound
+        // tokens() expression re-tokenizes the row each time (the q57
+        // lesson — measured 11 s → ~1 s for this scan at sf0.1).
         val t1 = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), Text.tokens(lower(col("text"))).as("tk"))
           .select(col("doc_id"), explode(array_distinct(
-            Text.shinglesFromTokens(Text.tokens(lower(col("text")))))).as("tok"))
+            Text.shinglesFromTokens(col("tk")))).as("tok"))
           .persistTracked()
         val dfx = t1.groupBy("tok").agg(count(lit(1)).as("df"))
+        val sizes = t1.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+          .persistTracked()
         val wDoc = Window.partitionBy("doc_id").orderBy(col("df"), col("tok"))
+        // set size comes from the (broadcastable, doc-grain) sizes
+        // aggregate, not a second whole-partition Window pass
         val ranked = t1.join(dfx, "tok")
+          .join(broadcast(sizes), "doc_id")
           .withColumn("rn", row_number().over(wDoc))
-          .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
         val prefix = ranked
-          .filter(col("rn") <= col("n") - expr("(n*3 + 4) DIV 5") + 1)
+          .filter(col("rn") <= col("sz") - expr("(sz*4 + 4) DIV 5") + 1)
           .select(col("tok"), col("doc_id"))
+          // referenced twice by the self-join: persist or the whole
+          // df-join + window chain runs twice
+          .persistTracked()
         val cand = prefix
           .join(prefix.select(col("tok"), col("doc_id").as("doc_b")), "tok")
           .filter(col("doc_id") < col("doc_b"))
@@ -2983,7 +2998,6 @@ object TextQueries {
           .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
           .distinct()
         val t1v = t1.join(candIds, Seq("doc_id"), "left_semi")
-        val sizes = t1.groupBy("doc_id").agg(count(lit(1)).as("sz"))
         val shared = cand
           .join(t1v.select(col("doc_id").as("doc_a"), col("tok")), "doc_a")
           .join(t1v.select(col("doc_id").as("doc_b"), col("tok")),
@@ -2995,7 +3009,7 @@ object TextQueries {
           .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("na")), "doc_a")
           .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("nb")), "doc_b")
           .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
-          .filter(col("jaccard") >= 0.6)
+          .filter(col("jaccard") >= 0.8)
           .orderBy("doc_a", "doc_b")
       },
       Some("""WITH tk AS (SELECT doc_id,
@@ -3010,7 +3024,7 @@ object TextQueries {
              |    count(*) OVER (PARTITION BY doc_id) AS n
              |  FROM t1 JOIN dfx USING (tok)),
              |prefix AS (SELECT doc_id, tok FROM ranked
-             |  WHERE rn <= n - ((n*3 + 4) // 5) + 1),
+             |  WHERE rn <= n - ((n*4 + 4) // 5) + 1),
              |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
              |  FROM prefix a JOIN prefix b
              |    ON a.tok = b.tok AND a.doc_id < b.doc_id),
@@ -3025,6 +3039,6 @@ object TextQueries {
              |FROM shared
              |JOIN sizes sa ON doc_a = sa.doc_id
              |JOIN sizes sb ON doc_b = sb.doc_id
-             |WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.6
+             |WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.8
              |ORDER BY doc_a, doc_b""".stripMargin)))
 }
