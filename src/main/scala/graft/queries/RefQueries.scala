@@ -1677,5 +1677,63 @@ object RefQueries {
              |  round((s_cat - o_totalprice) / (n_cat - 1), 6) AS loo_encoding
              |FROM orders JOIN c USING (o_orderpriority)
              |WHERE n_cat > 1
-             |ORDER BY o_orderkey""".stripMargin)))
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // q198 — referential-health audit across EVERY FK edge of the
+    // schema in one report: row count, null-key count, and orphan
+    // count (left-anti against the dimension) per edge — the
+    // whole-schema generalization of q08's single integrity check,
+    // i.e. the pre-publish gate a warehouse runs after every load.
+    // Each edge is an independent anti-join aggregated to ONE row
+    // before the union, so the report's exchanges carry 7 rows total;
+    // dimension key sets broadcast where small (the fact-side joins
+    // stay shuffle-free for every dim-sized edge).
+    QuerySpec("q198_fk_health",
+      (s, dir) => {
+        def edge(name: String, fact: DataFrame, key: String,
+            dim: DataFrame, dimKey: String): DataFrame = {
+          val orphans = fact.filter(col(key).isNotNull)
+            .join(dim.select(col(dimKey)), col(key) === col(dimKey), "left_anti")
+            .agg(count(lit(1)).as("n_orphans"))
+          fact.agg(count(lit(1)).as("n_rows"),
+              sum(when(col(key).isNull, 1L).otherwise(0L)).as("n_nulls"))
+            .crossJoin(orphans)
+            .select(lit(name).as("edge"), col("n_rows"), col("n_nulls"),
+              col("n_orphans"))
+        }
+        val li = t(s, dir, "lineitem")
+        val ord = t(s, dir, "orders")
+        val cust = t(s, dir, "customer")
+        val supp = t(s, dir, "supplier")
+        val nat = t(s, dir, "nation")
+        Seq(
+          edge("lineitem.orderkey", li, "l_orderkey", ord, "o_orderkey"),
+          edge("lineitem.partkey", li, "l_partkey", t(s, dir, "part"), "p_partkey"),
+          edge("lineitem.suppkey", li, "l_suppkey", supp, "s_suppkey"),
+          edge("orders.custkey", ord, "o_custkey", cust, "c_custkey"),
+          edge("customer.nationkey", cust, "c_nationkey", nat, "n_nationkey"),
+          edge("supplier.nationkey", supp, "s_nationkey", nat, "n_nationkey"),
+          edge("nation.regionkey", nat, "n_regionkey",
+            t(s, dir, "region"), "r_regionkey"))
+          .reduce(_.unionByName(_))
+          .orderBy("edge")
+      },
+      Some {
+        def e(name: String, fact: String, key: String,
+            dim: String, dimKey: String): String =
+          s"""SELECT '$name' AS edge, count(*) AS n_rows,
+             |  CAST(SUM(CASE WHEN $key IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+             |  (SELECT count(*) FROM $fact f LEFT JOIN $dim d ON f.$key = d.$dimKey
+             |   WHERE f.$key IS NOT NULL AND d.$dimKey IS NULL) AS n_orphans
+             |FROM $fact""".stripMargin
+        Seq(
+          e("lineitem.orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+          e("lineitem.partkey", "lineitem", "l_partkey", "part", "p_partkey"),
+          e("lineitem.suppkey", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+          e("orders.custkey", "orders", "o_custkey", "customer", "c_custkey"),
+          e("customer.nationkey", "customer", "c_nationkey", "nation", "n_nationkey"),
+          e("supplier.nationkey", "supplier", "s_nationkey", "nation", "n_nationkey"),
+          e("nation.regionkey", "nation", "n_regionkey", "region", "r_regionkey"))
+          .mkString("", "\nUNION ALL\n", "\nORDER BY edge")
+      }))
 }
