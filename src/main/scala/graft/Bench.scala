@@ -16,7 +16,15 @@ object Bench {
     // Warm-up: JIT + codegen + filesystem metadata, so the first measured
     // query isn't charged for session startup.
     spark.range(1000000).selectExpr("sum(id)").collect()
-    spark.read.parquet(s"$sfDir/region.parquet").count()
+    // Touch EVERY table's parquet footers (not just region): queries run
+    // alphabetically, so the first query to hit each table used to pay
+    // its first-touch metadata read — r06 charged q19 3.0 s that re-timed
+    // at 0.75 s warm. count() reads footers + row-group headers only.
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings").foreach { t =>
+      try spark.read.parquet(s"$sfDir/$t.parquet").count()
+      catch { case _: Throwable => () }
+    }
     // noop sink forces full execution of every operator (a bare count()
     // would let Catalyst prune most of the work for projection queries).
     // Two iterations per query, report the min (steady state): run-to-run
@@ -106,6 +114,12 @@ object Bench {
     // in the failed array.
     def key(k: String): String =
       k.split("_").head.stripPrefix("q").dropWhile(_ == '0')
+    // Fail FAST on short-key collisions ("q01_a"/"q1_b" both → "1"):
+    // a silent collision would drop a query from the driver-parsed map.
+    // BenchFormatSpec covers today's set; this covers the future one.
+    val collisions = results.keys.groupBy(key).filter(_._2.size > 1)
+    require(collisions.isEmpty,
+      s"bench short-key collision: ${collisions.values.map(_.mkString("/")).mkString(", ")}")
     val (fail, ok) = results.toSeq.partition(_._2 == Double.MaxValue)
     val top = ok.sortBy { case (k, v) => (-v, k) }.take(40)
     val restSum = ok.diff(top).map(_._2).sum

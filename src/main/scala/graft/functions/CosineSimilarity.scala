@@ -172,6 +172,23 @@ object GraftFunctions {
     "graft_hash32(s) - md5-prefix portable 32-bit hash as bigint",
     "", "", "", "", "", "", "built-in")
 
+  // Spark ships codegen'd bloom-filter expressions (used internally for
+  // runtime row-filter joins) but does NOT SQL-register them; exposing
+  // them through the same registry path as our own natives replaces the
+  // one per-row membership UDF the repo had (q116) with whole-stage
+  // codegen and a plan-shipped literal filter.
+  private[functions] val bloomAggInfo = new ExpressionInfo(
+    classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+    "", "graft_bloom_agg",
+    "graft_bloom_agg(xxhash64(x), n_items, n_bits) - bloom filter of a column as binary",
+    "", "", "", "", "", "", "built-in")
+
+  private[functions] val mightContainInfo = new ExpressionInfo(
+    classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+    "", "graft_might_contain",
+    "graft_might_contain(bloom, xxhash64(x)) - bloom membership probe",
+    "", "", "", "", "", "", "built-in")
+
   /** Idempotent registration into an existing session (used by
     * SparkEntry.configure so driver-built sessions get the functions). */
   def register(spark: SparkSession): Unit = {
@@ -181,6 +198,14 @@ object GraftFunctions {
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_hash32", exprs => Hash32(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_agg", exprs =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(exprs(0), exprs(1), exprs(2)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_might_contain", exprs =>
+        org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain(exprs(0), exprs(1)), "built-in")
   }
 }
 
@@ -202,5 +227,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_hash32"),
       GraftFunctions.hash32Info,
       (exprs: Seq[Expression]) => Hash32(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_agg"),
+      GraftFunctions.bloomAggInfo,
+      (exprs: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(exprs(0), exprs(1), exprs(2))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_might_contain"),
+      GraftFunctions.mightContainInfo,
+      (exprs: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain(exprs(0), exprs(1))))
   }
 }

@@ -9,16 +9,18 @@ import java.nio.{ByteBuffer, ByteOrder}
   * tests cannot drift. All functions are driver-free per-row logic, used
   * inside `mapPartitions` — a narrow, no-shuffle transform at any scale.
   *
-  * Decode policy: COMPRESSED formats (JPEG/MP3/H.264) need codec libs
-  * this container does not have, so those decoders stay out of scope.
-  * UNCOMPRESSED container headers are pure byte layout, and those are
-  * decoded for real here: [[decodeBmpDims]] parses a BITMAPINFOHEADER,
-  * [[decodeWav]] walks RIFF chunks to the fmt/data pair. The matching
-  * [[bmpBytes]]/[[wavBytes]] encoders exist to SYNTHESIZE test payloads
-  * (the driver corpus has no media column), mirroring how a real
-  * pipeline's upstream produced the container. Decoders are permissive:
-  * malformed payloads return None and the row is skipped, the P8
-  * error-row policy (SURVEY §2.3).
+  * Decode policy: every format with a pure-JDK decode path is decoded
+  * for REAL — [[decodeBmpDims]] parses a BITMAPINFOHEADER, [[decodeWav]]
+  * walks RIFF chunks to the fmt/data pair, [[decodePng]] inflates and
+  * CRC-checks genuine PNG streams, and [[decodeJpegDims]] reads JPEG
+  * geometry through `javax.imageio` (ships in the JRE). Only MP3/H.264
+  * remain out of scope: they have no JDK decoder and the container has
+  * no native codec libs. The matching [[bmpBytes]]/[[wavBytes]]/
+  * [[pngBytes]]/[[jpegBytes]] encoders exist to SYNTHESIZE test
+  * payloads (the driver corpus has no media column), mirroring how a
+  * real pipeline's upstream produced the container. Decoders are
+  * permissive: malformed payloads return None and the row is skipped,
+  * the P8 error-row policy (SURVEY §2.3).
   */
 object Multimodal {
 
@@ -247,6 +249,57 @@ object Multimodal {
       case _ => None
     }
   }
+
+  /** A real JPEG, encoded by the JDK's own codec — `javax.imageio`
+    * ships in every JRE, so the "no codec libs in this container" limit
+    * never applied to JPEG (it still does to MP3/H.264, which have no
+    * pure-JDK decoder). Content is a deterministic grayscale gradient:
+    * JPEG is LOSSY, so pixel values don't round-trip — only the
+    * geometry does, and geometry is what the decoder below reads. */
+  def jpegBytes(width: Int, height: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { raster.setSample(x, y, 0, (x + y) & 0xff); x += 1 }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    out.toByteArray
+  }
+
+  /** REAL JPEG decode via the JDK reader — dims come from the SOF
+    * marker (`reader.getWidth(0)` parses the header only, no inverse
+    * DCT): per-file metadata extraction must not pay a full pixel
+    * decode at 100 TB. SOI magic (0xFFD8) pre-checked so non-JPEG rows
+    * skip without constructing a reader. None on anything undecodable
+    * (P8 skip policy). */
+  def decodeJpegDims(b: Array[Byte]): Option[(Int, Int)] = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
+      return None
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(b))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try { r.setInput(iis); Some((r.getWidth(0), r.getHeight(0))) }
+        catch { case _: Exception => None }
+        finally r.dispose()
+      }
+    } finally iis.close()
+  }
+
+  // Executor hygiene for the ImageIO path: never write decode scratch
+  // to disk (the default cache is a temp FILE per stream), and never
+  // touch a display. Both are process-wide statics, set once on class
+  // load of this object.
+  javax.imageio.ImageIO.setUseCache(false)
+  locally { sys.props.getOrElseUpdate("java.awt.headless", "true") }
 
   /** Aspect-preserving fit of (w, h) into maxSide², never upscaling. */
   def fitThumb(w: Int, h: Int, maxSide: Int = 256): (Int, Int) = {

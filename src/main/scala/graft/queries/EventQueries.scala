@@ -221,7 +221,8 @@ object EventQueries {
           .orderBy("user_id")
       },
       Some("""SELECT user_id, count(*) AS n_events,
-             |  string_agg(event_type, '|' ORDER BY ts, event_id) AS journey
+             |  string_agg(event_type, '|' ORDER BY ts, event_id, event_type)
+             |    AS journey
              |FROM events
              |GROUP BY user_id
              |ORDER BY user_id""".stripMargin)),

@@ -2129,21 +2129,24 @@ object TextQueries {
     // probed against a Bloom filter of the existing corpus's content
     // fingerprints — definite-new docs skip the expensive dedup path
     // entirely, only probable-dups proceed to exact verification. Build
-    // is a distributed treeAggregate (`stat.bloomFilter`, public API —
-    // `bloom_filter_agg` is not SQL-registered in this build). Scale
-    // honesty: bloom bits grow with the build side (~9 bits/item at 3%
-    // fpp), so broadcast only works while the BUILD set is bounded — a
+    // and probe are Spark's OWN codegen'd bloom expressions
+    // (`BloomFilterAggregate` / `BloomFilterMightContain`, the machinery
+    // behind runtime row-filter joins) surfaced through the graft
+    // function registry as graft_bloom_agg / graft_might_contain —
+    // no Scala UDF, no per-task deserialization of a sketch object: the
+    // filter bytes ship once as a plan literal and the probe is a
+    // bit-test inside whole-stage codegen. Scale honesty: bloom bits
+    // grow with the build side (~9 bits/item at 3% fpp), so a literal/
+    // broadcast filter only works while the BUILD set is bounded — a
     // blocklist, a benchmark set, yesterday's increment. Against a full
     // 100 TB corpus you invert the roles (build over the small incoming
     // batch, probe the corpus scan) or hash-partition both sides and
     // keep one bloom per partition; same op, flipped build side. The
-    // probe is the one deliberate
-    // UDF in the repo: no public native expression accepts this filter,
-    // and the call is a bit-test per row. Bloom bits are a set — the
-    // build is insertion-order-independent, so counts are deterministic
-    // — but no DuckDB oracle can replicate the hash family: rows-only
-    // gate + no-false-negative invariant in NewOpsSpec (q60/q66
-    // precedent).
+    // 1-row head() is bounded driver control flow (the filter itself,
+    // q168 precedent). Bloom bits are a set — insertion-order-
+    // independent, so counts are deterministic — but no DuckDB oracle
+    // can replicate the hash family: rows-only gate + no-false-negative
+    // invariant in NewOpsSpec (q60/q66 precedent).
     QuerySpec("q116_bloom_newdocs",
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
@@ -2151,14 +2154,21 @@ object TextQueries {
             Text.fingerprint(col("text")).as("fp"))
         val existing = docs.filter(col("doc_id") % 2 === 0)
         val incoming = docs.filter(col("doc_id") % 2 === 1)
-        val bf = existing.stat.bloomFilter("fp",
-          math.max(existing.count(), 1L), 0.03)
-        val bfB = s.sparkContext.broadcast(bf)
-        val maybeDup = udf((x: String) => bfB.value.mightContain(x))
+        val nItems = math.max(existing.count(), 1L)
+        // ~9.6 bits/item = 3% fpp (n·ln p / ln²2), matching the old
+        // stat.bloomFilter sizing
+        val nBits = math.max(
+          math.ceil(-nItems * math.log(0.03) / (math.log(2) * math.log(2))).toLong, 64L)
+        val bfBytes = existing
+          .select(call_function("graft_bloom_agg",
+            xxhash64(col("fp")), lit(nItems), lit(nBits)).as("bf"))
+          .head().getAs[Array[Byte]]("bf")
         incoming
           .groupBy("source")
           .agg(count(lit(1)).as("n_docs"),
-            sum(when(maybeDup(col("fp")), 1L).otherwise(0L)).as("n_maybe_dup"))
+            sum(when(call_function("graft_might_contain",
+                lit(bfBytes), xxhash64(col("fp"))), 1L)
+              .otherwise(0L)).as("n_maybe_dup"))
           .orderBy("source")
       },
       None),
@@ -2796,10 +2806,11 @@ object TextQueries {
     // so the consumer can verify integrity without re-reading the
     // producer's catalog. Shard assignment is the portable id hash (the
     // same deterministic routing an exporter would use to write the
-    // files); the checksum is a SUM of per-document portable hashes —
-    // commutative exact integer arithmetic, so it is partition- and
-    // order-independent by construction (any write parallelism yields
-    // the same manifest). One corpus pass, shard-grain rows out.
+    // files); the checksum is an XOR fold of per-document portable
+    // hashes — commutative, associative, and overflow-free exact integer
+    // arithmetic, so it is partition- and order-independent by
+    // construction (any write parallelism yields the same manifest) at
+    // ANY shard cardinality. One corpus pass, shard-grain rows out.
     QuerySpec("q182_export_manifest",
       (s, dir) => {
         val h = (c: org.apache.spark.sql.Column) =>
@@ -2810,14 +2821,19 @@ object TextQueries {
           .groupBy("shard")
           .agg(count(lit(1)).as("n_docs"),
             sum(col("n_chars")).as("total_chars"),
-            sum(col("th")).as("content_checksum"))
+            // XOR fold, not SUM: commutative/associative like a sum but
+            // overflow-FREE — a long sum of 32-bit hashes wraps silently
+            // in non-ANSI Spark while DuckDB widens to HUGEINT, so at
+            // ~2^31 docs/shard the two engines would diverge. XOR is
+            // closed over int64 in both.
+            call_function("bit_xor", col("th")).as("content_checksum"))
           .orderBy("shard")
       },
       Some("""SELECT
              |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 8 AS shard,
              |  count(*) AS n_docs,
              |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-             |  CAST(SUM(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT)) AS BIGINT)
+             |  BIT_XOR(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT))
              |    AS content_checksum
              |FROM documents
              |GROUP BY 1
@@ -2975,24 +2991,49 @@ object TextQueries {
             Text.shinglesFromTokens(col("tk")))).as("tok"))
           .persistTracked()
         val dfx = t1.groupBy("tok").agg(count(lit(1)).as("df"))
-        val sizes = t1.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-          .persistTracked()
         val wDoc = Window.partitionBy("doc_id").orderBy(col("df"), col("tok"))
-        // set size comes from the (broadcastable, doc-grain) sizes
-        // aggregate, not a second whole-partition Window pass
+        // Set size rides the SAME doc_id window shuffle as the prefix
+        // rank (one Exchange, two Window nodes): a doc-grain sizes
+        // aggregate is corpus-proportional, so broadcasting it would
+        // cap the engine at driver memory — the one shape that cannot
+        // survive 100 TB. Carrying sz down through prefix/cand also
+        // deletes the two doc-grain joins the final Jaccard used to do.
         val ranked = t1.join(dfx, "tok")
-          .join(broadcast(sizes), "doc_id")
           .withColumn("rn", row_number().over(wDoc))
+          .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
         val prefix = ranked
           .filter(col("rn") <= col("sz") - expr("(sz*4 + 4) DIV 5") + 1)
-          .select(col("tok"), col("doc_id"))
+          .select(col("tok"), col("doc_id"), col("sz"), col("rn"))
           // referenced twice by the self-join: persist or the whole
           // df-join + window chain runs twice
           .persistTracked()
         val cand = prefix
-          .join(prefix.select(col("tok"), col("doc_id").as("doc_b")), "tok")
+          .join(prefix.select(col("tok"), col("doc_id").as("doc_b"),
+            col("sz").as("nb"), col("rn").as("rnb")), "tok")
           .filter(col("doc_id") < col("doc_b"))
-          .select(col("doc_id").as("doc_a"), col("doc_b")).distinct()
+          // ppjoin LENGTH filter: J(a,b) ≤ min/max, so J ≥ 4/5 forces
+          // 5·min ≥ 4·max — exact integer arithmetic (0.8·n in IEEE
+          // rounds UP for n=5k and would wrongly prune exact-0.8
+          // pairs). Prunes candidates before the shingle-grain
+          // verification join, where each dropped pair saves |a|+|b|
+          // probe rows.
+          .filter(least(col("sz"), col("nb")) * 5 >=
+            greatest(col("sz"), col("nb")) * 4)
+          // ppjoin POSITIONAL filter: both docs rank their sets in the
+          // SAME global (df, tok) order, so the pair's first common
+          // element sits at some (rn, rnb) and every other common
+          // element follows it in both ⇒ inter ≤ 1 + min(sz−rn, nb−rnb).
+          // J ≥ 4/5 needs inter ≥ ⌈4(sz+nb)/9⌉, so any pair whose
+          // FIRST-match bound misses 9·ubound ≥ 4(sz+nb) is impossible;
+          // keeping a pair when ANY match passes is therefore exact
+          // (the first common element is in both prefixes — that is the
+          // prefix-filter completeness guarantee — and it carries the
+          // largest bound). Cuts candidates ~170:1 → verification work.
+          .filter((lit(1) + least(col("sz") - col("rn"),
+            col("nb") - col("rnb"))) * 9 >= (col("sz") + col("nb")) * 4)
+          .select(col("doc_id").as("doc_a"), col("doc_b"),
+            col("sz").as("na"), col("nb"))
+          .distinct()
           .persistTracked()
         val candIds = cand
           .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
@@ -3002,12 +3043,13 @@ object TextQueries {
           .join(t1v.select(col("doc_id").as("doc_a"), col("tok")), "doc_a")
           .join(t1v.select(col("doc_id").as("doc_b"), col("tok")),
             Seq("doc_b", "tok"))
-          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+          // na/nb are functionally dependent on the pair key: grouping
+          // by them costs nothing and saves the doc-grain size joins
+          .groupBy("doc_a", "doc_b", "na", "nb")
+          .agg(count(lit(1)).as("inter"))
         val jac = round(col("inter").cast("double") /
           (col("na") + col("nb") - col("inter")), 6)
         shared
-          .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("na")), "doc_a")
-          .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("nb")), "doc_b")
           .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
           .filter(col("jaccard") >= 0.8)
           .orderBy("doc_a", "doc_b")
@@ -3040,5 +3082,46 @@ object TextQueries {
              |JOIN sizes sa ON doc_a = sa.doc_id
              |JOIN sizes sb ON doc_b = sb.doc_id
              |WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= 0.8
-             |ORDER BY doc_a, doc_b""".stripMargin)))
+             |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // q199 — REAL JPEG metadata extraction: closes the last stubbed
+    // image codec (q30 BMP / q151 PNG precedent). The fixture encodes a
+    // genuine JPEG per document through the JDK's own codec
+    // (Multimodal.jpegBytes — javax.imageio, no external libs) and the
+    // decode reads the SOF geometry through the JDK reader WITHOUT
+    // paying the inverse DCT (header-only — the 100 TB shape for
+    // media-metadata scans). Dims derive deterministically from the doc
+    // (small — ≤63², the per-row encode cost is the fixture's, not the
+    // decoder's); compressed byte length is codec-version-dependent and
+    // deliberately NOT in the output. thumb dims reuse q63's fitThumb
+    // arithmetic (here an identity: ≤63 never exceeds 256 — pinned by
+    // the oracle all the same). Narrow transform, no shuffle before the
+    // final sort.
+    QuerySpec("q199_jpeg_meta",
+      (s, dir) => {
+        import s.implicits._
+        val ds = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+        ds.mapPartitions(_.flatMap { case (id, txt) =>
+          val n = txt.getBytes("UTF-8").length
+          // Long arithmetic before the mod: the q30 lesson — n*7 in Int
+          // wraps negative past ~306 MB payloads and diverges from the
+          // oracle's BIGINT math.
+          val media = graft.functions.Multimodal.jpegBytes(
+            (16 + n % 48), (16 + n.toLong * 7 % 48).toInt)
+          // the decode reads ONLY the JPEG bytes, not the fixture vars
+          graft.functions.Multimodal.decodeJpegDims(media).map {
+            case (width, height) =>
+              val (tw, th) = graft.functions.Multimodal.fitThumb(width, height)
+              (id, width, height, tw, th)
+          }
+        }).toDF("doc_id", "width", "height", "thumb_w", "thumb_h")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             | CAST(16 + strlen(text) % 48 AS INTEGER) AS width,
+             | CAST(16 + (strlen(text) * 7) % 48 AS INTEGER) AS height,
+             | CAST(16 + strlen(text) % 48 AS INTEGER) AS thumb_w,
+             | CAST(16 + (strlen(text) * 7) % 48 AS INTEGER) AS thumb_h
+             |FROM documents ORDER BY doc_id""".stripMargin)))
 }

@@ -19,6 +19,25 @@ import graft.functions.Vectors
 object VectorQueries {
 
   private val dim = 64
+
+  /** Coarse-quantizer centroid count for the IVF/SemDeDup family
+    * (q32/q56/q59/q110/q119/q121/q144). THE scale knob: within-cluster
+    * work is O(n²/k) pairs (SemDeDup) and n/k candidates per probe
+    * (IVF), so a deployment grows k with the corpus — k ≈ √n holds
+    * cluster sizes constant — while the plan SHAPE (broadcast k·d
+    * centroids, salted within-cluster joins) is k-invariant.
+    * `ClusterBoundSpec` pins the per-cluster candidate bound at fixture
+    * scale. Fixed at 4 here because the DuckDB oracle SQL inlines the
+    * same constant (both sides interpolate `$ivfK`) and the correctness
+    * gate hashes results at fixture SFs. */
+  private val ivfK = 4
+
+  /** The deterministic seed centroids every IVF-family query starts
+    * from: the first k vectors by id (portable across engines — no RNG). */
+  private def seedCentroids(emb: DataFrame, k: Int = ivfK): DataFrame =
+    emb.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
+
   private def duckDot(a: String, b: String): String =
     s"list_sum(list_transform(generate_series(1, $dim), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
   private def duckCos(a: String, b: String): String =
@@ -191,8 +210,7 @@ object VectorQueries {
   /** IVF top-5 with nprobe=2 over the 4 fixed centroids (q59's pipeline;
     * the approximate side of q110's recall): same shape as [[bruteTopK]]. */
   private def ivfTopK(emb: DataFrame): DataFrame = {
-    val cents = emb.filter(col("vec_id") < 4)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
+    val cents = seedCentroids(emb)
     val assigned = nearestCentroid(emb, cents)
     val wq = Window.partitionBy("q_id")
       .orderBy(col("p_sim").desc, col("cent_id"))
@@ -240,15 +258,14 @@ object VectorQueries {
     QuerySpec("q32_ivf_assign",
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")
-        val cents = emb.filter(col("vec_id") < 4)
-          .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
+        val cents = seedCentroids(emb)
         nearestCentroid(emb, cents, carryEmbedding = false)
           .groupBy("cent_id")
           .agg(count(lit(1)).as("bucket_size"),
             min(col("vec_id")).as("min_vec"), max(col("vec_id")).as("max_vec"))
           .orderBy("cent_id")
       },
-      Some(s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent_vec FROM embeddings WHERE vec_id < 4),
+      Some(s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent_vec FROM embeddings WHERE vec_id < $ivfK),
               |assigned AS (
               |  SELECT e.vec_id, c.cent_id,
               |    round(${duckCos("c.cent_vec", "e.embedding")}, 6) AS cos_sim
@@ -267,7 +284,7 @@ object VectorQueries {
     QuerySpec("q59_ivf_search",
       (s, dir) => ivfTopK(Tables.load(s, dir, "embeddings"))
         .orderBy("q_id", "rnk"),
-      Some(s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent_vec FROM embeddings WHERE vec_id < 4),
+      Some(s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent_vec FROM embeddings WHERE vec_id < $ivfK),
               |assigned AS (SELECT vec_id, embedding, cent_id FROM (
               |  SELECT e.vec_id, e.embedding, c.cent_id,
               |    row_number() OVER (PARTITION BY e.vec_id
@@ -318,8 +335,7 @@ object VectorQueries {
           .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), x -> x.cv)")
             .as("cent_vec"))
           .persistTracked()
-        val c0 = emb.filter(col("vec_id") < 4)
-          .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
+        val c0 = seedCentroids(emb)
         val c2 = update(nearest(update(nearest(c0))))
         nearestCentroid(emb, c2, carryEmbedding = false)
           .groupBy("cent_id")
@@ -330,7 +346,7 @@ object VectorQueries {
               .as("cent_checksum")), "cent_id")
           .orderBy("cent_id")
       },
-      Some(s"""WITH c0 AS (SELECT vec_id AS cent_id, embedding AS cent_vec FROM embeddings WHERE vec_id < 4),
+      Some(s"""WITH c0 AS (SELECT vec_id AS cent_id, embedding AS cent_vec FROM embeddings WHERE vec_id < $ivfK),
               |a0 AS (SELECT vec_id, embedding, cent_id FROM (
               |  SELECT e.vec_id, e.embedding, c.cent_id,
               |    row_number() OVER (PARTITION BY e.vec_id
@@ -543,7 +559,7 @@ object VectorQueries {
               |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
               |    ORDER BY cos_sim DESC, vec_id) AS rnk FROM bscored)
               |  WHERE rnk <= 5),
-              |cents AS (SELECT vec_id AS cent_id, embedding AS cent_vec FROM embeddings WHERE vec_id < 4),
+              |cents AS (SELECT vec_id AS cent_id, embedding AS cent_vec FROM embeddings WHERE vec_id < $ivfK),
               |assigned AS (SELECT vec_id, embedding, cent_id FROM (
               |  SELECT e.vec_id, e.embedding, c.cent_id,
               |    row_number() OVER (PARTITION BY e.vec_id
@@ -605,7 +621,7 @@ object VectorQueries {
               |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
               |    ORDER BY cos_sim DESC, vec_id) AS rnk FROM bscored)
               |  WHERE rnk <= 5),
-              |cents AS (SELECT vec_id AS cent_id, embedding AS cent_vec FROM embeddings WHERE vec_id < 4),
+              |cents AS (SELECT vec_id AS cent_id, embedding AS cent_vec FROM embeddings WHERE vec_id < $ivfK),
               |assigned AS (SELECT vec_id, embedding, cent_id FROM (
               |  SELECT e.vec_id, e.embedding, c.cent_id,
               |    row_number() OVER (PARTITION BY e.vec_id
@@ -653,8 +669,7 @@ object VectorQueries {
     QuerySpec("q121_semdedup",
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")
-        val cents = emb.filter(col("vec_id") < 4)
-          .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
+        val cents = seedCentroids(emb)
         val assigned = nearestCentroid(emb, cents).persistTracked()
         val dups = graft.ops.Skew.saltedJoin(
             assigned.select(col("cent_id"), col("vec_id"), col("embedding").as("ea")),
@@ -672,7 +687,7 @@ object VectorQueries {
           .orderBy("vec_id")
       },
       Some(s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent_vec
-              |    FROM embeddings WHERE vec_id < 4),
+              |    FROM embeddings WHERE vec_id < $ivfK),
               |assigned AS (SELECT vec_id, embedding, cent_id FROM (
               |  SELECT e.vec_id, e.embedding, c.cent_id,
               |    row_number() OVER (PARTITION BY e.vec_id
@@ -838,9 +853,8 @@ object VectorQueries {
     QuerySpec("q144_ivfpq_search",
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")
-        val cents = emb.filter(col("vec_id") < 4)
-          .select(col("vec_id").cast("int").as("cent_id"),
-            col("embedding").as("cent_vec"))
+        val cents = seedCentroids(emb)
+          .withColumn("cent_id", col("cent_id").cast("int"))
         val resid = nearestCentroid(emb, cents)
           .join(broadcast(cents), "cent_id")
           .select(col("vec_id"), col("cent_id").as("list_id"),
@@ -884,7 +898,7 @@ object VectorQueries {
           .orderBy("q_id", "rnk")
       },
       Some(s"""WITH cents AS (SELECT CAST(vec_id AS INTEGER) AS cent_id, embedding AS cent_vec
-              |  FROM embeddings WHERE vec_id < 4),
+              |  FROM embeddings WHERE vec_id < $ivfK),
               |assigned AS (SELECT vec_id, embedding, cent_id FROM (
               |  SELECT e.vec_id, e.embedding, c.cent_id,
               |    row_number() OVER (PARTITION BY e.vec_id
@@ -1224,8 +1238,7 @@ object VectorQueries {
     QuerySpec("q160_cluster_quality",
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")
-        val cents = emb.filter(col("vec_id") < 4)
-          .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
+        val cents = seedCentroids(emb)
         def l2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
           sqrt(aggregate(
             zip_with(a, b, (x, y) =>
@@ -1256,7 +1269,7 @@ object VectorQueries {
       Some {
         val l2 = (a: String, b: String) =>
           s"sqrt(list_sum(list_transform(generate_series(1, $dim), i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)))))"
-        s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent_vec FROM embeddings WHERE vec_id < 4),
+        s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent_vec FROM embeddings WHERE vec_id < $ivfK),
            |assigned AS (SELECT vec_id, cent_id, embedding FROM (
            |  SELECT e.vec_id, c.cent_id, e.embedding,
            |    row_number() OVER (PARTITION BY e.vec_id
@@ -1360,8 +1373,12 @@ object VectorQueries {
           .select(col("vec_id"), col("pos"), col("col").cast("double").as("x"))
         val st = e.groupBy("pos")
           .agg((Stable.dsum(col("x"), 9) / count(lit(1))).as("mean"),
+            // DECIMAL(28,14): 14 integer digits, so any |x| < 10^7 is
+            // exactly representable per-row — (18,14) left only 4 and a
+            // component ≥100 would silently NULL in non-ANSI Spark
+            // while DuckDB errors (divergent failure modes)
             (sum((col("x") * col("x"))
-                .cast(org.apache.spark.sql.types.DecimalType(18, 14)))
+                .cast(org.apache.spark.sql.types.DecimalType(28, 14)))
               .cast("double") / count(lit(1))).as("ex2"))
           .select(col("pos"), col("mean"),
             sqrt(col("ex2") - col("mean") * col("mean")).as("sd"))
@@ -1379,7 +1396,7 @@ object VectorQueries {
               |st AS (SELECT pos,
               |    CAST(SUM(CAST(x AS DECIMAL(18,9))) AS DOUBLE)
               |      / count(*) AS mean,
-              |    CAST(SUM(CAST(x*x AS DECIMAL(18,14))) AS DOUBLE)
+              |    CAST(SUM(CAST(x*x AS DECIMAL(28,14))) AS DOUBLE)
               |      / count(*) AS ex2
               |  FROM e GROUP BY pos),
               |w AS (SELECT vec_id,

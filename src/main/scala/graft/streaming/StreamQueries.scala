@@ -25,9 +25,17 @@ object StreamQueries {
   private def fileStream(s: SparkSession, dir: String, table: String): DataFrame = {
     val schema = s.read.parquet(s"$dir/$table.parquet").schema
     val tmp = Files.createTempDirectory("graft_stream_")
-    Files.createSymbolicLink(
+    val link = Files.createSymbolicLink(
       tmp.resolve(s"$table.parquet"),
       Paths.get(s"$dir/$table.parquet").toAbsolutePath)
+    // JVM-exit cleanup (link first — deleteOnExit runs in reverse
+    // registration order, and the dir must be empty to unlink). Exit-time
+    // rather than post-stream: streams run CONCURRENTLY in the
+    // shared-session specs, so an eager per-query sweep could delete a
+    // sibling stream's still-active source dir. The per-query footprint
+    // is one empty dir + one symlink — bounded by query count, not data.
+    tmp.toFile.deleteOnExit()
+    link.toFile.deleteOnExit()
     s.readStream.schema(schema).parquet(tmp.toString)
   }
 

@@ -130,6 +130,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodePng(hostile) == None)
   }
 
+  test("JPEG: JDK-encoded bytes decode to exact dims; non-JPEG rejected") {
+    val jpg = Multimodal.jpegBytes(37, 23)
+    // genuine JPEG: SOI marker, then JFIF/EXIF structure ImageIO accepts
+    assert((jpg(0) & 0xff) == 0xff && (jpg(1) & 0xff) == 0xd8)
+    assert(Multimodal.decodeJpegDims(jpg) == Some((37, 23)))
+    // geometry is lossless even though pixels aren't: a second encode of
+    // different dims decodes to ITS dims
+    assert(Multimodal.decodeJpegDims(Multimodal.jpegBytes(16, 63)) ==
+      Some((16, 63)))
+    // rejects: BMP bytes (wrong magic), truncation after the SOI marker,
+    // empty input — None, never a throw (P8)
+    assert(Multimodal.decodeJpegDims(Multimodal.bmpBytes(10, 10)) == None)
+    assert(Multimodal.decodeJpegDims(jpg.take(4)) == None)
+    assert(Multimodal.decodeJpegDims(Array.empty) == None)
+  }
+
   test("stub decode + thumbnail fit: aspect preserved, never upscaled") {
     val (w, h) = Multimodal.stubDims(1300)
     assert(w == 64 + 1300 % 576 && h == 64 + 1300 * 7 % 416)

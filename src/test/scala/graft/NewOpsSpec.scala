@@ -230,9 +230,20 @@ class NewOpsSpec extends AnyFunSuite {
       .select(col("doc_id"), col("source"),
         graft.functions.Text.fingerprint(col("text")).as("fp"))
     val existing = docs.filter(col("doc_id") % 2 === 0)
-    val bf = existing.stat.bloomFilter("fp", math.max(existing.count(), 1L), 0.03)
-    // Bloom guarantee: every inserted member answers true
-    assert(existing.select("fp").collect().forall(r => bf.mightContain(r.getString(0))))
+    // Bloom guarantee on the NATIVE expression path q116 uses: every
+    // inserted member answers true when probed through
+    // graft_might_contain against the graft_bloom_agg-built filter.
+    val n = math.max(existing.count(), 1L)
+    val bits = math.max(
+      math.ceil(-n * math.log(0.03) / (math.log(2) * math.log(2))).toLong, 64L)
+    val bfBytes = existing
+      .select(call_function("graft_bloom_agg",
+        xxhash64(col("fp")), lit(n), lit(bits)).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val nMiss = existing
+      .filter(!call_function("graft_might_contain", lit(bfBytes), xxhash64(col("fp"))))
+      .count()
+    assert(nMiss == 0L, s"$nMiss false negatives from the native bloom probe")
     // aggregate view: flagged docs >= true cross-half duplicates per source,
     // and never exceeds the doc count
     val rows = run("q116_bloom_newdocs").collect()

@@ -246,6 +246,23 @@ class PlanSpec extends AnyFunSuite {
       s"expected exactly 2 entity-keyed exchanges, found $hashExchanges:\n$p")
   }
 
+  test("q197: no doc-grain broadcast — set sizes ride the prefix-rank " +
+      "window shuffle, not a broadcast join") {
+    val df = SparkEntry.queries("q197_prefix_filter_join")(spark, sf)
+    // The logical plan must carry NO broadcast hint at all: the only
+    // broadcastable inputs here (per-doc sizes) are corpus-proportional,
+    // so any hinted broadcast in this query caps it at driver memory.
+    val lp = df.queryExecution.logical.toString
+    assert(!lp.toLowerCase.contains("hint"),
+      s"q197 re-grew a broadcast hint:\n$lp")
+    // sz must come from a second Window node sharing the doc_id
+    // exchange with row_number — not from a separate aggregate joined
+    // back in.
+    val p = df.queryExecution.executedPlan.toString
+    assert("\\bWindow\\b".r.findAllIn(p).size >= 2,
+      s"doc-size window collapsed out of the plan:\n$p")
+  }
+
   test("q170: every Q6 predicate reaches the parquet scan; " +
       "scan projects only the needed columns") {
     val p = plan("q170_tpch_q6")
