@@ -54,7 +54,15 @@ object StreamQueries {
     * input ends, so every window must be emitted without waiting for a
     * watermark to pass it. The memory sink registers in — and the result
     * is read back from — the STREAM's session (a [[stateSession]] clone,
-    * not the caller's). */
+    * not the caller's).
+    *
+    * HARNESS-ONLY sink: the memory sink collects the result table onto
+    * the driver, which is exactly right for handing a bounded
+    * fixture-scale answer to the oracle gate and exactly wrong for
+    * production output. The deployment path is
+    * [[graft.core.Sinks.foreachBatchParquet]] (distributed, per-batch
+    * atomic dirs) — exercised under the SAME oracle gate by q200's
+    * write-then-read-back and by q115/q186's foreachBatch variants. */
   private def runComplete(df: DataFrame): DataFrame = {
     val s = df.sparkSession
     val mem = "stream_" + UUID.randomUUID().toString.replace("-", "")
@@ -117,7 +125,16 @@ object StreamQueries {
       finally s.close()
     } catch { case _: Throwable => () }
 
-  sys.addShutdownHook(relaidEvents.values.foreach(deleteRecursively))
+  /** Parquet-sink output dirs (q200): each invocation writes a fresh
+    * dir whose files back a LAZY read-back DataFrame — the caller may
+    * execute it any time before exit, so deletion waits for the hook. */
+  private val sinkDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  sys.addShutdownHook {
+    relaidEvents.values.foreach(deleteRecursively)
+    sinkDirs.asScala.foreach(deleteRecursively)
+  }
 
   val specs: Seq[QuerySpec] = Seq(
 
@@ -439,6 +456,57 @@ object StreamQueries {
       },
       Some("""SELECT event_type, count(*) AS n_events
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // q200 — the PRODUCTION sink path under the oracle gate: a
+    // streaming transform written through Sinks.foreachBatchParquet
+    // (per-micro-batch atomic parquet dirs — the distributed sink a
+    // 100 TB deployment lands on), then read BACK from those files and
+    // aggregated in batch. Every other streaming query returns through
+    // the harness-only memory sink (see runComplete); this one proves
+    // write → storage → re-read end-to-end, hash-compared like any
+    // batch query. The stream side is APPEND-shaped (filter + project,
+    // no aggregation state), the shape a continuous ingest writer has;
+    // the 4-file relay yields 4 genuine micro-batches = 4 batch dirs.
+    // The per-user aggregate is computed on the READ-BACK — it must be
+    // identical no matter how rows split across batch dirs (a partition
+    // of the rows), which is exactly the atomicity contract the sink
+    // provides. Sum is decimal-stable (merge-order-independent).
+    QuerySpec("q200_stream_parquet_sink",
+      (s0, dir) => {
+        val s = stateSession(s0)
+        import org.apache.spark.sql.SaveMode
+        val fp = eventsFingerprint(dir)
+        relaidEvents.keys.filter(k => k._1 == dir && k._2 != fp)
+          .foreach(k => relaidEvents.remove(k).foreach(deleteRecursively))
+        val tmp = relaidEvents.getOrElseUpdate((dir, fp), {
+          val t = Files.createTempDirectory("graft_upd_").toString
+          Tables.load(s, dir, "events")
+            .repartitionByRange(4, col("event_id"))
+            .write.mode(SaveMode.Overwrite).parquet(t)
+          t
+        })
+        val schema = s.read.parquet(tmp).schema
+        val purchases = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(tmp)
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("value"))
+        val out = Files.createTempDirectory("graft_sink_").toString
+        sinkDirs.add(out)
+        val q = graft.core.Sinks.foreachBatchParquet(purchases, out)
+        q.awaitTermination()
+        s.read.parquet(s"$out/batch_*")
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_purchases"),
+            round(Stable.dsum(col("value"), 9), 4).as("total_value"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, count(*) AS n_purchases,
+             |  round(CAST(SUM(CAST(value AS DECIMAL(18,9))) AS DOUBLE), 4)
+             |    AS total_value
+             |FROM events
+             |WHERE event_type = 'purchase'
+             |GROUP BY user_id
+             |ORDER BY user_id""".stripMargin)),
 
     // q141 — watermarked stream-stream LEFT OUTER interval join (q73 is
     // the inner form): clicks with no purchase inside the 30-min window
