@@ -36,12 +36,44 @@ object Sinks {
     * write→read-back, and append appends. */
   def jdbc(df: DataFrame, url: String, table: String,
       user: String, password: String, batchSize: Int = 10000): Unit =
-    df.write.mode(SaveMode.Append).format("jdbc")
+    jdbcFull(df, url, table, user, password, batchSize = batchSize)
+
+  /** The full dialect/option surface of the JDBC writer (the reference's
+    * S3 sink is literally MS SQL Server — `driver_etl.py:87-96`), each
+    * knob a production necessity at scale:
+    *  - `columnTypes`: explicit DDL type mapping for table creation
+    *    ("name VARCHAR(40), code CHAR(3)") — dialect defaults map Spark
+    *    StringType to unbounded text types (Derby/MSSQL: CLOB/NVARCHAR
+    *    (max)), which many dialects won't index;
+    *  - `truncate` overwrite: TRUNCATE + reload instead of DROP +
+    *    CREATE, preserving grants/indexes/constraints — the production
+    *    form of the reference's hand-run DELETE reset (S7);
+    *  - `numPartitions`: caps write parallelism = concurrent
+    *    connections — a 1000-task stage must NOT open 1000 sessions
+    *    against one database (Spark coalesces to this bound, no
+    *    shuffle);
+    *  - `isolationLevel`: per-batch transaction isolation (NONE for
+    *    bulk backfills on an idle table, READ_COMMITTED default).
+    * Exercised against embedded Derby in JdbcSinkSpec, including the
+    * negative case (VARCHAR width enforcement from `columnTypes`). */
+  def jdbcFull(df: DataFrame, url: String, table: String,
+      user: String, password: String,
+      mode: SaveMode = SaveMode.Append,
+      batchSize: Int = 10000,
+      isolationLevel: String = "READ_COMMITTED",
+      numPartitions: Option[Int] = None,
+      columnTypes: Option[String] = None,
+      truncate: Boolean = false): Unit = {
+    var w = df.write.mode(mode).format("jdbc")
       .option("url", url).option("dbtable", table)
       .option("user", user).option("password", password)
       .option("batchsize", batchSize.toString)
-      .option("isolationLevel", "READ_COMMITTED")
-      .save()
+      .option("isolationLevel", isolationLevel)
+      .option("truncate", truncate.toString)
+    numPartitions.foreach(n => w = w.option("numPartitions", n.toString))
+    columnTypes.foreach(t => w = w.option("createTableColumnTypes", t))
+    w.save()
+  }
 
   /** File-count-controlled write — the small-files defense. A 1000-task
     * stage writing per-task files turns a 100 TB table into millions of

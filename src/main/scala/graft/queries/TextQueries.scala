@@ -3123,5 +3123,114 @@ object TextQueries {
              | CAST(16 + (strlen(text) * 7) % 48 AS INTEGER) AS height,
              | CAST(16 + strlen(text) % 48 AS INTEGER) AS thumb_w,
              | CAST(16 + (strlen(text) * 7) % 48 AS INTEGER) AS thumb_h
-             |FROM documents ORDER BY doc_id""".stripMargin)))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // q201 — PII redaction (the governance op every shipped training
+    // corpus runs BEFORE export; k-anonymity q101 generalizes
+    // quasi-identifiers, this removes direct identifiers): regex-redact
+    // emails and phone numbers, report per-source counts plus a
+    // RESIDUAL column that must be zero — the redaction audit is part
+    // of the result, not a side assertion. The corpus is synthetic
+    // words, so PII is INJECTED deterministically per doc (the q30/q199
+    // fixture pattern: both engines build the same raw string) and the
+    // redaction runs the same conservative regex subset (no lookaround,
+    // no lazy quantifiers) that Java regex and RE2 interpret
+    // identically. Scan-local per-row work, one source-grain shuffle —
+    // the 100 TB shape.
+    QuerySpec("q201_pii_redact",
+      (s, dir) => {
+        val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+        val phoneRe = "\\+1-555-[0-9]{4}"
+        val raw = concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" contact user"), col("doc_id"), lit("@example.com")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" call +1-555-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+            .otherwise(lit("")))
+        val clean = regexp_replace(
+          regexp_replace(raw, emailRe, "<EMAIL>"), phoneRe, "<PHONE>")
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("source"), raw.as("raw"), clean.as("clean"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(regexp_count(col("raw"), lit(emailRe))).as("n_email"),
+            sum(regexp_count(col("raw"), lit(phoneRe))).as("n_phone"),
+            sum(length(col("raw")) - length(col("clean")))
+              .as("chars_delta"),
+            sum(regexp_count(col("clean"), lit(emailRe)) +
+              regexp_count(col("clean"), lit(phoneRe))).as("n_residual"))
+          .orderBy("source")
+      },
+      Some("""WITH r AS (SELECT doc_id, source, text
+             |    || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+             |    || CASE WHEN doc_id % 5 = 0 THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+             |    AS raw
+             |  FROM documents),
+             |c AS (SELECT source, raw,
+             |    regexp_replace(regexp_replace(raw,
+             |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+             |      '\+1-555-[0-9]{4}', '<PHONE>', 'g') AS clean
+             |  FROM r)
+             |SELECT source, count(*) AS n_docs,
+             |  CAST(SUM(len(regexp_extract_all(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))) AS BIGINT) AS n_email,
+             |  CAST(SUM(len(regexp_extract_all(raw, '\+1-555-[0-9]{4}'))) AS BIGINT) AS n_phone,
+             |  CAST(SUM(strlen(raw) - strlen(clean)) AS BIGINT) AS chars_delta,
+             |  CAST(SUM(len(regexp_extract_all(clean, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))
+             |    + len(regexp_extract_all(clean, '\+1-555-[0-9]{4}'))) AS BIGINT) AS n_residual
+             |FROM c GROUP BY source ORDER BY source""".stripMargin)),
+
+    // q202 — duplicated-SPAN detection (Lee et al. '22, "Deduplicating
+    // Training Data Makes Language Models Better" — EXACT-substring
+    // dedup, a different op from every set-similarity family here: q24
+    // hashes whole documents, q197/q29 compare shingle SETS; this finds
+    // which token WINDOWS recur verbatim across documents, the signal
+    // used to cut repeated boilerplate spans out of individual docs).
+    // Every 10-token rolling window is hashed (portable hash over the
+    // space-joined window — scan-local transform/slice HOFs, no
+    // per-window string explosion survives past the hash); a window
+    // present in ≥2 DISTINCT docs is a duplicated span (within-doc
+    // repeats don't count — self-repetition is q107's op). Per-doc
+    // output: window count, duplicated-window count, duplicated
+    // fraction. Scale shape: one hash-grain aggregate (span-vocabulary
+    // scale), one hash-keyed join back, one doc-grain aggregate — at
+    // 100 TB the span vocabulary shards over the cluster; nothing is
+    // broadcast or collected.
+    QuerySpec("q202_dup_span",
+      (s, dir) => {
+        val W = 10
+        val win = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), Text.tokens(lower(col("text"))).as("tk"))
+          // guard BEFORE sequence(): Spark's sequence(1, n) runs
+          // DESCENDING for n < 1 instead of returning empty
+          .filter(size(col("tk")) >= W)
+          .select(col("doc_id"), explode(expr(
+            s"transform(sequence(1, size(tk) - ${W - 1}), " +
+              s"i -> graft_hash32(concat_ws(' ', slice(tk, i, $W))))")).as("h"))
+          .persistTracked()
+        val spanDocs = win.groupBy("h")
+          .agg(countDistinct(col("doc_id")).as("nd"))
+        win.join(spanDocs, "h")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_windows"),
+            sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_dup_windows"))
+          .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
+            round(col("n_dup_windows").cast("double") / col("n_windows"), 4)
+              .as("dup_frac"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tk AS (SELECT doc_id,
+             |    string_split_regex(trim(lower(text)), '\s+') AS w
+             |  FROM documents),
+             |win AS (SELECT doc_id,
+             |    CAST('0x' || substr(md5(array_to_string(w[i:i+9], ' ')), 1, 8) AS BIGINT) AS h
+             |  FROM tk, UNNEST(generate_series(1, len(w) - 9)) t(i)
+             |  WHERE len(w) >= 10),
+             |nd AS (SELECT h, count(DISTINCT doc_id) AS nd FROM win GROUP BY h)
+             |SELECT doc_id, count(*) AS n_windows,
+             |  CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
+             |  round(CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS dup_frac
+             |FROM win JOIN nd USING (h)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)))
 }

@@ -588,6 +588,81 @@ object StreamQueries {
              |  AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
              |ORDER BY 1, 2, 3""".stripMargin)),
 
+    // q203 — stream-stream FULL OUTER interval join: completes the
+    // streaming join-mode matrix (q73 inner, q141 left outer). BOTH
+    // sides' unmatched rows must surface null-padded — clicks with no
+    // purchase in their 30-min window AND purchases no click preceded —
+    // which exercises eviction state on both join sides at once. Same
+    // sentinel relay as q141 (shared memo: one far-future row per side
+    // advances the MIN-of-both watermark past every real event, so the
+    // no-new-data batch flushes both outer sides). The click sentinel
+    // is never passed by the watermark and never emits; the purchase
+    // sentinel IS emitted as an unmatched right row, so the filter
+    // keys on the coalesced user_id. Both ids coalesce to -1: either
+    // side may be the null one here, and NULL orders differently in
+    // the two engines.
+    QuerySpec("q203_stream_full_outer",
+      (s0, dir) => {
+        import org.apache.spark.sql.SaveMode
+        val s = stateSession(s0)
+        val fp = eventsFingerprint(dir)
+        outerRelay.keys.filter(k => k._1 == dir && k._2 != fp)
+          .foreach(k => outerRelay.remove(k).foreach(deleteRecursively))
+        val tmp = outerRelay.getOrElseUpdate((dir, fp), {
+          val t = Files.createTempDirectory("graft_outer_").toString
+          val ev = Tables.load(s, dir, "events")
+            .select("event_id", "ts", "user_id", "event_type")
+          ev.coalesce(1).write.mode(SaveMode.Overwrite).parquet(t)
+          val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+          val sentTs = new java.sql.Timestamp(maxTs.getTime + 30L * 86400 * 1000)
+          import s.implicits._
+          Seq((-1L, sentTs, -1L, "click"), (-2L, sentTs, -2L, "purchase"))
+            .toDF("event_id", "ts", "user_id", "event_type")
+            .coalesce(1).write.mode(SaveMode.Append).parquet(t)
+          val files = java.nio.file.Files.list(Paths.get(t))
+          try {
+            val parts = files.iterator().asScala
+              .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+              .sortBy(p => java.nio.file.Files.getLastModifiedTime(p).toMillis)
+            java.nio.file.Files.setLastModifiedTime(parts.last,
+              java.nio.file.attribute.FileTime.fromMillis(
+                java.nio.file.Files.getLastModifiedTime(parts.head).toMillis + 60000))
+          } finally files.close()
+          t
+        })
+        val schema = s.read.parquet(tmp).schema
+        val src = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(tmp)
+        val clicks = src.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("click_ts"),
+            col("event_id").as("click_id"))
+          .withWatermark("click_ts", "1 hour")
+        val purchases = src.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+            col("event_id").as("purchase_id"))
+          .withWatermark("purchase_ts", "1 hour")
+        val joined = clicks.join(purchases,
+          expr("""user_id = p_user AND
+                  purchase_ts >= click_ts AND
+                  purchase_ts <= click_ts + interval 30 minutes"""),
+          "full_outer")
+        runAppend(joined)
+          .select(coalesce(col("user_id"), col("p_user")).as("user_id"),
+            coalesce(col("click_id"), lit(-1L)).as("click_id"),
+            coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"))
+          .filter(col("user_id") >= 0)
+          .orderBy("user_id", "click_id", "purchase_id")
+      },
+      Some("""SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+             |  COALESCE(a.event_id, -1) AS click_id,
+             |  COALESCE(b.event_id, -1) AS purchase_id
+             |FROM (SELECT * FROM events WHERE event_type = 'click') a
+             |FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+             |  ON a.user_id = b.user_id
+             |  AND CAST(b.ts AS TIMESTAMP) >= CAST(a.ts AS TIMESTAMP)
+             |  AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
+             |ORDER BY 1, 2, 3""".stripMargin)),
+
     // q143 — the Spark 4 `transformWithState` arbitrary-state operator
     // (§2.9's newest member, succeeding q46's mapGroupsWithState): a
     // [[RunningTotalsProcessor]] keeps one named ValueState per user in

@@ -45,4 +45,39 @@ class JdbcSinkSpec extends AnyFunSuite {
     Sinks.jdbc(driver, url, "DRIVER", "app", "app")
     assert(readBack("DRIVER").count() == before + driver.count())
   }
+
+  test("jdbcFull: createTableColumnTypes drives the dialect DDL — " +
+      "declared VARCHAR width is enforced by the database") {
+    import spark.implicits._
+    val rows = Seq((1L, "alpha"), (2L, "beta")).toDF("id", "name")
+    // width 8 admits the fixture values...
+    Sinks.jdbcFull(rows, url, "TYPED", "app", "app",
+      mode = org.apache.spark.sql.SaveMode.Overwrite,
+      columnTypes = Some("name VARCHAR(8)"))
+    assert(readBack("TYPED").count() == 2)
+    // ...and rejects an overflow — proof the mapping reached the DDL
+    // (the dialect default for StringType is CLOB, which would accept it)
+    val tooWide = Seq((3L, "x" * 64)).toDF("id", "name")
+    intercept[Exception] {
+      Sinks.jdbcFull(tooWide, url, "TYPED", "app", "app")
+    }
+    assert(readBack("TYPED").count() == 2, "failed batch must not commit")
+  }
+
+  test("jdbcFull: truncate-overwrite reloads in place; numPartitions " +
+      "bounds connection parallelism; isolation NONE accepted") {
+    import spark.implicits._
+    val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "name")
+    Sinks.jdbcFull(v1.repartition(6), url, "TRUNC", "app", "app",
+      mode = org.apache.spark.sql.SaveMode.Overwrite,
+      numPartitions = Some(2)) // 6 input partitions coalesce to 2 connections
+    assert(readBack("TRUNC").count() == 3)
+    val v2 = Seq((9L, "z")).toDF("id", "name")
+    Sinks.jdbcFull(v2, url, "TRUNC", "app", "app",
+      mode = org.apache.spark.sql.SaveMode.Overwrite,
+      truncate = true, isolationLevel = "NONE")
+    val back = readBack("TRUNC").collect()
+    assert(back.length == 1 && back(0).getLong(0) == 9L,
+      "truncate-overwrite must replace contents, keep the table")
+  }
 }
