@@ -52,7 +52,7 @@ object ConnectedComponents {
     * query landing inside the window is still possible and merely costs
     * that query a recompute (documented in ConcurrencySpec). */
   private val truncateLock = new Object
-  private def truncate(df: DataFrame): (DataFrame, Seq[RDD[_]]) =
+  private[ops] def truncate(df: DataFrame): (DataFrame, Seq[RDD[_]]) =
     truncateLock.synchronized {
       val sc = df.sparkSession.sparkContext
       val before = sc.getPersistentRDDs.keySet
@@ -62,7 +62,7 @@ object ConnectedComponents {
       (out, added)
     }
 
-  private def free(rdds: Seq[RDD[_]]): Unit =
+  private[ops] def free(rdds: Seq[RDD[_]]): Unit =
     rdds.foreach(_.unpersist(blocking = true))
 
   /** Labels every node appearing in `edges` (cols `src`, `dst`; direction

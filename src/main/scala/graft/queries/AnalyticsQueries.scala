@@ -677,5 +677,184 @@ object AnalyticsQueries {
              |SELECT CAST(day AS TIMESTAMP) AS day, n, round(s, 4) AS cum_dev
              |FROM c
              |ORDER BY abs(s) DESC, day
-             |LIMIT 10""".stripMargin)))
+             |LIMIT 10""".stripMargin)),
+
+    // q207 — 2-D skyline / Pareto frontier: parts no other part
+    // dominates (cheaper-or-equal AND bigger-or-equal, strict in at
+    // least one). The naive form is an O(n²) self-join; the scale form
+    // is: collapse to price grain (max size per price), then one
+    // distributed EXCLUSIVE running max over price order
+    // ([[graft.ops.RunningMax]] — range-partitioned two-phase, no
+    // single-task global window), and a price-grain broadcast join
+    // back. A part survives iff it has its price's max size AND that
+    // size strictly beats the running max over all cheaper prices.
+    // Exact-duplicate (price, size) points are mutually non-dominating
+    // and all kept — same rule in the oracle's NOT EXISTS.
+    QuerySpec("q207_skyline_parts",
+      (s, dir) => {
+        val part = Tables.load(s, dir, "part")
+        val pg = part.groupBy("p_retailprice")
+          .agg(max(col("p_size")).as("maxsz"))
+        // Rename the frontier's columns: it derives from `part`, so the
+        // join-back would otherwise be an ambiguous self-reference.
+        val fron = graft.ops.RunningMax.cummaxExclusive(
+            pg, Seq("p_retailprice"), "maxsz", "cm")
+          .filter(col("cm").isNull || col("maxsz") > col("cm"))
+          .select(col("p_retailprice").as("f_price"), col("maxsz"))
+        part.join(fron,
+            col("p_retailprice") === col("f_price")
+              && col("p_size") === col("maxsz"))
+          .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+          .orderBy("p_partkey")
+      },
+      Some("""SELECT p_partkey, p_retailprice, p_size
+             |FROM part p
+             |WHERE NOT EXISTS (
+             |  SELECT 1 FROM part o
+             |  WHERE o.p_retailprice <= p.p_retailprice
+             |    AND o.p_size >= p.p_size
+             |    AND (o.p_retailprice < p.p_retailprice OR o.p_size > p.p_size))
+             |ORDER BY p_partkey""".stripMargin)),
+
+    // q208 — distribution-drift audit (PSI, the standard
+    // model/data-monitoring statistic): order totals before vs after a
+    // pivot date, fixed equi-width bins, per-bin Population Stability
+    // Index terms with +1 smoothing so empty-on-one-side bins stay
+    // finite. One corpus pass → 10-bin aggregate → 1-row totals
+    // broadcast; nothing scales with the corpus after the first
+    // aggregate. Numeric parity: counts are exact; pa/pb are single
+    // IEEE divisions; ln() is rounded per term (engine-1-ulp) and the
+    // final term rounds the product — the q112/q164 discipline.
+    QuerySpec("q208_drift_psi",
+      (s, dir) => {
+        val binned = Tables.load(s, dir, "orders")
+          .select(floor(col("o_totalprice") / 50000).cast("int").as("bin"),
+            (col("o_orderdate") < lit("1998-01-01").cast("timestamp")).as("isa"))
+        val agg = binned.groupBy("bin").agg(
+          sum(when(col("isa"), 1L).otherwise(0L)).as("n_a"),
+          sum(when(!col("isa"), 1L).otherwise(0L)).as("n_b"))
+        val tot = agg.agg(sum(col("n_a")).as("ta"), sum(col("n_b")).as("tb"))
+        val pa = (col("n_a") + lit(1.0)) / (col("ta") + lit(10.0))
+        val pb = (col("n_b") + lit(1.0)) / (col("tb") + lit(10.0))
+        agg.crossJoin(broadcast(tot))
+          .select(col("bin"), col("n_a"), col("n_b"),
+            round((pa - pb) * round(log(pa / pb), 6), 6).as("psi_term"))
+          .orderBy("bin")
+      },
+      Some("""WITH b AS (SELECT CAST(floor(o_totalprice / 50000) AS INTEGER) AS bin,
+             |    o_orderdate < TIMESTAMP '1998-01-01' AS isa
+             |  FROM orders),
+             |agg AS (SELECT bin,
+             |    CAST(SUM(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             |    CAST(SUM(CASE WHEN isa THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+             |  FROM b GROUP BY bin),
+             |tot AS (SELECT CAST(SUM(n_a) AS BIGINT) AS ta,
+             |    CAST(SUM(n_b) AS BIGINT) AS tb FROM agg)
+             |SELECT bin, n_a, n_b,
+             |  round(((n_a + 1.0) / (ta + 10.0) - (n_b + 1.0) / (tb + 10.0))
+             |    * round(ln(((n_a + 1.0) / (ta + 10.0)) / ((n_b + 1.0) / (tb + 10.0))), 6), 6)
+             |    AS psi_term
+             |FROM agg, tot ORDER BY bin""".stripMargin)),
+
+    // q209 — record linkage (entity resolution) in the Fellegi–Sunter
+    // shape: block, generate candidate pairs LINEARLY, score an
+    // agreement vector, threshold. Blocking = nation; candidates =
+    // sorted-neighborhood within the block (order by acctbal, pair each
+    // row with its next 3 neighbors — O(n·w) pairs, never the O(n²/b)
+    // all-pairs-within-block join, the same scale argument as q72);
+    // agreement = balance proximity (weight 2) + segment equality
+    // (weight 1); match iff score ≥ 2. All-integer score; double
+    // subtraction/compare is single-op IEEE — deterministic both
+    // engines.
+    QuerySpec("q209_record_linkage",
+      (s, dir) => {
+        val base = Tables.load(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"),
+            col("c_acctbal"), col("c_mktsegment"))
+        val win = Window.partitionBy("c_nationkey")
+          .orderBy("c_acctbal", "c_custkey")
+        val leads = (1 to 3).map(k => struct(
+          lead(col("c_custkey"), k).over(win).as("k2"),
+          lead(col("c_acctbal"), k).over(win).as("b2"),
+          lead(col("c_mktsegment"), k).over(win).as("s2")))
+        base
+          // window exprs and the generator can't share one projection
+          .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"),
+            array(leads: _*).as("nbs"))
+          .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"),
+            explode(col("nbs")).as("nb"))
+          .filter(col("nb.k2").isNotNull)
+          .select(
+            least(col("c_custkey"), col("nb.k2")).as("cust_a"),
+            greatest(col("c_custkey"), col("nb.k2")).as("cust_b"),
+            (when(abs(col("nb.b2") - col("c_acctbal")) < 100.0, 2).otherwise(0)
+              + when(col("nb.s2") === col("c_mktsegment"), 1).otherwise(0))
+              .as("score"))
+          .filter(col("score") >= 2)
+          .orderBy("cust_a", "cust_b")
+      },
+      Some("""WITH r AS (SELECT c_custkey, c_nationkey, c_acctbal, c_mktsegment,
+             |    row_number() OVER (PARTITION BY c_nationkey
+             |                       ORDER BY c_acctbal, c_custkey) AS rn
+             |  FROM customer),
+             |p AS (SELECT least(a.c_custkey, b.c_custkey) AS cust_a,
+             |    greatest(a.c_custkey, b.c_custkey) AS cust_b,
+             |    CAST(CASE WHEN abs(b.c_acctbal - a.c_acctbal) < 100.0 THEN 2 ELSE 0 END
+             |      + CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 1 ELSE 0 END
+             |      AS INTEGER) AS score
+             |  FROM r a JOIN r b
+             |    ON a.c_nationkey = b.c_nationkey
+             |    AND b.rn BETWEEN a.rn + 1 AND a.rn + 3)
+             |SELECT cust_a, cust_b, score FROM p
+             |WHERE score >= 2 ORDER BY cust_a, cust_b""".stripMargin)),
+
+    // q212 — grouped linear regression (per-language OLS of characters
+    // on tokens) via raw-moment identities over EXACT integer sums —
+    // the q189 discipline: the built-in regr_* running accumulators are
+    // float and merge-order-dependent, so a hash-stable (and at 100 TB,
+    // partition-count-independent) fit must assemble slope/intercept
+    // from decimal Σx, Σy, Σxy, Σx² (DECIMAL(38,0) sums cannot overflow
+    // at any corpus size; BIGINT wraps). slope/intercept are then a
+    // fixed IEEE op sequence over exact operands — deterministic, no
+    // rounding needed.
+    QuerySpec("q212_grouped_regression",
+      (s, dir) => {
+        val base = Tables.load(s, dir, "documents")
+          .select(col("lang"), col("n_chars").as("y"),
+            graft.functions.Text.tokenCount(col("text")).cast("long").as("x"))
+        val d = org.apache.spark.sql.types.DecimalType(38, 0)
+        base.groupBy("lang").agg(
+            count(lit(1)).cast(d).as("n"),
+            sum(col("x").cast(d)).as("sx"),
+            sum(col("y").cast(d)).as("sy"),
+            sum((col("x") * col("x")).cast(d)).as("sxx"),
+            sum((col("x") * col("y")).cast(d)).as("sxy"))
+          .select(col("lang"), col("n").cast("long").as("n_docs"),
+            ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+              .as("slope"),
+            col("sx").cast("double").as("sxd"),
+            col("sy").cast("double").as("syd"),
+            col("n").cast("double").as("nd"))
+          .select(col("lang"), col("n_docs"), col("slope"),
+            ((col("syd") - col("slope") * col("sxd")) / col("nd"))
+              .as("intercept"))
+          .orderBy("lang")
+      },
+      Some("""WITH b AS (SELECT lang, n_chars AS y,
+             |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS x
+             |  FROM documents),
+             |a AS (SELECT lang, count(*) AS n,
+             |    SUM(x) AS sx, SUM(y) AS sy,
+             |    SUM(x * x) AS sxx, SUM(x * y) AS sxy
+             |  FROM b GROUP BY lang),
+             |s AS (SELECT lang, CAST(n AS BIGINT) AS n_docs,
+             |    CAST(n * sxy - sx * sy AS DOUBLE)
+             |      / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+             |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+             |    CAST(n AS DOUBLE) AS nd
+             |  FROM a)
+             |SELECT lang, n_docs, slope,
+             |  (syd - slope * sxd) / nd AS intercept
+             |FROM s ORDER BY lang""".stripMargin)))
 }

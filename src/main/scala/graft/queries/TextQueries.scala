@@ -18,6 +18,33 @@ object TextQueries {
   private def markerList(lang: String): String =
     Text.langMarkers.toMap.apply(lang).map(w => s"'$w'").mkString(", ")
 
+  /** The fixed logistic quality model shared by q117 (scoring) and q211
+    * (calibration audit): sigmoid over the q26 feature set, output
+    * rounded to 6 (transcendental — q112 lesson). Column and oracle
+    * text are generated from this one definition. */
+  private def qualityP: org.apache.spark.sql.Column = {
+    val nTok = Text.tokenCount(col("text"))
+    val stopR = round(
+      Text.stopwordCount(col("text")).cast("double") / nTok, 4)
+    val punR = round(
+      Text.punctCount(col("text")).cast("double") / length(col("text")), 4)
+    val logit = lit(-2.0) +
+      lit(0.45) * log(length(col("text")).cast("double")) +
+      lit(3.0) * stopR - lit(6.0) * punR -
+      lit(0.002) * nTok.cast("double")
+    round(lit(1.0) / (lit(1.0) + exp(-logit)), 6)
+  }
+
+  /** DuckDB mirror of [[qualityP]] (expects a `text` column in scope). */
+  private lazy val duckQualityP: String =
+    s"""round(1.0 / (1.0 + exp(-(-2.0
+       |    + 0.45 * ln(CAST(length(text) AS DOUBLE))
+       |    + 3.0 * round(CAST(len(list_filter($duckTokens, x -> x IN ($stopList))) AS DOUBLE)
+       |                  / len(string_split_regex(trim(text), '\\s+')), 4)
+       |    - 6.0 * round(CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+       |                  / length(text), 4)
+       |    - 0.002 * CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)))), 6)""".stripMargin
+
   // DuckDB fragments mirroring Text.* definitions exactly.
   private val duckTokens = """string_split_regex(trim(lower(text)), '\s+')"""
 
@@ -2050,6 +2077,8 @@ object TextQueries {
              |SELECT doc_id, (pos - 1) // 64 AS shard, (pos - 1) % 64 AS pos_in_shard
              |FROM p ORDER BY shard, pos_in_shard""".stripMargin)),
 
+    // q117/q211 share one model: qualityP / duckQualityP below the spec
+    // list — single source so classifier and calibration cannot drift.
     // q117 — deterministic quality-classifier scoring (the fastText-
     // quality-filter stand-in every corpus pipeline runs): a fixed
     // logistic model over the q26 feature set — sigmoid(w·x + b) with
@@ -2062,35 +2091,14 @@ object TextQueries {
     // q112 lesson).
     QuerySpec("q117_quality_logit",
       (s, dir) => {
-        val nTok = Text.tokenCount(col("text"))
-        val stopR = round(
-          Text.stopwordCount(col("text")).cast("double") / nTok, 4)
-        val punR = round(
-          Text.punctCount(col("text")).cast("double") / length(col("text")), 4)
-        val logit = lit(-2.0) +
-          lit(0.45) * log(length(col("text")).cast("double")) +
-          lit(3.0) * stopR - lit(6.0) * punR -
-          lit(0.002) * nTok.cast("double")
-        val p = round(lit(1.0) / (lit(1.0) + exp(-logit)), 6)
+        val p = qualityP
         Tables.load(s, dir, "documents").select("doc_id", "text")
           .orderBy("doc_id")
           .select(col("doc_id"), p.as("quality_p"), (p >= 0.5).as("keep"))
       },
       Some(s"""SELECT doc_id,
-              |  round(1.0 / (1.0 + exp(-(-2.0
-              |    + 0.45 * ln(CAST(length(text) AS DOUBLE))
-              |    + 3.0 * round(CAST(len(list_filter($duckTokens, x -> x IN ($stopList))) AS DOUBLE)
-              |                  / len(string_split_regex(trim(text), '\\s+')), 4)
-              |    - 6.0 * round(CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
-              |                  / length(text), 4)
-              |    - 0.002 * CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)))), 6) AS quality_p,
-              |  round(1.0 / (1.0 + exp(-(-2.0
-              |    + 0.45 * ln(CAST(length(text) AS DOUBLE))
-              |    + 3.0 * round(CAST(len(list_filter($duckTokens, x -> x IN ($stopList))) AS DOUBLE)
-              |                  / len(string_split_regex(trim(text), '\\s+')), 4)
-              |    - 6.0 * round(CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
-              |                  / length(text), 4)
-              |    - 0.002 * CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)))), 6) >= 0.5 AS keep
+              |  $duckQualityP AS quality_p,
+              |  $duckQualityP >= 0.5 AS keep
               |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // q118 — per-language corpus card (the dataset-datasheet summary a
@@ -3232,5 +3240,297 @@ object TextQueries {
              |  CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
              |  round(CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS dup_frac
              |FROM win JOIN nd USING (h)
-             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)))
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // q204 — multi-source BFS hop distance over the near-dup graph:
+    // "how many near-dup hops is each document from a seed set" — the
+    // provenance/contamination-radius primitive (seed = known-bad or
+    // known-benchmark docs; here a deterministic id rule so the oracle
+    // can reproduce it). Distinct from q76's components (which forget
+    // distance) and q131's PageRank (stationary mass, not hops).
+    // Frontier rounds are candidate-scale shuffles with the same
+    // lineage-truncation discipline as CC; depth is capped so cycles
+    // terminate in BOTH engines (the recursive CTE's UNION dedups
+    // (node, d) pairs, so without the d < cap guard a cycle would
+    // generate unboundedly growing d forever).
+    QuerySpec("q204_bfs_hops",
+      (s, dir) => {
+        val cand = minhashCandidates(Tables.load(s, dir, "documents"))
+          .persistTracked()
+        cand.count()
+        val ns = graft.core.Tuned.session(s,
+          "spark.sql.shuffle.partitions" -> "4",
+          "spark.sql.adaptive.enabled" -> "false")
+        val edges = graft.core.Tuned.rehome(
+          cand.select(col("doc_a").as("src"), col("doc_b").as("dst")), ns)
+        val nodes = edges.select(col("src").as("node"))
+          .union(edges.select(col("dst").as("node"))).distinct()
+        val seeds = nodes.filter(col("node") % 5 === 0)
+        graft.ops.Bfs.hops(edges, seeds, maxDepth = 6)
+          .select(col("node").as("doc_id"), col("hops"))
+          .orderBy("doc_id")
+      },
+      Some(s"""${duckMinhashCtes.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+              |edges AS (SELECT doc_a AS a, doc_b AS b FROM cand
+              |          UNION SELECT doc_b, doc_a FROM cand),
+              |seeds AS (SELECT DISTINCT a AS node FROM edges WHERE a % 5 = 0),
+              |walk AS (SELECT node, 0 AS d FROM seeds
+              |         UNION
+              |         SELECT e.b AS node, w.d + 1 AS d
+              |         FROM walk w JOIN edges e ON w.node = e.a WHERE w.d < 6)
+              |SELECT node AS doc_id, CAST(min(d) AS INTEGER) AS hops
+              |FROM walk GROUP BY node ORDER BY doc_id""".stripMargin)),
+
+    // q205 — winnowing fingerprints (Schleimer/Wilkerson/Aiken '03, the
+    // MOSS algorithm): per doc, hash every K-token shingle, then keep
+    // the MIN hash of each W-consecutive-shingle window — guarantees any
+    // shared run of ≥ W+K-1 tokens yields a shared fingerprint, at ~1/W
+    // the fingerprint density of q202's every-window scheme. Docs
+    // sharing ≥ 2 fingerprints are overlap candidates. Scale shape: the
+    // window min is doc-partitioned (parallel across docs); pair
+    // generation is bucket-local on the fingerprint (same HOF form as
+    // the LSH families — fingerprint buckets are content-addressed, so
+    // bucket size is bounded by true duplication, not corpus size).
+    // Window-min ROWS frames are position-contiguous in both engines;
+    // only FULL windows are kept (pos ≤ n_shingles − W + 1), the
+    // classic definition.
+    QuerySpec("q205_winnow_pairs",
+      (s, dir) => {
+        val K = 5; val W = 4
+        val sh = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), Text.tokens(lower(col("text"))).as("tk"))
+          .filter(size(col("tk")) >= K + W - 1)
+          .select(col("doc_id"), size(col("tk")).as("n"),
+            explode(expr(
+              s"transform(sequence(1, size(tk) - ${K - 1}), " +
+                s"i -> struct(i AS pos, graft_hash32(concat_ws(' ', slice(tk, i, $K))) AS h))")).as("s"))
+          .select(col("doc_id"), col("n"), col("s.pos"), col("s.h"))
+        val wMin = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("pos")
+          .rowsBetween(Window.currentRow, W - 1)
+        val fp = sh
+          .withColumn("fp", min(col("h")).over(wMin))
+          .filter(col("pos") <= col("n") - lit(K - 1) - lit(W - 1))
+          .select(col("doc_id"), col("fp")).distinct()
+        fp.groupBy("fp")
+          .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+          .filter(size(col("ids")) > 1)
+          .select(explode(expr(
+            "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), y -> struct(x AS doc_a, y AS doc_b))))"
+          )).as("p"))
+          .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+          .agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= 2)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""WITH tk AS (SELECT doc_id,
+             |    string_split_regex(trim(lower(text)), '\s+') AS w
+             |  FROM documents),
+             |sh AS (SELECT doc_id, len(w) AS n, i AS pos,
+             |    CAST('0x' || substr(md5(array_to_string(w[i:i+4], ' ')), 1, 8) AS BIGINT) AS h
+             |  FROM tk, UNNEST(generate_series(1, len(w) - 4)) t(i)
+             |  WHERE len(w) >= 8),
+             |fp AS (SELECT DISTINCT doc_id, fp FROM (
+             |  SELECT doc_id, pos, n,
+             |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+             |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+             |  FROM sh) WHERE pos <= n - 4 - 3),
+             |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+             |  FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT doc_a, doc_b, n_shared FROM pairs
+             |WHERE n_shared >= 2 ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // q206 — LM-perplexity quality filter (the CCNet/Wenzek '20 shape:
+    // score each doc by average negative log-likelihood under a corpus
+    // language model, bucket into head/middle/tail). Model here is the
+    // corpus's own add-one-smoothed unigram LM — the 100 TB plan shape
+    // is what matters: term-grain LM fit (vocab-scale aggregate, never
+    // corpus-scale), per-term scores joined back term-keyed, one
+    // doc-grain aggregate. Numeric parity: ln() is engine-1-ulp —
+    // round(6) per TERM, cast to DECIMAL so the per-doc sum is exact
+    // integer arithmetic in both engines (q112 lesson); the final
+    // avg = CAST(decimal AS DOUBLE)/count is ONE IEEE division
+    // (q164 avg-parity rule), so the bucket comparison cannot flip.
+    QuerySpec("q206_perplexity_filter",
+      (s, dir) => {
+        val tf = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), explode(Text.tokens(lower(col("text")))).as("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+          .persistTracked()
+        val vocab = tf.groupBy("term").agg(sum(col("tf")).as("cnt"))
+        val tot = vocab.agg(sum(col("cnt")).as("total"),
+          count(lit(1)).as("v"))
+        val nll = vocab.crossJoin(broadcast(tot))
+          .select(col("term"),
+            round(-log((col("cnt") + lit(1.0)) / (col("total") + col("v"))), 6)
+              .cast("decimal(18,6)").as("nll"))
+        tf.join(nll, "term")
+          .groupBy("doc_id")
+          .agg(sum(col("tf")).as("n_tokens"),
+            sum(col("tf").cast("decimal(18,0)") * col("nll")).as("s"))
+          .select(col("doc_id"), col("n_tokens"),
+            (col("s").cast("double") / col("n_tokens")).as("avg_nll"))
+          .withColumn("bucket",
+            when(col("avg_nll") < 3.40, "head")
+              .when(col("avg_nll") < 3.45, "middle")
+              .otherwise("tail"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+             |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+             |  FROM documents),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+             |vocab AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY term),
+             |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total, count(*) AS v FROM vocab),
+             |nll AS (SELECT term,
+             |    CAST(round(-ln((cnt + 1.0) / (total + v)), 6) AS DECIMAL(18,6)) AS nll
+             |  FROM vocab, tot),
+             |d AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+             |    SUM(CAST(tf AS DECIMAL(18,0)) * nll) AS s
+             |  FROM tf JOIN nll USING (term) GROUP BY doc_id)
+             |SELECT doc_id, n_tokens,
+             |  CAST(s AS DOUBLE) / n_tokens AS avg_nll,
+             |  CASE WHEN CAST(s AS DOUBLE) / n_tokens < 3.40 THEN 'head'
+             |       WHEN CAST(s AS DOUBLE) / n_tokens < 3.45 THEN 'middle'
+             |       ELSE 'tail' END AS bucket
+             |FROM d ORDER BY doc_id""".stripMargin)),
+
+    // q210 — RAG chunking: split every document into overlapping
+    // fixed-size token windows (size 64, stride 48 → 16-token overlap)
+    // with positional metadata and a content address per chunk — the
+    // retrieval-corpus build step. Purely scan-local (one HOF over the
+    // bound token array, no shuffle until the final sort); at 100 TB
+    // this is embarrassingly parallel and the chunk table partitions by
+    // whatever the sink needs. Tail chunks keep their natural (short)
+    // length; chunk_idx is derived arithmetically from the start so
+    // both engines agree without positional explode semantics.
+    QuerySpec("q210_rag_chunks",
+      (s, dir) => {
+        val C = 64; val S = 48
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), Text.tokens(lower(col("text"))).as("tk"))
+          .select(col("doc_id"), explode(expr(
+            s"transform(sequence(1, size(tk), $S), st -> struct(" +
+              s"st AS start_tok, " +
+              s"size(slice(tk, st, $C)) AS n_chunk_tokens, " +
+              s"graft_hash32(concat_ws(' ', slice(tk, st, $C))) AS chunk_hash))")).as("c"))
+          .select(col("doc_id"),
+            (((col("c.start_tok") - 1) / S).cast("int") + 1).as("chunk_idx"),
+            col("c.start_tok"), col("c.n_chunk_tokens"), col("c.chunk_hash"))
+          .orderBy("doc_id", "chunk_idx")
+      },
+      Some("""WITH tk AS (SELECT doc_id,
+             |    string_split_regex(trim(lower(text)), '\s+') AS w
+             |  FROM documents),
+             |c AS (SELECT doc_id,
+             |    CAST((st - 1) // 48 + 1 AS INTEGER) AS chunk_idx,
+             |    CAST(st AS INTEGER) AS start_tok,
+             |    CAST(len(w[st:st+63]) AS INTEGER) AS n_chunk_tokens,
+             |    CAST('0x' || substr(md5(array_to_string(w[st:st+63], ' ')), 1, 8) AS BIGINT) AS chunk_hash
+             |  FROM tk, UNNEST(generate_series(1, len(w), 48)) t(st))
+             |SELECT doc_id, chunk_idx, start_tok, n_chunk_tokens, chunk_hash
+             |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // q211 — classifier calibration audit (reliability diagram / ECE
+    // terms): bucket q117's quality probability into 10 confidence
+    // bins, compare mean confidence against the empirical rate of a
+    // reference label per bin — the eval every production quality
+    // filter needs before its threshold is trusted. One corpus pass →
+    // 10-row aggregate. Parity: p is already round(6), so the per-bin
+    // sum is exact in DECIMAL(18,6); avg_conf/acc are single IEEE
+    // divisions (q164 rule); the gap rounds the difference.
+    QuerySpec("q211_calibration_bins",
+      (s, dir) => {
+        val scored = Tables.load(s, dir, "documents")
+          .select(qualityP.as("p"),
+            col("lang").isin("en", "de").cast("int").as("y"))
+        scored
+          .select(least(floor(col("p") * 10).cast("int"), lit(9)).as("bin"),
+            col("p"), col("y"))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n"),
+            sum(col("p").cast("decimal(18,6)")).as("sp"),
+            sum(col("y")).as("sy"))
+          .select(col("bin"), col("n"),
+            (col("sp").cast("double") / col("n")).as("avg_conf"),
+            (col("sy").cast("double") / col("n")).as("acc"))
+          .withColumn("gap", round(abs(col("avg_conf") - col("acc")), 6))
+          .orderBy("bin")
+      },
+      Some(s"""WITH s AS (SELECT $duckQualityP AS p,
+              |    CASE WHEN lang IN ('en', 'de') THEN 1 ELSE 0 END AS y
+              |  FROM documents),
+              |a AS (SELECT CAST(least(floor(p * 10), 9) AS INTEGER) AS bin,
+              |    count(*) AS n,
+              |    SUM(CAST(p AS DECIMAL(18,6))) AS sp,
+              |    CAST(SUM(y) AS BIGINT) AS sy
+              |  FROM s GROUP BY 1)
+              |SELECT bin, n,
+              |  CAST(sp AS DOUBLE) / n AS avg_conf,
+              |  CAST(sy AS DOUBLE) / n AS acc,
+              |  round(abs(CAST(sp AS DOUBLE) / n - CAST(sy AS DOUBLE) / n), 6) AS gap
+              |FROM a ORDER BY bin""".stripMargin)),
+
+    // q213 — sketch-accuracy audit: MinHash-ESTIMATED similarity
+    // (matching signature components / k) vs EXACT shingle-set Jaccard
+    // for every LSH candidate pair — the eval that justifies (or
+    // indicts) the q29 sketch parameters before a 100 TB dedup run
+    // trusts them. Signature table is persisted at its branch point
+    // (probed from both pair sides); the exact sets are computed only
+    // for candidate docs (q35's semi-join discipline). Both
+    // similarities are 4-rounded before the comparison column.
+    QuerySpec("q213_minhash_calibration",
+      (s, dir) => {
+        val k = Text.minhashParams.size
+        val docs = Tables.load(s, dir, "documents")
+        val sig = minhashSig(docs).persistTracked()
+        val cand = candidatesFromSig(sig).persistTracked()
+        val sa = sig.select(col("doc_id").as("doc_a") +:
+          (0 until k).map(i => col(s"m$i").as(s"a$i")): _*)
+        val sb = sig.select(col("doc_id").as("doc_b") +:
+          (0 until k).map(i => col(s"m$i").as(s"b$i")): _*)
+        val matches = (0 until k)
+          .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+          .reduce(_ + _)
+        val candIds = cand
+          .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+          .distinct()
+        val sets = docs.join(candIds, Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), Text.tokens(lower(col("text"))).as("tk"))
+          .select(col("doc_id"), explode(Text.shinglesFromTokens(col("tk"))).as("sh"))
+          .groupBy("doc_id").agg(collect_set(col("sh")).as("shs"))
+        cand
+          .join(sa, "doc_a").join(sb, "doc_b")
+          .select(col("doc_a"), col("doc_b"),
+            round(matches.cast("double") / k, 4).as("est_sim"))
+          .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("s_a")), "doc_a")
+          .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("s_b")), "doc_b")
+          .select(col("doc_a"), col("doc_b"), col("est_sim"),
+            round(size(array_intersect(col("s_a"), col("s_b"))).cast("double") /
+              size(array_union(col("s_a"), col("s_b"))), 4).as("jaccard"))
+          .withColumn("abs_err", round(abs(col("est_sim") - col("jaccard")), 4))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some {
+        val k = Text.minhashParams.size
+        val matchSum = (0 until k)
+          .map(i => s"(CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        s"""$duckMinhashCtes,
+           |sets AS (SELECT doc_id, list(DISTINCT sh) AS shs FROM ex GROUP BY doc_id),
+           |est AS (SELECT c.doc_a, c.doc_b,
+           |    round(CAST(($matchSum) AS DOUBLE) / $k, 4) AS est_sim
+           |  FROM cand c JOIN sig a ON a.doc_id = c.doc_a
+           |              JOIN sig b ON b.doc_id = c.doc_b),
+           |j AS (SELECT c.doc_a, c.doc_b,
+           |    round(CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+           |      / len(list_distinct(a.shs || b.shs)), 4) AS jaccard
+           |  FROM cand c JOIN sets a ON a.doc_id = c.doc_a
+           |              JOIN sets b ON b.doc_id = c.doc_b)
+           |SELECT e.doc_a, e.doc_b, e.est_sim, j.jaccard,
+           |  round(abs(e.est_sim - j.jaccard), 4) AS abs_err
+           |FROM est e JOIN j ON e.doc_a = j.doc_a AND e.doc_b = j.doc_b
+           |ORDER BY e.doc_a, e.doc_b""".stripMargin
+      }))
 }

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit specs for the round-7 ops: [[graft.ops.Bfs]] (multi-source hop
+  * distance) and [[graft.ops.RunningMax]] (distributed exclusive running
+  * max — the skyline primitive). Both are checked against brute-force
+  * single-node computations of the same definition. */
+class GraphOpsSpec extends AnyFunSuite {
+
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("Bfs.hops: exact min-hop levels on a known graph") {
+    // Two components: a path 1-2-3-4-5 (seed 1) and a triangle 10-11-12
+    // (seed 10); 20 is an isolated seed; 30-31 is unreachable from any
+    // seed and must be absent.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (30L, 31L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L, 10L, 20L).toDF("node")
+    val got = graft.ops.Bfs.hops(edges, seeds, maxDepth = 6)
+      .as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3, 5L -> 4,
+      10L -> 0, 11L -> 1, 12L -> 1, 20L -> 0))
+  }
+
+  test("Bfs.hops: depth cap truncates the wave and terminates on cycles") {
+    // A 6-cycle seeded at one node: without the cap the frontier loop
+    // would keep re-visiting; with maxDepth=2 only hops ≤ 2 appear.
+    val edges = (0 until 6).map(i => (i.toLong, ((i + 1) % 6).toLong))
+      .toDF("src", "dst")
+    val seeds = Seq(0L).toDF("node")
+    val got = graft.ops.Bfs.hops(edges, seeds, maxDepth = 2)
+      .as[(Long, Int)].collect().toMap
+    assert(got == Map(0L -> 0, 1L -> 1, 5L -> 1, 2L -> 2, 4L -> 2))
+  }
+
+  test("RunningMax.cummaxExclusive matches the sequential definition") {
+    // Random-ish values over a unique key, 4 range partitions so the
+    // cross-partition offset path is really exercised; compare against
+    // the single-partition global-window form of the same definition.
+    val rows = (1 to 200).map(i => (i.toLong, ((i * 37) % 89).toLong))
+    val df = rows.toDF("k", "v")
+    val got = graft.ops.RunningMax
+      .cummaxExclusive(df, Seq("k"), "v", "cm", numParts = 4)
+      .select("k", "cm").as[(Long, Option[Long])].collect().toMap
+    var best = Option.empty[Long]
+    rows.foreach { case (k, v) =>
+      assert(got(k) == best, s"k=$k")
+      best = Some(best.fold(v)(math.max(_, v)))
+    }
+  }
+}
