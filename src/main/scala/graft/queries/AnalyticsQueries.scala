@@ -856,5 +856,270 @@ object AnalyticsQueries {
              |  FROM a)
              |SELECT lang, n_docs, slope,
              |  (syd - slope * sxd) / nd AS intercept
-             |FROM s ORDER BY lang""".stripMargin)))
+             |FROM s ORDER BY lang""".stripMargin)),
+
+    // q214 — classical seasonal decomposition of the daily order series:
+    // y = trend (7-day centered moving average, full windows only) +
+    // seasonal (mean deviation per day-of-week) + residual. The moving
+    // window is CALENDAR-grain — bounded by the date span, not the
+    // corpus (q81/q194 class), so the unpartitioned ORDER BY day window
+    // is a few-thousand-row frame at any corpus size. Day-of-week is
+    // datediff-mod-7 from a fixed anchor: Spark's dayofweek() and
+    // DuckDB's dayofweek() disagree on numbering, integer arithmetic
+    // doesn't. Parity: trend = int sum / 7.0 (one IEEE division);
+    // deviations are round(6)→DECIMAL before the seasonal mean.
+    QuerySpec("q214_seasonal_decompose",
+      (s, dir) => {
+        val daily = Tables.load(s, dir, "orders")
+          .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.orderBy("day").rowsBetween(-3, 3)
+        val trended = daily
+          .withColumn("nw", count(lit(1)).over(w))
+          .withColumn("trend", sum(col("n")).over(w) / lit(7.0))
+          .filter(col("nw") === 7)
+          .withColumn("dev",
+            round(col("n") - col("trend"), 6).cast("decimal(18,6)"))
+          .persistTracked()
+        val seasonal = trended
+          .withColumn("dow",
+            (datediff(col("day"), to_date(lit("1995-01-01"))) % 7).as("dow"))
+          .groupBy("dow")
+          .agg((sum(col("dev")).cast("double") / count(lit(1))).as("seasonal"))
+        trended
+          .withColumn("dow",
+            (datediff(col("day"), to_date(lit("1995-01-01"))) % 7).as("dow"))
+          .join(broadcast(seasonal), "dow")
+          .select(col("day").cast("timestamp_ntz").as("day"), col("n"),
+            round(col("trend"), 6).as("trend"),
+            round(col("seasonal"), 6).as("seasonal"),
+            round(col("n") - col("trend") - col("seasonal"), 6).as("resid"))
+          .orderBy("day")
+      },
+      Some("""WITH daily AS (SELECT date_trunc('day', o_orderdate) AS day,
+             |    count(*) AS n FROM orders GROUP BY 1),
+             |t AS (SELECT day, n,
+             |    count(*) OVER w AS nw,
+             |    SUM(n) OVER w / 7.0 AS trend
+             |  FROM daily
+             |  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+             |f AS (SELECT day, n, trend,
+             |    CAST(round(n - trend, 6) AS DECIMAL(18,6)) AS dev,
+             |    datediff('day', DATE '1995-01-01', CAST(day AS DATE)) % 7 AS dow
+             |  FROM t WHERE nw = 7),
+             |se AS (SELECT dow, CAST(SUM(dev) AS DOUBLE) / count(*) AS seasonal
+             |  FROM f GROUP BY dow)
+             |SELECT CAST(f.day AS TIMESTAMP) AS day, f.n,
+             |  round(f.trend, 6) AS trend,
+             |  round(se.seasonal, 6) AS seasonal,
+             |  round(f.n - f.trend - se.seasonal, 6) AS resid
+             |FROM f JOIN se USING (dow) ORDER BY day""".stripMargin)),
+
+    // q215 — bootstrap confidence interval for the mean order total,
+    // with DETERMINISTIC resampling: replica weights are Poisson(1)
+    // draws taken by inverting the CDF on a hash-uniform of
+    // (order, replica) — reproducible on any cluster at any
+    // parallelism, and oracle-reproducible, unlike rand(). One corpus
+    // pass computes all B=20 replicas as conditional decimal sums
+    // (weights 0-4 are exact ints); the CI is the 2nd/19th of the 20
+    // replica means — a 20-row sort, driver-scale by construction.
+    QuerySpec("q215_bootstrap_ci",
+      (s, dir) => {
+        val B = 20
+        val rep = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .select(col("o_orderkey"),
+            col("o_totalprice").cast("decimal(18,2)").as("p"),
+            explode(expr(s"sequence(0, ${B - 1})")).as("replica"))
+          .withColumn("u",
+            (graft.functions.Text.hash32(
+              concat_ws(":", col("o_orderkey"), col("replica"))) % 10000)
+              .cast("double") / 10000.0)
+          .withColumn("w",
+            when(col("u") < 0.3679, 0).when(col("u") < 0.7358, 1)
+              .when(col("u") < 0.9197, 2).when(col("u") < 0.9810, 3)
+              .otherwise(4))
+        val means = rep.groupBy("replica")
+          .agg((sum(col("p") * col("w")).cast("double") /
+            sum(col("w"))).as("m"))
+        val ranked = means
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("m"), col("replica"))))
+        val lo = ranked.filter(col("rk") === 2).select(col("m").as("ci_lo"))
+        val hi = ranked.filter(col("rk") === 19).select(col("m").as("ci_hi"))
+        val pt = Tables.load(s, dir, "orders")
+          .agg((sum(col("o_totalprice").cast("decimal(18,2)")).cast("double") /
+            count(lit(1))).as("point_mean"))
+        pt.crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+          .select(round(col("point_mean"), 4).as("point_mean"),
+            round(col("ci_lo"), 4).as("ci_lo"),
+            round(col("ci_hi"), 4).as("ci_hi"))
+      },
+      Some("""WITH rep AS (SELECT o_orderkey,
+             |    CAST(o_totalprice AS DECIMAL(18,2)) AS p, replica,
+             |    CAST(CAST('0x' || substr(md5(o_orderkey || ':' || replica), 1, 8) AS BIGINT) % 10000 AS DOUBLE) / 10000.0 AS u
+             |  FROM orders, UNNEST(generate_series(0, 19)) t(replica)),
+             |wt AS (SELECT replica, p,
+             |    CASE WHEN u < 0.3679 THEN 0 WHEN u < 0.7358 THEN 1
+             |         WHEN u < 0.9197 THEN 2 WHEN u < 0.9810 THEN 3
+             |         ELSE 4 END AS w
+             |  FROM rep),
+             |means AS (SELECT replica,
+             |    CAST(SUM(p * w) AS DOUBLE) / SUM(w) AS m
+             |  FROM wt GROUP BY replica),
+             |ranked AS (SELECT m, row_number() OVER (ORDER BY m, replica) AS rk
+             |  FROM means),
+             |pt AS (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    / count(*) AS point_mean FROM orders)
+             |SELECT round(pt.point_mean, 4) AS point_mean,
+             |  round(lo.m, 4) AS ci_lo, round(hi.m, 4) AS ci_hi
+             |FROM pt, (SELECT m FROM ranked WHERE rk = 2) lo,
+             |     (SELECT m FROM ranked WHERE rk = 19) hi""".stripMargin)),
+
+    // q216 — robust outlier screen (median/MAD, the non-parametric form
+    // of q100's z-score that heavy tails can't poison): per event type,
+    // exact median and median-absolute-deviation of the event value
+    // (the one right-tailed column in the corpus — order totals are
+    // near-uniform and yield NO outliers at any cut), then the
+    // 0.6745-scaled robust z. Two grouped EXACT percentile passes
+    // (group-grain frames broadcast back); medians are cents-rounded in
+    // both engines before any derived arithmetic (q86 rule: raw
+    // interpolated doubles differ in final ulps, rounded ones cannot),
+    // and both the output z and the 3.5 cut use the raw IEEE chain,
+    // which is identical given identical (rounded) inputs.
+    QuerySpec("q216_mad_outliers",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+          .select(col("event_id"), col("event_type"), col("value"))
+        val med = e.groupBy("event_type")
+          .agg(round(expr("percentile(value, 0.5)"), 2).as("med"))
+        val withMed = e.join(broadcast(med), "event_type")
+        val mad = withMed.groupBy("event_type")
+          .agg(round(expr("percentile(abs(value - med), 0.5)"), 2)
+            .as("mad"))
+        withMed.join(broadcast(mad), "event_type")
+          // z stays UNROUNDED: the chain is plain IEEE arithmetic over
+          // cents-rounded inputs — bit-identical in both engines —
+          // while round(z, 4) is NOT portable at .5-at-4-decimals
+          // boundaries (q147 lesson; bit this query at sf0.1).
+          .withColumn("z",
+            lit(0.6745) * (col("value") - col("med")) / col("mad"))
+          .filter(abs(col("z")) > 3.5)
+          .select(col("event_id"), col("event_type"),
+            col("value"), col("med"), col("mad"), col("z"))
+          .orderBy("event_id")
+      },
+      Some("""WITH med AS (SELECT event_type,
+             |    round(quantile_cont(value, 0.5), 2) AS med
+             |  FROM events GROUP BY 1),
+             |mad AS (SELECT o.event_type,
+             |    round(quantile_cont(abs(o.value - m.med), 0.5), 2) AS mad
+             |  FROM events o JOIN med m USING (event_type)
+             |  GROUP BY 1),
+             |z AS (SELECT o.event_id, o.event_type, o.value,
+             |    m.med, d.mad,
+             |    0.6745 * (o.value - m.med) / d.mad AS z
+             |  FROM events o JOIN med m USING (event_type)
+             |               JOIN mad d ON d.event_type = o.event_type)
+             |SELECT event_id, event_type, value, med, mad, z
+             |FROM z WHERE abs(z) > 3.5 ORDER BY event_id""".stripMargin)),
+
+    // q218 — declarative data-quality constraint suite (the Deequ-shape
+    // contract check a production table runs before publishing): five
+    // rule families — uniqueness, completeness, numeric range, date
+    // range, referential integrity — evaluated as ONE pass over the
+    // fact table (a single aggregate computes four rules' violation
+    // counts; uniqueness is count minus countDistinct in the same
+    // aggregate) plus one broadcast anti-join count for the FK rule.
+    // Output is the per-rule report with exact counts. At 100 TB this
+    // is one fact scan + one dim-keyed anti join — adding rules costs
+    // columns in the same aggregate, not passes.
+    QuerySpec("q218_dq_suite",
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+        val agg = o.agg(
+          count(lit(1)).as("n"),
+          (count(lit(1)) - countDistinct(col("o_orderkey"))).as("dup_keys"),
+          sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("null_cust"),
+          sum(when(col("o_totalprice") < 0 || col("o_totalprice") > 600000, 1L)
+            .otherwise(0L)).as("bad_price"),
+          sum(when(col("o_orderdate") < lit("1995-01-01").cast("timestamp")
+            || col("o_orderdate") >= lit("2002-01-01").cast("timestamp"), 1L)
+            .otherwise(0L)).as("bad_date"))
+        val orphans = o.join(
+            broadcast(Tables.load(s, dir, "customer")
+              .select(col("c_custkey").as("o_custkey"))),
+            Seq("o_custkey"), "left_anti")
+          .agg(count(lit(1)).as("orphan_cust"))
+        // The 1-row report frame is referenced once per rule below —
+        // persist it so the fact scans run once, not once per rule.
+        val r = agg.crossJoin(broadcast(orphans)).persistTracked()
+        val rules = Seq(
+          ("unique_orderkey", col("dup_keys")),
+          ("custkey_not_null", col("null_cust")),
+          ("totalprice_in_range", col("bad_price")),
+          ("orderdate_in_range", col("bad_date")),
+          ("custkey_fk_customer", col("orphan_cust")))
+        rules.map { case (name, v) =>
+          r.select(lit(name).as("rule"), col("n").as("n_checked"),
+            v.as("n_violations"), (v === 0L).as("pass"))
+        }.reduce(_.union(_)).orderBy("rule")
+      },
+      Some("""WITH a AS (SELECT count(*) AS n,
+             |    count(*) - count(DISTINCT o_orderkey) AS dup_keys,
+             |    CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_cust,
+             |    CAST(SUM(CASE WHEN o_totalprice < 0 OR o_totalprice > 600000 THEN 1 ELSE 0 END) AS BIGINT) AS bad_price,
+             |    CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1995-01-01'
+             |        OR o_orderdate >= TIMESTAMP '2002-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS bad_date
+             |  FROM orders),
+             |orph AS (SELECT count(*) AS orphan_cust FROM orders o
+             |  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+             |r AS (SELECT * FROM a, orph)
+             |SELECT rule, n_checked, n_violations, n_violations = 0 AS pass FROM (
+             |  SELECT 'unique_orderkey' AS rule, n AS n_checked, dup_keys AS n_violations FROM r
+             |  UNION ALL SELECT 'custkey_not_null', n, null_cust FROM r
+             |  UNION ALL SELECT 'totalprice_in_range', n, bad_price FROM r
+             |  UNION ALL SELECT 'orderdate_in_range', n, bad_date FROM r
+             |  UNION ALL SELECT 'custkey_fk_customer', n, orphan_cust FROM r)
+             |ORDER BY rule""".stripMargin)),
+
+    // q219 — distributed EXACT order statistics (p50/p95 per event
+    // type) via per-group ranks from a PrefixSum of ones — the quantile
+    // path that survives group skew at 100 TB: `percentile()` buffers a
+    // group's values in one aggregator and a per-group sort window puts
+    // a whole group on one reducer, but a PrefixSum over (group, value,
+    // id) range-partitions the corpus-wide total order, so even a group
+    // holding half the corpus computes its ranks in parallel (q130's
+    // cum − min(cum) trick; group min is a group-grain broadcast). The
+    // statistic is the ceil(q·n)-th ORDER VALUE — an actual data value,
+    // no interpolation, so the doubles compare raw.
+    QuerySpec("q219_distributed_quantile",
+      (s, dir) => {
+        val base = Tables.load(s, dir, "events")
+          .select(col("event_type"), col("value"), col("event_id"))
+          .withColumn("__one", lit(1L))
+        val cum = graft.ops.PrefixSum.cumsum(base,
+          Seq("event_type", "value", "event_id"), "__one", "cum", 32)
+        val grp = cum.groupBy("event_type")
+          .agg(min(col("cum")).as("g0"), count(lit(1)).as("n"))
+        cum.join(broadcast(grp), "event_type")
+          .withColumn("rk", col("cum") - col("g0") + 1)
+          .withColumn("k50", ceil(col("n") * 0.5).cast("long"))
+          .withColumn("k95", ceil(col("n") * 0.95).cast("long"))
+          .filter(col("rk") === col("k50") || col("rk") === col("k95"))
+          .groupBy("event_type")
+          .agg(max(col("n")).as("n"),
+            max(when(col("rk") === col("k50"), col("value"))).as("p50"),
+            max(when(col("rk") === col("k95"), col("value"))).as("p95"))
+          .orderBy("event_type")
+      },
+      Some("""WITH r AS (SELECT event_type, value,
+             |    row_number() OVER (PARTITION BY event_type
+             |                       ORDER BY value, event_id) AS rk,
+             |    count(*) OVER (PARTITION BY event_type) AS n
+             |  FROM events)
+             |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+             |  max(CASE WHEN rk = CAST(ceil(n * 0.5) AS BIGINT) THEN value END) AS p50,
+             |  max(CASE WHEN rk = CAST(ceil(n * 0.95) AS BIGINT) THEN value END) AS p95
+             |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin)))
 }

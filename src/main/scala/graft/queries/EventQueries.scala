@@ -280,5 +280,47 @@ object EventQueries {
              |  round(CAST(SUM(CAST(CASE WHEN cv + cc > 0
              |    THEN CAST(cc AS DOUBLE) / (cv + cc) END AS DECIMAL(18,9)))
              |    AS DOUBLE), 4) AS click_credit
-             |FROM p""".stripMargin)))
+             |FROM p""".stripMargin)),
+
+    // q217 — the NATIVE as-of join operator (plans.AsOfJoinPlan →
+    // AsOfJoinStrategy → AsOfJoinExec): every purchase matched to the
+    // user's last signup at-or-before it, as a custom Catalyst physical
+    // operator instead of q36's union-window composition. The plan is
+    // two clustered exchanges + per-partition sorts + an O(1)-state
+    // single-pass merge — the shape a database would pick, and the one
+    // that scales past the window form (no union-wide sort buffer; the
+    // right side streams). Oracle: DuckDB's own ASOF LEFT JOIN — a
+    // rare chance to check a custom operator against another engine's
+    // NATIVE implementation of the same semantics, not a SQL
+    // restatement. The signup side is deduped to (user, ts) grain with
+    // a max-event-id survivor on BOTH sides, because equal-time ties
+    // are resolver-defined in each engine; after dedup the match is
+    // unique and the engines must agree exactly.
+    QuerySpec("q217_asof_native",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts").as("p_ts"))
+        val signups = ev.filter(col("event_type") === "signup")
+          .groupBy(col("user_id").as("s_user"), col("ts").as("s_ts"))
+          .agg(max(col("event_id")).as("s_event"))
+        graft.plans.AsOf.joinBackward(purchases, signups,
+            Seq("user_id"), Seq("s_user"), "p_ts", "s_ts",
+            rightTie = Seq("s_event"))
+          .select(col("event_id"), col("user_id"),
+            col("p_ts").cast("timestamp_ntz").as("purchase_ts"),
+            col("s_ts").cast("timestamp_ntz").as("signup_ts"),
+            col("s_event").as("signup_event"))
+          .orderBy("event_id")
+      },
+      Some("""WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS p_ts
+             |  FROM events WHERE event_type = 'purchase'),
+             |s AS (SELECT user_id AS s_user, CAST(ts AS TIMESTAMP) AS s_ts,
+             |    max(event_id) AS s_event
+             |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2)
+             |SELECT p.event_id, p.user_id, p.p_ts AS purchase_ts,
+             |  s.s_ts AS signup_ts, s.s_event AS signup_event
+             |FROM p ASOF LEFT JOIN s
+             |  ON p.user_id = s.s_user AND s.s_ts <= p.p_ts
+             |ORDER BY p.event_id""".stripMargin)))
 }
