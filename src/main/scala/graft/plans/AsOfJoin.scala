@@ -41,7 +41,7 @@ case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
-    rightTie: Seq[Expression]) extends BinaryNode {
+    rightTie: Seq[Expression], forward: Boolean = false) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -53,7 +53,7 @@ case class AsOfJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
-    rightTie: Seq[Expression]) extends BinaryExecNode {
+    rightTie: Seq[Expression], forward: Boolean = false) extends BinaryExecNode {
 
   require(Seq(leftTime.dataType, rightTime.dataType).forall(
     dt => dt == LongType || dt == TimestampType),
@@ -61,6 +61,12 @@ case class AsOfJoinExec(
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
+
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "numMatched" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of matched rows"))
 
   // One hash exchange per side, like any equi-join. EnsureRequirements
   // co-partitions the two children (same key arity → compatible
@@ -78,6 +84,9 @@ case class AsOfJoinExec(
     val out = output
     val lKeys = leftKeys; val rKeys = rightKeys
     val lTime = leftTime; val rTime = rightTime
+    val fwd = forward
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatched = longMetric("numMatched")
     left.execute().zipPartitions(right.execute()) { (li, ri) =>
       val lKeyProj = UnsafeProjection.create(lKeys, leftOut)
       val rKeyProj = UnsafeProjection.create(rKeys, rightOut)
@@ -114,10 +123,10 @@ case class AsOfJoinExec(
           val lTimeRow = lTimeProj(l)
           if (lTimeRow.isNullAt(0)) {
             joined(l, nullRight)
-          } else {
+          } else if (!fwd) {
             val lT = lTimeRow.getLong(0)
-            // Consume right rows that are behind or eligible for this
-            // left position; remember the latest eligible one.
+            // Backward ≤: consume right rows that are behind or eligible
+            // for this left position; remember the latest eligible one.
             var advancing = true
             while (advancing && rHead != null) {
               val c = keyOrd.compare(rHeadKey, lKey)
@@ -131,10 +140,31 @@ case class AsOfJoinExec(
                 else advancing = false
               } else advancing = false
             }
-            if (lastMatch != null && keyOrd.compare(lastMatchKey, lKey) == 0)
-              joined(l, lastMatch)
-            else joined(l, nullRight)
+            if (lastMatch != null && keyOrd.compare(lastMatchKey, lKey) == 0) {
+              numMatched += 1; joined(l, lastMatch)
+            } else joined(l, nullRight)
+          } else {
+            val lT = lTimeRow.getLong(0)
+            // Forward ≥: discard right rows strictly before this left
+            // position (left times ascend within a key, so they can
+            // never match a later left either); the head is then the
+            // first eligible row — no remembered state at all.
+            var advancing = true
+            while (advancing && rHead != null) {
+              val c = keyOrd.compare(rHeadKey, lKey)
+              if (c < 0) advanceRight()
+              else if (c == 0) {
+                val rTimeRow = rTimeProj(rHead)
+                if (rTimeRow.isNullAt(0) || rTimeRow.getLong(0) < lT)
+                  advanceRight()
+                else advancing = false
+              } else advancing = false
+            }
+            if (rHead != null && keyOrd.compare(rHeadKey, lKey) == 0) {
+              numMatched += 1; joined(l, rHead)
+            } else joined(l, nullRight)
           }
+          numOutputRows += 1
           resultProj(joined)
         }
       }
@@ -154,22 +184,44 @@ object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case j: AsOfJoinPlan =>
       AsOfJoinExec(planLater(j.left), planLater(j.right),
-        j.leftKeys, j.rightKeys, j.leftTime, j.rightTime, j.rightTie) :: Nil
+        j.leftKeys, j.rightKeys, j.leftTime, j.rightTime, j.rightTie,
+        j.forward) :: Nil
     case _ => Nil
   }
 }
 
-/** User-facing API: backward (≤) LEFT OUTER as-of join. */
+/** User-facing API: LEFT OUTER as-of joins. `joinBackward` matches the
+  * LAST right row at-or-before each left time (≤); `joinForward` the
+  * FIRST right row at-or-after it (≥). */
 object AsOf {
   def joinBackward(left: DataFrame, right: DataFrame,
       leftKey: Seq[String], rightKey: Seq[String],
       leftTime: String, rightTime: String,
-      rightTie: Seq[String] = Nil): DataFrame = {
+      rightTie: Seq[String] = Nil): DataFrame =
+    build(left, right, leftKey, rightKey, leftTime, rightTime, rightTie,
+      forward = false)
+
+  def joinForward(left: DataFrame, right: DataFrame,
+      leftKey: Seq[String], rightKey: Seq[String],
+      leftTime: String, rightTime: String,
+      rightTie: Seq[String] = Nil): DataFrame =
+    build(left, right, leftKey, rightKey, leftTime, rightTime, rightTie,
+      forward = true)
+
+  private def build(left: DataFrame, right: DataFrame,
+      leftKey: Seq[String], rightKey: Seq[String],
+      leftTime: String, rightTime: String,
+      rightTie: Seq[String], forward: Boolean): DataFrame = {
     val cs = left.sparkSession
       .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    if (!cs.experimental.extraStrategies.contains(AsOfJoinStrategy))
-      cs.experimental.extraStrategies =
-        cs.experimental.extraStrategies :+ AsOfJoinStrategy
+    // Read-modify-write on the session's strategy list: guarded, because
+    // concurrent queries on one session (the driver does this) would
+    // otherwise race and could drop each other's injection.
+    AsOf.synchronized {
+      if (!cs.experimental.extraStrategies.contains(AsOfJoinStrategy))
+        cs.experimental.extraStrategies =
+          cs.experimental.extraStrategies :+ AsOfJoinStrategy
+    }
     val lp = left.queryExecution.analyzed
     val rp = right.queryExecution.analyzed
     def attr(p: LogicalPlan, n: String): Attribute =
@@ -179,6 +231,6 @@ object AsOf {
       lp, rp,
       leftKey.map(attr(lp, _)), rightKey.map(attr(rp, _)),
       attr(lp, leftTime), attr(rp, rightTime),
-      rightTie.map(attr(rp, _))))
+      rightTie.map(attr(rp, _)), forward))
   }
 }

@@ -322,5 +322,46 @@ object EventQueries {
              |  s.s_ts AS signup_ts, s.s_event AS signup_event
              |FROM p ASOF LEFT JOIN s
              |  ON p.user_id = s.s_user AND s.s_ts <= p.p_ts
-             |ORDER BY p.event_id""".stripMargin)))
+             |ORDER BY p.event_id""".stripMargin)),
+
+    // q220 — the FORWARD direction of the native as-of operator:
+    // time-to-conversion — each signup matched to the user's FIRST
+    // purchase at-or-after it, plus the latency in seconds. Same
+    // exchange/sort plan as q217; the merge keeps ZERO remembered state
+    // (the right head is the answer once the lagging rows are
+    // discarded). The purchase side is deduped to (user, ts) grain with
+    // a MIN-event-id survivor on both sides — forward ties take the
+    // FIRST row in tiebreak order, so min is the resolver both engines
+    // agree on. Oracle: DuckDB ASOF LEFT JOIN with the >= inequality —
+    // again engine-native vs engine-native.
+    QuerySpec("q220_asof_forward",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val signups = ev.filter(col("event_type") === "signup")
+          .select(col("event_id"), col("user_id"), col("ts").as("s_ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id").as("p_user"), col("ts").as("p_ts"))
+          .agg(min(col("event_id")).as("p_event"))
+        graft.plans.AsOf.joinForward(signups, purchases,
+            Seq("user_id"), Seq("p_user"), "s_ts", "p_ts",
+            rightTie = Seq("p_event"))
+          .select(col("event_id"), col("user_id"),
+            col("s_ts").cast("timestamp_ntz").as("signup_ts"),
+            col("p_ts").cast("timestamp_ntz").as("purchase_ts"),
+            col("p_event").as("purchase_event"),
+            expr("(unix_micros(p_ts) - unix_micros(s_ts)) DIV 1000000")
+              .as("latency_s"))
+          .orderBy("event_id")
+      },
+      Some("""WITH s AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS s_ts
+             |  FROM events WHERE event_type = 'signup'),
+             |p AS (SELECT user_id AS p_user, CAST(ts AS TIMESTAMP) AS p_ts,
+             |    min(event_id) AS p_event
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+             |SELECT s.event_id, s.user_id, s.s_ts AS signup_ts,
+             |  p.p_ts AS purchase_ts, p.p_event AS purchase_event,
+             |  (epoch_us(p.p_ts) - epoch_us(s.s_ts)) // 1000000 AS latency_s
+             |FROM s ASOF LEFT JOIN p
+             |  ON s.user_id = p.p_user AND p.p_ts >= s.s_ts
+             |ORDER BY s.event_id""".stripMargin)))
 }

@@ -50,6 +50,24 @@ class AsOfJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("forward ≥ matches the FIRST following row; ties take first tiebreak") {
+    val l = Seq((1L, 10L), (1L, 12L), (1L, 20L), (2L, 5L), (3L, 7L))
+      .toDF("k", "t")
+    val r = Seq((1L, 10L, "a"), (1L, 15L, "b"), (1L, 15L, "c"),
+      (2L, 6L, "d"), (4L, 1L, "e")).toDF("rk", "rt", "v")
+    val got = graft.plans.AsOf.joinForward(l, r,
+        Seq("k"), Seq("rk"), "t", "rt", rightTie = Seq("v"))
+      .select(col("k"), col("t"), col("rt"), col("v"))
+      .as[(Long, Long, Option[Long], Option[String])]
+      .collect().toSet
+    assert(got == Set(
+      (1L, 10L, Some(10L), Some("a")),   // equal time matches (≥)
+      (1L, 12L, Some(15L), Some("b")),   // tie at rt=15 → FIRST in v order
+      (1L, 20L, None, None),             // nothing follows
+      (2L, 5L, Some(6L), Some("d")),
+      (3L, 7L, None, None)))
+  }
+
   test("plan uses AsOfJoinExec with clustered exchanges, not a window") {
     val l = Seq((1L, 10L)).toDF("k", "t")
     val r = Seq((1L, 5L, "x")).toDF("rk", "rt", "v")
