@@ -1121,5 +1121,138 @@ object AnalyticsQueries {
              |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
              |  max(CASE WHEN rk = CAST(ceil(n * 0.5) AS BIGINT) THEN value END) AS p50,
              |  max(CASE WHEN rk = CAST(ceil(n * 0.95) AS BIGINT) THEN value END) AS p95
-             |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin)))
+             |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // q221 — exact WEIGHTED median per language: the importance-weighted
+    // form of q219 (weights = token counts, the natural weighting when
+    // each document stands for its tokens). Same PrefixSum machinery
+    // but summing WEIGHTS in the (lang, value, id) total order; the
+    // weighted median is the first value whose group-cumulative weight
+    // reaches ceil(W/2) — an all-integer crossing rule, no
+    // interpolation. One range-partitioned pass + a group-grain
+    // broadcast; group skew cannot serialize it (q219 argument).
+    QuerySpec("q221_weighted_median",
+      (s, dir) => {
+        val base = Tables.load(s, dir, "documents")
+          .select(col("lang"), col("n_chars").cast("long").as("v"),
+            col("doc_id"),
+            graft.functions.Text.tokenCount(col("text")).cast("long").as("w"))
+        val cum = graft.ops.PrefixSum.cumsum(base,
+          Seq("lang", "v", "doc_id"), "w", "cw", 32)
+        val grp = cum.groupBy("lang")
+          .agg(min(col("cw") - col("w")).as("g0"), sum(col("w")).as("tw"))
+        cum.join(broadcast(grp), "lang")
+          .withColumn("gcw", col("cw") - col("g0"))
+          .withColumn("half", ceil(col("tw") / lit(2.0)).cast("long"))
+          .filter(col("gcw") >= col("half")
+            && col("gcw") - col("w") < col("half"))
+          .groupBy("lang")
+          .agg(max(col("tw")).as("total_weight"),
+            min(col("v")).as("weighted_median_chars"))
+          .orderBy("lang")
+      },
+      Some("""WITH b AS (SELECT lang, CAST(n_chars AS BIGINT) AS v, doc_id,
+             |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS w
+             |  FROM documents),
+             |c AS (SELECT lang, v, w,
+             |    SUM(w) OVER (PARTITION BY lang ORDER BY v, doc_id
+             |                 ROWS UNBOUNDED PRECEDING) AS gcw,
+             |    CAST(SUM(w) OVER (PARTITION BY lang) AS BIGINT) AS tw
+             |  FROM b)
+             |SELECT lang, max(tw) AS total_weight,
+             |  CAST(min(v) AS BIGINT) AS weighted_median_chars
+             |FROM c
+             |WHERE gcw >= CAST(ceil(tw / 2.0) AS BIGINT)
+             |  AND gcw - w < CAST(ceil(tw / 2.0) AS BIGINT)
+             |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // q222 — sliding-window EXACT distinct (trailing-7-day active
+    // users per day — the WAU curve): exact windowed COUNT DISTINCT is
+    // the op approx sketches usually replace; the scale-correct exact
+    // form dedups to (user, day) grain first, then fans each active day
+    // out to the ≤7 window-ends it can serve, and dedups (user,
+    // window_end) before counting — bounded 7× row growth, all
+    // hash-shuffles, no day×user cross join and no per-day re-scan.
+    // Only window-ends with a full 7-day history are reported.
+    QuerySpec("q222_sliding_distinct",
+      (s, dir) => {
+        val ud = Tables.load(s, dir, "events")
+          .select(col("user_id"),
+            date_trunc("day", col("ts")).cast("date").as("day"))
+          .distinct()
+        val span = ud.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        ud.select(col("user_id"), explode(expr(
+            "transform(sequence(0, 6), i -> date_add(day, i))")).as("wend"))
+          .distinct()
+          .groupBy("wend").agg(countDistinct(col("user_id")).as("wau"))
+          .join(broadcast(span),
+            col("wend") >= date_add(col("d0"), 6) && col("wend") <= col("d1"))
+          .select(col("wend").cast("timestamp_ntz").as("window_end"),
+            col("wau"))
+          .orderBy("window_end")
+      },
+      Some("""WITH ud AS (SELECT DISTINCT user_id,
+             |    CAST(date_trunc('day', ts) AS DATE) AS day FROM events),
+             |span AS (SELECT min(day) AS d0, max(day) AS d1 FROM ud),
+             |f AS (SELECT DISTINCT user_id, day + CAST(i AS INTEGER) AS wend
+             |  FROM ud, UNNEST(generate_series(0, 6)) t(i)),
+             |w AS (SELECT wend, count(DISTINCT user_id) AS wau
+             |  FROM f GROUP BY wend)
+             |SELECT CAST(wend AS TIMESTAMP) AS window_end, wau
+             |FROM w, span WHERE wend >= d0 + 6 AND wend <= d1
+             |ORDER BY window_end""".stripMargin)),
+
+    // q223 — Benford first-digit audit of order totals (the classic
+    // fabricated-data screen): observed first-digit distribution vs the
+    // Benford expectation, per-digit chi-square contributions. The
+    // first digit comes from the INTEGER cents value via string head —
+    // integer-to-string is format-stable across engines, unlike double
+    // formatting, and no log10() is needed on the data path (the
+    // Benford probabilities are Scala-precomputed literals injected
+    // into BOTH sides). Counts are exact; expected/chi2 are a fixed
+    // IEEE chain over them, rounded for display.
+    QuerySpec("q223_benford",
+      (s, dir) => {
+        val probs = Seq(0.30103, 0.176091, 0.124939, 0.09691, 0.079181,
+          0.066947, 0.057992, 0.051153, 0.045757)
+        val probExpr = probs.zipWithIndex.tail.foldLeft(
+          when(col("digit") === 1, lit(probs.head))) {
+          case (acc, (p, i)) => acc.when(col("digit") === i + 1, lit(p))
+        }
+        val d = Tables.load(s, dir, "orders")
+          .select(substring(
+            expr("CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) AS STRING)"),
+            1, 1).cast("int").as("digit"))
+          .groupBy("digit").agg(count(lit(1)).as("obs"))
+        val tot = d.agg(sum(col("obs")).as("n"))
+        d.crossJoin(broadcast(tot))
+          .withColumn("p", probExpr)
+          // expected/chi2 stay UNROUNDED: fixed IEEE chains over exact
+          // counts and shared literals are bit-identical, while round()
+          // diverges at .5 boundaries (q216 lesson — bit here too). The
+          // square is an explicit multiply — pow(x, 2) goes through
+          // libm and differs from the JVM in the last ulp.
+          .select(col("digit"), col("obs"),
+            (col("p") * col("n")).as("expected"),
+            (((col("obs") - col("p") * col("n")) * (col("obs") - col("p") * col("n")))
+              / (col("p") * col("n"))).as("chi2_term"))
+          .orderBy("digit")
+      },
+      Some {
+        val probs = Seq(0.30103, 0.176091, 0.124939, 0.09691, 0.079181,
+          0.066947, 0.057992, 0.051153, 0.045757)
+        // DuckDB parses 0.30103 as DECIMAL(6,5), not DOUBLE — the CASE
+        // must be cast or the arithmetic runs in decimal and diverges.
+        val caseExpr = "CAST(CASE digit " + probs.zipWithIndex
+          .map { case (p, i) => s"WHEN ${i + 1} THEN $p" }
+          .mkString(" ") + " END AS DOUBLE)"
+        s"""WITH d AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+           |  FROM orders),
+           |o AS (SELECT digit, count(*) AS obs FROM d GROUP BY digit),
+           |t AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM o)
+           |SELECT digit, obs,
+           |  ($caseExpr) * n AS expected,
+           |  ((obs - ($caseExpr) * n) * (obs - ($caseExpr) * n)) / (($caseExpr) * n) AS chi2_term
+           |FROM o, t ORDER BY digit""".stripMargin
+      }))
 }
