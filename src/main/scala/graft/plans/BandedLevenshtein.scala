@@ -55,6 +55,11 @@ object BandedLevenshteinRule extends Rule[LogicalPlan] {
 
 /** Session-extension entry point (`spark.sql.extensions`). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => BandedLevenshteinRule)
+    // Sessions built WITH extensions get the as-of strategy from birth;
+    // AsOf.joinBackward/joinForward still self-inject on already-built
+    // sessions (the driver's case) via experimental.extraStrategies.
+    e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+  }
 }
