@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{AnalyticsQueries, EventQueries, QuerySpec, RefQueries, TextQueries, VectorQueries}
+import graft.queries.{AnalyticsQueries, EventQueries, ExtQueries, QuerySpec, RefQueries, TextQueries, VectorQueries}
 import graft.streaming.StreamQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -13,7 +13,8 @@ object SparkEntry {
 
   private lazy val specs: Seq[QuerySpec] =
     RefQueries.specs ++ TextQueries.specs ++ VectorQueries.specs ++
-      EventQueries.specs ++ StreamQueries.specs ++ AnalyticsQueries.specs
+      EventQueries.specs ++ StreamQueries.specs ++ AnalyticsQueries.specs ++
+      ExtQueries.specs
 
   /** Session invariants the engine depends on, applied defensively in case
     * the driver's session was built without them:

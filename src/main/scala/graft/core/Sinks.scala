@@ -23,11 +23,22 @@ object Sinks {
     * `bucketCols`, so joins/aggregations on those keys skip the exchange
     * entirely — the co-located-join strategy for repeated fact⋈fact work. */
   def bucketed(df: DataFrame, table: String, bucketCols: Seq[String],
-      nBuckets: Int): Unit =
+      nBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    // A managed table's DIRECTORY outlives the in-memory catalog: a
+    // fresh JVM sees no table but an occupied location, and CTAS
+    // refuses (LOCATION_ALREADY_EXISTS). Drop whatever the catalog
+    // knows, then clear any stale directory a previous JVM left.
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet").saveAsTable(table)
+  }
 
   /** JDBC append with batched, parameter-bound statements — the
     * set-oriented replacement for the reference's per-row MsSqlOperator

@@ -183,6 +183,11 @@ object GraftFunctions {
     "graft_bloom_agg(xxhash64(x), n_items, n_bits) - bloom filter of a column as binary",
     "", "", "", "", "", "", "built-in")
 
+  private[functions] val jaroWinklerInfo = new ExpressionInfo(
+    classOf[JaroWinklerSimilarity].getName, "", "graft_jaro_winkler",
+    "graft_jaro_winkler(a, b) - Jaro-Winkler similarity (DuckDB-parity semantics)",
+    "", "", "", "", "", "", "built-in")
+
   private[functions] val mightContainInfo = new ExpressionInfo(
     classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
     "", "graft_might_contain",
@@ -206,6 +211,9 @@ object GraftFunctions {
       "graft_might_contain", exprs =>
         org.apache.spark.sql.catalyst.expressions
           .BloomFilterMightContain(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_jaro_winkler",
+      exprs => JaroWinklerSimilarity(exprs(0), exprs(1)), "built-in")
   }
 }
 
@@ -239,5 +247,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) =>
         org.apache.spark.sql.catalyst.expressions
           .BloomFilterMightContain(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_jaro_winkler"),
+      GraftFunctions.jaroWinklerInfo,
+      (exprs: Seq[Expression]) => JaroWinklerSimilarity(exprs(0), exprs(1))))
   }
 }

@@ -129,6 +129,48 @@ object Multimodal {
     }
   }
 
+  /** REAL sample decode, one level past [[decodeWav]]'s metadata walk:
+    * locate the data chunk, then materialize its 16-bit little-endian
+    * PCM frames as signed ints. Reads exactly the DECLARED data size
+    * (clipped to the bytes actually present — a truncated file yields
+    * the samples it has, the P8 permissive stance), so energy metrics
+    * computed from the result are reproducible from the container alone.
+    * Returns (sampleRate, channels, samples); None for anything that is
+    * not a 16-bit PCM WAV. */
+  def decodePcm16(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (b.length < 44) return None
+    def ascii(off: Int, n: Int) = new String(b, off, n, "US-ASCII")
+    if (ascii(0, 4) != "RIFF" || ascii(8, 4) != "WAVE") return None
+    val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+    var off = 12L
+    var fmt: Option[(Int, Int, Int)] = None
+    var dataOff = -1L
+    var dataSize = -1L
+    while (off + 8 <= b.length && (fmt.isEmpty || dataOff < 0)) {
+      val o = off.toInt
+      val id = ascii(o, 4)
+      val size = bb.getInt(o + 4)
+      if (size < 0) return None
+      if (id == "fmt " && size >= 16 && off + 8 + 16 <= b.length)
+        fmt = Some((bb.getInt(o + 12), bb.getShort(o + 10).toInt,
+          bb.getShort(o + 22).toInt))
+      if (id == "data") { dataOff = off + 8; dataSize = size.toLong }
+      off += 8L + size + (size & 1)
+    }
+    fmt.collect {
+      case (rate, ch, bits) if dataOff >= 0 && ch > 0 && bits == 16 =>
+        val avail = math.max(0L, math.min(dataSize, b.length - dataOff))
+        val n = (avail / 2).toInt
+        val out = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          out(i) = bb.getShort((dataOff + 2L * i).toInt).toInt
+          i += 1
+        }
+        (rate, ch, out)
+    }
+  }
+
   private val PngSig: Array[Byte] =
     Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
 

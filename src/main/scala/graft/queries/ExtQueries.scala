@@ -1,0 +1,471 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Cleanup.PersistTrackedOps
+import graft.core.{Sinks, Stable, Tables}
+
+/** Round-7 extension surface: the storage-layout mechanics a 100 TB
+  * deployment leans on daily (bucketed co-located joins, partition-pruned
+  * scans — both exercised END-TO-END through real writes, not just plan
+  * assertions), plus string-similarity linkage on the native Jaro-Winkler
+  * expression, sample-level PCM audio decode, and sequence/time-series
+  * analytics (Markov transitions, purged time-series CV, span-corruption
+  * accounting, exact dyadic EWMA).
+  *
+  * Reference analog: the reference has no layout management at all — every
+  * DAG re-reads the full CSV (`airflow/dags/CompleteETL.py:20`); bucketing
+  * and partition pruning are what replace that pattern at scale.
+  */
+object ExtQueries {
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // q224 — BUCKETED co-located join, exercised through a real write:
+    // both sides are written `bucketBy(8, key)` via the managed-table
+    // sink, then joined ON the bucket key. Spark reads bucket i of each
+    // side into the same task, so the SortMergeJoin runs with NO
+    // shuffle exchange on either side (pinned in PlanSpec) — the
+    // pre-shuffled layout that makes REPEATED fact⋈fact work O(scan)
+    // instead of O(scan+shuffle) per run at 100 TB. The `merge` hint
+    // keeps the planner from broadcasting the (fixture-tiny) customer
+    // side, which would hide the bucketing; at scale neither side
+    // broadcasts anyway. Results are layout-independent — the oracle is
+    // the plain join over the original parquet.
+    QuerySpec("q224_bucketed_join",
+      (s, dir) => {
+        val nb = 8
+        Sinks.bucketed(Tables.load(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice"),
+          "graft_bkt_orders", Seq("o_custkey"), nb)
+        Sinks.bucketed(Tables.load(s, dir, "customer")
+          .select("c_custkey", "c_mktsegment"),
+          "graft_bkt_customer", Seq("c_custkey"), nb)
+        s.table("graft_bkt_orders")
+          .join(s.table("graft_bkt_customer").hint("merge"),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_orders"),
+            Stable.dsum(col("o_totalprice")).as("revenue"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // q225 — PARTITION-PRUNED scan, exercised through a real
+    // partitioned write: orders land as parquet partitioned by
+    // o_orderpriority, and the read-back filters on the partition
+    // column — the scan lists ONE directory of five (PartitionFilters
+    // in the plan, pinned in PlanSpec) and never opens the other 80%
+    // of files. This is THE first-line data-skipping mechanism at
+    // 100 TB (cf. q169's z-order cells for multi-column skipping);
+    // the oracle is the same aggregate with a row filter over the
+    // original table, so pruning is proven not to change results.
+    QuerySpec("q225_partition_prune",
+      (s, dir) => {
+        val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+          "graft_pprune_" + Integer.toHexString(dir.hashCode)).toString
+        Tables.load(s, dir, "orders")
+          .select("o_orderkey", "o_totalprice", "o_orderdate", "o_orderpriority")
+          .write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
+        s.read.parquet(out)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .groupBy(year(col("o_orderdate")).as("yr"))
+          .agg(count(lit(1)).as("n_orders"),
+            Stable.dsum(col("o_totalprice")).as("revenue"))
+          .orderBy("yr")
+      },
+      Some("""SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS yr,
+             |  CAST(count(*) AS BIGINT) AS n_orders,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             |FROM orders WHERE o_orderpriority = '1-URGENT'
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // q226 — fuzzy-name linkage on the NATIVE Jaro-Winkler expression
+    // (graft_jaro_winkler, DuckDB-parity semantics pinned by a
+    // 50k-random-pair cross-check in JaroWinklerSpec): exact-dedup the
+    // name column first (fuzzy matching duplicate literals is wasted
+    // work — the standard linkage order), then sorted-neighborhood
+    // within first-letter blocks (lead 1..2 — O(n·w) pairs, q72/q209's
+    // scale argument; a cross-letter near-match has prefix weight 0 and
+    // cannot reach the threshold anyway, so the blocking loses nothing
+    // the threshold would keep). Rounded to 6 dp so the one-division
+    // association difference between engines cannot flip the hash.
+    QuerySpec("q226_jaro_linkage",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "part")
+          .groupBy("p_name").agg(min(col("p_partkey")).as("pk"))
+        val w = Window.partitionBy(substring(col("p_name"), 1, 1))
+          .orderBy("p_name", "pk")
+        val leads = (1 to 2).map(k => struct(
+          lead(col("pk"), k).over(w).as("kb"),
+          lead(col("p_name"), k).over(w).as("nb")))
+        d.select(col("pk"), col("p_name"), array(leads: _*).as("nbs"))
+          .select(col("pk"), col("p_name"), explode(col("nbs")).as("x"))
+          .filter(col("x.kb").isNotNull)
+          .select(col("pk").as("key_a"), col("x.kb").as("key_b"),
+            col("p_name").as("name_a"), col("x.nb").as("name_b"),
+            round(call_function("graft_jaro_winkler",
+              col("p_name"), col("x.nb")), 6).as("jw"))
+          .filter(col("jw") >= 0.87)
+          .orderBy("key_a", "key_b")
+      },
+      Some("""WITH d AS (SELECT p_name, min(p_partkey) AS pk FROM part GROUP BY p_name),
+             |r AS (SELECT pk, p_name,
+             |    lead(p_name, 1) OVER w AS n1, lead(pk, 1) OVER w AS k1,
+             |    lead(p_name, 2) OVER w AS n2, lead(pk, 2) OVER w AS k2
+             |  FROM d
+             |  WINDOW w AS (PARTITION BY substr(p_name, 1, 1) ORDER BY p_name, pk)),
+             |u AS (SELECT pk AS key_a, k1 AS key_b, p_name AS name_a, n1 AS name_b
+             |    FROM r WHERE k1 IS NOT NULL
+             |  UNION ALL
+             |  SELECT pk, k2, p_name, n2 FROM r WHERE k2 IS NOT NULL),
+             |j AS (SELECT key_a, key_b, name_a, name_b,
+             |    round(jaro_winkler_similarity(name_a, name_b), 6) AS jw FROM u)
+             |SELECT key_a, key_b, name_a, name_b, jw FROM j
+             |WHERE jw >= 0.87 ORDER BY key_a, key_b""".stripMargin)),
+
+    // q227 — PCM SAMPLE decode (one level past q120's header walk):
+    // synthesize the WAV from the text bytes (same id-derived geometry
+    // as q120), then decode the data chunk's 16-bit little-endian
+    // frames for real (Multimodal.decodePcm16) and fold energy metrics
+    // — Σv² and peak |v| — per document. All-integer output, so the
+    // oracle reconstructs the identical samples arithmetically from the
+    // character codes (the corpus is pure ASCII: octet==char, the q120
+    // contract). Narrow per-row transform — the 100 TB audio-feature
+    // shape (silence detection, loudness normalization) with zero
+    // shuffle.
+    QuerySpec("q227_wav_energy",
+      (s, dir) => {
+        import s.implicits._
+        val ds = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+        ds.mapPartitions(_.flatMap { case (id, txt) =>
+          val pcm = txt.getBytes("UTF-8")
+          val ch = (1 + id % 2).toInt
+          val rate = if (id % 3 == 0) 16000 else 8000
+          val media = graft.functions.Multimodal.wavBytes(
+            rate, ch, pcm.length / (ch * 2), pcm)
+          graft.functions.Multimodal.decodePcm16(media).map {
+            case (_, _, samples) =>
+              var ss = 0L; var peak = 0; var i = 0
+              while (i < samples.length) {
+                val v = samples(i)
+                ss += v.toLong * v
+                if (math.abs(v) > peak) peak = math.abs(v)
+                i += 1
+              }
+              (id, samples.length.toLong, ss, peak.toLong)
+          }
+        }).toDF("doc_id", "n_samples", "sum_sq", "peak")
+          .orderBy("doc_id")
+      },
+      Some("""WITH p AS (SELECT doc_id, CAST(1 + doc_id % 2 AS INTEGER) AS ch, text
+             |  FROM documents),
+             |v AS (SELECT doc_id,
+             |    (strlen(text) // (ch*2)) * ch AS ns,
+             |    list_transform(
+             |      list_transform(range((strlen(text) // (ch*2)) * ch),
+             |        k -> ord(substr(text, CAST(2*k+1 AS INTEGER), 1))
+             |             + 256 * ord(substr(text, CAST(2*k+2 AS INTEGER), 1))),
+             |      u -> CAST(CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS BIGINT)) AS vs
+             |  FROM p)
+             |SELECT doc_id, CAST(ns AS BIGINT) AS n_samples,
+             |  CAST(COALESCE(list_sum(list_transform(vs, v -> v*v)), 0) AS BIGINT) AS sum_sq,
+             |  CAST(COALESCE(list_max(list_transform(vs, v -> abs(v))), 0) AS BIGINT) AS peak
+             |FROM v ORDER BY doc_id""".stripMargin)),
+
+    // q228 — first-order Markov transition matrix over per-user event
+    // sequences with Laplace (+1) smoothing — the sequence model behind
+    // next-event prediction and anomalous-session scoring. Transitions
+    // are lead() pairs in the q184 total order; the full V×V grid comes
+    // from a broadcast self-cross of the (tiny, vocabulary-grain) type
+    // set so unobserved transitions appear with their smoothed floor.
+    // Counts are exact; each probability is ONE division of identical
+    // exact integers in both engines, rounded for display. One
+    // user-grain shuffle + vocabulary-grain joins — corpus-size
+    // independent state, the 100 TB shape.
+    QuerySpec("q228_markov_chain",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val pairs = ev
+          .select(col("event_type").as("src"),
+            lead(col("event_type"), 1).over(w).as("dst"))
+          .filter(col("dst").isNotNull)
+        val c = pairs.groupBy("src", "dst")
+          .agg(count(lit(1)).as("n")).persistTracked()
+        val types = ev.select(col("event_type").as("et"))
+          .distinct().persistTracked()
+        val grid = types.select(col("et").as("src"))
+          .crossJoin(types.select(col("et").as("dst")))
+        val rt = c.groupBy("src").agg(sum(col("n")).as("tot"))
+        val nv = types.agg(count(lit(1)).as("nv"))
+        grid.join(c, Seq("src", "dst"), "left")
+          .join(rt, Seq("src"), "left")
+          .crossJoin(broadcast(nv))
+          .select(col("src").as("src_type"), col("dst").as("dst_type"),
+            coalesce(col("n"), lit(0L)).as("n_obs"),
+            round((coalesce(col("n"), lit(0L)) + lit(1.0)) /
+              (coalesce(col("tot"), lit(0L)) + col("nv")), 6).as("p_smoothed"))
+          .orderBy("src_type", "dst_type")
+      },
+      Some("""WITH p AS (SELECT event_type AS src,
+             |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+             |  FROM events),
+             |c AS (SELECT src, dst, count(*) AS n FROM p
+             |  WHERE dst IS NOT NULL GROUP BY src, dst),
+             |t AS (SELECT DISTINCT event_type AS et FROM events),
+             |g AS (SELECT a.et AS src, b.et AS dst FROM t a CROSS JOIN t b),
+             |rt AS (SELECT src, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY src),
+             |v AS (SELECT CAST(count(*) AS BIGINT) AS nv FROM t)
+             |SELECT g.src AS src_type, g.dst AS dst_type,
+             |  CAST(COALESCE(c.n, 0) AS BIGINT) AS n_obs,
+             |  round((COALESCE(c.n, 0) + 1.0) / (COALESCE(rt.tot, 0) + nv), 6) AS p_smoothed
+             |FROM g LEFT JOIN c ON g.src = c.src AND g.dst = c.dst
+             |LEFT JOIN rt ON g.src = rt.src, v
+             |ORDER BY src_type, dst_type""".stripMargin)),
+
+    // q229 — PURGED time-series cross-validation (k temporal folds with
+    // a 30-day embargo): the leakage-free split protocol for models on
+    // serially-correlated data — rows within the embargo of a test
+    // fold's date range belong to NEITHER side. Fold assignment is
+    // exact integer date arithmetic off the data's own span (no
+    // quantiles to diverge); the per-fold classification is the
+    // broadcast-bounds × corpus pattern of q195 (k-fold stats) — a k×
+    // fanout against a k-row broadcast, never a corpus×corpus join.
+    QuerySpec("q229_purged_cv",
+      (s, dir) => {
+        val b = Tables.load(s, dir, "orders")
+          .select(col("o_orderdate").cast("date").as("day"))
+        val sp = b.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        val f = b.crossJoin(broadcast(sp))
+          .select(col("day"),
+            expr("CAST((datediff(day, d0) * 5) DIV (datediff(d1, d0) + 1) AS INT)")
+              .as("fold"))
+          .persistTracked()
+        val bounds = f.groupBy(col("fold").as("bf"))
+          .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        val emb = col("day").between(date_sub(col("lo"), 30), date_add(col("hi"), 30))
+        f.crossJoin(broadcast(bounds))
+          .groupBy("bf")
+          .agg(
+            sum(when(col("fold") === col("bf"), 1L).otherwise(0L)).as("n_test"),
+            sum(when(col("fold") =!= col("bf") && emb, 1L).otherwise(0L)).as("n_embargo"),
+            sum(when(col("fold") =!= col("bf") && !emb, 1L).otherwise(0L)).as("n_train"))
+          .select(col("bf").as("fold"), col("n_test"), col("n_embargo"),
+            col("n_train"))
+          .orderBy("fold")
+      },
+      Some("""WITH b AS (SELECT CAST(o_orderdate AS DATE) AS day FROM orders),
+             |s AS (SELECT min(day) AS d0, max(day) AS d1 FROM b),
+             |f AS (SELECT day,
+             |    CAST((date_diff('day', d0, day) * 5) // (date_diff('day', d0, d1) + 1) AS INTEGER) AS fold
+             |  FROM b, s),
+             |bounds AS (SELECT fold AS bf, min(day) AS lo, max(day) AS hi
+             |  FROM f GROUP BY fold)
+             |SELECT bf AS fold,
+             |  CAST(SUM(CASE WHEN f.fold = bf THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+             |  CAST(SUM(CASE WHEN f.fold <> bf AND f.day BETWEEN lo - 30 AND hi + 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_embargo,
+             |  CAST(SUM(CASE WHEN f.fold <> bf AND NOT (f.day BETWEEN lo - 30 AND hi + 30) THEN 1 ELSE 0 END) AS BIGINT) AS n_train
+             |FROM f CROSS JOIN bounds GROUP BY bf ORDER BY bf""".stripMargin)),
+
+    // q231 — T5-style span-corruption accounting: mask 15% of token
+    // positions by the portable hash (deterministic — the same doc
+    // always corrupts identically, the reproducibility requirement for
+    // training-data builds), coalesce adjacent masked positions into
+    // spans via a lag() run-start flag, and report per-document
+    // input/target lengths (input = kept tokens + one sentinel per
+    // span; target = masked tokens + one sentinel per span). Token
+    // grain → doc grain: one partitionBy(doc) window pass, no
+    // corpus-scale state.
+    QuerySpec("q231_span_corruption",
+      (s, dir) => {
+        val toks = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            posexplode(graft.functions.Text.tokens(col("text"))))
+          .select(col("doc_id"), col("pos"))
+        val m = toks.withColumn("mask",
+          call_function("graft_hash32",
+            concat_ws(":", col("doc_id"), col("pos"))) % 100 < 15)
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+        m.withColumn("pm", coalesce(lag(col("mask"), 1).over(w), lit(false)))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when(col("mask"), 1L).otherwise(0L)).as("n_masked"),
+            sum(when(col("mask") && !col("pm"), 1L).otherwise(0L)).as("n_spans"))
+          .select(col("doc_id"), col("n_tokens"), col("n_masked"), col("n_spans"),
+            (col("n_tokens") - col("n_masked") + col("n_spans")).as("input_len"),
+            (col("n_masked") + col("n_spans")).as("target_len"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tk AS (SELECT doc_id, i - 1 AS pos
+             |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+             |        FROM documents),
+             |    UNNEST(generate_series(1, len(w))) t(i)),
+             |m AS (SELECT doc_id, pos,
+             |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 15 AS mask
+             |  FROM tk),
+             |r AS (SELECT doc_id, mask,
+             |    COALESCE(lag(mask) OVER (PARTITION BY doc_id ORDER BY pos), false) AS pm
+             |  FROM m),
+             |a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             |    CAST(SUM(CASE WHEN mask THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+             |    CAST(SUM(CASE WHEN mask AND NOT pm THEN 1 ELSE 0 END) AS BIGINT) AS n_spans
+             |  FROM r GROUP BY doc_id)
+             |SELECT doc_id, n_tokens, n_masked, n_spans,
+             |  n_tokens - n_masked + n_spans AS input_len,
+             |  n_masked + n_spans AS target_len
+             |FROM a ORDER BY doc_id""".stripMargin)),
+
+    // q232 — EWMA control chart over daily event counts, in EXACT
+    // arithmetic: α = 1/2 over a 14-day horizon makes every weight a
+    // dyadic rational 2⁻ᵏ, so each term n/2ᵏ and every partial sum is
+    // exactly representable (numerators stay ≪ 2⁵³ over a common 2¹³
+    // denominator) — the sum is order-independent and bit-identical
+    // across engines and partition counts, where a general-α EWMA's
+    // float powers would not be. The trailing window materializes as a
+    // bounded ≤14× fanout + equi-join (q222's sliding-window shape),
+    // never a range self-join; `spike` flags days breaching 2× the
+    // previous day's smoothed level.
+    QuerySpec("q232_ewma_control",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "events")
+          .groupBy(col("event_type"),
+            date_trunc("day", col("ts")).cast("date").as("day"))
+          .agg(count(lit(1)).as("n"))
+          .persistTracked()
+        val fan = d
+          .select(col("event_type"), col("day").as("bday"), col("n").as("bn"),
+            explode(expr("sequence(0, 13)")).as("k"))
+          .select(col("event_type"), expr("date_add(bday, k)").as("day"),
+            expr("bn / CAST(shiftleft(CAST(1 AS BIGINT), k) AS DOUBLE)").as("wn"),
+            expr("1.0 / CAST(shiftleft(CAST(1 AS BIGINT), k) AS DOUBLE)").as("wd"))
+        val agg = fan.groupBy("event_type", "day")
+          .agg(sum(col("wn")).as("num"), sum(col("wd")).as("den"))
+        val w = Window.partitionBy("event_type").orderBy("day")
+        d.join(agg, Seq("event_type", "day"))
+          .withColumn("sm", col("num") / col("den"))
+          .withColumn("prev", lag(col("sm"), 1).over(w))
+          .select(col("event_type"), col("day"), col("n"),
+            round(col("sm"), 6).as("ewma"),
+            coalesce(col("n") > lit(2.0) * col("prev"), lit(false)).as("spike"))
+          .orderBy("event_type", "day")
+      },
+      Some("""WITH d AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             |    count(*) AS n
+             |  FROM events GROUP BY 1, 2),
+             |j AS (SELECT a.event_type, a.day, a.n,
+             |    SUM(b.n / CAST(1::BIGINT << date_diff('day', b.day, a.day) AS DOUBLE)) AS num,
+             |    SUM(1.0 / CAST(1::BIGINT << date_diff('day', b.day, a.day) AS DOUBLE)) AS den
+             |  FROM d a JOIN d b ON a.event_type = b.event_type
+             |    AND b.day BETWEEN a.day - 13 AND a.day
+             |  GROUP BY a.event_type, a.day, a.n),
+             |e AS (SELECT event_type, day, n, round(num / den, 6) AS ewma,
+             |    lag(num / den) OVER (PARTITION BY event_type ORDER BY day) AS prev
+             |  FROM j)
+             |SELECT event_type, day, CAST(n AS BIGINT) AS n, ewma,
+             |  COALESCE(n > 2 * prev, false) AS spike
+             |FROM e ORDER BY event_type, day""".stripMargin)),
+
+    // q234 — MERKLE manifest of the corpus (content-addressable dataset
+    // snapshot): leaf = md5 of each document, shard hash = md5 over the
+    // shard's leaf hashes in doc_id order, root = md5 over the shard
+    // hashes in shard order — the hierarchical form of q182's flat
+    // checksums. A consumer re-hashes ONE shard to verify a delivery
+    // slice, and two corpus versions diff by walking only the subtrees
+    // whose hashes changed — O(changed shards), not O(corpus). Shard
+    // routing is the portable id hash; every level is an ordered fold
+    // over CHILD HASHES only, so the tree build moves hash-sized rows
+    // (the corpus text never leaves its scan).
+    QuerySpec("q234_merkle_manifest",
+      (s, dir) => {
+        val leaves = Tables.load(s, dir, "documents")
+          .select((call_function("graft_hash32",
+            col("doc_id").cast("string")) % 8).as("shard"),
+            col("doc_id"), md5(col("text")).as("dh"))
+        val shards = leaves.groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"),
+            md5(concat_ws("", transform(
+              array_sort(collect_list(struct(col("doc_id"), col("dh")))),
+              x => x.getField("dh")))).as("shard_hash"))
+          .persistTracked()
+        val root = shards
+          .agg(md5(concat_ws("", transform(
+            array_sort(collect_list(struct(col("shard"), col("shard_hash")))),
+            x => x.getField("shard_hash")))).as("root_hash"))
+        shards.crossJoin(broadcast(root))
+          .select(col("shard"), col("n_docs"), col("shard_hash"),
+            col("root_hash"))
+          .orderBy("shard")
+      },
+      Some("""WITH l AS (SELECT
+             |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 8 AS shard,
+             |    doc_id, md5(text) AS dh
+             |  FROM documents),
+             |sh AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+             |    md5(string_agg(dh, '' ORDER BY doc_id)) AS shard_hash
+             |  FROM l GROUP BY shard),
+             |r AS (SELECT md5(string_agg(shard_hash, '' ORDER BY shard)) AS root_hash
+             |  FROM sh)
+             |SELECT shard, n_docs, shard_hash, root_hash
+             |FROM sh, r ORDER BY shard""".stripMargin)),
+
+    // q235 — Theil-Sen robust trend per event type: the median of all
+    // pairwise day-count slopes — the estimator that shrugs off the
+    // outlier days a least-squares fit (q212) chases. Slopes are single
+    // divisions of exact integers (identical doubles in both engines);
+    // the median is EXACT selection — row_number in (slope, day-pair)
+    // total order, pick the middle one or average the middle two
+    // (q219's crossing rule, no interpolation ambiguity). Pair space is
+    // days²/2 PER GROUP — bounded by the time range, not the corpus
+    // (the daily rollup is the only corpus-scale pass), so the
+    // all-pairs join is safe at any event volume.
+    QuerySpec("q235_theil_sen",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "events")
+          .groupBy(col("event_type"),
+            date_trunc("day", col("ts")).cast("date").as("day"))
+          .agg(count(lit(1)).as("n"))
+          .persistTracked()
+        val a = d.select(col("event_type"), col("day").as("da"), col("n").as("na"))
+        val b = d.select(col("event_type"), col("day").as("db"), col("n").as("nb"))
+        val slopes = a.join(b, "event_type")
+          .filter(col("db") < col("da"))
+          .select(col("event_type"), col("da"), col("db"),
+            ((col("na") - col("nb")).cast("double") /
+              expr("datediff(da, db)")).as("slope"))
+        val w = Window.partitionBy("event_type")
+          .orderBy(col("slope"), col("db"), col("da"))
+        val ranked = slopes.withColumn("rk", row_number().over(w))
+          .persistTracked()
+        val cnt = ranked.groupBy("event_type")
+          .agg(max(col("rk")).as("np"))
+        ranked.join(broadcast(cnt), "event_type")
+          // DIV, not `/`: Column./ on integers is DOUBLE division
+          .filter(col("rk") === expr("(np + 1) DIV 2") ||
+            col("rk") === expr("np DIV 2 + 1"))
+          .groupBy("event_type")
+          .agg(max(col("np")).cast("long").as("n_pairs"),
+            round(sum(col("slope")) / count(lit(1)), 6).as("theil_slope"))
+          .orderBy("event_type")
+      },
+      Some("""WITH d AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             |    count(*) AS n
+             |  FROM events GROUP BY 1, 2),
+             |s AS (SELECT a.event_type, a.day AS da, b.day AS db,
+             |    CAST(a.n - b.n AS DOUBLE) / date_diff('day', b.day, a.day) AS slope
+             |  FROM d a JOIN d b ON a.event_type = b.event_type AND b.day < a.day),
+             |r AS (SELECT event_type, slope,
+             |    row_number() OVER (PARTITION BY event_type
+             |      ORDER BY slope, db, da) AS rk
+             |  FROM s),
+             |c AS (SELECT event_type, max(rk) AS np FROM r GROUP BY event_type)
+             |SELECT r.event_type, CAST(max(np) AS BIGINT) AS n_pairs,
+             |  round(SUM(slope) / count(*), 6) AS theil_slope
+             |FROM r JOIN c ON r.event_type = c.event_type
+             |WHERE rk = (np + 1) // 2 OR rk = np // 2 + 1
+             |GROUP BY r.event_type ORDER BY r.event_type""".stripMargin)))
+}

@@ -1474,5 +1474,85 @@ object VectorQueries {
            |UNION ALL SELECT 2, vec_id, dmin FROM m2
            |UNION ALL SELECT 3, vec_id, dmin FROM m3
            |ORDER BY step""".stripMargin
-      }))
+      }),
+
+    // q233 — k-NN GRAPH construction with one NN-descent refinement
+    // sweep (Dong et al., WWW '11 — "a good neighbor of a neighbor is
+    // likely a good neighbor"): the all-pairs-free way to build the
+    // neighborhood graph that HNSW/NSG-style ANN indexes and
+    // graph-based dedup both start from. Initial graph: exact top-k
+    // within the vector's IVF cell (the q121 salted within-cluster
+    // join — Σ|cluster|² pairs, never n²). Refinement: candidates =
+    // forward ∪ reverse ∪ forward∘forward edges (each vector meets ≤
+    // k + k² candidates — corpus-linear), re-scored exactly and
+    // re-ranked; cross-cell true neighbors that the initial
+    // partitioning missed enter here, which is exactly the recall
+    // NN-descent buys. All ranks tie-break on nb id over 6-dp-rounded
+    // cosine — deterministic in both engines.
+    QuerySpec("q233_knn_graph",
+      (s, dir) => {
+        val k = 3
+        val emb = Tables.load(s, dir, "embeddings").persistTracked()
+        val cents = seedCentroids(emb)
+        val assigned = nearestCentroid(emb, cents).persistTracked()
+        val wv = Window.partitionBy("vec_id")
+          .orderBy(col("sim").desc, col("nb"))
+        val g0 = graft.ops.Skew.saltedJoin(
+            assigned.select(col("cent_id"), col("vec_id"),
+              col("embedding").as("ea")),
+            assigned.select(col("cent_id"), col("vec_id").as("nb"),
+              col("embedding").as("eb")),
+            Seq("cent_id"), salts = 8)
+          .filter(col("nb") =!= col("vec_id"))
+          .select(col("vec_id"), col("nb"),
+            round(call_function("graft_cosine", col("ea"), col("eb")), 6)
+              .as("sim"))
+          .withColumn("rn", row_number().over(wv)).filter(col("rn") <= k)
+          .select("vec_id", "nb")
+          .persistTracked()
+        val rev = g0.select(col("nb").as("vec_id"), col("vec_id").as("nb"))
+        val non = g0.select(col("vec_id"), col("nb").as("mid"))
+          .join(g0.select(col("vec_id").as("mid"), col("nb")), "mid")
+          .select("vec_id", "nb")
+        val cand = g0.unionByName(rev).unionByName(non)
+          .filter(col("vec_id") =!= col("nb")).distinct()
+        cand
+          .join(emb.select(col("vec_id"), col("embedding").as("ea")), "vec_id")
+          .join(emb.select(col("vec_id").as("nb"), col("embedding").as("eb")),
+            "nb")
+          .select(col("vec_id"), col("nb"),
+            round(call_function("graft_cosine", col("ea"), col("eb")), 6)
+              .as("sim"))
+          .withColumn("rnk", row_number().over(wv).cast("int"))
+          .filter(col("rnk") <= k)
+          .select(col("vec_id"), col("rnk"), col("nb"), col("sim"))
+          .orderBy("vec_id", "rnk")
+      },
+      Some(s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent_vec
+              |    FROM embeddings WHERE vec_id < $ivfK),
+              |assigned AS (SELECT vec_id, embedding, cent_id FROM (
+              |  SELECT e.vec_id, e.embedding, c.cent_id,
+              |    row_number() OVER (PARTITION BY e.vec_id
+              |      ORDER BY round(${duckCos("c.cent_vec", "e.embedding")}, 6) DESC, c.cent_id) AS rn
+              |  FROM embeddings e, cents c) WHERE rn = 1),
+              |pairs AS (SELECT a.vec_id, b.vec_id AS nb,
+              |    round(${duckCos("a.embedding", "b.embedding")}, 6) AS sim
+              |  FROM assigned a JOIN assigned b
+              |    ON a.cent_id = b.cent_id AND a.vec_id <> b.vec_id),
+              |g0 AS (SELECT vec_id, nb FROM (SELECT vec_id, nb,
+              |    row_number() OVER (PARTITION BY vec_id
+              |      ORDER BY sim DESC, nb) AS rn FROM pairs) WHERE rn <= 3),
+              |cand AS (SELECT vec_id, nb FROM g0
+              |  UNION SELECT nb, vec_id FROM g0
+              |  UNION SELECT a.vec_id, b.nb FROM g0 a
+              |    JOIN g0 b ON a.nb = b.vec_id WHERE a.vec_id <> b.nb),
+              |sc AS (SELECT c.vec_id, c.nb,
+              |    round(${duckCos("x.embedding", "y.embedding")}, 6) AS sim
+              |  FROM cand c JOIN embeddings x ON x.vec_id = c.vec_id
+              |              JOIN embeddings y ON y.vec_id = c.nb),
+              |r AS (SELECT vec_id, nb, sim,
+              |    CAST(row_number() OVER (PARTITION BY vec_id
+              |      ORDER BY sim DESC, nb) AS INTEGER) AS rnk FROM sc)
+              |SELECT vec_id, rnk, nb, sim FROM r WHERE rnk <= 3
+              |ORDER BY vec_id, rnk""".stripMargin)))
 }

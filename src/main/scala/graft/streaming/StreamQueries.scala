@@ -526,37 +526,8 @@ object StreamQueries {
     // and the gate compares rows in order.
     QuerySpec("q141_stream_left_outer",
       (s0, dir) => {
-        import org.apache.spark.sql.SaveMode
         val s = stateSession(s0)
-        val fp = eventsFingerprint(dir)
-        outerRelay.keys.filter(k => k._1 == dir && k._2 != fp)
-          .foreach(k => outerRelay.remove(k).foreach(deleteRecursively))
-        val tmp = outerRelay.getOrElseUpdate((dir, fp), {
-          val t = Files.createTempDirectory("graft_outer_").toString
-          val ev = Tables.load(s, dir, "events")
-            .select("event_id", "ts", "user_id", "event_type")
-          ev.coalesce(1).write.mode(SaveMode.Overwrite).parquet(t)
-          val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
-          val sentTs = new java.sql.Timestamp(maxTs.getTime + 30L * 86400 * 1000)
-          import s.implicits._
-          Seq((-1L, sentTs, -1L, "click"), (-2L, sentTs, -2L, "purchase"))
-            .toDF("event_id", "ts", "user_id", "event_type")
-            .coalesce(1).write.mode(SaveMode.Append).parquet(t)
-          // the file source orders new files by modification time: pin
-          // the sentinel file strictly AFTER the backfill file so it
-          // forms the second micro-batch at any filesystem timestamp
-          // granularity
-          val files = java.nio.file.Files.list(Paths.get(t))
-          try {
-            val parts = files.iterator().asScala
-              .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
-              .sortBy(p => java.nio.file.Files.getLastModifiedTime(p).toMillis)
-            java.nio.file.Files.setLastModifiedTime(parts.last,
-              java.nio.file.attribute.FileTime.fromMillis(
-                java.nio.file.Files.getLastModifiedTime(parts.head).toMillis + 60000))
-          } finally files.close()
-          t
-        })
+        val tmp = sentinelRelay(s, dir)
         val schema = s.read.parquet(tmp).schema
         val src = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1").parquet(tmp)
@@ -603,33 +574,8 @@ object StreamQueries {
     // the two engines.
     QuerySpec("q203_stream_full_outer",
       (s0, dir) => {
-        import org.apache.spark.sql.SaveMode
         val s = stateSession(s0)
-        val fp = eventsFingerprint(dir)
-        outerRelay.keys.filter(k => k._1 == dir && k._2 != fp)
-          .foreach(k => outerRelay.remove(k).foreach(deleteRecursively))
-        val tmp = outerRelay.getOrElseUpdate((dir, fp), {
-          val t = Files.createTempDirectory("graft_outer_").toString
-          val ev = Tables.load(s, dir, "events")
-            .select("event_id", "ts", "user_id", "event_type")
-          ev.coalesce(1).write.mode(SaveMode.Overwrite).parquet(t)
-          val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
-          val sentTs = new java.sql.Timestamp(maxTs.getTime + 30L * 86400 * 1000)
-          import s.implicits._
-          Seq((-1L, sentTs, -1L, "click"), (-2L, sentTs, -2L, "purchase"))
-            .toDF("event_id", "ts", "user_id", "event_type")
-            .coalesce(1).write.mode(SaveMode.Append).parquet(t)
-          val files = java.nio.file.Files.list(Paths.get(t))
-          try {
-            val parts = files.iterator().asScala
-              .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
-              .sortBy(p => java.nio.file.Files.getLastModifiedTime(p).toMillis)
-            java.nio.file.Files.setLastModifiedTime(parts.last,
-              java.nio.file.attribute.FileTime.fromMillis(
-                java.nio.file.Files.getLastModifiedTime(parts.head).toMillis + 60000))
-          } finally files.close()
-          t
-        })
+        val tmp = sentinelRelay(s, dir)
         val schema = s.read.parquet(tmp).schema
         val src = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1").parquet(tmp)
@@ -662,6 +608,62 @@ object StreamQueries {
              |  AND CAST(b.ts AS TIMESTAMP) >= CAST(a.ts AS TIMESTAMP)
              |  AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
              |ORDER BY 1, 2, 3""".stripMargin)),
+
+    // q230 — CHAINED stateful aggregation (the Spark ≥3.5 multi-
+    // stateful append pipeline): quarter-hour event counts feed a
+    // SECOND windowed aggregation keyed on `window_time()` of the first
+    // — two watermarked stateful operators in one streaming query,
+    // the downsample-then-rollup topology a metrics pipeline runs
+    // continuously (15-min partials → hourly totals + peak quarter)
+    // without landing the intermediate anywhere. State is window-grain
+    // on both levels, corpus-size independent; the sentinel relay
+    // advances the watermark through BOTH operators so the bounded run
+    // flushes level 2 as well as level 1 (the second operator evicts
+    // one watermark advance behind the first — the relay's second
+    // sentinel batch exists for exactly this).
+    //
+    // SENTINEL-FILTER TRAP (measured, not theoretical): a pre-agg
+    // `filter(event_id >= 0)` is a deterministic predicate, so Catalyst
+    // pushes it BELOW the watermark node into the parquet scan — the
+    // sentinel rows then never reach EventTimeWatermark, the watermark
+    // never passes the real data, and the final windows sit in state
+    // forever (observed: exactly the last hour missing per key).
+    // Sentinels must therefore flow INTO the aggregation; their windows
+    // land 30/60 days past the real range and the ones that close are
+    // dropped by the post-hoc range cut below, which runs on the
+    // materialized result — after the watermark has done its job.
+    QuerySpec("q230_stream_chained_agg",
+      (s0, dir) => {
+        val s = stateSession(s0)
+        val tmp = sentinelRelay(s, dir)
+        val schema = s.read.parquet(tmp).schema
+        val src = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(tmp)
+        val quarter = src
+          .withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "15 minutes"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val hourly = quarter
+          .groupBy(window(window_time(col("window")), "1 hour"),
+            col("event_type"))
+          .agg(sum(col("n")).as("total"), max(col("n")).as("peak"))
+        val maxReal = Tables.load(s, dir, "events")
+          .agg(max(col("ts"))).head().getTimestamp(0)
+        val cut = new java.sql.Timestamp(maxReal.getTime + 86400L * 1000)
+        runAppend(hourly)
+          .select(col("event_type"),
+            col("window.start").cast("timestamp_ntz").as("hour_start"),
+            col("total"), col("peak"))
+          .filter(col("hour_start") < lit(cut).cast("timestamp_ntz"))
+          .orderBy("event_type", "hour_start")
+      },
+      Some("""WITH q AS (SELECT event_type,
+             |    time_bucket(INTERVAL '15 minutes', ts) AS w, count(*) AS n
+             |  FROM events GROUP BY 1, 2)
+             |SELECT event_type,
+             |  CAST(time_bucket(INTERVAL '1 hour', w) AS TIMESTAMP) AS hour_start,
+             |  CAST(SUM(n) AS BIGINT) AS total, CAST(MAX(n) AS BIGINT) AS peak
+             |FROM q GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     // q143 — the Spark 4 `transformWithState` arbitrary-state operator
     // (§2.9's newest member, succeeding q46's mapGroupsWithState): a
@@ -699,11 +701,68 @@ object StreamQueries {
              |  max(event_id) AS last_event_id
              |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)))
 
-  /** Memo for q141's 2-file relay (backfill + watermark-advancing
+  /** Memo for the 2-file relay (backfill + watermark-advancing
     * sentinel file), keyed like [[relaidEvents]]. */
   private val outerRelay =
     scala.collection.concurrent.TrieMap.empty[(String, String), String]
   sys.addShutdownHook(outerRelay.values.foreach(deleteRecursively))
+
+  /** The watermark-advance relay shared by q141/q203/q230: the events
+    * table as one backfill file plus a second, strictly-later-mtime file
+    * carrying two far-future sentinel rows (max ts + 30 days, negative
+    * ids, one per join side). Under `maxFilesPerTrigger=1` the sentinel
+    * forms its own micro-batch, advancing every watermark past every
+    * real event so append-mode stateful operators flush completely
+    * before a bounded AvailableNow run terminates. Sentinels carry
+    * negative event_id/user_id so queries exclude them structurally.
+    * Memoized per (dir, events-content-fingerprint); stale relays for a
+    * regenerated corpus are deleted eagerly (ADVICE r04). */
+  private def sentinelRelay(s: SparkSession, dir: String): String = {
+    import org.apache.spark.sql.SaveMode
+    val fp = eventsFingerprint(dir)
+    outerRelay.keys.filter(k => k._1 == dir && k._2 != fp)
+      .foreach(k => outerRelay.remove(k).foreach(deleteRecursively))
+    outerRelay.getOrElseUpdate((dir, fp), {
+      val t = Files.createTempDirectory("graft_outer_").toString
+      val ev = Tables.load(s, dir, "events")
+        .select("event_id", "ts", "user_id", "event_type")
+      ev.coalesce(1).write.mode(SaveMode.Overwrite).parquet(t)
+      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      import s.implicits._
+      // TWO sentinel files, each its own micro-batch: chained stateful
+      // operators (q230) propagate the watermark one batch late per
+      // level — the downstream aggregate evicts with the PREVIOUS
+      // batch's watermark, so a single advance flushes level 1 but
+      // leaves level 2's final windows in state when the bounded run
+      // stops. The second, even-later sentinel batch re-advances the
+      // watermark and carries level 1's last emissions through level 2.
+      // Single-operator queries (q141/q203) are unaffected: sentinels
+      // never aggregate (negative-id filters) and a further-advanced
+      // watermark changes nothing already evicted.
+      for ((days, ids) <- Seq((30L, (-1L, -2L)), (60L, (-3L, -4L)))) {
+        val sentTs = new java.sql.Timestamp(maxTs.getTime + days * 86400 * 1000)
+        Seq((ids._1, sentTs, ids._1, "click"), (ids._2, sentTs, ids._2, "purchase"))
+          .toDF("event_id", "ts", "user_id", "event_type")
+          .coalesce(1).write.mode(SaveMode.Append).parquet(t)
+      }
+      // the file source orders new files by modification time: pin
+      // each sentinel file strictly AFTER its predecessor so each
+      // forms its own micro-batch at any filesystem timestamp
+      // granularity
+      val files = java.nio.file.Files.list(Paths.get(t))
+      try {
+        val parts = files.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+          .sortBy(p => java.nio.file.Files.getLastModifiedTime(p).toMillis)
+        val t0 = java.nio.file.Files.getLastModifiedTime(parts.head).toMillis
+        parts.zipWithIndex.tail.foreach { case (p, i) =>
+          java.nio.file.Files.setLastModifiedTime(p,
+            java.nio.file.attribute.FileTime.fromMillis(t0 + 60000L * i))
+        }
+      } finally files.close()
+      t
+    })
+  }
 
   /** q143's processor — the Spark 4 `transformWithState` arbitrary-state
     * API (the successor to mapGroupsWithState q46 uses): an explicit

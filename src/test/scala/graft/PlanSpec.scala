@@ -263,6 +263,35 @@ class PlanSpec extends AnyFunSuite {
       s"doc-size window collapsed out of the plan:\n$p")
   }
 
+  test("q224: bucketed join shuffles NEITHER side — no hash exchange " +
+      "on the join keys") {
+    val p = plan("q224_bucketed_join")
+    assert(p.contains("SortMergeJoin"),
+      s"bucketed join did not plan as SMJ:\n$p")
+    // The whole point of bucketBy(8, key) on both sides: bucket i of
+    // each table co-locates in one task, so the ONLY exchanges left are
+    // the post-join aggregate and the final sort. A hashpartitioning
+    // exchange on either join key means the bucketed layout was ignored
+    // — at 100 TB that is a full fact-table shuffle per run.
+    assert(!p.contains("hashpartitioning(o_custkey") &&
+      !p.contains("hashpartitioning(c_custkey"),
+      s"join key re-shuffled despite bucketing:\n$p")
+  }
+
+  test("q225: partition-column filter prunes directories at the scan") {
+    val p = plan("q225_partition_prune")
+    val scan = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scan.contains("PartitionFilters") && scan.contains("1-URGENT"),
+      s"partition filter not applied at file listing: $scan\nin:\n$p")
+    // The partition value must NOT appear as a pushed row-group filter:
+    // pruning happens at directory listing, before any file opens.
+    // (PartitionFilters and PushedFilters share the scan line — compare
+    // only the PushedFilters bracket.)
+    val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findFirstIn(scan).getOrElse("")
+    assert(!pushed.contains("o_orderpriority"),
+      s"partition column leaked into row filters: $pushed")
+  }
+
   test("q170: every Q6 predicate reaches the parquet scan; " +
       "scan projects only the needed columns") {
     val p = plan("q170_tpch_q6")
