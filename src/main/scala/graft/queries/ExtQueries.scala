@@ -467,5 +467,120 @@ object ExtQueries {
              |  round(SUM(slope) / count(*), 6) AS theil_slope
              |FROM r JOIN c ON r.event_type = c.event_type
              |WHERE rk = (np + 1) // 2 OR rk = np // 2 + 1
-             |GROUP BY r.event_type ORDER BY r.event_type""".stripMargin)))
+             |GROUP BY r.event_type ORDER BY r.event_type""".stripMargin)),
+
+    // q236 — SPARSE cosine similarity join over TF vectors via the
+    // inverted index (the complement of q31's dense ANN and the
+    // Jaccard families): pairs are generated ONLY through shared
+    // tokens with 2 ≤ df ≤ 100 — the df cap is the knob that bounds
+    // posting-list self-join fanout (Σ df² over the kept vocabulary,
+    // the same principle as q197's rare-first prefixes; a stopword can
+    // never pair). Norms ride the SAME doc-partition pass as the kept
+    // postings (window, not a doc-grain broadcast join — the q197
+    // lesson), and the pair aggregate carries them as functional keys.
+    // Arithmetic is exact-integer to the very edge: dot and norms are
+    // BIGINT sums; sqrt and one division are IEEE-exact ops over
+    // identical integers, so no rounding discipline is needed before
+    // the display round.
+    QuerySpec("q236_sparse_cosine",
+      (s, dir) => {
+        val tf = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(graft.functions.Text.tokens(lower(col("text")))).as("w"))
+          .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+        val dfx = tf.groupBy("w").agg(count(lit(1)).as("df"))
+        val wDoc = Window.partitionBy("doc_id")
+        val k2 = tf.join(dfx, "w").filter(col("df").between(2, 100))
+          .withColumn("n2", sum(col("tf") * col("tf")).over(wDoc))
+          .select(col("doc_id"), col("w"), col("tf"), col("n2"))
+          .persistTracked()
+        val cos = col("dot").cast("double") /
+          (sqrt(col("n2a").cast("double")) * sqrt(col("n2b").cast("double")))
+        k2.select(col("w"), col("doc_id").as("doc_a"),
+            col("tf").as("tfa"), col("n2").as("n2a"))
+          .join(k2.select(col("w"), col("doc_id").as("doc_b"),
+            col("tf").as("tfb"), col("n2").as("n2b")), "w")
+          .filter(col("doc_a") < col("doc_b"))
+          .groupBy("doc_a", "doc_b", "n2a", "n2b")
+          .agg(sum(col("tfa") * col("tfb")).as("dot"))
+          .filter(cos >= 0.5)
+          .select(col("doc_a"), col("doc_b"), round(cos, 6).as("cos_sim"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""WITH tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+             |  FROM (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+             |        FROM documents)
+             |  GROUP BY doc_id, w),
+             |dfx AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+             |kept AS (SELECT tf.doc_id, tf.w, tf.tf FROM tf JOIN dfx USING (w)
+             |  WHERE df BETWEEN 2 AND 100),
+             |nrm AS (SELECT doc_id, CAST(SUM(tf*tf) AS BIGINT) AS n2
+             |  FROM kept GROUP BY doc_id),
+             |k2 AS (SELECT k.doc_id, k.w, k.tf, n.n2 FROM kept k JOIN nrm n USING (doc_id)),
+             |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |    a.n2 AS n2a, b.n2 AS n2b, CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+             |  FROM k2 a JOIN k2 b ON a.w = b.w AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2, 3, 4)
+             |SELECT doc_a, doc_b,
+             |  round(dot / (sqrt(CAST(n2a AS DOUBLE)) * sqrt(CAST(n2b AS DOUBLE))), 6) AS cos_sim
+             |FROM p
+             |WHERE dot / (sqrt(CAST(n2a AS DOUBLE)) * sqrt(CAST(n2b AS DOUBLE))) >= 0.5
+             |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // q237 — grid-binned nearest neighbor (the spatial-join shape):
+    // entities get deterministic integer coordinates from the portable
+    // hash; each probe point fans to its 3×3 neighborhood of 5000-unit
+    // grid cells and equi-joins candidates keyed by their own cell —
+    // the standard replacement for the all-pairs distance join, with
+    // cell width as the bounded-search-radius knob (a probe with no
+    // candidate in its neighborhood is reported unmatched-by-omission,
+    // the documented semantics of radius-bounded matching). Distances
+    // are exact BIGINT squared-Euclidean — no trig, no floats, nothing
+    // to diverge; the argmin is a (d2, id) rank.
+    QuerySpec("q237_grid_nearest",
+      (s, dir) => {
+        val h = (p: String, c: org.apache.spark.sql.Column) =>
+          call_function("graft_hash32", concat(lit(p), c.cast("string")))
+        val cust = Tables.load(s, dir, "customer")
+          .select(col("c_custkey"),
+            (h("C", col("c_custkey")) % 100000).as("cx"),
+            (h("D", col("c_custkey")) % 100000).as("cy"))
+        val supp = Tables.load(s, dir, "supplier")
+          .select(col("s_suppkey"),
+            (h("S", col("s_suppkey")) % 100000).as("sx"),
+            (h("T", col("s_suppkey")) % 100000).as("sy"))
+        val custCells = cust
+          .withColumn("gx", explode(expr("sequence(cx DIV 5000 - 1, cx DIV 5000 + 1)")))
+          .withColumn("gy", explode(expr("sequence(cy DIV 5000 - 1, cy DIV 5000 + 1)")))
+        val suppCells = supp
+          .withColumn("gx", expr("sx DIV 5000"))
+          .withColumn("gy", expr("sy DIV 5000"))
+        val d2 = (col("cx") - col("sx")) * (col("cx") - col("sx")) +
+          (col("cy") - col("sy")) * (col("cy") - col("sy"))
+        val wc = Window.partitionBy("c_custkey")
+          .orderBy(col("d2"), col("s_suppkey"))
+        custCells.join(suppCells, Seq("gx", "gy"))
+          .select(col("c_custkey"), col("s_suppkey"), d2.as("d2"))
+          .withColumn("rn", row_number().over(wc)).filter(col("rn") === 1)
+          .select(col("c_custkey"), col("s_suppkey"), col("d2"))
+          .orderBy("c_custkey")
+      },
+      Some("""WITH c AS (SELECT c_custkey,
+             |    CAST('0x'||substr(md5('C'||CAST(c_custkey AS VARCHAR)),1,8) AS BIGINT) % 100000 AS cx,
+             |    CAST('0x'||substr(md5('D'||CAST(c_custkey AS VARCHAR)),1,8) AS BIGINT) % 100000 AS cy
+             |  FROM customer),
+             |s AS (SELECT s_suppkey,
+             |    CAST('0x'||substr(md5('S'||CAST(s_suppkey AS VARCHAR)),1,8) AS BIGINT) % 100000 AS sx,
+             |    CAST('0x'||substr(md5('T'||CAST(s_suppkey AS VARCHAR)),1,8) AS BIGINT) % 100000 AS sy
+             |  FROM supplier),
+             |cand AS (SELECT c.c_custkey, s.s_suppkey,
+             |    (c.cx - s.sx)*(c.cx - s.sx) + (c.cy - s.sy)*(c.cy - s.sy) AS d2
+             |  FROM c JOIN s
+             |    ON (s.sx // 5000) BETWEEN (c.cx // 5000) - 1 AND (c.cx // 5000) + 1
+             |   AND (s.sy // 5000) BETWEEN (c.cy // 5000) - 1 AND (c.cy // 5000) + 1),
+             |r AS (SELECT c_custkey, s_suppkey, d2,
+             |    row_number() OVER (PARTITION BY c_custkey ORDER BY d2, s_suppkey) AS rn
+             |  FROM cand)
+             |SELECT c_custkey, s_suppkey, CAST(d2 AS BIGINT) AS d2
+             |FROM r WHERE rn = 1 ORDER BY c_custkey""".stripMargin)))
 }
