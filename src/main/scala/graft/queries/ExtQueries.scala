@@ -582,5 +582,174 @@ object ExtQueries {
              |    row_number() OVER (PARTITION BY c_custkey ORDER BY d2, s_suppkey) AS rn
              |  FROM cand)
              |SELECT c_custkey, s_suppkey, CAST(d2 AS BIGINT) AS d2
-             |FROM r WHERE rn = 1 ORDER BY c_custkey""".stripMargin)))
+             |FROM r WHERE rn = 1 ORDER BY c_custkey""".stripMargin)),
+
+    // q238 — word2vec-style NEGATIVE SAMPLING by inverse-CDF lookup,
+    // composed from two existing scale primitives: the unigram
+    // distribution's cumulative weights come from ops.PrefixSum (range-
+    // partitioned two-phase cumsum — vocabulary-scale, no global
+    // window), and each probe's deterministic draw u = hash % W lands
+    // in its token's [lo, hi) interval via ops.RangeJoin's binned
+    // point-in-interval join (hash-join shape, never a nested-loop over
+    // the vocabulary — at 100 TB the vocabulary is itself too large to
+    // broadcast). All-integer weights and draws: the sampled token is a
+    // pure arithmetic fact both engines agree on exactly. 4 draws per
+    // document — the per-positive negatives a contrastive trainer
+    // consumes.
+    QuerySpec("q238_negative_sampling",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val tk = docs.select(col("doc_id"),
+          explode(graft.functions.Text.tokens(lower(col("text")))).as("w"))
+        val dfx = tk.groupBy("w").agg(count(lit(1)).as("c"))
+        val v = graft.ops.PrefixSum.cumsum(dfx, "w", "c", "hi", 32)
+          .select(col("w").as("neg_token"),
+            (col("hi") - col("c")).as("lo"), col("hi"))
+          .persistTracked()
+        val wt = v.agg(max(col("hi")).as("wt"))
+        val probes = docs.select(col("doc_id"))
+          .select(col("doc_id"), explode(expr("sequence(0, 3)")).as("j"))
+          .crossJoin(broadcast(wt))
+          .select(col("doc_id"), col("j").cast("int").as("j"),
+            (call_function("graft_hash32",
+              concat_ws(":", col("doc_id"), col("j"))) % col("wt")).as("u"))
+        graft.ops.RangeJoin.pointInInterval(probes, "u", v, "lo", "hi", 1024)
+          .select(col("doc_id"), col("j"), col("neg_token"), col("u"))
+          .orderBy("doc_id", "j")
+      },
+      Some("""WITH tk AS (SELECT doc_id,
+             |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+             |  FROM documents),
+             |dfx AS (SELECT w, count(*) AS c FROM tk GROUP BY w),
+             |v AS (SELECT w, c,
+             |    CAST(SUM(c) OVER (ORDER BY w ROWS UNBOUNDED PRECEDING) - c AS BIGINT) AS lo,
+             |    CAST(SUM(c) OVER (ORDER BY w ROWS UNBOUNDED PRECEDING) AS BIGINT) AS hi
+             |  FROM dfx),
+             |t AS (SELECT CAST(SUM(c) AS BIGINT) AS wt FROM dfx),
+             |p AS (SELECT doc_id, j,
+             |    CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)||':'||CAST(j AS VARCHAR)),1,8) AS BIGINT) % wt AS u
+             |  FROM documents, UNNEST(generate_series(0, 3)) s(j), t)
+             |SELECT p.doc_id, CAST(p.j AS INTEGER) AS j, v.w AS neg_token, p.u
+             |FROM p JOIN v ON p.u >= v.lo AND p.u < v.hi
+             |ORDER BY doc_id, j""".stripMargin)),
+
+    // q239 — distinctive vocabulary per source via weighted log-odds
+    // with a Dirichlet prior (Monroe, Colaresi & Quinn '08 "Fightin'
+    // Words"): the corpus-curation question "what characterizes this
+    // subcorpus" answered with a variance-stabilized z-score instead of
+    // raw TF-IDF (which over-ranks rare noise). Counts are exact; each
+    // score is a fixed chain of ln/sqrt over identical exact integers,
+    // rounded BEFORE ranking (q74's log discipline) so rank order
+    // cannot diverge between engines. Vocabulary-grain joins +
+    // broadcast scalars — never corpus-scale state.
+    QuerySpec("q239_log_odds_topics",
+      (s, dir) => {
+        val tk = Tables.load(s, dir, "documents")
+          .select(col("source"),
+            explode(graft.functions.Text.tokens(lower(col("text")))).as("w"))
+        val yc = tk.groupBy("source", "w").agg(count(lit(1)).as("y"))
+          .persistTracked()
+        val tot = yc.groupBy("w").agg(sum(col("y")).as("yall"))
+        val ns = yc.groupBy("source").agg(sum(col("y")).as("n"))
+        val nn = yc.agg(sum(col("y")).as("ntot"))
+        val vv = tot.agg(count(lit(1)).as("v"))
+        val delta =
+          log((col("y") + 1.0) / (col("n") + col("v") - col("y") - 1.0)) -
+          log((col("yall") - col("y") + 1.0) /
+            (col("ntot") - col("n") + col("v") - (col("yall") - col("y")) - 1.0))
+        val varc = lit(1.0) / (col("y") + 1.0) +
+          lit(1.0) / (col("yall") - col("y") + 1.0)
+        val wr = Window.partitionBy("source")
+          .orderBy(col("zscore").desc, col("w"))
+        yc.join(tot, "w").join(broadcast(ns), "source")
+          .crossJoin(broadcast(nn)).crossJoin(broadcast(vv))
+          .select(col("source"), col("w"),
+            round(delta / sqrt(varc), 6).as("zscore"))
+          .withColumn("rnk", row_number().over(wr).cast("int"))
+          .filter(col("rnk") <= 5)
+          .select(col("source"), col("rnk"), col("w").as("token"), col("zscore"))
+          .orderBy("source", "rnk")
+      },
+      Some("""WITH tk AS (SELECT source,
+             |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+             |  FROM documents),
+             |yc AS (SELECT source, w, count(*) AS y FROM tk GROUP BY 1, 2),
+             |tot AS (SELECT w, CAST(SUM(y) AS BIGINT) AS yall FROM yc GROUP BY w),
+             |ns AS (SELECT source, CAST(SUM(y) AS BIGINT) AS n FROM yc GROUP BY source),
+             |nn AS (SELECT CAST(SUM(y) AS BIGINT) AS ntot FROM yc),
+             |vv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM tot),
+             |sc AS (SELECT yc.source, yc.w,
+             |    ln((yc.y + 1.0) / (ns.n + vv.v - yc.y - 1.0))
+             |      - ln((tot.yall - yc.y + 1.0) / (nn.ntot - ns.n + vv.v - (tot.yall - yc.y) - 1.0)) AS delta,
+             |    1.0/(yc.y + 1.0) + 1.0/(tot.yall - yc.y + 1.0) AS var
+             |  FROM yc JOIN tot USING (w) JOIN ns USING (source), nn, vv),
+             |z AS (SELECT source, w, round(delta / sqrt(var), 6) AS zscore FROM sc),
+             |r AS (SELECT source, w, zscore,
+             |    CAST(row_number() OVER (PARTITION BY source
+             |      ORDER BY zscore DESC, w) AS INTEGER) AS rnk FROM z)
+             |SELECT source, rnk, w AS token, zscore
+             |FROM r WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin)),
+
+    // q240 — CUPED variance reduction (Deng et al. '13): the A/B-test
+    // estimator that adjusts each user's experiment-period metric by
+    // their PRE-period metric, cutting variance without biasing the
+    // arm difference. theta = cov(pre, post)/var(pre) assembles from
+    // EXACT decimal raw moments (q212's regression discipline — decimal
+    // products and sums are associative, so 1000-executor merge order
+    // cannot shift them), and the adjusted per-arm mean uses linearity
+    // (mean(post − θ·(pre − mx)) = my − θ·(mx_arm − mx)) so the final
+    // numbers are a short fixed IEEE chain over exact sums — no
+    // per-user float summation anywhere.
+    QuerySpec("q240_cuped",
+      (s, dir) => {
+        val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+        val cut = lit("1998-01-01").cast("timestamp")
+        val b = Tables.load(s, dir, "orders")
+          .groupBy(col("o_custkey"), (col("o_custkey") % 2).as("arm"))
+          .agg(
+            sum(when(col("o_orderdate") < cut, col("o_totalprice").cast(dec))
+              .otherwise(lit(0).cast(dec))).cast(dec).as("pre_d"),
+            sum(when(col("o_orderdate") >= cut, col("o_totalprice").cast(dec))
+              .otherwise(lit(0).cast(dec))).cast(dec).as("post_d"))
+          .persistTracked()
+        val m = b.agg(count(lit(1)).as("n"),
+          sum(col("pre_d")).cast("double").as("sx"),
+          sum(col("post_d")).cast("double").as("sy"),
+          sum(col("pre_d") * col("post_d")).cast("double").as("sxy"),
+          sum(col("pre_d") * col("pre_d")).cast("double").as("sxx"))
+        val arm = b.groupBy("arm").agg(count(lit(1)).as("n_users"),
+          sum(col("pre_d")).cast("double").as("sxa"),
+          sum(col("post_d")).cast("double").as("sya"))
+        val theta = (col("sxy") - col("sx") * col("sy") / col("n")) /
+          (col("sxx") - col("sx") * col("sx") / col("n"))
+        arm.crossJoin(broadcast(m))
+          .withColumn("theta", theta)
+          .select(col("arm"), col("n_users"),
+            round(col("sya") / col("n_users"), 6).as("raw_mean"),
+            round(col("sya") / col("n_users") - col("theta") *
+              (col("sxa") / col("n_users") - col("sx") / col("n")), 6)
+              .as("cuped_mean"))
+          .orderBy("arm")
+      },
+      Some("""WITH b AS (SELECT o_custkey, o_custkey % 2 AS arm,
+             |    CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+             |      THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS pre_d,
+             |    CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
+             |      THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS post_d
+             |  FROM orders GROUP BY 1, 2),
+             |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             |    CAST(SUM(pre_d) AS DOUBLE) AS sx,
+             |    CAST(SUM(post_d) AS DOUBLE) AS sy,
+             |    CAST(SUM(pre_d * post_d) AS DOUBLE) AS sxy,
+             |    CAST(SUM(pre_d * pre_d) AS DOUBLE) AS sxx
+             |  FROM b),
+             |a AS (SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+             |    CAST(SUM(pre_d) AS DOUBLE) AS sxa,
+             |    CAST(SUM(post_d) AS DOUBLE) AS sya
+             |  FROM b GROUP BY arm)
+             |SELECT arm, n_users,
+             |  round(sya / n_users, 6) AS raw_mean,
+             |  round(sya / n_users - ((sxy - sx*sy/n) / (sxx - sx*sx/n)) *
+             |    (sxa / n_users - sx / n), 6) AS cuped_mean
+             |FROM a, m ORDER BY arm""".stripMargin)))
 }

@@ -635,7 +635,7 @@ object StreamQueries {
     QuerySpec("q230_stream_chained_agg",
       (s0, dir) => {
         val s = stateSession(s0)
-        val tmp = sentinelRelay(s, dir)
+        val tmp = sentinelRelay(s, dir, sentinelBatches = 2)
         val schema = s.read.parquet(tmp).schema
         val src = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1").parquet(tmp)
@@ -701,47 +701,50 @@ object StreamQueries {
              |  max(event_id) AS last_event_id
              |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)))
 
-  /** Memo for the 2-file relay (backfill + watermark-advancing
-    * sentinel file), keyed like [[relaidEvents]]. */
+  /** Memo for the sentinel relays, keyed like [[relaidEvents]] plus the
+    * sentinel-batch count (q141/q203 need one advance; q230 two). */
   private val outerRelay =
-    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+    scala.collection.concurrent.TrieMap.empty[(String, String, Int), String]
   sys.addShutdownHook(outerRelay.values.foreach(deleteRecursively))
 
   /** The watermark-advance relay shared by q141/q203/q230: the events
-    * table as one backfill file plus a second, strictly-later-mtime file
-    * carrying two far-future sentinel rows (max ts + 30 days, negative
-    * ids, one per join side). Under `maxFilesPerTrigger=1` the sentinel
-    * forms its own micro-batch, advancing every watermark past every
-    * real event so append-mode stateful operators flush completely
-    * before a bounded AvailableNow run terminates. Sentinels carry
-    * negative event_id/user_id so queries exclude them structurally.
-    * Memoized per (dir, events-content-fingerprint); stale relays for a
-    * regenerated corpus are deleted eagerly (ADVICE r04). */
-  private def sentinelRelay(s: SparkSession, dir: String): String = {
+    * table as one backfill file plus `sentinelBatches` strictly-later-
+    * mtime files, each carrying two far-future sentinel rows (max ts +
+    * 30/60 days, negative ids, one per join side). Under
+    * `maxFilesPerTrigger=1` each sentinel file forms its own
+    * micro-batch, advancing every watermark past every real event so
+    * append-mode stateful operators flush completely before a bounded
+    * AvailableNow run terminates. Sentinels carry negative
+    * event_id/user_id so queries exclude them structurally.
+    *
+    * `sentinelBatches = 2` exists for CHAINED stateful pipelines
+    * (q230): the downstream operator evicts one watermark advance
+    * behind the upstream (late-record filtering uses the previous
+    * batch's watermark), so one advance flushes level 1 but strands
+    * level 2's final windows; the second, even-later batch carries
+    * level 1's last emissions through level 2. Single-operator queries
+    * stay on the 1-sentinel relay — the extra micro-batch is pure cost
+    * for them (~2 s/query at sf0.1 measured in r7).
+    *
+    * Memoized per (dir, events-content-fingerprint, batches); stale
+    * relays for a regenerated corpus are deleted eagerly (ADVICE r04). */
+  private def sentinelRelay(s: SparkSession, dir: String,
+      sentinelBatches: Int = 1): String = {
     import org.apache.spark.sql.SaveMode
     val fp = eventsFingerprint(dir)
     outerRelay.keys.filter(k => k._1 == dir && k._2 != fp)
       .foreach(k => outerRelay.remove(k).foreach(deleteRecursively))
-    outerRelay.getOrElseUpdate((dir, fp), {
+    outerRelay.getOrElseUpdate((dir, fp, sentinelBatches), {
       val t = Files.createTempDirectory("graft_outer_").toString
       val ev = Tables.load(s, dir, "events")
         .select("event_id", "ts", "user_id", "event_type")
       ev.coalesce(1).write.mode(SaveMode.Overwrite).parquet(t)
       val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
       import s.implicits._
-      // TWO sentinel files, each its own micro-batch: chained stateful
-      // operators (q230) propagate the watermark one batch late per
-      // level — the downstream aggregate evicts with the PREVIOUS
-      // batch's watermark, so a single advance flushes level 1 but
-      // leaves level 2's final windows in state when the bounded run
-      // stops. The second, even-later sentinel batch re-advances the
-      // watermark and carries level 1's last emissions through level 2.
-      // Single-operator queries (q141/q203) are unaffected: sentinels
-      // never aggregate (negative-id filters) and a further-advanced
-      // watermark changes nothing already evicted.
-      for ((days, ids) <- Seq((30L, (-1L, -2L)), (60L, (-3L, -4L)))) {
-        val sentTs = new java.sql.Timestamp(maxTs.getTime + days * 86400 * 1000)
-        Seq((ids._1, sentTs, ids._1, "click"), (ids._2, sentTs, ids._2, "purchase"))
+      for (b <- 1 to sentinelBatches) {
+        val sentTs = new java.sql.Timestamp(maxTs.getTime + b * 30L * 86400 * 1000)
+        val id1 = -(2L * b - 1); val id2 = -(2L * b)
+        Seq((id1, sentTs, id1, "click"), (id2, sentTs, id2, "purchase"))
           .toDF("event_id", "ts", "user_id", "event_type")
           .coalesce(1).write.mode(SaveMode.Append).parquet(t)
       }
