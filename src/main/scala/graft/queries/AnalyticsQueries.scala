@@ -454,8 +454,13 @@ object AnalyticsQueries {
     // decimal-cast for the order-independent mean.
     QuerySpec("q188_winsorize",
       (s, dir) => {
-        val li = Tables.load(s, dir, "lineitem")
-          .select(col("l_returnflag"), col("l_extendedprice"))
+        // fanOut + persist: the 2-column projection feeds BOTH the
+        // percentile pass and the clipping pass; the fixture's 1-task
+        // scan serializes the percentile buffers otherwise (identity at
+        // production scan widths — Tables.fanOut).
+        val li = Tables.fanOut(Tables.load(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_extendedprice")))
+          .persistTracked()
         val qs = li.groupBy("l_returnflag")
           .agg(round(expr("percentile(l_extendedprice, 0.05)"), 2).as("p05"),
             round(expr("percentile(l_extendedprice, 0.95)"), 2).as("p95"))
@@ -502,7 +507,12 @@ object AnalyticsQueries {
             .cast("double") / n
         val x = col("l_quantity"); val y = col("l_extendedprice")
         val z = col("l_discount")
-        Tables.load(s, dir, "lineitem")
+        // 10 decimal sums per row make this the most per-row-expensive
+        // partial agg in the repo: fan the fixture's 1-task scan out
+        // first (identity at production scan widths — Tables.fanOut;
+        // decimal sums are associative, so the result cannot move).
+        Tables.fanOut(Tables.load(s, dir, "lineitem")
+          .select("l_returnflag", "l_quantity", "l_extendedprice", "l_discount"))
           .groupBy("l_returnflag")
           .agg(count(lit(1)).as("n"),
             m(x, 2).as("ex"), m(y, 2).as("ey"), m(z, 4).as("ez"),
@@ -926,8 +936,11 @@ object AnalyticsQueries {
     QuerySpec("q215_bootstrap_ci",
       (s, dir) => {
         val B = 20
-        val rep = Tables.load(s, dir, "orders")
-          .select(col("o_orderkey"), col("o_totalprice"))
+        // fan out BEFORE the 20× replica explode: the per-row md5 draws
+        // are the cost, and the fixture scan is one task otherwise
+        // (identity at production scan widths — Tables.fanOut).
+        val rep = Tables.fanOut(Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice")))
           .select(col("o_orderkey"),
             col("o_totalprice").cast("decimal(18,2)").as("p"),
             explode(expr(s"sequence(0, ${B - 1})")).as("replica"))
