@@ -751,5 +751,112 @@ object ExtQueries {
              |  round(sya / n_users, 6) AS raw_mean,
              |  round(sya / n_users - ((sxy - sx*sy/n) / (sxx - sx*sx/n)) *
              |    (sxa / n_users - sx / n), 6) AS cuped_mean
-             |FROM a, m ORDER BY arm""".stripMargin)))
+             |FROM a, m ORDER BY arm""".stripMargin)),
+
+    // q241 — behavioral pattern matching over assembled journeys (the
+    // MATCH_RECOGNIZE-shaped question "how many users exhibit this
+    // sequence"): each user's event-type journey (q184's deterministic
+    // total order) is matched against anchored/repeat regexes. Patterns
+    // stay in the Java∩RE2 common subset (anchors, escaped literals,
+    // bounded groups) so Spark's regex engine and the oracle's agree by
+    // construction. One user-grain shuffle; the pattern fanout is a
+    // 4-element broadcast literal.
+    QuerySpec("q241_journey_regex",
+      (s, dir) => {
+        val patterns = Seq("^signup", "error$", "view\\|view",
+          "error(\\|[a-z]+)*\\|purchase")
+        val jo = Tables.load(s, dir, "events")
+          .groupBy("user_id")
+          .agg(concat_ws("|", transform(
+            array_sort(collect_list(struct(col("ts"), col("event_id"),
+              col("event_type")))),
+            x => x.getField("event_type"))).as("j"))
+        val agg = jo.agg(
+          sum(when(col("j").rlike(patterns.head), 1L).otherwise(0L)).as("c0"),
+          patterns.tail.zipWithIndex.map { case (p, i) =>
+            sum(when(col("j").rlike(p), 1L).otherwise(0L)).as(s"c${i + 1}")
+          }: _*)
+        agg.select(explode(array(patterns.zipWithIndex.map { case (p, i) =>
+            struct(lit(p).as("pattern"), col(s"c$i").as("n_users"))
+          }: _*)).as("x"))
+          .select(col("x.pattern").as("pattern"), col("x.n_users").as("n_users"))
+          .orderBy("pattern")
+      },
+      Some("""WITH jo AS (SELECT user_id,
+             |    string_agg(event_type, '|' ORDER BY ts, event_id, event_type) AS j
+             |  FROM events GROUP BY user_id)
+             |SELECT p.pattern,
+             |  CAST(SUM(CASE WHEN regexp_matches(j, p.pattern) THEN 1 ELSE 0 END) AS BIGINT) AS n_users
+             |FROM jo CROSS JOIN (SELECT unnest(['^signup', 'error$', 'view\|view',
+             |    'error(\|[a-z]+)*\|purchase']) AS pattern) p
+             |GROUP BY p.pattern ORDER BY p.pattern""".stripMargin)),
+
+    // q242 — incremental aggregate MAINTENANCE (the delta-merge algebra
+    // every incremental pipeline runs): a base aggregate plus a delta
+    // aggregate merge into the full answer without re-reading the base
+    // — count/sum add, min/max combine, means derive — and the
+    // `consistent` column PROVES merged == full recompute per group
+    // under the oracle gate. Sums are fixed-scale decimal, so the
+    // base+delta merge is exactly the full sum at any split point (the
+    // property that makes foreachBatch state maintenance sound —
+    // q115/q186 run this algebra continuously; this query pins it).
+    QuerySpec("q242_incremental_agg",
+      (s, dir) => {
+        val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+        val cutTs = lit("1998-01-01").cast("timestamp")
+        val o = Tables.load(s, dir, "orders")
+          .select(col("o_orderpriority").as("grp"),
+            col("o_totalprice").as("v"), col("o_orderdate"))
+          .persistTracked()
+        def aggOf(df: org.apache.spark.sql.DataFrame) = df.groupBy("grp")
+          .agg(count(lit(1)).as("n"), sum(col("v").cast(dec)).cast(dec).as("s"),
+            min(col("v")).as("mn"), max(col("v")).as("mx"))
+        val base = aggOf(o.filter(col("o_orderdate") < cutTs))
+        val delta = aggOf(o.filter(col("o_orderdate") >= cutTs))
+        val m = base
+          .select(col("grp"), col("n").as("nb"), col("s").as("sb"),
+            col("mn").as("mnb"), col("mx").as("mxb"))
+          .join(delta.select(col("grp"), col("n").as("nd"), col("s").as("sd"),
+            col("mn").as("mnd"), col("mx").as("mxd")), Seq("grp"), "full")
+          .select(col("grp"),
+            (coalesce(col("nb"), lit(0L)) + coalesce(col("nd"), lit(0L))).as("n"),
+            (coalesce(col("sb"), lit(0).cast(dec)) +
+              coalesce(col("sd"), lit(0).cast(dec))).cast("double").as("s"),
+            least(coalesce(col("mnb"), col("mnd")),
+              coalesce(col("mnd"), col("mnb"))).as("mn"),
+            greatest(coalesce(col("mxb"), col("mxd")),
+              coalesce(col("mxd"), col("mxb"))).as("mx"))
+        val full = aggOf(o).select(col("grp"), col("n").as("fn"),
+          col("s").cast("double").as("fs"), col("mn").as("fmn"),
+          col("mx").as("fmx"))
+        m.join(full, "grp")
+          .select(col("grp"), col("n"), round(col("s"), 2).as("total"),
+            col("mn"), col("mx"),
+            (col("n") === col("fn") && col("s") === col("fs") &&
+              col("mn") === col("fmn") && col("mx") === col("fmx"))
+              .as("consistent"))
+          .orderBy("grp")
+      },
+      Some("""WITH base AS (SELECT o_orderpriority AS grp, count(*) AS n,
+             |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS s,
+             |    min(o_totalprice) AS mn, max(o_totalprice) AS mx
+             |  FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01' GROUP BY 1),
+             |delta AS (SELECT o_orderpriority AS grp, count(*) AS n,
+             |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS s,
+             |    min(o_totalprice) AS mn, max(o_totalprice) AS mx
+             |  FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01' GROUP BY 1),
+             |merged AS (SELECT COALESCE(b.grp, d.grp) AS grp,
+             |    CAST(COALESCE(b.n, 0) + COALESCE(d.n, 0) AS BIGINT) AS n,
+             |    CAST(COALESCE(b.s, 0) + COALESCE(d.s, 0) AS DOUBLE) AS s,
+             |    least(COALESCE(b.mn, d.mn), COALESCE(d.mn, b.mn)) AS mn,
+             |    greatest(COALESCE(b.mx, d.mx), COALESCE(d.mx, b.mx)) AS mx
+             |  FROM base b FULL JOIN delta d ON b.grp = d.grp),
+             |full_r AS (SELECT o_orderpriority AS grp, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s,
+             |    min(o_totalprice) AS mn, max(o_totalprice) AS mx
+             |  FROM orders GROUP BY 1)
+             |SELECT m.grp, m.n, round(m.s, 2) AS total, m.mn, m.mx,
+             |  (m.n = f.n AND m.s = f.s AND m.mn = f.mn AND m.mx = f.mx) AS consistent
+             |FROM merged m JOIN full_r f ON m.grp = f.grp
+             |ORDER BY m.grp""".stripMargin)))
 }

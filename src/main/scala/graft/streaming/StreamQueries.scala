@@ -665,6 +665,65 @@ object StreamQueries {
              |  CAST(SUM(n) AS BIGINT) AS total, CAST(MAX(n) AS BIGINT) AS peak
              |FROM q GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // q243 — STREAMING AS-OF JOIN via [[AsOfStreamProcessor]]: each
+    // purchase matched to the user's latest click at or before it —
+    // the operator Spark's streaming join surface lacks (interval joins
+    // need a bounded window on BOTH sides; as-of wants unbounded
+    // lookback with latest-wins). Built on transformWithState with
+    // per-key event-time timers: rows buffer per user, the timer fires
+    // once the watermark passes everything seen, and only
+    // watermark-final purchases emit (later ones are retained and
+    // re-armed — correct under out-of-order arrival, not just under
+    // the bounded relay). The batch as-of family (q36/q187/q217/q220)
+    // gets its streaming member; the oracle is the batch equivalent.
+    // Sentinels are click/purchase typed, so they flow through the
+    // type filter into the watermark (the q230 pushdown lesson) and
+    // are excluded by the negative-id cut on the materialized result.
+    QuerySpec("q243_stream_asof",
+      (s0, dir) => {
+        import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+        // RocksDB store required: three named states (clicks, purchases,
+        // timer value) are three column families, which the HDFS-backed
+        // provider cannot host (q143's provider rationale applies).
+        val s = graft.core.Tuned.session(s0,
+          "spark.sql.shuffle.partitions" -> "8",
+          "spark.sql.streaming.stateStore.providerClass" ->
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        import s.implicits._
+        val tmp = sentinelRelay(s, dir)
+        val schema = s.read.parquet(tmp).schema
+        val src = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(tmp)
+        val ev = src
+          .filter(col("event_type").isin("click", "purchase"))
+          .withWatermark("ts", "10 minutes")
+          .select(col("user_id").cast("long").as("user_id"),
+            unix_micros(col("ts")).as("ts_us"),
+            col("event_id").cast("long").as("event_id"),
+            (col("event_type") === "click").as("is_click"))
+          .as[(Long, Long, Long, Boolean)]
+        val out = ev.groupByKey(_._1)
+          .transformWithState(new AsOfStreamProcessor,
+            TimeMode.EventTime(), OutputMode.Append())
+          .toDF("user_id", "purchase_id", "click_id", "lag_us")
+        runAppend(out)
+          .filter(col("user_id") >= 0)
+          .orderBy("user_id", "purchase_id")
+      },
+      Some("""WITH c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+             |  FROM events WHERE event_type = 'click'),
+             |p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+             |  FROM events WHERE event_type = 'purchase'),
+             |j AS (SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+             |    CASE WHEN c.ts IS NULL THEN -1
+             |         ELSE date_diff('microseconds', c.ts, p.ts) END AS lag_us,
+             |    row_number() OVER (PARTITION BY p.user_id, p.event_id
+             |      ORDER BY c.ts DESC NULLS LAST, c.event_id DESC) AS rn
+             |  FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts)
+             |SELECT user_id, purchase_id, COALESCE(click_id, -1) AS click_id,
+             |  CAST(lag_us AS BIGINT) AS lag_us
+             |FROM j WHERE rn = 1 ORDER BY user_id, purchase_id""".stripMargin)),
+
     // q143 — the Spark 4 `transformWithState` arbitrary-state operator
     // (§2.9's newest member, succeeding q46's mapGroupsWithState): a
     // [[RunningTotalsProcessor]] keeps one named ValueState per user in
@@ -787,6 +846,81 @@ object StreamQueries {
       rows.foreach { case (_, eid) => n += 1; if (eid > mx) mx = eid }
       st.update((n, mx))
       Iterator.single((key, n, mx))
+    }
+  }
+
+  /** Event-time AS-OF join as a custom stateful operator — the stream-
+    * stream join Spark does NOT ship (its interval join needs a bounded
+    * two-sided window; as-of wants "the LATEST left row at or before
+    * each right row", unbounded lookback). Both sides buffer in
+    * per-key ListState; a per-key event-time timer at max-seen-ts + 1
+    * fires when the watermark passes everything buffered, and only
+    * purchases with ts below the firing watermark emit — later ones are
+    * retained with a re-registered timer, so the operator is
+    * production-correct under out-of-order arrival, not just under the
+    * bounded relay. State is bounded by per-key activity inside the
+    * watermark horizon, the same bound the built-in joins carry.
+    * Match rule: greatest click ts ≤ purchase ts, ties to the larger
+    * event_id — mirrored exactly by the oracle's ORDER BY. */
+  private[graft] class AsOfStreamProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, Long, Boolean), (Long, Long, Long, Long)] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+    @transient private var clicks: ListState[(Long, Long)] = _
+    @transient private var purchases: ListState[(Long, Long)] = _
+    @transient private var tmr: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      clicks = getHandle.getListState[(Long, Long)]("clicks",
+        Encoders.product[(Long, Long)], TTLConfig.NONE)
+      purchases = getHandle.getListState[(Long, Long)]("purchases",
+        Encoders.product[(Long, Long)], TTLConfig.NONE)
+      tmr = getHandle.getValueState[Long]("tmr", Encoders.scalaLong, TTLConfig.NONE)
+    }
+    private def arm(atMs: Long): Unit = {
+      val prev = if (tmr.exists()) tmr.get() else 0L
+      if (atMs > prev) {
+        if (prev > 0L) getHandle.deleteTimer(prev)
+        getHandle.registerTimer(atMs)
+        tmr.update(atMs)
+      }
+    }
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, Long, Long, Boolean)],
+        tv: TimerValues): Iterator[(Long, Long, Long, Long)] = {
+      var mxMs = 0L
+      rows.foreach { case (_, tsUs, eid, isClick) =>
+        if (isClick) clicks.appendValue((tsUs, eid))
+        else purchases.appendValue((tsUs, eid))
+        val ms = tsUs / 1000 + 1
+        if (ms > mxMs) mxMs = ms
+      }
+      arm(mxMs)
+      Iterator.empty
+    }
+    override def handleExpiredTimer(key: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[(Long, Long, Long, Long)] = {
+      val wmMs = tv.getCurrentWatermarkInMs()
+      val cs = clicks.get().toArray.sortBy(t => (t._1, t._2))
+      val ps = purchases.get().toArray.sortBy(t => (t._1, t._2))
+      val (ready, hold) = ps.partition(p => p._1 / 1000 < wmMs)
+      val out = ready.iterator.map { case (pts, pid) =>
+        var best = (-1L, -1L) // (click_id, lag_us)
+        var i = 0
+        while (i < cs.length && cs(i)._1 <= pts) {
+          best = (cs(i)._2, pts - cs(i)._1); i += 1
+        }
+        (key, pid, best._1, best._2)
+      }
+      if (hold.nonEmpty) {
+        purchases.clear()
+        hold.foreach(purchases.appendValue)
+        tmr.clear()
+        arm(hold.map(_._1 / 1000).max + 1)
+      } else {
+        clicks.clear(); purchases.clear(); tmr.clear()
+      }
+      out
     }
   }
 
