@@ -188,6 +188,11 @@ object GraftFunctions {
     "graft_jaro_winkler(a, b) - Jaro-Winkler similarity (DuckDB-parity semantics)",
     "", "", "", "", "", "", "built-in")
 
+  private[functions] val topKInfo = new ExpressionInfo(
+    classOf[TopKAgg].getName, "", "graft_topk",
+    "graft_topk(x, k) - per-group top-k doubles (descending) as a bounded-state aggregate",
+    "", "", "", "", "", "", "built-in")
+
   private[functions] val mightContainInfo = new ExpressionInfo(
     classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
     "", "graft_might_contain",
@@ -214,6 +219,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_jaro_winkler",
       exprs => JaroWinklerSimilarity(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_topk", exprs => TopKAgg(exprs(0), exprs(1)), "built-in")
   }
 }
 
@@ -251,5 +258,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_jaro_winkler"),
       GraftFunctions.jaroWinklerInfo,
       (exprs: Seq[Expression]) => JaroWinklerSimilarity(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_topk"),
+      GraftFunctions.topKInfo,
+      (exprs: Seq[Expression]) => TopKAgg(exprs(0), exprs(1))))
   }
 }

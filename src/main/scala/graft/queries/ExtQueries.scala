@@ -858,5 +858,94 @@ object ExtQueries {
              |SELECT m.grp, m.n, round(m.s, 2) AS total, m.mn, m.mx,
              |  (m.n = f.n AND m.s = f.s AND m.mn = f.mn AND m.mx = f.mx) AS consistent
              |FROM merged m JOIN full_r f ON m.grp = f.grp
-             |ORDER BY m.grp""".stripMargin)))
+             |ORDER BY m.grp""".stripMargin)),
+
+    // q244 — per-group top-k through the NATIVE graft_topk aggregate
+    // (functions/TopKAgg — a TypedImperativeAggregate carrying a
+    // bounded k-element min-heap through partial aggregation): the
+    // exchange moves at most k values per group per map task, where the
+    // rank-window form ships every surviving row to the group's reducer
+    // — the winning shape when k ≪ group size at 100 TB, and usable
+    // inside rollup/cube where windows can't go. The oracle is the
+    // window form: same VALUES by construction (the heap keeps exactly
+    // the k largest; result array is order-canonicalized at eval).
+    QuerySpec("q244_native_topk",
+      (s, dir) => {
+        Tables.load(s, dir, "orders")
+          .groupBy(col("o_orderpriority").as("grp"))
+          .agg(call_function("graft_topk",
+            col("o_totalprice"), lit(3)).as("tk"))
+          .select(col("grp"), posexplode(col("tk")))
+          .select(col("grp"), (col("pos") + 1).cast("int").as("rnk"),
+            col("col").as("v"))
+          .orderBy("grp", "rnk")
+      },
+      Some("""WITH r AS (SELECT o_orderpriority AS grp, o_totalprice AS v,
+             |    CAST(row_number() OVER (PARTITION BY o_orderpriority
+             |      ORDER BY o_totalprice DESC) AS INTEGER) AS rnk
+             |  FROM orders)
+             |SELECT grp, rnk, v FROM r WHERE rnk <= 3 ORDER BY grp, rnk""".stripMargin)),
+
+    // q245 — CONSISTENT entity sampling: sample the ENTITY (customer by
+    // portable hash), then take every row that belongs to a sampled
+    // entity — so the dev-scale slice preserves referential integrity
+    // and per-entity distributions, which independent per-table
+    // sampling destroys (a sampled order whose customer was not
+    // sampled is an orphan). The membership filter is a pure hash
+    // predicate — evaluated AT EACH TABLE'S SCAN with no coordination,
+    // which is what makes the technique work across a 100 TB star:
+    // every table agrees on the sample by arithmetic, not by shipping
+    // a key list.
+    QuerySpec("q245_consistent_sample",
+      (s, dir) => {
+        val sc = Tables.load(s, dir, "customer")
+          .filter(call_function("graft_hash32",
+            concat(lit("smp"), col("c_custkey").cast("string"))) % 10 === 0)
+          .select(col("c_custkey"), col("c_mktsegment"))
+        val o = Tables.load(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        sc.join(o, col("o_custkey") === col("c_custkey"), "left")
+          .groupBy("c_mktsegment")
+          .agg(countDistinct(col("c_custkey")).as("n_cust"),
+            count(col("o_orderkey")).as("n_orders"),
+            Stable.dsum(col("o_totalprice")).as("revenue"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""WITH sc AS (SELECT c_custkey, c_mktsegment FROM customer
+             |  WHERE CAST('0x'||substr(md5('smp'||CAST(c_custkey AS VARCHAR)),1,8) AS BIGINT) % 10 = 0)
+             |SELECT c_mktsegment, CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_cust,
+             |  CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             |FROM sc LEFT JOIN orders ON o_custkey = c_custkey
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // q246 — WebDataset-style shard packing manifest: media blobs
+    // (here the q120 WAV containers, length = 44 + payload) routed to
+    // shards by the portable id hash, each blob's byte OFFSET within
+    // its shard the exclusive running sum of lengths in doc_id order —
+    // exactly the tar-offset arithmetic a sequential-read training
+    // loader needs, computed corpus-side so readers can seek without
+    // an index server. One shard-partitioned window pass, all-integer.
+    QuerySpec("q246_webdataset_offsets",
+      (s, dir) => {
+        val w = Window.partitionBy("shard").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            (call_function("graft_hash32",
+              col("doc_id").cast("string")) % 4).as("shard"),
+            (lit(44L) + length(col("text"))).as("length"))
+          .select(col("doc_id"), col("shard"),
+            coalesce(sum(col("length")).over(w), lit(0L)).as("offset"),
+            col("length"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH b AS (SELECT doc_id,
+             |    CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8) AS BIGINT) % 4 AS shard,
+             |    CAST(44 + strlen(text) AS BIGINT) AS length FROM documents)
+             |SELECT doc_id, shard,
+             |  CAST(COALESCE(SUM(length) OVER (PARTITION BY shard ORDER BY doc_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset,
+             |  length
+             |FROM b ORDER BY doc_id""".stripMargin)))
 }
