@@ -947,5 +947,63 @@ object ExtQueries {
              |  CAST(COALESCE(SUM(length) OVER (PARTITION BY shard ORDER BY doc_id
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset,
              |  length
+             |FROM b ORDER BY doc_id""".stripMargin)),
+
+    // q247 — the full blob-shard round trip through the CUSTOM
+    // DataSource V2 ([[graft.sources.BlobShardDataSource]]): synthesize
+    // the per-doc WAV containers (q120 geometry), PACK them into
+    // `shard-N.bin` files (BlobShards.pack — one sequential writer per
+    // shard), then SCAN them back through the V2 source — one input
+    // partition per shard, shard-predicate pushdown pruning files at
+    // listing, physical column pruning skipping blob bytes — and
+    // decode each record's RIFF header for real. Every output column is
+    // arithmetic over the corpus (q120 + q246 derivations), so the
+    // oracle verifies the writer's framing, the reader's offsets, and
+    // the decode in one hash compare. BlobSourceSpec pins the pruning
+    // behaviors the plan can't show for a custom format.
+    QuerySpec("q247_blob_shard_scan",
+      (s, dir) => {
+        import s.implicits._
+        val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+          "graft_shards_" + Integer.toHexString(dir.hashCode)).toString
+        val media = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .map { case (id, txt) =>
+            val pcm = txt.getBytes("UTF-8")
+            val ch = (1 + id % 2).toInt
+            val rate = if (id % 3 == 0) 16000 else 8000
+            (id, graft.functions.Multimodal.wavBytes(
+              rate, ch, pcm.length / (ch * 2), pcm))
+          }.toDF("doc_id", "media")
+          .withColumn("shard", (call_function("graft_hash32",
+            col("doc_id").cast("string")) % 4).cast("int"))
+        graft.sources.BlobShards.pack(media, out)
+        s.read.format(classOf[graft.sources.BlobShardDataSource].getName)
+          .option("path", out).load()
+          .select(col("doc_id"), col("shard"), col("offset"), col("length"),
+            col("media"))
+          .as[(Long, Int, Long, Int, Array[Byte])]
+          .mapPartitions(_.flatMap { case (id, sh, off, len, m) =>
+            graft.functions.Multimodal.decodeWav(m).map {
+              case (rate, chn, _, ns) => (id, sh, off, len, rate, chn, ns)
+            }
+          })
+          .toDF("doc_id", "shard", "offset", "length", "sample_rate",
+            "channels", "n_samples")
+          .orderBy("doc_id")
+      },
+      Some("""WITH b AS (SELECT doc_id,
+             |    CAST(CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8) AS BIGINT) % 4 AS INTEGER) AS shard,
+             |    CAST(44 + strlen(text) AS INTEGER) AS length,
+             |    CAST(1 + doc_id % 2 AS INTEGER) AS ch,
+             |    strlen(text) AS sl
+             |  FROM documents)
+             |SELECT doc_id, shard,
+             |  CAST(12 + COALESCE(SUM(12 + length) OVER (PARTITION BY shard
+             |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset,
+             |  length,
+             |  CAST(CASE WHEN doc_id % 3 = 0 THEN 16000 ELSE 8000 END AS INTEGER) AS sample_rate,
+             |  ch AS channels,
+             |  CAST(sl // (ch*2) AS BIGINT) AS n_samples
              |FROM b ORDER BY doc_id""".stripMargin)))
 }

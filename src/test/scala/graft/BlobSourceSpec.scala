@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.sources.{BlobShardDataSource, BlobShards}
+
+/** The custom DataSource V2 behaviors the oracle gate (q247) cannot see:
+  * shard-predicate pushdown must prune INPUT PARTITIONS (files never
+  * opened), and column pruning must drop `media` from the scan output.
+  * Plus byte-level round-trip fidelity of the writer/reader framing. */
+class BlobSourceSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private lazy val dir: String = {
+    val out = java.nio.file.Files.createTempDirectory("blobspec_").toString
+    val df = (0L until 40L).map { id =>
+      (id, (id % 4).toInt, Array.fill((id + 1).toInt)((id % 7).toByte))
+    }.toDF("doc_id", "shard", "media")
+    BlobShards.pack(df, out)
+    out
+  }
+
+  private def read() = spark.read
+    .format(classOf[BlobShardDataSource].getName)
+    .option("path", dir).load()
+
+  test("one input partition per shard; shard filter prunes files") {
+    assert(read().rdd.getNumPartitions == 4, "expected 4 shard partitions")
+    assert(read().filter(col("shard") === 2).rdd.getNumPartitions == 1,
+      "shard = 2 must prune to one partition")
+    assert(read().filter(col("shard").isin(1, 3)).rdd.getNumPartitions == 2,
+      "shard IN (1,3) must prune to two partitions")
+  }
+
+  test("column pruning drops media from the scan output") {
+    val p = read().select("doc_id", "length")
+      .queryExecution.executedPlan.toString
+    val scanLine = p.linesIterator.find(_.contains("BatchScan")).getOrElse("")
+    assert(scanLine.nonEmpty && !scanLine.contains("media"),
+      s"media not pruned from scan: $scanLine")
+  }
+
+  test("round trip: ids, lengths, offsets, and bytes survive pack+scan") {
+    val rows = read().orderBy("doc_id").collect()
+    assert(rows.length == 40)
+    for (r <- rows) {
+      val id = r.getAs[Long]("doc_id")
+      val media = r.getAs[Array[Byte]]("media")
+      assert(media.length == (id + 1).toInt, s"length wrong for doc $id")
+      assert(media.forall(_ == (id % 7).toByte), s"bytes wrong for doc $id")
+      assert(r.getAs[Int]("length") == media.length)
+    }
+    // offsets: within a shard, sorted by doc_id, each record starts where
+    // the previous ended (+12-byte header).
+    rows.groupBy(_.getAs[Int]("shard")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("doc_id"))
+      sorted.foldLeft(0L) { (pos, r) =>
+        assert(r.getAs[Long]("offset") == pos + 12,
+          s"offset mismatch at doc ${r.getAs[Long]("doc_id")}")
+        pos + 12 + r.getAs[Int]("length")
+      }
+    }
+  }
+
+  test("filters on non-shard columns are NOT pushed (stay as Spark filters)") {
+    val df = read().filter(col("doc_id") > 10)
+    assert(df.count() == 29, "row filter must still apply")
+    assert(df.rdd.getNumPartitions == 4, "doc_id filter must not prune shards")
+  }
+}
