@@ -52,14 +52,23 @@ object BlobShardDataSource {
     .add("media", BinaryType, nullable = false)
 }
 
-class BlobShardTable(path: String) extends Table with SupportsRead {
+class BlobShardTable(path: String) extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   require(path != null, "graft-shards source requires option(\"path\", dir)")
   override def name(): String = s"graft_shards($path)"
   override def schema(): StructType = BlobShardDataSource.fullSchema
+  // ACCEPT_ANY_SCHEMA: writers supply (shard, doc_id, media) — offset and
+  // length are POSITIONS, derived by the reader from the framing, so the
+  // write schema is legitimately a subset of the read schema.
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new BlobShardScanBuilder(path)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new BlobShardWriteBuilder(path, info.schema())
 }
 
 class BlobShardScanBuilder(path: String) extends ScanBuilder
@@ -167,41 +176,102 @@ class BlobShardReader(p: BlobShardPartition, columns: Array[String])
   override def close(): Unit = in.close()
 }
 
-/** Shard-file WRITER: routes rows to `shard-N.bin` files in one pass —
-  * executors each write the shards their partition holds, rows in
-  * (shard, doc_id) order, little-endian record framing matching
-  * [[BlobShardReader]]. Repartition by shard + sortWithinPartitions
-  * first so every shard is written by exactly one task, sequentially —
-  * the packing job a corpus delivery pipeline runs. */
+/** V2 WRITE path. [[BlobShardWrite]] implements
+  * `RequiresDistributionAndOrdering`: it DECLARES that it needs rows
+  * clustered by `shard` and sorted by (shard, doc_id), and the PLANNER
+  * inserts the exchange and sort — the format states its layout
+  * contract once, instead of every writing query hand-rolling
+  * `repartition().sortWithinPartitions()`. Clustering guarantees all of
+  * a shard lands in ONE task; the per-task writer switches output files
+  * on shard boundaries (a task may own several whole shards). */
+class BlobShardWriteBuilder(path: String, schema: StructType)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  // truncate == overwrite-everything: the factory clears the directory
+  // at job start either way (shard files are a whole-corpus layout).
+  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = this
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new BlobShardWrite(path, schema)
+}
+
+class BlobShardWrite(path: String, schema: StructType)
+    extends org.apache.spark.sql.connector.write.Write
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+  import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+  override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution =
+    org.apache.spark.sql.connector.distributions.Distributions.clustered(
+      Array(Expressions.identity("shard")))
+  override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    Array(
+      Expressions.sort(Expressions.column("shard"), SortDirection.ASCENDING),
+      Expressions.sort(Expressions.column("doc_id"), SortDirection.ASCENDING))
+  override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+    new BlobShardBatchWrite(path, schema)
+}
+
+class BlobShardBatchWrite(path: String, schema: StructType)
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write.{DataWriterFactory, PhysicalWriteInfo, WriterCommitMessage}
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    // driver-side job start: clear stale shard files so a re-pack with a
+    // different shard set leaves no orphans
+    val dir = new java.io.File(path)
+    if (dir.exists())
+      dir.listFiles().filter(_.getName.matches("shard-\\d+\\.bin"))
+        .foreach(_.delete())
+    else dir.mkdirs()
+    new BlobShardWriterFactory(path, schema)
+  }
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+class BlobShardWriterFactory(path: String, schema: StructType)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new BlobShardDataWriter(path, schema)
+}
+
+class BlobShardDataWriter(path: String, schema: StructType)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+  private val shardIdx = schema.fieldIndex("shard")
+  private val docIdx = schema.fieldIndex("doc_id")
+  private val mediaIdx = schema.fieldIndex("media")
+  private var out: java.io.DataOutputStream = _
+  private var cur = Int.MinValue
+
+  override def write(row: InternalRow): Unit = {
+    val shard = row.getInt(shardIdx)
+    if (shard != cur) {
+      if (out != null) out.close()
+      out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+        new java.io.FileOutputStream(s"$path/shard-$shard.bin"), 1 << 16))
+      cur = shard
+    }
+    val media = row.getBinary(mediaIdx)
+    out.writeLong(java.lang.Long.reverseBytes(row.getLong(docIdx)))
+    out.writeInt(Integer.reverseBytes(media.length))
+    out.write(media)
+  }
+  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    if (out != null) out.close()
+    new org.apache.spark.sql.connector.write.WriterCommitMessage {}
+  }
+  override def abort(): Unit = if (out != null) out.close()
+  override def close(): Unit = if (out != null) out.close()
+}
+
+/** Convenience packer over the V2 write path: the format's
+  * `RequiresDistributionAndOrdering` contract makes the planner insert
+  * the shard-clustered exchange and (shard, doc_id) sort — callers just
+  * hand over rows. */
 object BlobShards {
   def pack(df: org.apache.spark.sql.DataFrame, outDir: String): Unit = {
-    val dir = new java.io.File(outDir)
-    if (dir.exists()) dir.listFiles().foreach(_.delete()) else dir.mkdirs()
-    // hash-partition on shard: a partition may hold several shards (or
-    // none); the writer opens a new file whenever the shard changes,
-    // which the sort guarantees happens at most once per shard.
-    df.select("shard", "doc_id", "media")
-      .repartition(org.apache.spark.sql.functions.col("shard"))
-      .sortWithinPartitions("shard", "doc_id")
-      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
-        var out: java.io.DataOutputStream = null
-        var cur = Int.MinValue
-        try {
-          rows.foreach { r =>
-            val shard = r.getAs[Number]("shard").intValue()
-            val docId = r.getAs[Number]("doc_id").longValue()
-            val media = r.getAs[Array[Byte]]("media")
-            if (shard != cur) {
-              if (out != null) out.close()
-              out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
-                new java.io.FileOutputStream(s"$outDir/shard-$shard.bin"), 1 << 16))
-              cur = shard
-            }
-            out.writeLong(java.lang.Long.reverseBytes(docId))
-            out.writeInt(Integer.reverseBytes(media.length))
-            out.write(media)
-          }
-        } finally if (out != null) out.close()
-      }
+    import org.apache.spark.sql.functions.col
+    df.select(col("shard").cast("int").as("shard"),
+        col("doc_id").cast("long").as("doc_id"), col("media"))
+      .write.format(classOf[BlobShardDataSource].getName)
+      .option("path", outDir).mode("overwrite").save()
   }
 }

@@ -63,6 +63,35 @@ class BlobSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("V2 write: planner honors the clustered+sorted layout contract " +
+      "from adversarial input; overwrite clears stale shards") {
+    val out = java.nio.file.Files.createTempDirectory("blobspec_w_").toString
+    // 13 partitions, rows deliberately scrambled: RequiresDistribution-
+    // AndOrdering must re-cluster by shard and sort by (shard, doc_id)
+    // or the per-shard offsets below come out wrong.
+    val scrambled = (0L until 60L).map { id =>
+      (id, (id % 5).toInt, Array.fill(3)(id.toByte))
+    }.toDF("doc_id", "shard", "media")
+      .orderBy(md5(col("doc_id").cast("string"))).repartition(13)
+    BlobShards.pack(scrambled, out)
+    val rows = spark.read.format(classOf[BlobShardDataSource].getName)
+      .option("path", out).load().collect()
+    assert(rows.length == 60)
+    rows.groupBy(_.getAs[Int]("shard")).foreach { case (_, rs) =>
+      val byOffset = rs.sortBy(_.getAs[Long]("offset")).map(_.getAs[Long]("doc_id"))
+      assert(byOffset.sameElements(byOffset.sorted),
+        "shard file not written in doc_id order")
+    }
+    // re-pack with fewer shards: the old shard-4 file must not survive
+    val fewer = (0L until 10L).map(id => (id, 0, Array.fill(2)(id.toByte)))
+      .toDF("doc_id", "shard", "media")
+    BlobShards.pack(fewer, out)
+    val shards = spark.read.format(classOf[BlobShardDataSource].getName)
+      .option("path", out).load().select("shard").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(shards == Set(0), s"stale shard files survived overwrite: $shards")
+  }
+
   test("filters on non-shard columns are NOT pushed (stay as Spark filters)") {
     val df = read().filter(col("doc_id") > 10)
     assert(df.count() == 29, "row filter must still apply")
