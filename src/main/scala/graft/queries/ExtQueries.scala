@@ -19,6 +19,28 @@ import graft.core.{Sinks, Stable, Tables}
   */
 object ExtQueries {
 
+  /** Per-doc WAV containers (q120 geometry) routed to 4 shards — the
+    * media frame q247 packs and q248 streams. */
+  private def wavMedia(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, txt) =>
+        val pcm = txt.getBytes("UTF-8")
+        val ch = (1 + id % 2).toInt
+        val rate = if (id % 3 == 0) 16000 else 8000
+        (id, graft.functions.Multimodal.wavBytes(
+          rate, ch, pcm.length / (ch * 2), pcm))
+      }.toDF("doc_id", "media")
+      .withColumn("shard", (call_function("graft_hash32",
+        col("doc_id").cast("string")) % 4).cast("int"))
+  }
+
+  private def shardDir(dir: String): String =
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_shards_" + Integer.toHexString(dir.hashCode)).toString
+
   val specs: Seq[QuerySpec] = Seq(
 
     // q224 — BUCKETED co-located join, exercised through a real write:
@@ -964,20 +986,8 @@ object ExtQueries {
     QuerySpec("q247_blob_shard_scan",
       (s, dir) => {
         import s.implicits._
-        val out = new java.io.File(System.getProperty("java.io.tmpdir"),
-          "graft_shards_" + Integer.toHexString(dir.hashCode)).toString
-        val media = Tables.load(s, dir, "documents")
-          .select(col("doc_id"), col("text")).as[(Long, String)]
-          .map { case (id, txt) =>
-            val pcm = txt.getBytes("UTF-8")
-            val ch = (1 + id % 2).toInt
-            val rate = if (id % 3 == 0) 16000 else 8000
-            (id, graft.functions.Multimodal.wavBytes(
-              rate, ch, pcm.length / (ch * 2), pcm))
-          }.toDF("doc_id", "media")
-          .withColumn("shard", (call_function("graft_hash32",
-            col("doc_id").cast("string")) % 4).cast("int"))
-        graft.sources.BlobShards.pack(media, out)
+        val out = shardDir(dir)
+        graft.sources.BlobShards.pack(wavMedia(s, dir), out)
         s.read.format(classOf[graft.sources.BlobShardDataSource].getName)
           .option("path", out).load()
           .select(col("doc_id"), col("shard"), col("offset"), col("length"),
@@ -1005,5 +1015,44 @@ object ExtQueries {
              |  CAST(CASE WHEN doc_id % 3 = 0 THEN 16000 ELSE 8000 END AS INTEGER) AS sample_rate,
              |  ch AS channels,
              |  CAST(sl // (ch*2) AS BIGINT) AS n_samples
-             |FROM b ORDER BY doc_id""".stripMargin)))
+             |FROM b ORDER BY doc_id""".stripMargin)),
+
+    // q248 — STREAMING ingest through the custom V2 connector: the
+    // blob-shard source also implements MicroBatchStream (offsets =
+    // byte position per shard file — every observed file size is a
+    // record boundary because writers append whole records) with
+    // SupportsTriggerAvailableNow for bounded runs. readStream over the
+    // packed shards → per-shard media stats, completing the connector
+    // matrix: batch read, batch write (layout contract), micro-batch
+    // read. BlobSourceSpec's incremental test proves the offset
+    // semantics (records APPENDED to a shard between micro-batches
+    // arrive exactly once); here the oracle pins the full-corpus
+    // content arithmetically.
+    QuerySpec("q248_stream_blob_ingest",
+      (s, dir) => {
+        val out = shardDir(dir)
+        graft.sources.BlobShards.pack(wavMedia(s, dir), out)
+        val stream = s.readStream
+          .format(classOf[graft.sources.BlobShardDataSource].getName)
+          .option("path", out).load()
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("length").cast("long")).as("total_bytes"),
+            min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        val mem = "stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val q = stream.writeStream.format("memory").queryName(mem)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(mem).orderBy("shard")
+      },
+      Some("""WITH b AS (SELECT doc_id,
+             |    CAST(CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8) AS BIGINT) % 4 AS INTEGER) AS shard,
+             |    CAST(44 + strlen(text) AS BIGINT) AS length
+             |  FROM documents)
+             |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(SUM(length) AS BIGINT) AS total_bytes,
+             |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+             |FROM b GROUP BY shard ORDER BY shard""".stripMargin)))
 }

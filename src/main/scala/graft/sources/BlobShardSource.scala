@@ -61,8 +61,9 @@ class BlobShardTable(path: String) extends Table with SupportsRead
   // length are POSITIONS, derived by the reader from the framing, so the
   // write schema is legitimately a subset of the read schema.
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.ACCEPT_ANY_SCHEMA)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new BlobShardScanBuilder(path)
   override def newWriteBuilder(
@@ -128,6 +129,10 @@ class BlobShardScan(path: String, required: StructType,
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new BlobShardReaderFactory(required.fieldNames)
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new BlobShardMicroBatchStream(path, required, shardFilter)
 }
 
 case class BlobShardPartition(shard: Int, file: String) extends InputPartition
@@ -274,4 +279,123 @@ object BlobShards {
       .write.format(classOf[BlobShardDataSource].getName)
       .option("path", outDir).mode("overwrite").save()
   }
+}
+
+
+/** Streaming offsets for the blob-shard source: byte position per shard
+  * file. Writers append whole records, so any observed file SIZE is a
+  * record boundary — the offset space is naturally consistent. */
+case class BlobShardOffset(pos: Map[Int, Long])
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String =
+    pos.toSeq.sortBy(_._1)
+      .map { case (s, p) => s""""$s":$p""" }.mkString("{", ",", "}")
+}
+
+object BlobShardOffset {
+  def parse(json: String): BlobShardOffset = BlobShardOffset(
+    "\"(\\d+)\":(\\d+)".r.findAllMatchIn(json)
+      .map(m => m.group(1).toInt -> m.group(2).toLong).toMap)
+}
+
+class BlobShardMicroBatchStream(path: String, required: StructType,
+    shardFilter: Option[Set[Int]])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def currentSizes(): Map[Int, Long] = {
+    val dir = new java.io.File(path)
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.matches("shard-\\d+\\.bin"))
+      .map(f => f.getName.stripPrefix("shard-").stripSuffix(".bin").toInt -> f.length())
+      .filter { case (s, _) => shardFilter.forall(_.contains(s)) }
+      .toMap
+  }
+
+  private var availableNowTarget: Option[BlobShardOffset] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(BlobShardOffset(currentSizes()))
+
+  override def initialOffset(): Offset = BlobShardOffset(Map.empty)
+  override def latestOffset(): Offset =
+    availableNowTarget.getOrElse(BlobShardOffset(currentSizes()))
+  // SupportsAdmissionControl (via SupportsTriggerAvailableNow): no rate
+  // limiting — each batch admits everything up to the captured target.
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
+    availableNowTarget.getOrElse(BlobShardOffset(currentSizes()))
+  override def reportLatestOffset(): Offset = BlobShardOffset(currentSizes())
+  override def deserializeOffset(json: String): Offset = BlobShardOffset.parse(json)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[org.apache.spark.sql.connector.read.InputPartition] = {
+    val s = start.asInstanceOf[BlobShardOffset].pos
+    val e = end.asInstanceOf[BlobShardOffset].pos
+    e.toSeq.sortBy(_._1).flatMap { case (shard, endPos) =>
+      val startPos = s.getOrElse(shard, 0L)
+      if (endPos > startPos)
+        Some(BlobShardRangePartition(shard, s"$path/shard-$shard.bin",
+          startPos, endPos): org.apache.spark.sql.connector.read.InputPartition)
+      else None
+    }.toArray
+  }
+  override def createReaderFactory()
+      : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+    new BlobShardRangeReaderFactory(required.fieldNames)
+}
+
+case class BlobShardRangePartition(shard: Int, file: String,
+    startPos: Long, endPos: Long)
+    extends org.apache.spark.sql.connector.read.InputPartition
+
+class BlobShardRangeReaderFactory(columns: Array[String])
+    extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+  override def createReader(p: org.apache.spark.sql.connector.read.InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] = {
+    val rp = p.asInstanceOf[BlobShardRangePartition]
+    new BlobShardRangeReader(rp, columns)
+  }
+}
+
+/** [[BlobShardReader]] restricted to the byte range [startPos, endPos) —
+  * the incremental slice a micro-batch owns. */
+class BlobShardRangeReader(p: BlobShardRangePartition, columns: Array[String])
+    extends org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
+  private val needMedia = columns.contains("media")
+  private val in = new DataInputStream(
+    new BufferedInputStream(new FileInputStream(p.file), 1 << 16))
+  private var pos = 0L
+  locally { // seek to the batch's start
+    var toSkip = p.startPos
+    while (toSkip > 0) toSkip -= in.skip(toSkip)
+    pos = p.startPos
+  }
+  private var row: InternalRow = _
+
+  override def next(): Boolean = {
+    if (pos >= p.endPos) return false
+    val docId =
+      try java.lang.Long.reverseBytes(in.readLong())
+      catch { case _: EOFException => return false }
+    val len = Integer.reverseBytes(in.readInt())
+    val blobOff = pos + 12L
+    val media: Array[Byte] =
+      if (needMedia) { val b = new Array[Byte](len); in.readFully(b); b }
+      else { var t = len.toLong; while (t > 0) t -= in.skip(t); null }
+    pos = blobOff + len
+    val values = columns.map {
+      case "shard"  => p.shard
+      case "doc_id" => docId
+      case "offset" => blobOff
+      case "length" => len
+      case "media"  => media
+    }
+    row = new GenericInternalRow(values.asInstanceOf[Array[Any]])
+    true
+  }
+  override def get(): InternalRow = row
+  override def close(): Unit = in.close()
 }

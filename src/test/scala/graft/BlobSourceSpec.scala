@@ -92,6 +92,42 @@ class BlobSourceSpec extends AnyFunSuite {
     assert(shards == Set(0), s"stale shard files survived overwrite: $shards")
   }
 
+  test("micro-batch read: records appended between batches arrive " +
+      "exactly once (byte-position offsets)") {
+    val out = java.nio.file.Files.createTempDirectory("blobspec_s_").toString
+    val first = (0L until 6L).map(id => (id, (id % 2).toInt,
+      Array.fill(4)(id.toByte))).toDF("doc_id", "shard", "media")
+    BlobShards.pack(first, out)
+    val mem = "blobstream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = spark.readStream.format(classOf[BlobShardDataSource].getName)
+      .option("path", out).load()
+      .select("shard", "doc_id", "length")
+      .writeStream.format("memory").queryName(mem)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(mem).count() == 6, "initial batch incomplete")
+      // append two records to shard 0 with the writer's framing —
+      // the running stream must pick up EXACTLY the new bytes
+      val f = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+        new java.io.FileOutputStream(s"$out/shard-0.bin", true)))
+      for (id <- Seq(100L, 101L)) {
+        f.writeLong(java.lang.Long.reverseBytes(id))
+        f.writeInt(Integer.reverseBytes(3))
+        f.write(Array.fill(3)(9.toByte))
+      }
+      f.close()
+      q.processAllAvailable()
+      val rows = spark.table(mem).collect()
+      assert(rows.length == 8, s"appended records not picked up: ${rows.length}")
+      val newIds = rows.map(_.getAs[Long]("doc_id")).filter(_ >= 100L)
+      assert(newIds.sorted.sameElements(Array(100L, 101L)),
+        s"append read wrong: ${newIds.toSeq}")
+      assert(rows.count(_.getAs[Long]("doc_id") < 100L) == 6,
+        "old records re-emitted (offset regression)")
+    } finally q.stop()
+  }
+
   test("filters on non-shard columns are NOT pushed (stay as Spark filters)") {
     val df = read().filter(col("doc_id") > 10)
     assert(df.count() == 29, "row filter must still apply")

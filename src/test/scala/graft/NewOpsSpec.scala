@@ -319,6 +319,24 @@ class NewOpsSpec extends AnyFunSuite {
     assert(math.abs(meanSq - 1.0) < 0.01, s"mean wnorm² = $meanSq")
   }
 
+  test("q238_negative_sampling: CDF intervals tile [0, W) — every draw " +
+      "matches exactly one token") {
+    // The inverse-CDF lookup is only correct if the PrefixSum-derived
+    // [lo, hi) intervals cover the weight space with no gap or overlap:
+    // the binned range join must then return EXACTLY one row per probe
+    // (4 per document). A gap loses draws; an overlap duplicates them.
+    val rows = run("q238_negative_sampling").collect()
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.length == 4 * nDocs,
+      s"expected ${4 * nDocs} draws, got ${rows.length}")
+    val perProbe = rows.groupBy(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Int]("j"))).values.map(_.length)
+    assert(perProbe.forall(_ == 1), "a draw matched more than one interval")
+    // draws follow the unigram distribution's support: every sampled
+    // token must actually occur in the corpus weight table
+    assert(rows.forall(_.getAs[String]("neg_token").nonEmpty))
+  }
+
   test("q168_kcenter_coreset: selections are distinct and the " +
       "min-distance radius is non-increasing in step") {
     val rows = run("q168_kcenter_coreset").collect().sortBy(_.getAs[Int]("step"))
