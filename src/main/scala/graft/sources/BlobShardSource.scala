@@ -146,24 +146,40 @@ class BlobShardReaderFactory(columns: Array[String])
 class BlobShardReader(p: BlobShardPartition, columns: Array[String])
     extends PartitionReader[InternalRow] {
   private val needMedia = columns.contains("media")
+  private val fileLen = new java.io.File(p.file).length()
   private val in = new DataInputStream(
     new BufferedInputStream(new FileInputStream(p.file), 1 << 16))
   private var pos = 0L
   private var row: InternalRow = _
 
-  override def next(): Boolean = {
-    val docId =
-      try java.lang.Long.reverseBytes(in.readLong())
-      catch { case _: EOFException => return false }
+  // P8 permissive decode: a TRUNCATED trailing record (header or blob
+  // cut short) ends the scan after the last complete record instead of
+  // failing the task — the same skip-don't-throw stance every decoder
+  // in Multimodal takes. A negative length (corrupt header) also stops:
+  // past it the framing is unrecoverable.
+  override def next(): Boolean = try {
+    val docId = java.lang.Long.reverseBytes(in.readLong())
     val len = Integer.reverseBytes(in.readInt())
+    if (len < 0) return false
     val blobOff = pos + 12L
+    // a declared blob extending past EOF is a truncated record — stop
+    // BEFORE emitting (FileInputStream.skip seeks past EOF silently, so
+    // the pruned path cannot rely on skip() to detect this)
+    if (blobOff + len > fileLen) return false
     val media: Array[Byte] =
       if (needMedia) {
         val b = new Array[Byte](len); in.readFully(b); b
       } else {
-        // column pruning, physically: never materialize the blob
+        // column pruning, physically: never materialize the blob.
+        // skip() returns 0 at EOF — probe with read() so a truncated
+        // blob terminates instead of spinning.
         var toSkip = len.toLong
-        while (toSkip > 0) toSkip -= in.skip(toSkip)
+        while (toSkip > 0) {
+          val s = in.skip(toSkip)
+          if (s > 0) toSkip -= s
+          else if (in.read() == -1) throw new EOFException()
+          else toSkip -= 1
+        }
         null
       }
     pos = blobOff + len
@@ -176,7 +192,7 @@ class BlobShardReader(p: BlobShardPartition, columns: Array[String])
     }
     row = new GenericInternalRow(values.asInstanceOf[Array[Any]])
     true
-  }
+  } catch { case _: EOFException => false }
   override def get(): InternalRow = row
   override def close(): Unit = in.close()
 }
@@ -375,16 +391,27 @@ class BlobShardRangeReader(p: BlobShardRangePartition, columns: Array[String])
   }
   private var row: InternalRow = _
 
-  override def next(): Boolean = {
+  override def next(): Boolean = try {
     if (pos >= p.endPos) return false
-    val docId =
-      try java.lang.Long.reverseBytes(in.readLong())
-      catch { case _: EOFException => return false }
+    val docId = java.lang.Long.reverseBytes(in.readLong())
     val len = Integer.reverseBytes(in.readInt())
+    if (len < 0) return false // corrupt header — stop permissively (P8)
     val blobOff = pos + 12L
+    // record extending past the batch's end offset: not yet fully
+    // visible at offset-capture time — next batch owns it
+    if (blobOff + len > p.endPos) return false
     val media: Array[Byte] =
       if (needMedia) { val b = new Array[Byte](len); in.readFully(b); b }
-      else { var t = len.toLong; while (t > 0) t -= in.skip(t); null }
+      else {
+        var t = len.toLong
+        while (t > 0) {
+          val s = in.skip(t)
+          if (s > 0) t -= s
+          else if (in.read() == -1) throw new EOFException()
+          else t -= 1
+        }
+        null
+      }
     pos = blobOff + len
     val values = columns.map {
       case "shard"  => p.shard
@@ -395,7 +422,7 @@ class BlobShardRangeReader(p: BlobShardRangePartition, columns: Array[String])
     }
     row = new GenericInternalRow(values.asInstanceOf[Array[Any]])
     true
-  }
+  } catch { case _: EOFException => false }
   override def get(): InternalRow = row
   override def close(): Unit = in.close()
 }

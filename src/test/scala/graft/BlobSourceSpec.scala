@@ -128,6 +128,26 @@ class BlobSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("truncated trailing record is skipped, not a task failure (P8)") {
+    val out = java.nio.file.Files.createTempDirectory("blobspec_t_").toString
+    val df = (0L until 5L).map(id => (id, 0, Array.fill(8)(id.toByte)))
+      .toDF("doc_id", "shard", "media")
+    BlobShards.pack(df, out)
+    // truncate mid-blob of the last record: 5 records × (12+8) bytes;
+    // cut 5 bytes off the tail
+    val f = new java.io.RandomAccessFile(s"$out/shard-0.bin", "rw")
+    f.setLength(f.length() - 5)
+    f.close()
+    val rows = spark.read.format(classOf[BlobShardDataSource].getName)
+      .option("path", out).load().collect()
+    assert(rows.length == 4, s"expected 4 complete records, got ${rows.length}")
+    assert(rows.map(_.getAs[Long]("doc_id")).sorted.sameElements(0L until 4L))
+    // same contract on the media-pruned (skip) path
+    val pruned = spark.read.format(classOf[BlobShardDataSource].getName)
+      .option("path", out).load().select("doc_id").collect()
+    assert(pruned.length == 4, "pruned-column scan diverged on truncation")
+  }
+
   test("filters on non-shard columns are NOT pushed (stay as Spark filters)") {
     val df = read().filter(col("doc_id") > 10)
     assert(df.count() == 29, "row filter must still apply")
