@@ -1054,5 +1054,34 @@ object ExtQueries {
              |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
              |  CAST(SUM(length) AS BIGINT) AS total_bytes,
              |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
-             |FROM b GROUP BY shard ORDER BY shard""".stripMargin)))
+             |FROM b GROUP BY shard ORDER BY shard""".stripMargin)),
+
+    // q249 — FEDERATED join: the custom V2 source participates in a
+    // join with the parquet corpus — blob metadata (doc_id, shard,
+    // length) joined to documents for a per-language media-footprint
+    // rollup. The join probes the shard files with `media` UNPROJECTED,
+    // so the custom source's physical column pruning keeps the scan at
+    // header-sized IO (BlobSourceSpec pins that behavior) — the
+    // cross-format metadata query a multimodal curation pipeline runs
+    // constantly without touching a byte of payload.
+    QuerySpec("q249_federated_media_stats",
+      (s, dir) => {
+        val out = shardDir(dir)
+        graft.sources.BlobShards.pack(wavMedia(s, dir), out)
+        val meta = s.read
+          .format(classOf[graft.sources.BlobShardDataSource].getName)
+          .option("path", out).load()
+          .select(col("doc_id"), col("shard"), col("length"))
+        Tables.load(s, dir, "documents").select(col("doc_id"), col("lang"))
+          .join(meta, "doc_id")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("length").cast("long")).as("media_bytes"),
+            countDistinct(col("shard")).as("n_shards"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(SUM(44 + strlen(text)) AS BIGINT) AS media_bytes,
+             |  CAST(count(DISTINCT CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8) AS BIGINT) % 4) AS BIGINT) AS n_shards
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)))
 }
