@@ -1083,5 +1083,83 @@ object ExtQueries {
       Some("""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
              |  CAST(SUM(44 + strlen(text)) AS BIGINT) AS media_bytes,
              |  CAST(count(DISTINCT CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8) AS BIGINT) % 4) AS BIGINT) AS n_shards
-             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)))
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // q250 — BPE APPLICATION, completing q94's training half: the
+    // learned top-20 merge batch is applied to the word VOCABULARY
+    // (corpus-sublinear — the same grain production BPE works at; the
+    // corpus totals come back through the frequency weights). Encoding
+    // is piece-boundary SAFE: pieces are pipe-delimited ("|j|o|i|n|")
+    // and a merge rewrites "|j|o|"→"|jo|", so a pattern can never match
+    // INSIDE a previously merged multi-char piece (the flat-string
+    // naive form would). Merges apply greedily in rank order, one
+    // left-to-right non-overlapping pass each — the same literal
+    // replace semantics in both engines, so the per-word piece counts
+    // are exact. The 20-row merge list is bounded vocabulary-grain
+    // driver control flow (the q168 rule), exactly what a trainer
+    // broadcasts per round.
+    QuerySpec("q250_bpe_encode",
+      (s, dir) => {
+        val wc = Tables.load(s, dir, "documents")
+          .select(explode(graft.functions.Text.tokens(lower(col("text"))))
+            .as("word"))
+          .groupBy("word").agg(count(lit(1)).as("cnt"))
+          .persistTracked()
+        val merges = wc
+          .filter(length(col("word")) >= 2)
+          .select(col("cnt"), explode(expr(
+            "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+            .as("pair"))
+          .groupBy("pair").agg(sum(col("cnt")).as("weight"))
+          .orderBy(col("weight").desc, col("pair"))
+          .limit(20)
+          .collect().map(_.getString(0)).toSeq
+        // Java split("", -1) keeps a trailing empty token (DuckDB's
+        // string_split does not) — filter it before joining
+        val spaced = expr(
+          "concat('|', concat_ws('|', filter(split(word, ''), c -> c <> '')), '|')")
+        val encoded = merges.foldLeft(spaced) { (acc, pr) =>
+          replace(acc,
+            lit("|" + pr.charAt(0) + "|" + pr.charAt(1) + "|"),
+            lit("|" + pr + "|"))
+        }
+        wc.withColumn("s", encoded)
+          .withColumn("pieces",
+            length(col("s")) - length(replace(col("s"), lit("|"), lit(""))) - 1)
+          .groupBy(length(col("word")).as("word_len"))
+          .agg(count(lit(1)).as("n_words"), sum(col("cnt")).as("total_freq"),
+            sum(col("pieces").cast("long") * col("cnt")).as("total_pieces"),
+            round(sum(length(col("word")).cast("long") * col("cnt")).cast("double") /
+              sum(col("pieces").cast("long") * col("cnt")), 6).as("chars_per_piece"))
+          .orderBy("word_len")
+      },
+      Some("""WITH RECURSIVE w AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+             |  FROM documents),
+             |wc AS (SELECT word, count(*) AS cnt FROM w GROUP BY word),
+             |p AS (SELECT substring(word, i, 2) AS pair, cnt
+             |      FROM wc, UNNEST(generate_series(1, len(word) - 1)) AS t(i)
+             |      WHERE len(word) >= 2),
+             |merges AS (SELECT pair,
+             |    CAST(row_number() OVER (ORDER BY SUM(cnt) DESC, pair) AS INTEGER) AS rnk
+             |  FROM p GROUP BY pair ORDER BY SUM(cnt) DESC, pair LIMIT 20),
+             |enc AS (
+             |  SELECT word, cnt,
+             |    '|' || array_to_string(string_split(word, ''), '|') || '|' AS s, 0 AS step
+             |  FROM wc
+             |  UNION ALL
+             |  SELECT e.word, e.cnt,
+             |    replace(e.s,
+             |      '|' || substring(m.pair, 1, 1) || '|' || substring(m.pair, 2, 1) || '|',
+             |      '|' || m.pair || '|'),
+             |    e.step + 1
+             |  FROM enc e JOIN merges m ON m.rnk = e.step + 1),
+             |f AS (SELECT word, cnt, s,
+             |    strlen(s) - strlen(replace(s, '|', '')) - 1 AS pieces
+             |  FROM enc WHERE step = 20)
+             |SELECT CAST(strlen(word) AS INTEGER) AS word_len,
+             |  CAST(count(*) AS BIGINT) AS n_words,
+             |  CAST(SUM(cnt) AS BIGINT) AS total_freq,
+             |  CAST(SUM(pieces * cnt) AS BIGINT) AS total_pieces,
+             |  round(CAST(SUM(strlen(word) * cnt) AS DOUBLE) / SUM(pieces * cnt), 6) AS chars_per_piece
+             |FROM f GROUP BY 1 ORDER BY 1""".stripMargin)))
 }
