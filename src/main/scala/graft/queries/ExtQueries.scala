@@ -1161,5 +1161,59 @@ object ExtQueries {
              |  CAST(SUM(cnt) AS BIGINT) AS total_freq,
              |  CAST(SUM(pieces * cnt) AS BIGINT) AS total_pieces,
              |  round(CAST(SUM(strlen(word) * cnt) AS DOUBLE) / SUM(pieces * cnt), 6) AS chars_per_piece
-             |FROM f GROUP BY 1 ORDER BY 1""".stripMargin)))
+             |FROM f GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // q251 — Cohen's kappa inter-annotator agreement: the label-quality
+    // gate every human- or model-labeled dataset passes before
+    // training. The second annotator is a deterministic 70%-agreement
+    // perturbation of the label column (portable hash — both engines
+    // derive the identical assignment), and kappa is computed in the
+    // ALL-INTEGER form κ = (n·agree − Σ rowₖ·colₖ)/(n² − Σ rowₖ·colₖ):
+    // exact counts to one final division, so no float chain exists to
+    // diverge. Confusion matrix is label-grain (k² rows) — corpus-size
+    // independent after the one counting pass.
+    QuerySpec("q251_cohens_kappa",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val nl = emb.agg(countDistinct(col("label")).as("k"))
+        val h = (p: String) => call_function("graft_hash32",
+          concat(lit(p), col("vec_id").cast("string")))
+        val ann = emb.crossJoin(broadcast(nl))
+          .select(col("label").as("a"),
+            when(h("ann:") % 10 < 7, col("label"))
+              .otherwise(((col("label") + 1 + h("alt:") % (col("k") - 1))
+                % col("k")).cast("int")).as("b"))
+        val conf = ann.groupBy("a", "b").agg(count(lit(1)).as("c"))
+          .persistTracked()
+        val tot = conf.agg(sum(col("c")).as("n"),
+          sum(when(col("a") === col("b"), col("c")).otherwise(0L)).as("agree"))
+        val marg = conf.groupBy("a").agg(sum(col("c")).as("sa"))
+          .join(conf.groupBy("b").agg(sum(col("c")).as("sb")),
+            col("a") === col("b"))
+          .agg(sum(col("sa") * col("sb")).as("cross_sum"))
+        tot.crossJoin(broadcast(marg))
+          .select(col("n"), col("agree"),
+            round(col("agree").cast("double") / col("n"), 6).as("po"),
+            round(col("cross_sum").cast("double") / (col("n") * col("n")), 6).as("pe"),
+            round((col("n") * col("agree") - col("cross_sum")).cast("double") /
+              (col("n") * col("n") - col("cross_sum")), 6).as("kappa"))
+      },
+      Some("""WITH nl AS (SELECT CAST(count(DISTINCT label) AS BIGINT) AS k FROM embeddings),
+             |ann AS (SELECT vec_id, label AS a,
+             |    CASE WHEN CAST('0x'||substr(md5('ann:'||CAST(vec_id AS VARCHAR)),1,8) AS BIGINT) % 10 < 7
+             |         THEN label
+             |         ELSE CAST((label + 1 + CAST('0x'||substr(md5('alt:'||CAST(vec_id AS VARCHAR)),1,8) AS BIGINT) % (k - 1)) % k AS INTEGER)
+             |    END AS b
+             |  FROM embeddings, nl),
+             |conf AS (SELECT a, b, count(*) AS c FROM ann GROUP BY a, b),
+             |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+             |    CAST(SUM(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT) AS agree FROM conf),
+             |marg AS (SELECT CAST(SUM(ra.sa * rb.sb) AS BIGINT) AS cross_sum FROM
+             |  (SELECT a, CAST(SUM(c) AS BIGINT) AS sa FROM conf GROUP BY a) ra
+             |  JOIN (SELECT b, CAST(SUM(c) AS BIGINT) AS sb FROM conf GROUP BY b) rb ON ra.a = rb.b)
+             |SELECT n, agree,
+             |  round(CAST(agree AS DOUBLE) / n, 6) AS po,
+             |  round(CAST(cross_sum AS DOUBLE) / (n * n), 6) AS pe,
+             |  round(CAST(n * agree - cross_sum AS DOUBLE) / (n * n - cross_sum), 6) AS kappa
+             |FROM tot, marg""".stripMargin)))
 }

@@ -292,6 +292,18 @@ class PlanSpec extends AnyFunSuite {
       s"partition column leaked into row filters: $pushed")
   }
 
+  test("q236: norms ride the posting window — no doc-grain join or " +
+      "broadcast (the q197 rule for the sparse-cosine family)") {
+    val df = SparkEntry.queries("q236_sparse_cosine")(spark, sf)
+    val lp = df.queryExecution.logical.toString
+    assert(!lp.toLowerCase.contains("hint"),
+      s"q236 grew a broadcast hint on corpus-grain data:\n$lp")
+    val p = df.queryExecution.executedPlan.toString
+    // norms come from a Window over the SAME doc-partitioned postings,
+    // not a separate doc-grain aggregate joined back in
+    assert(p.contains("Window"), s"doc-norm window disappeared:\n$p")
+  }
+
   test("q170: every Q6 predicate reaches the parquet scan; " +
       "scan projects only the needed columns") {
     val p = plan("q170_tpch_q6")
