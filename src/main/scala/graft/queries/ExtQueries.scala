@@ -1215,5 +1215,47 @@ object ExtQueries {
              |  round(CAST(agree AS DOUBLE) / n, 6) AS po,
              |  round(CAST(cross_sum AS DOUBLE) / (n * n), 6) AS pe,
              |  round(CAST(n * agree - cross_sum AS DOUBLE) / (n * n - cross_sum), 6) AS kappa
-             |FROM tot, marg""".stripMargin)))
+             |FROM tot, marg""".stripMargin)),
+
+    // q253 — AUC (Mann-Whitney rank-sum form) of a score column against
+    // a binary outcome — the ranking-quality readout every scoring
+    // model ships with, computed EXACTLY: ties get the average rank via
+    // the doubled form 2·minrank + cnt − 1 (an INTEGER), so the rank
+    // sum, the U statistic, and the final AUC numerator/denominator are
+    // all exact integers down to ONE division. Ranks come from the
+    // value-grain distributed cumsum (ops.PrefixSum — the q219
+    // machinery), never a global single-task window, so the O(n log n)
+    // sort is range-partitioned at any scale.
+    QuerySpec("q253_rank_auc",
+      (s, dir) => {
+        val b = Tables.load(s, dir, "events")
+          .filter(col("value").isNotNull)
+          .select(col("value").cast("double").as("v"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+        val g = b.groupBy("v")
+          .agg(count(lit(1)).as("cnt"), sum(col("pos")).as("npos"))
+        val c = graft.ops.PrefixSum.cumsum(g, "v", "cnt", "hi", 32)
+        c.agg(
+            sum(col("npos") * (lit(2L) * (col("hi") - col("cnt") + 1) +
+              col("cnt") - 1)).as("r2"),
+            sum(col("npos")).as("np"),
+            sum(col("cnt") - col("npos")).as("nn"))
+          .select(col("np").as("n_pos"), col("nn").as("n_neg"),
+            round((col("r2") - col("np") * (col("np") + 1)).cast("double") /
+              (lit(2L) * col("np") * col("nn")), 6).as("auc"))
+      },
+      Some("""WITH b AS (SELECT CAST(value AS DOUBLE) AS v,
+             |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+             |  FROM events WHERE value IS NOT NULL),
+             |g AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt,
+             |    CAST(SUM(pos) AS BIGINT) AS npos
+             |  FROM b GROUP BY v),
+             |c AS (SELECT v, cnt, npos,
+             |    SUM(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS hi FROM g),
+             |r AS (SELECT CAST(SUM(npos * (2*(hi - cnt + 1) + cnt - 1)) AS BIGINT) AS r2,
+             |    CAST(SUM(npos) AS BIGINT) AS np,
+             |    CAST(SUM(cnt - npos) AS BIGINT) AS nn FROM c)
+             |SELECT np AS n_pos, nn AS n_neg,
+             |  round(CAST(r2 - np * (np + 1) AS DOUBLE) / (2 * np * nn), 6) AS auc
+             |FROM r""".stripMargin)))
 }

@@ -207,6 +207,29 @@ object VectorQueries {
         .select(col("vec_id"), (-col("m.nc")).as("cent_id"))
   }
 
+  /** q59's oracle pipeline as shared CTEs (`ranked` = the IVF top-k
+    * candidates with rnk) — reused verbatim by the eval queries built on
+    * the same retrieval (q252), so retrieval and its metric can't drift. */
+  private def duckIvfRankedCtes: String =
+    s"""cents AS (SELECT vec_id AS cent_id, embedding AS cent_vec FROM embeddings WHERE vec_id < $ivfK),
+       |assigned AS (SELECT vec_id, embedding, cent_id FROM (
+       |  SELECT e.vec_id, e.embedding, c.cent_id,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY round(${duckCos("c.cent_vec", "e.embedding")}, 6) DESC, c.cent_id) AS rn
+       |  FROM embeddings e, cents c) WHERE rn = 1),
+       |probes AS (SELECT q_id, q_vec, cent_id FROM (
+       |  SELECT q.vec_id AS q_id, q.embedding AS q_vec, c.cent_id,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY round(${duckCos("c.cent_vec", "q.embedding")}, 6) DESC, c.cent_id) AS pn
+       |  FROM embeddings q, cents c WHERE q.vec_id < 8) WHERE pn <= 2),
+       |scored AS (
+       |  SELECT p.q_id, a.vec_id,
+       |    round(${duckCos("p.q_vec", "a.embedding")}, 6) AS cos_sim
+       |  FROM probes p JOIN assigned a ON a.cent_id = p.cent_id
+       |  WHERE a.vec_id <> p.q_id),
+       |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rnk FROM scored)""".stripMargin
+
   /** IVF top-5 with nprobe=2 over the 4 fixed centroids (q59's pipeline;
     * the approximate side of q110's recall): same shape as [[bruteTopK]]. */
   private def ivfTopK(emb: DataFrame): DataFrame = {
@@ -284,24 +307,7 @@ object VectorQueries {
     QuerySpec("q59_ivf_search",
       (s, dir) => ivfTopK(Tables.load(s, dir, "embeddings"))
         .orderBy("q_id", "rnk"),
-      Some(s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent_vec FROM embeddings WHERE vec_id < $ivfK),
-              |assigned AS (SELECT vec_id, embedding, cent_id FROM (
-              |  SELECT e.vec_id, e.embedding, c.cent_id,
-              |    row_number() OVER (PARTITION BY e.vec_id
-              |      ORDER BY round(${duckCos("c.cent_vec", "e.embedding")}, 6) DESC, c.cent_id) AS rn
-              |  FROM embeddings e, cents c) WHERE rn = 1),
-              |probes AS (SELECT q_id, q_vec, cent_id FROM (
-              |  SELECT q.vec_id AS q_id, q.embedding AS q_vec, c.cent_id,
-              |    row_number() OVER (PARTITION BY q.vec_id
-              |      ORDER BY round(${duckCos("c.cent_vec", "q.embedding")}, 6) DESC, c.cent_id) AS pn
-              |  FROM embeddings q, cents c WHERE q.vec_id < 8) WHERE pn <= 2),
-              |scored AS (
-              |  SELECT p.q_id, a.vec_id,
-              |    round(${duckCos("p.q_vec", "a.embedding")}, 6) AS cos_sim
-              |  FROM probes p JOIN assigned a ON a.cent_id = p.cent_id
-              |  WHERE a.vec_id <> p.q_id),
-              |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
-              |    ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rnk FROM scored)
+      Some(s"""WITH $duckIvfRankedCtes
               |SELECT q_id, vec_id, cos_sim, rnk FROM ranked WHERE rnk <= 5
               |ORDER BY q_id, rnk""".stripMargin)),
 
@@ -1554,5 +1560,57 @@ object VectorQueries {
               |    CAST(row_number() OVER (PARTITION BY vec_id
               |      ORDER BY sim DESC, nb) AS INTEGER) AS rnk FROM sc)
               |SELECT vec_id, rnk, nb, sim FROM r WHERE rnk <= 3
-              |ORDER BY vec_id, rnk""".stripMargin)))
+              |ORDER BY vec_id, rnk""".stripMargin)),
+
+    // q252 — NDCG@5 of the IVF retrieval against label-graded relevance
+    // (rel = 2 for a same-label hit), completing the retrieval-eval
+    // triplet with q110's recall and q119's MRR: the graded,
+    // position-discounted metric ranking teams actually report. Parity
+    // discipline: NO log2() anywhere (libm log2 and ln(x)/ln(2) differ
+    // in the last ulp between engines) — each discount is rel·ln(2)/
+    // ln(rank+1) with both lns the shared-libm natural log (the q74
+    // precedent); the 5-term DCG folds in EXPLICIT rank order on both
+    // sides (Spark: sort_array + aggregate; oracle: list_sum over
+    // array_agg ORDER BY rnk) because float addition is not
+    // associative; and the constant IDCG (≥5 same-label candidates
+    // always exist) is computed ONCE in Scala and interpolated into
+    // both engines (NOTES rule 7). Retrieval CTEs are shared verbatim
+    // with q59's oracle, so metric and retrieval cannot drift.
+    QuerySpec("q252_ndcg",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val labels = emb.select(col("vec_id").as("lv"), col("label").as("lbl"))
+        val rel = ivfTopK(emb)
+          .join(labels.select(col("lv").as("vec_id"), col("lbl").as("rl")),
+            "vec_id")
+          .join(broadcast(labels.select(col("lv").as("q_id"),
+            col("lbl").as("ql"))), "q_id")
+          .select(col("q_id"), col("rnk"),
+            when(col("rl") === col("ql"), 2.0).otherwise(0.0).as("rel"))
+        val idcg = (1 to 5).map(i => 2.0 * math.log(2.0) / math.log(i + 1.0)).sum
+        rel
+          .select(col("q_id"), struct(col("rnk"),
+            (col("rel") * log(lit(2.0)) / log(col("rnk") + 1)).as("term"))
+            .as("x"))
+          .groupBy("q_id")
+          .agg(sort_array(collect_list(col("x"))).as("xs"))
+          .select(col("q_id"),
+            round(expr("aggregate(xs, CAST(0.0 AS DOUBLE), (acc, e) -> acc + e.term)")
+              / lit(idcg), 6).as("ndcg5"))
+          .orderBy("q_id")
+      },
+      Some {
+        val idcg = (1 to 5).map(i => 2.0 * math.log(2.0) / math.log(i + 1.0)).sum
+        s"""WITH $duckIvfRankedCtes,
+           |rel AS (SELECT r.q_id, r.rnk,
+           |    CASE WHEN le.label = lq.label THEN 2.0 ELSE 0.0 END AS rel
+           |  FROM ranked r
+           |  JOIN embeddings le ON le.vec_id = r.vec_id
+           |  JOIN embeddings lq ON lq.vec_id = r.q_id
+           |  WHERE r.rnk <= 5)
+           |SELECT q_id,
+           |  round(list_sum(array_agg(rel * ln(2) / ln(rnk + 1) ORDER BY rnk))
+           |    / $idcg, 6) AS ndcg5
+           |FROM rel GROUP BY q_id ORDER BY q_id""".stripMargin
+      }))
 }
