@@ -1257,5 +1257,71 @@ object ExtQueries {
              |    CAST(SUM(cnt - npos) AS BIGINT) AS nn FROM c)
              |SELECT np AS n_pos, nn AS n_neg,
              |  round(CAST(r2 - np * (np + 1) AS DOUBLE) / (2 * np * nn), 6) AS auc
-             |FROM r""".stripMargin)))
+             |FROM r""".stripMargin)),
+
+    // q254 — missing-value IMPUTATION with a ground-truth audit: a
+    // deterministic 10% hash mask simulates the nulls, the per-group
+    // EXACT median of the observed rows fills them (the q219 crossing
+    // rule — one value or the mean of the middle two, no interpolation
+    // ambiguity), and because the mask is synthetic the TRUE values are
+    // known, so mean-absolute-error measures the imputer under the
+    // oracle gate — the data-repair op plus its quality readout in one
+    // pass structure. Error sums go through fixed-scale decimals (the
+    // Stable rule) so partial-merge order can't shift them.
+    QuerySpec("q254_imputation",
+      (s, dir) => {
+        val b = Tables.load(s, dir, "events")
+          .select(col("event_type"), col("event_id"),
+            col("value").cast("double").as("v"),
+            (call_function("graft_hash32", concat(lit("msk:"),
+              col("event_id").cast("string"))) % 10 === 0).as("masked"))
+          .persistTracked()
+        val w = Window.partitionBy("event_type").orderBy("v", "event_id")
+        val obs = b.filter(!col("masked"))
+          .withColumn("rk", row_number().over(w))
+        val n = obs.groupBy("event_type").agg(max(col("rk")).as("cnt"))
+        val med = obs.join(broadcast(n), "event_type")
+          .filter(col("rk") === expr("(cnt + 1) DIV 2") ||
+            col("rk") === expr("cnt DIV 2 + 1"))
+          .groupBy("event_type")
+          .agg((sum(col("v")) / count(lit(1))).as("median_imputed"))
+        val dec = org.apache.spark.sql.types.DecimalType(18, 9)
+        b.join(broadcast(med), "event_type")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_total"),
+            sum(when(col("masked"), 1L).otherwise(0L)).as("n_masked"),
+            sum(when(col("masked"),
+              abs(col("v") - col("median_imputed")).cast(dec))
+              .otherwise(lit(0).cast(dec))).cast("double").as("sae"),
+            first(col("median_imputed")).as("mi"))
+          .select(col("event_type"), col("n_total"), col("n_masked"),
+            round(col("mi"), 6).as("median_imputed"),
+            round(col("sae") / col("n_masked"), 6).as("mean_abs_err"))
+          .orderBy("event_type")
+      },
+      Some("""WITH b AS (SELECT event_type, event_id, CAST(value AS DOUBLE) AS v,
+             |    CAST('0x'||substr(md5('msk:'||CAST(event_id AS VARCHAR)),1,8) AS BIGINT) % 10 = 0 AS masked
+             |  FROM events),
+             |obs AS (SELECT event_type, v,
+             |    row_number() OVER (PARTITION BY event_type ORDER BY v, event_id) AS rk
+             |  FROM b WHERE NOT masked),
+             |n AS (SELECT event_type, CAST(max(rk) AS BIGINT) AS cnt
+             |  FROM obs GROUP BY event_type),
+             |med AS (SELECT o.event_type,
+             |    CAST(SUM(o.v) / count(*) AS DOUBLE) AS median_imputed
+             |  FROM obs o JOIN n ON o.event_type = n.event_type
+             |  WHERE o.rk = (n.cnt + 1) // 2 OR o.rk = n.cnt // 2 + 1
+             |  GROUP BY o.event_type),
+             |e AS (SELECT b.event_type,
+             |    CAST(count(*) AS BIGINT) AS n_total,
+             |    CAST(SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+             |    CAST(SUM(CASE WHEN masked THEN CAST(abs(b.v - m.median_imputed) AS DECIMAL(18,9))
+             |             ELSE CAST(0 AS DECIMAL(18,9)) END) AS DOUBLE) AS sae
+             |  FROM b JOIN med m ON b.event_type = m.event_type
+             |  GROUP BY b.event_type)
+             |SELECT e.event_type, n_total, n_masked,
+             |  round(m.median_imputed, 6) AS median_imputed,
+             |  round(sae / n_masked, 6) AS mean_abs_err
+             |FROM e JOIN med m ON e.event_type = m.event_type
+             |ORDER BY e.event_type""".stripMargin)))
 }
