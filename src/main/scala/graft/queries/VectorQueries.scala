@@ -1580,11 +1580,14 @@ object VectorQueries {
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")
         val labels = emb.select(col("vec_id").as("lv"), col("label").as("lbl"))
+        // query-side labels are PROBE-grain (8 rows) before broadcasting
+        // — broadcasting the corpus-grain label table would be the q197
+        // scale-killer; the retrieved-side labels join shuffled.
         val rel = ivfTopK(emb)
           .join(labels.select(col("lv").as("vec_id"), col("lbl").as("rl")),
             "vec_id")
-          .join(broadcast(labels.select(col("lv").as("q_id"),
-            col("lbl").as("ql"))), "q_id")
+          .join(broadcast(labels.filter(col("lv") < 8)
+            .select(col("lv").as("q_id"), col("lbl").as("ql"))), "q_id")
           .select(col("q_id"), col("rnk"),
             when(col("rl") === col("ql"), 2.0).otherwise(0.0).as("rel"))
         val idcg = (1 to 5).map(i => 2.0 * math.log(2.0) / math.log(i + 1.0)).sum
