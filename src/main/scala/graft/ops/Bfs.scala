@@ -62,4 +62,40 @@ object Bfs {
     sym.unpersist(blocking = false)
     visited
   }
+
+  /** Cheapest-path cost from the seed set within `maxHops` edges —
+    * bounded BELLMAN-FORD over undirected weighted `edges`
+    * (cols `src`, `dst`, `w`: positive integer weights). Exactly
+    * `maxHops` relaxation rounds (the bounded-radius semantics [[hops]]
+    * has for hop counts, here for summed weights): each round is one
+    * keyed shuffle join + a min-aggregate over (previous dists ∪
+    * relaxed candidates), with the [[ConnectedComponents]] checkpoint
+    * discipline per round. Output (node, cost) = minimum total weight
+    * over paths of ≤ maxHops edges; nodes unreachable within the cap
+    * are absent. Deterministic: fixed round count, integer min —
+    * partial-merge order cannot matter. */
+  def cheapestWithin(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    val fwd = edges.select(col("src"), col("dst"), col("w"))
+      .filter(col("src") =!= col("dst"))
+    val sym = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst"),
+        col("w")))
+      .distinct()
+      .persist(MEMORY_AND_DISK)
+    var (dist, distRdds) = ConnectedComponents.truncate(
+      seeds.select(col("node")).distinct().withColumn("cost", lit(0L)))
+    var round = 0
+    while (round < maxHops) {
+      round += 1
+      val relaxed = dist.join(sym, dist("node") === sym("src"))
+        .select(sym("dst").as("node"), (dist("cost") + sym("w")).as("cost"))
+        .union(dist.select(col("node"), col("cost")))
+        .groupBy("node").agg(min(col("cost")).as("cost"))
+      val (nextT, nextRdds) = ConnectedComponents.truncate(relaxed)
+      nextT.count() // materialize before freeing the previous round
+      ConnectedComponents.free(distRdds)
+      dist = nextT; distRdds = nextRdds
+    }
+    sym.unpersist(blocking = false)
+    dist
+  }
 }

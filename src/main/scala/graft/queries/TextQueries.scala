@@ -3281,6 +3281,52 @@ object TextQueries {
               |SELECT node AS doc_id, CAST(min(d) AS INTEGER) AS hops
               |FROM walk GROUP BY node ORDER BY doc_id""".stripMargin)),
 
+    // q255 — WEIGHTED contamination radius: bounded Bellman-Ford
+    // (ops.Bfs.cheapestWithin) over the near-dup graph with
+    // hash-derived integer edge weights (symmetric — the weight hashes
+    // the UNORDERED pair) — the cost-aware extension of q204's hop
+    // counts, where edges are not equally suspicious (a weight models
+    // similarity distance or review cost). Semantics: minimum total
+    // weight over paths of ≤ 6 edges from the seed set — exactly the
+    // ≤6-hop walk enumeration the recursive-CTE oracle performs, and
+    // exact integer arithmetic end to end. Fixed relaxation rounds =
+    // fixed plan depth; each round one candidate-scale shuffle + a
+    // min-aggregate under the CC checkpoint discipline.
+    QuerySpec("q255_weighted_radius",
+      (s, dir) => {
+        val cand = minhashCandidates(Tables.load(s, dir, "documents"))
+          .persistTracked()
+        cand.count()
+        val ns = graft.core.Tuned.session(s,
+          "spark.sql.shuffle.partitions" -> "4",
+          "spark.sql.adaptive.enabled" -> "false")
+        val w = lit(1L) + call_function("graft_hash32",
+          concat(least(col("doc_a"), col("doc_b")).cast("string"), lit(":"),
+            greatest(col("doc_a"), col("doc_b")).cast("string"))) % 5
+        val edges = graft.core.Tuned.rehome(
+          cand.select(col("doc_a").as("src"), col("doc_b").as("dst"),
+            w.as("w")), ns)
+        val nodes = edges.select(col("src").as("node"))
+          .union(edges.select(col("dst").as("node"))).distinct()
+        val seeds = nodes.filter(col("node") % 5 === 0)
+        graft.core.Tuned.rehome(
+          graft.ops.Bfs.cheapestWithin(edges, seeds, maxHops = 6), s)
+          .select(col("node").as("doc_id"), col("cost"))
+          .orderBy("doc_id")
+      },
+      Some(s"""${duckMinhashCtes.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+              |ew AS (SELECT doc_a AS a, doc_b AS b,
+              |    1 + CAST('0x'||substr(md5(CAST(least(doc_a, doc_b) AS VARCHAR)||':'||CAST(greatest(doc_a, doc_b) AS VARCHAR)),1,8) AS BIGINT) % 5 AS w
+              |  FROM cand),
+              |edges AS (SELECT a, b, w FROM ew UNION SELECT b, a, w FROM ew),
+              |seeds AS (SELECT DISTINCT a AS node FROM edges WHERE a % 5 = 0),
+              |walk AS (SELECT node, CAST(0 AS BIGINT) AS c, 0 AS d FROM seeds
+              |         UNION
+              |         SELECT e.b AS node, w.c + e.w AS c, w.d + 1 AS d
+              |         FROM walk w JOIN edges e ON w.node = e.a WHERE w.d < 6)
+              |SELECT node AS doc_id, CAST(min(c) AS BIGINT) AS cost
+              |FROM walk GROUP BY node ORDER BY doc_id""".stripMargin)),
+
     // q205 — winnowing fingerprints (Schleimer/Wilkerson/Aiken '03, the
     // MOSS algorithm): per doc, hash every K-token shingle, then keep
     // the MIN hash of each W-consecutive-shingle window — guarantees any

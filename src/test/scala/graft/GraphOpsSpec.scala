@@ -52,4 +52,23 @@ class GraphOpsSpec extends AnyFunSuite {
       best = Some(best.fold(v)(math.max(_, v)))
     }
   }
+
+  test("cheapestWithin vs hops: same reach, cost >= hops, seeds free") {
+    // q204 and q255 run the same graph with the same 6-round cap, so the
+    // reachable set must be identical; every weight is >= 1, so the
+    // cheapest ≤6-edge path can never cost less than the hop count; and
+    // a seed's cheapest path is the empty one.
+    val sf = "/root/testdata/sf0.001"
+    val hops = SparkEntry.queries("q204_bfs_hops")(spark, sf)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("hops")).toMap
+    val cost = SparkEntry.queries("q255_weighted_radius")(spark, sf)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cost")).toMap
+    assert(hops.keySet == cost.keySet,
+      s"reach diverged: only-hops=${(hops.keySet -- cost.keySet).take(3)} " +
+        s"only-cost=${(cost.keySet -- hops.keySet).take(3)}")
+    for ((n, h) <- hops) {
+      assert(cost(n) >= h, s"node $n: cost ${cost(n)} < hops $h")
+      if (h == 0) assert(cost(n) == 0L, s"seed $n has nonzero cost")
+    }
+  }
 }
