@@ -53,7 +53,10 @@ object BandedLevenshteinRule extends Rule[LogicalPlan] {
   }
 }
 
-/** Session-extension entry point (`spark.sql.extensions`). */
+/** Session-extension entry point (`spark.sql.extensions`) — registers
+  * the WHOLE engine: the optimizer rule, the as-of planner strategy,
+  * and (by composing [[graft.functions.GraftExtensions]]) every native
+  * function, so one configuration line is sufficient. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => BandedLevenshteinRule)
@@ -61,5 +64,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // AsOf.joinBackward/joinForward still self-inject on already-built
     // sessions (the driver's case) via experimental.extraStrategies.
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    new graft.functions.GraftExtensions().apply(e)
   }
 }

@@ -50,6 +50,27 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(bandedCount(df.select(levenshtein(col("a"), col("b")).as("d"))) == 0)
   }
 
+  test("one extensions class registers the whole engine: native " +
+      "functions resolve by SQL name on the extended session") {
+    import ext.implicits._
+    val df = Seq(("martha", "marhta", Seq(1.0f, 0.0f), Seq(1.0f, 0.0f)))
+      .toDF("a", "b", "v1", "v2")
+    df.createOrReplaceTempView("ext_fn_probe")
+    val r = ext.sql(
+      """SELECT round(graft_jaro_winkler(a, b), 6) AS jw,
+        |  round(graft_cosine(v1, v2), 6) AS cos,
+        |  graft_hash32(a) AS h
+        |FROM ext_fn_probe""".stripMargin).head()
+    assert(r.getDouble(0) == 0.961111, s"jw=${r.getDouble(0)}")
+    assert(r.getDouble(1) == 1.0)
+    assert(r.getLong(2) >= 0L)
+    val tk = ext.sql(
+      """SELECT graft_topk(CAST(v AS DOUBLE), 2) AS tk
+        |FROM VALUES (1), (9), (5), (7) AS t(v)""".stripMargin)
+      .head().getSeq[Double](0)
+    assert(tk == Seq(9.0, 7.0), s"topk=$tk")
+  }
+
   test("rewrite preserves exact distances and null semantics") {
     import ext.implicits._
     val df = Seq(("kitten", Some("sitting")), ("abc", Some("abd")),
