@@ -363,5 +363,62 @@ object EventQueries {
              |  (epoch_us(p.p_ts) - epoch_us(s.s_ts)) // 1000000 AS latency_s
              |FROM s ASOF LEFT JOIN p
              |  ON s.user_id = p.p_user AND p.p_ts >= s.s_ts
-             |ORDER BY s.event_id""".stripMargin)))
+             |ORDER BY s.event_id""".stripMargin)),
+
+    // q256 — time-to-convert distribution: how long after the latest
+    // preceding click does a purchase land — the funnel-latency readout
+    // (q102 counts conversions; this times them). Matching runs through
+    // the NATIVE as-of operator (plans.AsOf.joinBackward — clicks
+    // pre-deduped to (user, ts) grain since only the timestamp feeds
+    // the lag); the p50/p90 are EXACT selections via the q221 crossing
+    // rule over a lag-grain distributed cumsum (ops.PrefixSum), so no
+    // global window and no interpolation — integer seconds end to end.
+    QuerySpec("q256_time_to_convert",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts").as("p_ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+          .distinct()
+        val lags = graft.plans.AsOf.joinBackward(purchases, clicks,
+            Seq("user_id"), Seq("c_user"), "p_ts", "c_ts")
+          .filter(col("c_ts").isNotNull)
+          .select(expr("(unix_micros(p_ts) - unix_micros(c_ts)) DIV 1000000")
+            .as("lag_s"))
+        val g = lags.groupBy("lag_s").agg(count(lit(1)).as("cnt"))
+        val c = graft.ops.PrefixSum.cumsum(g, "lag_s", "cnt", "cum", 32)
+        val tot = c.agg(max(col("cum")).as("n"))
+        val t50 = expr("(n + 1) DIV 2")
+        val t90 = expr("(9 * n + 9) DIV 10")
+        c.crossJoin(broadcast(tot))
+          .groupBy("n")
+          .agg(
+            min(when(col("cum") >= t50 && col("cum") - col("cnt") < t50,
+              col("lag_s"))).as("p50_lag_s"),
+            min(when(col("cum") >= t90 && col("cum") - col("cnt") < t90,
+              col("lag_s"))).as("p90_lag_s"),
+            max(col("lag_s")).as("max_lag_s"))
+          .select(col("n").as("n_pairs"), col("p50_lag_s"), col("p90_lag_s"),
+            col("max_lag_s"))
+      },
+      Some("""WITH c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+             |  FROM events WHERE event_type = 'click'),
+             |p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+             |  FROM events WHERE event_type = 'purchase'),
+             |j AS (SELECT p.user_id, p.event_id, c.ts AS cts, p.ts AS pts,
+             |    row_number() OVER (PARTITION BY p.user_id, p.event_id
+             |      ORDER BY c.ts DESC, c.event_id DESC) AS rn
+             |  FROM p JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts),
+             |lag AS (SELECT CAST(date_diff('microseconds', cts, pts) // 1000000 AS BIGINT) AS lag_s
+             |  FROM j WHERE rn = 1),
+             |g AS (SELECT lag_s, CAST(count(*) AS BIGINT) AS cnt FROM lag GROUP BY lag_s),
+             |cm AS (SELECT lag_s, cnt,
+             |    SUM(cnt) OVER (ORDER BY lag_s ROWS UNBOUNDED PRECEDING) AS cum FROM g),
+             |t AS (SELECT CAST(max(cum) AS BIGINT) AS n FROM cm)
+             |SELECT n AS n_pairs,
+             |  CAST(min(CASE WHEN cum >= (n + 1) // 2 AND cum - cnt < (n + 1) // 2 THEN lag_s END) AS BIGINT) AS p50_lag_s,
+             |  CAST(min(CASE WHEN cum >= (9 * n + 9) // 10 AND cum - cnt < (9 * n + 9) // 10 THEN lag_s END) AS BIGINT) AS p90_lag_s,
+             |  CAST(max(lag_s) AS BIGINT) AS max_lag_s
+             |FROM cm, t GROUP BY n""".stripMargin)))
 }
