@@ -41,6 +41,16 @@ object ExtQueries {
     new java.io.File(System.getProperty("java.io.tmpdir"),
       "graft_shards_" + Integer.toHexString(dir.hashCode)).toString
 
+  /** (z_{0.975} + z_{0.8})² — the standard 80%-power two-sided-5%
+    * constant, computed ONCE here and interpolated into both engines so
+    * the literal cannot drift (NOTES rule 7). MUST be defined above
+    * `specs`: the oracle strings interpolate it at object init, and a
+    * forward val reference would silently read 0.0. */
+  private[queries] val zSum2: Double = {
+    val k = 1.959963984540054 + 0.8416212335729143
+    k * k
+  }
+
   val specs: Seq[QuerySpec] = Seq(
 
     // q224 — BUCKETED co-located join, exercised through a real write:
@@ -1323,5 +1333,42 @@ object ExtQueries {
              |  round(m.median_imputed, 6) AS median_imputed,
              |  round(sae / n_masked, 6) AS mean_abs_err
              |FROM e JOIN med m ON e.event_type = m.event_type
-             |ORDER BY e.event_type""".stripMargin)))
+             |ORDER BY e.event_type""".stripMargin)),
+
+    // q257 — A/B test POWER ANALYSIS (experiment DESIGN, closing the
+    // experimentation arc: q257 sizes the test, q190 reads it out, q240
+    // tightens it): required n per arm for a 5%-of-mean minimum
+    // detectable effect at α=0.05 two-sided, 80% power — the classic
+    // 2(z_{α/2}+z_β)²σ²/δ² formula over the metric's EXACT decimal raw
+    // moments (q212 discipline). The z-constant square is computed once
+    // in Scala and interpolated into both engines (NOTES rule 7); the
+    // rest is a short fixed IEEE chain over identical exact sums, and
+    // ceil of identical doubles is the identical integer.
+    QuerySpec("q257_power_analysis",
+      (s, dir) => {
+        val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+        val m = Tables.load(s, dir, "events").agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast(dec)).cast("double").as("sx"),
+          sum((col("value") * col("value")).cast(dec)).cast("double").as("sxx"))
+        m.withColumn("mean", col("sx") / col("n"))
+          .withColumn("variance",
+            (col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
+          .select(col("n"),
+            round(col("mean"), 6).as("mean"),
+            round(col("variance"), 6).as("variance"),
+            round(col("mean") * 0.05, 6).as("mde_abs"),
+            ceil(lit(2.0) * lit(ExtQueries.zSum2) * col("variance") /
+              ((col("mean") * 0.05) * (col("mean") * 0.05))).as("n_per_arm"))
+      },
+      Some(s"""WITH m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+              |    CAST(SUM(CAST(value * value AS DECIMAL(18,6))) AS DOUBLE) AS sxx
+              |  FROM events),
+              |st AS (SELECT n, sx / n AS mean,
+              |    (sxx - sx * sx / n) / (n - 1) AS variance FROM m)
+              |SELECT n, round(mean, 6) AS mean, round(variance, 6) AS variance,
+              |  round(mean * 0.05, 6) AS mde_abs,
+              |  CAST(ceil(2.0 * ${ExtQueries.zSum2} * variance / ((mean * 0.05) * (mean * 0.05))) AS BIGINT) AS n_per_arm
+              |FROM st""".stripMargin)))
 }
