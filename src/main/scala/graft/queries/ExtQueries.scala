@@ -1029,8 +1029,8 @@ object ExtQueries {
 
     // q248 — STREAMING ingest through the custom V2 connector: the
     // blob-shard source also implements MicroBatchStream (offsets =
-    // byte position per shard file — every observed file size is a
-    // record boundary because writers append whole records) with
+    // byte position per shard file, clamped to a record boundary by a
+    // frame-header walk — a mid-flush file size can't split a record) with
     // SupportsTriggerAvailableNow for bounded runs. readStream over the
     // packed shards → per-shard media stats, completing the connector
     // matrix: batch read, batch write (layout contract), micro-batch

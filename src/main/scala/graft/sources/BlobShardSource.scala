@@ -107,7 +107,8 @@ class BlobShardScanBuilder(path: String) extends ScanBuilder
 }
 
 class BlobShardScan(path: String, required: StructType,
-    shardFilter: Option[Set[Int]]) extends Scan with Batch {
+    shardFilter: Option[Set[Int]]) extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -129,6 +130,48 @@ class BlobShardScan(path: String, required: StructType,
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new BlobShardReaderFactory(required.fieldNames)
+
+  /** Source-reported statistics so Catalyst can COST joins against the
+    * format instead of falling back to `defaultSizeInBytes` (which is
+    * Long.MaxValue — it makes the side permanently unbroadcastable and
+    * federated plans like q249 pick their join strategy by luck).
+    * Row counts come from the `_manifest` sidecar the committed write
+    * drops (O(#shards) driver IO at plan time, never a data walk); a
+    * shard whose current file length disagrees with its manifest entry
+    * (appended/truncated outside the writer) falls back to raw file
+    * bytes and withdraws the exact row count. Column pruning is priced
+    * in: with `media` pruned the scan materializes 24 bytes/row
+    * (shard+doc_id+offset+length), not blob bytes. */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val needMedia = required.fieldNames.contains("media")
+    val manifest = BlobShardManifest.read(path)
+    val dir = new java.io.File(path)
+    val files = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.matches("shard-\\d+\\.bin"))
+      .filter { f =>
+        val s = f.getName.stripPrefix("shard-").stripSuffix(".bin").toInt
+        shardFilter.forall(_.contains(s))
+      }
+    var rows = 0L; var bytes = 0L; var exact = true
+    files.foreach { f =>
+      val shard = f.getName.stripPrefix("shard-").stripSuffix(".bin").toInt
+      manifest.get(shard) match {
+        case Some((cnt, fileBytes)) if fileBytes == f.length() =>
+          rows += cnt
+          bytes += (if (needMedia) fileBytes else cnt * 24L)
+        case _ => exact = false; bytes += f.length()
+      }
+    }
+    val (szOut, rowsOut) = (math.max(bytes, 1L), rows)
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(szOut)
+      override def numRows(): java.util.OptionalLong =
+        if (exact) java.util.OptionalLong.of(rowsOut)
+        else java.util.OptionalLong.empty()
+    }
+  }
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
@@ -208,11 +251,21 @@ class BlobShardReader(p: BlobShardPartition, columns: Array[String])
 class BlobShardWriteBuilder(path: String, schema: StructType)
     extends org.apache.spark.sql.connector.write.WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsTruncate {
-  // truncate == overwrite-everything: the factory clears the directory
-  // at job start either way (shard files are a whole-corpus layout).
-  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = this
-  override def build(): org.apache.spark.sql.connector.write.Write =
+  // Shard files are a whole-corpus layout: per-shard offsets are running
+  // sums in doc_id order, so appending rows can never preserve the
+  // contract. Only truncate (= mode("overwrite")) builds; a silent
+  // append would have destroyed existing data (the old factory cleared
+  // the directory unconditionally at job start).
+  private var truncated = false
+  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+    truncated = true; this
+  }
+  override def build(): org.apache.spark.sql.connector.write.Write = {
+    if (!truncated) throw new UnsupportedOperationException(
+      "graft-shards: append is not supported (per-shard offsets are a " +
+        "whole-corpus layout) — use mode(\"overwrite\")")
     new BlobShardWrite(path, schema)
+  }
 }
 
 class BlobShardWrite(path: String, schema: StructType)
@@ -230,56 +283,130 @@ class BlobShardWrite(path: String, schema: StructType)
     new BlobShardBatchWrite(path, schema)
 }
 
+/** Per-task commit message: the staged tmp files this task wrote, with
+  * record/byte counts for the `_manifest` sidecar. */
+case class BlobShardCommitMsg(entries: Seq[(Int, String, Long, Long)])
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+/** `_manifest` sidecar: one line per shard `shard<TAB>records<TAB>fileBytes`,
+  * written atomically (tmp + move) at job commit. Read by
+  * [[BlobShardScan.estimateStatistics]]; a stale entry (file length
+  * mismatch) is ignored per shard, so external appends degrade stats
+  * instead of corrupting them. */
+object BlobShardManifest {
+  val Name = "_manifest"
+  def read(path: String): Map[Int, (Long, Long)] = {
+    val f = new java.io.File(path, Name)
+    if (!f.exists()) Map.empty
+    else scala.io.Source.fromFile(f, "UTF-8").getLines().flatMap { ln =>
+      ln.split('\t') match {
+        case Array(s, n, b) =>
+          try Some(s.toInt -> (n.toLong, b.toLong))
+          catch { case _: NumberFormatException => None }
+        case _ => None
+      }
+    }.toMap
+  }
+  def write(path: String, entries: Seq[(Int, Long, Long)]): Unit = {
+    val tmp = new java.io.File(path, Name + ".tmp")
+    val w = new java.io.PrintWriter(tmp, "UTF-8")
+    try entries.sortBy(_._1).foreach { case (s, n, b) => w.println(s"$s\t$n\t$b") }
+    finally w.close()
+    java.nio.file.Files.move(tmp.toPath,
+      new java.io.File(path, Name).toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+}
+
+/** Staged overwrite: tasks write `shard-N.bin.tmp-<taskId>`; the DRIVER
+  * commit clears stale shard files and renames the staged ones, so a
+  * failed or aborted job leaves the existing corpus untouched (the old
+  * factory deleted everything at job start, before a single byte was
+  * durable). `useCommitCoordinator` (the BatchWrite default) guarantees
+  * one committing attempt per task, so tmp names keyed by taskId can't
+  * collide with a committed winner. */
 class BlobShardBatchWrite(path: String, schema: StructType)
     extends org.apache.spark.sql.connector.write.BatchWrite {
   import org.apache.spark.sql.connector.write.{DataWriterFactory, PhysicalWriteInfo, WriterCommitMessage}
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
-    // driver-side job start: clear stale shard files so a re-pack with a
-    // different shard set leaves no orphans
     val dir = new java.io.File(path)
-    if (dir.exists())
-      dir.listFiles().filter(_.getName.matches("shard-\\d+\\.bin"))
-        .foreach(_.delete())
-    else dir.mkdirs()
+    if (!dir.exists()) dir.mkdirs()
     new BlobShardWriterFactory(path, schema)
   }
-  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
-  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val entries = messages.flatMap {
+      case m: BlobShardCommitMsg => m.entries
+      case _ => Seq.empty
+    }
+    val dir = new java.io.File(path)
+    // stale-file clear happens only now, with every task staged durably
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.matches("shard-\\d+\\.bin")).foreach(_.delete())
+    entries.foreach { case (shard, tmpName, _, _) =>
+      java.nio.file.Files.move(new java.io.File(dir, tmpName).toPath,
+        new java.io.File(dir, s"shard-$shard.bin").toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    // sweep tmp leftovers from retried attempts that never committed
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.matches("shard-\\d+\\.bin\\.tmp-\\d+")).foreach(_.delete())
+    BlobShardManifest.write(path,
+      entries.map { case (s, _, n, b) => (s, n, b) })
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new java.io.File(path)
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.matches("shard-\\d+\\.bin\\.tmp-\\d+")).foreach(_.delete())
+  }
 }
 
 class BlobShardWriterFactory(path: String, schema: StructType)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
-    new BlobShardDataWriter(path, schema)
+    new BlobShardDataWriter(path, schema, taskId)
 }
 
-class BlobShardDataWriter(path: String, schema: StructType)
+class BlobShardDataWriter(path: String, schema: StructType, taskId: Long)
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
   private val shardIdx = schema.fieldIndex("shard")
   private val docIdx = schema.fieldIndex("doc_id")
   private val mediaIdx = schema.fieldIndex("media")
   private var out: java.io.DataOutputStream = _
   private var cur = Int.MinValue
+  private var recs = 0L
+  private var bytes = 0L
+  private val staged = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long, Long)]
+
+  private def closeCurrent(): Unit = if (out != null) {
+    out.close(); out = null
+    staged += ((cur, s"shard-$cur.bin.tmp-$taskId", recs, bytes))
+  }
 
   override def write(row: InternalRow): Unit = {
     val shard = row.getInt(shardIdx)
     if (shard != cur) {
-      if (out != null) out.close()
+      closeCurrent()
       out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
-        new java.io.FileOutputStream(s"$path/shard-$shard.bin"), 1 << 16))
-      cur = shard
+        new java.io.FileOutputStream(s"$path/shard-$shard.bin.tmp-$taskId"), 1 << 16))
+      cur = shard; recs = 0L; bytes = 0L
     }
     val media = row.getBinary(mediaIdx)
     out.writeLong(java.lang.Long.reverseBytes(row.getLong(docIdx)))
     out.writeInt(Integer.reverseBytes(media.length))
     out.write(media)
+    recs += 1; bytes += 12L + media.length
   }
   override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
-    if (out != null) out.close()
-    new org.apache.spark.sql.connector.write.WriterCommitMessage {}
+    closeCurrent()
+    BlobShardCommitMsg(staged.toSeq)
   }
-  override def abort(): Unit = if (out != null) out.close()
+  override def abort(): Unit = {
+    closeCurrent()
+    staged.foreach { case (_, tmp, _, _) =>
+      new java.io.File(path, tmp).delete()
+    }
+  }
   override def close(): Unit = if (out != null) out.close()
 }
 
@@ -299,8 +426,10 @@ object BlobShards {
 
 
 /** Streaming offsets for the blob-shard source: byte position per shard
-  * file. Writers append whole records, so any observed file SIZE is a
-  * record boundary — the offset space is naturally consistent. */
+  * file, always clamped to a RECORD boundary by walking the frame
+  * headers (an appender flushing through a buffered stream can expose a
+  * mid-record file size; trusting raw sizes would make the next batch
+  * resume inside a record and parse garbage). */
 case class BlobShardOffset(pos: Map[Int, Long])
     extends org.apache.spark.sql.connector.read.streaming.Offset {
   override def json(): String =
@@ -320,7 +449,7 @@ class BlobShardMicroBatchStream(path: String, required: StructType,
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
-  private def currentSizes(): Map[Int, Long] = {
+  private def rawSizes(): Map[Int, Long] = {
     val dir = new java.io.File(path)
     Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(_.getName.matches("shard-\\d+\\.bin"))
@@ -329,19 +458,64 @@ class BlobShardMicroBatchStream(path: String, required: StructType,
       .toMap
   }
 
+  // Last verified record boundary per shard: the clamp walk resumes here
+  // instead of byte 0, so each record's header is inspected at most once
+  // over the stream's lifetime. Committed offsets are boundaries by
+  // induction (every emitted offset came out of this clamp), so a
+  // restart from a checkpoint seeds a correct walk base implicitly.
+  private val boundaryCache = scala.collection.mutable.Map.empty[Int, Long]
+
+  /** Largest record boundary ≤ `observed` in `file`, walking frame
+    * headers from `from` (a known boundary). A header or blob extending
+    * past `observed` is a record still being flushed — excluded; the
+    * next batch picks it up once the size covers it. */
+  private def clampToBoundary(file: String, from: Long, observed: Long): Long = {
+    var pos = from
+    val raf = new java.io.RandomAccessFile(file, "r")
+    try {
+      val hdr = new Array[Byte](12)
+      var done = false
+      while (!done && pos + 12 <= observed) {
+        raf.seek(pos)
+        var got = 0
+        while (got < 12) {
+          val n = raf.read(hdr, got, 12 - got)
+          if (n < 0) { done = true; got = 12 } else got += n
+        }
+        if (!done) {
+          val len = (hdr(8) & 0xff) | ((hdr(9) & 0xff) << 8) |
+            ((hdr(10) & 0xff) << 16) | ((hdr(11) & 0xff) << 24)
+          if (len < 0 || pos + 12L + len > observed) done = true
+          else pos += 12L + len
+        }
+      }
+      pos
+    } finally raf.close()
+  }
+
+  private def currentBoundaries(): Map[Int, Long] = rawSizes().map {
+    case (shard, size) =>
+      val cached = boundaryCache.getOrElse(shard, 0L)
+      val b =
+        if (size <= cached) cached // no growth (or truncation — hold position)
+        else clampToBoundary(s"$path/shard-$shard.bin", cached, size)
+      boundaryCache(shard) = b
+      shard -> b
+  }
+
   private var availableNowTarget: Option[BlobShardOffset] = None
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowTarget = Some(BlobShardOffset(currentSizes()))
+    availableNowTarget = Some(BlobShardOffset(currentBoundaries()))
 
   override def initialOffset(): Offset = BlobShardOffset(Map.empty)
   override def latestOffset(): Offset =
-    availableNowTarget.getOrElse(BlobShardOffset(currentSizes()))
+    availableNowTarget.getOrElse(BlobShardOffset(currentBoundaries()))
   // SupportsAdmissionControl (via SupportsTriggerAvailableNow): no rate
   // limiting — each batch admits everything up to the captured target.
   override def latestOffset(start: Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
-    availableNowTarget.getOrElse(BlobShardOffset(currentSizes()))
-  override def reportLatestOffset(): Offset = BlobShardOffset(currentSizes())
+    availableNowTarget.getOrElse(BlobShardOffset(currentBoundaries()))
+  override def reportLatestOffset(): Offset = BlobShardOffset(currentBoundaries())
   override def deserializeOffset(json: String): Offset = BlobShardOffset.parse(json)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -384,15 +558,23 @@ class BlobShardRangeReader(p: BlobShardRangePartition, columns: Array[String])
   private val in = new DataInputStream(
     new BufferedInputStream(new FileInputStream(p.file), 1 << 16))
   private var pos = 0L
-  locally { // seek to the batch's start
+  private var depleted = false
+  locally { // seek to the batch's start; skip() returns 0 at EOF forever,
+    // so probe with read() — a file truncated/replaced below startPos
+    // ends the partition instead of spinning this loop.
     var toSkip = p.startPos
-    while (toSkip > 0) toSkip -= in.skip(toSkip)
+    while (toSkip > 0 && !depleted) {
+      val s = in.skip(toSkip)
+      if (s > 0) toSkip -= s
+      else if (in.read() == -1) depleted = true
+      else toSkip -= 1
+    }
     pos = p.startPos
   }
   private var row: InternalRow = _
 
   override def next(): Boolean = try {
-    if (pos >= p.endPos) return false
+    if (depleted || pos >= p.endPos) return false
     val docId = java.lang.Long.reverseBytes(in.readLong())
     val len = Integer.reverseBytes(in.readInt())
     if (len < 0) return false // corrupt header — stop permissively (P8)

@@ -870,12 +870,22 @@ object StreamQueries {
     @transient private var clicks: ListState[(Long, Long)] = _
     @transient private var purchases: ListState[(Long, Long)] = _
     @transient private var tmr: ValueState[Long] = _
+    // The unbounded-lookback floor: the LATEST watermark-final click per
+    // key, kept after the click buffer is compacted at each firing. All
+    // buffered clicks are below the watermark when the timer fires, so
+    // for any FUTURE purchase (ts ≥ watermark) only the greatest of them
+    // can ever be the as-of match — one value of state carries the whole
+    // history, and a purchase arriving in a later micro-batch still sees
+    // the clicks that were finalized before it.
+    @transient private var lastClick: ValueState[(Long, Long)] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       clicks = getHandle.getListState[(Long, Long)]("clicks",
         Encoders.product[(Long, Long)], TTLConfig.NONE)
       purchases = getHandle.getListState[(Long, Long)]("purchases",
         Encoders.product[(Long, Long)], TTLConfig.NONE)
       tmr = getHandle.getValueState[Long]("tmr", Encoders.scalaLong, TTLConfig.NONE)
+      lastClick = getHandle.getValueState[(Long, Long)]("lastClick",
+        Encoders.product[(Long, Long)], TTLConfig.NONE)
     }
     private def arm(atMs: Long): Unit = {
       val prev = if (tmr.exists()) tmr.get() else 0L
@@ -901,7 +911,11 @@ object StreamQueries {
     override def handleExpiredTimer(key: Long, tv: TimerValues,
         info: ExpiredTimerInfo): Iterator[(Long, Long, Long, Long)] = {
       val wmMs = tv.getCurrentWatermarkInMs()
-      val cs = clicks.get().toArray.sortBy(t => (t._1, t._2))
+      // prepend the floor: buffered clicks all arrived after the last
+      // compaction, so they are ≥ the floor and the sorted scan's
+      // "greatest ts ≤ pts, ties to larger id" rule is unchanged
+      val fl = if (lastClick.exists()) Array(lastClick.get()) else Array.empty[(Long, Long)]
+      val cs = (fl ++ clicks.get()).sortBy(t => (t._1, t._2))
       val ps = purchases.get().toArray.sortBy(t => (t._1, t._2))
       val (ready, hold) = ps.partition(p => p._1 / 1000 < wmMs)
       val out = ready.iterator.map { case (pts, pid) =>
@@ -912,13 +926,22 @@ object StreamQueries {
         }
         (key, pid, best._1, best._2)
       }
+      // compact only the watermark-FINAL clicks into the floor: a click
+      // at or above the watermark may still be undercut by a later
+      // arrival between it and a future purchase, so it stays in the
+      // list (this batch's inputs can re-arm the timer past it). cs is
+      // sorted, so the last final element is the greatest (ts, id).
+      val (finalCs, liveCs) = cs.partition(c => c._1 / 1000 < wmMs)
+      if (finalCs.nonEmpty) lastClick.update(finalCs.last)
+      clicks.clear()
+      liveCs.filterNot(fl.contains).foreach(clicks.appendValue)
       if (hold.nonEmpty) {
         purchases.clear()
         hold.foreach(purchases.appendValue)
         tmr.clear()
         arm(hold.map(_._1 / 1000).max + 1)
       } else {
-        clicks.clear(); purchases.clear(); tmr.clear()
+        purchases.clear(); tmr.clear()
       }
       out
     }

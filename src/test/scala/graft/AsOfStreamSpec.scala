@@ -80,4 +80,62 @@ class AsOfStreamSpec extends AnyFunSuite {
       q.stop()
     }
   }
+
+  test("a purchase arriving AFTER its key's state was flushed still sees " +
+      "finalized clicks (the unbounded-lookback floor)") {
+    val s: org.apache.spark.sql.SparkSession = graft.core.Tuned.session(spark,
+      "spark.sql.shuffle.partitions" -> "4",
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Long, String)]
+    val ev = in.toDF().toDF("user_id", "ts", "event_id", "event_type")
+      .withWatermark("ts", "0 seconds")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), (col("event_type") === "click").as("is_click"))
+      .as[(Long, Long, Long, Boolean)]
+    val out = ev.groupByKey(_._1)
+      .transformWithState(new graft.streaming.StreamQueries.AsOfStreamProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
+      .toDF("user_id", "purchase_id", "click_id", "lag_us")
+    val ckpt = java.nio.file.Files.createTempDirectory("asof_floor_").toString
+    val q = out.writeStream.format("memory").queryName("asof_floor")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      def rows(): Map[Long, Long] = s.table("asof_floor")
+        .select("purchase_id", "click_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+
+      // batch 1: two clicks + one purchase for user 2; watermark relay
+      // (key 9) far ahead so user 2's timer fires with NOTHING held —
+      // the path that used to clear the click state entirely.
+      in.addData((2L, ts(10), 1L, "click"), (2L, ts(15), 2L, "click"),
+        (2L, ts(20), 3L, "purchase"))
+      q.processAllAvailable()
+      in.addData((9L, ts(300), 90L, "click"))
+      q.processAllAvailable()
+      assert(rows().get(3L).contains(2L),
+        "purchase@20s must match click@15s at the first firing")
+
+      // batch 3: a NEW purchase for user 2, long after the flush. Its
+      // only candidate is the compacted floor (click@15s, id 2).
+      in.addData((2L, ts(400), 4L, "purchase"))
+      q.processAllAvailable()
+      in.addData((9L, ts(500), 91L, "click"))
+      q.processAllAvailable()
+      assert(rows().get(4L).contains(2L),
+        s"flushed key lost its click floor: ${rows()}")
+      // and a fresh click supersedes the floor for later purchases
+      in.addData((2L, ts(520), 5L, "click"), (2L, ts(530), 6L, "purchase"))
+      q.processAllAvailable()
+      in.addData((9L, ts(900), 92L, "click"))
+      q.processAllAvailable()
+      assert(rows().get(6L).contains(5L),
+        s"newer click must beat the floor: ${rows()}")
+    } finally {
+      q.stop()
+    }
+  }
 }

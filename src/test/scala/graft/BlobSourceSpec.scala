@@ -153,4 +153,121 @@ class BlobSourceSpec extends AnyFunSuite {
     assert(df.count() == 29, "row filter must still apply")
     assert(df.rdd.getNumPartitions == 4, "doc_id filter must not prune shards")
   }
+
+  test("append mode is rejected — it cannot preserve the offset layout") {
+    val df = (0L until 3L).map(id => (id, 0, Array.fill(2)(id.toByte)))
+      .toDF("doc_id", "shard", "media")
+    val before = read().count()
+    val e = intercept[Exception] {
+      df.write.format(classOf[BlobShardDataSource].getName)
+        .option("path", dir).mode("append").save()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: causes(x.getCause))
+    assert(causes(e).exists(_.isInstanceOf[UnsupportedOperationException]),
+      s"expected UnsupportedOperationException, got $e")
+    assert(read().count() == before, "rejected append must not touch data")
+  }
+
+  test("a FAILED overwrite job leaves the existing shard files intact " +
+      "(staged commit)") {
+    val out = java.nio.file.Files.createTempDirectory("blobspec_f_").toString
+    val good = (0L until 8L).map(id => (id, (id % 2).toInt,
+      Array.fill(4)(id.toByte))).toDF("doc_id", "shard", "media")
+    BlobShards.pack(good, out)
+    val bomb = udf((id: Long) =>
+      if (id == 5L) throw new RuntimeException("boom") else Array.fill(4)(id.toByte))
+    val bad = (0L until 8L).map(id => (id, (id % 2).toInt))
+      .toDF("doc_id", "shard").withColumn("media", bomb(col("doc_id")))
+    intercept[Exception] { BlobShards.pack(bad, out) }
+    val rows = spark.read.format(classOf[BlobShardDataSource].getName)
+      .option("path", out).load().collect()
+    assert(rows.length == 8, s"failed job destroyed data: ${rows.length} rows left")
+    assert(!new java.io.File(out).listFiles().exists(_.getName.contains(".tmp-")),
+      "staged tmp files must not leak")
+  }
+
+  test("scan reports statistics: exact rows from the manifest, " +
+      "column-pruning-aware sizeInBytes") {
+    // full schema: sizeInBytes = total file bytes (headers + blobs)
+    val full = read().queryExecution.optimizedPlan.stats
+    val fileBytes = new java.io.File(dir).listFiles()
+      .filter(_.getName.matches("shard-\\d+\\.bin")).map(_.length()).sum
+    assert(full.rowCount.contains(BigInt(40)), s"rowCount: ${full.rowCount}")
+    assert(full.sizeInBytes == BigInt(fileBytes),
+      s"sizeInBytes ${full.sizeInBytes} != file bytes $fileBytes")
+    // media pruned: 24 bytes/row, not blob bytes
+    val pruned = read().select("doc_id", "length")
+      .queryExecution.optimizedPlan.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.stats
+      }.get
+    assert(pruned.rowCount.contains(BigInt(40)))
+    assert(pruned.sizeInBytes == BigInt(40L * 24),
+      s"pruned sizeInBytes ${pruned.sizeInBytes} != ${40L * 24}")
+    // shard pruning shrinks the stats with the file set
+    val one = read().filter(col("shard") === 2)
+      .queryExecution.optimizedPlan.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.stats
+      }.get
+    assert(one.rowCount.contains(BigInt(10)), s"shard-pruned rows: ${one.rowCount}")
+  }
+
+  test("statistics drive the join strategy: the small blob side broadcasts") {
+    val big = spark.range(0, 200000)
+      .withColumn("pad", lpad(col("id").cast("string"), 64, "x"))
+      .withColumnRenamed("id", "doc_id")
+    val joined = big.join(read().select("doc_id", "length"), "doc_id")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast join by source statistics:\n$plan")
+    val bcastIdx = plan.indexOf("BroadcastExchange")
+    assert(bcastIdx >= 0 && plan.indexOf("graft-shards", bcastIdx) > bcastIdx,
+      s"blob side must be the broadcast side:\n$plan")
+  }
+
+  test("micro-batch offsets clamp to record boundaries: a mid-record " +
+      "flush is never split across batches") {
+    val out = java.nio.file.Files.createTempDirectory("blobspec_m_").toString
+    val first = (0L until 4L).map(id => (id, 0,
+      Array.fill(4)(id.toByte))).toDF("doc_id", "shard", "media")
+    BlobShards.pack(first, out)
+    val mem = "blobclamp_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = spark.readStream.format(classOf[BlobShardDataSource].getName)
+      .option("path", out).load()
+      .select("shard", "doc_id", "length")
+      .writeStream.format("memory").queryName(mem)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(mem).count() == 4, "initial batch incomplete")
+      // append one record but FLUSH ONLY A PREFIX (header + 2 of 6 blob
+      // bytes) — the raw file size is now mid-record, exactly what a
+      // concurrent reader can observe under a buffered writer
+      val f = new java.io.FileOutputStream(s"$out/shard-0.bin", true)
+      val d = new java.io.DataOutputStream(f)
+      d.writeLong(java.lang.Long.reverseBytes(100L))
+      d.writeInt(Integer.reverseBytes(6))
+      d.write(Array.fill(2)(7.toByte))
+      d.flush(); f.getFD.sync()
+      q.processAllAvailable() // must admit NOTHING (no complete record)
+      assert(spark.table(mem).count() == 4,
+        "mid-record bytes were admitted as a batch")
+      // complete the record + one more
+      d.write(Array.fill(4)(7.toByte))
+      d.writeLong(java.lang.Long.reverseBytes(101L))
+      d.writeInt(Integer.reverseBytes(3))
+      d.write(Array.fill(3)(8.toByte))
+      d.close()
+      q.processAllAvailable()
+      val got = spark.table(mem).collect().map(_.getAs[Long]("doc_id")).sorted
+      assert(got.sameElements(Array(0L, 1L, 2L, 3L, 100L, 101L)),
+        s"boundary-clamped resume wrong: ${got.toSeq}")
+      val lens = spark.table(mem).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("length")).toMap
+      assert(lens(100L) == 6 && lens(101L) == 3,
+        s"framing corrupted across the clamped boundary: $lens")
+    } finally q.stop()
+  }
 }
