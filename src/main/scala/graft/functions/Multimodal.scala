@@ -12,10 +12,11 @@ import java.nio.{ByteBuffer, ByteOrder}
   * Decode policy: every format with a pure-JDK decode path is decoded
   * for REAL — [[decodeBmpDims]] parses a BITMAPINFOHEADER, [[decodeWav]]
   * walks RIFF chunks to the fmt/data pair, [[decodePng]] inflates and
-  * CRC-checks genuine PNG streams, and [[decodeJpegDims]] reads JPEG
-  * geometry through `javax.imageio` (ships in the JRE). Only MP3/H.264
-  * remain out of scope: they have no JDK decoder and the container has
-  * no native codec libs. The matching [[bmpBytes]]/[[wavBytes]]/
+  * CRC-checks genuine PNG streams, [[decodeJpegDims]] reads JPEG
+  * geometry through `javax.imageio` (ships in the JRE), and
+  * [[decodeMp3Meta]] walks MPEG-1 Layer III frame headers (metadata is
+  * header arithmetic — only the audio SAMPLES need a codec, and no
+  * pure-JDK MP3/H.264 sample decoder exists). The matching [[bmpBytes]]/[[wavBytes]]/
   * [[pngBytes]]/[[jpegBytes]] encoders exist to SYNTHESIZE test
   * payloads (the driver corpus has no media column), mirroring how a
   * real pipeline's upstream produced the container. Decoders are
@@ -342,6 +343,104 @@ object Multimodal {
   // load of this object.
   javax.imageio.ImageIO.setUseCache(false)
   locally { sys.props.getOrElseUpdate("java.awt.headless", "true") }
+
+  /** MPEG-1 Layer III side tables (ISO/IEC 11172-3): bitrate index →
+    * kbps (index 0 = "free format", 15 = invalid, both rejected by the
+    * decoder) and sample-rate index → Hz. Public so the q259 oracle SQL
+    * is GENERATED from the same constants (NOTES rule 7). */
+  val Mp3Bitrates: Array[Int] =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  val Mp3Rates: Array[Int] = Array(44100, 48000, 32000)
+
+  /** A real MPEG-1 Layer III stream: ID3v2.3 tag (10-byte header with
+    * SYNCSAFE size + `id3Payload` bytes) followed by `nFrames` frames
+    * whose 4-byte headers carry the given bitrate/rate/channel mode.
+    * Frame length = floor(144000·kbps/rate) + padding (always 0 here) —
+    * the exact hop arithmetic every MP3 walker uses. Bodies are
+    * deterministic fill; no JDK codec can synthesize real audio frames,
+    * but metadata extraction never reads bodies (that's the point). */
+  def mp3Bytes(bitrateIdx: Int, rateIdx: Int, mono: Boolean, nFrames: Int,
+      id3Payload: Int = 0): Array[Byte] = {
+    require(bitrateIdx >= 1 && bitrateIdx <= 14, s"bitrate idx $bitrateIdx")
+    require(rateIdx >= 0 && rateIdx <= 2, s"rate idx $rateIdx")
+    val frameLen = 144000 * Mp3Bitrates(bitrateIdx) / Mp3Rates(rateIdx)
+    val id3 = 10 + id3Payload
+    val out = new Array[Byte](id3 + nFrames * frameLen)
+    out(0) = 'I'; out(1) = 'D'; out(2) = '3'
+    out(3) = 3; out(4) = 0 // v2.3.0
+    out(5) = 0             // flags
+    out(6) = ((id3Payload >> 21) & 0x7f).toByte
+    out(7) = ((id3Payload >> 14) & 0x7f).toByte
+    out(8) = ((id3Payload >> 7) & 0x7f).toByte
+    out(9) = (id3Payload & 0x7f).toByte
+    var f = 0
+    while (f < nFrames) {
+      val off = id3 + f * frameLen
+      out(off) = 0xff.toByte
+      out(off + 1) = 0xfb.toByte // sync | MPEG1 | Layer III | no CRC
+      out(off + 2) = ((bitrateIdx << 4) | (rateIdx << 2)).toByte // pad 0
+      out(off + 3) = (if (mono) 0xc0 else 0x00).toByte // mode; flags 0
+      var i = off + 4
+      while (i < off + frameLen) { out(i) = ((i - off) % 251).toByte; i += 1 }
+      f += 1
+    }
+    out
+  }
+
+  /** REAL MP3 metadata walk — the frame-header analog of [[decodeWav]]'s
+    * chunk walk: skip a leading ID3v2 tag (syncsafe size), then hop
+    * frame to frame by the header-length arithmetic, validating each
+    * sync word and field range. Audio SAMPLES stay out of scope (no
+    * pure-JDK decoder exists) — but bitrate, sample rate, channel mode,
+    * frame count and duration are header fields, and a 100 TB curation
+    * pass needs exactly those. Returns (bitrateKbps, sampleRate,
+    * channels, nFrames, durationMs) over COMPLETE frames; a truncated
+    * trailing frame or lost sync stops the walk (P8 permissive stance);
+    * None if no complete frame parses. MPEG-1 Layer III only. */
+  def decodeMp3Meta(b: Array[Byte]): Option[(Int, Int, Int, Long, Long)] = {
+    var off = 0L
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      // syncsafe 28-bit size; hostile bytes with the top bit set would
+      // corrupt the size, so mask each byte to 7 bits per the spec
+      val sz = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+        ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
+      off = 10L + sz
+    }
+    var nFrames = 0L
+    var br = -1; var rate = -1; var ch = -1
+    var ok = true
+    while (ok && off + 4 <= b.length) {
+      val o = off.toInt
+      val h1 = b(o) & 0xff; val h2 = b(o + 1) & 0xff
+      val h3 = b(o + 2) & 0xff; val h4 = b(o + 3) & 0xff
+      if (h1 != 0xff || (h2 & 0xe0) != 0xe0) ok = false
+      else {
+        val version = (h2 >> 3) & 3 // 3 = MPEG-1
+        val layer = (h2 >> 1) & 3   // 1 = Layer III
+        val bi = (h3 >> 4) & 0xf
+        val ri = (h3 >> 2) & 3
+        val pad = (h3 >> 1) & 1
+        if (version != 3 || layer != 1 || bi < 1 || bi > 14 || ri > 2)
+          ok = false
+        else {
+          val flen = 144000 * Mp3Bitrates(bi) / Mp3Rates(ri) + pad
+          if (off + flen > b.length) ok = false // truncated final frame
+          else {
+            if (nFrames == 0) {
+              br = Mp3Bitrates(bi); rate = Mp3Rates(ri)
+              ch = if (((h4 >> 6) & 3) == 3) 1 else 2
+            }
+            nFrames += 1
+            off += flen
+          }
+        }
+      }
+    }
+    if (nFrames == 0) None
+    // 1152 samples per MPEG-1 Layer III frame; integer ms floor — the
+    // all-integer form both engines reproduce exactly
+    else Some((br, rate, ch, nFrames, nFrames * 1152L * 1000L / rate))
+  }
 
   /** Aspect-preserving fit of (w, h) into maxSide², never upscaling. */
   def fitThumb(w: Int, h: Int, maxSide: Int = 256): (Int, Int) = {

@@ -3578,5 +3578,60 @@ object TextQueries {
            |  round(abs(e.est_sim - j.jaccard), 4) AS abs_err
            |FROM est e JOIN j ON e.doc_a = j.doc_a AND e.doc_b = j.doc_b
            |ORDER BY e.doc_a, e.doc_b""".stripMargin
+      }),
+
+    // q259 — MP3 metadata via a REAL frame-header walk: closes the last
+    // audio gap the "no pure-JDK decoder" rationale never covered —
+    // bitrate, sample rate, channel mode, frame count and duration are
+    // HEADER fields (the exact analog of q120's RIFF chunk walk), only
+    // the samples need a codec. Fixture: a genuine MPEG-1 Layer III
+    // stream per doc (Multimodal.mp3Bytes — ID3v2.3 tag with syncsafe
+    // size + id-derived bitrate/rate/mode and text-derived frame
+    // count); decode hops frame to frame by the 144000·kbps/rate
+    // arithmetic, validating every sync word. The oracle reconstructs
+    // the same all-integer arithmetic with CASE tables GENERATED from
+    // Multimodal's bitrate/rate constants (NOTES rule 7 — one source of
+    // truth). Narrow per-row transform, the 100 TB media-metadata shape.
+    QuerySpec("q259_mp3_meta",
+      (s, dir) => {
+        import s.implicits._
+        val ds = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+        ds.mapPartitions(_.flatMap { case (id, txt) =>
+          val n = txt.getBytes("UTF-8").length
+          val media = graft.functions.Multimodal.mp3Bytes(
+            bitrateIdx = (1 + id % 14).toInt, rateIdx = (id % 3).toInt,
+            mono = id % 2 == 0, nFrames = 1 + n % 9, id3Payload = n % 17)
+          // the decode reads ONLY the MP3 bytes, not the fixture vars
+          graft.functions.Multimodal.decodeMp3Meta(media).map {
+            case (br, rate, ch, nf, durMs) =>
+              (id, media.length, br, rate, ch, nf, durMs)
+          }
+        }).toDF("doc_id", "n_bytes", "bitrate_kbps", "sample_rate",
+            "channels", "n_frames", "duration_ms")
+          .orderBy("doc_id")
+      },
+      Some {
+        val brCase = (0 until 14).map(i =>
+          s"WHEN $i THEN ${graft.functions.Multimodal.Mp3Bitrates(i + 1)}")
+          .mkString("CASE doc_id % 14 ", " ", " END")
+        val rateCase = (0 to 2).map(i =>
+          s"WHEN $i THEN ${graft.functions.Multimodal.Mp3Rates(i)}")
+          .mkString("CASE doc_id % 3 ", " ", " END")
+        s"""WITH p AS (SELECT doc_id,
+           |    $brCase AS br,
+           |    $rateCase AS rate,
+           |    CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS INTEGER) AS channels,
+           |    1 + strlen(text) % 9 AS n_frames,
+           |    strlen(text) % 17 AS id3
+           |  FROM documents)
+           |SELECT doc_id,
+           |  CAST(10 + id3 + n_frames * (144000 * br // rate) AS INTEGER) AS n_bytes,
+           |  CAST(br AS INTEGER) AS bitrate_kbps,
+           |  CAST(rate AS INTEGER) AS sample_rate,
+           |  channels,
+           |  CAST(n_frames AS BIGINT) AS n_frames,
+           |  CAST(n_frames * 1152 * 1000 // rate AS BIGINT) AS duration_ms
+           |FROM p ORDER BY doc_id""".stripMargin
       }))
 }

@@ -254,6 +254,105 @@ object VectorQueries {
       .select("q_id", "vec_id", "cos_sim", "rnk")
   }
 
+  /** The IVF-PQ SERVE path shared by q144 (inline index) and q258
+    * (index loaded from parquet artifacts): probe nprobe=2 coarse cells
+    * per query, build the per-query ADC lookup table against the
+    * residual codebook, score byte-width codes, top-5 per query. The
+    * one embeddings-derived input is `queries` — centroids, codebook
+    * and codes arrive as arguments, so q258's lineage can consist of
+    * index-artifact scans only. */
+  private def ivfPqServe(queries: DataFrame, cents: DataFrame,
+      cb: DataFrame, codes: DataFrame): DataFrame = {
+    val scoredCents = queries.crossJoin(broadcast(cents))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+        col("cent_id"), col("cent_vec"),
+        round(call_function("graft_cosine", col("cent_vec"), col("embedding")), 6)
+          .as("sim"))
+    val wp = Window.partitionBy("q_id").orderBy(col("sim").desc, col("cent_id"))
+    val probed = scoredCents.withColumn("pn", row_number().over(wp))
+      .filter(col("pn") <= 2)
+      .select(col("q_id"), col("cent_id").as("list_id"),
+        zip_with(col("q_vec"), col("cent_vec"),
+          (a, b) => a.cast("double") - b.cast("double")).as("q_res"))
+    val qsv = probed.select(col("q_id"), col("list_id"), explode(expr(
+        s"transform(sequence(0, ${pqM - 1}), s -> struct(s AS sub, slice(q_res, s*$pqSd + 1, $pqSd) AS qv))")).as("x"))
+      .select(col("q_id"), col("list_id"), col("x.sub").as("sub"),
+        col("x.qv").as("qv"))
+    val lut = qsv.join(broadcast(cb), "sub")
+      .select(col("q_id"), col("list_id"), col("sub"),
+        col("cent_id").as("code"),
+        round(pqL2(col("qv"), col("cv")), 6).cast("decimal(18,6)").as("pd"))
+    val sc = codes.join(lut, Seq("list_id", "sub", "code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy("q_id", "vec_id")
+      .agg(sum(col("pd")).as("adc_dec"))
+      .select(col("q_id"), col("vec_id"),
+        col("adc_dec").cast("double").as("adc"))
+    val wr = Window.partitionBy("q_id").orderBy(col("adc").asc, col("vec_id"))
+    sc.withColumn("rnk", row_number().over(wr)).filter(col("rnk") <= 5)
+      .select("q_id", "vec_id", "adc", "rnk")
+      .orderBy("q_id", "rnk")
+  }
+
+  /** q144/q258 shared oracle: the full IVF-PQ residual search restated
+    * in DuckDB. One string, two queries — the persisted index must be
+    * bit-identical to the inline one, so the SAME oracle verifies both
+    * (parquet round-trips IEEE bits exactly; any artifact drift becomes
+    * a hash mismatch on q258 specifically). */
+  private lazy val duckIvfPqOracle: String =
+    s"""WITH cents AS (SELECT CAST(vec_id AS INTEGER) AS cent_id, embedding AS cent_vec
+       |  FROM embeddings WHERE vec_id < $ivfK),
+       |assigned AS (SELECT vec_id, embedding, cent_id FROM (
+       |  SELECT e.vec_id, e.embedding, c.cent_id,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY round(${duckCos("c.cent_vec", "e.embedding")}, 6) DESC, c.cent_id) AS rn
+       |  FROM embeddings e, cents c) WHERE rn = 1),
+       |resid AS (SELECT a.vec_id, a.cent_id AS list_id,
+       |    list_transform(generate_series(1, $dim), i ->
+       |      CAST(a.embedding[i] AS DOUBLE) - CAST(c.cent_vec[i] AS DOUBLE)) AS r
+       |  FROM assigned a JOIN cents c ON a.cent_id = c.cent_id),
+       |sv AS (SELECT vec_id, s AS sub, r[s*$pqSd+1 : s*$pqSd+$pqSd] AS v
+       |  FROM resid, UNNEST(generate_series(0, ${pqM - 1})) t(s)),
+       |c0 AS (SELECT sub, CAST(vec_id - 4 AS INTEGER) AS cent_id, v AS cv
+       |  FROM sv WHERE vec_id >= 4 AND vec_id < 8),
+       |a0 AS (SELECT vec_id, sub, v, cent_id FROM (
+       |  SELECT sv.vec_id, sv.sub, sv.v, c.cent_id,
+       |    row_number() OVER (PARTITION BY sv.vec_id, sv.sub
+       |      ORDER BY round(${duckPqL2("sv.v", "c.cv")}, 6) ASC, c.cent_id) AS rn
+       |  FROM sv JOIN c0 c USING (sub)) WHERE rn = 1),
+       |u AS (SELECT sub, cent_id, i,
+       |    CAST(SUM(CAST(CAST(v[i] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS cv1
+       |  FROM a0, generate_series(1, $pqSd) t(i) GROUP BY sub, cent_id, i),
+       |c1 AS (SELECT sub, cent_id, list(cv1 ORDER BY i) AS cv FROM u GROUP BY sub, cent_id),
+       |a1 AS (SELECT vec_id, sub, cent_id AS code FROM (
+       |  SELECT sv.vec_id, sv.sub, c.cent_id,
+       |    row_number() OVER (PARTITION BY sv.vec_id, sv.sub
+       |      ORDER BY round(${duckPqL2("sv.v", "c.cv")}, 6) ASC, c.cent_id) AS rn
+       |  FROM sv JOIN c1 c USING (sub)) WHERE rn = 1),
+       |codes AS (SELECT a1.vec_id, r.list_id, a1.sub, a1.code
+       |  FROM a1 JOIN resid r ON a1.vec_id = r.vec_id),
+       |probes AS (SELECT q_id, list_id, q_res FROM (
+       |  SELECT q.vec_id AS q_id, c.cent_id AS list_id,
+       |    list_transform(generate_series(1, $dim), i ->
+       |      CAST(q.embedding[i] AS DOUBLE) - CAST(c.cent_vec[i] AS DOUBLE)) AS q_res,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY round(${duckCos("c.cent_vec", "q.embedding")}, 6) DESC, c.cent_id) AS pn
+       |  FROM embeddings q, cents c WHERE q.vec_id < 8) WHERE pn <= 2),
+       |qsv AS (SELECT q_id, list_id, s AS sub, q_res[s*$pqSd+1 : s*$pqSd+$pqSd] AS qv
+       |  FROM probes, UNNEST(generate_series(0, ${pqM - 1})) t(s)),
+       |lut AS (SELECT q_id, list_id, sub, c1.cent_id AS code,
+       |    CAST(round(${duckPqL2("qv", "c1.cv")}, 6) AS DECIMAL(18,6)) AS pd
+       |  FROM qsv JOIN c1 USING (sub)),
+       |sc AS (SELECT l.q_id, k.vec_id, CAST(SUM(pd) AS DOUBLE) AS adc
+       |  FROM codes k JOIN lut l
+       |    ON k.list_id = l.list_id AND k.sub = l.sub AND k.code = l.code
+       |  WHERE k.vec_id <> l.q_id
+       |  GROUP BY l.q_id, k.vec_id),
+       |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+       |    ORDER BY adc ASC, vec_id) AS INTEGER) AS rnk FROM sc)
+       |SELECT q_id, vec_id, adc, rnk FROM ranked WHERE rnk <= 5
+       |ORDER BY q_id, rnk""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
 
     // q31 — brute-force cosine top-5 for 8 query vectors. The query set is
@@ -873,89 +972,9 @@ object VectorQueries {
           .select(col("vec_id"), col("sub"), col("cent_id").as("code"))
           .join(resid.select(col("vec_id"), col("list_id")), "vec_id")
           .persistTracked()
-        val scoredCents = emb.filter(col("vec_id") < 8).crossJoin(broadcast(cents))
-          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
-            col("cent_id"), col("cent_vec"),
-            round(call_function("graft_cosine", col("cent_vec"), col("embedding")), 6)
-              .as("sim"))
-        val wp = Window.partitionBy("q_id").orderBy(col("sim").desc, col("cent_id"))
-        val probed = scoredCents.withColumn("pn", row_number().over(wp))
-          .filter(col("pn") <= 2)
-          .select(col("q_id"), col("cent_id").as("list_id"),
-            zip_with(col("q_vec"), col("cent_vec"),
-              (a, b) => a.cast("double") - b.cast("double")).as("q_res"))
-        val qsv = probed.select(col("q_id"), col("list_id"), explode(expr(
-            s"transform(sequence(0, ${pqM - 1}), s -> struct(s AS sub, slice(q_res, s*$pqSd + 1, $pqSd) AS qv))")).as("x"))
-          .select(col("q_id"), col("list_id"), col("x.sub").as("sub"),
-            col("x.qv").as("qv"))
-        val lut = qsv.join(broadcast(cb), "sub")
-          .select(col("q_id"), col("list_id"), col("sub"),
-            col("cent_id").as("code"),
-            round(pqL2(col("qv"), col("cv")), 6).cast("decimal(18,6)").as("pd"))
-        val sc = codes.join(lut, Seq("list_id", "sub", "code"))
-          .filter(col("vec_id") =!= col("q_id"))
-          .groupBy("q_id", "vec_id")
-          .agg(sum(col("pd")).as("adc_dec"))
-          .select(col("q_id"), col("vec_id"),
-            col("adc_dec").cast("double").as("adc"))
-        val wr = Window.partitionBy("q_id").orderBy(col("adc").asc, col("vec_id"))
-        sc.withColumn("rnk", row_number().over(wr)).filter(col("rnk") <= 5)
-          .select("q_id", "vec_id", "adc", "rnk")
-          .orderBy("q_id", "rnk")
+        ivfPqServe(emb.filter(col("vec_id") < 8), cents, cb, codes)
       },
-      Some(s"""WITH cents AS (SELECT CAST(vec_id AS INTEGER) AS cent_id, embedding AS cent_vec
-              |  FROM embeddings WHERE vec_id < $ivfK),
-              |assigned AS (SELECT vec_id, embedding, cent_id FROM (
-              |  SELECT e.vec_id, e.embedding, c.cent_id,
-              |    row_number() OVER (PARTITION BY e.vec_id
-              |      ORDER BY round(${duckCos("c.cent_vec", "e.embedding")}, 6) DESC, c.cent_id) AS rn
-              |  FROM embeddings e, cents c) WHERE rn = 1),
-              |resid AS (SELECT a.vec_id, a.cent_id AS list_id,
-              |    list_transform(generate_series(1, $dim), i ->
-              |      CAST(a.embedding[i] AS DOUBLE) - CAST(c.cent_vec[i] AS DOUBLE)) AS r
-              |  FROM assigned a JOIN cents c ON a.cent_id = c.cent_id),
-              |sv AS (SELECT vec_id, s AS sub, r[s*$pqSd+1 : s*$pqSd+$pqSd] AS v
-              |  FROM resid, UNNEST(generate_series(0, ${pqM - 1})) t(s)),
-              |c0 AS (SELECT sub, CAST(vec_id - 4 AS INTEGER) AS cent_id, v AS cv
-              |  FROM sv WHERE vec_id >= 4 AND vec_id < 8),
-              |a0 AS (SELECT vec_id, sub, v, cent_id FROM (
-              |  SELECT sv.vec_id, sv.sub, sv.v, c.cent_id,
-              |    row_number() OVER (PARTITION BY sv.vec_id, sv.sub
-              |      ORDER BY round(${duckPqL2("sv.v", "c.cv")}, 6) ASC, c.cent_id) AS rn
-              |  FROM sv JOIN c0 c USING (sub)) WHERE rn = 1),
-              |u AS (SELECT sub, cent_id, i,
-              |    CAST(SUM(CAST(CAST(v[i] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS cv1
-              |  FROM a0, generate_series(1, $pqSd) t(i) GROUP BY sub, cent_id, i),
-              |c1 AS (SELECT sub, cent_id, list(cv1 ORDER BY i) AS cv FROM u GROUP BY sub, cent_id),
-              |a1 AS (SELECT vec_id, sub, cent_id AS code FROM (
-              |  SELECT sv.vec_id, sv.sub, c.cent_id,
-              |    row_number() OVER (PARTITION BY sv.vec_id, sv.sub
-              |      ORDER BY round(${duckPqL2("sv.v", "c.cv")}, 6) ASC, c.cent_id) AS rn
-              |  FROM sv JOIN c1 c USING (sub)) WHERE rn = 1),
-              |codes AS (SELECT a1.vec_id, r.list_id, a1.sub, a1.code
-              |  FROM a1 JOIN resid r ON a1.vec_id = r.vec_id),
-              |probes AS (SELECT q_id, list_id, q_res FROM (
-              |  SELECT q.vec_id AS q_id, c.cent_id AS list_id,
-              |    list_transform(generate_series(1, $dim), i ->
-              |      CAST(q.embedding[i] AS DOUBLE) - CAST(c.cent_vec[i] AS DOUBLE)) AS q_res,
-              |    row_number() OVER (PARTITION BY q.vec_id
-              |      ORDER BY round(${duckCos("c.cent_vec", "q.embedding")}, 6) DESC, c.cent_id) AS pn
-              |  FROM embeddings q, cents c WHERE q.vec_id < 8) WHERE pn <= 2),
-              |qsv AS (SELECT q_id, list_id, s AS sub, q_res[s*$pqSd+1 : s*$pqSd+$pqSd] AS qv
-              |  FROM probes, UNNEST(generate_series(0, ${pqM - 1})) t(s)),
-              |lut AS (SELECT q_id, list_id, sub, c1.cent_id AS code,
-              |    CAST(round(${duckPqL2("qv", "c1.cv")}, 6) AS DECIMAL(18,6)) AS pd
-              |  FROM qsv JOIN c1 USING (sub)),
-              |sc AS (SELECT l.q_id, k.vec_id, CAST(SUM(pd) AS DOUBLE) AS adc
-              |  FROM codes k JOIN lut l
-              |    ON k.list_id = l.list_id AND k.sub = l.sub AND k.code = l.code
-              |  WHERE k.vec_id <> l.q_id
-              |  GROUP BY l.q_id, k.vec_id),
-              |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
-              |    ORDER BY adc ASC, vec_id) AS INTEGER) AS rnk FROM sc)
-              |SELECT q_id, vec_id, adc, rnk FROM ranked WHERE rnk <= 5
-              |ORDER BY q_id, rnk""".stripMargin)),
-
+      Some(duckIvfPqOracle)),
     // q145 — per-label centroid (mean pooling): the embedding-
     // aggregation shape behind both class prototypes (few-shot heads,
     // SemDeDup's cluster centers) and chunk→document pooling. posexplode
@@ -1615,5 +1634,52 @@ object VectorQueries {
            |  round(list_sum(array_agg(rel * ln(2) / ln(rnk + 1) ORDER BY rnk))
            |    / $idcg, 6) AS ndcg5
            |FROM rel GROUP BY q_id ORDER BY q_id""".stripMargin
-      }))
+      }),
+
+    // q258 — ANN INDEX LIFECYCLE: build once, serve many. Every prior
+    // ANN query (q59/q93/q144) recomputes its index inline in the same
+    // lineage; the production shape on a 100 TB corpus builds the index
+    // in a nightly job, PERSISTS the artifacts (coarse centroids, PQ
+    // residual codebook, byte-width codes), and serves every search
+    // against the loaded artifacts. This query runs the full cycle:
+    // q144's exact build → three parquet artifacts via Sinks → a serve
+    // lineage that reads ONLY the artifacts plus the 8 query vectors
+    // (PlanSpec pins: exactly one embeddings scan, three index scans —
+    // no inline recompute). The oracle is q144's, shared verbatim: the
+    // persisted index must be bit-identical to the inline one (parquet
+    // round-trips IEEE bits), so any drift through the write/read
+    // boundary fails THIS query's hash. Scale shape: the serve side
+    // broadcasts only the k·d centroids and k·m codebook; the codes
+    // table joins at byte width — searches never touch raw vectors
+    // except their own query batch.
+    QuerySpec("q258_ann_index_serve",
+      (s, dir) => {
+        val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
+          "graft_annidx_" + Integer.toHexString(dir.hashCode)).toString
+        // BUILD (q144's artifacts, persisted through the engine's sink)
+        val emb = Tables.load(s, dir, "embeddings")
+        val cents = seedCentroids(emb)
+          .withColumn("cent_id", col("cent_id").cast("int"))
+        val resid = nearestCentroid(emb, cents)
+          .join(broadcast(cents), "cent_id")
+          .select(col("vec_id"), col("cent_id").as("list_id"),
+            zip_with(col("embedding"), col("cent_vec"),
+              (a, b) => a.cast("double") - b.cast("double")).as("embedding"))
+          .persistTracked()
+        val sv = pqSubvectors(resid.select("vec_id", "embedding")).persistTracked()
+        val cb = pqCodebook(sv, seedFrom = 4)
+        val codes = pqAssign(sv, cb)
+          .select(col("vec_id"), col("sub"), col("cent_id").as("code"))
+          .join(resid.select(col("vec_id"), col("list_id")), "vec_id")
+        graft.core.Sinks.parquet(cents, s"$idx/centroids")
+        graft.core.Sinks.parquet(cb, s"$idx/codebook")
+        graft.core.Sinks.parquet(codes, s"$idx/codes")
+        // SERVE: only index-artifact scans + the query vectors
+        ivfPqServe(
+          emb.filter(col("vec_id") < 8),
+          s.read.parquet(s"$idx/centroids"),
+          s.read.parquet(s"$idx/codebook"),
+          s.read.parquet(s"$idx/codes"))
+      },
+      Some(duckIvfPqOracle)))
 }

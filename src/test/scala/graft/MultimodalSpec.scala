@@ -158,4 +158,43 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.fitThumb(100, 250) == (100, 250)) // no upscale
     assert(Multimodal.fitThumb(480, 640) == (192, 256))
   }
+
+  test("MP3: encode → frame-header walk round-trips every field") {
+    for (bi <- 1 to 14; ri <- 0 to 2; mono <- Seq(true, false)) {
+      val nf = 1 + (bi + ri) % 5
+      val b = Multimodal.mp3Bytes(bi, ri, mono, nf, id3Payload = 7)
+      val got = Multimodal.decodeMp3Meta(b)
+      val br = Multimodal.Mp3Bitrates(bi); val rate = Multimodal.Mp3Rates(ri)
+      assert(got.contains((br, rate, if (mono) 1 else 2, nf.toLong,
+        nf * 1152L * 1000L / rate)), s"bi=$bi ri=$ri mono=$mono: $got")
+      assert(b.length == 17 + nf * (144000 * br / rate),
+        "declared geometry must match the byte count")
+    }
+  }
+
+  test("MP3 decode never throws on malformed-but-plausible streams") {
+    // truncated final frame: count only the complete ones
+    val full = Multimodal.mp3Bytes(5, 1, mono = true, nFrames = 3)
+    val cut = full.dropRight(5)
+    assert(Multimodal.decodeMp3Meta(cut).exists(_._4 == 2L),
+      "truncated trailing frame must not count")
+    // garbage after valid frames: stop at lost sync, keep the prefix
+    val noisy = full ++ Array.fill(16)(0x55.toByte)
+    assert(Multimodal.decodeMp3Meta(noisy).exists(_._4 == 3L))
+    // ID3 tag only, no frames
+    assert(Multimodal.decodeMp3Meta(full.take(10)).isEmpty)
+    // not an MP3 at all
+    assert(Multimodal.decodeMp3Meta("RIFFxxxxWAVE".getBytes).isEmpty)
+    assert(Multimodal.decodeMp3Meta(Array.empty[Byte]).isEmpty)
+    // hostile ID3 size claiming past EOF: walk must end cleanly
+    val hostile = full.clone(); hostile(9) = 0x7f.toByte
+    assert(Multimodal.decodeMp3Meta(hostile).isEmpty ||
+      Multimodal.decodeMp3Meta(hostile).isDefined) // no throw is the contract
+    // free-format (bitrate idx 0) and reserved (15) headers are rejected
+    // (first frame header starts at 10 — the tag has no payload here)
+    val bad0 = full.clone(); bad0(10 + 2) = (0 << 4 | 1 << 2).toByte
+    val bad15 = full.clone(); bad15(10 + 2) = ((15 << 4 | 1 << 2) & 0xff).toByte
+    assert(Multimodal.decodeMp3Meta(bad0).isEmpty)
+    assert(Multimodal.decodeMp3Meta(bad15).isEmpty)
+  }
 }

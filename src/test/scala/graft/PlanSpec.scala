@@ -314,4 +314,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!read.contains("l_orderkey") && !read.contains("l_tax"),
       s"scan not pruned: $read")
   }
+
+  test("q258: the SERVE lineage reads only index artifacts — exactly one " +
+      "embeddings scan (the query vectors), no inline index recompute") {
+    // the fn builds + persists the index eagerly, then returns the serve
+    // DataFrame — its plan IS the serve path
+    val p = plan("q258_ann_index_serve")
+    val scans = p.linesIterator.filter(l =>
+      l.contains("FileScan parquet") || l.contains("BatchScan")).toSeq
+    val embScans = scans.count(_.contains("embeddings"))
+    assert(embScans == 1,
+      s"serve path must scan embeddings ONCE (query vectors), saw $embScans:\n" +
+        scans.mkString("\n"))
+    assert(scans.count(_.contains("graft_annidx")) >= 3,
+      s"serve path must read the 3 persisted artifacts:\n${scans.mkString("\n")}")
+  }
 }
