@@ -420,5 +420,65 @@ object EventQueries {
              |  CAST(min(CASE WHEN cum >= (n + 1) // 2 AND cum - cnt < (n + 1) // 2 THEN lag_s END) AS BIGINT) AS p50_lag_s,
              |  CAST(min(CASE WHEN cum >= (9 * n + 9) // 10 AND cum - cnt < (9 * n + 9) // 10 THEN lag_s END) AS BIGINT) AS p90_lag_s,
              |  CAST(max(lag_s) AS BIGINT) AS max_lag_s
-             |FROM cm, t GROUP BY n""".stripMargin)))
+             |FROM cm, t GROUP BY n""".stripMargin)),
+
+    // q262 — AQE SKEW-JOIN under the gate: `ops.Skew.saltedJoin` proves
+    // the MANUAL skew remedy (q50/q71); a real cluster reaches for the
+    // DECLARATIVE one first — `spark.sql.adaptive.skewJoin` splits the
+    // oversized shuffle partition at runtime and duplicates the
+    // matching build-side rows, no query rewrite. Shape: a hot-entity
+    // enrichment join — most events collapse onto profile 0 (the
+    // celebrity-account pattern of any user/item fact table) and join
+    // the documents table as the profile dimension. BOTH join children
+    // must be plain ENSURE_REQUIREMENTS shuffles for the skew rule to
+    // match (an aggregate between the sort and the shuffle defeats the
+    // pattern — found empirically; the first draft self-joined
+    // key-level stats and was silently never optimized). The session
+    // CLONE (Tuned — shared conf never mutated) disables broadcast so
+    // the join MUST be a shuffle SMJ, and floors the skew thresholds to
+    // fixture scale (production keeps the 256 MB defaults; the
+    // MECHANISM is identical). PlanSpec executes the query and pins the
+    // final adaptive plan: SortMergeJoin(skew=true) with skewed
+    // AQEShuffleReads. All-integer output — runtime re-plans must not
+    // (and cannot) change results.
+    QuerySpec("q262_aqe_skew_join",
+      (s, dir) => {
+        val ts = graft.core.Tuned.session(s,
+          "spark.sql.adaptive.enabled" -> "true",
+          "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+          "spark.sql.adaptive.skewJoin.enabled" -> "true",
+          "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+          "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "100b",
+          "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "100b",
+          "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+        // A skewed REDUCE partition splits along MAP-output boundaries,
+        // so the fixture's single-row-group parquet (one mapper) is
+        // unsplittable no matter how hot the key — the round-robin
+        // repartition stands in for the thousands of scan tasks a real
+        // fact table has for free (found empirically: with 1 mapper the
+        // rule matches and silently does nothing).
+        val k = Tables.load(ts, dir, "events")
+          .select(col("event_type"), col("user_id"),
+            when(col("user_id") % 10 < 7, 0L).otherwise(col("user_id"))
+              .as("sk"))
+          .repartition(8)
+        val prof = Tables.load(ts, dir, "documents")
+          .select(col("doc_id").as("sk"), length(col("text")).as("prof_len"))
+        k.join(prof, "sk")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct(col("user_id")).as("n_users"),
+            sum(col("prof_len").cast("long")).as("prof_chars"))
+          .orderBy("event_type")
+      },
+      Some("""WITH k AS (SELECT event_type, user_id,
+             |    CASE WHEN user_id % 10 < 7 THEN 0 ELSE user_id END AS sk
+             |  FROM events),
+             |p AS (SELECT doc_id AS sk, strlen(text) AS prof_len FROM documents)
+             |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+             |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+             |  CAST(SUM(prof_len) AS BIGINT) AS prof_chars
+             |FROM k JOIN p USING (sk)
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)))
 }

@@ -864,14 +864,21 @@ object TextQueries {
     // p(t) = 0 terms contribute 0 by absence.
     QuerySpec("q153_source_kl",
       (s, dir) => {
+        // tok feeds BOTH the global top-20 pass and the per-source
+        // restricted count — without the persist the tokenize+explode
+        // scan (the dominant cost) runs twice (VERDICT r7 nit #1).
         val tok = Tables.load(s, dir, "documents")
           .select(col("source"), explode(Text.tokens(lower(col("text")))).as("t"))
+          .persistTracked()
         val top = tok.groupBy("t").agg(count(lit(1)).as("cg"))
           .orderBy(desc("cg"), col("t")).limit(20)
           .persistTracked()
         val gtot = top.agg(sum(col("cg")).as("gt"))
+        // st is (source, top-term) grain — tiny; persisting it keeps the
+        // stot branch from re-scanning the cached token table
         val st = tok.join(broadcast(top.select("t")), "t")
           .groupBy("source", "t").agg(count(lit(1)).as("cs"))
+          .persistTracked()
         val stot = st.groupBy("source").agg(sum(col("cs")).as("ts"))
         st.join(stot, "source")
           .join(broadcast(top), "t").crossJoin(broadcast(gtot))

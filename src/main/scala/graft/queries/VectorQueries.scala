@@ -294,6 +294,88 @@ object VectorQueries {
       .orderBy("q_id", "rnk")
   }
 
+  /** kNN-graph family (q233 construction, q260 beam serve, q261
+    * convergence): shared degree so graph and consumers can't drift. */
+  private val knnK = 3
+
+  /** Initial kNN graph (vec_id, nb): exact top-k within each vector's
+    * IVF cell — the q121 salted within-cluster join, Σ|cluster|² pairs,
+    * never n². */
+  private def knnInit(emb: DataFrame): DataFrame = {
+    val cents = seedCentroids(emb)
+    val assigned = nearestCentroid(emb, cents).persistTracked()
+    val wv = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("nb"))
+    graft.ops.Skew.saltedJoin(
+        assigned.select(col("cent_id"), col("vec_id"),
+          col("embedding").as("ea")),
+        assigned.select(col("cent_id"), col("vec_id").as("nb"),
+          col("embedding").as("eb")),
+        Seq("cent_id"), salts = 8)
+      .filter(col("nb") =!= col("vec_id"))
+      .select(col("vec_id"), col("nb"),
+        round(call_function("graft_cosine", col("ea"), col("eb")), 6)
+          .as("sim"))
+      .withColumn("rn", row_number().over(wv)).filter(col("rn") <= knnK)
+      .select("vec_id", "nb")
+  }
+
+  /** One NN-descent refinement sweep (Dong et al., WWW '11): candidates
+    * = g ∪ reverse(g) ∪ g∘g (each vector meets ≤ k + k² candidates —
+    * corpus-linear), re-scored exactly, top-k re-ranked. Ties break on
+    * nb over 6-dp cosine — deterministic in both engines. Returns
+    * (vec_id, rnk, nb, sim). */
+  private def nnSweep(emb: DataFrame, g: DataFrame): DataFrame = {
+    val wv = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("nb"))
+    val rev = g.select(col("nb").as("vec_id"), col("vec_id").as("nb"))
+    val non = g.select(col("vec_id"), col("nb").as("mid"))
+      .join(g.select(col("vec_id").as("mid"), col("nb")), "mid")
+      .select("vec_id", "nb")
+    g.unionByName(rev).unionByName(non)
+      .filter(col("vec_id") =!= col("nb")).distinct()
+      .join(emb.select(col("vec_id"), col("embedding").as("ea")), "vec_id")
+      .join(emb.select(col("vec_id").as("nb"), col("embedding").as("eb")),
+        "nb")
+      .select(col("vec_id"), col("nb"),
+        round(call_function("graft_cosine", col("ea"), col("eb")), 6)
+          .as("sim"))
+      .withColumn("rnk", row_number().over(wv).cast("int"))
+      .filter(col("rnk") <= knnK)
+      .select(col("vec_id"), col("rnk"), col("nb"), col("sim"))
+  }
+
+  /** q233's oracle pipeline as shared CTEs: `g0` the IVF-cell init graph,
+    * `r` the post-sweep ranked candidates, `g1` the refined kNN graph —
+    * reused by q260 (beam search serves over g1) and q261 (the second
+    * sweep starts from g1), so the graph and its consumers cannot
+    * drift. */
+  private def duckKnnCtes: String =
+    s"""cents AS (SELECT vec_id AS cent_id, embedding AS cent_vec
+       |    FROM embeddings WHERE vec_id < $ivfK),
+       |assigned AS (SELECT vec_id, embedding, cent_id FROM (
+       |  SELECT e.vec_id, e.embedding, c.cent_id,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY round(${duckCos("c.cent_vec", "e.embedding")}, 6) DESC, c.cent_id) AS rn
+       |  FROM embeddings e, cents c) WHERE rn = 1),
+       |pairs AS (SELECT a.vec_id, b.vec_id AS nb,
+       |    round(${duckCos("a.embedding", "b.embedding")}, 6) AS sim
+       |  FROM assigned a JOIN assigned b
+       |    ON a.cent_id = b.cent_id AND a.vec_id <> b.vec_id),
+       |g0 AS (SELECT vec_id, nb FROM (SELECT vec_id, nb,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY sim DESC, nb) AS rn FROM pairs) WHERE rn <= $knnK),
+       |cand AS (SELECT vec_id, nb FROM g0
+       |  UNION SELECT nb, vec_id FROM g0
+       |  UNION SELECT a.vec_id, b.nb FROM g0 a
+       |    JOIN g0 b ON a.nb = b.vec_id WHERE a.vec_id <> b.nb),
+       |sc AS (SELECT c.vec_id, c.nb,
+       |    round(${duckCos("x.embedding", "y.embedding")}, 6) AS sim
+       |  FROM cand c JOIN embeddings x ON x.vec_id = c.vec_id
+       |              JOIN embeddings y ON y.vec_id = c.nb),
+       |r AS (SELECT vec_id, nb, sim,
+       |    CAST(row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY sim DESC, nb) AS INTEGER) AS rnk FROM sc),
+       |g1 AS (SELECT vec_id, nb FROM r WHERE rnk <= $knnK)""".stripMargin
+
   /** q144/q258 shared oracle: the full IVF-PQ residual search restated
     * in DuckDB. One string, two queries — the persisted index must be
     * bit-identical to the inline one, so the SAME oracle verifies both
@@ -1516,69 +1598,12 @@ object VectorQueries {
     // cosine — deterministic in both engines.
     QuerySpec("q233_knn_graph",
       (s, dir) => {
-        val k = 3
         val emb = Tables.load(s, dir, "embeddings").persistTracked()
-        val cents = seedCentroids(emb)
-        val assigned = nearestCentroid(emb, cents).persistTracked()
-        val wv = Window.partitionBy("vec_id")
-          .orderBy(col("sim").desc, col("nb"))
-        val g0 = graft.ops.Skew.saltedJoin(
-            assigned.select(col("cent_id"), col("vec_id"),
-              col("embedding").as("ea")),
-            assigned.select(col("cent_id"), col("vec_id").as("nb"),
-              col("embedding").as("eb")),
-            Seq("cent_id"), salts = 8)
-          .filter(col("nb") =!= col("vec_id"))
-          .select(col("vec_id"), col("nb"),
-            round(call_function("graft_cosine", col("ea"), col("eb")), 6)
-              .as("sim"))
-          .withColumn("rn", row_number().over(wv)).filter(col("rn") <= k)
-          .select("vec_id", "nb")
-          .persistTracked()
-        val rev = g0.select(col("nb").as("vec_id"), col("vec_id").as("nb"))
-        val non = g0.select(col("vec_id"), col("nb").as("mid"))
-          .join(g0.select(col("vec_id").as("mid"), col("nb")), "mid")
-          .select("vec_id", "nb")
-        val cand = g0.unionByName(rev).unionByName(non)
-          .filter(col("vec_id") =!= col("nb")).distinct()
-        cand
-          .join(emb.select(col("vec_id"), col("embedding").as("ea")), "vec_id")
-          .join(emb.select(col("vec_id").as("nb"), col("embedding").as("eb")),
-            "nb")
-          .select(col("vec_id"), col("nb"),
-            round(call_function("graft_cosine", col("ea"), col("eb")), 6)
-              .as("sim"))
-          .withColumn("rnk", row_number().over(wv).cast("int"))
-          .filter(col("rnk") <= k)
-          .select(col("vec_id"), col("rnk"), col("nb"), col("sim"))
-          .orderBy("vec_id", "rnk")
+        val g0 = knnInit(emb).persistTracked()
+        nnSweep(emb, g0).orderBy("vec_id", "rnk")
       },
-      Some(s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent_vec
-              |    FROM embeddings WHERE vec_id < $ivfK),
-              |assigned AS (SELECT vec_id, embedding, cent_id FROM (
-              |  SELECT e.vec_id, e.embedding, c.cent_id,
-              |    row_number() OVER (PARTITION BY e.vec_id
-              |      ORDER BY round(${duckCos("c.cent_vec", "e.embedding")}, 6) DESC, c.cent_id) AS rn
-              |  FROM embeddings e, cents c) WHERE rn = 1),
-              |pairs AS (SELECT a.vec_id, b.vec_id AS nb,
-              |    round(${duckCos("a.embedding", "b.embedding")}, 6) AS sim
-              |  FROM assigned a JOIN assigned b
-              |    ON a.cent_id = b.cent_id AND a.vec_id <> b.vec_id),
-              |g0 AS (SELECT vec_id, nb FROM (SELECT vec_id, nb,
-              |    row_number() OVER (PARTITION BY vec_id
-              |      ORDER BY sim DESC, nb) AS rn FROM pairs) WHERE rn <= 3),
-              |cand AS (SELECT vec_id, nb FROM g0
-              |  UNION SELECT nb, vec_id FROM g0
-              |  UNION SELECT a.vec_id, b.nb FROM g0 a
-              |    JOIN g0 b ON a.nb = b.vec_id WHERE a.vec_id <> b.nb),
-              |sc AS (SELECT c.vec_id, c.nb,
-              |    round(${duckCos("x.embedding", "y.embedding")}, 6) AS sim
-              |  FROM cand c JOIN embeddings x ON x.vec_id = c.vec_id
-              |              JOIN embeddings y ON y.vec_id = c.nb),
-              |r AS (SELECT vec_id, nb, sim,
-              |    CAST(row_number() OVER (PARTITION BY vec_id
-              |      ORDER BY sim DESC, nb) AS INTEGER) AS rnk FROM sc)
-              |SELECT vec_id, rnk, nb, sim FROM r WHERE rnk <= 3
+      Some(s"""WITH $duckKnnCtes
+              |SELECT vec_id, rnk, nb, sim FROM r WHERE rnk <= $knnK
               |ORDER BY vec_id, rnk""".stripMargin)),
 
     // q252 — NDCG@5 of the IVF retrieval against label-graded relevance
@@ -1681,5 +1706,130 @@ object VectorQueries {
           s.read.parquet(s"$idx/codebook"),
           s.read.parquet(s"$idx/codes"))
       },
-      Some(duckIvfPqOracle)))
+      Some(duckIvfPqOracle)),
+
+    // q260 — BEAM SEARCH over the q233 kNN graph: the HNSW layer-0
+    // serve primitive, completing graph-based ANN from construction
+    // (q233) to querying. Greedy best-first from a FIXED entry node
+    // (vec_id 0) with a deterministic beam: per hop, candidates = beam
+    // nodes ∪ their graph neighbors, re-scored by exact cosine against
+    // the query, top-4 kept (6-dp round + node-id tie-break — both
+    // engines rank identically). Two hops, unrolled in BOTH engines (a
+    // fixed hop count needs no recursion and stays hash-stable). Scale
+    // shape: per-query frontier is ≤ beam·(1+k) nodes per hop —
+    // CORPUS-INDEPENDENT work per query, the property that makes graph
+    // serving the production choice; the candidate→embedding join keys
+    // on node id (tiny side auto-broadcasts), and the graph is built
+    // once (persisted) for the whole query batch.
+    QuerySpec("q260_knn_beam_search",
+      (s, dir) => {
+        val beamW = 4
+        val emb = Tables.load(s, dir, "embeddings").persistTracked()
+        val g = nnSweep(emb, knnInit(emb).persistTracked())
+          .select(col("vec_id").as("src"), col("nb")).persistTracked()
+        val q = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+        val wq = Window.partitionBy("q_id").orderBy(col("sim").desc, col("node"))
+        var beam = q.select(col("q_id"), lit(0L).as("node"))
+        var scored: DataFrame = null
+        for (_ <- 1 to 2) {
+          val cand = beam.unionByName(
+              beam.join(g, beam("node") === g("src"))
+                .select(col("q_id"), col("nb").as("node")))
+            .distinct()
+            .filter(col("node") =!= col("q_id"))
+          scored = cand
+            .join(emb.select(col("vec_id").as("node"),
+              col("embedding").as("ev")), "node")
+            .join(broadcast(q), "q_id")
+            .select(col("q_id"), col("node"),
+              round(call_function("graft_cosine", col("qv"), col("ev")), 6)
+                .as("sim"))
+            .withColumn("rnk", row_number().over(wq).cast("int"))
+            .filter(col("rnk") <= beamW)
+            .persistTracked()
+          beam = scored.select("q_id", "node")
+        }
+        scored.select(col("q_id"), col("rnk"), col("node").as("vec_id"),
+            col("sim"))
+          .orderBy("q_id", "rnk")
+      },
+      Some(s"""WITH $duckKnnCtes,
+              |q AS (SELECT vec_id AS q_id, embedding AS qv
+              |  FROM embeddings WHERE vec_id < 8),
+              |c1 AS (SELECT DISTINCT q_id, node FROM (
+              |    SELECT q_id, 0 AS node FROM q
+              |    UNION ALL SELECT q.q_id, g.nb AS node FROM q
+              |      JOIN g1 g ON g.vec_id = 0) z
+              |  WHERE node <> q_id),
+              |s1 AS (SELECT c1.q_id, c1.node,
+              |    round(${duckCos("q.qv", "e.embedding")}, 6) AS sim
+              |  FROM c1 JOIN q ON q.q_id = c1.q_id
+              |          JOIN embeddings e ON e.vec_id = c1.node),
+              |b1 AS (SELECT q_id, node FROM (SELECT q_id, node,
+              |    row_number() OVER (PARTITION BY q_id
+              |      ORDER BY sim DESC, node) AS rn FROM s1) WHERE rn <= 4),
+              |c2 AS (SELECT DISTINCT q_id, node FROM (
+              |    SELECT q_id, node FROM b1
+              |    UNION ALL SELECT b1.q_id, g.nb AS node FROM b1
+              |      JOIN g1 g ON g.vec_id = b1.node) z
+              |  WHERE node <> q_id),
+              |s2 AS (SELECT c2.q_id, c2.node,
+              |    round(${duckCos("q.qv", "e.embedding")}, 6) AS sim
+              |  FROM c2 JOIN q ON q.q_id = c2.q_id
+              |          JOIN embeddings e ON e.vec_id = c2.node),
+              |b2 AS (SELECT q_id, node, sim,
+              |    CAST(row_number() OVER (PARTITION BY q_id
+              |      ORDER BY sim DESC, node) AS INTEGER) AS rnk FROM s2)
+              |SELECT q_id, rnk, node AS vec_id, sim FROM b2 WHERE rnk <= 4
+              |ORDER BY q_id, rnk""".stripMargin)),
+
+    // q261 — NN-descent CONVERGENCE accounting: one sweep (q233) is the
+    // textbook demo; the edges-changed-per-round curve is what tells a
+    // real user when to STOP iterating (NN-descent's standard
+    // termination is "changes below a threshold"). Runs a SECOND
+    // refinement sweep over q233's graph and reports, per round, how
+    // many of the n·k edges changed — the candidate bound (k + k² per
+    // vector) makes each extra round corpus-linear. Edge diffs are
+    // anti-joins of (vec_id, nb) sets (top-k per vector is unique, so
+    // set semantics are exact); the two 1-row report frames are the
+    // documented benign crossJoin class.
+    QuerySpec("q261_nn_descent_converge",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings").persistTracked()
+        val g0 = knnInit(emb).persistTracked()
+        val g1 = nnSweep(emb, g0).select("vec_id", "nb").persistTracked()
+        val g2 = nnSweep(emb, g1).select("vec_id", "nb").persistTracked()
+        def report(r: Int, g: DataFrame, prev: DataFrame): DataFrame =
+          g.join(prev, Seq("vec_id", "nb"), "left_anti")
+            .agg(count(lit(1)).as("edges_changed"))
+            .crossJoin(g.agg(count(lit(1)).as("edges_total")))
+            .select(lit(r).as("round"), col("edges_changed"),
+              col("edges_total"))
+        report(1, g1, g0).unionByName(report(2, g2, g1)).orderBy("round")
+      },
+      Some(s"""WITH $duckKnnCtes,
+              |cand2 AS (SELECT vec_id, nb FROM g1
+              |  UNION SELECT nb, vec_id FROM g1
+              |  UNION SELECT a.vec_id, b.nb FROM g1 a
+              |    JOIN g1 b ON a.nb = b.vec_id WHERE a.vec_id <> b.nb),
+              |sc2 AS (SELECT c.vec_id, c.nb,
+              |    round(${duckCos("x.embedding", "y.embedding")}, 6) AS sim
+              |  FROM cand2 c JOIN embeddings x ON x.vec_id = c.vec_id
+              |               JOIN embeddings y ON y.vec_id = c.nb),
+              |g2 AS (SELECT vec_id, nb FROM (SELECT vec_id, nb,
+              |    row_number() OVER (PARTITION BY vec_id
+              |      ORDER BY sim DESC, nb) AS rn FROM sc2) WHERE rn <= $knnK),
+              |d1 AS (SELECT count(*) AS ec FROM
+              |  (SELECT vec_id, nb FROM g1 EXCEPT SELECT vec_id, nb FROM g0)),
+              |t1 AS (SELECT count(*) AS et FROM g1),
+              |d2 AS (SELECT count(*) AS ec FROM
+              |  (SELECT vec_id, nb FROM g2 EXCEPT SELECT vec_id, nb FROM g1)),
+              |t2 AS (SELECT count(*) AS et FROM g2)
+              |SELECT 1 AS round, CAST(d1.ec AS BIGINT) AS edges_changed,
+              |  CAST(t1.et AS BIGINT) AS edges_total FROM d1, t1
+              |UNION ALL
+              |SELECT 2, CAST(d2.ec AS BIGINT), CAST(t2.et AS BIGINT)
+              |  FROM d2, t2
+              |ORDER BY round""".stripMargin)))
 }

@@ -315,6 +315,17 @@ class PlanSpec extends AnyFunSuite {
       s"scan not pruned: $read")
   }
 
+  test("q262: AQE detects the hot key and splits the skewed partition — " +
+      "SortMergeJoin(skew=true) in the final adaptive plan") {
+    val df = SparkEntry.queries("q262_aqe_skew_join")(spark, sf)
+    df.collect() // the skew split happens at RUNTIME — materialize first
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("skew=true"),
+      s"AQE did not mark the join skewed:\n$p")
+    assert(p.contains("AQEShuffleRead") && p.contains("skewed"),
+      s"no skewed AQEShuffleRead in the final plan:\n$p")
+  }
+
   test("q258: the SERVE lineage reads only index artifacts — exactly one " +
       "embeddings scan (the query vectors), no inline index recompute") {
     // the fn builds + persists the index eagerly, then returns the serve
