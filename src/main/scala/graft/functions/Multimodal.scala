@@ -442,6 +442,90 @@ object Multimodal {
     else Some((br, rate, ch, nFrames, nFrames * 1152L * 1000L / rate))
   }
 
+  /** A real H.264 Annex-B byte stream (ISO/IEC 14496-10 B.1): SPS and
+    * PPS parameter sets, then `nGops` groups of one IDR keyframe +
+    * `pPerGop` non-IDR slices. Parameter sets and IDR NALs get 4-byte
+    * start codes (00 00 00 01 — access-unit convention), non-IDR slices
+    * the 3-byte form (00 00 01) — real encoders emit both, so the
+    * walker must too. Each NAL is its header byte (forbidden_zero=0,
+    * nal_ref_idc, nal_unit_type) + deterministic filler kept free of
+    * 00 00 0x sequences (the filler cycles 1..250, so no false start
+    * codes and no emulation-prevention bytes are needed). `*Len` sizes
+    * INCLUDE the header byte. */
+  def h264Bytes(nGops: Int, pPerGop: Int, spsLen: Int, ppsLen: Int,
+      idrLen: Int, pLen: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def nal(startCode4: Boolean, header: Int, len: Int): Unit = {
+      if (startCode4) out.write(0)
+      out.write(0); out.write(0); out.write(1)
+      out.write(header)
+      var i = 1
+      while (i < len) { out.write(1 + (i % 250)); i += 1 }
+    }
+    nal(startCode4 = true, 0x67, spsLen) // ref_idc=3, type=7 (SPS)
+    nal(startCode4 = true, 0x68, ppsLen) // ref_idc=3, type=8 (PPS)
+    var g = 0
+    while (g < nGops) {
+      nal(startCode4 = true, 0x65, idrLen) // ref_idc=3, type=5 (IDR)
+      var p = 0
+      while (p < pPerGop) {
+        nal(startCode4 = false, 0x41, pLen) // ref_idc=2, type=1 (non-IDR)
+        p += 1
+      }
+      g += 1
+    }
+    out.toByteArray
+  }
+
+  /** REAL H.264 NAL-unit walk — the video half of the metadata mandate
+    * (the [[decodeMp3Meta]] argument verbatim: only SAMPLE decode needs
+    * a codec; stream structure is framing): scan for 3- and 4-byte
+    * Annex-B start codes, read each NAL's type from its header byte,
+    * and count parameter sets, IDR keyframes and non-IDR slices — the
+    * fields a 100 TB video-curation pass filters on (keyframe density,
+    * stream sanity) without touching a decoder. Returns (nSps, nPps,
+    * nIdr, nNonIdr, nOther); None unless the stream begins with a
+    * start code and yields at least one NAL. A forbidden_zero_bit
+    * violation ends the walk (P8 permissive stance). */
+  def decodeH264Nals(b: Array[Byte]): Option[(Int, Int, Int, Int, Int)] = {
+    // start-code positions: i at the 00 00 01 (3-byte) or 00 00 00 01
+    def scLen(i: Int): Int =
+      if (i + 3 < b.length && b(i) == 0 && b(i + 1) == 0 && b(i + 2) == 0 &&
+        b(i + 3) == 1) 4
+      else if (i + 2 < b.length && b(i) == 0 && b(i + 1) == 0 && b(i + 2) == 1) 3
+      else 0
+    if (b.length < 5 || scLen(0) == 0) return None
+    var nSps = 0; var nPps = 0; var nIdr = 0; var nNon = 0; var nOther = 0
+    var i = 0
+    var ok = true
+    while (ok && i < b.length) {
+      val sl = scLen(i)
+      if (sl == 0) ok = false // lost framing — stop at what parsed
+      else {
+        val h = i + sl
+        if (h >= b.length) ok = false // start code at EOF, no header
+        else if ((b(h) & 0x80) != 0) ok = false // forbidden_zero_bit
+        else {
+          (b(h) & 0x1f) match {
+            case 7 => nSps += 1
+            case 8 => nPps += 1
+            case 5 => nIdr += 1
+            case 1 => nNon += 1
+            case _ => nOther += 1
+          }
+          // advance to the next start code (payloads are scanned — the
+          // synthesizer keeps them start-code-free, and a real stream's
+          // emulation-prevention bytes guarantee the same)
+          var j = h + 1
+          while (j < b.length && scLen(j) == 0) j += 1
+          i = j
+        }
+      }
+    }
+    if (nSps + nPps + nIdr + nNon + nOther == 0) None
+    else Some((nSps, nPps, nIdr, nNon, nOther))
+  }
+
   /** Aspect-preserving fit of (w, h) into maxSide², never upscaling. */
   def fitThumb(w: Int, h: Int, maxSide: Int = 256): (Int, Int) = {
     val longSide = math.max(w, h)

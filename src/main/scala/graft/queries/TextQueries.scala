@@ -3640,5 +3640,52 @@ object TextQueries {
            |  CAST(n_frames AS BIGINT) AS n_frames,
            |  CAST(n_frames * 1152 * 1000 // rate AS BIGINT) AS duration_ms
            |FROM p ORDER BY doc_id""".stripMargin
-      }))
+      }),
+
+    // q263 — H.264 stream structure via a REAL Annex-B NAL-unit walk,
+    // the video analog of q259's MP3 frame walk (and the last item of
+    // the multimodal mandate the "no pure-JDK decoder" rationale never
+    // covered): keyframe density and parameter-set sanity are FRAMING
+    // properties — 3-/4-byte start codes, NAL header type bits — that
+    // a curation pass reads without any codec. Fixture: a genuine
+    // Annex-B stream per doc (Multimodal.h264Bytes: SPS/PPS, id-derived
+    // GOP count, text-derived slice geometry; both start-code forms,
+    // as real encoders emit). The oracle reconstructs the all-integer
+    // stream arithmetic from the same derivations. Narrow per-row
+    // transform, the 100 TB media-metadata shape.
+    QuerySpec("q263_h264_nals",
+      (s, dir) => {
+        import s.implicits._
+        val ds = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+        ds.mapPartitions(_.flatMap { case (id, txt) =>
+          val n = txt.getBytes("UTF-8").length
+          val media = graft.functions.Multimodal.h264Bytes(
+            nGops = (1 + id % 3).toInt, pPerGop = 1 + n % 4,
+            spsLen = 8 + n % 5, ppsLen = (4 + id % 3).toInt,
+            idrLen = 40 + n % 20, pLen = 16 + n % 10)
+          // the walk reads ONLY the stream bytes, not the fixture vars
+          graft.functions.Multimodal.decodeH264Nals(media).map {
+            case (sps, pps, idr, non, other) =>
+              (id, sps + pps + idr + non + other, idr, non, media.length)
+          }
+        }).toDF("doc_id", "n_nals", "n_keyframes", "n_pslices",
+            "stream_bytes")
+          .orderBy("doc_id")
+      },
+      Some("""WITH p AS (SELECT doc_id,
+             |    1 + doc_id % 3 AS g,
+             |    1 + strlen(text) % 4 AS pp,
+             |    8 + strlen(text) % 5 AS sps,
+             |    4 + doc_id % 3 AS pps,
+             |    40 + strlen(text) % 20 AS idr,
+             |    16 + strlen(text) % 10 AS pl
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(2 + g + g * pp AS INTEGER) AS n_nals,
+             |  CAST(g AS INTEGER) AS n_keyframes,
+             |  CAST(g * pp AS INTEGER) AS n_pslices,
+             |  CAST((4 + sps) + (4 + pps) + g * (4 + idr) + g * pp * (3 + pl)
+             |    AS INTEGER) AS stream_bytes
+             |FROM p ORDER BY doc_id""".stripMargin)))
 }

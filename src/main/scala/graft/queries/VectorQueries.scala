@@ -376,12 +376,16 @@ object VectorQueries {
        |      ORDER BY sim DESC, nb) AS INTEGER) AS rnk FROM sc),
        |g1 AS (SELECT vec_id, nb FROM r WHERE rnk <= $knnK)""".stripMargin
 
-  /** q144/q258 shared oracle: the full IVF-PQ residual search restated
-    * in DuckDB. One string, two queries — the persisted index must be
-    * bit-identical to the inline one, so the SAME oracle verifies both
-    * (parquet round-trips IEEE bits exactly; any artifact drift becomes
-    * a hash mismatch on q258 specifically). */
-  private lazy val duckIvfPqOracle: String =
+  /** q144/q258/q264 shared oracle: the full IVF-PQ residual search
+    * restated in DuckDB. One builder, three queries — the persisted
+    * index must be bit-identical to the inline one, so the SAME oracle
+    * verifies both (parquet round-trips IEEE bits exactly; any artifact
+    * drift becomes a hash mismatch on q258 specifically). `trainPred`
+    * restricts the CODEBOOK-TRAINING vector set (q264 trains on the
+    * base corpus only and encodes the delta against the frozen
+    * codebook); encoding (`a1`) always covers every vector. */
+  private lazy val duckIvfPqOracle: String = duckIvfPqOracleFor("TRUE")
+  private def duckIvfPqOracleFor(trainPred: String): String =
     s"""WITH cents AS (SELECT CAST(vec_id AS INTEGER) AS cent_id, embedding AS cent_vec
        |  FROM embeddings WHERE vec_id < $ivfK),
        |assigned AS (SELECT vec_id, embedding, cent_id FROM (
@@ -401,7 +405,8 @@ object VectorQueries {
        |  SELECT sv.vec_id, sv.sub, sv.v, c.cent_id,
        |    row_number() OVER (PARTITION BY sv.vec_id, sv.sub
        |      ORDER BY round(${duckPqL2("sv.v", "c.cv")}, 6) ASC, c.cent_id) AS rn
-       |  FROM sv JOIN c0 c USING (sub)) WHERE rn = 1),
+       |  FROM (SELECT * FROM sv WHERE $trainPred) sv
+       |  JOIN c0 c USING (sub)) WHERE rn = 1),
        |u AS (SELECT sub, cent_id, i,
        |    CAST(SUM(CAST(CAST(v[i] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS cv1
        |  FROM a0, generate_series(1, $pqSd) t(i) GROUP BY sub, cent_id, i),
@@ -1725,8 +1730,15 @@ object VectorQueries {
       (s, dir) => {
         val beamW = 4
         val emb = Tables.load(s, dir, "embeddings").persistTracked()
+        // localCheckpoint: the graph feeds 2 hops × 2 references each —
+        // persist alone keeps the FULL build plan nested at every
+        // mention (the round-4 iterative-plan lesson; measured: analysis
+        // dominated the serve cost). Eager checkpoint cuts the lineage;
+        // blocks are n·k edge rows (tiny at any corpus — same contract
+        // as a bare localCheckpoint, reliable checkpoint on a cluster).
         val g = nnSweep(emb, knnInit(emb).persistTracked())
-          .select(col("vec_id").as("src"), col("nb")).persistTracked()
+          .select(col("vec_id").as("src"), col("nb"))
+          .localCheckpoint(true)
         val q = emb.filter(col("vec_id") < 8)
           .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
         val wq = Window.partitionBy("q_id").orderBy(col("sim").desc, col("node"))
@@ -1797,9 +1809,14 @@ object VectorQueries {
     QuerySpec("q261_nn_descent_converge",
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings").persistTracked()
-        val g0 = knnInit(emb).persistTracked()
-        val g1 = nnSweep(emb, g0).select("vec_id", "nb").persistTracked()
-        val g2 = nnSweep(emb, g1).select("vec_id", "nb").persistTracked()
+        // Each sweep references its input graph 3× (fwd/rev/fwd² unions)
+        // plus the diff — persist alone nests the full prior-round PLAN
+        // at every mention, so two rounds grow the plan ~3² and analysis
+        // dominates (round-4 lesson, re-measured here: 6→16 s). Eager
+        // localCheckpoint truncates each round; blocks are n·k edge rows.
+        val g0 = knnInit(emb).localCheckpoint(true)
+        val g1 = nnSweep(emb, g0).select("vec_id", "nb").localCheckpoint(true)
+        val g2 = nnSweep(emb, g1).select("vec_id", "nb").localCheckpoint(true)
         def report(r: Int, g: DataFrame, prev: DataFrame): DataFrame =
           g.join(prev, Seq("vec_id", "nb"), "left_anti")
             .agg(count(lit(1)).as("edges_changed"))
@@ -1831,5 +1848,62 @@ object VectorQueries {
               |UNION ALL
               |SELECT 2, CAST(d2.ec AS BIGINT), CAST(t2.et AS BIGINT)
               |  FROM d2, t2
-              |ORDER BY round""".stripMargin)))
+              |ORDER BY round""".stripMargin)),
+
+    // q264 — INCREMENTAL index maintenance, the daily production op
+    // q258's lifecycle implies: new vectors arrive (here the vec_id %
+    // 5 = 4 slice stands in for a daily delta), get assigned to the
+    // FROZEN coarse centroids and PQ-encoded against the FROZEN
+    // residual codebook — no retrain, no touch of the base codes — and
+    // searches serve over loaded-codes ∪ delta-codes. Because PQ
+    // encoding is pure per-vector arithmetic, append-encode against a
+    // frozen codebook is EXACTLY equal to batch-encoding everything
+    // against that codebook — which is what the oracle states (training
+    // CTEs restricted to the base corpus, encoding over all vectors),
+    // so the equivalence is hash-checked, not assumed. Scale shape: the
+    // daily job touches |delta| vectors + k·m broadcast artifacts; the
+    // index grows by appended byte-width codes only.
+    QuerySpec("q264_ann_index_append",
+      (s, dir) => {
+        val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
+          "graft_annidx_inc_" + Integer.toHexString(dir.hashCode)).toString
+        val emb = Tables.load(s, dir, "embeddings")
+        val base = emb.filter(col("vec_id") < 8 || col("vec_id") % 5 =!= 4)
+        val delta = emb.filter(col("vec_id") >= 8 && col("vec_id") % 5 === 4)
+        // BUILD on the base corpus only (q258's artifacts)
+        val cents = seedCentroids(emb)
+          .withColumn("cent_id", col("cent_id").cast("int"))
+        val residB = nearestCentroid(base, cents)
+          .join(broadcast(cents), "cent_id")
+          .select(col("vec_id"), col("cent_id").as("list_id"),
+            zip_with(col("embedding"), col("cent_vec"),
+              (a, b) => a.cast("double") - b.cast("double")).as("embedding"))
+          .persistTracked()
+        val svB = pqSubvectors(residB.select("vec_id", "embedding")).persistTracked()
+        val cb = pqCodebook(svB, seedFrom = 4)
+        val codesB = pqAssign(svB, cb)
+          .select(col("vec_id"), col("sub"), col("cent_id").as("code"))
+          .join(residB.select(col("vec_id"), col("list_id")), "vec_id")
+        graft.core.Sinks.parquet(cents, s"$idx/centroids")
+        graft.core.Sinks.parquet(cb, s"$idx/codebook")
+        graft.core.Sinks.parquet(codesB, s"$idx/codes")
+        // MAINTAIN: encode the delta against the LOADED artifacts
+        val cL = s.read.parquet(s"$idx/centroids")
+        val cbL = s.read.parquet(s"$idx/codebook")
+        val codesL = s.read.parquet(s"$idx/codes")
+        val residD = nearestCentroid(delta, cL)
+          .join(broadcast(cL), "cent_id")
+          .select(col("vec_id"), col("cent_id").as("list_id"),
+            zip_with(col("embedding"), col("cent_vec"),
+              (a, b) => a.cast("double") - b.cast("double")).as("embedding"))
+          .persistTracked()
+        val svD = pqSubvectors(residD.select("vec_id", "embedding"))
+        val codesD = pqAssign(svD, cbL)
+          .select(col("vec_id"), col("sub"), col("cent_id").as("code"))
+          .join(residD.select(col("vec_id"), col("list_id")), "vec_id")
+        // SERVE over the union — base codes from disk, delta appended
+        ivfPqServe(emb.filter(col("vec_id") < 8), cL, cbL,
+          codesL.unionByName(codesD))
+      },
+      Some(duckIvfPqOracleFor("vec_id < 8 OR vec_id % 5 <> 4"))))
 }

@@ -197,4 +197,35 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeMp3Meta(bad0).isEmpty)
     assert(Multimodal.decodeMp3Meta(bad15).isEmpty)
   }
+
+  test("H.264: Annex-B walk counts every NAL type through both " +
+      "start-code forms") {
+    for (g <- 1 to 3; p <- 1 to 4) {
+      val b = Multimodal.h264Bytes(g, p, spsLen = 9, ppsLen = 5,
+        idrLen = 42, pLen = 17)
+      assert(Multimodal.decodeH264Nals(b).contains((1, 1, g, g * p, 0)),
+        s"g=$g p=$p")
+      assert(b.length ==
+        (4 + 9) + (4 + 5) + g * (4 + 42) + g * p * (3 + 17))
+    }
+  }
+
+  test("H.264 walk never throws on malformed streams") {
+    val b = Multimodal.h264Bytes(2, 2, 9, 5, 42, 17)
+    // no leading start code
+    assert(Multimodal.decodeH264Nals("garbage".getBytes).isEmpty)
+    assert(Multimodal.decodeH264Nals(Array.empty[Byte]).isEmpty)
+    assert(Multimodal.decodeH264Nals(b.drop(2)).isEmpty)
+    // forbidden_zero_bit set mid-stream: keep the parsed prefix
+    val fz = b.clone(); fz(4 + 9 + 4) = 0xe8.toByte // PPS header corrupted
+    assert(Multimodal.decodeH264Nals(fz).contains((1, 0, 0, 0, 0)),
+      s"walk must stop at the corrupt NAL: ${Multimodal.decodeH264Nals(fz)}")
+    // truncation inside a payload: the trailing partial NAL still counts
+    // (framing is intact; only its payload is short) — no throw is the
+    // contract
+    assert(Multimodal.decodeH264Nals(b.dropRight(5)).isDefined)
+    // start code at EOF with no header byte
+    val tail = b ++ Array[Byte](0, 0, 0, 1)
+    assert(Multimodal.decodeH264Nals(tail).contains((1, 1, 2, 4, 0)))
+  }
 }
