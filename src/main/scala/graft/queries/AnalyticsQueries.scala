@@ -330,6 +330,36 @@ object AnalyticsQueries {
              |UNION ALL SELECT '*', '*', n, 2 FROM g2
              |ORDER BY nation, segment""".stripMargin)),
 
+    // q267 — l-DIVERSITY audit, completing q101's privacy pair:
+    // k-anonymity bounds GROUP SIZE, but a size-k group whose sensitive
+    // attribute takes one value still leaks it (the homogeneity
+    // attack); l-diversity demands ≥ l DISTINCT sensitive values per
+    // quasi-identifier group. Sensitive attribute = the account-balance
+    // $1000 band (floor division — balances are doubles in both
+    // engines, and exact-multiple boundaries divide exactly, so the
+    // band can't flip). Output: per (nation, segment) group its size,
+    // its l, and the release verdict under (k=5, l=3) — the table a
+    // privacy review signs off on. One group-grain shuffle.
+    QuerySpec("q267_ldiversity",
+      (s, dir) => {
+        Tables.load(s, dir, "customer")
+          .select(col("c_nationkey").cast("string").as("nation"),
+            col("c_mktsegment").as("segment"),
+            floor(col("c_acctbal") / 1000).cast("int").as("bal_band"))
+          .groupBy("nation", "segment")
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("bal_band")).as("l_distinct"))
+          .select(col("nation"), col("segment"), col("n"), col("l_distinct"),
+            (col("n") >= 5 && col("l_distinct") >= 3).as("releasable"))
+          .orderBy("nation", "segment")
+      },
+      Some("""SELECT CAST(c_nationkey AS VARCHAR) AS nation,
+             |  c_mktsegment AS segment,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(count(DISTINCT CAST(floor(c_acctbal / 1000) AS INTEGER)) AS BIGINT) AS l_distinct,
+             |  count(*) >= 5 AND count(DISTINCT CAST(floor(c_acctbal / 1000) AS INTEGER)) >= 3 AS releasable
+             |FROM customer GROUP BY 1, 2 ORDER BY nation, segment""".stripMargin)),
+
     // q106 — incremental re-aggregation: merge DAILY partial aggregates
     // into monthly rollups without touching the fact table again — the
     // materialized-view maintenance pattern (at 100 TB the daily partial

@@ -480,5 +480,52 @@ object EventQueries {
              |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
              |  CAST(SUM(prof_len) AS BIGINT) AS prof_chars
              |FROM k JOIN p USING (sk)
-             |GROUP BY event_type ORDER BY event_type""".stripMargin)))
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // q266 — TOLERANCE-bounded as-of over the native operator: the
+    // `tolerance` parameter every as-of API exposes (pandas
+    // merge_asof, kdb wj) — match the last click at-or-before each
+    // purchase, but a match older than 1 hour reverts to NULL (LEFT
+    // OUTER semantics preserved). Implemented the scalable way: the
+    // native operator's O(1)-state merge is UNCHANGED and the bound is
+    // a post-predicate CASE — no second operator variant to maintain,
+    // no extra shuffle. Oracle: DuckDB's native ASOF LEFT JOIN under
+    // the same CASE — engine-native vs engine-native again (q217's
+    // dedup-to-(user, ts) tie rule applies verbatim).
+    QuerySpec("q266_asof_tolerance",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts").as("p_ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy(col("user_id").as("c_user"), col("ts").as("c_ts"))
+          .agg(max(col("event_id")).as("c_event"))
+        val inTol = col("c_ts").isNotNull &&
+          unix_micros(col("p_ts")) - unix_micros(col("c_ts")) <= 3600L * 1000000L
+        graft.plans.AsOf.joinBackward(purchases, clicks,
+            Seq("user_id"), Seq("c_user"), "p_ts", "c_ts",
+            rightTie = Seq("c_event"))
+          .select(col("event_id"), col("user_id"),
+            col("p_ts").cast("timestamp_ntz").as("purchase_ts"),
+            when(inTol, col("c_ts").cast("timestamp_ntz")).as("click_ts"),
+            when(inTol, col("c_event")).as("click_event"),
+            when(inTol, expr("(unix_micros(p_ts) - unix_micros(c_ts)) DIV 1000000"))
+              .as("lag_s"))
+          .orderBy("event_id")
+      },
+      Some("""WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS p_ts
+             |  FROM events WHERE event_type = 'purchase'),
+             |c AS (SELECT user_id AS c_user, CAST(ts AS TIMESTAMP) AS c_ts,
+             |    max(event_id) AS c_event
+             |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+             |j AS (SELECT p.event_id, p.user_id, p.p_ts, c.c_ts, c.c_event
+             |  FROM p ASOF LEFT JOIN c
+             |    ON p.user_id = c.c_user AND c.c_ts <= p.p_ts),
+             |jt AS (SELECT *, c_ts IS NOT NULL
+             |    AND epoch_us(p_ts) - epoch_us(c_ts) <= 3600000000 AS tol FROM j)
+             |SELECT event_id, user_id, p_ts AS purchase_ts,
+             |  CASE WHEN tol THEN c_ts END AS click_ts,
+             |  CASE WHEN tol THEN c_event END AS click_event,
+             |  CASE WHEN tol THEN (epoch_us(p_ts) - epoch_us(c_ts)) // 1000000 END AS lag_s
+             |FROM jt ORDER BY event_id""".stripMargin)))
 }

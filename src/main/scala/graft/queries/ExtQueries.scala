@@ -1370,5 +1370,59 @@ object ExtQueries {
               |SELECT n, round(mean, 6) AS mean, round(variance, 6) AS variance,
               |  round(mean * 0.05, 6) AS mde_abs,
               |  CAST(ceil(2.0 * ${ExtQueries.zSum2} * variance / ((mean * 0.05) * (mean * 0.05))) AS BIGINT) AS n_per_arm
-              |FROM st""".stripMargin)))
+              |FROM st""".stripMargin)),
+
+    // q265 — URL parsing + registered-domain rollup: the web-corpus
+    // curation staple (per-domain doc counts, host diversity, referrer
+    // spread drive crawl dedup and domain quotas). The fixture
+    // synthesizes a deterministic URL per doc from its columns; the op
+    // under test is Spark's REAL `parse_url` (HOST / PATH / QUERY-key
+    // extraction, the codegen'd built-in — not string hacking), with
+    // the registered domain as the host's last two labels
+    // (substring_index, the public-suffix stand-in). The oracle never
+    // parses: it reconstructs each component from the same derivations,
+    // so a parse_url deviation (scheme handling, query-key lookup)
+    // fails the hash. One domain-grain shuffle — the 100 TB shape.
+    QuerySpec("q265_domain_rollup",
+      (s, dir) => {
+        val tld = when(col("lang") === "en", "com")
+          .when(col("lang") === "es", "es")
+          .when(col("lang") === "zh", "cn")
+          .when(col("lang") === "fr", "fr")
+          .otherwise("de")
+        val url = concat(lit("https://"), col("source"),
+          (col("doc_id") % 7).cast("string"), lit(".example"),
+          (col("doc_id") % 13).cast("string"), lit("."), tld,
+          lit("/p/"), col("doc_id").cast("string"),
+          lit("?ref="), col("source"))
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), url.as("url"))
+          .select(col("doc_id"),
+            expr("parse_url(url, 'HOST')").as("host"),
+            expr("parse_url(url, 'PATH')").as("path"),
+            expr("parse_url(url, 'QUERY', 'ref')").as("ref"))
+          .select(col("doc_id"), col("host"), col("path"), col("ref"),
+            substring_index(col("host"), ".", -2).as("reg_domain"))
+          .groupBy("reg_domain")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("host")).as("n_hosts"),
+            countDistinct(col("ref")).as("n_refs"),
+            sum(length(col("path")).cast("long")).as("path_chars"))
+          .orderBy("reg_domain")
+      },
+      Some("""WITH u AS (SELECT doc_id, source,
+             |    source || CAST(doc_id % 7 AS VARCHAR) || '.example'
+             |      || CAST(doc_id % 13 AS VARCHAR) || '.' ||
+             |      CASE lang WHEN 'en' THEN 'com' WHEN 'es' THEN 'es'
+             |        WHEN 'zh' THEN 'cn' WHEN 'fr' THEN 'fr' ELSE 'de' END AS host,
+             |    '/p/' || CAST(doc_id AS VARCHAR) AS path,
+             |    'example' || CAST(doc_id % 13 AS VARCHAR) || '.' ||
+             |      CASE lang WHEN 'en' THEN 'com' WHEN 'es' THEN 'es'
+             |        WHEN 'zh' THEN 'cn' WHEN 'fr' THEN 'fr' ELSE 'de' END AS reg_domain
+             |  FROM documents)
+             |SELECT reg_domain, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+             |  CAST(count(DISTINCT source) AS BIGINT) AS n_refs,
+             |  CAST(SUM(strlen(path)) AS BIGINT) AS path_chars
+             |FROM u GROUP BY reg_domain ORDER BY reg_domain""".stripMargin)))
 }

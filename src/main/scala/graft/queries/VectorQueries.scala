@@ -385,7 +385,8 @@ object VectorQueries {
     * base corpus only and encodes the delta against the frozen
     * codebook); encoding (`a1`) always covers every vector. */
   private lazy val duckIvfPqOracle: String = duckIvfPqOracleFor("TRUE")
-  private def duckIvfPqOracleFor(trainPred: String): String =
+  private def duckIvfPqOracleFor(trainPred: String,
+      servePred: String = "TRUE"): String =
     s"""WITH cents AS (SELECT CAST(vec_id AS INTEGER) AS cent_id, embedding AS cent_vec
        |  FROM embeddings WHERE vec_id < $ivfK),
        |assigned AS (SELECT vec_id, embedding, cent_id FROM (
@@ -417,7 +418,8 @@ object VectorQueries {
        |      ORDER BY round(${duckPqL2("sv.v", "c.cv")}, 6) ASC, c.cent_id) AS rn
        |  FROM sv JOIN c1 c USING (sub)) WHERE rn = 1),
        |codes AS (SELECT a1.vec_id, r.list_id, a1.sub, a1.code
-       |  FROM a1 JOIN resid r ON a1.vec_id = r.vec_id),
+       |  FROM a1 JOIN resid r ON a1.vec_id = r.vec_id
+       |  WHERE $servePred),
        |probes AS (SELECT q_id, list_id, q_res FROM (
        |  SELECT q.vec_id AS q_id, c.cent_id AS list_id,
        |    list_transform(generate_series(1, $dim), i ->
@@ -1905,5 +1907,55 @@ object VectorQueries {
         ivfPqServe(emb.filter(col("vec_id") < 8), cL, cbL,
           codesL.unionByName(codesD))
       },
-      Some(duckIvfPqOracleFor("vec_id < 8 OR vec_id % 5 <> 4"))))
+      Some(duckIvfPqOracleFor("vec_id < 8 OR vec_id % 5 <> 4"))),
+
+    // q268 — index DELETE + COMPACTION, closing the ANN index CRUD arc
+    // (q258 build/serve, q264 append, this delete): a deletion set
+    // (takedowns, dedup losers — here the vec_id % 7 = 3 slice) is
+    // written as a TOMBSTONE artifact, the codes table is compacted by
+    // an anti-join rewrite (the physical delete — byte-width rows only,
+    // never raw vectors), and searches serve from the compacted index.
+    // The oracle restates the full pipeline with the deletion predicate
+    // applied at the codes grain, so "compact-then-serve ≡ filter at
+    // serve time" is hash-checked. Scale shape: compaction is one
+    // anti-join over the codes table (its size, not the corpus's) —
+    // the same op an embedding store runs on a takedown batch.
+    QuerySpec("q268_ann_index_delete",
+      (s, dir) => {
+        val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
+          "graft_annidx_del_" + Integer.toHexString(dir.hashCode)).toString
+        val emb = Tables.load(s, dir, "embeddings")
+        // BUILD (q258's artifacts, full corpus)
+        val cents = seedCentroids(emb)
+          .withColumn("cent_id", col("cent_id").cast("int"))
+        val resid = nearestCentroid(emb, cents)
+          .join(broadcast(cents), "cent_id")
+          .select(col("vec_id"), col("cent_id").as("list_id"),
+            zip_with(col("embedding"), col("cent_vec"),
+              (a, b) => a.cast("double") - b.cast("double")).as("embedding"))
+          .persistTracked()
+        val sv = pqSubvectors(resid.select("vec_id", "embedding")).persistTracked()
+        val cb = pqCodebook(sv, seedFrom = 4)
+        val codes = pqAssign(sv, cb)
+          .select(col("vec_id"), col("sub"), col("cent_id").as("code"))
+          .join(resid.select(col("vec_id"), col("list_id")), "vec_id")
+        graft.core.Sinks.parquet(cents, s"$idx/centroids")
+        graft.core.Sinks.parquet(cb, s"$idx/codebook")
+        graft.core.Sinks.parquet(codes, s"$idx/codes")
+        // DELETE: tombstones persisted, codes compacted by anti-join
+        val tombstones = emb
+          .filter(col("vec_id") >= 8 && col("vec_id") % 7 === 3)
+          .select(col("vec_id"))
+        graft.core.Sinks.parquet(tombstones, s"$idx/tombstones")
+        val compacted = s.read.parquet(s"$idx/codes")
+          .join(s.read.parquet(s"$idx/tombstones"), Seq("vec_id"), "left_anti")
+        graft.core.Sinks.parquet(compacted, s"$idx/codes_v2")
+        // SERVE from the compacted generation
+        ivfPqServe(emb.filter(col("vec_id") < 8),
+          s.read.parquet(s"$idx/centroids"),
+          s.read.parquet(s"$idx/codebook"),
+          s.read.parquet(s"$idx/codes_v2"))
+      },
+      Some(duckIvfPqOracleFor("TRUE",
+        "NOT (a1.vec_id >= 8 AND a1.vec_id % 7 = 3)"))))
 }
