@@ -360,6 +360,36 @@ object AnalyticsQueries {
              |  count(*) >= 5 AND count(DISTINCT CAST(floor(c_acctbal / 1000) AS INTEGER)) >= 3 AS releasable
              |FROM customer GROUP BY 1, 2 ORDER BY nation, segment""".stripMargin)),
 
+    // q271 — PSEUDONYMIZED export, the third governance primitive
+    // (q101 generalizes quasi-identifiers, q267 audits diversity, this
+    // removes the direct identifier while keeping rows JOINABLE):
+    // customers re-keyed by a salted portable hash — the SAME input
+    // always maps to the same pseudonym, so two exports (or an export
+    // and a later delta) still join on pseudo_id without either side
+    // holding the real key; the balance collapses to its q267 band so
+    // the exported row carries no exact financial value. Scan-local
+    // per-row work (hash + band), one final sort — the 100 TB shape.
+    // Pseudonym uniqueness is NOT asserted (32-bit hash; collisions
+    // merge rows in neither engine — both export the same tuples).
+    QuerySpec("q271_pseudonymize",
+      (s, dir) => {
+        Tables.load(s, dir, "customer")
+          .select(
+            concat(lit("u_"), graft.functions.Text.hash32(
+              concat(lit("pseud"), col("c_custkey").cast("string")))
+              .cast("string")).as("pseudo_id"),
+            col("c_nationkey").cast("string").as("nation"),
+            col("c_mktsegment").as("segment"),
+            floor(col("c_acctbal") / 1000).cast("int").as("bal_band"))
+          .orderBy("pseudo_id", "nation", "segment", "bal_band")
+      },
+      Some("""SELECT 'u_' || CAST(CAST('0x'||substr(md5('pseud'||CAST(c_custkey AS VARCHAR)),1,8) AS BIGINT) AS VARCHAR) AS pseudo_id,
+             |  CAST(c_nationkey AS VARCHAR) AS nation,
+             |  c_mktsegment AS segment,
+             |  CAST(floor(c_acctbal / 1000) AS INTEGER) AS bal_band
+             |FROM customer
+             |ORDER BY pseudo_id, nation, segment, bal_band""".stripMargin)),
+
     // q106 — incremental re-aggregation: merge DAILY partial aggregates
     // into monthly rollups without touching the fact table again — the
     // materialized-view maintenance pattern (at 100 TB the daily partial

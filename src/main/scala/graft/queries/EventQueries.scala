@@ -527,5 +527,45 @@ object EventQueries {
              |  CASE WHEN tol THEN c_ts END AS click_ts,
              |  CASE WHEN tol THEN c_event END AS click_event,
              |  CASE WHEN tol THEN (epoch_us(p_ts) - epoch_us(c_ts)) // 1000000 END AS lag_s
-             |FROM jt ORDER BY event_id""".stripMargin)))
+             |FROM jt ORDER BY event_id""".stripMargin)),
+
+    // q269 — CDC APPLY: fold an ordered change log into final entity
+    // state — the op every lakehouse MERGE/CDF pipeline runs (q98 builds
+    // SCD2 history; this materializes the CURRENT view, deletes
+    // honored). Log synthesized from events (signup→I, error→D,
+    // everything else→U), sequenced by (ts, event_id). The fold is ONE
+    // keep-last aggregate — max(struct(seq, payload)) partial-aggregates
+    // map-side (the Dedup.keepFirstAgg lesson: no window, no per-key
+    // sort), then delete-wins filtering; at 100 TB the log collapses to
+    // entity grain in a single shuffle. event_id makes the sequence
+    // total, so replica/arrival order can't change the survivor.
+    QuerySpec("q269_cdc_apply",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val op = when(col("event_type") === "signup", "I")
+          .when(col("event_type") === "error", "D")
+          .otherwise("U")
+        ev.select(col("user_id"), unix_micros(col("ts")).as("tsu"),
+            col("event_id"), op.as("op"))
+          .groupBy("user_id")
+          .agg(max(struct(col("tsu"), col("event_id"), col("op"))).as("m"),
+            count(lit(1)).as("n_ops"))
+          .filter(col("m.op") =!= "D")
+          .select(col("user_id"), col("m.op").as("last_op"),
+            col("m.event_id").as("last_event_id"),
+            col("m.tsu").as("last_ts_us"), col("n_ops"))
+          .orderBy("user_id")
+      },
+      Some("""WITH log AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu,
+             |    event_id,
+             |    CASE event_type WHEN 'signup' THEN 'I' WHEN 'error' THEN 'D'
+             |      ELSE 'U' END AS op
+             |  FROM events),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+             |    ORDER BY tsu DESC, event_id DESC) AS rn,
+             |    count(*) OVER (PARTITION BY user_id) AS n_ops
+             |  FROM log)
+             |SELECT user_id, op AS last_op, event_id AS last_event_id,
+             |  tsu AS last_ts_us, CAST(n_ops AS BIGINT) AS n_ops
+             |FROM r WHERE rn = 1 AND op <> 'D' ORDER BY user_id""".stripMargin)))
 }

@@ -1424,5 +1424,63 @@ object ExtQueries {
              |  CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
              |  CAST(count(DISTINCT source) AS BIGINT) AS n_refs,
              |  CAST(SUM(strlen(path)) AS BIGINT) AS path_chars
-             |FROM u GROUP BY reg_domain ORDER BY reg_domain""".stripMargin)))
+             |FROM u GROUP BY reg_domain ORDER BY reg_domain""".stripMargin)),
+
+    // q270 — blob-shard POINT LOOKUP: the random-access serving path a
+    // training loader uses for sample inspection / curriculum picks,
+    // completing the blob story (q246 offsets, q247 sequential scan,
+    // q248 streaming, q249 federated): a metadata-only V2 scan (media
+    // UNPROJECTED — header-sized IO) materializes the (doc_id → shard,
+    // offset, length) SIDECAR INDEX as parquet; a bounded probe set
+    // then fetches each record by RandomAccessFile seek at its indexed
+    // offset and decodes the WAV header from the fetched bytes — if any
+    // offset in the index were wrong, the decode (and the hash) would
+    // fail. Per-row file opens are the point-lookup cost model; bulk
+    // reads use the sequential scan.
+    QuerySpec("q270_blob_point_lookup",
+      (s, dir) => {
+        import s.implicits._
+        val out = shardDir(dir)
+        graft.sources.BlobShards.pack(wavMedia(s, dir), out)
+        val idxDir = out + "_idx"
+        val meta = s.read
+          .format(classOf[graft.sources.BlobShardDataSource].getName)
+          .option("path", out).load()
+          .select("doc_id", "shard", "offset", "length")
+        Sinks.parquet(meta, idxDir)
+        s.read.parquet(idxDir).filter(col("doc_id") % 97 === 5)
+          .as[(Long, Int, Long, Int)]
+          .mapPartitions(_.map { case (id, sh, off, len) =>
+            val raf = new java.io.RandomAccessFile(s"$out/shard-$sh.bin", "r")
+            try {
+              raf.seek(off)
+              val b = new Array[Byte](len)
+              raf.readFully(b)
+              val (rate, ch, _, ns) = graft.functions.Multimodal.decodeWav(b).get
+              (id, sh, off, len, rate, ch, ns)
+            } finally raf.close()
+          })
+          .toDF("doc_id", "shard", "offset", "length", "sample_rate",
+            "channels", "n_samples")
+          .orderBy("doc_id")
+      },
+      // q247's framing arithmetic, filtered AFTER the offsets are
+      // computed over the full packed corpus (a WHERE inside the window
+      // select would corrupt the running sums)
+      Some("""SELECT * FROM (
+             |  WITH b AS (SELECT doc_id,
+             |      CAST(CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8) AS BIGINT) % 4 AS INTEGER) AS shard,
+             |      CAST(44 + strlen(text) AS INTEGER) AS length,
+             |      CAST(1 + doc_id % 2 AS INTEGER) AS ch,
+             |      strlen(text) AS sl
+             |    FROM documents)
+             |  SELECT doc_id, shard,
+             |    CAST(12 + COALESCE(SUM(12 + length) OVER (PARTITION BY shard
+             |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset,
+             |    length,
+             |    CAST(CASE WHEN doc_id % 3 = 0 THEN 16000 ELSE 8000 END AS INTEGER) AS sample_rate,
+             |    ch AS channels,
+             |    CAST(sl // (ch*2) AS BIGINT) AS n_samples
+             |  FROM b)
+             |WHERE doc_id % 97 = 5 ORDER BY doc_id""".stripMargin)))
 }

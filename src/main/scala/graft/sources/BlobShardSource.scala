@@ -65,14 +65,16 @@ class BlobShardTable(path: String) extends Table with SupportsRead
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.ACCEPT_ANY_SCHEMA)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new BlobShardScanBuilder(path)
+    new BlobShardScanBuilder(path,
+      Option(options.get("maxBytesPerBatch")).map(_.toLong))
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new BlobShardWriteBuilder(path, info.schema())
 }
 
-class BlobShardScanBuilder(path: String) extends ScanBuilder
+class BlobShardScanBuilder(path: String,
+    maxBytesPerBatch: Option[Long] = None) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var required: StructType = BlobShardDataSource.fullSchema
@@ -103,11 +105,13 @@ class BlobShardScanBuilder(path: String) extends ScanBuilder
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new BlobShardScan(path, required, shardFilter)
+  override def build(): Scan =
+    new BlobShardScan(path, required, shardFilter, maxBytesPerBatch)
 }
 
 class BlobShardScan(path: String, required: StructType,
-    shardFilter: Option[Set[Int]]) extends Scan with Batch
+    shardFilter: Option[Set[Int]],
+    maxBytesPerBatch: Option[Long] = None) extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -175,7 +179,7 @@ class BlobShardScan(path: String, required: StructType,
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new BlobShardMicroBatchStream(path, required, shardFilter)
+    new BlobShardMicroBatchStream(path, required, shardFilter, maxBytesPerBatch)
 }
 
 case class BlobShardPartition(shard: Int, file: String) extends InputPartition
@@ -444,7 +448,7 @@ object BlobShardOffset {
 }
 
 class BlobShardMicroBatchStream(path: String, required: StructType,
-    shardFilter: Option[Set[Int]])
+    shardFilter: Option[Set[Int]], maxBytesPerBatch: Option[Long] = None)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.Offset
@@ -510,11 +514,59 @@ class BlobShardMicroBatchStream(path: String, required: StructType,
   override def initialOffset(): Offset = BlobShardOffset(Map.empty)
   override def latestOffset(): Offset =
     availableNowTarget.getOrElse(BlobShardOffset(currentBoundaries()))
-  // SupportsAdmissionControl (via SupportsTriggerAvailableNow): no rate
-  // limiting — each batch admits everything up to the captured target.
+  // SupportsAdmissionControl (via SupportsTriggerAvailableNow): with
+  // `maxBytesPerBatch` set, each micro-batch admits at most that many
+  // record bytes (record-boundary-clamped; a single oversized record
+  // still admits alone so the stream can't stall) — backpressure for
+  // ingest bursts, the knob every production file stream needs. The
+  // AvailableNow wrapper keeps triggering until the prepared target is
+  // reached, so bounded runs still drain completely, batch by batch.
   override def latestOffset(start: Offset,
-      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
-    availableNowTarget.getOrElse(BlobShardOffset(currentBoundaries()))
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    val full = availableNowTarget.map(_.pos).getOrElse(currentBoundaries())
+    maxBytesPerBatch match {
+      case None => BlobShardOffset(full)
+      case Some(budget) =>
+        val s = start.asInstanceOf[BlobShardOffset].pos
+        var left = budget
+        val out = full.toSeq.sortBy(_._1).map { case (shard, end) =>
+          val st = s.getOrElse(shard, 0L)
+          val tgt =
+            if (left <= 0 || end <= st) st
+            else {
+              val lim = math.min(end, st + left)
+              val b = clampToBoundary(s"$path/shard-$shard.bin", st, lim)
+              val b2 = if (b > st) b
+                else oneRecordEnd(s"$path/shard-$shard.bin", st, end)
+              left -= (b2 - st)
+              b2
+            }
+          shard -> tgt
+        }.toMap
+        BlobShardOffset(out)
+    }
+  }
+
+  /** End position of the single record at `st` (≤ `end`), or `st` if
+    * none is complete — the oversized-record escape hatch: a record
+    * bigger than the whole batch budget must still ship, alone. */
+  private def oneRecordEnd(file: String, st: Long, end: Long): Long = {
+    if (st + 12 > end) return st
+    val raf = new java.io.RandomAccessFile(file, "r")
+    try {
+      raf.seek(st)
+      val hdr = new Array[Byte](12)
+      var got = 0
+      while (got < 12) {
+        val n = raf.read(hdr, got, 12 - got)
+        if (n < 0) return st
+        got += n
+      }
+      val len = (hdr(8) & 0xff) | ((hdr(9) & 0xff) << 8) |
+        ((hdr(10) & 0xff) << 16) | ((hdr(11) & 0xff) << 24)
+      if (len < 0 || st + 12L + len > end) st else st + 12L + len
+    } finally raf.close()
+  }
   override def reportLatestOffset(): Offset = BlobShardOffset(currentBoundaries())
   override def deserializeOffset(json: String): Offset = BlobShardOffset.parse(json)
   override def commit(end: Offset): Unit = ()

@@ -227,6 +227,42 @@ class BlobSourceSpec extends AnyFunSuite {
       s"blob side must be the broadcast side:\n$plan")
   }
 
+  test("maxBytesPerBatch rate-limits admission: a burst drains in " +
+      "multiple record-aligned micro-batches; an oversized record " +
+      "still ships alone") {
+    val out = java.nio.file.Files.createTempDirectory("blobspec_r_").toString
+    // 6 records × (12 + 4) = 16 bytes each, one shard
+    val df = (0L until 6L).map(id => (id, 0, Array.fill(4)(id.toByte)))
+      .toDF("doc_id", "shard", "media")
+    BlobShards.pack(df, out)
+    val mem = "blobrate_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = spark.readStream.format(classOf[BlobShardDataSource].getName)
+      .option("path", out).option("maxBytesPerBatch", "35")
+      .load().select("doc_id", "length")
+      .writeStream.format("memory").queryName(mem)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(mem).count() == 6, "rate limit lost records")
+      val sizes = q.recentProgress.map(_.numInputRows).filter(_ > 0).toSeq
+      assert(sizes.forall(_ <= 2), s"batch exceeded the 35-byte budget: $sizes")
+      assert(sizes.length >= 3, s"burst not split across batches: $sizes")
+    } finally q.stop()
+    // budget below one record: each batch still ships exactly one
+    val mem2 = "blobrate1_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q2 = spark.readStream.format(classOf[BlobShardDataSource].getName)
+      .option("path", out).option("maxBytesPerBatch", "10")
+      .load().select("doc_id")
+      .writeStream.format("memory").queryName(mem2)
+      .outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table(mem2).count() == 6, "oversized-record path stalled")
+      val sizes = q2.recentProgress.map(_.numInputRows).filter(_ > 0).toSeq
+      assert(sizes.forall(_ == 1), s"oversized records must ship alone: $sizes")
+    } finally q2.stop()
+  }
+
   test("micro-batch offsets clamp to record boundaries: a mid-record " +
       "flush is never split across batches") {
     val out = java.nio.file.Files.createTempDirectory("blobspec_m_").toString
