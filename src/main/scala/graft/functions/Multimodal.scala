@@ -526,6 +526,190 @@ object Multimodal {
     else Some((nSps, nPps, nIdr, nNon, nOther))
   }
 
+  /** A real ISO-BMFF (MP4) file: `ftyp` + `moov` (with `mvhd` and one
+    * spec-shaped `trak`→`tkhd`+`mdia`→`mdhd`+`hdlr` subtree per track)
+    * + `mdat` carrying `payload`. Every box is the genuine
+    * [u32 size][4cc] framing with version-0 full-box layouts; a video
+    * track is always present, `withAudio` adds a `soun` track. The
+    * container is what a curation pass walks — track inventory,
+    * timescale, duration — samples stay codec territory. */
+  def mp4Bytes(timescale: Int, duration: Int, withAudio: Boolean,
+      hdlrName: Int, payload: Array[Byte]): Array[Byte] = {
+    val bo = new java.io.ByteArrayOutputStream()
+    def u32(v: Long): Unit = {
+      bo.write(((v >> 24) & 0xff).toInt); bo.write(((v >> 16) & 0xff).toInt)
+      bo.write(((v >> 8) & 0xff).toInt); bo.write((v & 0xff).toInt)
+    }
+    def cc(t: String): Unit = bo.write(t.getBytes("US-ASCII"))
+    def hdlr(handler: String): Array[Byte] = {
+      val name = Array.tabulate(hdlrName)(i => ('a' + i % 26).toByte)
+      val p = new java.io.ByteArrayOutputStream()
+      p.write(new Array[Byte](8)) // version/flags + pre_defined
+      p.write(handler.getBytes("US-ASCII"))
+      p.write(new Array[Byte](12)) // reserved
+      p.write(name); p.write(0) // nul-terminated name
+      box("hdlr", p.toByteArray)
+    }
+    def box(typ: String, body: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(8 + body.length)
+      out.putInt(8 + body.length); out.put(typ.getBytes("US-ASCII"))
+      out.put(body); out.array()
+    }
+    def fullBox0(typ: String, payloadLen: Int)
+        (fill: java.nio.ByteBuffer => Unit): Array[Byte] = {
+      val body = java.nio.ByteBuffer.allocate(payloadLen)
+      body.putInt(0) // version 0 + flags
+      fill(body)
+      box(typ, body.array())
+    }
+    def mdhd = fullBox0("mdhd", 24) { p =>
+      p.putInt(0); p.putInt(0) // ctime, mtime
+      p.putInt(timescale); p.putInt(duration)
+      p.putShort(0x55c4.toShort); p.putShort(0) // lang "und", pre_defined
+    }
+    def tkhd(id: Int) = fullBox0("tkhd", 84) { p =>
+      p.putInt(0); p.putInt(0); p.putInt(id); p.putInt(0); p.putInt(duration)
+      // reserved(8) layer/group/volume/reserved(8) then the unity matrix
+      p.position(p.position() + 16)
+      p.putInt(0x00010000); p.position(p.position() + 12)
+      p.putInt(0x00010000); p.position(p.position() + 12)
+      p.putInt(0x40000000)
+      // width/height stay 0 (fixed-point; sample-entry territory)
+    }
+    def trak(id: Int, handler: String): Array[Byte] =
+      box("trak", tkhd(id) ++ box("mdia", mdhd ++ hdlr(handler)))
+    val mvhd = fullBox0("mvhd", 100) { p =>
+      p.putInt(0); p.putInt(0) // ctime, mtime
+      p.putInt(timescale); p.putInt(duration)
+      p.putInt(0x00010000); p.putShort(0x0100.toShort) // rate, volume
+      p.position(p.position() + 10) // reserved
+      p.putInt(0x00010000); p.position(p.position() + 12)
+      p.putInt(0x00010000); p.position(p.position() + 12)
+      p.putInt(0x40000000) // unity matrix
+      p.position(p.position() + 24) // pre_defined
+      p.putInt(if (withAudio) 3 else 2) // next_track_ID
+    }
+    val traks = trak(1, "vide") ++
+      (if (withAudio) trak(2, "soun") else Array.empty[Byte])
+    u32(16); cc("ftyp"); cc("isom"); u32(512) // major brand + minor ver
+    bo.write(box("moov", mvhd ++ traks))
+    bo.write(box("mdat", payload))
+    bo.toByteArray
+  }
+
+  /** REAL ISO-BMFF box walk — the container analog of [[decodeWav]]'s
+    * chunk walk: parse [u32 size][4cc] box headers, recurse into the
+    * standard container types, and read `mvhd` timing and `hdlr` track
+    * roles at their version-0 offsets. Returns (nBoxes incl. nested,
+    * timescale, duration, nTracks, hasAudio, mdatBytes); None when the
+    * file doesn't open with a well-formed `ftyp`. Malformed sizes stop
+    * the walk at what parsed (P8 permissive stance). */
+  def decodeMp4Boxes(b: Array[Byte])
+      : Option[(Int, Int, Long, Int, Boolean, Long)] = {
+    def u32(o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    def cc(o: Int): String = new String(b, o, 4, "US-ASCII")
+    if (b.length < 16 || u32(0) < 8 || cc(4) != "ftyp") return None
+    val containers = Set("moov", "trak", "mdia", "minf", "stbl", "edts")
+    var nBoxes = 0; var timescale = 0; var duration = 0L
+    var nTracks = 0; var hasAudio = false; var mdatBytes = 0L
+    def walk(start: Int, end: Int): Unit = {
+      var o = start
+      while (o + 8 <= end) {
+        val size = u32(o)
+        if (size < 8 || o + size > end) return // lost framing — stop
+        val typ = cc(o + 4)
+        nBoxes += 1
+        typ match {
+          case "mvhd" if size >= 28 && (b(o + 8) & 0xff) == 0 =>
+            timescale = u32(o + 20).toInt; duration = u32(o + 24)
+          case "trak" => nTracks += 1
+          case "hdlr" if size >= 24 =>
+            if (cc(o + 16) == "soun") hasAudio = true
+          case "mdat" => mdatBytes += size - 8
+          case _ => ()
+        }
+        if (containers(typ)) walk(o + 8, o + size.toInt)
+        o += size.toInt
+      }
+    }
+    walk(0, b.length)
+    Some((nBoxes, timescale, duration, nTracks, hasAudio, mdatBytes))
+  }
+
+  /** FLAC sample-rate fixture table (the common studio/stream rates);
+    * public so the q279 oracle SQL is generated from the same constants
+    * (NOTES rule 7). The FORMAT supports any 20-bit rate — this table
+    * is fixture geometry, not a decoder limit. */
+  val FlacRates: Array[Int] = Array(44100, 48000, 96000, 22050)
+
+  /** A real FLAC header: "fLaC" magic + STREAMINFO (type 0, 34 bytes,
+    * with the genuine 64-bit packed rate/channels/bps/total-samples
+    * field) + a PADDING block marked last. Frame data is codec
+    * territory and omitted — header walks never read it. */
+  def flacBytes(sampleRate: Int, channels: Int, bps: Int,
+      totalSamples: Long, padLen: Int): Array[Byte] = {
+    val bo = new java.io.ByteArrayOutputStream()
+    bo.write("fLaC".getBytes("US-ASCII"))
+    // STREAMINFO, not last
+    bo.write(0); bo.write(0); bo.write(0); bo.write(34)
+    val si = java.nio.ByteBuffer.allocate(34)
+    si.putShort(4096.toShort); si.putShort(4096.toShort) // block sizes
+    si.put(new Array[Byte](6)) // min/max frame size (u24 each): unknown
+    // 64-bit pack: rate(20) | channels-1(3) | bps-1(5) | totalSamples(36)
+    val packed = (sampleRate.toLong << 44) | ((channels - 1).toLong << 41) |
+      ((bps - 1).toLong << 36) | (totalSamples & 0xfffffffffL)
+    si.putLong(packed)
+    si.put(new Array[Byte](16)) // MD5 of unencoded audio: zeros
+    bo.write(si.array())
+    // PADDING, last-metadata-block flag set
+    bo.write(0x81); bo.write((padLen >> 16) & 0xff)
+    bo.write((padLen >> 8) & 0xff); bo.write(padLen & 0xff)
+    bo.write(new Array[Byte](padLen))
+    bo.toByteArray
+  }
+
+  /** REAL FLAC metadata walk: magic check, then the
+    * [last(1)|type(7)][u24 length] block chain, unpacking STREAMINFO's
+    * bit-packed 64-bit field (rate 20 bits, channels-1 3, bps-1 5,
+    * total samples 36) — the one genuinely bit-granular header in the
+    * audio set. Returns (sampleRate, channels, bps, totalSamples,
+    * nBlocks, padBytes); None without magic + STREAMINFO first (the
+    * spec requires it first). */
+  def decodeFlac(b: Array[Byte])
+      : Option[(Int, Int, Int, Long, Int, Long)] = {
+    if (b.length < 42 || new String(b, 0, 4, "US-ASCII") != "fLaC")
+      return None
+    var o = 4
+    var nBlocks = 0; var padBytes = 0L
+    var rate = -1; var ch = -1; var bps = -1; var total = -1L
+    var last = false
+    while (!last && o + 4 <= b.length) {
+      val hdr = b(o) & 0xff
+      last = (hdr & 0x80) != 0
+      val typ = hdr & 0x7f
+      val len = ((b(o + 1) & 0xff) << 16) | ((b(o + 2) & 0xff) << 8) |
+        (b(o + 3) & 0xff)
+      if (o + 4 + len > b.length) return None // truncated block
+      if (nBlocks == 0 && typ != 0) return None // STREAMINFO must lead
+      if (typ == 0 && len >= 34) {
+        val p = o + 4 + 10
+        var packed = 0L
+        var i = 0
+        while (i < 8) { packed = (packed << 8) | (b(p + i) & 0xffL); i += 1 }
+        rate = (packed >>> 44).toInt
+        ch = ((packed >>> 41) & 0x7).toInt + 1
+        bps = ((packed >>> 36) & 0x1f).toInt + 1
+        total = packed & 0xfffffffffL
+      }
+      if (typ == 1) padBytes += len
+      nBlocks += 1
+      o += 4 + len
+    }
+    if (rate <= 0) None else Some((rate, ch, bps, total, nBlocks, padBytes))
+  }
+
   /** Aspect-preserving fit of (w, h) into maxSide², never upscaling. */
   def fitThumb(w: Int, h: Int, maxSide: Int = 256): (Int, Int) = {
     val longSide = math.max(w, h)

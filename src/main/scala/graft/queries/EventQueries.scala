@@ -482,6 +482,47 @@ object EventQueries {
              |FROM k JOIN p USING (sk)
              |GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // q273 — RUNTIME BLOOM-FILTER join pruning, the second declarative
+    // runtime optimization under the gate (q262 is AQE skew): Catalyst's
+    // InjectRuntimeFilter sees a selective filter on the orders side of
+    // a shuffle join and plants a bloom_filter_agg subquery whose
+    // might_contain() is applied AT THE LINEITEM SCAN — the fact table
+    // drops ~80% of its rows before paying the shuffle, no query
+    // rewrite. This is the semi-join reduction every warehouse engine
+    // does; at 100 TB it is often the difference between shuffling 100
+    // TB and shuffling 5 TB. Session clone floors the application-side
+    // threshold to fixture scale and disables broadcast so the join is
+    // a genuine shuffle SMJ (production keeps the 10 GB default — the
+    // MECHANISM is identical); the bloom is a pure overlay, so results
+    // are bit-identical with it on or off (false positives only re-admit
+    // rows the join itself discards). PlanSpec pins might_contain on the
+    // lineitem side + the bloom_filter_agg build on the orders side.
+    QuerySpec("q273_runtime_bloom_join",
+      (s, dir) => {
+        val ts = graft.core.Tuned.session(s,
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+          "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+          "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+          "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB")
+        val li = Tables.load(ts, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_extendedprice"), col("l_returnflag"))
+        val ord = Tables.load(ts, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey"))
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_items"),
+            countDistinct(col("l_orderkey")).as("n_orders"),
+            sum(col("l_extendedprice").cast("decimal(18,2)")).as("revenue"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_items,
+             |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS revenue
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE o_orderpriority = '1-URGENT'
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // q266 — TOLERANCE-bounded as-of over the native operator: the
     // `tolerance` parameter every as-of API exposes (pandas
     // merge_asof, kdb wj) — match the last click at-or-before each
@@ -567,5 +608,63 @@ object EventQueries {
              |  FROM log)
              |SELECT user_id, op AS last_op, event_id AS last_event_id,
              |  tsu AS last_ts_us, CAST(n_ops AS BIGINT) AS n_ops
-             |FROM r WHERE rn = 1 AND op <> 'D' ORDER BY user_id""".stripMargin)))
+             |FROM r WHERE rn = 1 AND op <> 'D' ORDER BY user_id""".stripMargin)),
+
+    // q276 — MERGE INTO (full three-clause semantics): target snapshot ⊕
+    // delta feed with WHEN MATCHED AND cond → DELETE, WHEN MATCHED →
+    // UPDATE, WHEN NOT MATCHED → INSERT — the lakehouse upsert q269's
+    // log-fold feeds (q269 collapses the LOG; this applies the collapsed
+    // delta to a TABLE). One full-outer key join is the whole cost: at
+    // 100 TB both sides shuffle once on the merge key and every clause
+    // is a scan-local CASE over the joined row — no second pass, no
+    // driver loop. The `action` column makes each row's clause
+    // auditable. Target = customers with key % 3 ≠ 0 (a snapshot that's
+    // missing some keys), delta = key % 2 = 0 with a +100 balance;
+    // MACHINERY matches are the delete clause.
+    QuerySpec("q276_merge_into",
+      (s, dir) => {
+        val cust = Tables.load(s, dir, "customer")
+        val t = cust.filter(col("c_custkey") % 3 =!= 0)
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+            col("c_mktsegment"))
+        val src = cust.filter(col("c_custkey") % 2 === 0)
+          .select(col("c_custkey").as("s_key"),
+            (col("c_acctbal") + 100).cast("decimal(12,2)").as("new_bal"),
+            col("c_mktsegment").as("seg"))
+        val inT = col("c_custkey").isNotNull
+        val inS = col("s_key").isNotNull
+        t.join(src, col("c_custkey") === col("s_key"), "full_outer")
+          .filter(!(inT && inS && col("seg") === "MACHINERY"))
+          .select(coalesce(col("c_custkey"), col("s_key")).as("key"),
+            when(inT && inS, "update").when(inS, "insert")
+              .otherwise("keep").as("action"),
+            when(inS, coalesce(col("c_name"), concat(lit("new-"),
+              col("s_key").cast("string")))).otherwise(col("c_name"))
+              .as("name"),
+            when(inS, col("new_bal")).otherwise(col("c_acctbal"))
+              .cast("decimal(12,2)").as("acctbal"),
+            when(inS && !inT, col("seg")).otherwise(col("c_mktsegment"))
+              .as("segment"))
+          .withColumnRenamed("key", "c_custkey")
+          .orderBy("c_custkey")
+      },
+      Some("""WITH t AS (SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+             |    FROM customer WHERE c_custkey % 3 <> 0),
+             |s AS (SELECT c_custkey, CAST(c_acctbal + 100 AS DECIMAL(12,2)) AS new_bal,
+             |    c_mktsegment AS seg
+             |  FROM customer WHERE c_custkey % 2 = 0),
+             |j AS (SELECT COALESCE(t.c_custkey, s.c_custkey) AS c_custkey,
+             |    t.c_name, t.c_acctbal, t.c_mktsegment, s.new_bal, s.seg,
+             |    t.c_custkey IS NOT NULL AS in_t, s.c_custkey IS NOT NULL AS in_s
+             |  FROM t FULL OUTER JOIN s ON t.c_custkey = s.c_custkey)
+             |SELECT c_custkey,
+             |  CASE WHEN in_t AND in_s THEN 'update' WHEN in_s THEN 'insert'
+             |    ELSE 'keep' END AS action,
+             |  CASE WHEN in_s THEN COALESCE(c_name, 'new-' || CAST(c_custkey AS VARCHAR))
+             |    ELSE c_name END AS name,
+             |  CAST(CASE WHEN in_s THEN new_bal ELSE c_acctbal END AS DECIMAL(12,2)) AS acctbal,
+             |  CASE WHEN in_s AND NOT in_t THEN seg ELSE c_mktsegment END AS segment
+             |FROM j
+             |WHERE NOT (in_t AND in_s AND seg = 'MACHINERY')
+             |ORDER BY c_custkey""".stripMargin)))
 }

@@ -1482,5 +1482,129 @@ object ExtQueries {
              |    ch AS channels,
              |    CAST(sl // (ch*2) AS BIGINT) AS n_samples
              |  FROM b)
-             |WHERE doc_id % 97 = 5 ORDER BY doc_id""".stripMargin)))
+             |WHERE doc_id % 97 = 5 ORDER BY doc_id""".stripMargin)),
+
+    // q274 — ZONE-MAP skip-rate analysis: simulate two physical layouts
+    // of the same corpus (ingest order vs clustered by n_chars, 32
+    // docs/file), build per-file min/max zone maps, and measure — for a
+    // fixed predicate-band workload — how many files each layout can
+    // skip and the resulting IO amplification (rows scanned vs rows
+    // matching). This is the analysis that justifies an OPTIMIZE/
+    // cluster-by: data skipping is the #1 scan lever at 100 TB, and it
+    // only works when the layout correlates with the predicate column.
+    // Scale shape: ranks come from `ops.PrefixSum` (range-partitioned
+    // two-phase cumsum — NO single-reducer global window); zone maps
+    // aggregate at file grain; the 5-band workload frame is a broadcast
+    // literal. The fixture shows the point: clustered skips 69-88% of
+    // files per band, ingest ~0%.
+    QuerySpec("q274_zone_map_skip",
+      (s, dir) => {
+        val base = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars")).withColumn("__one", lit(1L))
+        def layout(name: String, keys: Seq[String]) =
+          graft.ops.PrefixSum.cumsum(base, keys, "__one", "rk", 32)
+            .select(lit(name).as("layout"),
+              floor((col("rk") - 1) / 32).cast("int").as("file_id"),
+              col("n_chars"))
+        val zones = layout("ingest", Seq("doc_id"))
+          .unionByName(layout("clustered", Seq("n_chars", "doc_id")))
+          .groupBy("layout", "file_id")
+          .agg(min("n_chars").as("zmin"), max("n_chars").as("zmax"),
+            count(lit(1)).as("rows_in_file"))
+        import s.implicits._
+        val bands = Seq((0, 100), (100, 200), (200, 300), (300, 400),
+          (400, 600)).toDF("lo", "hi")
+        val skip = col("zmax") < col("lo") || col("zmin") >= col("hi")
+        val x = zones.crossJoin(broadcast(bands))
+          .groupBy("lo", "hi", "layout")
+          .agg(count(lit(1)).as("files_total"),
+            sum(when(skip, 1L).otherwise(0L)).as("files_skipped"),
+            sum(when(skip, 0L).otherwise(col("rows_in_file")))
+              .as("rows_scanned"))
+        val m = base.join(broadcast(bands),
+            col("n_chars") >= col("lo") && col("n_chars") < col("hi"))
+          .groupBy("lo", "hi").agg(count(lit(1)).as("rows_matching"))
+        x.join(m, Seq("lo", "hi"), "left")
+          .select(col("lo").as("band_lo"), col("hi").as("band_hi"),
+            col("layout"), col("files_total"), col("files_skipped"),
+            col("rows_scanned"),
+            coalesce(col("rows_matching"), lit(0L)).as("rows_matching"),
+            round(col("files_skipped") * 100.0 / col("files_total"), 2)
+              .cast("decimal(6,2)").as("skip_pct"))
+          .orderBy("band_lo", "layout")
+      },
+      Some("""WITH ranked AS (
+             |  SELECT doc_id, n_chars,
+             |    CAST(floor((row_number() OVER (ORDER BY doc_id) - 1) / 32) AS INTEGER) AS f_ingest,
+             |    CAST(floor((row_number() OVER (ORDER BY n_chars, doc_id) - 1) / 32) AS INTEGER) AS f_clustered
+             |  FROM documents),
+             |layouts AS (
+             |  SELECT 'ingest' AS layout, f_ingest AS file_id, n_chars FROM ranked
+             |  UNION ALL
+             |  SELECT 'clustered', f_clustered, n_chars FROM ranked),
+             |zones AS (
+             |  SELECT layout, file_id, min(n_chars) AS zmin, max(n_chars) AS zmax,
+             |    count(*) AS rows_in_file
+             |  FROM layouts GROUP BY 1, 2),
+             |bands AS (
+             |  SELECT * FROM (VALUES (0, 100), (100, 200), (200, 300), (300, 400), (400, 600))
+             |    AS t(lo, hi)),
+             |x AS (
+             |  SELECT b.lo, b.hi, z.layout,
+             |    count(*) AS files_total,
+             |    CAST(SUM(CASE WHEN z.zmax < b.lo OR z.zmin >= b.hi THEN 1 ELSE 0 END) AS BIGINT) AS files_skipped,
+             |    CAST(SUM(CASE WHEN z.zmax < b.lo OR z.zmin >= b.hi THEN 0 ELSE z.rows_in_file END) AS BIGINT) AS rows_scanned
+             |  FROM bands b CROSS JOIN zones z GROUP BY 1, 2, 3),
+             |m AS (SELECT lo, hi, count(*) AS rows_matching FROM bands b
+             |  JOIN documents d ON d.n_chars >= b.lo AND d.n_chars < b.hi GROUP BY 1, 2)
+             |SELECT x.lo AS band_lo, x.hi AS band_hi, x.layout, x.files_total, x.files_skipped,
+             |  x.rows_scanned, CAST(COALESCE(m.rows_matching, 0) AS BIGINT) AS rows_matching,
+             |  CAST(round(x.files_skipped * 100.0 / x.files_total, 2) AS DECIMAL(6,2)) AS skip_pct
+             |FROM x LEFT JOIN m ON x.lo = m.lo AND x.hi = m.hi
+             |ORDER BY band_lo, layout""".stripMargin)),
+
+    // q275 — COMPACTION planner: bin-pack a small-file inventory into
+    // ~16 KB rewrite groups — the OPTIMIZE/compaction step every
+    // streaming-ingested table needs (thousands of per-batch files →
+    // scan-efficient target files). Inventory = one row per simulated
+    // file ((source, hash-bucket) grain, bytes = content + 1 KB
+    // overhead); plan = next-fit-decreasing WITHIN source: files sorted
+    // by (bytes desc, bucket), bin boundary wherever the running total
+    // crosses the target. The window is PARTITIONED by source — file
+    // inventories are metadata-grain (10M rows at 100 TB), and no
+    // partition sees more than one source's files, so there is no
+    // single-reducer order. Exact integer arithmetic end to end.
+    QuerySpec("q275_compaction_plan",
+      (s, dir) => {
+        val files = Tables.load(s, dir, "documents")
+          .groupBy(col("source"),
+            (graft.functions.Text.hash32(col("doc_id").cast("string")) % 50)
+              .cast("int").as("bucket"))
+          .agg((lit(1024L) + sum(col("n_chars"))).as("bytes"))
+        val w = Window.partitionBy("source")
+          .orderBy(desc("bytes"), col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        files.withColumn("bin",
+            floor((sum(col("bytes")).over(w) - col("bytes")) / 16384)
+              .cast("int"))
+          .groupBy("source", "bin")
+          .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("bytes"),
+            round(sum(col("bytes")) * 100.0 / 16384, 2)
+              .cast("decimal(7,2)").as("fill_pct"))
+          .orderBy("source", "bin")
+      },
+      Some("""WITH files AS (
+             |  SELECT source,
+             |    CAST(CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8) AS BIGINT) % 50 AS INTEGER) AS bucket,
+             |    CAST(1024 + SUM(n_chars) AS BIGINT) AS bytes
+             |  FROM documents GROUP BY 1, 2),
+             |planned AS (
+             |  SELECT source, bucket, bytes,
+             |    CAST(floor((SUM(bytes) OVER (PARTITION BY source ORDER BY bytes DESC, bucket
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - bytes) / 16384) AS INTEGER) AS bin
+             |  FROM files)
+             |SELECT source, bin, CAST(count(*) AS BIGINT) AS n_files,
+             |  CAST(SUM(bytes) AS BIGINT) AS bytes,
+             |  CAST(round(SUM(bytes) * 100.0 / 16384, 2) AS DECIMAL(7,2)) AS fill_pct
+             |FROM planned GROUP BY 1, 2 ORDER BY source, bin""".stripMargin)))
 }

@@ -3687,5 +3687,110 @@ object TextQueries {
              |  CAST(g * pp AS INTEGER) AS n_pslices,
              |  CAST((4 + sps) + (4 + pps) + g * (4 + idr) + g * pp * (3 + pl)
              |    AS INTEGER) AS stream_bytes
-             |FROM p ORDER BY doc_id""".stripMargin)))
+             |FROM p ORDER BY doc_id""".stripMargin)),
+
+    // q272 — MP4 (ISO-BMFF) CONTAINER walk: q263 walks the elementary
+    // video stream; this walks the file format that wraps it — the
+    // nested [u32 size][4cc] box tree (ftyp/moov/trak/mdia…) that every
+    // curation pass reads for track inventory, timescale and duration
+    // before any codec is involved. Fixture: a genuine box tree per doc
+    // (Multimodal.mp4Bytes — spec-shaped version-0 mvhd/tkhd/mdhd/hdlr,
+    // id-derived timescale + audio presence, text-derived duration and
+    // mdat payload); decodeMp4Boxes RECURSES through the container
+    // types and reads mvhd/hdlr fields at their v0 offsets. The oracle
+    // reconstructs the all-integer box-size arithmetic. Narrow per-row
+    // transform, the 100 TB media-metadata shape.
+    QuerySpec("q272_mp4_boxes",
+      (s, dir) => {
+        import s.implicits._
+        val ds = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+        ds.mapPartitions(_.flatMap { case (id, txt) =>
+          val body = txt.getBytes("UTF-8")
+          val n = body.length
+          val media = graft.functions.Multimodal.mp4Bytes(
+            timescale = Array(600, 1000, 90000)((id % 3).toInt),
+            duration = 100 + n * 13, withAudio = id % 2 == 1,
+            hdlrName = n % 7, payload = body)
+          // the walk reads ONLY the container bytes, not the fixture vars
+          graft.functions.Multimodal.decodeMp4Boxes(media).map {
+            case (nb, ts, dur, nt, audio, mdat) =>
+              (id, media.length, nb, ts, dur, dur * 1000L / ts, nt, audio,
+                mdat)
+          }
+        }).toDF("doc_id", "file_bytes", "n_boxes", "timescale", "duration",
+            "duration_ms", "n_tracks", "has_audio", "mdat_bytes")
+          .orderBy("doc_id")
+      },
+      Some("""WITH p AS (SELECT doc_id,
+             |    CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000 ELSE 90000 END AS ts,
+             |    100 + strlen(text) * 13 AS dur,
+             |    CASE WHEN doc_id % 2 = 1 THEN 2 ELSE 1 END AS nt,
+             |    strlen(text) % 7 AS h,
+             |    strlen(text) AS n
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(140 + nt * (173 + h) + n AS INTEGER) AS file_bytes,
+             |  CAST(4 + 5 * nt AS INTEGER) AS n_boxes,
+             |  CAST(ts AS INTEGER) AS timescale,
+             |  CAST(dur AS BIGINT) AS duration,
+             |  CAST(dur * 1000 // ts AS BIGINT) AS duration_ms,
+             |  CAST(nt AS INTEGER) AS n_tracks,
+             |  doc_id % 2 = 1 AS has_audio,
+             |  CAST(n AS BIGINT) AS mdat_bytes
+             |FROM p ORDER BY doc_id""".stripMargin)),
+
+    // q279 — FLAC STREAMINFO walk: the one genuinely BIT-granular
+    // header in the audio set — sample rate (20 bits), channels-1 (3),
+    // bits-per-sample-1 (5) and total samples (36) packed into one
+    // 64-bit big-endian field, preceded by the [last|type][u24 length]
+    // metadata-block chain. Fixture: a genuine FLAC header per doc
+    // (magic + STREAMINFO + last-flagged PADDING, id-derived
+    // rate/channels/bps, text-derived sample count and pad length); the
+    // decode validates magic, walks the chain, and unpacks the bit
+    // field. Rate table shared with the oracle via Multimodal.FlacRates
+    // (NOTES rule 7). Narrow per-row transform.
+    QuerySpec("q279_flac_meta",
+      (s, dir) => {
+        import s.implicits._
+        val ds = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+        ds.mapPartitions(_.flatMap { case (id, txt) =>
+          val n = txt.getBytes("UTF-8").length
+          val media = graft.functions.Multimodal.flacBytes(
+            sampleRate = graft.functions.Multimodal.FlacRates((id % 4).toInt),
+            channels = (1 + id % 2).toInt,
+            bps = if (id % 3 == 0) 24 else 16,
+            totalSamples = 1000L + n * 31L, padLen = n % 33)
+          // the walk reads ONLY the FLAC bytes, not the fixture vars
+          graft.functions.Multimodal.decodeFlac(media).map {
+            case (rate, ch, bps, total, nb, pad) =>
+              (id, media.length, rate, ch, bps, total,
+                total * 1000L / rate, nb, pad)
+          }
+        }).toDF("doc_id", "file_bytes", "sample_rate", "channels", "bps",
+            "total_samples", "duration_ms", "n_blocks", "pad_bytes")
+          .orderBy("doc_id")
+      },
+      Some {
+        val rateCase = (0 to 3).map(i =>
+          s"WHEN $i THEN ${graft.functions.Multimodal.FlacRates(i)}")
+          .mkString("CASE doc_id % 4 ", " ", " END")
+        s"""WITH p AS (SELECT doc_id,
+           |    $rateCase AS rate,
+           |    CAST(1 + doc_id % 2 AS INTEGER) AS ch,
+           |    CAST(CASE WHEN doc_id % 3 = 0 THEN 24 ELSE 16 END AS INTEGER) AS bps,
+           |    1000 + strlen(text) * 31 AS total,
+           |    strlen(text) % 33 AS pad
+           |  FROM documents)
+           |SELECT doc_id,
+           |  CAST(46 + pad AS INTEGER) AS file_bytes,
+           |  CAST(rate AS INTEGER) AS sample_rate,
+           |  ch AS channels, bps,
+           |  CAST(total AS BIGINT) AS total_samples,
+           |  CAST(total * 1000 // rate AS BIGINT) AS duration_ms,
+           |  CAST(2 AS INTEGER) AS n_blocks,
+           |  CAST(pad AS BIGINT) AS pad_bytes
+           |FROM p ORDER BY doc_id""".stripMargin
+      }))
 }

@@ -326,6 +326,20 @@ class PlanSpec extends AnyFunSuite {
       s"no skewed AQEShuffleRead in the final plan:\n$p")
   }
 
+  test("q273: InjectRuntimeFilter plants a bloom semi-join reduction — " +
+      "might_contain on the lineitem scan, bloom_filter_agg on orders") {
+    val p = plan("q273_runtime_bloom_join")
+    val probe = p.linesIterator.find(_.contains("might_contain")).getOrElse("")
+    assert(probe.contains("l_orderkey"),
+      s"no might_contain probe on the fact-table key:\n$p")
+    assert(p.contains("bloom_filter_agg"),
+      s"no bloom build on the creation side:\n$p")
+    val buildCtx = p.linesIterator.dropWhile(!_.contains("bloom_filter_agg"))
+      .take(6).mkString("\n")
+    assert(buildCtx.contains("o_orderkey") || p.contains("o_orderkey"),
+      s"bloom must be built from the filtered orders keys:\n$buildCtx")
+  }
+
   test("q258: the SERVE lineage reads only index artifacts — exactly one " +
       "embeddings scan (the query vectors), no inline index recompute") {
     // the fn builds + persists the index eagerly, then returns the serve
