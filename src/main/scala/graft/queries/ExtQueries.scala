@@ -1606,5 +1606,83 @@ object ExtQueries {
              |SELECT source, bin, CAST(count(*) AS BIGINT) AS n_files,
              |  CAST(SUM(bytes) AS BIGINT) AS bytes,
              |  CAST(round(SUM(bytes) * 100.0 / 16384, 2) AS DECIMAL(7,2)) AS fill_pct
-             |FROM planned GROUP BY 1, 2 ORDER BY source, bin""".stripMargin)))
+             |FROM planned GROUP BY 1, 2 ORDER BY source, bin""".stripMargin)),
+
+    // q277 — AGGREGATE PUSHDOWN into the V2 source: per-shard
+    // count/byte totals over the packed corpus are answered ENTIRELY
+    // from the `_manifest` sidecar — the ScanBuilder's
+    // SupportsPushDownAggregates plans the final group rows at driver
+    // plan time and NO shard file is opened (BlobSourceSpec pins zero
+    // reader opens; the plan shows `PushedAggregation[groupBy=shard
+    // count,sum(length)] (manifest-only)`). This is the parquet-footer
+    // count(*) trick for a custom format: at 100 TB the difference
+    // between a catalog lookup and a full corpus walk. The oracle
+    // reconstructs the same totals from the documents arithmetic, so
+    // the manifest's claim is verified against ground truth.
+    QuerySpec("q277_blob_agg_pushdown",
+      (s, dir) => {
+        val out = shardDir(dir)
+        graft.sources.BlobShards.pack(wavMedia(s, dir), out)
+        s.read.format(classOf[graft.sources.BlobShardDataSource].getName)
+          .option("path", out).load()
+          .groupBy("shard")
+          .agg(expr("count(*)").as("n_records"),
+            sum(col("length")).as("blob_bytes"))
+          .select(col("shard"), col("n_records"), col("blob_bytes"),
+            round(col("blob_bytes") / col("n_records"), 2)
+              .cast("decimal(10,2)").as("mean_bytes"))
+          .orderBy("shard")
+      },
+      Some("""WITH b AS (SELECT
+             |    CAST(CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8) AS BIGINT) % 4 AS INTEGER) AS shard,
+             |    44 + strlen(text) AS len
+             |  FROM documents)
+             |SELECT shard, CAST(count(*) AS BIGINT) AS n_records,
+             |  CAST(SUM(len) AS BIGINT) AS blob_bytes,
+             |  CAST(round(SUM(len) / count(*), 2) AS DECIMAL(10,2)) AS mean_bytes
+             |FROM b GROUP BY shard ORDER BY shard""".stripMargin)),
+
+    // q278 — RUNTIME shard pruning in a federated join: the V2 scan
+    // declares `shard` runtime-filterable (SupportsRuntimeFiltering);
+    // joining it to a BROADCAST dim with a selective predicate makes
+    // Spark evaluate the dim FIRST and hand the surviving shard keys to
+    // the scan before partition planning — only matching shard files
+    // are ever opened (dynamic partition pruning for a custom format;
+    // BlobSourceSpec pins the opened-file count). The dim keys are
+    // hash%2, a guaranteed strict subset of the 4 shards, so the demo
+    // always prunes. Results are pruning-independent — the oracle is
+    // the plain join arithmetic.
+    QuerySpec("q278_blob_runtime_prune",
+      (s, dir) => {
+        val out = shardDir(dir)
+        graft.sources.BlobShards.pack(wavMedia(s, dir), out)
+        val blobs = s.read
+          .format(classOf[graft.sources.BlobShardDataSource].getName)
+          .option("path", out).load()
+          .select(col("shard"), col("length"))
+        val dim = Tables.load(s, dir, "documents")
+          .filter(col("source") === "src7")
+          .groupBy((graft.functions.Text.hash32(col("doc_id").cast("string")) % 2)
+            .cast("int").as("shard_key"))
+          .agg(count(lit(1)).as("n_dim"))
+        blobs.join(broadcast(dim), col("shard") === col("shard_key"))
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_records"),
+            sum(col("length").cast("long")).as("blob_bytes"),
+            max(col("n_dim")).as("n_dim"))
+          .orderBy("shard")
+      },
+      Some("""WITH b AS (SELECT
+             |    CAST(CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8) AS BIGINT) % 4 AS INTEGER) AS shard,
+             |    44 + strlen(text) AS len
+             |  FROM documents),
+             |d AS (SELECT
+             |    CAST(CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8) AS BIGINT) % 2 AS INTEGER) AS shard_key,
+             |    count(*) AS n_dim
+             |  FROM documents WHERE source = 'src7' GROUP BY 1)
+             |SELECT shard, CAST(count(*) AS BIGINT) AS n_records,
+             |  CAST(SUM(len) AS BIGINT) AS blob_bytes,
+             |  CAST(max(n_dim) AS BIGINT) AS n_dim
+             |FROM b JOIN d ON b.shard = d.shard_key
+             |GROUP BY shard ORDER BY shard""".stripMargin)))
 }

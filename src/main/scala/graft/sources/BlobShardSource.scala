@@ -73,13 +73,116 @@ class BlobShardTable(path: String) extends Table with SupportsRead
     new BlobShardWriteBuilder(path, info.schema())
 }
 
+/** Executor-side IO accounting for the shard readers (local-mode test
+  * aid: in `local[*]` the executors share the test JVM, so specs can
+  * assert "this plan opened N shard files / zero shard files" — the
+  * ground-truth check behind the aggregate-pushdown and runtime-
+  * filtering pins; production multi-JVM deployments would read the
+  * same signal from task metrics). */
+object BlobShardIO {
+  val opened = new java.util.concurrent.atomic.AtomicLong(0L)
+}
+
 class BlobShardScanBuilder(path: String,
     maxBytesPerBatch: Option[Long] = None) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var required: StructType = BlobShardDataSource.fullSchema
   private var shardFilter: Option[Set[Int]] = None
   private var pushed: Array[Filter] = Array.empty
+  private var pushedAgg: Option[(StructType, Array[Array[Any]], String)] = None
+
+  /** AGGREGATE PUSHDOWN from the `_manifest` sidecar: COUNT(*) /
+    * COUNT(col) / SUM(length), optionally grouped by `shard`, are pure
+    * manifest arithmetic (records, fileBytes − 12·records) — answered
+    * with ZERO shard-file IO, the way a parquet footer answers
+    * count(*). Only offered when the manifest is EXACT: the visible
+    * shard files (after shard-predicate pruning) and the manifest
+    * entries must agree set-wise with matching file lengths — an
+    * externally appended/truncated/unmanifested file withdraws the
+    * pushdown and the plan falls back to a real scan. Complete
+    * pushdown (Spark re-aggregates nothing), so the group rows are
+    * final results; correctness is oracle-checked in q277 and the
+    * zero-IO claim is pinned by BlobSourceSpec via [[BlobShardIO]]. */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = planAggregation(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = planAggregation(agg) match {
+    case Some(p) => pushedAgg = Some(p); true
+    case None    => false
+  }
+
+  private def fieldOf(
+      e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+    e match {
+      case n: org.apache.spark.sql.connector.expressions.NamedReference
+          if n.fieldNames.length == 1 => Some(n.fieldNames()(0))
+      case _ => None
+    }
+
+  private def planAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, Array[Array[Any]], String)] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Sum}
+    val byShard = agg.groupByExpressions().toSeq match {
+      case Seq()  => false
+      case Seq(g) if fieldOf(g).contains("shard") => true
+      case _      => return None
+    }
+    val cols = BlobShardDataSource.fullSchema.fieldNames.toSet
+    // 'c' = records, 's' = record bytes minus framing (Σ length)
+    val funcs: Seq[Char] = agg.aggregateExpressions().toSeq.map {
+      case _: CountStar => 'c'
+      case c: Count if !c.isDistinct &&
+        fieldOf(c.column).exists(cols.contains) => 'c' // all columns non-null
+      case s: Sum if !s.isDistinct &&
+        fieldOf(s.column).contains("length") => 's'
+      case _ => return None
+    }
+    if (funcs.isEmpty) return None
+    val manifest = BlobShardManifest.read(path)
+    if (manifest.isEmpty) return None
+    val dir = new java.io.File(path)
+    val files = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.matches("shard-\\d+\\.bin"))
+      .map(f => f.getName.stripPrefix("shard-").stripSuffix(".bin").toInt -> f)
+      .filter { case (s, _) => shardFilter.forall(_.contains(s)) }
+      .toMap
+    val entries = manifest.filter { case (s, _) => shardFilter.forall(_.contains(s)) }
+    // set equality + length match = the manifest speaks for the files
+    if (files.keySet != entries.keySet) return None
+    if (!entries.forall { case (s, (_, b)) => files(s).length() == b }) return None
+    def row(shard: Option[Int], recs: Long, sumLen: Long): Array[Any] = {
+      val aggVals: Seq[Any] = funcs.map {
+        case 'c' => recs
+        case 's' => sumLen
+      }
+      (shard.map(s => Seq(s: Any)).getOrElse(Seq.empty) ++ aggVals).toArray
+    }
+    val rows: Array[Array[Any]] =
+      if (byShard)
+        entries.toSeq.sortBy(_._1).map { case (s, (n, b)) =>
+          row(Some(s), n, b - 12L * n)
+        }.toArray
+      else {
+        val n = entries.values.map(_._1).sum
+        val b = entries.values.map(_._2).sum
+        Array(row(None, n, b - 12L * n))
+      }
+    var schema = new StructType()
+    if (byShard) schema = schema.add("shard", IntegerType, nullable = false)
+    funcs.zipWithIndex.foreach { case (f, i) =>
+      schema = schema.add(s"agg_$i", LongType, nullable = false)
+      locally(f) // count and sum(length) are both LongType
+    }
+    val desc = (if (byShard) "groupBy=shard " else "global ") +
+      funcs.map { case 'c' => "count"; case 's' => "sum(length)" }.mkString(",")
+    Some((schema, rows, desc))
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, rest) = filters.partition {
@@ -105,19 +208,84 @@ class BlobShardScanBuilder(path: String,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan =
-    new BlobShardScan(path, required, shardFilter, maxBytesPerBatch)
+  override def build(): Scan = pushedAgg match {
+    case Some((schema, rows, desc)) =>
+      new BlobShardAggScan(path, schema, rows, desc)
+    case None =>
+      new BlobShardScan(path, required, shardFilter, maxBytesPerBatch)
+  }
 }
+
+/** The scan a pushed-down aggregation builds: the final group rows were
+  * computed at PLAN time from the `_manifest` sidecar (O(#shards)
+  * driver IO), so the "scan" is one partition replaying them — no
+  * shard file is ever opened. */
+class BlobShardAggScan(path: String, schema: StructType,
+    rows: Array[Array[Any]], desc: String) extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-shards path=$path PushedAggregation[$desc] (manifest-only)"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(BlobShardAggPartition(rows))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition)
+          : PartitionReader[InternalRow] = {
+        val rs = p.asInstanceOf[BlobShardAggPartition].rows
+        new PartitionReader[InternalRow] {
+          private var i = -1
+          override def next(): Boolean = { i += 1; i < rs.length }
+          override def get(): InternalRow = new GenericInternalRow(rs(i))
+          override def close(): Unit = ()
+        }
+      }
+    }
+}
+
+case class BlobShardAggPartition(rows: Array[Array[Any]])
+    extends InputPartition
 
 class BlobShardScan(path: String, required: StructType,
     shardFilter: Option[Set[Int]],
     maxBytesPerBatch: Option[Long] = None) extends Scan with Batch
-    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-shards path=$path shards=${shardFilter.getOrElse("*")} " +
       s"columns=${required.fieldNames.mkString(",")}"
+
+  /** RUNTIME (dynamic) shard pruning: the scan declares `shard` as its
+    * filterable attribute; when this side joins a broadcastable dim on
+    * shard with a selective predicate, Spark's dynamic-pruning rule
+    * evaluates the dim FIRST and hands the surviving shard keys to
+    * [[filter]] before `planInputPartitions` runs — the blob side then
+    * opens only the matching files, the DSv2 analog of parquet's
+    * dynamic partition pruning (q225 proves the static form). Compile-
+    * time shard predicates (`shardFilter`) and runtime keys compose by
+    * intersection. */
+  @volatile private var runtimeShards: Option[Set[Int]] = None
+  // Declared only when `shard` survives column pruning: Spark resolves
+  // these refs against the scan OUTPUT, and an unresolvable ref is an
+  // AnalysisException, not a skipped optimization.
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    if (required.fieldNames.contains("shard"))
+      Array(org.apache.spark.sql.connector.expressions.Expressions.column("shard"))
+    else Array.empty
+  override def filter(filters: Array[Filter]): Unit = filters.foreach {
+    case In("shard", vs) =>
+      val ks = vs.collect { case v: Int => v; case v: Long => v.toInt }.toSet
+      runtimeShards = Some(runtimeShards.fold(ks)(_ intersect ks))
+    case EqualTo("shard", v: Int) =>
+      runtimeShards = Some(runtimeShards.fold(Set(v))(_ intersect Set(v)))
+    case _ => () // unsupported runtime filters are advisory — ignore
+  }
+  private def visible(shard: Int): Boolean =
+    shardFilter.forall(_.contains(shard)) &&
+      runtimeShards.forall(_.contains(shard))
 
   override def planInputPartitions(): Array[InputPartition] = {
     val dir = new java.io.File(path)
@@ -127,7 +295,7 @@ class BlobShardScan(path: String, required: StructType,
     files.flatMap { f =>
       val shard = f.getName.stripPrefix("shard-").stripSuffix(".bin").toInt
       // partition pruning: filtered shards are never opened
-      if (shardFilter.forall(_.contains(shard)))
+      if (visible(shard))
         Some(BlobShardPartition(shard, f.getAbsolutePath): InputPartition)
       else None
     }
@@ -192,6 +360,7 @@ class BlobShardReaderFactory(columns: Array[String])
 
 class BlobShardReader(p: BlobShardPartition, columns: Array[String])
     extends PartitionReader[InternalRow] {
+  BlobShardIO.opened.incrementAndGet()
   private val needMedia = columns.contains("media")
   private val fileLen = new java.io.File(p.file).length()
   private val in = new DataInputStream(
@@ -606,6 +775,7 @@ class BlobShardRangeReaderFactory(columns: Array[String])
   * the incremental slice a micro-batch owns. */
 class BlobShardRangeReader(p: BlobShardRangePartition, columns: Array[String])
     extends org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
+  BlobShardIO.opened.incrementAndGet()
   private val needMedia = columns.contains("media")
   private val in = new DataInputStream(
     new BufferedInputStream(new FileInputStream(p.file), 1 << 16))

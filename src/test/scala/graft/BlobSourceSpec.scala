@@ -33,6 +33,71 @@ class BlobSourceSpec extends AnyFunSuite {
       "shard IN (1,3) must prune to two partitions")
   }
 
+  test("aggregate pushdown answers count/sum from the manifest with " +
+      "ZERO shard-file opens; a stale manifest withdraws the pushdown") {
+    val out = java.nio.file.Files.createTempDirectory("blobspec_a_").toString
+    val df = (0L until 40L).map { id =>
+      (id, (id % 4).toInt, Array.fill((id % 5).toInt + 1)(id.toByte))
+    }.toDF("doc_id", "shard", "media")
+    BlobShards.pack(df, out)
+    def t = spark.read.format(classOf[BlobShardDataSource].getName)
+      .option("path", out).load()
+    graft.sources.BlobShardIO.opened.set(0)
+    val grouped = t.groupBy("shard")
+      .agg(expr("count(*)").as("n"), sum("length").as("b")).orderBy("shard")
+    val rows = grouped.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._2).sum == 40L, s"pushed counts wrong: ${rows.toSeq}")
+    val expectBytes = (0L until 40L).groupBy(id => (id % 4).toInt)
+      .view.mapValues(_.map(id => (id % 5) + 1).sum).toMap
+    rows.foreach { case (s, _, b) =>
+      assert(b == expectBytes(s), s"pushed sum(length) wrong for shard $s") }
+    assert(graft.sources.BlobShardIO.opened.get() == 0,
+      "a pushed aggregation must not open any shard file")
+    val plan = grouped.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregation") && plan.contains("manifest-only"),
+      s"plan must show the pushed aggregation:\n$plan")
+    // global (no grouping) count is also manifest-only
+    graft.sources.BlobShardIO.opened.set(0)
+    assert(t.count() == 40L)
+    assert(graft.sources.BlobShardIO.opened.get() == 0,
+      "count() must be manifest-only")
+    // grow a shard file behind the manifest's back: pushdown must
+    // WITHDRAW (stale sidecar) and the real scan must answer correctly
+    val f = new java.io.FileOutputStream(s"$out/shard-2.bin", true)
+    try { // one full extra record: doc_id 99, 3 blob bytes
+      val bb = java.nio.ByteBuffer.allocate(15)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putLong(99L); bb.putInt(3); bb.put(Array[Byte](1, 2, 3))
+      f.write(bb.array())
+    } finally f.close()
+    graft.sources.BlobShardIO.opened.set(0)
+    assert(t.count() == 41L, "stale manifest must fall back to a real scan")
+    assert(graft.sources.BlobShardIO.opened.get() == 4,
+      "fallback must actually scan the files")
+  }
+
+  test("runtime shard filtering: a broadcast dim's surviving keys prune " +
+      "the blob files at execution time") {
+    val out = java.nio.file.Files.createTempDirectory("blobspec_rf_").toString
+    val df = (0L until 40L).map { id =>
+      (id, (id % 4).toInt, Array.fill(4)(id.toByte))
+    }.toDF("doc_id", "shard", "media")
+    BlobShards.pack(df, out)
+    val blobs = spark.read.format(classOf[BlobShardDataSource].getName)
+      .option("path", out).load().select("shard", "doc_id")
+    // parquet-backed dim with a selective predicate → DPP subquery
+    val dimDir = java.nio.file.Files.createTempDirectory("blobspec_rfd_").toString
+    Seq((2, "keep"), (7, "drop")).toDF("shard_key", "tag")
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir).filter(col("tag") === "keep")
+    graft.sources.BlobShardIO.opened.set(0)
+    val j = blobs.join(broadcast(dim), col("shard") === col("shard_key"))
+    assert(j.count() == 10L, "join result wrong")
+    val opened = graft.sources.BlobShardIO.opened.get()
+    assert(opened == 1L,
+      s"runtime filter must prune to the single matching shard file, opened=$opened")
+  }
+
   test("column pruning drops media from the scan output") {
     val p = read().select("doc_id", "length")
       .queryExecution.executedPlan.toString
