@@ -710,6 +710,103 @@ object Multimodal {
     if (rate <= 0) None else Some((rate, ch, bps, total, nBlocks, padBytes))
   }
 
+  /** A real baseline TIFF with an EXIF sub-IFD, in EITHER byte order:
+    * header ("II"/"MM" + magic 42 + IFD offset), IFD0 with ascending
+    * tags (ImageWidth 256, ImageLength 257, BitsPerSample 258, Make 271
+    * as out-of-line ASCII, ExifIFDPointer 0x8769), then the Make string
+    * and a 1-entry EXIF IFD (ISOSpeedRatings 0x8827). SHORT values are
+    * left-justified in the 4-byte value field per the spec — the detail
+    * every naive TIFF reader gets wrong on big-endian files. */
+  def tiffBytes(bigEndian: Boolean, width: Int, height: Int, iso: Int,
+      makeLen: Int): Array[Byte] = {
+    val exifOff = 75 + makeLen // 8 hdr + 66 IFD0 + (makeLen+1) ASCII
+    val buf = java.nio.ByteBuffer.allocate(93 + makeLen)
+      .order(if (bigEndian) java.nio.ByteOrder.BIG_ENDIAN
+             else java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put((if (bigEndian) "MM" else "II").getBytes("US-ASCII"))
+    buf.putShort(42); buf.putInt(8)
+    def entryShort(tag: Int, v: Int): Unit = {
+      buf.putShort(tag.toShort); buf.putShort(3) // SHORT
+      buf.putInt(1); buf.putShort(v.toShort); buf.putShort(0) // left-justified
+    }
+    buf.putShort(5) // IFD0 entry count
+    entryShort(256, width); entryShort(257, height); entryShort(258, 8)
+    buf.putShort(271.toShort); buf.putShort(2) // Make, ASCII
+    buf.putInt(makeLen + 1); buf.putInt(74) // out-of-line, right after IFD0
+    buf.putShort(0x8769.toShort); buf.putShort(4) // ExifIFDPointer, LONG
+    buf.putInt(1); buf.putInt(exifOff)
+    buf.putInt(0) // next-IFD: none
+    var i = 0
+    while (i < makeLen) { buf.put(('a' + i % 26).toByte); i += 1 }
+    buf.put(0.toByte) // nul terminator
+    buf.putShort(1) // EXIF IFD entry count
+    entryShort(0x8827, iso)
+    buf.putInt(0) // next-IFD
+    buf.array()
+  }
+
+  /** REAL TIFF/EXIF IFD walk: detect byte order from the header,
+    * validate magic 42, iterate IFD0's 12-byte entries, read
+    * left-justified SHORT values and out-of-line counts, follow the
+    * EXIF sub-IFD pointer, and honor the next-IFD chain terminator.
+    * Returns (bigEndian, width, height, iso, nIfd0, nExif, makeLen);
+    * None when header/magic don't parse. Metadata-only, like every
+    * walk in this object — pixel strips are codec territory. */
+  def decodeTiff(b: Array[Byte])
+      : Option[(Boolean, Int, Int, Int, Int, Int, Int)] = {
+    if (b.length < 8) return None
+    val big =
+      if (b(0) == 'M' && b(1) == 'M') true
+      else if (b(0) == 'I' && b(1) == 'I') false
+      else return None
+    def u16(o: Int): Int =
+      if (big) ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+      else ((b(o + 1) & 0xff) << 8) | (b(o) & 0xff)
+    def u32(o: Int): Long =
+      if (big) ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+      else ((b(o + 3) & 0xffL) << 24) | ((b(o + 2) & 0xffL) << 16) |
+        ((b(o + 1) & 0xffL) << 8) | (b(o) & 0xffL)
+    if (u16(2) != 42) return None
+    var width = -1; var height = -1; var iso = -1
+    var nIfd0 = 0; var nExif = 0; var makeLen = -1
+    var exifPtr = -1L
+    // IFD chain walk (IFD0, then next-IFD links; fixture has one)
+    var ifd = u32(4)
+    var guard = 0
+    while (ifd > 0 && ifd + 2 <= b.length && guard < 8) {
+      val n = u16(ifd.toInt)
+      nIfd0 += n
+      var i = 0
+      while (i < n) {
+        val e = ifd.toInt + 2 + 12 * i
+        val tag = u16(e); val typ = u16(e + 2); val cnt = u32(e + 4)
+        tag match {
+          case 256 if typ == 3 => width = u16(e + 8)
+          case 257 if typ == 3 => height = u16(e + 8)
+          case 271 if typ == 2 => makeLen = cnt.toInt - 1
+          case 0x8769          => exifPtr = u32(e + 8)
+          case _               => ()
+        }
+        i += 1
+      }
+      ifd = u32(ifd.toInt + 2 + 12 * n)
+      guard += 1
+    }
+    if (exifPtr > 0 && exifPtr + 2 <= b.length) {
+      val n = u16(exifPtr.toInt)
+      nExif = n
+      var i = 0
+      while (i < n) {
+        val e = exifPtr.toInt + 2 + 12 * i
+        if (u16(e) == 0x8827 && u16(e + 2) == 3) iso = u16(e + 8)
+        i += 1
+      }
+    }
+    if (width < 0 || height < 0) None
+    else Some((big, width, height, iso, nIfd0, nExif, makeLen))
+  }
+
   /** Aspect-preserving fit of (w, h) into maxSide², never upscaling. */
   def fitThumb(w: Int, h: Int, maxSide: Int = 256): (Int, Int) = {
     val longSide = math.max(w, h)

@@ -390,6 +390,119 @@ object AnalyticsQueries {
              |FROM customer
              |ORDER BY pseudo_id, nation, segment, bal_band""".stripMargin)),
 
+    // q282 — calendar GAP-FILL + forward fill: the feature-store /
+    // reporting primitive that turns an event stream into a DENSE
+    // per-period series — hours with no events exist as rows (gap
+    // flagged) carrying the last observed value. Spine = one 1-row
+    // bounds aggregate → sequence() explode (calendar-bounded: slots =
+    // hours in range × series, never corpus-proportional) cross the
+    // distinct series keys; fill = last-non-null window PARTITIONED by
+    // series (each partition is calendar-bounded, no global order).
+    // Sums are decimal (order-free); hours are naive timestamps (NOTES
+    // rule: computed times cast timestamp_ntz).
+    QuerySpec("q282_gap_fill",
+      (s, dir) => {
+        val hourly = Tables.load(s, dir, "events")
+          .groupBy(col("event_type"),
+            date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hr"))
+          .agg(sum(col("value").cast("decimal(12,2)")).as("v"))
+          .persistTracked()
+        val bounds = hourly.agg(min(col("hr")).as("lo"), max(col("hr")).as("hi"))
+        val spine = hourly.select(col("event_type")).distinct()
+          .crossJoin(broadcast(bounds))
+          .select(col("event_type"),
+            explode(expr("sequence(lo, hi, interval 1 hour)")).as("hr"))
+        val w = Window.partitionBy("event_type").orderBy("hr")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        spine.join(hourly, Seq("event_type", "hr"), "left")
+          .select(col("event_type"), col("hr"),
+            coalesce(col("v"), last(col("v"), ignoreNulls = true).over(w),
+              lit(0).cast("decimal(18,2)")).cast("decimal(18,2)")
+              .as("value_filled"),
+            col("v").isNull.as("gap"))
+          .orderBy("event_type", "hr")
+      },
+      Some("""WITH hourly AS (
+             |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+             |    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS v
+             |  FROM events GROUP BY 1, 2),
+             |bounds AS (SELECT min(hr) AS lo, max(hr) AS hi FROM hourly),
+             |spine AS (
+             |  SELECT d.event_type, g.hr
+             |  FROM (SELECT DISTINCT event_type FROM hourly) d
+             |  CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+             |    FROM bounds) g),
+             |j AS (SELECT s.event_type, s.hr, hourly.v FROM spine s
+             |  LEFT JOIN hourly ON s.event_type = hourly.event_type AND s.hr = hourly.hr)
+             |SELECT event_type, hr,
+             |  CAST(COALESCE(v, last_value(v IGNORE NULLS) OVER (
+             |    PARTITION BY event_type ORDER BY hr
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DECIMAL(18,2)) AS value_filled,
+             |  v IS NULL AS gap
+             |FROM j ORDER BY event_type, hr""".stripMargin)),
+
+    // q283 — declarative EXPECTATION SUITE (the data-quality gate a
+    // production pipeline runs before publishing a table): six
+    // expectations over orders — null rate, value range, categorical
+    // domain, key uniqueness, temporal sanity, FK validity — evaluated
+    // in ONE scan-and-aggregate pass (every intra-table check is a
+    // conditional sum in the same aggregate; only the FK check pays a
+    // join, and it aggregates each side to one row before the union).
+    // Output = one row per expectation with its violation count, the
+    // machine-readable contract a scheduler gates on. At 100 TB:
+    // 1 corpus pass + 1 key-join, never one pass per check.
+    QuerySpec("q283_expectation_suite",
+      (s, dir) => {
+        import s.implicits._
+        val ord = Tables.load(s, dir, "orders")
+        val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+          "5-LOW")
+        val m = ord.agg(
+          sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("null_cust"),
+          sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("nonpos_price"),
+          sum(when(!col("o_orderpriority").isin(prios: _*), 1L).otherwise(0L))
+            .as("bad_prio"),
+          (count(lit(1)) - countDistinct(col("o_orderkey"))).as("dup_keys"),
+          sum(when(col("o_orderdate").cast("date") > lit("2026-01-01").cast("date"),
+            1L).otherwise(0L)).as("future_dates"))
+        val orphans = ord.join(Tables.load(s, dir, "customer"),
+            col("o_custkey") === col("c_custkey"), "left_anti")
+          .agg(count(lit(1)).as("orphans"))
+        def check(name: String, c: org.apache.spark.sql.Column) =
+          struct(lit(name).as("expectation"),
+            coalesce(c, lit(0L)).cast("long").as("violations"))
+        val checks = m.crossJoin(orphans).select(
+          array(
+            check("custkey_not_null", col("null_cust")),
+            check("totalprice_positive", col("nonpos_price")),
+            check("priority_in_domain", col("bad_prio")),
+            check("orderkey_unique", col("dup_keys")),
+            check("no_future_dates", col("future_dates")),
+            check("custkey_fk_valid", col("orphans"))).as("cs"))
+        checks.select(explode(col("cs")).as("c"))
+          .select(col("c.expectation"), col("c.violations"),
+            (col("c.violations") === 0).as("pass"))
+          .orderBy("expectation")
+      },
+      Some("""WITH m AS (SELECT
+             |    SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_cust,
+             |    SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS nonpos_price,
+             |    SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW') THEN 1 ELSE 0 END) AS bad_prio,
+             |    count(*) - count(DISTINCT o_orderkey) AS dup_keys,
+             |    SUM(CASE WHEN CAST(o_orderdate AS DATE) > DATE '2026-01-01' THEN 1 ELSE 0 END) AS future_dates
+             |  FROM orders),
+             |fk AS (SELECT count(*) AS orphans FROM orders o
+             |  LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+             |  WHERE c.c_custkey IS NULL)
+             |SELECT * FROM (
+             |  SELECT 'custkey_not_null' AS expectation, CAST(null_cust AS BIGINT) AS violations, null_cust = 0 AS pass FROM m
+             |  UNION ALL SELECT 'totalprice_positive', CAST(nonpos_price AS BIGINT), nonpos_price = 0 FROM m
+             |  UNION ALL SELECT 'priority_in_domain', CAST(bad_prio AS BIGINT), bad_prio = 0 FROM m
+             |  UNION ALL SELECT 'orderkey_unique', CAST(dup_keys AS BIGINT), dup_keys = 0 FROM m
+             |  UNION ALL SELECT 'no_future_dates', CAST(future_dates AS BIGINT), future_dates = 0 FROM m
+             |  UNION ALL SELECT 'custkey_fk_valid', CAST(orphans AS BIGINT), orphans = 0 FROM fk
+             |) ORDER BY expectation""".stripMargin)),
+
     // q106 — incremental re-aggregation: merge DAILY partial aggregates
     // into monthly rollups without touching the fact table again — the
     // materialized-view maintenance pattern (at 100 TB the daily partial

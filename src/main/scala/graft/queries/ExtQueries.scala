@@ -616,6 +616,103 @@ object ExtQueries {
              |SELECT c_custkey, s_suppkey, CAST(d2 AS BIGINT) AS d2
              |FROM r WHERE rn = 1 ORDER BY c_custkey""".stripMargin)),
 
+    // q281 — semi-supervised LABEL PROPAGATION (2 synchronous clamped
+    // rounds): 10% of entities carry a ground-truth label; the rest
+    // take the majority label of their spatial neighbors (q237's
+    // grid-binned radius graph — per-cell equi-join, never an
+    // all-pairs), ties to the smallest label, seeds clamped. The
+    // training-data op this models: propagating sparse human labels
+    // over a similarity graph to bootstrap a labeled corpus. Scale:
+    // the edge list is built ONCE and persisted (bounded degree via
+    // the radius), each round is one join + one argmax aggregate —
+    // the winner is a max(struct(count, -label)) with NO per-node
+    // window sort. Output: final label + the round that first labeled
+    // each node ('none' = unreachable from any seed in 2 hops).
+    QuerySpec("q281_label_propagation",
+      (s, dir) => {
+        val h = (p: String, c: org.apache.spark.sql.Column) =>
+          call_function("graft_hash32", concat(lit(p), c.cast("string")))
+        val nodes = Tables.load(s, dir, "customer")
+          .select(col("c_custkey").as("key"),
+            (h("C", col("c_custkey")) % 100000).as("cx"),
+            (h("D", col("c_custkey")) % 100000).as("cy"),
+            when(col("c_custkey") % 10 === 0, col("c_nationkey").cast("int"))
+              .as("seed"))
+          .persistTracked()
+        val aSide = nodes
+          .withColumn("gx", explode(expr("sequence(cx DIV 5000 - 1, cx DIV 5000 + 1)")))
+          .withColumn("gy", explode(expr("sequence(cy DIV 5000 - 1, cy DIV 5000 + 1)")))
+          .select(col("key").as("ak"), col("cx").as("ax"), col("cy").as("ay"),
+            col("gx"), col("gy"))
+        val bSide = nodes
+          .select(col("key").as("bk"), col("cx").as("bx"), col("cy").as("by"),
+            expr("cx DIV 5000").as("gx"), expr("cy DIV 5000").as("gy"))
+        val d2 = (col("ax") - col("bx")) * (col("ax") - col("bx")) +
+          (col("ay") - col("by")) * (col("ay") - col("by"))
+        val edges = aSide.join(bSide, Seq("gx", "gy"))
+          .filter(d2 <= 9000000L && col("ak") =!= col("bk"))
+          .select(col("ak"), col("bk"))
+          .persistTracked()
+        // one synchronous round: majority label over labeled neighbors,
+        // tie → smallest label; seeds clamped; unreached keep previous
+        def round(labels: org.apache.spark.sql.DataFrame)
+            : org.apache.spark.sql.DataFrame = {
+          val w = edges
+            .join(labels.filter(col("lab").isNotNull)
+              .select(col("key").as("bk"), col("lab")), "bk")
+            .groupBy("ak", "lab").agg(count(lit(1)).as("c"))
+            .groupBy("ak")
+            .agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("m"))
+            .select(col("ak").as("key"), (-col("m.nl")).cast("int").as("win"))
+          nodes.join(labels.withColumnRenamed("lab", "prev"), "key")
+            .join(w, Seq("key"), "left")
+            .select(col("key"),
+              coalesce(col("seed"), col("win"), col("prev")).as("lab"))
+        }
+        val l0 = nodes.select(col("key"), col("seed").as("lab"))
+        val l1 = round(l0).persistTracked()
+        val l2 = round(l1)
+        nodes.join(l1.withColumnRenamed("lab", "lab1"), "key")
+          .join(l2.withColumnRenamed("lab", "lab2"), "key")
+          .select(col("key").as("c_custkey"), col("lab2").as("label"),
+            when(col("seed").isNotNull, "seed")
+              .when(col("lab1").isNotNull, "round1")
+              .when(col("lab2").isNotNull, "round2")
+              .otherwise("none").as("src"))
+          .orderBy("c_custkey")
+      },
+      Some("""WITH n AS (SELECT c_custkey AS key,
+             |    CAST('0x'||substr(md5('C'||CAST(c_custkey AS VARCHAR)),1,8) AS BIGINT) % 100000 AS cx,
+             |    CAST('0x'||substr(md5('D'||CAST(c_custkey AS VARCHAR)),1,8) AS BIGINT) % 100000 AS cy,
+             |    CASE WHEN c_custkey % 10 = 0 THEN c_nationkey END AS seed
+             |  FROM customer),
+             |e AS (SELECT a.key AS ak, b.key AS bk FROM n a JOIN n b
+             |  ON (b.cx // 5000) BETWEEN (a.cx // 5000) - 1 AND (a.cx // 5000) + 1
+             |  AND (b.cy // 5000) BETWEEN (a.cy // 5000) - 1 AND (a.cy // 5000) + 1
+             |  AND (a.cx-b.cx)*(a.cx-b.cx) + (a.cy-b.cy)*(a.cy-b.cy) <= 9000000
+             |  AND a.key <> b.key),
+             |l0 AS (SELECT key, seed AS lab FROM n),
+             |v1 AS (SELECT e.ak, l0.lab, count(*) AS c FROM e JOIN l0 ON e.bk = l0.key
+             |  WHERE l0.lab IS NOT NULL GROUP BY 1, 2),
+             |w1 AS (SELECT ak, lab FROM (SELECT ak, lab,
+             |    row_number() OVER (PARTITION BY ak ORDER BY c DESC, lab) AS rn FROM v1)
+             |  WHERE rn = 1),
+             |l1 AS (SELECT n.key, COALESCE(n.seed, w1.lab) AS lab
+             |  FROM n LEFT JOIN w1 ON n.key = w1.ak),
+             |v2 AS (SELECT e.ak, l1.lab, count(*) AS c FROM e JOIN l1 ON e.bk = l1.key
+             |  WHERE l1.lab IS NOT NULL GROUP BY 1, 2),
+             |w2 AS (SELECT ak, lab FROM (SELECT ak, lab,
+             |    row_number() OVER (PARTITION BY ak ORDER BY c DESC, lab) AS rn FROM v2)
+             |  WHERE rn = 1),
+             |l2 AS (SELECT n.key, COALESCE(n.seed, w2.lab, l1.lab) AS lab
+             |  FROM n LEFT JOIN w2 ON n.key = w2.ak LEFT JOIN l1 ON n.key = l1.key)
+             |SELECT n.key AS c_custkey, CAST(l2.lab AS INTEGER) AS label,
+             |  CASE WHEN n.seed IS NOT NULL THEN 'seed'
+             |       WHEN l1.lab IS NOT NULL THEN 'round1'
+             |       WHEN l2.lab IS NOT NULL THEN 'round2' ELSE 'none' END AS src
+             |FROM n JOIN l2 ON n.key = l2.key LEFT JOIN l1 ON n.key = l1.key
+             |ORDER BY c_custkey""".stripMargin)),
+
     // q238 — word2vec-style NEGATIVE SAMPLING by inverse-CDF lookup,
     // composed from two existing scale primitives: the unigram
     // distribution's cumulative weights come from ops.PrefixSum (range-

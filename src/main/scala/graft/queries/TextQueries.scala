@@ -3740,6 +3740,49 @@ object TextQueries {
              |  CAST(n AS BIGINT) AS mdat_bytes
              |FROM p ORDER BY doc_id""".stripMargin)),
 
+    // q285 — TIFF/EXIF IFD walk in BOTH byte orders: the remaining
+    // image-metadata primitive (BMP/PNG/JPEG read dimensions; this
+    // reads the TAGGED structure camera files actually carry — IFD
+    // entry chains, out-of-line ASCII values, the EXIF sub-IFD
+    // pointer). Half the fixtures are big-endian ("MM") and half
+    // little ("II"), so the walk's byte-order handling — including the
+    // left-justified SHORT value field, the classic naive-reader bug —
+    // is exercised on every row. Fixture geometry is id/text-derived;
+    // the oracle reconstructs the same arithmetic. Narrow per-row
+    // transform, the 100 TB media-metadata shape.
+    QuerySpec("q285_tiff_exif",
+      (s, dir) => {
+        import s.implicits._
+        val ds = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+        ds.mapPartitions(_.flatMap { case (id, txt) =>
+          val n = txt.getBytes("UTF-8").length
+          val media = graft.functions.Multimodal.tiffBytes(
+            bigEndian = id % 2 == 1, width = 64 + n % 200,
+            height = (48 + id % 100).toInt,
+            iso = Array(100, 200, 400, 800)((id % 4).toInt),
+            makeLen = (5 + id % 6).toInt)
+          // the walk reads ONLY the TIFF bytes, not the fixture vars
+          graft.functions.Multimodal.decodeTiff(media).map {
+            case (big, w, hgt, iso, n0, ne, ml) =>
+              (id, media.length, big, w, hgt, iso, n0, ne, ml)
+          }
+        }).toDF("doc_id", "file_bytes", "big_endian", "width", "height",
+            "iso", "n_ifd0", "n_exif", "make_len")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CAST(93 + 5 + doc_id % 6 AS INTEGER) AS file_bytes,
+             |  doc_id % 2 = 1 AS big_endian,
+             |  CAST(64 + strlen(text) % 200 AS INTEGER) AS width,
+             |  CAST(48 + doc_id % 100 AS INTEGER) AS height,
+             |  CAST(CASE doc_id % 4 WHEN 0 THEN 100 WHEN 1 THEN 200
+             |    WHEN 2 THEN 400 ELSE 800 END AS INTEGER) AS iso,
+             |  CAST(5 AS INTEGER) AS n_ifd0,
+             |  CAST(1 AS INTEGER) AS n_exif,
+             |  CAST(5 + doc_id % 6 AS INTEGER) AS make_len
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // q279 — FLAC STREAMINFO walk: the one genuinely BIT-granular
     // header in the audio set — sample rate (20 bits), channels-1 (3),
     // bits-per-sample-1 (5) and total samples (36) packed into one

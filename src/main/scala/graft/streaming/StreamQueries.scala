@@ -508,6 +508,97 @@ object StreamQueries {
              |GROUP BY user_id
              |ORDER BY user_id""".stripMargin)),
 
+    // q280 — STREAMING CDC UPSERT (incremental MERGE materialization):
+    // the change feed q269 folds in one batch is here applied micro-
+    // batch by micro-batch into a keyed state table on disk — the
+    // continuous ingest shape of every lakehouse MERGE pipeline. The
+    // per-key state is a COMMUTATIVE MONOID: (max(tsu, event_id, op),
+    // op count) — merging any partition of the log in ANY batch order
+    // yields the same table, so the final state must hash-match q269's
+    // one-shot fold exactly (same oracle SQL), no matter how the file
+    // source orders the 4 micro-batches. That associativity is the
+    // design point: out-of-order delivery and replays are absorbed by
+    // construction, where a "apply latest batch last" scheme would
+    // corrupt on any reordering. Each batch does one key-grain merge
+    // (delta is batch-grain, state is entity-grain) and writes a new
+    // state GENERATION dir — atomic swap, never in-place. Deletes stay
+    // as TOMBSTONES in state (late ops must still compare against
+    // them) and are filtered only at read-out, like any CDC reader.
+    QuerySpec("q280_stream_cdc_upsert",
+      (s0, dir) => {
+        val s = stateSession(s0)
+        import org.apache.spark.sql.SaveMode
+        val fp = eventsFingerprint(dir)
+        relaidEvents.keys.filter(k => k._1 == dir && k._2 != fp)
+          .foreach(k => relaidEvents.remove(k).foreach(deleteRecursively))
+        val tmp = relaidEvents.getOrElseUpdate((dir, fp), {
+          val t = Files.createTempDirectory("graft_upd_").toString
+          Tables.load(s, dir, "events")
+            .repartitionByRange(4, col("event_id"))
+            .write.mode(SaveMode.Overwrite).parquet(t)
+          t
+        })
+        val schema = s.read.parquet(tmp).schema
+        val changes = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(tmp)
+          .select(col("user_id"), unix_micros(col("ts")).as("tsu"),
+            col("event_id"),
+            when(col("event_type") === "signup", "I")
+              .when(col("event_type") === "error", "D")
+              .otherwise("U").as("op"))
+        val out = Files.createTempDirectory("graft_cdc_").toString
+        sinkDirs.add(out)
+        @volatile var gen: Option[String] = None
+        val q = changes.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+            val delta = batch.groupBy("user_id")
+              .agg(max(struct(col("tsu"), col("event_id"), col("op"))).as("m"),
+                count(lit(1)).as("n"))
+            val merged = gen match {
+              case None => delta
+              case Some(g) =>
+                batch.sparkSession.read.parquet(g)
+                  .select(col("user_id"), col("m").as("cm"), col("n").as("cn"))
+                  .join(delta.select(col("user_id"), col("m").as("dm"),
+                    col("n").as("dn")), Seq("user_id"), "full_outer")
+                  .select(col("user_id"),
+                    when(col("cm").isNull, col("dm"))
+                      .when(col("dm").isNull, col("cm"))
+                      .when(col("dm") > col("cm"), col("dm"))
+                      .otherwise(col("cm")).as("m"),
+                    (coalesce(col("cn"), lit(0L)) +
+                      coalesce(col("dn"), lit(0L))).as("n"))
+            }
+            val g = s"$out/state_$batchId"
+            merged.write.mode(SaveMode.Overwrite).parquet(g)
+            gen = Some(g)
+          }
+          .option("checkpointLocation", s"$out/_checkpoint")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(gen.get)
+          .filter(col("m.op") =!= "D")
+          .select(col("user_id"), col("m.op").as("last_op"),
+            col("m.event_id").as("last_event_id"),
+            col("m.tsu").as("last_ts_us"), col("n").as("n_ops"))
+          .orderBy("user_id")
+      },
+      // q269's oracle verbatim: incremental-by-construction must equal
+      // the one-shot batch fold
+      Some("""WITH log AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu,
+             |    event_id,
+             |    CASE event_type WHEN 'signup' THEN 'I' WHEN 'error' THEN 'D'
+             |      ELSE 'U' END AS op
+             |  FROM events),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+             |    ORDER BY tsu DESC, event_id DESC) AS rn,
+             |    count(*) OVER (PARTITION BY user_id) AS n_ops
+             |  FROM log)
+             |SELECT user_id, op AS last_op, event_id AS last_event_id,
+             |  tsu AS last_ts_us, CAST(n_ops AS BIGINT) AS n_ops
+             |FROM r WHERE rn = 1 AND op <> 'D' ORDER BY user_id""".stripMargin)),
+
     // q141 — watermarked stream-stream LEFT OUTER interval join (q73 is
     // the inner form): clicks with no purchase inside the 30-min window
     // must still be emitted, null-padded — which only happens when the
