@@ -193,6 +193,11 @@ object GraftFunctions {
     "graft_topk(x, k) - per-group top-k doubles (descending) as a bounded-state aggregate",
     "", "", "", "", "", "", "built-in")
 
+  private[functions] val zorder2Info = new ExpressionInfo(
+    classOf[ZOrder2D].getName, "", "graft_zorder2",
+    "graft_zorder2(x, y) - 2-D Morton (z-order) bit interleave of two 16-bit coords",
+    "", "", "", "", "", "", "built-in")
+
   private[functions] val mightContainInfo = new ExpressionInfo(
     classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
     "", "graft_might_contain",
@@ -221,6 +226,8 @@ object GraftFunctions {
       exprs => JaroWinklerSimilarity(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_topk", exprs => TopKAgg(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_zorder2", exprs => ZOrder2D(exprs(0), exprs(1)), "built-in")
   }
 }
 
@@ -262,5 +269,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_topk"),
       GraftFunctions.topKInfo,
       (exprs: Seq[Expression]) => TopKAgg(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_zorder2"),
+      GraftFunctions.zorder2Info,
+      (exprs: Seq[Expression]) => ZOrder2D(exprs(0), exprs(1))))
   }
 }

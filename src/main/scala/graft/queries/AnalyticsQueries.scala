@@ -503,6 +503,63 @@ object AnalyticsQueries {
              |  UNION ALL SELECT 'custkey_fk_valid', CAST(orphans AS BIGINT), orphans = 0 FROM fk
              |) ORDER BY expectation""".stripMargin)),
 
+    // q288 — SEASONAL anomaly detection (hour-of-day baseline): hourly
+    // totals are compared against the robust profile of the SAME hour
+    // across days — median and IQR per (series, hour-of-day) — and
+    // flagged when |v − median| > 1.5·IQR. This is the Tukey-fence
+    // seasonal monitor an ops pipeline runs over ingest volumes; the
+    // naive global threshold misses hour-shaped load. Percentiles are
+    // EXACT rank selections (row_number = ceil(q·n) over a unique
+    // (v, day) order — q{.25,.5,.75} are dyadic so the rank arithmetic
+    // is float-exact), and the fence compares 2·|v−med| > 3·IQR in
+    // pure decimals — no float boundary can flip membership. One
+    // series-keyed shuffle + a 120-row baseline join at 100 TB.
+    QuerySpec("q288_seasonal_anomaly",
+      (s, dir) => {
+        val hourly = Tables.load(s, dir, "events")
+          .groupBy(col("event_type"), col("ts").cast("date").as("day"),
+            hour(col("ts")).cast("int").as("hod"))
+          .agg(sum(col("value").cast("decimal(12,2)"))
+            .cast("decimal(18,2)").as("v"))
+          .persistTracked()
+        val wr = Window.partitionBy("event_type", "hod").orderBy("v", "day")
+        val wn = Window.partitionBy("event_type", "hod")
+        val ranked = hourly
+          .withColumn("rn", row_number().over(wr))
+          .withColumn("n", count(lit(1)).over(wn))
+        def sel(q: Double) =
+          max(when(col("rn") === ceil(lit(q) * col("n")).cast("long"),
+            col("v")))
+        val base = ranked.groupBy("event_type", "hod")
+          .agg(sel(0.25).as("p25"), sel(0.50).as("med"), sel(0.75).as("p75"))
+        hourly.join(base, Seq("event_type", "hod"))
+          .filter(abs(col("v") - col("med")) * 2 >
+            (col("p75") - col("p25")) * 3)
+          .select(col("event_type"), col("day"), col("hod"), col("v"),
+            col("med"), (col("p75") - col("p25")).cast("decimal(18,2)")
+              .as("iqr"))
+          .orderBy("event_type", "day", "hod")
+      },
+      Some("""WITH hourly AS (
+             |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             |    CAST(hour(CAST(ts AS TIMESTAMP)) AS INTEGER) AS hod,
+             |    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS v
+             |  FROM events GROUP BY 1, 2, 3),
+             |ranked AS (SELECT *,
+             |    row_number() OVER (PARTITION BY event_type, hod ORDER BY v, day) AS rn,
+             |    count(*) OVER (PARTITION BY event_type, hod) AS n
+             |  FROM hourly),
+             |q AS (SELECT event_type, hod,
+             |    max(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT) THEN v END) AS p25,
+             |    max(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT) THEN v END) AS med,
+             |    max(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT) THEN v END) AS p75
+             |  FROM ranked GROUP BY 1, 2)
+             |SELECT h.event_type, h.day, h.hod, h.v, q.med,
+             |  CAST(q.p75 - q.p25 AS DECIMAL(18,2)) AS iqr
+             |FROM hourly h JOIN q ON h.event_type = q.event_type AND h.hod = q.hod
+             |WHERE 2 * abs(h.v - q.med) > 3 * (q.p75 - q.p25)
+             |ORDER BY h.event_type, h.day, h.hod""".stripMargin)),
+
     // q106 — incremental re-aggregation: merge DAILY partial aggregates
     // into monthly rollups without touching the fact table again — the
     // materialized-view maintenance pattern (at 100 TB the daily partial

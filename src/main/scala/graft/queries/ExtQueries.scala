@@ -159,6 +159,91 @@ object ExtQueries {
              |SELECT key_a, key_b, name_a, name_b, jw FROM j
              |WHERE jw >= 0.87 ORDER BY key_a, key_b""".stripMargin)),
 
+    // q287 — GOLDEN RECORD (master-data survivorship), composing the
+    // engine's linkage stack end-to-end: q226's native-Jaro-Winkler
+    // sorted-neighborhood pairs become match EDGES, connected
+    // components (ops.ConnectedComponents — the q76 operator) turn
+    // pairwise matches into entity CLUSTERS, and a survivorship pass
+    // elects each cluster's golden attributes — longest name wins (tie
+    // → lowest key; the "most complete value" rule), highest observed
+    // price, distinct-brand spread. Singletons are their own cluster
+    // (coalesce to own key after a LEFT join — CC only labels matched
+    // nodes). The argmax is one struct-MAX aggregate; the whole merge
+    // is entity-grain. This is the MDM consolidation every curation
+    // pipeline runs after fuzzy matching. Oracle: recursive-CTE
+    // reachability (q76's pattern) + the same survivorship SQL.
+    QuerySpec("q287_golden_record",
+      (s, dir) => {
+        val parts = Tables.load(s, dir, "part")
+        val d = parts.groupBy("p_name").agg(min(col("p_partkey")).as("pk"))
+        val recs = d.select(col("pk"))
+          .join(parts, col("pk") === col("p_partkey"))
+          .select(col("pk"), col("p_name"), col("p_brand"),
+            col("p_retailprice"))
+          .persistTracked()
+        val w = Window.partitionBy(substring(col("p_name"), 1, 1))
+          .orderBy("p_name", "pk")
+        val leads = (1 to 2).map(k => struct(
+          lead(col("pk"), k).over(w).as("kb"),
+          lead(col("p_name"), k).over(w).as("nb")))
+        val edges = d
+          .select(col("pk"), col("p_name"), array(leads: _*).as("nbs"))
+          .select(col("pk"), col("p_name"), explode(col("nbs")).as("x"))
+          .filter(col("x.kb").isNotNull &&
+            round(call_function("graft_jaro_winkler",
+              col("p_name"), col("x.nb")), 6) >= 0.87)
+          .select(col("pk").as("src"), col("x.kb").as("dst"))
+        val labels = graft.ops.ConnectedComponents
+          .minLabelPropagation(edges)
+          .withColumnRenamed("node", "pk")
+        recs.join(labels, Seq("pk"), "left")
+          .withColumn("cid", coalesce(col("cid"), col("pk")))
+          .groupBy("cid")
+          .agg(count(lit(1)).as("members"),
+            max(struct(length(col("p_name")).as("l"),
+              (-col("pk")).as("nk"), col("p_name").as("nm"))).as("g"),
+            max(col("p_retailprice")).cast("decimal(12,2)").as("max_price"),
+            countDistinct(col("p_brand")).as("n_brands"))
+          .select(col("cid").as("cluster_id"), col("members"),
+            (-col("g.nk")).as("golden_key"), col("g.nm").as("golden_name"),
+            col("max_price"), col("n_brands"))
+          .orderBy("cluster_id")
+      },
+      Some("""WITH RECURSIVE d AS (SELECT p_name, min(p_partkey) AS pk
+             |    FROM part GROUP BY p_name),
+             |recs AS (SELECT d.pk, d.p_name, p.p_brand, p.p_retailprice
+             |  FROM d JOIN part p ON d.pk = p.p_partkey),
+             |r AS (SELECT pk, p_name,
+             |    lead(p_name, 1) OVER w AS n1, lead(pk, 1) OVER w AS k1,
+             |    lead(p_name, 2) OVER w AS n2, lead(pk, 2) OVER w AS k2
+             |  FROM d
+             |  WINDOW w AS (PARTITION BY substr(p_name, 1, 1) ORDER BY p_name, pk)),
+             |u AS (SELECT pk AS key_a, k1 AS key_b FROM r
+             |    WHERE k1 IS NOT NULL AND round(jaro_winkler_similarity(p_name, n1), 6) >= 0.87
+             |  UNION ALL
+             |  SELECT pk, k2 FROM r
+             |    WHERE k2 IS NOT NULL AND round(jaro_winkler_similarity(p_name, n2), 6) >= 0.87),
+             |edges AS (SELECT key_a AS a, key_b AS b FROM u
+             |  UNION SELECT key_b, key_a FROM u),
+             |reach AS (SELECT a AS src, b AS dst FROM edges
+             |  UNION SELECT rr.src, e.b FROM reach rr JOIN edges e ON rr.dst = e.a),
+             |lab AS (SELECT src AS pk, least(src, min(dst)) AS cid
+             |  FROM reach GROUP BY src),
+             |clustered AS (SELECT recs.pk, recs.p_name, recs.p_brand,
+             |    recs.p_retailprice, COALESCE(lab.cid, recs.pk) AS cid
+             |  FROM recs LEFT JOIN lab ON recs.pk = lab.pk),
+             |g AS (SELECT cid, pk, p_name,
+             |    row_number() OVER (PARTITION BY cid
+             |      ORDER BY strlen(p_name) DESC, pk) AS rn
+             |  FROM clustered)
+             |SELECT c.cid AS cluster_id, CAST(count(*) AS BIGINT) AS members,
+             |  CAST(max(CASE WHEN g.rn = 1 THEN g.pk END) AS BIGINT) AS golden_key,
+             |  max(CASE WHEN g.rn = 1 THEN g.p_name END) AS golden_name,
+             |  CAST(max(c.p_retailprice) AS DECIMAL(12,2)) AS max_price,
+             |  CAST(count(DISTINCT c.p_brand) AS BIGINT) AS n_brands
+             |FROM clustered c JOIN g ON c.cid = g.cid AND c.pk = g.pk
+             |GROUP BY c.cid ORDER BY cluster_id""".stripMargin)),
+
     // q227 — PCM SAMPLE decode (one level past q120's header walk):
     // synthesize the WAV from the text bytes (same id-derived geometry
     // as q120), then decode the data chunk's 16-bit little-endian
@@ -1704,6 +1789,67 @@ object ExtQueries {
              |  CAST(SUM(bytes) AS BIGINT) AS bytes,
              |  CAST(round(SUM(bytes) * 100.0 / 16384, 2) AS DECIMAL(7,2)) AS fill_pct
              |FROM planned GROUP BY 1, 2 ORDER BY source, bin""".stripMargin)),
+
+    // q286 — Z-ORDER clustering effectiveness, on the NATIVE
+    // graft_zorder2 expression (codegen'd Morton interleave —
+    // functions/ZOrder.scala): rows sorted by the interleaved bits of
+    // two coordinates land 2-D-near rows in the same files, which is
+    // what makes q274's zone maps effective on BOTH dimensions at once.
+    // The query materializes the OPTIMIZE-ZORDER decision metric: the
+    // same corpus filed 32-rows-per-file under key order vs z-order,
+    // and each file's bounding-box area (the zone-map volume a
+    // 2-D predicate must intersect). Fixture shows ~18× tighter boxes
+    // under z-order. Ranks via range-partitioned PrefixSum (no global
+    // window); the oracle's interleave SQL is GENERATED from
+    // ZOrder.sql so both engines compute one definition (NOTES rule 7).
+    QuerySpec("q286_zorder_clustering",
+      (s, dir) => {
+        val h = (p: String, c: org.apache.spark.sql.Column) =>
+          call_function("graft_hash32", concat(lit(p), c.cast("string")))
+        val nodes = Tables.load(s, dir, "customer")
+          .select(col("c_custkey").as("key"),
+            (h("C", col("c_custkey")) % 65536).as("x"),
+            (h("D", col("c_custkey")) % 65536).as("y"))
+          .withColumn("z", call_function("graft_zorder2", col("x"), col("y")))
+          .withColumn("__one", lit(1L))
+        def layout(name: String, keys: Seq[String]) =
+          graft.ops.PrefixSum.cumsum(nodes, keys, "__one", "rk", 32)
+            .select(lit(name).as("layout"),
+              floor((col("rk") - 1) / 32).cast("int").as("file_id"),
+              col("x"), col("y"))
+        layout("zorder", Seq("z", "key"))
+          .unionByName(layout("keyorder", Seq("key")))
+          .groupBy("layout", "file_id")
+          .agg(((max(col("x")) - min(col("x"))) *
+            (max(col("y")) - min(col("y")))).as("area"))
+          .groupBy("layout")
+          .agg(count(lit(1)).as("n_files"), sum(col("area")).as("sum_area"),
+            round(sum(col("area")) / count(lit(1)), 1)
+              .cast("decimal(18,1)").as("avg_area"))
+          .orderBy("layout")
+      },
+      Some {
+        val z = graft.functions.ZOrder.sql("x", "y")
+        s"""WITH n AS (SELECT c_custkey AS key,
+           |    CAST('0x'||substr(md5('C'||CAST(c_custkey AS VARCHAR)),1,8) AS BIGINT) % 65536 AS x,
+           |    CAST('0x'||substr(md5('D'||CAST(c_custkey AS VARCHAR)),1,8) AS BIGINT) % 65536 AS y
+           |  FROM customer),
+           |zed AS (SELECT key, x, y, $z AS z FROM n),
+           |ranked AS (SELECT key, x, y,
+           |    CAST(floor((row_number() OVER (ORDER BY z, key) - 1) / 32) AS INTEGER) AS f_z,
+           |    CAST(floor((row_number() OVER (ORDER BY key) - 1) / 32) AS INTEGER) AS f_k
+           |  FROM zed),
+           |layouts AS (
+           |  SELECT 'zorder' AS layout, f_z AS file_id, x, y FROM ranked
+           |  UNION ALL SELECT 'keyorder', f_k, x, y FROM ranked),
+           |files AS (SELECT layout, file_id,
+           |    (max(x) - min(x)) * (max(y) - min(y)) AS area
+           |  FROM layouts GROUP BY 1, 2)
+           |SELECT layout, CAST(count(*) AS BIGINT) AS n_files,
+           |  CAST(SUM(area) AS BIGINT) AS sum_area,
+           |  CAST(round(SUM(area) / count(*), 1) AS DECIMAL(18,1)) AS avg_area
+           |FROM files GROUP BY layout ORDER BY layout""".stripMargin
+      }),
 
     // q277 — AGGREGATE PUSHDOWN into the V2 source: per-shard
     // count/byte totals over the packed corpus are answered ENTIRELY

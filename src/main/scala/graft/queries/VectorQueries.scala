@@ -461,6 +461,102 @@ object VectorQueries {
               |SELECT q_id, vec_id, cos_sim, rnk FROM ranked WHERE rnk <= 5
               |ORDER BY q_id, rnk""".stripMargin)),
 
+    // q284 — MMR (maximal marginal relevance) DIVERSIFIED rerank: the
+    // serving-side step after any ANN shortlist — greedy selection of
+    // k=4 from the top-8, each pick maximizing λ·relevance −
+    // (1−λ)·max-similarity-to-already-selected (λ=0.7). Pure relevance
+    // ranking returns near-duplicates; MMR is what RAG retrieval and
+    // dedup-aware search actually serve. Bounded work by construction:
+    // the shortlist (8/query) and its pairwise sims (≤64/query) are
+    // computed once and persisted; each of the 3 greedy rounds is one
+    // join + one struct-max argmax over shortlist-grain rows — per-
+    // query cost is shortlist-quadratic, CORPUS-independent. Cosines
+    // round to 6 dp (the q31 rule); the score arithmetic is then the
+    // same three IEEE ops in both engines, so no further rounding is
+    // needed. Oracle: the identical greedy unrolled as generated CTE
+    // rounds (NOTES rule 7 — one loop body, two renderings).
+    QuerySpec("q284_mmr_rerank",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") < 4)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        val scored = emb.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"),
+            round(call_function("graft_cosine", col("q_vec"),
+              col("embedding")), 6).as("rel"),
+            col("embedding"))
+        val wq = Window.partitionBy("q_id")
+          .orderBy(col("rel").desc, col("vec_id"))
+        val short = scored.withColumn("rn", row_number().over(wq))
+          .filter(col("rn") <= 8)
+          .select("q_id", "vec_id", "rel", "embedding")
+          .persistTracked()
+        val sims = short.select(col("q_id"), col("vec_id").as("a"),
+            col("embedding").as("ea"))
+          .join(short.select(col("q_id"), col("vec_id").as("b"),
+            col("embedding").as("eb")), "q_id")
+          .filter(col("a") =!= col("b"))
+          .select(col("q_id"), col("a"), col("b"),
+            round(call_function("graft_cosine", col("ea"), col("eb")), 6)
+              .as("sim"))
+          .persistTracked()
+        val cands = short.select("q_id", "vec_id", "rel")
+        var selected = cands.groupBy("q_id")
+          .agg(max(struct(col("rel"), (-col("vec_id")).as("nv"))).as("m"))
+          .select(col("q_id"), (-col("m.nv")).as("vec_id"),
+            lit(1).as("pick"))
+        (2 to 4).foreach { r =>
+          val ms = sims
+            .join(selected.select(col("q_id"), col("vec_id").as("b")),
+              Seq("q_id", "b"))
+            .groupBy(col("q_id"), col("a").as("vec_id"))
+            .agg(max(col("sim")).as("ms"))
+          val pick = cands
+            .join(selected.select("q_id", "vec_id"),
+              Seq("q_id", "vec_id"), "left_anti")
+            .join(ms, Seq("q_id", "vec_id"), "left")
+            .select(col("q_id"), col("vec_id"),
+              (col("rel") * 0.7 - coalesce(col("ms"), lit(0.0)) * 0.3)
+                .as("score"))
+            .groupBy("q_id")
+            .agg(max(struct(col("score"), (-col("vec_id")).as("nv"))).as("m"))
+            .select(col("q_id"), (-col("m.nv")).as("vec_id"),
+              lit(r).as("pick"))
+          selected = selected.unionByName(pick)
+        }
+        selected.join(cands, Seq("q_id", "vec_id"))
+          .select(col("q_id"), col("pick"), col("vec_id"), col("rel"))
+          .orderBy("q_id", "pick")
+      },
+      Some {
+        val rounds = (2 to 4).map { r =>
+          val sp = if (r == 2) "s1" else s"sel${r - 1}"
+          s"""m$r AS (SELECT s.q_id, s.a AS vec_id, max(s.sim) AS ms FROM sims s
+             |  JOIN $sp ON s.q_id = $sp.q_id AND s.b = $sp.vec_id GROUP BY 1, 2),
+             |r$r AS (SELECT sh.q_id, sh.vec_id, sh.rel * 0.7 - COALESCE(m$r.ms, 0) * 0.3 AS score
+             |  FROM short sh LEFT JOIN m$r ON sh.q_id = m$r.q_id AND sh.vec_id = m$r.vec_id
+             |  WHERE NOT EXISTS (SELECT 1 FROM $sp sp WHERE sp.q_id = sh.q_id AND sp.vec_id = sh.vec_id)),
+             |s$r AS (SELECT q_id, vec_id, $r AS pick FROM (
+             |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn FROM r$r) WHERE rn = 1),
+             |sel$r AS (SELECT * FROM $sp UNION ALL SELECT * FROM s$r),""".stripMargin
+        }.mkString("\n").stripSuffix(",")
+        s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 4),
+           |scored AS (SELECT q.q_id, e.vec_id, round(${duckCos("q.q_vec", "e.embedding")}, 6) AS rel, e.embedding
+           |  FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+           |short AS (SELECT q_id, vec_id, rel, embedding FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, vec_id) AS rn FROM scored) WHERE rn <= 8),
+           |sims AS (SELECT a.q_id, a.vec_id AS a, b.vec_id AS b,
+           |    round(${duckCos("a.embedding", "b.embedding")}, 6) AS sim
+           |  FROM short a JOIN short b ON a.q_id = b.q_id AND a.vec_id <> b.vec_id),
+           |s1 AS (SELECT q_id, vec_id, 1 AS pick FROM (
+           |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, vec_id) AS rn FROM short) WHERE rn = 1),
+           |$rounds
+           |SELECT sel4.q_id, CAST(sel4.pick AS INTEGER) AS pick, sel4.vec_id, short.rel
+           |FROM sel4 JOIN short ON sel4.q_id = short.q_id AND sel4.vec_id = short.vec_id
+           |ORDER BY sel4.q_id, sel4.pick""".stripMargin
+      }),
+
     // q32 — IVF-style bucketed ANN: every vector is assigned to its
     // nearest of 4 fixed centroids (vec_id 0..3, broadcast — the "coarse
     // quantizer"); per-bucket stats verify the assignment. At scale the
