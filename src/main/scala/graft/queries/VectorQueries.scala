@@ -488,45 +488,55 @@ object VectorQueries {
             col("embedding"))
         val wq = Window.partitionBy("q_id")
           .orderBy(col("rel").desc, col("vec_id"))
+        // the CORPUS-scale half: broadcast queries, one narrow scan, one
+        // |q|-keyed rank shuffle — the q31 plan. Everything after this
+        // is an 8-candidate in-memory rerank.
         val short = scored.withColumn("rn", row_number().over(wq))
           .filter(col("rn") <= 8)
           .select("q_id", "vec_id", "rel", "embedding")
-          .persistTracked()
-        val sims = short.select(col("q_id"), col("vec_id").as("a"),
-            col("embedding").as("ea"))
-          .join(short.select(col("q_id"), col("vec_id").as("b"),
-            col("embedding").as("eb")), "q_id")
-          .filter(col("a") =!= col("b"))
-          .select(col("q_id"), col("a"), col("b"),
-            round(call_function("graft_cosine", col("ea"), col("eb")), 6)
-              .as("sim"))
-          .persistTracked()
-        val cands = short.select("q_id", "vec_id", "rel")
-        var selected = cands.groupBy("q_id")
-          .agg(max(struct(col("rel"), (-col("vec_id")).as("nv"))).as("m"))
-          .select(col("q_id"), (-col("m.nv")).as("vec_id"),
-            lit(1).as("pick"))
-        (2 to 4).foreach { r =>
-          val ms = sims
-            .join(selected.select(col("q_id"), col("vec_id").as("b")),
-              Seq("q_id", "b"))
-            .groupBy(col("q_id"), col("a").as("vec_id"))
-            .agg(max(col("sim")).as("ms"))
-          val pick = cands
-            .join(selected.select("q_id", "vec_id"),
-              Seq("q_id", "vec_id"), "left_anti")
-            .join(ms, Seq("q_id", "vec_id"), "left")
-            .select(col("q_id"), col("vec_id"),
-              (col("rel") * 0.7 - coalesce(col("ms"), lit(0.0)) * 0.3)
-                .as("score"))
-            .groupBy("q_id")
-            .agg(max(struct(col("score"), (-col("vec_id")).as("nv"))).as("m"))
-            .select(col("q_id"), (-col("m.nv")).as("vec_id"),
-              lit(r).as("pick"))
-          selected = selected.unionByName(pick)
+        // Greedy rounds run ON THE DRIVER over the collected shortlist
+        // (bounded: 8 rows/query, corpus-INDEPENDENT — the q168/q250
+        // bounded-control-flow rule): the first draft ran each round as
+        // tiny distributed joins and paid ~1.1 s/round of pure
+        // scheduling at sf0.1 (6.2 s total); no serving system
+        // distributes an 8-element rerank. Cosine + rounding replicate
+        // the graft_cosine fold (index-order, float→double widening)
+        // and Spark's HALF_UP round EXACTLY, so the hash gate still
+        // compares engine arithmetic, not a lucky approximation.
+        def round6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        def cos6(a: Array[Float], b: Array[Float]): Double = {
+          var dot = 0.0; var na = 0.0; var nb = 0.0
+          var i = 0
+          val n = math.min(a.length, b.length)
+          while (i < n) {
+            val x = a(i).toDouble; val y = b(i).toDouble
+            dot += x * y; na += x * x; nb += y * y
+            i += 1
+          }
+          round6(dot / (math.sqrt(na) * math.sqrt(nb)))
         }
-        selected.join(cands, Seq("q_id", "vec_id"))
-          .select(col("q_id"), col("pick"), col("vec_id"), col("rel"))
+        val byQ = short.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+            r.getSeq[Float](3).toArray))
+          .groupBy(_._1).toSeq.sortBy(_._1)
+        val out = byQ.flatMap { case (qid, cs) =>
+          var selected = Vector.empty[(Long, Double, Array[Float])]
+          (1 to 4).map { pick =>
+            val remaining = cs.filter(c => !selected.exists(_._1 == c._2))
+            val best = remaining.maxBy { c =>
+              val ms = if (selected.isEmpty) 0.0
+                else selected.map(sl => cos6(c._4, sl._3)).max
+              // ties toward the LOWER vec_id, matching the oracle's
+              // (score DESC, vec_id) rank
+              (c._3 * 0.7 - ms * 0.3, -c._2)
+            }
+            selected :+= ((best._2, best._3, best._4))
+            (qid, pick, best._2, best._3)
+          }
+        }
+        import s.implicits._
+        out.toDF("q_id", "pick", "vec_id", "rel")
           .orderBy("q_id", "pick")
       },
       Some {
