@@ -560,6 +560,90 @@ object AnalyticsQueries {
              |WHERE 2 * abs(h.v - q.med) > 3 * (q.p75 - q.p25)
              |ORDER BY h.event_type, h.day, h.hod""".stripMargin)),
 
+    // q289 — EQUI-DEPTH (quantile) binning: 8 bins with equal row
+    // counts and data-derived edges — the feature-prep discretization
+    // (equi-WIDTH q111 breaks on skew; quantile bins are what gradient
+    // models and drift monitors actually consume). bin = ((rank−1)·8)
+    // DIV n in pure integer arithmetic (no float boundary), rank from
+    // range-partitioned PrefixSum over the unique (value, key) order —
+    // no single-reducer global window at any scale. Output proves the
+    // depth invariant (every bin = n/8 rows) and publishes the exact
+    // edges a serving layer would load.
+    QuerySpec("q289_quantile_binning",
+      (s, dir) => {
+        val base = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .withColumn("__one", lit(1L))
+        val rk = graft.ops.PrefixSum.cumsum(base,
+          Seq("o_totalprice", "o_orderkey"), "__one", "rk", 32)
+        val n = rk.agg(count(lit(1)).as("n"))
+        rk.crossJoin(broadcast(n))
+          .select(col("o_totalprice"),
+            expr("((rk - 1) * 8) DIV n").cast("int").as("bin"))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("depth"),
+            min(col("o_totalprice")).cast("decimal(12,2)").as("lo"),
+            max(col("o_totalprice")).cast("decimal(12,2)").as("hi"))
+          .orderBy("bin")
+      },
+      Some("""WITH r AS (SELECT o_orderkey, o_totalprice,
+             |    row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rk,
+             |    count(*) OVER () AS n
+             |  FROM orders),
+             |b AS (SELECT *, CAST(((rk - 1) * 8) // n AS INTEGER) AS bin FROM r)
+             |SELECT bin, CAST(count(*) AS BIGINT) AS depth,
+             |  CAST(min(o_totalprice) AS DECIMAL(12,2)) AS lo,
+             |  CAST(max(o_totalprice) AS DECIMAL(12,2)) AS hi
+             |FROM b GROUP BY bin ORDER BY bin""".stripMargin)),
+
+    // q290 — PADDING-WASTE audit for training batch assembly: documents
+    // padded to their batch's max length burn compute on pad tokens;
+    // length-bucketed batching is the standard fix. The query scores
+    // three strategies on the same corpus — global pad-to-max,
+    // 64-token buckets, 16-token buckets — reporting real vs padded
+    // token totals and waste% (fixture: 46% → 26% → 9%). This is the
+    // measurement that justifies a bucketing config before a training
+    // run. One scan fanned to 3 strategy rows (scan-local union),
+    // bucket-grain aggregate, all-integer until the final percentage.
+    QuerySpec("q290_padding_waste",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+          .select(least(expr("n_chars DIV 4"), lit(512L)).cast("long")
+            .as("toks"))
+        val strat = d.select(lit("global").as("strategy"),
+            lit(null).cast("long").as("bucket"), col("toks"))
+          .unionByName(d.select(lit("bucket64").as("strategy"),
+            expr("toks DIV 64").as("bucket"), col("toks")))
+          .unionByName(d.select(lit("bucket16").as("strategy"),
+            expr("toks DIV 16").as("bucket"), col("toks")))
+        strat.groupBy("strategy", "bucket")
+          .agg(count(lit(1)).as("n"), max(col("toks")).as("mx"),
+            sum(col("toks")).as("real_toks"))
+          .groupBy("strategy")
+          .agg(sum(col("n")).as("n_docs"),
+            sum(col("real_toks")).as("real_tokens"),
+            sum(col("n") * col("mx")).as("padded_tokens"))
+          .select(col("strategy"), col("n_docs"), col("real_tokens"),
+            col("padded_tokens"),
+            round(lit(100.0) * (col("padded_tokens") - col("real_tokens")) /
+              col("padded_tokens"), 2).cast("decimal(6,2)").as("waste_pct"))
+          .orderBy("strategy")
+      },
+      Some("""WITH d AS (SELECT doc_id, LEAST(CAST(n_chars // 4 AS BIGINT), 512) AS toks
+             |  FROM documents),
+             |s AS (
+             |  SELECT 'global' AS strategy, CAST(NULL AS BIGINT) AS bucket, toks FROM d
+             |  UNION ALL SELECT 'bucket64', toks // 64, toks FROM d
+             |  UNION ALL SELECT 'bucket16', toks // 16, toks FROM d),
+             |g AS (SELECT strategy, bucket, count(*) AS n, max(toks) AS mx,
+             |    SUM(toks) AS real_toks
+             |  FROM s GROUP BY 1, 2)
+             |SELECT strategy, CAST(SUM(n) AS BIGINT) AS n_docs,
+             |  CAST(SUM(real_toks) AS BIGINT) AS real_tokens,
+             |  CAST(SUM(n * mx) AS BIGINT) AS padded_tokens,
+             |  CAST(round(100.0 * (SUM(n * mx) - SUM(real_toks)) / SUM(n * mx), 2) AS DECIMAL(6,2)) AS waste_pct
+             |FROM g GROUP BY strategy ORDER BY strategy""".stripMargin)),
+
     // q106 — incremental re-aggregation: merge DAILY partial aggregates
     // into monthly rollups without touching the fact table again — the
     // materialized-view maintenance pattern (at 100 TB the daily partial

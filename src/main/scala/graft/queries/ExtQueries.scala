@@ -1885,6 +1885,30 @@ object ExtQueries {
              |  CAST(round(SUM(len) / count(*), 2) AS DECIMAL(10,2)) AS mean_bytes
              |FROM b GROUP BY shard ORDER BY shard""".stripMargin)),
 
+    // q291 — TopN PUSHDOWN serving read: `ORDER BY doc_id LIMIT 10`
+    // against the V2 source is answered from the shard-file HEADS —
+    // the write contract sorts every shard by doc_id, so the scan
+    // builder accepts the TopN (SupportsPushDownTopN), each reader
+    // stops after 10 records, and Spark merges the per-shard heads
+    // (partial pushdown). BlobSourceSpec pins the early stop with the
+    // records-read counter (≤ 4·N instead of the corpus) and that a
+    // DESC ordering is refused and falls back correctly. At 100 TB
+    // this is "show me the first rows" without touching the corpus —
+    // the layout contract paying off on the read side.
+    QuerySpec("q291_blob_topn_serve",
+      (s, dir) => {
+        val out = shardDir(dir)
+        graft.sources.BlobShards.pack(wavMedia(s, dir), out)
+        s.read.format(classOf[graft.sources.BlobShardDataSource].getName)
+          .option("path", out).load()
+          .select("doc_id", "shard", "length")
+          .orderBy("doc_id").limit(10)
+      },
+      Some("""SELECT doc_id,
+             |  CAST(CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8) AS BIGINT) % 4 AS INTEGER) AS shard,
+             |  CAST(44 + strlen(text) AS INTEGER) AS length
+             |FROM documents ORDER BY doc_id LIMIT 10""".stripMargin)),
+
     // q278 — RUNTIME shard pruning in a federated join: the V2 scan
     // declares `shard` runtime-filterable (SupportsRuntimeFiltering);
     // joining it to a BROADCAST dim with a selective predicate makes

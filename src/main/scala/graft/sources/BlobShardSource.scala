@@ -81,17 +81,52 @@ class BlobShardTable(path: String) extends Table with SupportsRead
   * same signal from task metrics). */
 object BlobShardIO {
   val opened = new java.util.concurrent.atomic.AtomicLong(0L)
+  val records = new java.util.concurrent.atomic.AtomicLong(0L)
 }
 
 class BlobShardScanBuilder(path: String,
     maxBytesPerBatch: Option[Long] = None) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
 
   private var required: StructType = BlobShardDataSource.fullSchema
   private var shardFilter: Option[Set[Int]] = None
   private var pushed: Array[Filter] = Array.empty
   private var pushedAgg: Option[(StructType, Array[Array[Any]], String)] = None
+  private var pushedLimit: Option[Int] = None
+
+  /** LIMIT pushdown: each shard reader stops after `limit` records —
+    * a bare LIMIT needs any N rows, so reading each file's head is
+    * sufficient. PARTIAL pushdown (the default): Spark still applies
+    * the global limit over the per-shard heads. */
+  override def pushLimit(limit: Int): Boolean = {
+    pushedLimit = Some(pushedLimit.fold(limit)(math.min(_, limit)))
+    true
+  }
+
+  /** TopN pushdown — honored ONLY for (doc_id ASC): the write
+    * contract sorts every shard by doc_id, so the first N records of
+    * each file ARE its N smallest doc_ids; the reader early-stops and
+    * Spark merges the per-shard heads (partial pushdown). Any other
+    * ordering is refused and evaluated by Spark over the full scan. */
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      limit: Int): Boolean = {
+    val ok = orders.length == 1 && (orders(0).expression() match {
+      case n: org.apache.spark.sql.connector.expressions.NamedReference =>
+        n.fieldNames.sameElements(Array("doc_id")) &&
+          orders(0).direction() ==
+            org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING
+      case _ => false
+    })
+    if (ok) pushedLimit = Some(pushedLimit.fold(limit)(math.min(_, limit)))
+    ok
+  }
+
+  // per-shard heads only — Spark applies the global limit/merge
+  override def isPartiallyPushed(): Boolean = true
 
   /** AGGREGATE PUSHDOWN from the `_manifest` sidecar: COUNT(*) /
     * COUNT(col) / SUM(length), optionally grouped by `shard`, are pure
@@ -212,7 +247,8 @@ class BlobShardScanBuilder(path: String,
     case Some((schema, rows, desc)) =>
       new BlobShardAggScan(path, schema, rows, desc)
     case None =>
-      new BlobShardScan(path, required, shardFilter, maxBytesPerBatch)
+      new BlobShardScan(path, required, shardFilter, maxBytesPerBatch,
+        pushedLimit)
   }
 }
 
@@ -248,7 +284,8 @@ case class BlobShardAggPartition(rows: Array[Array[Any]])
 
 class BlobShardScan(path: String, required: StructType,
     shardFilter: Option[Set[Int]],
-    maxBytesPerBatch: Option[Long] = None) extends Scan with Batch
+    maxBytesPerBatch: Option[Long] = None,
+    limit: Option[Int] = None) extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
@@ -296,7 +333,7 @@ class BlobShardScan(path: String, required: StructType,
       val shard = f.getName.stripPrefix("shard-").stripSuffix(".bin").toInt
       // partition pruning: filtered shards are never opened
       if (visible(shard))
-        Some(BlobShardPartition(shard, f.getAbsolutePath): InputPartition)
+        Some(BlobShardPartition(shard, f.getAbsolutePath, limit): InputPartition)
       else None
     }
   }
@@ -350,7 +387,8 @@ class BlobShardScan(path: String, required: StructType,
     new BlobShardMicroBatchStream(path, required, shardFilter, maxBytesPerBatch)
 }
 
-case class BlobShardPartition(shard: Int, file: String) extends InputPartition
+case class BlobShardPartition(shard: Int, file: String,
+    limit: Option[Int] = None) extends InputPartition
 
 class BlobShardReaderFactory(columns: Array[String])
     extends PartitionReaderFactory {
@@ -362,6 +400,7 @@ class BlobShardReader(p: BlobShardPartition, columns: Array[String])
     extends PartitionReader[InternalRow] {
   BlobShardIO.opened.incrementAndGet()
   private val needMedia = columns.contains("media")
+  private var emitted = 0
   private val fileLen = new java.io.File(p.file).length()
   private val in = new DataInputStream(
     new BufferedInputStream(new FileInputStream(p.file), 1 << 16))
@@ -374,6 +413,9 @@ class BlobShardReader(p: BlobShardPartition, columns: Array[String])
   // in Multimodal takes. A negative length (corrupt header) also stops:
   // past it the framing is unrecoverable.
   override def next(): Boolean = try {
+    // pushed LIMIT/TopN: the write contract sorts shards by doc_id, so
+    // the file head IS the per-shard top-N — stop without reading on
+    if (p.limit.exists(emitted >= _)) return false
     val docId = java.lang.Long.reverseBytes(in.readLong())
     val len = Integer.reverseBytes(in.readInt())
     if (len < 0) return false
@@ -407,6 +449,8 @@ class BlobShardReader(p: BlobShardPartition, columns: Array[String])
       case "media"  => media
     }
     row = new GenericInternalRow(values.asInstanceOf[Array[Any]])
+    emitted += 1
+    BlobShardIO.records.incrementAndGet()
     true
   } catch { case _: EOFException => false }
   override def get(): InternalRow = row

@@ -98,6 +98,38 @@ class BlobSourceSpec extends AnyFunSuite {
       s"runtime filter must prune to the single matching shard file, opened=$opened")
   }
 
+  test("LIMIT and TopN(doc_id ASC) push down: readers stop at the file " +
+      "head instead of scanning every record; other orderings refuse") {
+    val out = java.nio.file.Files.createTempDirectory("blobspec_l_").toString
+    val df = (0L until 100L).map { id =>
+      (id, (id % 4).toInt, Array.fill(3)(id.toByte))
+    }.toDF("doc_id", "shard", "media")
+    BlobShards.pack(df, out)
+    def t = spark.read.format(classOf[BlobShardDataSource].getName)
+      .option("path", out).load()
+    // bare LIMIT: each of the 4 shards reads ≤ 5 records
+    graft.sources.BlobShardIO.records.set(0)
+    assert(t.limit(5).collect().length == 5)
+    val readLimit = graft.sources.BlobShardIO.records.get()
+    assert(readLimit <= 20,
+      s"limit must stop at per-shard heads, read $readLimit records")
+    // TopN on the write contract's order: correct AND early-stopping
+    graft.sources.BlobShardIO.records.set(0)
+    val top = t.orderBy("doc_id").limit(5).select("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(top == (0L until 5L), s"topN wrong: $top")
+    val readTop = graft.sources.BlobShardIO.records.get()
+    assert(readTop <= 20,
+      s"topN(doc_id) must stop at per-shard heads, read $readTop records")
+    // an ordering the layout does NOT provide: refused, full scan, right
+    graft.sources.BlobShardIO.records.set(0)
+    val desc = t.orderBy(col("doc_id").desc).limit(3).select("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(desc == Seq(99L, 98L, 97L), s"desc topN wrong: $desc")
+    assert(graft.sources.BlobShardIO.records.get() == 100,
+      "a refused ordering must fall back to the full scan")
+  }
+
   test("column pruning drops media from the scan output") {
     val p = read().select("doc_id", "length")
       .queryExecution.executedPlan.toString
