@@ -39,4 +39,30 @@ object RangeJoin {
       .filter(col(pCol) >= col(loCol) && col(pCol) < col(hiCol))
       .drop("__bin")
   }
+
+  /** INTERVAL-overlap join: pairs where `[lLo, lHi]` and `[rLo, rHi]`
+    * intersect (closed ends). Both sides replicate over their covered
+    * bins and equi-join on the bin; the exact overlap predicate then
+    * filters, and the FIRST-OVERLAPPING-BIN rule — the pair is kept
+    * only in the bin of `max(lLo, rLo)`, which both replica sets
+    * necessarily contain — makes each pair match exactly once with NO
+    * distinct/dedup pass (a distinct would be a second shuffle of the
+    * matched set). Replication is `width/binWidth + 1` per interval:
+    * size binWidth near the typical interval length. All columns
+    * integral (bin arithmetic stays exact).
+    */
+  def intervalOverlap(left: DataFrame, lLo: String, lHi: String,
+      right: DataFrame, rLo: String, rHi: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    def bin(c: Column): Column = floor(c / lit(binWidth)).cast("long")
+    val lb = left.withColumn("__bin",
+      explode(sequence(bin(col(lLo)), bin(col(lHi)))))
+    val rb = right.withColumn("__bin",
+      explode(sequence(bin(col(rLo)), bin(col(rHi)))))
+    lb.join(rb, Seq("__bin"))
+      .filter(col(lLo) <= col(rHi) && col(rLo) <= col(lHi) &&
+        col("__bin") === bin(greatest(col(lLo), col(rLo))))
+      .drop("__bin")
+  }
 }

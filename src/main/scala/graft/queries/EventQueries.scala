@@ -482,6 +482,68 @@ object EventQueries {
              |FROM k JOIN p USING (sk)
              |GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // q294 — INTERVAL-OVERLAP join (ops.RangeJoin.intervalOverlap, the
+    // interval×interval companion to q86's point-in-interval): user
+    // activity SESSIONS (q37's 30-min-gap definition) joined to daily
+    // maintenance windows (02:00–04:00) they overlap — the impact
+    // analysis behind every incident/deploy review. A bare overlap
+    // predicate plans as a nested-loop; the operator bins BOTH interval
+    // sets (1-hour bins), equi-joins on the bin, and keeps each pair
+    // only in the bin of max(lo, lo) — exactly-once matching with NO
+    // dedup shuffle. Per-window impact: sessions, users, total overlap
+    // seconds in exact integer micros.
+    QuerySpec("q294_session_window_overlap",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val gapUs = unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)
+        val newSess = when(gapUs.isNull || gapUs > 30L * 60 * 1000000, 1)
+          .otherwise(0)
+        val sess = ev.withColumn("sess_id",
+            sum(newSess).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy("user_id", "sess_id")
+          .agg(min(unix_micros(col("ts"))).as("s_lo"),
+            max(unix_micros(col("ts"))).as("s_hi"))
+        val win = ev.select(col("ts").cast("date").as("day")).distinct()
+          .select(col("day"),
+            unix_micros(col("day").cast("timestamp") +
+              expr("INTERVAL 2 HOURS")).as("w_lo"),
+            unix_micros(col("day").cast("timestamp") +
+              expr("INTERVAL 4 HOURS")).as("w_hi"))
+        graft.ops.RangeJoin.intervalOverlap(
+            sess, "s_lo", "s_hi", win, "w_lo", "w_hi", 3600L * 1000000)
+          .groupBy("day")
+          .agg(count(lit(1)).as("n_sessions"),
+            countDistinct(col("user_id")).as("n_users"),
+            sum(expr("(LEAST(s_hi, w_hi) - GREATEST(s_lo, w_lo)) DIV 1000000"))
+              .as("overlap_s"))
+          .orderBy("day")
+      },
+      Some("""WITH s0 AS (
+             |  SELECT user_id, ts, event_id,
+             |    CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+             |           - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+             |           > 30 * 60 * 1000000 THEN 1
+             |         WHEN lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) IS NULL THEN 1
+             |         ELSE 0 END AS new_sess
+             |  FROM events),
+             |sess AS (SELECT user_id, sess_id,
+             |    min(epoch_us(CAST(ts AS TIMESTAMP))) AS s_lo,
+             |    max(epoch_us(CAST(ts AS TIMESTAMP))) AS s_hi
+             |  FROM (SELECT user_id, ts, event_id,
+             |      CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id FROM s0)
+             |  GROUP BY user_id, sess_id),
+             |win AS (SELECT d AS day,
+             |    epoch_us(CAST(d AS TIMESTAMP) + INTERVAL 2 HOUR) AS w_lo,
+             |    epoch_us(CAST(d AS TIMESTAMP) + INTERVAL 4 HOUR) AS w_hi
+             |  FROM (SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events))
+             |SELECT day, CAST(count(*) AS BIGINT) AS n_sessions,
+             |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+             |  CAST(SUM((LEAST(s_hi, w_hi) - GREATEST(s_lo, w_lo)) // 1000000) AS BIGINT) AS overlap_s
+             |FROM sess JOIN win ON s_lo <= w_hi AND w_lo <= s_hi
+             |GROUP BY day ORDER BY day""".stripMargin)),
+
     // q273 — RUNTIME BLOOM-FILTER join pruning, the second declarative
     // runtime optimization under the gate (q262 is AQE skew): Catalyst's
     // InjectRuntimeFilter sees a selective filter on the orders side of

@@ -41,6 +41,19 @@ object ExtQueries {
     new java.io.File(System.getProperty("java.io.tmpdir"),
       "graft_shards_" + Integer.toHexString(dir.hashCode)).toString
 
+  /** (small-files dir, compacted dir) for q292 — deterministic per
+    * corpus dir, overwritten each run; package-visible so
+    * CompactionSpec can pin the physical file counts. */
+  private[graft] def compactionDirs(dir: String): (String, String) = {
+    val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_compact_" + Integer.toHexString(dir.hashCode)).toString
+    (base + "/small", base + "/compact")
+  }
+
+  private def evolutionDir(dir: String): String =
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_evolve_" + Integer.toHexString(dir.hashCode)).toString
+
   /** (z_{0.975} + z_{0.8})² — the standard 80%-power two-sided-5%
     * constant, computed ONCE here and interpolated into both engines so
     * the literal cannot drift (NOTES rule 7). MUST be defined above
@@ -1850,6 +1863,102 @@ object ExtQueries {
            |  CAST(round(SUM(area) / count(*), 1) AS DECIMAL(18,1)) AS avg_area
            |FROM files GROUP BY layout ORDER BY layout""".stripMargin
       }),
+
+    // q292 — COMPACTION EXECUTED through real storage (q275 stops at
+    // the plan; this runs it): the corpus is first written as 40 small
+    // hash-keyed partition dirs (the post-streaming-ingest state),
+    // the next-fit-decreasing plan assigns each small file to a
+    // ~16 KB rewrite bin, and the REWRITE actually happens — read
+    // small dir → broadcast the 40-row plan → repartition ON THE BIN →
+    // `partitionBy(bin)` write, so each bin lands as one output file.
+    // The gate verifies CONTENT PRESERVATION: the per-bin doc/char
+    // totals of the re-read compacted table must equal the plan
+    // arithmetic over the original corpus (any row lost or duplicated
+    // in the rewrite breaks the hash). CompactionSpec pins the
+    // physical claim: ≤ one data file per bin dir after, 40 dirs
+    // before. Portable hash file keys keep the layout oracle-visible.
+    QuerySpec("q292_compaction_execute",
+      (s, dir) => {
+        val (small, compact) = compactionDirs(dir)
+        val docs = Tables.load(s, dir, "documents")
+          .withColumn("f",
+            (graft.functions.Text.hash32(col("doc_id").cast("string")) % 40)
+              .cast("int"))
+        docs.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .partitionBy("f").parquet(small)
+        val inv = s.read.parquet(small)
+          .groupBy("f").agg((lit(1024L) + sum(col("n_chars"))).as("bytes"))
+        val wp = Window.orderBy(desc("bytes"), col("f"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        // 40-row plan frame: the unpartitioned window is file-inventory
+        // grain (metadata), not data grain
+        val plan = inv.withColumn("bin",
+          floor((sum(col("bytes")).over(wp) - col("bytes")) / 16384)
+            .cast("int"))
+        s.read.parquet(small)
+          .join(broadcast(plan.select("f", "bin")), "f")
+          .repartition(col("bin"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .partitionBy("bin").parquet(compact)
+        s.read.parquet(compact)
+          .groupBy("bin")
+          .agg(countDistinct(col("f")).as("n_files"),
+            count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+          .orderBy("bin")
+      },
+      Some("""WITH files AS (
+             |  SELECT CAST(CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8) AS BIGINT) % 40 AS INTEGER) AS f,
+             |    CAST(1024 + SUM(n_chars) AS BIGINT) AS bytes,
+             |    count(*) AS n_docs, SUM(n_chars) AS chars
+             |  FROM documents GROUP BY 1),
+             |planned AS (
+             |  SELECT *, CAST(floor((SUM(bytes) OVER (ORDER BY bytes DESC, f
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - bytes) / 16384) AS INTEGER) AS bin
+             |  FROM files)
+             |SELECT bin, CAST(count(*) AS BIGINT) AS n_files,
+             |  CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+             |  CAST(SUM(chars) AS BIGINT) AS chars
+             |FROM planned GROUP BY bin ORDER BY bin""".stripMargin)),
+
+    // q293 — SCHEMA EVOLUTION read across table generations: an early
+    // write lacks a column a later write has (the universal lakehouse
+    // situation once a pipeline adds a field). Two real parquet
+    // generations (gen=1 without o_orderpriority, gen=2 with it) are
+    // read through ONE `mergeSchema` scan: the union schema applies,
+    // gen-1 rows surface NULL for the missing column, and the query
+    // reports per-priority totals with the NULLs bucketed as
+    // 'pre-schema'. The oracle reconstructs the generation split
+    // arithmetically — the gate fails if merge drops rows, misaligns
+    // columns, or invents non-null defaults.
+    QuerySpec("q293_schema_evolution",
+      (s, dir) => {
+        val root = evolutionDir(dir)
+        val ord = Tables.load(s, dir, "orders")
+        ord.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$root/gen=1")
+        ord.filter(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderpriority"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$root/gen=2")
+        s.read.option("mergeSchema", "true").parquet(root)
+          .select(coalesce(col("o_orderpriority"), lit("pre-schema"))
+            .as("priority"), col("o_totalprice"), col("gen"))
+          .groupBy("priority")
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("gen")).as("n_gens"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).as("total"))
+          .orderBy("priority")
+      },
+      Some("""SELECT COALESCE(CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END,
+             |    'pre-schema') AS priority,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(count(DISTINCT o_orderkey % 2) AS BIGINT) AS n_gens,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS total
+             |FROM orders
+             |GROUP BY 1 ORDER BY priority""".stripMargin)),
 
     // q277 — AGGREGATE PUSHDOWN into the V2 source: per-shard
     // count/byte totals over the packed corpus are answered ENTIRELY
