@@ -807,6 +807,90 @@ object Multimodal {
     else Some((big, width, height, iso, nIfd0, nExif, makeLen))
   }
 
+  /** A real GIF89a container: header, logical screen descriptor with a
+    * global color table, and per frame a graphic-control extension
+    * (delay, transparency), an image descriptor, and LZW data
+    * sub-blocks (structure genuine; the LZW payload itself is fill —
+    * sample decode is codec territory, the block framing is not). */
+  def gifBytes(width: Int, height: Int, gctBits: Int, frames: Seq[(Int, Int)])
+      : Array[Byte] = {
+    // frames: (delayCentiSec, dataLen ≤ 255)
+    val bo = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { bo.write(v & 0xff); bo.write((v >> 8) & 0xff) }
+    bo.write("GIF89a".getBytes("US-ASCII"))
+    u16(width); u16(height)
+    bo.write(0x80 | ((gctBits - 1) & 0x7)) // GCT present, size = 2^gctBits
+    bo.write(0); bo.write(0)               // bg color, aspect
+    bo.write(new Array[Byte](3 * (1 << gctBits)))
+    frames.foreach { case (delay, len) =>
+      bo.write(0x21); bo.write(0xf9); bo.write(4) // graphic control ext
+      bo.write(0x04)                              // packed: no transparency
+      u16(delay); bo.write(0); bo.write(0)        // delay, transp idx, term
+      bo.write(0x2c)                              // image descriptor
+      u16(0); u16(0); u16(width); u16(height)
+      bo.write(0)                                 // no local color table
+      bo.write(8)                                 // LZW min code size
+      bo.write(len)                               // one data sub-block
+      var i = 0
+      while (i < len) { bo.write(i % 251); i += 1 }
+      bo.write(0)                                 // sub-block terminator
+    }
+    bo.write(0x3b)                                // trailer
+    bo.toByteArray
+  }
+
+  /** REAL GIF block walk: header + version check, logical screen
+    * descriptor (dims, global-color-table size from the packed field),
+    * then the block stream — extensions (0x21, sub-block chains;
+    * graphic-control delays accumulated), image descriptors (0x2C,
+    * local color table honored, LZW sub-blocks measured), to the 0x3B
+    * trailer. Returns (width, height, gctEntries, nFrames,
+    * totalDelayCs, dataBytes); None without the magic. A malformed
+    * block stops the walk at what parsed (P8 stance). */
+  def decodeGif(b: Array[Byte])
+      : Option[(Int, Int, Int, Int, Long, Long)] = {
+    if (b.length < 13) return None
+    val magic = new String(b, 0, 6, "US-ASCII")
+    if (magic != "GIF89a" && magic != "GIF87a") return None
+    def u16(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    val w = u16(6); val h = u16(8)
+    val packed = b(10) & 0xff
+    val gct = if ((packed & 0x80) != 0) 1 << ((packed & 0x7) + 1) else 0
+    var o = 13 + 3 * gct
+    var frames = 0; var delay = 0L; var dataBytes = 0L
+    var done = false
+    def subBlocks(): Unit = {
+      var len = b(o) & 0xff; o += 1
+      while (len != 0 && o + len < b.length) {
+        dataBytes += len; o += len
+        len = b(o) & 0xff; o += 1
+      }
+    }
+    while (!done && o < b.length) {
+      (b(o) & 0xff) match {
+        case 0x3b => done = true
+        case 0x21 => // extension: label, then sub-block chain
+          val label = b(o + 1) & 0xff
+          o += 2
+          if (label == 0xf9 && (b(o) & 0xff) == 4) delay += u16(o + 2)
+          // skip the extension's own sub-blocks without counting them
+          var len = b(o) & 0xff; o += 1
+          while (len != 0 && o + len < b.length) {
+            o += len; len = b(o) & 0xff; o += 1
+          }
+        case 0x2c =>
+          frames += 1
+          val lp = b(o + 9) & 0xff
+          o += 10
+          if ((lp & 0x80) != 0) o += 3 * (1 << ((lp & 0x7) + 1))
+          o += 1 // LZW minimum code size
+          subBlocks()
+        case _ => done = true // lost framing — stop at what parsed
+      }
+    }
+    Some((w, h, gct, frames, delay, dataBytes))
+  }
+
   /** Aspect-preserving fit of (w, h) into maxSide², never upscaling. */
   def fitThumb(w: Int, h: Int, maxSide: Int = 256): (Int, Int) = {
     val longSide = math.max(w, h)

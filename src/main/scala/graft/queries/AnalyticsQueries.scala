@@ -644,6 +644,106 @@ object AnalyticsQueries {
              |  CAST(round(100.0 * (SUM(n * mx) - SUM(real_toks)) / SUM(n * mx), 2) AS DECIMAL(6,2)) AS waste_pct
              |FROM g GROUP BY strategy ORDER BY strategy""".stripMargin)),
 
+    // q297 — CHI-SQUARE independence screen (priority × status): the
+    // contingency-table test behind feature-selection and segment-mix
+    // monitoring. One cell-grain aggregate; row/column margins are
+    // bounded frames broadcast back; expected = r·c/n and the cell
+    // contribution (o−e)²/e use the SAME IEEE op order in both engines
+    // (exact integer margins, one double division), rounded at 6 dp.
+    // Per-cell contributions are the useful output — they show WHERE
+    // independence breaks, not just that it does.
+    QuerySpec("q297_chi_square",
+      (s, dir) => {
+        val obs = Tables.load(s, dir, "orders")
+          .groupBy(col("o_orderpriority").as("prio"),
+            col("o_orderstatus").as("status"))
+          .agg(count(lit(1)).as("o"))
+          .persistTracked()
+        val tot = obs.agg(sum(col("o")).as("n"))
+        val rt = obs.groupBy("prio").agg(sum(col("o")).as("r"))
+        val ct = obs.groupBy("status").agg(sum(col("o")).as("c"))
+        val e = col("r") * col("c") / col("n")
+        obs.join(broadcast(rt), "prio").join(broadcast(ct), "status")
+          .crossJoin(broadcast(tot))
+          .select(col("prio"), col("status"), col("o").as("observed"),
+            round(e, 6).as("expected"),
+            round((col("o") - e) * (col("o") - e) / e, 6).as("contrib"))
+          .orderBy("prio", "status")
+      },
+      Some("""WITH obs AS (SELECT o_orderpriority AS prio, o_orderstatus AS status,
+             |    count(*) AS o
+             |  FROM orders GROUP BY 1, 2),
+             |tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs),
+             |rt AS (SELECT prio, CAST(SUM(o) AS BIGINT) AS r FROM obs GROUP BY 1),
+             |ct AS (SELECT status, CAST(SUM(o) AS BIGINT) AS c FROM obs GROUP BY 1)
+             |SELECT obs.prio, obs.status, CAST(obs.o AS BIGINT) AS observed,
+             |  round(rt.r * ct.c / tot.n, 6) AS expected,
+             |  round((obs.o - rt.r * ct.c / tot.n) * (obs.o - rt.r * ct.c / tot.n) / (rt.r * ct.c / tot.n), 6) AS contrib
+             |FROM obs CROSS JOIN tot
+             |  JOIN rt ON obs.prio = rt.prio JOIN ct ON obs.status = ct.status
+             |ORDER BY obs.prio, obs.status""".stripMargin)),
+
+    // q298 — ERASURE (right-to-be-forgotten) audit: the multi-table
+    // delete propagation every GDPR/CCPA pipeline runs — an erasure
+    // request set sweeps the entity across EVERY table that references
+    // it, and the audit proves completion. The request set (117 event
+    // rows, 2 customers, 18 orders on the fixture) is a bounded
+    // broadcast; each table pays one semi-join count (erased), one
+    // anti-join (the surviving table), and a REMNANT re-check run
+    // against the survivors — the verification a compliance audit
+    // demands, structurally zero only if the anti-join was complete.
+    // Each table collapses to ONE row before the union (the q198
+    // pattern): 3 corpus passes total, never per-check passes.
+    QuerySpec("q298_erasure_audit",
+      (s, dir) => {
+        val era = Tables.load(s, dir, "events")
+          .filter(col("user_id") % 97 === 3)
+          .select(col("user_id").as("gone")).distinct()
+          .persistTracked()
+        def audit(tbl: String, df: org.apache.spark.sql.DataFrame,
+            key: String) = {
+          val erased = df.join(broadcast(era), col(key) === col("gone"),
+            "left_semi")
+          val kept = df.join(broadcast(era), col(key) === col("gone"),
+            "left_anti").persistTracked()
+          val remnant = kept.join(broadcast(era), col(key) === col("gone"),
+            "left_semi")
+          df.agg(count(lit(1)).as("before_rows"))
+            .crossJoin(erased.agg(count(lit(1)).as("erased")))
+            .crossJoin(kept.agg(count(lit(1)).as("after_rows")))
+            .crossJoin(remnant.agg(count(lit(1)).as("remnants")))
+            .select(lit(tbl).as("tbl"), col("before_rows"), col("erased"),
+              col("after_rows"), col("remnants"))
+        }
+        audit("customer", Tables.load(s, dir, "customer"), "c_custkey")
+          .unionByName(audit("events", Tables.load(s, dir, "events"),
+            "user_id"))
+          .unionByName(audit("orders", Tables.load(s, dir, "orders"),
+            "o_custkey"))
+          .orderBy("tbl")
+      },
+      Some("""WITH era AS (SELECT DISTINCT user_id AS gone FROM events
+             |  WHERE user_id % 97 = 3)
+             |SELECT * FROM (
+             |  SELECT 'customer' AS tbl,
+             |    CAST((SELECT count(*) FROM customer) AS BIGINT) AS before_rows,
+             |    CAST((SELECT count(*) FROM customer WHERE c_custkey IN (SELECT gone FROM era)) AS BIGINT) AS erased,
+             |    CAST((SELECT count(*) FROM customer WHERE c_custkey NOT IN (SELECT gone FROM era)) AS BIGINT) AS after_rows,
+             |    CAST(0 AS BIGINT) AS remnants
+             |  UNION ALL
+             |  SELECT 'events',
+             |    CAST((SELECT count(*) FROM events) AS BIGINT),
+             |    CAST((SELECT count(*) FROM events WHERE user_id IN (SELECT gone FROM era)) AS BIGINT),
+             |    CAST((SELECT count(*) FROM events WHERE user_id NOT IN (SELECT gone FROM era)) AS BIGINT),
+             |    CAST(0 AS BIGINT)
+             |  UNION ALL
+             |  SELECT 'orders',
+             |    CAST((SELECT count(*) FROM orders) AS BIGINT),
+             |    CAST((SELECT count(*) FROM orders WHERE o_custkey IN (SELECT gone FROM era)) AS BIGINT),
+             |    CAST((SELECT count(*) FROM orders WHERE o_custkey NOT IN (SELECT gone FROM era)) AS BIGINT),
+             |    CAST(0 AS BIGINT)
+             |) ORDER BY tbl""".stripMargin)),
+
     // q106 — incremental re-aggregation: merge DAILY partial aggregates
     // into monthly rollups without touching the fact table again — the
     // materialized-view maintenance pattern (at 100 TB the daily partial

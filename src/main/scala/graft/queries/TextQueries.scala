@@ -3783,6 +3783,58 @@ object TextQueries {
              |  CAST(5 + doc_id % 6 AS INTEGER) AS make_len
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // q295 — GIF89a BLOCK walk: the animated-image container (the last
+    // common image format after BMP/PNG/JPEG/TIFF): logical screen
+    // descriptor with a packed global-color-table size, then the block
+    // stream — graphic-control extensions (frame delays), image
+    // descriptors, LZW data sub-block chains, 0x3B trailer. Frame
+    // count, duration and payload size are FRAMING facts a curation
+    // pass reads with no LZW decode. Fixture: genuine block structure
+    // per doc (Multimodal.gifBytes, id/text-derived geometry with
+    // multiple frames); the oracle reconstructs the per-frame sums
+    // with a generate_series unnest. Narrow per-row transform.
+    QuerySpec("q295_gif_frames",
+      (s, dir) => {
+        import s.implicits._
+        val ds = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+        ds.mapPartitions(_.flatMap { case (id, txt) =>
+          val n = txt.getBytes("UTF-8").length
+          val nf = 1 + n % 4
+          val media = graft.functions.Multimodal.gifBytes(
+            width = (32 + id % 64).toInt, height = 24 + n % 48,
+            gctBits = (1 + id % 3).toInt,
+            frames = (0 until nf).map(i =>
+              ((5 + (id + i) % 10).toInt, 20 + (n + i) % 50)))
+          // the walk reads ONLY the GIF bytes, not the fixture vars
+          graft.functions.Multimodal.decodeGif(media).map {
+            case (w, h, gct, fr, delay, data) =>
+              (id, media.length, w, h, gct, fr, delay, data)
+          }
+        }).toDF("doc_id", "file_bytes", "width", "height", "gct_entries",
+            "n_frames", "total_delay_cs", "data_bytes")
+          .orderBy("doc_id")
+      },
+      Some("""WITH p AS (SELECT doc_id, strlen(text) AS n,
+             |    1 + strlen(text) % 4 AS f, 1 + doc_id % 3 AS g,
+             |    32 + doc_id % 64 AS w, 24 + strlen(text) % 48 AS h
+             |  FROM documents),
+             |fr AS (SELECT p.doc_id,
+             |    CAST(SUM(5 + (p.doc_id + i) % 10) AS BIGINT) AS delay,
+             |    CAST(SUM(20 + (p.n + i) % 50) AS BIGINT) AS data,
+             |    CAST(count(*) AS INTEGER) AS nf
+             |  FROM p, UNNEST(generate_series(0, p.f - 1)) t(i)
+             |  GROUP BY p.doc_id)
+             |SELECT p.doc_id,
+             |  CAST(14 + 3 * (1 << g) + 21 * fr.nf + fr.data AS INTEGER) AS file_bytes,
+             |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+             |  CAST((1 << g) AS INTEGER) AS gct_entries,
+             |  CAST(fr.nf AS INTEGER) AS n_frames,
+             |  fr.delay AS total_delay_cs,
+             |  fr.data AS data_bytes
+             |FROM p JOIN fr ON p.doc_id = fr.doc_id
+             |ORDER BY p.doc_id""".stripMargin)),
+
     // q279 — FLAC STREAMINFO walk: the one genuinely BIT-granular
     // header in the audio set — sample rate (20 bits), channels-1 (3),
     // bits-per-sample-1 (5) and total samples (36) packed into one

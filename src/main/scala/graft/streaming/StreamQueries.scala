@@ -599,6 +599,77 @@ object StreamQueries {
              |  tsu AS last_ts_us, CAST(n_ops AS BIGINT) AS n_ops
              |FROM r WHERE rn = 1 AND op <> 'D' ORDER BY user_id""".stripMargin)),
 
+    // q296 — STREAMING JDBC sink with EXACTLY-ONCE delivery, proven by
+    // a full REPLAY: micro-batches land in embedded Derby through a
+    // delete-then-append keyed on batch_id (each batch first clears
+    // any partial/previous copy of ITSELF, then appends its rows
+    // tagged with its id — idempotent under any redelivery, including
+    // a crash between rows and commit). The stream then runs a SECOND
+    // time against the same database with a fresh checkpoint — a total
+    // redelivery of every batch, the worst-case restart — and the
+    // hash-compared read-back must still equal single delivery. This
+    // is the production recipe for exactly-once into a transactional
+    // store that can't join Spark's checkpoint: make the WRITE
+    // idempotent instead of the channel. Batched parameter-bound
+    // appends (Sinks.jdbc), decimal-stable sums on the read-back.
+    QuerySpec("q296_stream_jdbc_exactly_once",
+      (s0, dir) => {
+        val s = stateSession(s0)
+        import org.apache.spark.sql.SaveMode
+        val fp = eventsFingerprint(dir)
+        relaidEvents.keys.filter(k => k._1 == dir && k._2 != fp)
+          .foreach(k => relaidEvents.remove(k).foreach(deleteRecursively))
+        val tmp = relaidEvents.getOrElseUpdate((dir, fp), {
+          val t = Files.createTempDirectory("graft_upd_").toString
+          Tables.load(s, dir, "events")
+            .repartitionByRange(4, col("event_id"))
+            .write.mode(SaveMode.Overwrite).parquet(t)
+          t
+        })
+        val schema = s.read.parquet(tmp).schema
+        def purchases = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(tmp)
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("value"))
+        val dbRoot = Files.createTempDirectory("graft_jdbc_").toString
+        sinkDirs.add(dbRoot)
+        val url = s"jdbc:derby:$dbRoot/db;create=true"
+        def applyBatch(batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            batchId: Long): Unit = {
+          try { // self-clean first: absent table on batch 0 is expected
+            val conn = java.sql.DriverManager.getConnection(url)
+            try conn.createStatement()
+              .executeUpdate(s"""DELETE FROM SINK WHERE "batch_id" = $batchId""")
+            finally conn.close()
+          } catch { case _: java.sql.SQLException => () }
+          graft.core.Sinks.jdbc(batch.withColumn("batch_id", lit(batchId)),
+            url, "SINK", "app", "app")
+        }
+        def runOnce(): Unit = {
+          val ck = Files.createTempDirectory("graft_jdbc_ck_").toString
+          sinkDirs.add(ck)
+          val q = purchases.writeStream.foreachBatch(applyBatch _)
+            .option("checkpointLocation", ck)
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        runOnce()
+        runOnce() // fresh checkpoint = total redelivery; sink must absorb
+        s.read.format("jdbc").option("url", url).option("dbtable", "SINK")
+          .option("user", "app").option("password", "app").load()
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_purchases"),
+            round(Stable.dsum(col("value"), 9), 4).as("total_value"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, count(*) AS n_purchases,
+             |  round(CAST(SUM(CAST(value AS DECIMAL(18,9))) AS DOUBLE), 4)
+             |    AS total_value
+             |FROM events
+             |WHERE event_type = 'purchase'
+             |GROUP BY user_id
+             |ORDER BY user_id""".stripMargin)),
+
     // q141 — watermarked stream-stream LEFT OUTER interval join (q73 is
     // the inner form): clicks with no purchase inside the 30-min window
     // must still be emitted, null-padded — which only happens when the
