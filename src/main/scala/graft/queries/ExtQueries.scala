@@ -2018,6 +2018,113 @@ object ExtQueries {
              |  CAST(44 + strlen(text) AS INTEGER) AS length
              |FROM documents ORDER BY doc_id LIMIT 10""".stripMargin)),
 
+    // q300 — FLAGSHIP multimodal curation, end to end through real
+    // storage (the multimodal analog of q96's text pipeline): raw
+    // corpus packed into blob shards (V2 write #1) → media DECODED
+    // from the scanned bytes (real WAV walks, not metadata columns) →
+    // audio-duration + text-length quality gates → coarse-profile
+    // keep-first dedup (one key-grain aggregate) → survivors RE-PACKED
+    // into a curated 2-shard generation (V2 write #2, planner-inserted
+    // layout exchange) → final stats computed by RE-SCANNING and
+    // RE-DECODING the curated generation's actual bytes. Every count
+    // in the output passed through two physical write/read boundaries
+    // and two byte-level decodes — if any stage dropped, duplicated or
+    // corrupted a record, the hash fails. This is the daily shape of a
+    // 100 TB multimodal curation pass.
+    QuerySpec("q300_multimodal_curation",
+      (s, dir) => {
+        import s.implicits._
+        val raw = shardDir(dir)
+        graft.sources.BlobShards.pack(wavMedia(s, dir), raw)
+        val fmt = classOf[graft.sources.BlobShardDataSource].getName
+        val decoded = s.read.format(fmt).option("path", raw).load()
+          .select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+          .mapPartitions(_.flatMap { case (id, m) =>
+            graft.functions.Multimodal.decodeWav(m).map {
+              case (rate, ch, _, ns) => (id, m, ns, ns * 1000L / rate)
+            }
+          }).toDF("doc_id", "media", "samples", "dur_ms")
+        val docs = Tables.load(s, dir, "documents")
+          .select("doc_id", "lang", "n_chars")
+        val gated = decoded.join(docs, "doc_id")
+          .filter(col("n_chars") >= 100 && col("dur_ms") >= 10)
+          .persistTracked()
+        val kept = gated
+          .groupBy(col("lang"), expr("n_chars DIV 10").as("band"))
+          .agg(min(col("doc_id")).as("doc_id"))
+          .select("doc_id")
+        val out = raw + "_curated"
+        graft.sources.BlobShards.pack(
+          gated.join(kept, "doc_id")
+            .select(col("doc_id"),
+              (graft.functions.Text.hash32(
+                concat(lit("cur"), col("doc_id").cast("string"))) % 2)
+                .cast("int").as("shard"),
+              col("media")),
+          out)
+        val rescan = s.read.format(fmt).option("path", out).load()
+          .select(col("shard"), col("doc_id"), col("media"))
+          .as[(Int, Long, Array[Byte])]
+          .mapPartitions(_.flatMap { case (sh, id, m) =>
+            graft.functions.Multimodal.decodeWav(m).map {
+              case (_, _, _, ns) => (sh, id, ns, m.length)
+            }
+          }).toDF("shard", "doc_id", "samples", "media_bytes")
+        rescan.join(docs, "doc_id")
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("lang")).as("n_langs"),
+            sum(col("samples")).as("total_samples"),
+            sum(col("media_bytes")).as("media_bytes"))
+          .orderBy("shard")
+      },
+      Some("""WITH m AS (SELECT doc_id, lang, strlen(text) AS sl,
+             |    CAST(1 + doc_id % 2 AS INTEGER) AS ch,
+             |    CASE WHEN doc_id % 3 = 0 THEN 16000 ELSE 8000 END AS rate
+             |  FROM documents),
+             |meta AS (SELECT *, sl // (ch*2) AS samples,
+             |    (sl // (ch*2)) * 1000 // rate AS dur_ms FROM m),
+             |gated AS (SELECT * FROM meta WHERE sl >= 100 AND dur_ms >= 10),
+             |dedup AS (SELECT * FROM (SELECT *,
+             |    row_number() OVER (PARTITION BY lang, sl // 10 ORDER BY doc_id) AS rn
+             |  FROM gated) WHERE rn = 1),
+             |cur AS (SELECT *,
+             |    CAST(CAST('0x'||substr(md5('cur'||CAST(doc_id AS VARCHAR)),1,8) AS BIGINT) % 2 AS INTEGER) AS shard
+             |  FROM dedup)
+             |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+             |  CAST(SUM(samples) AS BIGINT) AS total_samples,
+             |  CAST(SUM(44 + sl) AS BIGINT) AS media_bytes
+             |FROM cur GROUP BY shard ORDER BY shard""".stripMargin)),
+
+    // q299 — MIN/MAX doc-id pushdown from the v2 manifest: the writer
+    // records each shard's doc_id BOUNDS for free (rows arrive
+    // (shard, doc_id)-sorted under the layout contract), so per-shard
+    // and global min/max(doc_id) — the partition-inventory query every
+    // incremental reader runs to plan its next slice — are answered
+    // with ZERO shard-file opens, alongside count. A legacy 3-field
+    // sidecar declines only the bounds (count/sum still push);
+    // BlobSourceSpec pins both behaviors and the zero-IO claim.
+    QuerySpec("q299_blob_minmax_pushdown",
+      (s, dir) => {
+        val out = shardDir(dir)
+        graft.sources.BlobShards.pack(wavMedia(s, dir), out)
+        s.read.format(classOf[graft.sources.BlobShardDataSource].getName)
+          .option("path", out).load()
+          .groupBy("shard")
+          .agg(expr("count(*)").as("n_records"),
+            min(col("doc_id")).as("first_doc"),
+            max(col("doc_id")).as("last_doc"))
+          .orderBy("shard")
+      },
+      Some("""WITH b AS (SELECT doc_id,
+             |    CAST(CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8) AS BIGINT) % 4 AS INTEGER) AS shard
+             |  FROM documents)
+             |SELECT shard, CAST(count(*) AS BIGINT) AS n_records,
+             |  CAST(min(doc_id) AS BIGINT) AS first_doc,
+             |  CAST(max(doc_id) AS BIGINT) AS last_doc
+             |FROM b GROUP BY shard ORDER BY shard""".stripMargin)),
+
     // q278 — RUNTIME shard pruning in a federated join: the V2 scan
     // declares `shard` runtime-filterable (SupportsRuntimeFiltering);
     // joining it to a BROADCAST dim with a selective predicate makes

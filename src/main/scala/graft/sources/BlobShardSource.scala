@@ -169,13 +169,19 @@ class BlobShardScanBuilder(path: String,
       case _      => return None
     }
     val cols = BlobShardDataSource.fullSchema.fieldNames.toSet
-    // 'c' = records, 's' = record bytes minus framing (Σ length)
+    // 'c' = records, 's' = Σ length (bytes − 12·records), 'd'/'D' =
+    // min/max doc_id (v2 manifest bounds), 'h'/'H' = min/max shard
+    import org.apache.spark.sql.connector.expressions.aggregate.{Max, Min}
     val funcs: Seq[Char] = agg.aggregateExpressions().toSeq.map {
       case _: CountStar => 'c'
       case c: Count if !c.isDistinct &&
         fieldOf(c.column).exists(cols.contains) => 'c' // all columns non-null
       case s: Sum if !s.isDistinct &&
         fieldOf(s.column).contains("length") => 's'
+      case m: Min if fieldOf(m.column).contains("doc_id") => 'd'
+      case m: Max if fieldOf(m.column).contains("doc_id") => 'D'
+      case m: Min if fieldOf(m.column).contains("shard") => 'h'
+      case m: Max if fieldOf(m.column).contains("shard") => 'H'
       case _ => return None
     }
     if (funcs.isEmpty) return None
@@ -188,34 +194,58 @@ class BlobShardScanBuilder(path: String,
       .filter { case (s, _) => shardFilter.forall(_.contains(s)) }
       .toMap
     val entries = manifest.filter { case (s, _) => shardFilter.forall(_.contains(s)) }
+    if (entries.isEmpty) return None // nothing visible — let the scan run
     // set equality + length match = the manifest speaks for the files
     if (files.keySet != entries.keySet) return None
-    if (!entries.forall { case (s, (_, b)) => files(s).length() == b }) return None
-    def row(shard: Option[Int], recs: Long, sumLen: Long): Array[Any] = {
+    if (!entries.forall { case (s, e) => files(s).length() == e.bytes })
+      return None
+    // doc-bound aggregates need the v2 fields on EVERY visible entry —
+    // a legacy 3-field sidecar declines min/max but keeps count/sum
+    val needBounds = funcs.exists(f => f == 'd' || f == 'D')
+    if (needBounds && !entries.values.forall(e =>
+        e.minDoc.isDefined && e.maxDoc.isDefined)) return None
+    def row(shard: Option[Int], recs: Long, sumLen: Long,
+        lo: Long, hi: Long, sLo: Int, sHi: Int): Array[Any] = {
       val aggVals: Seq[Any] = funcs.map {
         case 'c' => recs
         case 's' => sumLen
+        case 'd' => lo
+        case 'D' => hi
+        case 'h' => sLo
+        case 'H' => sHi
       }
       (shard.map(s => Seq(s: Any)).getOrElse(Seq.empty) ++ aggVals).toArray
     }
     val rows: Array[Array[Any]] =
       if (byShard)
-        entries.toSeq.sortBy(_._1).map { case (s, (n, b)) =>
-          row(Some(s), n, b - 12L * n)
+        entries.toSeq.sortBy(_._1).map { case (s, e) =>
+          row(Some(s), e.records, e.bytes - 12L * e.records,
+            e.minDoc.getOrElse(0L), e.maxDoc.getOrElse(0L), s, s)
         }.toArray
       else {
-        val n = entries.values.map(_._1).sum
-        val b = entries.values.map(_._2).sum
-        Array(row(None, n, b - 12L * n))
+        val n = entries.values.map(_.records).sum
+        val b = entries.values.map(_.bytes).sum
+        Array(row(None, n, b - 12L * n,
+          entries.values.flatMap(_.minDoc)
+            .foldLeft(Long.MaxValue)(math.min),
+          entries.values.flatMap(_.maxDoc)
+            .foldLeft(Long.MinValue)(math.max),
+          entries.keys.min, entries.keys.max))
       }
     var schema = new StructType()
     if (byShard) schema = schema.add("shard", IntegerType, nullable = false)
     funcs.zipWithIndex.foreach { case (f, i) =>
-      schema = schema.add(s"agg_$i", LongType, nullable = false)
-      locally(f) // count and sum(length) are both LongType
+      val t = f match {
+        case 'h' | 'H' => IntegerType // shard bounds keep the column type
+        case _         => LongType   // count/sum(int)/doc_id bounds
+      }
+      schema = schema.add(s"agg_$i", t, nullable = false)
     }
+    val names = Map('c' -> "count", 's' -> "sum(length)",
+      'd' -> "min(doc_id)", 'D' -> "max(doc_id)",
+      'h' -> "min(shard)", 'H' -> "max(shard)")
     val desc = (if (byShard) "groupBy=shard " else "global ") +
-      funcs.map { case 'c' => "count"; case 's' => "sum(length)" }.mkString(",")
+      funcs.map(names).mkString(",")
     Some((schema, rows, desc))
   }
 
@@ -366,9 +396,9 @@ class BlobShardScan(path: String, required: StructType,
     files.foreach { f =>
       val shard = f.getName.stripPrefix("shard-").stripSuffix(".bin").toInt
       manifest.get(shard) match {
-        case Some((cnt, fileBytes)) if fileBytes == f.length() =>
-          rows += cnt
-          bytes += (if (needMedia) fileBytes else cnt * 24L)
+        case Some(e) if e.bytes == f.length() =>
+          rows += e.records
+          bytes += (if (needMedia) e.bytes else e.records * 24L)
         case _ => exact = false; bytes += f.length()
       }
     }
@@ -502,7 +532,8 @@ class BlobShardWrite(path: String, schema: StructType)
 
 /** Per-task commit message: the staged tmp files this task wrote, with
   * record/byte counts for the `_manifest` sidecar. */
-case class BlobShardCommitMsg(entries: Seq[(Int, String, Long, Long)])
+case class BlobShardCommitMsg(
+    entries: Seq[(Int, String, BlobShardManifest.Entry)])
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
 /** `_manifest` sidecar: one line per shard `shard<TAB>records<TAB>fileBytes`,
@@ -512,22 +543,40 @@ case class BlobShardCommitMsg(entries: Seq[(Int, String, Long, Long)])
   * instead of corrupting them. */
 object BlobShardManifest {
   val Name = "_manifest"
-  def read(path: String): Map[Int, (Long, Long)] = {
+
+  /** One shard's sidecar record. `minDoc`/`maxDoc` are the v2 fields
+    * (the writer knows them for free — rows arrive (shard, doc_id)-
+    * sorted under the layout contract); a v1 3-field line parses with
+    * the bounds absent, so older sidecars keep answering count/sum
+    * pushdowns and only decline min/max. */
+  case class Entry(records: Long, bytes: Long,
+      minDoc: Option[Long], maxDoc: Option[Long])
+
+  def read(path: String): Map[Int, Entry] = {
     val f = new java.io.File(path, Name)
     if (!f.exists()) Map.empty
     else scala.io.Source.fromFile(f, "UTF-8").getLines().flatMap { ln =>
-      ln.split('\t') match {
+      try ln.split('\t') match {
         case Array(s, n, b) =>
-          try Some(s.toInt -> (n.toLong, b.toLong))
-          catch { case _: NumberFormatException => None }
+          Some(s.toInt -> Entry(n.toLong, b.toLong, None, None))
+        case Array(s, n, b, lo, hi) =>
+          Some(s.toInt -> Entry(n.toLong, b.toLong,
+            Some(lo.toLong), Some(hi.toLong)))
         case _ => None
-      }
+      } catch { case _: NumberFormatException => None }
     }.toMap
   }
-  def write(path: String, entries: Seq[(Int, Long, Long)]): Unit = {
+
+  def write(path: String, entries: Seq[(Int, Entry)]): Unit = {
     val tmp = new java.io.File(path, Name + ".tmp")
     val w = new java.io.PrintWriter(tmp, "UTF-8")
-    try entries.sortBy(_._1).foreach { case (s, n, b) => w.println(s"$s\t$n\t$b") }
+    try entries.sortBy(_._1).foreach { case (s, e) =>
+      (e.minDoc, e.maxDoc) match {
+        case (Some(lo), Some(hi)) =>
+          w.println(s"$s\t${e.records}\t${e.bytes}\t$lo\t$hi")
+        case _ => w.println(s"$s\t${e.records}\t${e.bytes}")
+      }
+    }
     finally w.close()
     java.nio.file.Files.move(tmp.toPath,
       new java.io.File(path, Name).toPath,
@@ -559,7 +608,7 @@ class BlobShardBatchWrite(path: String, schema: StructType)
     // stale-file clear happens only now, with every task staged durably
     Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(_.getName.matches("shard-\\d+\\.bin")).foreach(_.delete())
-    entries.foreach { case (shard, tmpName, _, _) =>
+    entries.foreach { case (shard, tmpName, _) =>
       java.nio.file.Files.move(new java.io.File(dir, tmpName).toPath,
         new java.io.File(dir, s"shard-$shard.bin").toPath,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
@@ -568,7 +617,7 @@ class BlobShardBatchWrite(path: String, schema: StructType)
     Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(_.getName.matches("shard-\\d+\\.bin\\.tmp-\\d+")).foreach(_.delete())
     BlobShardManifest.write(path,
-      entries.map { case (s, _, n, b) => (s, n, b) })
+      entries.map { case (s, _, e) => (s, e) })
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new java.io.File(path)
@@ -593,11 +642,17 @@ class BlobShardDataWriter(path: String, schema: StructType, taskId: Long)
   private var cur = Int.MinValue
   private var recs = 0L
   private var bytes = 0L
-  private val staged = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long, Long)]
+  private var loDoc = Long.MaxValue
+  private var hiDoc = Long.MinValue
+  private val staged = scala.collection.mutable.ArrayBuffer
+    .empty[(Int, String, BlobShardManifest.Entry)]
 
   private def closeCurrent(): Unit = if (out != null) {
     out.close(); out = null
-    staged += ((cur, s"shard-$cur.bin.tmp-$taskId", recs, bytes))
+    staged += ((cur, s"shard-$cur.bin.tmp-$taskId",
+      BlobShardManifest.Entry(recs, bytes,
+        if (recs > 0) Some(loDoc) else None,
+        if (recs > 0) Some(hiDoc) else None)))
   }
 
   override def write(row: InternalRow): Unit = {
@@ -607,12 +662,16 @@ class BlobShardDataWriter(path: String, schema: StructType, taskId: Long)
       out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
         new java.io.FileOutputStream(s"$path/shard-$shard.bin.tmp-$taskId"), 1 << 16))
       cur = shard; recs = 0L; bytes = 0L
+      loDoc = Long.MaxValue; hiDoc = Long.MinValue
     }
     val media = row.getBinary(mediaIdx)
-    out.writeLong(java.lang.Long.reverseBytes(row.getLong(docIdx)))
+    val doc = row.getLong(docIdx)
+    out.writeLong(java.lang.Long.reverseBytes(doc))
     out.writeInt(Integer.reverseBytes(media.length))
     out.write(media)
     recs += 1; bytes += 12L + media.length
+    if (doc < loDoc) loDoc = doc
+    if (doc > hiDoc) hiDoc = doc
   }
   override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
     closeCurrent()
@@ -620,7 +679,7 @@ class BlobShardDataWriter(path: String, schema: StructType, taskId: Long)
   }
   override def abort(): Unit = {
     closeCurrent()
-    staged.foreach { case (_, tmp, _, _) =>
+    staged.foreach { case (_, tmp, _) =>
       new java.io.File(path, tmp).delete()
     }
   }

@@ -76,6 +76,47 @@ class BlobSourceSpec extends AnyFunSuite {
       "fallback must actually scan the files")
   }
 
+  test("min/max(doc_id) push down from the v2 manifest bounds with zero " +
+      "opens; a legacy 3-field sidecar declines bounds but keeps count") {
+    val out = java.nio.file.Files.createTempDirectory("blobspec_mm_").toString
+    val df = (0L until 40L).map { id =>
+      (id * 7, (id % 4).toInt, Array.fill(2)(id.toByte)) // non-dense ids
+    }.toDF("doc_id", "shard", "media")
+    BlobShards.pack(df, out)
+    def t = spark.read.format(classOf[BlobShardDataSource].getName)
+      .option("path", out).load()
+    graft.sources.BlobShardIO.opened.set(0)
+    val rows = t.groupBy("shard")
+      .agg(expr("count(*)").as("n"), min("doc_id").as("lo"),
+        max("doc_id").as("hi"))
+      .orderBy("shard").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val want = (0L until 40L).map(i => (i * 7, (i % 4).toInt))
+      .groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    rows.foreach { case (sh, n, lo, hi) =>
+      assert(n == want(sh).size && lo == want(sh).min && hi == want(sh).max,
+        s"wrong pushed bounds for shard $sh: ($n, $lo, $hi)")
+    }
+    assert(graft.sources.BlobShardIO.opened.get() == 0,
+      "manifest-backed min/max must not open shard files")
+    // rewrite the sidecar in the legacy 3-field form: bounds decline
+    // (real scan), count-only still pushes with zero opens
+    val legacy = graft.sources.BlobShardManifest.read(out).toSeq
+      .map { case (s, e) =>
+        (s, graft.sources.BlobShardManifest.Entry(e.records, e.bytes,
+          None, None))
+      }
+    graft.sources.BlobShardManifest.write(out, legacy)
+    graft.sources.BlobShardIO.opened.set(0)
+    assert(t.agg(min("doc_id")).head().getLong(0) == 0L)
+    assert(graft.sources.BlobShardIO.opened.get() == 4,
+      "legacy sidecar must fall back to a real scan for bounds")
+    graft.sources.BlobShardIO.opened.set(0)
+    assert(t.count() == 40L)
+    assert(graft.sources.BlobShardIO.opened.get() == 0,
+      "legacy sidecar must still answer count manifest-only")
+  }
+
   test("runtime shard filtering: a broadcast dim's surviving keys prune " +
       "the blob files at execution time") {
     val out = java.nio.file.Files.createTempDirectory("blobspec_rf_").toString
