@@ -744,6 +744,109 @@ object AnalyticsQueries {
              |    CAST(0 AS BIGINT)
              |) ORDER BY tbl""".stripMargin)),
 
+    // q301 — TRENDING top-k CHURN: each day's top-3 entities by volume
+    // plus how many are NEW versus yesterday's list — the
+    // trending/leaderboard-stability panel (a churning top list means
+    // volatile demand; a frozen one means concentration). Day-grain
+    // collapse first, rank within day, then a self-join shifted one
+    // day (the previous list is top-k-sized — tiny). The member list
+    // rides in the VALUE as an rk-ordered array (the q184
+    // order-sensitive-aggregation rule: sort_array over (rk, id)
+    // structs, never order-dependent collect_list).
+    QuerySpec("q301_topk_churn",
+      (s, dir) => {
+        val daily = Tables.load(s, dir, "events")
+          .groupBy(col("ts").cast("date").as("day"), col("user_id"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("day").orderBy(desc("n"), col("user_id"))
+        val top = daily.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select("day", "user_id", "rk")
+          .persistTracked()
+        val prev = top.select(expr("day + INTERVAL 1 DAY").cast("date")
+          .as("day"), col("user_id").as("held_user"))
+        top.join(prev, top("day") === prev("day") &&
+            col("user_id") === col("held_user"), "left")
+          .select(top("day"), col("user_id"), col("rk"),
+            col("held_user").isNotNull.as("held"))
+          .groupBy("day")
+          .agg(sum(when(col("held"), 0L).otherwise(1L)).as("new_entries"),
+            count(lit(1)).as("k"),
+            array_join(expr(
+              "transform(array_sort(collect_list(struct(rk, user_id))), x -> CAST(x.user_id AS STRING))"),
+              ",").as("top_users"))
+          .orderBy("day")
+      },
+      Some("""WITH d AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             |    user_id, count(*) AS n
+             |  FROM events GROUP BY 1, 2),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY day ORDER BY n DESC, user_id) AS rk
+             |  FROM d),
+             |top AS (SELECT day, user_id, rk FROM r WHERE rk <= 3),
+             |j AS (SELECT t.day, t.user_id, t.rk,
+             |    p.user_id IS NOT NULL AS held
+             |  FROM top t LEFT JOIN top p
+             |    ON p.day = t.day - INTERVAL 1 DAY AND p.user_id = t.user_id)
+             |SELECT day,
+             |  CAST(SUM(CASE WHEN held THEN 0 ELSE 1 END) AS BIGINT) AS new_entries,
+             |  CAST(count(*) AS BIGINT) AS k,
+             |  string_agg(CAST(user_id AS VARCHAR), ',' ORDER BY rk) AS top_users
+             |FROM j GROUP BY day ORDER BY day""".stripMargin)),
+
+    // q302 — JOIN FAN-OUT audit: for each join relationship, the row
+    // counts on both sides, the joined row count, and the MAX per-key
+    // multiplicity of the lookup side — the debugging table that
+    // catches an accidental many-to-many before it explodes a 100 TB
+    // join (join_rows >> left_rows or multiplicity > 1 on a "dimension"
+    // is the alarm). Two clean FK edges and one deliberately
+    // fan-out edge (orders keyed by customer) show both readings.
+    // Each edge collapses to ONE row before the union (q198 pattern).
+    QuerySpec("q302_join_fanout_audit",
+      (s, dir) => {
+        def edge(name: String, left: org.apache.spark.sql.DataFrame,
+            lKey: String, right: org.apache.spark.sql.DataFrame,
+            rKey: String) = {
+          val joined = left.select(col(lKey))
+            .join(right.select(col(rKey)), col(lKey) === col(rKey))
+          val mult = right.groupBy(col(rKey)).agg(count(lit(1)).as("m"))
+            .agg(max(col("m")).as("max_key_mult"))
+          left.agg(count(lit(1)).as("left_rows"))
+            .crossJoin(right.agg(count(lit(1)).as("right_rows")))
+            .crossJoin(joined.agg(count(lit(1)).as("join_rows")))
+            .crossJoin(mult)
+            .select(lit(name).as("edge"), col("left_rows"),
+              col("right_rows"), col("join_rows"), col("max_key_mult"))
+        }
+        val ev = Tables.load(s, dir, "events")
+        val ord = Tables.load(s, dir, "orders")
+        edge("lineitem->orders", Tables.load(s, dir, "lineitem"),
+            "l_orderkey", ord, "o_orderkey")
+          .unionByName(edge("orders->customer", ord, "o_custkey",
+            Tables.load(s, dir, "customer"), "c_custkey"))
+          .unionByName(edge("events->orders_by_user", ev, "user_id",
+            ord, "o_custkey"))
+          .orderBy("edge")
+      },
+      Some("""SELECT * FROM (
+             |  SELECT 'lineitem->orders' AS edge,
+             |    CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS left_rows,
+             |    CAST((SELECT count(*) FROM orders) AS BIGINT) AS right_rows,
+             |    CAST((SELECT count(*) FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey) AS BIGINT) AS join_rows,
+             |    CAST((SELECT max(m) FROM (SELECT count(*) AS m FROM orders GROUP BY o_orderkey)) AS BIGINT) AS max_key_mult
+             |  UNION ALL
+             |  SELECT 'orders->customer',
+             |    CAST((SELECT count(*) FROM orders) AS BIGINT),
+             |    CAST((SELECT count(*) FROM customer) AS BIGINT),
+             |    CAST((SELECT count(*) FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey) AS BIGINT),
+             |    CAST((SELECT max(m) FROM (SELECT count(*) AS m FROM customer GROUP BY c_custkey)) AS BIGINT)
+             |  UNION ALL
+             |  SELECT 'events->orders_by_user',
+             |    CAST((SELECT count(*) FROM events) AS BIGINT),
+             |    CAST((SELECT count(*) FROM orders) AS BIGINT),
+             |    CAST((SELECT count(*) FROM events e JOIN orders o ON e.user_id = o.o_custkey) AS BIGINT),
+             |    CAST((SELECT max(m) FROM (SELECT count(*) AS m FROM orders GROUP BY o_custkey)) AS BIGINT)
+             |) ORDER BY edge""".stripMargin)),
+
     // q106 — incremental re-aggregation: merge DAILY partial aggregates
     // into monthly rollups without touching the fact table again — the
     // materialized-view maintenance pattern (at 100 TB the daily partial
