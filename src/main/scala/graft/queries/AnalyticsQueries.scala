@@ -847,6 +847,94 @@ object AnalyticsQueries {
              |    CAST((SELECT max(m) FROM (SELECT count(*) AS m FROM orders GROUP BY o_custkey)) AS BIGINT)
              |) ORDER BY edge""".stripMargin)),
 
+    // q303 — SHARE-SHIFT analysis: each segment's revenue share in two
+    // periods and the delta — the mix-shift panel behind every "why
+    // did the average move" question (Simpson's-paradox guard: totals
+    // can rise while every segment's share falls). Fact rows collapse
+    // to (segment, period) grain in one pass; period totals are a
+    // bounded frame broadcast back; shares are exact-decimal ratios
+    // rounded at 4 dp with the same op order in both engines.
+    QuerySpec("q303_share_shift",
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+          .join(broadcast(Tables.load(s, dir, "customer")
+            .select(col("c_custkey"), col("c_mktsegment").as("seg"))),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("seg"),
+            when(col("o_orderdate").cast("date") < lit("1998-01-01").cast("date"),
+              "p1").otherwise("p2").as("period"),
+            col("o_totalprice").cast("decimal(18,2)").as("v"))
+        val g = o.groupBy("seg", "period").agg(sum(col("v")).as("rev"))
+          .persistTracked()
+        val t = g.groupBy("period").agg(sum(col("rev")).as("tot"))
+        val sh = g.join(broadcast(t), "period")
+          .select(col("seg"), col("period"),
+            round(lit(100.0) * col("rev") / col("tot"), 4).as("share"))
+        sh.groupBy("seg")
+          .agg(max(when(col("period") === "p1", col("share"))).as("share_p1"),
+            max(when(col("period") === "p2", col("share"))).as("share_p2"))
+          .select(col("seg"), col("share_p1"), col("share_p2"),
+            round(col("share_p2") - col("share_p1"), 4).as("shift"))
+          .orderBy("seg")
+      },
+      Some("""WITH o AS (SELECT c.c_mktsegment AS seg,
+             |    CASE WHEN CAST(o.o_orderdate AS DATE) < DATE '1998-01-01'
+             |      THEN 'p1' ELSE 'p2' END AS period,
+             |    CAST(o.o_totalprice AS DECIMAL(18,2)) AS v
+             |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+             |g AS (SELECT seg, period, SUM(v) AS rev FROM o GROUP BY 1, 2),
+             |t AS (SELECT period, SUM(rev) AS tot FROM g GROUP BY 1),
+             |sh AS (SELECT g.seg, g.period, round(100.0 * g.rev / t.tot, 4) AS share
+             |  FROM g JOIN t ON g.period = t.period)
+             |SELECT seg,
+             |  max(CASE WHEN period = 'p1' THEN share END) AS share_p1,
+             |  max(CASE WHEN period = 'p2' THEN share END) AS share_p2,
+             |  round(max(CASE WHEN period = 'p2' THEN share END)
+             |    - max(CASE WHEN period = 'p1' THEN share END), 4) AS shift
+             |FROM sh GROUP BY seg ORDER BY seg""".stripMargin)),
+
+    // q304 — PARETO / ABC classification: parts ranked by revenue,
+    // classes cut at 60% / 90% of CUMULATIVE share (A = the head that
+    // carries 60%, C = the long tail) — the inventory-prioritization
+    // twin of q289's equal-DEPTH bins (share-based cutoffs, not
+    // count-based). The running total comes from range-partitioned
+    // PrefixSum keyed on (−revenue, key) — descending order with NO
+    // single-reducer global window; decimals stay exact through the
+    // cumulative, and the class predicate divides once per row with
+    // the same op order in both engines.
+    QuerySpec("q304_pareto_abc",
+      (s, dir) => {
+        val rev = Tables.load(s, dir, "lineitem")
+          .groupBy(col("l_partkey").as("pk"))
+          .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("r"))
+        val tot = rev.agg(sum(col("r")).as("t"))
+        val cum = graft.ops.PrefixSum.cumsum(
+          rev.withColumn("negr", -col("r")), Seq("negr", "pk"), "r", "cum", 32)
+        val pct = lit(100.0) * col("cum") / col("t")
+        cum.crossJoin(broadcast(tot))
+          .select(col("pk"), col("r"),
+            when(pct <= 60, "A").when(pct <= 90, "B").otherwise("C")
+              .as("klass"))
+          .groupBy("klass")
+          .agg(count(lit(1)).as("n_parts"),
+            sum(col("r")).cast("decimal(28,2)").as("revenue"))
+          .orderBy("klass")
+      },
+      Some("""WITH rev AS (SELECT l_partkey AS pk,
+             |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS r
+             |  FROM lineitem GROUP BY 1),
+             |tot AS (SELECT SUM(r) AS t FROM rev),
+             |c AS (SELECT pk, r, SUM(r) OVER (ORDER BY r DESC, pk
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |  FROM rev),
+             |cls AS (SELECT pk, r,
+             |    CASE WHEN 100.0 * cum / t <= 60 THEN 'A'
+             |         WHEN 100.0 * cum / t <= 90 THEN 'B' ELSE 'C' END AS klass
+             |  FROM c CROSS JOIN tot)
+             |SELECT klass, CAST(count(*) AS BIGINT) AS n_parts,
+             |  CAST(SUM(r) AS DECIMAL(28,2)) AS revenue
+             |FROM cls GROUP BY klass ORDER BY klass""".stripMargin)),
+
     // q106 — incremental re-aggregation: merge DAILY partial aggregates
     // into monthly rollups without touching the fact table again — the
     // materialized-view maintenance pattern (at 100 TB the daily partial
