@@ -935,6 +935,80 @@ object AnalyticsQueries {
              |  CAST(SUM(r) AS DECIMAL(28,2)) AS revenue
              |FROM cls GROUP BY klass ORDER BY klass""".stripMargin)),
 
+    // q305 — POISSON BOOTSTRAP confidence interval: the distributed
+    // bootstrap (multinomial resampling needs a global draw; Poisson(1)
+    // weights are independent PER ROW, so resampling becomes one
+    // scan-local explode — the standard big-data trick). 100 replicate
+    // means of order value from deterministic hash-uniform draws pushed
+    // through the Poisson(1) inverse CDF as an INTEGER threshold ladder
+    // (thresholds computed ONCE here from exp(−1) and interpolated into
+    // both engines — the zSum2 rule); replicate means are exact-decimal
+    // numerators over integer weight sums with ONE double division,
+    // and the 95% CI is a literal rank selection (rn = 3 / 98 of 100).
+    // At 100 TB: B×N rows map-side, B-group aggregate — no global
+    // state, no RNG coordination.
+    QuerySpec("q305_bootstrap_ci",
+      (s, dir) => {
+        val cum = {
+          val e1 = math.exp(-1)
+          var c = 0.0; var fact = 1L
+          (0 to 6).map { k =>
+            if (k > 0) fact *= k
+            c += e1 / fact
+            math.round(c * 1000000)
+          }
+        }
+        val ladder = cum.zipWithIndex
+          .foldRight(lit(7): org.apache.spark.sql.Column) {
+            case ((t, k), rest) => when(col("u") < t, k).otherwise(rest)
+          }
+        val ord = Tables.load(s, dir, "orders")
+        val wt = ord
+          .select(col("o_orderkey"),
+            col("o_totalprice").cast("decimal(12,2)").as("x"),
+            explode(expr("sequence(1, 100)")).as("r"))
+          .withColumn("u", graft.functions.Text.hash32(
+            concat(col("o_orderkey").cast("string"), lit(":"),
+              col("r").cast("string"))) % 1000000)
+          .withColumn("wgt", ladder)
+        val reps = wt.groupBy("r")
+          .agg(round(sum(col("wgt") * col("x")).cast("double") /
+            sum(col("wgt")), 6).as("m"))
+        val rk = reps.withColumn("rn",
+          row_number().over(Window.orderBy(col("m"), col("r"))))
+        val pt = ord.agg(round(sum(col("o_totalprice").cast("decimal(12,2)"))
+          .cast("double") / count(lit(1)), 6).as("est"))
+        rk.crossJoin(broadcast(pt))
+          .groupBy("est")
+          .agg(max(when(col("rn") === 3, col("m"))).as("ci_lo"),
+            max(when(col("rn") === 98, col("m"))).as("ci_hi"))
+          .select(lit(100).as("n_replicates"), col("est"), col("ci_lo"),
+            col("ci_hi"))
+      },
+      Some {
+        val e1 = math.exp(-1)
+        var c = 0.0; var fact = 1L
+        val ts = (0 to 6).map { k =>
+          if (k > 0) fact *= k
+          c += e1 / fact
+          math.round(c * 1000000)
+        }
+        val ladder = ts.zipWithIndex
+          .map { case (t, k) => s"WHEN u < $t THEN $k" }.mkString(" ")
+        s"""WITH g AS (SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS x, r
+           |  FROM orders, UNNEST(generate_series(1, 100)) t(r)),
+           |w AS (SELECT *, CAST('0x'||substr(md5(CAST(o_orderkey AS VARCHAR)||':'||CAST(r AS VARCHAR)),1,8) AS BIGINT) % 1000000 AS u FROM g),
+           |wt AS (SELECT o_orderkey, x, r, CASE $ladder ELSE 7 END AS wgt FROM w),
+           |reps AS (SELECT r, round(CAST(SUM(wgt * x) AS DOUBLE) / SUM(wgt), 6) AS m
+           |  FROM wt GROUP BY r),
+           |rk AS (SELECT m, row_number() OVER (ORDER BY m, r) AS rn FROM reps),
+           |pt AS (SELECT round(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS est FROM orders)
+           |SELECT CAST(100 AS INTEGER) AS n_replicates, pt.est,
+           |  max(CASE WHEN rn = 3 THEN m END) AS ci_lo,
+           |  max(CASE WHEN rn = 98 THEN m END) AS ci_hi
+           |FROM rk CROSS JOIN pt GROUP BY pt.est""".stripMargin
+      }),
+
     // q106 — incremental re-aggregation: merge DAILY partial aggregates
     // into monthly rollups without touching the fact table again — the
     // materialized-view maintenance pattern (at 100 TB the daily partial

@@ -3783,6 +3783,38 @@ object TextQueries {
              |  CAST(5 + doc_id % 6 AS INTEGER) AS make_len
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // q306 — CROSS-SOURCE near-dup matrix: the q29 LSH candidate pairs
+    // attributed to their SOURCE pair — the contamination panel that
+    // tells a corpus owner which feeds are re-crawling each other
+    // (within-source duplication is normal churn; cross-source pairs
+    // mean shared upstream or scraping). Pair space is already
+    // LSH-bounded; two broadcast-sized source lookups and a pair-grain
+    // aggregate finish it. Source pair normalized (least, greatest) so
+    // each relationship counts once.
+    QuerySpec("q306_cross_source_dups",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val src = docs.select(col("doc_id"), col("source"))
+        minhashCandidates(docs)
+          .join(src.select(col("doc_id").as("doc_a"),
+            col("source").as("src_a")), "doc_a")
+          .join(src.select(col("doc_id").as("doc_b"),
+            col("source").as("src_b")), "doc_b")
+          .select(least(col("src_a"), col("src_b")).as("source_a"),
+            greatest(col("src_a"), col("src_b")).as("source_b"))
+          .groupBy("source_a", "source_b")
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy("source_a", "source_b")
+      },
+      Some(s"""$duckMinhashCtes,
+              |att AS (SELECT least(da.source, db.source) AS source_a,
+              |    greatest(da.source, db.source) AS source_b
+              |  FROM cand
+              |  JOIN documents da ON cand.doc_a = da.doc_id
+              |  JOIN documents db ON cand.doc_b = db.doc_id)
+              |SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
+              |FROM att GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin)),
+
     // q295 — GIF89a BLOCK walk: the animated-image container (the last
     // common image format after BMP/PNG/JPEG/TIFF): logical screen
     // descriptor with a packed global-color-table size, then the block
