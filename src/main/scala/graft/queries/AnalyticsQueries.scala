@@ -1009,6 +1009,83 @@ object AnalyticsQueries {
            |FROM rk CROSS JOIN pt GROUP BY pt.est""".stripMargin
       }),
 
+    // q307 — FILTER-THRESHOLD sensitivity sweep: before fixing a
+    // quality cutoff, a curator wants the survival curve — docs,
+    // retained characters and language coverage at EACH candidate
+    // threshold. One corpus scan fanned across the 6-row threshold
+    // frame (broadcast literal), conditional aggregates per threshold
+    // — never one pass per candidate. This is the panel that picks
+    // q96's gate value instead of guessing it.
+    QuerySpec("q307_threshold_sweep",
+      (s, dir) => {
+        import s.implicits._
+        val thr = Seq(100, 150, 200, 250, 300, 400).toDF("thr")
+        Tables.load(s, dir, "documents")
+          .select(col("n_chars"), col("lang"))
+          .crossJoin(broadcast(thr))
+          .groupBy("thr")
+          .agg(sum(when(col("n_chars") >= col("thr"), 1L).otherwise(0L))
+            .as("n_docs"),
+            sum(when(col("n_chars") >= col("thr"), col("n_chars")))
+              .as("n_chars_kept"),
+            countDistinct(when(col("n_chars") >= col("thr"), col("lang")))
+              .as("n_langs"))
+          .orderBy("thr")
+      },
+      Some("""WITH t AS (SELECT unnest([100, 150, 200, 250, 300, 400]) AS thr)
+             |SELECT thr,
+             |  CAST(count(*) FILTER (WHERE n_chars >= thr) AS BIGINT) AS n_docs,
+             |  CAST(SUM(n_chars) FILTER (WHERE n_chars >= thr) AS BIGINT) AS n_chars_kept,
+             |  CAST(count(DISTINCT CASE WHEN n_chars >= thr THEN lang END) AS BIGINT) AS n_langs
+             |FROM documents CROSS JOIN t GROUP BY thr ORDER BY thr""".stripMargin)),
+
+    // q308 — LABEL-COHESION audit of the embedding space: per label,
+    // how tightly members cluster around their own centroid — the QA
+    // panel that catches mislabeled or degenerate embedding batches
+    // before training (a label whose members barely beat random
+    // similarity is noise). Centroids are exact per-dimension decimal
+    // means (the q56 determinism pattern — label-grain, honestly
+    // broadcastable at any corpus size); member cosines round at 6 dp
+    // and aggregate as decimal sums with ONE final division, so the
+    // mean is merge-order-independent. Worst member (min cosine)
+    // included — cohesion means nothing without its tail.
+    QuerySpec("q308_label_cohesion",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val cents = emb
+          .select(col("label"), posexplode(col("embedding")))
+          .groupBy("label", "pos")
+          .agg((sum(col("col").cast("double").cast("decimal(18,9)"))
+            .cast("double") / count(lit(1))).as("cv1"))
+          .groupBy("label")
+          .agg(expr("transform(array_sort(collect_list(struct(pos, cv1))), x -> x.cv1)")
+            .as("cent"))
+        emb.join(broadcast(cents), "label")
+          .select(col("label"),
+            round(call_function("graft_cosine", col("embedding"),
+              col("cent")), 6).cast("decimal(9,6)").as("cos"))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("cos")).cast("double") / count(lit(1)), 6)
+              .as("mean_cohesion"),
+            min(col("cos")).cast("double").as("worst_member"))
+          .orderBy("label")
+      },
+      Some("""WITH u AS (SELECT label, i,
+             |    CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS cv1
+             |  FROM embeddings, generate_series(1, 64) t(i) GROUP BY label, i),
+             |cents AS (SELECT label, list(cv1 ORDER BY i) AS cent FROM u GROUP BY label),
+             |m AS (SELECT e.label,
+             |    CAST(round(
+             |      list_sum(list_transform(generate_series(1, 64), i -> CAST(e.embedding[i] AS DOUBLE) * cent[i]))
+             |      / (sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+             |         * sqrt(list_sum(list_transform(generate_series(1, 64), i -> cent[i] * cent[i])))), 6) AS DECIMAL(9,6)) AS cos
+             |  FROM embeddings e JOIN cents c ON e.label = c.label)
+             |SELECT label, CAST(count(*) AS BIGINT) AS n,
+             |  round(CAST(SUM(cos) AS DOUBLE) / count(*), 6) AS mean_cohesion,
+             |  CAST(min(cos) AS DOUBLE) AS worst_member
+             |FROM m GROUP BY label ORDER BY label""".stripMargin)),
+
     // q106 — incremental re-aggregation: merge DAILY partial aggregates
     // into monthly rollups without touching the fact table again — the
     // materialized-view maintenance pattern (at 100 TB the daily partial
