@@ -42,25 +42,30 @@ object PrefixSum {
     */
   def cumsum(df: DataFrame, keyCols: Seq[String], valueCol: String,
       out: String, numParts: Int): DataFrame = {
+    // Internal names carry the (caller-unique) `out` suffix so CHAINED
+    // cumsum calls on one frame can't collide (a leaked `__off` made the
+    // second call's join ambiguous — hit by q312's triple rank).
+    val pidC = s"__pid_$out"; val locC = s"__local_$out"
+    val totC = s"__tot_$out"; val offC = s"__off_$out"
     // One evaluation of spark_partition_id, pinned by the persist below:
     // the ranged exchange samples boundaries per execution, so the pid
     // column must never be recomputed across the two uses of `local`.
     val ranged = df.repartitionByRange(numParts, keyCols.map(col): _*)
-      .withColumn("__pid", spark_partition_id())
-    val wLocal = Window.partitionBy("__pid").orderBy(keyCols.map(col): _*)
+      .withColumn(pidC, spark_partition_id())
+    val wLocal = Window.partitionBy(pidC).orderBy(keyCols.map(col): _*)
     val local = ranged
-      .withColumn("__local", sum(col(valueCol)).over(wLocal))
+      .withColumn(locC, sum(col(valueCol)).over(wLocal))
       .persistTracked()
     // Exclusive prefix of the per-partition totals. The unpartitioned
     // window is deliberate: numParts rows, not data rows.
-    val wOff = Window.orderBy("__pid")
+    val wOff = Window.orderBy(pidC)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = local.groupBy("__pid")
-      .agg(sum(col(valueCol)).as("__tot"))
-      .withColumn("__off", coalesce(sum(col("__tot")).over(wOff), lit(0L)))
-      .select("__pid", "__off")
-    local.join(broadcast(offsets), "__pid")
-      .withColumn(out, col("__local") + col("__off"))
-      .drop("__pid", "__local")
+    val offsets = local.groupBy(pidC)
+      .agg(sum(col(valueCol)).as(totC))
+      .withColumn(offC, coalesce(sum(col(totC)).over(wOff), lit(0L)))
+      .select(pidC, offC)
+    local.join(broadcast(offsets), pidC)
+      .withColumn(out, col(locC) + col(offC))
+      .drop(pidC, locC, offC)
   }
 }

@@ -1,9 +1,11 @@
 package graft.queries
 
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Cleanup.PersistTrackedOps
 import graft.core.{Stable, Tables}
+import graft.ops.PrefixSum
 
 /** Analytics-surface extensions beyond the reference's flat GROUP BY
   * (SURVEY §2.5/§2.8 footnotes): reshaping (unpivot/melt), statistical
@@ -2023,5 +2025,276 @@ object AnalyticsQueries {
            |  ($caseExpr) * n AS expected,
            |  ((obs - ($caseExpr) * n) * (obs - ($caseExpr) * n)) / (($caseExpr) * n) AS chi2_term
            |FROM o, t ORDER BY digit""".stripMargin
-      }))
+      }),
+
+    // q309 — INCREMENTAL JOIN-VIEW maintenance: the materialized join
+    // J = orders ⋈ lineitem is kept current under a batch arriving on
+    // BOTH sides via the delta algebra
+    //   J_new = A_old⋈B_old ∪ ΔA⋈B_old ∪ A_old⋈ΔB ∪ ΔA⋈ΔB.
+    // At 100 TB only the three Δ terms run (|Δ|-proportional — the
+    // stored view's AGGREGATE is merged, never recomputed); here all
+    // four terms execute and the oracle is the naive full recompute,
+    // so the gate proves the algebra EQUALS recomputation. Each term
+    // partial-aggregates to priority grain with DECIMAL sums
+    // (associative — the sum of term-sums is exactly the flat sum),
+    // and the final merge re-aggregates 4×5 partial rows: the q106
+    // merge-partials pattern lifted from scans to joins.
+    QuerySpec("q309_incremental_join_view",
+      (s, dir) => {
+        val split = lit("1999-01-01").cast("timestamp")
+        val o = Tables.load(s, dir, "orders")
+          .select("o_orderkey", "o_orderdate", "o_orderpriority")
+        val l = Tables.load(s, dir, "lineitem")
+          .select("l_orderkey", "l_shipdate", "l_extendedprice", "l_discount")
+        val oOld = o.filter(col("o_orderdate") < split)
+        val oNew = o.filter(col("o_orderdate") >= split)
+        val lOld = l.filter(col("l_shipdate") < split)
+        val lNew = l.filter(col("l_shipdate") >= split)
+        def term(a: DataFrame, b: DataFrame): DataFrame =
+          a.join(b, col("o_orderkey") === col("l_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(count(lit(1)).as("pn"),
+              Stable.dsumDec(
+                col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+                .as("prev"))
+        term(oOld, lOld).unionAll(term(oNew, lOld))
+          .unionAll(term(oOld, lNew)).unionAll(term(oNew, lNew))
+          .groupBy("o_orderpriority")
+          .agg(sum(col("pn")).as("n_items"),
+            sum(col("prev")).cast("double").as("revenue"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+             |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+             |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // q311 — DIFFERENCE-IN-DIFFERENCES: the quasi-experimental
+    // estimator for rollouts without randomization — treatment effect =
+    // (post−pre change in the treated group) − (post−pre change in the
+    // control group), which cancels both group-level baselines and
+    // shared time trends. One scan, one 4-cell aggregate; the 4 means
+    // come off decimal-exact sums with ONE IEEE division each, and the
+    // DiD arithmetic runs in the same operation order on both engines
+    // (raw doubles out — the q216 rule: no cosmetic round).
+    QuerySpec("q311_diff_in_diff",
+      (s, dir) => {
+        val g = Tables.load(s, dir, "events")
+          .select(
+            when(col("user_id") % 2 === 0, lit("T")).otherwise(lit("C"))
+              .as("grp"),
+            when(col("ts") >= lit("2024-01-16").cast("timestamp"), lit("post"))
+              .otherwise(lit("pre")).as("period"),
+            round(col("value"), 6).cast("decimal(18,6)").as("v6"))
+        val m = g.groupBy("grp", "period")
+          .agg((sum(col("v6")).cast("double") / count(lit(1))).as("mean_v"),
+            count(lit(1)).as("n"))
+        def cell(gv: String, pv: String): Column =
+          max(when(col("grp") === gv && col("period") === pv, col("mean_v")))
+        m.agg(
+            cell("T", "pre").as("mean_t_pre"),
+            cell("T", "post").as("mean_t_post"),
+            cell("C", "pre").as("mean_c_pre"),
+            cell("C", "post").as("mean_c_post"),
+            sum(col("n")).as("n_events"))
+          .withColumn("did",
+            (col("mean_t_post") - col("mean_t_pre"))
+              - (col("mean_c_post") - col("mean_c_pre")))
+          .select("mean_t_pre", "mean_t_post", "mean_c_pre", "mean_c_post",
+            "did", "n_events")
+      },
+      Some("""WITH g AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'T' ELSE 'C' END AS grp,
+             |    CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 'post' ELSE 'pre' END AS period,
+             |    CAST(round(value, 6) AS DECIMAL(18,6)) AS v6 FROM events),
+             |m AS (SELECT grp, period, CAST(SUM(v6) AS DOUBLE) / count(*) AS mean_v,
+             |    CAST(count(*) AS BIGINT) AS n FROM g GROUP BY grp, period)
+             |SELECT
+             |  (SELECT mean_v FROM m WHERE grp='T' AND period='pre')  AS mean_t_pre,
+             |  (SELECT mean_v FROM m WHERE grp='T' AND period='post') AS mean_t_post,
+             |  (SELECT mean_v FROM m WHERE grp='C' AND period='pre')  AS mean_c_pre,
+             |  (SELECT mean_v FROM m WHERE grp='C' AND period='post') AS mean_c_post,
+             |  ((SELECT mean_v FROM m WHERE grp='T' AND period='post') - (SELECT mean_v FROM m WHERE grp='T' AND period='pre'))
+             |  - ((SELECT mean_v FROM m WHERE grp='C' AND period='post') - (SELECT mean_v FROM m WHERE grp='C' AND period='pre')) AS did,
+             |  CAST((SELECT SUM(n) FROM m) AS BIGINT) AS n_events""".stripMargin)),
+
+    // q312 — RFM SEGMENTATION with a DISTRIBUTED ntile: recency /
+    // frequency / monetary quintile scores per customer — the classic
+    // CRM segmentation. The naive form is three GLOBAL ntile windows,
+    // i.e. three single-reducer sorts over the whole customer dimension
+    // (the operator that never finishes at 100 TB). Instead each score
+    // comes from a PrefixSum global rank (range-partition + local
+    // window + offset merge — fully parallel) fed through ntile's exact
+    // integer bucket arithmetic: first n%k buckets hold n/k+1 rows,
+    // the rest n/k. The oracle uses DuckDB's NATIVE ntile, so the gate
+    // proves formula == engine, row for row. Integer division is done
+    // as (a − a%b)/b: the numerator is an exact multiple, so the IEEE
+    // division is exact at ANY corpus size (no floor-of-double hazard).
+    QuerySpec("q312_rfm_segmentation",
+      (s, dir) => {
+        def idiv(a: Column, b: Column): Column =
+          ((a - pmod(a, b)) / b).cast("long")
+        def ntileScore(rank: Column, n: Column, k: Int): Column = {
+          val base = idiv(n, lit(k))
+          val m = pmod(n, lit(k))
+          val cut = m * (base + 1)
+          when(rank <= cut, idiv(rank - 1, base + 1) + 1)
+            .otherwise(m + idiv(rank - cut - 1, base) + 1)
+        }
+        val rfm = Tables.load(s, dir, "orders")
+          .groupBy("o_custkey")
+          .agg(
+            datediff(lit("2001-08-02").cast("date"),
+              max(col("o_orderdate")).cast("date")).cast("long")
+              .as("recency_days"),
+            count(lit(1)).as("frequency"),
+            sum(round(col("o_totalprice"), 2).cast("decimal(18,2)"))
+              .as("monetary"))
+          .withColumn("one", lit(1L))
+          .withColumn("negf", -col("frequency"))
+          .withColumn("negm", -col("monetary"))
+        val ranked = PrefixSum.cumsum(
+          PrefixSum.cumsum(
+            PrefixSum.cumsum(rfm,
+              Seq("recency_days", "o_custkey"), "one", "r_rank", 32),
+            Seq("negf", "o_custkey"), "one", "f_rank", 32),
+          Seq("negm", "o_custkey"), "one", "m_rank", 32)
+          .persistTracked()
+        val n = ranked.agg(count(lit(1)).as("n_cust"))
+        ranked.crossJoin(broadcast(n))
+          .select(col("monetary"),
+            ntileScore(col("r_rank"), col("n_cust"), 5).cast("int")
+              .as("r_score"),
+            ntileScore(col("f_rank"), col("n_cust"), 5).cast("int")
+              .as("f_score"),
+            ntileScore(col("m_rank"), col("n_cust"), 5).cast("int")
+              .as("m_score"))
+          .groupBy("r_score", "f_score", "m_score")
+          .agg(count(lit(1)).as("n_customers"),
+            sum(col("monetary")).cast("double").as("total_monetary"))
+          .orderBy("r_score", "f_score", "m_score")
+      },
+      Some("""WITH rfm AS (SELECT o_custkey,
+             |    CAST(datediff('day', max(o_orderdate), TIMESTAMP '2001-08-02') AS BIGINT) AS recency_days,
+             |    CAST(count(*) AS BIGINT) AS frequency,
+             |    SUM(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))) AS monetary
+             |  FROM orders GROUP BY o_custkey),
+             |sc AS (SELECT o_custkey, recency_days, frequency, monetary,
+             |    ntile(5) OVER (ORDER BY recency_days ASC, o_custkey) AS r_score,
+             |    ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+             |    ntile(5) OVER (ORDER BY monetary DESC, o_custkey) AS m_score
+             |  FROM rfm)
+             |SELECT CAST(r_score AS INTEGER) AS r_score, CAST(f_score AS INTEGER) AS f_score,
+             |  CAST(m_score AS INTEGER) AS m_score, CAST(count(*) AS BIGINT) AS n_customers,
+             |  CAST(SUM(monetary) AS DOUBLE) AS total_monetary
+             |FROM sc GROUP BY r_score, f_score, m_score
+             |ORDER BY r_score, f_score, m_score""".stripMargin)),
+
+    // q313 — OBSERVED METRICS (`Dataset.observe`): production pipelines
+    // need row counts / checksums / quality gauges off the SAME pass
+    // that does the work — a second audit scan doubles the 100 TB read.
+    // `observe` attaches a CollectMetrics node to the plan: the metrics
+    // accumulate task-side during the one execution (zero extra scans,
+    // zero extra shuffles) and surface on the driver after the action.
+    // The query returns the observed values themselves as a 1-row
+    // frame, oracled against DuckDB computing the same aggregates — so
+    // the gate proves the side-channel equals the data. The noop write
+    // is the action that flushes the metrics (same sink Bench uses).
+    QuerySpec("q313_observe_metrics",
+      (s, dir) => {
+        val obs = Observation()
+        val observed = Tables.load(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp"))
+          .observe(obs,
+            count(lit(1)).as("n_rows"),
+            sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+              .cast("decimal(18,4)")).cast("double").as("revenue"),
+            sum(when(col("l_discount") === 0, 1L).otherwise(0L))
+              .as("zero_discount"),
+            max(col("l_quantity")).as("max_qty"))
+        observed.write.format("noop").mode("overwrite").save()
+        val m = obs.get
+        import s.implicits._
+        Seq((m("n_rows").asInstanceOf[Long],
+            m("revenue").asInstanceOf[Double],
+            m("zero_discount").asInstanceOf[Long],
+            m("max_qty").asInstanceOf[Double]))
+          .toDF("n_rows", "revenue", "zero_discount", "max_qty")
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+             |  CAST(SUM(CASE WHEN l_discount = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_discount,
+             |  CAST(max(l_quantity) AS DOUBLE) AS max_qty
+             |FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01'""".stripMargin)),
+
+    // q314 — SPLIT-CONFORMAL coverage: the distribution-free prediction
+    // interval. Per priority stratum, a mean model fits on the ~80%
+    // calibration split; q̂ = the ⌈0.9(n+1)⌉-th smallest calibration
+    // residual (an EXACT order statistic — an actual data value, the
+    // q219 rule, so doubles compare raw with no interpolation); test
+    // coverage then lands ≈90% BY THE CONFORMAL GUARANTEE — observed
+    // 0.88–0.95 across SFs, the theory audit built into the result.
+    // ceil's operand is forced to DOUBLE on both engines (DuckDB parses
+    // 0.9 as DECIMAL(2,1): decimal-exact 0.9·(n+1) can land ON an
+    // integer where double lands just above — a ±1 rank split, the
+    // q297-family literal-type trap).
+    QuerySpec("q314_conformal_coverage",
+      (s, dir) => {
+        val base = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            col("o_totalprice"),
+            round(col("o_totalprice"), 2).cast("decimal(18,2)").as("y2"),
+            (col("o_orderkey") % 10 < 8).as("is_cal"))
+        val pred = base.filter(col("is_cal"))
+          .groupBy("o_orderpriority")
+          .agg((sum(col("y2")).cast("double") / count(lit(1))).as("pred"))
+        val resid = base.join(broadcast(pred), "o_orderpriority")
+          .select(col("o_orderkey"), col("o_orderpriority"), col("is_cal"),
+            abs(col("o_totalprice") - col("pred")).as("r"))
+          .persistTracked()
+        val wIn = Window.partitionBy("o_orderpriority")
+          .orderBy(col("r"), col("o_orderkey"))
+        val wAll = Window.partitionBy("o_orderpriority")
+        val qhat = resid.filter(col("is_cal"))
+          .select(col("o_orderpriority"), col("r"),
+            row_number().over(wIn).as("rk"),
+            count(lit(1)).over(wAll).as("n_cal"))
+          .groupBy("o_orderpriority")
+          .agg(max(col("n_cal")).as("n_cal"),
+            max(when(col("rk") === least(
+              ceil(lit(0.9) * (col("n_cal") + 1)), col("n_cal")),
+              col("r"))).as("qhat"))
+        resid.filter(!col("is_cal"))
+          .join(broadcast(qhat), "o_orderpriority")
+          .groupBy("o_orderpriority", "n_cal", "qhat")
+          .agg(count(lit(1)).as("n_test"),
+            sum(when(col("r") <= col("qhat"), 1L).otherwise(0L))
+              .as("covered"),
+            (sum(when(col("r") <= col("qhat"), 1L).otherwise(0L))
+              .cast("double") / count(lit(1))).as("coverage"))
+          .select("o_orderpriority", "n_cal", "qhat", "n_test", "covered",
+            "coverage")
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH base AS (SELECT o_orderkey, o_orderpriority, o_totalprice,
+             |    CAST(round(o_totalprice, 2) AS DECIMAL(18,2)) AS y2,
+             |    o_orderkey % 10 < 8 AS is_cal FROM orders),
+             |pred AS (SELECT o_orderpriority, CAST(SUM(y2) AS DOUBLE) / count(*) AS pred
+             |  FROM base WHERE is_cal GROUP BY o_orderpriority),
+             |resid AS (SELECT b.o_orderkey, b.o_orderpriority, b.is_cal,
+             |    abs(b.o_totalprice - p.pred) AS r
+             |  FROM base b JOIN pred p ON b.o_orderpriority = p.o_orderpriority),
+             |calr AS (SELECT o_orderpriority, r,
+             |    row_number() OVER (PARTITION BY o_orderpriority ORDER BY r, o_orderkey) AS rk,
+             |    count(*) OVER (PARTITION BY o_orderpriority) AS n_cal
+             |  FROM resid WHERE is_cal),
+             |qh AS (SELECT o_orderpriority, CAST(max(n_cal) AS BIGINT) AS n_cal,
+             |    max(CASE WHEN rk = least(CAST(ceil(CAST(0.9 AS DOUBLE) * (n_cal + 1)) AS BIGINT), n_cal) THEN r END) AS qhat
+             |  FROM calr GROUP BY o_orderpriority)
+             |SELECT q.o_orderpriority, q.n_cal, q.qhat,
+             |  CAST(count(*) AS BIGINT) AS n_test,
+             |  CAST(SUM(CASE WHEN t.r <= q.qhat THEN 1 ELSE 0 END) AS BIGINT) AS covered,
+             |  CAST(SUM(CASE WHEN t.r <= q.qhat THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS coverage
+             |FROM qh q JOIN resid t ON t.o_orderpriority = q.o_orderpriority AND NOT t.is_cal
+             |GROUP BY q.o_orderpriority, q.n_cal, q.qhat
+             |ORDER BY q.o_orderpriority""".stripMargin)))
 }
