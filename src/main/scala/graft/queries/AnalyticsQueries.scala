@@ -2296,5 +2296,164 @@ object AnalyticsQueries {
              |  CAST(SUM(CASE WHEN t.r <= q.qhat THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS coverage
              |FROM qh q JOIN resid t ON t.o_orderpriority = q.o_orderpriority AND NOT t.is_cal
              |GROUP BY q.o_orderpriority, q.n_cal, q.qhat
-             |ORDER BY q.o_orderpriority""".stripMargin)))
+             |ORDER BY q.o_orderpriority""".stripMargin)),
+
+    // q310 — KAPLAN-MEIER survival under right censoring: time from a
+    // user's first event to first purchase, administratively censored at
+    // the 48 h study horizon (the censoring is what distinguishes this
+    // from a plain histogram — ~33% of users at every SF never convert
+    // inside the window and must stay in the risk set, not be dropped).
+    // At each death time t: S(t) = Π(1 − d/n_risk). The product is an
+    // ln-sum: each factor's log is round(6) → DECIMAL (transcendental
+    // rule), the cumulative sum is exact, exp+round(6) at the end. The
+    // per-user reduction is one user-keyed shuffle; everything after is
+    // DURATION grain (≤ 49 rows — the unpartitioned windows are
+    // metadata-sized, the documented benign class). Duration arithmetic
+    // is all-integer: µs diff `div` 3600000000 ≡ DuckDB `//` on
+    // non-negatives.
+    QuerySpec("q310_kaplan_meier",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val first = ev.groupBy("user_id")
+          .agg(min(unix_micros(col("ts"))).as("t0"))
+        val purch = ev.filter(col("event_type") === "purchase")
+          .groupBy("user_id")
+          .agg(min(unix_micros(col("ts"))).as("tp"))
+        val h = first.join(purch, "user_id")
+          .select(expr("(tp - t0) div 3600000000").as("hh"))
+        val dur = h.select(
+          when(col("hh") < 48, col("hh")).otherwise(lit(48L)).as("dur"),
+          (col("hh") < 48).as("observed"))
+        val g = dur.groupBy("dur")
+          .agg(sum(when(col("observed"), 1L).otherwise(0L)).as("d"),
+            count(lit(1)).as("tot"))
+        val nUsers = dur.agg(count(lit(1)).as("n_users"))
+        val wPrev = Window.orderBy("dur")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wCum = Window.orderBy("dur")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        g.crossJoin(broadcast(nUsers))
+          .withColumn("n_risk",
+            col("n_users") - coalesce(sum(col("tot")).over(wPrev), lit(0L)))
+          .filter(col("d") > 0)
+          .withColumn("lf",
+            round(log(lit(1.0) - col("d").cast("double") / col("n_risk")), 6)
+              .cast("decimal(12,6)"))
+          .select(col("dur").as("duration_h"), col("n_risk").as("n_at_risk"),
+            col("d").as("converted"),
+            round(exp(sum(col("lf")).over(wCum).cast("double")), 6)
+              .as("survival"))
+          .orderBy("duration_h")
+      },
+      Some("""WITH f AS (SELECT user_id, min(epoch_us(CAST(ts AS TIMESTAMP))) AS t0 FROM events GROUP BY user_id),
+             |p AS (SELECT user_id, min(epoch_us(CAST(ts AS TIMESTAMP))) AS tp FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+             |s AS (SELECT f.user_id,
+             |    CASE WHEN (p.tp - f.t0) // 3600000000 < 48 THEN (p.tp - f.t0) // 3600000000 ELSE 48 END AS dur,
+             |    (p.tp - f.t0) // 3600000000 < 48 AS observed
+             |  FROM f JOIN p ON f.user_id = p.user_id),
+             |g AS (SELECT dur, CAST(SUM(CASE WHEN observed THEN 1 ELSE 0 END) AS BIGINT) AS d,
+             |    CAST(count(*) AS BIGINT) AS tot FROM s GROUP BY dur),
+             |n AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM s),
+             |r AS (SELECT dur, d,
+             |    n_users - COALESCE(SUM(tot) OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+             |  FROM g, n),
+             |km AS (SELECT dur, d, n_risk,
+             |    CAST(round(ln(1e0 - CAST(d AS DOUBLE) / n_risk), 6) AS DECIMAL(12,6)) AS lf
+             |  FROM r WHERE d > 0)
+             |SELECT CAST(dur AS BIGINT) AS duration_h, CAST(n_risk AS BIGINT) AS n_at_risk, d AS converted,
+             |  round(exp(CAST(SUM(lf) OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)), 6) AS survival
+             |FROM km ORDER BY duration_h""".stripMargin)),
+
+    // q315 — DIFFERENTIALLY-PRIVATE release with DETERMINISTIC Laplace
+    // noise: per-type event counts plus Laplace(1/ε) noise (ε=1,
+    // sensitivity 1) drawn by inverse-CDF on a hash-uniform — the q215
+    // bootstrap trick applied to privacy. Real DP needs a fresh random
+    // draw; the HASH seed makes the release reproducible and ORACLED
+    // (the gate proves the mechanism's arithmetic, which is the part an
+    // engine owns — swap the seed source for an RNG at deploy time).
+    // u = (hash32+0.5)/2^32 ∈ (0,1); noise = −sign(u−½)·ln(1−2|u−½|),
+    // round(6) (transcendental rule). One scan, group-grain everything.
+    QuerySpec("q315_dp_release",
+      (s, dir) => {
+        val u = (graft.functions.Text.hash32(col("event_type")) + lit(0.5)) /
+          lit(4294967296.0)
+        val noise = when(u >= 0.5,
+            -log(lit(1.0) - lit(2.0) * (u - lit(0.5))))
+          .otherwise(log(lit(1.0) - lit(2.0) * (lit(0.5) - u)))
+        Tables.load(s, dir, "events")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"))
+          .select(col("event_type"), col("n"),
+            round(noise, 6).as("noise"),
+            (col("n") + round(noise, 6)).as("noisy_n"))
+          .orderBy("event_type")
+      },
+      Some("""WITH c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY event_type),
+             |h AS (SELECT event_type, n,
+             |    (CAST(('0x' || substr(md5(event_type), 1, 8)) AS BIGINT) + 0.5e0) / 4294967296e0 AS u FROM c)
+             |SELECT event_type, n,
+             |  round(CASE WHEN u >= 0.5e0 THEN -ln(1e0 - 2e0*(u - 0.5e0)) ELSE ln(1e0 - 2e0*(0.5e0 - u)) END, 6) AS noise,
+             |  n + round(CASE WHEN u >= 0.5e0 THEN -ln(1e0 - 2e0*(u - 0.5e0)) ELSE ln(1e0 - 2e0*(0.5e0 - u)) END, 6) AS noisy_n
+             |FROM h ORDER BY event_type""".stripMargin)),
+
+    // q318 — NEYMAN ALLOCATION for stratified sampling: a 1000-row
+    // budget split across priority strata ∝ N_h·σ_h (the minimum-
+    // variance allocation — the difference from proportional sampling
+    // is exactly what a survey over a skewed corpus needs). σ_h comes
+    // from decimal-exact raw moments (the q189 rule: built-in stddev
+    // accumulators are merge-order-dependent); sqrt is IEEE
+    // exact-rounded so both engines see the identical double. Weights
+    // round(6)→DECIMAL before the cross-stratum sum (5 doubles summed
+    // in engine order would diverge in the last ulp); integerization is
+    // floor + largest-remainder over the 5-row stratum frame, so the
+    // allocations are integers that sum to exactly 1000.
+    QuerySpec("q318_neyman_allocation",
+      (s, dir) => {
+        val x = round(col("o_totalprice"), 2).cast("decimal(18,2)")
+        val st = Tables.load(s, dir, "orders")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("nh"),
+            sum(x).cast("double").as("sx"),
+            sum(x * x).cast("double").as("sxx"))
+        val sigma = sqrt((col("sxx") - col("sx") * col("sx") / col("nh"))
+          / (col("nh") - 1))
+        val w = st.select(col("o_orderpriority"), col("nh"),
+          sigma.as("sigma"),
+          round(col("nh") * sigma, 6).cast("decimal(24,6)").as("wt6"))
+        val tw = w.agg(sum(col("wt6")).as("tw"))
+        val a = w.crossJoin(broadcast(tw))
+          .withColumn("ar",
+            (lit(1000.0) * col("wt6").cast("double")) / col("tw").cast("double"))
+          .withColumn("base", floor(col("ar")).cast("long"))
+          .withColumn("rem", col("ar") - floor(col("ar")))
+        // 5-row stratum frame: unpartitioned windows are metadata-sized
+        val wAll = Window.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)
+        a.withColumn("leftover", lit(1000L) - sum(col("base")).over(wAll))
+          .withColumn("rr",
+            row_number().over(Window.orderBy(desc("rem"), col("o_orderpriority"))))
+          .select(col("o_orderpriority"), col("nh"),
+            round(col("sigma"), 6).as("sigma"),
+            (col("base") + when(col("rr") <= col("leftover"), 1L)
+              .otherwise(0L)).as("alloc"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH s AS (SELECT o_orderpriority,
+             |    CAST(count(*) AS BIGINT) AS nh,
+             |    CAST(SUM(CAST(round(o_totalprice,2) AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             |    CAST(SUM(CAST(round(o_totalprice,2) AS DECIMAL(18,2)) * CAST(round(o_totalprice,2) AS DECIMAL(18,2))) AS DOUBLE) AS sxx
+             |  FROM orders GROUP BY o_orderpriority),
+             |v AS (SELECT o_orderpriority, nh, sqrt((sxx - sx * sx / nh) / (nh - 1)) AS sigma FROM s),
+             |w AS (SELECT o_orderpriority, nh, sigma,
+             |    CAST(round(nh * sigma, 6) AS DECIMAL(24,6)) AS wt6 FROM v),
+             |t AS (SELECT SUM(wt6) AS tw FROM w),
+             |a AS (SELECT o_orderpriority, nh, sigma,
+             |    (1000e0 * CAST(wt6 AS DOUBLE)) / CAST(tw AS DOUBLE) AS ar FROM w, t),
+             |b AS (SELECT o_orderpriority, nh, sigma, ar,
+             |    CAST(floor(ar) AS BIGINT) AS base, ar - floor(ar) AS rem FROM a),
+             |lv AS (SELECT CAST(1000 - SUM(base) AS BIGINT) AS leftover FROM b),
+             |rk AS (SELECT *, row_number() OVER (ORDER BY rem DESC, o_orderpriority) AS rr FROM b)
+             |SELECT o_orderpriority, nh, round(sigma, 6) AS sigma,
+             |  CAST(base + CASE WHEN rr <= (SELECT leftover FROM lv) THEN 1 ELSE 0 END AS BIGINT) AS alloc
+             |FROM rk ORDER BY o_orderpriority""".stripMargin)))
 }

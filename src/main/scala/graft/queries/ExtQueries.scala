@@ -54,6 +54,10 @@ object ExtQueries {
     new java.io.File(System.getProperty("java.io.tmpdir"),
       "graft_evolve_" + Integer.toHexString(dir.hashCode)).toString
 
+  private def dpoDir(dir: String): String =
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_dpo_" + Integer.toHexString(dir.hashCode)).toString
+
   /** (z_{0.975} + z_{0.8})² — the standard 80%-power two-sided-5%
     * constant, computed ONCE here and interpolated into both engines so
     * the literal cannot drift (NOTES rule 7). MUST be defined above
@@ -2167,5 +2171,46 @@ object ExtQueries {
              |  CAST(SUM(len) AS BIGINT) AS blob_bytes,
              |  CAST(max(n_dim) AS BIGINT) AS n_dim
              |FROM b JOIN d ON b.shard = d.shard_key
-             |GROUP BY shard ORDER BY shard""".stripMargin)))
+             |GROUP BY shard ORDER BY shard""".stripMargin)),
+
+    // q316 — DYNAMIC PARTITION OVERWRITE: the lakehouse correction
+    // pattern — a full partitioned write, then a correction batch
+    // touching TWO partitions, written with
+    // partitionOverwriteMode=dynamic so ONLY the partitions present in
+    // the batch are replaced (static mode would truncate the whole
+    // table; an append would duplicate). The correction is a strict
+    // subset (o_orderkey % 3 = 0) of the urgent partitions, so the gate
+    // detects all three failure modes sharply: replaced partitions must
+    // show the SMALLER corrected counts, untouched partitions the full
+    // originals, and any leftover pre-correction file in a replaced
+    // partition breaks both the count and the decimal sum. The mode is
+    // a per-write OPTION — session conf is never mutated (the Tuned
+    // rule). At 100 TB this is the whole point: the rewrite is
+    // |touched partitions|, not |table|.
+    QuerySpec("q316_dynamic_partition_overwrite",
+      (s, dir) => {
+        val root = dpoDir(dir)
+        val ord = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"),
+            round(col("o_totalprice"), 2).cast("decimal(18,2)").as("price"),
+            col("o_orderpriority").as("prio"))
+        ord.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .partitionBy("prio").parquet(root)
+        ord.filter(col("prio").isin("1-URGENT", "2-HIGH")
+            && col("o_orderkey") % 3 === 0)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("prio").parquet(root)
+        s.read.parquet(root)
+          .groupBy("prio")
+          .agg(count(lit(1)).as("n"),
+            sum(col("price")).cast("decimal(28,2)").as("total"))
+          .orderBy("prio")
+      },
+      Some("""WITH w AS (SELECT o_orderpriority AS prio, o_orderkey,
+             |    CAST(round(o_totalprice, 2) AS DECIMAL(18,2)) AS price FROM orders)
+             |SELECT prio, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(SUM(price) AS DECIMAL(28,2)) AS total
+             |FROM w WHERE prio NOT IN ('1-URGENT', '2-HIGH') OR o_orderkey % 3 = 0
+             |GROUP BY prio ORDER BY prio""".stripMargin)))
 }

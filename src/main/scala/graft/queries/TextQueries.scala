@@ -3919,5 +3919,46 @@ object TextQueries {
            |  CAST(2 AS INTEGER) AS n_blocks,
            |  CAST(pad AS BIGINT) AS pad_bytes
            |FROM p ORDER BY doc_id""".stripMargin
-      }))
+      }),
+
+    // q317 — KNESER-NEY continuation counts: the KN smoothing insight
+    // is that a word's unigram backoff weight should be how many
+    // DISTINCT left contexts it completes (continuation count), not its
+    // raw frequency — "francisco" is frequent but only ever follows
+    // "san", so it should get almost no backoff mass. This computes the
+    // continuation table the q148 interpolated LM would upgrade to:
+    // per word, distinct-left-context count, raw bigram count, and
+    // p_continuation = cont/Σcont (one IEEE division of exact longs).
+    // Bigrams are scan-local (same HOF as q148 — no positional
+    // self-join); the distinct-context aggregate is vocab-grain.
+    // Top-20 by (cont DESC, w) — a total order, so LIMIT is stable.
+    QuerySpec("q317_kn_continuation",
+      (s, dir) => {
+        val tok = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), Text.tokens(lower(col("text"))).as("ts"))
+        val big = tok.filter(size(col("ts")) >= 2)
+          .select(explode(expr(
+            """transform(sequence(1, size(ts) - 1),
+              |  i -> struct(element_at(ts, i) AS w1,
+              |              element_at(ts, i + 1) AS w2))""".stripMargin)).as("b"))
+          .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        val cont = big.groupBy("w2")
+          .agg(countDistinct(col("w1")).as("cont"),
+            count(lit(1)).as("c2"))
+          .withColumnRenamed("w2", "w")
+        val tot = cont.agg(sum(col("cont")).cast("double").as("tc"))
+        cont.crossJoin(broadcast(tot))
+          .select(col("w"), col("cont"), col("c2"),
+            (col("cont").cast("double") / col("tc")).as("p_cont"))
+          .orderBy(desc("cont"), col("w"))
+          .limit(20)
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, $duckTokens AS w FROM documents),
+              |bg AS (SELECT w[i] AS w1, w[i+1] AS w2
+              |  FROM tok, UNNEST(generate_series(1, len(w) - 1)) AS t(i)),
+              |cont AS (SELECT w2 AS w, CAST(count(DISTINCT w1) AS BIGINT) AS cont,
+              |    CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY w2),
+              |tot AS (SELECT CAST(SUM(cont) AS DOUBLE) AS tc FROM cont)
+              |SELECT w, cont, c2, CAST(cont AS DOUBLE) / tc AS p_cont
+              |FROM cont, tot ORDER BY cont DESC, w LIMIT 20""".stripMargin)))
 }
