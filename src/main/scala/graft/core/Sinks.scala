@@ -23,7 +23,17 @@ object Sinks {
     * `bucketCols`, so joins/aggregations on those keys skip the exchange
     * entirely — the co-located-join strategy for repeated fact⋈fact work. */
   def bucketed(df: DataFrame, table: String, bucketCols: Seq[String],
-      nBuckets: Int): Unit = {
+      nBuckets: Int): Unit =
+    bucketedSorted(df, table, bucketCols, bucketCols, nBuckets)
+
+  /** Bucketed CTAS with a sort key that extends the bucket key — the
+    * layout a merge-style operator (as-of, SMJ) wants: cluster on the
+    * join key, order within each bucket by (key, time). Spark elides
+    * the per-partition sort only when each bucket holds ONE file, so
+    * callers that want the full elision should repartition on the
+    * bucket key before writing. */
+  def bucketedSorted(df: DataFrame, table: String, bucketCols: Seq[String],
+      sortCols: Seq[String], nBuckets: Int): Unit = {
     val spark = df.sparkSession
     // A managed table's DIRECTORY outlives the in-memory catalog: a
     // fresh JVM sees no table but an occupied location, and CTAS
@@ -36,7 +46,7 @@ object Sinks {
     if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
-      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .sortBy(sortCols.head, sortCols.tail: _*)
       .format("parquet").saveAsTable(table)
   }
 

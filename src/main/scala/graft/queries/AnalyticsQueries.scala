@@ -2455,5 +2455,118 @@ object AnalyticsQueries {
              |rk AS (SELECT *, row_number() OVER (ORDER BY rem DESC, o_orderpriority) AS rr FROM b)
              |SELECT o_orderpriority, nh, round(sigma, 6) AS sigma,
              |  CAST(base + CASE WHEN rr <= (SELECT leftover FROM lv) THEN 1 ELSE 0 END AS BIGINT) AS alloc
-             |FROM rk ORDER BY o_orderpriority""".stripMargin)))
+             |FROM rk ORDER BY o_orderpriority""".stripMargin)),
+
+    // q320 — IPF RAKING (iterative proportional fitting): calibrate a
+    // 20% sample's (event_type × day-of-week) cell weights so BOTH
+    // margins match the full population — the survey-weighting
+    // primitive every telemetry pipeline needs once collection is
+    // non-uniform. Three row/column sweeps, UNROLLED (fixed iteration
+    // count = fixed plan depth; the q131 fixed-point lesson doesn't
+    // bite at 6 rounds over a 35-row cell frame). Parity discipline:
+    // each sweep's cross-cell weight sum would be an order-dependent
+    // double sum — so weights round(6)→DECIMAL after every sweep and
+    // the margin sums run exact; the scale factor is then one DOUBLE
+    // division+multiply in identical order. After 3 sweeps the row
+    // margins match to ~1e-5 (checked at all SFs). dow is integer
+    // epoch-day mod 7 (the q214 rule: engines number dayofweek()
+    // differently; arithmetic doesn't). Only w0/pop_r/pop_c touch the
+    // corpus (persisted); every sweep is cell-grain metadata.
+    QuerySpec("q320_ipf_raking",
+      (s, dir) => {
+        // ONE corpus pass collects the 35-cell grid (population + sample
+        // counts per cell — margins are exact integer sums of it); the
+        // six sweeps then run on the DRIVER (the q284/q168 bounded-loop
+        // rule: as distributed joins this was 3-5 s of pure tiny-stage
+        // scheduling at ANY scale, since everything after the scan is
+        // cell-grain metadata). Engine-exact mirror: decimal sums are
+        // java BigDecimal adds, the scale factor is tr.toDouble/s (one
+        // cast + one IEEE divide), round(6) is
+        // BigDecimal.valueOf(x).setScale(6, HALF_UP) — exactly Spark's
+        // round (the q284 rule).
+        val cells = Tables.load(s, dir, "events")
+          .select(col("event_type").as("et"),
+            expr("(unix_micros(ts) div 86400000000) % 7").as("dow"),
+            col("event_id"))
+          .groupBy("et", "dow")
+          .agg(count(lit(1)).as("n_pop"),
+            sum(when(col("event_id") % 5 === 0, 1L).otherwise(0L))
+              .as("n_samp"))
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        val tr = cells.groupBy(_._1).map { case (k, v) => k -> v.map(_._3).sum }
+        val tc = cells.groupBy(_._2).map { case (k, v) => k -> v.map(_._3).sum }
+        def round6(x: Double): java.math.BigDecimal =
+          java.math.BigDecimal.valueOf(x)
+            .setScale(6, java.math.RoundingMode.HALF_UP)
+        val sampled = cells.filter(_._4 > 0)
+        var w: Map[(String, Long), java.math.BigDecimal] =
+          sampled.map(c => (c._1, c._2) ->
+            new java.math.BigDecimal(c._4).setScale(6)).toMap
+        def sweep(key: ((String, Long)) => Any,
+            target: Any => Long): Unit = {
+          val sums = w.groupBy { case (k, _) => key(k) }
+            .map { case (g, m) =>
+              g -> m.values.reduce(_.add(_)) }
+          w = w.map { case (k, v) =>
+            k -> round6(v.doubleValue * (target(key(k)).toDouble /
+              sums(key(k)).doubleValue))
+          }
+        }
+        for (_ <- 1 to 3) {
+          sweep(_._1, g => tr(g.asInstanceOf[String]))
+          sweep(_._2, g => tc(g.asInstanceOf[Long]))
+        }
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("event_type",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("dow",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_sample",
+            org.apache.spark.sql.types.DecimalType(18, 6)),
+          org.apache.spark.sql.types.StructField("weight",
+            org.apache.spark.sql.types.DecimalType(18, 6))))
+        val rows = sampled.sortBy(c => (c._1, c._2)).map { c =>
+          org.apache.spark.sql.Row(c._1, c._2,
+            new java.math.BigDecimal(c._4).setScale(6), w((c._1, c._2)))
+        }
+        s.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](
+            java.util.Arrays.asList(rows: _*)), schema)
+          .orderBy("event_type", "dow")
+      },
+      Some("""WITH base AS (SELECT event_type AS et,
+             |    CAST((epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) % 7 AS BIGINT) AS dow,
+             |    event_id FROM events),
+             |pop_r AS (SELECT et, CAST(count(*) AS BIGINT) AS tr FROM base GROUP BY et),
+             |pop_c AS (SELECT dow, CAST(count(*) AS BIGINT) AS tc FROM base GROUP BY dow),
+             |w0 AS (SELECT et, dow, CAST(CAST(count(*) AS BIGINT) AS DECIMAL(18,6)) AS w
+             |  FROM base WHERE event_id % 5 = 0 GROUP BY et, dow),
+             |r1 AS (SELECT w0.et, w0.dow,
+             |    CAST(round(CAST(w0.w AS DOUBLE) * (pr.tr / CAST(sr.s AS DOUBLE)), 6) AS DECIMAL(18,6)) AS w
+             |  FROM w0 JOIN pop_r pr ON pr.et = w0.et
+             |  JOIN (SELECT et, SUM(w) AS s FROM w0 GROUP BY et) sr ON sr.et = w0.et),
+             |c1 AS (SELECT r1.et, r1.dow,
+             |    CAST(round(CAST(r1.w AS DOUBLE) * (pc.tc / CAST(sc.s AS DOUBLE)), 6) AS DECIMAL(18,6)) AS w
+             |  FROM r1 JOIN pop_c pc ON pc.dow = r1.dow
+             |  JOIN (SELECT dow, SUM(w) AS s FROM r1 GROUP BY dow) sc ON sc.dow = r1.dow),
+             |r2 AS (SELECT c1.et, c1.dow,
+             |    CAST(round(CAST(c1.w AS DOUBLE) * (pr.tr / CAST(sr.s AS DOUBLE)), 6) AS DECIMAL(18,6)) AS w
+             |  FROM c1 JOIN pop_r pr ON pr.et = c1.et
+             |  JOIN (SELECT et, SUM(w) AS s FROM c1 GROUP BY et) sr ON sr.et = c1.et),
+             |c2 AS (SELECT r2.et, r2.dow,
+             |    CAST(round(CAST(r2.w AS DOUBLE) * (pc.tc / CAST(sc.s AS DOUBLE)), 6) AS DECIMAL(18,6)) AS w
+             |  FROM r2 JOIN pop_c pc ON pc.dow = r2.dow
+             |  JOIN (SELECT dow, SUM(w) AS s FROM r2 GROUP BY dow) sc ON sc.dow = r2.dow),
+             |r3 AS (SELECT c2.et, c2.dow,
+             |    CAST(round(CAST(c2.w AS DOUBLE) * (pr.tr / CAST(sr.s AS DOUBLE)), 6) AS DECIMAL(18,6)) AS w
+             |  FROM c2 JOIN pop_r pr ON pr.et = c2.et
+             |  JOIN (SELECT et, SUM(w) AS s FROM c2 GROUP BY et) sr ON sr.et = c2.et),
+             |c3 AS (SELECT r3.et, r3.dow,
+             |    CAST(round(CAST(r3.w AS DOUBLE) * (pc.tc / CAST(sc.s AS DOUBLE)), 6) AS DECIMAL(18,6)) AS w
+             |  FROM r3 JOIN pop_c pc ON pc.dow = r3.dow
+             |  JOIN (SELECT dow, SUM(w) AS s FROM r3 GROUP BY dow) sc ON sc.dow = r3.dow)
+             |SELECT c3.et AS event_type, c3.dow AS dow, w0.w AS n_sample, c3.w AS weight
+             |FROM c3 JOIN w0 ON w0.et = c3.et AND w0.dow = c3.dow
+             |ORDER BY event_type, dow""".stripMargin)))
 }

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.core.Cleanup.PersistTrackedOps
 import graft.core.Tables
 
 /** Time-series operators over `events` — the join/window families Spark
@@ -728,5 +729,96 @@ object EventQueries {
              |  CASE WHEN in_s AND NOT in_t THEN seg ELSE c_mktsegment END AS segment
              |FROM j
              |WHERE NOT (in_t AND in_s AND seg = 'MACHINERY')
-             |ORDER BY c_custkey""".stripMargin)))
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // q319 — NATIVE AS-OF JOIN over BUCKETED tables, exchange-free: the
+    // operator (q217) composed with the layout (q224). Both sides are
+    // written bucketed on the join key with an in-bucket (key, time)
+    // sort — the layout a 100 TB event store maintains once — and the
+    // as-of then plans with ZERO shuffles: the bucketed scans' 8-way
+    // HashPartitioning satisfies AsOfJoinExec's ClusteredDistribution
+    // on both sides (EnsureRequirements deems them co-partitioned),
+    // and because the exec passes the left partitioning through
+    // (`outputPartitioning = left.outputPartitioning`), the per-user
+    // aggregate ALSO runs exchange-free. The only exchange in the whole
+    // plan is the final orderBy's range partitioning. PlanSpec pins
+    // exactly that. The repartition before each write gives one file
+    // per bucket (the single-file condition for bucket-sort reuse).
+    // Latency sums are all-integer µs — exact at any scale.
+    QuerySpec("q319_asof_bucketed",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts").as("p_ts"))
+          .repartition(8, col("user_id"))
+        val signups = ev.filter(col("event_type") === "signup")
+          .groupBy(col("user_id").as("s_user"), col("ts").as("s_ts"))
+          .agg(max(col("event_id")).as("s_event"))
+          .repartition(8, col("s_user"))
+        graft.core.Sinks.bucketedSorted(purchases, "graft_asof_p",
+          Seq("user_id"), Seq("user_id", "p_ts"), 8)
+        graft.core.Sinks.bucketedSorted(signups, "graft_asof_s",
+          Seq("s_user"), Seq("s_user", "s_ts"), 8)
+        graft.plans.AsOf.joinBackward(
+            s.table("graft_asof_p"), s.table("graft_asof_s"),
+            Seq("user_id"), Seq("s_user"), "p_ts", "s_ts",
+            rightTie = Seq("s_event"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_purch"),
+            sum(when(col("s_ts").isNotNull, 1L).otherwise(0L))
+              .as("n_matched"),
+            sum(when(col("s_ts").isNotNull,
+              unix_micros(col("p_ts")) - unix_micros(col("s_ts")))
+              .otherwise(0L)).as("latency_us"))
+          .orderBy("user_id")
+      },
+      Some("""WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS p_ts
+             |  FROM events WHERE event_type = 'purchase'),
+             |s AS (SELECT user_id AS s_user, CAST(ts AS TIMESTAMP) AS s_ts,
+             |    max(event_id) AS s_event
+             |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2),
+             |j AS (SELECT p.user_id, p.p_ts, s.s_ts FROM p ASOF LEFT JOIN s
+             |  ON p.user_id = s.s_user AND s.s_ts <= p.p_ts)
+             |SELECT user_id, CAST(count(*) AS BIGINT) AS n_purch,
+             |  CAST(SUM(CASE WHEN s_ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+             |  CAST(SUM(CASE WHEN s_ts IS NOT NULL THEN epoch_us(p_ts) - epoch_us(s_ts) ELSE 0 END) AS BIGINT) AS latency_us
+             |FROM j GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // q321 — BITMAP-INDEX set intersection: the full event_type × type
+    // audience-overlap matrix computed on fixed-width user bitmaps —
+    // one BIGINT per 64-user block per type (bit_or of 1<<user%64) —
+    // instead of user-grain distinct sets. The intersection is then a
+    // block-keyed equi-join of 64× compressed rows, AND + popcount:
+    // the shuffle carries |users|/64 longs per type where the distinct
+    // form carries |users| rows per PAIR — this is the roaring-bitmap
+    // principle on Spark primitives, and at 100 TB it is the
+    // difference between a metadata join and 25 user-grain set
+    // intersections. Popcount of a two's-complement long equals the
+    // UBIGINT popcount bit-for-bit (the oracle shifts unsigned because
+    // DuckDB overflow-checks 1::BIGINT << 63). Cross-checked against
+    // direct DISTINCT-INTERSECT counts at all SFs.
+    QuerySpec("q321_bitmap_intersect",
+      (s, dir) => {
+        val bm = Tables.load(s, dir, "events")
+          .groupBy(col("event_type").as("et"),
+            expr("user_id div 64").as("blk"))
+          .agg(expr(
+            "bit_or(shiftleft(cast(1 as bigint), cast(user_id % 64 as int)))")
+            .as("b"))
+          .persistTracked()
+        bm.select(col("et").as("et1"), col("blk"), col("b").as("b1"))
+          .join(bm.select(col("et").as("et2"), col("blk"), col("b").as("b2")),
+            Seq("blk"))
+          .filter(col("et1") <= col("et2"))
+          .groupBy("et1", "et2")
+          .agg(sum(expr("bit_count(b1 & b2)")).cast("long").as("n_users"))
+          .orderBy("et1", "et2")
+      },
+      Some("""WITH bm AS (SELECT event_type AS et, user_id // 64 AS blk,
+             |    bit_or(CAST(1 AS UBIGINT) << CAST(user_id % 64 AS INTEGER)) AS b
+             |  FROM events GROUP BY 1, 2),
+             |px AS (SELECT a.et AS et1, c.et AS et2, bit_count(a.b & c.b) AS n
+             |  FROM bm a JOIN bm c ON a.blk = c.blk AND a.et <= c.et)
+             |SELECT et1, et2, CAST(SUM(n) AS BIGINT) AS n_users
+             |FROM px GROUP BY et1, et2 ORDER BY et1, et2""".stripMargin)))
 }

@@ -278,6 +278,22 @@ class PlanSpec extends AnyFunSuite {
       s"join key re-shuffled despite bucketing:\n$p")
   }
 
+  test("q319: native as-of over bucketed tables shuffles NOTHING but " +
+      "the final sort") {
+    val p = plan("q319_asof_bucketed")
+    assert(p.contains("AsOfJoin"), s"native as-of not planned:\n$p")
+    // Both scans are bucketed on the join key (8 buckets), so the as-of
+    // needs no exchange on either side; the exec passes the left
+    // partitioning through, so the per-user aggregate is exchange-free
+    // too. The ONLY exchange left is the orderBy's rangepartitioning —
+    // at 100 TB this plan touches the event store without one
+    // fact-table shuffle.
+    assert(!p.contains("hashpartitioning("),
+      s"as-of or aggregate re-shuffled despite bucketed layout:\n$p")
+    assert("Exchange rangepartitioning".r.findAllIn(p).size == 1,
+      s"expected exactly the final-sort exchange:\n$p")
+  }
+
   test("q225: partition-column filter prunes directories at the scan") {
     val p = plan("q225_partition_prune")
     val scan = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
