@@ -2313,17 +2313,22 @@ object AnalyticsQueries {
     // non-negatives.
     QuerySpec("q310_kaplan_meier",
       (s, dir) => {
-        val ev = Tables.load(s, dir, "events")
-        val first = ev.groupBy("user_id")
-          .agg(min(unix_micros(col("ts"))).as("t0"))
-        val purch = ev.filter(col("event_type") === "purchase")
+        // One conditional-min pass replaces the two-scan first⋈purchase
+        // join: every user has events, so tp IS NOT NULL ≡ the inner
+        // join (same fusion as q322).
+        val h = Tables.load(s, dir, "events")
           .groupBy("user_id")
-          .agg(min(unix_micros(col("ts"))).as("tp"))
-        val h = first.join(purch, "user_id")
+          .agg(min(unix_micros(col("ts"))).as("t0"),
+            min(when(col("event_type") === "purchase",
+              unix_micros(col("ts")))).as("tp"))
+          .filter(col("tp").isNotNull)
           .select(expr("(tp - t0) div 3600000000").as("hh"))
+        // Referenced twice (duration groupBy + total-users aggregate) —
+        // persist or the event scan runs twice.
         val dur = h.select(
           when(col("hh") < 48, col("hh")).otherwise(lit(48L)).as("dur"),
           (col("hh") < 48).as("observed"))
+          .persistTracked()
         val g = dur.groupBy("dur")
           .agg(sum(when(col("observed"), 1L).otherwise(0L)).as("d"),
             count(lit(1)).as("tot"))
@@ -2568,5 +2573,200 @@ object AnalyticsQueries {
              |  JOIN (SELECT dow, SUM(w) AS s FROM r3 GROUP BY dow) sc ON sc.dow = r3.dow)
              |SELECT c3.et AS event_type, c3.dow AS dow, w0.w AS n_sample, c3.w AS weight
              |FROM c3 JOIN w0 ON w0.et = c3.et AND w0.dow = c3.dow
-             |ORDER BY event_type, dow""".stripMargin)))
+             |ORDER BY event_type, dow""".stripMargin)),
+
+    // q322 — LOG-RANK test: does cohort A (even user_id) convert faster
+    // than cohort B? The standard censoring-aware comparison of two
+    // survival curves (a t-test on durations is WRONG under censoring —
+    // censored users would need a fake duration). Same risk-set frame
+    // as q310 split by cohort; at each death time the observed−expected
+    // A-deaths (expected ∝ A's share of the risk set) and the
+    // hypergeometric variance accumulate — each term round(6)→DECIMAL
+    // (the cross-time sum of raw doubles would be order-dependent),
+    // χ² = (Σoe)²/Σv off the exact sums. Everything after the one
+    // user-keyed shuffle is duration-grain metadata.
+    QuerySpec("q322_logrank_test",
+      (s, dir) => {
+        // One conditional-min pass (see q310): tp non-null ≡ the f⋈p
+        // inner join because every user has at least one event.
+        val su = Tables.load(s, dir, "events")
+          .groupBy("user_id")
+          .agg(min(unix_micros(col("ts"))).as("t0"),
+            min(when(col("event_type") === "purchase",
+              unix_micros(col("ts")))).as("tp"))
+          .filter(col("tp").isNotNull)
+          .select((col("user_id") % 2).as("grp"),
+            expr("(tp - t0) div 3600000000").as("hh"))
+          .select(col("grp"),
+            when(col("hh") < 48, col("hh")).otherwise(lit(48L)).as("dur"),
+            (col("hh") < 48).as("observed"))
+          .persistTracked()
+        val g = su.groupBy("dur").agg(
+          sum(when(col("observed") && col("grp") === 0, 1L).otherwise(0L)).as("d1"),
+          sum(when(col("observed") && col("grp") === 1, 1L).otherwise(0L)).as("d2"),
+          sum(when(col("grp") === 0, 1L).otherwise(0L)).as("tot1"),
+          sum(when(col("grp") === 1, 1L).otherwise(0L)).as("tot2"))
+        val n = su.agg(
+          sum(when(col("grp") === 0, 1L).otherwise(0L)).as("na"),
+          sum(when(col("grp") === 1, 1L).otherwise(0L)).as("nb"))
+        val wPrev = Window.orderBy("dur")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val r = g.crossJoin(broadcast(n))
+          .withColumn("n1",
+            col("na") - coalesce(sum(col("tot1")).over(wPrev), lit(0L)))
+          .withColumn("n2",
+            col("nb") - coalesce(sum(col("tot2")).over(wPrev), lit(0L)))
+          .withColumn("d", col("d1") + col("d2"))
+          .filter(col("d") > 0)
+        val nt = col("n1") + col("n2")
+        val t = r.select(col("d1"), col("d2"),
+          round(col("d1") - col("d") * (col("n1") / nt.cast("double")), 6)
+            .cast("decimal(18,6)").as("oe"),
+          round(when(nt > 1,
+            col("d") * (col("n1") / nt.cast("double"))
+              * (col("n2") / nt.cast("double"))
+              * ((nt - col("d")) / (nt - lit(1)).cast("double")))
+            .otherwise(lit(0.0)), 6)
+            .cast("decimal(18,6)").as("v"))
+        t.agg(sum(col("d1")).as("deaths_a"), sum(col("d2")).as("deaths_b"),
+            sum(col("oe")).cast("double").as("sum_oe"),
+            sum(col("v")).cast("double").as("sum_v"))
+          .withColumn("chi2",
+            (col("sum_oe") * col("sum_oe")) / col("sum_v"))
+      },
+      Some("""WITH f AS (SELECT user_id, min(epoch_us(CAST(ts AS TIMESTAMP))) AS t0 FROM events GROUP BY user_id),
+             |p AS (SELECT user_id, min(epoch_us(CAST(ts AS TIMESTAMP))) AS tp FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+             |s AS (SELECT f.user_id, CAST(f.user_id % 2 AS BIGINT) AS grp,
+             |    CASE WHEN (p.tp - f.t0) // 3600000000 < 48 THEN (p.tp - f.t0) // 3600000000 ELSE 48 END AS dur,
+             |    (p.tp - f.t0) // 3600000000 < 48 AS observed
+             |  FROM f JOIN p ON f.user_id = p.user_id),
+             |g AS (SELECT dur,
+             |    CAST(SUM(CASE WHEN observed AND grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+             |    CAST(SUM(CASE WHEN observed AND grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+             |    CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tot1,
+             |    CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tot2
+             |  FROM s GROUP BY dur),
+             |n AS (SELECT CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+             |    CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb FROM s),
+             |r AS (SELECT dur, d1, d2, d1 + d2 AS d,
+             |    na - COALESCE(SUM(tot1) OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n1,
+             |    nb - COALESCE(SUM(tot2) OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n2
+             |  FROM g, n),
+             |t AS (SELECT d1, d2,
+             |    CAST(round(d1 - d * (n1 / CAST(n1 + n2 AS DOUBLE)), 6) AS DECIMAL(18,6)) AS oe,
+             |    CAST(round(CASE WHEN n1 + n2 > 1 THEN
+             |        d * (n1 / CAST(n1 + n2 AS DOUBLE)) * (n2 / CAST(n1 + n2 AS DOUBLE))
+             |          * ((n1 + n2 - d) / CAST(n1 + n2 - 1 AS DOUBLE))
+             |      ELSE 0e0 END, 6) AS DECIMAL(18,6)) AS v
+             |  FROM r WHERE d > 0)
+             |SELECT CAST(SUM(d1) AS BIGINT) AS deaths_a, CAST(SUM(d2) AS BIGINT) AS deaths_b,
+             |  CAST(SUM(oe) AS DOUBLE) AS sum_oe, CAST(SUM(v) AS DOUBLE) AS sum_v,
+             |  (CAST(SUM(oe) AS DOUBLE) * CAST(SUM(oe) AS DOUBLE)) / CAST(SUM(v) AS DOUBLE) AS chi2
+             |FROM t""".stripMargin)),
+
+    // q323 — GINI COEFFICIENT + LORENZ DECILES of customer revenue:
+    // concentration measured exactly. The rank comes from a PrefixSum
+    // of ones over (rev, custkey) — the fully-parallel global rank
+    // (a row_number window here is the single-reducer sort that dies
+    // at 100 TB; the oracle USES that window, so the gate proves
+    // PrefixSum == row_number row for row). Gini via the rank identity
+    // G = 2·Σ(i·rev)/(n·Σrev) − (n+1)/n with Σ(i·rev) and Σrev as
+    // EXACT decimal sums — i·rev products are decimal-exact, so the
+    // only IEEE ops are the two final divisions, identical both
+    // engines. Deciles by integer arithmetic ((i−1)·10 div n).
+    QuerySpec("q323_gini_lorenz",
+      (s, dir) => {
+        val rev = Tables.load(s, dir, "orders")
+          .groupBy("o_custkey")
+          .agg(sum(round(col("o_totalprice"), 2).cast("decimal(18,2)"))
+            .as("rev"))
+          .withColumn("one", lit(1L))
+        val rk = PrefixSum.cumsum(rev, Seq("rev", "o_custkey"), "one", "i", 32)
+          .persistTracked()
+        val tot = rk.agg(count(lit(1)).as("n"), sum(col("rev")).as("srev"),
+          sum(col("i").cast("decimal(18,0)") * col("rev")).as("sirev"))
+        val dec = rk.crossJoin(broadcast(tot))
+          .groupBy(expr("((i - 1) * 10) div n").as("decile"))
+          .agg(count(lit(1)).as("n_cust"),
+            sum(col("rev")).cast("decimal(28,2)").as("decile_rev"))
+        val wCum = Window.orderBy("decile")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        dec.withColumn("cum_rev", sum(col("decile_rev")).over(wCum))
+          .crossJoin(broadcast(tot))
+          .select(col("decile"), col("n_cust"), col("decile_rev"),
+            (col("cum_rev").cast("double") / col("srev").cast("double"))
+              .as("cum_share"),
+            ((lit(2.0) * col("sirev").cast("double"))
+              / (col("n") * col("srev").cast("double"))
+              - (col("n") + lit(1)) / col("n").cast("double")).as("gini"))
+          .orderBy("decile")
+      },
+      Some("""WITH rev AS (SELECT o_custkey, SUM(CAST(round(o_totalprice,2) AS DECIMAL(18,2))) AS rev
+             |  FROM orders GROUP BY o_custkey),
+             |rk AS (SELECT o_custkey, rev,
+             |    row_number() OVER (ORDER BY rev, o_custkey) AS i FROM rev),
+             |tot AS (SELECT CAST(count(*) AS BIGINT) AS n, SUM(rev) AS srev,
+             |    SUM(CAST(i AS DECIMAL(18,0)) * rev) AS sirev FROM rk),
+             |dec AS (SELECT ((i - 1) * 10) // (SELECT n FROM tot) AS decile,
+             |    CAST(count(*) AS BIGINT) AS n_cust,
+             |    CAST(SUM(rev) AS DECIMAL(28,2)) AS decile_rev FROM rk GROUP BY 1),
+             |lor AS (SELECT decile, n_cust, decile_rev,
+             |    SUM(decile_rev) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev
+             |  FROM dec)
+             |SELECT CAST(decile AS BIGINT) AS decile, n_cust, decile_rev,
+             |  CAST(cum_rev AS DOUBLE) / CAST((SELECT srev FROM tot) AS DOUBLE) AS cum_share,
+             |  (2e0 * CAST((SELECT sirev FROM tot) AS DOUBLE))
+             |    / ((SELECT n FROM tot) * CAST((SELECT srev FROM tot) AS DOUBLE))
+             |    - ((SELECT n FROM tot) + 1) / CAST((SELECT n FROM tot) AS DOUBLE) AS gini
+             |FROM lor ORDER BY decile""".stripMargin)),
+
+    // q324 — KOLMOGOROV-SMIRNOV two-sample statistic in EXACT INTEGER
+    // arithmetic: max |ECDF_A − ECDF_B| between urgent and low-priority
+    // order values. The trick that makes the argmax hash-stable: never
+    // compare the double ECDF difference — maximize the cross-
+    // multiplied |cca·nb − ccb·na| (all longs, exact), divide by na·nb
+    // ONCE at the end. ECDFs come from two CHAINED PrefixSum cumsums
+    // over the value-grain count table (the q312 collision fix is what
+    // permits chaining); at 100 TB that is a range-partitioned scan,
+    // not a single-reducer window — the oracle uses the window, so the
+    // gate again proves the distributed form equals it.
+    QuerySpec("q324_ks_two_sample",
+      (s, dir) => {
+        val a = Tables.load(s, dir, "orders")
+          .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+          .select(round(col("o_totalprice"), 2).cast("decimal(18,2)").as("v"),
+            when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)
+              .as("ia"),
+            when(col("o_orderpriority") === "5-LOW", 1L).otherwise(0L)
+              .as("ib"))
+          .persistTracked()
+        val vg = a.groupBy("v")
+          .agg(sum(col("ia")).as("ca"), sum(col("ib")).as("cb"))
+        val cum = PrefixSum.cumsum(
+          PrefixSum.cumsum(vg, Seq("v"), "ca", "cca", 32),
+          Seq("v"), "cb", "ccb", 32)
+        val n = a.agg(sum(col("ia")).as("na"), sum(col("ib")).as("nb"))
+        cum.crossJoin(broadcast(n))
+          .select(col("v").as("at_value"),
+            abs(col("cca") * col("nb") - col("ccb") * col("na")).as("ks_num"),
+            col("na"), col("nb"))
+          .orderBy(desc("ks_num"), col("at_value"))
+          .limit(1)
+          .withColumn("ks",
+            col("ks_num").cast("double") / (col("na") * col("nb").cast("double")))
+      },
+      Some("""WITH a AS (SELECT CAST(round(o_totalprice,2) AS DECIMAL(18,2)) AS v,
+             |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS ia,
+             |    CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END AS ib
+             |  FROM orders WHERE o_orderpriority IN ('1-URGENT','5-LOW')),
+             |vg AS (SELECT v, CAST(SUM(ia) AS BIGINT) AS ca, CAST(SUM(ib) AS BIGINT) AS cb FROM a GROUP BY v),
+             |cum AS (SELECT v,
+             |    SUM(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cca,
+             |    SUM(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ccb
+             |  FROM vg),
+             |n AS (SELECT CAST(SUM(ia) AS BIGINT) AS na, CAST(SUM(ib) AS BIGINT) AS nb FROM a),
+             |d AS (SELECT v, abs(cca * nb - ccb * na) AS num, na, nb FROM cum, n)
+             |SELECT v AS at_value, CAST(num AS BIGINT) AS ks_num, na, nb,
+             |  CAST(num AS DOUBLE) / (na * CAST(nb AS DOUBLE)) AS ks
+             |FROM d ORDER BY num DESC, v LIMIT 1""".stripMargin)))
 }
