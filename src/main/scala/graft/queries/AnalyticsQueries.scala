@@ -2768,5 +2768,101 @@ object AnalyticsQueries {
              |d AS (SELECT v, abs(cca * nb - ccb * na) AS num, na, nb FROM cum, n)
              |SELECT v AS at_value, CAST(num AS BIGINT) AS ks_num, na, nb,
              |  CAST(num AS DOUBLE) / (na * CAST(nb AS DOUBLE)) AS ks
-             |FROM d ORDER BY num DESC, v LIMIT 1""".stripMargin)))
+             |FROM d ORDER BY num DESC, v LIMIT 1""".stripMargin)),
+
+    // q325 — BENJAMINI-HOCHBERG FDR across a 35-cell test sweep: every
+    // (event_type × dow) cell gets a 3-bucket goodness-of-fit chi²
+    // against the global value terciles; with df = 2 the p-value has
+    // the CLOSED FORM exp(−χ²/2) — no erf, fully oracle-expressible
+    // (the reason this query uses tercile buckets and not a z-test).
+    // BH then ranks p ascending and rejects through the largest k with
+    // p(k) ≤ k·α/m. The data is deliberately null (the corpus is
+    // uniform by construction): naive per-test α=0.1 still flags a few
+    // cells by chance (`naive_sig`), BH correctly rejects NONE — the
+    // multiple-testing control demonstrated on its own honest terms.
+    // Tercile bounds are percentile+round(4) both engines (the q86
+    // boundary rule); α·k/m is k·0.1e0/m in the oracle — a bare 0.1
+    // literal is DECIMAL in DuckDB (the q223 trap).
+    QuerySpec("q325_bh_fdr",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+          .select(col("event_type").as("et"),
+            expr("(unix_micros(ts) div 86400000000) % 7").as("dow"),
+            round(col("value"), 6).as("v6"))
+        val b = e.agg(
+          round(expr("percentile(v6, 0.3333333333333333)"), 4).as("b1"),
+          round(expr("percentile(v6, 0.6666666666666666)"), 4).as("b2"))
+        val bk = e.crossJoin(broadcast(b))
+          .select(col("et"), col("dow"),
+            when(col("v6") <= col("b1"), 0)
+              .when(col("v6") <= col("b2"), 1).otherwise(2).as("bucket"))
+          .persistTracked()
+        val gl = bk.agg(count(lit(1)).as("nn"),
+          sum(when(col("bucket") === 0, 1L).otherwise(0L)).as("g0"),
+          sum(when(col("bucket") === 1, 1L).otherwise(0L)).as("g1"),
+          sum(when(col("bucket") === 2, 1L).otherwise(0L)).as("g2"))
+        val c = bk.groupBy("et", "dow").agg(count(lit(1)).as("n"),
+          sum(when(col("bucket") === 0, 1L).otherwise(0L)).as("o0"),
+          sum(when(col("bucket") === 1, 1L).otherwise(0L)).as("o1"),
+          sum(when(col("bucket") === 2, 1L).otherwise(0L)).as("o2"))
+        def t(o: String, g: String): Column = {
+          val ex = col("n") * (col(g) / col("nn").cast("double"))
+          (col(o) - ex) * (col(o) - ex) / ex
+        }
+        val chi2raw = t("o0", "g0") + t("o1", "g1") + t("o2", "g2")
+        val x = c.crossJoin(broadcast(gl))
+          .select(col("et"), col("dow"), col("n"),
+            round(chi2raw, 6).cast("decimal(18,6)").as("chi2"),
+            round(exp(-chi2raw / lit(2.0)), 6).cast("decimal(12,6)").as("p"))
+        // 35-test frame: the unpartitioned windows are metadata-sized
+        val wAll = Window.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)
+        x.withColumn("m", count(lit(1)).over(wAll))
+          .withColumn("k",
+            row_number().over(Window.orderBy("p", "et", "dow")))
+          .withColumn("sig",
+            col("p").cast("double") <= (col("k") * lit(0.1)) / col("m"))
+          .withColumn("kmax",
+            coalesce(max(when(col("sig"), col("k"))).over(wAll), lit(0)))
+          .select(col("et").as("event_type"), col("dow"), col("n"),
+            col("chi2"), col("p"), col("k"),
+            (col("k") <= col("kmax")).as("rejected"),
+            (col("p").cast("double") <= lit(0.1)).as("naive_sig"))
+          .orderBy("k")
+      },
+      Some("""WITH e AS (SELECT event_type AS et,
+             |    CAST((epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) % 7 AS BIGINT) AS dow,
+             |    round(value, 6) AS v6 FROM events),
+             |b AS (SELECT round(quantile_cont(v6, 0.3333333333333333), 4) AS b1,
+             |    round(quantile_cont(v6, 0.6666666666666666), 4) AS b2 FROM e),
+             |bk AS (SELECT et, dow,
+             |    CASE WHEN v6 <= b1 THEN 0 WHEN v6 <= b2 THEN 1 ELSE 2 END AS bucket
+             |  FROM e, b),
+             |gl AS (SELECT CAST(count(*) AS BIGINT) AS nn,
+             |    CAST(SUM(CASE WHEN bucket = 0 THEN 1 ELSE 0 END) AS BIGINT) AS g0,
+             |    CAST(SUM(CASE WHEN bucket = 1 THEN 1 ELSE 0 END) AS BIGINT) AS g1,
+             |    CAST(SUM(CASE WHEN bucket = 2 THEN 1 ELSE 0 END) AS BIGINT) AS g2 FROM bk),
+             |c AS (SELECT et, dow, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(SUM(CASE WHEN bucket = 0 THEN 1 ELSE 0 END) AS BIGINT) AS o0,
+             |    CAST(SUM(CASE WHEN bucket = 1 THEN 1 ELSE 0 END) AS BIGINT) AS o1,
+             |    CAST(SUM(CASE WHEN bucket = 2 THEN 1 ELSE 0 END) AS BIGINT) AS o2
+             |  FROM bk GROUP BY et, dow),
+             |x AS (SELECT et, dow, n,
+             |    CAST(round(
+             |      (o0 - n * (g0 / CAST(nn AS DOUBLE))) * (o0 - n * (g0 / CAST(nn AS DOUBLE))) / (n * (g0 / CAST(nn AS DOUBLE)))
+             |      + (o1 - n * (g1 / CAST(nn AS DOUBLE))) * (o1 - n * (g1 / CAST(nn AS DOUBLE))) / (n * (g1 / CAST(nn AS DOUBLE)))
+             |      + (o2 - n * (g2 / CAST(nn AS DOUBLE))) * (o2 - n * (g2 / CAST(nn AS DOUBLE))) / (n * (g2 / CAST(nn AS DOUBLE))), 6) AS DECIMAL(18,6)) AS chi2,
+             |    CAST(round(exp(-(
+             |      (o0 - n * (g0 / CAST(nn AS DOUBLE))) * (o0 - n * (g0 / CAST(nn AS DOUBLE))) / (n * (g0 / CAST(nn AS DOUBLE)))
+             |      + (o1 - n * (g1 / CAST(nn AS DOUBLE))) * (o1 - n * (g1 / CAST(nn AS DOUBLE))) / (n * (g1 / CAST(nn AS DOUBLE)))
+             |      + (o2 - n * (g2 / CAST(nn AS DOUBLE))) * (o2 - n * (g2 / CAST(nn AS DOUBLE))) / (n * (g2 / CAST(nn AS DOUBLE)))) / 2e0), 6) AS DECIMAL(12,6)) AS p
+             |  FROM c, gl),
+             |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM x),
+             |rk AS (SELECT x.*, row_number() OVER (ORDER BY p, et, dow) AS k FROM x),
+             |sg AS (SELECT rk.*, CAST(p AS DOUBLE) <= (k * 0.1e0) / (SELECT m FROM m) AS sig FROM rk),
+             |km AS (SELECT COALESCE(max(CASE WHEN sig THEN k END), 0) AS kmax FROM sg)
+             |SELECT et AS event_type, dow, n, chi2, p, CAST(k AS INTEGER) AS k,
+             |  k <= (SELECT kmax FROM km) AS rejected,
+             |  CAST(p AS DOUBLE) <= 0.1e0 AS naive_sig
+             |FROM sg ORDER BY k""".stripMargin)))
 }
