@@ -898,6 +898,92 @@ object Multimodal {
     else (w * maxSide / longSide, h * maxSide / longSide)
   }
 
+  /** A real WebP container (RIFF): 'RIFF' size 'WEBP', a VP8X extended
+    * header (feature flags + 24-bit LE canvas dims minus one), an
+    * optional EXIF chunk and a VP8 bitstream stub — RIFF chunks pad to
+    * even length. Only the VP8X fields are decode targets (pixel decode
+    * needs libwebp); canvas, flags and chunk framing are what a
+    * curation pass reads. */
+  def webpBytes(width: Int, height: Int, alpha: Boolean, exifLen: Int,
+      vp8Len: Int): Array[Byte] = {
+    require(width >= 1 && width <= (1 << 24) && height >= 1 &&
+      height <= (1 << 24), s"canvas $width x $height")
+    def chunkLen(payload: Int): Int = 8 + payload + (payload & 1)
+    val total = 12 + chunkLen(10) +
+      (if (exifLen > 0) chunkLen(exifLen) else 0) + chunkLen(vp8Len)
+    val out = new Array[Byte](total)
+    var o = 0
+    def put4(s: String): Unit = {
+      var i = 0; while (i < 4) { out(o) = s.charAt(i).toByte; o += 1; i += 1 }
+    }
+    def le32(v: Int): Unit = {
+      out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
+      out(o + 2) = ((v >> 16) & 0xff).toByte
+      out(o + 3) = ((v >> 24) & 0xff).toByte; o += 4
+    }
+    def le24(v: Int): Unit = {
+      out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
+      out(o + 2) = ((v >> 16) & 0xff).toByte; o += 3
+    }
+    put4("RIFF"); le32(total - 8); put4("WEBP")
+    put4("VP8X"); le32(10)
+    // VP8X flags byte (spec order, MSB first): Rsv Rsv ICC Alpha EXIF
+    // XMP Anim Rsv
+    out(o) = ((if (alpha) 0x10 else 0) | (if (exifLen > 0) 0x08 else 0)).toByte
+    o += 1
+    out(o) = 0; out(o + 1) = 0; out(o + 2) = 0; o += 3 // reserved
+    le24(width - 1); le24(height - 1)
+    if (exifLen > 0) {
+      put4("EXIF"); le32(exifLen)
+      var i = 0
+      while (i < exifLen) { out(o) = ((i * 7 + 3) % 251).toByte; o += 1; i += 1 }
+      if ((exifLen & 1) == 1) { out(o) = 0; o += 1 }
+    }
+    put4("VP8 "); le32(vp8Len)
+    var i = 0
+    while (i < vp8Len) { out(o) = ((i * 5 + 1) % 251).toByte; o += 1; i += 1 }
+    if ((vp8Len & 1) == 1) { out(o) = 0; o += 1 }
+    out
+  }
+
+  /** WebP RIFF walk: validates the RIFF/WEBP magic, hops even-padded
+    * chunks, reads canvas dims and the alpha/EXIF flags from VP8X.
+    * Crash-proof on malformed input: a hostile or truncated chunk size
+    * ends the walk with whatever parsed (P8 permissive stance); None if
+    * no VP8X header was seen. Returns (width, height, hasAlpha,
+    * hasExif, nChunks, fileBytes). */
+  def decodeWebpMeta(b: Array[Byte])
+      : Option[(Int, Int, Boolean, Boolean, Int, Int)] = {
+    if (b.length < 12) return None
+    def tag(off: Int): String = new String(b, off, 4, "US-ASCII")
+    def le32(off: Int): Long =
+      (b(off) & 0xffL) | (b(off + 1) & 0xffL) << 8 |
+        (b(off + 2) & 0xffL) << 16 | (b(off + 3) & 0xffL) << 24
+    if (tag(0) != "RIFF" || tag(8) != "WEBP") return None
+    var o = 12
+    var n = 0
+    var dims: Option[(Int, Int, Boolean, Boolean)] = None
+    var ok = true
+    while (ok && o + 8 <= b.length) {
+      val fourcc = tag(o)
+      val len = le32(o + 4)
+      if (len < 0 || o + 8 + len > b.length) ok = false
+      else {
+        if (fourcc == "VP8X" && len >= 10) {
+          val fl = b(o + 8) & 0xff
+          val w = 1 + ((b(o + 12) & 0xff) | (b(o + 13) & 0xff) << 8 |
+            (b(o + 14) & 0xff) << 16)
+          val h = 1 + ((b(o + 15) & 0xff) | (b(o + 16) & 0xff) << 8 |
+            (b(o + 17) & 0xff) << 16)
+          dims = Some((w, h, (fl & 0x10) != 0, (fl & 0x08) != 0))
+        }
+        n += 1
+        o += 8 + len.toInt + (len.toInt & 1)
+      }
+    }
+    dims.map { case (w, h, a, e) => (w, h, a, e, n, b.length) }
+  }
+
   /** Strided frame sampler over opaque media bytes: every `stride` bytes
     * emit (frameIdx, offset, length, checksum) for a `frameLen`-byte
     * frame, checksum = byte-sum mod 997 (stands in for a frame feature). */

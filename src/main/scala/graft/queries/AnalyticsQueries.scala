@@ -965,17 +965,34 @@ object AnalyticsQueries {
             case ((t, k), rest) => when(col("u") < t, k).otherwise(rest)
           }
         val ord = Tables.load(s, dir, "orders")
+        // ONE portable md5 per order, then a cheap integer LCG mix per
+        // replicate — the minhash rule (hash once, k cheap
+        // permutations). The md5-per-(order, replicate) first cut cost
+        // 12 s at sf0.1: 100× the hashes for zero statistical gain.
+        // Intermediates stay < 1.3e16, overflow-free in both engines.
+        // Replicate arithmetic runs in integer CENTS (decimal(12,2)·100
+        // cast long is exact): the 15M-row weighted sum is then a long
+        // multiply-add instead of per-row decimal arithmetic (the
+        // decimal tax was most of the remaining 8 s at sf0.1), and the
+        // /100 folds into the one final division.
+        // h/xc bind in their OWN select below the generator — in the
+        // explode's projection they would re-evaluate per OUTPUT row
+        // (the q57/q197 unbound-expression trap: 15M md5s again).
         val wt = ord
           .select(col("o_orderkey"),
-            col("o_totalprice").cast("decimal(12,2)").as("x"),
+            (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")
+              .as("xc"),
+            graft.functions.Text.hash32(col("o_orderkey").cast("string"))
+              .as("h"))
+          .select(col("o_orderkey"), col("xc"), col("h"),
             explode(expr("sequence(1, 100)")).as("r"))
-          .withColumn("u", graft.functions.Text.hash32(
-            concat(col("o_orderkey").cast("string"), lit(":"),
-              col("r").cast("string"))) % 1000000)
+          .withColumn("u",
+            ((col("h") + col("r") * lit(2654435761L)) * lit(48271L))
+              % 1000000)
           .withColumn("wgt", ladder)
         val reps = wt.groupBy("r")
-          .agg(round(sum(col("wgt") * col("x")).cast("double") /
-            sum(col("wgt")), 6).as("m"))
+          .agg(round(sum(col("wgt") * col("xc")).cast("double") /
+            (sum(col("wgt")) * lit(100.0)), 6).as("m"))
         val rk = reps.withColumn("rn",
           row_number().over(Window.orderBy(col("m"), col("r"))))
         val pt = ord.agg(round(sum(col("o_totalprice").cast("decimal(12,2)"))
@@ -997,11 +1014,13 @@ object AnalyticsQueries {
         }
         val ladder = ts.zipWithIndex
           .map { case (t, k) => s"WHEN u < $t THEN $k" }.mkString(" ")
-        s"""WITH g AS (SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS x, r
+        s"""WITH g AS (SELECT o_orderkey,
+           |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS xc,
+           |    CAST('0x'||substr(md5(CAST(o_orderkey AS VARCHAR)),1,8) AS BIGINT) AS h, r
            |  FROM orders, UNNEST(generate_series(1, 100)) t(r)),
-           |w AS (SELECT *, CAST('0x'||substr(md5(CAST(o_orderkey AS VARCHAR)||':'||CAST(r AS VARCHAR)),1,8) AS BIGINT) % 1000000 AS u FROM g),
-           |wt AS (SELECT o_orderkey, x, r, CASE $ladder ELSE 7 END AS wgt FROM w),
-           |reps AS (SELECT r, round(CAST(SUM(wgt * x) AS DOUBLE) / SUM(wgt), 6) AS m
+           |w AS (SELECT *, ((h + r * 2654435761) * 48271) % 1000000 AS u FROM g),
+           |wt AS (SELECT o_orderkey, xc, r, CASE $ladder ELSE 7 END AS wgt FROM w),
+           |reps AS (SELECT r, round(CAST(SUM(wgt * xc) AS DOUBLE) / (SUM(wgt) * 100e0), 6) AS m
            |  FROM wt GROUP BY r),
            |rk AS (SELECT m, row_number() OVER (ORDER BY m, r) AS rn FROM reps),
            |pt AS (SELECT round(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / count(*), 6) AS est FROM orders)
@@ -2864,5 +2883,61 @@ object AnalyticsQueries {
              |SELECT et AS event_type, dow, n, chi2, p, CAST(k AS INTEGER) AS k,
              |  k <= (SELECT kmax FROM km) AS rejected,
              |  CAST(p AS DOUBLE) <= 0.1e0 AS naive_sig
-             |FROM sg ORDER BY k""".stripMargin)))
+             |FROM sg ORDER BY k""".stripMargin)),
+
+    // q327 — AVERAGE PRECISION (AP), the area under the precision-
+    // recall curve by step interpolation: mean of P@k over the positive
+    // ranks. Rank and cumulative-positive columns come from two CHAINED
+    // PrefixSum cumsums over (score DESC, id); the oracle uses
+    // row_number + a running window, so the gate proves once more that
+    // the distributed rank equals the single-reducer window row for
+    // row. Each P@k = cum_pos/k is one IEEE division, round(6)→DECIMAL
+    // before the positive-grain sum (order-free); AP and P/R@10 are
+    // final exact-operand divisions. Scores and labels are INDEPENDENT
+    // portable hashes, so AP ≈ the positive base rate — the metric
+    // mechanics, not a model, are under test.
+    QuerySpec("q327_average_precision",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            graft.functions.Text.hash32((col("doc_id") + 17).cast("string"))
+              .as("score"),
+            (graft.functions.Text.hash32(col("doc_id").cast("string")) % 5
+              === 0).as("label"))
+          .withColumn("negs", -col("score"))
+          .withColumn("one", lit(1L))
+          .withColumn("lab", when(col("label"), 1L).otherwise(0L))
+        val rk = PrefixSum.cumsum(
+          PrefixSum.cumsum(d, Seq("negs", "doc_id"), "one", "k", 32),
+          Seq("negs", "doc_id"), "lab", "cum_pos", 32)
+        rk.agg(
+            count(lit(1)).as("n"),
+            sum(col("lab")).as("np"),
+            sum(when(col("label"),
+              round(col("cum_pos") / col("k").cast("double"), 6)
+                .cast("decimal(12,6)"))).as("s"),
+            sum(when(col("label") && col("k") <= 10, 1L).otherwise(0L))
+              .as("p10"))
+          .select(col("n"), col("np").as("n_pos"),
+            (col("s").cast("double") / col("np")).as("avg_precision"),
+            (col("p10") / lit(10.0)).as("precision_at_10"),
+            (col("p10") / col("np").cast("double")).as("recall_at_10"))
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |    CAST(('0x' || substr(md5(CAST(doc_id + 17 AS VARCHAR)), 1, 8)) AS BIGINT) AS score,
+             |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 5 = 0 AS label
+             |  FROM documents),
+             |rk AS (SELECT doc_id, score, label,
+             |    row_number() OVER (ORDER BY score DESC, doc_id) AS k FROM d),
+             |cp AS (SELECT k, label,
+             |    SUM(CASE WHEN label THEN 1 ELSE 0 END) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos
+             |  FROM rk),
+             |ap AS (SELECT CAST(SUM(CASE WHEN label THEN CAST(round(cum_pos / CAST(k AS DOUBLE), 6) AS DECIMAL(12,6)) END) AS DOUBLE) AS s,
+             |    CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS np,
+             |    CAST(count(*) AS BIGINT) AS n,
+             |    CAST(SUM(CASE WHEN label AND k <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS p10
+             |  FROM cp)
+             |SELECT n, np AS n_pos, s / np AS avg_precision,
+             |  p10 / 10e0 AS precision_at_10, p10 / CAST(np AS DOUBLE) AS recall_at_10
+             |FROM ap""".stripMargin)))
 }

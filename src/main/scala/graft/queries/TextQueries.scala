@@ -3960,5 +3960,47 @@ object TextQueries {
               |    CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY w2),
               |tot AS (SELECT CAST(SUM(cont) AS DOUBLE) AS tc FROM cont)
               |SELECT w, cont, c2, CAST(cont AS DOUBLE) / tc AS p_cont
-              |FROM cont, tot ORDER BY cont DESC, w LIMIT 20""".stripMargin)))
+              |FROM cont, tot ORDER BY cont DESC, w LIMIT 20""".stripMargin)),
+
+    // q326 — WebP VP8X container walk: the RIFF sibling of the q120 WAV
+    // chunk walk for the image side — canvas dims are 24-bit LE
+    // minus-one fields in the VP8X extended header, alpha/EXIF are
+    // feature-flag bits, chunks pad to even RIFF lengths. Fixture
+    // geometry is id-derived (the q259 pattern); the decode reads ONLY
+    // the WebP bytes, and the oracle reconstructs the same framing
+    // arithmetic. Narrow per-row transform — the 100 TB media-metadata
+    // shape.
+    QuerySpec("q326_webp_meta",
+      (s, dir) => {
+        import s.implicits._
+        val ds = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+        ds.mapPartitions(_.flatMap { case (id, txt) =>
+          val n = txt.getBytes("UTF-8").length
+          val media = graft.functions.Multimodal.webpBytes(
+            width = (16 + id % 64).toInt,
+            height = (16 + (id * 7) % 48).toInt,
+            alpha = id % 2 == 0,
+            exifLen = if (id % 3 == 0) n % 23 else 0,
+            vp8Len = 10 + n % 40)
+          graft.functions.Multimodal.decodeWebpMeta(media).map {
+            case (w, h, a, e, nc, fb) => (id, fb, w, h, a, e, nc)
+          }
+        }).toDF("doc_id", "file_bytes", "width", "height", "has_alpha",
+            "has_exif", "n_chunks")
+          .orderBy("doc_id")
+      },
+      Some("""WITH p AS (SELECT doc_id, strlen(text) AS n,
+             |    CASE WHEN doc_id % 3 = 0 THEN strlen(text) % 23 ELSE 0 END AS exif,
+             |    10 + strlen(text) % 40 AS vp8
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(12 + 18 + CASE WHEN exif > 0 THEN 8 + exif + exif % 2 ELSE 0 END
+             |    + 8 + vp8 + vp8 % 2 AS INTEGER) AS file_bytes,
+             |  CAST(16 + doc_id % 64 AS INTEGER) AS width,
+             |  CAST(16 + (doc_id * 7) % 48 AS INTEGER) AS height,
+             |  doc_id % 2 = 0 AS has_alpha,
+             |  exif > 0 AS has_exif,
+             |  CAST(CASE WHEN exif > 0 THEN 3 ELSE 2 END AS INTEGER) AS n_chunks
+             |FROM p ORDER BY doc_id""".stripMargin)))
 }

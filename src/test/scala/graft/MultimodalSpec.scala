@@ -228,4 +228,30 @@ class MultimodalSpec extends AnyFunSuite {
     val tail = b ++ Array[Byte](0, 0, 0, 1)
     assert(Multimodal.decodeH264Nals(tail).contains((1, 1, 2, 4, 0)))
   }
+
+  test("WebP round trip and malformed-container robustness") {
+    val b = Multimodal.webpBytes(width = 33, height = 47, alpha = true,
+      exifLen = 13, vp8Len = 21)
+    assert(Multimodal.decodeWebpMeta(b)
+      .contains((33, 47, true, true, 3, b.length)))
+    // no EXIF → flag off, 2 chunks
+    val b2 = Multimodal.webpBytes(5, 6, alpha = false, exifLen = 0,
+      vp8Len = 10)
+    assert(Multimodal.decodeWebpMeta(b2)
+      .contains((5, 6, false, false, 2, b2.length)))
+    // odd payloads pad to even RIFF chunk boundaries
+    assert(b.length ==
+      12 + (8 + 10) + (8 + 13 + 1) + (8 + 21 + 1))
+    assert(Multimodal.decodeWebpMeta(Array.empty[Byte]).isEmpty)
+    assert(Multimodal.decodeWebpMeta("RIFFxxxxNOPE".getBytes).isEmpty)
+    // hostile chunk size past EOF: walk ends cleanly with VP8X parsed
+    val hostile = b.clone()
+    java.nio.ByteBuffer.wrap(hostile)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(12 + 18 + 4, Int.MaxValue - 2) // EXIF size field
+    assert(Multimodal.decodeWebpMeta(hostile)
+      .contains((33, 47, true, true, 1, b.length)))
+    // truncation before any VP8X header → None
+    assert(Multimodal.decodeWebpMeta(b.take(14)).isEmpty)
+  }
 }
