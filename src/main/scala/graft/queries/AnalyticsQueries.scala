@@ -2939,5 +2939,65 @@ object AnalyticsQueries {
              |  FROM cp)
              |SELECT n, np AS n_pos, s / np AS avg_precision,
              |  p10 / 10e0 AS precision_at_10, p10 / CAST(np AS DOUBLE) AS recall_at_10
-             |FROM ap""".stripMargin)))
+             |FROM ap""".stripMargin)),
+
+    // q329 — ROLLING-ORIGIN forecast backtest: the evaluation protocol
+    // behind any deployed forecaster — for each origin day o (11
+    // origins) forecast day o+h (h = 1..3) with a trailing 7-day mean,
+    // then score per HORIZON: MAPE and signed bias. A single train/test
+    // split overstates accuracy; the rolling origin is the honest
+    // protocol. Daily revenue is a decimal-exact sum; the forecast is
+    // one exact-decimal 7-day sum ÷ 7; each APE/bias ratio is one IEEE
+    // division round(6)→DECIMAL before the per-horizon mean
+    // (order-free). Everything after the one scan is day-grain
+    // metadata. The origin×past-day range join is at that metadata
+    // grain (33 days × 7) — a fact-grain range join would use
+    // ops.RangeJoin.
+    QuerySpec("q329_rolling_backtest",
+      (s, dir) => {
+        val daily = Tables.load(s, dir, "events")
+          .groupBy(expr("unix_micros(ts) div 86400000000").as("d"))
+          .agg(sum(round(col("value"), 6).cast("decimal(18,6)")).as("sv"))
+          .persistTracked()
+        val d0 = daily.agg(min(col("d")).as("d0"))
+        val rel = daily.crossJoin(broadcast(d0))
+          .select((col("d") - col("d0")).as("rd"),
+            col("sv").cast("double").as("v"), col("sv"))
+          .persistTracked()
+        val oh = rel.filter(col("rd").between(14, 24))
+          .select(col("rd").as("o"), explode(expr("array(1, 2, 3)")).as("h"))
+        val f = oh.join(rel.select(col("rd"), col("sv")),
+            col("rd").between(col("o") - 7, col("o") - 1))
+          .groupBy("o", "h")
+          .agg((sum(col("sv")).cast("double") / lit(7)).as("fc"))
+        val e = f.join(rel.select(col("rd"), col("v")),
+            col("rd") === col("o") + col("h"))
+          .select(col("h"),
+            round(abs(col("v") - col("fc")) / col("v"), 6)
+              .cast("decimal(12,6)").as("ape"),
+            round((col("fc") - col("v")) / col("v"), 6)
+              .cast("decimal(12,6)").as("bias"))
+        e.groupBy(col("h").cast("long").as("horizon"))
+          .agg(count(lit(1)).as("n_origins"),
+            (sum(col("ape")).cast("double") / count(lit(1))).as("mape"),
+            (sum(col("bias")).cast("double") / count(lit(1))).as("mean_bias"))
+          .orderBy("horizon")
+      },
+      Some("""WITH daily AS (SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS BIGINT) AS d,
+             |    SUM(CAST(round(value, 6) AS DECIMAL(18,6))) AS sv
+             |  FROM events GROUP BY 1),
+             |m AS (SELECT min(d) AS d0 FROM daily),
+             |rel AS (SELECT d - (SELECT d0 FROM m) AS rd, CAST(sv AS DOUBLE) AS v, sv FROM daily),
+             |oh AS (SELECT o.rd AS o, h FROM rel o, UNNEST([1, 2, 3]) t(h) WHERE o.rd BETWEEN 14 AND 24),
+             |f AS (SELECT oh.o, oh.h, CAST(SUM(p.sv) AS DOUBLE) / 7 AS fc
+             |  FROM oh JOIN rel p ON p.rd BETWEEN oh.o - 7 AND oh.o - 1
+             |  GROUP BY oh.o, oh.h),
+             |e AS (SELECT f.o, f.h,
+             |    CAST(round(abs(a.v - f.fc) / a.v, 6) AS DECIMAL(12,6)) AS ape,
+             |    CAST(round((f.fc - a.v) / a.v, 6) AS DECIMAL(12,6)) AS bias
+             |  FROM f JOIN rel a ON a.rd = f.o + f.h)
+             |SELECT CAST(h AS BIGINT) AS horizon, CAST(count(*) AS BIGINT) AS n_origins,
+             |  CAST(SUM(ape) AS DOUBLE) / count(*) AS mape,
+             |  CAST(SUM(bias) AS DOUBLE) / count(*) AS mean_bias
+             |FROM e GROUP BY h ORDER BY horizon""".stripMargin)))
 }

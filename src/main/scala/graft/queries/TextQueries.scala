@@ -2477,6 +2477,66 @@ object TextQueries {
               |  FROM deg d JOIN c3 ON d.src = c3.node)
               |SELECT node AS doc_id, r AS pr FROM r3 ORDER BY doc_id""".stripMargin)),
 
+    // q328 — PERSONALIZED PageRank on the near-dup graph: teleport mass
+    // goes ONLY to a seed set (even doc_ids), so rank measures
+    // proximity TO THE SEEDS — the similarity/recommendation primitive
+    // graph ANN systems use, where q131's uniform teleport measures
+    // global centrality. Same exact-integer fixed-point discipline
+    // (ranks ×1e12, integral div — no float summation hazard, so the
+    // 3-round iteration hash-matches); the only changes are the seeded
+    // init and the seed-conditional teleport term. Non-seed nodes'
+    // rank is pure received mass. Same round-persist lineage rule.
+    QuerySpec("q328_personalized_pagerank",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val cand = minhashCandidates(docs).persistTracked()
+        val edges = cand.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          .union(cand.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+          .persistTracked()
+        val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        val ns = deg.filter(col("src") % 2 === 0).count()
+        var state = deg.select(col("src").as("node"), col("deg"),
+          when(col("src") % 2 === 0, lit(1000000000000L / ns))
+            .otherwise(lit(0L)).as("r"))
+        for (_ <- 1 to 3) {
+          state = state.persistTracked()
+          val recv = edges
+            .join(state.select(col("node").as("src"), expr("r div deg").as("c")),
+              "src")
+            .groupBy(col("dst").as("node"))
+            .agg(sum(col("c")).as("inr"))
+          state = state.drop("r").join(recv, "node")
+            .select(col("node"), col("deg"),
+              (when(col("node") % 2 === 0, lit(150000000000L / ns))
+                .otherwise(lit(0L)) + expr("(85 * inr) div 100")).as("r"))
+        }
+        state.select(col("node").as("doc_id"), col("r").as("ppr"))
+          .orderBy("doc_id")
+      },
+      Some(s"""$duckMinhashCtes,
+              |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+              |          UNION ALL SELECT doc_b, doc_a FROM cand),
+              |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+              |ns AS (SELECT count(*) AS ns FROM deg WHERE src % 2 = 0),
+              |r0 AS (SELECT src AS node, deg,
+              |    CASE WHEN src % 2 = 0 THEN 1000000000000 // (SELECT ns FROM ns) ELSE 0 END AS r FROM deg),
+              |c1 AS (SELECT e.dst AS node, CAST(SUM(r0.r // r0.deg) AS BIGINT) AS inr
+              |  FROM edges e JOIN r0 ON e.src = r0.node GROUP BY e.dst),
+              |r1 AS (SELECT d.src AS node, d.deg,
+              |    CAST(CASE WHEN d.src % 2 = 0 THEN 150000000000 // (SELECT ns FROM ns) ELSE 0 END + (85 * inr) // 100 AS BIGINT) AS r
+              |  FROM deg d JOIN c1 ON d.src = c1.node),
+              |c2 AS (SELECT e.dst AS node, CAST(SUM(r1.r // r1.deg) AS BIGINT) AS inr
+              |  FROM edges e JOIN r1 ON e.src = r1.node GROUP BY e.dst),
+              |r2 AS (SELECT d.src AS node, d.deg,
+              |    CAST(CASE WHEN d.src % 2 = 0 THEN 150000000000 // (SELECT ns FROM ns) ELSE 0 END + (85 * inr) // 100 AS BIGINT) AS r
+              |  FROM deg d JOIN c2 ON d.src = c2.node),
+              |c3 AS (SELECT e.dst AS node, CAST(SUM(r2.r // r2.deg) AS BIGINT) AS inr
+              |  FROM edges e JOIN r2 ON e.src = r2.node GROUP BY e.dst),
+              |r3 AS (SELECT d.src AS node, d.deg,
+              |    CAST(CASE WHEN d.src % 2 = 0 THEN 150000000000 // (SELECT ns FROM ns) ELSE 0 END + (85 * inr) // 100 AS BIGINT) AS r
+              |  FROM deg d JOIN c3 ON d.src = c3.node)
+              |SELECT node AS doc_id, r AS ppr FROM r3 ORDER BY doc_id""".stripMargin)),
+
     // q133 — ADAPTIVE quality filtering: instead of a fixed length
     // cutoff, each language keeps documents at or above its own 25th
     // percentile of token count (per-stratum thresholds are how real
