@@ -2212,5 +2212,71 @@ object ExtQueries {
              |SELECT prio, CAST(count(*) AS BIGINT) AS n,
              |  CAST(SUM(price) AS DECIMAL(28,2)) AS total
              |FROM w WHERE prio NOT IN ('1-URGENT', '2-HIGH') OR o_orderkey % 3 = 0
-             |GROUP BY prio ORDER BY prio""".stripMargin)))
+             |GROUP BY prio ORDER BY prio""".stripMargin)),
+
+    // q330 — CONSISTENT-HASH RING rebalancing audit: what fraction of
+    // keys MOVE when the cluster grows 4→5 shards, ring placement
+    // (16 virtual nodes per shard, key → first ring position ≥ its
+    // hash, wrapping to the global min) vs naive `hash % n`. The
+    // measured answer is the textbook one — ~20% (≈1/5) for the ring,
+    // ~80% for mod — and it is exactly why every sharded store places
+    // by ring: scaling cost is |new shard|, not |cluster|. The ring is
+    // an 80-row metadata broadcast; each key's two placements are one
+    // conditional-min aggregate over key×ring — no shuffle of the key
+    // table beyond its own grain, the honest 100 TB shape. All hashes
+    // portable md5; position ties resolve to min shard id in BOTH
+    // engines.
+    QuerySpec("q330_consistent_hash_ring",
+      (s, dir) => {
+        val keys = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            graft.functions.Text.hash32(col("doc_id").cast("string")).as("h"))
+          .persistTracked()
+        val ring = s.range(5).select(col("id").as("sh"))
+          .crossJoin(s.range(16).select(col("id").as("v")))
+          .select(col("sh"), col("v"),
+            graft.functions.Text.hash32(concat(lit("shard-"),
+              col("sh").cast("string"), lit(":"), col("v").cast("string")))
+              .as("pos"))
+          .persistTracked()
+        def assign(r: org.apache.spark.sql.DataFrame, out: String) = {
+          val apos = keys.crossJoin(broadcast(r))
+            .groupBy("doc_id", "h")
+            .agg(coalesce(min(when(col("pos") >= col("h"), col("pos"))),
+              min(col("pos"))).as("apos"))
+          apos.join(broadcast(r), col("apos") === col("pos"))
+            .groupBy("doc_id").agg(min(col("sh")).as(out))
+        }
+        val o4 = assign(ring.filter(col("sh") < 4), "s4")
+        val o5 = assign(ring, "s5")
+        val ringmove = o4.join(o5, "doc_id")
+          .agg(sum(when(col("s4") =!= col("s5"), 1L).otherwise(0L))
+            .as("ring_moved"), count(lit(1)).as("n_keys"))
+        val modmove = keys
+          .agg(sum(when(col("h") % 4 =!= col("h") % 5, 1L).otherwise(0L))
+            .as("mod_moved"))
+        ringmove.crossJoin(modmove)
+          .select(col("n_keys"), col("ring_moved"),
+            (col("ring_moved").cast("double") / col("n_keys")).as("ring_frac"),
+            col("mod_moved"),
+            (col("mod_moved").cast("double") / col("n_keys")).as("mod_frac"))
+      },
+      Some("""WITH keys AS (SELECT doc_id, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h FROM documents),
+             |ring AS (SELECT s, v, CAST(('0x' || substr(md5('shard-' || CAST(s AS VARCHAR) || ':' || CAST(v AS VARCHAR)), 1, 8)) AS BIGINT) AS pos
+             |  FROM UNNEST(generate_series(0, 4)) t(s), UNNEST(generate_series(0, 15)) u(v)),
+             |a4 AS (SELECT k.doc_id,
+             |    COALESCE(min(CASE WHEN r.pos >= k.h THEN r.pos END), min(r.pos)) AS apos
+             |  FROM keys k, ring r WHERE r.s < 4 GROUP BY k.doc_id, k.h),
+             |o4 AS (SELECT a4.doc_id, min(r.s) AS s4 FROM a4 JOIN ring r ON r.pos = a4.apos AND r.s < 4 GROUP BY a4.doc_id),
+             |a5 AS (SELECT k.doc_id,
+             |    COALESCE(min(CASE WHEN r.pos >= k.h THEN r.pos END), min(r.pos)) AS apos
+             |  FROM keys k, ring r GROUP BY k.doc_id, k.h),
+             |o5 AS (SELECT a5.doc_id, min(r.s) AS s5 FROM a5 JOIN ring r ON r.pos = a5.apos GROUP BY a5.doc_id),
+             |rm AS (SELECT CAST(SUM(CASE WHEN s4 <> s5 THEN 1 ELSE 0 END) AS BIGINT) AS ring_moved,
+             |    CAST(count(*) AS BIGINT) AS n_keys
+             |  FROM o4 JOIN o5 ON o4.doc_id = o5.doc_id),
+             |mm AS (SELECT CAST(SUM(CASE WHEN h % 4 <> h % 5 THEN 1 ELSE 0 END) AS BIGINT) AS mod_moved FROM keys)
+             |SELECT n_keys, ring_moved, CAST(ring_moved AS DOUBLE) / n_keys AS ring_frac,
+             |  mod_moved, CAST(mod_moved AS DOUBLE) / n_keys AS mod_frac
+             |FROM rm, mm""".stripMargin)))
 }

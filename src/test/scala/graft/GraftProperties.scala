@@ -281,4 +281,38 @@ object GraftProperties extends Properties("graft") {
         xBack == x && yBack == y && zv >= 0 && zv < 65536
       }
     }
+
+  // q312's distributed ntile: the closed-form bucket arithmetic over a
+  // PrefixSum rank must equal Spark's own ntile window for ANY n and k
+  // — first n%k buckets hold n/k+1 rows, the rest n/k.
+  property("ntile bucket formula equals the ntile window") =
+    forAll(Gen.choose(1, 40), Gen.choose(1, 7)) { (n, k) =>
+      val kk = math.min(k, n) // ntile caps buckets at n rows
+      import org.apache.spark.sql.expressions.Window
+      val df = (1 to n).map(i => (i.toLong, i * 31 % 17)).toDF("id", "v")
+      val w = Window.orderBy(col("v"), col("id"))
+      val rk = df.withColumn("rank",
+          row_number().over(w).cast("long"))
+        .withColumn("nt", ntile(kk).over(w).cast("long"))
+      def idiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        ((a - pmod(a, b)) / b).cast("long")
+      val base = lit(n.toLong / kk); val m = lit(n.toLong % kk)
+      val cut = m * (base + 1)
+      val formula = when(col("rank") <= cut,
+          idiv(col("rank") - 1, base + 1) + 1)
+        .otherwise(m + idiv(col("rank") - cut - 1, base) + 1)
+      rk.select(col("nt"), formula.cast("long").as("f"))
+        .collect().forall(r => r.getLong(0) == r.getLong(1))
+    }
+
+  // q326's WebP container: encode → decode round-trips every field for
+  // arbitrary geometry, including odd-payload RIFF padding.
+  property("WebP meta round-trips through the container bytes") =
+    forAll(Gen.choose(1, 5000), Gen.choose(1, 5000), Gen.oneOf(true, false),
+      Gen.choose(0, 40), Gen.choose(1, 60)) { (w, h, a, exif, vp8) =>
+      val b = graft.functions.Multimodal.webpBytes(w, h, a, exif, vp8)
+      graft.functions.Multimodal.decodeWebpMeta(b)
+        .contains((w, h, a, exif > 0,
+          if (exif > 0) 3 else 2, b.length))
+    }
 }
