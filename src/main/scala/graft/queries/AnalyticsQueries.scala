@@ -2999,5 +2999,92 @@ object AnalyticsQueries {
              |SELECT CAST(h AS BIGINT) AS horizon, CAST(count(*) AS BIGINT) AS n_origins,
              |  CAST(SUM(ape) AS DOUBLE) / count(*) AS mape,
              |  CAST(SUM(bias) AS DOUBLE) / count(*) AS mean_bias
-             |FROM e GROUP BY h ORDER BY horizon""".stripMargin)))
+             |FROM e GROUP BY h ORDER BY horizon""".stripMargin)),
+
+    // q331 — FREQUENT TRIPLES (the 3-itemset rung of basket analysis
+    // above q191's pairs): co-purchased part triples by support.
+    // Triple generation is SCAN-LOCAL — a nested HOF over each order's
+    // sorted distinct part array (Σ C(b,3) rows, b ≈ 4 here; bounded
+    // by basket size, linear in orders) — NEVER the 3-way self-join,
+    // whose intermediate explodes at corpus scale. The ORACLE uses the
+    // self-join (correctness-only, fine at gate SF), so the gate also
+    // proves HOF combinations ≡ relational joins. Ties at equal
+    // support break on the part ids — a total order under LIMIT.
+    QuerySpec("q331_frequent_triples",
+      (s, dir) => {
+        val baskets = Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct()
+          .groupBy("o")
+          .agg(sort_array(collect_set(col("p"))).as("ps"))
+          .filter(size(col("ps")) >= 3)
+        baskets.select(explode(expr(
+            """flatten(transform(sequence(1, size(ps) - 2), i ->
+              |  flatten(transform(sequence(i + 1, size(ps) - 1), j ->
+              |    transform(sequence(j + 1, size(ps)), k ->
+              |      struct(element_at(ps, i) AS p1,
+              |             element_at(ps, j) AS p2,
+              |             element_at(ps, k) AS p3))))))""".stripMargin))
+            .as("t"))
+          .select(col("t.p1"), col("t.p2"), col("t.p3"))
+          .groupBy("p1", "p2", "p3")
+          .agg(count(lit(1)).as("support"))
+          .orderBy(desc("support"), col("p1"), col("p2"), col("p3"))
+          .limit(10)
+      },
+      Some("""WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+             |tr AS (SELECT a.p AS p1, c.p AS p2, d.p AS p3, CAST(count(*) AS BIGINT) AS support
+             |  FROM b a JOIN b c ON a.o = c.o AND a.p < c.p
+             |            JOIN b d ON a.o = d.o AND c.p < d.p
+             |  GROUP BY a.p, c.p, d.p)
+             |SELECT p1, p2, p3, support FROM tr
+             |ORDER BY support DESC, p1, p2, p3 LIMIT 10""".stripMargin)),
+
+    // q332 — PRICE-VOLUME-MIX waterfall: the FP&A decomposition of a
+    // period-over-period revenue change into what a price change alone
+    // would have done (n0·Δavg), what volume alone would have done
+    // (avg0·Δn), and the interaction (Δavg·Δn) — per priority segment.
+    // One scan, one conditional aggregate; averages are exact decimal
+    // sums with one IEEE division each, and every effect is the same
+    // fixed chain of IEEE ops in both engines — output RAW (the q216
+    // rule: round(2) hit a literal x.975 boundary at sf0.001 where the
+    // engines' rounding of the same double disagrees; with exact
+    // inputs the unrounded doubles are bit-identical). The three
+    // effects sum to Δrevenue by algebra.
+    QuerySpec("q332_price_volume_mix",
+      (s, dir) => {
+        val g = Tables.load(s, dir, "orders")
+          .select(col("o_orderpriority").as("prio"),
+            (col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+              .as("p0"),
+            round(col("o_totalprice"), 2).cast("decimal(18,2)").as("x"))
+          .groupBy("prio")
+          .agg(sum(when(col("p0"), 1L).otherwise(0L)).as("n0"),
+            sum(when(!col("p0"), 1L).otherwise(0L)).as("n1"),
+            sum(when(col("p0"), col("x"))).as("s0"),
+            sum(when(!col("p0"), col("x"))).as("s1"))
+        val avg0 = col("s0").cast("double") / col("n0")
+        val avg1 = col("s1").cast("double") / col("n1")
+        g.select(col("prio"), col("n0"), col("n1"),
+            col("s0").cast("decimal(28,2)").as("rev0"),
+            col("s1").cast("decimal(28,2)").as("rev1"),
+            (col("n0") * (avg1 - avg0)).as("price_eff"),
+            (avg0 * (col("n1") - col("n0"))).as("volume_eff"),
+            ((avg1 - avg0) * (col("n1") - col("n0"))).as("mix_eff"))
+          .orderBy("prio")
+      },
+      Some("""WITH s AS (SELECT o_orderpriority AS prio,
+             |    o_orderdate < TIMESTAMP '1997-01-01' AS p0,
+             |    CAST(round(o_totalprice, 2) AS DECIMAL(18,2)) AS x FROM orders),
+             |g AS (SELECT prio,
+             |    CAST(SUM(CASE WHEN p0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             |    CAST(SUM(CASE WHEN NOT p0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             |    SUM(CASE WHEN p0 THEN x END) AS s0, SUM(CASE WHEN NOT p0 THEN x END) AS s1
+             |  FROM s GROUP BY prio)
+             |SELECT prio, n0, n1,
+             |  CAST(s0 AS DECIMAL(28,2)) AS rev0, CAST(s1 AS DECIMAL(28,2)) AS rev1,
+             |  n0 * (CAST(s1 AS DOUBLE)/n1 - CAST(s0 AS DOUBLE)/n0) AS price_eff,
+             |  (CAST(s0 AS DOUBLE)/n0) * (n1 - n0) AS volume_eff,
+             |  (CAST(s1 AS DOUBLE)/n1 - CAST(s0 AS DOUBLE)/n0) * (n1 - n0) AS mix_eff
+             |FROM g ORDER BY prio""".stripMargin)))
 }
