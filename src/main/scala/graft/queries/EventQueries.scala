@@ -820,5 +820,64 @@ object EventQueries {
              |px AS (SELECT a.et AS et1, c.et AS et2, bit_count(a.b & c.b) AS n
              |  FROM bm a JOIN bm c ON a.blk = c.blk AND a.et <= c.et)
              |SELECT et1, et2, CAST(SUM(n) AS BIGINT) AS n_users
-             |FROM px GROUP BY et1, et2 ORDER BY et1, et2""".stripMargin)))
+             |FROM px GROUP BY et1, et2 ORDER BY et1, et2""".stripMargin)),
+
+    // q335 — sequential pattern mining (PrefixSpan's length-2/3 rung):
+    // per user, event types ordered by FIRST occurrence; every ordered
+    // pair and triple of that sequence is a pattern, counted by how many
+    // users exhibit it. Sequence assembly is one (user, type) min-ts
+    // aggregate; pattern generation is SCAN-LOCAL HOF combination over
+    // the per-user sorted array (≤ 5 symbols ⇒ ≤ C(5,2)+C(5,3) rows per
+    // user, bounded by the type alphabet, linear in users) — never the
+    // 3-way self-join the oracle uses, which explodes at corpus scale.
+    // Index order on the (t0, type)-sorted array ≡ the oracle's
+    // lexicographic (t0, type) strict inequality: per-user types are
+    // distinct, so all sort keys are distinct and ties cannot differ.
+    QuerySpec("q335_seq_patterns",
+      (s, dir) => {
+        val f = Tables.load(s, dir, "events")
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(min("ts").as("t0"))
+        val seqd = f.groupBy("user_id")
+          .agg(sort_array(collect_list(struct(col("t0"), col("event_type"))))
+            .as("sq"))
+          .select(col("user_id"),
+            expr("transform(sq, x -> x.event_type)").as("tl"))
+          .persistTracked()
+        val pairs = seqd.filter(size(col("tl")) >= 2)
+          .select(explode(expr(
+            """flatten(transform(sequence(1, size(tl) - 1), i ->
+              |  transform(sequence(i + 1, size(tl)), j ->
+              |    concat(element_at(tl, i), '>', element_at(tl, j)))))"""
+              .stripMargin)).as("pattern"))
+          .withColumn("plen", lit(2))
+        val triples = seqd.filter(size(col("tl")) >= 3)
+          .select(explode(expr(
+            """flatten(flatten(transform(sequence(1, size(tl) - 2), i ->
+              |  transform(sequence(i + 1, size(tl) - 1), j ->
+              |    transform(sequence(j + 1, size(tl)), k ->
+              |      concat(element_at(tl, i), '>', element_at(tl, j), '>',
+              |             element_at(tl, k)))))))""".stripMargin)).as("pattern"))
+          .withColumn("plen", lit(3))
+        pairs.union(triples)
+          .groupBy("pattern", "plen")
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy(desc("n_users"), col("pattern"))
+      },
+      Some("""WITH f AS (SELECT user_id, event_type, min(ts) AS t0
+             |          FROM events GROUP BY 1, 2),
+             |pr AS (SELECT a.event_type || '>' || b.event_type AS pattern,
+             |         2 AS plen, a.user_id
+             |       FROM f a JOIN f b ON a.user_id = b.user_id
+             |        AND (a.t0 < b.t0 OR (a.t0 = b.t0 AND a.event_type < b.event_type))),
+             |tr AS (SELECT a.event_type || '>' || b.event_type || '>' || c.event_type,
+             |         3 AS plen, a.user_id
+             |       FROM f a JOIN f b ON a.user_id = b.user_id
+             |        AND (a.t0 < b.t0 OR (a.t0 = b.t0 AND a.event_type < b.event_type))
+             |       JOIN f c ON b.user_id = c.user_id
+             |        AND (b.t0 < c.t0 OR (b.t0 = c.t0 AND b.event_type < c.event_type))),
+             |u AS (SELECT * FROM pr UNION ALL SELECT * FROM tr)
+             |SELECT pattern, CAST(plen AS INTEGER) AS plen,
+             |  CAST(count(*) AS BIGINT) AS n_users
+             |FROM u GROUP BY 1, 2 ORDER BY n_users DESC, pattern""".stripMargin)))
 }

@@ -4062,5 +4062,48 @@ object TextQueries {
              |  doc_id % 2 = 0 AS has_alpha,
              |  exif > 0 AS has_exif,
              |  CAST(CASE WHEN exif > 0 THEN 3 ELSE 2 END AS INTEGER) AS n_chunks
-             |FROM p ORDER BY doc_id""".stripMargin)))
+             |FROM p ORDER BY doc_id""".stripMargin)),
+
+    // q333 — TAR/WebDataset member walk: each document is packed as a
+    // real POSIX ustar archive (the container WebDataset shards training
+    // corpora in: <key>.txt + <key>.cls [+ <key>.bin]), then the walker
+    // recovers every member's name, size, data offset, and header
+    // checksum validity from the raw bytes. The writer is byte-identical
+    // to Python tarfile (ArchiveSpec pins the fixture), so the offsets
+    // the oracle reconstructs arithmetically — 512-byte headers, payloads
+    // padded to 512 — are the offsets `tar` itself would report. Per-file
+    // mapPartitions, the multimodal decode shape (narrow, scan-local).
+    QuerySpec("q333_tar_members",
+      (s, dir) => {
+        import s.implicits._
+        val ds = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+        ds.mapPartitions(_.flatMap { case (id, txt) =>
+          val members = Seq(
+            s"$id.txt" -> txt.getBytes("UTF-8"),
+            s"$id.cls" -> Array.fill((id % 7 + 1).toInt)('c'.toByte)) ++
+            (if (id % 2 == 1)
+               Seq(s"$id.bin" -> Array.fill(((id % 50) * 4).toInt)('b'.toByte))
+             else Nil)
+          graft.functions.Archives.decodeTar(
+              graft.functions.Archives.tarBytes(members))
+            .map { case (nm, sz, off, ok) => (id, nm, sz, off, ok) }
+        }).toDF("doc_id", "name", "size", "data_offset", "chksum_ok")
+          .orderBy("doc_id", "data_offset")
+      },
+      Some("""WITH p AS (SELECT doc_id, strlen(text) AS n FROM documents),
+             |m AS (
+             |  SELECT doc_id, 0 AS idx, doc_id::VARCHAR || '.txt' AS name,
+             |         CAST(n AS BIGINT) AS sz FROM p
+             |  UNION ALL SELECT doc_id, 1, doc_id::VARCHAR || '.cls',
+             |         CAST(doc_id % 7 + 1 AS BIGINT) FROM p
+             |  UNION ALL SELECT doc_id, 2, doc_id::VARCHAR || '.bin',
+             |         CAST((doc_id % 50) * 4 AS BIGINT) FROM p WHERE doc_id % 2 = 1)
+             |SELECT doc_id, name, sz AS size,
+             |  CAST(512 + COALESCE(SUM(512 + ((sz + 511) // 512) * 512)
+             |    OVER (PARTITION BY doc_id ORDER BY idx
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |    AS BIGINT) AS data_offset,
+             |  TRUE AS chksum_ok
+             |FROM m ORDER BY doc_id, data_offset""".stripMargin)))
 }

@@ -2063,5 +2063,97 @@ object VectorQueries {
           s.read.parquet(s"$idx/codes_v2"))
       },
       Some(duckIvfPqOracleFor("TRUE",
-        "NOT (a1.vec_id >= 8 AND a1.vec_id % 7 = 3)"))))
+        "NOT (a1.vec_id >= 8 AND a1.vec_id % 7 = 3)"))),
+
+    // q334 — DBSCAN density clustering on the embedding plane (dims 1–2):
+    // eps=0.02, minPts=5. The ε-neighbor graph is built with the grid
+    // trick (cell width = eps, so every ε-pair is a king-move cell pair):
+    // each point joins the 3×3 cell coverage of the other side — ONE
+    // equi-join on cell id, never the all-pairs product; candidate
+    // volume is Σ 9·|cell|·density, corpus-linear at fixed density.
+    // Core = |N_eps incl self| ≥ minPts; core-core edges feed the same
+    // O(log n) min-label propagation as q76 (tuned session clone — the
+    // edge set is candidate-sized); cluster id = min core id in the
+    // component. Border points adopt the MINIMUM cluster id among their
+    // core neighbors (deterministic, unlike scan-order DBSCAN); the rest
+    // is noise (-1). Distances compare squared doubles against the
+    // literal 0.0004 — one identical IEEE chain per engine, no rounding.
+    QuerySpec("q334_dbscan",
+      (s, dir) => {
+        val eps = 0.02
+        val pts = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"),
+            element_at(col("embedding"), 1).cast("double").as("x"),
+            element_at(col("embedding"), 2).cast("double").as("y"))
+          .persistTracked()
+        val own = pts
+          .withColumn("cx", floor(col("x") / eps).cast("long"))
+          .withColumn("cy", floor(col("y") / eps).cast("long"))
+        val cov = own
+          .select(col("vec_id").as("bi"), col("x").as("bx"), col("y").as("by"),
+            explode(expr("sequence(-1L, 1L)")).as("dx"), col("cx"), col("cy"))
+          .select(col("bi"), col("bx"), col("by"),
+            (col("cx") + col("dx")).as("cx"),
+            explode(expr("sequence(-1L, 1L)")).as("dy"), col("cy"))
+          .select(col("bi"), col("bx"), col("by"), col("cx"),
+            (col("cy") + col("dy")).as("cy"))
+        val nb = own.join(cov, Seq("cx", "cy"))
+          .filter(col("vec_id") =!= col("bi") &&
+            (col("x") - col("bx")) * (col("x") - col("bx")) +
+              (col("y") - col("by")) * (col("y") - col("by")) < eps * eps)
+          .select(col("vec_id").as("ai"), col("bi"))
+          .persistTracked()
+        val core = nb.groupBy("ai").agg(count(lit(1)).as("nnb"))
+          .filter(col("nnb") + 1 >= 5).select(col("ai").as("id"))
+          .persistTracked()
+        val ce = nb
+          .join(core.select(col("id").as("ai")), "ai")
+          .join(core.select(col("id").as("bi")), "bi")
+          .select(col("ai").as("src"), col("bi").as("dst"))
+        ce.count() // materialize the corpus-scale phase before retuning
+        val ns = graft.core.Tuned.session(s,
+          "spark.sql.shuffle.partitions" -> "4",
+          "spark.sql.adaptive.enabled" -> "false")
+        val labels = graft.core.Tuned.rehome(
+          graft.ops.ConnectedComponents.minLabelPropagation(
+            graft.core.Tuned.rehome(ce, ns)), s)
+        // isolated core points (no core neighbor) are their own cluster
+        val clab = core.join(labels.withColumnRenamed("node", "id"),
+            Seq("id"), "left")
+          .select(col("id"), coalesce(col("cid"), col("id")).as("cid"))
+          .persistTracked()
+        val blab = nb.join(core.select(col("id").as("ai")), Seq("ai"), "left_anti")
+          .join(clab.select(col("id").as("bi"), col("cid")), "bi")
+          .groupBy("ai").agg(min("cid").as("bcid"))
+        pts.join(clab.select(col("id").as("vec_id"), col("cid")), Seq("vec_id"), "left")
+          .join(blab.select(col("ai").as("vec_id"), col("bcid")), Seq("vec_id"), "left")
+          .select(col("vec_id"),
+            when(col("cid").isNotNull, "core")
+              .when(col("bcid").isNotNull, "border")
+              .otherwise("noise").as("role"),
+            coalesce(col("cid"), col("bcid"), lit(-1L)).as("cluster_id"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH RECURSIVE p AS (SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x,
+             |    CAST(embedding[2] AS DOUBLE) AS y FROM embeddings),
+             |nb AS (SELECT a.vec_id AS ai, b.vec_id AS bi FROM p a JOIN p b
+             |       ON a.vec_id <> b.vec_id
+             |        AND (a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y) < 0.0004),
+             |core AS (SELECT ai AS id FROM nb GROUP BY ai HAVING count(*) + 1 >= 5),
+             |ce AS (SELECT n.ai AS a, n.bi AS b FROM nb n
+             |       JOIN core c1 ON n.ai = c1.id JOIN core c2 ON n.bi = c2.id),
+             |reach AS (SELECT a AS src, b AS dst FROM ce
+             |          UNION SELECT r.src, e.b FROM reach r JOIN ce e ON r.dst = e.a),
+             |clab AS (SELECT id, CAST(least(id, COALESCE(min(dst), id)) AS BIGINT) AS cid
+             |         FROM core LEFT JOIN reach ON id = src GROUP BY id),
+             |blab AS (SELECT n.ai AS id, min(cl.cid) AS cid FROM nb n
+             |         JOIN clab cl ON n.bi = cl.id
+             |         WHERE n.ai NOT IN (SELECT id FROM core) GROUP BY n.ai)
+             |SELECT p.vec_id,
+             |  CASE WHEN cl.cid IS NOT NULL THEN 'core'
+             |       WHEN bl.cid IS NOT NULL THEN 'border' ELSE 'noise' END AS role,
+             |  CAST(COALESCE(cl.cid, bl.cid, -1) AS BIGINT) AS cluster_id
+             |FROM p LEFT JOIN clab cl ON p.vec_id = cl.id
+             |       LEFT JOIN blab bl ON p.vec_id = bl.id
+             |ORDER BY p.vec_id""".stripMargin)))
 }
