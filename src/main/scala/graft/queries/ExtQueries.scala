@@ -2278,5 +2278,209 @@ object ExtQueries {
              |mm AS (SELECT CAST(SUM(CASE WHEN h % 4 <> h % 5 THEN 1 ELSE 0 END) AS BIGINT) AS mod_moved FROM keys)
              |SELECT n_keys, ring_moved, CAST(ring_moved AS DOUBLE) / n_keys AS ring_frac,
              |  mod_moved, CAST(mod_moved AS DOUBLE) / n_keys AS mod_frac
-             |FROM rm, mm""".stripMargin)))
+             |FROM rm, mm""".stripMargin)),
+
+    // q336 — MATERIALIZED-VIEW REWRITE under the oracle gate: build a
+    // (l_returnflag, l_linestatus, l_linenumber)-grain summary of
+    // lineitem ONCE, register plans.MvRewriteRule on a session clone,
+    // and run a plain base-table aggregate — the optimizer redirects it
+    // to the 42-row MV (exact by algebra: decimal sums re-associate,
+    // counts add). The fn REQUIRES that no lineitem scan survives in the
+    // optimized plan, so the hash-green result is proof the rewritten
+    // plan — not the base plan — produced it; the oracle computes from
+    // the base table, pinning rewrite ≡ direct aggregation. At 100 TB
+    // this is the summary-table pattern: the MV is O(group cardinality),
+    // the query never touches the fact scan.
+    QuerySpec("q336_mv_rewrite",
+      (s, dir) => {
+        val ns = graft.core.Tuned.session(s)
+          .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        val base = Tables.load(ns, dir, "lineitem")
+        val mvPath = new java.io.File(System.getProperty("java.io.tmpdir"),
+          "graft_mv_" + Integer.toHexString(dir.hashCode)).toString
+        base.groupBy("l_returnflag", "l_linestatus", "l_linenumber")
+          .agg(sum("l_quantity").as("s_qty"),
+            sum("l_extendedprice").as("s_price"),
+            count(lit(1)).as("n_rows"))
+          .write.mode("overwrite").parquet(mvPath)
+        val basePath = base.queryExecution.analyzed.collectFirst {
+          case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            l.relation.asInstanceOf[
+              org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+              .location.rootPaths.head.toString
+        }.get
+        val rule = graft.plans.MvRewriteRule(ns, basePath,
+          ns.read.parquet(mvPath).queryExecution.analyzed,
+          Set("l_returnflag", "l_linestatus", "l_linenumber"),
+          Map("l_quantity" -> "s_qty", "l_extendedprice" -> "s_price"),
+          "n_rows")
+        if (!ns.experimental.extraOptimizations.contains(rule))
+          ns.experimental.extraOptimizations =
+            ns.experimental.extraOptimizations :+ rule
+        val q = Tables.load(ns, dir, "lineitem")
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(sum("l_quantity").as("sum_qty"),
+            sum("l_extendedprice").as("sum_price"),
+            count(lit(1)).as("n_rows"))
+          .select(col("l_returnflag"), col("l_linestatus"),
+            col("sum_qty").cast("decimal(28,2)").as("sum_qty"),
+            col("sum_price").cast("decimal(28,2)").as("sum_price"),
+            col("n_rows"))
+          .orderBy("l_returnflag", "l_linestatus")
+        val scans = q.queryExecution.optimizedPlan.collect {
+          case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            l.relation.asInstanceOf[
+              org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+              .location.rootPaths.head.toString
+        }
+        require(scans.nonEmpty && scans.forall(_ == "file:" + mvPath),
+          s"MV rewrite did not fire; plan scans $scans")
+        q
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(SUM(l_quantity) AS DECIMAL(28,2)) AS sum_qty,
+             |  CAST(SUM(l_extendedprice) AS DECIMAL(28,2)) AS sum_price,
+             |  CAST(count(*) AS BIGINT) AS n_rows
+             |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // q337 — EXACT SHAPLEY channel attribution (Zhao et al.'s coalition
+    // formulation): a user's coalition is the SET of non-purchase channel
+    // types seen before their first purchase (all events for
+    // non-converters); v(S) = P(first purchase value > 60 | coalition =
+    // S), with unobserved coalitions v = 0. With a 4-channel alphabet
+    // the 16 coalition values are an aggregate, and the Shapley sum
+    // Σ_S w(|S|)·(v(S∪i) − v(S)) is a 64-row broadcast join — per-user
+    // work is one aggregate, corpus-linear. Hash stability: v is
+    // round(·,6) DECIMAL, weights ×4! are exact integers (6,2,2,6), so
+    // the weighted sum is EXACT decimal; the single ÷24 IEEE division
+    // happens once at output.
+    QuerySpec("q337_shapley_attribution",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events").persistTracked()
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val cut = ev.filter(col("event_type") === "purchase")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("ts").as("pts"),
+            (col("value") > 60).cast("int").as("conv"))
+        val bit = expr("""CASE event_type WHEN 'click' THEN 1
+          WHEN 'error' THEN 2 WHEN 'signup' THEN 4 WHEN 'view' THEN 8
+          ELSE 0 END""")
+        val u = ev.join(cut, Seq("user_id"), "left")
+          .filter(col("event_type") =!= "purchase" &&
+            (col("pts").isNull || col("ts") < col("pts")))
+          .groupBy("user_id")
+          .agg(sum_distinct(bit).cast("int").as("mask"),
+            coalesce(max("conv"), lit(0)).as("conv"))
+        val g = u.groupBy("mask")
+          .agg(round(sum("conv").cast("double") / count(lit(1)), 6)
+            .cast("decimal(18,6)").as("v"))
+          .persistTracked()
+        val ch = s.range(4).select(
+          element_at(lit(Array("click", "error", "signup", "view")),
+            col("id").cast("int") + 1).as("name"),
+          expr("shiftleft(1, CAST(id AS INT))").as("bit"))
+        val coal = s.range(16).select(col("id").cast("int").as("mask"))
+        ch.join(coal, (col("mask").bitwiseAND(col("bit"))) === 0)
+          .join(g.select(col("mask").as("wm"), col("v").as("vw")),
+            col("wm") === (col("mask").bitwiseOR(col("bit"))), "left")
+          .join(g.select(col("mask").as("om"), col("v").as("vo")),
+            col("om") === col("mask"), "left")
+          .select(col("name"),
+            (expr("""CAST(CASE bit_count(CAST(mask AS BIGINT)) WHEN 0 THEN 6
+                WHEN 1 THEN 2 WHEN 2 THEN 2 WHEN 3 THEN 6 END AS DECIMAL(18,0))""")
+              * (coalesce(col("vw"), lit(0)) - coalesce(col("vo"), lit(0))))
+              .as("wd"))
+          .groupBy("name").agg((sum("wd").cast("double") / 24).as("shapley"))
+          .select(col("name").as("channel"), col("shapley"))
+          .orderBy("channel")
+      },
+      Some("""WITH fp AS (SELECT user_id, ts, value,
+             |        row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+             |      FROM events WHERE event_type = 'purchase'),
+             |cut AS (SELECT user_id, ts AS pts, CAST(value > 60 AS INTEGER) AS conv
+             |        FROM fp WHERE rn = 1),
+             |u AS (SELECT e.user_id,
+             |        CAST(SUM(DISTINCT CASE e.event_type WHEN 'click' THEN 1
+             |             WHEN 'error' THEN 2 WHEN 'signup' THEN 4
+             |             WHEN 'view' THEN 8 ELSE 0 END) AS INTEGER) AS mask,
+             |        COALESCE(max(c.conv), 0) AS conv
+             |      FROM events e LEFT JOIN cut c ON e.user_id = c.user_id
+             |      WHERE e.event_type <> 'purchase' AND (c.pts IS NULL OR e.ts < c.pts)
+             |      GROUP BY e.user_id),
+             |g AS (SELECT mask,
+             |        CAST(round(CAST(SUM(conv) AS DOUBLE) / count(*), 6)
+             |          AS DECIMAL(18,6)) AS v
+             |      FROM u GROUP BY mask),
+             |ch(name, bit) AS (VALUES ('click', 1), ('error', 2), ('signup', 4), ('view', 8)),
+             |s AS (SELECT CAST(i AS INTEGER) AS mask FROM generate_series(0, 15) t(i)),
+             |contrib AS (
+             |  SELECT ch.name,
+             |    CAST(CASE bit_count(CAST(s.mask AS BIGINT))
+             |         WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2 WHEN 3 THEN 6 END
+             |      AS DECIMAL(18,0))
+             |      * (COALESCE(gw.v, 0) - COALESCE(go.v, 0)) AS w
+             |  FROM ch JOIN s ON (s.mask & ch.bit) = 0
+             |  LEFT JOIN g gw ON gw.mask = (s.mask | ch.bit)
+             |  LEFT JOIN g go ON go.mask = s.mask)
+             |SELECT name AS channel, CAST(SUM(w) AS DOUBLE) / 24 AS shapley
+             |FROM contrib GROUP BY name ORDER BY channel""".stripMargin)),
+
+    // q338 — t-CLOSENESS audit (the rung above q101 k-anonymity and q267
+    // l-diversity): for each quasi-identifier class (nation, mktsegment),
+    // the total-variation distance between the class's sensitive-value
+    // distribution (o_orderpriority) and the global one. All-integer
+    // core (the q324 KS trick): TVD = Σ|c_v·N − g_v·n| / (2·n·N), with
+    // the numerator summed EXACTLY in DECIMAL(38,0) — BIGINT products
+    // would overflow at 100 TB row counts — and the two IEEE divisions
+    // applied once per class at output. One fact-grain join + two
+    // aggregates; the 5-row global distribution rides a broadcast.
+    QuerySpec("q338_t_closeness",
+      (s, dir) => {
+        val j = Tables.load(s, dir, "orders")
+          .join(Tables.load(s, dir, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .join(Tables.load(s, dir, "nation"),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("n_name").as("nation"),
+            col("c_mktsegment").as("seg"),
+            col("o_orderpriority").as("sens"))
+          .persistTracked()
+        val tot = j.agg(count(lit(1)).as("nn"))
+        val gd = j.groupBy("sens").agg(count(lit(1)).as("g"))
+        val cls = j.groupBy("nation", "seg").agg(count(lit(1)).as("n"))
+        val cd = j.groupBy("nation", "seg", "sens").agg(count(lit(1)).as("c"))
+        cls.crossJoin(gd).crossJoin(tot)
+          .join(cd, Seq("nation", "seg", "sens"), "left")
+          .select(col("nation"), col("seg"), col("n"), col("nn"),
+            abs(coalesce(col("c"), lit(0L)).cast("decimal(38,0)") * col("nn")
+              - col("g").cast("decimal(38,0)") * col("n")).as("dnum"))
+          .groupBy("nation", "seg")
+          .agg(max("n").as("n"), sum("dnum").as("tvd_num"),
+            (sum("dnum").cast("double")
+              / (lit(2.0) * max("n") * max("nn"))).as("tvd"))
+          .select(col("nation"), col("seg"), col("n"),
+            col("tvd_num").cast("decimal(38,0)").as("tvd_num"), col("tvd"))
+          .orderBy(desc("tvd"), col("nation"), col("seg"))
+      },
+      Some("""WITH j AS (SELECT n.n_name AS nation, c.c_mktsegment AS seg,
+             |             o.o_orderpriority AS sens
+             |           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+             |           JOIN nation n ON c.c_nationkey = n.n_nationkey),
+             |tot AS (SELECT count(*) AS nn FROM j),
+             |gd AS (SELECT sens, count(*) AS g FROM j GROUP BY 1),
+             |cls AS (SELECT nation, seg, count(*) AS n FROM j GROUP BY 1, 2),
+             |cd AS (SELECT nation, seg, sens, count(*) AS c FROM j GROUP BY 1, 2, 3),
+             |d AS (SELECT cls.nation, cls.seg, cls.n, tot.nn, gd.sens, gd.g,
+             |        COALESCE(cd.c, 0) AS c
+             |      FROM cls CROSS JOIN gd CROSS JOIN tot
+             |      LEFT JOIN cd ON cd.nation = cls.nation AND cd.seg = cls.seg
+             |        AND cd.sens = gd.sens)
+             |SELECT nation, seg, CAST(max(n) AS BIGINT) AS n,
+             |  CAST(SUM(abs(CAST(c AS DECIMAL(38,0)) * nn
+             |    - CAST(g AS DECIMAL(38,0)) * n)) AS DECIMAL(38,0)) AS tvd_num,
+             |  CAST(SUM(abs(CAST(c AS DECIMAL(38,0)) * nn
+             |    - CAST(g AS DECIMAL(38,0)) * n)) AS DOUBLE)
+             |    / (CAST(2.0 AS DOUBLE) * max(n) * max(nn)) AS tvd
+             |FROM d GROUP BY nation, seg ORDER BY tvd DESC, nation, seg""".stripMargin)))
 }
