@@ -3086,5 +3086,123 @@ object AnalyticsQueries {
              |  n0 * (CAST(s1 AS DOUBLE)/n1 - CAST(s0 AS DOUBLE)/n0) AS price_eff,
              |  (CAST(s0 AS DOUBLE)/n0) * (n1 - n0) AS volume_eff,
              |  (CAST(s1 AS DOUBLE)/n1 - CAST(s0 AS DOUBLE)/n0) * (n1 - n0) AS mix_eff
-             |FROM g ORDER BY prio""".stripMargin)))
+             |FROM g ORDER BY prio""".stripMargin)),
+
+    // q339 — Holt linear (double) exponential smoothing per order
+    // priority over MONTHLY revenue: l_t = α·x_t + (1−α)(l_{t−1}+b_{t−1}),
+    // b_t = β(l_t−l_{t−1}) + (1−β)b_{t−1}, α=0.2, β=0.3, init l=x_1,
+    // b=x_2−x_1; plus the 7-step-ahead forecast l+7b. The recurrence is
+    // inherently sequential IN TIME, so it runs as a scan-local HOF fold
+    // over each group's month-ordered array — bounded by the CALENDAR
+    // (months don't grow with corpus rows), while the corpus-scale work
+    // (monthly revenue) is one exact decimal aggregate. Oracle: a
+    // recursive CTE stepping the identical IEEE chain (all literals CAST
+    // to DOUBLE — the q223 bare-decimal trap); monthly x is an exact
+    // decimal sum cast to double once, so both engines fold bit-identical
+    // values in the same order. Outputs are RAW doubles (q216 rule).
+    QuerySpec("q339_holt_smoothing",
+      (s, dir) => {
+        Tables.load(s, dir, "orders")
+          .groupBy(col("o_orderpriority").as("grp"),
+            date_format(col("o_orderdate"), "yyyy-MM").as("mon"))
+          .agg(sum(round(col("o_totalprice"), 2).cast("decimal(18,2)"))
+            .cast("double").as("x"))
+          .groupBy("grp")
+          .agg(sort_array(collect_list(struct(col("mon"), col("x")))).as("sq"))
+          .filter(size(col("sq")) >= 3)
+          .select(col("grp"), size(col("sq")).cast("long").as("n_months"),
+            expr("""aggregate(
+              slice(transform(sq, e -> e.x), 3, size(sq) - 2),
+              named_struct('l', sq[0].x, 'b', sq[1].x - sq[0].x),
+              (st, x) -> named_struct(
+                'l', 0.2D * x + 0.8D * (st.l + st.b),
+                'b', 0.3D * ((0.2D * x + 0.8D * (st.l + st.b)) - st.l)
+                     + 0.7D * st.b))""").as("st"))
+          .select(col("grp"), col("n_months"), col("st.l").as("level"),
+            col("st.b").as("trend"),
+            (col("st.l") + lit(7.0) * col("st.b")).as("forecast7"))
+          .orderBy("grp")
+      },
+      Some("""WITH RECURSIVE d AS (SELECT o_orderpriority AS grp,
+             |        strftime(o_orderdate, '%Y-%m') AS mon,
+             |        CAST(SUM(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))) AS DOUBLE) AS x
+             |      FROM orders GROUP BY 1, 2),
+             |s AS (SELECT grp, x,
+             |        CAST(row_number() OVER (PARTITION BY grp ORDER BY mon) AS INTEGER) AS i
+             |      FROM d),
+             |n AS (SELECT grp, max(i) AS ni FROM s GROUP BY 1),
+             |rec AS (
+             |  SELECT a.grp, 2 AS i, a.x AS l, b2.x - a.x AS b
+             |  FROM s a JOIN s b2 ON a.grp = b2.grp AND a.i = 1 AND b2.i = 2
+             |  UNION ALL
+             |  SELECT r.grp, r.i + 1,
+             |    CAST(0.2 AS DOUBLE) * s.x + CAST(0.8 AS DOUBLE) * (r.l + r.b),
+             |    CAST(0.3 AS DOUBLE) * ((CAST(0.2 AS DOUBLE) * s.x
+             |        + CAST(0.8 AS DOUBLE) * (r.l + r.b)) - r.l)
+             |      + CAST(0.7 AS DOUBLE) * r.b
+             |  FROM rec r JOIN s ON s.grp = r.grp AND s.i = r.i + 1)
+             |SELECT r.grp AS grp, CAST(n.ni AS BIGINT) AS n_months, r.l AS level,
+             |  r.b AS trend, r.l + CAST(7.0 AS DOUBLE) * r.b AS forecast7
+             |FROM rec r JOIN n ON r.grp = n.grp AND r.i = n.ni
+             |WHERE n.ni >= 3
+             |ORDER BY grp""".stripMargin)),
+
+    // q340 — mutual-information feature ranking (the filter-method
+    // feature selector an ML-prep pipeline runs before training):
+    // I(X;Y) = Σ_xy p(xy)·ln(p(xy)/(p(x)p(y))) for each categorical
+    // feature against the order-status label, all features in ONE
+    // unioned cell aggregate + window marginals — cells are
+    // alphabet-sized, so the windows shuffle O(features × |X|·|Y|) rows,
+    // not the corpus. ln() is transcendental (libm vs JVM last-ulp
+    // risk), so each cell term is round(·,6) → DECIMAL before the
+    // order-free exact sum — the q206 pattern.
+    QuerySpec("q340_mutual_information",
+      (s, dir) => {
+        val j = Tables.load(s, dir, "orders")
+          .join(Tables.load(s, dir, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .join(Tables.load(s, dir, "nation"),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("o_orderstatus").as("y"), col("c_mktsegment").as("seg"),
+            col("n_name").as("nat"), col("o_orderpriority").as("pri"))
+          .persistTracked()
+        val f = j.select(lit("mktsegment").as("feature"), col("seg").as("x"), col("y"))
+          .union(j.select(lit("nation"), col("nat"), col("y")))
+          .union(j.select(lit("priority"), col("pri"), col("y")))
+        val cell = f.groupBy("feature", "x", "y").agg(count(lit(1)).as("cxy"))
+        cell
+          .withColumn("cx", sum("cxy").over(Window.partitionBy("feature", "x")))
+          .withColumn("cy", sum("cxy").over(Window.partitionBy("feature", "y")))
+          .withColumn("nn", sum("cxy").over(Window.partitionBy("feature")))
+          .select(col("feature"),
+            round((col("cxy").cast("double") / col("nn")) *
+              log(col("cxy").cast("double") * col("nn") /
+                (col("cx").cast("double") * col("cy"))), 6)
+              .cast("decimal(18,6)").as("term"))
+          .groupBy("feature")
+          .agg(sum("term").cast("decimal(28,6)").as("mi"),
+            count(lit(1)).as("n_cells"))
+          .orderBy(desc("mi"), col("feature"))
+      },
+      Some("""WITH j AS (SELECT o.o_orderstatus AS y, c.c_mktsegment AS seg,
+             |             n.n_name AS nat, o.o_orderpriority AS pri
+             |           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+             |           JOIN nation n ON c.c_nationkey = n.n_nationkey),
+             |f AS (SELECT 'mktsegment' AS feature, seg AS x, y FROM j
+             |      UNION ALL SELECT 'nation', nat, y FROM j
+             |      UNION ALL SELECT 'priority', pri, y FROM j),
+             |cell AS (SELECT feature, x, y, count(*) AS cxy FROM f GROUP BY 1, 2, 3),
+             |m AS (SELECT feature, cxy,
+             |        SUM(cxy) OVER (PARTITION BY feature, x) AS cx,
+             |        SUM(cxy) OVER (PARTITION BY feature, y) AS cy,
+             |        SUM(cxy) OVER (PARTITION BY feature) AS nn
+             |      FROM cell),
+             |t AS (SELECT feature,
+             |        CAST(round((CAST(cxy AS DOUBLE) / nn) *
+             |          ln(CAST(cxy AS DOUBLE) * nn / (CAST(cx AS DOUBLE) * cy)), 6)
+             |          AS DECIMAL(18,6)) AS term
+             |      FROM m)
+             |SELECT feature, CAST(SUM(term) AS DECIMAL(28,6)) AS mi,
+             |  CAST(count(*) AS BIGINT) AS n_cells
+             |FROM t GROUP BY feature ORDER BY mi DESC, feature""".stripMargin)))
 }

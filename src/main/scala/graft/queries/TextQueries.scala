@@ -4105,5 +4105,49 @@ object TextQueries {
              |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
              |    AS BIGINT) AS data_offset,
              |  TRUE AS chksum_ok
+             |FROM m ORDER BY doc_id, data_offset""".stripMargin)),
+
+    // q341 — ZIP central-directory walk (q333's tar sibling): each doc
+    // packed as a STORED PKZIP, then the walker recovers every member's
+    // name, size, and data offset FROM THE CENTRAL DIRECTORY (the
+    // random-access path `unzip` uses) and verifies local-header
+    // signatures + payload CRC32s. STORED offsets are pure arithmetic
+    // (30 + name + payload per member), which the oracle reconstructs;
+    // crc_ok=true in the output is real verification, not a constant —
+    // ZipSpec pins the corruption path, and the walker also reads
+    // python-zipfile archives (foreign-bytes fixture).
+    QuerySpec("q341_zip_members",
+      (s, dir) => {
+        import s.implicits._
+        val ds = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+        ds.mapPartitions(_.flatMap { case (id, txt) =>
+          val members = Seq(
+            s"$id.txt" -> txt.getBytes("UTF-8"),
+            s"$id.cls" -> Array.fill((id % 7 + 1).toInt)('c'.toByte)) ++
+            (if (id % 2 == 1)
+               Seq(s"$id.bin" -> Array.fill(((id % 50) * 4).toInt)('b'.toByte))
+             else Nil)
+          graft.functions.Zips.decodeZip(
+              graft.functions.Zips.zipBytes(members))
+            .map { case (nm, sz, off, ok) => (id, nm, sz, off, ok) }
+        }).toDF("doc_id", "name", "size", "data_offset", "crc_ok")
+          .orderBy("doc_id", "data_offset")
+      },
+      Some("""WITH p AS (SELECT doc_id, strlen(text) AS n,
+             |         strlen(CAST(doc_id AS VARCHAR)) + 4 AS nlen FROM documents),
+             |m AS (
+             |  SELECT doc_id, 0 AS idx, doc_id::VARCHAR || '.txt' AS name,
+             |         CAST(n AS BIGINT) AS sz, nlen FROM p
+             |  UNION ALL SELECT doc_id, 1, doc_id::VARCHAR || '.cls',
+             |         CAST(doc_id % 7 + 1 AS BIGINT), nlen FROM p
+             |  UNION ALL SELECT doc_id, 2, doc_id::VARCHAR || '.bin',
+             |         CAST((doc_id % 50) * 4 AS BIGINT), nlen FROM p
+             |         WHERE doc_id % 2 = 1)
+             |SELECT doc_id, name, sz AS size,
+             |  CAST(COALESCE(SUM(30 + nlen + sz) OVER (PARTITION BY doc_id ORDER BY idx
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |    + 30 + nlen AS BIGINT) AS data_offset,
+             |  TRUE AS crc_ok
              |FROM m ORDER BY doc_id, data_offset""".stripMargin)))
 }
