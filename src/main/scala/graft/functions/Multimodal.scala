@@ -997,4 +997,132 @@ object Multimodal {
         while (i < off + len) { sum += payload(i) & 0xff; i += 1 }
         (k, off, len, (sum % 997).toInt)
     }
+
+  // ---------------------------------------------------------------- EBML
+
+  /** Minimal Matroska (EBML) writer: EBML header (DocType "matroska") +
+    * Segment(Info(TimestampScale, Duration), Tracks(TrackEntry×k),
+    * Cluster×c(Timestamp, SimpleBlock×b)). Element IDs are the public
+    * Matroska class IDs written verbatim; every SIZE uses the 8-byte
+    * vint form (legal, non-minimal EBML) so the container size is an
+    * affine function of payload sizes — the property q342's oracle
+    * reconstructs. Uints use fixed widths (TimestampScale and cluster
+    * Timestamp 4 bytes, TrackNumber/TrackType 1); Duration is the
+    * spec's 8-byte IEEE double. Block payloads carry a real SimpleBlock
+    * frame: track vint (0x80|track), 2-byte big-endian timecode, flags.
+    */
+  def mkvBytes(nTracks: Int, durationMs: Long,
+      clusters: Seq[(Long, Seq[Int])]): Array[Byte] = {
+    val bo = new java.io.ByteArrayOutputStream()
+    def beN(v: Long, w: Int): Unit = {
+      var i = w - 1
+      while (i >= 0) { bo.write(((v >>> (8 * i)) & 0xff).toInt); i -= 1 }
+    }
+    def size8(v: Long): Unit = { bo.write(0x01); beN(v, 7) }
+    // EBML header: 4 id + 8 size + (DocType: 2 id + 8 size + 8 ascii)
+    beN(0x1A45DFA3L, 4); size8(18)
+    beN(0x4282L, 2); size8(8); bo.write("matroska".getBytes("US-ASCII"))
+    // payload sizes (fixed-width vints make them arithmetic)
+    val infoSz = 15L + 18L // TimestampScale(3+8+4) + Duration(2+8+8)
+    val trackEntrySz = 20L // TrackNumber(1+8+1) + TrackType(1+8+1)
+    val tracksSz = nTracks * (1L + 8 + trackEntrySz)
+    val clusterSzs = clusters.map { case (_, blocks) =>
+      13L + blocks.map(b => 1L + 8 + 4 + b).sum // Timestamp el + SimpleBlocks
+    }
+    val segSz = (4 + 8 + infoSz) + (4 + 8 + tracksSz) +
+      clusterSzs.map(4 + 8 + _).sum
+    beN(0x18538067L, 4); size8(segSz) // Segment
+    beN(0x1549A966L, 4); size8(infoSz) // Info
+    beN(0x2AD7B1L, 3); size8(4); beN(1000000L, 4) // TimestampScale
+    beN(0x4489L, 2); size8(8) // Duration: 8-byte IEEE double
+    beN(java.lang.Double.doubleToLongBits(durationMs.toDouble), 8)
+    beN(0x1654AE6BL, 4); size8(tracksSz) // Tracks
+    (1 to nTracks).foreach { t =>
+      bo.write(0xAE); size8(trackEntrySz) // TrackEntry
+      bo.write(0xD7); size8(1); bo.write(t) // TrackNumber
+      bo.write(0x83); size8(1); bo.write(if (t == 1) 1 else 2) // TrackType
+    }
+    clusters.zip(clusterSzs).foreach { case ((ts, blocks), csz) =>
+      beN(0x1F43B675L, 4); size8(csz) // Cluster
+      bo.write(0xE7); size8(4); beN(ts, 4) // Timestamp
+      blocks.zipWithIndex.foreach { case (len, bi) =>
+        bo.write(0xA3); size8(4L + len) // SimpleBlock
+        bo.write(0x80 | (1 + bi % nTracks)) // track vint
+        beN((bi * 40L) & 0xffffL, 2) // relative timecode
+        bo.write(0x00) // flags
+        bo.write(Array.fill(len)('m'.toByte))
+      }
+    }
+    bo.toByteArray
+  }
+
+  /** Walk an EBML/Matroska stream by the real vint rules (id width from
+    * the leading byte's marker bit, size vints up to 8 bytes, ANY legal
+    * width — not just the writer's): returns (nTracks, timestampScale,
+    * durationMs, nClusters, nBlocks, blockPayloadBytes). None if the
+    * stream doesn't start with the EBML magic. */
+  def decodeMkv(b: Array[Byte])
+      : Option[(Int, Long, Long, Int, Int, Long)] = {
+    if (b.length < 4) return None
+    def vintWidth(first: Int, max: Int): Int = {
+      var w = 1
+      while (w <= max && (first & (0x80 >>> (w - 1))) == 0) w += 1
+      w
+    }
+    def readId(o: Int): (Long, Int) = {
+      val w = vintWidth(b(o) & 0xff, 4)
+      var v = 0L
+      var i = 0
+      while (i < w) { v = (v << 8) | (b(o + i) & 0xff); i += 1 }
+      (v, w) // ids keep their marker bits (class id convention)
+    }
+    def readSize(o: Int): (Long, Int) = {
+      val w = vintWidth(b(o) & 0xff, 8)
+      var v = (b(o) & 0xff & (0xff >>> w)).toLong
+      var i = 1
+      while (i < w) { v = (v << 8) | (b(o + i) & 0xff); i += 1 }
+      (v, w)
+    }
+    def readUint(o: Int, n: Int): Long = {
+      var v = 0L
+      var i = 0
+      while (i < n) { v = (v << 8) | (b(o + i) & 0xff); i += 1 }
+      v
+    }
+    var nTracks = 0
+    var tsScale = 0L
+    var duration = 0L
+    var nClusters = 0
+    var nBlocks = 0
+    var blockBytes = 0L
+    val master = Set(0x18538067L, 0x1549A966L, 0x1654AE6BL, 0xAEL, 0x1F43B675L)
+    def walk(start: Int, end: Int): Unit = {
+      var o = start
+      while (o < end) {
+        val (eid, iw) = readId(o)
+        val (sz, sw) = readSize(o + iw)
+        val body = o + iw + sw
+        eid match {
+          case 0xAEL => nTracks += 1
+          case 0x1F43B675L => nClusters += 1
+          case 0x2AD7B1L => tsScale = readUint(body, sz.toInt)
+          case 0x4489L if sz == 8 =>
+            duration = java.lang.Double
+              .longBitsToDouble(readUint(body, 8)).toLong
+          case 0xA3L =>
+            nBlocks += 1
+            // SimpleBlock payload past the 4-byte frame header
+            blockBytes += sz - 4
+          case _ => ()
+        }
+        if (master.contains(eid)) walk(body, body + sz.toInt)
+        o = body + sz.toInt
+      }
+    }
+    val (magic, mw) = readId(0)
+    if (magic != 0x1A45DFA3L) return None
+    val (hsz, hw) = readSize(mw)
+    walk(mw + hw + hsz.toInt, b.length)
+    Some((nTracks, tsScale, duration, nClusters, nBlocks, blockBytes))
+  }
 }

@@ -3204,5 +3204,80 @@ object AnalyticsQueries {
              |      FROM m)
              |SELECT feature, CAST(SUM(term) AS DECIMAL(28,6)) AS mi,
              |  CAST(count(*) AS BIGINT) AS n_cells
-             |FROM t GROUP BY feature ORDER BY mi DESC, feature""".stripMargin)))
+             |FROM t GROUP BY feature ORDER BY mi DESC, feature""".stripMargin)),
+
+    // q343 — propensity-score matching (the observational-causal rung
+    // beside q311 DiD and q240 CUPED): treated = BUILDING-segment
+    // customers; a FIXED-coefficient logistic propensity over (nation,
+    // order count, spend) — round(·,6) DECIMAL, the q117 transcendental
+    // rule — then 1-NN matching WITH replacement inside a 0.05 caliper.
+    // The match join is BLOCKED on coarse propensity buckets
+    // (floor(20·p), ±1 bucket covers every caliper pair) — candidates
+    // bounded by bucket density, never the T×C product. Δp is EXACT
+    // decimal, so the argmin struct-MIN (Δ, control id) is fully
+    // deterministic; ATT = mean treated−matched-control spend with one
+    // IEEE division at output.
+    QuerySpec("q343_propensity_matching",
+      (s, dir) => {
+        val feat = Tables.load(s, dir, "customer")
+          .join(Tables.load(s, dir, "orders"),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_custkey").as("ck"),
+            (col("c_mktsegment") === "BUILDING").as("treated"),
+            col("c_nationkey").as("nk"))
+          .agg(count(lit(1)).as("nord"),
+            sum(round(col("o_totalprice"), 2).cast("decimal(18,2)"))
+              .as("spend"))
+        val p = feat.select(col("ck"), col("treated"), col("spend"),
+          round(lit(1.0) / (lit(1.0) + exp(-(lit(-1.5)
+            + lit(0.08) * col("nk") + lit(0.05) * col("nord")
+            + lit(0.000004) * col("spend").cast("double")))), 6)
+            .cast("decimal(18,6)").as("ps"))
+          .withColumn("bkt", floor(col("ps") * 20).cast("long"))
+          .persistTracked()
+        val tr = p.filter(col("treated"))
+          .select(col("ck").as("tck"), col("ps").as("tps"),
+            col("spend").as("ty"), col("bkt"))
+        val co = p.filter(!col("treated"))
+          .select(col("ck").as("cck"), col("ps").as("cps"),
+            col("spend").as("cy"), explode(expr("sequence(bkt - 1, bkt + 1)"))
+              .as("bkt"))
+        tr.join(co, "bkt")
+          .filter(abs(col("tps") - col("cps")) <= 0.05)
+          .groupBy("tck", "ty")
+          .agg(min(struct(abs(col("tps") - col("cps")).as("delta"),
+            col("cck"), col("cy"))).as("m"))
+          .agg(count(lit(1)).as("n_matched"),
+            sum(col("ty") - col("m.cy")).cast("decimal(28,2)").as("sum_diff"),
+            (sum(col("ty") - col("m.cy")).cast("double") / count(lit(1)))
+              .as("att"),
+            sum("m.delta").cast("decimal(28,6)").as("total_delta"))
+      },
+      Some("""WITH feat AS (SELECT c.c_custkey AS ck,
+             |        c.c_mktsegment = 'BUILDING' AS treated,
+             |        c.c_nationkey AS nk, count(o.o_orderkey) AS nord,
+             |        SUM(CAST(round(o.o_totalprice, 2) AS DECIMAL(18,2))) AS spend
+             |      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+             |      GROUP BY 1, 2, 3),
+             |p AS (SELECT ck, treated, spend,
+             |        CAST(round(1.0 / (1.0 + exp(-(CAST(-1.5 AS DOUBLE)
+             |          + CAST(0.08 AS DOUBLE) * nk + CAST(0.05 AS DOUBLE) * nord
+             |          + CAST(0.000004 AS DOUBLE) * CAST(spend AS DOUBLE)))), 6)
+             |          AS DECIMAL(18,6)) AS ps
+             |      FROM feat),
+             |tr AS (SELECT ck, ps, spend FROM p WHERE treated),
+             |co AS (SELECT ck, ps, spend FROM p WHERE NOT treated),
+             |cand AS (SELECT t.ck AS tck, t.spend AS ty, c.ck AS cck,
+             |        c.spend AS cy, abs(t.ps - c.ps) AS delta,
+             |        row_number() OVER (PARTITION BY t.ck
+             |          ORDER BY abs(t.ps - c.ps), c.ck) AS rn
+             |      FROM tr t JOIN co c
+             |        ON floor(t.ps * 20) BETWEEN floor(c.ps * 20) - 1
+             |          AND floor(c.ps * 20) + 1
+             |      WHERE abs(t.ps - c.ps) <= 0.05)
+             |SELECT CAST(count(*) AS BIGINT) AS n_matched,
+             |  CAST(SUM(ty - cy) AS DECIMAL(28,2)) AS sum_diff,
+             |  CAST(SUM(ty - cy) AS DOUBLE) / count(*) AS att,
+             |  CAST(SUM(delta) AS DECIMAL(28,6)) AS total_delta
+             |FROM cand WHERE rn = 1""".stripMargin)))
 }

@@ -4149,5 +4149,136 @@ object TextQueries {
              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
              |    + 30 + nlen AS BIGINT) AS data_offset,
              |  TRUE AS crc_ok
-             |FROM m ORDER BY doc_id, data_offset""".stripMargin)))
+             |FROM m ORDER BY doc_id, data_offset""".stripMargin)),
+
+    // q342 — Matroska/EBML container walk (closing the video-container
+    // family next to MP4's ISO-BMFF, q272): each doc packed as a real
+    // minimal MKV — EBML header with DocType, Segment(Info(TimestampScale,
+    // Duration-as-IEEE-double), Tracks(TrackEntry×k), Cluster×c with
+    // SimpleBlocks) — then walked by the real vint rules (element-id
+    // width from the marker bit, size vints of any legal width). The
+    // writer pins sizes to 8-byte vints, so file size is affine in the
+    // id-derived geometry and the oracle reconstructs every output
+    // column arithmetically: 99 + 29·tracks + 25·clusters + 13·blocks +
+    // block_bytes. Duration round-trips through real IEEE-754 bits.
+    QuerySpec("q342_mkv_meta",
+      (s, dir) => {
+        import s.implicits._
+        val ds = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+        ds.mapPartitions(_.flatMap { case (id, txt) =>
+          val n = txt.getBytes("UTF-8").length
+          val clusters = (0 until (1 + n % 3).toInt).map { c =>
+            val blocks = (0 until (1 + (n + c) % 4)).map { j =>
+              16 + ((n * 7 + c * 31 + j * 13) % 100)
+            }
+            (c * 1000L, blocks)
+          }
+          val media = graft.functions.Multimodal.mkvBytes(
+            nTracks = (1 + id % 2).toInt,
+            durationMs = 1000 + id % 9000,
+            clusters = clusters)
+          graft.functions.Multimodal.decodeMkv(media).map {
+            case (nt, tss, dur, nc, nb, bb) =>
+              (id, media.length, nt, tss, dur, nc, nb, bb)
+          }
+        }).toDF("doc_id", "media_bytes", "n_tracks", "ts_scale",
+            "duration_ms", "n_clusters", "n_blocks", "block_bytes")
+          .orderBy("doc_id")
+      },
+      Some("""WITH p AS (SELECT doc_id, strlen(text) AS n FROM documents),
+             |bl AS (SELECT p.doc_id, p.n, c.i AS c, j.i AS j,
+             |         16 + (p.n * 7 + c.i * 31 + j.i * 13) % 100 AS blen
+             |       FROM p, generate_series(0, 2) c(i), generate_series(0, 3) j(i)
+             |       WHERE c.i <= p.n % 3 AND j.i < 1 + (p.n + c.i) % 4),
+             |agg AS (SELECT doc_id, max(n) AS n,
+             |          CAST(count(DISTINCT c) AS INTEGER) AS nc,
+             |          CAST(count(*) AS INTEGER) AS nb,
+             |          CAST(SUM(blen) AS BIGINT) AS bb
+             |        FROM bl GROUP BY doc_id)
+             |SELECT a.doc_id,
+             |  CAST(99 + 29 * (1 + a.doc_id % 2) + 25 * nc + 13 * nb + bb
+             |    AS INTEGER) AS media_bytes,
+             |  CAST(1 + a.doc_id % 2 AS INTEGER) AS n_tracks,
+             |  CAST(1000000 AS BIGINT) AS ts_scale,
+             |  CAST(1000 + a.doc_id % 9000 AS BIGINT) AS duration_ms,
+             |  nc AS n_clusters, nb AS n_blocks, bb AS block_bytes
+             |FROM agg a ORDER BY a.doc_id""".stripMargin)),
+
+    // q344 — Aho–Corasick multi-pattern contamination scan: all K
+    // patterns matched in ONE pass per document (goto trie + failure
+    // links, built once on the driver, broadcast-sized) — the scale
+    // shape a 100 TB pattern scanner needs, vs the K replace-passes the
+    // ORACLE deliberately uses, so the gate proves automaton ≡
+    // replace-arithmetic. Patterns are border-free (no proper
+    // prefix=suffix), making AC's every-match-end count equal SQL's
+    // non-overlapping replace count — the parity contract
+    // AhoCorasickSpec pins property-style on random strings.
+    QuerySpec("q344_multi_pattern_scan",
+      (s, dir) => {
+        import s.implicits._
+        val pats = graft.ops.AhoCorasick.contaminationPatterns
+        val ac = new graft.ops.AhoCorasick(pats)
+        val ds = Tables.load(s, dir, "documents")
+          .select(col("text")).as[String]
+        ds.mapPartitions { it =>
+          val acc = Array.fill(pats.size)((0L, 0L)) // (docs, occs)
+          it.foreach { txt =>
+            val c = ac.countAll(txt)
+            var i = 0
+            while (i < c.length) {
+              if (c(i) > 0)
+                acc(i) = (acc(i)._1 + 1, acc(i)._2 + c(i))
+              i += 1
+            }
+          }
+          acc.iterator.zipWithIndex.map { case ((d, o), i) => (pats(i), d, o) }
+        }.toDF("pattern", "n_docs", "n_occ")
+          .groupBy("pattern")
+          .agg(sum("n_docs").as("n_docs"), sum("n_occ").as("n_occ"))
+          .orderBy("pattern")
+      },
+      Some(graft.ops.AhoCorasick.contaminationPatterns.map { p =>
+        s"""SELECT '$p' AS pattern,
+           |  CAST(count(*) FILTER (text LIKE '%$p%') AS BIGINT) AS n_docs,
+           |  CAST(COALESCE(SUM((strlen(text) - strlen(replace(text, '$p', '')))
+           |    // strlen('$p')), 0) AS BIGINT) AS n_occ
+           |FROM documents""".stripMargin
+      }.mkString("", " UNION ALL ", " ORDER BY pattern"))),
+
+    // q345 — HITS hubs & authorities on the customer→part bipartite
+    // purchase graph (PageRank's q131 sibling; the query-independent
+    // half of topic-sensitive search): a = EᵀEa recursion, 3 authority
+    // iterations. EXACT-INTEGER discipline like q131/q328 — the scores
+    // stay UNNORMALIZED (h₀=1; every step is a BIGINT sum over edges),
+    // which preserves the HITS ranking while eliminating every float/
+    // rounding hazard; magnitudes grow as degree^k, bounded well inside
+    // BIGINT at any tested SF (DECIMAL(38,0) is the 100 TB widening).
+    // One distinct-edge shuffle + 5 edge-grain join+agg rounds.
+    QuerySpec("q345_hits_authority",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "orders")
+          .join(Tables.load(s, dir, "lineitem"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("u"), col("l_partkey").as("p"))
+          .distinct()
+          .persistTracked()
+        val a1 = e.groupBy("p").agg(count(lit(1)).as("a"))
+        val h1 = e.join(a1, "p").groupBy("u").agg(sum("a").as("h"))
+        val a2 = e.join(h1, "u").groupBy("p").agg(sum("h").as("a"))
+        val h2 = e.join(a2, "p").groupBy("u").agg(sum("a").as("h"))
+        val a3 = e.join(h2, "u").groupBy("p").agg(sum("h").as("a"))
+        a3.select(col("p").as("partkey"), col("a").as("authority"))
+          .orderBy(desc("authority"), col("partkey"))
+          .limit(20)
+      },
+      Some("""WITH e AS (SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS p
+             |           FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+             |a1 AS (SELECT p, CAST(count(*) AS BIGINT) AS a FROM e GROUP BY p),
+             |h1 AS (SELECT u, CAST(SUM(a1.a) AS BIGINT) AS h FROM e JOIN a1 USING (p) GROUP BY u),
+             |a2 AS (SELECT p, CAST(SUM(h1.h) AS BIGINT) AS a FROM e JOIN h1 USING (u) GROUP BY p),
+             |h2 AS (SELECT u, CAST(SUM(a2.a) AS BIGINT) AS h FROM e JOIN a2 USING (p) GROUP BY u),
+             |a3 AS (SELECT p, CAST(SUM(h2.h) AS BIGINT) AS a FROM e JOIN h2 USING (u) GROUP BY p)
+             |SELECT CAST(p AS BIGINT) AS partkey, a AS authority FROM a3
+             |ORDER BY authority DESC, partkey LIMIT 20""".stripMargin)))
 }
