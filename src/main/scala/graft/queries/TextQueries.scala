@@ -4280,5 +4280,133 @@ object TextQueries {
              |h2 AS (SELECT u, CAST(SUM(a2.a) AS BIGINT) AS h FROM e JOIN a2 USING (p) GROUP BY u),
              |a3 AS (SELECT p, CAST(SUM(h2.h) AS BIGINT) AS a FROM e JOIN h2 USING (u) GROUP BY p)
              |SELECT CAST(p AS BIGINT) AS partkey, a AS authority FROM a3
-             |ORDER BY authority DESC, partkey LIMIT 20""".stripMargin)))
+             |ORDER BY authority DESC, partkey LIMIT 20""".stripMargin)),
+
+    // q347 — HEAPS'-LAW fit (vocabulary-growth scaling): cumulative
+    // 3-shingle vocabulary V(N) vs cumulative shingle count N over 10
+    // corpus prefixes (doc_id % 10 buckets), with the log-log OLS fit
+    // V ≈ K·N^β. The scan-side is corpus-linear (one shingle explode, a
+    // first-bucket min per distinct shingle); cumulation and the fit
+    // happen on the 10-row bucket frame. ln() terms are round(·,6)
+    // DECIMAL (q206 transcendental rule); the OLS slope uses the exact
+    // decimal moment sums with ONE double division (q212 rule), the
+    // intercept one more. β for this corpus ≈ 0.81 — a real
+    // sub-linear vocabulary curve, the number a tokenizer-budget plan
+    // extrapolates on.
+    QuerySpec("q347_heaps_law",
+      (s, dir) => {
+        val sh = Tables.load(s, dir, "documents")
+          .select((col("doc_id") % 10).as("b"),
+            graft.functions.Text.tokens(lower(col("text"))).as("tk"))
+          .select(col("b"),
+            explode(graft.functions.Text.shinglesFromTokens(col("tk"))).as("sq"))
+          .persistTracked()
+        val nk = sh.groupBy("b").agg(count(lit(1)).as("ntok"))
+        val vk = sh.groupBy("sq").agg(min("b").as("b"))
+          .groupBy("b").agg(count(lit(1)).as("nv"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy("b")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        val pt = s.range(10).select(col("id").as("b"))
+          .join(nk, Seq("b"), "left").join(vk, Seq("b"), "left")
+          .select(col("b"), coalesce(col("ntok"), lit(0L)).as("ntok"),
+            coalesce(col("nv"), lit(0L)).as("nv"))
+          .withColumn("n_cum", sum("ntok").over(w))
+          .withColumn("v_cum", sum("nv").over(w))
+          // round(ln,6) → decimal → ×1e6 → BIGINT: the moment sums below
+          // are then EXACT integers, immune to the engines' different
+          // 38-digit decimal overflow behavior (first draft diverged at
+          // 1e-8 exactly there). The 1e6 scale cancels in the slope.
+          .select(col("b"), col("n_cum"), col("v_cum"),
+            (round(log(col("n_cum").cast("double")), 6)
+              .cast("decimal(18,6)") * 1000000).cast("long").as("x"),
+            (round(log(col("v_cum").cast("double")), 6)
+              .cast("decimal(18,6)") * 1000000).cast("long").as("y"))
+          .persistTracked()
+        val fit = pt.agg(sum("x").as("sx"), sum("y").as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"))
+          .select(((lit(10L) * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (lit(10L) * col("sxx") - col("sx") * col("sx")).cast("double"))
+            .as("slope"), col("sx"), col("sy"))
+          .select(col("slope"),
+            ((col("sy").cast("double") - col("slope") * col("sx").cast("double"))
+              / 10 / 1000000.0).as("icept"))
+        pt.crossJoin(fit)
+          .select(col("b").as("bucket"), col("n_cum").as("n_shingles"),
+            col("v_cum").as("vocab"), col("slope").as("heaps_beta"),
+            col("icept").as("heaps_logk"))
+          .orderBy("bucket")
+      },
+      Some("""WITH toks AS (SELECT doc_id % 10 AS b,
+             |        string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
+             |sh AS (SELECT b, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+             |       FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS t(i)),
+             |nk AS (SELECT b, CAST(count(*) AS BIGINT) AS ntok FROM sh GROUP BY b),
+             |fo AS (SELECT s, min(b) AS fb FROM sh GROUP BY s),
+             |vk AS (SELECT fb AS b, CAST(count(*) AS BIGINT) AS nv FROM fo GROUP BY fb),
+             |k AS (SELECT CAST(i AS BIGINT) AS b FROM UNNEST(generate_series(0, 9)) s(i)),
+             |cum AS (SELECT k.b,
+             |    (SELECT COALESCE(SUM(ntok), 0) FROM nk WHERE nk.b <= k.b) AS n_cum,
+             |    (SELECT COALESCE(SUM(nv), 0) FROM vk WHERE vk.b <= k.b) AS v_cum FROM k),
+             |pt AS (SELECT b, n_cum, v_cum,
+             |    CAST(CAST(round(ln(CAST(n_cum AS DOUBLE)), 6) AS DECIMAL(18,6))
+             |      * 1000000 AS BIGINT) AS x,
+             |    CAST(CAST(round(ln(CAST(v_cum AS DOUBLE)), 6) AS DECIMAL(18,6))
+             |      * 1000000 AS BIGINT) AS y FROM cum),
+             |f AS (SELECT SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
+             |        SUM(x*x) AS sxx FROM pt),
+             |fit AS (SELECT CAST(10 * sxy - sx * sy AS DOUBLE)
+             |          / CAST(10 * sxx - sx * sx AS DOUBLE) AS slope, sx, sy FROM f),
+             |fit2 AS (SELECT slope,
+             |        (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / 10
+             |          / 1000000.0 AS icept FROM fit)
+             |SELECT b AS bucket, CAST(n_cum AS BIGINT) AS n_shingles,
+             |  CAST(v_cum AS BIGINT) AS vocab,
+             |  slope AS heaps_beta, icept AS heaps_logk
+             |FROM pt CROSS JOIN fit2 ORDER BY bucket""".stripMargin)),
+
+    // q348 — FEATURE-HASHING collision audit (the "hashing trick"
+    // dimensionality check an ML featurizer runs before committing to a
+    // bucket count): every distinct token hashed into 256 buckets with
+    // the portable md5-prefix hash; output is the bucket-load histogram
+    // plus the global collision rate. One vocabulary-grain aggregate —
+    // at 100 TB the vocabulary (not the corpus) is the working set, and
+    // the same query re-run with a bigger modulus IS the capacity plan.
+    QuerySpec("q348_feature_hashing",
+      (s, dir) => {
+        val ld = Tables.load(s, dir, "documents")
+          .select(explode(graft.functions.Text.tokens(lower(col("text"))))
+            .as("t"))
+          .distinct()
+          .select((call_function("graft_hash32", col("t")) % 256).as("bkt"))
+          .groupBy("bkt").agg(count(lit(1)).as("n_feats"))
+          .persistTracked()
+        val hist = ld.groupBy(col("n_feats").as("load"))
+          .agg(count(lit(1)).as("n_buckets"))
+        val summ = ld.agg(sum("n_feats").as("n_features"),
+          count(lit(1)).as("buckets_used"), max("n_feats").as("max_load"))
+        hist.crossJoin(summ)
+          .select(col("load"), col("n_buckets"), col("n_features"),
+            col("buckets_used"), col("max_load"),
+            ((col("n_features") - col("buckets_used")).cast("double")
+              / col("n_features")).as("collision_rate"))
+          .orderBy("load")
+      },
+      Some("""WITH tok AS (SELECT DISTINCT
+             |        unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+             |      FROM documents),
+             |h AS (SELECT t, CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 256 AS bkt
+             |      FROM tok),
+             |ld AS (SELECT bkt, CAST(count(*) AS BIGINT) AS n_feats FROM h GROUP BY bkt),
+             |hist AS (SELECT n_feats AS load, CAST(count(*) AS BIGINT) AS n_buckets
+             |         FROM ld GROUP BY 1),
+             |summ AS (SELECT CAST(SUM(n_feats) AS BIGINT) AS n_features,
+             |    CAST(count(*) AS BIGINT) AS buckets_used,
+             |    CAST(max(n_feats) AS BIGINT) AS max_load
+             |  FROM ld)
+             |SELECT hist.load, hist.n_buckets, s.n_features, s.buckets_used,
+             |  s.max_load,
+             |  CAST(s.n_features - s.buckets_used AS DOUBLE) / s.n_features
+             |    AS collision_rate
+             |FROM hist CROSS JOIN summ s ORDER BY load""".stripMargin)))
 }

@@ -920,7 +920,79 @@ object StreamQueries {
       },
       Some("""SELECT user_id, count(*) AS n_events,
              |  max(event_id) AS last_event_id
-             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)))
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+
+    // q346 — STREAMING MATERIALIZED-VIEW MAINTENANCE: the summary table
+    // q336's optimizer rule serves is here kept FRESH incrementally — the
+    // lakehouse "streaming upkeep + instant serve" pair. Each micro-batch
+    // folds its partial (event_type, hour) sums/counts into the previous
+    // MV generation with a full-outer merge; because (DECIMAL sum, count)
+    // is a commutative monoid, ANY micro-batch partition of the log folds
+    // to the same table (the q280 associativity rule), so the result must
+    // hash-match the one-shot batch aggregate the oracle computes — no
+    // matter how the file source splits the 4 batches. Generation dirs
+    // swap atomically; the serve read never sees a half-merged MV.
+    QuerySpec("q346_stream_mv_maintain",
+      (s0, dir) => {
+        val s = stateSession(s0)
+        import org.apache.spark.sql.SaveMode
+        val fp = eventsFingerprint(dir)
+        relaidEvents.keys.filter(k => k._1 == dir && k._2 != fp)
+          .foreach(k => relaidEvents.remove(k).foreach(deleteRecursively))
+        val tmp = relaidEvents.getOrElseUpdate((dir, fp), {
+          val t = Files.createTempDirectory("graft_upd_").toString
+          Tables.load(s, dir, "events")
+            .repartitionByRange(4, col("event_id"))
+            .write.mode(SaveMode.Overwrite).parquet(t)
+          t
+        })
+        val schema = s.read.parquet(tmp).schema
+        val src = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(tmp)
+          .select(col("event_type"),
+            date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hr"),
+            col("value").cast("decimal(18,2)").as("v"))
+        val out = Files.createTempDirectory("graft_mvm_").toString
+        sinkDirs.add(out)
+        @volatile var gen: Option[String] = None
+        val q = src.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+            val delta = batch.groupBy("event_type", "hr")
+              .agg(sum("v").as("sv"), count(lit(1)).as("n"))
+            val merged = gen match {
+              case None => delta
+              case Some(g) =>
+                batch.sparkSession.read.parquet(g)
+                  .select(col("event_type"), col("hr"),
+                    col("sv").as("cs"), col("n").as("cn"))
+                  .join(delta.select(col("event_type"), col("hr"),
+                    col("sv").as("ds"), col("n").as("dn")),
+                    Seq("event_type", "hr"), "full_outer")
+                  .select(col("event_type"), col("hr"),
+                    (coalesce(col("cs"), lit(0).cast("decimal(28,2)")) +
+                      coalesce(col("ds"), lit(0).cast("decimal(28,2)"))).as("sv"),
+                    (coalesce(col("cn"), lit(0L)) +
+                      coalesce(col("dn"), lit(0L))).as("n"))
+            }
+            val g = s"$out/mv_$batchId"
+            merged.write.mode(SaveMode.Overwrite).parquet(g)
+            gen = Some(g)
+          }
+          .option("checkpointLocation", s"$out/_checkpoint")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(gen.get)
+          .select(col("event_type"), col("hr"), col("n").as("n_events"),
+            col("sv").cast("decimal(28,2)").as("sum_value"))
+          .orderBy("event_type", "hr")
+      },
+      Some("""SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+             |  count(*) AS n_events,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_value
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)))
+
 
   /** Memo for the sentinel relays, keyed like [[relaidEvents]] plus the
     * sentinel-batch count (q141/q203 need one advance; q230 two). */
