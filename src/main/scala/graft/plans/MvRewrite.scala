@@ -58,12 +58,17 @@ case class MvRewriteRule(
     case _ => None
   }
 
-  /** MV column that serves this aggregate function, if any. */
+  /** MV column that serves this aggregate function, if any. A
+    * `SUM(CAST(col AS t))` is servable when the MV declared that exact
+    * cast under the key "col#t" (the MV must have pre-summed the SAME
+    * cast — matching by name alone would serve a different number). */
   private def mvColFor(ae: AggregateExpression): Option[String] =
     if (ae.isDistinct || ae.filter.isDefined) None
     else ae.aggregateFunction match {
       case s: Sum => s.child match {
         case ar: AttributeReference => sumMap.get(ar.name)
+        case Cast(ar: AttributeReference, dt, _, _) =>
+          sumMap.get(s"${ar.name}#${dt.simpleString}")
         case _ => None
       }
       case c: Count => c.children match {

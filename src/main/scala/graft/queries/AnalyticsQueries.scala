@@ -3211,12 +3211,15 @@ object AnalyticsQueries {
     // customers; a FIXED-coefficient logistic propensity over (nation,
     // order count, spend) — round(·,6) DECIMAL, the q117 transcendental
     // rule — then 1-NN matching WITH replacement inside a 0.05 caliper.
-    // The match join is BLOCKED on coarse propensity buckets
-    // (floor(20·p), ±1 bucket covers every caliper pair) — candidates
-    // bounded by bucket density, never the T×C product. Δp is EXACT
-    // decimal, so the argmin struct-MIN (Δ, control id) is fully
-    // deterministic; ATT = mean treated−matched-control spend with one
-    // IEEE division at output.
+    // SCALE SHAPE: 1-NN on a 1-D score needs only each treated's nearest
+    // control BELOW and ABOVE in propensity order — 2 candidates, found
+    // by two windows PARTITIONED on caliper-width buckets (controls
+    // duplicated to ±1 bucket, so every within-caliper neighbor is
+    // inside the treated's partition). The first draft's bucket-blocked
+    // pair join was O(T·C/width) — 9.7 s at sf0.1 — this is
+    // O((3C+T)·log) across bucket-parallel sorts. Δp is EXACT decimal,
+    // so the (Δ, control id) struct order is fully deterministic; ATT =
+    // mean treated−matched-control spend, one IEEE division at output.
     QuerySpec("q343_propensity_matching",
       (s, dir) => {
         val feat = Tables.load(s, dir, "customer")
@@ -3229,29 +3232,64 @@ object AnalyticsQueries {
             sum(round(col("o_totalprice"), 2).cast("decimal(18,2)"))
               .as("spend"))
         val p = feat.select(col("ck"), col("treated"), col("spend"),
-          round(lit(1.0) / (lit(1.0) + exp(-(lit(-1.5)
-            + lit(0.08) * col("nk") + lit(0.05) * col("nord")
-            + lit(0.000004) * col("spend").cast("double")))), 6)
+          round(lit(1.0) / (lit(1.0) + exp(-(lit(-1.2)
+            + lit(0.04) * col("nk") + lit(0.06) * col("nord")
+            + lit(0.0000004) * col("spend").cast("double")))), 6)
             .cast("decimal(18,6)").as("ps"))
           .withColumn("bkt", floor(col("ps") * 20).cast("long"))
           .persistTracked()
-        val tr = p.filter(col("treated"))
-          .select(col("ck").as("tck"), col("ps").as("tps"),
-            col("spend").as("ty"), col("bkt"))
         val co = p.filter(!col("treated"))
-          .select(col("ck").as("cck"), col("ps").as("cps"),
-            col("spend").as("cy"), explode(expr("sequence(bkt - 1, bkt + 1)"))
-              .as("bkt"))
-        tr.join(co, "bkt")
-          .filter(abs(col("tps") - col("cps")) <= 0.05)
-          .groupBy("tck", "ty")
-          .agg(min(struct(abs(col("tps") - col("cps")).as("delta"),
-            col("cck"), col("cy"))).as("m"))
-          .agg(count(lit(1)).as("n_matched"),
-            sum(col("ty") - col("m.cy")).cast("decimal(28,2)").as("sum_diff"),
-            (sum(col("ty") - col("m.cy")).cast("double") / count(lit(1)))
-              .as("att"),
-            sum("m.delta").cast("decimal(28,6)").as("total_delta"))
+          .select(col("ck").as("cck"), col("ps"), col("spend").as("cy"),
+            explode(expr("sequence(bkt - 1, bkt + 1)")).as("bkt"),
+            lit(1).as("isc"))
+          .select(col("bkt"), col("ps"), col("isc"), col("cck"), col("cy"),
+            lit(null).cast("bigint").as("tck"),
+            lit(null).cast("decimal(28,2)").as("ty"))
+        val tr = p.filter(col("treated"))
+          .select(col("bkt"), col("ps"), lit(0).as("isc"),
+            lit(null).cast("bigint").as("cck"),
+            lit(null).cast("decimal(28,2)").as("cy"),
+            col("ck").as("tck"), col("spend").as("ty"))
+        // controls sort BEFORE treated at equal ps (isc desc), so a
+        // Δ=0 control is in the backward window. The FORWARD candidate
+        // is a running min over ps-DESCENDING order (equal-ps controls
+        // sorted after treated, keeping them backward-only) — Spark's
+        // [current, unboundedFollowing] frames rescan the remainder per
+        // row (O(n²); this query was 7 s at sf0.1 that way), while both
+        // running frames here are O(n).
+        val wB = Window.partitionBy("bkt")
+          .orderBy(col("ps"), col("isc").desc, col("cck"), col("tck"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val wF = Window.partitionBy("bkt")
+          .orderBy(col("ps").desc, col("isc"), col("cck"), col("tck"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val m = co.union(tr)
+          .withColumn("cb", max(when(col("isc") === 1,
+            struct(col("ps").as("cps"), (-col("cck")).as("ncck"),
+              col("cy")))).over(wB))
+          .withColumn("cf", min(when(col("isc") === 1,
+            struct(col("ps").as("cps"), col("cck"), col("cy")))).over(wF))
+          .filter(col("isc") === 0)
+          .select(col("tck"), col("ty"),
+            when(col("cb").isNotNull &&
+                col("ps") - col("cb.cps") <= 0.05,
+              struct((col("ps") - col("cb.cps")).as("delta"),
+                (-col("cb.ncck")).as("cck"), col("cb.cy").as("cy"))).as("b"),
+            when(col("cf").isNotNull &&
+                col("cf.cps") - col("ps") <= 0.05,
+              struct((col("cf.cps") - col("ps")).as("delta"),
+                col("cf.cck").as("cck"), col("cf.cy").as("cy"))).as("f"))
+          .select(col("tck"), col("ty"),
+            when(col("b").isNull, col("f"))
+              .when(col("f").isNull, col("b"))
+              .when(col("f") < col("b"), col("f"))
+              .otherwise(col("b")).as("m"))
+          .filter(col("m").isNotNull)
+        m.agg(count(lit(1)).as("n_matched"),
+          sum(col("ty") - col("m.cy")).cast("decimal(28,2)").as("sum_diff"),
+          (sum(col("ty") - col("m.cy")).cast("double") / count(lit(1)))
+            .as("att"),
+          sum("m.delta").cast("decimal(28,6)").as("total_delta"))
       },
       Some("""WITH feat AS (SELECT c.c_custkey AS ck,
              |        c.c_mktsegment = 'BUILDING' AS treated,
@@ -3260,9 +3298,9 @@ object AnalyticsQueries {
              |      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
              |      GROUP BY 1, 2, 3),
              |p AS (SELECT ck, treated, spend,
-             |        CAST(round(1.0 / (1.0 + exp(-(CAST(-1.5 AS DOUBLE)
-             |          + CAST(0.08 AS DOUBLE) * nk + CAST(0.05 AS DOUBLE) * nord
-             |          + CAST(0.000004 AS DOUBLE) * CAST(spend AS DOUBLE)))), 6)
+             |        CAST(round(1.0 / (1.0 + exp(-(CAST(-1.2 AS DOUBLE)
+             |          + CAST(0.04 AS DOUBLE) * nk + CAST(0.06 AS DOUBLE) * nord
+             |          + CAST(0.0000004 AS DOUBLE) * CAST(spend AS DOUBLE)))), 6)
              |          AS DECIMAL(18,6)) AS ps
              |      FROM feat),
              |tr AS (SELECT ck, ps, spend FROM p WHERE treated),
@@ -3271,13 +3309,49 @@ object AnalyticsQueries {
              |        c.spend AS cy, abs(t.ps - c.ps) AS delta,
              |        row_number() OVER (PARTITION BY t.ck
              |          ORDER BY abs(t.ps - c.ps), c.ck) AS rn
-             |      FROM tr t JOIN co c
-             |        ON floor(t.ps * 20) BETWEEN floor(c.ps * 20) - 1
-             |          AND floor(c.ps * 20) + 1
-             |      WHERE abs(t.ps - c.ps) <= 0.05)
+             |      FROM tr t JOIN co c ON abs(t.ps - c.ps) <= 0.05)
              |SELECT CAST(count(*) AS BIGINT) AS n_matched,
              |  CAST(SUM(ty - cy) AS DECIMAL(28,2)) AS sum_diff,
              |  CAST(SUM(ty - cy) AS DOUBLE) / count(*) AS att,
              |  CAST(SUM(delta) AS DECIMAL(28,6)) AS total_delta
-             |FROM cand WHERE rn = 1""".stripMargin)))
+             |FROM cand WHERE rn = 1""".stripMargin)),
+
+    // q350 — empirical-Bayes shrinkage of per-supplier return rates
+    // (pseudo-count smoothing toward the global rate, the small-sample
+    // stabilizer every per-entity-rate dashboard needs): shrunk =
+    // (returns + m·g)/(n + m) with prior strength m=50 and g the global
+    // rate (round(·,6) DECIMAL — one division, then exact decimal
+    // arithmetic until the final per-supplier division). Suppliers with
+    // few lines collapse toward g; high-volume suppliers keep their own
+    // rate — the ranking the raw rate gets WRONG on small n. One
+    // supplier-grain aggregate + a 1-row global broadcast.
+    QuerySpec("q350_eb_shrinkage",
+      (s, dir) => {
+        val r = Tables.load(s, dir, "lineitem")
+          .groupBy(col("l_suppkey").as("suppkey"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("ret"))
+          .persistTracked()
+        val g = r.agg(round(sum("ret").cast("double") / sum("n"), 6)
+          .cast("decimal(18,6)").as("gr"))
+        r.crossJoin(g)
+          .select(col("suppkey"), col("n"), col("ret"),
+            (col("ret").cast("double") / col("n")).as("raw_rate"),
+            ((col("ret").cast("decimal(18,6)") + lit(50) * col("gr"))
+              .cast("double") / (col("n") + 50)).as("shrunk_rate"))
+          .orderBy(desc("shrunk_rate"), col("suppkey"))
+          .limit(20)
+      },
+      Some("""WITH r AS (SELECT l_suppkey AS sk, CAST(count(*) AS BIGINT) AS n,
+             |        CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+             |          AS BIGINT) AS ret
+             |      FROM lineitem GROUP BY 1),
+             |g AS (SELECT CAST(round(CAST(SUM(ret) AS DOUBLE) / SUM(n), 6)
+             |        AS DECIMAL(18,6)) AS gr FROM r)
+             |SELECT sk AS suppkey, n, ret,
+             |  CAST(ret AS DOUBLE) / n AS raw_rate,
+             |  CAST(CAST(ret AS DECIMAL(18,6)) + 50 * gr AS DOUBLE) / (n + 50)
+             |    AS shrunk_rate
+             |FROM r CROSS JOIN g
+             |ORDER BY shrunk_rate DESC, suppkey LIMIT 20""".stripMargin)))
 }

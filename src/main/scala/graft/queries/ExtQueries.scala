@@ -2482,5 +2482,69 @@ object ExtQueries {
              |  CAST(SUM(abs(CAST(c AS DECIMAL(38,0)) * nn
              |    - CAST(g AS DECIMAL(38,0)) * n)) AS DOUBLE)
              |    / (CAST(2.0 AS DOUBLE) * max(n) * max(nn)) AS tvd
-             |FROM d GROUP BY nation, seg ORDER BY tvd DESC, nation, seg""".stripMargin)))
+             |FROM d GROUP BY nation, seg ORDER BY tvd DESC, nation, seg""".stripMargin)),
+
+    // q349 — MV REUSE across aggregation levels: ONE registered
+    // summary-table rule (q336's) serves TWO different queries — a
+    // coarser single-column rollup AND the grand total (empty grouping) —
+    // proving the subsumption test generalizes beyond the exact grouping
+    // it was built from (group-subset re-aggregation is what makes one
+    // MV pay for a whole dashboard). Both plans are REQUIRED to scan
+    // only the MV; the oracle recomputes both levels from the base
+    // table, pinning rollup-from-MV ≡ direct.
+    QuerySpec("q349_mv_rollup_serve",
+      (s, dir) => {
+        val ns = graft.core.Tuned.session(s)
+          .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        val base = Tables.load(ns, dir, "lineitem")
+        val mvPath = new java.io.File(System.getProperty("java.io.tmpdir"),
+          "graft_mv_" + Integer.toHexString(dir.hashCode)).toString
+        base.groupBy("l_returnflag", "l_linestatus", "l_linenumber")
+          .agg(sum("l_quantity").as("s_qty"),
+            sum("l_extendedprice").as("s_price"),
+            count(lit(1)).as("n_rows"))
+          .write.mode("overwrite").parquet(mvPath)
+        val basePath = base.queryExecution.analyzed.collectFirst {
+          case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            l.relation.asInstanceOf[
+              org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+              .location.rootPaths.head.toString
+        }.get
+        val rule = graft.plans.MvRewriteRule(ns, basePath,
+          ns.read.parquet(mvPath).queryExecution.analyzed,
+          Set("l_returnflag", "l_linestatus", "l_linenumber"),
+          Map("l_quantity" -> "s_qty", "l_extendedprice" -> "s_price"),
+          "n_rows")
+        if (!ns.experimental.extraOptimizations.contains(rule))
+          ns.experimental.extraOptimizations =
+            ns.experimental.extraOptimizations :+ rule
+        val lvl1 = Tables.load(ns, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n_rows"))
+          .select(lit(1).as("lvl"), col("l_returnflag").as("rf"),
+            col("sum_qty").cast("decimal(28,2)").as("sum_qty"), col("n_rows"))
+        val lvl0 = Tables.load(ns, dir, "lineitem")
+          .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n_rows"))
+          .select(lit(0).as("lvl"), lit("ALL").as("rf"),
+            col("sum_qty").cast("decimal(28,2)").as("sum_qty"), col("n_rows"))
+        val q = lvl1.union(lvl0).orderBy("lvl", "rf")
+        val scans = q.queryExecution.optimizedPlan.collect {
+          case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            l.relation.asInstanceOf[
+              org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+              .location.rootPaths.head.toString
+        }
+        require(scans.size == 2 && scans.forall(_ == "file:" + mvPath),
+          s"MV rollup rewrite did not fire on both levels; plan scans $scans")
+        q
+      },
+      Some("""SELECT 1 AS lvl, l_returnflag AS rf,
+             |  CAST(SUM(l_quantity) AS DECIMAL(28,2)) AS sum_qty,
+             |  CAST(count(*) AS BIGINT) AS n_rows
+             |FROM lineitem GROUP BY 2
+             |UNION ALL
+             |SELECT 0, 'ALL', CAST(SUM(l_quantity) AS DECIMAL(28,2)),
+             |  CAST(count(*) AS BIGINT)
+             |FROM lineitem
+             |ORDER BY lvl, rf""".stripMargin)))
 }

@@ -936,54 +936,8 @@ object StreamQueries {
     QuerySpec("q346_stream_mv_maintain",
       (s0, dir) => {
         val s = stateSession(s0)
-        import org.apache.spark.sql.SaveMode
-        val fp = eventsFingerprint(dir)
-        relaidEvents.keys.filter(k => k._1 == dir && k._2 != fp)
-          .foreach(k => relaidEvents.remove(k).foreach(deleteRecursively))
-        val tmp = relaidEvents.getOrElseUpdate((dir, fp), {
-          val t = Files.createTempDirectory("graft_upd_").toString
-          Tables.load(s, dir, "events")
-            .repartitionByRange(4, col("event_id"))
-            .write.mode(SaveMode.Overwrite).parquet(t)
-          t
-        })
-        val schema = s.read.parquet(tmp).schema
-        val src = s.readStream.schema(schema)
-          .option("maxFilesPerTrigger", "1").parquet(tmp)
-          .select(col("event_type"),
-            date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hr"),
-            col("value").cast("decimal(18,2)").as("v"))
-        val out = Files.createTempDirectory("graft_mvm_").toString
-        sinkDirs.add(out)
-        @volatile var gen: Option[String] = None
-        val q = src.writeStream
-          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-            val delta = batch.groupBy("event_type", "hr")
-              .agg(sum("v").as("sv"), count(lit(1)).as("n"))
-            val merged = gen match {
-              case None => delta
-              case Some(g) =>
-                batch.sparkSession.read.parquet(g)
-                  .select(col("event_type"), col("hr"),
-                    col("sv").as("cs"), col("n").as("cn"))
-                  .join(delta.select(col("event_type"), col("hr"),
-                    col("sv").as("ds"), col("n").as("dn")),
-                    Seq("event_type", "hr"), "full_outer")
-                  .select(col("event_type"), col("hr"),
-                    (coalesce(col("cs"), lit(0).cast("decimal(28,2)")) +
-                      coalesce(col("ds"), lit(0).cast("decimal(28,2)"))).as("sv"),
-                    (coalesce(col("cn"), lit(0L)) +
-                      coalesce(col("dn"), lit(0L))).as("n"))
-            }
-            val g = s"$out/mv_$batchId"
-            merged.write.mode(SaveMode.Overwrite).parquet(g)
-            gen = Some(g)
-          }
-          .option("checkpointLocation", s"$out/_checkpoint")
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-        s.read.parquet(gen.get)
+        val (_, gen) = maintainHourlyMv(s, dir)
+        s.read.parquet(gen)
           .select(col("event_type"), col("hr"), col("n").as("n_events"),
             col("sv").cast("decimal(28,2)").as("sum_value"))
           .orderBy("event_type", "hr")
@@ -991,7 +945,118 @@ object StreamQueries {
       Some("""SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
              |  count(*) AS n_events,
              |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_value
-             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)))
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // q351 — stream-maintained MV SERVED through the optimizer rule:
+    // the full lakehouse loop in one hash-checked query. The q346
+    // maintenance runs first (micro-batch monoid folds into generation
+    // dirs); then q336's MvRewriteRule is registered against the FINAL
+    // generation — including the SUM(CAST(value AS DECIMAL(18,2)))
+    // form, which the rule serves only because the MV declared that
+    // exact cast (name-only matching would serve a different number) —
+    // and a plain aggregate over the events table is REQUIRED to plan
+    // as an MV-generation scan (no events scan survives). The oracle
+    // recomputes from the raw events table: ingest → incremental fold →
+    // rewrite → serve must equal one-shot batch SQL.
+    QuerySpec("q351_stream_mv_serve",
+      (s0, dir) => {
+        val s = stateSession(s0)
+        val (tmp, gen) = maintainHourlyMv(s, dir)
+        val ns = graft.core.Tuned.session(s)
+          .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        val base = ns.read.parquet(tmp)
+        val basePath = base.queryExecution.analyzed.collectFirst {
+          case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            l.relation.asInstanceOf[
+              org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+              .location.rootPaths.head.toString
+        }.get
+        val rule = graft.plans.MvRewriteRule(ns, basePath,
+          ns.read.parquet(gen).queryExecution.analyzed,
+          Set("event_type", "hr"),
+          Map("value#decimal(18,2)" -> "sv"), "n")
+        if (!ns.experimental.extraOptimizations.contains(rule))
+          ns.experimental.extraOptimizations =
+            ns.experimental.extraOptimizations :+ rule
+        val q = ns.read.parquet(tmp)
+          .groupBy("event_type")
+          .agg(sum(col("value").cast("decimal(18,2)")).as("sum_value"),
+            count(lit(1)).as("n_events"))
+          .select(col("event_type"),
+            col("sum_value").cast("decimal(28,2)").as("sum_value"),
+            col("n_events"))
+          .orderBy("event_type")
+        val scans = q.queryExecution.optimizedPlan.collect {
+          case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            l.relation.asInstanceOf[
+              org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+              .location.rootPaths.head.toString
+        }
+        require(scans.nonEmpty && scans.forall(_ == "file:" + gen),
+          s"MV serve did not hit the maintained generation; plan scans $scans")
+        q
+      },
+      Some("""SELECT event_type,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_value,
+             |  count(*) AS n_events
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)))
+
+  /** q346/q351's shared incremental-maintenance run: relay `events` as a
+    * 4-file stream, fold each micro-batch's (event_type, hour) partial
+    * (DECIMAL sum, count) into the previous MV generation with a
+    * full-outer merge, write generation dirs. Returns (relaid events
+    * parquet path, final MV generation path). */
+  private def maintainHourlyMv(s: SparkSession, dir: String)
+      : (String, String) = {
+    import org.apache.spark.sql.SaveMode
+    val fp = eventsFingerprint(dir)
+    relaidEvents.keys.filter(k => k._1 == dir && k._2 != fp)
+      .foreach(k => relaidEvents.remove(k).foreach(deleteRecursively))
+    val tmp = relaidEvents.getOrElseUpdate((dir, fp), {
+      val t = Files.createTempDirectory("graft_upd_").toString
+      Tables.load(s, dir, "events")
+        .repartitionByRange(4, col("event_id"))
+        .write.mode(SaveMode.Overwrite).parquet(t)
+      t
+    })
+    val schema = s.read.parquet(tmp).schema
+    val src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(tmp)
+      .select(col("event_type"),
+        date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hr"),
+        col("value").cast("decimal(18,2)").as("v"))
+    val out = Files.createTempDirectory("graft_mvm_").toString
+    sinkDirs.add(out)
+    @volatile var gen: Option[String] = None
+    val q = src.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val delta = batch.groupBy("event_type", "hr")
+          .agg(sum("v").as("sv"), count(lit(1)).as("n"))
+        val merged = gen match {
+          case None => delta
+          case Some(g) =>
+            batch.sparkSession.read.parquet(g)
+              .select(col("event_type"), col("hr"),
+                col("sv").as("cs"), col("n").as("cn"))
+              .join(delta.select(col("event_type"), col("hr"),
+                col("sv").as("ds"), col("n").as("dn")),
+                Seq("event_type", "hr"), "full_outer")
+              .select(col("event_type"), col("hr"),
+                (coalesce(col("cs"), lit(0).cast("decimal(28,2)")) +
+                  coalesce(col("ds"), lit(0).cast("decimal(28,2)"))).as("sv"),
+                (coalesce(col("cn"), lit(0L)) +
+                  coalesce(col("dn"), lit(0L))).as("n"))
+        }
+        val g = s"$out/mv_$batchId"
+        merged.write.mode(SaveMode.Overwrite).parquet(g)
+        gen = Some(g)
+      }
+      .option("checkpointLocation", s"$out/_checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    (tmp, gen.get)
+  }
 
 
   /** Memo for the sentinel relays, keyed like [[relaidEvents]] plus the

@@ -24,7 +24,9 @@ class MvRewriteSpec extends AnyFunSuite {
       .write.mode("overwrite").parquet(basePath)
     val base = spark.read.parquet(basePath)
     base.groupBy("g1", "g2")
-      .agg(sum("x").as("s_x"), sum("d").as("s_d"), count(lit(1)).as("n"))
+      .agg(sum("x").as("s_x"), sum("d").as("s_d"),
+        sum(col("x").cast("decimal(20,2)")).as("s_xc"),
+        count(lit(1)).as("n"))
       .write.mode("overwrite").parquet(mvPath)
     val bp = base.queryExecution.analyzed.collectFirst {
       case l: LogicalRelation => l.relation.asInstanceOf[HadoopFsRelation]
@@ -33,7 +35,8 @@ class MvRewriteSpec extends AnyFunSuite {
     MvRewriteRule(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
       bp, spark.read.parquet(mvPath).queryExecution.analyzed,
-      Set("g1", "g2"), Map("x" -> "s_x", "d" -> "s_d"), "n")
+      Set("g1", "g2"),
+      Map("x" -> "s_x", "d" -> "s_d", "x#decimal(20,2)" -> "s_xc"), "n")
   }
 
   private def scans(df: org.apache.spark.sql.DataFrame): Seq[String] =
@@ -59,6 +62,16 @@ class MvRewriteSpec extends AnyFunSuite {
       .agg(sum("d").as("sd"))
       .select(col("g1"), col("g2"), col("sd").cast("decimal(28,2)").as("sd"))
     assert(scans(q).forall(_.endsWith("/mv")))
+  }
+
+  test("a DECLARED sum-of-cast is served; an undeclared cast is not") {
+    val base = spark.read.parquet(basePath)
+    val declared = base.groupBy("g1")
+      .agg(sum(col("x").cast("decimal(20,2)")).as("sxc"))
+    assert(scans(declared).forall(_.endsWith("/mv")))
+    val undeclared = base.groupBy("g1")
+      .agg(sum(col("x").cast("decimal(21,3)")).as("sxc"))
+    assert(scans(undeclared).forall(_.endsWith("/base")))
   }
 
   test("avg / distinct / filtered aggregates keep the base plan") {
