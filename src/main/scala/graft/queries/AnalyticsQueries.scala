@@ -3353,5 +3353,190 @@ object AnalyticsQueries {
              |  CAST(CAST(ret AS DECIMAL(18,6)) + 50 * gr AS DOUBLE) / (n + 50)
              |    AS shrunk_rate
              |FROM r CROSS JOIN g
-             |ORDER BY shrunk_rate DESC, suppkey LIMIT 20""".stripMargin)))
+             |ORDER BY shrunk_rate DESC, suppkey LIMIT 20""".stripMargin)),
+
+    // q354 — approximate functional-dependency discovery (the schema
+    // profiler's "does X determine Y?" sweep): for each candidate FD,
+    // violations = Σ_x (count(x) − max_y count(x,y)) — the minimum number
+    // of rows to delete for the FD to hold exactly (g3 error). All
+    // candidates ride ONE unioned (fd, x, y) aggregate; integers
+    // throughout, one division at output. Declared-true FDs
+    // (nation→region, orderkey→orderdate) land at 0 by construction —
+    // the audit proves the data, not the assumption.
+    QuerySpec("q354_fd_discovery",
+      (s, dir) => {
+        val oc = Tables.load(s, dir, "orders")
+          .join(Tables.load(s, dir, "customer"),
+            col("o_custkey") === col("c_custkey"))
+        val nr = Tables.load(s, dir, "nation")
+          .join(Tables.load(s, dir, "region"),
+            col("n_regionkey") === col("r_regionkey"))
+        val lo = Tables.load(s, dir, "lineitem")
+          .join(Tables.load(s, dir, "orders"),
+            col("l_orderkey") === col("o_orderkey"))
+        val pairs = oc.select(lit("custkey->mktsegment").as("fd"),
+            col("o_custkey").cast("string").as("x"), col("c_mktsegment").as("y"))
+          .union(nr.select(lit("nation->region"),
+            col("n_nationkey").cast("string"), col("r_regionkey").cast("string")))
+          .union(Tables.load(s, dir, "orders")
+            .select(lit("custkey->priority"), col("o_custkey").cast("string"),
+              col("o_orderpriority")))
+          .union(lo.select(lit("orderkey->orderdate"),
+            col("l_orderkey").cast("string"), col("o_orderdate").cast("string")))
+        val cxy = pairs.groupBy("fd", "x", "y").agg(count(lit(1)).as("c"))
+        cxy.groupBy("fd", "x").agg(sum("c").as("n"), max("c").as("mx"))
+          .groupBy("fd")
+          .agg(sum("n").as("n_rows"), sum(col("n") - col("mx")).as("n_violations"),
+            count(lit(1)).as("n_keys"))
+          .select(col("fd"), col("n_rows"), col("n_keys"), col("n_violations"),
+            (col("n_violations").cast("double") / col("n_rows"))
+              .as("violation_rate"),
+            (col("n_violations") === 0).as("holds"))
+          .orderBy("fd")
+      },
+      Some("""WITH pairs AS (
+             |  SELECT 'custkey->mktsegment' AS fd, CAST(o_custkey AS VARCHAR) AS x,
+             |      c_mktsegment AS y
+             |    FROM orders JOIN customer ON o_custkey = c_custkey
+             |  UNION ALL SELECT 'nation->region', CAST(n_nationkey AS VARCHAR),
+             |      CAST(r_regionkey AS VARCHAR)
+             |    FROM nation JOIN region ON n_regionkey = r_regionkey
+             |  UNION ALL SELECT 'custkey->priority', CAST(o_custkey AS VARCHAR),
+             |      o_orderpriority FROM orders
+             |  UNION ALL SELECT 'orderkey->orderdate', CAST(l_orderkey AS VARCHAR),
+             |      CAST(o_orderdate AS VARCHAR)
+             |    FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+             |cxy AS (SELECT fd, x, y, count(*) AS c FROM pairs GROUP BY 1, 2, 3),
+             |cx AS (SELECT fd, x, SUM(c) AS n, max(c) AS mx FROM cxy GROUP BY 1, 2)
+             |SELECT fd, CAST(SUM(n) AS BIGINT) AS n_rows,
+             |  CAST(count(*) AS BIGINT) AS n_keys,
+             |  CAST(SUM(n - mx) AS BIGINT) AS n_violations,
+             |  CAST(SUM(n - mx) AS DOUBLE) / SUM(n) AS violation_rate,
+             |  SUM(n - mx) = 0 AS holds
+             |FROM cx GROUP BY fd ORDER BY fd""".stripMargin)),
+
+    // q355 — percent-of-parent hierarchical shares (the drill-down
+    // number every BI rollup shows next to its absolute): revenue at
+    // (region, nation, segment) grain with each level's share of its
+    // parent. The corpus-scale work is ONE exact decimal aggregate to
+    // the leaf grain (≤ |regions|·|nations|·|segments| rows); the three
+    // share divisions are windows over that bounded frame.
+    QuerySpec("q355_pct_of_parent",
+      (s, dir) => {
+        val leaf = Tables.load(s, dir, "orders")
+          .join(Tables.load(s, dir, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .join(Tables.load(s, dir, "nation"),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(Tables.load(s, dir, "region"),
+            col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name").as("region"), col("n_name").as("nation"),
+            col("c_mktsegment").as("seg"))
+          .agg(sum(round(col("o_totalprice"), 2).cast("decimal(18,2)"))
+            .as("rev"))
+        val wN = Window.partitionBy("region", "nation")
+        val wR = Window.partitionBy("region")
+        val wT = Window.partitionBy()
+        leaf
+          .withColumn("nat_rev", sum("rev").over(wN))
+          .withColumn("reg_rev", sum("rev").over(wR))
+          .withColumn("tot_rev", sum("rev").over(wT))
+          .select(col("region"), col("nation"), col("seg"),
+            col("rev").cast("decimal(28,2)").as("rev"),
+            (col("rev").cast("double") / col("nat_rev").cast("double"))
+              .as("pct_of_nation"),
+            (col("nat_rev").cast("double") / col("reg_rev").cast("double"))
+              .as("nation_pct_of_region"),
+            (col("reg_rev").cast("double") / col("tot_rev").cast("double"))
+              .as("region_pct_of_total"))
+          .orderBy("region", "nation", "seg")
+      },
+      Some("""WITH leaf AS (SELECT r.r_name AS region, n.n_name AS nation,
+             |      c.c_mktsegment AS seg,
+             |      SUM(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))) AS rev
+             |    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+             |    JOIN nation n ON c.c_nationkey = n.n_nationkey
+             |    JOIN region r ON n.n_regionkey = r.r_regionkey
+             |    GROUP BY 1, 2, 3)
+             |SELECT region, nation, seg, CAST(rev AS DECIMAL(28,2)) AS rev,
+             |  CAST(rev AS DOUBLE)
+             |    / CAST(SUM(rev) OVER (PARTITION BY region, nation) AS DOUBLE)
+             |    AS pct_of_nation,
+             |  CAST(SUM(rev) OVER (PARTITION BY region, nation) AS DOUBLE)
+             |    / CAST(SUM(rev) OVER (PARTITION BY region) AS DOUBLE)
+             |    AS nation_pct_of_region,
+             |  CAST(SUM(rev) OVER (PARTITION BY region) AS DOUBLE)
+             |    / CAST(SUM(rev) OVER () AS DOUBLE) AS region_pct_of_total
+             |FROM leaf ORDER BY region, nation, seg""".stripMargin)),
+
+    // q356 — quantile treatment effects (the distributional view q190's
+    // mean-difference z-test can't see): treated vs control order-value
+    // quantiles at p10/25/50/75/90, each an EXACT ceil(q·n)-th order
+    // statistic from q219's PrefixSum-of-ones rank machinery — range-
+    // partitioned ranks, never a per-group single-reducer window; the
+    // statistic is an actual data value, so decimals compare exactly
+    // and QTE = treated − control is exact decimal arithmetic.
+    QuerySpec("q356_quantile_effects",
+      (s, dir) => {
+        val base = Tables.load(s, dir, "orders")
+          .join(Tables.load(s, dir, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .select((col("c_mktsegment") === "BUILDING").as("treated"),
+            round(col("o_totalprice"), 2).cast("decimal(18,2)").as("y"),
+            col("o_orderkey"))
+          .withColumn("__one", lit(1L))
+        val cum = graft.ops.PrefixSum.cumsum(base,
+          Seq("treated", "y", "o_orderkey"), "__one", "cum", 32)
+        val grp = cum.groupBy("treated")
+          .agg(min(col("cum")).as("g0"), count(lit(1)).as("n"))
+        val qs = Seq(0.10, 0.25, 0.50, 0.75, 0.90)
+        val ranked = cum.join(broadcast(grp), "treated")
+          .withColumn("rk", col("cum") - col("g0") + 1)
+        // exact integer ceiling ⌈n·P/100⌉ — ceil(n * 0.10D) can land a
+        // whole ulp above an exact integer and pick the NEXT rank
+        def k(p: Int) = expr(s"(n * $p + 99) div 100")
+        val picks = ranked.groupBy("treated").agg(
+          qs.map(q => max(when(col("rk") === k((q * 100).toInt), col("y")))
+            .as(s"y${(q * 100).toInt}")).head,
+          qs.tail.map(q => max(when(col("rk") === k((q * 100).toInt), col("y")))
+            .as(s"y${(q * 100).toInt}")): _*)
+        val one = picks.agg(
+          qs.flatMap(q => Seq(
+            max(when(col("treated"), col(s"y${(q * 100).toInt}")))
+              .as(s"t${(q * 100).toInt}"),
+            max(when(!col("treated"), col(s"y${(q * 100).toInt}")))
+              .as(s"c${(q * 100).toInt}"))).head,
+          qs.flatMap(q => Seq(
+            max(when(col("treated"), col(s"y${(q * 100).toInt}")))
+              .as(s"t${(q * 100).toInt}"),
+            max(when(!col("treated"), col(s"y${(q * 100).toInt}")))
+              .as(s"c${(q * 100).toInt}"))).tail: _*)
+        one.select(explode(array(qs.map { q =>
+            val i = (q * 100).toInt
+            struct(lit(q).cast("decimal(4,2)").as("q"),
+              col(s"t$i").as("treated_q"), col(s"c$i").as("control_q"))
+          }: _*)).as("r"))
+          .select(col("r.q").as("q"), col("r.treated_q"), col("r.control_q"),
+            (col("r.treated_q") - col("r.control_q")).cast("decimal(19,2)")
+              .as("qte"))
+          .orderBy("q")
+      },
+      Some("""WITH j AS (SELECT CAST(round(o_totalprice, 2) AS DECIMAL(18,2)) AS y,
+             |        c_mktsegment = 'BUILDING' AS treated, o_orderkey
+             |      FROM orders JOIN customer ON o_custkey = c_custkey),
+             |r AS (SELECT y, treated,
+             |        row_number() OVER (PARTITION BY treated
+             |          ORDER BY y, o_orderkey) AS rn,
+             |        count(*) OVER (PARTITION BY treated) AS n FROM j),
+             |qs AS (SELECT CAST(p AS INTEGER) AS p
+             |       FROM (VALUES (10),(25),(50),(75),(90)) t(p)),
+             |pick AS (SELECT CAST(qs.p / 100.0 AS DECIMAL(4,2)) AS q, r.treated, r.y
+             |  FROM qs JOIN r ON r.rn = (r.n * qs.p + 99) // 100),
+             |w AS (SELECT q,
+             |    max(CASE WHEN treated THEN y END) AS yt,
+             |    max(CASE WHEN NOT treated THEN y END) AS yc
+             |  FROM pick GROUP BY q)
+             |SELECT q, yt AS treated_q, yc AS control_q,
+             |  CAST(yt - yc AS DECIMAL(19,2)) AS qte
+             |FROM w ORDER BY q""".stripMargin)))
 }

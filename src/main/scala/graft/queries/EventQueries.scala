@@ -879,5 +879,64 @@ object EventQueries {
              |u AS (SELECT * FROM pr UNION ALL SELECT * FROM tr)
              |SELECT pattern, CAST(plen AS INTEGER) AS plen,
              |  CAST(count(*) AS BIGINT) AS n_users
-             |FROM u GROUP BY 1, 2 ORDER BY n_users DESC, pattern""".stripMargin)))
+             |FROM u GROUP BY 1, 2 ORDER BY n_users DESC, pattern""".stripMargin)),
+
+    // q359 — cohort LTV curves (cumulative revenue per signup-DAY
+    // cohort by day age — the revenue complement of q103's retention
+    // counts): cohort assignment and ages use the survival family's
+    // µs-epoch integer day arithmetic (integer div parity; calendar
+    // functions differ across engines), revenue is the exact decimal
+    // sum, and the cumulation window runs over the cohort×age frame —
+    // bounded by calendar², not corpus. ltv_per_user is one double
+    // division per cell.
+    QuerySpec("q359_cohort_ltv",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events").persistTracked()
+        val su = ev.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min("ts").as("st"))
+        val pur = ev.filter(col("event_type") === "purchase")
+          .join(su, "user_id")
+          .filter(col("ts") >= col("st"))
+          .select(col("user_id"),
+            date_format(col("st"), "yyyy-MM-dd").as("cohort"),
+            (expr("unix_micros(ts) div 86400000000")
+              - expr("unix_micros(st) div 86400000000")).as("age"),
+            col("value").cast("decimal(18,2)").as("v"))
+          .persistTracked()
+        val cs = pur.groupBy("cohort")
+          .agg(countDistinct("user_id").as("n_users"))
+        val w = Window.partitionBy("cohort").orderBy("age")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        pur.groupBy("cohort", "age").agg(sum("v").as("rev"))
+          .withColumn("cum_rev", sum("rev").over(w))
+          .join(cs, "cohort")
+          .select(col("cohort"), col("age").cast("int").as("age"),
+            col("n_users"), col("rev").cast("decimal(28,2)").as("rev"),
+            col("cum_rev").cast("decimal(28,2)").as("cum_rev"),
+            (col("cum_rev").cast("double") / col("n_users"))
+              .as("ltv_per_user"))
+          .orderBy("cohort", "age")
+      },
+      Some("""WITH su AS (SELECT user_id, min(ts) AS st FROM events
+             |      WHERE event_type = 'signup' GROUP BY 1),
+             |pur AS (SELECT e.user_id, strftime(su.st, '%Y-%m-%d') AS cohort,
+             |        epoch_us(CAST(e.ts AS TIMESTAMP)) // 86400000000
+             |          - epoch_us(CAST(su.st AS TIMESTAMP)) // 86400000000 AS age,
+             |        CAST(e.value AS DECIMAL(18,2)) AS v
+             |      FROM events e JOIN su ON e.user_id = su.user_id
+             |      WHERE e.event_type = 'purchase' AND e.ts >= su.st),
+             |cs AS (SELECT cohort, count(DISTINCT user_id) AS n_users
+             |       FROM pur GROUP BY 1),
+             |m AS (SELECT cohort, age, SUM(v) AS rev FROM pur GROUP BY 1, 2),
+             |c AS (SELECT cohort, age, rev,
+             |        SUM(rev) OVER (PARTITION BY cohort ORDER BY age
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev
+             |      FROM m)
+             |SELECT c.cohort AS cohort, CAST(c.age AS INTEGER) AS age,
+             |  CAST(cs.n_users AS BIGINT) AS n_users,
+             |  CAST(c.rev AS DECIMAL(28,2)) AS rev,
+             |  CAST(c.cum_rev AS DECIMAL(28,2)) AS cum_rev,
+             |  CAST(c.cum_rev AS DOUBLE) / cs.n_users AS ltv_per_user
+             |FROM c JOIN cs ON c.cohort = cs.cohort
+             |ORDER BY cohort, age""".stripMargin)))
 }

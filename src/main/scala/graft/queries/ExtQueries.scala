@@ -2546,5 +2546,63 @@ object ExtQueries {
              |SELECT 0, 'ALL', CAST(SUM(l_quantity) AS DECIMAL(28,2)),
              |  CAST(count(*) AS BIGINT)
              |FROM lineitem
-             |ORDER BY lvl, rf""".stripMargin)))
+             |ORDER BY lvl, rf""".stripMargin)),
+
+    // q352 — NATIVE RECURSIVE CTE (Spark 4's WITH RECURSIVE) against
+    // DuckDB's — engine-vs-engine recursion parity, the q217 native-asof
+    // methodology applied to iteration. The recursion walks each
+    // customer's ancestor chain in the implicit binary-halving hierarchy
+    // (anc → anc/2 — a TREE, so UNION ALL recursion is safe: paths are
+    // unique and rows are n·log n, never the path-counting explosion a
+    // cyclic graph would produce under UNION ALL). Depth histogram +
+    // per-depth ancestor checksums pin every recursion level, not just
+    // the fixpoint. Complements q204, which builds the same round
+    // structure manually with DataFrame iteration + persist discipline.
+    QuerySpec("q352_recursive_sql",
+      (s, dir) => {
+        Tables.load(s, dir, "customer").createOrReplaceTempView("g352_customer")
+        s.sql("""WITH RECURSIVE rec AS (
+          SELECT c_custkey AS ck, c_custkey AS anc, 0 AS d FROM g352_customer
+          UNION ALL
+          SELECT ck, anc DIV 2, d + 1 FROM rec WHERE anc > 1)
+          SELECT CAST(d AS INT) AS depth, CAST(count(*) AS BIGINT) AS n_nodes,
+            CAST(SUM(anc) AS BIGINT) AS anc_checksum
+          FROM rec GROUP BY d ORDER BY depth""")
+      },
+      Some("""WITH RECURSIVE rec AS (
+             |  SELECT c_custkey AS ck, c_custkey AS anc, 0 AS d FROM customer
+             |  UNION ALL
+             |  SELECT ck, anc // 2, d + 1 FROM rec WHERE anc > 1)
+             |SELECT CAST(d AS INTEGER) AS depth, CAST(count(*) AS BIGINT) AS n_nodes,
+             |  CAST(SUM(anc) AS BIGINT) AS anc_checksum
+             |FROM rec GROUP BY d ORDER BY depth""".stripMargin)),
+
+    // q353 — SQL-defined scalar function (Spark 4 CREATE FUNCTION …
+    // RETURN): the margin model lives ONCE as a declared SQL UDF —
+    // typed DECIMAL in, exact DECIMAL out, so Catalyst inlines it into
+    // codegen like any expression (no closure, no serialization) — and
+    // the oracle inlines the identical arithmetic textually. This is
+    // the governance shape for shared business logic at 100 TB: the
+    // definition ships as catalog metadata, not a jar.
+    QuerySpec("q353_sql_udf",
+      (s, dir) => {
+        s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_margin(
+            p DECIMAL(18,2), d DECIMAL(18,2), q DECIMAL(18,2))
+          RETURNS DECIMAL(38,4)
+          RETURN p * (1 - d) - q * CAST(90.00 AS DECIMAL(4,2))""")
+        Tables.load(s, dir, "lineitem").createOrReplaceTempView("g353_lineitem")
+        s.sql("""SELECT l_returnflag,
+            CAST(SUM(graft_margin(CAST(l_extendedprice AS DECIMAL(18,2)),
+              CAST(l_discount AS DECIMAL(18,2)),
+              CAST(l_quantity AS DECIMAL(18,2)))) AS DECIMAL(30,4)) AS total_margin,
+            CAST(count(*) AS BIGINT) AS n
+          FROM g353_lineitem GROUP BY 1 ORDER BY 1""")
+      },
+      Some("""SELECT l_returnflag,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             |      * (1 - CAST(l_discount AS DECIMAL(18,2)))
+             |    - CAST(l_quantity AS DECIMAL(18,2)) * CAST(90.00 AS DECIMAL(4,2)))
+             |    AS DECIMAL(30,4)) AS total_margin,
+             |  CAST(count(*) AS BIGINT) AS n
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)))
 }

@@ -4408,5 +4408,70 @@ object TextQueries {
              |  s.max_load,
              |  CAST(s.n_features - s.buckets_used AS DOUBLE) / s.n_features
              |    AS collision_rate
-             |FROM hist CROSS JOIN summ s ORDER BY load""".stripMargin)))
+             |FROM hist CROSS JOIN summ s ORDER BY load""".stripMargin)),
+
+    // q358 — decile LIFT/GAINS table for the q117 quality classifier
+    // against the lang='en' label (the model-eval sheet a ranking
+    // filter ships with, complementing q253's AUC with the
+    // budget-targeting view: "top-k deciles capture X× base rate").
+    // Deciles come from a PrefixSum global rank fed through q312's
+    // exact ntile bucket arithmetic — never a single-reducer global
+    // ntile window; the oracle uses DuckDB's NATIVE ntile so the gate
+    // re-proves formula ≡ engine on this ordering too. Cumulatives are
+    // a 10-row frame; rates/lift are fixed double chains.
+    QuerySpec("q358_lift_table",
+      (s, dir) => {
+        import org.apache.spark.sql.Column
+        def idiv(a: Column, b: Column): Column =
+          ((a - pmod(a, b)) / b).cast("long")
+        def ntileScore(rank: Column, n: Column, k: Int): Column = {
+          val base = idiv(n, lit(k))
+          val m = pmod(n, lit(k))
+          val cut = m * (base + 1)
+          when(rank <= cut, idiv(rank - 1, base + 1) + 1)
+            .otherwise(m + idiv(rank - cut - 1, base) + 1)
+        }
+        val scored = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), (col("lang") === "en").cast("long").as("pos"),
+            qualityP.as("p"))
+          .withColumn("negp", -col("p"))
+          .withColumn("one", lit(1L))
+        val ranked = graft.ops.PrefixSum.cumsum(scored,
+          Seq("negp", "doc_id"), "one", "rk", 32)
+        val nn = ranked.agg(count(lit(1)).as("n"), sum("pos").as("np"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy("decile")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        ranked.crossJoin(nn)
+          .withColumn("decile", ntileScore(col("rk"), col("n"), 10).cast("int"))
+          .groupBy("decile")
+          .agg(count(lit(1)).as("n_docs"), sum("pos").as("n_pos"),
+            max("n").as("n"), max("np").as("np"))
+          .withColumn("cum_docs", sum("n_docs").over(w))
+          .withColumn("cum_pos", sum("n_pos").over(w))
+          .select(col("decile"), col("n_docs"), col("n_pos"),
+            col("cum_pos"),
+            (col("cum_pos").cast("double") / col("cum_docs")).as("cum_rate"),
+            ((col("cum_pos").cast("double") / col("cum_docs"))
+              / (col("np").cast("double") / col("n"))).as("lift"))
+          .orderBy("decile")
+      },
+      Some(s"""WITH scored AS (SELECT doc_id, CAST(lang = 'en' AS BIGINT) AS pos,
+              |    $duckQualityP AS p FROM documents),
+              |r AS (SELECT doc_id, pos,
+              |    ntile(10) OVER (ORDER BY p DESC, doc_id) AS decile FROM scored),
+              |nn AS (SELECT count(*) AS n, SUM(pos) AS np FROM scored),
+              |d AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+              |    CAST(SUM(pos) AS BIGINT) AS n_pos FROM r GROUP BY decile),
+              |c AS (SELECT decile, n_docs, n_pos,
+              |    SUM(n_docs) OVER (ORDER BY decile
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_docs,
+              |    SUM(n_pos) OVER (ORDER BY decile
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos
+              |  FROM d)
+              |SELECT CAST(decile AS INTEGER) AS decile, n_docs, n_pos,
+              |  CAST(cum_pos AS BIGINT) AS cum_pos,
+              |  CAST(cum_pos AS DOUBLE) / cum_docs AS cum_rate,
+              |  (CAST(cum_pos AS DOUBLE) / cum_docs)
+              |    / (CAST(np AS DOUBLE) / n) AS lift
+              |FROM c CROSS JOIN nn ORDER BY decile""".stripMargin)))
 }
