@@ -198,6 +198,11 @@ object GraftFunctions {
     "graft_zorder2(x, y) - 2-D Morton (z-order) bit interleave of two 16-bit coords",
     "", "", "", "", "", "", "built-in")
 
+  private[functions] val hilbert2Info = new ExpressionInfo(
+    classOf[Hilbert2D].getName, "", "graft_hilbert2",
+    "graft_hilbert2(x, y) - order-16 2-D Hilbert curve position of two 16-bit coords",
+    "", "", "", "", "", "", "built-in")
+
   private[functions] val mightContainInfo = new ExpressionInfo(
     classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
     "", "graft_might_contain",
@@ -228,6 +233,8 @@ object GraftFunctions {
       "graft_topk", exprs => TopKAgg(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_zorder2", exprs => ZOrder2D(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_hilbert2", exprs => Hilbert2D(exprs(0), exprs(1)), "built-in")
   }
 }
 
@@ -273,5 +280,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_zorder2"),
       GraftFunctions.zorder2Info,
       (exprs: Seq[Expression]) => ZOrder2D(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_hilbert2"),
+      GraftFunctions.hilbert2Info,
+      (exprs: Seq[Expression]) => Hilbert2D(exprs(0), exprs(1))))
   }
 }

@@ -2604,5 +2604,133 @@ object ExtQueries {
              |    - CAST(l_quantity AS DECIMAL(18,2)) * CAST(90.00 AS DECIMAL(4,2)))
              |    AS DECIMAL(30,4)) AS total_margin,
              |  CAST(count(*) AS BIGINT) AS n
-             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)))
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // q360 — STORAGE-PARTITIONED JOIN (SPARK-37375) through the custom
+    // V2 source: BlobShardScan now reports KeyGroupedPartitioning on
+    // `shard` (every input partition is one shard file, and each
+    // partition carries its key via HasPartitionKey), so two
+    // graft-shards tables written under the same layout contract join
+    // on (shard, doc_id) with ZERO shuffle exchanges — the planner
+    // proves co-partitioning from the sources' own claims, the DSv2
+    // analog of q224's bucketed-no-exchange (which needed the catalog
+    // to know the bucketing; here the FORMAT knows it). Two modalities
+    // of the same corpus — WAV audio and raw UTF-8 text — are packed
+    // into parallel shard layouts and joined for the per-shard paired
+    // footprint; the in-query require() pins the zero-hash-exchange
+    // claim (the only exchange is the 4-row final sort), and
+    // BlobSourceSpec re-pins it with the SMJ shape. Broadcast is
+    // disabled because source-reported stats (q249) would otherwise
+    // legitimately broadcast the small side — the MECHANISM under test
+    // is exchange-free co-located SMJ, the 100 TB shape where neither
+    // modality fits a broadcast.
+    QuerySpec("q360_storage_partitioned_join",
+      (s, dir) => {
+        val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+          "graft_spj_" + Integer.toHexString(dir.hashCode)).toString
+        val wavDir = base + "/wav"
+        val txtDir = base + "/txt"
+        graft.sources.BlobShards.pack(wavMedia(s, dir), wavDir)
+        graft.sources.BlobShards.pack(
+          Tables.load(s, dir, "documents")
+            .select(col("doc_id"), col("text").cast("binary").as("media"))
+            .withColumn("shard", (call_function("graft_hash32",
+              col("doc_id").cast("string")) % 4).cast("int")),
+          txtDir)
+        val ts = graft.core.Tuned.session(s,
+          "spark.sql.sources.v2.bucketing.enabled" -> "true",
+          "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+          "spark.sql.adaptive.enabled" -> "false")
+        def scan(p: String, lenAs: String) = ts.read
+          .format(classOf[graft.sources.BlobShardDataSource].getName)
+          .option("path", p).load()
+          .select(col("shard"), col("doc_id"),
+            col("length").cast("long").as(lenAs))
+        val out = scan(wavDir, "wav_len")
+          .join(scan(txtDir, "txt_len"), Seq("shard", "doc_id"))
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("wav_len")).as("wav_bytes"),
+            sum(col("txt_len")).as("txt_bytes"))
+          .orderBy("shard")
+        val plan = out.queryExecution.executedPlan.toString
+        require(!plan.contains("Exchange hashpartitioning"),
+          s"storage-partitioned join planned a hash exchange:\n$plan")
+        out
+      },
+      Some("""WITH b AS (SELECT doc_id,
+             |    CAST(CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8) AS BIGINT) % 4 AS INTEGER) AS shard,
+             |    CAST(44 + strlen(text) AS BIGINT) AS wav_len,
+             |    CAST(strlen(text) AS BIGINT) AS txt_len
+             |  FROM documents)
+             |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(SUM(wav_len) AS BIGINT) AS wav_bytes,
+             |  CAST(SUM(txt_len) AS BIGINT) AS txt_bytes
+             |FROM b GROUP BY shard ORDER BY shard""".stripMargin)),
+
+    // q361 — HILBERT vs Z-ORDER layout comparison on the NATIVE
+    // graft_hilbert2 expression (functions/Hilbert.scala, the
+    // codegen'd canonical xy2d bit-descent): the same corpus filed
+    // 32-rows-per-file under each curve, scored by per-file bounding-
+    // box area (q286's zone-map-volume metric). Hilbert's unit-step
+    // adjacency (no Morton diagonal jumps) buys tighter boxes on
+    // identical data — the measurement behind choosing OPTIMIZE
+    // ZORDER vs Hilbert clustering in a lakehouse layout service.
+    // Ranks ride range-partitioned PrefixSum (no global window). The
+    // oracle cannot unroll the stateful descent into one expression,
+    // so it carries the SAME algorithm as a 16-step RECURSIVE CTE
+    // generated from Hilbert.sqlCte — native codegen vs recursive SQL,
+    // engine vs engine on every row's curve position.
+    QuerySpec("q361_hilbert_clustering",
+      (s, dir) => {
+        val h = (p: String, c: org.apache.spark.sql.Column) =>
+          call_function("graft_hash32", concat(lit(p), c.cast("string")))
+        val nodes = Tables.load(s, dir, "part")
+          .select(col("p_partkey").as("key"),
+            (h("H", col("p_partkey")) % 65536).as("x"),
+            (h("I", col("p_partkey")) % 65536).as("y"))
+          .withColumn("z", call_function("graft_zorder2", col("x"), col("y")))
+          .withColumn("hc", call_function("graft_hilbert2", col("x"), col("y")))
+          .withColumn("__one", lit(1L))
+        def layout(name: String, keys: Seq[String]) =
+          graft.ops.PrefixSum.cumsum(nodes, keys, "__one", "rk", 32)
+            .select(lit(name).as("layout"),
+              floor((col("rk") - 1) / 32).cast("int").as("file_id"),
+              col("x"), col("y"))
+        layout("hilbert", Seq("hc", "key"))
+          .unionByName(layout("zorder", Seq("z", "key")))
+          .groupBy("layout", "file_id")
+          .agg(((max(col("x")) - min(col("x"))) *
+            (max(col("y")) - min(col("y")))).as("area"))
+          .groupBy("layout")
+          .agg(count(lit(1)).as("n_files"), sum(col("area")).as("sum_area"),
+            round(sum(col("area")) / count(lit(1)), 1)
+              .cast("decimal(18,1)").as("avg_area"))
+          .orderBy("layout")
+      },
+      Some {
+        val z = graft.functions.ZOrder.sql("x", "y")
+        s"""WITH RECURSIVE n AS (SELECT p_partkey AS key,
+           |    CAST('0x'||substr(md5('H'||CAST(p_partkey AS VARCHAR)),1,8) AS BIGINT) % 65536 AS x,
+           |    CAST('0x'||substr(md5('I'||CAST(p_partkey AS VARCHAR)),1,8) AS BIGINT) % 65536 AS y
+           |  FROM part),
+           |${graft.functions.Hilbert.sqlCte("n")},
+           |zed AS (SELECT n.key, n.x, n.y, $z AS z, hd.d AS hc
+           |  FROM n JOIN hd USING (key)),
+           |ranked AS (SELECT key, x, y,
+           |    CAST(floor((row_number() OVER (ORDER BY hc, key) - 1) / 32) AS INTEGER) AS f_h,
+           |    CAST(floor((row_number() OVER (ORDER BY z, key) - 1) / 32) AS INTEGER) AS f_z
+           |  FROM zed),
+           |layouts AS (
+           |  SELECT 'hilbert' AS layout, f_h AS file_id, x, y FROM ranked
+           |  UNION ALL SELECT 'zorder', f_z, x, y FROM ranked),
+           |files AS (SELECT layout, file_id,
+           |    (max(x) - min(x)) * (max(y) - min(y)) AS area
+           |  FROM layouts GROUP BY 1, 2)
+           |SELECT layout, CAST(count(*) AS BIGINT) AS n_files,
+           |  CAST(SUM(area) AS BIGINT) AS sum_area,
+           |  CAST(round(SUM(area) / count(*), 1) AS DECIMAL(18,1)) AS avg_area
+           |FROM files GROUP BY layout ORDER BY layout""".stripMargin
+      }))
 }

@@ -317,6 +317,7 @@ class BlobShardScan(path: String, required: StructType,
     maxBytesPerBatch: Option[Long] = None,
     limit: Option[Int] = None) extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -370,6 +371,29 @@ class BlobShardScan(path: String, required: StructType,
   override def createReaderFactory(): PartitionReaderFactory =
     new BlobShardReaderFactory(required.fieldNames)
 
+  /** STORAGE-PARTITIONED layout claim: every input partition is one
+    * shard file, so the scan output is key-grouped on `shard` — the
+    * DSv2 analog of a bucketed table. With
+    * `spark.sql.sources.v2.bucketing.enabled=true` two graft-shards
+    * tables written under the same layout contract join on
+    * (shard, …) with ZERO shuffle exchanges (Spark's storage-
+    * partitioned join, SPARK-37375): EnsureRequirements sees both
+    * sides already clustered on the shard key and plans the join
+    * directly over co-keyed partitions. Declared only while `shard`
+    * survives column pruning — Spark resolves the identity transform
+    * against the scan OUTPUT, and an unresolvable ref would downgrade
+    * the claim anyway; a pruned scan reports Unknown instead. */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    val n = planInputPartitions().length
+    if (required.fieldNames.contains("shard"))
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        Array(org.apache.spark.sql.connector.expressions.Expressions
+          .identity("shard")), n)
+    else
+      new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(n)
+  }
+
   /** Source-reported statistics so Catalyst can COST joins against the
     * format instead of falling back to `defaultSizeInBytes` (which is
     * Long.MaxValue — it makes the side permanently unbroadcastable and
@@ -419,6 +443,13 @@ class BlobShardScan(path: String, required: StructType,
 
 case class BlobShardPartition(shard: Int, file: String,
     limit: Option[Int] = None) extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  /** One shard file = one partition = one `shard` key value — the
+    * ground truth behind [[BlobShardScan.outputPartitioning]]'s
+    * KeyGroupedPartitioning claim. Spark groups co-keyed partitions
+    * by THIS row at plan time (storage-partitioned join). */
+  override def partitionKey(): InternalRow = InternalRow(shard)
+}
 
 class BlobShardReaderFactory(columns: Array[String])
     extends PartitionReaderFactory {

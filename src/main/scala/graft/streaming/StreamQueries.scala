@@ -369,6 +369,47 @@ object StreamQueries {
              |  AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
              |ORDER BY 1, 2, 3""".stripMargin)),
 
+    // q362 — stream-stream LEFT SEMI join, completing the streaming
+    // join family (q73 inner, q141 left outer, q203 full outer):
+    // "clicks that converted within 30 minutes", emitted EXACTLY ONCE
+    // per click no matter how many purchases match — the
+    // attribution-gate shape where downstream must not double-count.
+    // Semi rows emit as soon as the first match arrives (no watermark
+    // wait, unlike the outer forms' eviction lag), while the watermark
+    // still bounds both state stores. Oracle: EXISTS over the same
+    // window — set semantics, not join multiplicity.
+    QuerySpec("q362_stream_semi_join",
+      (s0, dir) => {
+        val s = stateSession(s0)
+        val clicks = eventStream(s, dir)
+          .filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("click_ts"),
+            col("event_id").as("click_id"))
+          .withWatermark("click_ts", "1 hour")
+        val purchases = eventStream(s, dir)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"))
+          .withWatermark("purchase_ts", "1 hour")
+        val joined = clicks.join(purchases,
+          expr("""user_id = p_user AND
+                  purchase_ts >= click_ts AND
+                  purchase_ts <= click_ts + interval 30 minutes"""),
+          "left_semi")
+        runAppend(joined)
+          .select(col("user_id"), col("click_id"),
+            col("click_ts").cast("timestamp_ntz").as("click_ts"))
+          .orderBy("user_id", "click_id")
+      },
+      Some("""SELECT a.user_id, a.event_id AS click_id,
+             |  CAST(a.ts AS TIMESTAMP) AS click_ts
+             |FROM events a
+             |WHERE a.event_type = 'click' AND EXISTS (
+             |  SELECT 1 FROM events b
+             |  WHERE b.user_id = a.user_id AND b.event_type = 'purchase'
+             |    AND CAST(b.ts AS TIMESTAMP) >= CAST(a.ts AS TIMESTAMP)
+             |    AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP) + INTERVAL 30 MINUTE)
+             |ORDER BY 1, 2""".stripMargin)),
+
     // q61 — built-in session_window aggregation (SURVEY §2.9): dynamic
     // gap-merged windows per user, 30 min inactivity gap. Unlike the q37
     // batch form (row-ordinal islands) the session is a first-class window

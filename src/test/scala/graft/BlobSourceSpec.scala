@@ -365,6 +365,38 @@ class BlobSourceSpec extends AnyFunSuite {
       s"blob side must be the broadcast side:\n$plan")
   }
 
+  test("storage-partitioned join: two same-layout shard tables join " +
+      "on (shard, doc_id) with zero shuffle exchanges (SMJ over the " +
+      "sources' KeyGroupedPartitioning claim)") {
+    val dir2 = java.nio.file.Files.createTempDirectory("blobspec_spj_").toString
+    val df2 = (0L until 40L).map { id =>
+      (id, (id % 4).toInt, Array.fill(((id % 3) + 2).toInt)(7.toByte))
+    }.toDF("doc_id", "shard", "media")
+    BlobShards.pack(df2, dir2)
+    val ts = graft.core.Tuned.session(spark,
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    def rd(p: String) = ts.read.format(classOf[BlobShardDataSource].getName)
+      .option("path", p).load()
+    val j = rd(dir).select(col("shard"), col("doc_id"),
+        col("length").as("len_a"))
+      .join(rd(dir2).select(col("shard"), col("doc_id"),
+        col("length").as("len_b")), Seq("shard", "doc_id"))
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"),
+      s"expected a sort-merge join over co-keyed partitions:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"storage-partitioned join must not shuffle either side:\n$plan")
+    assert(j.count() == 40, "all 40 docs must pair across the two layouts")
+    // the claim is withdrawn when `shard` is pruned from the output —
+    // the identity transform could not resolve against the scan schema
+    val pruned = rd(dir).select("doc_id", "length")
+    assert(pruned.queryExecution.executedPlan.toString.nonEmpty &&
+      pruned.count() == 40) // Unknown partitioning still scans fine
+  }
+
   test("maxBytesPerBatch rate-limits admission: a burst drains in " +
       "multiple record-aligned micro-batches; an oversized record " +
       "still ships alone") {

@@ -55,6 +55,51 @@ class ZOrderSpec extends AnyFunSuite {
     }
   }
 
+  test("Hilbert: d2xy/xy2d round-trip over the full order-8 subgrid and " +
+      "sampled order-16 positions; consecutive positions are always " +
+      "grid-adjacent (the locality claim q361 measures)") {
+    import graft.functions.Hilbert
+    // unit-step adjacency along the curve: |dx|+|dy| == 1 — Morton
+    // fails this at every power-of-two boundary, Hilbert never does
+    var d = 0L
+    var (px, py) = Hilbert.d2xy(0L)
+    while (d < 65535L) {
+      d += 1
+      val (x, y) = Hilbert.d2xy(d)
+      assert(math.abs(x - px) + math.abs(y - py) == 1,
+        s"jump at d=$d: ($px,$py) -> ($x,$y)")
+      px = x; py = y
+    }
+    // round trip, including the corners of the full 16-bit grid
+    val rnd = new scala.util.Random(11)
+    val cases = Seq(0L, 1L, (1L << 32) - 1, 1L << 31) ++
+      (0 until 20000).map(_ => rnd.nextLong((1L << 32)))
+    cases.foreach { dd =>
+      val (x, y) = Hilbert.d2xy(dd)
+      assert(Hilbert.xy2d(x, y) == dd, s"round trip failed at d=$dd")
+    }
+  }
+
+  test("Hilbert SQL CTE (the oracle form) equals the native expression") {
+    import graft.functions.Hilbert
+    val rnd = new scala.util.Random(23)
+    val cases = (0 until 256).map(i =>
+      (i.toLong, rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+    val df = cases.toDF("key", "x", "y")
+    df.createOrReplaceTempView("hspec_pts")
+    // Spark also executes recursive CTEs (q352) — run the GENERATED
+    // oracle loop in Spark's dialect and compare to the native expression
+    val viaCte = spark.sql(
+      s"""WITH RECURSIVE src AS (SELECT key, x, y FROM hspec_pts),
+         |${Hilbert.sqlCte("src", intDiv = "DIV", xor = (a, b) => s"(($a) ^ ($b))")}
+         |SELECT key, d FROM hd""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    cases.foreach { case (k, x, y) =>
+      assert(viaCte(k) == Hilbert.xy2d(x, y),
+        s"CTE form diverges at key=$k ($x, $y)")
+    }
+  }
+
   test("expression runs inside whole-stage codegen (no fallback)") {
     val df = spark.range(64)
       .select(call_function("graft_zorder2", col("id"),
