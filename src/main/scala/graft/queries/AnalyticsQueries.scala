@@ -3538,5 +3538,73 @@ object AnalyticsQueries {
              |  FROM pick GROUP BY q)
              |SELECT q, yt AS treated_q, yc AS control_q,
              |  CAST(yt - yc AS DECIMAL(19,2)) AS qte
-             |FROM w ORDER BY q""".stripMargin)))
+             |FROM w ORDER BY q""".stripMargin)),
+
+    // q364 — AUTOCORRELATION function (lags 1–3) + per-lag OLS slope of
+    // the daily event-count series per event type: the ACF is the
+    // first thing a forecaster reads (is yesterday predictive? is
+    // there weekly structure?), and the lag-1 slope IS the AR(1)
+    // coefficient fit. Day-grain series are SF-INDEPENDENT size (the
+    // calendar doesn't grow with the corpus), so the pair self-join is
+    // a bounded frame no matter the fact-table scale — aggregate
+    // first, correlate second, never the reverse. All moments are
+    // exact BIGINT sums (counts of counts); the only IEEE ops are one
+    // product, one sqrt (correctly rounded by IEEE 754), one division
+    // — emitted RAW, no cosmetic rounding (q216 lesson). Built-in
+    // corr() is merge-order-dependent (q189 rule) — this is the
+    // deterministic form.
+    QuerySpec("q364_autocorrelation",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "events")
+          .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+          .agg(count(lit(1)).as("c"))
+          .select(col("event_type"),
+            datediff(col("day"), lit("1970-01-01")).cast("long").as("di"),
+            col("c"))
+          .persistTracked()
+        import s.implicits._
+        val lags = Seq(1, 2, 3).toDF("lag_d")
+        val pairs = d.as("a")
+          .crossJoin(broadcast(lags)) // 3-row lag frame (bounded)
+          .join(d.as("b"),
+            col("b.event_type") === col("a.event_type") &&
+              col("b.di") === col("a.di") + col("lag_d"))
+          .select(col("a.event_type").as("event_type"), col("lag_d"),
+            col("a.c").as("x"), col("b.c").as("y"))
+        pairs.groupBy("event_type", "lag_d")
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+            sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"),
+            sum(col("x") * col("y")).as("sxy"))
+          .select(col("event_type"), col("lag_d"), col("n").as("n_pairs"),
+            ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+                (col("n") * col("syy") - col("sy") * col("sy")).cast("double")))
+              .as("acf"),
+            ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+              .as("slope"))
+          .orderBy("event_type", "lag_d")
+      },
+      Some("""WITH d AS (SELECT event_type,
+             |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             |    CAST(count(*) AS BIGINT) AS c
+             |  FROM events GROUP BY 1, 2),
+             |di AS (SELECT event_type,
+             |    CAST(date_diff('day', DATE '1970-01-01', day) AS BIGINT) AS di, c
+             |  FROM d),
+             |p AS (SELECT a.event_type, l.lag_d, a.c AS x, b.c AS y
+             |  FROM di a
+             |  JOIN (SELECT UNNEST([1, 2, 3]) AS lag_d) l ON TRUE
+             |  JOIN di b ON b.event_type = a.event_type
+             |    AND b.di = a.di + l.lag_d),
+             |m AS (SELECT event_type, lag_d, CAST(count(*) AS BIGINT) AS n,
+             |    SUM(x) AS sx, SUM(y) AS sy, SUM(x*x) AS sxx,
+             |    SUM(y*y) AS syy, SUM(x*y) AS sxy
+             |  FROM p GROUP BY 1, 2)
+             |SELECT event_type, lag_d, n AS n_pairs,
+             |  CAST(n*sxy - sx*sy AS DOUBLE)
+             |    / sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)) AS acf,
+             |  CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE) AS slope
+             |FROM m ORDER BY event_type, lag_d""".stripMargin)))
 }

@@ -3348,6 +3348,45 @@ object TextQueries {
               |SELECT node AS doc_id, CAST(min(d) AS INTEGER) AS hops
               |FROM walk GROUP BY node ORDER BY doc_id""".stripMargin)),
 
+    // q363 — 2-CORE of the near-dup graph (ops.KCore: peel nodes of
+    // degree < k until fixpoint): documents that survive are in
+    // MUTUALLY-similar neighborhoods — template farms — while chains
+    // and stars of incidental matches peel away. Sharper than q76's
+    // components (which keep every chain) and cheaper than q142's
+    // triangles. The oracle carries the peel as a RECURSIVE CTE that
+    // recomputes both endpoint degrees over the surviving edge set
+    // each iteration; rounds converge well inside the 12-iteration
+    // cap at every SF (checked 8 vs 24 identical), after which rows
+    // copy forward unchanged, so `it = 12` is the fixpoint.
+    QuerySpec("q363_near_dup_kcore",
+      (s, dir) => {
+        val cand = minhashCandidates(Tables.load(s, dir, "documents"))
+          .persistTracked()
+        cand.count()
+        val ns = graft.core.Tuned.session(s,
+          "spark.sql.shuffle.partitions" -> "4",
+          "spark.sql.adaptive.enabled" -> "false")
+        val edges = graft.core.Tuned.rehome(
+          cand.select(col("doc_a").as("src"), col("doc_b").as("dst")), ns)
+        graft.ops.KCore.core(edges, k = 2)
+          .groupBy(col("src").as("doc_id"))
+          .agg(count(lit(1)).cast("int").as("core_degree"))
+          .orderBy("doc_id")
+      },
+      Some(s"""${duckMinhashCtes.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+              |edges AS (SELECT doc_a AS a, doc_b AS b FROM cand
+              |          UNION SELECT doc_b, doc_a FROM cand),
+              |peel(a, b, it) AS (
+              |  SELECT a, b, 0 FROM edges
+              |  UNION ALL
+              |  SELECT a, b, it + 1 FROM (
+              |    SELECT a, b, it,
+              |      count(*) OVER (PARTITION BY a) AS da,
+              |      count(*) OVER (PARTITION BY b) AS db
+              |    FROM peel) WHERE it < 12 AND da >= 2 AND db >= 2)
+              |SELECT a AS doc_id, CAST(count(*) AS INTEGER) AS core_degree
+              |FROM peel WHERE it = 12 GROUP BY a ORDER BY doc_id""".stripMargin)),
+
     // q255 — WEIGHTED contamination radius: bounded Bellman-Ford
     // (ops.Bfs.cheapestWithin) over the near-dup graph with
     // hash-derived integer edge weights (symmetric — the weight hashes

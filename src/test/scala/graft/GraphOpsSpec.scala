@@ -37,6 +37,43 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(got == Map(0L -> 0, 1L -> 1, 5L -> 1, 2L -> 2, 4L -> 2))
   }
 
+  test("KCore.core: peels tails and chains, keeps the dense core, " +
+      "and matches a sequential reference peel on a random graph") {
+    // triangle {1,2,3} + tail 3-4-5 + isolated edge 8-9: the 2-core is
+    // exactly the triangle (tail and pendant edge peel away over
+    // MULTIPLE rounds — 5 first, then 4, then the 8-9 pair)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
+      (8L, 9L)).toDF("src", "dst")
+    val core = graft.ops.KCore.core(edges, k = 2)
+      .as[(Long, Long)].collect().toSet
+    assert(core == Set((1L, 2L), (2L, 3L), (3L, 1L),
+      (2L, 1L), (3L, 2L), (1L, 3L)))
+    // no 4-core exists in a graph with max degree 3
+    assert(graft.ops.KCore.core(edges, k = 4).count() == 0)
+    // seeded-random graph vs sequential reference peel
+    val rnd = new scala.util.Random(97)
+    val redges = (0 until 300).map(_ =>
+      (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    def refCore(es: Set[(Long, Long)], k: Int): Set[(Long, Long)] = {
+      var cur = es.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      var changed = true
+      while (changed) {
+        val deg = cur.groupBy(_._1).map { case (n, g) => n -> g.size }
+        val keep = deg.filter(_._2 >= k).keySet
+        val next = cur.filter { case (a, b) => keep(a) && keep(b) }
+        changed = next.size != cur.size
+        cur = next
+      }
+      cur
+    }
+    val want = refCore(redges.toSet, 4)
+    val got = graft.ops.KCore.core(redges.toDF("src", "dst"), k = 4)
+      .as[(Long, Long)].collect().toSet
+    assert(got == want, s"random-graph 4-core mismatch: " +
+      s"extra=${got -- want} missing=${want -- got}")
+  }
+
   test("RunningMax.cummaxExclusive matches the sequential definition") {
     // Random-ish values over a unique key, 4 range partitions so the
     // cross-partition offset path is really exercised; compare against
