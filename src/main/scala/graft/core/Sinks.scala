@@ -50,6 +50,19 @@ object Sinks {
       .format("parquet").saveAsTable(table)
   }
 
+  /** Plain managed CTAS (no bucketing) — a catalog entry is what
+    * `ANALYZE TABLE` hangs statistics on (q367's CBO tables). Same
+    * stale-location hygiene as [[bucketedSorted]]. */
+  def managed(df: DataFrame, table: String): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    df.write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(table)
+  }
+
   /** JDBC append with batched, parameter-bound statements — the
     * set-oriented replacement for the reference's per-row MsSqlOperator
     * loop. Exercised end-to-end against embedded Derby (on Spark's

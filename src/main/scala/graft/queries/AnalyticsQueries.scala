@@ -3606,5 +3606,64 @@ object AnalyticsQueries {
              |  CAST(n*sxy - sx*sy AS DOUBLE)
              |    / sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)) AS acf,
              |  CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE) AS slope
-             |FROM m ORDER BY event_type, lag_d""".stripMargin)))
+             |FROM m ORDER BY event_type, lag_d""".stripMargin)),
+
+    // q365 — ISOTONIC REGRESSION (PAV) calibration curve: the monotone
+    // fit of P(status = 'F') against the order-value bin, the standard
+    // post-hoc calibrator for any ranking score. Instead of the
+    // sequential pool-adjacent-violators sweep (which doesn't
+    // distribute), this computes the CLOSED-FORM minimax solution
+    // ŷ_i = max_{j≤i} min_{k≥i} avg(y_j..y_k) over BIN-grain prefix
+    // sums — the corpus collapses to ≤40 bins first, so the O(B³)
+    // minimax is constant-size work no matter the fact-table scale.
+    // Weighted averages are compared as FLOOR-SCALED integers
+    // (floor(1e12·pos/n) via BIGINT DIV): floor is monotone, so
+    // max/min of floors = floor of the true rational minimax — the
+    // output is exactly floor(1e12·PAV) with zero IEEE ops.
+    QuerySpec("q365_isotonic_calibration",
+      (s, dir) => {
+        val SC = 1000000000000L
+        val bins = Tables.load(s, dir, "orders")
+          .groupBy(floor(col("o_totalprice") / 12500).cast("int").as("bin"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L))
+              .as("pos"))
+        // bin-grain metadata frame (≤40 rows): unpartitioned window +
+        // crossJoins below are constant-size, not corpus-scale
+        val wb = Window.orderBy("bin")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = bins.select(col("bin"), col("n"), col("pos"),
+          sum(col("n")).over(wb).as("cn"),
+          sum(col("pos")).over(wb).as("cp")).persistTracked()
+        val a = cum.select(col("bin").as("j"),
+            (col("cn") - col("n")).as("nj0"), (col("cp") - col("pos")).as("pj0"))
+          .join(cum.select(col("bin").as("k"), col("cn").as("nk"),
+            col("cp").as("pk")), col("k") >= col("j"))
+          .select(col("j"), col("k"),
+            expr(s"(pk - pj0) * $SC DIV (nk - nj0)").as("v"))
+        val m1 = a.join(cum.select(col("bin").as("i")),
+            col("j") <= col("i") && col("k") >= col("i"))
+          .groupBy("j", "i").agg(min(col("v")).as("mn"))
+        val iso = m1.groupBy("i").agg(max(col("mn")).as("iso_scaled"))
+        cum.join(iso, col("bin") === col("i"))
+          .select(col("bin"), col("n"), col("pos"), col("iso_scaled"))
+          .orderBy("bin")
+      },
+      Some("""WITH bins AS (SELECT CAST(floor(o_totalprice / 12500) AS INTEGER) AS bin,
+             |    CAST(count(*) AS BIGINT) AS n,
+             |    CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS pos
+             |  FROM orders GROUP BY 1),
+             |cum AS (SELECT bin, n, pos,
+             |    SUM(n) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+             |    SUM(pos) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp
+             |  FROM bins),
+             |a AS (SELECT j.bin AS j, k.bin AS k,
+             |    (k.cp - (j.cp - j.pos)) * 1000000000000 // (k.cn - (j.cn - j.n)) AS v
+             |  FROM cum j JOIN cum k ON k.bin >= j.bin),
+             |m1 AS (SELECT a.j, i.bin AS i, min(a.v) AS mn
+             |  FROM a JOIN cum i ON a.j <= i.bin AND a.k >= i.bin
+             |  GROUP BY 1, 2),
+             |iso AS (SELECT i, max(mn) AS iso_scaled FROM m1 GROUP BY i)
+             |SELECT c.bin, c.n, c.pos, CAST(iso.iso_scaled AS BIGINT) AS iso_scaled
+             |FROM cum c JOIN iso ON c.bin = iso.i ORDER BY c.bin""".stripMargin)))
 }

@@ -2732,5 +2732,59 @@ object ExtQueries {
            |  CAST(SUM(area) AS BIGINT) AS sum_area,
            |  CAST(round(SUM(area) / count(*), 1) AS DECIMAL(18,1)) AS avg_area
            |FROM files GROUP BY layout ORDER BY layout""".stripMargin
-      }))
+      }),
+
+    // q367 — COST-BASED join reorder under the gate: three managed
+    // tables get catalog statistics via ANALYZE TABLE (rowCount + NDV
+    // per column — the inputs Spark's CostBasedJoinReorder DP needs),
+    // and the query is written in the deliberately WRONG syntactic
+    // order — fact ⋈ full supplier dim first, the selective p_size
+    // filter last. With `spark.sql.cbo.joinReorder` the optimizer
+    // rewrites the join tree so the filtered part dim reduces the fact
+    // FIRST; the in-query require() pins that the reordered TABLE-NAME
+    // leaf order actually differs from the syntactic one (names, not
+    // plan strings — exprId noise can't fake or mask a diff), and the
+    // oracle pins that reordering never changes results. This is the declarative
+    // companion to q262's AQE skew demo: at 100 TB you state the join,
+    // statistics pick the order.
+    QuerySpec("q367_cbo_join_reorder",
+      (s, dir) => {
+        Sinks.managed(Tables.load(s, dir, "lineitem")
+          .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity"),
+          "graft_cbo_lineitem")
+        Sinks.managed(Tables.load(s, dir, "part")
+          .select("p_partkey", "p_size"), "graft_cbo_part")
+        Sinks.managed(Tables.load(s, dir, "supplier")
+          .select("s_suppkey", "s_nationkey"), "graft_cbo_supplier")
+        Seq("graft_cbo_lineitem", "graft_cbo_part", "graft_cbo_supplier")
+          .foreach(t =>
+            s.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR ALL COLUMNS"))
+        val sqlText =
+          """SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_items,
+            |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+            |FROM graft_cbo_lineitem l
+            |JOIN graft_cbo_supplier su ON l.l_suppkey = su.s_suppkey
+            |JOIN graft_cbo_part p ON l.l_partkey = p.p_partkey
+            |WHERE p.p_size = 1
+            |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
+        val cboOn = graft.core.Tuned.session(s,
+          "spark.sql.cbo.enabled" -> "true",
+          "spark.sql.cbo.joinReorder.enabled" -> "true")
+        val cboOff = graft.core.Tuned.session(s,
+          "spark.sql.cbo.enabled" -> "false")
+        def leaves(d: org.apache.spark.sql.DataFrame): Seq[String] =
+          d.queryExecution.optimizedPlan.collectLeaves()
+            .map(l => "graft_cbo_\\w+".r.findFirstIn(l.toString).getOrElse("?"))
+        val on = cboOn.sql(sqlText)
+        require(leaves(on) != leaves(cboOff.sql(sqlText)),
+          "statistics did not reorder the join — CBO demo is vacuous")
+        on
+      },
+      Some("""SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_items,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+             |FROM lineitem l
+             |JOIN supplier su ON l.l_suppkey = su.s_suppkey
+             |JOIN part p ON l.l_partkey = p.p_partkey
+             |WHERE p.p_size = 1
+             |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)))
 }

@@ -4512,5 +4512,44 @@ object TextQueries {
               |  CAST(cum_pos AS DOUBLE) / cum_docs AS cum_rate,
               |  (CAST(cum_pos AS DOUBLE) / cum_docs)
               |    / (CAST(np AS DOUBLE) / n) AS lift
-              |FROM c CROSS JOIN nn ORDER BY decile""".stripMargin)))
+              |FROM c CROSS JOIN nn ORDER BY decile""".stripMargin)),
+
+    // q366 — SYSTEMATIC PPS SAMPLE (probability proportional to size):
+    // k=100 evenly-spaced probes into the cumulative char-weight line,
+    // each probe selecting the document whose weight interval covers
+    // it — the deterministic size-weighted sampler a corpus auditor
+    // uses (heavy docs sampled proportionally more; a doc heavier than
+    // W/k legitimately repeats). ALL-integer: probe positions are
+    // (2i+1)·W DIV 2k, intervals are PrefixSum cumweights — no
+    // transcendental priorities (the u^(1/w) trick is IEEE-hostile).
+    // The interval probe rides ops.RangeJoin's binned equi-join (512-
+    // char bins), never a corpus×k nested loop; the probe frame is a
+    // bounded 100-row crossJoin against the 1-row total.
+    QuerySpec("q366_pps_systematic_sample",
+      (s, dir) => {
+        val w = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars").cast("long").as("w"))
+        val c = graft.ops.PrefixSum.cumsum(w, "doc_id", "w", "cw", 32)
+          .select(col("doc_id"), col("w"),
+            (col("cw") - col("w")).as("lo"), (col("cw") - 1).as("hi"))
+        val tot = w.agg(sum(col("w")).as("tw"))
+        val probes = s.range(0, 100).select(col("id").as("i"))
+          .crossJoin(broadcast(tot)) // 1-row total frame
+          .select(col("i"), expr("(2*i+1) * tw DIV 200").as("t_lo"))
+          .withColumn("t_hi", col("t_lo"))
+        graft.ops.RangeJoin.intervalOverlap(
+            c, "lo", "hi", probes, "t_lo", "t_hi", 512L)
+          .select(col("i"), col("doc_id"), col("w"))
+          .orderBy("i")
+      },
+      Some("""WITH w AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS w FROM documents),
+             |c AS (SELECT doc_id, w,
+             |    SUM(w) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+             |  FROM w),
+             |tot AS (SELECT SUM(w) AS tw FROM w),
+             |probes AS (SELECT i, (2*i+1) * tw // 200 AS t
+             |  FROM (SELECT UNNEST(generate_series(0, 99)) AS i), tot)
+             |SELECT p.i, c.doc_id, c.w
+             |FROM probes p JOIN c ON p.t >= c.cw - c.w AND p.t <= c.cw - 1
+             |ORDER BY p.i""".stripMargin)))
 }
