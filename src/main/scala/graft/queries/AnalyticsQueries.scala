@@ -3665,5 +3665,58 @@ object AnalyticsQueries {
              |  GROUP BY 1, 2),
              |iso AS (SELECT i, max(mn) AS iso_scaled FROM m1 GROUP BY i)
              |SELECT c.bin, c.n, c.pos, CAST(iso.iso_scaled AS BIGINT) AS iso_scaled
-             |FROM cum c JOIN iso ON c.bin = iso.i ORDER BY c.bin""".stripMargin)))
+             |FROM cum c JOIN iso ON c.bin = iso.i ORDER BY c.bin""".stripMargin)),
+
+    // q370 — WILCOXON SIGNED-RANK test (paired, the nonparametric
+    // companion to q253's unpaired rank-sum AUC): per user, total
+    // click spend vs total view spend — does the paired difference
+    // skew positive? ALL-integer: per-user spends are exact cent sums
+    // (round(value·100) — one shared IEEE product per event, then
+    // BIGINT arithmetic), zero diffs are excluded per the standard
+    // definition, and midranks of |d| are carried DOUBLED
+    // (2·rank = 2·count(<) + count(=) + 1) so ties never leave the
+    // integers. Output: n, the doubled signed-rank sums W⁺/W⁻
+    // (w2_plus + w2_minus = n(n+1) is a built-in self-check), and the
+    // doubled expected value n(n+1)/2 a tester compares against. The
+    // ranking window is unpartitioned but runs on the USER-grain
+    // aggregate (≪ corpus — the fact table collapses first).
+    QuerySpec("q370_wilcoxon_signed_rank",
+      (s, dir) => {
+        val cents = round(col("value") * 100, 0).cast("long")
+        val u = Tables.load(s, dir, "events")
+          .groupBy("user_id")
+          .agg(sum(when(col("event_type") === "click", cents).otherwise(0L))
+              .as("cc"),
+            sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("nc"),
+            sum(when(col("event_type") === "view", cents).otherwise(0L))
+              .as("vc"),
+            sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("nv"))
+          .filter(col("nc") > 0 && col("nv") > 0 &&
+            col("cc") =!= col("vc"))
+          .select(col("user_id"), (col("cc") - col("vc")).as("d"),
+            abs(col("cc") - col("vc")).as("ad"))
+        val w = u.withColumn("r2",
+          lit(2) * (rank().over(Window.orderBy("ad")) - 1) +
+            count(lit(1)).over(Window.partitionBy("ad")) + 1)
+        w.agg(count(lit(1)).as("n"),
+            sum(when(col("d") > 0, col("r2")).otherwise(0L)).as("w2_plus"),
+            sum(when(col("d") < 0, col("r2")).otherwise(0L)).as("w2_minus"))
+          .select(col("n"), col("w2_plus"), col("w2_minus"),
+            (col("n") * (col("n") + 1) / 2).cast("long").as("w2_expected"))
+      },
+      Some("""WITH u AS (SELECT user_id,
+             |    SUM(CASE WHEN event_type = 'click' THEN CAST(round(value*100, 0) AS BIGINT) ELSE 0 END) AS cc,
+             |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS nc,
+             |    SUM(CASE WHEN event_type = 'view' THEN CAST(round(value*100, 0) AS BIGINT) ELSE 0 END) AS vc,
+             |    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS nv
+             |  FROM events GROUP BY 1),
+             |dd AS (SELECT user_id, cc - vc AS d, abs(cc - vc) AS ad
+             |  FROM u WHERE nc > 0 AND nv > 0 AND cc <> vc),
+             |r AS (SELECT d, 2 * (rank() OVER (ORDER BY ad) - 1)
+             |    + count(*) OVER (PARTITION BY ad) + 1 AS r2 FROM dd)
+             |SELECT CAST(count(*) AS BIGINT) AS n,
+             |  CAST(SUM(CASE WHEN d > 0 THEN r2 ELSE 0 END) AS BIGINT) AS w2_plus,
+             |  CAST(SUM(CASE WHEN d < 0 THEN r2 ELSE 0 END) AS BIGINT) AS w2_minus,
+             |  CAST(count(*) * (count(*) + 1) / 2 AS BIGINT) AS w2_expected
+             |FROM r""".stripMargin)))
 }

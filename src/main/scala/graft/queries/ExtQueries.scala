@@ -2786,5 +2786,70 @@ object ExtQueries {
              |JOIN supplier su ON l.l_suppkey = su.s_suppkey
              |JOIN part p ON l.l_partkey = p.p_partkey
              |WHERE p.p_size = 1
-             |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)))
+             |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)),
+
+    // q369 — INCREMENTAL maintenance of a JOIN materialized view (the
+    // delta rule M' = M ∪ ΔA⋈B ∪ A₀⋈ΔB ∪ ΔA⋈ΔB, here folded to
+    // ΔA⋈B_full ∪ A₀⋈ΔB), completing the IVM story the aggregate MVs
+    // (q346/q349/q351) started: when the DIM side gains rows, the
+    // expensive leg is A₀⋈ΔB — a full fact rescan unless the fact is
+    // PARTITIONED BY THE JOIN KEY'S BUCKET. The fact generation is
+    // written partitioned by pb = o_custkey % 16; the maintenance job
+    // derives the affected buckets FROM ΔB itself (a bounded
+    // dim-grain collect — the IVM planner's own step) and probes only
+    // those partitions: the in-query require() pins that every file
+    // the A₀⋈ΔB leg reads lives under the single affected pb=
+    // directory. At 100 TB this is the difference between rescanning
+    // the fact table and reading 1/16th of it. Oracle: the full join —
+    // incremental maintenance must be indistinguishable from
+    // recompute.
+    QuerySpec("q369_join_mv_incremental",
+      (s, dir) => {
+        val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+          "graft_jivm_" + Integer.toHexString(dir.hashCode)).toString
+        val orders = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        val cust = Tables.load(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))
+        // generation 0: facts except the late batch, bucketed by the
+        // dim join key; dim except the to-be-inserted slice
+        val a0 = orders.filter(col("o_orderkey") % 11 =!= 0)
+          .withColumn("pb", (col("o_custkey") % 16).cast("int"))
+        a0.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .partitionBy("pb").parquet(base + "/facts_g0")
+        val dA = orders.filter(col("o_orderkey") % 11 === 0)
+        val b0 = cust.filter(col("c_custkey") % 16 =!= 3)
+        val dB = cust.filter(col("c_custkey") % 16 === 3)
+        val m0 = s.read.parquet(base + "/facts_g0")
+          .join(b0, col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("o_totalprice"), col("c_mktsegment"))
+        // delta legs: ΔA sees the FULL dim (b0 ∪ ΔB); A₀⋈ΔB probes only
+        // the buckets ΔB's keys hash into — derived from ΔB, not assumed
+        val touched = dB.select((col("c_custkey") % 16).cast("int").as("pb"))
+          .distinct().collect().map(_.getInt(0)).toSeq // dim-grain, bounded
+        val a0Pruned = s.read.parquet(base + "/facts_g0")
+          .filter(col("pb").isin(touched: _*))
+        // inputFiles lists the UNPRUNED index; the honest signal is the
+        // scan's PartitionFilters entry (q225's pin), which Spark
+        // resolves against directories before opening any file
+        val scanLine = a0Pruned.queryExecution.executedPlan.toString
+          .linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+        require(scanLine.contains("pb") &&
+          touched.forall(b => scanLine.contains(b.toString)),
+          s"A0 ⋈ ΔB leg is not partition-pruned to the affected buckets: $scanLine")
+        val legDaB = dA.join(cust, col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("o_totalprice"), col("c_mktsegment"))
+        val legA0dB = a0Pruned
+          .join(dB, col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("o_totalprice"), col("c_mktsegment"))
+        m0.unionByName(legDaB).unionByName(legA0dB)
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_orders"),
+            Stable.dsum(col("o_totalprice")).as("revenue"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)))
 }

@@ -447,6 +447,48 @@ object StreamQueries {
              |    FROM events))
              |GROUP BY user_id, sess_id ORDER BY user_id, sess_start""".stripMargin)),
 
+    // q368 — DYNAMIC-GAP session windows: the gap is a per-ROW column
+    // (purchases hold a session open 60 min, everything else 30) —
+    // the "checkout flows idle longer" semantics a fixed-gap session
+    // (q61) cannot express. Spark merges the per-event intervals
+    // [ts, ts+gap) whenever next.start < current.end, so the batch
+    // oracle is interval-union islands: a new session starts when an
+    // event's start clears the EXCLUSIVE running max of all prior
+    // interval ends for the user (cummax resets are unnecessary —
+    // the running max is monotone within a user), and the session end
+    // is the max interval end in the island, NOT last-event + gap.
+    // All island arithmetic is exact integer micros.
+    QuerySpec("q368_stream_dynamic_gap_sessions",
+      (s0, dir) => {
+        val s = stateSession(s0)
+        val gap = when(col("event_type") === "purchase", lit("60 minutes"))
+          .otherwise(lit("30 minutes"))
+        val agg = eventStream(s, dir)
+          .groupBy(col("user_id"), session_window(col("ts"), gap))
+          .agg(count(lit(1)).as("n_events"))
+        runComplete(agg)
+          .select(col("user_id"),
+            col("session_window.start").cast("timestamp_ntz").as("sess_start"),
+            col("session_window.end").cast("timestamp_ntz").as("sess_end"),
+            col("n_events"))
+          .orderBy("user_id", "sess_start")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             |    epoch_us(CAST(ts AS TIMESTAMP))
+             |      + CAST(CASE WHEN event_type = 'purchase' THEN 3600 ELSE 1800 END AS BIGINT) * 1000000 AS e_us
+             |  FROM events),
+             |m AS (SELECT *, max(e_us) OVER (PARTITION BY user_id
+             |    ORDER BY us, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cmax FROM e),
+             |i AS (SELECT *, CAST(SUM(CASE WHEN cmax IS NULL OR us >= cmax THEN 1 ELSE 0 END)
+             |    OVER (PARTITION BY user_id ORDER BY us, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid FROM m)
+             |SELECT user_id, min(t) AS sess_start,
+             |  make_timestamp(max(e_us)) AS sess_end,
+             |  CAST(count(*) AS BIGINT) AS n_events
+             |FROM i GROUP BY user_id, sid ORDER BY user_id, sess_start""".stripMargin)),
+
     // q115 — UPDATE output mode, the incremental-sink half of the
     // streaming surface (complete/append are covered above): a running
     // per-key aggregate that emits ONLY the keys changed by each
