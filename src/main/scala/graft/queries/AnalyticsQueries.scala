@@ -3718,5 +3718,50 @@ object AnalyticsQueries {
              |  CAST(SUM(CASE WHEN d > 0 THEN r2 ELSE 0 END) AS BIGINT) AS w2_plus,
              |  CAST(SUM(CASE WHEN d < 0 THEN r2 ELSE 0 END) AS BIGINT) AS w2_minus,
              |  CAST(count(*) * (count(*) + 1) / 2 AS BIGINT) AS w2_expected
-             |FROM r""".stripMargin)))
+             |FROM r""".stripMargin)),
+
+    // q372 — DISTRIBUTION-FREE confidence interval for the median
+    // (order-statistic method): the 95% CI is (x₍ₗ₎, x₍ᵤ₎) with
+    // l = floor((n − 1.96√n)/2), u = ceil(1 + (n + 1.96√n)/2) — no
+    // bootstrap resampling (q215/q305 cover that), no normality
+    // assumption, and the bounds are ACTUAL data values so the doubles
+    // compare raw (q219's selection argument). Ranks ride the same
+    // range-partitioned PrefixSum as q219 — the quantile path that
+    // survives group skew; sqrt of an exact integer is correctly
+    // rounded by IEEE 754, and floor/ceil of the resulting double are
+    // engine-identical.
+    QuerySpec("q372_median_ci",
+      (s, dir) => {
+        val base = Tables.load(s, dir, "events")
+          .select(col("event_type"), col("value"), col("event_id"))
+          .withColumn("__one", lit(1L))
+        val cum = graft.ops.PrefixSum.cumsum(base,
+          Seq("event_type", "value", "event_id"), "__one", "cum", 32)
+        val grp = cum.groupBy("event_type")
+          .agg(min(col("cum")).as("g0"), count(lit(1)).as("n"))
+        val zr = sqrt(col("n").cast("double")) * 1.96
+        cum.join(broadcast(grp), "event_type")
+          .withColumn("rk", col("cum") - col("g0") + 1)
+          .withColumn("kmed", ceil(col("n") * 0.5).cast("long"))
+          .withColumn("klo", floor((col("n") - zr) / 2).cast("long"))
+          .withColumn("khi", ceil(lit(1) + (col("n") + zr) / 2).cast("long"))
+          .filter(col("rk") === col("kmed") || col("rk") === col("klo") ||
+            col("rk") === col("khi"))
+          .groupBy("event_type")
+          .agg(max(col("n")).as("n"),
+            max(when(col("rk") === col("klo"), col("value"))).as("ci_lo"),
+            max(when(col("rk") === col("kmed"), col("value"))).as("median"),
+            max(when(col("rk") === col("khi"), col("value"))).as("ci_hi"))
+          .orderBy("event_type")
+      },
+      Some("""WITH r AS (SELECT event_type, value,
+             |    row_number() OVER (PARTITION BY event_type
+             |                       ORDER BY value, event_id) AS rk,
+             |    count(*) OVER (PARTITION BY event_type) AS n
+             |  FROM events)
+             |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+             |  max(CASE WHEN rk = CAST(floor((n - 1.96*sqrt(CAST(n AS DOUBLE)))/2) AS BIGINT) THEN value END) AS ci_lo,
+             |  max(CASE WHEN rk = CAST(ceil(n * 0.5) AS BIGINT) THEN value END) AS median,
+             |  max(CASE WHEN rk = CAST(ceil(1 + (n + 1.96*sqrt(CAST(n AS DOUBLE)))/2) AS BIGINT) THEN value END) AS ci_hi
+             |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin)))
 }

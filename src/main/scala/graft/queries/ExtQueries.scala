@@ -2851,5 +2851,56 @@ object ExtQueries {
       Some("""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
              |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
              |FROM orders JOIN customer ON o_custkey = c_custkey
-             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)))
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // q371 — PARALLEL JDBC SOURCE read under the gate (the read half of
+    // the S3/S4 sink family): the customer dim round-trips through
+    // embedded Derby, then comes BACK via spark.read.jdbc with a
+    // partitionColumn/bounds/numPartitions spec — Spark opens 4
+    // concurrent connections, each scoped by a generated range
+    // predicate, the only way a 100 TB ingest ever reads a warehouse
+    // table (a single-connection read serializes on one wire). The
+    // segment filter is PUSHED to the database (PushedFilters on the
+    // JDBCRelation — the DB prunes, not Spark); both the 4-way split
+    // and the pushdown are pinned in-query. Federated with the parquet
+    // fact table for the revenue rollup; the oracle never sees Derby,
+    // so the round trip itself is under the hash.
+    QuerySpec("q371_jdbc_parallel_source",
+      (s, dir) => {
+        val dbRoot = java.nio.file.Files
+          .createTempDirectory("graft_jdbcsrc_").toString
+        val url = s"jdbc:derby:$dbRoot/db;create=true"
+        val cust = Tables.load(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+        // explicit DDL type: the dialect default maps StringType to
+        // CLOB, which Derby refuses to compare against the pushed
+        // equality literal — exactly the jdbcFull columnTypes use case
+        Sinks.jdbcFull(cust, url, "GRAFT_CUSTOMER", "app", "app",
+          numPartitions = Some(2),
+          columnTypes = Some("c_mktsegment VARCHAR(16)"))
+        val bounds = cust.agg(min("c_custkey"), max("c_custkey")).head()
+        val props = new java.util.Properties()
+        props.setProperty("user", "app")
+        props.setProperty("password", "app")
+        val back = s.read.jdbc(url, "GRAFT_CUSTOMER", "C_CUSTKEY",
+            bounds.getLong(0), bounds.getLong(1), 4, props)
+          .filter(col("C_MKTSEGMENT") === "BUILDING")
+        require(back.rdd.getNumPartitions == 4,
+          "JDBC read did not split into 4 range partitions")
+        val scan = back.queryExecution.executedPlan.toString
+        require(scan.contains("PushedFilters") &&
+          scan.toLowerCase.contains("equalto(c_mktsegment,building)"),
+          s"segment filter was not pushed to the database:\n$scan")
+        Tables.load(s, dir, "orders")
+          .select(col("o_custkey"), col("o_totalprice"))
+          .join(back, col("o_custkey") === col("C_CUSTKEY"))
+          .agg(count(lit(1)).as("n_orders"),
+            Stable.dsum(col("o_totalprice")).as("revenue"),
+            Stable.dsum(col("C_ACCTBAL")).as("acct_sum"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_orders,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+             |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acct_sum
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |WHERE c_mktsegment = 'BUILDING'""".stripMargin)))
 }
