@@ -301,8 +301,8 @@ object VectorQueries {
   /** Initial kNN graph (vec_id, nb): exact top-k within each vector's
     * IVF cell — the q121 salted within-cluster join, Σ|cluster|² pairs,
     * never n². */
-  private def knnInit(emb: DataFrame): DataFrame = {
-    val cents = seedCentroids(emb)
+  private def knnInit(emb: DataFrame, k: Int = ivfK): DataFrame = {
+    val cents = seedCentroids(emb, k)
     val assigned = nearestCentroid(emb, cents).persistTracked()
     val wv = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("nb"))
     graft.ops.Skew.saltedJoin(
@@ -348,33 +348,42 @@ object VectorQueries {
     * reused by q260 (beam search serves over g1) and q261 (the second
     * sweep starts from g1), so the graph and its consumers cannot
     * drift. */
-  private def duckKnnCtes: String =
-    s"""cents AS (SELECT vec_id AS cent_id, embedding AS cent_vec
-       |    FROM embeddings WHERE vec_id < $ivfK),
-       |assigned AS (SELECT vec_id, embedding, cent_id FROM (
+  private def duckKnnCtes: String = duckKnnCtesFor("TRUE", "", ivfK)
+
+  /** The kNN-graph CTE chain (IVF-cell init + one NN-descent sweep),
+    * parameterized for q373's layered graphs: `pred` restricts the
+    * node set (a layer is a subset of the corpus), `p` prefixes every
+    * CTE name so two layers coexist in one WITH, `k` is the centroid
+    * cutoff (a sparser layer needs a wider cutoff to keep the same
+    * number of seed centroids). `p = ""` with `pred = "TRUE"` is the
+    * historical q233/q260 chain (up to a vacuous WHERE (TRUE)). */
+  private def duckKnnCtesFor(pred: String, p: String, k: Int): String =
+    s"""${p}cents AS (SELECT vec_id AS cent_id, embedding AS cent_vec
+       |    FROM embeddings WHERE ($pred) AND vec_id < $k),
+       |${p}assigned AS (SELECT vec_id, embedding, cent_id FROM (
        |  SELECT e.vec_id, e.embedding, c.cent_id,
        |    row_number() OVER (PARTITION BY e.vec_id
        |      ORDER BY round(${duckCos("c.cent_vec", "e.embedding")}, 6) DESC, c.cent_id) AS rn
-       |  FROM embeddings e, cents c) WHERE rn = 1),
-       |pairs AS (SELECT a.vec_id, b.vec_id AS nb,
+       |  FROM embeddings e, ${p}cents c WHERE ($pred)) WHERE rn = 1),
+       |${p}pairs AS (SELECT a.vec_id, b.vec_id AS nb,
        |    round(${duckCos("a.embedding", "b.embedding")}, 6) AS sim
-       |  FROM assigned a JOIN assigned b
+       |  FROM ${p}assigned a JOIN ${p}assigned b
        |    ON a.cent_id = b.cent_id AND a.vec_id <> b.vec_id),
-       |g0 AS (SELECT vec_id, nb FROM (SELECT vec_id, nb,
+       |${p}g0 AS (SELECT vec_id, nb FROM (SELECT vec_id, nb,
        |    row_number() OVER (PARTITION BY vec_id
-       |      ORDER BY sim DESC, nb) AS rn FROM pairs) WHERE rn <= $knnK),
-       |cand AS (SELECT vec_id, nb FROM g0
-       |  UNION SELECT nb, vec_id FROM g0
-       |  UNION SELECT a.vec_id, b.nb FROM g0 a
-       |    JOIN g0 b ON a.nb = b.vec_id WHERE a.vec_id <> b.nb),
-       |sc AS (SELECT c.vec_id, c.nb,
+       |      ORDER BY sim DESC, nb) AS rn FROM ${p}pairs) WHERE rn <= $knnK),
+       |${p}cand AS (SELECT vec_id, nb FROM ${p}g0
+       |  UNION SELECT nb, vec_id FROM ${p}g0
+       |  UNION SELECT a.vec_id, b.nb FROM ${p}g0 a
+       |    JOIN ${p}g0 b ON a.nb = b.vec_id WHERE a.vec_id <> b.nb),
+       |${p}sc AS (SELECT c.vec_id, c.nb,
        |    round(${duckCos("x.embedding", "y.embedding")}, 6) AS sim
-       |  FROM cand c JOIN embeddings x ON x.vec_id = c.vec_id
+       |  FROM ${p}cand c JOIN embeddings x ON x.vec_id = c.vec_id
        |              JOIN embeddings y ON y.vec_id = c.nb),
-       |r AS (SELECT vec_id, nb, sim,
+       |${p}r AS (SELECT vec_id, nb, sim,
        |    CAST(row_number() OVER (PARTITION BY vec_id
-       |      ORDER BY sim DESC, nb) AS INTEGER) AS rnk FROM sc),
-       |g1 AS (SELECT vec_id, nb FROM r WHERE rnk <= $knnK)""".stripMargin
+       |      ORDER BY sim DESC, nb) AS INTEGER) AS rnk FROM ${p}sc),
+       |${p}g1 AS (SELECT vec_id, nb FROM ${p}r WHERE rnk <= $knnK)""".stripMargin
 
   /** q144/q258/q264 shared oracle: the full IVF-PQ residual search
     * restated in DuckDB. One builder, three queries — the persisted
@@ -2155,5 +2164,116 @@ object VectorQueries {
              |  CAST(COALESCE(cl.cid, bl.cid, -1) AS BIGINT) AS cluster_id
              |FROM p LEFT JOIN clab cl ON p.vec_id = cl.id
              |       LEFT JOIN blab bl ON p.vec_id = bl.id
-             |ORDER BY p.vec_id""".stripMargin)))
+             |ORDER BY p.vec_id""".stripMargin)),
+
+    // q373 — HIERARCHICAL (HNSW-style) two-layer graph search,
+    // completing the graph-ANN story: q233 builds the layer-0 graph,
+    // q260 serves a flat beam — this adds the UPPER layer that makes
+    // HNSW logarithmic: a sparse subset (vec_id % 8 = 0, ~1/8 of the
+    // corpus) gets its own kNN graph (same IVF-init + NN-descent
+    // machinery, centroid cutoff widened ×8 so the sparse layer keeps
+    // the same seed count — the documented `ivfK` scale knob), a
+    // GREEDY width-1 descent on that layer turns the fixed entry point
+    // into a query-adjacent entry, and the layer-0 beam (width 4,
+    // 2 hops) starts THERE instead of at a global constant. Per-query
+    // work stays bounded (1 + k candidates per upper hop, ≤ beam·k
+    // below) — corpus growth only adds layers, never widens a hop;
+    // the oracle carries BOTH layer graphs (prefixed CTE chains from
+    // one generator) plus all four beam rounds.
+    QuerySpec("q373_hnsw_layered_search",
+      (s, dir) => {
+        val beamW = 4
+        val emb = Tables.load(s, dir, "embeddings").persistTracked()
+        val l1n = emb.filter(col("vec_id") % 8 === 0).persistTracked()
+        val g0 = nnSweep(emb, knnInit(emb).persistTracked())
+          .select(col("vec_id").as("src"), col("nb")).localCheckpoint(true)
+        val g1 = nnSweep(l1n, knnInit(l1n, ivfK * 8).persistTracked())
+          .select(col("vec_id").as("src"), col("nb")).localCheckpoint(true)
+        val q = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+        val wq = Window.partitionBy("q_id").orderBy(col("sim").desc, col("node"))
+        def hop(beam: DataFrame, g: DataFrame, keep: Int): DataFrame =
+          beam.unionByName(
+              beam.join(g, beam("node") === g("src"))
+                .select(col("q_id"), col("nb").as("node")))
+            .distinct()
+            .filter(col("node") =!= col("q_id"))
+            .join(emb.select(col("vec_id").as("node"),
+              col("embedding").as("ev")), "node")
+            .join(broadcast(q), "q_id")
+            .select(col("q_id"), col("node"),
+              round(call_function("graft_cosine", col("qv"), col("ev")), 6)
+                .as("sim"))
+            .withColumn("rnk", row_number().over(wq).cast("int"))
+            .filter(col("rnk") <= keep)
+            .persistTracked()
+        // upper layer: greedy width-1 descent from the global entry
+        var upper = q.select(col("q_id"), lit(0L).as("node"))
+        for (_ <- 1 to 2)
+          upper = hop(upper, g1, 1).select("q_id", "node")
+        // layer 0: width-4 beam seeded at the upper layer's winner
+        var beam = upper
+        var scored: DataFrame = null
+        for (_ <- 1 to 2) {
+          scored = hop(beam, g0, beamW)
+          beam = scored.select("q_id", "node")
+        }
+        scored.select(col("q_id"), col("rnk"), col("node").as("vec_id"),
+            col("sim"))
+          .orderBy("q_id", "rnk")
+      },
+      Some(s"""WITH ${duckKnnCtesFor("TRUE", "", ivfK)},
+              |${duckKnnCtesFor("vec_id % 8 = 0", "l1", ivfK * 8)},
+              |q AS (SELECT vec_id AS q_id, embedding AS qv
+              |  FROM embeddings WHERE vec_id < 8),
+              |u1 AS (SELECT DISTINCT q_id, node FROM (
+              |    SELECT q_id, 0 AS node FROM q
+              |    UNION ALL SELECT q.q_id, g.nb AS node FROM q
+              |      JOIN l1g1 g ON g.vec_id = 0) z
+              |  WHERE node <> q_id),
+              |v1 AS (SELECT u1.q_id, u1.node,
+              |    round(${duckCos("q.qv", "e.embedding")}, 6) AS sim
+              |  FROM u1 JOIN q ON q.q_id = u1.q_id
+              |          JOIN embeddings e ON e.vec_id = u1.node),
+              |w1 AS (SELECT q_id, node FROM (SELECT q_id, node,
+              |    row_number() OVER (PARTITION BY q_id
+              |      ORDER BY sim DESC, node) AS rn FROM v1) WHERE rn = 1),
+              |u2 AS (SELECT DISTINCT q_id, node FROM (
+              |    SELECT q_id, node FROM w1
+              |    UNION ALL SELECT w1.q_id, g.nb AS node FROM w1
+              |      JOIN l1g1 g ON g.vec_id = w1.node) z
+              |  WHERE node <> q_id),
+              |v2 AS (SELECT u2.q_id, u2.node,
+              |    round(${duckCos("q.qv", "e.embedding")}, 6) AS sim
+              |  FROM u2 JOIN q ON q.q_id = u2.q_id
+              |          JOIN embeddings e ON e.vec_id = u2.node),
+              |w2 AS (SELECT q_id, node FROM (SELECT q_id, node,
+              |    row_number() OVER (PARTITION BY q_id
+              |      ORDER BY sim DESC, node) AS rn FROM v2) WHERE rn = 1),
+              |c1 AS (SELECT DISTINCT q_id, node FROM (
+              |    SELECT q_id, node FROM w2
+              |    UNION ALL SELECT w2.q_id, g.nb AS node FROM w2
+              |      JOIN g1 g ON g.vec_id = w2.node) z
+              |  WHERE node <> q_id),
+              |s1 AS (SELECT c1.q_id, c1.node,
+              |    round(${duckCos("q.qv", "e.embedding")}, 6) AS sim
+              |  FROM c1 JOIN q ON q.q_id = c1.q_id
+              |          JOIN embeddings e ON e.vec_id = c1.node),
+              |b1 AS (SELECT q_id, node FROM (SELECT q_id, node,
+              |    row_number() OVER (PARTITION BY q_id
+              |      ORDER BY sim DESC, node) AS rn FROM s1) WHERE rn <= 4),
+              |c2 AS (SELECT DISTINCT q_id, node FROM (
+              |    SELECT q_id, node FROM b1
+              |    UNION ALL SELECT b1.q_id, g.nb AS node FROM b1
+              |      JOIN g1 g ON g.vec_id = b1.node) z
+              |  WHERE node <> q_id),
+              |s2 AS (SELECT c2.q_id, c2.node,
+              |    round(${duckCos("q.qv", "e.embedding")}, 6) AS sim
+              |  FROM c2 JOIN q ON q.q_id = c2.q_id
+              |          JOIN embeddings e ON e.vec_id = c2.node),
+              |b2 AS (SELECT q_id, node, sim,
+              |    CAST(row_number() OVER (PARTITION BY q_id
+              |      ORDER BY sim DESC, node) AS INTEGER) AS rnk FROM s2)
+              |SELECT q_id, rnk, node AS vec_id, sim FROM b2 WHERE rnk <= 4
+              |ORDER BY q_id, rnk""".stripMargin)))
 }
