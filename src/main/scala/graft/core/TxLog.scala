@@ -1,0 +1,172 @@
+package graft.core
+
+import java.io.File
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** A minimal lakehouse TRANSACTION LOG (the Delta/Iceberg core idea,
+  * built from first principles on plain parquet + an append-only log of
+  * versioned commits): every table mutation is a new numbered log entry
+  * listing the data files it ADDS and REMOVES, committed atomically by
+  * a rename that fails if the version already exists. That one
+  * filesystem primitive buys, with no coordination service:
+  *
+  *   - ATOMIC multi-file commits: readers list the log, never the data
+  *     directory, so a writer's staged files are invisible until its
+  *     log entry lands (and a crashed writer leaves only unreferenced
+  *     orphans — data-then-log write order);
+  *   - SNAPSHOT ISOLATION + TIME TRAVEL: version N's live-file set is
+  *     the log replayed through N — any historical version stays
+  *     readable until vacuumed;
+  *   - OPTIMISTIC CONCURRENCY: two writers racing to commit version N
+  *     both stage data, but the rename is create-if-absent — exactly
+  *     one wins, the loser re-reads and retries or aborts
+  *     (TxLogSpec pins the race);
+  *   - CHANGE DATA FEED: a version's delta IS its add/remove file
+  *     lists — incremental consumers read only those files (q375).
+  *
+  * Log entries are newline-delimited `add\t<file>` / `remove\t<file>`
+  * lines named `<version %08d>.txt` under `_log/`. At 100 TB the log is
+  * file-grain metadata (KBs per commit for thousands of data files) and
+  * replay cost is O(#commits) driver-side IO — checkpointing the
+  * replayed set every N commits is the standard growth fix and changes
+  * nothing structural. */
+object TxLog {
+
+  private def logDir(dir: String): File = new File(dir, "_log")
+
+  private def versionFile(dir: String, v: Int): Path =
+    logDir(dir).toPath.resolve(f"$v%08d.txt")
+
+  /** Highest committed version, or -1 for an uninitialized table. */
+  def currentVersion(dir: String): Int = {
+    val files = Option(logDir(dir).listFiles()).getOrElse(Array.empty)
+    val vs = files.flatMap(f => f.getName.stripSuffix(".txt").toIntOption
+      .filter(_ => f.getName.endsWith(".txt")))
+    if (vs.isEmpty) -1 else vs.max
+  }
+
+  /** (adds, removes) of one committed version. */
+  def changes(dir: String, v: Int): (Seq[String], Seq[String]) = {
+    val lines = new String(Files.readAllBytes(versionFile(dir, v)), "UTF-8")
+      .linesIterator.filter(_.nonEmpty).toSeq
+    (lines.collect { case l if l.startsWith("add\t") => l.substring(4) },
+      lines.collect { case l if l.startsWith("remove\t") => l.substring(7) })
+  }
+
+  /** Live data files at `asOf` (default: latest), by log replay. */
+  def snapshot(dir: String, asOf: Option[Int] = None): Seq[String] = {
+    val cur = currentVersion(dir)
+    require(cur >= 0, s"$dir is not a TxLog table (no committed versions)")
+    val v = asOf.getOrElse(cur)
+    require(v >= 0 && v <= cur,
+      s"version $v does not exist (table is at version $cur)")
+    val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    (0 to v).foreach { i =>
+      val (adds, removes) = changes(dir, i)
+      removes.foreach(live -= _)
+      adds.foreach(live += _)
+    }
+    live.toSeq
+  }
+
+  /** Commit `adds`/`removes` as version `expected + 1`. The rename is
+    * create-if-absent: a concurrent commit of the same version makes
+    * exactly one writer win; the loser gets ConcurrentModification. */
+  def commit(dir: String, expected: Int,
+      adds: Seq[String], removes: Seq[String]): Int = {
+    logDir(dir).mkdirs()
+    val v = expected + 1
+    val body = (removes.map(f => s"remove\t$f") ++ adds.map(f => s"add\t$f"))
+      .mkString("", "\n", "\n")
+    val tmp = Files.createTempFile(logDir(dir).toPath, s".commit-$v-", ".tmp")
+    Files.write(tmp, body.getBytes("UTF-8"))
+    try Files.move(tmp, versionFile(dir, v)) // NO replace → atomic claim
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        throw new java.util.ConcurrentModificationException(
+          s"version $v was committed by another writer")
+    }
+    v
+  }
+
+  /** Stage `df` as uniquely-named parquet files in the table directory
+    * (INVISIBLE until a commit references them); returns their names. */
+  def stage(df: DataFrame, dir: String): Seq[String] = {
+    new File(dir).mkdirs()
+    val tmp = Files.createTempDirectory(Paths.get(dir), ".stage-")
+    df.write.mode("overwrite").parquet(tmp.toString)
+    val parts = Option(tmp.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+      .sortBy(_.getName)
+    val names = parts.zipWithIndex.map { case (f, i) =>
+      val name = s"part-${java.util.UUID.randomUUID().toString.take(8)}-$i.parquet"
+      Files.move(f.toPath, Paths.get(dir, name),
+        StandardCopyOption.ATOMIC_MOVE)
+      name
+    }.toSeq
+    // clear the staging litter (crc/_SUCCESS); data files already moved
+    Option(tmp.toFile.listFiles()).getOrElse(Array.empty)
+      .foreach(f => Files.deleteIfExists(f.toPath))
+    Files.deleteIfExists(tmp)
+    names
+  }
+
+  /** CREATE (version 0) — refuses on an existing table. */
+  def create(df: DataFrame, dir: String): Int =
+    commit(dir, -1, stage(df, dir), Seq.empty)
+
+  /** APPEND: new files only, nothing removed. */
+  def append(df: DataFrame, dir: String): Int =
+    commit(dir, currentVersion(dir), stage(df, dir), Seq.empty)
+
+  /** DELETE WHERE `pred`: copy-on-write — every live file holding a
+    * matching row is rewritten without its matches; untouched files
+    * stay referenced as-is (the Delta DELETE shape). */
+  def deleteWhere(spark: SparkSession, dir: String,
+      pred: org.apache.spark.sql.Column): Int = {
+    val cur = currentVersion(dir)
+    val live = snapshot(dir, Some(cur))
+    val affected = live.filter { f =>
+      spark.read.parquet(s"$dir/$f").filter(pred).limit(1).count() > 0
+    }
+    if (affected.isEmpty) return cur
+    val keep = spark.read
+      .parquet(affected.map(f => s"$dir/$f"): _*).filter(!pred)
+    val adds = if (keep.isEmpty) Seq.empty[String] else stage(keep, dir)
+    commit(dir, cur, adds, affected)
+  }
+
+  /** Read the table at `asOf` (default latest) — explicit file list, so
+    * a stale/staged/removed file can never leak into the scan. */
+  def read(spark: SparkSession, dir: String,
+      asOf: Option[Int] = None): DataFrame = {
+    val files = snapshot(dir, asOf)
+    spark.read.parquet(files.map(f => s"$dir/$f"): _*)
+  }
+
+  /** Drop data files no longer live at the CURRENT version and not
+    * referenced by any version > `retainAfter` — the retention window
+    * that keeps recent time travel working. Returns deleted names. */
+  def vacuum(dir: String, retainAfter: Int): Seq[String] = {
+    val cur = currentVersion(dir)
+    val protectedFiles = (math.max(0, retainAfter) to cur)
+      .flatMap(v => snapshot(dir, Some(v))).toSet
+    val onDisk = Option(new File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(_.getName)
+    val victims = onDisk.filterNot(protectedFiles)
+    victims.foreach(f => Files.deleteIfExists(Paths.get(dir, f)))
+    victims.toSeq
+  }
+
+  /** Remove a table directory entirely (test/query setup hygiene). */
+  def drop(dir: String): Unit = {
+    def rec(f: File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rec)
+      f.delete(): Unit
+    }
+    rec(new File(dir))
+  }
+}

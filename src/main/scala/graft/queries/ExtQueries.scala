@@ -2902,5 +2902,120 @@ object ExtQueries {
              |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
              |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acct_sum
              |FROM orders JOIN customer ON o_custkey = c_custkey
-             |WHERE c_mktsegment = 'BUILDING'""".stripMargin)))
+             |WHERE c_mktsegment = 'BUILDING'""".stripMargin)),
+
+    // q374 — TRANSACTION LOG with TIME TRAVEL (core.TxLog — the
+    // Delta/Iceberg core rebuilt from first principles: versioned
+    // add/remove log entries committed by create-if-absent rename):
+    // version 0 creates the table, version 1 appends the late batch,
+    // version 2 is a copy-on-write DELETE — and all three versions
+    // stay readable AFTER the delete, each through its own replayed
+    // file list (readers never list the data directory, so staged or
+    // removed files cannot leak into a scan). The oracle reconstructs
+    // each version from predicates over the source table: snapshot
+    // isolation must be indistinguishable from recompute. TxLogSpec
+    // pins what the hash can't see: the concurrent-commit race (one
+    // winner), crash atomicity (staged-but-uncommitted files are
+    // invisible), and vacuum retention.
+    QuerySpec("q374_txlog_time_travel",
+      (s, dir) => {
+        import graft.core.TxLog
+        val t = new java.io.File(System.getProperty("java.io.tmpdir"),
+          "graft_txlog_" + Integer.toHexString(dir.hashCode)).toString
+        TxLog.drop(t)
+        val orders = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderpriority"))
+        TxLog.create(orders.filter(col("o_orderkey") % 5 =!= 0), t) // v0
+        TxLog.append(orders.filter(col("o_orderkey") % 5 === 0), t) // v1
+        TxLog.deleteWhere(s, t, col("o_orderpriority") === "5-LOW") // v2
+        require(TxLog.currentVersion(t) == 2, "expected 3 commits")
+        // v1's snapshot must be untouched by v2's rewrite
+        require(TxLog.snapshot(t, Some(1)).toSet !=
+          TxLog.snapshot(t, Some(2)).toSet, "delete rewrote nothing")
+        Seq(0, 1, 2).map { v =>
+          TxLog.read(s, t, Some(v))
+            .agg(count(lit(1)).as("n_orders"),
+              Stable.dsum(col("o_totalprice")).as("revenue"))
+            .select(lit(v).as("version"), col("n_orders"), col("revenue"))
+        }.reduce(_ unionByName _).orderBy("version")
+      },
+      Some("""SELECT 0 AS version, CAST(count(*) AS BIGINT) AS n_orders,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             |FROM orders WHERE o_orderkey % 5 <> 0
+             |UNION ALL
+             |SELECT 1, CAST(count(*) AS BIGINT),
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |FROM orders
+             |UNION ALL
+             |SELECT 2, CAST(count(*) AS BIGINT),
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |FROM orders WHERE o_orderpriority <> '5-LOW'
+             |ORDER BY version""".stripMargin)),
+
+    // q375 — CHANGE DATA FEED off the transaction log: a version's
+    // delta IS its add/remove file lists, so an incremental consumer
+    // reads ONLY those files — never a snapshot diff (at 100 TB the
+    // snapshot diff re-reads the table; the file lists are the
+    // change). Per version: rows/revenue added and removed, net
+    // revenue movement. The copy-on-write delete's remove set is only
+    // oracle-expressible because every live file holds a matching
+    // row (true for this corpus — the in-query require turns a layout
+    // surprise into a loud failure instead of a hash mismatch).
+    QuerySpec("q375_txlog_change_feed",
+      (s, dir) => {
+        import graft.core.TxLog
+        val t = new java.io.File(System.getProperty("java.io.tmpdir"),
+          "graft_txcdf_" + Integer.toHexString(dir.hashCode)).toString
+        TxLog.drop(t)
+        val orders = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderpriority"))
+        TxLog.create(orders.filter(col("o_orderkey") % 5 =!= 0), t)
+        TxLog.append(orders.filter(col("o_orderkey") % 5 === 0), t)
+        TxLog.deleteWhere(s, t, col("o_orderpriority") === "5-LOW")
+        require(TxLog.changes(t, 2)._2.toSet ==
+          TxLog.snapshot(t, Some(1)).toSet,
+          "a live file had no matching delete row — CDF oracle " +
+            "assumption broken for this corpus")
+        def slice(files: Seq[String]) =
+          if (files.isEmpty)
+            s.sql("SELECT CAST(0 AS BIGINT) AS n, CAST(0 AS DECIMAL(28,2)) AS rev")
+          else s.read.parquet(files.map(f => s"$t/$f"): _*)
+            .agg(count(lit(1)).as("n"),
+              sum(col("o_totalprice").cast("decimal(18,2)"))
+                .cast("decimal(28,2)").as("rev"))
+        Seq(0, 1, 2).map { v =>
+          val (adds, removes) = TxLog.changes(t, v)
+          slice(adds).crossJoin(
+              slice(removes).select(col("n").as("rn"), col("rev").as("rrev")))
+            .select(lit(v).as("version"), col("n").as("rows_added"),
+              col("rn").as("rows_removed"),
+              (coalesce(col("rev"), lit(0).cast("decimal(28,2)")) -
+                coalesce(col("rrev"), lit(0).cast("decimal(28,2)")))
+                .cast("double").as("net_revenue"))
+        }.reduce(_ unionByName _).orderBy("version")
+      },
+      Some("""WITH v0 AS (SELECT count(*) AS n,
+             |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+             |  FROM orders WHERE o_orderkey % 5 <> 0),
+             |v1 AS (SELECT count(*) AS n,
+             |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+             |  FROM orders WHERE o_orderkey % 5 = 0),
+             |keep AS (SELECT count(*) AS n,
+             |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+             |  FROM orders WHERE o_orderpriority <> '5-LOW'),
+             |allr AS (SELECT count(*) AS n,
+             |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+             |  FROM orders)
+             |SELECT 0 AS version, CAST(v0.n AS BIGINT) AS rows_added,
+             |  CAST(0 AS BIGINT) AS rows_removed,
+             |  CAST(v0.rev AS DOUBLE) AS net_revenue FROM v0
+             |UNION ALL
+             |SELECT 1, CAST(v1.n AS BIGINT), CAST(0 AS BIGINT),
+             |  CAST(v1.rev AS DOUBLE) FROM v1
+             |UNION ALL
+             |SELECT 2, CAST(keep.n AS BIGINT), CAST(allr.n AS BIGINT),
+             |  CAST(keep.rev - allr.rev AS DOUBLE) FROM keep, allr
+             |ORDER BY version""".stripMargin)))
 }

@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.core.TxLog
+
+/** The transaction-log behaviors the oracle gate (q374/q375) cannot
+  * see: optimistic-concurrency (exactly one winner per version), crash
+  * atomicity (staged-but-uncommitted data is invisible), time-travel
+  * bounds, and vacuum retention. */
+class TxLogSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def freshTable(): String = {
+    val t = java.nio.file.Files.createTempDirectory("txlog_").toString
+    TxLog.drop(t)
+    TxLog.create((0L until 100L).map(i => (i, i % 5)).toDF("id", "grp"), t)
+    t
+  }
+
+  test("concurrent commits of the same version: exactly one wins") {
+    val t = freshTable()
+    val v = TxLog.currentVersion(t)
+    val a1 = TxLog.stage(Seq((100L, 0L)).toDF("id", "grp"), t)
+    val a2 = TxLog.stage(Seq((101L, 1L)).toDF("id", "grp"), t)
+    TxLog.commit(t, v, a1, Seq.empty)
+    intercept[java.util.ConcurrentModificationException] {
+      TxLog.commit(t, v, a2, Seq.empty)
+    }
+    // the loser's data never became visible
+    val ids = TxLog.read(spark, t).select("id").as[Long].collect().toSet
+    assert(ids.contains(100L) && !ids.contains(101L))
+  }
+
+  test("crash atomicity: staged files without a commit are invisible " +
+      "and a reader never lists the data directory") {
+    val t = freshTable()
+    val before = TxLog.read(spark, t).count()
+    TxLog.stage(Seq((999L, 9L)).toDF("id", "grp"), t) // writer 'crashes' here
+    assert(TxLog.read(spark, t).count() == before,
+      "staged-but-uncommitted rows leaked into the snapshot")
+    assert(TxLog.currentVersion(t) == 0)
+  }
+
+  test("time travel reads every version; out-of-range versions refuse") {
+    val t = freshTable()
+    TxLog.append(Seq((100L, 0L)).toDF("id", "grp"), t)
+    TxLog.deleteWhere(spark, t, col("grp") === 0)
+    assert(TxLog.read(spark, t, Some(0)).count() == 100)
+    assert(TxLog.read(spark, t, Some(1)).count() == 101)
+    assert(TxLog.read(spark, t, Some(2)).count() == 80) // 21 grp-0 rows gone
+    intercept[IllegalArgumentException] { TxLog.snapshot(t, Some(3)) }
+    intercept[IllegalArgumentException] { TxLog.snapshot(t, Some(-1)) }
+  }
+
+  test("deleteWhere is copy-on-write: untouched files stay referenced, " +
+      "affected ones are replaced; a no-match delete commits nothing") {
+    val t = freshTable()
+    val v1 = TxLog.deleteWhere(spark, t, col("id") < 0) // matches nothing
+    assert(v1 == 0, "no-op delete must not advance the version")
+    TxLog.deleteWhere(spark, t, col("grp") === 2)
+    val live = TxLog.read(spark, t)
+    assert(live.count() == 80 &&
+      live.filter(col("grp") === 2).count() == 0)
+  }
+
+  test("vacuum drops files only live OUTSIDE the retention window; " +
+      "retained versions keep reading") {
+    val t = freshTable()
+    TxLog.deleteWhere(spark, t, col("grp") === 0) // v1 rewrites everything
+    val oldFiles = TxLog.snapshot(t, Some(0)).toSet
+    val victims = TxLog.vacuum(t, retainAfter = 1).toSet
+    assert(victims == oldFiles -- TxLog.snapshot(t, Some(1)).toSet,
+      "vacuum must drop exactly the files no retained version references")
+    assert(TxLog.read(spark, t, Some(1)).count() == 80) // current still reads
+    victims.foreach(f =>
+      assert(!new java.io.File(t, f).exists(), s"victim $f still on disk"))
+  }
+}
