@@ -146,6 +146,80 @@ object TxLog {
     spark.read.parquet(files.map(f => s"$dir/$f"): _*)
   }
 
+  /** MERGE/UPSERT by key (insert-or-replace whole rows): copy-on-write
+    * over exactly the files holding a matched key — rewritten without
+    * their matches — plus the full source staged as new files, i.e.
+    * new state = (old ∖ keys(source)) ∪ source. The per-file match
+    * probe is a read here; at 100 TB the same decision comes from
+    * file-level min/max or bloom sidecars (q274's zone maps) — the
+    * LOG protocol is identical either way. */
+  def upsert(spark: SparkSession, dir: String, source: DataFrame,
+      keyCol: String): Int = {
+    val cur = currentVersion(dir)
+    val keys = source.select(keyCol).distinct().persist()
+    try {
+      val affected = snapshot(dir, Some(cur)).filter { f =>
+        spark.read.parquet(s"$dir/$f")
+          .join(keys, Seq(keyCol), "left_semi").limit(1).count() > 0
+      }
+      val survivors =
+        if (affected.isEmpty) Seq.empty[String]
+        else {
+          val kept = spark.read.parquet(affected.map(f => s"$dir/$f"): _*)
+            .join(keys, Seq(keyCol), "left_anti")
+          if (kept.isEmpty) Seq.empty[String] else stage(kept, dir)
+        }
+      commit(dir, cur, survivors ++ stage(source, dir), affected)
+    } finally { keys.unpersist(): Unit }
+  }
+
+  /** Idempotent append for exactly-once streaming sinks: the commit
+    * carries a `txn\t<app>\t<id>` marker line; a replayed micro-batch
+    * (same app + id already in the log) is SKIPPED — the
+    * foreachBatch-replay contract q296 proves for JDBC, here as a log
+    * protocol property. Returns the committed version, or -1 when the
+    * batch was recognized as a replay. */
+  def appendIdempotent(df: DataFrame, dir: String,
+      app: String, txnId: Long): Int = {
+    if (txnSeen(dir, app, txnId)) return -1
+    val cur = currentVersion(dir)
+    val adds = stage(df, dir)
+    val v = cur + 1
+    logDir(dir).mkdirs()
+    val body = (adds.map(f => s"add\t$f") :+ s"txn\t$app\t$txnId")
+      .mkString("", "\n", "\n")
+    val tmp = Files.createTempFile(logDir(dir).toPath, s".commit-$v-", ".tmp")
+    Files.write(tmp, body.getBytes("UTF-8"))
+    try { Files.move(tmp, versionFile(dir, v)); v }
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        throw new java.util.ConcurrentModificationException(
+          s"version $v was committed by another writer")
+    }
+  }
+
+  /** Has `(app, txnId)` already committed? Scanned from the log's txn
+    * marker lines (O(#commits) driver IO, like replay). */
+  def txnSeen(dir: String, app: String, txnId: Long): Boolean = {
+    val cur = currentVersion(dir)
+    (0 to cur).exists { v =>
+      new String(Files.readAllBytes(versionFile(dir, v)), "UTF-8")
+        .linesIterator.contains(s"txn\t$app\t$txnId")
+    }
+  }
+
+  /** OPTIMIZE: rewrite the current live set into `nFiles` compacted
+    * files as a new version — bit-identical rows, new layout; older
+    * versions keep reading the small files until vacuumed. */
+  def optimize(spark: SparkSession, dir: String, nFiles: Int = 1): Int = {
+    val cur = currentVersion(dir)
+    val live = snapshot(dir, Some(cur))
+    val compacted = spark.read.parquet(live.map(f => s"$dir/$f"): _*)
+      .coalesce(nFiles)
+    commit(dir, cur, stage(compacted, dir), live)
+  }
+
   /** Drop data files no longer live at the CURRENT version and not
     * referenced by any version > `retainAfter` — the retention window
     * that keeps recent time travel working. Returns deleted names. */

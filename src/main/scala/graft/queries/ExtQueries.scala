@@ -3017,5 +3017,86 @@ object ExtQueries {
              |UNION ALL
              |SELECT 2, CAST(keep.n AS BIGINT), CAST(allr.n AS BIGINT),
              |  CAST(keep.rev - allr.rev AS DOUBLE) FROM keep, allr
+             |ORDER BY version""".stripMargin)),
+
+    // q376 — MERGE/UPSERT through the transaction log (TxLog.upsert:
+    // insert-or-replace by key, copy-on-write over exactly the files
+    // holding a matched key): a segment-relabeling CDC batch lands on
+    // a table that's missing some of the batch's keys — matched rows
+    // are REPLACED, unmatched ones INSERTED, in one atomic commit.
+    // The oracle states the end state declaratively ((old ∖ keys) ∪
+    // source); the physical file choreography must be invisible in
+    // the result.
+    QuerySpec("q376_txlog_merge_upsert",
+      (s, dir) => {
+        import graft.core.TxLog
+        val t = new java.io.File(System.getProperty("java.io.tmpdir"),
+          "graft_txmrg_" + Integer.toHexString(dir.hashCode)).toString
+        TxLog.drop(t)
+        val cust = Tables.load(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+        TxLog.create(cust.filter(col("c_custkey") % 3 =!= 0), t)
+        TxLog.upsert(s, t,
+          cust.filter(col("c_custkey") % 2 === 0)
+            .withColumn("c_mktsegment", lit("MERGED")),
+          "c_custkey")
+        require(TxLog.currentVersion(t) == 1, "upsert must be ONE commit")
+        TxLog.read(s, t)
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_cust"),
+            Stable.dsum(col("c_acctbal")).as("acct_sum"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""WITH st AS (SELECT c_custkey,
+             |    CASE WHEN c_custkey % 2 = 0 THEN 'MERGED'
+             |         ELSE c_mktsegment END AS c_mktsegment, c_acctbal
+             |  FROM customer
+             |  WHERE c_custkey % 3 <> 0 OR c_custkey % 2 = 0)
+             |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_cust,
+             |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acct_sum
+             |FROM st GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // q378 — OPTIMIZE (small-file compaction) as a LOG version: four
+    // 1-file commits (the post-streaming-ingest state) compact into a
+    // single file in one atomic rewrite commit — bit-identical rows,
+    // new layout, and the PRE-optimize version still reads (q292
+    // executes compaction as a directory rewrite; here it's a
+    // versioned, time-travelable table operation). File counts are
+    // construction-controlled (coalesce(1) per commit) and required
+    // in-query, so the 4 → 1 claim fails loudly rather than silently;
+    // the oracle pins that both layouts hold exactly the same rows.
+    QuerySpec("q378_txlog_optimize",
+      (s, dir) => {
+        import graft.core.TxLog
+        val t = new java.io.File(System.getProperty("java.io.tmpdir"),
+          "graft_txopt_" + Integer.toHexString(dir.hashCode)).toString
+        TxLog.drop(t)
+        val part = Tables.load(s, dir, "part")
+          .select(col("p_partkey"), col("p_size"), col("p_retailprice"))
+        TxLog.create(part.filter(col("p_partkey") % 4 === 0).coalesce(1), t)
+        (1 to 3).foreach(m =>
+          TxLog.append(part.filter(col("p_partkey") % 4 === m).coalesce(1), t))
+        val vPre = TxLog.currentVersion(t)
+        val nPre = TxLog.snapshot(t).size
+        TxLog.optimize(s, t, nFiles = 1)
+        val nPost = TxLog.snapshot(t).size
+        require(vPre == 3 && nPre == 4 && nPost == 1,
+          s"expected 4 small files compacting to 1, got $nPre -> $nPost")
+        Seq(vPre -> nPre, (vPre + 1) -> nPost).map { case (v, nf) =>
+          TxLog.read(s, t, Some(v))
+            .agg(count(lit(1)).as("n_parts"),
+              Stable.dsum(col("p_retailprice")).as("price_sum"))
+            .select(lit(v).as("version"), lit(nf).as("n_files"),
+              col("n_parts"), col("price_sum"))
+        }.reduce(_ unionByName _).orderBy("version")
+      },
+      Some("""SELECT 3 AS version, 4 AS n_files,
+             |  CAST(count(*) AS BIGINT) AS n_parts,
+             |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
+             |FROM part
+             |UNION ALL
+             |SELECT 4, 1, CAST(count(*) AS BIGINT),
+             |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+             |FROM part
              |ORDER BY version""".stripMargin)))
 }

@@ -753,6 +753,66 @@ object StreamQueries {
              |GROUP BY user_id
              |ORDER BY user_id""".stripMargin)),
 
+    // q377 — exactly-once STREAMING APPEND into the transaction-log
+    // table (core.TxLog): each micro-batch commits its files together
+    // with a `txn <app> <batchId>` marker line, so a REPLAYED batch
+    // (q296's fresh-checkpoint total redelivery — the crash-recovery
+    // worst case) is recognized from the log itself and skipped —
+    // idempotence lives in the TABLE FORMAT, not in sink-specific
+    // delete-first logic (q296's JDBC form) or output-dir naming
+    // (q200's parquet form). The gate proves zero duplicates; the
+    // replay run's appendIdempotent calls all return -1.
+    QuerySpec("q377_stream_txlog_exactly_once",
+      (s0, dir) => {
+        val s = stateSession(s0)
+        import org.apache.spark.sql.SaveMode
+        val fp = eventsFingerprint(dir)
+        relaidEvents.keys.filter(k => k._1 == dir && k._2 != fp)
+          .foreach(k => relaidEvents.remove(k).foreach(deleteRecursively))
+        val tmp = relaidEvents.getOrElseUpdate((dir, fp), {
+          val t = Files.createTempDirectory("graft_upd_").toString
+          Tables.load(s, dir, "events")
+            .repartitionByRange(4, col("event_id"))
+            .write.mode(SaveMode.Overwrite).parquet(t)
+          t
+        })
+        val schema = s.read.parquet(tmp).schema
+        def clicks = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(tmp)
+          .filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("value"))
+        val table = Files.createTempDirectory("graft_txsink_").toString
+        sinkDirs.add(table)
+        graft.core.TxLog.drop(table)
+        def runOnce(): Unit = {
+          val ck = Files.createTempDirectory("graft_txsink_ck_").toString
+          sinkDirs.add(ck)
+          val q = clicks.writeStream.foreachBatch {
+              (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+               batchId: Long) =>
+                graft.core.TxLog.appendIdempotent(batch, table,
+                  "q377", batchId): Unit
+            }
+            .option("checkpointLocation", ck)
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        runOnce()
+        runOnce() // fresh checkpoint = total redelivery; the LOG absorbs
+        graft.core.TxLog.read(s, table)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_clicks"),
+            round(Stable.dsum(col("value"), 9), 4).as("total_value"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, count(*) AS n_clicks,
+             |  round(CAST(SUM(CAST(value AS DECIMAL(18,9))) AS DOUBLE), 4)
+             |    AS total_value
+             |FROM events
+             |WHERE event_type = 'click'
+             |GROUP BY user_id
+             |ORDER BY user_id""".stripMargin)),
+
     // q141 — watermarked stream-stream LEFT OUTER interval join (q73 is
     // the inner form): clicks with no purchase inside the 30-min window
     // must still be emitted, null-padded — which only happens when the
