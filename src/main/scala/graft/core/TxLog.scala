@@ -132,18 +132,106 @@ object TxLog {
       spark.read.parquet(s"$dir/$f").filter(pred).limit(1).count() > 0
     }
     if (affected.isEmpty) return cur
-    val keep = spark.read
-      .parquet(affected.map(f => s"$dir/$f"): _*).filter(!pred)
+    val keep = readFiles(spark, dir, affected,
+      deletionVectors(dir, Some(cur))).filter(!pred)
     val adds = if (keep.isEmpty) Seq.empty[String] else stage(keep, dir)
     commit(dir, cur, adds, affected)
   }
 
   /** Read the table at `asOf` (default latest) — explicit file list, so
-    * a stale/staged/removed file can never leak into the scan. */
+    * a stale/staged/removed file can never leak into the scan, with
+    * that version's deletion vectors applied (merge-on-read). */
   def read(spark: SparkSession, dir: String,
       asOf: Option[Int] = None): DataFrame = {
-    val files = snapshot(dir, asOf)
-    spark.read.parquet(files.map(f => s"$dir/$f"): _*)
+    val v = asOf.getOrElse(currentVersion(dir))
+    readFiles(spark, dir, snapshot(dir, Some(v)),
+      deletionVectors(dir, Some(v)))
+  }
+
+  /** Accumulated DELETION VECTORS at `asOf`: file → deleted row
+    * positions. `dv` marker lines union per file as the log replays;
+    * removing a file clears its vectors (the rewrite materialized
+    * them). Positions ride the log inline at fixture scale — the
+    * production form is a roaring-bitmap sidecar FILE referenced by
+    * the same line, with no protocol change. */
+  def deletionVectors(dir: String,
+      asOf: Option[Int] = None): Map[String, Set[Long]] = {
+    val v = asOf.getOrElse(currentVersion(dir))
+    val acc = scala.collection.mutable.Map.empty[String, Set[Long]]
+    (0 to v).foreach { i =>
+      new String(Files.readAllBytes(versionFile(dir, i)), "UTF-8")
+        .linesIterator.foreach { l =>
+          if (l.startsWith("remove\t")) acc -= l.substring(7)
+          else if (l.startsWith("dv\t")) l.split('\t') match {
+            case Array(_, f, ps) =>
+              acc(f) = acc.getOrElse(f, Set.empty) ++
+                ps.split(',').filter(_.nonEmpty).map(_.toLong)
+            case _ => ()
+          }
+        }
+    }
+    acc.toMap
+  }
+
+  /** MERGE-ON-READ delete: instead of rewriting files (deleteWhere's
+    * copy-on-write), commit the matching ROW POSITIONS as deletion
+    * vectors — an O(matches) commit no matter how large the touched
+    * files are, the Delta/Iceberg v2 "position delete" shape. Readers
+    * anti-join `_metadata.row_index`; OPTIMIZE materializes (purges)
+    * the vectors by rewriting. */
+  def deleteWhereDV(spark: SparkSession, dir: String,
+      pred: org.apache.spark.sql.Column): Int = {
+    import org.apache.spark.sql.functions.col
+    val cur = currentVersion(dir)
+    val existing = deletionVectors(dir, Some(cur))
+    val dvLines = snapshot(dir, Some(cur)).flatMap { f =>
+      val already = existing.getOrElse(f, Set.empty)
+      val hits = spark.read.parquet(s"$dir/$f").filter(pred)
+        .select(col("_metadata.row_index")).collect()
+        .map(_.getLong(0)).filterNot(already).sorted
+      if (hits.isEmpty) None
+      else Some(s"dv\t$f\t${hits.mkString(",")}")
+    }
+    if (dvLines.isEmpty) return cur
+    val v = cur + 1
+    logDir(dir).mkdirs()
+    val tmp = Files.createTempFile(logDir(dir).toPath, s".commit-$v-", ".tmp")
+    Files.write(tmp, dvLines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    try { Files.move(tmp, versionFile(dir, v)); v }
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        throw new java.util.ConcurrentModificationException(
+          s"version $v was committed by another writer")
+    }
+  }
+
+  /** DV-aware scan of `files` as of the vectors in `dv`: rows whose
+    * (file, position) is deleted never reach the caller. */
+  private def readFiles(spark: SparkSession, dir: String,
+      files: Seq[String], dv: Map[String, Set[Long]]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    if (files.isEmpty)
+      throw new IllegalArgumentException("empty snapshot read")
+    // mergeSchema: commits may EVOLVE the schema (add columns) — the
+    // union schema is the table schema, old files read the new columns
+    // as NULL (q380). Footer-merge cost is per-file metadata IO.
+    val base = spark.read.option("mergeSchema", "true")
+      .parquet(files.map(f => s"$dir/$f"): _*)
+    val relevant = dv.filter { case (f, ps) =>
+      files.contains(f) && ps.nonEmpty }
+    if (relevant.isEmpty) base
+    else {
+      val cols = base.columns.map(col)
+      val dvRows = relevant.toSeq.flatMap { case (f, ps) =>
+        ps.toSeq.map(p => (f, p)) }
+      val dvDf = spark.createDataFrame(dvRows).toDF("__f", "__p")
+      base
+        .withColumn("__f", col("_metadata.file_name"))
+        .withColumn("__p", col("_metadata.row_index"))
+        .join(dvDf, Seq("__f", "__p"), "left_anti")
+        .select(cols: _*)
+    }
   }
 
   /** MERGE/UPSERT by key (insert-or-replace whole rows): copy-on-write
@@ -165,7 +253,8 @@ object TxLog {
       val survivors =
         if (affected.isEmpty) Seq.empty[String]
         else {
-          val kept = spark.read.parquet(affected.map(f => s"$dir/$f"): _*)
+          val kept = readFiles(spark, dir, affected,
+              deletionVectors(dir, Some(cur)))
             .join(keys, Seq(keyCol), "left_anti")
           if (kept.isEmpty) Seq.empty[String] else stage(kept, dir)
         }
@@ -215,8 +304,11 @@ object TxLog {
   def optimize(spark: SparkSession, dir: String, nFiles: Int = 1): Int = {
     val cur = currentVersion(dir)
     val live = snapshot(dir, Some(cur))
-    val compacted = spark.read.parquet(live.map(f => s"$dir/$f"): _*)
-      .coalesce(nFiles)
+    // DV-aware: compaction MATERIALIZES outstanding deletion vectors —
+    // the rewritten files hold only live rows, and removing the old
+    // files clears their vectors in the same commit
+    val compacted = readFiles(spark, dir, live,
+      deletionVectors(dir, Some(cur))).coalesce(nFiles)
     commit(dir, cur, stage(compacted, dir), live)
   }
 

@@ -3098,5 +3098,85 @@ object ExtQueries {
              |SELECT 4, 1, CAST(count(*) AS BIGINT),
              |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
              |FROM part
-             |ORDER BY version""".stripMargin)))
+             |ORDER BY version""".stripMargin)),
+
+    // q379 — DELETION VECTORS (merge-on-read): two successive deletes
+    // commit only the matching ROW POSITIONS — the data files are
+    // NEVER rewritten (the in-query require pins an identical file set
+    // across all three versions), readers anti-join
+    // `_metadata.row_index` against the replayed vectors, and the
+    // second delete unions on top of the first. This is the
+    // O(matches)-commit delete a 100 TB table needs when a predicate
+    // touches every file (copy-on-write q374 would rewrite the world);
+    // OPTIMIZE (q378) is the materialization path that purges vectors.
+    // Time travel composes: each version reads with ITS vectors.
+    QuerySpec("q379_txlog_deletion_vectors",
+      (s, dir) => {
+        import graft.core.TxLog
+        val t = new java.io.File(System.getProperty("java.io.tmpdir"),
+          "graft_txdv_" + Integer.toHexString(dir.hashCode)).toString
+        TxLog.drop(t)
+        val orders = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderpriority"))
+        TxLog.create(orders, t)                                      // v0
+        TxLog.deleteWhereDV(s, t, col("o_orderpriority") === "5-LOW") // v1
+        TxLog.deleteWhereDV(s, t, col("o_orderkey") % 7 === 0)        // v2
+        require(TxLog.snapshot(t, Some(0)).toSet ==
+          TxLog.snapshot(t, Some(2)).toSet,
+          "merge-on-read delete must not rewrite any data file")
+        require(TxLog.deletionVectors(t).nonEmpty,
+          "no deletion vectors were committed")
+        Seq(0, 1, 2).map { v =>
+          TxLog.read(s, t, Some(v))
+            .agg(count(lit(1)).as("n_orders"),
+              Stable.dsum(col("o_totalprice")).as("revenue"))
+            .select(lit(v).as("version"), col("n_orders"), col("revenue"))
+        }.reduce(_ unionByName _).orderBy("version")
+      },
+      Some("""SELECT 0 AS version, CAST(count(*) AS BIGINT) AS n_orders,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             |FROM orders
+             |UNION ALL
+             |SELECT 1, CAST(count(*) AS BIGINT),
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |FROM orders WHERE o_orderpriority <> '5-LOW'
+             |UNION ALL
+             |SELECT 2, CAST(count(*) AS BIGINT),
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |FROM orders WHERE o_orderpriority <> '5-LOW' AND o_orderkey % 7 <> 0
+             |ORDER BY version""".stripMargin)),
+
+    // q380 — SCHEMA EVOLUTION through the log: version 1 appends rows
+    // carrying a column version 0 never had; the table schema is the
+    // UNION (mergeSchema over the live file list) and pre-evolution
+    // rows read the new column as NULL — no rewrite, no backfill,
+    // the additive-evolution contract every long-lived table needs.
+    // The aggregate splits on the new column's nullness, so the gate
+    // verifies exactly which rows carry it.
+    QuerySpec("q380_txlog_schema_evolution",
+      (s, dir) => {
+        import graft.core.TxLog
+        val t = new java.io.File(System.getProperty("java.io.tmpdir"),
+          "graft_txevo_" + Integer.toHexString(dir.hashCode)).toString
+        TxLog.drop(t)
+        val orders = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+        TxLog.create(orders.filter(col("o_orderkey") % 2 === 0), t)
+        TxLog.append(orders.filter(col("o_orderkey") % 2 =!= 0)
+          .withColumn("priority_rank",
+            (col("o_orderkey") % 5 + 1).cast("int")), t)
+        TxLog.read(s, t)
+          .groupBy(col("priority_rank").isNull.as("legacy_row"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("priority_rank").cast("long")).as("rank_sum"),
+            Stable.dsum(col("o_totalprice")).as("revenue"))
+          .orderBy("legacy_row")
+      },
+      Some("""SELECT (o_orderkey % 2 = 0) AS legacy_row,
+             |  CAST(count(*) AS BIGINT) AS n_orders,
+             |  CAST(SUM(CASE WHEN o_orderkey % 2 <> 0
+             |      THEN o_orderkey % 5 + 1 END) AS BIGINT) AS rank_sum,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)))
 }

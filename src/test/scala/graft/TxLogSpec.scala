@@ -65,6 +65,32 @@ class TxLogSpec extends AnyFunSuite {
       live.filter(col("grp") === 2).count() == 0)
   }
 
+  test("deletion vectors: deletes commit positions not rewrites, union " +
+      "across versions, and OPTIMIZE materializes (purges) them") {
+    val t = freshTable()
+    val files0 = TxLog.snapshot(t).toSet
+    TxLog.deleteWhereDV(spark, t, col("grp") === 0) // v1: 20 rows
+    TxLog.deleteWhereDV(spark, t, col("id") < 10)   // v2: 8 more (2 overlap)
+    assert(TxLog.snapshot(t).toSet == files0, "DV delete rewrote files")
+    assert(TxLog.read(spark, t, Some(0)).count() == 100)
+    assert(TxLog.read(spark, t, Some(1)).count() == 80)
+    assert(TxLog.read(spark, t, Some(2)).count() == 72)
+    // a second identical delete is a no-op (already-deleted positions
+    // are excluded when computing new vectors)
+    assert(TxLog.deleteWhereDV(spark, t, col("grp") === 0) == 2)
+    // OPTIMIZE rewrites live rows only and clears the vectors
+    TxLog.optimize(spark, t)
+    assert(TxLog.deletionVectors(t).isEmpty, "optimize left vectors behind")
+    assert(TxLog.read(spark, t).count() == 72)
+    // copy-on-write delete composed on top must not resurrect DV'd rows
+    val t2 = freshTable()
+    TxLog.deleteWhereDV(spark, t2, col("id") === 1)
+    TxLog.deleteWhere(spark, t2, col("grp") === 2)
+    val ids = TxLog.read(spark, t2).select("id").as[Long].collect().toSet
+    assert(!ids.contains(1L) && ids.size == 79,
+      "COW rewrite resurrected a DV-deleted row")
+  }
+
   test("vacuum drops files only live OUTSIDE the retention window; " +
       "retained versions keep reading") {
     val t = freshTable()
