@@ -3763,5 +3763,134 @@ object AnalyticsQueries {
              |  max(CASE WHEN rk = CAST(floor((n - 1.96*sqrt(CAST(n AS DOUBLE)))/2) AS BIGINT) THEN value END) AS ci_lo,
              |  max(CASE WHEN rk = CAST(ceil(n * 0.5) AS BIGINT) THEN value END) AS median,
              |  max(CASE WHEN rk = CAST(ceil(1 + (n + 1.96*sqrt(CAST(n AS DOUBLE)))/2) AS BIGINT) THEN value END) AS ci_hi
-             |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin)))
+             |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // q381 — GRANGER-style predictive gain: does yesterday's CLICK
+    // count improve the AR(1) prediction of today's PURCHASE count?
+    // Compares R² of y_t ~ y_{t-1} against y_t ~ y_{t-1} + c_{t-1}
+    // via the closed-form two-regressor OLS identities over CENTERED
+    // moments M_ab = n·Σab − Σa·Σb. The moments are exact BIGINTs
+    // built on the q364 day-grain frame (SF-independent size); triple-
+    // moment products would overflow BIGINT, so each M casts to DOUBLE
+    // (exact — every M < 2^53) and both engines evaluate the IDENTICAL
+    // expression tree, left-associated. Raw doubles out (q216 rule).
+    QuerySpec("q381_granger_gain",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "events")
+          .groupBy(col("ts").cast("date").as("day"))
+          .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("p"),
+            sum(when(col("event_type") === "click", 1L).otherwise(0L))
+              .as("c"))
+          .select(datediff(col("day"), lit("1970-01-01")).cast("long")
+            .as("di"), col("p"), col("c"))
+        val pairs = d.as("a").join(d.as("b"),
+            col("b.di") === col("a.di") + 1)
+          .select(col("b.p").as("y"), col("a.p").as("x1"),
+            col("a.c").as("x2"))
+        val m = pairs.agg(count(lit(1)).as("n"),
+          sum(col("y")).as("sy"), sum(col("x1")).as("s1"),
+          sum(col("x2")).as("s2"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x1") * col("x1")).as("s11"),
+          sum(col("x2") * col("x2")).as("s22"),
+          sum(col("x1") * col("y")).as("s1y"),
+          sum(col("x2") * col("y")).as("s2y"),
+          sum(col("x1") * col("x2")).as("s12"))
+        def M(sab: org.apache.spark.sql.Column,
+            sa: org.apache.spark.sql.Column,
+            sb: org.apache.spark.sql.Column) =
+          (col("n") * sab - sa * sb).cast("double")
+        m.select(col("n"),
+            (M(col("s1y"), col("s1"), col("sy")) *
+              M(col("s1y"), col("s1"), col("sy")) /
+              (M(col("s11"), col("s1"), col("s1")) *
+                M(col("syy"), col("sy"), col("sy")))).as("r2_ar"),
+            ((M(col("s1y"), col("s1"), col("sy")) *
+                M(col("s1y"), col("s1"), col("sy")) *
+                M(col("s22"), col("s2"), col("s2")) +
+              M(col("s2y"), col("s2"), col("sy")) *
+                M(col("s2y"), col("s2"), col("sy")) *
+                M(col("s11"), col("s1"), col("s1")) -
+              lit(2) * M(col("s1y"), col("s1"), col("sy")) *
+                M(col("s2y"), col("s2"), col("sy")) *
+                M(col("s12"), col("s1"), col("s2"))) /
+              (M(col("syy"), col("sy"), col("sy")) *
+                (M(col("s11"), col("s1"), col("s1")) *
+                  M(col("s22"), col("s2"), col("s2")) -
+                  M(col("s12"), col("s1"), col("s2")) *
+                    M(col("s12"), col("s1"), col("s2")))))
+              .as("r2_full"))
+      },
+      Some("""WITH d AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS p,
+             |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c
+             |  FROM events GROUP BY 1),
+             |di AS (SELECT CAST(date_diff('day', DATE '1970-01-01', day) AS BIGINT) AS di, p, c FROM d),
+             |pr AS (SELECT b.p AS y, a.p AS x1, a.c AS x2
+             |  FROM di a JOIN di b ON b.di = a.di + 1),
+             |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             |    SUM(y) AS sy, SUM(x1) AS s1, SUM(x2) AS s2,
+             |    SUM(y*y) AS syy, SUM(x1*x1) AS s11, SUM(x2*x2) AS s22,
+             |    SUM(x1*y) AS s1y, SUM(x2*y) AS s2y, SUM(x1*x2) AS s12
+             |  FROM pr)
+             |SELECT n,
+             |  CAST(n*s1y - s1*sy AS DOUBLE) * CAST(n*s1y - s1*sy AS DOUBLE)
+             |    / (CAST(n*s11 - s1*s1 AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)) AS r2_ar,
+             |  (CAST(n*s1y - s1*sy AS DOUBLE) * CAST(n*s1y - s1*sy AS DOUBLE) * CAST(n*s22 - s2*s2 AS DOUBLE)
+             |    + CAST(n*s2y - s2*sy AS DOUBLE) * CAST(n*s2y - s2*sy AS DOUBLE) * CAST(n*s11 - s1*s1 AS DOUBLE)
+             |    - 2 * CAST(n*s1y - s1*sy AS DOUBLE) * CAST(n*s2y - s2*sy AS DOUBLE) * CAST(n*s12 - s1*s2 AS DOUBLE))
+             |  / (CAST(n*syy - sy*sy AS DOUBLE)
+             |    * (CAST(n*s11 - s1*s1 AS DOUBLE) * CAST(n*s22 - s2*s2 AS DOUBLE)
+             |      - CAST(n*s12 - s1*s2 AS DOUBLE) * CAST(n*s12 - s1*s2 AS DOUBLE))) AS r2_full
+             |FROM m""".stripMargin)),
+
+    // q382 — MASE (mean absolute scaled error) forecast benchmark: the
+    // scale-free metric that makes error comparable ACROSS series —
+    // seasonal-naive (ŷ_t = y_{t-7}) scored against the one-step naive
+    // (ŷ_t = y_{t-1}) on daily event counts per type, both over the
+    // same t range so the ratio is a fair scaling. MAEs are exact
+    // integer |diff| sums over the calendar-grain frame; the single
+    // division is the output. MASE < 1 ⇒ weekly structure exists.
+    QuerySpec("q382_mase_benchmark",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "events")
+          .groupBy(col("event_type"),
+            col("ts").cast("date").as("day"))
+          .agg(count(lit(1)).as("y"))
+          .select(col("event_type"),
+            datediff(col("day"), lit("1970-01-01")).cast("long").as("di"),
+            col("y"))
+          .persistTracked()
+        d.as("t")
+          .join(d.as("l1"), col("l1.event_type") === col("t.event_type") &&
+            col("l1.di") === col("t.di") - 1)
+          .join(d.as("l7"), col("l7.event_type") === col("t.event_type") &&
+            col("l7.di") === col("t.di") - 7)
+          .select(col("t.event_type").as("event_type"),
+            abs(col("t.y") - col("l1.y")).as("e1"),
+            abs(col("t.y") - col("l7.y")).as("e7"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("e1")).as("abs_err_naive"),
+            sum(col("e7")).as("abs_err_seasonal"))
+          .withColumn("mase",
+            col("abs_err_seasonal").cast("double") /
+              col("abs_err_naive").cast("double"))
+          .orderBy("event_type")
+      },
+      Some("""WITH d AS (SELECT event_type,
+             |    CAST(date_diff('day', DATE '1970-01-01',
+             |      CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS BIGINT) AS di,
+             |    CAST(count(*) AS BIGINT) AS y
+             |  FROM events GROUP BY 1, 2)
+             |SELECT t.event_type, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(SUM(abs(t.y - l1.y)) AS BIGINT) AS abs_err_naive,
+             |  CAST(SUM(abs(t.y - l7.y)) AS BIGINT) AS abs_err_seasonal,
+             |  CAST(SUM(abs(t.y - l7.y)) AS DOUBLE)
+             |    / CAST(SUM(abs(t.y - l1.y)) AS DOUBLE) AS mase
+             |FROM d t
+             |JOIN d l1 ON l1.event_type = t.event_type AND l1.di = t.di - 1
+             |JOIN d l7 ON l7.event_type = t.event_type AND l7.di = t.di - 7
+             |GROUP BY t.event_type ORDER BY t.event_type""".stripMargin)))
 }
