@@ -545,6 +545,81 @@ object EventQueries {
              |FROM sess JOIN win ON s_lo <= w_hi AND w_lo <= s_hi
              |GROUP BY day ORDER BY day""".stripMargin)),
 
+    // q383 — interval overlap through the NATIVE plane-sweep operator
+    // (plans/IntervalJoin.scala: LogicalPlan + Strategy + BinaryExec,
+    // the second whole-operator rung after the as-of join): user
+    // sessions against THREE daily maintenance slots, keyed by the
+    // session-start day. Where q294's composed form (ops.RangeJoin)
+    // bins both sides and dedups bin collisions, the native exec takes
+    // one hash exchange per side + a per-partition (key, lo) sort from
+    // EnsureRequirements and sweeps with state bounded by CONCURRENT
+    // intervals — the plan a database's range join produces. The
+    // in-query require pins that the native exec actually planned;
+    // all interval arithmetic is exact epoch-micro integers.
+    QuerySpec("q383_native_interval_join",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.load(s, dir, "events")
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val gapUs = unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)
+        val newSess = when(gapUs.isNull || gapUs > 30L * 60 * 1000000, 1)
+          .otherwise(0)
+        val sess = ev.withColumn("sess_id",
+            sum(newSess).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy("user_id", "sess_id")
+          .agg(min(unix_micros(col("ts"))).as("s_lo"),
+            max(unix_micros(col("ts"))).as("s_hi"))
+          .withColumn("s_dayi", expr("s_lo DIV 86400000000"))
+        val slots = ev
+          .select(expr("unix_micros(ts) DIV 86400000000").as("dayi"))
+          .distinct()
+          .crossJoin(Seq((1, 2L, 4L), (2, 12L, 13L), (3, 20L, 22L))
+            .toDF("slot", "h1", "h2")) // 3-row slot frame (bounded)
+          .select(col("dayi"), col("slot"),
+            (col("dayi") * 86400000000L + col("h1") * 3600000000L).as("w_lo"),
+            (col("dayi") * 86400000000L + col("h2") * 3600000000L).as("w_hi"))
+        val j = graft.plans.Interval.join(slots, sess,
+          Seq("dayi"), Seq("s_dayi"), "w_lo", "w_hi", "s_lo", "s_hi",
+          leftTie = Seq("slot"), rightTie = Seq("user_id", "sess_id"))
+        require(j.queryExecution.executedPlan.toString.contains("IntervalJoin"),
+          "native interval-join exec did not plan")
+        j.groupBy("slot")
+          .agg(count(lit(1)).as("n_sessions"),
+            countDistinct(col("user_id")).as("n_users"),
+            sum(expr("LEAST(s_hi, w_hi) - GREATEST(s_lo, w_lo)"))
+              .as("overlap_us"))
+          .orderBy("slot")
+      },
+      Some("""WITH s0 AS (
+             |  SELECT user_id, ts, event_id,
+             |    CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+             |           - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+             |           > 30 * 60 * 1000000 THEN 1
+             |         WHEN lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) IS NULL THEN 1
+             |         ELSE 0 END AS new_sess
+             |  FROM events),
+             |sess AS (SELECT user_id, sess_id,
+             |    min(epoch_us(CAST(ts AS TIMESTAMP))) AS s_lo,
+             |    max(epoch_us(CAST(ts AS TIMESTAMP))) AS s_hi
+             |  FROM (SELECT user_id, ts, event_id,
+             |      CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id FROM s0)
+             |  GROUP BY user_id, sess_id),
+             |days AS (SELECT DISTINCT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS dayi FROM events),
+             |slots AS (SELECT dayi, v.slot,
+             |    dayi * 86400000000 + v.h1 * 3600000000 AS w_lo,
+             |    dayi * 86400000000 + v.h2 * 3600000000 AS w_hi
+             |  FROM days, (VALUES (1, 2, 4), (2, 12, 13), (3, 20, 22)) v(slot, h1, h2)),
+             |j AS (SELECT slot, user_id,
+             |    LEAST(s_hi, w_hi) - GREATEST(s_lo, w_lo) AS ov
+             |  FROM sess JOIN slots
+             |    ON s_lo // 86400000000 = slots.dayi
+             |    AND s_lo <= w_hi AND w_lo <= s_hi)
+             |SELECT slot, CAST(count(*) AS BIGINT) AS n_sessions,
+             |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+             |  CAST(SUM(ov) AS BIGINT) AS overlap_us
+             |FROM j GROUP BY slot ORDER BY slot""".stripMargin)),
+
     // q273 — RUNTIME BLOOM-FILTER join pruning, the second declarative
     // runtime optimization under the gate (q262 is AQE skew): Catalyst's
     // InjectRuntimeFilter sees a selective filter on the orders side of
