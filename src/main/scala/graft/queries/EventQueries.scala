@@ -620,6 +620,76 @@ object EventQueries {
              |  CAST(SUM(ov) AS BIGINT) AS overlap_us
              |FROM j GROUP BY slot ORDER BY slot""".stripMargin)),
 
+    // q384 — POINT-IN-TIME feature assembly (the feature-store
+    // training-set join): every purchase label picks up each feature
+    // table's latest snapshot STRICTLY BEFORE it — two chained native
+    // as-of joins (plans/AsOfJoin.scala), one per feature table, the
+    // leak-free alternative to the plain join that would let a label
+    // see same-day aggregates computed FROM itself. Snapshots are
+    // end-of-day (dayi+1)·86400e6 − 1 micros, so a day-D label matches
+    // the day-D−1 snapshot — only fully-closed days feed features.
+    // Oracle: DuckDB's native ASOF LEFT JOIN, twice — engine vs engine
+    // on both hops. All feature values are exact integer cum-sums.
+    QuerySpec("q384_pit_feature_assembly",
+      (s, dir) => {
+        val base = Tables.load(s, dir, "events")
+          .select(col("user_id"), unix_micros(col("ts")).as("us"),
+            col("event_type"), col("value"), col("event_id"))
+        val daily = base
+          .groupBy(col("user_id"), expr("us DIV 86400000000").as("dayi"))
+          .agg(count(lit(1)).as("d_events"),
+            sum(round(col("value") * 100, 0).cast("long")).as("d_cents"))
+        val wu = Window.partitionBy("user_id").orderBy("dayi")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val snaps = daily.select(col("user_id"),
+          ((col("dayi") + 1) * 86400000000L - 1).as("snap_us"),
+          sum(col("d_events")).over(wu).as("cum_events"),
+          sum(col("d_cents")).over(wu).as("cum_cents"))
+        val labels = base.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("us"))
+        val featA = snaps.select(col("user_id").as("a_user"),
+          col("snap_us").as("a_snap"), col("cum_events"))
+        val featB = snaps.select(col("user_id").as("b_user"),
+          col("snap_us").as("b_snap"), col("cum_cents"))
+        val j1 = graft.plans.AsOf.joinBackward(labels, featA,
+          Seq("user_id"), Seq("a_user"), "us", "a_snap")
+        val j2 = graft.plans.AsOf.joinBackward(j1, featB,
+          Seq("user_id"), Seq("b_user"), "us", "b_snap")
+        j2.groupBy("user_id")
+          .agg(count(lit(1)).as("n_labels"),
+            sum(coalesce(col("cum_events"), lit(0L))).as("feat_events"),
+            sum(coalesce(col("cum_cents"), lit(0L))).as("feat_cents"))
+          .orderBy("user_id")
+      },
+      Some("""WITH base AS (SELECT user_id,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type, value, event_id
+             |  FROM events),
+             |daily AS (SELECT user_id, us // 86400000000 AS dayi,
+             |    CAST(count(*) AS BIGINT) AS d_events,
+             |    SUM(CAST(round(value*100, 0) AS BIGINT)) AS d_cents
+             |  FROM base GROUP BY 1, 2),
+             |snaps AS (SELECT user_id,
+             |    (dayi + 1) * 86400000000 - 1 AS snap_us,
+             |    SUM(d_events) OVER (PARTITION BY user_id ORDER BY dayi
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_events,
+             |    SUM(d_cents) OVER (PARTITION BY user_id ORDER BY dayi
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents
+             |  FROM daily),
+             |lab AS (SELECT event_id, user_id, us FROM base
+             |  WHERE event_type = 'purchase'),
+             |j1 AS (SELECT l.event_id, l.user_id, l.us, a.cum_events
+             |  FROM lab l ASOF LEFT JOIN
+             |    (SELECT user_id AS au, snap_us, cum_events FROM snaps) a
+             |    ON l.user_id = a.au AND a.snap_us <= l.us),
+             |j2 AS (SELECT j1.user_id, j1.us, j1.cum_events, b.cum_cents
+             |  FROM j1 ASOF LEFT JOIN
+             |    (SELECT user_id AS bu, snap_us AS s2, cum_cents FROM snaps) b
+             |    ON j1.user_id = b.bu AND b.s2 <= j1.us)
+             |SELECT user_id, CAST(count(*) AS BIGINT) AS n_labels,
+             |  CAST(SUM(COALESCE(cum_events, 0)) AS BIGINT) AS feat_events,
+             |  CAST(SUM(COALESCE(cum_cents, 0)) AS BIGINT) AS feat_cents
+             |FROM j2 GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // q273 — RUNTIME BLOOM-FILTER join pruning, the second declarative
     // runtime optimization under the gate (q262 is AQE skew): Catalyst's
     // InjectRuntimeFilter sees a selective filter on the orders side of
