@@ -10,8 +10,10 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.types.LongType
 
 /** Native INTERVAL-OVERLAP join — the second whole-operator rung after
-  * [[AsOfJoinPlan]] (SURVEY §2.10 c): INNER join on an equi key plus
-  * `[lLo, lHi] ∩ [rLo, rHi] ≠ ∅` (closed intervals, long endpoints).
+  * [[AsOfJoinPlan]] (SURVEY §2.10 c): INNER (or LEFT OUTER) join on an
+  * equi key plus `[lLo, lHi] ∩ [rLo, rHi] ≠ ∅` (closed intervals, long
+  * endpoints). Left-outer emits unmatched (and null-endpoint) left
+  * rows once, null-padded — the impact-analysis complement.
   *
   * Spark plans a bare overlap predicate as a nested loop; the composed
   * remedy bins both sides and equi-joins the bin (ops.RangeJoin, q294)
@@ -39,8 +41,11 @@ case class IntervalJoinPlan(
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftLo: Expression, leftHi: Expression,
     rightLo: Expression, rightHi: Expression,
-    leftTie: Seq[Expression], rightTie: Seq[Expression]) extends BinaryNode {
-  override def output: Seq[Attribute] = left.output ++ right.output
+    leftTie: Seq[Expression], rightTie: Seq[Expression],
+    leftOuter: Boolean = false) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    if (leftOuter) left.output ++ right.output.map(_.withNullability(true))
+    else left.output ++ right.output
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): IntervalJoinPlan =
     copy(left = newLeft, right = newRight)
@@ -51,14 +56,17 @@ case class IntervalJoinExec(
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftLo: Expression, leftHi: Expression,
     rightLo: Expression, rightHi: Expression,
-    leftTie: Seq[Expression], rightTie: Seq[Expression])
+    leftTie: Seq[Expression], rightTie: Seq[Expression],
+    leftOuter: Boolean = false)
     extends BinaryExecNode {
 
   require(Seq(leftLo, leftHi, rightLo, rightHi)
     .forall(_.dataType == LongType),
     "interval endpoints must be LongType (epoch micros or plain longs)")
 
-  override def output: Seq[Attribute] = left.output ++ right.output
+  override def output: Seq[Attribute] =
+    if (leftOuter) left.output ++ right.output.map(_.withNullability(true))
+    else left.output ++ right.output
 
   override lazy val metrics = Map(
     "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
@@ -82,6 +90,7 @@ case class IntervalJoinExec(
     val rLoE = rightLo; val rHiE = rightHi
     val numOutputRows = longMetric("numOutputRows")
     val maxActive = longMetric("maxActive")
+    val outer = leftOuter
     left.execute().zipPartitions(right.execute()) { (li, ri) =>
       val lKeyProj = UnsafeProjection.create(lKeys, leftOut)
       val rKeyProj = UnsafeProjection.create(rKeys, rightOut)
@@ -89,7 +98,11 @@ case class IntervalJoinExec(
       val rBoundsProj = UnsafeProjection.create(Seq(rLoE, rHiE), rightOut)
       val keyOrd =
         RowOrdering.createNaturalAscendingOrdering(lKeys.map(_.dataType))
-      val resultProj = UnsafeProjection.create(out, leftOut ++ rightOut)
+      val resultProj = UnsafeProjection.create(out,
+        leftOut ++ (if (outer) rightOut.map(_.withNullability(true))
+                    else rightOut))
+      val nullRight = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(rightOut.size)
       val joined = new JoinedRow
 
       new Iterator[InternalRow] {
@@ -112,18 +125,21 @@ case class IntervalJoinExec(
           scala.collection.mutable.ArrayBuffer.empty[(Long, Long, UnsafeRow)]
         private var activeKey: UnsafeRow = _
 
-        // matches pending for the current left row
+        // matches pending for the current left row; pendingIdx == -1
+        // flags a single null-right emission (left outer)
         private var pendingLeft: UnsafeRow = _
         private var pendingIdx: Int = 0
         private var pendingEnd: Int = 0
 
         private def fillPending(): Unit = {
           pendingIdx = 0; pendingEnd = 0
-          while (pendingEnd == 0 && li.hasNext) {
+          while (pendingIdx >= pendingEnd && li.hasNext) {
             val l = li.next().asInstanceOf[UnsafeRow]
             val lKey = lKeyProj(l)
             val lBounds = lBoundsProj(l)
-            if (!lBounds.isNullAt(0) && !lBounds.isNullAt(1)) {
+            if (lBounds.isNullAt(0) || lBounds.isNullAt(1)) {
+              if (outer) { pendingLeft = l.copy(); pendingIdx = -1; pendingEnd = 0 }
+            } else {
               val lLo = lBounds.getLong(0); val lHi = lBounds.getLong(1)
               if (activeKey == null || keyOrd.compare(activeKey, lKey) != 0) {
                 active.clear()
@@ -160,6 +176,8 @@ case class IntervalJoinExec(
               if (e > 0) {
                 pendingLeft = l.copy()
                 pendingEnd = e
+              } else if (outer) {
+                pendingLeft = l.copy(); pendingIdx = -1; pendingEnd = 0
               }
             }
           }
@@ -168,10 +186,16 @@ case class IntervalJoinExec(
 
         override def hasNext: Boolean = pendingIdx < pendingEnd
         override def next(): InternalRow = {
-          val r = active(pendingIdx)._3
-          pendingIdx += 1
+          val outRow =
+            if (pendingIdx == -1) { // left-outer null-right emission
+              pendingIdx = 0
+              resultProj(joined(pendingLeft, nullRight))
+            } else {
+              val r = active(pendingIdx)._3
+              pendingIdx += 1
+              resultProj(joined(pendingLeft, r))
+            }
           numOutputRows += 1
-          val outRow = resultProj(joined(pendingLeft, r))
           if (pendingIdx >= pendingEnd) fillPending()
           outRow
         }
@@ -189,7 +213,7 @@ object IntervalJoinStrategy extends SparkStrategy {
     case j: IntervalJoinPlan =>
       IntervalJoinExec(planLater(j.left), planLater(j.right),
         j.leftKeys, j.rightKeys, j.leftLo, j.leftHi, j.rightLo, j.rightHi,
-        j.leftTie, j.rightTie) :: Nil
+        j.leftTie, j.rightTie, j.leftOuter) :: Nil
     case _ => Nil
   }
 }
@@ -202,7 +226,8 @@ object Interval {
       leftKey: Seq[String], rightKey: Seq[String],
       leftLo: String, leftHi: String,
       rightLo: String, rightHi: String,
-      leftTie: Seq[String] = Nil, rightTie: Seq[String] = Nil): DataFrame = {
+      leftTie: Seq[String] = Nil, rightTie: Seq[String] = Nil,
+      leftOuter: Boolean = false): DataFrame = {
     val cs = left.sparkSession
       .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     Interval.synchronized {
@@ -221,6 +246,6 @@ object Interval {
       leftKey.map(attr(lp, _)), rightKey.map(attr(rp, _)),
       attr(lp, leftLo), attr(lp, leftHi),
       attr(rp, rightLo), attr(rp, rightHi),
-      leftTie.map(attr(lp, _)), rightTie.map(attr(rp, _))))
+      leftTie.map(attr(lp, _)), rightTie.map(attr(rp, _)), leftOuter))
   }
 }

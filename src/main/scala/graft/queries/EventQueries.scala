@@ -690,6 +690,74 @@ object EventQueries {
              |  CAST(SUM(COALESCE(cum_cents, 0)) AS BIGINT) AS feat_cents
              |FROM j2 GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // q385 — the LEFT OUTER form of the native interval operator:
+    // sessions that overlap NO maintenance slot (q383's complement —
+    // the "unaffected population" every incident review also needs).
+    // Unmatched left rows emit exactly once, null-padded, from the
+    // same one-exchange-per-side sweep; the anti set is `slot IS
+    // NULL`. Oracle: NOT EXISTS over the same closed-interval
+    // predicate.
+    QuerySpec("q385_interval_join_outer",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.load(s, dir, "events")
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val gapUs = unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)
+        val newSess = when(gapUs.isNull || gapUs > 30L * 60 * 1000000, 1)
+          .otherwise(0)
+        val sess = ev.withColumn("sess_id",
+            sum(newSess).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy("user_id", "sess_id")
+          .agg(min(unix_micros(col("ts"))).as("s_lo"),
+            max(unix_micros(col("ts"))).as("s_hi"))
+          .withColumn("s_dayi", expr("s_lo DIV 86400000000"))
+        val slots = ev
+          .select(expr("unix_micros(ts) DIV 86400000000").as("dayi"))
+          .distinct()
+          .crossJoin(Seq((1, 2L, 4L), (2, 12L, 13L), (3, 20L, 22L))
+            .toDF("slot", "h1", "h2"))
+          .select(col("dayi"), col("slot"),
+            (col("dayi") * 86400000000L + col("h1") * 3600000000L).as("w_lo"),
+            (col("dayi") * 86400000000L + col("h2") * 3600000000L).as("w_hi"))
+        graft.plans.Interval.join(sess, slots,
+            Seq("s_dayi"), Seq("dayi"), "s_lo", "s_hi", "w_lo", "w_hi",
+            leftTie = Seq("user_id", "sess_id"), rightTie = Seq("slot"),
+            leftOuter = true)
+          .filter(col("slot").isNull)
+          .groupBy(col("s_dayi").as("dayi"))
+          .agg(count(lit(1)).as("n_unaffected"),
+            countDistinct(col("user_id")).as("n_users"))
+          .orderBy("dayi")
+      },
+      Some("""WITH s0 AS (
+             |  SELECT user_id, ts, event_id,
+             |    CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+             |           - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+             |           > 30 * 60 * 1000000 THEN 1
+             |         WHEN lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) IS NULL THEN 1
+             |         ELSE 0 END AS new_sess
+             |  FROM events),
+             |sess AS (SELECT user_id, sess_id,
+             |    min(epoch_us(CAST(ts AS TIMESTAMP))) AS s_lo,
+             |    max(epoch_us(CAST(ts AS TIMESTAMP))) AS s_hi
+             |  FROM (SELECT user_id, ts, event_id,
+             |      CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id FROM s0)
+             |  GROUP BY user_id, sess_id),
+             |days AS (SELECT DISTINCT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS dayi FROM events),
+             |slots AS (SELECT dayi, v.slot,
+             |    dayi * 86400000000 + v.h1 * 3600000000 AS w_lo,
+             |    dayi * 86400000000 + v.h2 * 3600000000 AS w_hi
+             |  FROM days, (VALUES (1, 2, 4), (2, 12, 13), (3, 20, 22)) v(slot, h1, h2))
+             |SELECT s_lo // 86400000000 AS dayi,
+             |  CAST(count(*) AS BIGINT) AS n_unaffected,
+             |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+             |FROM sess
+             |WHERE NOT EXISTS (SELECT 1 FROM slots
+             |  WHERE slots.dayi = sess.s_lo // 86400000000
+             |    AND sess.s_lo <= slots.w_hi AND slots.w_lo <= sess.s_hi)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // q273 — RUNTIME BLOOM-FILTER join pruning, the second declarative
     // runtime optimization under the gate (q262 is AQE skew): Catalyst's
     // InjectRuntimeFilter sees a selective filter on the orders side of

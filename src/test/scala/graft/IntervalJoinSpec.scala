@@ -69,6 +69,31 @@ class IntervalJoinSpec extends AnyFunSuite {
     assert(got == Set((1L, 10L), (3L, 12L)))
   }
 
+  test("left outer: unmatched and null-endpoint left rows emit once, " +
+      "null-padded; matched rows are identical to the inner form") {
+    val rnd = new scala.util.Random(59)
+    def gen(n: Int) = (0 until n).map { i =>
+      val k = rnd.nextInt(10).toLong
+      val lo = rnd.nextInt(500).toLong
+      (k, lo, lo + rnd.nextInt(40).toLong, i.toLong)
+    }
+    val l = gen(400); val r = gen(200)
+    val lDf = l.toDF("k", "lo", "hi", "lid").repartition(16)
+    val rDf = r.toDF("rk", "rlo", "rhi", "rid").repartition(16)
+    val outer = graft.plans.Interval.join(lDf, rDf, Seq("k"), Seq("rk"),
+        "lo", "hi", "rlo", "rhi", Seq("lid"), Seq("rid"), leftOuter = true)
+      .select(col("lid"), col("rid"))
+      .as[(Long, Option[Long])].collect()
+    val matched = brute(l, r).map { case (_, lid, rid) => (lid, Some(rid)) }
+    val matchedLids = matched.map(_._1)
+    val want = matched ++
+      l.map(_._4).filterNot(matchedLids).map(lid => (lid, None))
+    assert(outer.toSet == want,
+      s"missing=${(want -- outer.toSet).take(5)} extra=${(outer.toSet -- want).take(5)}")
+    // every left row appears at least once
+    assert(outer.map(_._1).distinct.length == l.length)
+  }
+
   test("touching endpoints match (closed intervals); disjoint do not") {
     val l = Seq((1L, 0L, 5L, 1L)).toDF("k", "lo", "hi", "lid")
     val r = Seq((1L, 5L, 9L, 10L), (1L, 6L, 9L, 11L))
