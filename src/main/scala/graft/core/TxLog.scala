@@ -46,12 +46,14 @@ object TxLog {
     if (vs.isEmpty) -1 else vs.max
   }
 
-  /** (adds, removes) of one committed version. */
+  /** (adds, removes) of one committed version. Field-split: an `add`
+    * line may carry trailing file-statistics fields (see
+    * [[appendWithStats]]) — the file name is always field 1. */
   def changes(dir: String, v: Int): (Seq[String], Seq[String]) = {
     val lines = new String(Files.readAllBytes(versionFile(dir, v)), "UTF-8")
       .linesIterator.filter(_.nonEmpty).toSeq
-    (lines.collect { case l if l.startsWith("add\t") => l.substring(4) },
-      lines.collect { case l if l.startsWith("remove\t") => l.substring(7) })
+    (lines.collect { case l if l.startsWith("add\t") => l.split('\t')(1) },
+      lines.collect { case l if l.startsWith("remove\t") => l.split('\t')(1) })
   }
 
   /** Live data files at `asOf` (default: latest), by log replay. */
@@ -111,6 +113,70 @@ object TxLog {
       .foreach(f => Files.deleteIfExists(f.toPath))
     Files.deleteIfExists(tmp)
     names
+  }
+
+  /** Stage + commit with FILE STATISTICS: each add line carries the
+    * staged file's min/max of `statsCol`
+    * (`add\t<file>\t<col>\t<min>\t<max>`) — the log-resident zone map
+    * that lets [[pruneSnapshot]] skip files at PLAN time, the way
+    * Delta/Iceberg store per-file column bounds. The bounds come from
+    * a post-stage read here; a production writer takes them from the
+    * parquet footer it just wrote, for free. Older/statless add lines
+    * parse fine everywhere (the name is always field 1). */
+  def appendWithStats(spark: SparkSession, df: DataFrame, dir: String,
+      statsCol: String): Int = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    val cur = currentVersion(dir)
+    val adds = stage(df, dir).map { f =>
+      val r = spark.read.parquet(s"$dir/$f")
+        .agg(min(col(statsCol)), max(col(statsCol))).head()
+      s"$f\t$statsCol\t${r.getLong(0)}\t${r.getLong(1)}"
+    }
+    val v = cur + 1
+    logDir(dir).mkdirs()
+    val body = adds.map(a => s"add\t$a").mkString("", "\n", "\n")
+    val tmp = Files.createTempFile(logDir(dir).toPath, s".commit-$v-", ".tmp")
+    Files.write(tmp, body.getBytes("UTF-8"))
+    try { Files.move(tmp, versionFile(dir, v)); v }
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        throw new java.util.ConcurrentModificationException(
+          s"version $v was committed by another writer")
+    }
+  }
+
+  /** Per-file [min, max] of `statsCol` from the log's add lines (files
+    * committed without stats are absent — callers must keep them). */
+  def fileStats(dir: String, statsCol: String,
+      asOf: Option[Int] = None): Map[String, (Long, Long)] = {
+    val v = asOf.getOrElse(currentVersion(dir))
+    val acc = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    (0 to v).foreach { i =>
+      new String(Files.readAllBytes(versionFile(dir, i)), "UTF-8")
+        .linesIterator.foreach { l =>
+          if (l.startsWith("remove\t")) acc -= l.split('\t')(1)
+          else if (l.startsWith("add\t")) l.split('\t') match {
+            case Array(_, f, c, lo, hi) if c == statsCol =>
+              acc(f) = (lo.toLong, hi.toLong)
+            case _ => ()
+          }
+        }
+    }
+    acc.toMap
+  }
+
+  /** Live files whose `statsCol` range intersects [lo, hi] — plus any
+    * file with no recorded stats (skipping must be conservative).
+    * Returns (kept, total live) so callers can assert real pruning. */
+  def pruneSnapshot(dir: String, statsCol: String, lo: Long, hi: Long,
+      asOf: Option[Int] = None): (Seq[String], Int) = {
+    val live = snapshot(dir, asOf)
+    val stats = fileStats(dir, statsCol, asOf)
+    val kept = live.filter { f =>
+      stats.get(f).forall { case (fLo, fHi) => fLo <= hi && lo <= fHi }
+    }
+    (kept, live.size)
   }
 
   /** CREATE (version 0) — refuses on an existing table. */

@@ -3100,6 +3100,54 @@ object ExtQueries {
              |FROM part
              |ORDER BY version""".stripMargin)),
 
+    // q387 — DATA SKIPPING from log-resident file statistics: each
+    // commit's add lines carry the file's min/max of the sort key
+    // (TxLog.appendWithStats — the zone map Delta/Iceberg keep in
+    // their logs), so a range query prunes files at PLAN time from
+    // metadata alone. Four disjoint key-quartile commits → the
+    // top-quartile predicate keeps exactly 1 of 4 files (required
+    // in-query); the oracle recomputes the same quartile bound and the
+    // same aggregate over the raw table, proving pruning lossless.
+    QuerySpec("q387_txlog_data_skipping",
+      (s, dir) => {
+        import graft.core.TxLog
+        val t = new java.io.File(System.getProperty("java.io.tmpdir"),
+          "graft_txskip_" + Integer.toHexString(dir.hashCode)).toString
+        TxLog.drop(t)
+        val orders = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+        val b = orders.agg(min(col("o_orderkey")), max(col("o_orderkey")))
+          .head() // 1-row bounds frame (metadata-scale driver read)
+        val (mn, mx) = (b.getLong(0), b.getLong(1))
+        val q = (mx - mn + 1) / 4
+        (0 to 3).foreach { i =>
+          val loK = mn + i * q
+          val sl = if (i < 3)
+            orders.filter(col("o_orderkey") >= loK &&
+              col("o_orderkey") < loK + q)
+          else orders.filter(col("o_orderkey") >= loK)
+          TxLog.appendWithStats(s, sl.coalesce(1), t, "o_orderkey")
+        }
+        val plo = mn + 3 * q
+        val (kept, total) =
+          TxLog.pruneSnapshot(t, "o_orderkey", plo, Long.MaxValue)
+        require(kept.size == 1 && total == 4,
+          s"expected 1 of 4 files to survive pruning, got ${kept.size}/$total")
+        s.read.parquet(kept.map(f => s"$t/$f"): _*)
+          .filter(col("o_orderkey") >= plo)
+          .agg(count(lit(1)).as("n_orders"),
+            Stable.dsum(col("o_totalprice")).as("revenue"))
+          .select(lit(kept.size).as("files_kept"), lit(total).as("files_total"),
+            col("n_orders"), col("revenue"))
+      },
+      Some("""WITH b AS (SELECT min(o_orderkey) AS mn, max(o_orderkey) AS mx
+             |  FROM orders),
+             |p AS (SELECT mn + 3 * ((mx - mn + 1) // 4) AS plo FROM b)
+             |SELECT 1 AS files_kept, 4 AS files_total,
+             |  CAST(count(*) AS BIGINT) AS n_orders,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             |FROM orders, p WHERE o_orderkey >= p.plo""".stripMargin)),
+
     // q379 — DELETION VECTORS (merge-on-read): two successive deletes
     // commit only the matching ROW POSITIONS — the data files are
     // NEVER rewritten (the in-query require pins an identical file set

@@ -4551,5 +4551,67 @@ object TextQueries {
              |  FROM (SELECT UNNEST(generate_series(0, 99)) AS i), tot)
              |SELECT p.i, c.doc_id, c.w
              |FROM probes p JOIN c ON p.t >= c.cw - c.w AND p.t <= c.cw - 1
-             |ORDER BY p.i""".stripMargin)))
+             |ORDER BY p.i""".stripMargin)),
+
+    // q386 — FILTER-FUNNEL ABLATION, the report every curation pipeline
+    // publishes before committing a filter set: for each of three
+    // quality filters (min length, language allowlist, min tokens) —
+    // how many documents does it kill ALONE, how many does it UNIQUELY
+    // kill (fails this one, passes the others — the filter's marginal
+    // value), and what fraction of its kills survive everything else.
+    // Plus the joint row: survivors and surviving chars of the full
+    // stack. ONE corpus pass, all conditional aggregation — at 100 TB
+    // you cannot afford a scan per filter; the 4-row report frame is
+    // driver-shaped output, not data.
+    QuerySpec("q386_filter_funnel",
+      (s, dir) => {
+        val f1 = col("n_chars") >= 150
+        val f2 = col("lang").isin("en", "es", "de", "fr")
+        val f3 = graft.functions.Text.tokenCount(col("text")) >= 25
+        val m = Tables.load(s, dir, "documents")
+          .agg(count(lit(1)).as("total"),
+            sum(when(!f1, 1L).otherwise(0L)).as("k1"),
+            sum(when(!f2, 1L).otherwise(0L)).as("k2"),
+            sum(when(!f3, 1L).otherwise(0L)).as("k3"),
+            sum(when(!f1 && f2 && f3, 1L).otherwise(0L)).as("u1"),
+            sum(when(f1 && !f2 && f3, 1L).otherwise(0L)).as("u2"),
+            sum(when(f1 && f2 && !f3, 1L).otherwise(0L)).as("u3"),
+            sum(when(f1 && f2 && f3, 1L).otherwise(0L)).as("joint"),
+            sum(when(f1 && f2 && f3, col("n_chars")).otherwise(0L))
+              .as("joint_chars"))
+          .persistTracked() // 1-row report frame, referenced 4× below
+        val rows = Seq(("1_min_length", "k1", "u1"),
+          ("2_lang_allowlist", "k2", "u2"), ("3_min_tokens", "k3", "u3"))
+        rows.map { case (name, k, u) =>
+          m.select(lit(name).as("filter"), col(k).as("n_killed"),
+            col(u).as("n_unique_kills"), col("total"),
+            lit(null).cast("long").as("survivor_chars"))
+        }.reduce(_ unionByName _)
+          .unionByName(m.select(lit("4_joint_stack").as("filter"),
+            (col("total") - col("joint")).as("n_killed"),
+            lit(null).cast("long").as("n_unique_kills"), col("total"),
+            col("joint_chars").as("survivor_chars")))
+          .orderBy("filter")
+      },
+      Some("""WITH m AS (SELECT CAST(count(*) AS BIGINT) AS total,
+             |  CAST(SUM(CASE WHEN NOT (n_chars >= 150) THEN 1 ELSE 0 END) AS BIGINT) AS k1,
+             |  CAST(SUM(CASE WHEN NOT (lang IN ('en','es','de','fr')) THEN 1 ELSE 0 END) AS BIGINT) AS k2,
+             |  CAST(SUM(CASE WHEN NOT (len(string_split_regex(trim(text), '\s+')) >= 25) THEN 1 ELSE 0 END) AS BIGINT) AS k3,
+             |  CAST(SUM(CASE WHEN NOT (n_chars >= 150) AND lang IN ('en','es','de','fr')
+             |    AND len(string_split_regex(trim(text), '\s+')) >= 25 THEN 1 ELSE 0 END) AS BIGINT) AS u1,
+             |  CAST(SUM(CASE WHEN n_chars >= 150 AND NOT (lang IN ('en','es','de','fr'))
+             |    AND len(string_split_regex(trim(text), '\s+')) >= 25 THEN 1 ELSE 0 END) AS BIGINT) AS u2,
+             |  CAST(SUM(CASE WHEN n_chars >= 150 AND lang IN ('en','es','de','fr')
+             |    AND NOT (len(string_split_regex(trim(text), '\s+')) >= 25) THEN 1 ELSE 0 END) AS BIGINT) AS u3,
+             |  CAST(SUM(CASE WHEN n_chars >= 150 AND lang IN ('en','es','de','fr')
+             |    AND len(string_split_regex(trim(text), '\s+')) >= 25 THEN 1 ELSE 0 END) AS BIGINT) AS joint,
+             |  CAST(SUM(CASE WHEN n_chars >= 150 AND lang IN ('en','es','de','fr')
+             |    AND len(string_split_regex(trim(text), '\s+')) >= 25 THEN n_chars ELSE 0 END) AS BIGINT) AS joint_chars
+             |  FROM documents)
+             |SELECT '1_min_length' AS filter, k1 AS n_killed, u1 AS n_unique_kills,
+             |  total, CAST(NULL AS BIGINT) AS survivor_chars FROM m
+             |UNION ALL SELECT '2_lang_allowlist', k2, u2, total, NULL FROM m
+             |UNION ALL SELECT '3_min_tokens', k3, u3, total, NULL FROM m
+             |UNION ALL SELECT '4_joint_stack', total - joint, NULL, total, joint_chars FROM m
+             |ORDER BY filter""".stripMargin)))
 }
