@@ -758,6 +758,90 @@ object EventQueries {
              |    AND sess.s_lo <= slots.w_hi AND slots.w_lo <= sess.s_hi)
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // q388 — COHORT RETENTION matrix (the engagement half of q359's
+    // revenue LTV triangle): users grouped by FIRST-ACTIVITY week,
+    // each later week's retention = distinct active users / cohort
+    // size. Week indexing is epoch-week integer arithmetic
+    // (micros DIV 7·86400e6) — calendar-function week numbering
+    // differs between engines (the q214 dow lesson), integer DIV does
+    // not. Counts are exact; retention is the single output division.
+    QuerySpec("q388_cohort_retention",
+      (s, dir) => {
+        val ue = Tables.load(s, dir, "events")
+          .select(col("user_id"),
+            expr("unix_micros(ts) DIV 604800000000").as("wk"))
+        val first = ue.groupBy("user_id").agg(min(col("wk")).as("cohort_wk"))
+          .persistTracked()
+        val sizes = first.groupBy("cohort_wk")
+          .agg(countDistinct(col("user_id")).as("cohort_n"))
+        ue.distinct()
+          .join(first, "user_id")
+          .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk"))
+            .as("weeks_since"))
+          .agg(countDistinct(col("user_id")).as("n_active"))
+          .join(broadcast(sizes), "cohort_wk") // cohort-grain dim
+          .select(col("cohort_wk"), col("weeks_since"), col("n_active"),
+            col("cohort_n"),
+            (col("n_active").cast("double") / col("cohort_n"))
+              .as("retention"))
+          .orderBy("cohort_wk", "weeks_since")
+      },
+      Some("""WITH ue AS (SELECT user_id,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS wk
+             |  FROM events),
+             |f AS (SELECT user_id, min(wk) AS cohort_wk FROM ue GROUP BY 1),
+             |sz AS (SELECT cohort_wk, CAST(count(DISTINCT user_id) AS BIGINT) AS cohort_n
+             |  FROM f GROUP BY 1),
+             |act AS (SELECT DISTINCT user_id, wk FROM ue),
+             |r AS (SELECT f.cohort_wk, act.wk - f.cohort_wk AS weeks_since,
+             |    CAST(count(DISTINCT act.user_id) AS BIGINT) AS n_active
+             |  FROM act JOIN f ON act.user_id = f.user_id
+             |  GROUP BY 1, 2)
+             |SELECT r.cohort_wk, r.weeks_since, r.n_active, sz.cohort_n,
+             |  CAST(r.n_active AS DOUBLE) / sz.cohort_n AS retention
+             |FROM r JOIN sz ON r.cohort_wk = sz.cohort_wk
+             |ORDER BY r.cohort_wk, r.weeks_since""".stripMargin)),
+
+    // q389 — DAU/MAU STICKINESS per day (MAU = distinct users over the
+    // trailing 28 days): the engagement ratio every growth report
+    // leads with. The corpus collapses to the (user, day) distinct
+    // grid FIRST (≪ events), then a 30-row broadcast day frame joins
+    // with the trailing-window range predicate — never a window
+    // distinct over raw events. Exact integer counts; stickiness is
+    // the output division.
+    QuerySpec("q389_dau_mau_stickiness",
+      (s, dir) => {
+        val ud = Tables.load(s, dir, "events")
+          .select(col("user_id"),
+            expr("unix_micros(ts) DIV 86400000000").as("dayi"))
+          .distinct()
+          .persistTracked()
+        val days = ud.select(col("dayi").as("d")).distinct()
+        val mau = ud.join(broadcast(days),
+            col("dayi") >= col("d") - 27 && col("dayi") <= col("d"))
+          .groupBy("d")
+          .agg(countDistinct(col("user_id")).as("mau"))
+        val dau = ud.groupBy(col("dayi").as("d"))
+          .agg(countDistinct(col("user_id")).as("dau"))
+        dau.join(mau, "d")
+          .select(col("d").as("dayi"), col("dau"), col("mau"),
+            (col("dau").cast("double") / col("mau")).as("stickiness"))
+          .orderBy("dayi")
+      },
+      Some("""WITH ud AS (SELECT DISTINCT user_id,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS dayi
+             |  FROM events),
+             |days AS (SELECT DISTINCT dayi AS d FROM ud),
+             |mau AS (SELECT d, CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+             |  FROM ud JOIN days ON dayi >= d - 27 AND dayi <= d
+             |  GROUP BY 1),
+             |dau AS (SELECT dayi AS d, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+             |  FROM ud GROUP BY 1)
+             |SELECT dau.d AS dayi, dau.dau, mau.mau,
+             |  CAST(dau.dau AS DOUBLE) / mau.mau AS stickiness
+             |FROM dau JOIN mau ON dau.d = mau.d
+             |ORDER BY dayi""".stripMargin)),
+
     // q273 — RUNTIME BLOOM-FILTER join pruning, the second declarative
     // runtime optimization under the gate (q262 is AQE skew): Catalyst's
     // InjectRuntimeFilter sees a selective filter on the orders side of
