@@ -187,6 +187,20 @@ object TxLog {
   def append(df: DataFrame, dir: String): Int =
     commit(dir, currentVersion(dir), stage(df, dir), Seq.empty)
 
+  /** APPEND gated by a CHECK constraint (the Delta table-constraint
+    * shape): if any incoming row violates `constraint`, NOTHING
+    * commits — the violating batch is rejected atomically (staged
+    * files stay unreferenced orphans, exactly the crash case vacuum
+    * ignores and TxLogSpec proves invisible). The check runs on the
+    * batch BEFORE staging is referenced, one aggregate pass. */
+  def appendChecked(df: DataFrame, dir: String,
+      constraint: org.apache.spark.sql.Column): Int = {
+    val bad = df.filter(!constraint || constraint.isNull).limit(1).count()
+    if (bad > 0) throw new IllegalArgumentException(
+      s"CHECK constraint violated by the incoming batch: $constraint")
+    append(df, dir)
+  }
+
   /** DELETE WHERE `pred`: copy-on-write — every live file holding a
     * matching row is rewritten without its matches; untouched files
     * stay referenced as-is (the Delta DELETE shape). */

@@ -72,7 +72,8 @@ case class IntervalJoinExec(
     "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
       .createMetric(sparkContext, "number of output rows"),
     "maxActive" -> org.apache.spark.sql.execution.metric.SQLMetrics
-      .createMetric(sparkContext, "max concurrent right intervals"))
+      .createMetric(sparkContext,
+        "per-task max concurrent right intervals (summed across tasks)"))
 
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil

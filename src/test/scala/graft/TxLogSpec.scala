@@ -33,6 +33,47 @@ class TxLogSpec extends AnyFunSuite {
     assert(ids.contains(100L) && !ids.contains(101L))
   }
 
+  test("a genuinely concurrent commit race (two threads, one barrier): " +
+      "exactly one winner, the loser's rows never visible, log intact") {
+    val t = freshTable()
+    val v = TxLog.currentVersion(t)
+    val a1 = TxLog.stage(Seq((200L, 0L)).toDF("id", "grp"), t)
+    val a2 = TxLog.stage(Seq((201L, 1L)).toDF("id", "grp"), t)
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Either[Throwable, Int]]()
+    val threads = Seq(a1, a2).map { adds =>
+      new Thread(() => {
+        barrier.await()
+        try results.add(Right(TxLog.commit(t, v, adds, Seq.empty)))
+        catch { case e: Throwable => results.add(Left(e)) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val rs = results.toArray(Array.empty[Either[Throwable, Int]])
+    assert(rs.count(_.isRight) == 1 && rs.count(_.isLeft) == 1,
+      s"expected exactly one winner, got $rs")
+    assert(rs.collectFirst { case Left(e) => e }.get
+      .isInstanceOf[java.util.ConcurrentModificationException])
+    val ids = TxLog.read(spark, t).select("id").as[Long].collect().toSet
+    assert(Seq(200L, 201L).count(ids) == 1,
+      "exactly one racer's rows must be visible")
+    assert(TxLog.currentVersion(t) == v + 1)
+  }
+
+  test("appendChecked: a violating batch is rejected atomically — no " +
+      "version advance, no visible rows; a clean batch commits") {
+    val t = freshTable()
+    val v = TxLog.currentVersion(t)
+    intercept[IllegalArgumentException] {
+      TxLog.appendChecked(Seq((300L, -1L)).toDF("id", "grp"), t,
+        col("grp") >= 0)
+    }
+    assert(TxLog.currentVersion(t) == v, "rejected batch advanced the log")
+    assert(TxLog.read(spark, t).filter(col("id") === 300L).count() == 0)
+    TxLog.appendChecked(Seq((301L, 4L)).toDF("id", "grp"), t, col("grp") >= 0)
+    assert(TxLog.read(spark, t).filter(col("id") === 301L).count() == 1)
+  }
+
   test("crash atomicity: staged files without a commit are invisible " +
       "and a reader never lists the data directory") {
     val t = freshTable()
