@@ -2275,5 +2275,72 @@ object VectorQueries {
               |    CAST(row_number() OVER (PARTITION BY q_id
               |      ORDER BY sim DESC, node) AS INTEGER) AS rnk FROM s2)
               |SELECT q_id, rnk, node AS vec_id, sim FROM b2 WHERE rnk <= 4
-              |ORDER BY q_id, rnk""".stripMargin)))
+              |ORDER BY q_id, rnk""".stripMargin)),
+
+    // q390 — LOCAL OUTLIER FACTOR over the kNN graph (Breunig et al.
+    // '00): density-RATIO outliers — a vector is anomalous when its
+    // local density is low relative to its neighbors', which catches
+    // points that sit beside a tight cluster yet far from it (a global
+    // distance cut like q216's MAD would miss them, and embedding-
+    // space junk is exactly this shape). Runs entirely on q233's
+    // scored graph: distances integerize to exact 1e-6 units
+    // (round((1−sim)·1e6) — both engines round the same double), so
+    // k-distance, reachability (max(dist, kdist(nb))), and their sums
+    // stay BIGINT; each lrd is ONE division, the neighbor-lrd sum is
+    // an INDEX-ORDERED fold (sort by nb — Σ of doubles is
+    // order-dependent, the NOTES vector rule), and LOF is one
+    // multiply-divide: sumLrd · sreach / cnt². ≤k values per fold —
+    // bounded HOF, not corpus-scale collect.
+    QuerySpec("q390_lof_outliers",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings").persistTracked()
+        val g = nnSweep(emb, knnInit(emb).persistTracked())
+          .select(col("vec_id"), col("nb"),
+            round((lit(1) - col("sim")) * 1000000, 0).cast("long").as("di"))
+          .persistTracked()
+        val kd = g.groupBy(col("vec_id").as("kb_id"))
+          .agg(max(col("di")).as("kdist"))
+        val re = g.join(kd, col("nb") === col("kb_id"))
+          .select(col("vec_id"), col("nb"),
+            greatest(col("di"), col("kdist")).as("reach"))
+        val st = re.groupBy("vec_id")
+          .agg(count(lit(1)).as("cnt"), sum(col("reach")).as("sreach"))
+          .withColumn("lrd",
+            col("cnt").cast("double") / col("sreach").cast("double"))
+          .persistTracked()
+        val sumLrd = g
+          .join(st.select(col("vec_id").as("nb"), col("lrd")), "nb")
+          .groupBy("vec_id")
+          .agg(collect_list(struct(col("nb"), col("lrd"))).as("ls"))
+          .select(col("vec_id"), expr(
+            "aggregate(sort_array(ls), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.lrd)")
+            .as("sum_lrd"))
+        st.join(sumLrd, "vec_id")
+          .select(col("vec_id"), col("cnt"), col("sreach"),
+            (col("sum_lrd") * col("sreach").cast("double") /
+              (col("cnt") * col("cnt")).cast("double")).as("lof"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH $duckKnnCtes,
+              |gd AS (SELECT vec_id, nb,
+              |    CAST(round((1 - sim) * 1000000, 0) AS BIGINT) AS di
+              |  FROM r WHERE rnk <= $knnK),
+              |kd AS (SELECT vec_id AS kb_id, max(di) AS kdist
+              |  FROM gd GROUP BY 1),
+              |re AS (SELECT gd.vec_id, gd.nb,
+              |    greatest(gd.di, kd.kdist) AS reach
+              |  FROM gd JOIN kd ON gd.nb = kd.kb_id),
+              |st AS (SELECT vec_id, CAST(count(*) AS BIGINT) AS cnt,
+              |    CAST(SUM(reach) AS BIGINT) AS sreach
+              |  FROM re GROUP BY 1),
+              |lr AS (SELECT vec_id, cnt, sreach,
+              |    CAST(cnt AS DOUBLE) / CAST(sreach AS DOUBLE) AS lrd FROM st),
+              |sl AS (SELECT gd.vec_id,
+              |    list_sum(list(l.lrd ORDER BY gd.nb)) AS sum_lrd
+              |  FROM gd JOIN lr l ON l.vec_id = gd.nb GROUP BY gd.vec_id)
+              |SELECT lr.vec_id, lr.cnt, lr.sreach,
+              |  sl.sum_lrd * CAST(lr.sreach AS DOUBLE)
+              |    / CAST(lr.cnt * lr.cnt AS DOUBLE) AS lof
+              |FROM lr JOIN sl ON lr.vec_id = sl.vec_id
+              |ORDER BY lr.vec_id""".stripMargin)))
 }
