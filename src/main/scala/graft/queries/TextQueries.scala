@@ -4613,5 +4613,83 @@ object TextQueries {
              |UNION ALL SELECT '2_lang_allowlist', k2, u2, total, NULL FROM m
              |UNION ALL SELECT '3_min_tokens', k3, u3, total, NULL FROM m
              |UNION ALL SELECT '4_joint_stack', total - joint, NULL, total, joint_chars FROM m
-             |ORDER BY filter""".stripMargin)))
+             |ORDER BY filter""".stripMargin)),
+
+    // q391 — RAKE keyphrase extraction (Rose et al. '10): candidate
+    // phrases are maximal stopword-free token runs (gaps-and-islands
+    // on token position — pos − row_number is the island key), word
+    // scores are degree/frequency where freq counts occurrences and
+    // degree sums the lengths of the phrases each occurrence sits in,
+    // and a phrase scores the SUM of its words' ratios. All counts are
+    // exact integers; each word ratio is one division, and the
+    // per-phrase sum is an INDEX-ORDERED fold by token position (Σ of
+    // doubles is order-dependent — the q390/NOTES vector rule). Top 15
+    // by score with a phrase-text tiebreak; identical phrase strings
+    // fold to identical scores, so the distinct-phrase max is exact.
+    QuerySpec("q391_rake_keyphrases",
+      (s, dir) => {
+        val tok = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            posexplode(Text.tokens(lower(col("text")))).as(Seq("pos", "w")))
+        val wI = Window.partitionBy("doc_id").orderBy("pos")
+        val phrases = tok
+          .filter(!col("w").isInCollection(Text.stopwords))
+          .withColumn("isl", col("pos") - row_number().over(wI))
+          .groupBy("doc_id", "isl")
+          .agg(sort_array(collect_list(struct(col("pos"), col("w"))))
+            .as("ws"))
+          .select(col("doc_id"), col("isl"),
+            expr("transform(ws, x -> x.w)").as("words"),
+            size(col("ws")).as("len"))
+          .persistTracked()
+        val wordStats = phrases
+          .select(explode(col("words")).as("w"), col("len"))
+          .groupBy("w")
+          .agg(count(lit(1)).as("freq"), sum(col("len")).as("deg"))
+        val scored = phrases
+          .select(col("doc_id"), col("isl"), col("words"),
+            posexplode(col("words")).as(Seq("i", "w")))
+          .join(wordStats, "w")
+          .groupBy(col("doc_id"), col("isl"), col("words"))
+          .agg(collect_list(struct(col("i"),
+            (col("deg").cast("double") / col("freq").cast("double"))
+              .as("r"))).as("rs"))
+          .select(concat_ws(" ", col("words")).as("phrase"), expr(
+            "aggregate(sort_array(rs), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.r)")
+            .as("score"))
+        scored.groupBy("phrase")
+          .agg(count(lit(1)).as("n_occurrences"), max(col("score")).as("score"))
+          .orderBy(col("score").desc, col("phrase"))
+          .limit(15)
+      },
+      Some {
+        val stops = graft.functions.Text.stopwords
+          .map(w => s"'$w'").mkString("(", ", ", ")")
+        s"""WITH tok AS (SELECT doc_id, i - 1 AS pos, w[i] AS w
+           |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+           |        FROM documents),
+           |       UNNEST(generate_series(1, len(w))) AS t(i)),
+           |ns AS (SELECT doc_id, pos, w,
+           |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+           |  FROM tok WHERE w NOT IN $stops),
+           |ph AS (SELECT doc_id, isl, list(w ORDER BY pos) AS words,
+           |    list(pos ORDER BY pos) AS poss,
+           |    CAST(count(*) AS BIGINT) AS len
+           |  FROM ns GROUP BY 1, 2),
+           |pw AS (SELECT doc_id, isl, UNNEST(words) AS w, len FROM ph),
+           |ws AS (SELECT w, CAST(count(*) AS BIGINT) AS freq,
+           |    CAST(SUM(len) AS BIGINT) AS deg FROM pw GROUP BY 1),
+           |pi AS (SELECT p.doc_id, p.isl, t.i, p.words[t.i] AS w
+           |  FROM ph p, UNNEST(generate_series(1, CAST(p.len AS INTEGER))) AS t(i)),
+           |sc AS (SELECT pi.doc_id, pi.isl,
+           |    list_sum(list(CAST(ws.deg AS DOUBLE) / CAST(ws.freq AS DOUBLE)
+           |      ORDER BY pi.i)) AS score
+           |  FROM pi JOIN ws ON ws.w = pi.w GROUP BY 1, 2),
+           |named AS (SELECT array_to_string(p.words, ' ') AS phrase, sc.score
+           |  FROM ph p JOIN sc ON p.doc_id = sc.doc_id AND p.isl = sc.isl)
+           |SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences,
+           |  max(score) AS score
+           |FROM named GROUP BY phrase
+           |ORDER BY score DESC, phrase LIMIT 15""".stripMargin
+      }))
 }
