@@ -4691,5 +4691,84 @@ object TextQueries {
            |  max(score) AS score
            |FROM named GROUP BY phrase
            |ORDER BY score DESC, phrase LIMIT 15""".stripMargin
+      }),
+
+    // q392 — TextRank keywords (Mihalcea & Tarau '04): PageRank over
+    // the word CO-OCCURRENCE graph (non-stopword tokens within
+    // distance ≤ 2 in any document, symmetric, deduped) — the
+    // graph-centrality companion to q391's RAKE (degree statistics).
+    // Reuses q131's integer-exact PageRank arithmetic verbatim: ranks
+    // live in 1e-12 units, contributions are integer divisions, the
+    // damping step is (85·inr) DIV 100 + teleport — three unrolled
+    // rounds, zero IEEE ops, so the oracle replays the identical
+    // integer recurrence. Top 20 by rank with word tiebreak.
+    QuerySpec("q392_textrank_keywords",
+      (s, dir) => {
+        val tok = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            posexplode(Text.tokens(lower(col("text")))).as(Seq("pos", "w")))
+          .filter(!col("w").isInCollection(Text.stopwords))
+          .persistTracked()
+        val fwd = tok.as("a").join(tok.as("b"),
+            col("a.doc_id") === col("b.doc_id") &&
+              (col("b.pos") - col("a.pos")).isin(1, 2) &&
+              col("a.w") =!= col("b.w"))
+          .select(col("a.w").as("src"), col("b.w").as("dst"))
+        val edges = fwd.unionByName(
+            fwd.select(col("dst").as("src"), col("src").as("dst")))
+          .distinct().persistTracked()
+        val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        val n = deg.count()
+        var state = deg.select(col("src").as("node"), col("deg"),
+          lit(1000000000000L / n).as("r"))
+        for (_ <- 1 to 3) {
+          state = state.persistTracked()
+          val recv = edges
+            .join(state.select(col("node").as("src"), expr("r div deg").as("c")),
+              "src")
+            .groupBy(col("dst").as("node"))
+            .agg(sum(col("c")).as("inr"))
+          state = state.drop("r").join(recv, "node")
+            .select(col("node"), col("deg"),
+              (lit(150000000000L / n) + expr("(85 * inr) div 100")).as("r"))
+        }
+        state.select(col("node").as("word"), col("deg"), col("r").as("rank"))
+          .orderBy(col("rank").desc, col("word"))
+          .limit(20)
+      },
+      Some {
+        val stops = graft.functions.Text.stopwords
+          .map(w => s"'$w'").mkString("(", ", ", ")")
+        s"""WITH tok AS (SELECT doc_id, i AS pos, w[i] AS w
+           |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+           |        FROM documents),
+           |       UNNEST(generate_series(1, len(w))) AS t(i)
+           |  WHERE w[i] NOT IN $stops),
+           |fwd AS (SELECT DISTINCT a.w AS src, b.w AS dst
+           |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id
+           |    AND b.pos - a.pos IN (1, 2) AND a.w <> b.w),
+           |edges AS (SELECT src, dst FROM fwd
+           |          UNION SELECT dst, src FROM fwd),
+           |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+           |n AS (SELECT count(*) AS n FROM deg),
+           |r0 AS (SELECT src AS node, deg,
+           |    1000000000000 // (SELECT n FROM n) AS r FROM deg),
+           |c1 AS (SELECT e.dst AS node, CAST(SUM(r0.r // r0.deg) AS BIGINT) AS inr
+           |  FROM edges e JOIN r0 ON e.src = r0.node GROUP BY e.dst),
+           |r1 AS (SELECT d.src AS node, d.deg,
+           |    CAST(150000000000 // (SELECT n FROM n) + (85 * inr) // 100 AS BIGINT) AS r
+           |  FROM deg d JOIN c1 ON d.src = c1.node),
+           |c2 AS (SELECT e.dst AS node, CAST(SUM(r1.r // r1.deg) AS BIGINT) AS inr
+           |  FROM edges e JOIN r1 ON e.src = r1.node GROUP BY e.dst),
+           |r2 AS (SELECT d.src AS node, d.deg,
+           |    CAST(150000000000 // (SELECT n FROM n) + (85 * inr) // 100 AS BIGINT) AS r
+           |  FROM deg d JOIN c2 ON d.src = c2.node),
+           |c3 AS (SELECT e.dst AS node, CAST(SUM(r2.r // r2.deg) AS BIGINT) AS inr
+           |  FROM edges e JOIN r2 ON e.src = r2.node GROUP BY e.dst),
+           |r3 AS (SELECT d.src AS node, d.deg,
+           |    CAST(150000000000 // (SELECT n FROM n) + (85 * inr) // 100 AS BIGINT) AS r
+           |  FROM deg d JOIN c3 ON d.src = c3.node)
+           |SELECT node AS word, CAST(deg AS BIGINT) AS deg, r AS rank
+           |FROM r3 ORDER BY r DESC, word LIMIT 20""".stripMargin
       }))
 }
