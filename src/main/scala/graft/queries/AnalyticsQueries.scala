@@ -3892,5 +3892,61 @@ object AnalyticsQueries {
              |FROM d t
              |JOIN d l1 ON l1.event_type = t.event_type AND l1.di = t.di - 1
              |JOIN d l7 ON l7.event_type = t.event_type AND l7.di = t.di - 7
-             |GROUP BY t.event_type ORDER BY t.event_type""".stripMargin)))
+             |GROUP BY t.event_type ORDER BY t.event_type""".stripMargin)),
+
+    // q393 — ONE-WAY ANOVA across event types on spend cents: does the
+    // group mean differ anywhere? Sums of squares come from exact
+    // integer moments (SST = Σx² − (Σx)²/n and SSB = Σ_g (Σx_g)²/n_g −
+    // (Σx)²/n stay rational: every term is a BIGINT pair divided
+    // once), each assembled as DOUBLE with the identical
+    // left-associated expression in both engines; F is one final
+    // ratio. The group frame is 5 rows — the corpus collapses before
+    // any floating point exists (the q381 discipline).
+    QuerySpec("q393_anova_oneway",
+      (s, dir) => {
+        val cents = round(col("value") * 100, 0).cast("long")
+        val g = Tables.load(s, dir, "events")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("ng"), sum(cents).as("sg"),
+            sum(cents * cents).as("sqg"))
+          .persistTracked() // 5-row group frame, referenced twice
+        val tot = g.agg(sum(col("ng")).as("n"), sum(col("sg")).as("sx"),
+          sum(col("sqg")).as("sxx"), count(lit(1)).as("k"))
+        // Σ of 5 doubles is merge-order-dependent — fold in event_type
+        // order via the q390 sorted-list aggregate pattern
+        val parts = g.select(col("event_type"),
+            (col("sg").cast("double") * col("sg").cast("double") /
+              col("ng").cast("double")).as("gterm"))
+          .agg(collect_list(struct(col("event_type"), col("gterm"))).as("ls"))
+          .select(expr(
+            "aggregate(sort_array(ls), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.gterm)")
+            .as("sum_gterm"))
+        tot.crossJoin(parts)
+          .select(col("n"), col("k"),
+            ((col("sum_gterm") - col("sx").cast("double") *
+              col("sx").cast("double") / col("n").cast("double")) /
+              (col("k") - 1).cast("double")).as("ms_between"),
+            ((col("sxx").cast("double") - col("sum_gterm")) /
+              (col("n") - col("k")).cast("double")).as("ms_within"))
+          .select(col("n"), col("k"), col("ms_between"), col("ms_within"),
+            (col("ms_between") / col("ms_within")).as("f_stat"))
+      },
+      Some("""WITH g AS (SELECT event_type,
+             |    CAST(count(*) AS BIGINT) AS ng,
+             |    SUM(CAST(round(value*100, 0) AS BIGINT)) AS sg,
+             |    SUM(CAST(round(value*100, 0) AS BIGINT)
+             |      * CAST(round(value*100, 0) AS BIGINT)) AS sqg
+             |  FROM events GROUP BY 1),
+             |tot AS (SELECT CAST(SUM(ng) AS BIGINT) AS n, SUM(sg) AS sx,
+             |    SUM(sqg) AS sxx, CAST(count(*) AS BIGINT) AS k FROM g),
+             |p AS (SELECT list_sum(list(gterm ORDER BY event_type)) AS sum_gterm FROM (
+             |  SELECT event_type, CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+             |      / CAST(ng AS DOUBLE) AS gterm FROM g)),
+             |m AS (SELECT n, k,
+             |    (sum_gterm - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+             |      / CAST(k - 1 AS DOUBLE) AS ms_between,
+             |    (CAST(sxx AS DOUBLE) - sum_gterm) / CAST(n - k AS DOUBLE) AS ms_within
+             |  FROM tot, p)
+             |SELECT n, k, ms_between, ms_within,
+             |  ms_between / ms_within AS f_stat FROM m""".stripMargin)))
 }

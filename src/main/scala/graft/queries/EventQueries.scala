@@ -842,6 +842,64 @@ object EventQueries {
              |FROM dau JOIN mau ON dau.d = mau.d
              |ORDER BY dayi""".stripMargin)),
 
+    // q394 — PROCESS-MINING variants: each session's ordered
+    // event-type sequence is its VARIANT (the trace a process-mining
+    // tool clusters on); the top-15 variants with session counts and
+    // corpus share answer "what do journeys actually look like".
+    // Sessions are q383's 30-min islands; the trace string is built
+    // from a per-session sorted fold ((ts, event_id) total order — the
+    // same tiebreak both engines aggregate under), so identical
+    // journeys land on byte-identical variant keys. Counts exact;
+    // share is the output division.
+    QuerySpec("q394_process_variants",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val gapUs = unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)
+        val newSess = when(gapUs.isNull || gapUs > 30L * 60 * 1000000, 1)
+          .otherwise(0)
+        val paths = ev.withColumn("sess_id",
+            sum(newSess).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy("user_id", "sess_id")
+          .agg(count(lit(1)).as("n_steps"),
+            concat_ws(">", expr(
+              """transform(
+                |  sort_array(collect_list(struct(unix_micros(ts) AS us,
+                |    event_id, event_type))),
+                |  x -> x.event_type)""".stripMargin)).as("variant"))
+          .persistTracked()
+        val tot = paths.agg(count(lit(1)).as("t"))
+        paths.groupBy("variant")
+          .agg(max(col("n_steps")).as("n_steps"),
+            count(lit(1)).as("n_sessions"))
+          .crossJoin(broadcast(tot)) // 1-row total frame
+          .select(col("variant"), col("n_steps"), col("n_sessions"),
+            (col("n_sessions").cast("double") / col("t")).as("share"))
+          .orderBy(col("n_sessions").desc, col("variant"))
+          .limit(15)
+      },
+      Some("""WITH s0 AS (
+             |  SELECT user_id, ts, event_id, event_type,
+             |    CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+             |           - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+             |           > 30 * 60 * 1000000 THEN 1
+             |         WHEN lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) IS NULL THEN 1
+             |         ELSE 0 END AS new_sess
+             |  FROM events),
+             |p AS (SELECT user_id, sess_id,
+             |    CAST(count(*) AS BIGINT) AS n_steps,
+             |    string_agg(event_type, '>' ORDER BY CAST(ts AS TIMESTAMP), event_id) AS variant
+             |  FROM (SELECT user_id, ts, event_id, event_type,
+             |      CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id FROM s0)
+             |  GROUP BY 1, 2),
+             |tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM p)
+             |SELECT variant, CAST(max(n_steps) AS BIGINT) AS n_steps,
+             |  CAST(count(*) AS BIGINT) AS n_sessions,
+             |  CAST(count(*) AS DOUBLE) / (SELECT t FROM tot) AS share
+             |FROM p GROUP BY variant
+             |ORDER BY n_sessions DESC, variant LIMIT 15""".stripMargin)),
+
     // q273 — RUNTIME BLOOM-FILTER join pruning, the second declarative
     // runtime optimization under the gate (q262 is AQE skew): Catalyst's
     // InjectRuntimeFilter sees a selective filter on the orders side of
