@@ -3948,5 +3948,69 @@ object AnalyticsQueries {
              |    (CAST(sxx AS DOUBLE) - sum_gterm) / CAST(n - k AS DOUBLE) AS ms_within
              |  FROM tot, p)
              |SELECT n, k, ms_between, ms_within,
-             |  ms_between / ms_within AS f_stat FROM m""".stripMargin)))
+             |  ms_between / ms_within AS f_stat FROM m""".stripMargin)),
+
+    // q396 — KRUSKAL-WALLIS rank test (the nonparametric companion to
+    // q393's ANOVA — location shift without normality): global
+    // midranks of spend cents carried DOUBLED (the q370 trick — ties
+    // never leave the integers), per-group doubled rank sums exact
+    // BIGINT, then H = 12/(n(n+1))·Σ R_g²/n_g − 3(n+1) with the group
+    // terms folded in event_type order (the q393 double-sum rule) and
+    // the tie correction 1 − Σ(t³−t)/(n³−n) from exact integer tie
+    // counts. Two final divisions.
+    QuerySpec("q396_kruskal_wallis",
+      (s, dir) => {
+        val cents = round(col("value") * 100, 0).cast("long")
+        val v = Tables.load(s, dir, "events")
+          .select(col("event_type"), cents.as("c"))
+        val ranked = v.withColumn("r2",
+          lit(2) * (rank().over(Window.orderBy("c")) - 1) +
+            count(lit(1)).over(Window.partitionBy("c")) + 1)
+        val g = ranked.groupBy("event_type")
+          .agg(count(lit(1)).as("ng"), sum(col("r2")).as("rs2"))
+          .persistTracked()
+        val tieTerm = v.groupBy("c").agg(count(lit(1)).as("t"))
+          .agg(sum(col("t") * col("t") * col("t") - col("t")).as("tsum"))
+        val tot = g.agg(sum(col("ng")).as("n"), count(lit(1)).as("k"))
+        val gsum = g.select(col("event_type"),
+            (col("rs2").cast("double") * col("rs2").cast("double") /
+              (lit(4).cast("double") * col("ng").cast("double")))
+              .as("gterm")) // (R2/2)²/ng = R2²/(4·ng)
+          .agg(collect_list(struct(col("event_type"), col("gterm"))).as("ls"))
+          .select(expr(
+            "aggregate(sort_array(ls), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.gterm)")
+            .as("sum_gterm"))
+        tot.crossJoin(gsum).crossJoin(tieTerm)
+          .select(col("n"), col("k"),
+            (lit(12).cast("double") * col("sum_gterm") /
+              (col("n").cast("double") * (col("n") + 1).cast("double")) -
+              lit(3).cast("double") * (col("n") + 1).cast("double"))
+              .as("h_raw"),
+            (lit(1).cast("double") - col("tsum").cast("double") /
+              (col("n") * col("n") * col("n") - col("n")).cast("double"))
+              .as("tie_c"))
+          .select(col("n"), col("k"), col("h_raw"), col("tie_c"),
+            (col("h_raw") / col("tie_c")).as("h_stat"))
+      },
+      Some("""WITH v AS (SELECT event_type,
+             |    CAST(round(value*100, 0) AS BIGINT) AS c FROM events),
+             |r AS (SELECT event_type, 2 * (rank() OVER (ORDER BY c) - 1)
+             |    + count(*) OVER (PARTITION BY c) + 1 AS r2 FROM v),
+             |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS ng,
+             |    CAST(SUM(r2) AS BIGINT) AS rs2 FROM r GROUP BY 1),
+             |tie AS (SELECT SUM(t*t*t - t) AS tsum FROM (
+             |  SELECT CAST(count(*) AS BIGINT) AS t FROM v GROUP BY c)),
+             |tot AS (SELECT CAST(SUM(ng) AS BIGINT) AS n,
+             |    CAST(count(*) AS BIGINT) AS k FROM g),
+             |gs AS (SELECT list_sum(list(gterm ORDER BY event_type)) AS sum_gterm FROM (
+             |  SELECT event_type, CAST(rs2 AS DOUBLE) * CAST(rs2 AS DOUBLE)
+             |      / (CAST(4 AS DOUBLE) * CAST(ng AS DOUBLE)) AS gterm FROM g)),
+             |m AS (SELECT n, k,
+             |    CAST(12 AS DOUBLE) * sum_gterm
+             |      / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE))
+             |      - CAST(3 AS DOUBLE) * CAST(n + 1 AS DOUBLE) AS h_raw,
+             |    CAST(1 AS DOUBLE) - CAST(tsum AS DOUBLE)
+             |      / CAST(n*n*n - n AS DOUBLE) AS tie_c
+             |  FROM tot, tie, gs)
+             |SELECT n, k, h_raw, tie_c, h_raw / tie_c AS h_stat FROM m""".stripMargin)))
 }

@@ -900,6 +900,66 @@ object EventQueries {
              |FROM p GROUP BY variant
              |ORDER BY n_sessions DESC, variant LIMIT 15""".stripMargin)),
 
+    // q395 — DIRECTLY-FOLLOWS graph (q394's other half: process-mining
+    // tools draw the DFG, then overlay variants): edge counts between
+    // consecutive event types WITHIN a session, plus synthetic START/
+    // END markers so entry and exit behavior are first-class edges.
+    // One lag window under the (ts, event_id) total order; the END
+    // edges are the per-session last rows (lead IS NULL). All counts
+    // exact; share of total transitions is the output division.
+    QuerySpec("q395_directly_follows",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val gapUs = unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)
+        val newSess = when(gapUs.isNull || gapUs > 30L * 60 * 1000000, 1)
+          .otherwise(0)
+        val rows = ev.withColumn("sess_id",
+            sum(newSess).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        val ws = Window.partitionBy("user_id", "sess_id")
+          .orderBy(col("ts"), col("event_id"))
+        val edges = rows.select(
+          coalesce(lag(col("event_type"), 1).over(ws), lit("START")).as("src"),
+          col("event_type").as("dst"))
+          .unionByName(rows
+            .withColumn("nxt", lead(col("event_type"), 1).over(ws))
+            .filter(col("nxt").isNull)
+            .select(col("event_type").as("src"), lit("END").as("dst")))
+          .persistTracked()
+        val tot = edges.agg(count(lit(1)).as("t"))
+        edges.groupBy("src", "dst")
+          .agg(count(lit(1)).as("n"))
+          .crossJoin(broadcast(tot)) // 1-row total frame
+          .select(col("src"), col("dst"), col("n"),
+            (col("n").cast("double") / col("t")).as("share"))
+          .orderBy("src", "dst")
+      },
+      Some("""WITH s0 AS (
+             |  SELECT user_id, ts, event_id, event_type,
+             |    CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+             |           - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+             |           > 30 * 60 * 1000000 THEN 1
+             |         WHEN lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) IS NULL THEN 1
+             |         ELSE 0 END AS new_sess
+             |  FROM events),
+             |r AS (SELECT user_id, ts, event_id, event_type,
+             |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id FROM s0),
+             |e AS (
+             |  SELECT COALESCE(lag(event_type) OVER (PARTITION BY user_id, sess_id
+             |      ORDER BY CAST(ts AS TIMESTAMP), event_id), 'START') AS src,
+             |    event_type AS dst
+             |  FROM r
+             |  UNION ALL
+             |  SELECT event_type AS src, 'END' AS dst FROM (
+             |    SELECT event_type, lead(event_type) OVER (PARTITION BY user_id, sess_id
+             |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS nxt FROM r)
+             |  WHERE nxt IS NULL),
+             |tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM e)
+             |SELECT src, dst, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(count(*) AS DOUBLE) / (SELECT t FROM tot) AS share
+             |FROM e GROUP BY src, dst ORDER BY src, dst""".stripMargin)),
+
     // q273 — RUNTIME BLOOM-FILTER join pruning, the second declarative
     // runtime optimization under the gate (q262 is AQE skew): Catalyst's
     // InjectRuntimeFilter sees a selective filter on the orders side of
