@@ -960,6 +960,109 @@ object EventQueries {
              |  CAST(count(*) AS DOUBLE) / (SELECT t FROM tot) AS share
              |FROM e GROUP BY src, dst ORDER BY src, dst""".stripMargin)),
 
+    // q397 — BITEMPORAL point query: "what did the system BELIEVE at
+    // log version V about each user's cumulative spend as of event
+    // time T" — transaction time travels through the TxLog (q374),
+    // valid time resolves through the native as-of join (q217), and
+    // the two compose freely because both are plain DataFrames. The
+    // fixture makes the axes genuinely disagree: version 0 knows only
+    // the first 15 days; version 1 appends the rest PLUS a late
+    // CORRECTION for early days (user_id % 7 = 0 rows get a +1000¢
+    // restated snapshot at the same eff_us), so v0@T and v1@T differ
+    // for the SAME probe time — the audit question bitemporal exists
+    // to answer. Right-side ties at equal eff_us resolve to the MAX
+    // seq (corrections carry seq = 1, originals 0 — deterministic
+    // last-writer-wins both engines).
+    QuerySpec("q397_bitemporal_asof",
+      (s, dir) => {
+        import s.implicits._
+        import graft.core.TxLog
+        val t = new java.io.File(System.getProperty("java.io.tmpdir"),
+          "graft_txbit_" + Integer.toHexString(dir.hashCode)).toString
+        TxLog.drop(t)
+        val base = Tables.load(s, dir, "events")
+          .select(col("user_id"), unix_micros(col("ts")).as("us"),
+            round(col("value") * 100, 0).cast("long").as("cents"))
+        val daily = base
+          .groupBy(col("user_id"), expr("us DIV 86400000000").as("dayi"))
+          .agg(sum(col("cents")).as("d_cents"))
+        val wu = Window.partitionBy("user_id").orderBy("dayi")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val snaps = daily.select(col("user_id"), col("dayi"),
+            ((col("dayi") + 1) * 86400000000L - 1).as("eff_us"),
+            sum(col("d_cents")).over(wu).as("cum_cents"))
+          .withColumn("seq", lit(0))
+        val day0 = snaps.agg(min(col("dayi")).as("d0")).head().getLong(0)
+        TxLog.create(snaps.filter(col("dayi") < day0 + 15), t)     // v0
+        TxLog.append(
+          snaps.filter(col("dayi") >= day0 + 15).unionByName(
+            snaps.filter(col("dayi") < day0 + 15 &&
+              col("user_id") % 7 === 0)
+              .withColumn("cum_cents", col("cum_cents") + 1000L)
+              .withColumn("seq", lit(1))), t)                      // v1
+        val probes = base.select(col("user_id")).distinct()
+          .crossJoin(broadcast(
+            Seq(9L, 19L).toDF("off"))) // 2-row probe-day frame
+          .select(col("user_id"),
+            ((lit(day0) + col("off") + 1) * 86400000000L - 1).as("p_us"))
+        Seq(0, 1).map { v =>
+          val right = TxLog.read(s, t, Some(v))
+            .select(col("user_id").as("r_user"), col("eff_us"),
+              col("cum_cents"), col("seq"))
+          graft.plans.AsOf.joinBackward(probes, right,
+              Seq("user_id"), Seq("r_user"), "p_us", "eff_us",
+              rightTie = Seq("seq"))
+            .groupBy(expr("p_us DIV 86400000000").as("probe_dayi"))
+            .agg(count(col("cum_cents")).as("n_matched"),
+              sum(col("cum_cents")).as("believed_cents"))
+            .select(lit(v).as("version"), col("probe_dayi"),
+              col("n_matched"), col("believed_cents"))
+        }.reduce(_ unionByName _).orderBy("version", "probe_dayi")
+      },
+      Some("""WITH base AS (SELECT user_id,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             |    CAST(round(value*100, 0) AS BIGINT) AS cents FROM events),
+             |daily AS (SELECT user_id, us // 86400000000 AS dayi,
+             |    SUM(cents) AS d_cents FROM base GROUP BY 1, 2),
+             |snaps AS (SELECT user_id, dayi,
+             |    (dayi + 1) * 86400000000 - 1 AS eff_us,
+             |    SUM(d_cents) OVER (PARTITION BY user_id ORDER BY dayi
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents,
+             |    0 AS seq
+             |  FROM daily),
+             |d0 AS (SELECT min(dayi) AS d0 FROM snaps),
+             |v0 AS (SELECT * FROM snaps, d0 WHERE dayi < d0 + 15),
+             |v1 AS (SELECT user_id, dayi, eff_us, cum_cents, seq FROM snaps, d0
+             |  UNION ALL
+             |  SELECT user_id, dayi, eff_us, cum_cents + 1000, 1 FROM snaps, d0
+             |  WHERE dayi < d0 + 15 AND user_id % 7 = 0),
+             |probes AS (SELECT u.user_id,
+             |    (d0.d0 + o.off + 1) * 86400000000 - 1 AS p_us
+             |  FROM (SELECT DISTINCT user_id FROM base) u, d0,
+             |       (VALUES (9), (19)) o(off)),
+             |-- equal-eff_us ties resolve to MAX seq: dedup each version's
+             |-- right side to (user, eff_us) grain keeping the max-seq row
+             |r0 AS (SELECT user_id, eff_us, max_by(cum_cents, seq) AS cum_cents
+             |  FROM v0 GROUP BY 1, 2),
+             |r1 AS (SELECT user_id, eff_us, max_by(cum_cents, seq) AS cum_cents
+             |  FROM v1 GROUP BY 1, 2),
+             |j0 AS (SELECT p.p_us, r.cum_cents
+             |  FROM probes p ASOF LEFT JOIN r0 r
+             |    ON p.user_id = r.user_id AND r.eff_us <= p.p_us),
+             |j1 AS (SELECT p.p_us, r.cum_cents
+             |  FROM probes p ASOF LEFT JOIN r1 r
+             |    ON p.user_id = r.user_id AND r.eff_us <= p.p_us)
+             |SELECT 0 AS version, p_us // 86400000000 AS probe_dayi,
+             |  CAST(count(cum_cents) AS BIGINT) AS n_matched,
+             |  CAST(SUM(cum_cents) AS BIGINT) AS believed_cents
+             |FROM j0 GROUP BY 2
+             |UNION ALL
+             |SELECT 1, p_us // 86400000000,
+             |  CAST(count(cum_cents) AS BIGINT),
+             |  CAST(SUM(cum_cents) AS BIGINT)
+             |FROM j1 GROUP BY 2
+             |ORDER BY version, probe_dayi""".stripMargin)),
+
     // q273 — RUNTIME BLOOM-FILTER join pruning, the second declarative
     // runtime optimization under the gate (q262 is AQE skew): Catalyst's
     // InjectRuntimeFilter sees a selective filter on the orders side of
