@@ -4012,5 +4012,75 @@ object AnalyticsQueries {
              |    CAST(1 AS DOUBLE) - CAST(tsum AS DOUBLE)
              |      / CAST(n*n*n - n AS DOUBLE) AS tie_c
              |  FROM tot, tie, gs)
-             |SELECT n, k, h_raw, tie_c, h_raw / tie_c AS h_stat FROM m""".stripMargin)))
+             |SELECT n, k, h_raw, tie_c, h_raw / tie_c AS h_stat FROM m""".stripMargin)),
+
+    // q399 — unnormalized HAAR wavelet decomposition of the daily
+    // event-count series: five levels of pairwise (a+b, a−b), detail
+    // ENERGY per level — the multi-resolution view that separates
+    // day-to-day noise (level 1) from week-scale structure (level
+    // 3≈8-day spans), ALL-INTEGER because the unnormalized transform
+    // never divides (the √2 scaling folds into the energy readout at
+    // the end; here energies are reported in transform units, exact
+    // BIGINTs). The 30-day series zero-pads to 32; each level is a
+    // 2-to-1 groupBy on a ≤32-row frame. The oracle's five unrolled
+    // CTE levels are GENERATED from the same Scala loop (one
+    // definition, two engines — the ZOrder.sql rule).
+    QuerySpec("q399_haar_energy",
+      (s, dir) => {
+        val daily = Tables.load(s, dir, "events")
+          .groupBy(expr("unix_micros(ts) DIV 86400000000").as("dayi"))
+          .agg(count(lit(1)).as("c"))
+        val m = daily.agg(min(col("dayi"))).head().getLong(0)
+        val series = s.range(0, 32).select(col("id").as("idx"))
+          .join(daily.select((col("dayi") - m).as("idx"), col("c")),
+            Seq("idx"), "left")
+          .select(col("idx"), coalesce(col("c"), lit(0L)).as("v"))
+        val total = series.agg(sum(col("v") * col("v")).as("e"))
+          .select(lit(0).as("level"), lit(32L).as("n_coeffs"),
+            col("e").as("energy"))
+        var cur = series
+        var out = total
+        for (l <- 1 to 5) {
+          val paired = cur
+            .groupBy(expr("idx DIV 2").as("pidx"))
+            .agg(max(when(expr("idx % 2") === 0, col("v"))).as("a"),
+              max(when(expr("idx % 2") === 1, col("v"))).as("b"))
+          out = out.unionByName(paired
+            .agg(count(lit(1)).as("n_coeffs"),
+              sum((col("a") - col("b")) * (col("a") - col("b")))
+                .as("energy"))
+            .select(lit(l).as("level"), col("n_coeffs"), col("energy")))
+          cur = paired.select(col("pidx").as("idx"),
+            (col("a") + col("b")).as("v"))
+        }
+        out.orderBy("level")
+      },
+      Some {
+        val levels = (1 to 5).map { l =>
+          val src = if (l == 1) "s0" else s"s${l - 1}"
+          s"""l$l AS (SELECT idx // 2 AS pidx,
+             |    max(CASE WHEN idx % 2 = 0 THEN v END) AS a,
+             |    max(CASE WHEN idx % 2 = 1 THEN v END) AS b
+             |  FROM $src GROUP BY idx // 2),
+             |s$l AS (SELECT pidx AS idx, a + b AS v FROM l$l),
+             |e$l AS (SELECT $l AS level, CAST(count(*) AS BIGINT) AS n_coeffs,
+             |    CAST(SUM((a - b) * (a - b)) AS BIGINT) AS energy FROM l$l)""".stripMargin
+        }.mkString(",\n")
+        val unions = (1 to 5)
+          .map(l => s"UNION ALL SELECT level, n_coeffs, energy FROM e$l")
+          .mkString("\n")
+        s"""WITH d AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS dayi,
+           |    CAST(count(*) AS BIGINT) AS c
+           |  FROM events GROUP BY 1),
+           |m AS (SELECT min(dayi) AS m FROM d),
+           |s0 AS (SELECT g.i AS idx, COALESCE(dd.c, 0) AS v
+           |  FROM (SELECT UNNEST(generate_series(0, 31)) AS i) g
+           |  LEFT JOIN (SELECT dayi - (SELECT m FROM m) AS k, c FROM d) dd
+           |    ON dd.k = g.i),
+           |$levels
+           |SELECT 0 AS level, CAST(32 AS BIGINT) AS n_coeffs,
+           |  CAST(SUM(v * v) AS BIGINT) AS energy FROM s0
+           |$unions
+           |ORDER BY level""".stripMargin
+      }))
 }

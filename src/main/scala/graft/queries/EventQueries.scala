@@ -1063,6 +1063,74 @@ object EventQueries {
              |FROM j1 GROUP BY 2
              |ORDER BY version, probe_dayi""".stripMargin)),
 
+    // q398 — funnel LATENCY DISTRIBUTION: q220's signup→first-purchase
+    // latencies reduced to exact order-statistic percentiles (p50/p90/
+    // p99 are ACTUAL latency values via the q219 selection rule — the
+    // ceil(q·n)-th element of the (latency, event_id) total order, no
+    // interpolation) plus the conversion rate. Latencies come from the
+    // native as-of forward join; ranks ride the range-partitioned
+    // PrefixSum. The answer every onboarding review wants: how fast do
+    // converters convert, and how many never do.
+    QuerySpec("q398_funnel_latency_percentiles",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val signups = ev.filter(col("event_type") === "signup")
+          .select(col("event_id"), col("user_id"), col("ts").as("s_ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id").as("p_user"), col("ts").as("p_ts"))
+          .agg(min(col("event_id")).as("p_event"))
+        val lat = graft.plans.AsOf.joinForward(signups, purchases,
+            Seq("user_id"), Seq("p_user"), "s_ts", "p_ts")
+          .select(col("event_id"),
+            expr("(unix_micros(p_ts) - unix_micros(s_ts)) DIV 1000000")
+              .as("latency_s"))
+          .persistTracked()
+        val conv = lat.filter(col("latency_s").isNotNull)
+          .withColumn("__one", lit(1L))
+        val cum = graft.ops.PrefixSum.cumsum(conv,
+          Seq("latency_s", "event_id"), "__one", "rk", 32)
+        val nn = lat.agg(count(lit(1)).as("n_signups"),
+          count(col("latency_s")).as("n_converted"))
+        cum.crossJoin(broadcast(nn)) // 1-row totals frame
+          .filter(col("rk") === ceil(col("n_converted") * 0.5).cast("long") ||
+            col("rk") === ceil(col("n_converted") * 0.9).cast("long") ||
+            col("rk") === ceil(col("n_converted") * 0.99).cast("long"))
+          .agg(max(col("n_signups")).as("n_signups"),
+            max(col("n_converted")).as("n_converted"),
+            max(when(col("rk") ===
+              ceil(col("n_converted") * 0.5).cast("long"),
+              col("latency_s"))).as("p50_s"),
+            max(when(col("rk") ===
+              ceil(col("n_converted") * 0.9).cast("long"),
+              col("latency_s"))).as("p90_s"),
+            max(when(col("rk") ===
+              ceil(col("n_converted") * 0.99).cast("long"),
+              col("latency_s"))).as("p99_s"))
+          .select(col("n_signups"), col("n_converted"),
+            (col("n_converted").cast("double") / col("n_signups"))
+              .as("conversion"),
+            col("p50_s"), col("p90_s"), col("p99_s"))
+      },
+      Some("""WITH s AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS s_ts
+             |  FROM events WHERE event_type = 'signup'),
+             |p AS (SELECT user_id AS p_user, CAST(ts AS TIMESTAMP) AS p_ts
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+             |l AS (SELECT s.event_id,
+             |    (epoch_us(p.p_ts) - epoch_us(s.s_ts)) // 1000000 AS latency_s
+             |  FROM s ASOF LEFT JOIN p
+             |    ON s.user_id = p.p_user AND p.p_ts >= s.s_ts),
+             |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_signups,
+             |    CAST(count(latency_s) AS BIGINT) AS n_converted FROM l),
+             |r AS (SELECT latency_s,
+             |    row_number() OVER (ORDER BY latency_s, event_id) AS rk
+             |  FROM l WHERE latency_s IS NOT NULL)
+             |SELECT nn.n_signups, nn.n_converted,
+             |  CAST(nn.n_converted AS DOUBLE) / nn.n_signups AS conversion,
+             |  max(CASE WHEN rk = CAST(ceil(nn.n_converted * 0.5) AS BIGINT) THEN latency_s END) AS p50_s,
+             |  max(CASE WHEN rk = CAST(ceil(nn.n_converted * 0.9) AS BIGINT) THEN latency_s END) AS p90_s,
+             |  max(CASE WHEN rk = CAST(ceil(nn.n_converted * 0.99) AS BIGINT) THEN latency_s END) AS p99_s
+             |FROM r, nn GROUP BY 1, 2, 3""".stripMargin)),
+
     // q273 — RUNTIME BLOOM-FILTER join pruning, the second declarative
     // runtime optimization under the gate (q262 is AQE skew): Catalyst's
     // InjectRuntimeFilter sees a selective filter on the orders side of
