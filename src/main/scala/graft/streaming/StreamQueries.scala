@@ -813,6 +813,91 @@ object StreamQueries {
              |GROUP BY user_id
              |ORDER BY user_id""".stripMargin)),
 
+    // q400 — LAKEHOUSE END-TO-END capstone, every table-format behavior
+    // in ONE hash-checked lineage: (1) exactly-once STREAMING INGEST
+    // into the transaction log — four micro-batches, then a fresh-
+    // checkpoint full REPLAY the txn markers must absorb; (2) a GDPR
+    // DELETE of the lowest user via DELETION VECTORS — positions only,
+    // file set untouched; (3) OPTIMIZE — compaction MATERIALIZES the
+    // vectors into one clean file; (4) a TIME-TRAVEL audit reading all
+    // three stages. In-query requires pin each physical claim (replay
+    // added no version, DV delete rewrote nothing, optimize purged the
+    // vectors); the oracle reconstructs each stage from predicates —
+    // the entire choreography must be indistinguishable from
+    // recompute.
+    QuerySpec("q400_lakehouse_e2e",
+      (s0, dir) => {
+        val s = stateSession(s0)
+        import org.apache.spark.sql.SaveMode
+        import graft.core.TxLog
+        val fp = eventsFingerprint(dir)
+        relaidEvents.keys.filter(k => k._1 == dir && k._2 != fp)
+          .foreach(k => relaidEvents.remove(k).foreach(deleteRecursively))
+        val tmp = relaidEvents.getOrElseUpdate((dir, fp), {
+          val t = Files.createTempDirectory("graft_upd_").toString
+          Tables.load(s, dir, "events")
+            .repartitionByRange(4, col("event_id"))
+            .write.mode(SaveMode.Overwrite).parquet(t)
+          t
+        })
+        val schema = s.read.parquet(tmp).schema
+        def feed = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(tmp)
+          .select(col("event_id"), col("user_id"),
+            round(col("value") * 100, 0).cast("long").as("cents"))
+        val table = Files.createTempDirectory("graft_lake_").toString
+        sinkDirs.add(table)
+        TxLog.drop(table)
+        def runOnce(): Unit = {
+          val ck = Files.createTempDirectory("graft_lake_ck_").toString
+          sinkDirs.add(ck)
+          val q = feed.writeStream.foreachBatch {
+              (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+               id: Long) =>
+                TxLog.appendIdempotent(b, table, "q400", id): Unit
+            }
+            .option("checkpointLocation", ck)
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        runOnce()
+        val vIngest = TxLog.currentVersion(table)
+        runOnce() // total redelivery — the txn markers must absorb it
+        require(TxLog.currentVersion(table) == vIngest,
+          "replayed micro-batches committed duplicate versions")
+        val victim = TxLog.read(s, table)
+          .agg(min(col("user_id"))).head().getLong(0)
+        val vDel = TxLog.deleteWhereDV(s, table, col("user_id") === victim)
+        require(TxLog.snapshot(table, Some(vIngest)).toSet ==
+          TxLog.snapshot(table, Some(vDel)).toSet,
+          "GDPR delete rewrote data files — DV contract broken")
+        TxLog.optimize(s, table)
+        require(TxLog.deletionVectors(table).isEmpty,
+          "optimize left deletion vectors behind")
+        require(TxLog.snapshot(table).size == 1,
+          "optimize did not compact to one file")
+        Seq(("1_ingested", vIngest), ("2_deleted", vDel),
+          ("3_optimized", vDel + 1)).map { case (stage, v) =>
+          TxLog.read(s, table, Some(v))
+            .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("cents"))
+            .select(lit(stage).as("stage"), col("n_rows"), col("cents"))
+        }.reduce(_ unionByName _).orderBy("stage")
+      },
+      Some("""WITH v AS (SELECT event_id, user_id,
+             |    CAST(round(value*100, 0) AS BIGINT) AS cents FROM events),
+             |victim AS (SELECT min(user_id) AS u FROM v)
+             |SELECT '1_ingested' AS stage, CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(SUM(cents) AS BIGINT) AS cents FROM v
+             |UNION ALL
+             |SELECT '2_deleted', CAST(count(*) AS BIGINT),
+             |  CAST(SUM(cents) AS BIGINT)
+             |FROM v WHERE user_id <> (SELECT u FROM victim)
+             |UNION ALL
+             |SELECT '3_optimized', CAST(count(*) AS BIGINT),
+             |  CAST(SUM(cents) AS BIGINT)
+             |FROM v WHERE user_id <> (SELECT u FROM victim)
+             |ORDER BY stage""".stripMargin)),
+
     // q141 — watermarked stream-stream LEFT OUTER interval join (q73 is
     // the inner form): clicks with no purchase inside the 30-min window
     // must still be emitted, null-padded — which only happens when the
