@@ -4082,5 +4082,97 @@ object AnalyticsQueries {
            |  CAST(SUM(v * v) AS BIGINT) AS energy FROM s0
            |$unions
            |ORDER BY level""".stripMargin
-      }))
+      }),
+
+    // q401 — APPROXIMATE RANDOMIZATION test (the permutation test's
+    // tractable sibling): is the click-vs-view mean-spend difference
+    // explainable by labeling chance? 40 deterministic pseudo-
+    // relabelings — replicate r reassigns each event by the PORTABLE
+    // md5 hash of (r, event_id) against the observed click share — and
+    // the p-value is the fraction whose |scaled mean difference|
+    // reaches the observed one. The comparison statistic is CROSS-
+    // MULTIPLIED to stay in BIGINT (|sa·nb − sb·na| vs observed,
+    // common denominator na·nb cancels only when group sizes match —
+    // so compare d·(na·nb)_obs-scaled: |sa·nb − sb·na|·(nA·nB) ...
+    // sizes differ per replicate; instead each side scales by the
+    // OTHER'S denominator product — see the exact integer predicate
+    // in the query). Zero IEEE ops until the final p-value division.
+    QuerySpec("q401_randomization_test",
+      (s, dir) => {
+        import s.implicits._
+        val B = 40
+        val ev = Tables.load(s, dir, "events")
+          .filter(col("event_type").isin("click", "view"))
+          .select(col("event_id"),
+            (col("event_type") === "click").as("isa"),
+            round(col("value") * 100, 0).cast("long").as("c"))
+          .persistTracked()
+        val obs = ev.agg(
+          sum(when(col("isa"), 1L).otherwise(0L)).as("na"),
+          sum(when(col("isa"), col("c")).otherwise(0L)).as("sa"),
+          sum(when(!col("isa"), 1L).otherwise(0L)).as("nb"),
+          sum(when(!col("isa"), col("c")).otherwise(0L)).as("sb"))
+        val reps = ev.crossJoin(broadcast((1 to B).toDF("r"))) // B-row frame
+          .crossJoin(broadcast(obs))
+          .withColumn("toA",
+            call_function("graft_hash32",
+              concat(col("r").cast("string"), lit("|"),
+                col("event_id").cast("string"))) %
+              (col("na") + col("nb")) < col("na"))
+          .groupBy("r")
+          .agg(sum(when(col("toA"), 1L).otherwise(0L)).as("pna"),
+            sum(when(col("toA"), col("c")).otherwise(0L)).as("psa"),
+            sum(when(!col("toA"), 1L).otherwise(0L)).as("pnb"),
+            sum(when(!col("toA"), col("c")).otherwise(0L)).as("psb"))
+        // |mean_a − mean_b| comparisons cross-multiply to integers:
+        // replicate extreme ⟺ |psa·pnb − psb·pna| · (na·nb)
+        //                       ≥ |sa·nb − sb·na| · (pna·pnb)
+        // inner cross-products stay BIGINT (≤ ~8e13); the outer product
+        // would overflow int64, so both sides finish in DOUBLE — one
+        // identically-placed rounding per side, same bits both engines
+        reps.crossJoin(broadcast(obs))
+          .select(col("r"),
+            (abs(col("psa") * col("pnb") - col("psb") * col("pna"))
+              .cast("double") * (col("na") * col("nb")).cast("double") >=
+              abs(col("sa") * col("nb") - col("sb") * col("na"))
+                .cast("double") *
+                (col("pna") * col("pnb")).cast("double")).as("extreme"))
+          .agg(count(lit(1)).as("n_replicates"),
+            sum(when(col("extreme"), 1L).otherwise(0L)).as("n_extreme"))
+          .crossJoin(broadcast(obs))
+          .select(col("n_replicates"), col("n_extreme"),
+            (col("n_extreme").cast("double") / col("n_replicates"))
+              .as("p_value"),
+            ((col("sa").cast("double") / col("na")) -
+              (col("sb").cast("double") / col("nb"))).as("obs_diff_cents"))
+      },
+      Some("""WITH ev AS (SELECT event_id, event_type = 'click' AS isa,
+             |    CAST(round(value*100, 0) AS BIGINT) AS c
+             |  FROM events WHERE event_type IN ('click', 'view')),
+             |obs AS (SELECT
+             |    CAST(SUM(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS na,
+             |    CAST(SUM(CASE WHEN isa THEN c ELSE 0 END) AS BIGINT) AS sa,
+             |    CAST(SUM(CASE WHEN NOT isa THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+             |    CAST(SUM(CASE WHEN NOT isa THEN c ELSE 0 END) AS BIGINT) AS sb
+             |  FROM ev),
+             |reps AS (SELECT z.r,
+             |    CAST(SUM(CASE WHEN toA THEN 1 ELSE 0 END) AS BIGINT) AS pna,
+             |    CAST(SUM(CASE WHEN toA THEN c ELSE 0 END) AS BIGINT) AS psa,
+             |    CAST(SUM(CASE WHEN NOT toA THEN 1 ELSE 0 END) AS BIGINT) AS pnb,
+             |    CAST(SUM(CASE WHEN NOT toA THEN c ELSE 0 END) AS BIGINT) AS psb
+             |  FROM (SELECT ev.event_id, ev.c, r.r AS r,
+             |      CAST('0x' || substr(md5(CAST(r.r AS VARCHAR) || '|' || CAST(ev.event_id AS VARCHAR)), 1, 8) AS BIGINT)
+             |        % (obs.na + obs.nb) < obs.na AS toA
+             |    FROM ev, (SELECT UNNEST(generate_series(1, 40)) AS r) r, obs) z
+             |  GROUP BY z.r),
+             |x AS (SELECT count(*) AS n_replicates,
+             |    SUM(CASE WHEN CAST(abs(psa*pnb - psb*pna) AS DOUBLE) * CAST(obs.na*obs.nb AS DOUBLE)
+             |          >= CAST(abs(obs.sa*obs.nb - obs.sb*obs.na) AS DOUBLE) * CAST(pna*pnb AS DOUBLE)
+             |        THEN 1 ELSE 0 END) AS n_extreme
+             |  FROM reps, obs)
+             |SELECT CAST(n_replicates AS BIGINT) AS n_replicates,
+             |  CAST(n_extreme AS BIGINT) AS n_extreme,
+             |  CAST(n_extreme AS DOUBLE) / n_replicates AS p_value,
+             |  CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb AS obs_diff_cents
+             |FROM x, obs""".stripMargin)))
 }

@@ -1131,6 +1131,71 @@ object EventQueries {
              |  max(CASE WHEN rk = CAST(ceil(nn.n_converted * 0.99) AS BIGINT) THEN latency_s END) AS p99_s
              |FROM r, nn GROUP BY 1, 2, 3""".stripMargin)),
 
+    // q402 — GROWTH ACCOUNTING (the user state machine behind every
+    // "where did our actives go" review): each active user-week is
+    // NEW (first ever), RETAINED (also active the week before), or
+    // RESURRECTED (returning after a gap); CHURNED(w) counts users
+    // active in w−1 but not w (attributed via the lead gap, bounded
+    // by the last observed week so trailing silence isn't churn).
+    // The identity actives(w) = new + retained + resurrected and
+    // actives(w) = actives(w−1) + new + resurrected − churned both
+    // hold by construction — the oracle hash proves them. Epoch-week
+    // integer arithmetic (q388's rule); all counts exact.
+    QuerySpec("q402_growth_accounting",
+      (s, dir) => {
+        val uw = Tables.load(s, dir, "events")
+          .select(col("user_id"),
+            expr("unix_micros(ts) DIV 604800000000").as("wk"))
+          .distinct()
+          .persistTracked()
+        val bounds = uw.agg(min(col("wk")).as("w0"), max(col("wk")).as("w1"))
+        val wWin = Window.partitionBy("user_id").orderBy("wk")
+        val st = uw
+          .withColumn("prev", lag(col("wk"), 1).over(wWin))
+          .withColumn("nxt", lead(col("wk"), 1).over(wWin))
+        val stateRows = st.select(col("wk"),
+            when(col("prev").isNull, lit("new"))
+              .when(col("prev") === col("wk") - 1, lit("retained"))
+              .otherwise(lit("resurrected")).as("state"))
+        val churn = st.crossJoin(broadcast(bounds)) // 1-row bounds frame
+          .filter((col("nxt").isNull || col("nxt") > col("wk") + 1) &&
+            col("wk") + 1 <= col("w1"))
+          .select((col("wk") + 1).as("wk"), lit("churned").as("state"))
+        stateRows.unionByName(churn)
+          .crossJoin(broadcast(bounds))
+          .groupBy((col("wk") - col("w0")).as("week"))
+          .agg(sum(when(col("state") === "new", 1L).otherwise(0L)).as("n_new"),
+            sum(when(col("state") === "retained", 1L).otherwise(0L))
+              .as("n_retained"),
+            sum(when(col("state") === "resurrected", 1L).otherwise(0L))
+              .as("n_resurrected"),
+            sum(when(col("state") === "churned", 1L).otherwise(0L))
+              .as("n_churned"))
+          .orderBy("week")
+      },
+      Some("""WITH uw AS (SELECT DISTINCT user_id,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS wk
+             |  FROM events),
+             |b AS (SELECT min(wk) AS w0, max(wk) AS w1 FROM uw),
+             |st AS (SELECT user_id, wk,
+             |    lag(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev,
+             |    lead(wk) OVER (PARTITION BY user_id ORDER BY wk) AS nxt
+             |  FROM uw),
+             |rows_ AS (
+             |  SELECT wk, CASE WHEN prev IS NULL THEN 'new'
+             |    WHEN prev = wk - 1 THEN 'retained'
+             |    ELSE 'resurrected' END AS state
+             |  FROM st
+             |  UNION ALL
+             |  SELECT wk + 1, 'churned' FROM st, b
+             |  WHERE (nxt IS NULL OR nxt > wk + 1) AND wk + 1 <= b.w1)
+             |SELECT wk - b.w0 AS week,
+             |  CAST(SUM(CASE WHEN state = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+             |  CAST(SUM(CASE WHEN state = 'retained' THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+             |  CAST(SUM(CASE WHEN state = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected,
+             |  CAST(SUM(CASE WHEN state = 'churned' THEN 1 ELSE 0 END) AS BIGINT) AS n_churned
+             |FROM rows_, b GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // q273 — RUNTIME BLOOM-FILTER join pruning, the second declarative
     // runtime optimization under the gate (q262 is AQE skew): Catalyst's
     // InjectRuntimeFilter sees a selective filter on the orders side of
