@@ -303,8 +303,11 @@ object TxLog {
     if (relevant.isEmpty) base
     else {
       val cols = base.columns.map(col)
+      // key vectors by BASENAME: `_metadata.file_name` is the bare file
+      // name, while a shallow clone's log references files by relative
+      // PATH — both must hit the same anti-join key
       val dvRows = relevant.toSeq.flatMap { case (f, ps) =>
-        ps.toSeq.map(p => (f, p)) }
+        ps.toSeq.map(p => (new File(f).getName, p)) }
       val dvDf = spark.createDataFrame(dvRows).toDF("__f", "__p")
       base
         .withColumn("__f", col("_metadata.file_name"))
@@ -390,6 +393,41 @@ object TxLog {
     val compacted = readFiles(spark, dir, live,
       deletionVectors(dir, Some(cur))).coalesce(nFiles)
     commit(dir, cur, stage(compacted, dir), live)
+  }
+
+  /** SHALLOW CLONE: a new table whose version 0 REFERENCES the source's
+    * live files by relative path — zero bytes copied (the add-line
+    * file field is joined under the clone's dir at read time, so
+    * `../src/part-x.parquet` resolves naturally). The clone then
+    * diverges independently: its deletes/appends/optimizes touch only
+    * its own log and its own staged files; a copy-on-write rewrite
+    * naturally "un-shares" whatever it touches. Caveat (same as
+    * Delta's): vacuuming the SOURCE can break clones that still
+    * reference its files — retention policy must span clones. */
+  def shallowClone(srcDir: String, dstDir: String): Int = {
+    val srcLive = snapshot(srcDir)
+    val srcDvs = deletionVectors(srcDir)
+    val rel = Paths.get(dstDir).toAbsolutePath
+      .relativize(Paths.get(srcDir).toAbsolutePath)
+    new File(dstDir).mkdirs()
+    logDir(dstDir).mkdirs()
+    def tr(f: String) = s"$rel${File.separator}$f"
+    // outstanding source DVs carry over, keys translated — a clone of
+    // a merge-on-read table must not resurrect deleted rows
+    val lines = srcLive.map(f => s"add\t${tr(f)}") ++
+      srcDvs.toSeq.filter { case (f, ps) =>
+        srcLive.contains(f) && ps.nonEmpty }.sortBy(_._1)
+        .map { case (f, ps) =>
+          s"dv\t${tr(f)}\t${ps.toSeq.sorted.mkString(",")}" }
+    val tmp = Files.createTempFile(logDir(dstDir).toPath, ".commit-0-", ".tmp")
+    Files.write(tmp, lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    try { Files.move(tmp, versionFile(dstDir, 0)); 0 }
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        throw new java.util.ConcurrentModificationException(
+          s"$dstDir already has a version 0")
+    }
   }
 
   /** Drop data files no longer live at the CURRENT version and not

@@ -3148,6 +3148,49 @@ object ExtQueries {
              |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
              |FROM orders, p WHERE o_orderkey >= p.plo""".stripMargin)),
 
+    // q403 — SHALLOW CLONE (zero-copy dev/test branch): the clone's
+    // version 0 REFERENCES the source's live files by relative path —
+    // no bytes move (required in-query: the clone dir holds a log and
+    // nothing else) — and the source's outstanding DELETION VECTORS
+    // carry over translated, so the branch starts from exactly the
+    // source's logical state. The branch then diverges: a copy-on-
+    // write delete in the clone un-shares what it touches while the
+    // SOURCE reads back byte-identical (both under the hash). The
+    // workflow every migration rehearses: branch prod, mutate the
+    // branch, prove prod untouched.
+    QuerySpec("q403_txlog_shallow_clone",
+      (s, dir) => {
+        import graft.core.TxLog
+        val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+          "graft_txcl_" + Integer.toHexString(dir.hashCode)).toString
+        val clone = base + "_branch"
+        TxLog.drop(base); TxLog.drop(clone)
+        val orders = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderpriority"))
+        TxLog.create(orders, base)
+        TxLog.deleteWhereDV(s, base, col("o_orderpriority") === "5-LOW")
+        TxLog.shallowClone(base, clone)
+        require(!new java.io.File(clone).listFiles()
+          .exists(_.getName.endsWith(".parquet")),
+          "shallow clone copied data files")
+        TxLog.deleteWhere(s, clone, col("o_orderkey") % 3 === 0)
+        Seq("base" -> base, "branch" -> clone).map { case (stage, t) =>
+          TxLog.read(s, t)
+            .agg(count(lit(1)).as("n_orders"),
+              Stable.dsum(col("o_totalprice")).as("revenue"))
+            .select(lit(stage).as("stage"), col("n_orders"), col("revenue"))
+        }.reduce(_ unionByName _).orderBy("stage")
+      },
+      Some("""SELECT 'base' AS stage, CAST(count(*) AS BIGINT) AS n_orders,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             |FROM orders WHERE o_orderpriority <> '5-LOW'
+             |UNION ALL
+             |SELECT 'branch', CAST(count(*) AS BIGINT),
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |FROM orders WHERE o_orderpriority <> '5-LOW' AND o_orderkey % 3 <> 0
+             |ORDER BY stage""".stripMargin)),
+
     // q379 — DELETION VECTORS (merge-on-read): two successive deletes
     // commit only the matching ROW POSITIONS — the data files are
     // NEVER rewritten (the in-query require pins an identical file set

@@ -132,6 +132,25 @@ class TxLogSpec extends AnyFunSuite {
       "COW rewrite resurrected a DV-deleted row")
   }
 
+  test("shallow clone: zero data files copied, source DVs carry over, " +
+      "and clone writes never touch the source") {
+    val t = freshTable()
+    TxLog.deleteWhereDV(spark, t, col("grp") === 0) // 20 rows masked
+    val c = java.nio.file.Files.createTempDirectory("txclone_").toString
+    TxLog.drop(c)
+    TxLog.shallowClone(t, c)
+    // zero-copy: the clone dir holds a log and nothing else
+    assert(!new java.io.File(c).listFiles().exists(
+      _.getName.endsWith(".parquet")), "clone copied data files")
+    // the source's deletion vectors apply in the clone
+    assert(TxLog.read(spark, c).count() == 80)
+    // divergence: a COW delete in the clone un-shares; source unchanged
+    TxLog.deleteWhere(spark, c, col("grp") === 1)
+    assert(TxLog.read(spark, c).count() == 60)
+    assert(TxLog.read(spark, t).count() == 80, "clone write leaked to source")
+    assert(TxLog.snapshot(t) == TxLog.snapshot(t, Some(TxLog.currentVersion(t))))
+  }
+
   test("vacuum drops files only live OUTSIDE the retention window; " +
       "retained versions keep reading") {
     val t = freshTable()
