@@ -8,7 +8,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * built from first principles on plain parquet + an append-only log of
   * versioned commits): every table mutation is a new numbered log entry
   * listing the data files it ADDS and REMOVES, committed atomically by
-  * a rename that fails if the version already exists. That one
+  * a hard-link claim that fails if the version already exists. That one
   * filesystem primitive buys, with no coordination service:
   *
   *   - ATOMIC multi-file commits: readers list the log, never the data
@@ -19,24 +19,55 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     the log replayed through N — any historical version stays
   *     readable until vacuumed;
   *   - OPTIMISTIC CONCURRENCY: two writers racing to commit version N
-  *     both stage data, but the rename is create-if-absent — exactly
+  *     both stage data, but the claim is create-if-absent — exactly
   *     one wins, the loser re-reads and retries or aborts
   *     (TxLogSpec pins the race);
   *   - CHANGE DATA FEED: a version's delta IS its add/remove file
   *     lists — incremental consumers read only those files (q375).
   *
-  * Log entries are newline-delimited `add\t<file>` / `remove\t<file>`
-  * lines named `<version %08d>.txt` under `_log/`. At 100 TB the log is
-  * file-grain metadata (KBs per commit for thousands of data files) and
-  * replay cost is O(#commits) driver-side IO — checkpointing the
-  * replayed set every N commits is the standard growth fix and changes
-  * nothing structural. */
+  * Log entries are newline-delimited `add\t<file>` / `remove\t<file>` /
+  * `dv\t<file>\t<positions>` / `dvf\t<file>\t<sidecar>` lines named
+  * `<version %08d>.txt` under `_log/`. At 100 TB the log is file-grain
+  * metadata (KBs per commit for thousands of data files) and replay
+  * cost is O(#commits) driver-side IO — checkpointing the replayed set
+  * every N commits is the standard growth fix and changes nothing
+  * structural. */
 object TxLog {
 
   private def logDir(dir: String): File = new File(dir, "_log")
 
   private def versionFile(dir: String, v: Int): Path =
     logDir(dir).toPath.resolve(f"$v%08d.txt")
+
+  /** Default vacuum file-age guard (Delta's 7-day tombstone retention):
+    * files younger than this are never vacuum victims, so a concurrent
+    * writer's staged-but-uncommitted files (moved into the table dir by
+    * [[stage]] BEFORE its commit lands) cannot be deleted out from
+    * under it. */
+  val DefaultVacuumMinAgeMs: Long = 7L * 24 * 3600 * 1000
+
+  /** Atomically claim version `v` with `lines` as its body. The claim
+    * is `Files.createLink` (hard link), which fails atomically with
+    * FileAlreadyExistsException on every POSIX filesystem — unlike a
+    * plain `Files.move` without ATOMIC_MOVE, whose exists-check +
+    * rename() window would let two racing writers both "win" and one
+    * silently overwrite the other (ADVICE r8). Exactly one writer per
+    * version; the loser gets ConcurrentModificationException. */
+  private def claimVersion(dir: String, v: Int, lines: Seq[String]): Int = {
+    logDir(dir).mkdirs()
+    val tmp = Files.createTempFile(logDir(dir).toPath, s".commit-$v-", ".tmp")
+    Files.write(tmp, lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    try {
+      Files.createLink(versionFile(dir, v), tmp)
+      Files.deleteIfExists(tmp)
+      v
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        throw new java.util.ConcurrentModificationException(
+          s"version $v was committed by another writer")
+    }
+  }
 
   /** Highest committed version, or -1 for an uninitialized table. */
   def currentVersion(dir: String): Int = {
@@ -72,26 +103,12 @@ object TxLog {
     live.toSeq
   }
 
-  /** Commit `adds`/`removes` as version `expected + 1`. The rename is
-    * create-if-absent: a concurrent commit of the same version makes
-    * exactly one writer win; the loser gets ConcurrentModification. */
+  /** Commit `adds`/`removes` as version `expected + 1`; exactly one
+    * writer per version (see [[claimVersion]]). */
   def commit(dir: String, expected: Int,
-      adds: Seq[String], removes: Seq[String]): Int = {
-    logDir(dir).mkdirs()
-    val v = expected + 1
-    val body = (removes.map(f => s"remove\t$f") ++ adds.map(f => s"add\t$f"))
-      .mkString("", "\n", "\n")
-    val tmp = Files.createTempFile(logDir(dir).toPath, s".commit-$v-", ".tmp")
-    Files.write(tmp, body.getBytes("UTF-8"))
-    try Files.move(tmp, versionFile(dir, v)) // NO replace → atomic claim
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        Files.deleteIfExists(tmp)
-        throw new java.util.ConcurrentModificationException(
-          s"version $v was committed by another writer")
-    }
-    v
-  }
+      adds: Seq[String], removes: Seq[String]): Int =
+    claimVersion(dir, expected + 1,
+      removes.map(f => s"remove\t$f") ++ adds.map(f => s"add\t$f"))
 
   /** Stage `df` as uniquely-named parquet files in the table directory
     * (INVISIBLE until a commit references them); returns their names. */
@@ -130,20 +147,9 @@ object TxLog {
     val adds = stage(df, dir).map { f =>
       val r = spark.read.parquet(s"$dir/$f")
         .agg(min(col(statsCol)), max(col(statsCol))).head()
-      s"$f\t$statsCol\t${r.getLong(0)}\t${r.getLong(1)}"
+      s"add\t$f\t$statsCol\t${r.getLong(0)}\t${r.getLong(1)}"
     }
-    val v = cur + 1
-    logDir(dir).mkdirs()
-    val body = adds.map(a => s"add\t$a").mkString("", "\n", "\n")
-    val tmp = Files.createTempFile(logDir(dir).toPath, s".commit-$v-", ".tmp")
-    Files.write(tmp, body.getBytes("UTF-8"))
-    try { Files.move(tmp, versionFile(dir, v)); v }
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        Files.deleteIfExists(tmp)
-        throw new java.util.ConcurrentModificationException(
-          s"version $v was committed by another writer")
-    }
+    claimVersion(dir, cur + 1, adds)
   }
 
   /** Per-file [min, max] of `statsCol` from the log's add lines (files
@@ -203,7 +209,11 @@ object TxLog {
 
   /** DELETE WHERE `pred`: copy-on-write — every live file holding a
     * matching row is rewritten without its matches; untouched files
-    * stay referenced as-is (the Delta DELETE shape). */
+    * stay referenced as-is (the Delta DELETE shape). SQL DELETE
+    * semantics: only rows where `pred` is TRUE are deleted — rows
+    * where it evaluates NULL survive the rewrite (`!pred` alone would
+    * silently drop them, diverging from [[deleteWhereDV]]'s
+    * `filter(pred)` match set; ADVICE r8). */
   def deleteWhere(spark: SparkSession, dir: String,
       pred: org.apache.spark.sql.Column): Int = {
     val cur = currentVersion(dir)
@@ -212,40 +222,62 @@ object TxLog {
       spark.read.parquet(s"$dir/$f").filter(pred).limit(1).count() > 0
     }
     if (affected.isEmpty) return cur
-    val keep = readFiles(spark, dir, affected,
-      deletionVectors(dir, Some(cur))).filter(!pred)
+    val keep = readFiles(spark, dir, affected, dvFrame(spark, dir, Some(cur)))
+      .filter(!pred || pred.isNull)
     val adds = if (keep.isEmpty) Seq.empty[String] else stage(keep, dir)
     commit(dir, cur, adds, affected)
   }
 
   /** Read the table at `asOf` (default latest) — explicit file list, so
     * a stale/staged/removed file can never leak into the scan, with
-    * that version's deletion vectors applied (merge-on-read). */
+    * that version's deletion vectors applied (merge-on-read). A table
+    * legitimately emptied (all files deleted) reads as an EMPTY frame
+    * with the schema recovered from the most recently removed file
+    * still on disk. */
   def read(spark: SparkSession, dir: String,
       asOf: Option[Int] = None): DataFrame = {
     val v = asOf.getOrElse(currentVersion(dir))
-    readFiles(spark, dir, snapshot(dir, Some(v)),
-      deletionVectors(dir, Some(v)))
+    val live = snapshot(dir, Some(v))
+    if (live.isEmpty) return emptyRead(spark, dir, v)
+    readFiles(spark, dir, live, dvFrame(spark, dir, Some(v)))
   }
 
-  /** Accumulated DELETION VECTORS at `asOf`: file → deleted row
-    * positions. `dv` marker lines union per file as the log replays;
-    * removing a file clears its vectors (the rewrite materialized
-    * them). Positions ride the log inline at fixture scale — the
-    * production form is a roaring-bitmap sidecar FILE referenced by
-    * the same line, with no protocol change. */
-  def deletionVectors(dir: String,
-      asOf: Option[Int] = None): Map[String, Set[Long]] = {
+  /** Empty-snapshot read: recover the schema from the most recently
+    * removed file that still exists (pre-vacuum it always does — the
+    * remove that emptied the table referenced it). */
+  private def emptyRead(spark: SparkSession, dir: String, v: Int): DataFrame = {
+    val removedNewestFirst = (v to 0 by -1).flatMap(i => changes(dir, i)._2)
+    val sample = removedNewestFirst
+      .find(f => new File(dir, f).isFile)
+      .getOrElse(throw new IllegalStateException(
+        s"$dir is empty at version $v and every removed file was " +
+          "vacuumed — schema unrecoverable"))
+    spark.read.parquet(s"$dir/$sample").limit(0)
+  }
+
+  /** Outstanding DELETION-VECTOR sources per live file at `asOf`:
+    * inline positions (`dv` lines) and sidecar paths (`dvf` lines),
+    * replayed in log order — removing a file clears its vectors (the
+    * rewrite materialized them). Pure log metadata, no data IO. */
+  private def dvSources(dir: String, asOf: Option[Int])
+      : Map[String, (Set[Long], Seq[String])] = {
     val v = asOf.getOrElse(currentVersion(dir))
-    val acc = scala.collection.mutable.Map.empty[String, Set[Long]]
+    val acc = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Set[Long], Seq[String])]
     (0 to v).foreach { i =>
       new String(Files.readAllBytes(versionFile(dir, i)), "UTF-8")
         .linesIterator.foreach { l =>
           if (l.startsWith("remove\t")) acc -= l.substring(7)
           else if (l.startsWith("dv\t")) l.split('\t') match {
             case Array(_, f, ps) =>
-              acc(f) = acc.getOrElse(f, Set.empty) ++
-                ps.split(',').filter(_.nonEmpty).map(_.toLong)
+              val (inl, sc) = acc.getOrElse(f, (Set.empty[Long], Seq.empty))
+              acc(f) = (inl ++ ps.split(',').filter(_.nonEmpty).map(_.toLong), sc)
+            case _ => ()
+          }
+          else if (l.startsWith("dvf\t")) l.split('\t') match {
+            case Array(_, f, path) =>
+              val (inl, sc) = acc.getOrElse(f, (Set.empty[Long], Seq.empty))
+              acc(f) = (inl, sc :+ path)
             case _ => ()
           }
         }
@@ -253,43 +285,122 @@ object TxLog {
     acc.toMap
   }
 
+  /** True iff any live file carries outstanding deletion vectors at
+    * `asOf` — log-metadata only, no Spark needed. */
+  def hasDeletionVectors(dir: String, asOf: Option[Int] = None): Boolean =
+    dvSources(dir, asOf).nonEmpty
+
+  /** Accumulated DELETION VECTORS at `asOf`: file → deleted row
+    * positions, with sidecar files resolved through `spark`. Driver
+    * materialization by design — a POSITIONS-level view for tests and
+    * small tables; the read path joins [[dvFrame]] distributed and
+    * never calls this. */
+  def deletionVectors(spark: SparkSession, dir: String,
+      asOf: Option[Int] = None): Map[String, Set[Long]] = {
+    import org.apache.spark.sql.functions.col
+    val src = dvSources(dir, asOf)
+    if (src.isEmpty) return Map.empty
+    val fromSidecars: Map[String, Set[Long]] = {
+      val wanted = src.toSeq.flatMap { case (f, (_, sidecars)) =>
+        sidecars.map(sc => (sc, f)) }
+      wanted.groupBy(_._1).toSeq.flatMap { case (sc, fs) =>
+        val names = fs.map { case (_, f) => new File(f).getName }.toSet
+        val byName = fs.map { case (_, f) => new File(f).getName -> f }.toMap
+        spark.read.parquet(s"$dir/$sc")
+          .filter(col("file").isin(names.toSeq: _*))
+          .collect()
+          .map(r => (byName(r.getString(0)), r.getLong(1)))
+      }.groupBy(_._1).map { case (f, ps) => f -> ps.map(_._2).toSet }
+    }
+    src.map { case (f, (inline, _)) =>
+      f -> (inline ++ fromSidecars.getOrElse(f, Set.empty))
+    }.filter(_._2.nonEmpty)
+  }
+
+  /** The DISTRIBUTED deletion-vector relation at `asOf`: a
+    * (`__f` file basename, `__p` position) DataFrame unioning inline
+    * log positions (metadata-sized parallelize) with sidecar parquet
+    * scans — row positions never pass through the driver (VERDICT r8:
+    * a 100 TB GDPR delete has millions of matches). None when no
+    * vectors are outstanding. */
+  private def dvFrame(spark: SparkSession, dir: String,
+      asOf: Option[Int]): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.col
+    val src = dvSources(dir, asOf)
+    if (src.isEmpty) return None
+    val inlineRows = src.toSeq.flatMap { case (f, (inline, _)) =>
+      inline.toSeq.map(p => (new File(f).getName, p)) }
+    val inlineDf =
+      if (inlineRows.isEmpty) None
+      else Some(spark.createDataFrame(inlineRows).toDF("__f", "__p"))
+    // one scan per distinct sidecar, filtered to the files still
+    // carrying it (a later COW rewrite may have cleared some)
+    val sidecarDfs = src.toSeq
+      .flatMap { case (f, (_, sidecars)) =>
+        sidecars.map(sc => (sc, new File(f).getName)) }
+      .groupBy(_._1).toSeq.map { case (sc, fs) =>
+        val names = fs.map(_._2).distinct
+        spark.read.parquet(s"$dir/$sc")
+          .filter(col("file").isin(names: _*))
+          .toDF("__f", "__p")
+      }
+    val all = (inlineDf.toSeq ++ sidecarDfs).reduce(_ unionByName _)
+    Some(all.distinct())
+  }
+
   /** MERGE-ON-READ delete: instead of rewriting files (deleteWhere's
     * copy-on-write), commit the matching ROW POSITIONS as deletion
     * vectors — an O(matches) commit no matter how large the touched
-    * files are, the Delta/Iceberg v2 "position delete" shape. Readers
-    * anti-join `_metadata.row_index`; OPTIMIZE materializes (purges)
-    * the vectors by rewriting. */
+    * files are, the Delta/Iceberg v2 "position delete" shape. The
+    * positions are computed in ONE distributed scan over the live set
+    * and written as a parquet SIDECAR under `_dv/` (sorted runs per
+    * file); the log lines reference the sidecar per file
+    * (`dvf\t<file>\t<sidecar>`) — nothing row-grain ever reaches the
+    * driver (only the affected FILE list does, which is file-grain
+    * metadata). Readers anti-join `_metadata.row_index`; OPTIMIZE
+    * materializes (purges) the vectors by rewriting. */
   def deleteWhereDV(spark: SparkSession, dir: String,
       pred: org.apache.spark.sql.Column): Int = {
     import org.apache.spark.sql.functions.col
     val cur = currentVersion(dir)
-    val existing = deletionVectors(dir, Some(cur))
-    val dvLines = snapshot(dir, Some(cur)).flatMap { f =>
-      val already = existing.getOrElse(f, Set.empty)
-      val hits = spark.read.parquet(s"$dir/$f").filter(pred)
-        .select(col("_metadata.row_index")).collect()
-        .map(_.getLong(0)).filterNot(already).sorted
-      if (hits.isEmpty) None
-      else Some(s"dv\t$f\t${hits.mkString(",")}")
+    val live = snapshot(dir, Some(cur))
+    if (live.isEmpty) return cur
+    val hits = spark.read.option("mergeSchema", "true")
+      .parquet(live.map(f => s"$dir/$f"): _*)
+      .filter(pred)
+      .select(col("_metadata.file_name").as("file"),
+        col("_metadata.row_index").as("pos"))
+    val fresh = dvFrame(spark, dir, Some(cur)) match {
+      case Some(existing) =>
+        hits.join(existing.withColumnRenamed("__f", "file")
+          .withColumnRenamed("__p", "pos"), Seq("file", "pos"), "left_anti")
+      case None => hits
     }
-    if (dvLines.isEmpty) return cur
-    val v = cur + 1
-    logDir(dir).mkdirs()
-    val tmp = Files.createTempFile(logDir(dir).toPath, s".commit-$v-", ".tmp")
-    Files.write(tmp, dvLines.mkString("", "\n", "\n").getBytes("UTF-8"))
-    try { Files.move(tmp, versionFile(dir, v)); v }
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        Files.deleteIfExists(tmp)
-        throw new java.util.ConcurrentModificationException(
-          s"version $v was committed by another writer")
-    }
+    val freshP = fresh.persist()
+    try {
+      // file-grain metadata collect (the affected-file LIST, never rows)
+      val touchedNames = freshP.select("file").distinct().collect()
+        .map(_.getString(0)).toSet
+      if (touchedNames.isEmpty) return cur
+      val byName = live.groupBy(f => new File(f).getName)
+      byName.find(_._2.size > 1).foreach { case (_, fs) =>
+        throw new IllegalStateException(
+          s"basename collision in live set: $fs") }
+      val v = cur + 1
+      val sidecar = s"_dv/v$v-${java.util.UUID.randomUUID().toString.take(8)}"
+      freshP.repartition(col("file")).sortWithinPartitions("file", "pos")
+        .write.mode("overwrite").parquet(s"$dir/$sidecar")
+      val lines = touchedNames.toSeq.sorted.map { n =>
+        s"dvf\t${byName(n).head}\t$sidecar"
+      }
+      claimVersion(dir, v, lines)
+    } finally { freshP.unpersist(): Unit }
   }
 
   /** DV-aware scan of `files` as of the vectors in `dv`: rows whose
     * (file, position) is deleted never reach the caller. */
   private def readFiles(spark: SparkSession, dir: String,
-      files: Seq[String], dv: Map[String, Set[Long]]): DataFrame = {
+      files: Seq[String], dv: Option[DataFrame]): DataFrame = {
     import org.apache.spark.sql.functions.col
     if (files.isEmpty)
       throw new IllegalArgumentException("empty snapshot read")
@@ -298,22 +409,18 @@ object TxLog {
     // as NULL (q380). Footer-merge cost is per-file metadata IO.
     val base = spark.read.option("mergeSchema", "true")
       .parquet(files.map(f => s"$dir/$f"): _*)
-    val relevant = dv.filter { case (f, ps) =>
-      files.contains(f) && ps.nonEmpty }
-    if (relevant.isEmpty) base
-    else {
-      val cols = base.columns.map(col)
-      // key vectors by BASENAME: `_metadata.file_name` is the bare file
-      // name, while a shallow clone's log references files by relative
-      // PATH — both must hit the same anti-join key
-      val dvRows = relevant.toSeq.flatMap { case (f, ps) =>
-        ps.toSeq.map(p => (new File(f).getName, p)) }
-      val dvDf = spark.createDataFrame(dvRows).toDF("__f", "__p")
-      base
-        .withColumn("__f", col("_metadata.file_name"))
-        .withColumn("__p", col("_metadata.row_index"))
-        .join(dvDf, Seq("__f", "__p"), "left_anti")
-        .select(cols: _*)
+    dv match {
+      case None => base
+      case Some(dvDf) =>
+        val cols = base.columns.map(col)
+        // vectors are keyed by BASENAME: `_metadata.file_name` is the
+        // bare file name, while a shallow clone's log references files
+        // by relative PATH — both must hit the same anti-join key
+        base
+          .withColumn("__f", col("_metadata.file_name"))
+          .withColumn("__p", col("_metadata.row_index"))
+          .join(dvDf, Seq("__f", "__p"), "left_anti")
+          .select(cols: _*)
     }
   }
 
@@ -337,7 +444,7 @@ object TxLog {
         if (affected.isEmpty) Seq.empty[String]
         else {
           val kept = readFiles(spark, dir, affected,
-              deletionVectors(dir, Some(cur)))
+              dvFrame(spark, dir, Some(cur)))
             .join(keys, Seq(keyCol), "left_anti")
           if (kept.isEmpty) Seq.empty[String] else stage(kept, dir)
         }
@@ -356,19 +463,8 @@ object TxLog {
     if (txnSeen(dir, app, txnId)) return -1
     val cur = currentVersion(dir)
     val adds = stage(df, dir)
-    val v = cur + 1
-    logDir(dir).mkdirs()
-    val body = (adds.map(f => s"add\t$f") :+ s"txn\t$app\t$txnId")
-      .mkString("", "\n", "\n")
-    val tmp = Files.createTempFile(logDir(dir).toPath, s".commit-$v-", ".tmp")
-    Files.write(tmp, body.getBytes("UTF-8"))
-    try { Files.move(tmp, versionFile(dir, v)); v }
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        Files.deleteIfExists(tmp)
-        throw new java.util.ConcurrentModificationException(
-          s"version $v was committed by another writer")
-    }
+    claimVersion(dir, cur + 1,
+      adds.map(f => s"add\t$f") :+ s"txn\t$app\t$txnId")
   }
 
   /** Has `(app, txnId)` already committed? Scanned from the log's txn
@@ -391,7 +487,7 @@ object TxLog {
     // the rewritten files hold only live rows, and removing the old
     // files clears their vectors in the same commit
     val compacted = readFiles(spark, dir, live,
-      deletionVectors(dir, Some(cur))).coalesce(nFiles)
+      dvFrame(spark, dir, Some(cur))).coalesce(nFiles)
     commit(dir, cur, stage(compacted, dir), live)
   }
 
@@ -406,25 +502,25 @@ object TxLog {
     * reference its files — retention policy must span clones. */
   def shallowClone(srcDir: String, dstDir: String): Int = {
     val srcLive = snapshot(srcDir)
-    val srcDvs = deletionVectors(srcDir)
+    val srcDvs = dvSources(srcDir, None)
     val rel = Paths.get(dstDir).toAbsolutePath
       .relativize(Paths.get(srcDir).toAbsolutePath)
     new File(dstDir).mkdirs()
-    logDir(dstDir).mkdirs()
     def tr(f: String) = s"$rel${File.separator}$f"
-    // outstanding source DVs carry over, keys translated — a clone of
-    // a merge-on-read table must not resurrect deleted rows
+    // outstanding source DVs carry over, keys AND sidecar paths
+    // translated — a clone of a merge-on-read table must not resurrect
+    // deleted rows (pure log rewrite, no data IO)
     val lines = srcLive.map(f => s"add\t${tr(f)}") ++
-      srcDvs.toSeq.filter { case (f, ps) =>
-        srcLive.contains(f) && ps.nonEmpty }.sortBy(_._1)
-        .map { case (f, ps) =>
-          s"dv\t${tr(f)}\t${ps.toSeq.sorted.mkString(",")}" }
-    val tmp = Files.createTempFile(logDir(dstDir).toPath, ".commit-0-", ".tmp")
-    Files.write(tmp, lines.mkString("", "\n", "\n").getBytes("UTF-8"))
-    try { Files.move(tmp, versionFile(dstDir, 0)); 0 }
+      srcDvs.toSeq.filter { case (f, _) => srcLive.contains(f) }
+        .sortBy(_._1).flatMap { case (f, (inline, sidecars)) =>
+          (if (inline.nonEmpty)
+            Seq(s"dv\t${tr(f)}\t${inline.toSeq.sorted.mkString(",")}")
+          else Seq.empty) ++
+            sidecars.map(sc => s"dvf\t${tr(f)}\t${tr(sc)}")
+        }
+    try claimVersion(dstDir, 0, lines)
     catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        Files.deleteIfExists(tmp)
+      case _: java.util.ConcurrentModificationException =>
         throw new java.util.ConcurrentModificationException(
           s"$dstDir already has a version 0")
     }
@@ -432,13 +528,21 @@ object TxLog {
 
   /** Drop data files no longer live at the CURRENT version and not
     * referenced by any version > `retainAfter` — the retention window
-    * that keeps recent time travel working. Returns deleted names. */
-  def vacuum(dir: String, retainAfter: Int): Seq[String] = {
+    * that keeps recent time travel working — and in any case no file
+    * younger than `minAgeMs` (mtime guard, default 7 days): a
+    * concurrent writer's staged-but-uncommitted files sit unreferenced
+    * in the data dir until its commit lands, and vacuuming them would
+    * corrupt that commit (ADVICE r8). Tests pass `minAgeMs = 0`
+    * deliberately. Returns deleted names. */
+  def vacuum(dir: String, retainAfter: Int,
+      minAgeMs: Long = DefaultVacuumMinAgeMs): Seq[String] = {
     val cur = currentVersion(dir)
     val protectedFiles = (math.max(0, retainAfter) to cur)
       .flatMap(v => snapshot(dir, Some(v))).toSet
+    val horizon = System.currentTimeMillis() - minAgeMs
     val onDisk = Option(new File(dir).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")
+        && f.lastModified() <= horizon)
       .map(_.getName)
     val victims = onDisk.filterNot(protectedFiles)
     victims.foreach(f => Files.deleteIfExists(Paths.get(dir, f)))

@@ -121,7 +121,9 @@ class TxLogSpec extends AnyFunSuite {
     assert(TxLog.deleteWhereDV(spark, t, col("grp") === 0) == 2)
     // OPTIMIZE rewrites live rows only and clears the vectors
     TxLog.optimize(spark, t)
-    assert(TxLog.deletionVectors(t).isEmpty, "optimize left vectors behind")
+    assert(TxLog.deletionVectors(spark, t).isEmpty,
+      "optimize left vectors behind")
+    assert(!TxLog.hasDeletionVectors(t))
     assert(TxLog.read(spark, t).count() == 72)
     // copy-on-write delete composed on top must not resurrect DV'd rows
     val t2 = freshTable()
@@ -156,11 +158,63 @@ class TxLogSpec extends AnyFunSuite {
     val t = freshTable()
     TxLog.deleteWhere(spark, t, col("grp") === 0) // v1 rewrites everything
     val oldFiles = TxLog.snapshot(t, Some(0)).toSet
-    val victims = TxLog.vacuum(t, retainAfter = 1).toSet
+    val victims = TxLog.vacuum(t, retainAfter = 1, minAgeMs = 0).toSet
     assert(victims == oldFiles -- TxLog.snapshot(t, Some(1)).toSet,
       "vacuum must drop exactly the files no retained version references")
     assert(TxLog.read(spark, t, Some(1)).count() == 80) // current still reads
     victims.foreach(f =>
       assert(!new java.io.File(t, f).exists(), s"victim $f still on disk"))
+  }
+
+  test("vacuum never deletes young unreferenced files — the mtime guard " +
+      "that protects a concurrent writer's staged-but-uncommitted data") {
+    val t = freshTable()
+    TxLog.deleteWhere(spark, t, col("grp") === 0) // v0 files now unreferenced
+    // default 7-day horizon: every file in this test is seconds old
+    assert(TxLog.vacuum(t, retainAfter = 1).isEmpty,
+      "mtime guard must protect just-written files")
+    assert(TxLog.read(spark, t, Some(0)).count() == 100)
+  }
+
+  test("deleteWhere keeps NULL-predicate rows (SQL DELETE semantics) — " +
+      "consistent with deleteWhereDV's filter(pred) match set") {
+    val t = java.nio.file.Files.createTempDirectory("txlog_null_").toString
+    TxLog.drop(t)
+    TxLog.create(Seq((1L, Some(1L)), (2L, None), (3L, Some(3L)))
+      .toDF("id", "v"), t)
+    TxLog.deleteWhere(spark, t, col("v") === 1L) // NULL = 1 is NULL, not TRUE
+    val ids = TxLog.read(spark, t).select("id").as[Long].collect().toSet
+    assert(ids == Set(2L, 3L), s"NULL-predicate row must survive: $ids")
+  }
+
+  test("a table emptied by delete stays readable as an empty frame " +
+      "with the schema recovered from the removed files") {
+    val t = freshTable()
+    TxLog.deleteWhere(spark, t, lit(true))
+    val df = TxLog.read(spark, t)
+    assert(df.count() == 0)
+    assert(df.columns.toSeq == Seq("id", "grp"))
+  }
+
+  test("deleteWhereDV at bulk scale: 150k-row table, 30k matches — " +
+      "positions land in a parquet sidecar built distributed, the log " +
+      "line stays file-grain metadata, reads apply both generations") {
+    val t = java.nio.file.Files.createTempDirectory("txlog_big_").toString
+    TxLog.drop(t)
+    TxLog.create(
+      spark.range(150000L).select(col("id"), (col("id") % 5).as("grp")), t)
+    val v = TxLog.deleteWhereDV(spark, t, col("grp") === 2) // 30k positions
+    val log = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(t, "_log", f"$v%08d.txt")), "UTF-8")
+    assert(log.linesIterator.forall(_.startsWith("dvf\t")),
+      s"expected only sidecar references: ${log.take(200)}")
+    assert(log.length < 4096,
+      s"log entry must be file-grain metadata, got ${log.length} bytes")
+    assert(TxLog.hasDeletionVectors(t))
+    assert(TxLog.read(spark, t).count() == 120000L)
+    // a second DV generation unions with the first at read time
+    TxLog.deleteWhereDV(spark, t, col("grp") === 3)
+    assert(TxLog.read(spark, t).count() == 90000L)
+    TxLog.drop(t)
   }
 }
