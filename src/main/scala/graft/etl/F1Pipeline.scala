@@ -4,8 +4,9 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.ops.{Dedup, Scalars}
 
-/** The reference's full ETL surface: one wide denormalized CSV → the 15
-  * star-schema tables of `DDL Final.sql`, with the *intended* per-table
+/** The reference's full ETL surface: one wide denormalized CSV → the 16
+  * star-schema tables of `DDL Final.sql` (15 populated + the declared-but-
+  * never-loaded CircuitLocation stub), with the *intended* per-table
   * semantics documented in SURVEY §2 (not the bugs — §7.4 risk 7). A user
   * of the reference runs exactly this shape daily; here each table is one
   * lazy DataFrame lineage (scan-share + column pruning via Catalyst)
@@ -141,7 +142,11 @@ object F1Pipeline {
 
   /** Laps (`laps_etl.py:34-67`): dedup (raceId, driverId, lap), F8 ms lap
     * time, O3 row cap — the reference capped at 1000 because row-wise
-    * INSERT couldn't keep up; kept as an honest ordered limit. */
+    * INSERT couldn't keep up; kept as an honest ordered limit. `lapsId`
+    * is the DDL's surrogate PK (`SEQ_laps_id` default,
+    * `DDL Final.sql:75-81,234`): contiguous 1..N over the table sort.
+    * The unpartitioned window is bounded by the cap (≤1000 rows), never
+    * corpus-scale. */
   def laps(wide: DataFrame, cap: Int = 1000): DataFrame =
     first(wide, Seq("raceId", "driverId", "laps", "lap", "time_laptimes",
         "position_laptimes", "milliseconds_laptimes"),
@@ -150,18 +155,29 @@ object F1Pipeline {
         col("lap"), Scalars.parseLapTime(col("time_laptimes")).as("time_laptimes"),
         col("position_laptimes"), col("milliseconds_laptimes"))
       .orderBy("raceId", "driver_id", "lap").limit(cap)
+      .withColumn("lapsId", row_number().over(org.apache.spark.sql
+        .expressions.Window.orderBy("raceId", "driver_id", "lap")))
 
   /** PitStop (`pitstop.py:26-55`): dedup (raceId, driverId, stop), F6
-    * guarded time parse, F10 duration float. */
+    * guarded time parse, F10 duration float. `pitsId` is the DDL's
+    * surrogate PK (`SEQ_pits_id` default, `DDL Final.sql:83-87,251`):
+    * contiguous 1..N over the table sort, assigned via the distributed
+    * prefix sum (this table is uncapped — a single-reducer row_number
+    * window would not survive scale). */
   def pitStop(wide: DataFrame): DataFrame =
-    first(wide, Seq("raceId", "driverId", "stop", "lap_pitstops",
-        "time_pitstops", "duration", "milliseconds_pitstops"),
-      Seq("raceId", "driverId", "stop"))
-      .select(col("raceId").as("race_id"), col("driverId").as("driver_id"),
-        col("stop").as("stop_number"), col("lap_pitstops"),
-        Scalars.parseTimeGuarded(col("time_pitstops")).as("time_pitstops"),
-        Scalars.toDoubleOrNull(col("duration")).as("duration"),
-        col("milliseconds_pitstops"))
+    graft.ops.PrefixSum.cumsum(
+      first(wide, Seq("raceId", "driverId", "stop", "lap_pitstops",
+          "time_pitstops", "duration", "milliseconds_pitstops"),
+        Seq("raceId", "driverId", "stop"))
+        .select(col("raceId").as("race_id"), col("driverId").as("driver_id"),
+          col("stop").as("stop_number"), col("lap_pitstops"),
+          Scalars.parseTimeGuarded(col("time_pitstops")).as("time_pitstops"),
+          Scalars.toDoubleOrNull(col("duration")).as("duration"),
+          col("milliseconds_pitstops"))
+        .withColumn("__one", lit(1L)),
+      Seq("race_id", "driver_id", "stop_number"), "__one", "pitsId", 32)
+      .withColumn("pitsId", col("pitsId").cast("int"))
+      .drop("__one")
       .orderBy("race_id", "driver_id", "stop_number")
 
   /** Results (`results_etl.py:20,46,100-107`): dedup resultId, F8 fastest
@@ -196,12 +212,30 @@ object F1Pipeline {
       .withColumnRenamed("raceId", "race_id")
       .orderBy("constructorStandingsId")
 
+  /** CircuitLocation (`DDL Final.sql:361-367`): the reference declares
+    * this dimension but NO DAG populates it (SURVEY §2: the orphan
+    * table — "omit or stub"). Stubbed as an empty, correctly-typed
+    * frame so a user materializing the star schema gets all 16 DDL
+    * tables. */
+  def circuitLocation(wide: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    wide.sparkSession.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(Seq(
+        StructField("circuit_key", IntegerType),
+        StructField("circuit_short_name", StringType),
+        StructField("country_code", StringType),
+        StructField("country_key", IntegerType),
+        StructField("country_name", StringType))))
+  }
+
   /** All tables from one wide frame (the `CompleteETL` monolith, minus its
     * dead code paths). The ordinal is attached once so every table shares
     * a single scan lineage. */
   def buildAll(wide: DataFrame, refYear: Int = 2026): Map[String, DataFrame] = {
     val w = withOrd(wide)
     Map(
+      "CircuitLocation" -> circuitLocation(w),
       "DateDimension" -> dateDimension(w),
       "LocationDimension" -> locationDimension(w),
       "StatusDimension" -> statusDimension(w),
@@ -220,7 +254,7 @@ object F1Pipeline {
   }
 
   /** The reference's entire daily job in one call (every DAG in
-    * `airflow/dags/` re-expressed): read the wide CSV once, build all 15
+    * `airflow/dags/` re-expressed): read the wide CSV once, build all 16
     * tables, write each as parquet under `outDir/<Table>`. Overwrite mode
     * subsumes the reference's hand-run `DELETE FROM` resets
     * (`DDL Final.sql:338-352`); rerunning is idempotent. This is the
@@ -233,6 +267,7 @@ object F1Pipeline {
   /** Natural key per star table — the upsert-guard join keys for
     * [[runIncremental]] (same keys the builders dedup on). */
   private[graft] val naturalKeys: Map[String, Seq[String]] = Map(
+    "CircuitLocation" -> Seq("circuit_key"),
     "DateDimension" -> Seq("date"),
     "LocationDimension" -> Seq("locationId"),
     "StatusDimension" -> Seq("statusId"),
@@ -283,7 +318,13 @@ object F1Pipeline {
         val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val fresh =
           if (fs.exists(hPath)) {
-            val existingKeys = spark.read.parquet(path)
+            // explicit schema: skips inference listing AND keeps a
+            // zero-row table readable (the CircuitLocation stub's first
+            // append writes no data files — inference would throw)
+            val existingSchema = org.apache.spark.sql.types.StructType(
+              df.schema.fields :+ org.apache.spark.sql.types.StructField(
+                "load_date", org.apache.spark.sql.types.DateType))
+            val existingKeys = spark.read.schema(existingSchema).parquet(path)
               .select(keys.map(col): _*)
             df.join(existingKeys, keys, "left_anti")
           } else df

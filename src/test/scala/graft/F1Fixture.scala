@@ -6,7 +6,7 @@ import graft.etl.{F1Pipeline, F1Schema}
 
 /** Shared wide-CSV fixture (FIXTURES.md §B malformed-input cases): `\N`
   * sentinels, malformed dates/times, duplicate keys, quote-embedded
-  * values → the 15 star tables. Built once per JVM; used by
+  * values → the 16 star tables. Built once per JVM; used by
   * F1PipelineSpec (golden transforms), IncrementalSpec and JdbcSinkSpec
   * (sink surfaces over real pipeline output). */
 object F1Fixture {

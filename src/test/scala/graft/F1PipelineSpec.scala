@@ -7,7 +7,7 @@ import graft.etl.F1Pipeline
 
 /** Golden end-to-end test of the reference's ETL surface (SURVEY §5.4):
   * wide CSV (with `\N` sentinels, malformed dates/times, duplicate keys,
-  * quote-embedded values) → 15 star tables. Fixture cases mirror
+  * quote-embedded values) → 16 star tables. Fixture cases mirror
   * FIXTURES.md §B's malformed-input list. */
 class F1PipelineSpec extends AnyFunSuite {
   import TestSpark.spark
@@ -84,6 +84,24 @@ class F1PipelineSpec extends AnyFunSuite {
     assert(tables("TeamStandings").columns.contains("race_id"))
   }
 
+  test("Laps/PitStop: DDL surrogate keys present, contiguous, sort-ordered") {
+    // the reference's SEQ_laps_id / SEQ_pits_id defaults
+    // (`DDL Final.sql:75-87,234,251`)
+    val l = tables("Laps").orderBy("raceId", "driver_id", "lap")
+      .select("lapsId").collect().map(_.getInt(0)).toSeq
+    assert(l == (1 to l.size), s"lapsId not contiguous in sort order: $l")
+    val p = tables("PitStop").orderBy("race_id", "driver_id", "stop_number")
+      .select("pitsId").collect().map(_.getInt(0)).toSeq
+    assert(p == (1 to p.size), s"pitsId not contiguous in sort order: $p")
+  }
+
+  test("CircuitLocation: declared-but-unloaded DDL table stubbed, typed") {
+    val cl = tables("CircuitLocation")
+    assert(cl.count() == 0)
+    assert(cl.columns.toSeq == Seq("circuit_key", "circuit_short_name",
+      "country_code", "country_key", "country_name"))
+  }
+
   test("Race + referential integrity: every FK resolves (J2 anti-join empty)") {
     import graft.ops.Integrity
     assert(rows("Race").map(_.getInt(0)) == Seq(100, 101, 102))
@@ -93,7 +111,7 @@ class F1PipelineSpec extends AnyFunSuite {
     assert(orphans.count() == 0)
   }
 
-  test("run: the one-call daily job writes all 15 tables, idempotently") {
+  test("run: the one-call daily job writes all 16 tables, idempotently") {
     val expected = tables.keySet // forces the fixture (sets csvPath)
     val out = Files.createTempDirectory("f1out").toString
     F1Pipeline.run(spark, csvPath, out)
