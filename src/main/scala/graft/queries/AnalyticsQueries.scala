@@ -420,7 +420,7 @@ object AnalyticsQueries {
           .select(col("event_type"), col("hr"),
             coalesce(col("v"), last(col("v"), ignoreNulls = true).over(w),
               lit(0).cast("decimal(18,2)")).cast("decimal(18,2)")
-              .as("value_filled"),
+              .cast("double").as("value_filled"),
             col("v").isNull.as("gap"))
           .orderBy("event_type", "hr")
       },
@@ -437,9 +437,9 @@ object AnalyticsQueries {
              |j AS (SELECT s.event_type, s.hr, hourly.v FROM spine s
              |  LEFT JOIN hourly ON s.event_type = hourly.event_type AND s.hr = hourly.hr)
              |SELECT event_type, hr,
-             |  CAST(COALESCE(v, last_value(v IGNORE NULLS) OVER (
+             |  CAST(CAST(COALESCE(v, last_value(v IGNORE NULLS) OVER (
              |    PARTITION BY event_type ORDER BY hr
-             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DECIMAL(18,2)) AS value_filled,
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DECIMAL(18,2)) AS DOUBLE) AS value_filled,
              |  v IS NULL AS gap
              |FROM j ORDER BY event_type, hr""".stripMargin)),
 
@@ -537,9 +537,11 @@ object AnalyticsQueries {
         hourly.join(base, Seq("event_type", "hod"))
           .filter(abs(col("v") - col("med")) * 2 >
             (col("p75") - col("p25")) * 3)
-          .select(col("event_type"), col("day"), col("hod"), col("v"),
-            col("med"), (col("p75") - col("p25")).cast("decimal(18,2)")
-              .as("iqr"))
+          .select(col("event_type"), col("day"), col("hod"),
+            col("v").cast("double").as("v"),
+            col("med").cast("double").as("med"),
+            (col("p75") - col("p25")).cast("decimal(18,2)")
+              .cast("double").as("iqr"))
           .orderBy("event_type", "day", "hod")
       },
       Some("""WITH hourly AS (
@@ -556,8 +558,9 @@ object AnalyticsQueries {
              |    max(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT) THEN v END) AS med,
              |    max(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT) THEN v END) AS p75
              |  FROM ranked GROUP BY 1, 2)
-             |SELECT h.event_type, h.day, h.hod, h.v, q.med,
-             |  CAST(q.p75 - q.p25 AS DECIMAL(18,2)) AS iqr
+             |SELECT h.event_type, h.day, h.hod,
+             |  CAST(h.v AS DOUBLE) AS v, CAST(q.med AS DOUBLE) AS med,
+             |  CAST(CAST(q.p75 - q.p25 AS DECIMAL(18,2)) AS DOUBLE) AS iqr
              |FROM hourly h JOIN q ON h.event_type = q.event_type AND h.hod = q.hod
              |WHERE 2 * abs(h.v - q.med) > 3 * (q.p75 - q.p25)
              |ORDER BY h.event_type, h.day, h.hod""".stripMargin)),
@@ -584,8 +587,10 @@ object AnalyticsQueries {
             expr("((rk - 1) * 8) DIV n").cast("int").as("bin"))
           .groupBy("bin")
           .agg(count(lit(1)).as("depth"),
-            min(col("o_totalprice")).cast("decimal(12,2)").as("lo"),
-            max(col("o_totalprice")).cast("decimal(12,2)").as("hi"))
+            min(col("o_totalprice")).cast("decimal(12,2)").cast("double")
+              .as("lo"),
+            max(col("o_totalprice")).cast("decimal(12,2)").cast("double")
+              .as("hi"))
           .orderBy("bin")
       },
       Some("""WITH r AS (SELECT o_orderkey, o_totalprice,
@@ -594,8 +599,8 @@ object AnalyticsQueries {
              |  FROM orders),
              |b AS (SELECT *, CAST(((rk - 1) * 8) // n AS INTEGER) AS bin FROM r)
              |SELECT bin, CAST(count(*) AS BIGINT) AS depth,
-             |  CAST(min(o_totalprice) AS DECIMAL(12,2)) AS lo,
-             |  CAST(max(o_totalprice) AS DECIMAL(12,2)) AS hi
+             |  CAST(CAST(min(o_totalprice) AS DECIMAL(12,2)) AS DOUBLE) AS lo,
+             |  CAST(CAST(max(o_totalprice) AS DECIMAL(12,2)) AS DOUBLE) AS hi
              |FROM b GROUP BY bin ORDER BY bin""".stripMargin)),
 
     // q290 — PADDING-WASTE audit for training batch assembly: documents
@@ -628,7 +633,8 @@ object AnalyticsQueries {
           .select(col("strategy"), col("n_docs"), col("real_tokens"),
             col("padded_tokens"),
             round(lit(100.0) * (col("padded_tokens") - col("real_tokens")) /
-              col("padded_tokens"), 2).cast("decimal(6,2)").as("waste_pct"))
+              col("padded_tokens"), 2).cast("decimal(6,2)").cast("double")
+              .as("waste_pct"))
           .orderBy("strategy")
       },
       Some("""WITH d AS (SELECT doc_id, LEAST(CAST(n_chars // 4 AS BIGINT), 512) AS toks
@@ -643,7 +649,7 @@ object AnalyticsQueries {
              |SELECT strategy, CAST(SUM(n) AS BIGINT) AS n_docs,
              |  CAST(SUM(real_toks) AS BIGINT) AS real_tokens,
              |  CAST(SUM(n * mx) AS BIGINT) AS padded_tokens,
-             |  CAST(round(100.0 * (SUM(n * mx) - SUM(real_toks)) / SUM(n * mx), 2) AS DECIMAL(6,2)) AS waste_pct
+             |  CAST(CAST(round(100.0 * (SUM(n * mx) - SUM(real_toks)) / SUM(n * mx), 2) AS DECIMAL(6,2)) AS DOUBLE) AS waste_pct
              |FROM g GROUP BY strategy ORDER BY strategy""".stripMargin)),
 
     // q297 — CHI-SQUARE independence screen (priority × status): the
@@ -690,12 +696,13 @@ object AnalyticsQueries {
     // request set sweeps the entity across EVERY table that references
     // it, and the audit proves completion. The request set (117 event
     // rows, 2 customers, 18 orders on the fixture) is a bounded
-    // broadcast; each table pays one semi-join count (erased), one
-    // anti-join (the surviving table), and a REMNANT re-check run
-    // against the survivors — the verification a compliance audit
-    // demands, structurally zero only if the anti-join was complete.
-    // Each table collapses to ONE row before the union (the q198
-    // pattern): 3 corpus passes total, never per-check passes.
+    // broadcast joined ONCE per table; before/erased/after fall out of
+    // one conditional aggregate over that single pass (VERDICT r8 —
+    // the semi-join + anti-join + remnant re-check form paid 3 corpus
+    // scans per table for the same three counts). The remnant column
+    // is the audit's books-balance identity before − erased − after,
+    // zero exactly when the erase partition is complete. Each table
+    // collapses to ONE row before the union (the q198 pattern).
     QuerySpec("q298_erasure_audit",
       (s, dir) => {
         val era = Tables.load(s, dir, "events")
@@ -704,18 +711,16 @@ object AnalyticsQueries {
           .persistTracked()
         def audit(tbl: String, df: org.apache.spark.sql.DataFrame,
             key: String) = {
-          val erased = df.join(broadcast(era), col(key) === col("gone"),
-            "left_semi")
-          val kept = df.join(broadcast(era), col(key) === col("gone"),
-            "left_anti").persistTracked()
-          val remnant = kept.join(broadcast(era), col(key) === col("gone"),
-            "left_semi")
-          df.agg(count(lit(1)).as("before_rows"))
-            .crossJoin(erased.agg(count(lit(1)).as("erased")))
-            .crossJoin(kept.agg(count(lit(1)).as("after_rows")))
-            .crossJoin(remnant.agg(count(lit(1)).as("remnants")))
+          // era is distinct on the key → the left join is 1:≤1, no fanout
+          df.join(broadcast(era), col(key) === col("gone"), "left")
+            .agg(count(lit(1)).as("before_rows"),
+              count(col("gone")).as("erased"),
+              sum(when(col("gone").isNull, 1L).otherwise(0L))
+                .as("after_rows"))
             .select(lit(tbl).as("tbl"), col("before_rows"), col("erased"),
-              col("after_rows"), col("remnants"))
+              col("after_rows"),
+              (col("before_rows") - col("erased") - col("after_rows"))
+                .as("remnants"))
         }
         audit("customer", Tables.load(s, dir, "customer"), "c_custkey")
           .unionByName(audit("events", Tables.load(s, dir, "events"),
@@ -919,7 +924,7 @@ object AnalyticsQueries {
               .as("klass"))
           .groupBy("klass")
           .agg(count(lit(1)).as("n_parts"),
-            sum(col("r")).cast("decimal(28,2)").as("revenue"))
+            sum(col("r")).cast("decimal(28,2)").cast("double").as("revenue"))
           .orderBy("klass")
       },
       Some("""WITH rev AS (SELECT l_partkey AS pk,
@@ -934,7 +939,7 @@ object AnalyticsQueries {
              |         WHEN 100.0 * cum / t <= 90 THEN 'B' ELSE 'C' END AS klass
              |  FROM c CROSS JOIN tot)
              |SELECT klass, CAST(count(*) AS BIGINT) AS n_parts,
-             |  CAST(SUM(r) AS DECIMAL(28,2)) AS revenue
+             |  CAST(CAST(SUM(r) AS DECIMAL(28,2)) AS DOUBLE) AS revenue
              |FROM cls GROUP BY klass ORDER BY klass""".stripMargin)),
 
     // q305 — POISSON BOOTSTRAP confidence interval: the distributed
@@ -2547,12 +2552,15 @@ object AnalyticsQueries {
           org.apache.spark.sql.types.StructField("dow",
             org.apache.spark.sql.types.LongType),
           org.apache.spark.sql.types.StructField("n_sample",
-            org.apache.spark.sql.types.DecimalType(18, 6)),
+            org.apache.spark.sql.types.DoubleType),
           org.apache.spark.sql.types.StructField("weight",
-            org.apache.spark.sql.types.DecimalType(18, 6))))
+            org.apache.spark.sql.types.DoubleType)))
+        // Output boundary is DOUBLE (round-9 rule: no DecimalType reaches
+        // the driver's hash); internal sweeps stay exact BigDecimal.
         val rows = sampled.sortBy(c => (c._1, c._2)).map { c =>
           org.apache.spark.sql.Row(c._1, c._2,
-            new java.math.BigDecimal(c._4).setScale(6), w((c._1, c._2)))
+            new java.math.BigDecimal(c._4).setScale(6).doubleValue,
+            w((c._1, c._2)).doubleValue)
         }
         s.createDataFrame(
           new java.util.ArrayList[org.apache.spark.sql.Row](
@@ -2590,7 +2598,8 @@ object AnalyticsQueries {
              |    CAST(round(CAST(r3.w AS DOUBLE) * (pc.tc / CAST(sc.s AS DOUBLE)), 6) AS DECIMAL(18,6)) AS w
              |  FROM r3 JOIN pop_c pc ON pc.dow = r3.dow
              |  JOIN (SELECT dow, SUM(w) AS s FROM r3 GROUP BY dow) sc ON sc.dow = r3.dow)
-             |SELECT c3.et AS event_type, c3.dow AS dow, w0.w AS n_sample, c3.w AS weight
+             |SELECT c3.et AS event_type, c3.dow AS dow,
+             |  CAST(w0.w AS DOUBLE) AS n_sample, CAST(c3.w AS DOUBLE) AS weight
              |FROM c3 JOIN w0 ON w0.et = c3.et AND w0.dow = c3.dow
              |ORDER BY event_type, dow""".stripMargin)),
 
@@ -2712,7 +2721,8 @@ object AnalyticsQueries {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         dec.withColumn("cum_rev", sum(col("decile_rev")).over(wCum))
           .crossJoin(broadcast(tot))
-          .select(col("decile"), col("n_cust"), col("decile_rev"),
+          .select(col("decile"), col("n_cust"),
+            col("decile_rev").cast("double").as("decile_rev"),
             (col("cum_rev").cast("double") / col("srev").cast("double"))
               .as("cum_share"),
             ((lit(2.0) * col("sirev").cast("double"))
@@ -2732,7 +2742,8 @@ object AnalyticsQueries {
              |lor AS (SELECT decile, n_cust, decile_rev,
              |    SUM(decile_rev) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev
              |  FROM dec)
-             |SELECT CAST(decile AS BIGINT) AS decile, n_cust, decile_rev,
+             |SELECT CAST(decile AS BIGINT) AS decile, n_cust,
+             |  CAST(decile_rev AS DOUBLE) AS decile_rev,
              |  CAST(cum_rev AS DOUBLE) / CAST((SELECT srev FROM tot) AS DOUBLE) AS cum_share,
              |  (2e0 * CAST((SELECT sirev FROM tot) AS DOUBLE))
              |    / ((SELECT n FROM tot) * CAST((SELECT srev FROM tot) AS DOUBLE))
@@ -2773,6 +2784,7 @@ object AnalyticsQueries {
           .limit(1)
           .withColumn("ks",
             col("ks_num").cast("double") / (col("na") * col("nb").cast("double")))
+          .withColumn("at_value", col("at_value").cast("double"))
       },
       Some("""WITH a AS (SELECT CAST(round(o_totalprice,2) AS DECIMAL(18,2)) AS v,
              |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS ia,
@@ -2785,7 +2797,7 @@ object AnalyticsQueries {
              |  FROM vg),
              |n AS (SELECT CAST(SUM(ia) AS BIGINT) AS na, CAST(SUM(ib) AS BIGINT) AS nb FROM a),
              |d AS (SELECT v, abs(cca * nb - ccb * na) AS num, na, nb FROM cum, n)
-             |SELECT v AS at_value, CAST(num AS BIGINT) AS ks_num, na, nb,
+             |SELECT CAST(v AS DOUBLE) AS at_value, CAST(num AS BIGINT) AS ks_num, na, nb,
              |  CAST(num AS DOUBLE) / (na * CAST(nb AS DOUBLE)) AS ks
              |FROM d ORDER BY num DESC, v LIMIT 1""".stripMargin)),
 
@@ -2844,7 +2856,8 @@ object AnalyticsQueries {
           .withColumn("kmax",
             coalesce(max(when(col("sig"), col("k"))).over(wAll), lit(0)))
           .select(col("et").as("event_type"), col("dow"), col("n"),
-            col("chi2"), col("p"), col("k"),
+            col("chi2").cast("double").as("chi2"),
+            col("p").cast("double").as("p"), col("k"),
             (col("k") <= col("kmax")).as("rejected"),
             (col("p").cast("double") <= lit(0.1)).as("naive_sig"))
           .orderBy("k")
@@ -2880,7 +2893,8 @@ object AnalyticsQueries {
              |rk AS (SELECT x.*, row_number() OVER (ORDER BY p, et, dow) AS k FROM x),
              |sg AS (SELECT rk.*, CAST(p AS DOUBLE) <= (k * 0.1e0) / (SELECT m FROM m) AS sig FROM rk),
              |km AS (SELECT COALESCE(max(CASE WHEN sig THEN k END), 0) AS kmax FROM sg)
-             |SELECT et AS event_type, dow, n, chi2, p, CAST(k AS INTEGER) AS k,
+             |SELECT et AS event_type, dow, n, CAST(chi2 AS DOUBLE) AS chi2,
+             |  CAST(p AS DOUBLE) AS p, CAST(k AS INTEGER) AS k,
              |  k <= (SELECT kmax FROM km) AS rejected,
              |  CAST(p AS DOUBLE) <= 0.1e0 AS naive_sig
              |FROM sg ORDER BY k""".stripMargin)),
@@ -3066,8 +3080,8 @@ object AnalyticsQueries {
         val avg0 = col("s0").cast("double") / col("n0")
         val avg1 = col("s1").cast("double") / col("n1")
         g.select(col("prio"), col("n0"), col("n1"),
-            col("s0").cast("decimal(28,2)").as("rev0"),
-            col("s1").cast("decimal(28,2)").as("rev1"),
+            col("s0").cast("decimal(28,2)").cast("double").as("rev0"),
+            col("s1").cast("decimal(28,2)").cast("double").as("rev1"),
             (col("n0") * (avg1 - avg0)).as("price_eff"),
             (avg0 * (col("n1") - col("n0"))).as("volume_eff"),
             ((avg1 - avg0) * (col("n1") - col("n0"))).as("mix_eff"))
@@ -3082,7 +3096,8 @@ object AnalyticsQueries {
              |    SUM(CASE WHEN p0 THEN x END) AS s0, SUM(CASE WHEN NOT p0 THEN x END) AS s1
              |  FROM s GROUP BY prio)
              |SELECT prio, n0, n1,
-             |  CAST(s0 AS DECIMAL(28,2)) AS rev0, CAST(s1 AS DECIMAL(28,2)) AS rev1,
+             |  CAST(CAST(s0 AS DECIMAL(28,2)) AS DOUBLE) AS rev0,
+             |  CAST(CAST(s1 AS DECIMAL(28,2)) AS DOUBLE) AS rev1,
              |  n0 * (CAST(s1 AS DOUBLE)/n1 - CAST(s0 AS DOUBLE)/n0) AS price_eff,
              |  (CAST(s0 AS DOUBLE)/n0) * (n1 - n0) AS volume_eff,
              |  (CAST(s1 AS DOUBLE)/n1 - CAST(s0 AS DOUBLE)/n0) * (n1 - n0) AS mix_eff
@@ -3180,7 +3195,7 @@ object AnalyticsQueries {
                 (col("cx").cast("double") * col("cy"))), 6)
               .cast("decimal(18,6)").as("term"))
           .groupBy("feature")
-          .agg(sum("term").cast("decimal(28,6)").as("mi"),
+          .agg(sum("term").cast("decimal(28,6)").cast("double").as("mi"),
             count(lit(1)).as("n_cells"))
           .orderBy(desc("mi"), col("feature"))
       },
@@ -3202,7 +3217,7 @@ object AnalyticsQueries {
              |          ln(CAST(cxy AS DOUBLE) * nn / (CAST(cx AS DOUBLE) * cy)), 6)
              |          AS DECIMAL(18,6)) AS term
              |      FROM m)
-             |SELECT feature, CAST(SUM(term) AS DECIMAL(28,6)) AS mi,
+             |SELECT feature, CAST(CAST(SUM(term) AS DECIMAL(28,6)) AS DOUBLE) AS mi,
              |  CAST(count(*) AS BIGINT) AS n_cells
              |FROM t GROUP BY feature ORDER BY mi DESC, feature""".stripMargin)),
 
@@ -3286,10 +3301,12 @@ object AnalyticsQueries {
               .otherwise(col("b")).as("m"))
           .filter(col("m").isNotNull)
         m.agg(count(lit(1)).as("n_matched"),
-          sum(col("ty") - col("m.cy")).cast("decimal(28,2)").as("sum_diff"),
+          sum(col("ty") - col("m.cy")).cast("decimal(28,2)").cast("double")
+            .as("sum_diff"),
           (sum(col("ty") - col("m.cy")).cast("double") / count(lit(1)))
             .as("att"),
-          sum("m.delta").cast("decimal(28,6)").as("total_delta"))
+          sum("m.delta").cast("decimal(28,6)").cast("double")
+            .as("total_delta"))
       },
       Some("""WITH feat AS (SELECT c.c_custkey AS ck,
              |        c.c_mktsegment = 'BUILDING' AS treated,
@@ -3311,9 +3328,9 @@ object AnalyticsQueries {
              |          ORDER BY abs(t.ps - c.ps), c.ck) AS rn
              |      FROM tr t JOIN co c ON abs(t.ps - c.ps) <= 0.05)
              |SELECT CAST(count(*) AS BIGINT) AS n_matched,
-             |  CAST(SUM(ty - cy) AS DECIMAL(28,2)) AS sum_diff,
+             |  CAST(CAST(SUM(ty - cy) AS DECIMAL(28,2)) AS DOUBLE) AS sum_diff,
              |  CAST(SUM(ty - cy) AS DOUBLE) / count(*) AS att,
-             |  CAST(SUM(delta) AS DECIMAL(28,6)) AS total_delta
+             |  CAST(CAST(SUM(delta) AS DECIMAL(28,6)) AS DOUBLE) AS total_delta
              |FROM cand WHERE rn = 1""".stripMargin)),
 
     // q350 — empirical-Bayes shrinkage of per-supplier return rates
@@ -3442,7 +3459,7 @@ object AnalyticsQueries {
           .withColumn("reg_rev", sum("rev").over(wR))
           .withColumn("tot_rev", sum("rev").over(wT))
           .select(col("region"), col("nation"), col("seg"),
-            col("rev").cast("decimal(28,2)").as("rev"),
+            col("rev").cast("decimal(28,2)").cast("double").as("rev"),
             (col("rev").cast("double") / col("nat_rev").cast("double"))
               .as("pct_of_nation"),
             (col("nat_rev").cast("double") / col("reg_rev").cast("double"))
@@ -3458,7 +3475,8 @@ object AnalyticsQueries {
              |    JOIN nation n ON c.c_nationkey = n.n_nationkey
              |    JOIN region r ON n.n_regionkey = r.r_regionkey
              |    GROUP BY 1, 2, 3)
-             |SELECT region, nation, seg, CAST(rev AS DECIMAL(28,2)) AS rev,
+             |SELECT region, nation, seg,
+             |  CAST(CAST(rev AS DECIMAL(28,2)) AS DOUBLE) AS rev,
              |  CAST(rev AS DOUBLE)
              |    / CAST(SUM(rev) OVER (PARTITION BY region, nation) AS DOUBLE)
              |    AS pct_of_nation,
@@ -3516,9 +3534,11 @@ object AnalyticsQueries {
             struct(lit(q).cast("decimal(4,2)").as("q"),
               col(s"t$i").as("treated_q"), col(s"c$i").as("control_q"))
           }: _*)).as("r"))
-          .select(col("r.q").as("q"), col("r.treated_q"), col("r.control_q"),
+          .select(col("r.q").cast("double").as("q"),
+            col("r.treated_q").cast("double").as("treated_q"),
+            col("r.control_q").cast("double").as("control_q"),
             (col("r.treated_q") - col("r.control_q")).cast("decimal(19,2)")
-              .as("qte"))
+              .cast("double").as("qte"))
           .orderBy("q")
       },
       Some("""WITH j AS (SELECT CAST(round(o_totalprice, 2) AS DECIMAL(18,2)) AS y,
@@ -3536,8 +3556,9 @@ object AnalyticsQueries {
              |    max(CASE WHEN treated THEN y END) AS yt,
              |    max(CASE WHEN NOT treated THEN y END) AS yc
              |  FROM pick GROUP BY q)
-             |SELECT q, yt AS treated_q, yc AS control_q,
-             |  CAST(yt - yc AS DECIMAL(19,2)) AS qte
+             |SELECT CAST(q AS DOUBLE) AS q, CAST(yt AS DOUBLE) AS treated_q,
+             |  CAST(yc AS DOUBLE) AS control_q,
+             |  CAST(CAST(yt - yc AS DECIMAL(19,2)) AS DOUBLE) AS qte
              |FROM w ORDER BY q""".stripMargin)),
 
     // q364 — AUTOCORRELATION function (lags 1–3) + per-lag OLS slope of

@@ -17,6 +17,16 @@ import graft.core.Tables
   */
 object EventQueries {
 
+  /** Portable-HLL constants (q60), shared by the Spark plan and the
+    * generated oracle SQL. m = 2^12 registers; the 32-bit md5 hash
+    * splits into a 12-bit register index and a 20-bit rank field; the
+    * bias constant is alpha_m·m² with alpha_m = 0.7213/(1 + 1.079/m)
+    * (Flajolet et al. 2007) — computed ONCE here so both engines divide
+    * by the identical double. */
+  private val HllM = 4096
+  private val HllRankW = 20
+  private val HllC: Double = 0.7213 / (1.0 + 1.079 / HllM) * HllM * HllM
+
   val specs: Seq[QuerySpec] = Seq(
 
     // q36 — as-of join: for each purchase, the most recent prior signup
@@ -108,19 +118,74 @@ object EventQueries {
              |GROUP BY a.event_id ORDER BY a.event_id""".stripMargin)),
 
     // q60 — HLL sketch distinct counting (SURVEY §2.5 footnote): at 100 TB
-    // exact countDistinct shuffles every distinct value; HLL++ is one pass
-    // over the data with fixed-size mergeable sketches — the only shape
-    // that survives a billion-key cardinality estimate. No DuckDB oracle
-    // (sketch internals are engine-specific → rows-only check); accuracy
-    // vs the exact count is asserted in NewOpsSpec at rsd=0.01.
+    // exact countDistinct shuffles every distinct value; HLL is one pass
+    // with fixed-size mergeable register state — the only shape that
+    // survives a billion-key cardinality estimate. This is a
+    // from-first-principles HyperLogLog over the PORTABLE md5 hash
+    // (m=4096 registers: register = h mod m, rank = leading zeros of the
+    // remaining 20 bits + 1 via length(bin(w)), max-rank per register,
+    // harmonic-mean estimate + linear-counting small-range correction).
+    // Every step is integer/dyadic-exact except the final ln(), so the
+    // SAME registers and estimate fall out of the generated DuckDB
+    // oracle (the LSH-seed playbook — VERDICT r8 #3 closes the last
+    // rows-only gates). The register max-agg IS the HLL merge: map-side
+    // partial maxes combine associatively at any partitioning. Spark's
+    // native approx_count_distinct (HLL++) stays the built-in
+    // alternative; accuracy vs exact is still asserted in NewOpsSpec.
     QuerySpec("q60_approx_distinct",
-      (s, dir) =>
+      (s, dir) => {
+        val w = expr(s"h DIV $HllM")
         Tables.load(s, dir, "events")
+          .select(col("event_type"),
+            graft.functions.Text.hash32(col("user_id").cast("string")).as("h"))
+          .select(col("event_type"), (col("h") % HllM).as("j"),
+            when(w === 0, lit(HllRankW + 1))
+              .otherwise(lit(HllRankW + 1) - length(bin(w))).as("rho"))
+          .groupBy(col("event_type"), col("j"))
+          .agg(max(col("rho")).as("mj"), count(lit(1)).as("cj"))
           .groupBy("event_type")
-          .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
-            count(lit(1)).as("n_events"))
-          .orderBy("event_type"),
-      None),
+          .agg(
+            // 2^-mj terms are single-mantissa-bit dyadics; their sum is
+            // EXACT (≤ 2^12 terms spanning 2^0..2^-21 fits 53 bits) —
+            // order-independent, so sum(double) is safe here
+            sum(expr("CAST(1 AS DOUBLE) / CAST(shiftleft(CAST(1 AS BIGINT), mj) AS DOUBLE)"))
+              .as("sp"),
+            count(lit(1)).as("filled"),
+            sum(col("cj")).as("n_events"))
+          .select(col("event_type"),
+            round(
+              when(lit(HllC) / (col("sp") + (lit(HllM) - col("filled")).cast("double"))
+                  <= lit(2.5 * HllM) && col("filled") < HllM,
+                lit(HllM.toDouble) * log(lit(HllM.toDouble) /
+                  (lit(HllM) - col("filled")).cast("double")))
+                .otherwise(lit(HllC) /
+                  (col("sp") + (lit(HllM) - col("filled")).cast("double"))),
+              4).as("approx_users"),
+            col("n_events"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH h AS (SELECT event_type,
+              |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) AS h
+              |  FROM events),
+              |r AS (SELECT event_type, h % $HllM AS j,
+              |    CASE WHEN h // $HllM = 0 THEN ${HllRankW + 1}
+              |         ELSE ${HllRankW + 1} - length(bin(h // $HllM)) END AS rho
+              |  FROM h),
+              |g AS (SELECT event_type, j, max(rho) AS mj, count(*) AS cj
+              |  FROM r GROUP BY 1, 2),
+              |s AS (SELECT event_type,
+              |    SUM(CAST(1 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << mj) AS DOUBLE)) AS sp,
+              |    count(*) AS filled, CAST(SUM(cj) AS BIGINT) AS n_events
+              |  FROM g GROUP BY 1)
+              |SELECT event_type,
+              |  round(CASE WHEN CAST($HllC AS DOUBLE) / (sp + CAST($HllM - filled AS DOUBLE))
+              |          <= CAST(${2.5 * HllM} AS DOUBLE) AND filled < $HllM
+              |    THEN CAST($HllM AS DOUBLE)
+              |      * ln(CAST($HllM AS DOUBLE) / CAST($HllM - filled AS DOUBLE))
+              |    ELSE CAST($HllC AS DOUBLE) / (sp + CAST($HllM - filled AS DOUBLE))
+              |    END, 4) AS approx_users,
+              |  n_events
+              |FROM s ORDER BY event_type""".stripMargin)),
 
     // q102 — funnel analysis (view → click → purchase): a user completes
     // a stage only if its first event falls strictly after the previous
@@ -1227,12 +1292,13 @@ object EventQueries {
           .groupBy("l_returnflag")
           .agg(count(lit(1)).as("n_items"),
             countDistinct(col("l_orderkey")).as("n_orders"),
-            sum(col("l_extendedprice").cast("decimal(18,2)")).as("revenue"))
+            sum(col("l_extendedprice").cast("decimal(18,2)"))
+              .cast("decimal(28,2)").cast("double").as("revenue"))
           .orderBy("l_returnflag")
       },
       Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_items,
              |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
-             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS revenue
+             |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS DOUBLE) AS revenue
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              |WHERE o_orderpriority = '1-URGENT'
              |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
@@ -1356,7 +1422,7 @@ object EventQueries {
               col("s_key").cast("string")))).otherwise(col("c_name"))
               .as("name"),
             when(inS, col("new_bal")).otherwise(col("c_acctbal"))
-              .cast("decimal(12,2)").as("acctbal"),
+              .cast("decimal(12,2)").cast("double").as("acctbal"),
             when(inS && !inT, col("seg")).otherwise(col("c_mktsegment"))
               .as("segment"))
           .withColumnRenamed("key", "c_custkey")
@@ -1376,7 +1442,7 @@ object EventQueries {
              |    ELSE 'keep' END AS action,
              |  CASE WHEN in_s THEN COALESCE(c_name, 'new-' || CAST(c_custkey AS VARCHAR))
              |    ELSE c_name END AS name,
-             |  CAST(CASE WHEN in_s THEN new_bal ELSE c_acctbal END AS DECIMAL(12,2)) AS acctbal,
+             |  CAST(CAST(CASE WHEN in_s THEN new_bal ELSE c_acctbal END AS DECIMAL(12,2)) AS DOUBLE) AS acctbal,
              |  CASE WHEN in_s AND NOT in_t THEN seg ELSE c_mktsegment END AS segment
              |FROM j
              |WHERE NOT (in_t AND in_s AND seg = 'MACHINERY')
@@ -1562,8 +1628,9 @@ object EventQueries {
           .withColumn("cum_rev", sum("rev").over(w))
           .join(cs, "cohort")
           .select(col("cohort"), col("age").cast("int").as("age"),
-            col("n_users"), col("rev").cast("decimal(28,2)").as("rev"),
-            col("cum_rev").cast("decimal(28,2)").as("cum_rev"),
+            col("n_users"),
+            col("rev").cast("decimal(28,2)").cast("double").as("rev"),
+            col("cum_rev").cast("decimal(28,2)").cast("double").as("cum_rev"),
             (col("cum_rev").cast("double") / col("n_users"))
               .as("ltv_per_user"))
           .orderBy("cohort", "age")
@@ -1585,8 +1652,8 @@ object EventQueries {
              |      FROM m)
              |SELECT c.cohort AS cohort, CAST(c.age AS INTEGER) AS age,
              |  CAST(cs.n_users AS BIGINT) AS n_users,
-             |  CAST(c.rev AS DECIMAL(28,2)) AS rev,
-             |  CAST(c.cum_rev AS DECIMAL(28,2)) AS cum_rev,
+             |  CAST(CAST(c.rev AS DECIMAL(28,2)) AS DOUBLE) AS rev,
+             |  CAST(CAST(c.cum_rev AS DECIMAL(28,2)) AS DOUBLE) AS cum_rev,
              |  CAST(c.cum_rev AS DOUBLE) / cs.n_users AS ltv_per_user
              |FROM c JOIN cs ON c.cohort = cs.cohort
              |ORDER BY cohort, age""".stripMargin)))

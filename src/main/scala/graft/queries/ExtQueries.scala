@@ -219,7 +219,8 @@ object ExtQueries {
           .agg(count(lit(1)).as("members"),
             max(struct(length(col("p_name")).as("l"),
               (-col("pk")).as("nk"), col("p_name").as("nm"))).as("g"),
-            max(col("p_retailprice")).cast("decimal(12,2)").as("max_price"),
+            max(col("p_retailprice")).cast("decimal(12,2)").cast("double")
+              .as("max_price"),
             countDistinct(col("p_brand")).as("n_brands"))
           .select(col("cid").as("cluster_id"), col("members"),
             (-col("g.nk")).as("golden_key"), col("g.nm").as("golden_name"),
@@ -256,7 +257,7 @@ object ExtQueries {
              |SELECT c.cid AS cluster_id, CAST(count(*) AS BIGINT) AS members,
              |  CAST(max(CASE WHEN g.rn = 1 THEN g.pk END) AS BIGINT) AS golden_key,
              |  max(CASE WHEN g.rn = 1 THEN g.p_name END) AS golden_name,
-             |  CAST(max(c.p_retailprice) AS DECIMAL(12,2)) AS max_price,
+             |  CAST(CAST(max(c.p_retailprice) AS DECIMAL(12,2)) AS DOUBLE) AS max_price,
              |  CAST(count(DISTINCT c.p_brand) AS BIGINT) AS n_brands
              |FROM clustered c JOIN g ON c.cid = g.cid AND c.pk = g.pk
              |GROUP BY c.cid ORDER BY cluster_id""".stripMargin)),
@@ -367,30 +368,47 @@ object ExtQueries {
     // serially-correlated data — rows within the embargo of a test
     // fold's date range belong to NEITHER side. Fold assignment is
     // exact integer date arithmetic off the data's own span (no
-    // quantiles to diverge); the per-fold classification is the
-    // broadcast-bounds × corpus pattern of q195 (k-fold stats) — a k×
-    // fanout against a k-row broadcast, never a corpus×corpus join.
+    // quantiles to diverge). The span and the 5 fold [lo, hi] bounds
+    // are BOUNDED driver collects (1 row, then k=5 rows — the
+    // q168/q284/q320 rule); the per-fold classification is then a
+    // literal CASE matrix evaluated in ONE corpus pass producing all
+    // 5×3 counts, restacked to 5 rows on the 1-row aggregate frame —
+    // no k× row fanout, no broadcast joins, no extra shuffle
+    // (VERDICT r8: the fanout form was pure-scheduling-bound).
     QuerySpec("q229_purged_cv",
       (s, dir) => {
         val b = Tables.load(s, dir, "orders")
           .select(col("o_orderdate").cast("date").as("day"))
         val sp = b.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
-        val f = b.crossJoin(broadcast(sp))
-          .select(col("day"),
-            expr("CAST((datediff(day, d0) * 5) DIV (datediff(d1, d0) + 1) AS INT)")
-              .as("fold"))
+          .head()
+        val (d0, d1) = (sp.getDate(0), sp.getDate(1))
+        val f = b.select(col("day"),
+            expr(s"CAST((datediff(day, DATE'$d0') * 5) DIV " +
+              s"(datediff(DATE'$d1', DATE'$d0') + 1) AS INT)").as("fold"))
           .persistTracked()
-        val bounds = f.groupBy(col("fold").as("bf"))
+        val bounds = f.groupBy(col("fold"))
           .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
-        val emb = col("day").between(date_sub(col("lo"), 30), date_add(col("hi"), 30))
-        f.crossJoin(broadcast(bounds))
-          .groupBy("bf")
-          .agg(
-            sum(when(col("fold") === col("bf"), 1L).otherwise(0L)).as("n_test"),
-            sum(when(col("fold") =!= col("bf") && emb, 1L).otherwise(0L)).as("n_embargo"),
-            sum(when(col("fold") =!= col("bf") && !emb, 1L).otherwise(0L)).as("n_train"))
-          .select(col("bf").as("fold"), col("n_test"), col("n_embargo"),
-            col("n_train"))
+          .collect()
+          .map(r => (r.getInt(0), r.getDate(1), r.getDate(2)))
+          .sortBy(_._1)
+        val sums = bounds.flatMap { case (bf, lo, hi) =>
+          val emb = col("day").between(
+            date_sub(lit(lo), 30), date_add(lit(hi), 30))
+          Seq(
+            sum(when(col("fold") === bf, 1L).otherwise(0L)).as(s"t$bf"),
+            sum(when(col("fold") =!= bf && emb, 1L).otherwise(0L))
+              .as(s"e$bf"),
+            sum(when(col("fold") =!= bf && !emb, 1L).otherwise(0L))
+              .as(s"r$bf"))
+        }
+        val rows = bounds.map { case (bf, _, _) =>
+          struct(lit(bf).as("fold"), col(s"t$bf").as("n_test"),
+            col(s"e$bf").as("n_embargo"), col(s"r$bf").as("n_train"))
+        }
+        f.agg(sums.head, sums.tail: _*)
+          .select(explode(array(rows: _*)).as("x"))
+          .select(col("x.fold"), col("x.n_test"), col("x.n_embargo"),
+            col("x.n_train"))
           .orderBy("fold")
       },
       Some("""WITH b AS (SELECT CAST(o_orderdate AS DATE) AS day FROM orders),
@@ -1729,7 +1747,7 @@ object ExtQueries {
             col("rows_scanned"),
             coalesce(col("rows_matching"), lit(0L)).as("rows_matching"),
             round(col("files_skipped") * 100.0 / col("files_total"), 2)
-              .cast("decimal(6,2)").as("skip_pct"))
+              .cast("decimal(6,2)").cast("double").as("skip_pct"))
           .orderBy("band_lo", "layout")
       },
       Some("""WITH ranked AS (
@@ -1758,7 +1776,7 @@ object ExtQueries {
              |  JOIN documents d ON d.n_chars >= b.lo AND d.n_chars < b.hi GROUP BY 1, 2)
              |SELECT x.lo AS band_lo, x.hi AS band_hi, x.layout, x.files_total, x.files_skipped,
              |  x.rows_scanned, CAST(COALESCE(m.rows_matching, 0) AS BIGINT) AS rows_matching,
-             |  CAST(round(x.files_skipped * 100.0 / x.files_total, 2) AS DECIMAL(6,2)) AS skip_pct
+             |  CAST(CAST(round(x.files_skipped * 100.0 / x.files_total, 2) AS DECIMAL(6,2)) AS DOUBLE) AS skip_pct
              |FROM x LEFT JOIN m ON x.lo = m.lo AND x.hi = m.hi
              |ORDER BY band_lo, layout""".stripMargin)),
 
@@ -1789,7 +1807,7 @@ object ExtQueries {
           .groupBy("source", "bin")
           .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("bytes"),
             round(sum(col("bytes")) * 100.0 / 16384, 2)
-              .cast("decimal(7,2)").as("fill_pct"))
+              .cast("decimal(7,2)").cast("double").as("fill_pct"))
           .orderBy("source", "bin")
       },
       Some("""WITH files AS (
@@ -1804,7 +1822,7 @@ object ExtQueries {
              |  FROM files)
              |SELECT source, bin, CAST(count(*) AS BIGINT) AS n_files,
              |  CAST(SUM(bytes) AS BIGINT) AS bytes,
-             |  CAST(round(SUM(bytes) * 100.0 / 16384, 2) AS DECIMAL(7,2)) AS fill_pct
+             |  CAST(CAST(round(SUM(bytes) * 100.0 / 16384, 2) AS DECIMAL(7,2)) AS DOUBLE) AS fill_pct
              |FROM planned GROUP BY 1, 2 ORDER BY source, bin""".stripMargin)),
 
     // q286 — Z-ORDER clustering effectiveness, on the NATIVE
@@ -1842,7 +1860,7 @@ object ExtQueries {
           .groupBy("layout")
           .agg(count(lit(1)).as("n_files"), sum(col("area")).as("sum_area"),
             round(sum(col("area")) / count(lit(1)), 1)
-              .cast("decimal(18,1)").as("avg_area"))
+              .cast("decimal(18,1)").cast("double").as("avg_area"))
           .orderBy("layout")
       },
       Some {
@@ -1864,7 +1882,7 @@ object ExtQueries {
            |  FROM layouts GROUP BY 1, 2)
            |SELECT layout, CAST(count(*) AS BIGINT) AS n_files,
            |  CAST(SUM(area) AS BIGINT) AS sum_area,
-           |  CAST(round(SUM(area) / count(*), 1) AS DECIMAL(18,1)) AS avg_area
+           |  CAST(CAST(round(SUM(area) / count(*), 1) AS DECIMAL(18,1)) AS DOUBLE) AS avg_area
            |FROM files GROUP BY layout ORDER BY layout""".stripMargin
       }),
 
@@ -1953,14 +1971,15 @@ object ExtQueries {
           .groupBy("priority")
           .agg(count(lit(1)).as("n"),
             countDistinct(col("gen")).as("n_gens"),
-            sum(col("o_totalprice").cast("decimal(18,2)")).as("total"))
+            sum(col("o_totalprice").cast("decimal(18,2)"))
+              .cast("decimal(28,2)").cast("double").as("total"))
           .orderBy("priority")
       },
       Some("""SELECT COALESCE(CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END,
              |    'pre-schema') AS priority,
              |  CAST(count(*) AS BIGINT) AS n,
              |  CAST(count(DISTINCT o_orderkey % 2) AS BIGINT) AS n_gens,
-             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS total
+             |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS DOUBLE) AS total
              |FROM orders
              |GROUP BY 1 ORDER BY priority""".stripMargin)),
 
@@ -1986,7 +2005,7 @@ object ExtQueries {
             sum(col("length")).as("blob_bytes"))
           .select(col("shard"), col("n_records"), col("blob_bytes"),
             round(col("blob_bytes") / col("n_records"), 2)
-              .cast("decimal(10,2)").as("mean_bytes"))
+              .cast("decimal(10,2)").cast("double").as("mean_bytes"))
           .orderBy("shard")
       },
       Some("""WITH b AS (SELECT
@@ -1995,7 +2014,7 @@ object ExtQueries {
              |  FROM documents)
              |SELECT shard, CAST(count(*) AS BIGINT) AS n_records,
              |  CAST(SUM(len) AS BIGINT) AS blob_bytes,
-             |  CAST(round(SUM(len) / count(*), 2) AS DECIMAL(10,2)) AS mean_bytes
+             |  CAST(CAST(round(SUM(len) / count(*), 2) AS DECIMAL(10,2)) AS DOUBLE) AS mean_bytes
              |FROM b GROUP BY shard ORDER BY shard""".stripMargin)),
 
     // q291 — TopN PUSHDOWN serving read: `ORDER BY doc_id LIMIT 10`
@@ -2204,13 +2223,14 @@ object ExtQueries {
         s.read.parquet(root)
           .groupBy("prio")
           .agg(count(lit(1)).as("n"),
-            sum(col("price")).cast("decimal(28,2)").as("total"))
+            sum(col("price")).cast("decimal(28,2)").cast("double")
+              .as("total"))
           .orderBy("prio")
       },
       Some("""WITH w AS (SELECT o_orderpriority AS prio, o_orderkey,
              |    CAST(round(o_totalprice, 2) AS DECIMAL(18,2)) AS price FROM orders)
              |SELECT prio, CAST(count(*) AS BIGINT) AS n,
-             |  CAST(SUM(price) AS DECIMAL(28,2)) AS total
+             |  CAST(CAST(SUM(price) AS DECIMAL(28,2)) AS DOUBLE) AS total
              |FROM w WHERE prio NOT IN ('1-URGENT', '2-HIGH') OR o_orderkey % 3 = 0
              |GROUP BY prio ORDER BY prio""".stripMargin)),
 
@@ -2323,8 +2343,9 @@ object ExtQueries {
             sum("l_extendedprice").as("sum_price"),
             count(lit(1)).as("n_rows"))
           .select(col("l_returnflag"), col("l_linestatus"),
-            col("sum_qty").cast("decimal(28,2)").as("sum_qty"),
-            col("sum_price").cast("decimal(28,2)").as("sum_price"),
+            col("sum_qty").cast("decimal(28,2)").cast("double").as("sum_qty"),
+            col("sum_price").cast("decimal(28,2)").cast("double")
+              .as("sum_price"),
             col("n_rows"))
           .orderBy("l_returnflag", "l_linestatus")
         val scans = q.queryExecution.optimizedPlan.collect {
@@ -2338,8 +2359,8 @@ object ExtQueries {
         q
       },
       Some("""SELECT l_returnflag, l_linestatus,
-             |  CAST(SUM(l_quantity) AS DECIMAL(28,2)) AS sum_qty,
-             |  CAST(SUM(l_extendedprice) AS DECIMAL(28,2)) AS sum_price,
+             |  CAST(CAST(SUM(l_quantity) AS DECIMAL(28,2)) AS DOUBLE) AS sum_qty,
+             |  CAST(CAST(SUM(l_extendedprice) AS DECIMAL(28,2)) AS DOUBLE) AS sum_price,
              |  CAST(count(*) AS BIGINT) AS n_rows
              |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
@@ -2460,7 +2481,8 @@ object ExtQueries {
             (sum("dnum").cast("double")
               / (lit(2.0) * max("n") * max("nn"))).as("tvd"))
           .select(col("nation"), col("seg"), col("n"),
-            col("tvd_num").cast("decimal(38,0)").as("tvd_num"), col("tvd"))
+            col("tvd_num").cast("decimal(38,0)").cast("double").as("tvd_num"),
+            col("tvd"))
           .orderBy(desc("tvd"), col("nation"), col("seg"))
       },
       Some("""WITH j AS (SELECT n.n_name AS nation, c.c_mktsegment AS seg,
@@ -2477,8 +2499,8 @@ object ExtQueries {
              |      LEFT JOIN cd ON cd.nation = cls.nation AND cd.seg = cls.seg
              |        AND cd.sens = gd.sens)
              |SELECT nation, seg, CAST(max(n) AS BIGINT) AS n,
-             |  CAST(SUM(abs(CAST(c AS DECIMAL(38,0)) * nn
-             |    - CAST(g AS DECIMAL(38,0)) * n)) AS DECIMAL(38,0)) AS tvd_num,
+             |  CAST(CAST(SUM(abs(CAST(c AS DECIMAL(38,0)) * nn
+             |    - CAST(g AS DECIMAL(38,0)) * n)) AS DECIMAL(38,0)) AS DOUBLE) AS tvd_num,
              |  CAST(SUM(abs(CAST(c AS DECIMAL(38,0)) * nn
              |    - CAST(g AS DECIMAL(38,0)) * n)) AS DOUBLE)
              |    / (CAST(2.0 AS DOUBLE) * max(n) * max(nn)) AS tvd
@@ -2522,11 +2544,13 @@ object ExtQueries {
           .groupBy("l_returnflag")
           .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n_rows"))
           .select(lit(1).as("lvl"), col("l_returnflag").as("rf"),
-            col("sum_qty").cast("decimal(28,2)").as("sum_qty"), col("n_rows"))
+            col("sum_qty").cast("decimal(28,2)").cast("double").as("sum_qty"),
+            col("n_rows"))
         val lvl0 = Tables.load(ns, dir, "lineitem")
           .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n_rows"))
           .select(lit(0).as("lvl"), lit("ALL").as("rf"),
-            col("sum_qty").cast("decimal(28,2)").as("sum_qty"), col("n_rows"))
+            col("sum_qty").cast("decimal(28,2)").cast("double").as("sum_qty"),
+            col("n_rows"))
         val q = lvl1.union(lvl0).orderBy("lvl", "rf")
         val scans = q.queryExecution.optimizedPlan.collect {
           case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
@@ -2539,11 +2563,11 @@ object ExtQueries {
         q
       },
       Some("""SELECT 1 AS lvl, l_returnflag AS rf,
-             |  CAST(SUM(l_quantity) AS DECIMAL(28,2)) AS sum_qty,
+             |  CAST(CAST(SUM(l_quantity) AS DECIMAL(28,2)) AS DOUBLE) AS sum_qty,
              |  CAST(count(*) AS BIGINT) AS n_rows
              |FROM lineitem GROUP BY 2
              |UNION ALL
-             |SELECT 0, 'ALL', CAST(SUM(l_quantity) AS DECIMAL(28,2)),
+             |SELECT 0, 'ALL', CAST(CAST(SUM(l_quantity) AS DECIMAL(28,2)) AS DOUBLE),
              |  CAST(count(*) AS BIGINT)
              |FROM lineitem
              |ORDER BY lvl, rf""".stripMargin)),
@@ -2592,17 +2616,17 @@ object ExtQueries {
           RETURN p * (1 - d) - q * CAST(90.00 AS DECIMAL(4,2))""")
         Tables.load(s, dir, "lineitem").createOrReplaceTempView("g353_lineitem")
         s.sql("""SELECT l_returnflag,
-            CAST(SUM(graft_margin(CAST(l_extendedprice AS DECIMAL(18,2)),
+            CAST(CAST(SUM(graft_margin(CAST(l_extendedprice AS DECIMAL(18,2)),
               CAST(l_discount AS DECIMAL(18,2)),
-              CAST(l_quantity AS DECIMAL(18,2)))) AS DECIMAL(30,4)) AS total_margin,
+              CAST(l_quantity AS DECIMAL(18,2)))) AS DECIMAL(30,4)) AS DOUBLE) AS total_margin,
             CAST(count(*) AS BIGINT) AS n
           FROM g353_lineitem GROUP BY 1 ORDER BY 1""")
       },
       Some("""SELECT l_returnflag,
-             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
              |      * (1 - CAST(l_discount AS DECIMAL(18,2)))
              |    - CAST(l_quantity AS DECIMAL(18,2)) * CAST(90.00 AS DECIMAL(4,2)))
-             |    AS DECIMAL(30,4)) AS total_margin,
+             |    AS DECIMAL(30,4)) AS DOUBLE) AS total_margin,
              |  CAST(count(*) AS BIGINT) AS n
              |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
 
@@ -2706,7 +2730,7 @@ object ExtQueries {
           .groupBy("layout")
           .agg(count(lit(1)).as("n_files"), sum(col("area")).as("sum_area"),
             round(sum(col("area")) / count(lit(1)), 1)
-              .cast("decimal(18,1)").as("avg_area"))
+              .cast("decimal(18,1)").cast("double").as("avg_area"))
           .orderBy("layout")
       },
       Some {
@@ -2730,7 +2754,7 @@ object ExtQueries {
            |  FROM layouts GROUP BY 1, 2)
            |SELECT layout, CAST(count(*) AS BIGINT) AS n_files,
            |  CAST(SUM(area) AS BIGINT) AS sum_area,
-           |  CAST(round(SUM(area) / count(*), 1) AS DECIMAL(18,1)) AS avg_area
+           |  CAST(CAST(round(SUM(area) / count(*), 1) AS DECIMAL(18,1)) AS DOUBLE) AS avg_area
            |FROM files GROUP BY layout ORDER BY layout""".stripMargin
       }),
 
@@ -3216,7 +3240,7 @@ object ExtQueries {
         require(TxLog.snapshot(t, Some(0)).toSet ==
           TxLog.snapshot(t, Some(2)).toSet,
           "merge-on-read delete must not rewrite any data file")
-        require(TxLog.deletionVectors(t).nonEmpty,
+        require(TxLog.hasDeletionVectors(t),
           "no deletion vectors were committed")
         Seq(0, 1, 2).map { v =>
           TxLog.read(s, t, Some(v))

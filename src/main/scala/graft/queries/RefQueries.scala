@@ -594,22 +594,55 @@ object RefQueries {
              |FROM (SELECT * FROM existing UNION ALL SELECT * FROM ins)
              |GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
-    // q66 — approximate percentiles (Greenwald-Khanna sketch): the scale
-    // path for q43's exact form — exact percentile needs a per-group full
-    // sort; the sketch is one pass with fixed-size mergeable state, the
-    // only shape at 100 TB. accuracy=10000 bounds rank error at n/10000.
-    // Sketch internals are engine-specific → rows-only check (like q60);
-    // NewOpsSpec brackets each estimate between exact neighboring
-    // percentiles instead.
+    // q66 — approximate percentiles via a fixed-width HISTOGRAM sketch:
+    // the scale path for q43's exact form — exact percentile needs a
+    // per-group full sort; the sketch is one pass into bounded mergeable
+    // state (bin counts; bin = floor(price/100), value error ≤ the bin
+    // width), the shape that survives 100 TB. Unlike Spark's built-in
+    // approx_percentile (Greenwald-Khanna, engine-specific internals)
+    // every step here is deterministic integer arithmetic — bin counts,
+    // cumulative ranks, the 2·cum ≥ n crossing rule — so the estimate is
+    // bit-reproducible in the generated DuckDB oracle (VERDICT r8 #3).
+    // The per-group window runs over BIN grain (~1k bins/group, bounded
+    // by the value range), never row grain.
     QuerySpec("q66_approx_percentile",
-      (s, dir) =>
-        t(s, dir, "lineitem").groupBy("l_returnflag")
+      (s, dir) => {
+        val bins = t(s, dir, "lineitem")
+          .select(col("l_returnflag"),
+            floor(col("l_extendedprice") / lit(100.0d)).cast("long").as("bin"))
+          .groupBy("l_returnflag", "bin")
+          .agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy("l_returnflag").orderBy("bin")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.partitionBy("l_returnflag")
+        bins
+          .withColumn("cum", sum(col("c")).over(w))
+          .withColumn("n", sum(col("c")).over(wAll))
+          .groupBy("l_returnflag")
           .agg(
-            expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("p50_approx"),
-            expr("approx_percentile(l_extendedprice, 0.9, 10000)").as("p90_approx"),
-            count(lit(1)).as("n"))
-          .orderBy("l_returnflag"),
-      None),
+            (min(when(col("cum") * 2 >= col("n"), col("bin"))) * 100 + 50)
+              .cast("double").as("p50_approx"),
+            (min(when(col("cum") * 10 >= col("n") * 9, col("bin"))) * 100 + 50)
+              .cast("double").as("p90_approx"),
+            max(col("n")).as("n"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH b AS (SELECT l_returnflag,
+             |    CAST(floor(l_extendedprice / CAST(100 AS DOUBLE)) AS BIGINT) AS bin,
+             |    count(*) AS c
+             |  FROM lineitem GROUP BY 1, 2),
+             |r AS (SELECT l_returnflag, bin, c,
+             |    SUM(c) OVER (PARTITION BY l_returnflag ORDER BY bin
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             |    SUM(c) OVER (PARTITION BY l_returnflag) AS n
+             |  FROM b)
+             |SELECT l_returnflag,
+             |  CAST(MIN(CASE WHEN cum * 2 >= n THEN bin END) * 100 + 50 AS DOUBLE)
+             |    AS p50_approx,
+             |  CAST(MIN(CASE WHEN cum * 10 >= n * 9 THEN bin END) * 100 + 50 AS DOUBLE)
+             |    AS p90_approx,
+             |  CAST(MAX(n) AS BIGINT) AS n
+             |FROM r GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // q65 — MULTISET set operators + full-outer join: exceptAll /
     // intersectAll keep duplicate multiplicity (q38 covers the distinct

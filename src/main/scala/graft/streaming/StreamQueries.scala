@@ -522,19 +522,26 @@ object StreamQueries {
         val agg = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1").parquet(tmp)
           .groupBy("event_type").agg(count(lit(1)).as("n_events"))
-        val buf = scala.collection.mutable.ArrayBuffer[(Long, String, Long)]()
+        // Each micro-batch's changed keys are written DISTRIBUTED as a
+        // batch-id-keyed parquet delta (the q200 sink shape) — nothing
+        // passes through the driver, so the path survives
+        // high-cardinality keys (VERDICT r8: the collect() form's
+        // "tiny" assumption dies at scale).
+        val out = Files.createTempDirectory("graft_upd_sink_").toString
+        sinkDirs.add(out)
         val q = agg.writeStream.outputMode("update")
           .foreachBatch { (b: Dataset[Row], id: Long) =>
-            val rows = b.collect() // keys changed this batch — tiny
-            buf.synchronized {
-              buf ++= rows.map(r => (id, r.getString(0), r.getLong(1)))
-            }: Unit
+            b.withColumn("batch_id", lit(id))
+              .write.mode(SaveMode.Overwrite)
+              .parquet(f"$out/batch_$id%05d"): Unit
           }
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
-        val last = buf.groupBy(_._2).values.map(_.maxBy(_._1)).toSeq
-        s.createDataFrame(last.map { case (_, k, n) => (k, n) })
-          .toDF("event_type", "n_events")
+        // final state per key = its LAST emitted update; a key appears
+        // at most once per batch, so max_by over batch_id is exact
+        s.read.parquet(s"$out/batch_*")
+          .groupBy("event_type")
+          .agg(max_by(col("n_events"), col("batch_id")).as("n_events"))
           .orderBy("event_type")
       },
       Some("""SELECT event_type, count(*) AS n_events
@@ -872,7 +879,7 @@ object StreamQueries {
           TxLog.snapshot(table, Some(vDel)).toSet,
           "GDPR delete rewrote data files — DV contract broken")
         TxLog.optimize(s, table)
-        require(TxLog.deletionVectors(table).isEmpty,
+        require(!TxLog.hasDeletionVectors(table),
           "optimize left deletion vectors behind")
         require(TxLog.snapshot(table).size == 1,
           "optimize did not compact to one file")
@@ -1167,12 +1174,12 @@ object StreamQueries {
         val (_, gen) = maintainHourlyMv(s, dir)
         s.read.parquet(gen)
           .select(col("event_type"), col("hr"), col("n").as("n_events"),
-            col("sv").cast("decimal(28,2)").as("sum_value"))
+            col("sv").cast("decimal(28,2)").cast("double").as("sum_value"))
           .orderBy("event_type", "hr")
       },
       Some("""SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
              |  count(*) AS n_events,
-             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_value
+             |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS DOUBLE) AS sum_value
              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     // q351 — stream-maintained MV SERVED through the optimizer rule:
@@ -1211,7 +1218,8 @@ object StreamQueries {
           .agg(sum(col("value").cast("decimal(18,2)")).as("sum_value"),
             count(lit(1)).as("n_events"))
           .select(col("event_type"),
-            col("sum_value").cast("decimal(28,2)").as("sum_value"),
+            col("sum_value").cast("decimal(28,2)").cast("double")
+              .as("sum_value"),
             col("n_events"))
           .orderBy("event_type")
         val scans = q.queryExecution.optimizedPlan.collect {
@@ -1225,7 +1233,7 @@ object StreamQueries {
         q
       },
       Some("""SELECT event_type,
-             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_value,
+             |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS DOUBLE) AS sum_value,
              |  count(*) AS n_events
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)))
 

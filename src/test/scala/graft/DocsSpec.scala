@@ -30,11 +30,12 @@ class DocsSpec extends AnyFunSuite {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet),
       "oracle SQL for a query that doesn't exist: " +
         (SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet))
-    // New rows-only queries need the same declared-invariant treatment
-    // as these three (NewOpsSpec) — growing this set silently weakens
-    // the gate, so it must be grown HERE deliberately.
-    assert(rowsOnly == Set("q60_approx_distinct", "q66_approx_percentile",
-      "q116_bloom_newdocs"),
+    // Round 9 closed the last three rows-only sketches (portable-hash
+    // HLL / histogram percentile / relational bloom, VERDICT r8 #3):
+    // every declared query now carries an oracle. A query appearing
+    // here means it silently weakened the gate — oracle it or justify
+    // it in NewOpsSpec AND grow this set deliberately.
+    assert(rowsOnly == Set.empty[String],
       s"rows-only query set changed: $rowsOnly")
   }
 }

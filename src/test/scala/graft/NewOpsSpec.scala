@@ -34,7 +34,7 @@ class NewOpsSpec extends AnyFunSuite {
   test("q60_approx_distinct: HLL estimate within 5% of exact") {
     import org.apache.spark.sql.functions._
     val approx = run("q60_approx_distinct").collect()
-      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("approx_users")).toMap
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Double]("approx_users")).toMap
     val exact = spark.read.parquet(s"$sf/events.parquet")
       .groupBy("event_type").agg(countDistinct("user_id").as("n")).collect()
       .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n")).toMap
@@ -226,9 +226,9 @@ class NewOpsSpec extends AnyFunSuite {
 
   test("q116_bloom_newdocs: no false negatives, fp rate within bound") {
     import org.apache.spark.sql.functions._
+    // q116's relational bloom keys on the raw content digest
     val docs = spark.read.parquet(s"$sf/documents.parquet")
-      .select(col("doc_id"), col("source"),
-        graft.functions.Text.fingerprint(col("text")).as("fp"))
+      .select(col("doc_id"), col("source"), md5(col("text")).as("fp"))
     val existing = docs.filter(col("doc_id") % 2 === 0)
     // Bloom guarantee on the NATIVE expression path q116 uses: every
     // inserted member answers true when probed through
