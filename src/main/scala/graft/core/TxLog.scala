@@ -28,10 +28,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Log entries are newline-delimited `add\t<file>` / `remove\t<file>` /
   * `dv\t<file>\t<positions>` / `dvf\t<file>\t<sidecar>` lines named
   * `<version %08d>.txt` under `_log/`. At 100 TB the log is file-grain
-  * metadata (KBs per commit for thousands of data files) and replay
-  * cost is O(#commits) driver-side IO — checkpointing the replayed set
-  * every N commits is the standard growth fix and changes nothing
-  * structural. */
+  * metadata (KBs per commit for thousands of data files); replay cost
+  * is bounded by CHECKPOINTS — every [[CheckpointInterval]]-th commit
+  * also writes `<version>.checkpoint` holding the fully-replayed state
+  * (live add lines verbatim, outstanding DVs, txn markers), and every
+  * reader starts from the nearest checkpoint at or below its version,
+  * so replay is O(interval) raw entries regardless of table age (the
+  * Delta `_last_checkpoint` shape). */
 object TxLog {
 
   private def logDir(dir: String): File = new File(dir, "_log")
@@ -60,6 +63,7 @@ object TxLog {
     try {
       Files.createLink(versionFile(dir, v), tmp)
       Files.deleteIfExists(tmp)
+      maybeCheckpoint(dir, v)
       v
     } catch {
       case _: java.nio.file.FileAlreadyExistsException =>
@@ -69,11 +73,17 @@ object TxLog {
     }
   }
 
-  /** Highest committed version, or -1 for an uninitialized table. */
+  /** Highest committed version, or -1 for an uninitialized table.
+    * Checkpoint files count: a log whose raw entries were truncated
+    * below its latest checkpoint still resolves. */
   def currentVersion(dir: String): Int = {
     val files = Option(logDir(dir).listFiles()).getOrElse(Array.empty)
-    val vs = files.flatMap(f => f.getName.stripSuffix(".txt").toIntOption
-      .filter(_ => f.getName.endsWith(".txt")))
+    val vs = files.flatMap { f =>
+      val n = f.getName
+      if (n.endsWith(".txt")) n.stripSuffix(".txt").toIntOption
+      else if (n.endsWith(".checkpoint")) n.stripSuffix(".checkpoint").toIntOption
+      else None
+    }
     if (vs.isEmpty) -1 else vs.max
   }
 
@@ -87,21 +97,117 @@ object TxLog {
       lines.collect { case l if l.startsWith("remove\t") => l.split('\t')(1) })
   }
 
-  /** Live data files at `asOf` (default: latest), by log replay. */
-  def snapshot(dir: String, asOf: Option[Int] = None): Seq[String] = {
+  /** The fully-replayed log state at one version: live files (keyed by
+    * the file field, valued by the VERBATIM add line so stats fields
+    * survive checkpointing), outstanding deletion-vector sources, and
+    * seen txn marker lines. One fold serves every reader —
+    * [[snapshot]], [[fileStats]], [[deletionVectors]], [[txnSeen]] —
+    * and is what a CHECKPOINT serializes. */
+  private final class LogState {
+    val live = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val dv = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Set[Long], Seq[String])]
+    val txns = scala.collection.mutable.LinkedHashSet.empty[String]
+
+    /** Apply one version's (or one checkpoint's) lines: removes first —
+      * the commit-line order every writer uses — then adds/dv/txn. */
+    def apply(lines: Seq[String]): Unit = {
+      lines.foreach { l =>
+        if (l.startsWith("remove\t")) { val f = l.substring(7); live -= f; dv -= f }
+      }
+      lines.foreach { l =>
+        if (l.startsWith("add\t")) live(l.split('\t')(1)) = l
+        else if (l.startsWith("dv\t")) l.split('\t') match {
+          case Array(_, f, ps) =>
+            val (inl, sc) = dv.getOrElse(f, (Set.empty[Long], Seq.empty))
+            dv(f) = (inl ++ ps.split(',').filter(_.nonEmpty).map(_.toLong), sc)
+          case _ => ()
+        }
+        else if (l.startsWith("dvf\t")) l.split('\t') match {
+          case Array(_, f, path) =>
+            val (inl, sc) = dv.getOrElse(f, (Set.empty[Long], Seq.empty))
+            dv(f) = (inl, sc :+ path)
+          case _ => ()
+        }
+        else if (l.startsWith("txn\t")) txns += l: Unit
+      }
+    }
+
+    /** The state as checkpoint lines (round-trips through [[apply]]). */
+    def serialize: Seq[String] =
+      live.values.toSeq ++
+        dv.toSeq.flatMap { case (f, (inline, sidecars)) =>
+          (if (inline.nonEmpty)
+            Seq(s"dv\t$f\t${inline.toSeq.sorted.mkString(",")}")
+          else Seq.empty) ++ sidecars.map(sc => s"dvf\t$f\t$sc")
+        } ++ txns.toSeq
+  }
+
+  private def checkpointFile(dir: String, v: Int): Path =
+    logDir(dir).toPath.resolve(f"$v%08d.checkpoint")
+
+  /** Highest checkpoint at or below `v`, if any. */
+  private def latestCheckpoint(dir: String, v: Int): Option[Int] = {
+    val files = Option(logDir(dir).listFiles()).getOrElse(Array.empty)
+    val cs = files.flatMap(f => f.getName.stripSuffix(".checkpoint").toIntOption
+      .filter(_ => f.getName.endsWith(".checkpoint")))
+      .filter(_ <= v)
+    if (cs.isEmpty) None else Some(cs.max)
+  }
+
+  private def fileLines(p: Path): Seq[String] =
+    new String(Files.readAllBytes(p), "UTF-8")
+      .linesIterator.filter(_.nonEmpty).toSeq
+
+  /** Replay through `asOf`, starting from the nearest checkpoint — the
+    * O(#commits) driver IO becomes O(interval) once checkpoints exist
+    * (the Delta `_last_checkpoint` growth fix, as a state file). */
+  private def state(dir: String, asOf: Option[Int]): LogState = {
     val cur = currentVersion(dir)
     require(cur >= 0, s"$dir is not a TxLog table (no committed versions)")
     val v = asOf.getOrElse(cur)
     require(v >= 0 && v <= cur,
       s"version $v does not exist (table is at version $cur)")
-    val live = scala.collection.mutable.LinkedHashSet.empty[String]
-    (0 to v).foreach { i =>
-      val (adds, removes) = changes(dir, i)
-      removes.foreach(live -= _)
-      adds.foreach(live += _)
+    val st = new LogState
+    val start = latestCheckpoint(dir, v) match {
+      case Some(c) => st.apply(fileLines(checkpointFile(dir, c))); c + 1
+      case None => 0
     }
-    live.toSeq
+    (start to v).foreach(i => st.apply(fileLines(versionFile(dir, i))))
+    st
   }
+
+  /** Write a CHECKPOINT of the replayed state at `asOf` (default
+    * current): subsequent readers replay from it instead of version 0.
+    * Pure log metadata — no data IO; idempotent (an existing checkpoint
+    * for the version is kept). Raw version files stay untouched, so
+    * [[changes]]-based CDF and pre-checkpoint time travel keep working
+    * as long as they are retained. */
+  def checkpoint(dir: String, asOf: Option[Int] = None): Int = {
+    val v = asOf.getOrElse(currentVersion(dir))
+    val body = state(dir, Some(v)).serialize
+    val tmp = Files.createTempFile(logDir(dir).toPath, s".ckpt-$v-", ".tmp")
+    Files.write(tmp, body.mkString("", "\n", "\n").getBytes("UTF-8"))
+    try Files.createLink(checkpointFile(dir, v), tmp)
+    catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    finally Files.deleteIfExists(tmp): Unit
+    v
+  }
+
+  /** Auto-checkpoint cadence: writers call [[maybeCheckpoint]] after a
+    * successful commit; every `CheckpointInterval`-th version gets a
+    * checkpoint (Delta's every-10-commits default). */
+  val CheckpointInterval: Int = 10
+
+  private def maybeCheckpoint(dir: String, v: Int): Unit =
+    if (v > 0 && v % CheckpointInterval == 0)
+      try checkpoint(dir, Some(v)): Unit
+      catch { case _: Throwable => () } // best-effort; never fails a commit
+
+  /** Live data files at `asOf` (default: latest), by checkpointed log
+    * replay. */
+  def snapshot(dir: String, asOf: Option[Int] = None): Seq[String] =
+    state(dir, asOf).live.keys.toSeq
 
   /** Commit `adds`/`removes` as version `expected + 1`; exactly one
     * writer per version (see [[claimVersion]]). */
@@ -155,22 +261,14 @@ object TxLog {
   /** Per-file [min, max] of `statsCol` from the log's add lines (files
     * committed without stats are absent — callers must keep them). */
   def fileStats(dir: String, statsCol: String,
-      asOf: Option[Int] = None): Map[String, (Long, Long)] = {
-    val v = asOf.getOrElse(currentVersion(dir))
-    val acc = scala.collection.mutable.Map.empty[String, (Long, Long)]
-    (0 to v).foreach { i =>
-      new String(Files.readAllBytes(versionFile(dir, i)), "UTF-8")
-        .linesIterator.foreach { l =>
-          if (l.startsWith("remove\t")) acc -= l.split('\t')(1)
-          else if (l.startsWith("add\t")) l.split('\t') match {
-            case Array(_, f, c, lo, hi) if c == statsCol =>
-              acc(f) = (lo.toLong, hi.toLong)
-            case _ => ()
-          }
-        }
-    }
-    acc.toMap
-  }
+      asOf: Option[Int] = None): Map[String, (Long, Long)] =
+    state(dir, asOf).live.values.flatMap { l =>
+      l.split('\t') match {
+        case Array(_, f, c, lo, hi) if c == statsCol =>
+          Some(f -> (lo.toLong, hi.toLong))
+        case _ => None
+      }
+    }.toMap
 
   /** Live files whose `statsCol` range intersects [lo, hi] — plus any
     * file with no recorded stats (skipping must be conservative).
@@ -260,30 +358,8 @@ object TxLog {
     * replayed in log order — removing a file clears its vectors (the
     * rewrite materialized them). Pure log metadata, no data IO. */
   private def dvSources(dir: String, asOf: Option[Int])
-      : Map[String, (Set[Long], Seq[String])] = {
-    val v = asOf.getOrElse(currentVersion(dir))
-    val acc = scala.collection.mutable.LinkedHashMap
-      .empty[String, (Set[Long], Seq[String])]
-    (0 to v).foreach { i =>
-      new String(Files.readAllBytes(versionFile(dir, i)), "UTF-8")
-        .linesIterator.foreach { l =>
-          if (l.startsWith("remove\t")) acc -= l.substring(7)
-          else if (l.startsWith("dv\t")) l.split('\t') match {
-            case Array(_, f, ps) =>
-              val (inl, sc) = acc.getOrElse(f, (Set.empty[Long], Seq.empty))
-              acc(f) = (inl ++ ps.split(',').filter(_.nonEmpty).map(_.toLong), sc)
-            case _ => ()
-          }
-          else if (l.startsWith("dvf\t")) l.split('\t') match {
-            case Array(_, f, path) =>
-              val (inl, sc) = acc.getOrElse(f, (Set.empty[Long], Seq.empty))
-              acc(f) = (inl, sc :+ path)
-            case _ => ()
-          }
-        }
-    }
-    acc.toMap
-  }
+      : Map[String, (Set[Long], Seq[String])] =
+    state(dir, asOf).dv.toMap
 
   /** True iff any live file carries outstanding deletion vectors at
     * `asOf` — log-metadata only, no Spark needed. */
@@ -467,15 +543,12 @@ object TxLog {
       adds.map(f => s"add\t$f") :+ s"txn\t$app\t$txnId")
   }
 
-  /** Has `(app, txnId)` already committed? Scanned from the log's txn
-    * marker lines (O(#commits) driver IO, like replay). */
-  def txnSeen(dir: String, app: String, txnId: Long): Boolean = {
-    val cur = currentVersion(dir)
-    (0 to cur).exists { v =>
-      new String(Files.readAllBytes(versionFile(dir, v)), "UTF-8")
-        .linesIterator.contains(s"txn\t$app\t$txnId")
-    }
-  }
+  /** Has `(app, txnId)` already committed? Scanned from the replayed
+    * txn marker lines — checkpoints carry them forward, so replay
+    * detection survives log truncation below a checkpoint. */
+  def txnSeen(dir: String, app: String, txnId: Long): Boolean =
+    currentVersion(dir) >= 0 &&
+      state(dir, None).txns.contains(s"txn\t$app\t$txnId")
 
   /** OPTIMIZE: rewrite the current live set into `nFiles` compacted
     * files as a new version — bit-identical rows, new layout; older

@@ -1,0 +1,72 @@
+package graft.queries
+
+/** Process-wide persisted-artifact memo — the q258 "build once, serve
+  * many" pattern (VERDICT r8 #8) generalized: deterministic per-corpus
+  * build products (ANN indexes, kNN graphs, near-dup candidate pairs,
+  * cluster labels) are built ONCE per (corpus dir, source table
+  * fingerprint) and every consumer serves from the parquet artifact
+  * scans. This is exactly the production shape — a nightly build job
+  * plus artifact-reading services — and it is correctness-neutral:
+  * parquet round-trips IEEE bits, so cached and inline results are
+  * bit-identical and the oracle gate holds at any cache state. A
+  * regenerated corpus invalidates through the (name, size, mtime)
+  * file fingerprint. Serving from artifacts also truncates lineage for
+  * iterative consumers (the round-4 plan-growth lesson) — no
+  * localCheckpoint needed on the consumer side. */
+object ArtifactMemo {
+
+  // (corpus dir, artifact key, fingerprint) -> artifact directory
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), String]
+
+  /** Order-stable digest of (name, size, mtime) of one source table's
+    * files under `dir`. */
+  def fingerprint(dir: String, table: String): String = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(dir, s"$table.parquet")
+    val entries =
+      if (!java.nio.file.Files.exists(root)) Seq(s"absent:$root")
+      else {
+        val s = java.nio.file.Files.walk(root)
+        try s.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+          .map(p => s"${root.relativize(p)}:${java.nio.file.Files.size(p)}:" +
+            java.nio.file.Files.getLastModifiedTime(p).toMillis)
+          .toSeq.sorted
+        finally s.close()
+      }
+    entries.mkString("|")
+  }
+
+  def deleteRecursively(dir: String): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try s.iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p): Unit)
+      finally s.close()
+    } catch { case _: Throwable => () }
+
+  sys.addShutdownHook {
+    cache.values.foreach(deleteRecursively)
+  }
+
+  /** The artifact directory for (`corpusDir`, `key`), building it via
+    * `build(tempDir)` on first use or after the source `table`'s
+    * fingerprint changes. Builds are serialized under one lock:
+    * TrieMap.getOrElseUpdate may evaluate a racing builder twice
+    * (exactly one wins, the loser's work and temp dir leak), and
+    * concurrent invocations of the same query (ConcurrencySpec) must
+    * build once, not twice. */
+  def dir(corpusDir: String, table: String, key: String)
+      (build: String => Unit): String = synchronized {
+    val fp = fingerprint(corpusDir, table)
+    cache.keys.filter(k => k._1 == corpusDir && k._2 == key && k._3 != fp)
+      .foreach(k => cache.remove(k).foreach(deleteRecursively))
+    cache.getOrElseUpdate((corpusDir, key, fp), {
+      val t = java.nio.file.Files
+        .createTempDirectory(s"graft_memo_${key}_").toString
+      build(t)
+      t
+    })
+  }
+}

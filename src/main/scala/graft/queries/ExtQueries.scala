@@ -3215,6 +3215,58 @@ object ExtQueries {
              |FROM orders WHERE o_orderpriority <> '5-LOW' AND o_orderkey % 3 <> 0
              |ORDER BY stage""".stripMargin)),
 
+    // q404 — CHECKPOINTED LOG REPLAY: a long-lived table (12 commits —
+    // create, ten appends, a copy-on-write delete) crosses the
+    // auto-checkpoint cadence at version 10, so the replayed state is
+    // serialized into `_log/00000010.checkpoint` and every subsequent
+    // reader starts THERE instead of at version 0 — the growth fix
+    // that bounds replay at O(interval) raw entries on a table with
+    // years of commits (Delta's `_last_checkpoint` shape). The query
+    // then deletes the RAW log entries below the checkpoint and reads
+    // both post-checkpoint versions under the hash: state must be
+    // indistinguishable from full recompute with the log history gone
+    // (pre-checkpoint time travel is what truncation retires — the
+    // documented log-cleanup contract). TxLogSpec pins the mechanics
+    // (auto-cadence, verbatim stats lines, txn markers surviving).
+    QuerySpec("q404_txlog_checkpoint_replay",
+      (s, dir) => {
+        import graft.core.TxLog
+        val t = new java.io.File(System.getProperty("java.io.tmpdir"),
+          "graft_txck_" + Integer.toHexString(dir.hashCode)).toString
+        TxLog.drop(t)
+        val orders = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderpriority"))
+        TxLog.create(orders.filter(col("o_orderkey") % 12 === 0), t) // v0
+        (1 to 10).foreach { k => // v1..v10 — v10 auto-checkpoints
+          TxLog.append(orders.filter(col("o_orderkey") % 12 === k), t)
+        }
+        require(java.nio.file.Files.exists(java.nio.file.Paths.get(
+          t, "_log", f"${10}%08d.checkpoint")),
+          "commit 10 must have auto-checkpointed")
+        TxLog.deleteWhere(s, t, col("o_orderpriority") === "5-LOW") // v11
+        // retire the raw history below the checkpoint
+        (0 to 9).foreach(i => java.nio.file.Files.delete(
+          java.nio.file.Paths.get(t, "_log", f"$i%08d.txt")))
+        require(TxLog.currentVersion(t) == 11,
+          "truncated log must still resolve the current version")
+        Seq(10, 11).map { v =>
+          TxLog.read(s, t, Some(v))
+            .agg(count(lit(1)).as("n_orders"),
+              Stable.dsum(col("o_totalprice")).as("revenue"))
+            .select(lit(v).as("version"), col("n_orders"), col("revenue"))
+        }.reduce(_ unionByName _).orderBy("version")
+      },
+      Some("""SELECT 10 AS version, CAST(count(*) AS BIGINT) AS n_orders,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             |FROM orders WHERE o_orderkey % 12 <> 11
+             |UNION ALL
+             |SELECT 11, CAST(count(*) AS BIGINT),
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |FROM orders
+             |WHERE o_orderkey % 12 <> 11 AND o_orderpriority <> '5-LOW'
+             |ORDER BY version""".stripMargin)),
+
     // q379 — DELETION VECTORS (merge-on-read): two successive deletes
     // commit only the matching ROW POSITIONS — the data files are
     // NEVER rewritten (the in-query require pins an identical file set

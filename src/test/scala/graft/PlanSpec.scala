@@ -367,7 +367,7 @@ class PlanSpec extends AnyFunSuite {
     assert(embScans == 1,
       s"serve path must scan embeddings ONCE (query vectors), saw $embScans:\n" +
         scans.mkString("\n"))
-    assert(scans.count(_.contains("graft_annidx")) >= 3,
+    assert(scans.count(_.contains("graft_memo_annidx")) >= 3,
       s"serve path must read the 3 persisted artifacts:\n${scans.mkString("\n")}")
   }
 }

@@ -196,6 +196,54 @@ class TxLogSpec extends AnyFunSuite {
     assert(df.columns.toSeq == Seq("id", "grp"))
   }
 
+  test("checkpointed replay: auto-checkpoint at the interval, identical " +
+      "state, reads survive truncating the raw log below the checkpoint") {
+    val t = freshTable() // v0
+    (1 to 9).foreach { i => // v1..v9
+      TxLog.append(Seq(((1000 + i).toLong, (i % 5).toLong)).toDF("id", "grp"), t)
+    }
+    TxLog.deleteWhere(spark, t, col("id") === 1001L) // v10 → auto-checkpoint
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(t, "_log", f"${10}%08d.checkpoint")),
+      "every CheckpointInterval-th commit must write a checkpoint")
+    val cntBefore = TxLog.read(spark, t).count()
+    val grp0 = TxLog.read(spark, t).filter(col("grp") === 0).count()
+    TxLog.deleteWhereDV(spark, t, col("grp") === 0) // v11, replays from ckpt
+    assert(TxLog.read(spark, t).count() == cntBefore - grp0)
+    // truncate every raw entry below the checkpoint: current state must
+    // come entirely from checkpoint + v11 (pre-checkpoint TIME TRAVEL is
+    // what truncation retires — the Delta log-cleanup contract)
+    (0 to 9).foreach(i => java.nio.file.Files.delete(
+      java.nio.file.Paths.get(t, "_log", f"$i%08d.txt")))
+    assert(TxLog.currentVersion(t) == 11)
+    assert(TxLog.read(spark, t).count() == cntBefore - grp0)
+    assert(TxLog.read(spark, t, Some(10)).count() == cntBefore)
+  }
+
+  test("txn replay detection and stats add-lines survive checkpointing " +
+      "and raw-log truncation") {
+    val t = freshTable() // v0
+    TxLog.appendIdempotent(
+      Seq((500L, 0L)).toDF("id", "grp"), t, "app", 7L) // v1
+    TxLog.appendWithStats(spark,
+      (600L until 700L).toDF("id").withColumn("grp", lit(9L))
+        .repartitionByRange(4, col("id")), t, "id") // v2: 4 ranged files
+    val statsBefore = TxLog.fileStats(t, "id")
+    assert(statsBefore.size == 4
+      && statsBefore.values.map(_._1).min == 600L
+      && statsBefore.values.map(_._2).max == 699L)
+    TxLog.checkpoint(t) // explicit checkpoint at v2
+    (0 to 1).foreach(i => java.nio.file.Files.delete(
+      java.nio.file.Paths.get(t, "_log", f"$i%08d.txt")))
+    assert(TxLog.fileStats(t, "id") == statsBefore,
+      "stats add-lines must ride the checkpoint verbatim")
+    assert(TxLog.appendIdempotent(
+      Seq((501L, 0L)).toDF("id", "grp"), t, "app", 7L) == -1,
+      "replay detection must survive log truncation")
+    val (kept, total) = TxLog.pruneSnapshot(t, "id", 650L, 660L)
+    assert(kept.size < total, "zone-map pruning must work from the checkpoint")
+  }
+
   test("deleteWhereDV at bulk scale: 150k-row table, 30k matches — " +
       "positions land in a parquet sidecar built distributed, the log " +
       "line stays file-grain metadata, reads apply both generations") {
