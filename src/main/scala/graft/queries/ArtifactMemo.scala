@@ -46,8 +46,16 @@ object ArtifactMemo {
       finally s.close()
     } catch { case _: Throwable => () }
 
+  // Stale artifact dirs (source fingerprint changed) are RETIRED, not
+  // deleted inline: a DataFrame handed out earlier may still be
+  // lazily scanning the old artifacts mid-job — deletion waits for
+  // process exit.
+  private val retired =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
   sys.addShutdownHook {
-    cache.values.foreach(deleteRecursively)
+    import scala.jdk.CollectionConverters._
+    (cache.values ++ retired.asScala).foreach(deleteRecursively)
   }
 
   /** The artifact directory for (`corpusDir`, `key`), building it via
@@ -61,7 +69,7 @@ object ArtifactMemo {
       (build: String => Unit): String = synchronized {
     val fp = fingerprint(corpusDir, table)
     cache.keys.filter(k => k._1 == corpusDir && k._2 == key && k._3 != fp)
-      .foreach(k => cache.remove(k).foreach(deleteRecursively))
+      .foreach(k => cache.remove(k).foreach(d => retired.add(d): Unit))
     cache.getOrElseUpdate((corpusDir, key, fp), {
       val t = java.nio.file.Files
         .createTempDirectory(s"graft_memo_${key}_").toString

@@ -91,8 +91,9 @@ class F1PipelineSpec extends AnyFunSuite {
       .select("lapsId").collect().map(_.getInt(0)).toSeq
     assert(l == (1 to l.size), s"lapsId not contiguous in sort order: $l")
     val p = tables("PitStop").orderBy("race_id", "driver_id", "stop_number")
-      .select("pitsId").collect().map(_.getInt(0)).toSeq
-    assert(p == (1 to p.size), s"pitsId not contiguous in sort order: $p")
+      .select("pitsId").collect().map(_.getLong(0)).toSeq
+    assert(p == (1L to p.size.toLong),
+      s"pitsId not contiguous in sort order: $p")
   }
 
   test("CircuitLocation: declared-but-unloaded DDL table stubbed, typed") {

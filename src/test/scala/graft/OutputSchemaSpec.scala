@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.types.{ArrayType, DataType, DecimalType, MapType, StructType}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Output-boundary type rule (round 9, VERDICT r8): NO query may expose a
@@ -17,16 +16,10 @@ class OutputSchemaSpec extends AnyFunSuite {
 
   private val sfDir = "/root/testdata/sf0.001"
 
-  private def decimalPaths(dt: DataType, path: String): Seq[String] = dt match {
-    case _: DecimalType => Seq(path)
-    case s: StructType =>
-      s.fields.toSeq.flatMap(f => decimalPaths(f.dataType, s"$path.${f.name}"))
-    case a: ArrayType => decimalPaths(a.elementType, s"$path[]")
-    case m: MapType =>
-      decimalPaths(m.keyType, s"$path.key") ++
-        decimalPaths(m.valueType, s"$path.value")
-    case _ => Seq.empty
-  }
+  // the walk is SHARED with the SchemaProbe dev tool — gate and probe
+  // must agree on what counts as an offender
+  private def decimalPaths(dt: org.apache.spark.sql.types.DataType,
+      path: String): Seq[String] = SchemaProbe.decimalPaths(dt, path)
 
   test("no query output schema contains a DecimalType column") {
     assume(new java.io.File(sfDir).isDirectory, s"$sfDir not present")
