@@ -316,9 +316,8 @@ object TxLog {
       pred: org.apache.spark.sql.Column): Int = {
     val cur = currentVersion(dir)
     val st = state(dir, Some(cur))
-    val affected = st.live.keys.toSeq.filter { f =>
-      spark.read.parquet(s"$dir/$f").filter(pred).limit(1).count() > 0
-    }
+    val affected = affectedFiles(spark, dir, st.live.keys.toSeq,
+      df => df.filter(pred))
     if (affected.isEmpty) return cur
     val keep = readFiles(spark, dir, affected,
         dvFrameFrom(spark, dir, st.dv.toMap))
@@ -483,6 +482,28 @@ object TxLog {
     } finally { freshP.unpersist(): Unit }
   }
 
+  /** Live files holding at least one row surviving `matcher` — found
+    * in ONE distributed scan over the whole live set via
+    * `_metadata.file_name` (per-file probe jobs would be 100k
+    * driver-sequential jobs on a 100k-file table; this is one job,
+    * and only the matching FILE NAME list reaches the driver). At
+    * real scale the scan itself is first pruned by log-resident
+    * zone maps ([[pruneSnapshot]]) — the protocol is unchanged. */
+  private def affectedFiles(spark: SparkSession, dir: String,
+      live: Seq[String], matcher: DataFrame => DataFrame): Seq[String] = {
+    import org.apache.spark.sql.functions.col
+    if (live.isEmpty) return Seq.empty
+    // bind the metadata column BEFORE the matcher: a join inside the
+    // matcher projects the scan's `_metadata` away
+    val base = spark.read.option("mergeSchema", "true")
+      .parquet(live.map(f => s"$dir/$f"): _*)
+      .withColumn("__f", col("_metadata.file_name"))
+    val names = matcher(base)
+      .select(col("__f")).distinct()
+      .collect().map(_.getString(0)).toSet
+    live.filter(f => names.contains(new File(f).getName))
+  }
+
   /** DV-aware scan of `files` as of the vectors in `dv`: rows whose
     * (file, position) is deleted never reach the caller. */
   private def readFiles(spark: SparkSession, dir: String,
@@ -523,10 +544,8 @@ object TxLog {
     val st = state(dir, Some(cur))
     val keys = source.select(keyCol).distinct().persist()
     try {
-      val affected = st.live.keys.toSeq.filter { f =>
-        spark.read.parquet(s"$dir/$f")
-          .join(keys, Seq(keyCol), "left_semi").limit(1).count() > 0
-      }
+      val affected = affectedFiles(spark, dir, st.live.keys.toSeq,
+        df => df.join(keys, Seq(keyCol), "left_semi"))
       val survivors =
         if (affected.isEmpty) Seq.empty[String]
         else {
