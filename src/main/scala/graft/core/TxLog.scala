@@ -250,10 +250,18 @@ object TxLog {
       statsCol: String): Int = {
     import org.apache.spark.sql.functions.{col, max, min}
     val cur = currentVersion(dir)
-    val adds = stage(df, dir).map { f =>
-      val r = spark.read.parquet(s"$dir/$f")
-        .agg(min(col(statsCol)), max(col(statsCol))).head()
-      s"add\t$f\t$statsCol\t${r.getLong(0)}\t${r.getLong(1)}"
+    val staged = stage(df, dir)
+    // ONE distributed scan computes every staged file's bounds (a
+    // per-file agg job each would be n driver-sequential jobs on an
+    // n-file batch); only the file-grain bounds map reaches the driver
+    val bounds = spark.read.parquet(staged.map(f => s"$dir/$f"): _*)
+      .groupBy(col("_metadata.file_name").as("__f"))
+      .agg(min(col(statsCol)).as("mn"), max(col(statsCol)).as("mx"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val adds = staged.map { f =>
+      val (lo, hi) = bounds(new File(f).getName)
+      s"add\t$f\t$statsCol\t$lo\t$hi"
     }
     claimVersion(dir, cur + 1, adds)
   }
@@ -671,6 +679,61 @@ object TxLog {
         && !keptSidecars.contains(d.getName))
     dvVictims.foreach(d => drop(d.toString))
     victims.toSeq ++ dvVictims.map(d => s"_dv/${d.getName}")
+  }
+
+  /** TIME TRAVEL BY TIMESTAMP (Delta's `timestampAsOf`): the newest
+    * version committed at or before `tsMillis`, resolved from the log
+    * entries' mtimes (a commit's file mtime IS its commit instant —
+    * the hard-link claim is the publish). Versions whose raw entries
+    * were truncated below a checkpoint resolve through the checkpoint
+    * file's mtime conservatively. Throws if the table has no version
+    * that early. */
+  def versionAt(dir: String, tsMillis: Long): Int = {
+    val files = Option(logDir(dir).listFiles()).getOrElse(Array.empty)
+    val stamped = files.flatMap { f =>
+      val n = f.getName
+      val v =
+        if (n.endsWith(".txt")) n.stripSuffix(".txt").toIntOption
+        else if (n.endsWith(".checkpoint"))
+          n.stripSuffix(".checkpoint").toIntOption
+        else None
+      v.map(_ -> f.lastModified())
+    }
+    // a version present as BOTH raw entry and checkpoint keeps the raw
+    // (earlier) commit instant — the checkpoint is written after
+    val byV = stamped.groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2).min }
+    val eligible = byV.filter(_._2 <= tsMillis)
+    require(eligible.nonEmpty,
+      s"$dir has no version committed at or before $tsMillis " +
+        s"(earliest is ${if (byV.isEmpty) "none" else byV.values.min.toString})")
+    eligible.keys.max
+  }
+
+  /** Read the table as of a wall-clock instant. */
+  def readAt(spark: SparkSession, dir: String, tsMillis: Long): DataFrame =
+    read(spark, dir, Some(versionAt(dir, tsMillis)))
+
+  /** DESCRIBE HISTORY: one row per resolvable version, newest first —
+    * (version, commit mtime millis, files added, files removed,
+    * DV lines). Versions whose raw entries were truncated below a
+    * checkpoint appear with counts -1 (retired — only their checkpoint
+    * state survives). Pure log metadata. */
+  def history(dir: String): Seq[(Int, Long, Int, Int, Int)] = {
+    val cur = currentVersion(dir)
+    (cur to 0 by -1).flatMap { v =>
+      val p = versionFile(dir, v)
+      if (Files.exists(p)) {
+        val lines = fileLines(p)
+        Some((v, p.toFile.lastModified(),
+          lines.count(_.startsWith("add\t")),
+          lines.count(_.startsWith("remove\t")),
+          lines.count(l => l.startsWith("dv\t") || l.startsWith("dvf\t"))))
+      } else {
+        val cp = checkpointFile(dir, v)
+        if (Files.exists(cp)) Some((v, cp.toFile.lastModified(), -1, -1, -1))
+        else None
+      }
+    }
   }
 
   /** Remove a table directory entirely (test/query setup hygiene). */

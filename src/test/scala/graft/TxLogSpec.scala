@@ -244,6 +244,43 @@ class TxLogSpec extends AnyFunSuite {
     assert(kept.size < total, "zone-map pruning must work from the checkpoint")
   }
 
+  test("timestamp time travel: versionAt resolves the newest version " +
+      "at or before the instant; boundaries and pre-history refuse") {
+    val t = freshTable() // v0
+    TxLog.append(Seq((500L, 0L)).toDF("id", "grp"), t) // v1
+    TxLog.append(Seq((501L, 1L)).toDF("id", "grp"), t) // v2
+    // pin deterministic commit instants
+    def vf(v: Int) = java.nio.file.Paths.get(t, "_log", f"$v%08d.txt")
+    Seq(0 -> 1000L, 1 -> 2000L, 2 -> 3000L).foreach { case (v, ts) =>
+      java.nio.file.Files.setLastModifiedTime(vf(v),
+        java.nio.file.attribute.FileTime.fromMillis(ts))
+    }
+    assert(TxLog.versionAt(t, 1000L) == 0) // exact boundary is inclusive
+    assert(TxLog.versionAt(t, 2500L) == 1)
+    assert(TxLog.versionAt(t, 9999L) == 2)
+    assert(TxLog.readAt(spark, t, 2500L).count() == 101)
+    intercept[IllegalArgumentException](TxLog.versionAt(t, 500L))
+  }
+
+  test("history lists versions newest-first with add/remove/dv counts; " +
+      "truncated versions show as retired") {
+    val t = freshTable() // v0
+    TxLog.append(Seq((500L, 0L)).toDF("id", "grp"), t) // v1
+    TxLog.deleteWhereDV(spark, t, col("id") === 500L) // v2: dvf line
+    val h = TxLog.history(t)
+    assert(h.map(_._1) == Seq(2, 1, 0))
+    val byV = h.map(x => x._1 -> x).toMap
+    assert(byV(1)._3 == 1 && byV(1)._4 == 0) // one add, no removes
+    assert(byV(2)._5 >= 1) // the DV commit carries dv/dvf lines
+    // retire v0/v1 behind an explicit checkpoint: counts become -1
+    TxLog.checkpoint(t)
+    (0 to 1).foreach(i => java.nio.file.Files.delete(
+      java.nio.file.Paths.get(t, "_log", f"$i%08d.txt")))
+    val h2 = TxLog.history(t)
+    assert(h2.map(_._1) == Seq(2))
+    assert(h2.head._3 >= 0, "v2 still has raw entries")
+  }
+
   test("deleteWhereDV at bulk scale: 150k-row table, 30k matches — " +
       "positions land in a parquet sidecar built distributed, the log " +
       "line stays file-grain metadata, reads apply both generations") {
