@@ -2471,7 +2471,10 @@ object ExtQueries {
         val gd = j.groupBy("sens").agg(count(lit(1)).as("g"))
         val cls = j.groupBy("nation", "seg").agg(count(lit(1)).as("n"))
         val cd = j.groupBy("nation", "seg", "sens").agg(count(lit(1)).as("c"))
-        cls.crossJoin(gd).crossJoin(tot)
+        // gd is the 5-row sensitive-value distribution, tot 1 row —
+        // broadcast both so the class-grain fanout never plans as a
+        // CartesianProduct (plan hygiene; the work is identical)
+        cls.crossJoin(broadcast(gd)).crossJoin(broadcast(tot))
           .join(cd, Seq("nation", "seg", "sens"), "left")
           .select(col("nation"), col("seg"), col("n"), col("nn"),
             abs(coalesce(col("c"), lit(0L)).cast("decimal(38,0)") * col("nn")
