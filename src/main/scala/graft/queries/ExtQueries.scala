@@ -3270,6 +3270,55 @@ object ExtQueries {
              |WHERE o_orderkey % 12 <> 11 AND o_orderpriority <> '5-LOW'
              |ORDER BY version""".stripMargin)),
 
+    // q405 — TIME TRAVEL BY TIMESTAMP (Delta's timestampAsOf): a
+    // commit's publish instant IS its log entry's mtime (the hard-link
+    // claim is the publish), so `readAt(ts)` resolves the newest
+    // version at or before the instant with no extra metadata. The
+    // query pins three deterministic commit instants (in-query mtime
+    // writes — wall clock never reaches the result), probes between/
+    // at/after them, and each probe's state must hash-match recompute
+    // from the equivalent predicate. Boundary rule: at-the-instant is
+    // INCLUSIVE (TxLogSpec pins it plus the pre-history refusal).
+    QuerySpec("q405_txlog_timestamp_travel",
+      (s, dir) => {
+        import graft.core.TxLog
+        val t = new java.io.File(System.getProperty("java.io.tmpdir"),
+          "graft_txts_" + Integer.toHexString(dir.hashCode)).toString
+        TxLog.drop(t)
+        val orders = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderpriority"))
+        TxLog.create(orders.filter(col("o_orderkey") % 3 === 0), t) // v0
+        TxLog.append(orders.filter(col("o_orderkey") % 3 === 1), t) // v1
+        TxLog.append(orders.filter(col("o_orderkey") % 3 === 2), t) // v2
+        Seq(0 -> 1000L, 1 -> 2000L, 2 -> 3000L).foreach { case (v, ts) =>
+          java.nio.file.Files.setLastModifiedTime(
+            java.nio.file.Paths.get(t, "_log", f"$v%08d.txt"),
+            java.nio.file.attribute.FileTime.fromMillis(ts))
+        }
+        require(TxLog.versionAt(t, 2000L) == 1, "boundary must be inclusive")
+        Seq(("t1500", 1500L), ("t2500", 2500L), ("t9999", 9999L)).map {
+          case (label, ts) =>
+            TxLog.readAt(s, t, ts)
+              .agg(count(lit(1)).as("n_orders"),
+                Stable.dsum(col("o_totalprice")).as("revenue"))
+              .select(lit(label).as("instant"), col("n_orders"),
+                col("revenue"))
+        }.reduce(_ unionByName _).orderBy("instant")
+      },
+      Some("""SELECT 't1500' AS instant, CAST(count(*) AS BIGINT) AS n_orders,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             |FROM orders WHERE o_orderkey % 3 = 0
+             |UNION ALL
+             |SELECT 't2500', CAST(count(*) AS BIGINT),
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |FROM orders WHERE o_orderkey % 3 <> 2
+             |UNION ALL
+             |SELECT 't9999', CAST(count(*) AS BIGINT),
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |FROM orders
+             |ORDER BY instant""".stripMargin)),
+
     // q379 — DELETION VECTORS (merge-on-read): two successive deletes
     // commit only the matching ROW POSITIONS — the data files are
     // NEVER rewritten (the in-query require pins an identical file set
