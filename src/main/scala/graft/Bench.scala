@@ -41,7 +41,13 @@ object Bench {
     // elapsed time — min() must not let a fast failure report a
     // misleadingly LOW time for a half-broken query. An all-failed query
     // reports -1 in the JSON (bounded width) plus a "failed" name list.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional arg (local iteration only — the driver passes none):
+    // comma-separated name substrings; time only matching queries.
+    val only: Option[Seq[String]] =
+      if (args.isEmpty) None else Some(args(0).split(",").toSeq)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.exists(name.contains)) }
+      .map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         val ok =

@@ -226,12 +226,20 @@ object AnalyticsQueries {
       (s, dir) => {
         val o = Tables.load(s, dir, "orders")
           .select(col("o_orderkey"), col("o_totalprice"))
-        val stats = o.agg(
-          expr("percentile(o_totalprice, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
-            .as("qs"),
-          min(col("o_totalprice")).as("mn"), max(col("o_totalprice")).as("mx"))
+        // decile bounds via distributed rank selection (ops.Quantiles):
+        // same quantile_cont arithmetic as before, but no global
+        // value-buffering `percentile` aggregate (the 100 TB shape)
+        val deciles = Seq("d1" -> 0.1, "d2" -> 0.2, "d3" -> 0.3,
+          "d4" -> 0.4, "d5" -> 0.5, "d6" -> 0.6, "d7" -> 0.7,
+          "d8" -> 0.8, "d9" -> 0.9)
+        val qs = graft.ops.Quantiles.quantileCont(o, Nil, "o_totalprice",
+          deciles)
+        val stats = qs.crossJoin(
+          o.agg(min(col("o_totalprice")).as("mn"),
+            max(col("o_totalprice")).as("mx")))
         val bounds = concat(array(col("mn")),
-          transform(col("qs"), x => round(x, 2)), array(col("mx") + 1))
+          array(deciles.map { case (nm, _) => round(col(nm), 2) }: _*),
+          array(col("mx") + 1))
         val bands = stats
           .select(explode(sequence(lit(0), lit(9))).as("band_id"), bounds.as("b"))
           .select(col("band_id").cast("long").as("band_id"),
@@ -1229,23 +1237,23 @@ object AnalyticsQueries {
     // clip each group's values into its own [p05, p95] band and report
     // the winsorized mean plus clip counts — the outlier treatment
     // numeric feature pipelines apply before normalization. Group
-    // quantiles are one exact-percentile aggregate (group-grain rows),
+    // quantiles are distributed rank selections (group-grain rows),
     // broadcast back; the clip is scan-local. Parity: bounds rounded to
     // cents before ANY comparison (q86 rule — raw interpolated doubles
     // differ in final ulps between engines); the clipped value is
     // decimal-cast for the order-independent mean.
     QuerySpec("q188_winsorize",
       (s, dir) => {
-        // fanOut + persist: the 2-column projection feeds BOTH the
-        // percentile pass and the clipping pass; the fixture's 1-task
-        // scan serializes the percentile buffers otherwise (identity at
-        // production scan widths — Tables.fanOut).
-        val li = Tables.fanOut(Tables.load(s, dir, "lineitem")
-          .select(col("l_returnflag"), col("l_extendedprice")))
+        // persist: the 2-column projection feeds BOTH the quantile pass
+        // and the clipping pass. Bounds come from ops.Quantiles
+        // (distributed rank selection — no per-group value buffer).
+        val li = Tables.load(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_extendedprice"))
           .persistTracked()
-        val qs = li.groupBy("l_returnflag")
-          .agg(round(expr("percentile(l_extendedprice, 0.05)"), 2).as("p05"),
-            round(expr("percentile(l_extendedprice, 0.95)"), 2).as("p95"))
+        val qs = graft.ops.Quantiles.quantileCont(li, Seq("l_returnflag"),
+            "l_extendedprice", Seq("p05" -> 0.05, "p95" -> 0.95))
+          .select(col("l_returnflag"), round(col("p05"), 2).as("p05"),
+            round(col("p95"), 2).as("p95"))
         li.join(broadcast(qs), "l_returnflag")
           .select(col("l_returnflag"), col("p05"), col("p95"),
             least(greatest(col("l_extendedprice"), col("p05")), col("p95"))
@@ -1776,8 +1784,9 @@ object AnalyticsQueries {
     // exact median and median-absolute-deviation of the event value
     // (the one right-tailed column in the corpus — order totals are
     // near-uniform and yield NO outliers at any cut), then the
-    // 0.6745-scaled robust z. Two grouped EXACT percentile passes
-    // (group-grain frames broadcast back); medians are cents-rounded in
+    // 0.6745-scaled robust z. Two grouped EXACT quantile passes via
+    // ops.Quantiles distributed rank selection — no `percentile` value
+    // buffer (group-grain frames broadcast back); medians are cents-rounded in
     // both engines before any derived arithmetic (q86 rule: raw
     // interpolated doubles differ in final ulps, rounded ones cannot),
     // and both the output z and the 3.5 cut use the raw IEEE chain,
@@ -1786,12 +1795,16 @@ object AnalyticsQueries {
       (s, dir) => {
         val e = Tables.load(s, dir, "events")
           .select(col("event_id"), col("event_type"), col("value"))
-        val med = e.groupBy("event_type")
-          .agg(round(expr("percentile(value, 0.5)"), 2).as("med"))
+        val med = graft.ops.Quantiles.quantileCont(e, Seq("event_type"),
+            "value", Seq("med" -> 0.5))
+          .select(col("event_type"), round(col("med"), 2).as("med"))
         val withMed = e.join(broadcast(med), "event_type")
-        val mad = withMed.groupBy("event_type")
-          .agg(round(expr("percentile(abs(value - med), 0.5)"), 2)
-            .as("mad"))
+          .persistTracked()
+        val mad = graft.ops.Quantiles.quantileCont(
+            withMed.select(col("event_type"),
+              abs(col("value") - col("med")).as("ad")),
+            Seq("event_type"), "ad", Seq("mad" -> 0.5))
+          .select(col("event_type"), round(col("mad"), 2).as("mad"))
         withMed.join(broadcast(mad), "event_type")
           // z stays UNROUNDED: the chain is plain IEEE arithmetic over
           // cents-rounded inputs — bit-identical in both engines —
@@ -2820,9 +2833,9 @@ object AnalyticsQueries {
           .select(col("event_type").as("et"),
             expr("(unix_micros(ts) div 86400000000) % 7").as("dow"),
             round(col("value"), 6).as("v6"))
-        val b = e.agg(
-          round(expr("percentile(v6, 0.3333333333333333)"), 4).as("b1"),
-          round(expr("percentile(v6, 0.6666666666666666)"), 4).as("b2"))
+        val b = graft.ops.Quantiles.quantileCont(e, Nil, "v6",
+            Seq("b1" -> 0.3333333333333333, "b2" -> 0.6666666666666666))
+          .select(round(col("b1"), 4).as("b1"), round(col("b2"), 4).as("b2"))
         val bk = e.crossJoin(broadcast(b))
           .select(col("et"), col("dow"),
             when(col("v6") <= col("b1"), 0)

@@ -489,20 +489,25 @@ object RefQueries {
              |GROUP BY CUBE (o_orderpriority, l_returnflag)
              |ORDER BY o_orderpriority NULLS FIRST, l_returnflag NULLS FIRST""".stripMargin)),
 
-    // q43 — exact percentiles per group (Spark `percentile` ≡ DuckDB
-    // `quantile_cont`: sort + linear interpolation; both exact, so unlike
-    // approx sketches this is oracle-comparable). Round guards the last
+    // q43 — exact percentiles per group via distributed rank selection
+    // (ops.Quantiles ≡ DuckDB `quantile_cont`: identical interpolation
+    // arithmetic, but value-grain PrefixSum ranks instead of Spark's
+    // `percentile` aggregate, whose per-group value buffer is a per-task
+    // OOM on a continuous column at 100 TB). Round guards the last
     // interpolation bit.
     QuerySpec("q43_percentiles",
-      (s, dir) =>
-        t(s, dir, "lineitem").groupBy("l_returnflag").agg(
-          round(expr("percentile(l_quantity, 0.5)"), 6).as("p50_qty"),
-          round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90_price"),
-          count(lit(1)).as("n"))
-          // 3-row result, exact-percentile child: persist so the sort's
-          // sampling pass doesn't re-run the value-buffering aggregate
-          .persistTracked()
-          .orderBy("l_returnflag"),
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val a = graft.ops.Quantiles.quantileCont(li, Seq("l_returnflag"),
+          "l_quantity", Seq("p50_qty" -> 0.5), countCol = Some("n"))
+        val b = graft.ops.Quantiles.quantileCont(li, Seq("l_returnflag"),
+          "l_extendedprice", Seq("p90_price" -> 0.9))
+        a.join(b, "l_returnflag")
+          .select(col("l_returnflag"),
+            round(col("p50_qty"), 6).as("p50_qty"),
+            round(col("p90_price"), 6).as("p90_price"), col("n"))
+          .orderBy("l_returnflag")
+      },
       Some("""SELECT l_returnflag,
              | round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
              | round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price,

@@ -2577,18 +2577,18 @@ object TextQueries {
     // percentile of token count (per-stratum thresholds are how real
     // corpus filters avoid crushing low-resource languages). The
     // threshold table is language-grain — bounded, honestly broadcast;
-    // exact `percentile` ≡ DuckDB `quantile_cont` (the q43 parity), so
-    // the filter decision hash-matches. At 100 TB the exact-percentile
-    // buffer would yield to approx_percentile per the q66 note — exact
-    // keeps the oracle comparable here.
+    // ops.Quantiles ≡ DuckDB `quantile_cont` (the q43 parity), so the
+    // filter decision hash-matches, and the distributed rank selection
+    // has no per-group value buffer — exact stays viable at 100 TB.
     QuerySpec("q133_adaptive_filter",
       (s, dir) => {
         val base = Tables.load(s, dir, "documents")
           .select(col("doc_id"), col("lang"),
             Text.tokenCount(col("text")).cast("long").as("n_tok"))
           .persistTracked()
-        val thr = base.groupBy("lang")
-          .agg(round(expr("percentile(n_tok, 0.25)"), 6).as("thr"))
+        val thr = graft.ops.Quantiles.quantileCont(base, Seq("lang"),
+            "n_tok", Seq("thr" -> 0.25))
+          .select(col("lang"), round(col("thr"), 6).as("thr"))
         base.join(broadcast(thr), "lang")
           .groupBy("lang", "thr")
           .agg(count(lit(1)).as("n_docs"),
