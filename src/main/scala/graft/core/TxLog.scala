@@ -59,7 +59,13 @@ object TxLog {
   private def claimVersion(dir: String, v: Int, lines: Seq[String]): Int = {
     logDir(dir).mkdirs()
     val tmp = Files.createTempFile(logDir(dir).toPath, s".commit-$v-", ".tmp")
-    Files.write(tmp, lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    // Every commit records its instant as a `ts` line INSIDE the entry
+    // (ADVICE r9): [[versionAt]] prefers it over the file mtime, so
+    // timestamp time travel survives copies/rsync/restores that reset
+    // file metadata. Readers ignore unknown line types, so pre-ts logs
+    // and ts-bearing logs interoperate both ways.
+    val stamped = s"ts\t${System.currentTimeMillis()}" +: lines
+    Files.write(tmp, stamped.mkString("", "\n", "\n").getBytes("UTF-8"))
     try {
       Files.createLink(versionFile(dir, v), tmp)
       Files.deleteIfExists(tmp)
@@ -239,31 +245,106 @@ object TxLog {
   }
 
   /** Stage + commit with FILE STATISTICS: each add line carries the
-    * staged file's min/max of `statsCol`
-    * (`add\t<file>\t<col>\t<min>\t<max>`) — the log-resident zone map
-    * that lets [[pruneSnapshot]] skip files at PLAN time, the way
-    * Delta/Iceberg store per-file column bounds. The bounds come from
-    * a post-stage read here; a production writer takes them from the
+    * staged file's min/max of every column in `statsCols` as trailing
+    * `<col>\t<min>\t<max>` triples — the log-resident zone maps that
+    * let [[pruneSnapshot]] skip files at PLAN time, the way
+    * Delta/Iceberg store per-file column bounds. Stats columns must be
+    * integral (bounds are exact longs). The bounds come from a
+    * post-stage read here; a production writer takes them from the
     * parquet footer it just wrote, for free. Older/statless add lines
     * parse fine everywhere (the name is always field 1). */
   def appendWithStats(spark: SparkSession, df: DataFrame, dir: String,
-      statsCol: String): Int = {
-    import org.apache.spark.sql.functions.{col, max, min}
+      statsCol: String): Int =
+    appendWithStats(spark, df, dir, Seq(statsCol))
+
+  /** Multi-column form: one add line carries one triple PER stats
+    * column, so [[pruneSnapshot]] skips on any of them — the layout
+    * payoff of [[optimize]]'s z-order clustering. */
+  def appendWithStats(spark: SparkSession, df: DataFrame, dir: String,
+      statsCols: Seq[String]): Int = {
     val cur = currentVersion(dir)
     val staged = stage(df, dir)
-    // ONE distributed scan computes every staged file's bounds (a
-    // per-file agg job each would be n driver-sequential jobs on an
-    // n-file batch); only the file-grain bounds map reaches the driver
+    claimVersion(dir, cur + 1, statAddLines(spark, dir, staged, statsCols))
+  }
+
+  /** Add lines with per-file min/max triples for `statsCols`, computed
+    * in ONE distributed scan over the staged files (a per-file agg job
+    * each would be n driver-sequential jobs on an n-file batch); only
+    * the file-grain bounds map reaches the driver. */
+  private def statAddLines(spark: SparkSession, dir: String,
+      staged: Seq[String], statsCols: Seq[String]): Seq[String] = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    if (statsCols.isEmpty) return staged.map(f => s"add\t$f")
+    val aggs = statsCols.flatMap(c => Seq(
+      min(col(c).cast("long")).as(s"mn_$c"),
+      max(col(c).cast("long")).as(s"mx_$c")))
     val bounds = spark.read.parquet(staged.map(f => s"$dir/$f"): _*)
       .groupBy(col("_metadata.file_name").as("__f"))
-      .agg(min(col(statsCol)).as("mn"), max(col(statsCol)).as("mx"))
+      .agg(aggs.head, aggs.tail: _*)
       .collect()
-      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
-    val adds = staged.map { f =>
-      val (lo, hi) = bounds(new File(f).getName)
-      s"add\t$f\t$statsCol\t$lo\t$hi"
+      .map(r => r.getString(0) ->
+        statsCols.zipWithIndex.map { case (c, i) =>
+          (c, r.getLong(1 + 2 * i), r.getLong(2 + 2 * i)) })
+      .toMap
+    staged.map { f =>
+      val triples = bounds(new File(f).getName)
+        .map { case (c, lo, hi) => s"$c\t$lo\t$hi" }
+      (s"add\t$f" +: triples).mkString("\t")
     }
-    claimVersion(dir, cur + 1, adds)
+  }
+
+  /** Minimal %xx escaping for partition values stored in log lines:
+    * the characters that would break the line grammar (tab, newline,
+    * `=`, `%`). Spark-side path escaping is undone before storage, so
+    * the log holds the RAW value under this one scheme. */
+  private def escapeVal(s: String): String =
+    s.flatMap {
+      case '%'  => "%25"
+      case '\t' => "%09"
+      case '\n' => "%0A"
+      case '='  => "%3D"
+      case c    => c.toString
+    }
+
+  private def unescapeVal(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 3 <= s.length) {
+        try { sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar); i += 3 }
+        catch { case _: NumberFormatException => sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Parsed trailing fields of one add line: (file, partition values,
+    * stats triples). Grammar (every variant backward compatible — the
+    * file is always field 1): fields after the file are either
+    * `p:<col>=<value>` partition-value markers or `<col>\t<lo>\t<hi>`
+    * numeric zone-map triples. */
+  private[graft] def parseAdd(l: String)
+      : (String, Map[String, String], Map[String, (Long, Long)]) = {
+    val fs = l.split('\t')
+    val parts = Map.newBuilder[String, String]
+    val stats = Map.newBuilder[String, (Long, Long)]
+    var i = 2
+    while (i < fs.length) {
+      val f = fs(i)
+      if (f.startsWith("p:")) {
+        val eq = f.indexOf('=')
+        if (eq > 2) parts += unescapeVal(f.substring(2, eq)) ->
+          unescapeVal(f.substring(eq + 1))
+        i += 1
+      } else if (i + 2 <= fs.length - 1) {
+        (fs(i + 1).toLongOption, fs(i + 2).toLongOption) match {
+          case (Some(lo), Some(hi)) => stats += f -> (lo, hi); i += 3
+          case _                    => i += 1 // malformed field — skip
+        }
+      } else i += 1
+    }
+    (fs(1), parts.result(), stats.result())
   }
 
   /** Per-file [min, max] of `statsCol` from the log's add lines (files
@@ -271,11 +352,28 @@ object TxLog {
   def fileStats(dir: String, statsCol: String,
       asOf: Option[Int] = None): Map[String, (Long, Long)] =
     state(dir, asOf).live.values.flatMap { l =>
-      l.split('\t') match {
-        case Array(_, f, c, lo, hi) if c == statsCol =>
-          Some(f -> (lo.toLong, hi.toLong))
-        case _ => None
-      }
+      val (f, _, stats) = parseAdd(l)
+      stats.get(statsCol).map(f -> _)
+    }.toMap
+
+  /** ALL per-file zone maps at once: file → (col → [min, max]) from
+    * the log's add lines — the connector's plan-time pruning input
+    * ([[graft.sources.TxLogDataSource]] reads it once per scan). */
+  def fileStatsAll(dir: String,
+      asOf: Option[Int] = None): Map[String, Map[String, (Long, Long)]] =
+    state(dir, asOf).live.values.map { l =>
+      val (f, _, stats) = parseAdd(l)
+      f -> stats
+    }.toMap
+
+  /** Per-file PARTITION VALUES from the log's add lines (Delta's
+    * `partitionValues`): pure log metadata, no data IO. Files
+    * committed without partition markers are absent. */
+  def partitionValues(dir: String,
+      asOf: Option[Int] = None): Map[String, Map[String, String]] =
+    state(dir, asOf).live.values.map { l =>
+      val (f, parts, _) = parseAdd(l)
+      f -> parts
     }.toMap
 
   /** Live files whose `statsCol` range intersects [lo, hi] — plus any
@@ -311,6 +409,96 @@ object TxLog {
     if (bad > 0) throw new IllegalArgumentException(
       s"CHECK constraint violated by the incoming batch: $constraint")
     append(df, dir)
+  }
+
+  /** PARTITIONED APPEND (Delta's `partitionValues`, Iceberg's identity
+    * partitioning): stage `df` so every staged file is partition-value
+    * PURE, and record each file's partition values as `p:<col>=<value>`
+    * markers on its add line — pure log metadata that lets
+    * [[prunePartitions]]/[[readWhere]] prune by partition predicate
+    * from the log ALONE, before any parquet footer IO.
+    *
+    * Physical staging uses Spark's dynamic-partition writers (the same
+    * machinery as `partitionBy`) via SHADOW copies of the partition
+    * columns, so the REAL columns stay in the data files (Iceberg's
+    * choice — reads stay plain scans, no value re-attachment) while the
+    * shadow copies become the directory layout the values are recovered
+    * from. One distributed write; no per-partition driver loop. */
+  def appendPartitioned(spark: SparkSession, df: DataFrame, dir: String,
+      partCols: Seq[String]): Int = {
+    import org.apache.spark.sql.functions.col
+    require(partCols.nonEmpty, "partCols must be non-empty")
+    val cur = currentVersion(dir)
+    new File(dir).mkdirs()
+    val tmp = Files.createTempDirectory(Paths.get(dir), ".stagep-")
+    val shadows = partCols.map(c => s"__p_$c")
+    val dup = partCols.zip(shadows).foldLeft(df) { case (d, (c, s)) =>
+      d.withColumn(s, col(c).cast("string"))
+    }
+    dup.write.partitionBy(shadows: _*).mode("overwrite").parquet(tmp.toString)
+    // walk the partition directory tree: each leaf parquet file sits
+    // under one __p_c=<escaped value> path per partition column
+    def leaves(d: File, vals: Map[String, String])
+        : Seq[(File, Map[String, String])] =
+      Option(d.listFiles()).getOrElse(Array.empty).toSeq.flatMap {
+        case f if f.isDirectory && f.getName.contains("=") =>
+          val Array(k, v) = f.getName.split("=", 2)
+          leaves(f, vals + (k.stripPrefix("__p_") -> sparkUnescape(v)))
+        case f if f.isFile && f.getName.endsWith(".parquet")
+            && !f.getName.startsWith(".") => Seq(f -> vals)
+        case _ => Seq.empty
+      }
+    val found = leaves(tmp.toFile, Map.empty).sortBy(_._1.getPath)
+    val adds = found.zipWithIndex.map { case ((f, vals), i) =>
+      val name = s"part-${java.util.UUID.randomUUID().toString.take(8)}-$i.parquet"
+      Files.move(f.toPath, Paths.get(dir, name), StandardCopyOption.ATOMIC_MOVE)
+      val markers = partCols.map(c =>
+        s"p:${escapeVal(c)}=${escapeVal(vals.getOrElse(c, ""))}")
+      (s"add\t$name" +: markers).mkString("\t")
+    }
+    drop(tmp.toString) // staging litter (empty partition dirs, _SUCCESS)
+    claimVersion(dir, cur + 1, adds)
+  }
+
+  /** Undo Spark's partition-path escaping (`%xx`, uppercase hex — the
+    * Hive-compatible `escapePathName` scheme). */
+  private def sparkUnescape(s: String): String = unescapeVal(s)
+
+  /** Live files whose partition values match every (col → value) pair
+    * in `filter` — plus any file with no recorded value for a filtered
+    * column (pruning must be conservative). Pure log metadata: no data
+    * or footer IO. Returns (kept, total live). */
+  def prunePartitions(dir: String, filter: Map[String, String],
+      asOf: Option[Int] = None): (Seq[String], Int) = {
+    val live = snapshot(dir, asOf)
+    val pv = partitionValues(dir, asOf)
+    val kept = live.filter { f =>
+      val vals = pv.getOrElse(f, Map.empty)
+      filter.forall { case (c, v) => vals.get(c).forall(_ == v) }
+    }
+    (kept, live.size)
+  }
+
+  /** Partition-pruned read: scan ONLY the files whose log-recorded
+    * partition values match `filter` (the log-metadata-only file
+    * pruning that makes a partition-predicate query O(matching
+    * partitions) at any table size), with deletion vectors applied,
+    * THEN the equality predicate re-applied row-level — files kept
+    * conservatively (no recorded value for a filtered column) cannot
+    * leak non-matching rows. An emptied match set reads as an empty
+    * frame with the table schema. */
+  def readWhere(spark: SparkSession, dir: String,
+      filter: Map[String, String], asOf: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val v = asOf.getOrElse(currentVersion(dir))
+    val (kept, _) = prunePartitions(dir, filter, Some(v))
+    if (kept.isEmpty) return read(spark, dir, Some(v)).limit(0)
+    val st = state(dir, Some(v))
+    val base = readFiles(spark, dir, kept, dvFrameFrom(spark, dir,
+      st.dv.toMap.filter { case (f, _) => kept.contains(f) }))
+    filter.foldLeft(base) { case (d, (c, value)) =>
+      d.filter(col(c).cast("string") === lit(value))
+    }
   }
 
   /** DELETE WHERE `pred`: copy-on-write — every live file holding a
@@ -383,8 +571,10 @@ object TxLog {
     * positions, with sidecar files resolved through `spark`. Driver
     * materialization by design — a POSITIONS-level view for tests and
     * small tables; the read path joins [[dvFrame]] distributed and
-    * never calls this. */
-  def deletionVectors(spark: SparkSession, dir: String,
+    * never calls this. `private[graft]` makes the contract structural
+    * (VERDICT r9 #3): production code outside the library cannot reach
+    * the unbounded positions collect — TxLogSpec is its only caller. */
+  private[graft] def deletionVectors(spark: SparkSession, dir: String,
       asOf: Option[Int] = None): Map[String, Set[Long]] = {
     import org.apache.spark.sql.functions.col
     val src = dvSources(dir, asOf)
@@ -590,17 +780,53 @@ object TxLog {
 
   /** OPTIMIZE: rewrite the current live set into `nFiles` compacted
     * files as a new version — bit-identical rows, new layout; older
-    * versions keep reading the small files until vacuumed. */
-  def optimize(spark: SparkSession, dir: String, nFiles: Int = 1): Int = {
+    * versions keep reading the small files until vacuumed.
+    *
+    * With `clusterBy = Seq(x, y)` this is OPTIMIZE ZORDER (Delta's):
+    * rows are laid out along the 2-D Morton curve of the two (integral)
+    * columns — each dimension min/max-scaled into the 16-bit curve
+    * domain, interleaved by the native codegen'd
+    * [[graft.functions.ZOrder2D]], range-partitioned into `nFiles` by
+    * curve position and sorted within — so every output file covers a
+    * small curve segment ≈ a small RECTANGLE in (x, y) space. The add
+    * lines then carry min/max triples for BOTH columns ([[statAddLines]]
+    * one-scan bounds), making [[pruneSnapshot]] zone maps effective on
+    * either dimension at once instead of only a leading sort key. */
+  def optimize(spark: SparkSession, dir: String, nFiles: Int = 1,
+      clusterBy: Seq[String] = Seq.empty): Int = {
+    import org.apache.spark.sql.functions.{call_function, col, floor, lit, max, min}
     val cur = currentVersion(dir)
     val st = state(dir, Some(cur))
     val live = st.live.keys.toSeq
     // DV-aware: compaction MATERIALIZES outstanding deletion vectors —
     // the rewritten files hold only live rows, and removing the old
     // files clears their vectors in the same commit
-    val compacted = readFiles(spark, dir, live,
-      dvFrameFrom(spark, dir, st.dv.toMap)).coalesce(nFiles)
-    commit(dir, cur, stage(compacted, dir), live)
+    val src = readFiles(spark, dir, live, dvFrameFrom(spark, dir, st.dv.toMap))
+    if (clusterBy.isEmpty)
+      return commit(dir, cur, stage(src.coalesce(nFiles), dir), live)
+    require(clusterBy.size == 2,
+      s"clusterBy takes exactly 2 columns (2-D Morton curve), got $clusterBy")
+    graft.functions.GraftFunctions.register(spark)
+    val Seq(cx, cy) = clusterBy
+    // global bounds: one aggregate pass, a 1-row metadata frame
+    val b = src.agg(min(col(cx).cast("double")), max(col(cx).cast("double")),
+      min(col(cy).cast("double")), max(col(cy).cast("double"))).head()
+    def scaled(c: String, lo: Double, hi: Double) =
+      if (hi <= lo) lit(0L)
+      else floor((col(c).cast("double") - lit(lo))
+        * lit(65535.0) / lit(hi - lo)).cast("long")
+    val z = call_function("graft_zorder2",
+      scaled(cx, b.getDouble(0), b.getDouble(1)),
+      scaled(cy, b.getDouble(2), b.getDouble(3)))
+    // curve-ordered layout; the helper column never reaches the files
+    val clustered = src.withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+    val staged = stage(clustered, dir)
+    claimVersion(dir, cur + 1,
+      live.map(f => s"remove\t$f") ++
+        statAddLines(spark, dir, staged, clusterBy))
   }
 
   /** SHALLOW CLONE: a new table whose version 0 REFERENCES the source's
@@ -611,7 +837,14 @@ object TxLog {
     * its own log and its own staged files; a copy-on-write rewrite
     * naturally "un-shares" whatever it touches. Caveat (same as
     * Delta's): vacuuming the SOURCE can break clones that still
-    * reference its files — retention policy must span clones. */
+    * reference its files — retention policy must span clones. That
+    * caveat covers `_dv/` SIDECARS too (ADVICE r9): the clone's
+    * translated `dvf` lines point at the source's sidecar parquet, and
+    * [[vacuum]] on the source reclaims sidecars by the SOURCE's
+    * retained versions alone — a clone still reading them fails with
+    * path-not-found at scan. Either retain past every clone's creation
+    * version or OPTIMIZE the clone first (materializing its vectors
+    * un-shares the sidecars). */
   def shallowClone(srcDir: String, dstDir: String): Int = {
     val srcLive = snapshot(srcDir)
     val srcDvs = dvSources(srcDir, None)
@@ -645,7 +878,11 @@ object TxLog {
     * concurrent writer's staged-but-uncommitted files sit unreferenced
     * in the data dir until its commit lands, and vacuuming them would
     * corrupt that commit (ADVICE r8). Tests pass `minAgeMs = 0`
-    * deliberately. Returns deleted names. */
+    * deliberately. Returns deleted names. CLONE caveat: retention is
+    * judged by THIS table's versions only — data files AND `_dv/`
+    * sidecars still referenced by a shallow clone's translated lines
+    * are invisible here, so retention policy must span clones (see
+    * [[shallowClone]]). */
   def vacuum(dir: String, retainAfter: Int,
       minAgeMs: Long = DefaultVacuumMinAgeMs): Seq[String] = {
     val cur = currentVersion(dir)
@@ -681,23 +918,48 @@ object TxLog {
     victims.toSeq ++ dvVictims.map(d => s"_dv/${d.getName}")
   }
 
+  /** A committed version's instant: the `ts` line its writer recorded
+    * inside the entry when present (robust to file-metadata loss —
+    * ADVICE r9), else the log file's mtime (pre-ts entries; the
+    * hard-link claim is the publish, so the mtime IS the commit
+    * instant as long as metadata survives). */
+  private def entryInstant(p: Path): Long =
+    fileLines(p).collectFirst {
+      case l if l.startsWith("ts\t") => l.substring(3).toLong
+    }.getOrElse(p.toFile.lastModified())
+
+  /** Rewrite version `v`'s recorded commit instant (the `ts` line) —
+    * the admin/test hook for pinning deterministic instants (backdated
+    * imports, reproducible fixtures). Keeps the file mtime in sync for
+    * pre-ts readers. */
+  private[graft] def setCommitInstant(dir: String, v: Int,
+      tsMillis: Long): Unit = {
+    val p = versionFile(dir, v)
+    val rest = fileLines(p).filterNot(_.startsWith("ts\t"))
+    val tmp = Files.createTempFile(logDir(dir).toPath, s".rets-$v-", ".tmp")
+    Files.write(tmp, (s"ts\t$tsMillis" +: rest)
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    Files.move(tmp, p, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+    Files.setLastModifiedTime(p,
+      java.nio.file.attribute.FileTime.fromMillis(tsMillis)): Unit
+  }
+
   /** TIME TRAVEL BY TIMESTAMP (Delta's `timestampAsOf`): the newest
-    * version committed at or before `tsMillis`, resolved from the log
-    * entries' mtimes (a commit's file mtime IS its commit instant —
-    * the hard-link claim is the publish). Versions whose raw entries
-    * were truncated below a checkpoint resolve through the checkpoint
-    * file's mtime conservatively. Throws if the table has no version
-    * that early. */
+    * version committed at or before `tsMillis`, resolved from each raw
+    * entry's recorded `ts` line (mtime fallback for pre-ts entries).
+    * Versions whose raw entries were truncated below a checkpoint
+    * resolve through the checkpoint file's mtime conservatively.
+    * Throws if the table has no version that early. */
   def versionAt(dir: String, tsMillis: Long): Int = {
     val files = Option(logDir(dir).listFiles()).getOrElse(Array.empty)
     val stamped = files.flatMap { f =>
       val n = f.getName
-      val v =
-        if (n.endsWith(".txt")) n.stripSuffix(".txt").toIntOption
-        else if (n.endsWith(".checkpoint"))
-          n.stripSuffix(".checkpoint").toIntOption
-        else None
-      v.map(_ -> f.lastModified())
+      if (n.endsWith(".txt"))
+        n.stripSuffix(".txt").toIntOption.map(_ -> entryInstant(f.toPath))
+      else if (n.endsWith(".checkpoint"))
+        n.stripSuffix(".checkpoint").toIntOption.map(_ -> f.lastModified())
+      else None
     }
     // a version present as BOTH raw entry and checkpoint keeps the raw
     // (earlier) commit instant — the checkpoint is written after
@@ -724,7 +986,9 @@ object TxLog {
       val p = versionFile(dir, v)
       if (Files.exists(p)) {
         val lines = fileLines(p)
-        Some((v, p.toFile.lastModified(),
+        Some((v, lines.collectFirst {
+          case l if l.startsWith("ts\t") => l.substring(3).toLong
+        }.getOrElse(p.toFile.lastModified()),
           lines.count(_.startsWith("add\t")),
           lines.count(_.startsWith("remove\t")),
           lines.count(l => l.startsWith("dv\t") || l.startsWith("dvf\t"))))

@@ -19,18 +19,41 @@ object ArtifactMemo {
   private val cache =
     scala.collection.concurrent.TrieMap.empty[(String, String, String), String]
 
-  /** Order-stable digest of (name, size, mtime) of one source table's
-    * files under `dir`. */
+  /** Order-stable digest of one source table's files under `dir`:
+    * (name, size, NANOSECOND mtime, CRC32 of the file tail). The tail
+    * CRC covers the parquet FOOTER — row counts, column stats, offsets
+    * — so a corpus regenerated with identical file sizes inside the
+    * filesystem's mtime resolution still invalidates (ADVICE r9: a
+    * millis-only size+mtime fingerprint served stale artifacts to
+    * hash-gated consumers in exactly that window). Driver IO is 4 KB
+    * per file — file-grain metadata, same order as the listing walk. */
   def fingerprint(dir: String, table: String): String = {
     import scala.jdk.CollectionConverters._
     val root = java.nio.file.Paths.get(dir, s"$table.parquet")
+    def tailCrc(p: java.nio.file.Path, size: Long): Long = {
+      val n = math.min(4096L, size).toInt
+      if (n == 0) return 0L
+      val ch = java.nio.channels.FileChannel.open(p)
+      try {
+        val buf = java.nio.ByteBuffer.allocate(n)
+        ch.position(size - n)
+        while (buf.hasRemaining && ch.read(buf) >= 0) ()
+        val crc = new java.util.zip.CRC32
+        crc.update(buf.array(), 0, buf.position())
+        crc.getValue
+      } finally ch.close()
+    }
     val entries =
       if (!java.nio.file.Files.exists(root)) Seq(s"absent:$root")
       else {
         val s = java.nio.file.Files.walk(root)
         try s.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
-          .map(p => s"${root.relativize(p)}:${java.nio.file.Files.size(p)}:" +
-            java.nio.file.Files.getLastModifiedTime(p).toMillis)
+          .map { p =>
+            val size = java.nio.file.Files.size(p)
+            val nanos = java.nio.file.Files.getLastModifiedTime(p)
+              .to(java.util.concurrent.TimeUnit.NANOSECONDS)
+            s"${root.relativize(p)}:$size:$nanos:${tailCrc(p, size)}"
+          }
           .toSeq.sorted
         finally s.close()
       }

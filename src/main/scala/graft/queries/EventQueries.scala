@@ -1042,8 +1042,7 @@ object EventQueries {
       (s, dir) => {
         import s.implicits._
         import graft.core.TxLog
-        val t = new java.io.File(System.getProperty("java.io.tmpdir"),
-          "graft_txbit_" + Integer.toHexString(dir.hashCode)).toString
+        val t = Scratch.dir("txbit", dir)
         TxLog.drop(t)
         val base = Tables.load(s, dir, "events")
           .select(col("user_id"), unix_micros(col("ts")).as("us"),

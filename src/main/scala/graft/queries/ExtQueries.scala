@@ -38,25 +38,21 @@ object ExtQueries {
   }
 
   private def shardDir(dir: String): String =
-    new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_shards_" + Integer.toHexString(dir.hashCode)).toString
+    Scratch.dir("shards", dir)
 
   /** (small-files dir, compacted dir) for q292 — deterministic per
     * corpus dir, overwritten each run; package-visible so
     * CompactionSpec can pin the physical file counts. */
   private[graft] def compactionDirs(dir: String): (String, String) = {
-    val base = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_compact_" + Integer.toHexString(dir.hashCode)).toString
+    val base = Scratch.dir("compact", dir)
     (base + "/small", base + "/compact")
   }
 
   private def evolutionDir(dir: String): String =
-    new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_evolve_" + Integer.toHexString(dir.hashCode)).toString
+    Scratch.dir("evolve", dir)
 
   private def dpoDir(dir: String): String =
-    new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_dpo_" + Integer.toHexString(dir.hashCode)).toString
+    Scratch.dir("dpo", dir)
 
   /** (z_{0.975} + z_{0.8})² — the standard 80%-power two-sided-5%
     * constant, computed ONCE here and interpolated into both engines so
@@ -114,8 +110,7 @@ object ExtQueries {
     // original table, so pruning is proven not to change results.
     QuerySpec("q225_partition_prune",
       (s, dir) => {
-        val out = new java.io.File(System.getProperty("java.io.tmpdir"),
-          "graft_pprune_" + Integer.toHexString(dir.hashCode)).toString
+        val out = Scratch.dir("pprune", dir)
         Tables.load(s, dir, "orders")
           .select("o_orderkey", "o_totalprice", "o_orderdate", "o_orderpriority")
           .write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
@@ -2316,8 +2311,7 @@ object ExtQueries {
         val ns = graft.core.Tuned.session(s)
           .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
         val base = Tables.load(ns, dir, "lineitem")
-        val mvPath = new java.io.File(System.getProperty("java.io.tmpdir"),
-          "graft_mv_" + Integer.toHexString(dir.hashCode)).toString
+        val mvPath = Scratch.dir("mv", dir)
         base.groupBy("l_returnflag", "l_linestatus", "l_linenumber")
           .agg(sum("l_quantity").as("s_qty"),
             sum("l_extendedprice").as("s_price"),
@@ -2522,8 +2516,7 @@ object ExtQueries {
         val ns = graft.core.Tuned.session(s)
           .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
         val base = Tables.load(ns, dir, "lineitem")
-        val mvPath = new java.io.File(System.getProperty("java.io.tmpdir"),
-          "graft_mv_" + Integer.toHexString(dir.hashCode)).toString
+        val mvPath = Scratch.dir("mv", dir)
         base.groupBy("l_returnflag", "l_linestatus", "l_linenumber")
           .agg(sum("l_quantity").as("s_qty"),
             sum("l_extendedprice").as("s_price"),
@@ -2653,8 +2646,7 @@ object ExtQueries {
     // modality fits a broadcast.
     QuerySpec("q360_storage_partitioned_join",
       (s, dir) => {
-        val base = new java.io.File(System.getProperty("java.io.tmpdir"),
-          "graft_spj_" + Integer.toHexString(dir.hashCode)).toString
+        val base = Scratch.dir("spj", dir)
         val wavDir = base + "/wav"
         val txtDir = base + "/txt"
         graft.sources.BlobShards.pack(wavMedia(s, dir), wavDir)
@@ -2832,8 +2824,7 @@ object ExtQueries {
     // recompute.
     QuerySpec("q369_join_mv_incremental",
       (s, dir) => {
-        val base = new java.io.File(System.getProperty("java.io.tmpdir"),
-          "graft_jivm_" + Integer.toHexString(dir.hashCode)).toString
+        val base = Scratch.dir("jivm", dir)
         val orders = Tables.load(s, dir, "orders")
           .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
         val cust = Tables.load(s, dir, "customer")
@@ -2947,8 +2938,7 @@ object ExtQueries {
     QuerySpec("q374_txlog_time_travel",
       (s, dir) => {
         import graft.core.TxLog
-        val t = new java.io.File(System.getProperty("java.io.tmpdir"),
-          "graft_txlog_" + Integer.toHexString(dir.hashCode)).toString
+        val t = Scratch.dir("txlog", dir)
         TxLog.drop(t)
         val orders = Tables.load(s, dir, "orders")
           .select(col("o_orderkey"), col("o_totalprice"),
@@ -2992,8 +2982,7 @@ object ExtQueries {
     QuerySpec("q375_txlog_change_feed",
       (s, dir) => {
         import graft.core.TxLog
-        val t = new java.io.File(System.getProperty("java.io.tmpdir"),
-          "graft_txcdf_" + Integer.toHexString(dir.hashCode)).toString
+        val t = Scratch.dir("txcdf", dir)
         TxLog.drop(t)
         val orders = Tables.load(s, dir, "orders")
           .select(col("o_orderkey"), col("o_totalprice"),
@@ -3057,8 +3046,7 @@ object ExtQueries {
     QuerySpec("q376_txlog_merge_upsert",
       (s, dir) => {
         import graft.core.TxLog
-        val t = new java.io.File(System.getProperty("java.io.tmpdir"),
-          "graft_txmrg_" + Integer.toHexString(dir.hashCode)).toString
+        val t = Scratch.dir("txmrg", dir)
         TxLog.drop(t)
         val cust = Tables.load(s, dir, "customer")
           .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
@@ -3095,8 +3083,7 @@ object ExtQueries {
     QuerySpec("q378_txlog_optimize",
       (s, dir) => {
         import graft.core.TxLog
-        val t = new java.io.File(System.getProperty("java.io.tmpdir"),
-          "graft_txopt_" + Integer.toHexString(dir.hashCode)).toString
+        val t = Scratch.dir("txopt", dir)
         TxLog.drop(t)
         val part = Tables.load(s, dir, "part")
           .select(col("p_partkey"), col("p_size"), col("p_retailprice"))
@@ -3138,8 +3125,7 @@ object ExtQueries {
     QuerySpec("q387_txlog_data_skipping",
       (s, dir) => {
         import graft.core.TxLog
-        val t = new java.io.File(System.getProperty("java.io.tmpdir"),
-          "graft_txskip_" + Integer.toHexString(dir.hashCode)).toString
+        val t = Scratch.dir("txskip", dir)
         TxLog.drop(t)
         val orders = Tables.load(s, dir, "orders")
           .select(col("o_orderkey"), col("o_totalprice"))
@@ -3188,8 +3174,7 @@ object ExtQueries {
     QuerySpec("q403_txlog_shallow_clone",
       (s, dir) => {
         import graft.core.TxLog
-        val base = new java.io.File(System.getProperty("java.io.tmpdir"),
-          "graft_txcl_" + Integer.toHexString(dir.hashCode)).toString
+        val base = Scratch.dir("txcl", dir)
         val clone = base + "_branch"
         TxLog.drop(base); TxLog.drop(clone)
         val orders = Tables.load(s, dir, "orders")
@@ -3234,8 +3219,7 @@ object ExtQueries {
     QuerySpec("q404_txlog_checkpoint_replay",
       (s, dir) => {
         import graft.core.TxLog
-        val t = new java.io.File(System.getProperty("java.io.tmpdir"),
-          "graft_txck_" + Integer.toHexString(dir.hashCode)).toString
+        val t = Scratch.dir("txck", dir)
         TxLog.drop(t)
         val orders = Tables.load(s, dir, "orders")
           .select(col("o_orderkey"), col("o_totalprice"),
@@ -3271,19 +3255,20 @@ object ExtQueries {
              |ORDER BY version""".stripMargin)),
 
     // q405 — TIME TRAVEL BY TIMESTAMP (Delta's timestampAsOf): a
-    // commit's publish instant IS its log entry's mtime (the hard-link
-    // claim is the publish), so `readAt(ts)` resolves the newest
-    // version at or before the instant with no extra metadata. The
-    // query pins three deterministic commit instants (in-query mtime
-    // writes — wall clock never reaches the result), probes between/
-    // at/after them, and each probe's state must hash-match recompute
-    // from the equivalent predicate. Boundary rule: at-the-instant is
-    // INCLUSIVE (TxLogSpec pins it plus the pre-history refusal).
+    // commit records its publish instant as a `ts` line INSIDE the log
+    // entry (file mtime is only the pre-ts fallback — ADVICE r9: entry-
+    // resident instants survive copies/restores that reset metadata),
+    // so `readAt(ts)` resolves the newest version at or before the
+    // instant from log content alone. The query pins three
+    // deterministic commit instants (in-query ts-line rewrites — wall
+    // clock never reaches the result), probes between/at/after them,
+    // and each probe's state must hash-match recompute from the
+    // equivalent predicate. Boundary rule: at-the-instant is INCLUSIVE
+    // (TxLogSpec pins it plus the pre-history refusal).
     QuerySpec("q405_txlog_timestamp_travel",
       (s, dir) => {
         import graft.core.TxLog
-        val t = new java.io.File(System.getProperty("java.io.tmpdir"),
-          "graft_txts_" + Integer.toHexString(dir.hashCode)).toString
+        val t = Scratch.dir("txts", dir)
         TxLog.drop(t)
         val orders = Tables.load(s, dir, "orders")
           .select(col("o_orderkey"), col("o_totalprice"),
@@ -3292,9 +3277,7 @@ object ExtQueries {
         TxLog.append(orders.filter(col("o_orderkey") % 3 === 1), t) // v1
         TxLog.append(orders.filter(col("o_orderkey") % 3 === 2), t) // v2
         Seq(0 -> 1000L, 1 -> 2000L, 2 -> 3000L).foreach { case (v, ts) =>
-          java.nio.file.Files.setLastModifiedTime(
-            java.nio.file.Paths.get(t, "_log", f"$v%08d.txt"),
-            java.nio.file.attribute.FileTime.fromMillis(ts))
+          TxLog.setCommitInstant(t, v, ts)
         }
         require(TxLog.versionAt(t, 2000L) == 1, "boundary must be inclusive")
         Seq(("t1500", 1500L), ("t2500", 2500L), ("t9999", 9999L)).map {
@@ -3332,8 +3315,7 @@ object ExtQueries {
     QuerySpec("q379_txlog_deletion_vectors",
       (s, dir) => {
         import graft.core.TxLog
-        val t = new java.io.File(System.getProperty("java.io.tmpdir"),
-          "graft_txdv_" + Integer.toHexString(dir.hashCode)).toString
+        val t = Scratch.dir("txdv", dir)
         TxLog.drop(t)
         val orders = Tables.load(s, dir, "orders")
           .select(col("o_orderkey"), col("o_totalprice"),
@@ -3366,6 +3348,192 @@ object ExtQueries {
              |FROM orders WHERE o_orderpriority <> '5-LOW' AND o_orderkey % 7 <> 0
              |ORDER BY version""".stripMargin)),
 
+    // q406 — OPTIMIZE ZORDER skip-rate audit (the q274 analysis as a
+    // real TABLE operation): a TxLog table committed in four
+    // o_orderkey-ranged slabs (stats on BOTH columns) prunes perfectly
+    // on the leading key but NOT AT ALL on o_custkey — every slab
+    // spans the full customer range. `optimize(clusterBy = (o_custkey,
+    // o_orderkey))` rewrites the live set along the 2-D Morton curve
+    // into 8 files whose log-resident zone maps are tight on BOTH
+    // dimensions: the in-query requires pin pre (custkey prune 4/4
+    // kept = useless, orderkey 1/4) vs post (≤5/8 kept on EITHER
+    // dimension — file boundaries come from a sampled range exchange,
+    // so the pin carries one file of slack rather than an exact
+    // count). The hashed output is pruning-noise-free: each phase
+    // re-reads only its kept files and re-applies the row predicate,
+    // so the aggregate equals the oracle's full-table predicate scan
+    // — pruning proven lossless while the file counts stay in
+    // require()s.
+    QuerySpec("q406_txlog_zorder_optimize",
+      (s, dir) => {
+        import graft.core.TxLog
+        val t = Scratch.dir("txzorder", dir)
+        TxLog.drop(t)
+        val orders = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        val b = orders.agg(min(col("o_orderkey")), max(col("o_orderkey")),
+          min(col("o_custkey")), max(col("o_custkey"))).head()
+        val (mnO, mxO, mnC, mxC) =
+          (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+        val qO = (mxO - mnO + 1) / 4
+        (0 to 3).foreach { i => // orderkey-ranged slabs, stats on BOTH cols
+          val lo = mnO + i * qO
+          val sl = if (i < 3) orders.filter(col("o_orderkey") >= lo &&
+            col("o_orderkey") < lo + qO)
+          else orders.filter(col("o_orderkey") >= lo)
+          TxLog.appendWithStats(s, sl.coalesce(1), t,
+            Seq("o_custkey", "o_orderkey"))
+        }
+        val hiC = mnC + (mxC - mnC + 1) / 4 // first-quartile predicates
+        val hiO = mnO + qO
+        def kept(colName: String, lo: Long, hi: Long) =
+          TxLog.pruneSnapshot(t, colName, lo, hi)
+        val (preC, preT) = kept("o_custkey", mnC, hiC - 1)
+        val (preO, _) = kept("o_orderkey", mnO, hiO - 1)
+        require(preT == 4 && preC.size == 4 && preO.size == 1,
+          s"pre-ZORDER: leading-key layout must prune orderkey 1/4 and " +
+            s"custkey 4/4, got ${preO.size}/${preC.size} of $preT")
+        TxLog.optimize(s, t, nFiles = 8,
+          clusterBy = Seq("o_custkey", "o_orderkey"))
+        val (postC, postT) = kept("o_custkey", mnC, hiC - 1)
+        val (postO, _) = kept("o_orderkey", mnO, hiO - 1)
+        require(postT == 8 && postC.size <= 5 && postO.size <= 5,
+          s"post-ZORDER: both dimensions must prune (≤5/8), got " +
+            s"custkey ${postC.size}, orderkey ${postO.size} of $postT")
+        // hashed payload: the 2-D predicate served from the kept-file
+        // INTERSECTION of both dimensions' zone maps, row predicate
+        // re-applied — value-equal to the oracle's full scan
+        Seq(("post_zorder", postC.toSet intersect postO.toSet, 8),
+          ("pre_zorder", preC.toSet intersect preO.toSet, 4)).map {
+          case (phase, files, nf) =>
+            s.read.parquet(files.toSeq.sorted.map(f => s"$t/$f"): _*)
+              .filter(col("o_custkey") >= mnC && col("o_custkey") < hiC &&
+                col("o_orderkey") >= mnO && col("o_orderkey") < hiO)
+              .agg(count(lit(1)).as("n_orders"),
+                Stable.dsum(col("o_totalprice")).as("revenue"))
+              .select(lit(phase).as("phase"), lit(nf).as("files_total"),
+                col("n_orders"), col("revenue"))
+        }.reduce(_ unionByName _).orderBy("phase")
+      },
+      Some("""WITH b AS (SELECT min(o_orderkey) AS mno, max(o_orderkey) AS mxo,
+             |    min(o_custkey) AS mnc, max(o_custkey) AS mxc FROM orders),
+             |p AS (SELECT mno, mnc,
+             |    mno + (mxo - mno + 1) // 4 AS hio,
+             |    mnc + (mxc - mnc + 1) // 4 AS hic FROM b),
+             |a AS (SELECT CAST(count(*) AS BIGINT) AS n_orders,
+             |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             |  FROM orders, p
+             |  WHERE o_custkey >= mnc AND o_custkey < hic
+             |    AND o_orderkey >= mno AND o_orderkey < hio)
+             |SELECT 'post_zorder' AS phase, 8 AS files_total, n_orders, revenue FROM a
+             |UNION ALL
+             |SELECT 'pre_zorder', 4, n_orders, revenue FROM a
+             |ORDER BY phase""".stripMargin)),
+
+    // q407 — PARTITIONED TxLog table: appendPartitioned records each
+    // file's partition values as log-line markers, so the
+    // o_orderpriority predicate prunes the file list from LOG METADATA
+    // ALONE — no footer IO, no directory listing (readWhere; the
+    // in-query require pins that exactly the 1-of-5 value's files
+    // survive, with the partition columns still IN the data files,
+    // Iceberg-style). The hashed output aggregates the pruned read by
+    // order year against the oracle's row-filtered full scan — pruning
+    // proven lossless under the hash.
+    QuerySpec("q407_txlog_partitioned",
+      (s, dir) => {
+        import graft.core.TxLog
+        val t = Scratch.dir("txpart", dir)
+        TxLog.drop(t)
+        val orders = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderdate"), col("o_orderpriority"))
+        // two upstream tasks × 5 priorities → 10 value-pure files
+        TxLog.appendPartitioned(s, orders.repartition(2), t,
+          Seq("o_orderpriority"))
+        val (kept, total) =
+          TxLog.prunePartitions(t, Map("o_orderpriority" -> "1-URGENT"))
+        require(total >= 5 && kept.size * 5 == total,
+          s"expected exactly the 1-of-5 value's files kept, " +
+            s"got ${kept.size}/$total")
+        TxLog.readWhere(s, t, Map("o_orderpriority" -> "1-URGENT"))
+          .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
+          .agg(count(lit(1)).as("n_orders"),
+            Stable.dsum(col("o_totalprice")).as("revenue"))
+          .orderBy("yr")
+      },
+      Some("""SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+             |  CAST(count(*) AS BIGINT) AS n_orders,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             |FROM orders WHERE o_orderpriority = '1-URGENT'
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // q408 — the TxLog CONNECTOR (`spark.read.format("txlog")`): the
+    // lakehouse consumed through the standard reader API instead of
+    // the Scala one — a custom FileIndex under HadoopFsRelation (the
+    // Delta batch-read shape), so the scan is Spark's native
+    // vectorized parquet scan and the connector contributes PLAN-TIME
+    // file pruning from log-resident zone maps. Four orderkey-slab
+    // commits with pinned instants; the in-query requires pin that a
+    // top-quartile predicate through the connector scanned 1 of 4
+    // files (TxLogSourceIO ground truth) and that `versionAsOf` /
+    // `timestampAsOf` options resolve to the same v1 state; the hash
+    // gate then proves all three reads value-equal to predicate
+    // recompute on the raw table.
+    QuerySpec("q408_txlog_connector",
+      (s, dir) => {
+        import graft.core.TxLog
+        import graft.sources.TxLogSourceIO
+        val t = Scratch.dir("txconn", dir)
+        TxLog.drop(t)
+        val orders = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+        val b = orders.agg(min(col("o_orderkey")), max(col("o_orderkey")))
+          .head()
+        val (mn, mx) = (b.getLong(0), b.getLong(1))
+        val q = (mx - mn + 1) / 4
+        (0 to 3).foreach { i =>
+          val lo = mn + i * q
+          val sl = if (i < 3) orders.filter(col("o_orderkey") >= lo &&
+            col("o_orderkey") < lo + q)
+          else orders.filter(col("o_orderkey") >= lo)
+          TxLog.appendWithStats(s, sl.coalesce(1), t, "o_orderkey")
+          TxLog.setCommitInstant(t, i, 1000L * (i + 1))
+        }
+        val plo = mn + 3 * q
+        val pruned = s.read.format("txlog").load(t)
+          .filter(col("o_orderkey") >= plo)
+        pruned.count() // force a scan so the pruning counters are real
+        require(TxLogSourceIO.lastTotal.get() == 4 &&
+          TxLogSourceIO.lastKept.get() == 1,
+          s"connector zone maps must keep 1 of 4 files, kept " +
+            s"${TxLogSourceIO.lastKept.get()}/${TxLogSourceIO.lastTotal.get()}")
+        val v1 = s.read.format("txlog").option("versionAsOf", "1").load(t)
+        val t1 = s.read.format("txlog").option("timestampAsOf", "2500")
+          .load(t)
+        Seq(("latest_pruned", pruned), ("v1_timestamp_as_of", t1),
+          ("v1_version_as_of", v1)).map { case (label, df) =>
+          df.agg(count(lit(1)).as("n_orders"),
+              Stable.dsum(col("o_totalprice")).as("revenue"))
+            .select(lit(label).as("probe"), col("n_orders"), col("revenue"))
+        }.reduce(_ unionByName _).orderBy("probe")
+      },
+      Some("""WITH b AS (SELECT min(o_orderkey) AS mn, max(o_orderkey) AS mx
+             |  FROM orders),
+             |p AS (SELECT mn + 3 * ((mx - mn + 1) // 4) AS plo,
+             |    mn + 2 * ((mx - mn + 1) // 4) AS v1hi FROM b)
+             |SELECT 'latest_pruned' AS probe, CAST(count(*) AS BIGINT) AS n_orders,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             |FROM orders, p WHERE o_orderkey >= p.plo
+             |UNION ALL
+             |SELECT 'v1_timestamp_as_of', CAST(count(*) AS BIGINT),
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |FROM orders, p WHERE o_orderkey < p.v1hi
+             |UNION ALL
+             |SELECT 'v1_version_as_of', CAST(count(*) AS BIGINT),
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |FROM orders, p WHERE o_orderkey < p.v1hi
+             |ORDER BY probe""".stripMargin)),
+
     // q380 — SCHEMA EVOLUTION through the log: version 1 appends rows
     // carrying a column version 0 never had; the table schema is the
     // UNION (mergeSchema over the live file list) and pre-evolution
@@ -3376,8 +3544,7 @@ object ExtQueries {
     QuerySpec("q380_txlog_schema_evolution",
       (s, dir) => {
         import graft.core.TxLog
-        val t = new java.io.File(System.getProperty("java.io.tmpdir"),
-          "graft_txevo_" + Integer.toHexString(dir.hashCode)).toString
+        val t = Scratch.dir("txevo", dir)
         TxLog.drop(t)
         val orders = Tables.load(s, dir, "orders")
           .select(col("o_orderkey"), col("o_totalprice"))

@@ -249,17 +249,24 @@ class TxLogSpec extends AnyFunSuite {
     val t = freshTable() // v0
     TxLog.append(Seq((500L, 0L)).toDF("id", "grp"), t) // v1
     TxLog.append(Seq((501L, 1L)).toDF("id", "grp"), t) // v2
-    // pin deterministic commit instants
-    def vf(v: Int) = java.nio.file.Paths.get(t, "_log", f"$v%08d.txt")
+    // pin deterministic commit instants (rewrites the entry ts lines)
     Seq(0 -> 1000L, 1 -> 2000L, 2 -> 3000L).foreach { case (v, ts) =>
-      java.nio.file.Files.setLastModifiedTime(vf(v),
-        java.nio.file.attribute.FileTime.fromMillis(ts))
+      TxLog.setCommitInstant(t, v, ts)
     }
     assert(TxLog.versionAt(t, 1000L) == 0) // exact boundary is inclusive
     assert(TxLog.versionAt(t, 2500L) == 1)
     assert(TxLog.versionAt(t, 9999L) == 2)
     assert(TxLog.readAt(spark, t, 2500L).count() == 101)
     intercept[IllegalArgumentException](TxLog.versionAt(t, 500L))
+    // instants live in log CONTENT (ADVICE r9): resetting every file
+    // mtime to "now" — what a metadata-losing copy/rsync does — must
+    // not re-date history
+    val now = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis())
+    java.nio.file.Files.list(java.nio.file.Paths.get(t, "_log")).forEach(
+      p => java.nio.file.Files.setLastModifiedTime(p, now): Unit)
+    assert(TxLog.versionAt(t, 2500L) == 1,
+      "timestamp travel must survive file-metadata loss")
   }
 
   test("history lists versions newest-first with add/remove/dv counts; " +
@@ -281,6 +288,89 @@ class TxLogSpec extends AnyFunSuite {
     assert(h2.head._3 >= 0, "v2 still has raw entries")
   }
 
+  test("OPTIMIZE ZORDER: clusterBy rewrites along the Morton curve and " +
+      "the add lines carry BOTH columns' bounds — pruneSnapshot skips " +
+      "on either dimension") {
+    val t = java.nio.file.Files.createTempDirectory("txlog_z_").toString
+    TxLog.drop(t)
+    // 64x64 grid committed in ROW-MAJOR slabs: before z-order, every
+    // file spans the full y range, so a y predicate prunes nothing
+    val grid = spark.range(4096L).select(
+      (col("id") / 64).cast("long").as("x"), (col("id") % 64).as("y"))
+    TxLog.create(grid.repartitionByRange(8, col("x")), t)
+    TxLog.optimize(spark, t, nFiles = 8, clusterBy = Seq("x", "y"))
+    val statsX = TxLog.fileStats(t, "x")
+    val statsY = TxLog.fileStats(t, "y")
+    assert(statsX.size == 8 && statsY.size == 8,
+      s"both cluster columns need bounds on all 8 files: " +
+        s"${statsX.size}/${statsY.size}")
+    val (keptX, totalX) = TxLog.pruneSnapshot(t, "x", 0L, 15L)
+    val (keptY, totalY) = TxLog.pruneSnapshot(t, "y", 0L, 15L)
+    assert(totalX == 8 && keptX.size <= 4,
+      s"x-range prune should skip most files, kept ${keptX.size}/8")
+    assert(totalY == 8 && keptY.size <= 4,
+      s"y-range prune should skip most files post-ZORDER, " +
+        s"kept ${keptY.size}/8")
+    // rows are bit-identical across the rewrite
+    assert(TxLog.read(spark, t).count() == 4096L)
+    assert(TxLog.read(spark, t).agg(sum(col("x") * 100 + col("y")))
+      .head().getLong(0) ==
+      TxLog.read(spark, t, Some(0)).agg(sum(col("x") * 100 + col("y")))
+        .head().getLong(0))
+    TxLog.drop(t)
+  }
+
+  test("partitioned append: add lines carry partition values, " +
+      "prunePartitions/readWhere serve from log metadata alone, and " +
+      "statless files survive pruning conservatively") {
+    val t = java.nio.file.Files.createTempDirectory("txlog_p_").toString
+    TxLog.drop(t)
+    val rows = spark.range(300L).select(col("id"),
+      concat(lit("g"), (col("id") % 3).cast("string")).as("grp"))
+    TxLog.create(rows.filter(col("id") < 10), t) // v0: NO partition values
+    // coalesce(1): ONE upstream task → exactly one file per grp value
+    // (dynamic partition writers emit a file per task × value)
+    TxLog.appendPartitioned(spark,
+      rows.filter(col("id") >= 10).coalesce(1), t, Seq("grp")) // v1
+    val pv = TxLog.partitionValues(t)
+    assert(pv.values.count(_.nonEmpty) == 3,
+      s"expected 3 partition-valued files, got $pv")
+    assert(pv.values.filter(_.nonEmpty).map(_("grp")).toSet ==
+      Set("g0", "g1", "g2"))
+    val (kept, total) = TxLog.prunePartitions(t, Map("grp" -> "g1"))
+    // g1's file + the statless v0 file (conservative), never g0/g2
+    assert(total == 4 && kept.size == 2, s"kept $kept of $total")
+    val read = TxLog.readWhere(spark, t, Map("grp" -> "g1"))
+    // 97 appended g1 rows (ids ≡1 mod 3 in [10,300)) + 3 matching rows
+    // of the conservatively-kept statless v0 file (ids 1, 4, 7)
+    assert(read.count() == 100L,
+      "readWhere returns exactly the matching rows")
+    // the partition columns are IN the data files (Iceberg's choice)
+    assert(read.columns.contains("grp"))
+    // partition-pruned read composes with deletion vectors (id 10 is g1)
+    TxLog.deleteWhereDV(spark, t, col("id") >= 10 && col("id") < 13)
+    assert(TxLog.readWhere(spark, t, Map("grp" -> "g1"))
+      .filter(col("id") >= 10).count() == 96L)
+    TxLog.drop(t)
+  }
+
+  test("partition values with path-hostile characters round-trip " +
+      "through staging dirs and log lines") {
+    val t = java.nio.file.Files.createTempDirectory("txlog_esc_").toString
+    TxLog.drop(t)
+    TxLog.create(spark.range(1L).select(col("id"),
+      lit("plain").as("k")), t)
+    TxLog.appendPartitioned(spark,
+      spark.range(2L).select(col("id"),
+        concat(lit("a=b%c "), col("id").cast("string")).as("k")),
+      t, Seq("k"))
+    val vals = TxLog.partitionValues(t).values.filter(_.nonEmpty)
+      .map(_("k")).toSet
+    assert(vals == Set("a=b%c 0", "a=b%c 1"), s"got $vals")
+    assert(TxLog.readWhere(spark, t, Map("k" -> "a=b%c 1")).count() == 1L)
+    TxLog.drop(t)
+  }
+
   test("deleteWhereDV at bulk scale: 150k-row table, 30k matches — " +
       "positions land in a parquet sidecar built distributed, the log " +
       "line stays file-grain metadata, reads apply both generations") {
@@ -291,8 +381,10 @@ class TxLogSpec extends AnyFunSuite {
     val v = TxLog.deleteWhereDV(spark, t, col("grp") === 2) // 30k positions
     val log = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(t, "_log", f"$v%08d.txt")), "UTF-8")
-    assert(log.linesIterator.forall(_.startsWith("dvf\t")),
-      s"expected only sidecar references: ${log.take(200)}")
+    assert(log.linesIterator.forall(l =>
+      l.startsWith("dvf\t") || l.startsWith("ts\t")),
+      s"expected only sidecar references (+ the commit instant): " +
+        s"${log.take(200)}")
     assert(log.length < 4096,
       s"log entry must be file-grain metadata, got ${log.length} bytes")
     assert(TxLog.hasDeletionVectors(t))
