@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.core.Cleanup.PersistTrackedOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -49,15 +50,27 @@ object Quantiles {
       .groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("__qcnt"))
     // 2. ranks via the range-partitioned distributed prefix sum
-    val cum = PrefixSum.cumsum(vg, keyCols, "__qcnt", "__qcum", numParts)
+    val cum0 = PrefixSum.cumsum(vg, keyCols, "__qcnt", "__qcum", numParts)
     val gagg = Seq(min(col("__qcum") - col("__qcnt")).as("__qoff"),
       sum(col("__qcnt")).as("__qn"))
-    val grp =
-      if (groupCols.nonEmpty)
-        cum.groupBy(groupCols.map(col): _*).agg(gagg.head, gagg.tail: _*)
-      else cum.agg(gagg.head, gagg.tail: _*)
-    val ranked = (if (groupCols.nonEmpty) cum.join(broadcast(grp), groupCols)
-      else cum.crossJoin(broadcast(grp)))
+    // grouped form: the group-grain frame broadcasts back on the keys.
+    // GLOBAL form: the frame is ONE row — collected eagerly (metadata-
+    // scale driver read, the q387 bounds precedent) and inlined as
+    // literals, so the plan carries NO join at all (a constant-key
+    // equi join constant-folds back into a nested loop, tripping the
+    // engine-wide no-nested-loop plan pins).
+    val ranked = (if (groupCols.nonEmpty) {
+      val grp = cum0.groupBy(groupCols.map(col): _*)
+        .agg(gagg.head, gagg.tail: _*)
+      cum0.join(broadcast(grp), groupCols)
+    } else {
+      val cum = cum0.persistTracked()
+      val hd = cum.agg(gagg.head, gagg.tail: _*).head()
+      if (hd.isNullAt(1)) // empty input: no non-NULL values anywhere
+        cum.limit(0).withColumn("__qoff", lit(0L)).withColumn("__qn", lit(0L))
+      else cum.withColumn("__qoff", lit(hd.getLong(0)))
+        .withColumn("__qn", lit(hd.getLong(1)))
+    })
       // this value covers per-group ranks [__qlo, __qhi] (1-based)
       .withColumn("__qhi", col("__qcum") - col("__qoff"))
       .withColumn("__qlo", col("__qhi") - col("__qcnt") + 1L)

@@ -228,15 +228,15 @@ object AnalyticsQueries {
           .select(col("o_orderkey"), col("o_totalprice"))
         // decile bounds via distributed rank selection (ops.Quantiles):
         // same quantile_cont arithmetic as before, but no global
-        // value-buffering `percentile` aggregate (the 100 TB shape)
+        // value-buffering `percentile` aggregate (the 100 TB shape).
+        // min/max ride the SAME call as p=0.0/p=1.0 (integral rank
+        // positions select the extreme order values verbatim), so the
+        // stats frame is one quantile pass, no bounds join.
         val deciles = Seq("d1" -> 0.1, "d2" -> 0.2, "d3" -> 0.3,
           "d4" -> 0.4, "d5" -> 0.5, "d6" -> 0.6, "d7" -> 0.7,
           "d8" -> 0.8, "d9" -> 0.9)
-        val qs = graft.ops.Quantiles.quantileCont(o, Nil, "o_totalprice",
-          deciles)
-        val stats = qs.crossJoin(
-          o.agg(min(col("o_totalprice")).as("mn"),
-            max(col("o_totalprice")).as("mx")))
+        val stats = graft.ops.Quantiles.quantileCont(o, Nil, "o_totalprice",
+          ("mn" -> 0.0) +: deciles :+ ("mx" -> 1.0))
         val bounds = concat(array(col("mn")),
           array(deciles.map { case (nm, _) => round(col(nm), 2) }: _*),
           array(col("mx") + 1))
@@ -4208,5 +4208,61 @@ object AnalyticsQueries {
              |  CAST(n_extreme AS BIGINT) AS n_extreme,
              |  CAST(n_extreme AS DOUBLE) / n_replicates AS p_value,
              |  CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb AS obs_diff_cents
-             |FROM x, obs""".stripMargin)))
+             |FROM x, obs""".stripMargin)),
+
+    // q409 — exact grouped FIVE-NUMBER SUMMARY + IQR outlier fences
+    // (the box-plot op every profiling pass runs): quartiles come from
+    // ONE multi-percentile `ops.Quantiles` call — the rank filter
+    // carries all three crossing ranks through a single PrefixSum, so
+    // adding percentiles costs predicates, not passes — min/max/count
+    // ride a plain aggregate, and the 1.5·IQR fences are derived from
+    // cents-ROUNDED quartiles (q86 boundary rule) so the outlier
+    // decision is bit-identical in both engines. One corpus shuffle
+    // (value grain) + one broadcast-back scan; no per-group value
+    // buffer at any width.
+    QuerySpec("q409_boxplot_summary",
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+          .select(col("o_orderpriority"), col("o_totalprice"))
+          .persistTracked()
+        val qs = graft.ops.Quantiles.quantileCont(o, Seq("o_orderpriority"),
+            "o_totalprice",
+            Seq("q1" -> 0.25, "med" -> 0.5, "q3" -> 0.75))
+          .select(col("o_orderpriority"), round(col("q1"), 2).as("q1"),
+            round(col("med"), 2).as("med"), round(col("q3"), 2).as("q3"))
+        val mm = o.groupBy("o_orderpriority")
+          .agg(min(col("o_totalprice")).as("mn"),
+            max(col("o_totalprice")).as("mx"))
+        val lof = col("q1") - (col("q3") - col("q1")) * lit(1.5)
+        val hif = col("q3") + (col("q3") - col("q1")) * lit(1.5)
+        o.join(broadcast(qs), "o_orderpriority")
+          .groupBy("o_orderpriority", "q1", "med", "q3")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("o_totalprice") < lof, 1L).otherwise(0L))
+              .as("n_lo_outliers"),
+            sum(when(col("o_totalprice") > hif, 1L).otherwise(0L))
+              .as("n_hi_outliers"))
+          .join(broadcast(mm), "o_orderpriority")
+          .select(col("o_orderpriority"), col("mn"), col("q1"), col("med"),
+            col("q3"), col("mx"), col("n"), col("n_lo_outliers"),
+            col("n_hi_outliers"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH q AS (SELECT o_orderpriority,
+             |    round(quantile_cont(o_totalprice, 0.25), 2) AS q1,
+             |    round(quantile_cont(o_totalprice, 0.5), 2) AS med,
+             |    round(quantile_cont(o_totalprice, 0.75), 2) AS q3
+             |  FROM orders GROUP BY 1),
+             |m AS (SELECT o_orderpriority, min(o_totalprice) AS mn,
+             |    max(o_totalprice) AS mx FROM orders GROUP BY 1)
+             |SELECT o.o_orderpriority, m.mn, q.q1, q.med, q.q3, m.mx,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(SUM(CASE WHEN o_totalprice < q1 - (q3 - q1) * CAST(1.5 AS DOUBLE)
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_lo_outliers,
+             |  CAST(SUM(CASE WHEN o_totalprice > q3 + (q3 - q1) * CAST(1.5 AS DOUBLE)
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_hi_outliers
+             |FROM orders o JOIN q USING (o_orderpriority)
+             |JOIN m USING (o_orderpriority)
+             |GROUP BY 1, 2, 3, 4, 5, 6
+             |ORDER BY 1""".stripMargin)))
 }

@@ -106,16 +106,31 @@ object VectorQueries {
       .persistTracked()
   }
 
-  /** Full PQ encoding: per (vec_id, sub) the learned code + distance. */
-  private def pqCodes(emb: DataFrame): DataFrame = {
-    val sv = pqSubvectors(emb).persistTracked()
-    pqAssign(sv, pqCodebook(sv))
+  /** Process-wide PERSISTED seed-0 PQ artifacts — (codebook, codes) for
+    * the full-vector family shared by q92/q93/q146 (the q258
+    * build-once/serve-many shape, VERDICT r9 #5: each consumer was
+    * re-running the subvector explode + Lloyd pass + assignment
+    * inline). Codes drop the subvector payload (`v`) — consumers score
+    * against byte-width codes, never raw floats; the codebook is pqM²
+    * tiny rows. Parquet round-trips the rounded doubles bit-exactly,
+    * so cached and inline results are identical under the hash gate. */
+  private def pqArtifact(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val base = ArtifactMemo.dir(dir, "embeddings", "pq0") { t =>
+      val sv = pqSubvectors(Tables.load(s, dir, "embeddings"))
+        .persistTracked()
+      val cb = pqCodebook(sv)
+      cb.write.mode("overwrite").parquet(s"$t/codebook")
+      pqAssign(sv, cb).drop("v")
+        .write.mode("overwrite").parquet(s"$t/codes")
+    }
+    (s.read.parquet(s"$base/codebook"), s.read.parquet(s"$base/codes"))
   }
 
   private def duckPqL2(a: String, b: String): String =
     s"list_sum(list_transform(generate_series(1, $pqSd), i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))))"
 
-  /** DuckDB CTE chain mirroring [[pqCodes]]; exposes `sv`, the trained
+  /** DuckDB CTE chain mirroring [[pqArtifact]]'s build; exposes `sv`, the trained
     * codebook `c1(sub, cent_id, cv)` and codes `a1(vec_id, sub, cent_id,
     * d)`. */
   private val duckPqCtes: String =
@@ -804,7 +819,7 @@ object VectorQueries {
     // 6-decimal round; code ties break on cent_id; the error sum is
     // decimal-stabilized (NOTES rule 1).
     QuerySpec("q92_pq_encode",
-      (s, dir) => pqCodes(Tables.load(s, dir, "embeddings"))
+      (s, dir) => pqArtifact(s, dir)._2
           .groupBy("vec_id")
           .agg(
             expr("array_join(transform(array_sort(collect_list(struct(sub, cent_id))), x -> CAST(x.cent_id AS STRING)), '-')")
@@ -830,10 +845,11 @@ object VectorQueries {
     QuerySpec("q93_pq_adc_search",
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")
-        val sv = pqSubvectors(emb).persistTracked()
-        val cb = pqCodebook(sv)
-        val codes = pqAssign(sv, cb).select("vec_id", "sub", "cent_id")
-        val dt = sv.filter(col("vec_id") < 8)
+        val (cb, codesAll) = pqArtifact(s, dir)
+        val codes = codesAll.select("vec_id", "sub", "cent_id")
+        // query subvectors: filter BEFORE the explode so the scan reads
+        // 8 vectors, not the corpus
+        val dt = pqSubvectors(emb.filter(col("vec_id") < 8))
           .select(col("vec_id").as("q_id"), col("sub"), col("v").as("qv"))
           .join(cb, "sub")
           .select(col("q_id"), col("sub"), col("cent_id"),
@@ -1261,10 +1277,9 @@ object VectorQueries {
               .as("cos_sim"))
           .withColumn("ra", row_number().over(wA)).filter(col("ra") <= 10)
           .select("q_id", "vec_id", "ra")
-        val sv = pqSubvectors(emb).persistTracked()
-        val cb = pqCodebook(sv)
-        val codes = pqAssign(sv, cb).select("vec_id", "sub", "cent_id")
-        val dt = sv.filter(col("vec_id") < 8)
+        val (cb, codesAll) = pqArtifact(s, dir)
+        val codes = codesAll.select("vec_id", "sub", "cent_id")
+        val dt = pqSubvectors(emb.filter(col("vec_id") < 8))
           .select(col("vec_id").as("q_id"), col("sub"), col("v").as("qv"))
           .join(cb, "sub")
           .select(col("q_id"), col("sub"), col("cent_id"),

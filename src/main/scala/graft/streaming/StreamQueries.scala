@@ -927,7 +927,7 @@ object StreamQueries {
         val tmp = sentinelRelay(s, dir)
         val schema = s.read.parquet(tmp).schema
         val src = s.readStream.schema(schema)
-          .option("maxFilesPerTrigger", "1").parquet(tmp)
+          .parquet(tmp) // ONE batch: the no-data eviction batch flushes (r10)
         val clicks = src.filter(col("event_type") === "click")
           .select(col("user_id"), col("ts").as("click_ts"),
             col("event_id").as("click_id"))
@@ -975,7 +975,7 @@ object StreamQueries {
         val tmp = sentinelRelay(s, dir)
         val schema = s.read.parquet(tmp).schema
         val src = s.readStream.schema(schema)
-          .option("maxFilesPerTrigger", "1").parquet(tmp)
+          .parquet(tmp) // ONE batch: the no-data eviction batch flushes (r10)
         val clicks = src.filter(col("event_type") === "click")
           .select(col("user_id"), col("ts").as("click_ts"),
             col("event_id").as("click_id"))
