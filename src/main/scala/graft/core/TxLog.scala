@@ -103,6 +103,15 @@ object TxLog {
       lines.collect { case l if l.startsWith("remove\t") => l.split('\t')(1) })
   }
 
+  /** Does version `v` delete rows — remove lines (COW rewrites,
+    * OPTIMIZE) or deletion-vector lines (merge-on-read)? The streaming
+    * source's append-only guard: a DV-only commit removes no FILES but
+    * still deletes ROWS a tailing consumer already emitted. */
+  private[graft] def versionDeletes(dir: String, v: Int): Boolean =
+    fileLines(versionFile(dir, v)).exists(l =>
+      l.startsWith("remove\t") || l.startsWith("dv\t") ||
+        l.startsWith("dvf\t"))
+
   /** The fully-replayed log state at one version: live files (keyed by
     * the file field, valued by the VERBATIM add line so stats fields
     * survive checkpointing), outstanding deletion-vector sources, and
@@ -396,6 +405,17 @@ object TxLog {
   /** APPEND: new files only, nothing removed. */
   def append(df: DataFrame, dir: String): Int =
     commit(dir, currentVersion(dir), stage(df, dir), Seq.empty)
+
+  /** REPLACE (SaveMode.Overwrite through the connector): one atomic
+    * commit swaps the whole live set for `df`'s files — the previous
+    * state stays a time-travelable version until vacuumed (a versioned
+    * INSERT OVERWRITE, not a destructive rewrite). Creates the table
+    * when it doesn't exist yet. */
+  def replace(df: DataFrame, dir: String): Int = {
+    val cur = currentVersion(dir)
+    if (cur < 0) create(df, dir)
+    else commit(dir, cur, stage(df, dir), snapshot(dir, Some(cur)))
+  }
 
   /** APPEND gated by a CHECK constraint (the Delta table-constraint
     * shape): if any incoming row violates `constraint`, NOTHING

@@ -3534,6 +3534,97 @@ object ExtQueries {
              |FROM orders, p WHERE o_orderkey < p.v1hi
              |ORDER BY probe""".stripMargin)),
 
+    // q410 — the TxLog connector WRITE path: the full round trip
+    // through the standard writer API. Append creates v0 and appends
+    // v1; Overwrite is a versioned REPLACE — one atomic commit swaps
+    // the live set, so the pre-overwrite state STILL READS through
+    // `versionAsOf` (an INSERT OVERWRITE that time travel survives,
+    // which a directory rewrite cannot offer). The three probes hash
+    // against predicate recompute: v0 = even keys, v1 = all keys,
+    // latest = the replaced high-value slice.
+    QuerySpec("q410_txlog_connector_write",
+      (s, dir) => {
+        import graft.core.TxLog
+        val t = Scratch.dir("txwrite", dir)
+        TxLog.drop(t)
+        val orders = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+        orders.filter(col("o_orderkey") % 2 === 0)
+          .write.format("txlog").mode("append").save(t) // v0 create
+        orders.filter(col("o_orderkey") % 2 =!= 0)
+          .write.format("txlog").mode("append").save(t) // v1 append
+        orders.filter(col("o_totalprice") > 300000)
+          .write.format("txlog").mode("overwrite").save(t) // v2 replace
+        Seq(("latest_replaced", None), ("v0_even", Some("0")),
+          ("v1_all", Some("1"))).map { case (label, v) =>
+          val r = v.foldLeft(s.read.format("txlog"))(
+            (rd, ver) => rd.option("versionAsOf", ver)).load(t)
+          r.agg(count(lit(1)).as("n_orders"),
+              Stable.dsum(col("o_totalprice")).as("revenue"))
+            .select(lit(label).as("probe"), col("n_orders"), col("revenue"))
+        }.reduce(_ unionByName _).orderBy("probe")
+      },
+      Some("""SELECT 'latest_replaced' AS probe,
+             |  CAST(count(*) AS BIGINT) AS n_orders,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             |FROM orders WHERE o_totalprice > 300000
+             |UNION ALL
+             |SELECT 'v0_even', CAST(count(*) AS BIGINT),
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |FROM orders WHERE o_orderkey % 2 = 0
+             |UNION ALL
+             |SELECT 'v1_all', CAST(count(*) AS BIGINT),
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |FROM orders
+             |ORDER BY probe""".stripMargin)),
+
+    // q411 — the TxLog connector STREAMING read: the commit log tailed
+    // as a structured stream (`readStream.format("txlog")` — offsets
+    // are VERSIONS, each batch exactly the files its versions added;
+    // the Delta streaming-source shape, incremental restarts pinned in
+    // TxLogSourceSpec). Three commits, two probes under the hash:
+    // tailing from the start reproduces the whole table; tailing from
+    // startingVersion=2 reproduces exactly the third commit's slice —
+    // CDF consumption proven value-equal to predicate recompute.
+    QuerySpec("q411_txlog_stream_tail",
+      (s, dir) => {
+        import graft.core.TxLog
+        val t = Scratch.dir("txtail", dir)
+        TxLog.drop(t)
+        val orders = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+        (0 to 2).foreach(m =>
+          TxLog.append(orders.filter(col("o_orderkey") % 3 === m), t))
+        def drain(opts: Map[String, String]): org.apache.spark.sql.DataFrame = {
+          val mem = "q411_" +
+            java.util.UUID.randomUUID().toString.replace("-", "")
+          val q = opts.foldLeft(s.readStream.format("txlog")) {
+              case (r, (k, v)) => r.option(k, v)
+            }.load(t)
+            .writeStream.format("memory").queryName(mem)
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          s.table(mem)
+        }
+        Seq(("full_tail", Map.empty[String, String]),
+          ("from_v2", Map("startingVersion" -> "2"))).map {
+          case (label, opts) =>
+            drain(opts).agg(count(lit(1)).as("n_orders"),
+                Stable.dsum(col("o_totalprice")).as("revenue"))
+              .select(lit(label).as("probe"), col("n_orders"), col("revenue"))
+        }.reduce(_ unionByName _).orderBy("probe")
+      },
+      Some("""SELECT 'from_v2' AS probe, CAST(count(*) AS BIGINT) AS n_orders,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             |FROM orders WHERE o_orderkey % 3 = 2
+             |UNION ALL
+             |SELECT 'full_tail', CAST(count(*) AS BIGINT),
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |FROM orders
+             |ORDER BY probe""".stripMargin)),
+
     // q380 — SCHEMA EVOLUTION through the log: version 1 appends rows
     // carrying a column version 0 never had; the table schema is the
     // UNION (mergeSchema over the live file list) and pre-evolution

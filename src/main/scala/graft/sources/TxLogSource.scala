@@ -43,28 +43,65 @@ import org.apache.spark.unsafe.types.UTF8String
   * A snapshot carrying outstanding DELETION VECTORS (or an emptied
   * table) falls back to a row-level relation wrapping the merge-on-read
   * [[TxLog.read]] plan — correct on every snapshot, while the common
-  * DV-free path keeps the native scan. Read-only by design: writes go
-  * through the transactional Scala API (`create/append/upsert/...`),
-  * the same split Delta had before SQL DML. */
-class TxLogDataSource extends RelationProvider with DataSourceRegister {
+  * DV-free path keeps the native scan.
+  *
+  * WRITE path (`CreatableRelationProvider`):
+  * `df.write.format("txlog").mode(m).save(dir)` maps onto the
+  * transactional API — Append → [[TxLog.append]] (create when new),
+  * Overwrite → [[TxLog.replace]] (one atomic commit swaps the live
+  * set; the old state stays time-travelable), ErrorIfExists/Ignore per
+  * their contracts. Writer options: `partitionBy=c1,c2` routes through
+  * [[TxLog.appendPartitioned]] (log-line partition markers),
+  * `statsBy=c1,c2` through [[TxLog.appendWithStats]] (zone-map
+  * triples) — explicit options because DSv1 does not deliver the
+  * DataFrameWriter's partitioning to the provider. Row-level DML
+  * (delete/upsert/DV) stays on the Scala API, the same split Delta
+  * had before SQL DML. */
+class TxLogDataSource extends RelationProvider
+    with org.apache.spark.sql.sources.CreatableRelationProvider
+    with org.apache.spark.sql.sources.StreamSourceProvider
+    with DataSourceRegister {
+
+  /** STREAMING read (`spark.readStream.format("txlog")`): tail the
+    * table's commit log — each micro-batch is the files ADDED by the
+    * versions in (lastOffset, currentVersion], i.e. the change data
+    * feed consumed incrementally (the Delta streaming-source shape:
+    * offsets are log versions, not file lists). Append-only contract
+    * by default — a version carrying removes or deletion vectors fails
+    * the stream (data a consumer already processed would silently
+    * diverge); `option("ignoreChanges", "true")` opts into processing
+    * such versions' adds anyway (rewritten rows re-emit — Delta's
+    * documented semantics). `option("startingVersion", n)` skips
+    * history below n (exclusive offset base n-1). */
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val dir = TxLogDataSource.localPath(parameters("path"))
+    ("txlog", schema.getOrElse(
+      TxLog.read(sqlContext.sparkSession, dir).schema))
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source = {
+    val dir = TxLogDataSource.localPath(parameters("path"))
+    new TxLogStreamSource(sqlContext, dir,
+      schema.getOrElse(TxLog.read(sqlContext.sparkSession, dir).schema),
+      parameters.get("startingVersion").map(_.trim.toInt).getOrElse(0),
+      parameters.get("ignoreChanges").exists(_.trim.toBoolean))
+  }
   override def shortName(): String = "txlog"
 
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
-    val raw = parameters.getOrElse("path", throw new IllegalArgumentException(
-      "txlog source requires a path: spark.read.format(\"txlog\").load(dir)"))
     // the catalog URI-qualifies OPTIONS paths (`file:/tmp/...`);
     // TxLog's log protocol is java.io-local — unwrap the file scheme,
     // refuse remote ones explicitly rather than failing on a mangled
     // java.io.File of the URI string
-    val dir = {
-      val uri = new org.apache.hadoop.fs.Path(raw).toUri
-      Option(uri.getScheme) match {
-        case None | Some("file") => uri.getPath
-        case Some(s) => throw new IllegalArgumentException(
-          s"txlog source reads local tables only, got scheme '$s'")
-      }
-    }
+    val dir = TxLogDataSource.localPath(parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "txlog source requires a path: spark.read.format(\"txlog\").load(dir)")))
     require(!(parameters.contains("versionAsOf") &&
       parameters.contains("timestampAsOf")),
       "versionAsOf and timestampAsOf are mutually exclusive")
@@ -90,13 +127,127 @@ class TxLogDataSource extends RelationProvider with DataSourceRegister {
         options = Map("mergeSchema" -> "true"))(spark)
     }
   }
+
+  override def createRelation(sqlContext: SQLContext,
+      mode: org.apache.spark.sql.SaveMode,
+      parameters: Map[String, String],
+      data: org.apache.spark.sql.DataFrame): BaseRelation = {
+    import org.apache.spark.sql.SaveMode._
+    val dir = TxLogDataSource.localPath(parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "txlog writer requires a path: df.write.format(\"txlog\").save(dir)")))
+    val exists = TxLog.currentVersion(dir) >= 0
+    val partCols = parameters.get("partitionBy").toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    val statsCols = parameters.get("statsBy").toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    require(partCols.isEmpty || statsCols.isEmpty,
+      "partitionBy and statsBy are mutually exclusive per write")
+    def appendLike(): Unit =
+      if (partCols.nonEmpty)
+        TxLog.appendPartitioned(data.sparkSession, data, dir, partCols): Unit
+      else if (statsCols.nonEmpty)
+        TxLog.appendWithStats(data.sparkSession, data, dir, statsCols): Unit
+      else if (exists) TxLog.append(data, dir): Unit
+      else TxLog.create(data, dir): Unit
+    mode match {
+      case Append => appendLike()
+      case Overwrite =>
+        require(partCols.isEmpty && statsCols.isEmpty,
+          "partitionBy/statsBy writes are append-shaped; Overwrite " +
+            "replaces the whole live set")
+        TxLog.replace(data, dir): Unit
+      case ErrorIfExists =>
+        if (exists) throw new IllegalStateException(
+          s"txlog table already exists at $dir (SaveMode.ErrorIfExists)")
+        appendLike()
+      case Ignore => if (!exists) appendLike()
+    }
+    createRelation(sqlContext, parameters - "partitionBy" - "statsBy")
+  }
 }
 
 object TxLogDataSource {
+  /** Unwrap a possibly URI-qualified local path (see createRelation). */
+  private[sources] def localPath(raw: String): String = {
+    val uri = new org.apache.hadoop.fs.Path(raw).toUri
+    Option(uri.getScheme) match {
+      case None | Some("file") => uri.getPath
+      case Some(s) => throw new IllegalArgumentException(
+        s"txlog source reads local tables only, got scheme '$s'")
+    }
+  }
+
   /** `timestampAsOf` accepts epoch millis or a local timestamp string. */
   private[sources] def parseInstant(ts: String): Long =
     ts.trim.toLongOption.getOrElse(
       java.sql.Timestamp.valueOf(ts.trim).getTime)
+}
+
+/** The table's commit log as a streaming [[Source]]: offset = highest
+  * committed version; `getBatch((a, b])` reads exactly the files the
+  * versions a+1..b ADDED (one mergeSchema parquet scan over that file
+  * list). Versions are immutable once committed, so replays after a
+  * checkpoint recovery return identical batches — the exactly-once
+  * property falls out of the log protocol. Raw entries must be
+  * retained for the streamed range: history truncated below a
+  * checkpoint refuses with the version number rather than silently
+  * skipping it. */
+class TxLogStreamSource(sqlContext: SQLContext, dir: String,
+    declaredSchema: StructType, startingVersion: Int, ignoreChanges: Boolean)
+    extends org.apache.spark.sql.execution.streaming.Source {
+  import org.apache.spark.sql.execution.streaming.Offset
+  import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+
+  override def schema: StructType = declaredSchema
+
+  override def getOffset: Option[Offset] = {
+    val v = TxLog.currentVersion(dir)
+    if (v < math.max(startingVersion, 0)) None else Some(LongOffset(v.toLong))
+  }
+
+  private def versionOf(o: Offset): Int = o match {
+    case LongOffset(v) => v.toInt
+    case other => other.json().trim.toInt
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset)
+      : org.apache.spark.sql.DataFrame = {
+    val from = start.map(versionOf).getOrElse(startingVersion - 1)
+    val to = versionOf(end)
+    val added = (from + 1 to to).flatMap { v =>
+      val (adds, _) = try TxLog.changes(dir, v) catch {
+        case _: java.nio.file.NoSuchFileException =>
+          throw new IllegalStateException(
+            s"streaming read needs raw log entries, but version $v of " +
+              s"$dir was truncated below a checkpoint — start the stream " +
+              "at a retained version (startingVersion)")
+      }
+      // remove lines AND deletion-vector lines both delete rows a
+      // tailing consumer already emitted
+      if (!ignoreChanges && TxLog.versionDeletes(dir, v))
+        throw new IllegalStateException(
+          s"version $v of $dir deletes rows (OPTIMIZE/DELETE/UPDATE/DV); " +
+            "streaming reads are append-only — set ignoreChanges=true " +
+            "to re-emit rewritten rows")
+      adds
+    }
+    val spark = sqlContext.sparkSession
+    val batch =
+      if (added.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], declaredSchema)
+      else
+        spark.read.option("mergeSchema", "true")
+          .parquet(added.map(f => s"$dir/$f"): _*)
+          .select(declaredSchema.fieldNames
+            .map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+    // the engine asserts getBatch frames carry isStreaming=true
+    org.apache.spark.sql.GraftSqlBridge.streamingFrame(spark, batch)
+  }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 /** Plan-time pruning accounting (the [[BlobShardIO]] pattern): in

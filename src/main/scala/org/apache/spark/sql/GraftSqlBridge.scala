@@ -9,4 +9,15 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 object GraftSqlBridge {
   def ofRows(spark: classic.SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark, plan)
+
+  /** Re-tag a batch plan's rows as a STREAMING DataFrame —
+    * `internalCreateDataFrame(isStreaming = true)` is `private[sql]`
+    * and is what every DSv1 streaming `Source.getBatch` must return
+    * (MicroBatchExecution asserts `isStreaming`; Delta's source uses
+    * the same call). Used by [[graft.sources.TxLogStreamSource]]. */
+  def streamingFrame(spark: SparkSession, df: DataFrame): DataFrame = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    cs.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
 }

@@ -105,6 +105,105 @@ class TxLogSourceSpec extends AnyFunSuite {
     TxLog.drop(t)
   }
 
+  test("writer: Append creates then appends; Overwrite is a versioned " +
+      "REPLACE (the old state stays time-travelable); ErrorIfExists and " +
+      "Ignore honor their contracts") {
+    val t = freshTable()
+    def w(mode: String) = Seq((1L, mode)).toDF("id", "tag")
+      .write.format("txlog").mode(mode)
+    w("append").save(t)  // v0 create
+    w("append").save(t)  // v1 append
+    assert(spark.read.format("txlog").load(t).count() == 2L)
+    Seq((9L, "ow")).toDF("id", "tag")
+      .write.format("txlog").mode("overwrite").save(t) // v2 replace
+    val now = spark.read.format("txlog").load(t)
+    assert(now.count() == 1L && now.select("tag").head().getString(0) == "ow")
+    // pre-overwrite state still reads (versioned replace, not rewrite)
+    assert(spark.read.format("txlog").option("versionAsOf", "1")
+      .load(t).count() == 2L)
+    intercept[IllegalStateException] {
+      w("errorifexists").save(t)
+    }
+    w("ignore").save(t) // no-op on an existing table
+    assert(TxLog.currentVersion(t) == 2)
+    TxLog.drop(t)
+  }
+
+  test("writer options: partitionBy records partition markers, statsBy " +
+      "records zone maps — both prune through the reader") {
+    val t = freshTable()
+    spark.range(90L).select(col("id"),
+        concat(lit("g"), (col("id") % 3).cast("string")).as("grp"))
+      .coalesce(1)
+      .write.format("txlog").mode("append").option("partitionBy", "grp")
+      .save(t)
+    assert(spark.read.format("txlog").load(t)
+      .filter(col("grp") === "g2").count() == 30L)
+    assert(TxLogSourceIO.lastKept.get() == 1 &&
+      TxLogSourceIO.lastTotal.get() == 3)
+    val t2 = freshTable()
+    spark.range(100L).select(col("id"))
+      .repartitionByRange(4, col("id"))
+      .write.format("txlog").mode("append").option("statsBy", "id").save(t2)
+    assert(spark.read.format("txlog").load(t2)
+      .filter(col("id") >= 80).count() == 20L)
+    assert(TxLogSourceIO.lastKept.get() == 1 &&
+      TxLogSourceIO.lastTotal.get() == 4,
+      s"kept ${TxLogSourceIO.lastKept.get()}/${TxLogSourceIO.lastTotal.get()}")
+    TxLog.drop(t); TxLog.drop(t2)
+  }
+
+  test("streaming source tails the commit log: AvailableNow drains " +
+      "committed versions, restarts resume from the checkpointed " +
+      "version, removes refuse without ignoreChanges") {
+    val t = freshTable()
+    // coalesce(1): one file per commit so the ignoreChanges re-emit
+    // count below is exact (a COW delete rewrites whole files)
+    TxLog.create(spark.range(10L).select(col("id")).coalesce(1), t) // v0
+    TxLog.append(spark.range(10L, 20L).select(col("id")).coalesce(1), t) // v1
+    val ckpt = java.nio.file.Files.createTempDirectory("txsrc_ck_").toString
+    def drain(extra: Map[String, String] = Map.empty): Long = {
+      val acc = new java.util.concurrent.atomic.AtomicLong(0L)
+      val src = extra.foldLeft(spark.readStream.format("txlog")) {
+        case (r, (k, v)) => r.option(k, v)
+      }.load(t)
+      val q = src.writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          acc.addAndGet(b.count()): Unit
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      acc.get()
+    }
+    assert(drain() == 20L, "first drain sees both committed versions")
+    TxLog.append(spark.range(20L, 25L).select(col("id")).coalesce(1), t) // v2
+    assert(drain() == 5L, "restart resumes from the checkpoint — only v2")
+    TxLog.deleteWhere(spark, t, col("id") < 3) // v3: removes files
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain()
+    }
+    assert(ex.getCause.getMessage.contains("append-only"), ex.getCause.getMessage)
+    // ignoreChanges processes the rewrite's adds (rows re-emit)
+    val ck2 = java.nio.file.Files.createTempDirectory("txsrc_ck2_").toString
+    val acc2 = new java.util.concurrent.atomic.AtomicLong(0L)
+    val q2 = spark.readStream.format("txlog")
+      .option("ignoreChanges", "true").option("startingVersion", "3").load(t)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        acc2.addAndGet(b.count()): Unit
+      }
+      .option("checkpointLocation", ck2)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+    // v3 rewrote the one file holding ids<3: its add is that file's
+    // SURVIVORS (ids 3..9) re-emitted — Delta's ignoreChanges semantics
+    assert(acc2.get() == 7L, s"expected the 7 survivors, got ${acc2.get()}")
+    TxLog.drop(t)
+  }
+
   test("SQL surface: a txlog table is queryable via CREATE TABLE ... " +
       "USING txlog") {
     val t = freshTable()
