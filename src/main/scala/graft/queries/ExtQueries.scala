@@ -3625,6 +3625,42 @@ object ExtQueries {
              |FROM orders
              |ORDER BY probe""".stripMargin)),
 
+    // q412 — DESCRIBE HISTORY through the connector
+    // (`option("history", "true")`): the audit surface every lakehouse
+    // table ships — one row per version with its add/remove/DV line
+    // counts, straight from log metadata (no data IO at any table
+    // size). The table runs the full mutation alphabet — create,
+    // append, merge-on-read DV delete, OPTIMIZE compaction — and every
+    // count is construction-determined (coalesce(1) staging; the DV
+    // delete touches exactly the two live files), so the history rows
+    // hash against their expected literals; the wall-clock instant
+    // column stays OUT of the compared output.
+    QuerySpec("q412_txlog_history",
+      (s, dir) => {
+        import graft.core.TxLog
+        val t = Scratch.dir("txhist", dir)
+        TxLog.drop(t)
+        val orders = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+        TxLog.create(orders.filter(col("o_orderkey") % 2 === 0)
+          .coalesce(1), t) // v0: 1 add
+        TxLog.append(orders.filter(col("o_orderkey") % 2 =!= 0)
+          .coalesce(1), t) // v1: 1 add
+        TxLog.deleteWhereDV(s, t, // multiples of 5 exist in BOTH parity
+          col("o_orderkey") % 5 === 0) // files → v2: exactly 2 dvf lines
+        TxLog.optimize(s, t, nFiles = 1) // v3: 1 add, 2 removes
+        s.read.format("txlog").option("history", "true").load(t)
+          .select(col("version"), col("n_adds"), col("n_removes"),
+            col("n_dv"))
+          .orderBy("version")
+      },
+      Some("""SELECT * FROM (VALUES
+             |  (CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+             |  (1, 1, 0, 0),
+             |  (2, 0, 0, 2),
+             |  (3, 1, 2, 0)) t(version, n_adds, n_removes, n_dv)
+             |ORDER BY version""".stripMargin)),
+
     // q380 — SCHEMA EVOLUTION through the log: version 1 appends rows
     // carrying a column version 0 never had; the table schema is the
     // UNION (mergeSchema over the live file list) and pre-evolution

@@ -102,6 +102,12 @@ class TxLogDataSource extends RelationProvider
     val dir = TxLogDataSource.localPath(parameters.getOrElse("path",
       throw new IllegalArgumentException(
         "txlog source requires a path: spark.read.format(\"txlog\").load(dir)")))
+    // DESCRIBE HISTORY surface: option("history", "true") returns the
+    // commit log itself (version, commit instant, add/remove/DV line
+    // counts; retired checkpoint-only versions carry -1 counts) —
+    // metadata-grain, newest first via TxLog.history
+    if (parameters.get("history").exists(_.trim.toBoolean))
+      return new TxLogHistoryRelation(sqlContext, dir)
     require(!(parameters.contains("versionAsOf") &&
       parameters.contains("timestampAsOf")),
       "versionAsOf and timestampAsOf are mutually exclusive")
@@ -353,6 +359,26 @@ class TxLogFileIndex(dir: String, version: Int, live: Seq[String])
       x <- asLong(v)
       (lo, hi) <- stats.getOrElse(file, Map.empty).get(col)
     } yield pred(lo, hi, x)).getOrElse(true)
+}
+
+/** `option("history", "true")`: the table's commit history as a
+  * relation — the reader-API form of `DESCRIBE HISTORY`. Log-grain
+  * metadata (one row per resolvable version), so a plain TableScan is
+  * the honest plan at any table size. */
+class TxLogHistoryRelation(override val sqlContext: SQLContext,
+    dir: String) extends BaseRelation
+    with org.apache.spark.sql.sources.TableScan {
+  override def schema: StructType = new StructType()
+    .add("version", org.apache.spark.sql.types.LongType, nullable = false)
+    .add("instant_ms", org.apache.spark.sql.types.LongType, nullable = false)
+    .add("n_adds", org.apache.spark.sql.types.LongType, nullable = false)
+    .add("n_removes", org.apache.spark.sql.types.LongType, nullable = false)
+    .add("n_dv", org.apache.spark.sql.types.LongType, nullable = false)
+  override def buildScan(): RDD[Row] =
+    sqlContext.sparkContext.parallelize(
+      TxLog.history(dir).map { case (v, ts, a, r, dv) =>
+        Row(v.toLong, ts, a.toLong, r.toLong, dv.toLong)
+      }, 1)
 }
 
 /** Fallback relation for DV-bearing or emptied snapshots: wraps the
