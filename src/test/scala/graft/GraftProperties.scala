@@ -305,6 +305,31 @@ object GraftProperties extends Properties("graft") {
         .collect().forall(r => r.getLong(0) == r.getLong(1))
     }
 
+  // Quantiles (the exact-percentile replacement, VERDICT r9 #1) must be
+  // bit-identical to Spark's own `percentile` aggregate on arbitrary
+  // grouped data — duplicates, negatives, skewed group sizes, and any
+  // percentage (including 0 and 1) drawn per case.
+  private val qRowsGen: Gen[(List[(Int, Double)], Double)] = for {
+    rows <- Gen.listOfN(40, for {
+      g <- Gen.choose(1, 4)
+      v <- Gen.oneOf(Gen.choose(-100, 100).map(_.toDouble / 4),
+        Gen.oneOf(1.0, 2.0, 2.0, 3.0)) // force ties often
+    } yield (g, v)).suchThat(_.nonEmpty)
+    p <- Gen.oneOf(Gen.choose(0, 100).map(_ / 100.0),
+      Gen.oneOf(0.0, 1.0, 0.5))
+  } yield (rows, p)
+
+  property("Quantiles.quantileCont == percentile, any data, any p") =
+    forAll(qRowsGen) { case (rows, p) =>
+      val df = rows.toDF("g", "v")
+      val got = graft.ops.Quantiles
+        .quantileCont(df, Seq("g"), "v", Seq("q" -> p), numParts = 3)
+        .orderBy("g").collect().map(r => (r.getInt(0), r.getDouble(1)))
+      val want = df.groupBy("g").agg(expr(s"percentile(v, ${p}d)").as("q"))
+        .orderBy("g").collect().map(r => (r.getInt(0), r.getDouble(1)))
+      got.toSeq == want.toSeq
+    }
+
   // q326's WebP container: encode → decode round-trips every field for
   // arbitrary geometry, including odd-payload RIFF padding.
   property("WebP meta round-trips through the container bytes") =
