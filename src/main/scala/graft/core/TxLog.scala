@@ -296,7 +296,10 @@ object TxLog {
           (c, r.getLong(1 + 2 * i), r.getLong(2 + 2 * i)) })
       .toMap
     staged.map { f =>
-      val triples = bounds(new File(f).getName)
+      // a staged file can legitimately be EMPTY (a sampled range
+      // exchange may produce a 0-row partition) — it has no bounds row;
+      // record it statless, the conservative always-kept shape
+      val triples = bounds.getOrElse(new File(f).getName, Seq.empty)
         .map { case (c, lo, hi) => s"$c\t$lo\t$hi" }
       (s"add\t$f" +: triples).mkString("\t")
     }
@@ -822,8 +825,14 @@ object TxLog {
     // the rewritten files hold only live rows, and removing the old
     // files clears their vectors in the same commit
     val src = readFiles(spark, dir, live, dvFrameFrom(spark, dir, st.dv.toMap))
+    // `nodc` (no data change): compaction rewrites LAYOUT, never logical
+    // content — the change feed skips marked versions wholesale (Delta's
+    // `dataChange = false` on OPTIMIZE's add/remove actions). Readers
+    // ignore unknown line types, so pre-marker logs interoperate.
     if (clusterBy.isEmpty)
-      return commit(dir, cur, stage(src.coalesce(nFiles), dir), live)
+      return claimVersion(dir, cur + 1,
+        live.map(f => s"remove\t$f") ++
+          stage(src.coalesce(nFiles), dir).map(f => s"add\t$f") :+ "nodc")
     require(clusterBy.size == 2,
       s"clusterBy takes exactly 2 columns (2-D Morton curve), got $clusterBy")
     graft.functions.GraftFunctions.register(spark)
@@ -846,7 +855,7 @@ object TxLog {
     val staged = stage(clustered, dir)
     claimVersion(dir, cur + 1,
       live.map(f => s"remove\t$f") ++
-        statAddLines(spark, dir, staged, clusterBy))
+        statAddLines(spark, dir, staged, clusterBy) :+ "nodc")
   }
 
   /** SHALLOW CLONE: a new table whose version 0 REFERENCES the source's
@@ -1018,6 +1027,115 @@ object TxLog {
         else None
       }
     }
+  }
+
+  /** CHANGE DATA FEED over a committed version range (inclusive): every
+    * row-level change as `(table columns…, _change_type,
+    * _commit_version)` —
+    *
+    *   - `insert` rows from a version's ADDED files (minus any deletion
+    *     vectors the SAME version commits on them — a shallow clone's
+    *     version 0 carries the source's vectors alongside its adds, and
+    *     its inserts are the surviving rows only);
+    *   - `delete` rows from its REMOVED files, as live at the PREVIOUS
+    *     version (vectors already outstanding there are honored — a
+    *     DV-dead row does not die twice);
+    *   - `delete` rows at the positions of NEWLY committed deletion
+    *     vectors on pre-existing files (writers only commit fresh
+    *     positions — [[deleteWhereDV]] anti-joins the outstanding set).
+    *
+    * A copy-on-write rewrite ([[deleteWhere]]/[[upsert]]) therefore
+    * shows its re-staged survivors as delete+insert pairs — Delta's
+    * documented CDF shape for commits without dedicated change files;
+    * consumers apply a version's deletes BEFORE its inserts. OPTIMIZE
+    * commits carry the `nodc` marker and are skipped wholesale
+    * (layout, not content). Row grain stays fully distributed — the
+    * driver touches only log lines. Needs the raw entries for the
+    * range: CDF below a truncating checkpoint refuses with the version
+    * number rather than silently skipping changes.
+    *
+    * Reference analog: the reference reprocesses FULL snapshots every
+    * DAG run (`airflow/dags/CompleteETL.py:20`); a change feed is what
+    * lets a 100 TB consumer read deltas instead. */
+  def changeFeed(spark: SparkSession, dir: String,
+      fromVersion: Int, toVersion: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val cur = currentVersion(dir)
+    require(fromVersion >= 0 && fromVersion <= toVersion && toVersion <= cur,
+      s"change-feed range [$fromVersion, $toVersion] outside [0, $cur]")
+    def tagged(df: DataFrame, tpe: String, v: Int): DataFrame =
+      df.withColumn("_change_type", lit(tpe))
+        .withColumn("_commit_version", lit(v.toLong))
+    val frames: Seq[DataFrame] = (fromVersion to toVersion).flatMap { v =>
+      val p = versionFile(dir, v)
+      if (!Files.exists(p))
+        throw new IllegalStateException(
+          s"change feed needs raw log entries, but version $v of $dir " +
+            "was truncated below a checkpoint — narrow the range to " +
+            "retained versions")
+      val lines = fileLines(p)
+      if (lines.contains("nodc")) Seq.empty
+      else {
+        val adds = lines.collect {
+          case l if l.startsWith("add\t") => l.split('\t')(1) }
+        val removes = lines.collect {
+          case l if l.startsWith("remove\t") => l.split('\t')(1) }
+        // vectors THIS version commits, keyed by target file
+        val newDv = {
+          val m = scala.collection.mutable.LinkedHashMap
+            .empty[String, (Set[Long], Seq[String])]
+          lines.foreach { l =>
+            if (l.startsWith("dv\t")) l.split('\t') match {
+              case Array(_, f, ps) =>
+                val (i0, s0) = m.getOrElse(f, (Set.empty[Long], Seq.empty[String]))
+                m(f) = (i0 ++ ps.split(',').filter(_.nonEmpty).map(_.toLong), s0)
+              case _ => ()
+            } else if (l.startsWith("dvf\t")) l.split('\t') match {
+              case Array(_, f, path) =>
+                val (i0, s0) = m.getOrElse(f, (Set.empty[Long], Seq.empty[String]))
+                m(f) = (i0, s0 :+ path)
+              case _ => ()
+            }
+          }
+          m.toMap
+        }
+        val addSet = adds.toSet
+        val inserts =
+          if (adds.isEmpty) Seq.empty
+          else Seq(tagged(readFiles(spark, dir, adds, dvFrameFrom(spark, dir,
+            newDv.filter { case (f, _) => addSet.contains(f) })), "insert", v))
+        val removeDeletes =
+          if (removes.isEmpty) Seq.empty
+          else {
+            val prior =
+              if (v == 0) Map.empty[String, (Set[Long], Seq[String])]
+              else state(dir, Some(v - 1)).dv.toMap
+                .filter { case (f, _) => removes.contains(f) }
+            Seq(tagged(readFiles(spark, dir, removes,
+              dvFrameFrom(spark, dir, prior)), "delete", v))
+          }
+        val dvDeletes = {
+          val onExisting = newDv.filter { case (f, _) => !addSet.contains(f) }
+          if (onExisting.isEmpty) Seq.empty
+          else {
+            val tgt = onExisting.keys.toSeq
+            val pos = dvFrameFrom(spark, dir, onExisting).get
+            val base = spark.read.option("mergeSchema", "true")
+              .parquet(tgt.map(f => s"$dir/$f"): _*)
+            val cols = base.columns.map(col)
+            Seq(tagged(base
+              .withColumn("__f", col("_metadata.file_name"))
+              .withColumn("__p", col("_metadata.row_index"))
+              .join(pos, Seq("__f", "__p"), "left_semi")
+              .select(cols.toIndexedSeq: _*), "delete", v))
+          }
+        }
+        removeDeletes ++ dvDeletes ++ inserts
+      }
+    }
+    if (frames.isEmpty)
+      tagged(read(spark, dir, Some(toVersion)), "insert", toVersion).limit(0)
+    else frames.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Remove a table directory entirely (test/query setup hygiene). */

@@ -3691,5 +3691,105 @@ object ExtQueries {
              |  CAST(SUM(CASE WHEN o_orderkey % 2 <> 0
              |      THEN o_orderkey % 5 + 1 END) AS BIGINT) AS rank_sum,
              |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)))
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // q413 — the TxLog connector STREAMING SINK: log-to-log replication
+    // through `writeStream.format("txlog")`, the last cell of the
+    // connector matrix (batch read/write and streaming read are
+    // q408/q410/q411). Each micro-batch commits via the idempotent-txn
+    // protocol (batch id = transaction id, app id = checkpoint), so a
+    // checkpoint-recovery replay re-commits NOTHING — exactly-once as a
+    // log property, proven at the sink grain in TxLogSourceSpec. The
+    // query pins the incremental property end-to-end: drain, append a
+    // fourth commit upstream, RESTART on the same checkpoint — the
+    // restarted stream ships only the new version (a re-ship would
+    // double the totals and break the hash).
+    QuerySpec("q413_txlog_stream_sink",
+      (s, dir) => {
+        import graft.core.TxLog
+        val src = Scratch.dir("txsinksrc", dir)
+        val dst = Scratch.dir("txsinkdst", dir)
+        val cp = Scratch.dir("txsinkcp", dir)
+        Seq(src, dst, cp).foreach(TxLog.drop)
+        val orders = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+        (0 to 2).foreach(m =>
+          TxLog.append(orders.filter(col("o_orderkey") % 3 === m), src))
+        def drain(): Unit = {
+          val q = s.readStream.format("txlog").load(src)
+            .writeStream.format("txlog")
+            .option("checkpointLocation", cp)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start(dst)
+          q.awaitTermination()
+        }
+        drain() // ships v0..v2
+        TxLog.append(orders.filter(col("o_totalprice") > 250000), src)
+        drain() // restart: same checkpoint, ships ONLY v3
+        s.read.format("txlog").load(dst)
+          .agg(count(lit(1)).as("n_rows"),
+            Stable.dsum(col("o_totalprice")).as("revenue"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             |FROM (SELECT o_totalprice FROM orders
+             |      UNION ALL
+             |      SELECT o_totalprice FROM orders
+             |      WHERE o_totalprice > 250000)""".stripMargin)),
+
+    // q414 — CHANGE DATA FEED: row-level deltas between versions
+    // (`option("readChangeFeed", "true")`), so a downstream consumer
+    // reads CHANGES instead of re-reading snapshots — the incremental
+    // contract the reference's full-reload DAGs lack entirely, and the
+    // one that matters most at 100 TB (a snapshot diff re-scans the
+    // corpus; the feed reads exactly the touched rows). The table runs
+    // the full mutation alphabet and the feed is pinned per
+    // (change_type, version): create + append are inserts; the
+    // merge-on-read DV delete surfaces the deleted rows themselves;
+    // OPTIMIZE carries the no-data-change marker and must emit NOTHING
+    // (a compaction that leaked into the feed would double-insert the
+    // whole table — the hash catches exactly that); the copy-on-write
+    // delete shows delete+insert pairs for the rewritten file's
+    // survivors. Every probe recomputes from predicates in DuckDB.
+    QuerySpec("q414_txlog_change_feed",
+      (s, dir) => {
+        import graft.core.TxLog
+        val t = Scratch.dir("txcdf", dir)
+        TxLog.drop(t)
+        val orders = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+        TxLog.create(orders.filter(col("o_orderkey") % 2 === 0), t)  // v0
+        TxLog.append(orders.filter(col("o_orderkey") % 2 =!= 0), t)  // v1
+        TxLog.deleteWhereDV(s, t, col("o_orderkey") % 5 === 0)       // v2
+        TxLog.optimize(s, t, nFiles = 1)                  // v3: nodc
+        TxLog.deleteWhere(s, t, col("o_totalprice") > 300000)        // v4
+        s.read.format("txlog").option("readChangeFeed", "true").load(t)
+          .groupBy(col("_change_type").as("change_type"),
+            col("_commit_version").as("commit_version"))
+          .agg(count(lit(1)).as("n_rows"),
+            Stable.dsum(col("o_totalprice")).as("revenue"))
+          .orderBy("commit_version", "change_type")
+      },
+      Some("""SELECT * FROM (
+             |  SELECT 'insert' AS change_type, CAST(0 AS BIGINT) AS commit_version,
+             |    CAST(count(*) AS BIGINT) AS n_rows,
+             |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             |  FROM orders WHERE o_orderkey % 2 = 0
+             |  UNION ALL
+             |  SELECT 'insert', 1, CAST(count(*) AS BIGINT),
+             |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |  FROM orders WHERE o_orderkey % 2 <> 0
+             |  UNION ALL
+             |  SELECT 'delete', 2, CAST(count(*) AS BIGINT),
+             |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |  FROM orders WHERE o_orderkey % 5 = 0
+             |  UNION ALL
+             |  SELECT 'delete', 4, CAST(count(*) AS BIGINT),
+             |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |  FROM orders WHERE o_orderkey % 5 <> 0
+             |  UNION ALL
+             |  SELECT 'insert', 4, CAST(count(*) AS BIGINT),
+             |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |  FROM orders WHERE o_orderkey % 5 <> 0 AND o_totalprice <= 300000
+             |) ORDER BY commit_version, change_type""".stripMargin)))
 }

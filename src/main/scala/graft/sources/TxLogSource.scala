@@ -60,7 +60,36 @@ import org.apache.spark.unsafe.types.UTF8String
 class TxLogDataSource extends RelationProvider
     with org.apache.spark.sql.sources.CreatableRelationProvider
     with org.apache.spark.sql.sources.StreamSourceProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider
     with DataSourceRegister {
+
+  /** STREAMING write (`df.writeStream.format("txlog").start(dir)`):
+    * every micro-batch commits through [[TxLog.appendIdempotent]] with
+    * the Spark batch id as the transaction id — a replayed batch
+    * (checkpoint recovery re-delivers the last uncommitted-at-crash
+    * batch) is recognized from the log's `txn` marker and SKIPPED, so
+    * the sink is exactly-once BY PROTOCOL, not by best effort (the
+    * Delta sink's `txnVersion` mechanism). The transaction app id
+    * defaults to the query's checkpoint location — the stable identity
+    * of a logical stream across restarts — and can be pinned with
+    * `option("txnAppId", ...)` when two checkpoints feed one table.
+    * Append output mode only: Complete would need a replace-per-batch
+    * marker protocol, and Update's upsert keys don't exist in DSv1. */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"txlog sink supports Append output mode only, got $outputMode")
+    require(partitionColumns.isEmpty,
+      "txlog sink writes unpartitioned appends; use the batch writer's " +
+        "option(\"partitionBy\", ...) for partition-marked commits")
+    val dir = TxLogDataSource.localPath(parameters("path"))
+    val appId = parameters.getOrElse("txnAppId",
+      parameters.getOrElse("checkpointLocation", s"txlog-sink:$dir"))
+    new TxLogSink(dir, appId)
+  }
 
   /** STREAMING read (`spark.readStream.format("txlog")`): tail the
     * table's commit log — each micro-batch is the files ADDED by the
@@ -108,6 +137,16 @@ class TxLogDataSource extends RelationProvider
     // metadata-grain, newest first via TxLog.history
     if (parameters.get("history").exists(_.trim.toBoolean))
       return new TxLogHistoryRelation(sqlContext, dir)
+    // CHANGE DATA FEED surface: option("readChangeFeed", "true") with
+    // startingVersion/endingVersion (Delta's option names) returns the
+    // row-level change relation from [[TxLog.changeFeed]]
+    if (parameters.get("readChangeFeed").exists(_.trim.toBoolean)) {
+      val from = parameters.get("startingVersion").map(_.trim.toInt)
+        .getOrElse(0)
+      val to = parameters.get("endingVersion").map(_.trim.toInt)
+        .getOrElse(TxLog.currentVersion(dir))
+      return new TxLogCdfRelation(sqlContext, dir, from, to)
+    }
     require(!(parameters.contains("versionAsOf") &&
       parameters.contains("timestampAsOf")),
       "versionAsOf and timestampAsOf are mutually exclusive")
@@ -256,6 +295,27 @@ class TxLogStreamSource(sqlContext: SQLContext, dir: String,
   override def stop(): Unit = ()
 }
 
+/** Exactly-once streaming sink over the transaction log: one
+  * [[TxLog.appendIdempotent]] commit per micro-batch, keyed
+  * `(appId, batchId)`. The incoming frame is streaming-tagged and
+  * already planned — [[org.apache.spark.sql.GraftSqlBridge.sinkBatchFrame]]
+  * re-wraps its physical rows as a batch frame so the staging write
+  * runs WITHOUT re-executing the source (re-analysis of a streaming
+  * plan inside addBatch is the classic DSv1 sink bug). A batch whose
+  * txn marker is already in the log returns -1 from the append and is
+  * dropped here — that replay is the normal checkpoint-recovery path,
+  * not an error. */
+class TxLogSink(dir: String, appId: String)
+    extends org.apache.spark.sql.execution.streaming.Sink {
+  override def addBatch(batchId: Long,
+      data: org.apache.spark.sql.DataFrame): Unit = {
+    val spark = data.sparkSession
+    val batch = org.apache.spark.sql.GraftSqlBridge.sinkBatchFrame(spark, data)
+    TxLog.appendIdempotent(batch, dir, appId, batchId): Unit
+  }
+  override def toString: String = s"TxLogSink[$dir]"
+}
+
 /** Plan-time pruning accounting (the [[BlobShardIO]] pattern): in
   * local-mode tests the spec reads back how many files the last txlog
   * scan kept vs held — the ground truth behind the "zone maps prune
@@ -379,6 +439,30 @@ class TxLogHistoryRelation(override val sqlContext: SQLContext,
       TxLog.history(dir).map { case (v, ts, a, r, dv) =>
         Row(v.toLong, ts, a.toLong, r.toLong, dv.toLong)
       }, 1)
+}
+
+/** The change data feed as a relation (`option("readChangeFeed",
+  * "true")`): wraps [[TxLog.changeFeed]] behind a pruned row scan, the
+  * same execution shape as [[TxLogRowRelation]] — filters re-evaluated
+  * by Spark, column pruning honored (a consumer reading only keys +
+  * `_change_type` never materializes the wide columns). */
+class TxLogCdfRelation(override val sqlContext: SQLContext, dir: String,
+    from: Int, to: Int) extends BaseRelation with PrunedFilteredScan {
+
+  private def spark: SparkSession = sqlContext.sparkSession
+  override lazy val schema: StructType =
+    TxLog.changeFeed(spark, dir, from, to).schema
+  override def needConversion: Boolean = false
+
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[Filter]): RDD[Row] = {
+    val df = TxLog.changeFeed(spark, dir, from, to)
+    val pruned =
+      if (requiredColumns.isEmpty) df
+      else df.select(requiredColumns.map(org.apache.spark.sql.functions.col)
+        .toIndexedSeq: _*)
+    pruned.queryExecution.toRdd.asInstanceOf[RDD[Row]]
+  }
 }
 
 /** Fallback relation for DV-bearing or emptied snapshots: wraps the

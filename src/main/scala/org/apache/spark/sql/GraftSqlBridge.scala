@@ -20,4 +20,18 @@ object GraftSqlBridge {
     cs.internalCreateDataFrame(
       df.queryExecution.toRdd, df.schema, isStreaming = true)
   }
+
+  /** The inverse direction for a DSv1 streaming SINK's `addBatch`: the
+    * frame a sink receives is streaming-tagged and cannot be handed to
+    * batch writers directly — re-wrap its ALREADY-PLANNED execution
+    * (`queryExecution.toRdd`, never a re-analysis that would re-read
+    * the source) as a plain batch DataFrame. Rows are defensively
+    * copied: whole-stage codegen reuses UnsafeRow buffers, and the
+    * sink's write may buffer rows across iterator steps (Delta's
+    * `DeltaSink` does the same copy for the same reason). */
+  def sinkBatchFrame(spark: SparkSession, df: DataFrame): DataFrame = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    cs.internalCreateDataFrame(
+      df.queryExecution.toRdd.map(_.copy()), df.schema)
+  }
 }

@@ -204,6 +204,90 @@ class TxLogSourceSpec extends AnyFunSuite {
     TxLog.drop(t)
   }
 
+  test("streaming sink: micro-batches commit as log versions, a replayed " +
+      "batch id is skipped (exactly-once txn protocol), restarts ship " +
+      "only new upstream versions") {
+    val src = freshTable()
+    val dst = freshTable()
+    TxLog.create(spark.range(10L).select(col("id")).coalesce(1), src) // v0
+    TxLog.append(spark.range(10L, 20L).select(col("id")).coalesce(1), src)
+    val ckpt = java.nio.file.Files.createTempDirectory("txsink_ck_").toString
+    def drain(): Unit = {
+      val q = spark.readStream.format("txlog").load(src)
+        .writeStream.format("txlog")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(dst)
+      q.awaitTermination()
+    }
+    drain()
+    assert(spark.read.format("txlog").load(dst).count() == 20L)
+    // restart with nothing new upstream: no batch runs, no new version
+    val vAfterFirst = TxLog.currentVersion(dst)
+    drain()
+    assert(TxLog.currentVersion(dst) == vAfterFirst,
+      "an idle restart must not commit")
+    TxLog.append(spark.range(20L, 25L).select(col("id")).coalesce(1), src)
+    drain()
+    val rows = spark.read.format("txlog").load(dst)
+    assert(rows.count() == 25L, "restart ships only the new version")
+    assert(rows.agg(org.apache.spark.sql.functions.sum("id")).head().getLong(0)
+      == (0L until 25L).sum)
+
+    // the exactly-once property at the sink grain: re-delivering an
+    // already-committed batch id (what checkpoint recovery does after a
+    // crash between the sink commit and the offset-log commit) is a no-op
+    val sink = new graft.sources.TxLogSink(dst, appId = ckpt)
+    val v = TxLog.currentVersion(dst)
+    sink.addBatch(9999L, spark.range(100L, 103L).toDF("id"))
+    assert(TxLog.currentVersion(dst) == v + 1, "fresh batch id commits")
+    sink.addBatch(9999L, spark.range(200L, 290L).toDF("id"))
+    assert(TxLog.currentVersion(dst) == v + 1, "replayed batch id is skipped")
+    assert(spark.read.format("txlog").load(dst).count() == 28L)
+
+    // append-only contract: Complete mode is refused at sink creation
+    val ck2 = java.nio.file.Files.createTempDirectory("txsink_ck2_").toString
+    val ex = intercept[Exception] {
+      val q = spark.readStream.format("txlog").load(src)
+        .groupBy().count()
+        .writeStream.format("txlog")
+        .option("checkpointLocation", ck2)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(freshTable())
+      q.awaitTermination()
+    }
+    assert(ex.getMessage.contains("Append output mode only") ||
+      Option(ex.getCause).exists(_.getMessage.contains("Append output mode only")),
+      s"unexpected: $ex")
+    Seq(src, dst).foreach(TxLog.drop)
+  }
+
+  test("readChangeFeed option: the row-level change relation with " +
+      "startingVersion/endingVersion bounds and column pruning") {
+    val t = freshTable()
+    TxLog.create((0L until 50L).map(i => (i, i % 5)).toDF("id", "grp")
+      .coalesce(1), t)                                       // v0
+    TxLog.append((50L until 80L).map(i => (i, 9L)).toDF("id", "grp")
+      .coalesce(1), t)                                       // v1
+    TxLog.deleteWhereDV(spark, t, col("id") < 10)            // v2
+    def cdf(opts: (String, String)*) =
+      opts.foldLeft(spark.read.format("txlog")
+        .option("readChangeFeed", "true")) {
+        case (r, (k, v)) => r.option(k, v)
+      }.load(t)
+    val all = cdf().groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(all == Map("insert" -> 80L, "delete" -> 10L))
+    // bounded range: only v1's insert
+    assert(cdf("startingVersion" -> "1", "endingVersion" -> "1")
+      .count() == 30L)
+    // pruned read: only the meta column — no wide-column materialization
+    assert(cdf("startingVersion" -> "2").select("_change_type")
+      .collect().forall(_.getString(0) == "delete"))
+    TxLog.drop(t)
+  }
+
   test("SQL surface: a txlog table is queryable via CREATE TABLE ... " +
       "USING txlog") {
     val t = freshTable()

@@ -304,11 +304,15 @@ class TxLogSpec extends AnyFunSuite {
     assert(statsX.size == 8 && statsY.size == 8,
       s"both cluster columns need bounds on all 8 files: " +
         s"${statsX.size}/${statsY.size}")
+    // a quarter-range predicate ideally keeps 4 of 8 curve segments;
+    // allow ONE file of slack — range-exchange boundaries are SAMPLED
+    // with JVM-state-dependent seeds (same rule as q406: never pin
+    // exact post-zorder file counts)
     val (keptX, totalX) = TxLog.pruneSnapshot(t, "x", 0L, 15L)
     val (keptY, totalY) = TxLog.pruneSnapshot(t, "y", 0L, 15L)
-    assert(totalX == 8 && keptX.size <= 4,
+    assert(totalX == 8 && keptX.size <= 5,
       s"x-range prune should skip most files, kept ${keptX.size}/8")
-    assert(totalY == 8 && keptY.size <= 4,
+    assert(totalY == 8 && keptY.size <= 5,
       s"y-range prune should skip most files post-ZORDER, " +
         s"kept ${keptY.size}/8")
     // rows are bit-identical across the rewrite
@@ -393,5 +397,73 @@ class TxLogSpec extends AnyFunSuite {
     TxLog.deleteWhereDV(spark, t, col("grp") === 3)
     assert(TxLog.read(spark, t).count() == 90000L)
     TxLog.drop(t)
+  }
+
+  test("change feed: inserts from adds, deletes from DVs and removes, " +
+      "COW rewrites show delete+insert pairs, OPTIMIZE emits nothing") {
+    val t = java.nio.file.Files.createTempDirectory("txcdf_").toString
+    TxLog.drop(t)
+    val rows = (0L until 100L).map(i => (i, i % 5)).toDF("id", "grp")
+    TxLog.create(rows.filter(col("id") < 50).coalesce(1), t)   // v0
+    TxLog.append(rows.filter(col("id") >= 50).coalesce(1), t)  // v1
+    TxLog.deleteWhereDV(spark, t, col("id") % 10 === 0)        // v2: 10 DV
+    TxLog.optimize(spark, t, nFiles = 1)                       // v3: nodc
+    TxLog.deleteWhere(spark, t, col("grp") === 2)              // v4: COW
+
+    def feed(a: Int, b: Int) = TxLog.changeFeed(spark, t, a, b)
+    val byVt = feed(0, 4).groupBy("_commit_version", "_change_type")
+      .count().collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(byVt((0L, "insert")) == 50L)
+    assert(byVt((1L, "insert")) == 50L)
+    assert(byVt((2L, "delete")) == 10L, "the DV'd positions themselves")
+    assert(!byVt.keys.exists(_._1 == 3L), "OPTIMIZE is not a data change")
+    // v4 rewrote the single compacted file: deletes = its 90 live rows
+    // (the 10 DV-dead ones do not die twice), inserts = the survivors
+    assert(byVt((4L, "delete")) == 90L)
+    assert(byVt((4L, "insert")) == 90L - rows
+      .filter(col("grp") === 2 && col("id") % 10 =!= 0).count())
+    // the v2 deletes are exactly the multiples of 10
+    val v2ids = feed(2, 2).select("id").collect().map(_.getLong(0)).sorted
+    assert(v2ids.toSeq == (0L until 100L by 10L).toSeq)
+    // range narrowing: a feed of only v1 sees only its insert
+    assert(feed(1, 1).agg(count(lit(1))).head().getLong(0) == 50L)
+
+    // NET-EFFECT replay: applying the feed (deletes before inserts,
+    // per version) from an empty state reproduces the table exactly
+    val net = feed(0, 4).collect().groupBy(_.getLong(3)).toSeq
+      .sortBy(_._1).foldLeft(Set.empty[Long]) { case (acc, (_, rs)) =>
+        val dels = rs.filter(_.getString(2) == "delete").map(_.getLong(0)).toSet
+        val ins = rs.filter(_.getString(2) == "insert").map(_.getLong(0)).toSet
+        (acc -- dels) ++ ins
+      }
+    val live = TxLog.read(spark, t).select("id").collect()
+      .map(_.getLong(0)).toSet
+    assert(net == live, "feed replay must reproduce the live table")
+
+    // truncated history refuses instead of silently skipping
+    TxLog.checkpoint(t)
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(t, "_log", f"${0}%08d.txt"))
+    val ex = intercept[IllegalStateException] { feed(0, 4).count() }
+    assert(ex.getMessage.contains("truncated"), ex.getMessage)
+    TxLog.drop(t)
+  }
+
+  test("change feed: a shallow clone's v0 inserts only the rows " +
+      "surviving its carried-over deletion vectors") {
+    val src = java.nio.file.Files.createTempDirectory("txcdf_src_").toString
+    val dst = java.nio.file.Files.createTempDirectory("txcdf_dst_").toString
+    Seq(src, dst).foreach(TxLog.drop)
+    TxLog.create((0L until 40L).map(i => (i, i % 4)).toDF("id", "grp")
+      .coalesce(1), src)
+    TxLog.deleteWhereDV(spark, src, col("grp") === 1) // 10 dead
+    TxLog.shallowClone(src, dst)
+    val feed = TxLog.changeFeed(spark, dst, 0, 0)
+    assert(feed.filter(col("_change_type") === "delete").count() == 0L,
+      "carried vectors reduce the insert set; they are not new deletes")
+    assert(feed.count() == 30L)
+    assert(feed.filter(col("grp") === 1).count() == 0L)
+    Seq(src, dst).foreach(TxLog.drop)
   }
 }
