@@ -123,6 +123,8 @@ object TxLog {
     val dv = scala.collection.mutable.LinkedHashMap
       .empty[String, (Set[Long], Seq[String])]
     val txns = scala.collection.mutable.LinkedHashSet.empty[String]
+    /** Active table CHECK constraints, name → SQL expression text. */
+    val cons = scala.collection.mutable.LinkedHashMap.empty[String, String]
 
     /** Apply one version's (or one checkpoint's) lines: removes first —
       * the commit-line order every writer uses — then adds/dv/txn. */
@@ -145,6 +147,12 @@ object TxLog {
           case _ => ()
         }
         else if (l.startsWith("txn\t")) txns += l: Unit
+        else if (l.startsWith("constraint\t")) l.split('\t') match {
+          case Array(_, n, sql) => cons(unescapeVal(n)) = unescapeVal(sql)
+          case _ => ()
+        }
+        else if (l.startsWith("unconstraint\t"))
+          cons -= unescapeVal(l.substring("unconstraint\t".length)): Unit
       }
     }
 
@@ -155,7 +163,9 @@ object TxLog {
           (if (inline.nonEmpty)
             Seq(s"dv\t$f\t${inline.toSeq.sorted.mkString(",")}")
           else Seq.empty) ++ sidecars.map(sc => s"dvf\t$f\t$sc")
-        } ++ txns.toSeq
+        } ++ txns.toSeq ++
+        cons.toSeq.map { case (n, sql) =>
+          s"constraint\t${escapeVal(n)}\t${escapeVal(sql)}" }
   }
 
   private def checkpointFile(dir: String, v: Int): Path =
@@ -271,6 +281,7 @@ object TxLog {
     * payoff of [[optimize]]'s z-order clustering. */
   def appendWithStats(spark: SparkSession, df: DataFrame, dir: String,
       statsCols: Seq[String]): Int = {
+    enforceConstraints(df, dir)
     val cur = currentVersion(dir)
     val staged = stage(df, dir)
     claimVersion(dir, cur + 1, statAddLines(spark, dir, staged, statsCols))
@@ -406,8 +417,10 @@ object TxLog {
     commit(dir, -1, stage(df, dir), Seq.empty)
 
   /** APPEND: new files only, nothing removed. */
-  def append(df: DataFrame, dir: String): Int =
+  def append(df: DataFrame, dir: String): Int = {
+    enforceConstraints(df, dir)
     commit(dir, currentVersion(dir), stage(df, dir), Seq.empty)
+  }
 
   /** REPLACE (SaveMode.Overwrite through the connector): one atomic
     * commit swaps the whole live set for `df`'s files — the previous
@@ -417,7 +430,10 @@ object TxLog {
   def replace(df: DataFrame, dir: String): Int = {
     val cur = currentVersion(dir)
     if (cur < 0) create(df, dir)
-    else commit(dir, cur, stage(df, dir), snapshot(dir, Some(cur)))
+    else {
+      enforceConstraints(df, dir)
+      commit(dir, cur, stage(df, dir), snapshot(dir, Some(cur)))
+    }
   }
 
   /** APPEND gated by a CHECK constraint (the Delta table-constraint
@@ -432,6 +448,74 @@ object TxLog {
     if (bad > 0) throw new IllegalArgumentException(
       s"CHECK constraint violated by the incoming batch: $constraint")
     append(df, dir)
+  }
+
+  /** LOG-RESIDENT CHECK constraints (Delta's `ALTER TABLE ... ADD
+    * CONSTRAINT`): the constraint is table METADATA — a
+    * `constraint\t<name>\t<sql>` log line, carried through checkpoints
+    * — and every subsequent data writer ([[append]],
+    * [[appendWithStats]], [[appendPartitioned]], [[appendIdempotent]],
+    * [[replace]], [[upsert]]'s source, and therefore the connector's
+    * batch writer and streaming sink) validates its batch against ALL
+    * active constraints before anything commits; a violating batch is
+    * rejected atomically (staged orphans only — the crash shape vacuum
+    * ignores). Adding a constraint first validates the EXISTING rows
+    * (one distributed scan), so an active constraint is a true table
+    * invariant, not a forward-only hope. NULL evaluations violate
+    * (SQL `CHECK` treats UNKNOWN as pass; rejecting UNKNOWN is the
+    * stricter Delta invariant choice and the one a data-quality gate
+    * wants). The batch check costs one aggregate pass here; a
+    * production writer folds it into the write projection (Delta's
+    * CheckInvariant expression throws from inside codegen). */
+  def addConstraint(spark: SparkSession, dir: String,
+      name: String, constraintSql: String): Int = {
+    import org.apache.spark.sql.functions.expr
+    val cur = currentVersion(dir)
+    require(cur >= 0, s"$dir is not a TxLog table")
+    require(!state(dir, None).cons.contains(name),
+      s"constraint '$name' already exists")
+    val c = expr(constraintSql)
+    if (snapshot(dir).nonEmpty) {
+      val bad = read(spark, dir).filter(!c || c.isNull).limit(1).count()
+      if (bad > 0) throw new IllegalArgumentException(
+        s"cannot add CHECK constraint '$name' ($constraintSql): " +
+          "existing rows violate it")
+    }
+    claimVersion(dir, cur + 1,
+      Seq(s"constraint\t${escapeVal(name)}\t${escapeVal(constraintSql)}"))
+  }
+
+  /** Drop an active constraint (a metadata-only commit). */
+  def dropConstraint(dir: String, name: String): Int = {
+    val cur = currentVersion(dir)
+    require(state(dir, None).cons.contains(name),
+      s"no active constraint '$name'")
+    claimVersion(dir, cur + 1, Seq(s"unconstraint\t${escapeVal(name)}"))
+  }
+
+  /** Active CHECK constraints at `asOf` (default latest). */
+  def constraints(dir: String, asOf: Option[Int] = None): Map[String, String] =
+    if (currentVersion(dir) < 0) Map.empty
+    else state(dir, asOf).cons.toMap
+
+  /** Validate `df` against the table's active constraints — one
+    * aggregate pass over the batch for ALL constraints (disjunction of
+    * violations), run by every data writer before staging is
+    * referenced. */
+  private def enforceConstraints(df: DataFrame, dir: String): Unit = {
+    import org.apache.spark.sql.functions.expr
+    if (currentVersion(dir) < 0) return
+    val cs = state(dir, None).cons
+    if (cs.isEmpty) return
+    val violated = cs.values.map { sql =>
+      val c = expr(sql); !c || c.isNull
+    }.reduce(_ || _)
+    if (df.filter(violated).limit(1).count() > 0) {
+      val names = cs.keys.mkString(", ")
+      throw new IllegalArgumentException(
+        s"CHECK constraint violated by the incoming batch " +
+          s"(active constraints: $names)")
+    }
   }
 
   /** PARTITIONED APPEND (Delta's `partitionValues`, Iceberg's identity
@@ -451,6 +535,7 @@ object TxLog {
       partCols: Seq[String]): Int = {
     import org.apache.spark.sql.functions.col
     require(partCols.nonEmpty, "partCols must be non-empty")
+    enforceConstraints(df, dir)
     val cur = currentVersion(dir)
     new File(dir).mkdirs()
     val tmp = Files.createTempDirectory(Paths.get(dir), ".stagep-")
@@ -761,6 +846,8 @@ object TxLog {
     * LOG protocol is identical either way. */
   def upsert(spark: SparkSession, dir: String, source: DataFrame,
       keyCol: String): Int = {
+    // survivors were validated when first written; only the source is new
+    enforceConstraints(source, dir)
     val cur = currentVersion(dir)
     val st = state(dir, Some(cur))
     val keys = source.select(keyCol).distinct().persist()
@@ -788,6 +875,7 @@ object TxLog {
   def appendIdempotent(df: DataFrame, dir: String,
       app: String, txnId: Long): Int = {
     if (txnSeen(dir, app, txnId)) return -1
+    enforceConstraints(df, dir)
     val cur = currentVersion(dir)
     val adds = stage(df, dir)
     claimVersion(dir, cur + 1,

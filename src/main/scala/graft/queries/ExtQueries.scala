@@ -3791,5 +3791,99 @@ object ExtQueries {
              |  SELECT 'insert', 4, CAST(count(*) AS BIGINT),
              |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
              |  FROM orders WHERE o_orderkey % 5 <> 0 AND o_totalprice <= 300000
-             |) ORDER BY commit_version, change_type""".stripMargin)))
+             |) ORDER BY commit_version, change_type""".stripMargin)),
+
+    // q415 — STREAMING change data feed: `readStream` +
+    // `option("readChangeFeed", "true")` tails the table as row-level
+    // CHANGES (deletes are first-class rows carrying _change_type /
+    // _commit_version), the shape a downstream materializer consumes to
+    // maintain a replica without ever re-scanning the source — the
+    // streaming completion of q414's batch feed. One AvailableNow drain
+    // over create + append + merge-on-read DV delete; the memory-sink
+    // contents are pinned per (type, version) against predicate
+    // recompute, so a dropped delete or a double-shipped insert breaks
+    // the hash.
+    QuerySpec("q415_txlog_stream_cdf",
+      (s, dir) => {
+        import graft.core.TxLog
+        val t = Scratch.dir("txscdf", dir)
+        TxLog.drop(t)
+        val orders = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+        TxLog.create(orders.filter(col("o_orderkey") % 2 === 0), t) // v0
+        TxLog.append(orders.filter(col("o_orderkey") % 2 =!= 0), t) // v1
+        TxLog.deleteWhereDV(s, t, col("o_orderkey") % 5 === 0)      // v2
+        val mem = "q415_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        val q = s.readStream.format("txlog")
+          .option("readChangeFeed", "true").load(t)
+          .writeStream.format("memory").queryName(mem)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(mem)
+          .groupBy(col("_change_type").as("change_type"),
+            col("_commit_version").as("commit_version"))
+          .agg(count(lit(1)).as("n_rows"),
+            Stable.dsum(col("o_totalprice")).as("revenue"))
+          .orderBy("commit_version", "change_type")
+      },
+      Some("""SELECT * FROM (
+             |  SELECT 'insert' AS change_type, CAST(0 AS BIGINT) AS commit_version,
+             |    CAST(count(*) AS BIGINT) AS n_rows,
+             |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             |  FROM orders WHERE o_orderkey % 2 = 0
+             |  UNION ALL
+             |  SELECT 'insert', 1, CAST(count(*) AS BIGINT),
+             |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |  FROM orders WHERE o_orderkey % 2 <> 0
+             |  UNION ALL
+             |  SELECT 'delete', 2, CAST(count(*) AS BIGINT),
+             |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |  FROM orders WHERE o_orderkey % 5 = 0
+             |) ORDER BY commit_version, change_type""".stripMargin)),
+
+    // q416 — LOG-RESIDENT CHECK CONSTRAINTS: the constraint is table
+    // metadata (a log line, checkpoint-carried), validated against
+    // EXISTING rows when added and against every subsequent batch by
+    // every writer — the Delta ALTER TABLE ADD CONSTRAINT governance
+    // surface. Three enforcement probes live under one hash: an
+    // unsatisfiable constraint is REFUSED at add time (existing rows
+    // violate), a negated-price batch is REJECTED atomically (nothing
+    // commits — the final totals prove the table never saw it), and the
+    // valid slices land. The rejected flags enter the output as
+    // literal columns, so a silently-accepted bad batch flips BOTH the
+    // flag and the aggregate.
+    QuerySpec("q416_txlog_check_constraint",
+      (s, dir) => {
+        import graft.core.TxLog
+        val t = Scratch.dir("txcheck", dir)
+        TxLog.drop(t)
+        val orders = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+        TxLog.create(orders.filter(col("o_orderkey") % 3 === 0), t)
+        val ddlRejected =
+          try { TxLog.addConstraint(s, t, "too_strict",
+            "o_totalprice > 100000"): Unit; 0L }
+          catch { case _: IllegalArgumentException => 1L }
+        TxLog.addConstraint(s, t, "price_positive", "o_totalprice > 0")
+        TxLog.append(orders.filter(col("o_orderkey") % 3 === 1), t)
+        val batchRejected =
+          try { TxLog.append(orders.filter(col("o_orderkey") % 3 === 2)
+            .withColumn("o_totalprice", -col("o_totalprice")), t): Unit; 0L }
+          catch { case _: IllegalArgumentException => 1L }
+        TxLog.append(orders.filter(col("o_orderkey") % 3 === 2), t)
+        TxLog.read(s, t)
+          .agg(count(lit(1)).as("n_orders"),
+            Stable.dsum(col("o_totalprice")).as("revenue"))
+          .select(lit(ddlRejected).as("ddl_rejected"),
+            lit(batchRejected).as("batch_rejected"),
+            col("n_orders"), col("revenue"))
+      },
+      Some("""SELECT CAST(1 AS BIGINT) AS ddl_rejected,
+             |  CAST(1 AS BIGINT) AS batch_rejected,
+             |  CAST(count(*) AS BIGINT) AS n_orders,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             |FROM orders""".stripMargin)))
 }

@@ -106,8 +106,16 @@ class TxLogDataSource extends RelationProvider
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
     val dir = TxLogDataSource.localPath(parameters("path"))
-    ("txlog", schema.getOrElse(
-      TxLog.read(sqlContext.sparkSession, dir).schema))
+    val base = schema.getOrElse(
+      TxLog.read(sqlContext.sparkSession, dir).schema)
+    // STREAMING CDF (option("readChangeFeed", "true")): batches are
+    // row-level changes, so the schema carries the two meta columns
+    val cdf = parameters.get("readChangeFeed").exists(_.trim.toBoolean)
+    ("txlog", if (!cdf) base
+      else base.add("_change_type", org.apache.spark.sql.types.StringType,
+          nullable = false)
+        .add("_commit_version", org.apache.spark.sql.types.LongType,
+          nullable = false))
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
@@ -115,10 +123,11 @@ class TxLogDataSource extends RelationProvider
       parameters: Map[String, String])
       : org.apache.spark.sql.execution.streaming.Source = {
     val dir = TxLogDataSource.localPath(parameters("path"))
-    new TxLogStreamSource(sqlContext, dir,
-      schema.getOrElse(TxLog.read(sqlContext.sparkSession, dir).schema),
+    val (_, st) = sourceSchema(sqlContext, schema, providerName, parameters)
+    new TxLogStreamSource(sqlContext, dir, st,
       parameters.get("startingVersion").map(_.trim.toInt).getOrElse(0),
-      parameters.get("ignoreChanges").exists(_.trim.toBoolean))
+      parameters.get("ignoreChanges").exists(_.trim.toBoolean),
+      parameters.get("readChangeFeed").exists(_.trim.toBoolean))
   }
   override def shortName(): String = "txlog"
 
@@ -239,7 +248,8 @@ object TxLogDataSource {
   * checkpoint refuses with the version number rather than silently
   * skipping it. */
 class TxLogStreamSource(sqlContext: SQLContext, dir: String,
-    declaredSchema: StructType, startingVersion: Int, ignoreChanges: Boolean)
+    declaredSchema: StructType, startingVersion: Int, ignoreChanges: Boolean,
+    readChangeFeed: Boolean = false)
     extends org.apache.spark.sql.execution.streaming.Source {
   import org.apache.spark.sql.execution.streaming.Offset
   import org.apache.spark.sql.execution.streaming.runtime.LongOffset
@@ -260,6 +270,21 @@ class TxLogStreamSource(sqlContext: SQLContext, dir: String,
       : org.apache.spark.sql.DataFrame = {
     val from = start.map(versionOf).getOrElse(startingVersion - 1)
     val to = versionOf(end)
+    val spark0 = sqlContext.sparkSession
+    // CDF mode: the batch IS the change feed of the version interval —
+    // deletes are first-class rows, so the append-only guard and
+    // ignoreChanges do not apply here
+    if (readChangeFeed) {
+      val batch =
+        if (from + 1 > to)
+          spark0.createDataFrame(
+            spark0.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            declaredSchema)
+        else TxLog.changeFeed(spark0, dir, math.max(from + 1, 0), to)
+          .select(declaredSchema.fieldNames
+            .map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+      return org.apache.spark.sql.GraftSqlBridge.streamingFrame(spark0, batch)
+    }
     val added = (from + 1 to to).flatMap { v =>
       val (adds, _) = try TxLog.changes(dir, v) catch {
         case _: java.nio.file.NoSuchFileException =>

@@ -288,6 +288,46 @@ class TxLogSourceSpec extends AnyFunSuite {
     TxLog.drop(t)
   }
 
+  test("streaming CDF: readChangeFeed batches are row-level changes, " +
+      "deletes flow without ignoreChanges, restarts resume from the " +
+      "checkpointed version") {
+    val t = freshTable()
+    TxLog.create((0L until 30L).map(i => (i, i % 3)).toDF("id", "grp")
+      .coalesce(1), t)                            // v0
+    TxLog.deleteWhereDV(spark, t, col("id") < 5)  // v1
+    val ckpt = java.nio.file.Files.createTempDirectory("txscdf_ck_").toString
+    val got = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+    def drain(): Unit = {
+      val q = spark.readStream.format("txlog")
+        .option("readChangeFeed", "true").load(t)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          got.synchronized {
+            got ++= b.collect().map(r => (r.getString(2), r.getLong(3),
+              r.getLong(0)))
+          }: Unit
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    assert(got.count(_._1 == "insert") == 30)
+    assert(got.count(_._1 == "delete") == 5, "the DV delete flows as rows")
+    got.clear()
+    // a COW rewrite streams as delete+insert pairs on restart
+    TxLog.deleteWhere(spark, t, col("grp") === 1) // v2: rewrites the file
+    drain()
+    // the file held 25 live rows (5 were DV-dead): 25 deletes; survivors
+    // (grp != 1 among ids 5..29) re-insert
+    assert(got.count(_._1 == "delete") == 25, s"got ${got.toSeq}")
+    assert(got.count(_._1 == "insert") ==
+      (5L until 30L).count(_ % 3 != 1))
+    assert(got.forall(_._2 == 2L), "all changes carry the commit version")
+    TxLog.drop(t)
+  }
+
   test("SQL surface: a txlog table is queryable via CREATE TABLE ... " +
       "USING txlog") {
     val t = freshTable()

@@ -450,6 +450,56 @@ class TxLogSpec extends AnyFunSuite {
     TxLog.drop(t)
   }
 
+  test("log-resident CHECK constraints: validated on add, enforced by " +
+      "every writer, droppable, NULL-rejecting, checkpoint-carried") {
+    val t = java.nio.file.Files.createTempDirectory("txcons_").toString
+    TxLog.drop(t)
+    TxLog.create((1L to 50L).map(i => (i, i % 5)).toDF("id", "grp"), t)
+    // add-time validation: existing rows violate
+    intercept[IllegalArgumentException] {
+      TxLog.addConstraint(spark, t, "impossible", "id > 100")
+    }
+    TxLog.addConstraint(spark, t, "pos_id", "id > 0")
+    assert(TxLog.constraints(t) == Map("pos_id" -> "id > 0"))
+    val vBefore = TxLog.currentVersion(t)
+    // every writer path rejects a violating batch atomically
+    intercept[IllegalArgumentException] {
+      TxLog.append(Seq((-1L, 0L)).toDF("id", "grp"), t)
+    }
+    intercept[IllegalArgumentException] {
+      TxLog.appendPartitioned(spark, Seq((-2L, 1L)).toDF("id", "grp"), t,
+        Seq("grp"))
+    }
+    intercept[IllegalArgumentException] {
+      TxLog.upsert(spark, t, Seq((-3L, 2L)).toDF("id", "grp"), "id")
+    }
+    intercept[IllegalArgumentException] { // NULL evaluates UNKNOWN → reject
+      TxLog.append(Seq((Option.empty[Long], Option(0L)))
+        .toDF("id", "grp"), t)
+    }
+    assert(TxLog.currentVersion(t) == vBefore,
+      "rejected batches must commit nothing")
+    assert(TxLog.read(spark, t).count() == 50L)
+    // valid batches pass every writer
+    TxLog.append(Seq((51L, 1L)).toDF("id", "grp"), t)
+    TxLog.upsert(spark, t, Seq((52L, 2L)).toDF("id", "grp"), "id")
+    assert(TxLog.read(spark, t).count() == 52L)
+    // the constraint survives checkpointing + raw-log truncation
+    val ck = TxLog.checkpoint(t)
+    (0 until ck).foreach(v => java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(t, "_log", f"$v%08d.txt")))
+    assert(TxLog.constraints(t) == Map("pos_id" -> "id > 0"))
+    intercept[IllegalArgumentException] {
+      TxLog.append(Seq((-4L, 0L)).toDF("id", "grp"), t)
+    }
+    // drop re-allows; a metadata-only commit
+    TxLog.dropConstraint(t, "pos_id")
+    assert(TxLog.constraints(t).isEmpty)
+    TxLog.append(Seq((-5L, 0L)).toDF("id", "grp"), t)
+    assert(TxLog.read(spark, t).count() == 53L)
+    TxLog.drop(t)
+  }
+
   test("change feed: a shallow clone's v0 inserts only the rows " +
       "surviving its carried-over deletion vectors") {
     val src = java.nio.file.Files.createTempDirectory("txcdf_src_").toString
