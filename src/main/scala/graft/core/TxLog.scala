@@ -125,6 +125,8 @@ object TxLog {
     val txns = scala.collection.mutable.LinkedHashSet.empty[String]
     /** Active table CHECK constraints, name → SQL expression text. */
     val cons = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    /** Last recorded table schema (JSON), Delta's metaData action. */
+    var schemaJson: Option[String] = None
 
     /** Apply one version's (or one checkpoint's) lines: removes first —
       * the commit-line order every writer uses — then adds/dv/txn. */
@@ -153,6 +155,8 @@ object TxLog {
         }
         else if (l.startsWith("unconstraint\t"))
           cons -= unescapeVal(l.substring("unconstraint\t".length)): Unit
+        else if (l.startsWith("schema\t"))
+          schemaJson = Some(unescapeVal(l.substring("schema\t".length)))
       }
     }
 
@@ -165,7 +169,8 @@ object TxLog {
           else Seq.empty) ++ sidecars.map(sc => s"dvf\t$f\t$sc")
         } ++ txns.toSeq ++
         cons.toSeq.map { case (n, sql) =>
-          s"constraint\t${escapeVal(n)}\t${escapeVal(sql)}" }
+          s"constraint\t${escapeVal(n)}\t${escapeVal(sql)}" } ++
+        schemaJson.map(j => s"schema\t${escapeVal(j)}")
   }
 
   private def checkpointFile(dir: String, v: Int): Path =
@@ -284,7 +289,8 @@ object TxLog {
     enforceConstraints(df, dir)
     val cur = currentVersion(dir)
     val staged = stage(df, dir)
-    claimVersion(dir, cur + 1, statAddLines(spark, dir, staged, statsCols))
+    claimVersion(dir, cur + 1,
+      statAddLines(spark, dir, staged, statsCols) ++ schemaLine(df, dir))
   }
 
   /** Add lines with per-file min/max triples for `statsCols`, computed
@@ -295,23 +301,36 @@ object TxLog {
       staged: Seq[String], statsCols: Seq[String]): Seq[String] = {
     import org.apache.spark.sql.functions.{col, max, min}
     if (statsCols.isEmpty) return staged.map(f => s"add\t$f")
+    val src = spark.read.parquet(staged.map(f => s"$dir/$f"): _*)
+    // type-aware bounds: string columns get `s:` markers in binary UTF8
+    // order (what Spark's min/max over strings IS); everything else is
+    // cast to the exact-long triples [[pruneSnapshot]] consumes
+    val isStr = statsCols.map(c => c ->
+      (src.schema(c).dataType == org.apache.spark.sql.types.StringType)
+    ).toMap
     val aggs = statsCols.flatMap(c => Seq(
-      min(col(c).cast("long")).as(s"mn_$c"),
-      max(col(c).cast("long")).as(s"mx_$c")))
-    val bounds = spark.read.parquet(staged.map(f => s"$dir/$f"): _*)
+      min(if (isStr(c)) col(c) else col(c).cast("long")).as(s"mn_$c"),
+      max(if (isStr(c)) col(c) else col(c).cast("long")).as(s"mx_$c")))
+    val bounds = src
       .groupBy(col("_metadata.file_name").as("__f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
       .map(r => r.getString(0) ->
-        statsCols.zipWithIndex.map { case (c, i) =>
-          (c, r.getLong(1 + 2 * i), r.getLong(2 + 2 * i)) })
+        statsCols.zipWithIndex.flatMap { case (c, i) =>
+          // an all-NULL column in a file has no bounds — leave the
+          // column statless for that file (conservative keep)
+          if (r.isNullAt(1 + 2 * i) || r.isNullAt(2 + 2 * i)) None
+          else if (isStr(c))
+            Some(s"s:${escapeVal(c)}=${escapeVal(r.getString(1 + 2 * i))}=" +
+              escapeVal(r.getString(2 + 2 * i)))
+          else Some(s"$c\t${r.getLong(1 + 2 * i)}\t${r.getLong(2 + 2 * i)}")
+        })
       .toMap
     staged.map { f =>
       // a staged file can legitimately be EMPTY (a sampled range
       // exchange may produce a 0-row partition) — it has no bounds row;
       // record it statless, the conservative always-kept shape
       val triples = bounds.getOrElse(new File(f).getName, Seq.empty)
-        .map { case (c, lo, hi) => s"$c\t$lo\t$hi" }
       (s"add\t$f" +: triples).mkString("\t")
     }
   }
@@ -348,10 +367,12 @@ object TxLog {
     * `p:<col>=<value>` partition-value markers or `<col>\t<lo>\t<hi>`
     * numeric zone-map triples. */
   private[graft] def parseAdd(l: String)
-      : (String, Map[String, String], Map[String, (Long, Long)]) = {
+      : (String, Map[String, String], Map[String, (Long, Long)],
+         Map[String, (String, String)]) = {
     val fs = l.split('\t')
     val parts = Map.newBuilder[String, String]
     val stats = Map.newBuilder[String, (Long, Long)]
+    val strStats = Map.newBuilder[String, (String, String)]
     var i = 2
     while (i < fs.length) {
       val f = fs(i)
@@ -360,6 +381,15 @@ object TxLog {
         if (eq > 2) parts += unescapeVal(f.substring(2, eq)) ->
           unescapeVal(f.substring(eq + 1))
         i += 1
+      } else if (f.startsWith("s:")) {
+        // STRING zone map: `s:<col>=<lo>=<hi>`, each segment escaped
+        // (raw `=` cannot appear inside), binary UTF8 order
+        f.substring(2).split('=') match {
+          case Array(c, lo, hi) =>
+            strStats += unescapeVal(c) -> (unescapeVal(lo), unescapeVal(hi))
+          case _ => () // malformed field — skip
+        }
+        i += 1
       } else if (i + 2 <= fs.length - 1) {
         (fs(i + 1).toLongOption, fs(i + 2).toLongOption) match {
           case (Some(lo), Some(hi)) => stats += f -> (lo, hi); i += 3
@@ -367,7 +397,7 @@ object TxLog {
         }
       } else i += 1
     }
-    (fs(1), parts.result(), stats.result())
+    (fs(1), parts.result(), stats.result(), strStats.result())
   }
 
   /** Per-file [min, max] of `statsCol` from the log's add lines (files
@@ -375,7 +405,7 @@ object TxLog {
   def fileStats(dir: String, statsCol: String,
       asOf: Option[Int] = None): Map[String, (Long, Long)] =
     state(dir, asOf).live.values.flatMap { l =>
-      val (f, _, stats) = parseAdd(l)
+      val (f, _, stats, _) = parseAdd(l)
       stats.get(statsCol).map(f -> _)
     }.toMap
 
@@ -385,8 +415,19 @@ object TxLog {
   def fileStatsAll(dir: String,
       asOf: Option[Int] = None): Map[String, Map[String, (Long, Long)]] =
     state(dir, asOf).live.values.map { l =>
-      val (f, _, stats) = parseAdd(l)
+      val (f, _, stats, _) = parseAdd(l)
       f -> stats
+    }.toMap
+
+  /** ALL per-file STRING zone maps (binary UTF8 [min, max]) — the
+    * string-column counterpart of [[fileStatsAll]], written by
+    * [[appendWithStats]] for string-typed stats columns as `s:` markers
+    * on the add line. */
+  def fileStatsStrAll(dir: String,
+      asOf: Option[Int] = None): Map[String, Map[String, (String, String)]] =
+    state(dir, asOf).live.values.map { l =>
+      val (f, _, _, strStats) = parseAdd(l)
+      f -> strStats
     }.toMap
 
   /** Per-file PARTITION VALUES from the log's add lines (Delta's
@@ -395,7 +436,7 @@ object TxLog {
   def partitionValues(dir: String,
       asOf: Option[Int] = None): Map[String, Map[String, String]] =
     state(dir, asOf).live.values.map { l =>
-      val (f, parts, _) = parseAdd(l)
+      val (f, parts, _, _) = parseAdd(l)
       f -> parts
     }.toMap
 
@@ -413,13 +454,59 @@ object TxLog {
   }
 
   /** CREATE (version 0) — refuses on an existing table. */
+  /** IN-LOG SCHEMA (Delta's metaData action): data commits record the
+    * table's UNION schema as an (escaped JSON) `schema` line whenever a
+    * write changes it — new columns append, existing field types win.
+    * Purely advisory for live reads (the scan's mergeSchema over real
+    * footers stays the source of truth) but load-bearing for the one
+    * state footers cannot serve: a table EMPTIED by deletes whose
+    * removed files were since vacuumed reads as an empty frame with the
+    * recorded schema instead of failing schema-unrecoverable. Legacy
+    * tables without a recorded line keep the removed-file-walk
+    * fallback; writers only START recording on tables that have one
+    * (or are new), so a stale narrower-than-union line can never
+    * appear. */
+  private def schemaLine(df: DataFrame, dir: String,
+      exact: Boolean = false): Seq[String] = {
+    import org.apache.spark.sql.types.{DataType, StructType}
+    if (currentVersion(dir) < 0)
+      return Seq(s"schema\t${escapeVal(df.schema.json)}")
+    state(dir, None).schemaJson match {
+      case None => Seq.empty // legacy table — stay on the fallback path
+      case Some(j) =>
+        val prior = DataType.fromJson(j).asInstanceOf[StructType]
+        // replace() swaps the WHOLE live set: the new schema is exactly
+        // the frame's (a replaced-away column must not linger)
+        val next =
+          if (exact) df.schema
+          else {
+            val have = prior.fieldNames.toSet
+            StructType(prior.fields ++
+              df.schema.fields.filterNot(f => have(f.name)))
+          }
+        if (next == prior) Seq.empty
+        else Seq(s"schema\t${escapeVal(next.json)}")
+    }
+  }
+
+  /** The recorded table schema at `asOf`, when the log carries one. */
+  def tableSchema(dir: String,
+      asOf: Option[Int] = None): Option[org.apache.spark.sql.types.StructType] =
+    if (currentVersion(dir) < 0) None
+    else state(dir, asOf).schemaJson.map(j =>
+      org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+
   def create(df: DataFrame, dir: String): Int =
-    commit(dir, -1, stage(df, dir), Seq.empty)
+    claimVersion(dir, 0,
+      stage(df, dir).map(f => s"add\t$f") ++ schemaLine(df, dir))
 
   /** APPEND: new files only, nothing removed. */
   def append(df: DataFrame, dir: String): Int = {
     enforceConstraints(df, dir)
-    commit(dir, currentVersion(dir), stage(df, dir), Seq.empty)
+    val cur = currentVersion(dir)
+    claimVersion(dir, cur + 1,
+      stage(df, dir).map(f => s"add\t$f") ++ schemaLine(df, dir))
   }
 
   /** REPLACE (SaveMode.Overwrite through the connector): one atomic
@@ -432,7 +519,11 @@ object TxLog {
     if (cur < 0) create(df, dir)
     else {
       enforceConstraints(df, dir)
-      commit(dir, cur, stage(df, dir), snapshot(dir, Some(cur)))
+      val removes = snapshot(dir, Some(cur))
+      claimVersion(dir, cur + 1,
+        removes.map(f => s"remove\t$f") ++
+          stage(df, dir).map(f => s"add\t$f") ++
+          schemaLine(df, dir, exact = true))
     }
   }
 
@@ -565,7 +656,7 @@ object TxLog {
       (s"add\t$name" +: markers).mkString("\t")
     }
     drop(tmp.toString) // staging litter (empty partition dirs, _SUCCESS)
-    claimVersion(dir, cur + 1, adds)
+    claimVersion(dir, cur + 1, adds ++ schemaLine(df, dir))
   }
 
   /** Undo Spark's partition-path escaping (`%xx`, uppercase hex — the
@@ -652,6 +743,13 @@ object TxLog {
     * remove that emptied the table is by construction at or above the
     * newest checkpoint's version when history was truncated. */
   private def emptyRead(spark: SparkSession, dir: String, v: Int): DataFrame = {
+    // the recorded in-log schema serves even when every removed file
+    // was vacuumed — the one state the footer walk below cannot cover
+    tableSchema(dir, Some(v)) match {
+      case Some(st) => return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
+      case None => ()
+    }
     val sample = (v to 0 by -1).iterator
       .filter(i => Files.exists(versionFile(dir, i)))
       .flatMap(i => changes(dir, i)._2)
@@ -862,7 +960,10 @@ object TxLog {
             .join(keys, Seq(keyCol), "left_anti")
           if (kept.isEmpty) Seq.empty[String] else stage(kept, dir)
         }
-      commit(dir, cur, survivors ++ stage(source, dir), affected)
+      claimVersion(dir, cur + 1,
+        affected.map(f => s"remove\t$f") ++
+          (survivors ++ stage(source, dir)).map(f => s"add\t$f") ++
+          schemaLine(source, dir))
     } finally { keys.unpersist(): Unit }
   }
 
@@ -879,7 +980,8 @@ object TxLog {
     val cur = currentVersion(dir)
     val adds = stage(df, dir)
     claimVersion(dir, cur + 1,
-      adds.map(f => s"add\t$f") :+ s"txn\t$app\t$txnId")
+      adds.map(f => s"add\t$f") ++ schemaLine(df, dir) :+
+        s"txn\t$app\t$txnId")
   }
 
   /** Has `(app, txnId)` already committed? Scanned from the replayed

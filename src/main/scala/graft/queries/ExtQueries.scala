@@ -3885,5 +3885,96 @@ object ExtQueries {
              |  CAST(1 AS BIGINT) AS batch_rejected,
              |  CAST(count(*) AS BIGINT) AS n_orders,
              |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-             |FROM orders""".stripMargin)))
+             |FROM orders""".stripMargin)),
+
+    // q417 — STRING zone maps: data skipping on string columns (binary
+    // UTF8 [min, max] as escaped `s:` markers on the add line — Delta
+    // keeps string stats too; integral-only skipping leaves every
+    // dimension-coded column unprunable). Three priority-banded commits;
+    // the in-query requires pin that BOTH an equality and a RANGE
+    // predicate through the connector scanned exactly 1 of 3 files
+    // (TxLogSourceIO ground truth — file layout is deterministic here,
+    // one coalesced file per append, no sampled exchange), and the hash
+    // gate proves both reads value-equal to predicate recompute.
+    QuerySpec("q417_txlog_string_zonemap",
+      (s, dir) => {
+        import graft.core.TxLog
+        import graft.sources.TxLogSourceIO
+        val t = Scratch.dir("txstrz", dir)
+        TxLog.drop(t)
+        val orders = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            col("o_totalprice"))
+        Seq(Seq("1", "2"), Seq("3"), Seq("4", "5")).foreach { ps =>
+          TxLog.appendWithStats(s,
+            orders.filter(substring(col("o_orderpriority"), 1, 1)
+              .isin(ps: _*)).coalesce(1), t, Seq("o_orderpriority")): Unit
+        }
+        def probe(name: String, pred: org.apache.spark.sql.Column)
+            : org.apache.spark.sql.DataFrame = {
+          val df = s.read.format("txlog").load(t).filter(pred)
+          df.count() // force the scan so the pruning counters are real
+          require(TxLogSourceIO.lastTotal.get() == 3 &&
+            TxLogSourceIO.lastKept.get() == 1,
+            s"string zone maps must keep 1 of 3 files for $name, kept " +
+              s"${TxLogSourceIO.lastKept.get()}/${TxLogSourceIO.lastTotal.get()}")
+          df.agg(count(lit(1)).as("n_orders"),
+              Stable.dsum(col("o_totalprice")).as("revenue"))
+            .select(lit(name).as("probe"), col("n_orders"), col("revenue"))
+        }
+        probe("eq_5low", col("o_orderpriority") === "5-LOW")
+          .unionByName(probe("range_lt_3", col("o_orderpriority") < "3"))
+          .orderBy("probe")
+      },
+      Some("""SELECT 'eq_5low' AS probe, CAST(count(*) AS BIGINT) AS n_orders,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             |FROM orders WHERE o_orderpriority = '5-LOW'
+             |UNION ALL
+             |SELECT 'range_lt_3', CAST(count(*) AS BIGINT),
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |FROM orders WHERE o_orderpriority < '3'
+             |ORDER BY probe""".stripMargin)),
+
+    // q418 — IN-LOG SCHEMA (Delta's metaData action): data commits
+    // record the table's union schema as a log line, so the one state
+    // parquet footers cannot serve — a table EMPTIED by deletes whose
+    // removed files were since VACUUMED — still reads as an empty frame
+    // with the full evolved schema instead of failing
+    // schema-unrecoverable. The probes pin the before/after: full
+    // totals (materialized before the delete — lazy frames would
+    // re-read the emptied table), then the emptied+vacuumed read's row
+    // count AND its column list, which must still carry the column only
+    // the evolving append introduced.
+    QuerySpec("q418_txlog_schema_metadata",
+      (s, dir) => {
+        import graft.core.TxLog
+        val t = Scratch.dir("txschema", dir)
+        TxLog.drop(t)
+        val orders = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+        TxLog.create(orders.filter(col("o_orderkey") % 2 === 0), t)
+        TxLog.append(orders.filter(col("o_orderkey") % 2 =!= 0)
+          .withColumn("priority_rank",
+            (col("o_orderkey") % 5 + 1).cast("int")), t)
+        val full = TxLog.read(s, t)
+          .agg(count(lit(1)).cast("long")).head().getLong(0)
+        TxLog.deleteWhere(s, t, lit(true))
+        TxLog.vacuum(t, retainAfter = TxLog.currentVersion(t), minAgeMs = 0)
+        val empty = TxLog.read(s, t)
+        Seq(("emptied_vacuumed", empty.count(),
+          empty.schema.fieldNames.mkString(",")),
+          ("full_before_delete", full,
+            "o_orderkey,o_totalprice,priority_rank"))
+          .map { case (probe, n, cols) =>
+            s.range(1).select(lit(probe).as("probe"),
+              lit(n).as("n_rows"), lit(cols).as("schema_cols"))
+          }.reduce(_ unionByName _).orderBy("probe")
+      },
+      Some("""SELECT 'emptied_vacuumed' AS probe, CAST(0 AS BIGINT) AS n_rows,
+             |  'o_orderkey,o_totalprice,priority_rank' AS schema_cols
+             |UNION ALL
+             |SELECT 'full_before_delete', CAST(count(*) AS BIGINT),
+             |  'o_orderkey,o_totalprice,priority_rank'
+             |FROM orders
+             |ORDER BY probe""".stripMargin)))
 }

@@ -360,6 +360,8 @@ class TxLogFileIndex(dir: String, version: Int, live: Seq[String])
 
   private val stats: Map[String, Map[String, (Long, Long)]] =
     TxLog.fileStatsAll(dir, Some(version))
+  private val strStats: Map[String, Map[String, (String, String)]] =
+    TxLog.fileStatsStrAll(dir, Some(version))
   private val pvals: Map[String, Map[String, String]] =
     TxLog.partitionValues(dir, Some(version))
   private val statuses: Seq[(String, FileStatus)] = live.map { f =>
@@ -423,27 +425,52 @@ class TxLogFileIndex(dir: String, version: Int, live: Seq[String])
   }
 
   /** Equality survives if the zone map's [lo, hi] contains the value
-    * (integral columns) or the recorded partition value matches
-    * (string columns); no recorded metadata → conservative keep. */
+    * (integral columns — or STRING columns in binary UTF8 order), or
+    * the recorded partition value matches; no recorded metadata →
+    * conservative keep. */
   private def eqSurvives(file: String, col: String, v: Any): Boolean = {
     val zone = for {
       x <- asLong(v)
       (lo, hi) <- stats.getOrElse(file, Map.empty).get(col)
     } yield lo <= x && x <= hi
+    val strZone = v match {
+      case u: UTF8String =>
+        strStats.getOrElse(file, Map.empty).get(col).map { case (lo, hi) =>
+          UTF8String.fromString(lo).compareTo(u) <= 0 &&
+            u.compareTo(UTF8String.fromString(hi)) <= 0
+        }
+      case _ => None
+    }
     val part = v match {
       case u: UTF8String =>
         pvals.getOrElse(file, Map.empty).get(col).map(_ == u.toString)
       case _ => None
     }
-    zone.getOrElse(true) && part.getOrElse(true)
+    zone.getOrElse(true) && strZone.getOrElse(true) && part.getOrElse(true)
   }
 
+  /** Range bound check against the long zone maps, or the string zone
+    * maps when the literal is a string — `pred(loCmp, hiCmp)` receives
+    * compareTo signs in the string case, so one rule serves both. */
   private def boundSurvives(file: String, col: String)
-      (pred: (Long, Long, Long) => Boolean)(v: Any): Boolean =
-    (for {
+      (pred: (Long, Long, Long) => Boolean)(v: Any): Boolean = {
+    val long = for {
       x <- asLong(v)
       (lo, hi) <- stats.getOrElse(file, Map.empty).get(col)
-    } yield pred(lo, hi, x)).getOrElse(true)
+    } yield pred(lo, hi, x)
+    // string bounds reuse the same predicate through compareTo signs:
+    // pred is always of the shape `hi > x` / `lo <= x` / ... — feed it
+    // (sign(lo cmp x), sign(hi cmp x), 0) so the comparisons hold
+    val str = v match {
+      case u: UTF8String =>
+        strStats.getOrElse(file, Map.empty).get(col).map { case (lo, hi) =>
+          pred(UTF8String.fromString(lo).compareTo(u).sign.toLong,
+            UTF8String.fromString(hi).compareTo(u).sign.toLong, 0L)
+        }
+      case _ => None
+    }
+    long.orElse(str).getOrElse(true)
+  }
 }
 
 /** `option("history", "true")`: the table's commit history as a

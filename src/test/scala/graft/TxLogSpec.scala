@@ -450,6 +450,62 @@ class TxLogSpec extends AnyFunSuite {
     TxLog.drop(t)
   }
 
+  test("in-log schema: recorded on create, unioned on evolving appends, " +
+      "snapped exact on replace, and serves an emptied+vacuumed table " +
+      "the footer walk cannot") {
+    val t = java.nio.file.Files.createTempDirectory("txschema_").toString
+    TxLog.drop(t)
+    TxLog.create(Seq((1L, "a")).toDF("id", "name"), t)
+    assert(TxLog.tableSchema(t).get.fieldNames.toSeq == Seq("id", "name"))
+    TxLog.append(Seq((2L, "b", 3.5)).toDF("id", "name", "score"), t)
+    assert(TxLog.tableSchema(t).get.fieldNames.toSeq ==
+      Seq("id", "name", "score"), "append unions new columns")
+    // time travel sees the v0 schema
+    assert(TxLog.tableSchema(t, Some(0)).get.fieldNames.toSeq ==
+      Seq("id", "name"))
+    // empty the table, vacuum EVERYTHING — the removed-file walk is dead
+    TxLog.deleteWhere(spark, t, lit(true))
+    TxLog.vacuum(t, retainAfter = TxLog.currentVersion(t), minAgeMs = 0)
+    val empty = TxLog.read(spark, t)
+    assert(empty.count() == 0L)
+    assert(empty.schema.fieldNames.toSeq == Seq("id", "name", "score"),
+      "the recorded schema serves where footers cannot")
+    // replace snaps the schema EXACTLY — replaced-away columns go
+    TxLog.replace(Seq(9L).toDF("id"), t)
+    assert(TxLog.tableSchema(t).get.fieldNames.toSeq == Seq("id"))
+    // and the schema line survives checkpoint truncation
+    val ck = TxLog.checkpoint(t)
+    (0 until ck).foreach(v => java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(t, "_log", f"$v%08d.txt")))
+    assert(TxLog.tableSchema(t).get.fieldNames.toSeq == Seq("id"))
+    TxLog.drop(t)
+  }
+
+  test("string zone maps: appendWithStats writes escaped s: markers, " +
+      "bounds round-trip through hostile characters and checkpoints") {
+    val t = java.nio.file.Files.createTempDirectory("txstr_").toString
+    TxLog.drop(t)
+    val hostile = Seq("a\tb", "m=n", "z%z", "line\nbreak")
+    TxLog.appendWithStats(spark,
+      hostile.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("id", "name").coalesce(1), t, Seq("name", "id"))
+    val st = TxLog.fileStatsStrAll(t)
+    assert(st.size == 1)
+    val (lo, hi) = st.head._2("name")
+    assert(lo == hostile.min && hi == hostile.max,
+      s"binary bounds must round-trip verbatim, got [$lo, $hi]")
+    // the long stats coexist on the same add line
+    assert(TxLog.fileStats(t, "id").head._2 == (0L, 3L))
+    // survives checkpoint serialize/apply (add lines carried verbatim)
+    TxLog.append(Seq((9L, "mm")).toDF("id", "name"), t)
+    TxLog.checkpoint(t)
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(t, "_log", f"${0}%08d.txt"))
+    assert(TxLog.fileStatsStrAll(t).values.exists(_.get("name")
+      .contains((hostile.min, hostile.max))))
+    TxLog.drop(t)
+  }
+
   test("log-resident CHECK constraints: validated on add, enforced by " +
       "every writer, droppable, NULL-rejecting, checkpoint-carried") {
     val t = java.nio.file.Files.createTempDirectory("txcons_").toString
