@@ -339,7 +339,7 @@ object TxLog {
     * the characters that would break the line grammar (tab, newline,
     * `=`, `%`). Spark-side path escaping is undone before storage, so
     * the log holds the RAW value under this one scheme. */
-  private def escapeVal(s: String): String =
+  private[graft] def escapeVal(s: String): String =
     s.flatMap {
       case '%'  => "%25"
       case '\t' => "%09"
@@ -348,7 +348,7 @@ object TxLog {
       case c    => c.toString
     }
 
-  private def unescapeVal(s: String): String = {
+  private[graft] def unescapeVal(s: String): String = {
     val sb = new StringBuilder(s.length)
     var i = 0
     while (i < s.length) {
@@ -1064,6 +1064,49 @@ object TxLog {
     * path-not-found at scan. Either retain past every clone's creation
     * version or OPTIMIZE the clone first (materializing its vectors
     * un-shares the sidecars). */
+  /** RESTORE the table to its state at `toVersion`, as a NEW commit
+    * (Delta's `RESTORE TABLE ... TO VERSION AS OF`): the live set, the
+    * outstanding deletion vectors, and the recorded schema all snap
+    * back; history is preserved — the bad versions stay
+    * time-travelable, and the restore itself is an auditable data
+    * change (its removes + adds flow through the change feed like any
+    * rewrite; re-added files carry the target's vectors in the same
+    * commit, so CDF inserts are the surviving rows only). Zero data
+    * IO — the target's VERBATIM add lines are re-committed, stats and
+    * partition markers intact. Current CHECK constraints stay active
+    * (restore moves data, not governance). Refuses when vacuum already
+    * reclaimed any target file or DV sidecar — restorability is
+    * bounded by the retention window, same as Delta. */
+  def restore(dir: String, toVersion: Int): Int = {
+    val cur = currentVersion(dir)
+    require(toVersion >= 0 && toVersion <= cur,
+      s"version $toVersion does not exist (table is at version $cur)")
+    val st = state(dir, Some(toVersion))
+    val missing = st.live.keys.filter(f => !new File(dir, f).isFile)
+    require(missing.isEmpty,
+      s"cannot restore to version $toVersion: data files already " +
+        s"vacuumed: ${missing.take(3).mkString(", ")}")
+    val missingSc = st.dv.values.flatMap(_._2)
+      .filter(sc => !new File(dir, sc).exists())
+    require(missingSc.isEmpty,
+      s"cannot restore to version $toVersion: DV sidecars already " +
+        s"vacuumed: ${missingSc.take(3).mkString(", ")}")
+    // remove EVERYTHING live now, re-add the target verbatim: removes
+    // apply before adds within a commit, so files live at both
+    // versions come back with the TARGET's add line and vectors
+    val dvLines = st.dv.toSeq.flatMap { case (f, (inline, sidecars)) =>
+      (if (inline.nonEmpty)
+        Seq(s"dv\t$f\t${inline.toSeq.sorted.mkString(",")}")
+      else Seq.empty) ++ sidecars.map(sc => s"dvf\t$f\t$sc")
+    }
+    val schemaSnap = st.schemaJson.toSeq
+      .filter(j => !state(dir, Some(cur)).schemaJson.contains(j))
+      .map(j => s"schema\t${escapeVal(j)}")
+    claimVersion(dir, cur + 1,
+      snapshot(dir, Some(cur)).map(f => s"remove\t$f") ++
+        st.live.values.toSeq ++ dvLines ++ schemaSnap)
+  }
+
   def shallowClone(srcDir: String, dstDir: String): Int = {
     val srcLive = snapshot(srcDir)
     val srcDvs = dvSources(srcDir, None)

@@ -3976,5 +3976,45 @@ object ExtQueries {
              |SELECT 'full_before_delete', CAST(count(*) AS BIGINT),
              |  'o_orderkey,o_totalprice,priority_rank'
              |FROM orders
+             |ORDER BY probe""".stripMargin)),
+
+    // q419 — RESTORE: the bad-deploy undo every lakehouse needs
+    // (Delta's RESTORE TABLE). A destructive overwrite lands at v3;
+    // restore(2) re-commits the v2 state — live files AND their
+    // outstanding deletion vectors, zero data IO (the target's verbatim
+    // add lines) — while v3 stays time-travelable for the audit. Two
+    // probes under one hash: the restored latest equals the
+    // pre-overwrite predicate recompute (with the DV delete still
+    // applied — vectors snap back with the files), and versionAsOf 3
+    // still serves the bad state.
+    QuerySpec("q419_txlog_restore",
+      (s, dir) => {
+        import graft.core.TxLog
+        val t = Scratch.dir("txrestore", dir)
+        TxLog.drop(t)
+        val orders = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+        TxLog.create(orders.filter(col("o_orderkey") % 2 === 0), t) // v0
+        TxLog.append(orders.filter(col("o_orderkey") % 2 =!= 0), t) // v1
+        TxLog.deleteWhereDV(s, t, col("o_orderkey") % 5 === 0)      // v2
+        TxLog.replace(orders.filter(col("o_totalprice") > 300000), t) // v3
+        TxLog.restore(t, 2)                                         // v4
+        Seq(("restored_latest", TxLog.read(s, t)),
+          ("bad_still_travelable",
+            s.read.format("txlog").option("versionAsOf", "3").load(t)))
+          .map { case (label, df) =>
+            df.agg(count(lit(1)).as("n_orders"),
+                Stable.dsum(col("o_totalprice")).as("revenue"))
+              .select(lit(label).as("probe"), col("n_orders"), col("revenue"))
+          }.reduce(_ unionByName _).orderBy("probe")
+      },
+      Some("""SELECT 'bad_still_travelable' AS probe,
+             |  CAST(count(*) AS BIGINT) AS n_orders,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             |FROM orders WHERE o_totalprice > 300000
+             |UNION ALL
+             |SELECT 'restored_latest', CAST(count(*) AS BIGINT),
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |FROM orders WHERE o_orderkey % 5 <> 0
              |ORDER BY probe""".stripMargin)))
 }

@@ -340,4 +340,53 @@ object GraftProperties extends Properties("graft") {
         .contains((w, h, a, exif > 0,
           if (exif > 0) 3 else 2, b.length))
     }
+
+  // the log-line value escaping under every marker (partition values,
+  // string zone-map bounds, constraint SQL, schema json) must
+  // round-trip ARBITRARY strings — tabs, equals, percents, newlines,
+  // unicode — or the line grammar silently corrupts table metadata
+  property("log-line value escaping round-trips arbitrary strings") =
+    forAll { (s: String) =>
+      val esc = graft.core.TxLog.escapeVal(s)
+      !esc.exists(c => c == '\t' || c == '\n' || c == '=') &&
+        graft.core.TxLog.unescapeVal(esc) == s
+    }
+
+  // the CHANGE DATA FEED's core contract: for ANY mutation sequence
+  // (append / merge-on-read DV delete / copy-on-write delete /
+  // OPTIMIZE / RESTORE), folding the feed per version — deletes before
+  // inserts — from an empty state reproduces the live table exactly.
+  // OPTIMIZE versions carry nodc and must net as no-ops; RESTORE's
+  // verbatim re-adds carry their same-commit vectors.
+  property("change feed net-effect fold reproduces the live table " +
+      "under random mutation sequences") =
+    forAll(Gen.listOfN(3, Gen.choose(0, 4)), Gen.choose(0, 6)) { (muts, k) =>
+      import graft.core.TxLog
+      val t = java.nio.file.Files.createTempDirectory("txprop_").toString
+      TxLog.drop(t)
+      var next = 20L
+      TxLog.create(spark.range(0L, 20L).select(col("id")).coalesce(1), t)
+      muts.foreach {
+        case 0 =>
+          TxLog.append(
+            spark.range(next, next + 10L).select(col("id")).coalesce(1), t)
+          next += 10
+        case 1 => TxLog.deleteWhereDV(spark, t, col("id") % 7 === k % 7): Unit
+        case 2 => TxLog.deleteWhere(spark, t, col("id") % 5 === k % 5): Unit
+        case 3 => TxLog.optimize(spark, t, nFiles = 1): Unit
+        case _ => TxLog.restore(t, TxLog.currentVersion(t) / 2): Unit
+      }
+      val cur = TxLog.currentVersion(t)
+      val feed = TxLog.changeFeed(spark, t, 0, cur)
+        .select("id", "_change_type", "_commit_version").collect()
+      val net = feed.groupBy(_.getLong(2)).toSeq.sortBy(_._1)
+        .foldLeft(Set.empty[Long]) { case (acc, (_, rs)) =>
+          (acc -- rs.filter(_.getString(1) == "delete").map(_.getLong(0))) ++
+            rs.filter(_.getString(1) == "insert").map(_.getLong(0))
+        }
+      val live = TxLog.read(spark, t).select("id").collect()
+        .map(_.getLong(0)).toSet
+      TxLog.drop(t)
+      net == live
+    }
 }

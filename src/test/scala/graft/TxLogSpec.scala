@@ -450,6 +450,41 @@ class TxLogSpec extends AnyFunSuite {
     TxLog.drop(t)
   }
 
+  test("restore: live set, deletion vectors, and schema snap back as a " +
+      "new commit; history stays; the change feed nets correctly; " +
+      "vacuumed targets refuse") {
+    val t = java.nio.file.Files.createTempDirectory("txrestore_").toString
+    TxLog.drop(t)
+    val rows = (0L until 60L).map(i => (i, i % 6)).toDF("id", "grp")
+    TxLog.create(rows.filter(col("id") < 30).coalesce(1), t)  // v0
+    TxLog.append(rows.filter(col("id") >= 30).coalesce(1), t) // v1
+    TxLog.deleteWhereDV(spark, t, col("grp") === 2)           // v2: 10 dead
+    TxLog.replace(rows.filter(col("id") < 5).coalesce(1), t)  // v3: 5 rows
+    assert(TxLog.read(spark, t).count() == 5L)
+    // restore to the DV-bearing version: vectors come back too
+    val rv = TxLog.restore(t, 2)
+    assert(rv == 4)
+    assert(TxLog.read(spark, t).count() == 50L)
+    assert(TxLog.read(spark, t).filter(col("grp") === 2).count() == 0L,
+      "the target's deletion vectors must snap back with the files")
+    // the bad version is still time-travelable (history preserved)
+    assert(TxLog.read(spark, t, Some(3)).count() == 5L)
+    // restore is a data change: CDF at the restore version nets to the
+    // restored state from the pre-restore state
+    val feed = TxLog.changeFeed(spark, t, 4, 4)
+    assert(feed.filter(col("_change_type") === "delete").count() == 5L)
+    assert(feed.filter(col("_change_type") === "insert").count() == 50L,
+      "inserts are the restored files MINUS their same-commit vectors")
+    // restore to v0 then back to latest-1 round-trips
+    TxLog.restore(t, 0)
+    assert(TxLog.read(spark, t).count() == 30L)
+    // vacuum everything older than current; restore to v3 now refuses
+    TxLog.vacuum(t, retainAfter = TxLog.currentVersion(t), minAgeMs = 0)
+    val ex = intercept[IllegalArgumentException] { TxLog.restore(t, 3) }
+    assert(ex.getMessage.contains("vacuumed"), ex.getMessage)
+    TxLog.drop(t)
+  }
+
   test("in-log schema: recorded on create, unioned on evolving appends, " +
       "snapped exact on replace, and serves an emptied+vacuumed table " +
       "the footer walk cannot") {
