@@ -127,7 +127,9 @@ class TxLogDataSource extends RelationProvider
     new TxLogStreamSource(sqlContext, dir, st,
       parameters.get("startingVersion").map(_.trim.toInt).getOrElse(0),
       parameters.get("ignoreChanges").exists(_.trim.toBoolean),
-      parameters.get("readChangeFeed").exists(_.trim.toBoolean))
+      parameters.get("readChangeFeed").exists(_.trim.toBoolean),
+      parameters.get("maxVersionsPerTrigger").map(_.trim.toInt),
+      Some(metadataPath))
   }
   override def shortName(): String = "txlog"
 
@@ -249,16 +251,67 @@ object TxLogDataSource {
   * skipping it. */
 class TxLogStreamSource(sqlContext: SQLContext, dir: String,
     declaredSchema: StructType, startingVersion: Int, ignoreChanges: Boolean,
-    readChangeFeed: Boolean = false)
+    readChangeFeed: Boolean = false, maxVersionsPerTrigger: Option[Int] = None,
+    metadataPath: Option[String] = None)
     extends org.apache.spark.sql.execution.streaming.Source {
   import org.apache.spark.sql.execution.streaming.Offset
   import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 
   override def schema: StructType = declaredSchema
 
+  /** Rate-limit base recovered from the checkpoint's offset log at
+    * construction. A capped `getOffset` must NEVER fall below an
+    * offset the engine already recorded — on a restart whose last
+    * batch committed, the engine calls getOffset without any getBatch,
+    * and a below-checkpoint offer would re-emit versions a downstream
+    * sink already processed (an exactly-once break) or regress the
+    * offset log. Absent/unparseable checkpoint state → `None`, and the
+    * FIRST offer runs uncapped (safe: ≥ any committed offset); a fresh
+    * stream's offsets dir is empty, so its first batch IS capped from
+    * `startingVersion`. */
+  private val recoveredBase: Option[Int] = metadataPath.flatMap { mp =>
+    try {
+      // metadataPath = <checkpoint>/sources/<i> → offsets live two up
+      val od = new File(new File(mp).getParentFile.getParentFile, "offsets")
+      val fs = Option(od.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.forall(_.isDigit))
+      if (fs.isEmpty) Some(startingVersion - 1) // fresh stream
+      else {
+        // v1 offset file: line 1 "v1", line 2 batch metadata, line 3+
+        // one offset json per source — ours is the bare version number
+        val latest = fs.maxBy(_.getName.toLong)
+        val lines = new String(
+          java.nio.file.Files.readAllBytes(latest.toPath), "UTF-8")
+          .linesIterator.toSeq
+        lines.drop(2).headOption.flatMap(_.trim.toIntOption)
+        // parse failure → None → uncapped first offer, never a regression
+      }
+    } catch { case _: Throwable => None }
+  }
+
+  /** Highest version this instance has offered/delivered — the moving
+    * base of the rate-limit window once batches flow. */
+  @volatile private var deliveredThrough: Int =
+    recoveredBase.getOrElse(Int.MinValue)
+
+  /** Rate limiting (Delta's `maxFilesPerTrigger` shape, at the version
+    * grain): with `maxVersionsPerTrigger = n`, each micro-batch covers
+    * at most n commits — a stream starting against a long backlog
+    * processes it as bounded checkpointable batches instead of one
+    * giant catch-up batch. Pair it with a processing-time trigger:
+    * `Trigger.AvailableNow` snapshots the FIRST (capped) offset as its
+    * drain target and stops there — the DSv1 wrapper has no way to ask
+    * "capped batch, full backlog"; that refinement is DSv2
+    * `SupportsAdmissionControl`. */
   override def getOffset: Option[Offset] = {
     val v = TxLog.currentVersion(dir)
-    if (v < math.max(startingVersion, 0)) None else Some(LongOffset(v.toLong))
+    if (v < math.max(startingVersion, 0)) return None
+    val capped = maxVersionsPerTrigger match {
+      case Some(n) if deliveredThrough != Int.MinValue =>
+        math.min(v, deliveredThrough + math.max(n, 1))
+      case _ => v // no cap, or no safe base — never offer below a checkpoint
+    }
+    Some(LongOffset(capped.toLong))
   }
 
   private def versionOf(o: Offset): Int = o match {
@@ -270,6 +323,7 @@ class TxLogStreamSource(sqlContext: SQLContext, dir: String,
       : org.apache.spark.sql.DataFrame = {
     val from = start.map(versionOf).getOrElse(startingVersion - 1)
     val to = versionOf(end)
+    deliveredThrough = math.max(deliveredThrough, to)
     val spark0 = sqlContext.sparkSession
     // CDF mode: the batch IS the change feed of the version interval —
     // deletes are first-class rows, so the append-only guard and

@@ -328,6 +328,48 @@ class TxLogSourceSpec extends AnyFunSuite {
     TxLog.drop(t)
   }
 
+  test("maxVersionsPerTrigger: a backlog drains as bounded per-version " +
+      "batches, restarts stay duplicate-free") {
+    val t = freshTable()
+    (0 until 3).foreach(i => TxLog.append(
+      spark.range(i * 10L, i * 10L + 10L).select(col("id")).coalesce(1), t))
+    val ckpt = java.nio.file.Files.createTempDirectory("txrate_ck_").toString
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val rows = new java.util.concurrent.atomic.AtomicLong(0L)
+    // a CONTINUOUS trigger: AvailableNow snapshots the source's first
+    // (capped!) offset as its drain target and would stop after one
+    // batch — the documented pairing for rate limits is a
+    // processing-time trigger (see the source scaladoc)
+    def drain(expectRows: Long): Unit = {
+      val q = spark.readStream.format("txlog")
+        .option("maxVersionsPerTrigger", "1").load(t)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val n = b.count()
+          if (n > 0) { batches.incrementAndGet(); rows.addAndGet(n) }: Unit
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+      val deadline = System.currentTimeMillis() + 60000L
+      while (rows.get() < expectRows &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+      q.stop(); q.awaitTermination()
+    }
+    drain(30L)
+    assert(rows.get() == 30L)
+    assert(batches.get() == 3,
+      s"a 3-version backlog must drain as 3 capped batches, " +
+        s"got ${batches.get()}")
+    // restart against new commits: capped again, and NOTHING re-emits
+    batches.set(0); rows.set(0L)
+    (3 until 5).foreach(i => TxLog.append(
+      spark.range(i * 10L, i * 10L + 10L).select(col("id")).coalesce(1), t))
+    drain(20L)
+    assert(rows.get() == 20L, "a restart must not re-emit drained versions")
+    assert(batches.get() == 2, s"got ${batches.get()}")
+    TxLog.drop(t)
+  }
+
   test("SQL surface: a txlog table is queryable via CREATE TABLE ... " +
       "USING txlog") {
     val t = freshTable()
