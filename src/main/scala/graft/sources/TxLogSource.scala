@@ -278,12 +278,14 @@ class TxLogStreamSource(sqlContext: SQLContext, dir: String,
       if (fs.isEmpty) Some(startingVersion - 1) // fresh stream
       else {
         // v1 offset file: line 1 "v1", line 2 batch metadata, line 3+
-        // one offset json per source — ours is the bare version number
+        // one offset json per source in index order — ours is the bare
+        // version number at the index metadataPath ends with
+        val idx = new File(mp).getName.toIntOption.getOrElse(0)
         val latest = fs.maxBy(_.getName.toLong)
         val lines = new String(
           java.nio.file.Files.readAllBytes(latest.toPath), "UTF-8")
           .linesIterator.toSeq
-        lines.drop(2).headOption.flatMap(_.trim.toIntOption)
+        lines.drop(2 + idx).headOption.flatMap(_.trim.toIntOption)
         // parse failure → None → uncapped first offer, never a regression
       }
     } catch { case _: Throwable => None }
