@@ -286,9 +286,8 @@ object TxLog {
     * payoff of [[optimize]]'s z-order clustering. */
   def appendWithStats(spark: SparkSession, df: DataFrame, dir: String,
       statsCols: Seq[String]): Int = {
-    enforceConstraints(df, dir)
     val cur = currentVersion(dir)
-    val staged = stage(df, dir)
+    val staged = stageEnforced(df, dir)
     claimVersion(dir, cur + 1,
       statAddLines(spark, dir, staged, statsCols) ++ schemaLine(df, dir))
   }
@@ -337,13 +336,20 @@ object TxLog {
 
   /** Minimal %xx escaping for partition values stored in log lines:
     * the characters that would break the line grammar (tab, newline,
-    * `=`, `%`). Spark-side path escaping is undone before storage, so
-    * the log holds the RAW value under this one scheme. */
+    * carriage return, `=`, `%`). `\r` matters because [[fileLines]]
+    * reads entries with `linesIterator`, which splits on `\r` too — an
+    * unescaped CR in a string zone-map bound would truncate the line at
+    * replay into a still-parseable marker whose `hi` is a strict prefix
+    * of the real max, making [[pruneSnapshot]] silently DROP files that
+    * hold matching rows (ADVICE r10). Spark-side path escaping is
+    * undone before storage, so the log holds the RAW value under this
+    * one scheme. */
   private[graft] def escapeVal(s: String): String =
     s.flatMap {
       case '%'  => "%25"
       case '\t' => "%09"
       case '\n' => "%0A"
+      case '\r' => "%0D"
       case '='  => "%3D"
       case c    => c.toString
     }
@@ -383,8 +389,11 @@ object TxLog {
         i += 1
       } else if (f.startsWith("s:")) {
         // STRING zone map: `s:<col>=<lo>=<hi>`, each segment escaped
-        // (raw `=` cannot appear inside), binary UTF8 order
-        f.substring(2).split('=') match {
+        // (raw `=` cannot appear inside), binary UTF8 order. limit -1:
+        // plain split drops trailing empty segments, so an empty-string
+        // max (`s:col=lo=`) would parse as 2 fields and silently lose
+        // the marker (ADVICE r10)
+        f.substring(2).split("=", -1) match {
           case Array(c, lo, hi) =>
             strStats += unescapeVal(c) -> (unescapeVal(lo), unescapeVal(hi))
           case _ => () // malformed field — skip
@@ -501,12 +510,21 @@ object TxLog {
     claimVersion(dir, 0,
       stage(df, dir).map(f => s"add\t$f") ++ schemaLine(df, dir))
 
+  /** CREATE an EMPTY table (the catalog's `CREATE TABLE` surface):
+    * version 0 carries only the schema line — no data files — and the
+    * recorded in-log schema serves reads until data lands (the same
+    * mechanism that keeps an emptied-then-vacuumed table readable). */
+  def createEmpty(dir: String,
+      schema: org.apache.spark.sql.types.StructType): Int = {
+    require(currentVersion(dir) < 0, s"$dir already has a version 0")
+    claimVersion(dir, 0, Seq(s"schema\t${escapeVal(schema.json)}"))
+  }
+
   /** APPEND: new files only, nothing removed. */
   def append(df: DataFrame, dir: String): Int = {
-    enforceConstraints(df, dir)
     val cur = currentVersion(dir)
     claimVersion(dir, cur + 1,
-      stage(df, dir).map(f => s"add\t$f") ++ schemaLine(df, dir))
+      stageEnforced(df, dir).map(f => s"add\t$f") ++ schemaLine(df, dir))
   }
 
   /** REPLACE (SaveMode.Overwrite through the connector): one atomic
@@ -518,11 +536,10 @@ object TxLog {
     val cur = currentVersion(dir)
     if (cur < 0) create(df, dir)
     else {
-      enforceConstraints(df, dir)
       val removes = snapshot(dir, Some(cur))
       claimVersion(dir, cur + 1,
         removes.map(f => s"remove\t$f") ++
-          stage(df, dir).map(f => s"add\t$f") ++
+          stageEnforced(df, dir).map(f => s"add\t$f") ++
           schemaLine(df, dir, exact = true))
     }
   }
@@ -535,10 +552,23 @@ object TxLog {
     * batch BEFORE staging is referenced, one aggregate pass. */
   def appendChecked(df: DataFrame, dir: String,
       constraint: org.apache.spark.sql.Column): Int = {
-    val bad = df.filter(!constraint || constraint.isNull).limit(1).count()
-    if (bad > 0) throw new IllegalArgumentException(
-      s"CHECK constraint violated by the incoming batch: $constraint")
-    append(df, dir)
+    // stage-first like every writer: the frame executes once, the
+    // check runs on the deterministic staged re-read
+    val cur = currentVersion(dir)
+    val staged = stageEnforced(df, dir)
+    if (staged.nonEmpty) {
+      val stagedDf = df.sparkSession.read.option("mergeSchema", "true")
+        .parquet(staged.map(f => s"$dir/$f"): _*)
+      val bad = stagedDf.filter(!constraint || constraint.isNull)
+        .limit(1).count()
+      if (bad > 0) {
+        staged.foreach(f => Files.deleteIfExists(Paths.get(dir, f)))
+        throw new IllegalArgumentException(
+          s"CHECK constraint violated by the incoming batch: $constraint")
+      }
+    }
+    claimVersion(dir, cur + 1,
+      staged.map(f => s"add\t$f") ++ schemaLine(df, dir))
   }
 
   /** LOG-RESIDENT CHECK constraints (Delta's `ALTER TABLE ... ADD
@@ -589,23 +619,41 @@ object TxLog {
     if (currentVersion(dir) < 0) Map.empty
     else state(dir, asOf).cons.toMap
 
-  /** Validate `df` against the table's active constraints — one
-    * aggregate pass over the batch for ALL constraints (disjunction of
-    * violations), run by every data writer before staging is
-    * referenced. */
-  private def enforceConstraints(df: DataFrame, dir: String): Unit = {
+  /** Stage `df`, then validate the STAGED parquet against the table's
+    * active constraints — the incoming frame executes exactly ONCE
+    * (ADVICE r10: the old validate-then-stage order ran the frame
+    * twice, so a nondeterministic source could pass validation yet
+    * stage different, violating rows, and through the streaming sink a
+    * stateful plan executed twice per batch). One aggregate pass over
+    * the staged files for ALL constraints (disjunction of violations);
+    * on violation the staged files are deleted and the batch rejected
+    * — nothing was committed, nothing re-runs. */
+  private def stageEnforced(df: DataFrame, dir: String): Seq[String] = {
+    val staged = stage(df, dir)
+    validateStaged(df.sparkSession, dir, staged)
+    staged
+  }
+
+  /** Reject (delete + throw) `staged` files holding any row violating
+    * an active constraint — a deterministic re-read of exactly what
+    * would commit. */
+  private def validateStaged(spark: SparkSession, dir: String,
+      staged: Seq[String]): Unit = {
     import org.apache.spark.sql.functions.expr
-    if (currentVersion(dir) < 0) return
+    if (currentVersion(dir) < 0 || staged.isEmpty) return
     val cs = state(dir, None).cons
     if (cs.isEmpty) return
     val violated = cs.values.map { sql =>
       val c = expr(sql); !c || c.isNull
     }.reduce(_ || _)
-    if (df.filter(violated).limit(1).count() > 0) {
-      val names = cs.keys.mkString(", ")
+    val bad = spark.read.option("mergeSchema", "true")
+      .parquet(staged.map(f => s"$dir/$f"): _*)
+      .filter(violated).limit(1).count() > 0
+    if (bad) {
+      staged.foreach(f => Files.deleteIfExists(Paths.get(dir, f)))
       throw new IllegalArgumentException(
         s"CHECK constraint violated by the incoming batch " +
-          s"(active constraints: $names)")
+          s"(active constraints: ${cs.keys.mkString(", ")})")
     }
   }
 
@@ -626,7 +674,6 @@ object TxLog {
       partCols: Seq[String]): Int = {
     import org.apache.spark.sql.functions.col
     require(partCols.nonEmpty, "partCols must be non-empty")
-    enforceConstraints(df, dir)
     val cur = currentVersion(dir)
     new File(dir).mkdirs()
     val tmp = Files.createTempDirectory(Paths.get(dir), ".stagep-")
@@ -648,14 +695,20 @@ object TxLog {
         case _ => Seq.empty
       }
     val found = leaves(tmp.toFile, Map.empty).sortBy(_._1.getPath)
-    val adds = found.zipWithIndex.map { case ((f, vals), i) =>
+    val named = found.zipWithIndex.map { case ((f, vals), i) =>
       val name = s"part-${java.util.UUID.randomUUID().toString.take(8)}-$i.parquet"
       Files.move(f.toPath, Paths.get(dir, name), StandardCopyOption.ATOMIC_MOVE)
+      (name, vals)
+    }
+    drop(tmp.toString) // staging litter (empty partition dirs, _SUCCESS)
+    // stage-first constraint check, same one-execution contract as
+    // [[stageEnforced]] (the partitionBy writer is its own staging path)
+    validateStaged(spark, dir, named.map(_._1))
+    val adds = named.map { case (name, vals) =>
       val markers = partCols.map(c =>
         s"p:${escapeVal(c)}=${escapeVal(vals.getOrElse(c, ""))}")
       (s"add\t$name" +: markers).mkString("\t")
     }
-    drop(tmp.toString) // staging litter (empty partition dirs, _SUCCESS)
     claimVersion(dir, cur + 1, adds ++ schemaLine(df, dir))
   }
 
@@ -908,6 +961,24 @@ object TxLog {
     live.filter(f => names.contains(new File(f).getName))
   }
 
+  /** DV-aware read of an explicit live-file subset at the CURRENT
+    * version — the SQL DML executor's rewrite input
+    * ([[graft.plans.TxLogDml]] reads exactly the copy-on-write victim
+    * files with outstanding vectors applied). */
+  private[graft] def readLiveFiles(spark: SparkSession, dir: String,
+      files: Seq[String]): DataFrame = {
+    val st = state(dir, None)
+    readFiles(spark, dir, files,
+      dvFrameFrom(spark, dir,
+        st.dv.toMap.filter { case (f, _) => files.contains(f) }))
+  }
+
+  /** Stage `df` and validate it against active CHECK constraints (the
+    * [[stageEnforced]] contract) — the SQL DML executor's writer-side
+    * entry. */
+  private[graft] def stageChecked(df: DataFrame, dir: String): Seq[String] =
+    stageEnforced(df, dir)
+
   /** DV-aware scan of `files` as of the vectors in `dv`: rows whose
     * (file, position) is deleted never reach the caller. */
   private def readFiles(spark: SparkSession, dir: String,
@@ -944,11 +1015,19 @@ object TxLog {
     * LOG protocol is identical either way. */
   def upsert(spark: SparkSession, dir: String, source: DataFrame,
       keyCol: String): Int = {
-    // survivors were validated when first written; only the source is new
-    enforceConstraints(source, dir)
+    // survivors were validated when first written; only the source is
+    // new. Stage the source FIRST: the frame executes exactly once, and
+    // the key probe below reads the deterministic staged parquet — a
+    // nondeterministic source cannot stage different rows than the ones
+    // whose keys drove the rewrite (ADVICE r10).
     val cur = currentVersion(dir)
     val st = state(dir, Some(cur))
-    val keys = source.select(keyCol).distinct().persist()
+    val srcStaged = stageEnforced(source, dir)
+    val src =
+      if (srcStaged.isEmpty) source.limit(0)
+      else spark.read.option("mergeSchema", "true")
+        .parquet(srcStaged.map(f => s"$dir/$f"): _*)
+    val keys = src.select(keyCol).distinct().persist()
     try {
       val affected = affectedFiles(spark, dir, st.live.keys.toSeq,
         df => df.join(keys, Seq(keyCol), "left_semi"))
@@ -962,7 +1041,7 @@ object TxLog {
         }
       claimVersion(dir, cur + 1,
         affected.map(f => s"remove\t$f") ++
-          (survivors ++ stage(source, dir)).map(f => s"add\t$f") ++
+          (survivors ++ srcStaged).map(f => s"add\t$f") ++
           schemaLine(source, dir))
     } finally { keys.unpersist(): Unit }
   }
@@ -976,9 +1055,8 @@ object TxLog {
   def appendIdempotent(df: DataFrame, dir: String,
       app: String, txnId: Long): Int = {
     if (txnSeen(dir, app, txnId)) return -1
-    enforceConstraints(df, dir)
     val cur = currentVersion(dir)
-    val adds = stage(df, dir)
+    val adds = stageEnforced(df, dir)
     claimVersion(dir, cur + 1,
       adds.map(f => s"add\t$f") ++ schemaLine(df, dir) :+
         s"txn\t$app\t$txnId")
@@ -1299,6 +1377,12 @@ object TxLog {
     def tagged(df: DataFrame, tpe: String, v: Int): DataFrame =
       df.withColumn("_change_type", lit(tpe))
         .withColumn("_commit_version", lit(v.toLong))
+    // ONE LogState folded forward across the range: each version's
+    // "as live at v-1" deletion-vector view is the fold's state BEFORE
+    // applying v — the per-version `state(dir, Some(v-1))` replay was
+    // O(versions²) driver IO on long ranges (ADVICE r10)
+    val fold = if (fromVersion == 0) new LogState
+      else state(dir, Some(fromVersion - 1))
     val frames: Seq[DataFrame] = (fromVersion to toVersion).flatMap { v =>
       val p = versionFile(dir, v)
       if (!Files.exists(p))
@@ -1307,6 +1391,12 @@ object TxLog {
             "was truncated below a checkpoint — narrow the range to " +
             "retained versions")
       val lines = fileLines(p)
+      // snapshot the v-1 vectors BEFORE advancing the fold (copied only
+      // when this version removes files — the one consumer)
+      val priorDv: Map[String, (Set[Long], Seq[String])] =
+        if (v > 0 && lines.exists(_.startsWith("remove\t"))) fold.dv.toMap
+        else Map.empty
+      fold.apply(lines)
       if (lines.contains("nodc")) Seq.empty
       else {
         val adds = lines.collect {
@@ -1340,10 +1430,7 @@ object TxLog {
         val removeDeletes =
           if (removes.isEmpty) Seq.empty
           else {
-            val prior =
-              if (v == 0) Map.empty[String, (Set[Long], Seq[String])]
-              else state(dir, Some(v - 1)).dv.toMap
-                .filter { case (f, _) => removes.contains(f) }
+            val prior = priorDv.filter { case (f, _) => removes.contains(f) }
             Seq(tagged(readFiles(spark, dir, removes,
               dvFrameFrom(spark, dir, prior)), "delete", v))
           }

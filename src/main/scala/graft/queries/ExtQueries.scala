@@ -4016,5 +4016,50 @@ object ExtQueries {
              |SELECT 'restored_latest', CAST(count(*) AS BIGINT),
              |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
              |FROM orders WHERE o_orderkey % 5 <> 0
-             |ORDER BY probe""".stripMargin)))
+             |ORDER BY probe""".stripMargin)),
+
+    // q420 — ADMISSION CONTROL: `Trigger.AvailableNow` paired with
+    // `maxVersionsPerTrigger` drains a whole backlog as bounded,
+    // individually-checkpointed batches and STOPS at the start-time
+    // snapshot — the refinement DSv1 alone could not express (NOTES
+    // r10 named the gap: AvailableNow used to stop at the first capped
+    // offer). The source now implements the connector-level
+    // SupportsTriggerAvailableNow / SupportsAdmissionControl contract
+    // (the KafkaSource pattern: MicroBatchExecution dispatches on the
+    // interface, so the engine hands the checkpointed start offset and
+    // the read limit to latestOffset). The batch STRUCTURE is pinned
+    // under the hash via the sink side: the exactly-once txlog sink
+    // commits exactly one destination version per micro-batch, so a
+    // 6-version backlog at cap 2 must land as exactly 3 sink commits —
+    // one giant catch-up batch (the old drain) or a first-offer stall
+    // (the old AvailableNow) would both flip n_batches.
+    QuerySpec("q420_txlog_availablenow_ratelimit",
+      (s, dir) => {
+        import graft.core.TxLog
+        val src = Scratch.dir("txansrc", dir)
+        val dst = Scratch.dir("txandst", dir)
+        val cp = Scratch.dir("txancp", dir)
+        Seq(src, dst, cp).foreach(TxLog.drop)
+        val orders = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+        (0 to 5).foreach(m =>
+          TxLog.append(orders.filter(col("o_orderkey") % 6 === m), src))
+        val q = s.readStream.format("txlog")
+          .option("maxVersionsPerTrigger", "2").load(src)
+          .writeStream.format("txlog")
+          .option("checkpointLocation", cp)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start(dst)
+        q.awaitTermination()
+        val nBatches = (TxLog.currentVersion(dst) + 1).toLong
+        s.read.format("txlog").load(dst)
+          .agg(count(lit(1)).as("n_rows"),
+            Stable.dsum(col("o_totalprice")).as("revenue"))
+          .select(lit(nBatches).as("n_batches"), col("n_rows"),
+            col("revenue"))
+      },
+      Some("""SELECT CAST(3 AS BIGINT) AS n_batches,
+             |  CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             |FROM orders""".stripMargin)))
 }

@@ -69,10 +69,11 @@ class TxLogDataSource extends RelationProvider
     * (checkpoint recovery re-delivers the last uncommitted-at-crash
     * batch) is recognized from the log's `txn` marker and SKIPPED, so
     * the sink is exactly-once BY PROTOCOL, not by best effort (the
-    * Delta sink's `txnVersion` mechanism). The transaction app id
-    * defaults to the query's checkpoint location — the stable identity
-    * of a logical stream across restarts — and can be pinned with
-    * `option("txnAppId", ...)` when two checkpoints feed one table.
+    * Delta sink's `txnVersion` mechanism). The transaction app id is
+    * the query's `checkpointLocation` option — the stable identity of
+    * a logical stream across restarts — or an explicit
+    * `option("txnAppId", ...)` when two checkpoints feed one table;
+    * one of the two is REQUIRED (see createSink).
     * Append output mode only: Complete would need a replace-per-batch
     * marker protocol, and Update's upsert keys don't exist in DSv1. */
   override def createSink(sqlContext: SQLContext,
@@ -86,8 +87,20 @@ class TxLogDataSource extends RelationProvider
       "txlog sink writes unpartitioned appends; use the batch writer's " +
         "option(\"partitionBy\", ...) for partition-marked commits")
     val dir = TxLogDataSource.localPath(parameters("path"))
+    // NO per-table fallback id: two distinct streams (checkpoint set
+    // via session conf or Spark's temp default, so absent from the
+    // options map) would share it, and since both batch sequences
+    // start at 0 the second stream's batches would be recognized as
+    // replays and silently DROPPED (ADVICE r10) — refuse instead
     val appId = parameters.getOrElse("txnAppId",
-      parameters.getOrElse("checkpointLocation", s"txlog-sink:$dir"))
+      parameters.getOrElse("checkpointLocation",
+        throw new IllegalArgumentException(
+          "txlog sink needs a stable stream identity for its " +
+            "exactly-once txn markers: set option(\"txnAppId\", ...) " +
+            "or option(\"checkpointLocation\", ...) on the writer " +
+            "(a checkpoint configured only via session conf is not " +
+            "visible here, and a shared per-table default would " +
+            "silently drop a second stream's batches as replays)")))
     new TxLogSink(dir, appId)
   }
 
@@ -253,11 +266,80 @@ class TxLogStreamSource(sqlContext: SQLContext, dir: String,
     declaredSchema: StructType, startingVersion: Int, ignoreChanges: Boolean,
     readChangeFeed: Boolean = false, maxVersionsPerTrigger: Option[Int] = None,
     metadataPath: Option[String] = None)
-    extends org.apache.spark.sql.execution.streaming.Source {
+    extends org.apache.spark.sql.execution.streaming.Source
+    with org.apache.spark.sql.connector.read.streaming
+      .SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2, ReadLimit, ReadMaxFiles}
   import org.apache.spark.sql.execution.streaming.Offset
   import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 
   override def schema: StructType = declaredSchema
+
+  // ---- ADMISSION CONTROL (the KafkaSource pattern: a DSv1 Source
+  // implementing the connector-level SupportsAdmissionControl /
+  // SupportsTriggerAvailableNow interfaces — MicroBatchExecution
+  // dispatches on the INTERFACE, not the source generation, so the
+  // engine passes the checkpointed start offset and the read limit
+  // into latestOffset and drives Trigger.AvailableNow through
+  // prepareForTriggerAvailableNow). This closes the documented DSv1
+  // gap (NOTES r10): AvailableNow + maxVersionsPerTrigger now DRAINS
+  // the whole backlog in capped batches instead of stopping at the
+  // first capped offer, and the engine-provided start offset makes a
+  // capped offer below the checkpoint structurally impossible — the
+  // hand-rolled checkpoint-parsing recovery in [[recoveredBase]] stays
+  // only as the legacy-path guard for direct getOffset callers. ----
+
+  /** Drain target snapshotted by [[prepareForTriggerAvailableNow]]:
+    * Trigger.AvailableNow stops at the table state observed at query
+    * start, even while new commits land. MaxValue = no snapshot
+    * (processing-time / one-shot triggers). */
+  @volatile private var availableNowTarget: Int = Int.MaxValue
+
+  private def versionOfV2(o: OffsetV2): Int = o match {
+    case LongOffset(v) => v.toInt
+    case other => other.json().trim.toInt
+  }
+
+  override def initialOffset(): OffsetV2 =
+    LongOffset((startingVersion - 1).toLong)
+
+  override def deserializeOffset(json: String): OffsetV2 =
+    LongOffset(json.trim.toLong)
+
+  /** The declared per-trigger limit: versions map onto
+    * [[ReadLimit.maxFiles]] (a txlog version IS a file batch — the
+    * same grain Delta's maxFilesPerTrigger caps). */
+  override def getDefaultReadLimit: ReadLimit =
+    maxVersionsPerTrigger.map(n => ReadLimit.maxFiles(math.max(n, 1)))
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    availableNowTarget = TxLog.currentVersion(dir)
+  }
+
+  /** True latest (uncapped) for engine metrics/backlog reporting. */
+  override def reportLatestOffset(): OffsetV2 = {
+    val v = TxLog.currentVersion(dir)
+    if (v < math.max(startingVersion, 0)) null else LongOffset(v.toLong)
+  }
+
+  /** The next batch's end offset: at most `limit` versions past the
+    * engine-provided `start` (which IS the checkpointed offset on a
+    * restart — no below-checkpoint offer is possible), clamped to the
+    * AvailableNow drain target when one is snapshotted. Returning
+    * `start` unchanged means "no new data". */
+  override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    // a FRESH stream has no checkpointed offset — the engine passes
+    // null, not initialOffset() (the KafkaSource contract)
+    val base = if (start == null) startingVersion - 1 else versionOfV2(start)
+    val cur = math.min(TxLog.currentVersion(dir), availableNowTarget)
+    if (cur <= base) return start
+    val cap = limit match {
+      case f: ReadMaxFiles => base + math.max(f.maxFiles(), 1)
+      case _ => cur
+    }
+    LongOffset(math.min(cur, cap).toLong)
+  }
 
   /** Rate-limit base recovered from the checkpoint's offset log at
     * construction. A capped `getOffset` must NEVER fall below an
@@ -296,15 +378,12 @@ class TxLogStreamSource(sqlContext: SQLContext, dir: String,
   @volatile private var deliveredThrough: Int =
     recoveredBase.getOrElse(Int.MinValue)
 
-  /** Rate limiting (Delta's `maxFilesPerTrigger` shape, at the version
-    * grain): with `maxVersionsPerTrigger = n`, each micro-batch covers
-    * at most n commits — a stream starting against a long backlog
-    * processes it as bounded checkpointable batches instead of one
-    * giant catch-up batch. Pair it with a processing-time trigger:
-    * `Trigger.AvailableNow` snapshots the FIRST (capped) offset as its
-    * drain target and stops there — the DSv1 wrapper has no way to ask
-    * "capped batch, full backlog"; that refinement is DSv2
-    * `SupportsAdmissionControl`. */
+  /** LEGACY offer path (engines/tests driving the bare v1 contract —
+    * an admission-control engine calls [[latestOffset]] instead, with
+    * the checkpointed start offset supplied): with
+    * `maxVersionsPerTrigger = n`, each micro-batch covers at most n
+    * commits, and the cap never falls below the recovered checkpoint
+    * base. */
   override def getOffset: Option[Offset] = {
     val v = TxLog.currentVersion(dir)
     if (v < math.max(startingVersion, 0)) return None
@@ -558,13 +637,16 @@ class TxLogCdfRelation(override val sqlContext: SQLContext, dir: String,
     from: Int, to: Int) extends BaseRelation with PrunedFilteredScan {
 
   private def spark: SparkSession = sqlContext.sparkSession
-  override lazy val schema: StructType =
-    TxLog.changeFeed(spark, dir, from, to).schema
+  // ONE feed build serves schema + scan: changeFeed replays log state
+  // for the whole range, and building it twice doubled that driver IO
+  // (ADVICE r10)
+  private lazy val feed = TxLog.changeFeed(spark, dir, from, to)
+  override lazy val schema: StructType = feed.schema
   override def needConversion: Boolean = false
 
   override def buildScan(requiredColumns: Array[String],
       filters: Array[Filter]): RDD[Row] = {
-    val df = TxLog.changeFeed(spark, dir, from, to)
+    val df = feed
     val pruned =
       if (requiredColumns.isEmpty) df
       else df.select(requiredColumns.map(org.apache.spark.sql.functions.col)

@@ -10,6 +10,15 @@ object GraftSqlBridge {
   def ofRows(spark: classic.SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark, plan)
 
+  /** Wrap an already-RESOLVED catalyst [[Expression]] as a [[Column]]
+    * (`classic.ExpressionUtils.column` is `private[sql]`) — what the
+    * SQL DML rules need to re-apply a DML statement's resolved
+    * condition/assignment expressions onto the engine-built rewrite
+    * frames without a lossy SQL-text round-trip. Same pattern as
+    * Delta's `DeltaUDF`/expression re-use. */
+  def columnOf(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
+
   /** Re-tag a batch plan's rows as a STREAMING DataFrame —
     * `internalCreateDataFrame(isStreaming = true)` is `private[sql]`
     * and is what every DSv1 streaming `Source.getBatch` must return

@@ -16,7 +16,8 @@ class BenchFormatSpec extends AnyFunSuite {
     // they render 2 chars and would under-measure the line.)
     val results = names.zipWithIndex.map { case (n, i) =>
       n -> Seq(9.94, 1234.567)(i % 2) }.toMap
-    val line = Bench.formatLine(results, Nil, "/root/testdata/sf0.1")
+    val line = Bench.formatLine(results, Nil, "/root/testdata/sf0.1",
+      loadStart = 31.0, loadEnd = 33.0) // the load marker costs tail too
     // Budget: the JSON line is printed LAST by the forked JVM (bare, via
     // StdoutOutput); the only stdout after it is sbt's own
     // "[success] Total time: ..." line, measured ≈75 chars, plus

@@ -348,8 +348,30 @@ object GraftProperties extends Properties("graft") {
   property("log-line value escaping round-trips arbitrary strings") =
     forAll { (s: String) =>
       val esc = graft.core.TxLog.escapeVal(s)
-      !esc.exists(c => c == '\t' || c == '\n' || c == '=') &&
+      !esc.exists(c => c == '\t' || c == '\n' || c == '\r' || c == '=') &&
         graft.core.TxLog.unescapeVal(esc) == s
+    }
+
+  // the in-memory round-trip alone missed the r10 CR bug: linesIterator
+  // (what TxLog.fileLines uses) splits on \r too, so the contract must
+  // hold through a WRITTEN-then-read log line — the escaped marker
+  // survives the file grammar and parseAdd recovers the exact bounds
+  property("escaped zone-map markers survive write-then-fileLines-read") =
+    forAll { (lo: String, hi: String) =>
+      import graft.core.TxLog
+      val line = s"add\tf.parquet\ts:c=${TxLog.escapeVal(lo)}=" +
+        TxLog.escapeVal(hi)
+      val p = java.nio.file.Files.createTempFile("escprop_", ".txt")
+      try {
+        java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"))
+        val read = new String(
+          java.nio.file.Files.readAllBytes(p), "UTF-8")
+          .linesIterator.filter(_.nonEmpty).toSeq
+        read == Seq(line) && {
+          val (f, _, _, ss) = TxLog.parseAdd(read.head)
+          f == "f.parquet" && ss.get("c").contains((lo, hi))
+        }
+      } finally { java.nio.file.Files.deleteIfExists(p): Unit }
     }
 
   // the CHANGE DATA FEED's core contract: for ANY mutation sequence

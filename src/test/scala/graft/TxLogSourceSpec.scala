@@ -204,6 +204,30 @@ class TxLogSourceSpec extends AnyFunSuite {
     TxLog.drop(t)
   }
 
+  test("streaming sink refuses without an explicit stream identity: a " +
+      "session-conf-only checkpoint is invisible to createSink, and a " +
+      "shared per-table fallback would drop a second stream as replays") {
+    val src = freshTable()
+    TxLog.create(spark.range(5L).select(col("id")).coalesce(1), src)
+    val confCk = java.nio.file.Files
+      .createTempDirectory("txsink_conf_ck_").toString
+    spark.conf.set("spark.sql.streaming.checkpointLocation", confCk)
+    try {
+      val ex = intercept[Exception] {
+        val q = spark.readStream.format("txlog").load(src)
+          .writeStream.format("txlog") // no option-level checkpoint/appId
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start(freshTable())
+        q.awaitTermination()
+      }
+      val msg = Option(ex.getMessage).getOrElse("") +
+        Option(ex.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+      assert(msg.contains("txnAppId") || msg.contains("stream identity"),
+        s"expected the identity refusal, got: $msg")
+    } finally spark.conf.unset("spark.sql.streaming.checkpointLocation")
+    TxLog.drop(src)
+  }
+
   test("streaming sink: micro-batches commit as log versions, a replayed " +
       "batch id is skipped (exactly-once txn protocol), restarts ship " +
       "only new upstream versions") {
@@ -367,6 +391,109 @@ class TxLogSourceSpec extends AnyFunSuite {
     drain(20L)
     assert(rows.get() == 20L, "a restart must not re-emit drained versions")
     assert(batches.get() == 2, s"got ${batches.get()}")
+    TxLog.drop(t)
+  }
+
+  test("Trigger.AvailableNow + maxVersionsPerTrigger drains the WHOLE " +
+      "backlog in capped batches and stops at the start-time snapshot " +
+      "(SupportsTriggerAvailableNow closes the r10 DSv1 gap)") {
+    val t = freshTable()
+    (0 until 4).foreach(i => TxLog.append(
+      spark.range(i * 10L, i * 10L + 10L).select(col("id")).coalesce(1), t))
+    val ckpt = java.nio.file.Files.createTempDirectory("txan_ck_").toString
+    val batchSizes = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream.format("txlog")
+      .option("maxVersionsPerTrigger", "2").load(t)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batchSizes.add(b.count()): Unit
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination() // AvailableNow terminates on its own when drained
+    import scala.jdk.CollectionConverters._
+    val sizes = batchSizes.asScala.toSeq.filter(_ > 0)
+    assert(sizes.sum == 40L, s"full drain expected, got $sizes")
+    assert(sizes == Seq(20L, 20L),
+      s"4 versions at cap 2 must drain as 2×2-version batches, got $sizes")
+    // restart on the same checkpoint with new upstream commits: the
+    // engine hands latestOffset the CHECKPOINTED offset — nothing
+    // re-emits, the new backlog drains capped again
+    (4 until 7).foreach(i => TxLog.append(
+      spark.range(i * 10L, i * 10L + 10L).select(col("id")).coalesce(1), t))
+    batchSizes.clear()
+    val q2 = spark.readStream.format("txlog")
+      .option("maxVersionsPerTrigger", "2").load(t)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batchSizes.add(b.count()): Unit
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+    val sizes2 = batchSizes.asScala.toSeq.filter(_ > 0)
+    assert(sizes2.sum == 30L, s"restart must ship only v4..v6, got $sizes2")
+    assert(sizes2 == Seq(20L, 10L), s"capped drain on restart, got $sizes2")
+    TxLog.drop(t)
+  }
+
+  test("streaming CDF honors maxVersionsPerTrigger: capped batches of " +
+      "row-level changes, restart resumes above the checkpoint, " +
+      "truncated history refuses with the version") {
+    val t = freshTable()
+    TxLog.create(spark.range(10L).select(col("id")).coalesce(1), t) // v0
+    TxLog.append(spark.range(10L, 20L).select(col("id")).coalesce(1), t) // v1
+    TxLog.deleteWhereDV(spark, t, col("id") < 3) // v2: 3 deletes
+    val ckpt = java.nio.file.Files.createTempDirectory("txcdf_ck_").toString
+    val perBatch = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    def drain(): Unit = {
+      val q = spark.readStream.format("txlog")
+        .option("readChangeFeed", "true")
+        .option("maxVersionsPerTrigger", "1").load(t)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val ins = b.filter(col("_change_type") === "insert").count()
+          val del = b.filter(col("_change_type") === "delete").count()
+          if (ins + del > 0) perBatch.add((ins, del)): Unit
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    import scala.jdk.CollectionConverters._
+    val batches = perBatch.asScala.toSeq
+    assert(batches == Seq((10L, 0L), (10L, 0L), (0L, 3L)),
+      s"3 versions at cap 1 = 3 single-version CDF batches, got $batches")
+    // restart ships only new versions — the engine-provided start
+    // offset IS the checkpoint, a below-checkpoint re-emit cannot occur
+    perBatch.clear()
+    TxLog.append(spark.range(20L, 25L).select(col("id")).coalesce(1), t) // v3
+    drain()
+    assert(perBatch.asScala.toSeq == Seq((5L, 0L)),
+      s"restart must ship only v3, got ${perBatch.asScala.toSeq}")
+    // a range whose raw entries were truncated below a log checkpoint
+    // refuses with the version number instead of silently skipping
+    TxLog.checkpoint(t)
+    (0 to 2).foreach(v => java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(t, "_log", f"$v%08d.txt")))
+    val ck2 = java.nio.file.Files.createTempDirectory("txcdf_ck2_").toString
+    val ex = intercept[Exception] {
+      val q = spark.readStream.format("txlog")
+        .option("readChangeFeed", "true").load(t)
+        .writeStream.format("memory").queryName("cdf_trunc")
+        .option("checkpointLocation", ck2)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val msg = Option(ex.getMessage).getOrElse("") +
+      Option(ex.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg.contains("truncated") || msg.contains("raw log entries"),
+      s"expected the truncation refusal, got: $msg")
     TxLog.drop(t)
   }
 

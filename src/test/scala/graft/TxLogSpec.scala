@@ -520,7 +520,11 @@ class TxLogSpec extends AnyFunSuite {
       "bounds round-trip through hostile characters and checkpoints") {
     val t = java.nio.file.Files.createTempDirectory("txstr_").toString
     TxLog.drop(t)
-    val hostile = Seq("a\tb", "m=n", "z%z", "line\nbreak")
+    // \r is the sneaky one: fileLines reads entries with linesIterator,
+    // which splits on CR too — an unescaped CR truncated the marker
+    // into a still-parseable prefix bound that wrongly pruned files
+    // (ADVICE r10)
+    val hostile = Seq("a\tb", "m=n", "z%z", "line\nbreak", "cr\rxx")
     TxLog.appendWithStats(spark,
       hostile.zipWithIndex.map { case (s, i) => (i.toLong, s) }
         .toDF("id", "name").coalesce(1), t, Seq("name", "id"))
@@ -530,7 +534,15 @@ class TxLogSpec extends AnyFunSuite {
     assert(lo == hostile.min && hi == hostile.max,
       s"binary bounds must round-trip verbatim, got [$lo, $hi]")
     // the long stats coexist on the same add line
-    assert(TxLog.fileStats(t, "id").head._2 == (0L, 3L))
+    assert(TxLog.fileStats(t, "id").head._2 == (0L, 4L))
+    // EMPTY-STRING bounds must survive too: a trailing empty segment is
+    // dropped by plain split, silently losing the marker (ADVICE r10)
+    val t2 = java.nio.file.Files.createTempDirectory("txstr2_").toString
+    TxLog.drop(t2)
+    TxLog.appendWithStats(spark,
+      Seq((1L, "")).toDF("id", "name").coalesce(1), t2, Seq("name"))
+    assert(TxLog.fileStatsStrAll(t2).head._2("name") == (("", "")))
+    TxLog.drop(t2)
     // survives checkpoint serialize/apply (add lines carried verbatim)
     TxLog.append(Seq((9L, "mm")).toDF("id", "name"), t)
     TxLog.checkpoint(t)
@@ -588,6 +600,35 @@ class TxLogSpec extends AnyFunSuite {
     assert(TxLog.constraints(t).isEmpty)
     TxLog.append(Seq((-5L, 0L)).toDF("id", "grp"), t)
     assert(TxLog.read(spark, t).count() == 53L)
+    TxLog.drop(t)
+  }
+
+  test("writers execute the incoming frame exactly ONCE under active " +
+      "constraints — the check runs on the staged parquet, not the plan") {
+    // ADVICE r10: validate-then-stage executed the frame twice, so a
+    // nondeterministic source could pass validation yet stage
+    // different (violating) rows, and stateful streaming plans ran
+    // twice per batch. The accumulator counts plan executions.
+    val t = java.nio.file.Files.createTempDirectory("txonce_").toString
+    TxLog.drop(t)
+    TxLog.create(Seq((100L, 0L)).toDF("id", "grp"), t)
+    TxLog.addConstraint(spark, t, "pos_id", "id > 0")
+    val acc = spark.sparkContext.longAccumulator("graft_exec_count")
+    val tick = udf { (x: Long) => acc.add(1); x }
+    val df = spark.range(1, 11)
+      .select(tick(col("id")).as("id"), (col("id") % 5).as("grp"))
+    TxLog.append(df, t)
+    assert(acc.value == 10L,
+      s"frame must execute exactly once (10 rows), ran ${acc.value / 10}x")
+    assert(TxLog.read(spark, t).count() == 11L)
+    // upsert's key probe reads the staged parquet too — still one run
+    acc.reset()
+    val up = spark.range(1, 6)
+      .select(tick(col("id")).as("id"), (col("id") % 2).as("grp"))
+    TxLog.upsert(spark, t, up, "id")
+    assert(acc.value == 5L,
+      s"upsert source must execute exactly once, ran ${acc.value / 5}x")
+    assert(TxLog.read(spark, t).count() == 11L)
     TxLog.drop(t)
   }
 
