@@ -11,6 +11,7 @@ object Bench {
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       // AQE stays ON (the default): a full-set A/B at sf0.1 measured
       // 328.7 s with it vs 379.8 s without — its runtime broadcast
       // conversion and partition coalescing earn the replanning

@@ -97,8 +97,7 @@ object TxLog {
     * line may carry trailing file-statistics fields (see
     * [[appendWithStats]]) — the file name is always field 1. */
   def changes(dir: String, v: Int): (Seq[String], Seq[String]) = {
-    val lines = new String(Files.readAllBytes(versionFile(dir, v)), "UTF-8")
-      .linesIterator.filter(_.nonEmpty).toSeq
+    val lines = entryLines(dir, v)
     (lines.collect { case l if l.startsWith("add\t") => l.split('\t')(1) },
       lines.collect { case l if l.startsWith("remove\t") => l.split('\t')(1) })
   }
@@ -108,7 +107,7 @@ object TxLog {
     * source's append-only guard: a DV-only commit removes no FILES but
     * still deletes ROWS a tailing consumer already emitted. */
   private[graft] def versionDeletes(dir: String, v: Int): Boolean =
-    fileLines(versionFile(dir, v)).exists(l =>
+    entryLines(dir, v).exists(l =>
       l.startsWith("remove\t") || l.startsWith("dv\t") ||
         l.startsWith("dvf\t"))
 
@@ -127,6 +126,11 @@ object TxLog {
     val cons = scala.collection.mutable.LinkedHashMap.empty[String, String]
     /** Last recorded table schema (JSON), Delta's metaData action. */
     var schemaJson: Option[String] = None
+    /** True when the fold crossed an UNRESOLVED `xref` entry (a
+      * pending multi-table transaction): checkpointing such a state
+      * would permanently bake the pre-publish view in — [[checkpoint]]
+      * refuses. */
+    var pendingXref: Boolean = false
 
     /** Apply one version's (or one checkpoint's) lines: removes first —
       * the commit-line order every writer uses — then adds/dv/txn. */
@@ -189,6 +193,38 @@ object TxLog {
     new String(Files.readAllBytes(p), "UTF-8")
       .linesIterator.filter(_.nonEmpty).toSeq
 
+  /** Expand `xref\t<relative tx file>\t<key>` indirection lines (the
+    * multi-table transaction protocol, [[commitAllLines]]): the entry's
+    * effective lines live in a SHARED transaction file, prefixed per
+    * table key — one atomic hard-link of that file is the commit point
+    * for EVERY participating table. A missing tx file means the
+    * transaction never published (writer crashed between claims and
+    * publish): the entry is a permanent no-op hole and resolves to
+    * NOTHING — no reader ever observes one table updated without the
+    * others. `onPending` fires in that case (checkpoint safety). */
+  private def resolveLines(dir: String, lines: Seq[String],
+      onPending: () => Unit = () => ()): Seq[String] =
+    lines.flatMap {
+      case l if l.startsWith("xref\t") =>
+        l.split('\t') match {
+          case Array(_, rel, key) =>
+            val f = new File(dir, rel)
+            if (!f.isFile) { onPending(); Seq.empty }
+            else fileLines(f.toPath).collect {
+              case tl if tl.startsWith(key + "\t") =>
+                tl.substring(key.length + 1)
+            }
+          case _ => Seq.empty
+        }
+      case l => Seq(l)
+    }
+
+  /** One committed version's EFFECTIVE lines, xref indirection
+    * resolved. */
+  private def entryLines(dir: String, v: Int,
+      onPending: () => Unit = () => ()): Seq[String] =
+    resolveLines(dir, fileLines(versionFile(dir, v)), onPending)
+
   /** Replay through `asOf`, starting from the nearest checkpoint — the
     * O(#commits) driver IO becomes O(interval) once checkpoints exist
     * (the Delta `_last_checkpoint` growth fix, as a state file). */
@@ -203,7 +239,8 @@ object TxLog {
       case Some(c) => st.apply(fileLines(checkpointFile(dir, c))); c + 1
       case None => 0
     }
-    (start to v).foreach(i => st.apply(fileLines(versionFile(dir, i))))
+    (start to v).foreach(i =>
+      st.apply(entryLines(dir, i, () => st.pendingXref = true)))
     st
   }
 
@@ -215,7 +252,15 @@ object TxLog {
     * as long as they are retained. */
   def checkpoint(dir: String, asOf: Option[Int] = None): Int = {
     val v = asOf.getOrElse(currentVersion(dir))
-    val body = state(dir, Some(v)).serialize
+    val st = state(dir, Some(v))
+    // a checkpoint over a PENDING multi-table transaction would bake
+    // the pre-publish view in permanently (the tx's lines land later,
+    // but replay would start above them) — refuse; maybeCheckpoint's
+    // best-effort catch skips it and a later commit checkpoints fine
+    require(!st.pendingXref,
+      s"cannot checkpoint $dir at $v: a multi-table transaction in " +
+        "range has not published yet")
+    val body = st.serialize
     val tmp = Files.createTempFile(logDir(dir).toPath, s".ckpt-$v-", ".tmp")
     Files.write(tmp, body.mkString("", "\n", "\n").getBytes("UTF-8"))
     try Files.createLink(checkpointFile(dir, v), tmp)
@@ -774,6 +819,49 @@ object TxLog {
     commit(dir, cur, adds, affected)
   }
 
+  /** UPDATE ... SET ... WHERE: copy-on-write — every live file holding
+    * a row where `pred` is TRUE is rewritten with `sets` applied to
+    * exactly those rows (NULL/false rows pass through verbatim, SQL
+    * UPDATE semantics); untouched files stay referenced as-is. The
+    * rewritten batch re-validates against active CHECK constraints —
+    * an update can violate them even when the original rows did not. */
+  def updateWhere(spark: SparkSession, dir: String,
+      pred: org.apache.spark.sql.Column,
+      sets: Seq[(String, org.apache.spark.sql.Column)]): Int = {
+    import org.apache.spark.sql.functions.{coalesce, lit, when}
+    val cur = currentVersion(dir)
+    val st = state(dir, Some(cur))
+    val affected = affectedFiles(spark, dir, st.live.keys.toSeq,
+      df => df.filter(pred))
+    if (affected.isEmpty) return cur
+    val src = readFiles(spark, dir, affected,
+      dvFrameFrom(spark, dir, st.dv.toMap))
+    val setMap = sets.toMap
+    require(setMap.keySet.subsetOf(src.columns.toSet),
+      s"unknown UPDATE columns: ${setMap.keySet -- src.columns}")
+    val fire = coalesce(pred, lit(false))
+    val rewritten = src.select(src.columns.toIndexedSeq.map { c =>
+      setMap.get(c) match {
+        case Some(v) =>
+          when(fire, v).otherwise(org.apache.spark.sql.functions.col(c))
+            .cast(src.schema(c).dataType).as(c)
+        case None => org.apache.spark.sql.functions.col(c)
+      }
+    }: _*)
+    claimVersion(dir, cur + 1,
+      affected.map(f => s"remove\t$f") ++
+        stageEnforced(rewritten, dir).map(f => s"add\t$f"))
+  }
+
+  /** Affected-file probe for external executors
+    * ([[graft.plans.TxLogDml]]'s MERGE): which of `live` hold a row
+    * surviving `matcher`? Same one-scan protocol as every internal
+    * writer ([[affectedFiles]]); the matcher must preserve the bound
+    * `__f` metadata column. */
+  private[graft] def affectedFilesProbe(spark: SparkSession, dir: String,
+      live: Seq[String])(matcher: DataFrame => DataFrame): Seq[String] =
+    affectedFiles(spark, dir, live, matcher)
+
   /** Read the table at `asOf` (default latest) — explicit file list, so
     * a stale/staged/removed file can never leak into the scan, with
     * that version's deletion vectors applied (merge-on-read). A table
@@ -1325,8 +1413,8 @@ object TxLog {
     (cur to 0 by -1).flatMap { v =>
       val p = versionFile(dir, v)
       if (Files.exists(p)) {
-        val lines = fileLines(p)
-        Some((v, lines.collectFirst {
+        val lines = entryLines(dir, v)
+        Some((v, fileLines(p).collectFirst {
           case l if l.startsWith("ts\t") => l.substring(3).toLong
         }.getOrElse(p.toFile.lastModified()),
           lines.count(_.startsWith("add\t")),
@@ -1390,7 +1478,7 @@ object TxLog {
           s"change feed needs raw log entries, but version $v of $dir " +
             "was truncated below a checkpoint — narrow the range to " +
             "retained versions")
-      val lines = fileLines(p)
+      val lines = entryLines(dir, v)
       // snapshot the v-1 vectors BEFORE advancing the fold (copied only
       // when this version removes files — the one consumer)
       val priorDv: Map[String, (Set[Long], Seq[String])] =
@@ -1457,6 +1545,125 @@ object TxLog {
       tagged(read(spark, dir, Some(toVersion)), "insert", toVersion).limit(0)
     else frames.reduce(_.unionByName(_, allowMissingColumns = true))
   }
+
+  // ---------------------------------------------------------------------
+  // MULTI-TABLE ATOMIC TRANSACTIONS (VERDICT r10 #4): a star-schema load
+  // wants fact + dims to land atomically or not at all — the reference's
+  // FK-safe load order (`DDL Final.sql:338-352`) done properly. The
+  // protocol adds ONE indirection to the single-table log: each
+  // participating table's version entry is a single
+  // `xref\t<tx file>\t<key>` line pointing at a SHARED transaction file
+  // that carries every table's lines under its key, and the tx file is
+  // published with the same atomic hard-link claim used for versions.
+  // That one link IS the commit point for all tables at once:
+  //
+  //   - before it exists, every xref entry resolves to NOTHING (the
+  //     version is a visible-but-empty hole) — a reader can never see
+  //     table A updated and table B not;
+  //   - after it exists, every table's entry resolves to its lines;
+  //   - a writer crash between claims and publish leaves permanent
+  //     no-op holes plus staged orphans — exactly the crash shapes the
+  //     protocol already tolerates (vacuum ignores both).
+  //
+  // Claims hold the version slots, so a concurrent single-table commit
+  // either lands BEFORE our claim (we claim the next slot) or AFTER it
+  // (they do). A lost claim race rolls back the already-claimed pending
+  // entries (they are invisible and their tx file will never exist —
+  // deleting frees the slots) and throws. Checkpoints refuse while a
+  // pending xref is in range (see [[checkpoint]]) so the pre-publish
+  // view can never be baked in.
+  // ---------------------------------------------------------------------
+
+  /** Commit `parts` — (table dir, that table's log lines) — across ≥1
+    * tables as ONE atomic transaction. `txRoot` hosts the shared tx
+    * file; it must be reachable from every table dir (same filesystem,
+    * like staging). Returns the committed version per table. */
+  def commitAllLines(txRoot: String,
+      parts: Seq[(String, Seq[String])]): Seq[Int] = {
+    require(parts.nonEmpty, "empty multi-table transaction")
+    require(parts.map(p => new File(p._1).getCanonicalPath).distinct.size
+      == parts.size, "duplicate table dirs in one transaction")
+    new File(txRoot).mkdirs()
+    val txName = s"tx-${java.util.UUID.randomUUID().toString.take(12)}.txt"
+    val claimed = scala.collection.mutable.ListBuffer.empty[(String, Int)]
+    try {
+      parts.zipWithIndex.foreach { case ((dir, _), i) =>
+        new File(dir).mkdirs()
+        val rel = Paths.get(dir).toAbsolutePath.normalize()
+          .relativize(Paths.get(txRoot).toAbsolutePath.normalize())
+        val v = claimVersion(dir, currentVersion(dir) + 1,
+          Seq(s"xref\t$rel${File.separator}$txName\t$i"))
+        claimed += ((dir, v))
+      }
+    } catch {
+      case e: Throwable =>
+        // lost a claim race: the already-claimed entries are invisible
+        // (their tx file will never exist) — delete them to free the
+        // slots, nothing was published
+        claimed.foreach { case (d, v) =>
+          Files.deleteIfExists(versionFile(d, v)): Unit }
+        throw e
+    }
+    publishTx(txRoot, txName, parts)
+    claimed.foreach { case (d, v) => maybeCheckpoint(d, v) }
+    claimed.map(_._2).toSeq
+  }
+
+  /** Split out for the crash-window spec: create the shared tx file —
+    * THE atomic commit point. Idempotent-refusing like any claim. */
+  private[graft] def publishTx(txRoot: String, txName: String,
+      parts: Seq[(String, Seq[String])]): Unit = {
+    val body = parts.zipWithIndex.flatMap { case ((_, lines), i) =>
+      lines.map(l => s"$i\t$l")
+    }
+    val tmp = Files.createTempFile(Paths.get(txRoot), ".tx-", ".tmp")
+    Files.write(tmp, body.mkString("", "\n", "\n").getBytes("UTF-8"))
+    try Files.createLink(Paths.get(txRoot, txName), tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new java.util.ConcurrentModificationException(
+          s"transaction $txName already published")
+    } finally Files.deleteIfExists(tmp): Unit
+  }
+
+  /** The claim phase alone (crash-window spec hook): returns the
+    * tx name + claimed versions WITHOUT publishing. */
+  private[graft] def claimOnly(txRoot: String,
+      parts: Seq[(String, Seq[String])]): (String, Seq[Int]) = {
+    new File(txRoot).mkdirs()
+    val txName = s"tx-${java.util.UUID.randomUUID().toString.take(12)}.txt"
+    val vs = parts.zipWithIndex.map { case ((dir, _), i) =>
+      val rel = Paths.get(dir).toAbsolutePath.normalize()
+        .relativize(Paths.get(txRoot).toAbsolutePath.normalize())
+      claimVersion(dir, currentVersion(dir) + 1,
+        Seq(s"xref\t$rel${File.separator}$txName\t$i"))
+    }
+    (txName, vs)
+  }
+
+  /** Atomically APPEND one frame per table (the fact+dims load): all
+    * tables' new files become visible in the same instant or never.
+    * Staging + constraint checks run per table up front (a violating
+    * batch aborts the WHOLE transaction before any claim); new tables
+    * are created at version 0 with their schema recorded. */
+  def appendAll(txRoot: String,
+      batches: Seq[(DataFrame, String)]): Seq[Int] =
+    commitAllLines(txRoot, batches.map { case (df, dir) =>
+      dir -> (stageEnforced(df, dir).map(f => s"add\t$f") ++
+        schemaLine(df, dir))
+    })
+
+  /** Atomically REPLACE every table's live set (the FK-safe
+    * reset-and-reload): one commit point swaps them all. */
+  def replaceAll(txRoot: String,
+      batches: Seq[(DataFrame, String)]): Seq[Int] =
+    commitAllLines(txRoot, batches.map { case (df, dir) =>
+      val removes =
+        if (currentVersion(dir) < 0) Seq.empty
+        else snapshot(dir).map(f => s"remove\t$f")
+      dir -> (removes ++ stageEnforced(df, dir).map(f => s"add\t$f") ++
+        schemaLine(df, dir, exact = true))
+    })
 
   /** Remove a table directory entirely (test/query setup hygiene). */
   def drop(dir: String): Unit = {

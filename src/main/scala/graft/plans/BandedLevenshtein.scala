@@ -64,6 +64,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // AsOf.joinBackward/joinForward still self-inject on already-built
     // sessions (the driver's case) via experimental.extraStrategies.
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    // SQL DML (DELETE/UPDATE/MERGE) over txlog catalog tables — must be
+    // a RESOLUTION rule so it converts the statements before the
+    // built-in row-level rewrite rules reject the table (Delta's shape).
+    e.injectResolutionRule(s => new TxLogDmlRule(s))
     new graft.functions.GraftExtensions().apply(e)
   }
 }

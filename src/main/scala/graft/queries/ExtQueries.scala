@@ -4061,5 +4061,136 @@ object ExtQueries {
       Some("""SELECT CAST(3 AS BIGINT) AS n_batches,
              |  CAST(count(*) AS BIGINT) AS n_rows,
              |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-             |FROM orders""".stripMargin)))
+             |FROM orders""".stripMargin)),
+
+    // q421 — SQL DML over the lakehouse: a runtime-registered
+    // TableCatalog resolves txlog tables by NAME, and the DML
+    // resolution rule (graft.plans.TxLogDmlRule, injected through
+    // GraftExtensions — the Delta analysis-command shape) routes
+    // MERGE INTO / UPDATE / DELETE FROM onto the log protocol's
+    // copy-on-write transactions. The full statement alphabet runs in
+    // sequence — a three-clause MERGE (conditional DELETE, UPDATE,
+    // INSERT), an UPDATE ... WHERE, a DELETE ... WHERE — and the final
+    // state is hashed against the same net effect derived relationally
+    // in DuckDB (the q276 discipline, now executed by SQL statements
+    // against a real table instead of a frame expression). Each DML
+    // statement is ONE atomic log version; the closing version count
+    // enters the hash, so a statement that silently split or no-opped
+    // flips the row. Reference analog: the load/reset DML in
+    // `DDL Final.sql:338-352`.
+    QuerySpec("q421_txlog_sql_dml",
+      (s, dir) => {
+        import graft.core.TxLog
+        val base = Scratch.dir("lakecat", dir)
+        val t = s"$base/q421m"
+        TxLog.drop(t)
+        new java.io.File(base).mkdirs()
+        s.conf.set("spark.sql.catalog.graft_lake",
+          classOf[graft.sources.TxLogCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_lake.base", base)
+        val orders = Tables.load(s, dir, "orders")
+        TxLog.create(orders.filter(col("o_orderkey") % 3 =!= 0)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderpriority")), t)
+        orders.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey").as("k"),
+            (col("o_totalprice") + 1000.0).as("np"))
+          .createOrReplaceTempView("q421_src")
+        s.sql("""
+          MERGE INTO graft_lake.q421m t USING q421_src s ON t.o_orderkey = s.k
+          WHEN MATCHED AND s.np > 200000 THEN DELETE
+          WHEN MATCHED THEN UPDATE SET o_totalprice = s.np
+          WHEN NOT MATCHED THEN
+            INSERT (o_orderkey, o_totalprice, o_orderpriority)
+            VALUES (s.k, s.np, 'merged')
+        """)
+        s.sql("UPDATE graft_lake.q421m SET o_totalprice = o_totalprice * 2 " +
+          "WHERE o_orderkey % 5 = 0")
+        s.sql("DELETE FROM graft_lake.q421m " +
+          "WHERE o_orderpriority = 'merged' AND o_orderkey % 7 = 0")
+        val versions = (TxLog.currentVersion(t)).toLong // create + 3 DML
+        s.sql("SELECT * FROM graft_lake.q421m")
+          .groupBy(when(col("o_orderpriority") === "merged", "merged")
+            .otherwise("original").as("cls"))
+          .agg(count(lit(1)).as("n_rows"),
+            Stable.dsum(col("o_totalprice")).as("revenue"))
+          .select(col("cls"), lit(versions).as("n_dml_versions"),
+            col("n_rows"), col("revenue"))
+          .orderBy("cls")
+      },
+      Some("""WITH t AS (
+             |  SELECT o_orderkey AS k, o_totalprice AS p,
+             |    o_orderpriority AS pr
+             |  FROM orders WHERE o_orderkey % 3 <> 0),
+             |s AS (
+             |  SELECT o_orderkey AS k, o_totalprice + 1000.0 AS np
+             |  FROM orders WHERE o_orderkey % 2 = 0),
+             |merged AS (
+             |  SELECT t.k, CASE WHEN s.k IS NOT NULL THEN s.np ELSE t.p END AS p,
+             |    t.pr
+             |  FROM t LEFT JOIN s ON t.k = s.k
+             |  WHERE NOT (s.k IS NOT NULL AND s.np > 200000)
+             |  UNION ALL
+             |  SELECT s.k, s.np, 'merged'
+             |  FROM s LEFT JOIN t ON s.k = t.k WHERE t.k IS NULL),
+             |updated AS (
+             |  SELECT k, CASE WHEN k % 5 = 0 THEN p * 2 ELSE p END AS p, pr
+             |  FROM merged),
+             |final AS (
+             |  SELECT * FROM updated WHERE NOT (pr = 'merged' AND k % 7 = 0))
+             |SELECT CASE WHEN pr = 'merged' THEN 'merged'
+             |    ELSE 'original' END AS cls,
+             |  CAST(3 AS BIGINT) AS n_dml_versions,
+             |  CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             |FROM final GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // q422 — MULTI-TABLE ATOMIC TRANSACTIONS: a star-schema load lands
+    // fact + dimension in ONE cross-table commit instant
+    // (TxLog.appendAll — each table's version entry is an `xref` line
+    // into a shared transaction file whose single hard-link publish is
+    // the commit point for all tables; crash windows resolve to
+    // nothing, spec-pinned in TxLogSpec). The reference's whole job is
+    // exactly this shape — `DDL Final.sql:338-352` loads dims then fact
+    // in FK order and a failure mid-sequence leaves a torn warehouse;
+    // here the second (incremental) load lands atomically too, and the
+    // final fact⋈dim aggregate plus both tables' version counters go
+    // under the oracle hash: a torn or re-run load flips either.
+    QuerySpec("q422_txlog_multitable_txn",
+      (s, dir) => {
+        import graft.core.TxLog
+        val root = Scratch.dir("txmulti", dir)
+        val (fact, dimd) = (s"$root/fact", s"$root/dim")
+        Seq(fact, dimd).foreach(TxLog.drop)
+        val orders = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        val cust = Tables.load(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))
+        // initial load: both tables created in one instant
+        TxLog.appendAll(s"$root/_txn", Seq(
+          orders.filter(col("o_orderkey") % 2 === 0) -> fact,
+          cust.filter(col("c_custkey") % 2 === 0) -> dimd))
+        // incremental load: the other halves, again atomic
+        TxLog.appendAll(s"$root/_txn", Seq(
+          orders.filter(col("o_orderkey") % 2 =!= 0) -> fact,
+          cust.filter(col("c_custkey") % 2 =!= 0) -> dimd))
+        val vf = TxLog.currentVersion(fact).toLong
+        val vd = TxLog.currentVersion(dimd).toLong
+        TxLog.read(s, fact)
+          .join(TxLog.read(s, dimd),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment").as("segment"))
+          .agg(count(lit(1)).as("n_orders"),
+            Stable.dsum(col("o_totalprice")).as("revenue"))
+          .select(col("segment"), lit(vf).as("fact_version"),
+            lit(vd).as("dim_version"), col("n_orders"), col("revenue"))
+          .orderBy("segment")
+      },
+      Some("""SELECT c_mktsegment AS segment,
+             |  CAST(1 AS BIGINT) AS fact_version,
+             |  CAST(1 AS BIGINT) AS dim_version,
+             |  CAST(count(*) AS BIGINT) AS n_orders,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin)))
 }

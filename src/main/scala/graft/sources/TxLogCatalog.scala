@@ -1,0 +1,209 @@
+package graft.sources
+
+import java.io.File
+import java.util.OptionalLong
+
+import scala.jdk.CollectionConverters._
+
+import graft.core.TxLog
+import org.apache.spark.sql.{DataFrame, SparkSession, SQLContext}
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, Statistics, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, WriteBuilder}
+import org.apache.spark.sql.sources.{BaseRelation, InsertableRelation, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A DSv2 [[TableCatalog]] over transaction-log tables — the surface
+  * that makes the lakehouse addressable by NAME from SQL
+  * (`SELECT ... FROM lake.t`, `INSERT INTO lake.t`, and — through
+  * [[graft.plans.TxLogDmlRule]] — `DELETE FROM` / `UPDATE` /
+  * `MERGE INTO`), the same maturity step Delta/Iceberg take with their
+  * catalog plugins. Registration is pure session conf, settable at
+  * runtime:
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.lake", classOf[TxLogCatalog].getName)
+  *   spark.conf.set("spark.sql.catalog.lake.base", "/data/lake")
+  * }}}
+  *
+  * Tables are directories under `base`: identifier `ns1.ns2.t` maps to
+  * `base/ns1/ns2/t`. The catalog holds NO state of its own — the
+  * transaction log under each directory is the single source of truth,
+  * so external writers through the path-based API and catalog readers
+  * compose freely (table existence = a committed version 0). */
+class TxLogCatalog extends TableCatalog {
+  private var catalogName: String = _
+  private var base: String = _
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    base = Option(options.get("base")).getOrElse(throw
+      new IllegalArgumentException(
+        s"TxLogCatalog '$name' needs spark.sql.catalog.$name.base=<dir>"))
+  }
+
+  override def name(): String = catalogName
+
+  private[sources] def tableDir(ident: Identifier): String =
+    (ident.namespace() :+ ident.name())
+      .foldLeft(new File(base))(new File(_, _)).toString
+
+  private def exists(dir: String): Boolean =
+    try TxLog.currentVersion(dir) >= 0 catch { case _: Throwable => false }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val nsDir = namespace.foldLeft(new File(base))(new File(_, _))
+    Option(nsDir.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && exists(d.toString))
+      .map(d => Identifier.of(namespace, d.getName))
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val dir = tableDir(ident)
+    if (!exists(dir))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        Seq(catalogName) ++ ident.namespace() :+ ident.name())
+    new TxLogTable(dir, ident.toString)
+  }
+
+  /** CREATE TABLE: version 0 carries only the schema line — an empty
+    * but fully-typed table ([[TxLog.tableSchema]] serves reads until
+    * data lands). Partition transforms are rejected: partition layout
+    * here is a WRITE-time choice (`appendPartitioned` markers), not a
+    * table-level contract. */
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "txlog tables take partitioning per write (appendPartitioned / " +
+        "option(\"partitionBy\")), not as table-level transforms")
+    val dir = tableDir(ident)
+    if (exists(dir))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(
+          Seq(catalogName) ++ ident.namespace() :+ ident.name())
+    TxLog.createEmpty(dir, schema)
+    new TxLogTable(dir, ident.toString)
+  }
+
+  override def alterTable(ident: Identifier,
+      changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER TABLE on txlog tables goes through the log protocol " +
+        "(addConstraint/dropConstraint; schema evolves with writes)")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = tableDir(ident)
+    if (!exists(dir)) false
+    else { TxLog.drop(dir); true }
+  }
+
+  override def renameTable(oldIdent: Identifier,
+      newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      "renameTable is not supported (shallowClone + drop covers it)")
+}
+
+/** The DSv2 [[Table]] over one transaction-log directory. Batch read
+  * goes through a [[V1Scan]] wrapping the DV-correct [[TxLog.read]]
+  * plan with column pruning pushed ([[TxLogV1ScanBuilder]]) and
+  * LOG-RESIDENT statistics reported ([[SupportsReportStatistics]]:
+  * `sizeInBytes` from the live files' lengths — file-grain log
+  * metadata, no footer IO — so Catalyst can cost catalog-routed joins
+  * and pick broadcasts the way it does for the blob source). Batch
+  * write goes through a [[V1Write]] onto the transactional API
+  * (append / truncate+append = versioned REPLACE). Row-level SQL DML
+  * (DELETE/UPDATE/MERGE) is rewritten by [[graft.plans.TxLogDmlRule]]
+  * onto [[graft.plans.TxLogDml]] — the Delta approach (analysis-rule
+  * commands), chosen over Spark's group-based RowLevelOperation API
+  * because the log protocol already IS the group-replacement commit. */
+class TxLogTable(val dir: String, ident: String)
+    extends Table with SupportsRead with SupportsWrite {
+
+  override def name(): String = ident
+
+  override lazy val schema: StructType = {
+    val spark = SparkSession.active
+    TxLog.read(spark, dir).schema
+  }
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    // V1_BATCH_WRITE (not BATCH_WRITE): the write IS a V1Write, and the
+    // planner only takes the AppendDataExecV1 fallback for tables that
+    // declare it (the JDBC-v2 pattern)
+    Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = new TxLogV1ScanBuilder(dir, schema)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): V1Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, ignored: Boolean): Unit =
+              if (overwrite) TxLog.replace(data, dir): Unit
+              else TxLog.append(data, dir): Unit
+          }
+      }
+    }
+}
+
+/** Column-pruning scan builder → [[V1Scan]] with log-resident stats.
+  * Filters are left to Spark's post-scan evaluation (the V1 relation
+  * path re-evaluates everything); plan-time FILE pruning on zone maps
+  * belongs to the path-based connector's [[TxLogFileIndex]] — a
+  * catalog read of a DV-bearing table must stay on the merge-on-read
+  * plan anyway. */
+class TxLogV1ScanBuilder(dir: String, tableSchema: StructType)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = tableSchema
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    // empty projection (e.g. count(*)) keeps one narrow column — a
+    // zero-column parquet read degenerates to full-width rows
+    required =
+      if (requiredSchema.fields.isEmpty)
+        StructType(tableSchema.fields.take(1))
+      else requiredSchema
+  }
+
+  override def build(): Scan = new V1Scan with SupportsReportStatistics {
+    override def readSchema(): StructType = required
+
+    override def toV1TableScan[T <: BaseRelation with TableScan](
+        context: SQLContext): T =
+      new TxLogCatalogRelation(context, dir, required).asInstanceOf[T]
+
+    /** Log-resident size: the live files' on-disk lengths. Catalyst
+      * costs this relation like any file source — small txlog dims
+      * broadcast in catalog-routed joins. */
+    override def estimateStatistics(): Statistics = new Statistics {
+      override val sizeInBytes: OptionalLong = OptionalLong.of(
+        TxLog.snapshot(dir).map(f => new File(dir, f).length()).sum)
+      override val numRows: OptionalLong = OptionalLong.empty()
+    }
+  }
+}
+
+/** The V1 leg of the catalog scan: the DV-correct [[TxLog.read]] plan,
+  * pruned to the pushed columns. */
+class TxLogCatalogRelation(override val sqlContext: SQLContext,
+    dir: String, required: StructType)
+    extends BaseRelation with TableScan {
+  override def schema: StructType = required
+  override def needConversion: Boolean = false
+  override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+    val df = TxLog.read(sqlContext.sparkSession, dir)
+      .select(required.fieldNames.map(org.apache.spark.sql.functions.col)
+        .toIndexedSeq: _*)
+    df.queryExecution.toRdd
+      .asInstanceOf[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
+  }
+}

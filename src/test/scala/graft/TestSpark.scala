@@ -15,6 +15,9 @@ object TestSpark {
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft_wh").toString)
       .config("spark.ui.enabled", "false")
+      // the full engine extensions (native functions, as-of strategy,
+      // txlog SQL DML resolution rule) — the documented one-line setup
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     // specs exercise Text/Vectors helpers directly (not only through
     // SparkEntry.configure), and those now resolve the graft_* native

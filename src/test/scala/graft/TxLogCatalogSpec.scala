@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.TxLog
+
+/** The lakehouse SQL surface: a runtime-registered TableCatalog
+  * resolves txlog tables by NAME, and the DML resolution rule routes
+  * DELETE FROM / UPDATE / MERGE INTO onto the log protocol's
+  * copy-on-write transactions (VERDICT r10 #3). */
+class TxLogCatalogSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private val base = java.nio.file.Files
+    .createTempDirectory("txcat_base_").toString
+  spark.conf.set("spark.sql.catalog.lake",
+    classOf[graft.sources.TxLogCatalog].getName)
+  spark.conf.set("spark.sql.catalog.lake.base", base)
+
+  private def dirOf(t: String) = s"$base/$t"
+
+  test("catalog lifecycle: CREATE TABLE (empty, typed), INSERT INTO, " +
+      "SELECT by name, INSERT OVERWRITE, DROP TABLE") {
+    spark.sql("CREATE TABLE lake.t1 (id BIGINT, v DOUBLE) USING txlog")
+    // empty but typed — the in-log schema line serves the read
+    assert(spark.sql("SELECT * FROM lake.t1").schema.fieldNames.toSeq
+      == Seq("id", "v"))
+    assert(spark.sql("SELECT * FROM lake.t1").count() == 0L)
+    spark.sql("INSERT INTO lake.t1 VALUES (1, 10.0), (2, 20.0), (3, 30.0)")
+    assert(spark.sql("SELECT CAST(sum(v) AS BIGINT) FROM lake.t1")
+      .head().getLong(0) == 60L)
+    // overwrite is a versioned REPLACE: the old state stays readable
+    spark.sql("INSERT OVERWRITE lake.t1 VALUES (9, 90.0)")
+    assert(spark.sql("SELECT count(*) FROM lake.t1").head().getLong(0) == 1L)
+    assert(TxLog.read(spark, dirOf("t1"), Some(1)).count() == 3L,
+      "the pre-overwrite version must stay time-travelable")
+    spark.sql("DROP TABLE lake.t1")
+    intercept[Exception] { spark.sql("SELECT * FROM lake.t1").collect() }
+  }
+
+  test("DELETE FROM routes to copy-on-write deleteWhere; NULL-condition " +
+      "rows survive") {
+    TxLog.create(Seq((1L, Option(5L)), (2L, Option(15L)), (3L, None))
+      .toDF("id", "x"), dirOf("t2"))
+    spark.sql("DELETE FROM lake.t2 WHERE x > 10")
+    val left = spark.sql("SELECT id FROM lake.t2 ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(left == Seq(1L, 3L), s"NULL x must survive, got $left")
+    // history: the delete is one new version
+    assert(TxLog.currentVersion(dirOf("t2")) == 1)
+  }
+
+  test("UPDATE SET ... WHERE rewrites only matching rows, re-validates " +
+      "constraints, and is one atomic version") {
+    TxLog.create((1L to 10L).map(i => (i, i * 1.0)).toDF("id", "v"),
+      dirOf("t3"))
+    TxLog.addConstraint(spark, dirOf("t3"), "v_pos", "v > 0")
+    spark.sql("UPDATE lake.t3 SET v = v * 10 WHERE id <= 3")
+    val got = spark.sql("SELECT CAST(sum(v) AS BIGINT) FROM lake.t3")
+      .head().getLong(0)
+    assert(got == (10L + 20L + 30L) + (4L to 10L).sum,
+      s"rows 1..3 scaled, rest verbatim; got $got")
+    // an UPDATE that would violate the constraint is rejected atomically
+    val v = TxLog.currentVersion(dirOf("t3"))
+    intercept[IllegalArgumentException] {
+      spark.sql("UPDATE lake.t3 SET v = -1 WHERE id = 5")
+    }
+    assert(TxLog.currentVersion(dirOf("t3")) == v,
+      "a rejected UPDATE must commit nothing")
+  }
+
+  test("MERGE INTO: matched update + matched-conditional delete + not " +
+      "matched insert, committed as ONE version; cardinality violations " +
+      "refuse") {
+    TxLog.create(Seq((1L, 10.0, "a"), (2L, 20.0, "a"), (3L, 30.0, "a"))
+      .toDF("k", "v", "tag"), dirOf("t4"))
+    Seq((2L, 200.0), (3L, -1.0), (4L, 40.0)).toDF("k", "nv")
+      .createOrReplaceTempView("t4_src")
+    val v0 = TxLog.currentVersion(dirOf("t4"))
+    spark.sql("""
+      MERGE INTO lake.t4 t USING t4_src s ON t.k = s.k
+      WHEN MATCHED AND s.nv < 0 THEN DELETE
+      WHEN MATCHED THEN UPDATE SET v = s.nv, tag = 'upd'
+      WHEN NOT MATCHED THEN INSERT (k, v, tag) VALUES (s.k, s.nv, 'new')
+    """)
+    assert(TxLog.currentVersion(dirOf("t4")) == v0 + 1,
+      "the whole MERGE is one commit")
+    val rows = spark.sql("SELECT k, v, tag FROM lake.t4 ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+      .toSeq
+    assert(rows == Seq((1L, 10.0, "a"), (2L, 200.0, "upd"),
+      (4L, 40.0, "new")), s"got $rows")
+    // two source rows hitting one target key is ambiguous — refused
+    Seq((2L, 1.0), (2L, 2.0)).toDF("k", "nv")
+      .createOrReplaceTempView("t4_dup")
+    val ex = intercept[Exception] {
+      spark.sql("""
+        MERGE INTO lake.t4 t USING t4_dup s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET v = s.nv
+      """)
+    }
+    assert(ex.getMessage.contains("cardinality"),
+      s"expected the cardinality refusal, got: ${ex.getMessage}")
+  }
+
+  test("MERGE WHEN NOT MATCHED BY SOURCE touches unmatched target rows") {
+    TxLog.create((1L to 6L).map(i => (i, 1.0)).toDF("k", "v"), dirOf("t5"))
+    (1L to 3L).map(i => (i, 9.0)).toDF("k", "nv")
+      .createOrReplaceTempView("t5_src")
+    spark.sql("""
+      MERGE INTO lake.t5 t USING t5_src s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = s.nv
+      WHEN NOT MATCHED BY SOURCE AND t.k > 5 THEN DELETE
+      WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = 0.0
+    """)
+    val rows = spark.sql("SELECT k, v FROM lake.t5 ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rows == Seq((1L, 9.0), (2L, 9.0), (3L, 9.0),
+      (4L, 0.0), (5L, 0.0)), s"got $rows")
+  }
+
+  test("MERGE update-star and insert-star resolve through the rule") {
+    TxLog.create(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"), dirOf("t6"))
+    Seq((2L, 200.0), (5L, 50.0)).toDF("k", "v")
+      .createOrReplaceTempView("t6_src")
+    spark.sql("""
+      MERGE INTO lake.t6 t USING t6_src s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *
+    """)
+    val rows = spark.sql("SELECT k, v FROM lake.t6 ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rows == Seq((1L, 10.0), (2L, 200.0), (5L, 50.0)), s"got $rows")
+  }
+
+  test("catalog reads report log-resident statistics: a small catalog " +
+      "table broadcasts in a join") {
+    TxLog.create((1L to 5L).map(i => (i, s"n$i")).toDF("k", "name"),
+      dirOf("dim"))
+    val fact = (1L to 1000L).map(i => (i % 5 + 1, i * 1.0)).toDF("k", "x")
+    fact.createOrReplaceTempView("cat_fact")
+    val joined = spark.sql(
+      "SELECT f.k, d.name, f.x FROM cat_fact f JOIN lake.dim d ON f.k = d.k")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"a 5-row catalog table must broadcast, plan:\n$plan")
+    assert(joined.count() == 1000L)
+  }
+}

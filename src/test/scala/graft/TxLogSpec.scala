@@ -632,6 +632,98 @@ class TxLogSpec extends AnyFunSuite {
     TxLog.drop(t)
   }
 
+  test("multi-table transaction: one publish flips ALL tables at once; " +
+      "inside the crash window NO reader sees any change; checkpoints " +
+      "refuse over the pending window") {
+    val root = java.nio.file.Files.createTempDirectory("txmulti_").toString
+    val (fact, dim) = (s"$root/fact", s"$root/dim")
+    TxLog.create((1L to 100L).map(i => (i, i % 7)).toDF("id", "dk"), fact)
+    TxLog.create((0L to 6L).map(i => (i, s"d$i")).toDF("dk", "name"), dim)
+    // stage both tables' new data, then CLAIM without publishing — the
+    // exact window a writer crash leaves behind
+    val stagedF = TxLog.stageChecked(
+      (101L to 150L).map(i => (i, i % 7 + 10)).toDF("id", "dk"), fact)
+    val stagedD = TxLog.stageChecked(
+      (10L to 16L).map(i => (i, s"d$i")).toDF("dk", "name"), dim)
+    val parts = Seq(fact -> stagedF.map(f => s"add\t$f"),
+      dim -> stagedD.map(f => s"add\t$f"))
+    val (txName, _) = TxLog.claimOnly(s"$root/_txn", parts)
+    // window: both tables still read the OLD state — the new files are
+    // staged and the version entries exist, but resolve to nothing
+    assert(TxLog.read(spark, fact).count() == 100L)
+    assert(TxLog.read(spark, dim).count() == 7L)
+    // a checkpoint over the pending window is refused (it would bake
+    // the pre-publish view in permanently)
+    intercept[IllegalArgumentException] { TxLog.checkpoint(fact) }
+    // PUBLISH — the single atomic commit point for both tables
+    TxLog.publishTx(s"$root/_txn", txName, parts)
+    assert(TxLog.read(spark, fact).count() == 150L)
+    assert(TxLog.read(spark, dim).count() == 14L)
+    assert(TxLog.changes(fact, TxLog.currentVersion(fact))._1 == stagedF,
+      "changes() resolves through the xref indirection")
+    // checkpoints work again and carry the resolved state
+    val ck = TxLog.checkpoint(fact)
+    (0 to ck - 1).foreach(v => java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(fact, "_log", f"$v%08d.txt")))
+    assert(TxLog.read(spark, fact).count() == 150L)
+
+    // a CRASHED transaction (claimed, never published) is a permanent
+    // no-op hole: reads stay put, later single-table commits proceed
+    val (_, _) = TxLog.claimOnly(s"$root/_txn",
+      Seq(fact -> Seq("add\tghost.parquet"), dim -> Seq("add\tghost2.parquet")))
+    assert(TxLog.read(spark, fact).count() == 150L)
+    assert(TxLog.read(spark, dim).count() == 14L)
+    TxLog.append(Seq((999L, 0L)).toDF("id", "dk"), fact)
+    assert(TxLog.read(spark, fact).count() == 151L)
+    TxLog.drop(root)
+  }
+
+  test("multi-table transaction: a failed claim rolls back every " +
+      "already-claimed table — nothing publishes, slots free again") {
+    val root = java.nio.file.Files.createTempDirectory("txmfail_").toString
+    val (a, broken) = (s"$root/a", s"$root/broken")
+    TxLog.create((1L to 10L).map(i => (i, i)).toDF("id", "v"), a)
+    // make the second table's claim fail deterministically: its _log
+    // path is a FILE, so the version claim cannot be created
+    new java.io.File(broken).mkdirs()
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(broken, "_log"))
+    val vBefore = TxLog.currentVersion(a)
+    intercept[Throwable] {
+      TxLog.commitAllLines(s"$root/_txn",
+        Seq(a -> Seq("add\tx.parquet"), broken -> Seq("add\ty.parquet")))
+    }
+    assert(TxLog.currentVersion(a) == vBefore,
+      "the first table's pending claim must be rolled back")
+    assert(TxLog.read(spark, a).count() == 10L)
+    // the freed slot is reusable by a normal commit
+    TxLog.append(Seq((11L, 11L)).toDF("id", "v"), a)
+    assert(TxLog.currentVersion(a) == vBefore + 1)
+    TxLog.drop(root)
+  }
+
+  test("appendAll / replaceAll: the fact+dims load and the FK-safe " +
+      "reset both land as one cross-table instant") {
+    val root = java.nio.file.Files.createTempDirectory("txall_").toString
+    val (f, d) = (s"$root/f", s"$root/d")
+    // appendAll CREATES both tables atomically (schema recorded)
+    TxLog.appendAll(s"$root/_txn", Seq(
+      (1L to 50L).map(i => (i, i % 5)).toDF("id", "dk") -> f,
+      (0L to 4L).map(i => (i, s"d$i")).toDF("dk", "name") -> d))
+    assert(TxLog.read(spark, f).count() == 50L)
+    assert(TxLog.read(spark, d).count() == 5L)
+    assert(TxLog.tableSchema(f).get.fieldNames.toSeq == Seq("id", "dk"))
+    // replaceAll swaps both live sets in one instant; the old states
+    // stay time-travelable per table
+    TxLog.replaceAll(s"$root/_txn", Seq(
+      (1L to 20L).map(i => (i, i % 3)).toDF("id", "dk") -> f,
+      (0L to 2L).map(i => (i, s"e$i")).toDF("dk", "name") -> d))
+    assert(TxLog.read(spark, f).count() == 20L)
+    assert(TxLog.read(spark, d).count() == 3L)
+    assert(TxLog.read(spark, f, Some(0)).count() == 50L)
+    assert(TxLog.read(spark, d, Some(0)).count() == 5L)
+    TxLog.drop(root)
+  }
+
   test("change feed: a shallow clone's v0 inserts only the rows " +
       "surviving its carried-over deletion vectors") {
     val src = java.nio.file.Files.createTempDirectory("txcdf_src_").toString
