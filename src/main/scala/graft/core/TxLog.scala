@@ -1665,6 +1665,43 @@ object TxLog {
         schemaLine(df, dir, exact = true))
     })
 
+  /** Reclaim PUBLISHED multi-table transaction files under `txRoot`
+    * that no surviving raw version entry of any participating table
+    * references anymore — the tx-file counterpart of [[vacuum]]'s
+    * sidecar reclamation (without it `txRoot` grows one file per
+    * transaction forever). A tx file is needed exactly as long as a
+    * raw `xref` entry resolves through it: once every referencing
+    * entry was truncated below a checkpoint (whose serialized state is
+    * already resolved), the file is dead weight. The mtime guard keeps
+    * a racing writer's just-claimed-but-unpublished transaction safe
+    * (its tx file does not exist yet; its CLAIMED entries still
+    * reference the name, which also protects an in-window publish). */
+  def vacuumTxn(txRoot: String, tables: Seq[String],
+      minAgeMs: Long = DefaultVacuumMinAgeMs): Seq[String] = {
+    val referenced: Set[String] = tables.flatMap { dir =>
+      val files = Option(logDir(dir).listFiles()).getOrElse(Array.empty)
+      files.filter(_.getName.endsWith(".txt")).flatMap { f =>
+        fileLines(f.toPath).collect {
+          case l if l.startsWith("xref\t") =>
+            l.split('\t') match {
+              case Array(_, rel, _) => Some(new File(rel).getName)
+              case _ => None
+            }
+        }.flatten
+      }
+    }.toSet
+    val horizon = System.currentTimeMillis() - minAgeMs
+    val victims = Option(new File(txRoot).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.startsWith("tx-")
+        && f.getName.endsWith(".txt")
+        && f.lastModified() <= horizon
+        && !referenced.contains(f.getName))
+      .map(_.getName)
+    victims.foreach(n => Files.deleteIfExists(Paths.get(txRoot, n)))
+    victims.toSeq
+  }
+
   /** Remove a table directory entirely (test/query setup hygiene). */
   def drop(dir: String): Unit = {
     def rec(f: File): Unit = {

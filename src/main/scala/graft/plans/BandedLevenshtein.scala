@@ -68,6 +68,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // a RESOLUTION rule so it converts the statements before the
     // built-in row-level rewrite rules reject the table (Delta's shape).
     e.injectResolutionRule(s => new TxLogDmlRule(s))
+    // lakehouse maintenance statements (OPTIMIZE/VACUUM/DESCRIBE
+    // HISTORY) — regex-gated; everything else delegates verbatim
+    e.injectParser((_, delegate) => new GraftSqlParser(delegate))
     new graft.functions.GraftExtensions().apply(e)
   }
 }

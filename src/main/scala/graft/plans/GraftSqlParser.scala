@@ -1,0 +1,134 @@
+package graft.plans
+
+import graft.core.TxLog
+import graft.sources.TxLogTable
+import org.apache.spark.sql.{GraftSqlBridge, Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+import org.apache.spark.sql.catalyst.parser.{ParseException, ParserInterface}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{LongType, StructType}
+
+/** Maintenance-statement SQL for the lakehouse (the Delta
+  * `injectParser` delegate pattern): three statements Spark's grammar
+  * does not know —
+  *
+  *   - `OPTIMIZE <cat.table> [ZORDER BY (x, y)]`
+  *   - `VACUUM <cat.table> [RETAIN <n> VERSIONS]`
+  *   - `DESCRIBE HISTORY <cat.table>`
+  *
+  * — are recognized up front and compiled to runnable commands over
+  * [[TxLog]]; EVERYTHING else delegates verbatim to Spark's parser, so
+  * the extension is invisible outside these prefixes. Table names must
+  * be catalog-qualified ([[graft.sources.TxLogCatalog]] names); the
+  * commands resolve them at run time so parsing stays side-effect
+  * free. VACUUM's age guard comes from
+  * `spark.graft.txlog.vacuum.minAgeMs` (default: the 7-day tombstone
+  * retention) — the same escape hatch Delta gates behind a conf. */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  private val Optimize =
+    """(?is)\s*OPTIMIZE\s+([\w.`]+)\s*(?:ZORDER\s+BY\s*\(([^)]*)\)\s*)?;?\s*""".r
+  private val Vacuum =
+    """(?is)\s*VACUUM\s+([\w.`]+)\s*(?:RETAIN\s+(\d+)\s+VERSIONS\s*)?;?\s*""".r
+  private val History =
+    """(?is)\s*DESCRIBE\s+HISTORY\s+([\w.`]+)\s*;?\s*""".r
+
+  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case Optimize(name, zorder) =>
+      val cols = Option(zorder).toSeq
+        .flatMap(_.split(',')).map(_.trim.stripPrefix("`").stripSuffix("`"))
+        .filter(_.nonEmpty)
+      OptimizeTableCommand(delegate.parseMultipartIdentifier(name), cols)
+    case Vacuum(name, retain) =>
+      VacuumTableCommand(delegate.parseMultipartIdentifier(name),
+        Option(retain).map(_.toInt))
+    case History(name) =>
+      DescribeHistoryCommand(delegate.parseMultipartIdentifier(name))
+    case _ => delegate.parsePlan(sqlText)
+  }
+
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseExpression(sqlText: String) =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String) =
+    delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}
+
+private object MaintenanceTarget {
+  /** Resolve a maintenance statement's table name to its txlog dir. */
+  def dirOf(spark: SparkSession, nameParts: Seq[String]): String =
+    GraftSqlBridge.lookupV2Table(spark, nameParts) match {
+      case t: TxLogTable =>
+        require(t.asOf.isEmpty,
+          s"cannot run maintenance on the time-travel snapshot ${t.name()}")
+        t.dir
+      case other => throw new UnsupportedOperationException(
+        s"${nameParts.mkString(".")} is not a txlog table: ${other.name()}")
+    }
+}
+
+/** `OPTIMIZE t [ZORDER BY (x, y)]` → [[TxLog.optimize]]: compact the
+  * live set (sized to ~128 MB output files), optionally laying rows
+  * along the 2-D Morton curve with zone maps on both columns. */
+case class OptimizeTableCommand(nameParts: Seq[String],
+    zorderBy: Seq[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("files_before", LongType, nullable = false)(),
+    AttributeReference("files_after", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = MaintenanceTarget.dirOf(spark, nameParts)
+    val before = TxLog.snapshot(dir)
+    val bytes = before.map(f => new java.io.File(dir, f).length()).sum
+    val nFiles = math.max(1, math.ceil(bytes / (128.0 * (1 << 20))).toInt)
+    TxLog.optimize(spark, dir, nFiles, zorderBy)
+    Seq(Row(before.size.toLong, TxLog.snapshot(dir).size.toLong))
+  }
+}
+
+/** `VACUUM t [RETAIN n VERSIONS]` → [[TxLog.vacuum]] keeping the last
+  * n versions time-travelable (default 10); the file-age guard comes
+  * from `spark.graft.txlog.vacuum.minAgeMs`. */
+case class VacuumTableCommand(nameParts: Seq[String],
+    retainVersions: Option[Int]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("files_deleted", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = MaintenanceTarget.dirOf(spark, nameParts)
+    val minAge = spark.conf
+      .getOption("spark.graft.txlog.vacuum.minAgeMs").map(_.toLong)
+      .getOrElse(TxLog.DefaultVacuumMinAgeMs)
+    val retainAfter =
+      TxLog.currentVersion(dir) - retainVersions.getOrElse(10) + 1
+    Seq(Row(TxLog.vacuum(dir, retainAfter, minAge).size.toLong))
+  }
+}
+
+/** `DESCRIBE HISTORY t` → [[TxLog.history]] as rows, newest first. */
+case class DescribeHistoryCommand(nameParts: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("instant_ms", LongType, nullable = false)(),
+    AttributeReference("n_adds", LongType, nullable = false)(),
+    AttributeReference("n_removes", LongType, nullable = false)(),
+    AttributeReference("n_dv", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = MaintenanceTarget.dirOf(spark, nameParts)
+    TxLog.history(dir).map { case (v, ts, a, r, dv) =>
+      Row(v.toLong, ts, a.toLong, r.toLong, dv.toLong)
+    }
+  }
+}

@@ -39,7 +39,12 @@ class TxLogDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def txlogTarget(p: LogicalPlan): Option[(DataSourceV2Relation, TxLogTable)] =
     p match {
       case r: DataSourceV2Relation => r.table match {
-        case t: TxLogTable => Some((r, t))
+        case t: TxLogTable =>
+          // a time-travel snapshot is frozen — mutating "it" would
+          // silently hit the LATEST version through the shared dir
+          require(t.asOf.isEmpty,
+            s"cannot run DML against the time-travel snapshot ${t.name()}")
+          Some((r, t))
         case _ => None
       }
       case SubqueryAlias(_, child) => txlogTarget(child)

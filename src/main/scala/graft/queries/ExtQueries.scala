@@ -4192,5 +4192,63 @@ object ExtQueries {
              |  CAST(count(*) AS BIGINT) AS n_orders,
              |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
              |FROM orders JOIN customer ON o_custkey = c_custkey
-             |GROUP BY 1 ORDER BY 1""".stripMargin)))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // q424 — MAINTENANCE SQL + SQL TIME TRAVEL: the statements a
+    // lakehouse operator actually types — `OPTIMIZE ... ZORDER BY`,
+    // `VACUUM ... RETAIN n VERSIONS`, `DESCRIBE HISTORY`, and
+    // `SELECT ... VERSION AS OF` — running through the injected parser
+    // (graft.plans.GraftSqlParser) and the TableCatalog's time-travel
+    // loadTable. The hash pins: the file counts OPTIMIZE reports
+    // (6 staged → 1 compacted), the history length, the vacuum
+    // reclaim count under the conf'd age guard, and that the
+    // pre-compaction snapshot and the compacted table hold the SAME
+    // rows (nodc — layout moved, content didn't).
+    QuerySpec("q424_txlog_maintenance_sql",
+      (s, dir) => {
+        import graft.core.TxLog
+        val base = Scratch.dir("lakecat", dir)
+        val t = s"$base/q424m"
+        TxLog.drop(t)
+        new java.io.File(base).mkdirs()
+        s.conf.set("spark.sql.catalog.graft_lake",
+          classOf[graft.sources.TxLogCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_lake.base", base)
+        val orders = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        (0 to 2).foreach(m => TxLog.append(
+          orders.filter(col("o_orderkey") % 3 === m).repartition(2), t))
+        val opt = s.sql(
+          "OPTIMIZE graft_lake.q424m ZORDER BY (o_orderkey, o_custkey)")
+          .head()
+        val histN = s.sql("DESCRIBE HISTORY graft_lake.q424m").count()
+        // probe BOTH snapshots eagerly (1-row aggregates) — the
+        // pre-optimize files are about to be vacuumed, and a lazy
+        // frame would read them after reclamation
+        def probe(sql: String): org.apache.spark.sql.Row =
+          s.sql(sql).agg(count(lit(1)).as("n_rows"),
+            Stable.dsum(col("o_totalprice")).as("revenue")).head()
+        val latest = probe("SELECT * FROM graft_lake.q424m")
+        val pre = probe("SELECT * FROM graft_lake.q424m VERSION AS OF 2")
+        s.conf.set("spark.graft.txlog.vacuum.minAgeMs", "0")
+        val reclaimed =
+          try s.sql("VACUUM graft_lake.q424m RETAIN 1 VERSIONS")
+            .head().getLong(0)
+          finally s.conf.unset("spark.graft.txlog.vacuum.minAgeMs")
+        import s.implicits._
+        Seq(("latest", latest), ("pre_optimize", pre)).map { case (ph, r) =>
+          (ph, opt.getLong(0), opt.getLong(1), histN, reclaimed,
+            r.getLong(0), r.getDouble(1))
+        }.toDF("probe", "files_before", "files_after", "n_versions",
+          "files_reclaimed", "n_rows", "revenue")
+          .orderBy("probe")
+      },
+      Some("""SELECT probe, CAST(6 AS BIGINT) AS files_before,
+             |  CAST(1 AS BIGINT) AS files_after,
+             |  CAST(4 AS BIGINT) AS n_versions,
+             |  CAST(6 AS BIGINT) AS files_reclaimed,
+             |  CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             |FROM orders CROSS JOIN (VALUES ('latest'), ('pre_optimize')) p(probe)
+             |GROUP BY probe ORDER BY probe""".stripMargin)))
 }

@@ -69,6 +69,28 @@ class TxLogCatalog extends TableCatalog {
     new TxLogTable(dir, ident.toString)
   }
 
+  /** SQL time travel (`SELECT ... FROM lake.t VERSION AS OF 3`): the
+    * engine routes the clause here; the returned table is a frozen
+    * read-only snapshot. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = tableDir(ident)
+    if (!exists(dir))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        Seq(catalogName) ++ ident.namespace() :+ ident.name())
+    new TxLogTable(dir, s"${ident.toString}@v$version",
+      asOf = Some(version.trim.toInt))
+  }
+
+  /** `TIMESTAMP AS OF` — the engine passes MICROseconds. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val dir = tableDir(ident)
+    if (!exists(dir))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        Seq(catalogName) ++ ident.namespace() :+ ident.name())
+    val v = TxLog.versionAt(dir, timestampMicros / 1000L)
+    new TxLogTable(dir, s"${ident.toString}@v$v", asOf = Some(v))
+  }
+
   /** CREATE TABLE: version 0 carries only the schema line — an empty
     * but fully-typed table ([[TxLog.tableSchema]] serves reads until
     * data lands). Partition transforms are rejected: partition layout
@@ -120,14 +142,15 @@ class TxLogCatalog extends TableCatalog {
   * onto [[graft.plans.TxLogDml]] — the Delta approach (analysis-rule
   * commands), chosen over Spark's group-based RowLevelOperation API
   * because the log protocol already IS the group-replacement commit. */
-class TxLogTable(val dir: String, ident: String)
+class TxLogTable(val dir: String, ident: String,
+    val asOf: Option[Int] = None)
     extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String = ident
 
   override lazy val schema: StructType = {
     val spark = SparkSession.active
-    TxLog.read(spark, dir).schema
+    TxLog.read(spark, dir, asOf).schema
   }
 
   override def capabilities(): java.util.Set[TableCapability] =
@@ -138,9 +161,11 @@ class TxLogTable(val dir: String, ident: String)
       TableCapability.TRUNCATE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
-      : ScanBuilder = new TxLogV1ScanBuilder(dir, schema)
+      : ScanBuilder = new TxLogV1ScanBuilder(dir, schema, asOf)
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(asOf.isEmpty,
+      s"cannot write to the time-travel snapshot $ident — it is frozen")
     new WriteBuilder with SupportsTruncate {
       private var overwrite = false
       override def truncate(): WriteBuilder = { overwrite = true; this }
@@ -153,6 +178,7 @@ class TxLogTable(val dir: String, ident: String)
           }
       }
     }
+  }
 }
 
 /** Column-pruning scan builder → [[V1Scan]] with log-resident stats.
@@ -161,7 +187,8 @@ class TxLogTable(val dir: String, ident: String)
   * belongs to the path-based connector's [[TxLogFileIndex]] — a
   * catalog read of a DV-bearing table must stay on the merge-on-read
   * plan anyway. */
-class TxLogV1ScanBuilder(dir: String, tableSchema: StructType)
+class TxLogV1ScanBuilder(dir: String, tableSchema: StructType,
+    asOf: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = tableSchema
 
@@ -179,14 +206,15 @@ class TxLogV1ScanBuilder(dir: String, tableSchema: StructType)
 
     override def toV1TableScan[T <: BaseRelation with TableScan](
         context: SQLContext): T =
-      new TxLogCatalogRelation(context, dir, required).asInstanceOf[T]
+      new TxLogCatalogRelation(context, dir, required, asOf)
+        .asInstanceOf[T]
 
-    /** Log-resident size: the live files' on-disk lengths. Catalyst
-      * costs this relation like any file source — small txlog dims
-      * broadcast in catalog-routed joins. */
+    /** Log-resident size: the snapshot's files' on-disk lengths.
+      * Catalyst costs this relation like any file source — small
+      * txlog dims broadcast in catalog-routed joins. */
     override def estimateStatistics(): Statistics = new Statistics {
       override val sizeInBytes: OptionalLong = OptionalLong.of(
-        TxLog.snapshot(dir).map(f => new File(dir, f).length()).sum)
+        TxLog.snapshot(dir, asOf).map(f => new File(dir, f).length()).sum)
       override val numRows: OptionalLong = OptionalLong.empty()
     }
   }
@@ -195,12 +223,12 @@ class TxLogV1ScanBuilder(dir: String, tableSchema: StructType)
 /** The V1 leg of the catalog scan: the DV-correct [[TxLog.read]] plan,
   * pruned to the pushed columns. */
 class TxLogCatalogRelation(override val sqlContext: SQLContext,
-    dir: String, required: StructType)
+    dir: String, required: StructType, asOf: Option[Int] = None)
     extends BaseRelation with TableScan {
   override def schema: StructType = required
   override def needConversion: Boolean = false
   override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
-    val df = TxLog.read(sqlContext.sparkSession, dir)
+    val df = TxLog.read(sqlContext.sparkSession, dir, asOf)
       .select(required.fieldNames.map(org.apache.spark.sql.functions.col)
         .toIndexedSeq: _*)
     df.queryExecution.toRdd

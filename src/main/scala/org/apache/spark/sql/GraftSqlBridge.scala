@@ -19,6 +19,27 @@ object GraftSqlBridge {
   def columnOf(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
     classic.ExpressionUtils.column(e)
 
+  /** Resolve a catalog-qualified multipart table name to its DSv2
+    * [[org.apache.spark.sql.connector.catalog.Table]]
+    * (`sessionState.catalogManager` is `private[sql]`) — what the
+    * maintenance-statement commands (OPTIMIZE/VACUUM/DESCRIBE HISTORY)
+    * need at run time. */
+  def lookupV2Table(spark: SparkSession, nameParts: Seq[String])
+      : org.apache.spark.sql.connector.catalog.Table = {
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
+    require(nameParts.size >= 2,
+      s"expected a catalog-qualified table name, got ${nameParts.mkString(".")}")
+    val cm = spark.asInstanceOf[classic.SparkSession]
+      .sessionState.catalogManager
+    cm.catalog(nameParts.head) match {
+      case tc: TableCatalog =>
+        tc.loadTable(Identifier.of(
+          nameParts.tail.init.toArray, nameParts.last))
+      case other => throw new IllegalArgumentException(
+        s"catalog ${nameParts.head} is not a TableCatalog: $other")
+    }
+  }
+
   /** Re-tag a batch plan's rows as a STREAMING DataFrame —
     * `internalCreateDataFrame(isStreaming = true)` is `private[sql]`
     * and is what every DSv1 streaming `Source.getBatch` must return

@@ -134,6 +134,103 @@ class TxLogCatalogSpec extends AnyFunSuite {
     assert(rows == Seq((1L, 10.0), (2L, 200.0), (5L, 50.0)), s"got $rows")
   }
 
+  test("SQL time travel: VERSION AS OF reads a frozen snapshot by name; " +
+      "TIMESTAMP AS OF resolves through the recorded commit instants; " +
+      "writes to a snapshot refuse") {
+    val d = dirOf("tt")
+    TxLog.create((1L to 10L).map(i => (i, i * 1.0)).toDF("id", "v"), d)
+    TxLog.append((11L to 20L).map(i => (i, i * 1.0)).toDF("id", "v"), d)
+    TxLog.deleteWhere(spark, d, col("id") <= 5)
+    assert(spark.sql("SELECT count(*) FROM lake.tt").head().getLong(0) == 15L)
+    assert(spark.sql("SELECT count(*) FROM lake.tt VERSION AS OF 0")
+      .head().getLong(0) == 10L)
+    assert(spark.sql("SELECT count(*) FROM lake.tt VERSION AS OF 1")
+      .head().getLong(0) == 20L)
+    // timestamp travel: pin deterministic instants, then ask for a
+    // moment between v0 and v1
+    TxLog.setCommitInstant(d, 0, 1000000L)
+    TxLog.setCommitInstant(d, 1, 2000000L)
+    TxLog.setCommitInstant(d, 2, 3000000L)
+    val got = spark.sql(
+      "SELECT count(*) FROM lake.tt TIMESTAMP AS OF " +
+        "CAST('1970-01-01 00:25:00' AS TIMESTAMP)") // 1.5e6 ms epoch
+      .head().getLong(0)
+    assert(got == 10L, s"between v0 and v1 resolves to v0, got $got")
+    val ex = intercept[Exception] {
+      spark.sql("INSERT INTO lake.tt VERSION AS OF 0 VALUES (99, 9.0)")
+    }
+    assert(ex != null)
+  }
+
+  test("maintenance SQL: OPTIMIZE compacts (ZORDER lays the curve), " +
+      "VACUUM honors RETAIN + the conf'd age guard, DESCRIBE HISTORY " +
+      "lists versions; ordinary SQL delegates untouched") {
+    val d = dirOf("maint")
+    (1 to 6).foreach(i => TxLog.append(
+      (1L to 50L).map(j => (j * i, j % 9)).toDF("x", "y").repartition(2), d))
+    val nBefore = TxLog.snapshot(d).size
+    assert(nBefore >= 12)
+    val opt = spark.sql("OPTIMIZE lake.maint ZORDER BY (x, y)").head()
+    assert(opt.getLong(0) == nBefore && opt.getLong(1) < nBefore,
+      s"compaction must shrink the file count, got $opt")
+    // zone maps landed for both curve columns
+    assert(graft.core.TxLog.fileStatsAll(d).values.exists(_.contains("x")))
+    val hist = spark.sql("DESCRIBE HISTORY lake.maint")
+    assert(hist.count() == 7L) // 6 appends (v0..v5) + optimize (v6)
+    assert(hist.select("version").head().getLong(0) == 6L, "newest first")
+    // vacuum: age guard via conf; RETAIN 1 VERSIONS reclaims the
+    // pre-compaction files
+    assert(spark.sql("VACUUM lake.maint RETAIN 1 VERSIONS").head()
+      .getLong(0) == 0L, "default 7-day age guard keeps young files")
+    spark.conf.set("spark.graft.txlog.vacuum.minAgeMs", "0")
+    try {
+      val deleted = spark.sql("VACUUM lake.maint RETAIN 1 VERSIONS")
+        .head().getLong(0)
+      assert(deleted.toInt == nBefore,
+        s"the $nBefore pre-compaction files reclaim, got $deleted")
+    } finally spark.conf.unset("spark.graft.txlog.vacuum.minAgeMs")
+    assert(spark.sql("SELECT count(*) FROM lake.maint").head().getLong(0)
+      == 300L, "reads keep working after maintenance")
+    // the parser extension is invisible to ordinary SQL
+    assert(spark.sql("SELECT 1 + 1").head().getInt(0) == 2)
+    intercept[Exception] { spark.sql("OPTIMIZE lake.maint ZORDER BY ") }
+  }
+
+  test("concurrent SQL DML: two MERGEs racing on one table — exactly " +
+      "one version wins per claim, the loser surfaces the optimistic-" +
+      "concurrency conflict instead of silently overwriting") {
+    val d = dirOf("race")
+    TxLog.create((1L to 20L).map(i => (i, 0.0)).toDF("k", "v"), d)
+    Seq((1L, 1.0)).toDF("k", "nv").createOrReplaceTempView("race_s1")
+    Seq((2L, 2.0)).toDF("k", "nv").createOrReplaceTempView("race_s2")
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ts = Seq("race_s1", "race_s2").map { v =>
+      new Thread(() => {
+        try {
+          barrier.await()
+          spark.sql(s"""MERGE INTO lake.race t USING $v s ON t.k = s.k
+            WHEN MATCHED THEN UPDATE SET v = s.nv""")
+        } catch { case e: Throwable => errs.add(e): Unit }
+      })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join())
+    val winners = 2 - errs.size()
+    assert(winners >= 1, s"at least one MERGE must land, errors: $errs")
+    // every landed MERGE is fully applied; no torn/partial state
+    val vsum = spark.sql("SELECT CAST(sum(v) AS DOUBLE) FROM lake.race")
+      .head().getDouble(0)
+    if (winners == 2) assert(vsum == 3.0, s"both landed → 3.0, got $vsum")
+    else assert(vsum == 1.0 || vsum == 2.0,
+      s"exactly one MERGE applied in full, got $vsum")
+    errs.forEach { e =>
+      val m = Option(e.getMessage).getOrElse("") +
+        Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+      assert(m.contains("another writer") || m.contains("Concurrent"),
+        s"loser must surface the conflict, got: $e")
+    }
+  }
+
   test("catalog reads report log-resident statistics: a small catalog " +
       "table broadcasts in a join") {
     TxLog.create((1L to 5L).map(i => (i, s"n$i")).toDF("k", "name"),

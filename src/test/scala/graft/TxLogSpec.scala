@@ -724,6 +724,39 @@ class TxLogSpec extends AnyFunSuite {
     TxLog.drop(root)
   }
 
+  test("vacuumTxn reclaims transaction files only after every " +
+      "referencing raw entry is truncated; young and referenced files " +
+      "survive") {
+    val root = java.nio.file.Files.createTempDirectory("txvactx_").toString
+    val (a, b) = (s"$root/a", s"$root/b")
+    val txRoot = s"$root/_txn"
+    TxLog.appendAll(txRoot, Seq(
+      (1L to 10L).map(i => (i, i)).toDF("id", "v") -> a,
+      (1L to 5L).map(i => (i, i)).toDF("id", "v") -> b))
+    val txFiles = Option(new java.io.File(txRoot).listFiles())
+      .getOrElse(Array.empty).map(_.getName).filter(_.startsWith("tx-"))
+    assert(txFiles.length == 1)
+    // still referenced by both tables' raw entries → survives even old
+    assert(TxLog.vacuumTxn(txRoot, Seq(a, b), minAgeMs = 0).isEmpty)
+    assert(TxLog.read(spark, a).count() == 10L)
+    // checkpoint both tables and truncate the raw entries below —
+    // the resolved state lives in the checkpoints now
+    Seq(a, b).foreach { t =>
+      TxLog.append(Seq((99L, 99L)).toDF("id", "v"), t)
+      val ck = TxLog.checkpoint(t)
+      (0 until ck).foreach(v => java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(t, "_log", f"$v%08d.txt")))
+    }
+    // mtime guard first: young files survive with the default age
+    assert(TxLog.vacuumTxn(txRoot, Seq(a, b)).isEmpty)
+    // unreferenced + old → reclaimed; reads keep working off checkpoints
+    assert(TxLog.vacuumTxn(txRoot, Seq(a, b), minAgeMs = 0)
+      == txFiles.toSeq)
+    assert(TxLog.read(spark, a).count() == 11L)
+    assert(TxLog.read(spark, b).count() == 6L)
+    TxLog.drop(root)
+  }
+
   test("change feed: a shallow clone's v0 inserts only the rows " +
       "surviving its carried-over deletion vectors") {
     val src = java.nio.file.Files.createTempDirectory("txcdf_src_").toString
