@@ -831,14 +831,22 @@ object TxLog {
     import org.apache.spark.sql.functions.{coalesce, lit, when}
     val cur = currentVersion(dir)
     val st = state(dir, Some(cur))
+    // validate the SET names BEFORE the probe scan: a typo on a
+    // non-matching predicate used to silently no-op through the
+    // affected.isEmpty early return (review r11 #7)
+    val setMap = sets.toMap
+    val tableCols = st.schemaJson
+      .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+        .fieldNames.toSet)
+      .getOrElse(read(spark, dir, Some(cur)).columns.toSet)
+    require(setMap.keySet.subsetOf(tableCols),
+      s"unknown UPDATE columns: ${setMap.keySet -- tableCols}")
     val affected = affectedFiles(spark, dir, st.live.keys.toSeq,
       df => df.filter(pred))
     if (affected.isEmpty) return cur
     val src = readFiles(spark, dir, affected,
       dvFrameFrom(spark, dir, st.dv.toMap))
-    val setMap = sets.toMap
-    require(setMap.keySet.subsetOf(src.columns.toSet),
-      s"unknown UPDATE columns: ${setMap.keySet -- src.columns}")
     val fire = coalesce(pred, lit(false))
     val rewritten = src.select(src.columns.toIndexedSeq.map { c =>
       setMap.get(c) match {
@@ -1567,11 +1575,17 @@ object TxLog {
   //
   // Claims hold the version slots, so a concurrent single-table commit
   // either lands BEFORE our claim (we claim the next slot) or AFTER it
-  // (they do). A lost claim race rolls back the already-claimed pending
-  // entries (they are invisible and their tx file will never exist —
-  // deleting frees the slots) and throws. Checkpoints refuse while a
-  // pending xref is in range (see [[checkpoint]]) so the pre-publish
-  // view can never be baked in.
+  // (they do). A transaction is DECIDED by whichever single atomic
+  // create of the tx file happens first: [[publishTx]] writes the
+  // lines (commit), [[abortTx]] writes an EMPTY file (abort — every
+  // table's entry resolves to a no-op version). A lost claim race
+  // aborts this way and throws; version files are NEVER deleted once
+  // claimed (a mid-range hole would break every replay — review r11).
+  // Checkpoints refuse while an UNDECIDED xref is in range (see
+  // [[checkpoint]]); deciding the transaction — either way — unblocks
+  // them. Streaming sources never offer an undecided version (the
+  // source caps its offers below it), so a consumer cannot skip a
+  // transaction's rows by reading inside the claim window.
   // ---------------------------------------------------------------------
 
   /** Commit `parts` — (table dir, that table's log lines) — across ≥1
@@ -1579,7 +1593,15 @@ object TxLog {
     * file; it must be reachable from every table dir (same filesystem,
     * like staging). Returns the committed version per table. */
   def commitAllLines(txRoot: String,
-      parts: Seq[(String, Seq[String])]): Seq[Int] = {
+      parts: Seq[(String, Seq[String])]): Seq[Int] =
+    commitAllImpl(txRoot, parts.map { case (d, l) => (d, l, None) })
+
+  /** As [[commitAllLines]], with a pinned EXPECTED current version per
+    * table (optimistic-concurrency for read-modify-write transactions:
+    * [[replaceAll]] computes removes from a snapshot and must conflict
+    * — not silently half-apply — if another commit lands first). */
+  private def commitAllImpl(txRoot: String,
+      parts: Seq[(String, Seq[String], Option[Int])]): Seq[Int] = {
     require(parts.nonEmpty, "empty multi-table transaction")
     require(parts.map(p => new File(p._1).getCanonicalPath).distinct.size
       == parts.size, "duplicate table dirs in one transaction")
@@ -1587,33 +1609,45 @@ object TxLog {
     val txName = s"tx-${java.util.UUID.randomUUID().toString.take(12)}.txt"
     val claimed = scala.collection.mutable.ListBuffer.empty[(String, Int)]
     try {
-      parts.zipWithIndex.foreach { case ((dir, _), i) =>
+      parts.zipWithIndex.foreach { case ((dir, _, expected), i) =>
         new File(dir).mkdirs()
         val rel = Paths.get(dir).toAbsolutePath.normalize()
           .relativize(Paths.get(txRoot).toAbsolutePath.normalize())
-        val v = claimVersion(dir, currentVersion(dir) + 1,
+        val v = claimVersion(dir,
+          expected.getOrElse(currentVersion(dir)) + 1,
           Seq(s"xref\t$rel${File.separator}$txName\t$i"))
         claimed += ((dir, v))
       }
     } catch {
       case e: Throwable =>
-        // lost a claim race: the already-claimed entries are invisible
-        // (their tx file will never exist) — delete them to free the
-        // slots, nothing was published
-        claimed.foreach { case (d, v) =>
-          Files.deleteIfExists(versionFile(d, v)): Unit }
+        // lost a claim race: ABORT the transaction atomically (empty
+        // tx file) — the already-claimed entries become permanent
+        // no-op versions. Deleting them instead would leave a
+        // mid-range numbering hole if a concurrent writer had already
+        // claimed a later slot, and replay crashes on holes (review
+        // r11 #1).
+        abortTx(txRoot, txName): Unit
         throw e
     }
-    publishTx(txRoot, txName, parts)
+    publishTx(txRoot, txName, parts.map(p => (p._1, p._2)))
     claimed.foreach { case (d, v) => maybeCheckpoint(d, v) }
     claimed.map(_._2).toSeq
   }
 
   /** Split out for the crash-window spec: create the shared tx file —
-    * THE atomic commit point. Idempotent-refusing like any claim. */
+    * THE atomic commit point. The first body line is a `!tables`
+    * header naming every participant (relative to `txRoot`) so
+    * [[vacuumTxn]] can discover reference holders without being handed
+    * the list; [[resolveLines]]' key-prefix match never sees it.
+    * Refuses if the transaction was already decided (published or
+    * aborted). */
   private[graft] def publishTx(txRoot: String, txName: String,
       parts: Seq[(String, Seq[String])]): Unit = {
-    val body = parts.zipWithIndex.flatMap { case ((_, lines), i) =>
+    val header = "!tables\t" + parts.map { case (dir, _) =>
+      Paths.get(txRoot).toAbsolutePath.normalize()
+        .relativize(Paths.get(dir).toAbsolutePath.normalize()).toString
+    }.mkString("\t")
+    val body = header +: parts.zipWithIndex.flatMap { case ((_, lines), i) =>
       lines.map(l => s"$i\t$l")
     }
     val tmp = Files.createTempFile(Paths.get(txRoot), ".tx-", ".tmp")
@@ -1622,9 +1656,43 @@ object TxLog {
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         throw new java.util.ConcurrentModificationException(
-          s"transaction $txName already published")
+          s"transaction $txName was already decided (published or aborted)")
     } finally Files.deleteIfExists(tmp): Unit
   }
+
+  /** ABORT an undecided multi-table transaction: atomically create its
+    * tx file EMPTY, so every participating table's xref entry resolves
+    * to a no-op version — one create decides the transaction for ALL
+    * tables at once, exactly like [[publishTx]] does for commit (the
+    * two race safely: exactly one wins the link). This is both the
+    * claim-race rollback and the OPERATOR REPAIR for a writer that
+    * died between claims and publish (an undecided transaction blocks
+    * checkpoints and stalls streaming consumers at its version —
+    * deliberately: deciding it later must not rewrite history a
+    * consumer already read). Returns true if THIS call decided the
+    * transaction; false if it was already decided. */
+  def abortTx(txRoot: String, txName: String): Boolean = {
+    val tmp = Files.createTempFile(Paths.get(txRoot), ".abort-", ".tmp")
+    try { Files.createLink(Paths.get(txRoot, txName), tmp); true }
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    } finally Files.deleteIfExists(tmp): Unit
+  }
+
+  /** Does version `v` carry an UNDECIDED xref (a multi-table
+    * transaction claimed but neither published nor aborted)? The
+    * streaming source caps its offers below such a version — a
+    * consumer reading it as empty and moving on would permanently
+    * skip the transaction's rows when it later publishes (review
+    * r11 #2). */
+  private[graft] def versionUndecided(dir: String, v: Int): Boolean =
+    Files.exists(versionFile(dir, v)) &&
+    fileLines(versionFile(dir, v)).exists { l =>
+      l.startsWith("xref\t") && (l.split('\t') match {
+        case Array(_, rel, _) => !new File(dir, rel).isFile
+        case _ => false
+      })
+    }
 
   /** The claim phase alone (crash-window spec hook): returns the
     * tx name + claimed versions WITHOUT publishing. */
@@ -1654,50 +1722,81 @@ object TxLog {
     })
 
   /** Atomically REPLACE every table's live set (the FK-safe
-    * reset-and-reload): one commit point swaps them all. */
+    * reset-and-reload): one commit point swaps them all. Each table's
+    * removes come from a pinned snapshot version and the claim expects
+    * exactly that version — a commit racing in between CONFLICTS
+    * (ConcurrentModificationException) instead of leaving its rows
+    * silently mixed into the "replaced" table (review r11 #5;
+    * single-table replace already had this guarantee). */
   def replaceAll(txRoot: String,
       batches: Seq[(DataFrame, String)]): Seq[Int] =
-    commitAllLines(txRoot, batches.map { case (df, dir) =>
+    commitAllImpl(txRoot, batches.map { case (df, dir) =>
+      val cur = currentVersion(dir)
       val removes =
-        if (currentVersion(dir) < 0) Seq.empty
-        else snapshot(dir).map(f => s"remove\t$f")
-      dir -> (removes ++ stageEnforced(df, dir).map(f => s"add\t$f") ++
-        schemaLine(df, dir, exact = true))
+        if (cur < 0) Seq.empty
+        else snapshot(dir, Some(cur)).map(f => s"remove\t$f")
+      (dir,
+        removes ++ stageEnforced(df, dir).map(f => s"add\t$f") ++
+          schemaLine(df, dir, exact = true),
+        Some(cur))
     })
 
-  /** Reclaim PUBLISHED multi-table transaction files under `txRoot`
-    * that no surviving raw version entry of any participating table
-    * references anymore — the tx-file counterpart of [[vacuum]]'s
-    * sidecar reclamation (without it `txRoot` grows one file per
-    * transaction forever). A tx file is needed exactly as long as a
-    * raw `xref` entry resolves through it: once every referencing
-    * entry was truncated below a checkpoint (whose serialized state is
-    * already resolved), the file is dead weight. The mtime guard keeps
-    * a racing writer's just-claimed-but-unpublished transaction safe
-    * (its tx file does not exist yet; its CLAIMED entries still
-    * reference the name, which also protects an in-window publish). */
-  def vacuumTxn(txRoot: String, tables: Seq[String],
+  /** Reclaim DECIDED multi-table transaction files under `txRoot` that
+    * no surviving raw version entry references anymore — the tx-file
+    * counterpart of [[vacuum]]'s sidecar reclamation (without it
+    * `txRoot` grows one file per transaction forever). A tx file is
+    * needed exactly as long as a raw `xref` entry resolves through it
+    * (deleting a still-referenced one would flip its versions back to
+    * UNDECIDED); once every referencing entry was truncated below a
+    * checkpoint (whose serialized state is already resolved), the file
+    * is dead weight.
+    *
+    * Participants are DISCOVERED from each published file's `!tables`
+    * header (review r11 #4: a caller-supplied list with a forgotten
+    * table deleted files that table still referenced — committed rows
+    * silently vanished). `extraTables` supplements discovery for
+    * ABORTED (empty, headerless) files; a headerless file whose
+    * referencers cannot be established is conservatively KEPT. The
+    * mtime guard protects a transaction racing between claim and
+    * decide. */
+  def vacuumTxn(txRoot: String, extraTables: Seq[String] = Seq.empty,
       minAgeMs: Long = DefaultVacuumMinAgeMs): Seq[String] = {
-    val referenced: Set[String] = tables.flatMap { dir =>
-      val files = Option(logDir(dir).listFiles()).getOrElse(Array.empty)
-      files.filter(_.getName.endsWith(".txt")).flatMap { f =>
-        fileLines(f.toPath).collect {
-          case l if l.startsWith("xref\t") =>
-            l.split('\t') match {
-              case Array(_, rel, _) => Some(new File(rel).getName)
-              case _ => None
-            }
-        }.flatten
-      }
-    }.toSet
+    // one raw-log scan per distinct table, memoized: table dir →
+    // the tx-file names its surviving raw entries reference
+    val refMemo = scala.collection.mutable.HashMap.empty[String, Set[String]]
+    def refsOf(dir: String): Set[String] =
+      refMemo.getOrElseUpdate(new File(dir).getCanonicalPath, {
+        val files = Option(logDir(dir).listFiles()).getOrElse(Array.empty)
+        files.filter(_.getName.endsWith(".txt")).flatMap { f =>
+          fileLines(f.toPath).collect {
+            case l if l.startsWith("xref\t") =>
+              l.split('\t') match {
+                case Array(_, rel, _) => Some(new File(rel).getName)
+                case _ => None
+              }
+          }.flatten
+        }.toSet
+      })
     val horizon = System.currentTimeMillis() - minAgeMs
-    val victims = Option(new File(txRoot).listFiles())
+    val candidates = Option(new File(txRoot).listFiles())
       .getOrElse(Array.empty)
       .filter(f => f.isFile && f.getName.startsWith("tx-")
-        && f.getName.endsWith(".txt")
-        && f.lastModified() <= horizon
-        && !referenced.contains(f.getName))
-      .map(_.getName)
+        && f.getName.endsWith(".txt") && f.lastModified() <= horizon)
+    val victims = candidates.filter { f =>
+      val headerTables: Option[Seq[String]] =
+        fileLines(f.toPath).headOption.filter(_.startsWith("!tables\t"))
+          .map(_.split('\t').drop(1).toSeq
+            .map(rel => new File(txRoot, rel).toString))
+      headerTables match {
+        case Some(ts) =>
+          (ts ++ extraTables).forall(d => !refsOf(d).contains(f.getName))
+        case None if extraTables.nonEmpty =>
+          // aborted/headerless: only reclaimable when the supplied
+          // tables are the full participant set and none references it
+          extraTables.forall(d => !refsOf(d).contains(f.getName))
+        case None => false // cannot establish referencers — keep
+      }
+    }.map(_.getName)
     victims.foreach(n => Files.deleteIfExists(Paths.get(txRoot, n)))
     victims.toSeq
   }

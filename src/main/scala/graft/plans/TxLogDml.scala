@@ -53,9 +53,22 @@ class TxLogDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   /** Rebind a resolved single-table expression by NAME (unambiguous
     * without a second relation in scope): the engine-built rewrite
-    * frames re-resolve it against their own attribute ids. */
-  private def byName(e: Expression): Expression = e.transform {
-    case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+    * frames re-resolve it against their own attribute ids. Subquery
+    * conditions are REFUSED up front — their inner plans carry outer
+    * references to the statement's attribute ids, which cannot rebind
+    * by name (review r11 #6); a clear refusal beats a confusing
+    * unresolved-attribute analysis error. */
+  private def byName(e: Expression): Expression = {
+    e.foreach {
+      case sq: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+        throw new UnsupportedOperationException(
+          "DELETE/UPDATE on txlog tables does not support subqueries " +
+            s"in the condition yet: ${sq.sql}")
+      case _ => ()
+    }
+    e.transform {
+      case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+    }
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {

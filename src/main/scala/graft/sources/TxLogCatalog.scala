@@ -149,8 +149,12 @@ class TxLogTable(val dir: String, ident: String,
   override def name(): String = ident
 
   override lazy val schema: StructType = {
-    val spark = SparkSession.active
-    TxLog.read(spark, dir, asOf).schema
+    // the recorded in-log schema serves planning without building the
+    // full read plan (a mergeSchema footer walk over every live file
+    // per loadTable — review r11 #8); pre-schema-line logs fall back
+    TxLog.tableSchema(dir, asOf).getOrElse {
+      TxLog.read(SparkSession.active, dir, asOf).schema
+    }
   }
 
   override def capabilities(): java.util.Set[TableCapability] =

@@ -332,13 +332,26 @@ class TxLogStreamSource(sqlContext: SQLContext, dir: String,
     // a FRESH stream has no checkpointed offset — the engine passes
     // null, not initialOffset() (the KafkaSource contract)
     val base = if (start == null) startingVersion - 1 else versionOfV2(start)
-    val cur = math.min(TxLog.currentVersion(dir), availableNowTarget)
+    val cur = decidedThrough(base,
+      math.min(TxLog.currentVersion(dir), availableNowTarget))
     if (cur <= base) return start
     val cap = limit match {
       case f: ReadMaxFiles => base + math.max(f.maxFiles(), 1)
       case _ => cur
     }
     LongOffset(math.min(cur, cap).toLong)
+  }
+
+  /** Highest version in (base, hi] BEFORE the first UNDECIDED
+    * multi-table transaction: offering an undecided version would make
+    * the consumer read it as empty and move past it — when the
+    * transaction later publishes, those rows would be permanently
+    * skipped (review r11 #2). The stream waits below it instead; an
+    * operator decides a dead transaction with [[TxLog.abortTx]]. */
+  private def decidedThrough(base: Int, hi: Int): Int = {
+    var v = base + 1
+    while (v <= hi && !TxLog.versionUndecided(dir, v)) v += 1
+    v - 1
   }
 
   /** Rate-limit base recovered from the checkpoint's offset log at
@@ -385,7 +398,10 @@ class TxLogStreamSource(sqlContext: SQLContext, dir: String,
     * commits, and the cap never falls below the recovered checkpoint
     * base. */
   override def getOffset: Option[Offset] = {
-    val v = TxLog.currentVersion(dir)
+    val base = if (deliveredThrough == Int.MinValue) startingVersion - 1
+      else deliveredThrough
+    val v = decidedThrough(math.min(base, TxLog.currentVersion(dir)),
+      TxLog.currentVersion(dir))
     if (v < math.max(startingVersion, 0)) return None
     val capped = maxVersionsPerTrigger match {
       case Some(n) if deliveredThrough != Int.MinValue =>

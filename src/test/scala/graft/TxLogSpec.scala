@@ -667,12 +667,23 @@ class TxLogSpec extends AnyFunSuite {
       java.nio.file.Paths.get(fact, "_log", f"$v%08d.txt")))
     assert(TxLog.read(spark, fact).count() == 150L)
 
-    // a CRASHED transaction (claimed, never published) is a permanent
-    // no-op hole: reads stay put, later single-table commits proceed
-    val (_, _) = TxLog.claimOnly(s"$root/_txn",
+    // a CRASHED transaction (claimed, never decided) keeps reads put
+    // and blocks checkpoints until an operator DECIDES it — abortTx
+    // writes the empty tx file, one atomic create deciding ALL tables
+    val (ghostTx, _) = TxLog.claimOnly(s"$root/_txn",
       Seq(fact -> Seq("add\tghost.parquet"), dim -> Seq("add\tghost2.parquet")))
     assert(TxLog.read(spark, fact).count() == 150L)
     assert(TxLog.read(spark, dim).count() == 14L)
+    intercept[IllegalArgumentException] { TxLog.checkpoint(fact) }
+    assert(TxLog.abortTx(s"$root/_txn", ghostTx))
+    assert(!TxLog.abortTx(s"$root/_txn", ghostTx), "already decided")
+    // publish after abort REFUSES — the decision is final
+    intercept[java.util.ConcurrentModificationException] {
+      TxLog.publishTx(s"$root/_txn", ghostTx,
+        Seq(fact -> Seq("add\tghost.parquet")))
+    }
+    TxLog.checkpoint(fact) // unblocked; the aborted version is a no-op
+    assert(TxLog.read(spark, fact).count() == 150L)
     TxLog.append(Seq((999L, 0L)).toDF("id", "dk"), fact)
     assert(TxLog.read(spark, fact).count() == 151L)
     TxLog.drop(root)
@@ -692,12 +703,86 @@ class TxLogSpec extends AnyFunSuite {
       TxLog.commitAllLines(s"$root/_txn",
         Seq(a -> Seq("add\tx.parquet"), broken -> Seq("add\ty.parquet")))
     }
-    assert(TxLog.currentVersion(a) == vBefore,
-      "the first table's pending claim must be rolled back")
-    assert(TxLog.read(spark, a).count() == 10L)
-    // the freed slot is reusable by a normal commit
+    // the rollback ABORTS the transaction (empty tx file): the claimed
+    // entry stays as a harmless no-op version — deleting it would
+    // leave a mid-range numbering hole if another writer had already
+    // claimed a later slot, and replay crashes on holes
+    assert(TxLog.currentVersion(a) == vBefore + 1,
+      "the claimed slot becomes an aborted no-op version")
+    assert(TxLog.read(spark, a).count() == 10L, "no rows landed")
+    TxLog.checkpoint(a) // aborted ≠ undecided: checkpoints are fine
+    // normal commits proceed on the next slot
     TxLog.append(Seq((11L, 11L)).toDF("id", "v"), a)
-    assert(TxLog.currentVersion(a) == vBefore + 1)
+    assert(TxLog.currentVersion(a) == vBefore + 2)
+    assert(TxLog.read(spark, a).count() == 11L)
+    TxLog.drop(root)
+  }
+
+  test("a streaming consumer never reads past an UNDECIDED multi-table " +
+      "transaction: the offer stalls below it, publish releases the " +
+      "full version content") {
+    val root = java.nio.file.Files.createTempDirectory("txstream_").toString
+    val (t, other) = (s"$root/t", s"$root/other")
+    TxLog.create(spark.range(5L).selectExpr("id"), t)
+    TxLog.create(spark.range(3L).selectExpr("id"), other)
+    val stagedT = TxLog.stageChecked(
+      spark.range(100L, 110L).selectExpr("id"), t)
+    val stagedO = TxLog.stageChecked(
+      spark.range(200L, 202L).selectExpr("id"), other)
+    val parts = Seq(t -> stagedT.map(f => s"add\t$f"),
+      other -> stagedO.map(f => s"add\t$f"))
+    val (txName, _) = TxLog.claimOnly(s"$root/_txn", parts)
+    // drain inside the claim window: the stream must stop BEFORE the
+    // undecided version, not consume it as empty
+    val ckpt = java.nio.file.Files.createTempDirectory("txstr_ck_").toString
+    val rows = new java.util.concurrent.atomic.AtomicLong(0L)
+    def drain(): Unit = {
+      val q = spark.readStream.format("txlog").load(t)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          rows.addAndGet(b.count()): Unit
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    assert(rows.get() == 5L, s"only v0 flows pre-publish, got ${rows.get()}")
+    TxLog.publishTx(s"$root/_txn", txName, parts)
+    drain()
+    assert(rows.get() == 15L,
+      s"the published transaction's rows arrive in full, got ${rows.get()}")
+    TxLog.drop(root)
+  }
+
+  test("vacuumTxn discovers participants from the tx-file header: a " +
+      "caller cannot reclaim a file another table still references") {
+    val root = java.nio.file.Files.createTempDirectory("txvhdr_").toString
+    val (a, b) = (s"$root/a", s"$root/b")
+    val txRoot = s"$root/_txn"
+    TxLog.appendAll(txRoot, Seq(
+      (1L to 5L).map(i => (i, i)).toDF("id", "v") -> a,
+      (1L to 3L).map(i => (i, i)).toDF("id", "v") -> b))
+    // truncate ONLY a's raw entries (checkpoint first); b still
+    // references the tx file — header discovery protects it even
+    // though the caller names no tables at all
+    TxLog.append(Seq((9L, 9L)).toDF("id", "v"), a)
+    val ck = TxLog.checkpoint(a)
+    (0 until ck).foreach(v => java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(a, "_log", f"$v%08d.txt")))
+    assert(TxLog.vacuumTxn(txRoot, minAgeMs = 0).isEmpty,
+      "b's surviving raw entry must protect the tx file")
+    assert(TxLog.read(spark, b).count() == 3L)
+    // truncate b's too → the header-discovered scan finds no
+    // referencers → reclaimed
+    TxLog.append(Seq((9L, 9L)).toDF("id", "v"), b)
+    val ckb = TxLog.checkpoint(b)
+    (0 until ckb).foreach(v => java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(b, "_log", f"$v%08d.txt")))
+    assert(TxLog.vacuumTxn(txRoot, minAgeMs = 0).size == 1)
+    assert(TxLog.read(spark, a).count() == 6L)
+    assert(TxLog.read(spark, b).count() == 4L)
     TxLog.drop(root)
   }
 
