@@ -411,4 +411,70 @@ object GraftProperties extends Properties("graft") {
       TxLog.drop(t)
       net == live
     }
+
+  // multi-table atomicity: under ANY interleaving of committed /
+  // aborted / still-undecided transactions plus single-table appends,
+  // every DECIDED transaction is all-or-nothing across its tables —
+  // table A holds a transaction's batch iff table B does — and an
+  // undecided one is visible NOWHERE
+  property("multi-table transactions are all-or-nothing across tables " +
+      "under random decide/abort/crash interleavings") =
+    forAll(Gen.listOfN(4, Gen.choose(0, 3))) { ops =>
+      import graft.core.TxLog
+      val root = java.nio.file.Files.createTempDirectory("txmprop_").toString
+      val (a, b) = (s"$root/a", s"$root/b")
+      TxLog.create(spark.range(0L, 5L).selectExpr("id"), a)
+      TxLog.create(spark.range(0L, 5L).selectExpr("id"), b)
+      var next = 1000L
+      // marker batch per op: (ids in a, ids in b), plus what we did
+      val expectA = scala.collection.mutable.Set(0L until 5L: _*)
+      val expectB = scala.collection.mutable.Set(0L until 5L: _*)
+      ops.foreach { op =>
+        val (ia, ib) = (next, next + 1); next += 2
+        op match {
+          case 0 => // committed multi-table txn
+            TxLog.appendAll(s"$root/_txn", Seq(
+              spark.range(ia, ia + 1).selectExpr("id") -> a,
+              spark.range(ib, ib + 1).selectExpr("id") -> b))
+            expectA += ia; expectB += ib: Unit
+          case 1 => // aborted txn (claimed, decided as no-op)
+            val parts = Seq(
+              a -> TxLog.stageChecked(
+                spark.range(ia, ia + 1).selectExpr("id"), a)
+                .map(f => s"add\t$f"),
+              b -> TxLog.stageChecked(
+                spark.range(ib, ib + 1).selectExpr("id"), b)
+                .map(f => s"add\t$f"))
+            val (tx, _) = TxLog.claimOnly(s"$root/_txn", parts)
+            TxLog.abortTx(s"$root/_txn", tx): Unit
+          case 2 => // single-table appends interleave freely
+            TxLog.append(spark.range(ia, ia + 1).selectExpr("id"), a)
+            expectA += ia: Unit
+          case _ => // committed txn via replaceAll-style lines path
+            TxLog.commitAllLines(s"$root/_txn", Seq(
+              a -> TxLog.stageChecked(
+                spark.range(ia, ia + 1).selectExpr("id"), a)
+                .map(f => s"add\t$f"),
+              b -> TxLog.stageChecked(
+                spark.range(ib, ib + 1).selectExpr("id"), b)
+                .map(f => s"add\t$f")))
+            expectA += ia; expectB += ib: Unit
+        }
+      }
+      // one UNDECIDED txn on top: visible nowhere
+      val pend = Seq(
+        a -> TxLog.stageChecked(
+          spark.range(next, next + 1).selectExpr("id"), a)
+          .map(f => s"add\t$f"),
+        b -> TxLog.stageChecked(
+          spark.range(next + 1, next + 2).selectExpr("id"), b)
+          .map(f => s"add\t$f"))
+      TxLog.claimOnly(s"$root/_txn", pend): Unit
+      val gotA = TxLog.read(spark, a).select("id").collect()
+        .map(_.getLong(0)).toSet
+      val gotB = TxLog.read(spark, b).select("id").collect()
+        .map(_.getLong(0)).toSet
+      TxLog.drop(root)
+      gotA == expectA.toSet && gotB == expectB.toSet
+    }
 }
