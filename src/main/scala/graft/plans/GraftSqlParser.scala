@@ -94,6 +94,7 @@ case class OptimizeTableCommand(nameParts: Seq[String],
     val bytes = before.map(f => new java.io.File(dir, f).length()).sum
     val nFiles = math.max(1, math.ceil(bytes / (128.0 * (1 << 20))).toInt)
     TxLog.optimize(spark, dir, nFiles, zorderBy)
+    TxLogDml.refresh(spark, dir) // session-catalog relations cache snapshots
     Seq(Row(before.size.toLong, TxLog.snapshot(dir).size.toLong))
   }
 }
@@ -112,7 +113,9 @@ case class VacuumTableCommand(nameParts: Seq[String],
       .getOrElse(TxLog.DefaultVacuumMinAgeMs)
     val retainAfter =
       TxLog.currentVersion(dir) - retainVersions.getOrElse(10) + 1
-    Seq(Row(TxLog.vacuum(dir, retainAfter, minAge).size.toLong))
+    val n = TxLog.vacuum(dir, retainAfter, minAge).size.toLong
+    TxLogDml.refresh(spark, dir)
+    Seq(Row(n))
   }
 }
 

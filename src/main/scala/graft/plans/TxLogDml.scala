@@ -36,7 +36,12 @@ import org.apache.spark.sql.functions.{coalesce, col, lit, monotonically_increas
   * VERDICT r10 ranked #3. */
 class TxLogDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
-  private def txlogTarget(p: LogicalPlan): Option[(DataSourceV2Relation, TxLogTable)] =
+  /** The txlog table DIRECTORY a DML target resolves to, with its
+    * output attributes — catalog-loaded V2 tables AND session-catalog
+    * `CREATE TABLE ... USING txlog` V1 relations both qualify (the
+    * latter resolve through FindDataSourceTable to a LogicalRelation
+    * over the connector's FileIndex / row relation). */
+  private def txlogTarget(p: LogicalPlan): Option[(Seq[Attribute], String)] =
     p match {
       case r: DataSourceV2Relation => r.table match {
         case t: TxLogTable =>
@@ -44,9 +49,22 @@ class TxLogDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
           // silently hit the LATEST version through the shared dir
           require(t.asOf.isEmpty,
             s"cannot run DML against the time-travel snapshot ${t.name()}")
-          Some((r, t))
+          Some((r.output, t.dir))
         case _ => None
       }
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location match {
+              case fi: graft.sources.TxLogFileIndex => Some((l.output, fi.dir))
+              case _ => None
+            }
+          case rr: graft.sources.TxLogRowRelation =>
+            require(rr.asOf.forall(_ == TxLog.currentVersion(rr.dir)),
+              "cannot run DML against a versionAsOf/timestampAsOf snapshot")
+            Some((l.output, rr.dir))
+          case _ => None
+        }
       case SubqueryAlias(_, child) => txlogTarget(child)
       case _ => None
     }
@@ -74,13 +92,13 @@ class TxLogDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
     case d @ DeleteFromTable(t, cond) if d.resolved =>
       txlogTarget(t) match {
-        case Some((_, tbl)) =>
-          TxLogDeleteCommand(tbl.dir, GraftSqlBridge.columnOf(byName(cond)))
+        case Some((_, dir)) =>
+          TxLogDeleteCommand(dir, GraftSqlBridge.columnOf(byName(cond)))
         case None => d
       }
     case u @ UpdateTable(t, assignments, cond) if u.resolved =>
       txlogTarget(t) match {
-        case Some((_, tbl)) =>
+        case Some((_, dir)) =>
           val sets = assignments.map {
             case Assignment(k: AttributeReference, v) =>
               k.name -> GraftSqlBridge.columnOf(byName(v))
@@ -88,21 +106,21 @@ class TxLogDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
               s"UPDATE on a txlog table supports top-level column " +
                 s"assignments only, got $other")
           }
-          TxLogUpdateCommand(tbl.dir,
+          TxLogUpdateCommand(dir,
             cond.map(c => GraftSqlBridge.columnOf(byName(c)))
               .getOrElse(lit(true)), sets)
         case None => u
       }
     case m: MergeIntoTable if m.resolved =>
       txlogTarget(m.targetTable) match {
-        case Some((rel, tbl)) =>
+        case Some((attrs, dir)) =>
           require(!m.schemaEvolutionEnabled,
             "MERGE WITH SCHEMA EVOLUTION is not supported on txlog tables")
-          TxLogMergeCommand(tbl.dir, rel.output, m.sourceTable,
+          TxLogMergeCommand(dir, attrs, m.sourceTable,
             m.mergeCondition,
-            m.matchedActions.map(TxLogDml.rowAction(rel.output, _)),
-            m.notMatchedActions.map(TxLogDml.insertSpec(rel.output, _)),
-            m.notMatchedBySourceActions.map(TxLogDml.rowAction(rel.output, _)))
+            m.matchedActions.map(TxLogDml.rowAction(attrs, _)),
+            m.notMatchedActions.map(TxLogDml.insertSpec(attrs, _)),
+            m.notMatchedBySourceActions.map(TxLogDml.rowAction(attrs, _)))
         case None => m
       }
     case p => p
@@ -116,6 +134,7 @@ case class TxLogDeleteCommand(dir: String, cond: Column)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     TxLog.deleteWhere(spark, dir, cond)
+    TxLogDml.refresh(spark, dir)
     Seq.empty
   }
 }
@@ -125,6 +144,7 @@ case class TxLogUpdateCommand(dir: String, cond: Column,
     sets: Seq[(String, Column)]) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     TxLog.updateWhere(spark, dir, cond, sets)
+    TxLogDml.refresh(spark, dir)
     Seq.empty
   }
 }
@@ -146,11 +166,27 @@ case class TxLogMergeCommand(dir: String, targetAttrs: Seq[Attribute],
   override def run(spark: SparkSession): Seq[Row] = {
     TxLogDml.merge(spark, dir, targetAttrs, sourcePlan, mergeCond,
       matched, notMatched, notMatchedBySource)
+    TxLogDml.refresh(spark, dir)
     Seq.empty
   }
 }
 
 object TxLogDml {
+
+  /** Invalidate session-catalog relation caches for `dir` after a
+    * mutation: a `CREATE TABLE ... USING txlog` relation is cached
+    * with its FileIndex SNAPSHOT frozen at resolution, so without
+    * this a post-DML SELECT through the table name silently reads
+    * the pre-DML version (the V2 catalog path loads a fresh table
+    * per statement and doesn't need it). */
+  private[plans] def refresh(spark: SparkSession, dir: String): Unit =
+    try {
+      spark.catalog.refreshByPath(dir)
+      // refreshByPath touches the dataframe cache manager only — the
+      // RELATION cache (where the frozen FileIndex lives) needs the
+      // session-catalog invalidation
+      GraftSqlBridge.invalidateRelationCache(spark)
+    } catch { case _: Throwable => () }
 
   private[plans] def rowAction(tgt: Seq[Attribute],
       a: MergeAction): TxLogRowAction = a match {

@@ -506,7 +506,7 @@ object TxLogSourceIO {
   * scan's data filters — Delta's `TahoeFileIndex` shape. The snapshot
   * is FROZEN at construction (file list, stats, partition values), so
   * a concurrent commit cannot tear this scan. */
-class TxLogFileIndex(dir: String, version: Int, live: Seq[String])
+class TxLogFileIndex(val dir: String, version: Int, live: Seq[String])
     extends FileIndex {
 
   private val stats: Map[String, Map[String, (Long, Long)]] =
@@ -677,8 +677,9 @@ class TxLogCdfRelation(override val sqlContext: SQLContext, dir: String,
   * left to Spark (the DSv1 contract re-evaluates unhandled filters);
   * column pruning is honored so the anti-join carries only the
   * requested columns plus the join metadata. */
-class TxLogRowRelation(override val sqlContext: SQLContext, dir: String,
-    asOf: Option[Int]) extends BaseRelation with PrunedFilteredScan {
+class TxLogRowRelation(override val sqlContext: SQLContext,
+    val dir: String, val asOf: Option[Int])
+    extends BaseRelation with PrunedFilteredScan {
 
   private def spark: SparkSession = sqlContext.sparkSession
   override lazy val schema: StructType = TxLog.read(spark, dir, asOf).schema

@@ -19,6 +19,16 @@ object GraftSqlBridge {
   def columnOf(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
     classic.ExpressionUtils.column(e)
 
+  /** Drop the session catalog's cached data-source relations
+    * (`sessionState.catalog` is `private[sql]`): a
+    * `CREATE TABLE ... USING txlog` relation caches its FileIndex
+    * snapshot at resolution, and `refreshByPath` only touches the
+    * dataframe cache manager — after a DML/maintenance commit the
+    * cached relation would keep serving the pre-commit version. */
+  def invalidateRelationCache(spark: SparkSession): Unit =
+    spark.asInstanceOf[classic.SparkSession]
+      .sessionState.catalog.invalidateAllCachedTables()
+
   /** Resolve a catalog-qualified multipart table name to its DSv2
     * [[org.apache.spark.sql.connector.catalog.Table]]
     * (`sessionState.catalogManager` is `private[sql]`) — what the

@@ -231,6 +231,32 @@ class TxLogCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL DML works on session-catalog USING-txlog tables too — the " +
+      "rule matches the V1 relation path, not only the lake catalog") {
+    val d = dirOf("v1dml")
+    TxLog.create((1L to 10L).map(i => (i, i * 1.0)).toDF("k", "v"), d)
+    spark.sql("DROP TABLE IF EXISTS v1dml_sql")
+    spark.sql(s"CREATE TABLE v1dml_sql USING txlog OPTIONS (path '$d')")
+    try {
+      spark.sql("DELETE FROM v1dml_sql WHERE k > 8")
+      spark.sql("UPDATE v1dml_sql SET v = v * 10 WHERE k <= 2")
+      Seq((2L, 99.0), (11L, 110.0)).toDF("k", "nv")
+        .createOrReplaceTempView("v1dml_src")
+      spark.sql("""MERGE INTO v1dml_sql t USING v1dml_src s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET v = s.nv
+        WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.nv)""")
+      val got = spark.sql(
+        "SELECT CAST(sum(v) AS BIGINT), count(*) FROM v1dml_sql").head()
+      // rows 1..8 survive; v: 1→10, 2→99(merge), 3..8 verbatim, +11→110
+      assert(got.getLong(1) == 9L, s"got $got")
+      assert(got.getLong(0) == (10L + 99L + (3L to 8L).sum + 110L),
+        s"got $got")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS v1dml_sql"): Unit
+      TxLog.drop(d)
+    }
+  }
+
   test("catalog reads report log-resident statistics: a small catalog " +
       "table broadcasts in a join") {
     TxLog.create((1L to 5L).map(i => (i, s"n$i")).toDF("k", "name"),
