@@ -835,18 +835,24 @@ object TxLog {
     // non-matching predicate used to silently no-op through the
     // affected.isEmpty early return (review r11 #7)
     val setMap = sets.toMap
-    val tableCols = st.schemaJson
+    val tableSchema: org.apache.spark.sql.types.StructType = st.schemaJson
       .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
-        .asInstanceOf[org.apache.spark.sql.types.StructType]
-        .fieldNames.toSet)
-      .getOrElse(read(spark, dir, Some(cur)).columns.toSet)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+      .getOrElse(read(spark, dir, Some(cur)).schema)
+    val tableCols = tableSchema.fieldNames.toSet
     require(setMap.keySet.subsetOf(tableCols),
       s"unknown UPDATE columns: ${setMap.keySet -- tableCols}")
     val affected = affectedFiles(spark, dir, st.live.keys.toSeq,
       df => df.filter(pred))
     if (affected.isEmpty) return cur
-    val src = readFiles(spark, dir, affected,
+    val src0 = readFiles(spark, dir, affected,
       dvFrameFrom(spark, dir, st.dv.toMap))
+    // a SET column the AFFECTED files predate (schema evolved in a
+    // later append) must still apply — null-backfill it before the
+    // rewrite, else the assignment silently vanishes (review r11 #2.3)
+    val src = (setMap.keySet -- src0.columns).foldLeft(src0) { (d, c) =>
+      d.withColumn(c, lit(null).cast(tableSchema(c).dataType))
+    }
     val fire = coalesce(pred, lit(false))
     val rewritten = src.select(src.columns.toIndexedSeq.map { c =>
       setMap.get(c) match {
@@ -1620,13 +1626,14 @@ object TxLog {
       }
     } catch {
       case e: Throwable =>
-        // lost a claim race: ABORT the transaction atomically (empty
-        // tx file) — the already-claimed entries become permanent
-        // no-op versions. Deleting them instead would leave a
-        // mid-range numbering hole if a concurrent writer had already
-        // claimed a later slot, and replay crashes on holes (review
-        // r11 #1).
-        abortTx(txRoot, txName): Unit
+        // lost a claim race: ABORT the transaction atomically — the
+        // already-claimed entries become permanent no-op versions.
+        // Deleting them instead would leave a mid-range numbering hole
+        // if a concurrent writer had already claimed a later slot, and
+        // replay crashes on holes (review r11 #1). The abort file
+        // carries the participants header so vacuumTxn can establish
+        // its referencers like any published file.
+        abortTx(txRoot, txName, parts.map(_._1)): Unit
         throw e
     }
     publishTx(txRoot, txName, parts.map(p => (p._1, p._2)))
@@ -1671,8 +1678,22 @@ object TxLog {
     * deliberately: deciding it later must not rewrite history a
     * consumer already read). Returns true if THIS call decided the
     * transaction; false if it was already decided. */
-  def abortTx(txRoot: String, txName: String): Boolean = {
+  def abortTx(txRoot: String, txName: String,
+      participants: Seq[String] = Seq.empty): Boolean = {
     val tmp = Files.createTempFile(Paths.get(txRoot), ".abort-", ".tmp")
+    // when the caller knows the participants (the claim-race rollback
+    // does), record the `!tables` header so [[vacuumTxn]] can later
+    // establish the abort file's referencers and reclaim it; a bare
+    // operator abort writes an empty (headerless) file, which vacuumTxn
+    // conservatively KEEPS forever rather than risking a reclaim that
+    // flips an unscanned table's version back to UNDECIDED
+    if (participants.nonEmpty) {
+      val header = "!tables\t" + participants.map { dir =>
+        Paths.get(txRoot).toAbsolutePath.normalize()
+          .relativize(Paths.get(dir).toAbsolutePath.normalize()).toString
+      }.mkString("\t")
+      Files.write(tmp, (header + "\n").getBytes("UTF-8")): Unit
+    }
     try { Files.createLink(Paths.get(txRoot, txName), tmp); true }
     catch {
       case _: java.nio.file.FileAlreadyExistsException => false
@@ -1790,11 +1811,11 @@ object TxLog {
       headerTables match {
         case Some(ts) =>
           (ts ++ extraTables).forall(d => !refsOf(d).contains(f.getName))
-        case None if extraTables.nonEmpty =>
-          // aborted/headerless: only reclaimable when the supplied
-          // tables are the full participant set and none references it
-          extraTables.forall(d => !refsOf(d).contains(f.getName))
-        case None => false // cannot establish referencers — keep
+        // headerless (bare operator aborts): participants unknowable —
+        // ALWAYS keep; reclaiming on a partial extraTables list could
+        // flip an unscanned table's version back to UNDECIDED forever
+        // (review r11 #2.5). Claim-race aborts carry the header.
+        case None => false
       }
     }.map(_.getName)
     victims.foreach(n => Files.deleteIfExists(Paths.get(txRoot, n)))

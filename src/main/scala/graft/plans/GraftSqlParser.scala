@@ -91,6 +91,9 @@ case class OptimizeTableCommand(nameParts: Seq[String],
   override def run(spark: SparkSession): Seq[Row] = {
     val dir = MaintenanceTarget.dirOf(spark, nameParts)
     val before = TxLog.snapshot(dir)
+    // a freshly-created or fully-deleted table has nothing to compact —
+    // a maintenance script's OPTIMIZE must no-op, not crash (review)
+    if (before.isEmpty) return Seq(Row(0L, 0L))
     val bytes = before.map(f => new java.io.File(dir, f).length()).sum
     val nFiles = math.max(1, math.ceil(bytes / (128.0 * (1 << 20))).toInt)
     TxLog.optimize(spark, dir, nFiles, zorderBy)
@@ -108,6 +111,12 @@ case class VacuumTableCommand(nameParts: Seq[String],
     AttributeReference("files_deleted", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val dir = MaintenanceTarget.dirOf(spark, nameParts)
+    // RETAIN 0 would unprotect the CURRENT snapshot itself: the
+    // protection range (cur+1 .. cur) is empty and the live data files
+    // become victims — with the age conf at 0 that wipes the table
+    // (review; Delta's RETAIN 0 HOURS always keeps the current state)
+    retainVersions.foreach(n => require(n >= 1,
+      s"RETAIN must keep at least the current version, got $n"))
     val minAge = spark.conf
       .getOption("spark.graft.txlog.vacuum.minAgeMs").map(_.toLong)
       .getOrElse(TxLog.DefaultVacuumMinAgeMs)

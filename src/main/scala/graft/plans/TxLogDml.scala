@@ -56,11 +56,17 @@ class TxLogDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         l.relation match {
           case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
             h.location match {
-              case fi: graft.sources.TxLogFileIndex => Some((l.output, fi.dir))
+              case fi: graft.sources.TxLogFileIndex =>
+                // DML through a versionAsOf/timestampAsOf relation would
+                // silently mutate the LATEST version via the shared dir
+                require(!fi.pinned,
+                  "cannot run DML against a versionAsOf/timestampAsOf " +
+                    "snapshot")
+                Some((l.output, fi.dir))
               case _ => None
             }
           case rr: graft.sources.TxLogRowRelation =>
-            require(rr.asOf.forall(_ == TxLog.currentVersion(rr.dir)),
+            require(!rr.pinned,
               "cannot run DML against a versionAsOf/timestampAsOf snapshot")
             Some((l.output, rr.dir))
           case _ => None

@@ -232,9 +232,17 @@ class TxLogCatalogRelation(override val sqlContext: SQLContext,
   override def schema: StructType = required
   override def needConversion: Boolean = false
   override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
-    val df = TxLog.read(sqlContext.sparkSession, dir, asOf)
-      .select(required.fieldNames.map(org.apache.spark.sql.functions.col)
-        .toIndexedSeq: _*)
+    import org.apache.spark.sql.functions.{col, lit}
+    val base = TxLog.read(sqlContext.sparkSession, dir, asOf)
+    // the recorded union schema can name a column NO live file carries
+    // anymore (the last file holding it was deleted whole, without a
+    // rewrite) — null-backfill instead of failing the scan (review
+    // r11 #2.6, Delta's behavior)
+    val have = base.columns.toSet
+    val df = base.select(required.fields.toIndexedSeq.map { f =>
+      if (have(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
     df.queryExecution.toRdd
       .asInstanceOf[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
   }

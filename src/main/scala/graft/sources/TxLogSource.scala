@@ -180,15 +180,22 @@ class TxLogDataSource extends RelationProvider
     val spark = sqlContext.sparkSession
     val version = asOf.getOrElse(TxLog.currentVersion(dir))
     val live = TxLog.snapshot(dir, Some(version))
+    // `pinned` records whether the USER time-traveled (versionAsOf /
+    // timestampAsOf) — the DML rule must refuse mutations through a
+    // pinned relation, and `version == currentVersion` cannot tell
+    // "pinned to what happens to be latest" from "default latest"
+    // (review r11 #2.4)
     if (live.isEmpty || TxLog.hasDeletionVectors(dir, Some(version)))
-      new TxLogRowRelation(sqlContext, dir, Some(version))
+      new TxLogRowRelation(sqlContext, dir, Some(version),
+        pinned = asOf.isDefined)
     else {
       // union schema over the live files (commits may evolve the schema
       // — q380): per-file footer metadata IO, plan-time only
       val dataSchema = spark.read.option("mergeSchema", "true")
         .parquet(live.map(f => s"$dir/$f"): _*).schema
       HadoopFsRelation(
-        location = new TxLogFileIndex(dir, version, live),
+        location = new TxLogFileIndex(dir, version, live,
+          pinned = asOf.isDefined),
         partitionSchema = new StructType(),
         dataSchema = dataSchema,
         bucketSpec = None,
@@ -332,14 +339,19 @@ class TxLogStreamSource(sqlContext: SQLContext, dir: String,
     // a FRESH stream has no checkpointed offset — the engine passes
     // null, not initialOffset() (the KafkaSource contract)
     val base = if (start == null) startingVersion - 1 else versionOfV2(start)
-    val cur = decidedThrough(base,
-      math.min(TxLog.currentVersion(dir), availableNowTarget))
-    if (cur <= base) return start
-    val cap = limit match {
-      case f: ReadMaxFiles => base + math.max(f.maxFiles(), 1)
-      case _ => cur
+    val avail = math.min(TxLog.currentVersion(dir), availableNowTarget)
+    // clamp the undecided scan to the read-limit cap FIRST: versions
+    // beyond it cannot be offered this trigger anyway, and scanning
+    // the whole backlog per trigger is O(backlog²/cap) file IO over a
+    // capped drain (review r11 #2.7)
+    val scanHi = limit match {
+      case f: ReadMaxFiles =>
+        math.min(avail, base + math.max(f.maxFiles(), 1))
+      case _ => avail
     }
-    LongOffset(math.min(cur, cap).toLong)
+    val cur = decidedThrough(base, scanHi)
+    if (cur <= base) return start
+    LongOffset(cur.toLong)
   }
 
   /** Highest version in (base, hi] BEFORE the first UNDECIDED
@@ -398,17 +410,18 @@ class TxLogStreamSource(sqlContext: SQLContext, dir: String,
     * commits, and the cap never falls below the recovered checkpoint
     * base. */
   override def getOffset: Option[Offset] = {
+    val cur = TxLog.currentVersion(dir)
     val base = if (deliveredThrough == Int.MinValue) startingVersion - 1
       else deliveredThrough
-    val v = decidedThrough(math.min(base, TxLog.currentVersion(dir)),
-      TxLog.currentVersion(dir))
-    if (v < math.max(startingVersion, 0)) return None
-    val capped = maxVersionsPerTrigger match {
+    // cap the scan window before walking it (see latestOffset)
+    val scanHi = maxVersionsPerTrigger match {
       case Some(n) if deliveredThrough != Int.MinValue =>
-        math.min(v, deliveredThrough + math.max(n, 1))
-      case _ => v // no cap, or no safe base — never offer below a checkpoint
+        math.min(cur, deliveredThrough + math.max(n, 1))
+      case _ => cur // no cap, or no safe base — never offer below a checkpoint
     }
-    Some(LongOffset(capped.toLong))
+    val v = decidedThrough(math.min(base, cur), scanHi)
+    if (v < math.max(startingVersion, 0)) return None
+    Some(LongOffset(v.toLong))
   }
 
   private def versionOf(o: Offset): Int = o match {
@@ -506,7 +519,8 @@ object TxLogSourceIO {
   * scan's data filters — Delta's `TahoeFileIndex` shape. The snapshot
   * is FROZEN at construction (file list, stats, partition values), so
   * a concurrent commit cannot tear this scan. */
-class TxLogFileIndex(val dir: String, version: Int, live: Seq[String])
+class TxLogFileIndex(val dir: String, version: Int, live: Seq[String],
+    val pinned: Boolean = false)
     extends FileIndex {
 
   private val stats: Map[String, Map[String, (Long, Long)]] =
@@ -678,7 +692,7 @@ class TxLogCdfRelation(override val sqlContext: SQLContext, dir: String,
   * column pruning is honored so the anti-join carries only the
   * requested columns plus the join metadata. */
 class TxLogRowRelation(override val sqlContext: SQLContext,
-    val dir: String, val asOf: Option[Int])
+    val dir: String, val asOf: Option[Int], val pinned: Boolean = false)
     extends BaseRelation with PrunedFilteredScan {
 
   private def spark: SparkSession = sqlContext.sparkSession

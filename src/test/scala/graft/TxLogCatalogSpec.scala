@@ -257,6 +257,73 @@ class TxLogCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("DML refuses version-pinned USING-txlog relations (both the " +
+      "native-scan and merge-on-read shapes); maintenance guards: " +
+      "RETAIN 0 refuses, OPTIMIZE on an empty table no-ops") {
+    // DV-free dir → HadoopFsRelation/TxLogFileIndex shape
+    val d1 = dirOf("pin1")
+    TxLog.create((1L to 5L).map(i => (i, i)).toDF("k", "v"), d1)
+    TxLog.append(Seq((9L, 9L)).toDF("k", "v"), d1)
+    spark.sql("DROP TABLE IF EXISTS pin1_sql")
+    spark.sql(
+      s"CREATE TABLE pin1_sql USING txlog OPTIONS (path '$d1', versionAsOf 0)")
+    val e1 = intercept[Exception] {
+      spark.sql("DELETE FROM pin1_sql WHERE k = 1")
+    }
+    assert(e1.getMessage.contains("versionAsOf"), e1.getMessage)
+    spark.sql("DROP TABLE pin1_sql")
+    // DV-bearing dir → TxLogRowRelation shape
+    val d2 = dirOf("pin2")
+    TxLog.create((1L to 5L).map(i => (i, i)).toDF("k", "v"), d2)
+    TxLog.deleteWhereDV(spark, d2, col("k") === 5)
+    spark.sql("DROP TABLE IF EXISTS pin2_sql")
+    spark.sql(
+      s"CREATE TABLE pin2_sql USING txlog OPTIONS (path '$d2', versionAsOf 0)")
+    val e2 = intercept[Exception] {
+      spark.sql("UPDATE pin2_sql SET v = 0 WHERE k = 1")
+    }
+    assert(e2.getMessage.contains("versionAsOf"), e2.getMessage)
+    // an UN-pinned DV-bearing relation (also TxLogRowRelation) is fine
+    spark.sql("DROP TABLE IF EXISTS pin2u_sql")
+    spark.sql(s"CREATE TABLE pin2u_sql USING txlog OPTIONS (path '$d2')")
+    spark.sql("DELETE FROM pin2u_sql WHERE k = 4")
+    assert(spark.sql("SELECT count(*) FROM pin2u_sql").head().getLong(0)
+      == 3L)
+    Seq("pin2_sql", "pin2u_sql").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+    // VACUUM RETAIN 0 would unprotect the current snapshot — refused
+    TxLog.create((1L to 3L).map(i => (i, i)).toDF("k", "v"), dirOf("vz"))
+    val e3 = intercept[Exception] {
+      spark.sql("VACUUM lake.vz RETAIN 0 VERSIONS")
+    }
+    assert(e3.getMessage.contains("RETAIN"), e3.getMessage)
+    // OPTIMIZE on a freshly-created empty table no-ops instead of
+    // crashing a maintenance script
+    spark.sql("CREATE TABLE lake.optempty (k BIGINT) USING txlog")
+    val r = spark.sql("OPTIMIZE lake.optempty").head()
+    assert(r.getLong(0) == 0L && r.getLong(1) == 0L)
+  }
+
+  test("UPDATE of a schema-evolved column applies to files that " +
+      "predate the column; scans survive losing the last file that " +
+      "carried it") {
+    val d = dirOf("evolve")
+    TxLog.create(Seq((1L, 1.0)).toDF("k", "v"), d)          // no column c
+    TxLog.append(Seq((2L, 2.0, "x")).toDF("k", "v", "c"), d) // adds c
+    // the affected file (k=1) predates c — the SET must still land
+    spark.sql("UPDATE lake.evolve SET c = 'set' WHERE k = 1")
+    val rows = spark.sql("SELECT k, c FROM lake.evolve ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((1L, "set"), (2L, "x")), s"got $rows")
+    // delete every row so the files carrying c drop whole: the
+    // recorded union schema still names c — the scan null-backfills
+    // instead of failing
+    spark.sql("DELETE FROM lake.evolve WHERE k <= 2")
+    TxLog.append(Seq((5L, 5.0)).toDF("k", "v"), d) // post-delete file, no c
+    val got = spark.sql("SELECT k, v, c FROM lake.evolve").collect()
+    assert(got.length == 1 && got.head.isNullAt(2), s"got ${got.toSeq}")
+  }
+
   test("catalog reads report log-resident statistics: a small catalog " +
       "table broadcasts in a join") {
     TxLog.create((1L to 5L).map(i => (i, s"n$i")).toDF("k", "name"),

@@ -842,6 +842,46 @@ class TxLogSpec extends AnyFunSuite {
     TxLog.drop(root)
   }
 
+  test("vacuumTxn: claim-race abort files carry the participants " +
+      "header and reclaim like published ones; bare operator aborts " +
+      "are headerless and kept forever") {
+    val root = java.nio.file.Files.createTempDirectory("txvabort_").toString
+    val (a, broken) = (s"$root/a", s"$root/broken")
+    val txRoot = s"$root/_txn"
+    TxLog.create((1L to 5L).map(i => (i, i)).toDF("id", "v"), a)
+    new java.io.File(broken).mkdirs()
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(broken, "_log"))
+    // claim-race abort (second table's claim fails) → header-carrying
+    // abort file referenced by a's no-op version
+    intercept[Throwable] {
+      TxLog.commitAllLines(txRoot,
+        Seq(a -> Seq("add\tx.parquet"), broken -> Seq("add\ty.parquet")))
+    }
+    assert(TxLog.vacuumTxn(txRoot, minAgeMs = 0).isEmpty,
+      "a's raw xref entry still references the abort file")
+    // truncate a's raw entries below a checkpoint → reclaimable via
+    // the header alone (broken has no log to scan)
+    TxLog.append(Seq((9L, 9L)).toDF("id", "v"), a)
+    val ck = TxLog.checkpoint(a)
+    (0 until ck).foreach(v => java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(a, "_log", f"$v%08d.txt")))
+    assert(TxLog.vacuumTxn(txRoot, minAgeMs = 0).size == 1,
+      "header-carrying abort files reclaim once unreferenced")
+    // a bare operator abort (participants unknown) stays forever —
+    // reclaiming on a guess could flip an unscanned table's version
+    // back to UNDECIDED
+    val (tx2, _) = TxLog.claimOnly(txRoot, Seq(a -> Seq("add\tz.parquet")))
+    TxLog.abortTx(txRoot, tx2)
+    TxLog.append(Seq((10L, 10L)).toDF("id", "v"), a)
+    val ck2 = TxLog.checkpoint(a)
+    (0 until ck2).foreach(v => java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(a, "_log", f"$v%08d.txt")))
+    assert(TxLog.vacuumTxn(txRoot, Seq(a), minAgeMs = 0).isEmpty,
+      "headerless abort files are never reclaimed")
+    assert(TxLog.read(spark, a).count() == 7L)
+    TxLog.drop(root)
+  }
+
   test("change feed: a shallow clone's v0 inserts only the rows " +
       "surviving its carried-over deletion vectors") {
     val src = java.nio.file.Files.createTempDirectory("txcdf_src_").toString
