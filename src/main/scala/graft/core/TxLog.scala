@@ -565,6 +565,27 @@ object TxLog {
     claimVersion(dir, 0, Seq(s"schema\t${escapeVal(schema.json)}"))
   }
 
+  /** SCHEMA EVOLUTION as its own commit (`ALTER TABLE ... ADD COLUMN`
+    * — Delta's metadata-only action): version `cur+1` carries ONLY the
+    * widened schema line; no data moves. Reads null-backfill columns no
+    * live file carries, so the new column is immediately queryable.
+    * Widen-only: every existing field must survive unchanged — dropping
+    * or retyping a column under live files would make them unreadable
+    * (that path is `replace`, which swaps the data too). */
+  def evolveSchema(dir: String,
+      next: org.apache.spark.sql.types.StructType): Int = {
+    val cur = currentVersion(dir)
+    require(cur >= 0, s"$dir is not a TxLog table")
+    tableSchema(dir).foreach { prior =>
+      prior.fields.foreach { f =>
+        require(next.fields.contains(f),
+          s"schema evolution is widen-only: field '${f.name}' of the " +
+            "current schema is missing or changed in the new one")
+      }
+    }
+    claimVersion(dir, cur + 1, Seq(s"schema\t${escapeVal(next.json)}"))
+  }
+
   /** APPEND: new files only, nothing removed. */
   def append(df: DataFrame, dir: String): Int = {
     val cur = currentVersion(dir)
@@ -882,6 +903,18 @@ object TxLog {
     * legitimately emptied (all files deleted) reads as an EMPTY frame
     * with the schema recovered from the most recently removed file
     * still on disk. */
+  /** READ-ISOLATION CAVEAT (ADVICE r11 #2): a batch or versionAsOf
+    * read whose range crosses an UNDECIDED multi-table transaction
+    * resolves that version to nothing — so the same pinned version can
+    * return different rows before vs after the transaction publishes,
+    * and a cross-table batch read spanning the publish instant can see
+    * table A pre-publish and table B post-publish. This is the
+    * documented weakening vs Delta's immutable versions; STREAMING
+    * consumers are unaffected (the source never offers past an
+    * undecided version — [[versionUndecided]]/decidedThrough), and
+    * checkpoint/vacuum refuse outright. Pinned reads that must be
+    * reproducible should run after the transaction is decided (publish
+    * or [[abortTx]]). */
   def read(spark: SparkSession, dir: String,
       asOf: Option[Int] = None): DataFrame = {
     val v = asOf.getOrElse(currentVersion(dir))
@@ -1328,6 +1361,15 @@ object TxLog {
   def vacuum(dir: String, retainAfter: Int,
       minAgeMs: Long = DefaultVacuumMinAgeMs): Seq[String] = {
     val cur = currentVersion(dir)
+    // An UNDECIDED multi-table transaction's staged files resolve to
+    // NOTHING (the xref is a hole until publish), so protectedFiles
+    // would miss them and a zero-min-age vacuum would delete data a
+    // later publishTx commits references to (ADVICE r11 #4). Refuse —
+    // mirroring checkpoint's pendingXref guard; deciding the
+    // transaction (publish or abortTx) unblocks vacuum.
+    require(!state(dir, Some(cur)).pendingXref,
+      s"cannot vacuum $dir: a multi-table transaction in range has " +
+        "not been decided yet (publish or TxLog.abortTx it first)")
     // A version whose raw entries were truncated below a checkpoint is
     // RETIRED — unreadable for time travel, so it protects nothing of
     // its own (any file of its still live later is protected by the
@@ -1613,15 +1655,28 @@ object TxLog {
       == parts.size, "duplicate table dirs in one transaction")
     new File(txRoot).mkdirs()
     val txName = s"tx-${java.util.UUID.randomUUID().toString.take(12)}.txt"
+    // SCHEMA lines ride in each table's RAW claim entry, not the shared
+    // tx file: a table CREATED by a transaction that later aborts (or
+    // whose writer dies undecided) must still resolve a schema —
+    // otherwise the table "exists" (version 0 claimed) but read()
+    // throws "schema unrecoverable" forever (ADVICE r11 #3). The
+    // resolved view is identical on publish (resolveLines passes raw
+    // non-xref lines through); the only visible difference is that an
+    // aborted creation leaves a typed EMPTY table — createEmpty's
+    // exact shape — instead of a poisoned one.
+    val split = parts.map { case (dir, lines, expected) =>
+      val (schema, data) = lines.partition(_.startsWith("schema\t"))
+      (dir, schema, data, expected)
+    }
     val claimed = scala.collection.mutable.ListBuffer.empty[(String, Int)]
     try {
-      parts.zipWithIndex.foreach { case ((dir, _, expected), i) =>
+      split.zipWithIndex.foreach { case ((dir, schema, _, expected), i) =>
         new File(dir).mkdirs()
         val rel = Paths.get(dir).toAbsolutePath.normalize()
           .relativize(Paths.get(txRoot).toAbsolutePath.normalize())
         val v = claimVersion(dir,
           expected.getOrElse(currentVersion(dir)) + 1,
-          Seq(s"xref\t$rel${File.separator}$txName\t$i"))
+          s"xref\t$rel${File.separator}$txName\t$i" +: schema)
         claimed += ((dir, v))
       }
     } catch {
@@ -1636,7 +1691,21 @@ object TxLog {
         abortTx(txRoot, txName, parts.map(_._1)): Unit
         throw e
     }
-    publishTx(txRoot, txName, parts.map(p => (p._1, p._2)))
+    // publish failures (tx file IO error, txRoot deleted, disk full)
+    // must not leave the transaction UNDECIDED — an undecided xref
+    // blocks checkpoints and stalls every streaming consumer on all
+    // participating tables until a manual abortTx (ADVICE r11 #1).
+    // abortTx is atomic and idempotent: if the publish link actually
+    // landed before the throw, it harmlessly returns false.
+    try publishTx(txRoot, txName, split.map(p => (p._1, p._3)))
+    catch {
+      case e: Throwable =>
+        // abort can itself fail on the same broken filesystem — keep
+        // the ORIGINAL failure primary, the abort failure suppressed
+        try abortTx(txRoot, txName, parts.map(_._1)): Unit
+        catch { case e2: Throwable => e.addSuppressed(e2) }
+        throw e
+    }
     claimed.foreach { case (d, v) => maybeCheckpoint(d, v) }
     claimed.map(_._2).toSeq
   }
@@ -1648,8 +1717,17 @@ object TxLog {
     * the list; [[resolveLines]]' key-prefix match never sees it.
     * Refuses if the transaction was already decided (published or
     * aborted). */
+  /** Crash-injection seam for the publish-failure spec (the claimOnly
+    * counterpart): when set, the next [[publishTx]] throws BEFORE
+    * touching the filesystem — the "disk full / txRoot gone at publish
+    * time" window commitAllImpl must auto-abort. */
+  private[graft] val failNextPublish =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+
   private[graft] def publishTx(txRoot: String, txName: String,
       parts: Seq[(String, Seq[String])]): Unit = {
+    if (failNextPublish.getAndSet(false))
+      throw new java.io.IOException("injected publish failure (spec seam)")
     val header = "!tables\t" + parts.map { case (dir, _) =>
       Paths.get(txRoot).toAbsolutePath.normalize()
         .relativize(Paths.get(dir).toAbsolutePath.normalize()).toString

@@ -68,6 +68,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // a RESOLUTION rule so it converts the statements before the
     // built-in row-level rewrite rules reject the table (Delta's shape).
     e.injectResolutionRule(s => new TxLogDmlRule(s))
+    // readStream.table("lake.t"): fill the V1 streaming fallback on
+    // catalog-loaded txlog tables (reuses the DSv1 source's offset /
+    // admission-control logic — see TxLogStreamingRule).
+    e.injectResolutionRule(s => new TxLogStreamingRule(s))
+    // CDF as SQL: SELECT * FROM table_changes('lake.t', v1[, v2])
+    e.injectTableFunction(TableChanges.fn)
     // lakehouse maintenance statements (OPTIMIZE/VACUUM/DESCRIBE
     // HISTORY) — regex-gated; everything else delegates verbatim
     e.injectParser((_, delegate) => new GraftSqlParser(delegate))

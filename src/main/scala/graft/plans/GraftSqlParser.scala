@@ -67,6 +67,65 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     delegate.parseRoutineParam(sqlText)
 }
 
+/** CDF AS SQL (VERDICT r11 #5 — Delta's `table_changes` TVF): an
+  * injected table-valued function over [[TxLog.changeFeed]], so the
+  * change feed is queryable from pure SQL —
+  *
+  *   {{{ SELECT * FROM table_changes('lake.t', 1, 3) }}}
+  *
+  * The first argument is a catalog table name or a bare directory path
+  * (anything containing '/'); versions are inclusive, the end version
+  * defaulting to the current one. Registered through
+  * `injectTableFunction` ([[GraftExtensions]]) — the builder runs at
+  * resolution time and returns the change-feed frame's logical plan,
+  * columns `<table schema> + (_change_type, _commit_version)`. */
+object TableChanges {
+  import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+  val fn: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("table_changes"),
+    new ExpressionInfo("graft.core.TxLog", "table_changes"),
+    (args: Seq[Expression]) => build(args))
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case Literal(v: Long, _) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"table_changes: $what must be an integer literal, got $other")
+  }
+
+  private[plans] def build(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 2 || args.length == 3,
+      "usage: table_changes(<table name or path>, startVersion" +
+        "[, endVersion])")
+    val spark = SparkSession.active
+    val name = args.head match {
+      case Literal(s, org.apache.spark.sql.types.StringType)
+          if s != null => s.toString
+      case other => throw new IllegalArgumentException(
+        s"table_changes: the table must be a string literal, got $other")
+    }
+    val dir =
+      if (name.contains("/")) name
+      else GraftSqlBridge.lookupV2Table(spark,
+          spark.sessionState.sqlParser.parseMultipartIdentifier(name)) match {
+        case t: TxLogTable =>
+          require(t.asOf.isEmpty,
+            s"table_changes addresses versions itself — name the table, " +
+              s"not the snapshot ${t.name()}")
+          t.dir
+        case other => throw new UnsupportedOperationException(
+          s"$name is not a txlog table: ${other.name()}")
+      }
+    val from = intArg(args(1), "startVersion")
+    val to =
+      if (args.length == 3) intArg(args(2), "endVersion")
+      else TxLog.currentVersion(dir)
+    TxLog.changeFeed(spark, dir, from, to).queryExecution.logical
+  }
+}
+
 private object MaintenanceTarget {
   /** Resolve a maintenance statement's table name to its txlog dir. */
   def dirOf(spark: SparkSession, nameParts: Seq[String]): String =

@@ -77,25 +77,74 @@ class TxLogDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   /** Rebind a resolved single-table expression by NAME (unambiguous
     * without a second relation in scope): the engine-built rewrite
-    * frames re-resolve it against their own attribute ids. Subquery
-    * conditions are REFUSED up front — their inner plans carry outer
-    * references to the statement's attribute ids, which cannot rebind
-    * by name (review r11 #6); a clear refusal beats a confusing
-    * unresolved-attribute analysis error. */
+    * frames re-resolve it against their own attribute ids.
+    *
+    * UNCORRELATED subqueries are PRE-EVALUATED to literals first
+    * (VERDICT r11 #8): a scalar subquery collapses to its single value,
+    * an IN-subquery to a bounded literal IN-list — legal because an
+    * uncorrelated subquery is a constant for the whole statement, and
+    * the statement runs once. CORRELATED subqueries stay refused: their
+    * inner plans carry outer references to the statement's attribute
+    * ids, which cannot rebind by name (review r11 #6). */
   private def byName(e: Expression): Expression = {
-    e.foreach {
-      case sq: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+    import org.apache.spark.sql.catalyst.expressions.{In, InSubquery, ListQuery, Literal, ScalarSubquery, SubqueryExpression}
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val pre = e.transform {
+      case sq: ScalarSubquery if sq.outerAttrs.isEmpty =>
+        val rows = GraftSqlBridge.ofRows(cs, sq.plan).limit(2).collect()
+        require(rows.length <= 1,
+          "scalar subquery in a txlog DML condition returned more " +
+            "than one row")
+        Literal.create(rows.headOption.map(_.get(0)).orNull, sq.dataType)
+      case InSubquery(Seq(v), lq: ListQuery) if lq.outerAttrs.isEmpty =>
+        // bounded by design: a 100 TB-scale IN-set belongs in MERGE (a
+        // real join), not a literal list shipped inside the condition
+        val max = 100000
+        val vals = GraftSqlBridge.ofRows(cs, lq.plan)
+          .distinct().limit(max + 1).collect()
+        require(vals.length <= max,
+          s"IN-subquery in a txlog DML condition exceeds $max distinct " +
+            "values — use MERGE INTO for join-shaped mutations")
+        if (vals.isEmpty) Literal.create(false,
+          org.apache.spark.sql.types.BooleanType)
+        else In(v, vals.toSeq.map(r =>
+          Literal.create(r.get(0), lq.plan.output.head.dataType)))
+    }
+    pre.foreach {
+      case sq: SubqueryExpression =>
         throw new UnsupportedOperationException(
-          "DELETE/UPDATE on txlog tables does not support subqueries " +
-            s"in the condition yet: ${sq.sql}")
+          "DELETE/UPDATE on txlog tables supports only UNCORRELATED " +
+            s"subqueries in the condition, got: ${sq.sql}")
       case _ => ()
     }
-    e.transform {
+    pre.transform {
       case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
     }
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+  /** `txlog.`/path`` relations (Delta's `delta.`/path`` shape): a
+    * two-part identifier whose head is the source name and whose tail
+    * is an existing txlog table directory resolves to the PATH-BASED
+    * relation — SELECT and DML both work with no catalog registered.
+    * Only directories that actually hold a committed log qualify, so a
+    * real catalog named `txlog` still wins everywhere else. */
+  private def resolveTxlogPaths(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperators {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+          if u.multipartIdentifier.length == 2 &&
+            u.multipartIdentifier.head.equalsIgnoreCase("txlog") &&
+            u.multipartIdentifier(1).contains("/") &&
+            (try TxLog.currentVersion(u.multipartIdentifier(1)) >= 0
+             catch { case _: Throwable => false }) =>
+        val rel = new graft.sources.TxLogDataSource().createRelation(
+          spark.sqlContext, Map("path" -> u.multipartIdentifier(1)))
+        org.apache.spark.sql.execution.datasources.LogicalRelation(
+          rel, isStreaming = false)
+    }
+
+  override def apply(plan0: LogicalPlan): LogicalPlan = {
+    val plan = resolveTxlogPaths(plan0)
+    plan match {
     case d @ DeleteFromTable(t, cond) if d.resolved =>
       txlogTarget(t) match {
         case Some((_, dir)) =>
@@ -130,7 +179,50 @@ class TxLogDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case None => m
       }
     case p => p
+    }
   }
+}
+
+/** STREAMING READS BY NAME (`spark.readStream.table("lake.t")`,
+  * VERDICT r11 #2): the analyzer resolves a catalog-loaded txlog table
+  * in a streaming plan to a [[StreamingRelationV2]] with no streaming
+  * capability and no V1 fallback — the engine would refuse it. This
+  * resolution rule fills the node's `v1Relation` with the DSv1 txlog
+  * source over the table's directory, REUSING the hardened offset /
+  * admission-control / undecided-transaction logic of
+  * [[graft.sources.TxLogStreamSource]] verbatim instead of duplicating
+  * it behind a second (DSv2 MicroBatchStream) implementation — the
+  * same composition Spark itself uses for session-catalog V1-provider
+  * tables, and the reason `maxVersionsPerTrigger` / `startingVersion` /
+  * `Trigger.AvailableNow` behave identically by name and by path.
+  * Reader options pass through `extraOptions`. */
+class TxLogStreamingRule(spark: SparkSession) extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.streaming.StreamingRelationV2
+  import org.apache.spark.sql.execution.datasources.DataSource
+  import org.apache.spark.sql.execution.streaming.runtime.StreamingRelation
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperators {
+      case s: StreamingRelationV2 if s.v1Relation.isEmpty &&
+          s.table.isInstanceOf[TxLogTable] =>
+        val t = s.table.asInstanceOf[TxLogTable]
+        require(t.asOf.isEmpty,
+          s"cannot stream from the time-travel snapshot ${t.name()}")
+        import scala.jdk.CollectionConverters._
+        val opts = s.extraOptions.asCaseSensitiveMap().asScala.toMap
+        // the CDF schema carries two extra meta columns the catalog
+        // table does not declare — by-name output attrs could not bind;
+        // the path API (`format("txlog").option("readChangeFeed", ...)`)
+        // is the CDF streaming surface
+        require(!opts.get("readChangeFeed").exists(_.trim.toBoolean),
+          "streaming CDF reads go through the path API: " +
+            "spark.readStream.format(\"txlog\")" +
+            ".option(\"readChangeFeed\", \"true\").load(dir)")
+        val ds = DataSource(
+          spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+          className = "txlog", options = opts + ("path" -> t.dir))
+        s.copy(v1Relation = Some(StreamingRelation(ds)))
+    }
 }
 
 /** `DELETE FROM t WHERE cond` → [[TxLog.deleteWhere]] (copy-on-write:

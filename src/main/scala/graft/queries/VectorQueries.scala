@@ -2126,18 +2126,23 @@ object VectorQueries {
         "NOT (a1.vec_id >= 8 AND a1.vec_id % 7 = 3)"))),
 
     // q334 — DBSCAN density clustering on the embedding plane (dims 1–2):
-    // eps=0.02, minPts=5. The ε-neighbor graph is built with the grid
-    // trick (cell width = eps, so every ε-pair is a king-move cell pair):
-    // each point joins the 3×3 cell coverage of the other side — ONE
-    // equi-join on cell id, never the all-pairs product; candidate
-    // volume is Σ 9·|cell|·density, corpus-linear at fixed density.
-    // Core = |N_eps incl self| ≥ minPts; core-core edges feed the same
-    // O(log n) min-label propagation as q76 (tuned session clone — the
-    // edge set is candidate-sized); cluster id = min core id in the
-    // component. Border points adopt the MINIMUM cluster id among their
-    // core neighbors (deterministic, unlike scan-order DBSCAN); the rest
-    // is noise (-1). Distances compare squared doubles against the
-    // literal 0.0004 — one identical IEEE chain per engine, no rounding.
+    // eps=0.02, minPts=5. The ε-neighbor graph comes from
+    // [[graft.ops.GridNeighbors.epsPairs]] — the grid trick (cell width
+    // = eps, every ε-pair a king-move cell pair, ONE equi-join on cell
+    // id) with DENSE CELLS routed through the salted SHUFFLE_HASH join
+    // (VERDICT r11 #6: one pathologically dense cell otherwise puts
+    // |cell|² candidate pairs on a single shuffle key — the same
+    // hot-key stall the LSH band joins already salt away, q50/q71).
+    // Threshold 64 engages the salted path on the fixture's real
+    // clusters; both paths are value-identical, so the hash is
+    // unchanged. Core = |N_eps incl self| ≥ minPts; core-core edges
+    // feed the same O(log n) min-label propagation as q76 (tuned
+    // session clone — the edge set is candidate-sized); cluster id =
+    // min core id in the component. Border points adopt the MINIMUM
+    // cluster id among their core neighbors (deterministic, unlike
+    // scan-order DBSCAN); the rest is noise (-1). Distances compare
+    // squared doubles against the literal 0.0004 — one identical IEEE
+    // chain per engine, no rounding.
     QuerySpec("q334_dbscan",
       (s, dir) => {
         val eps = 0.02
@@ -2146,22 +2151,9 @@ object VectorQueries {
             element_at(col("embedding"), 1).cast("double").as("x"),
             element_at(col("embedding"), 2).cast("double").as("y"))
           .persistTracked()
-        val own = pts
-          .withColumn("cx", floor(col("x") / eps).cast("long"))
-          .withColumn("cy", floor(col("y") / eps).cast("long"))
-        val cov = own
-          .select(col("vec_id").as("bi"), col("x").as("bx"), col("y").as("by"),
-            explode(expr("sequence(-1L, 1L)")).as("dx"), col("cx"), col("cy"))
-          .select(col("bi"), col("bx"), col("by"),
-            (col("cx") + col("dx")).as("cx"),
-            explode(expr("sequence(-1L, 1L)")).as("dy"), col("cy"))
-          .select(col("bi"), col("bx"), col("by"), col("cx"),
-            (col("cy") + col("dy")).as("cy"))
-        val nb = own.join(cov, Seq("cx", "cy"))
-          .filter(col("vec_id") =!= col("bi") &&
-            (col("x") - col("bx")) * (col("x") - col("bx")) +
-              (col("y") - col("by")) * (col("y") - col("by")) < eps * eps)
-          .select(col("vec_id").as("ai"), col("bi"))
+        val nb = graft.ops.GridNeighbors.epsPairs(
+          pts.select(col("vec_id").as("id"), col("x"), col("y")),
+          eps, denseThreshold = 64, salts = 8)
           .persistTracked()
         val core = nb.groupBy("ai").agg(count(lit(1)).as("nnb"))
           .filter(col("nnb") + 1 >= 5).select(col("ai").as("id"))

@@ -111,11 +111,37 @@ class TxLogCatalog extends TableCatalog {
     new TxLogTable(dir, ident.toString)
   }
 
+  /** `ALTER TABLE lake.t ADD COLUMN c t` — a metadata-only commit
+    * bridging to the in-log schema line ([[TxLog.evolveSchema]]);
+    * reads null-backfill the new column immediately. Other ALTER verbs
+    * stay on the log protocol (constraints) or are data operations in
+    * disguise (drop/retype under live files → `replace`). */
   override def alterTable(ident: Identifier,
-      changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE on txlog tables goes through the log protocol " +
-        "(addConstraint/dropConstraint; schema evolves with writes)")
+      changes: TableChange*): Table = {
+    val dir = tableDir(ident)
+    if (!exists(dir))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        Seq(catalogName) ++ ident.namespace() :+ ident.name())
+    val prior = TxLog.tableSchema(dir).getOrElse(
+      TxLog.read(SparkSession.active, dir).schema)
+    val next = changes.foldLeft(prior) {
+      case (st, add: TableChange.AddColumn) =>
+        require(add.fieldNames().length == 1,
+          "txlog ADD COLUMN supports top-level columns only, got " +
+            add.fieldNames().mkString("."))
+        val n = add.fieldNames()(0)
+        require(!st.fieldNames.contains(n),
+          s"column '$n' already exists in ${ident.toString}")
+        require(add.isNullable,
+          "an added column must be nullable: existing rows null-backfill")
+        st.add(n, add.dataType(), nullable = true)
+      case (_, other) => throw new UnsupportedOperationException(
+        s"unsupported ALTER on a txlog table: $other (ADD COLUMN only; " +
+          "constraints go through TxLog.addConstraint)")
+    }
+    TxLog.evolveSchema(dir, next)
+    new TxLogTable(dir, ident.toString)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = tableDir(ident)

@@ -108,4 +108,37 @@ class GraphOpsSpec extends AnyFunSuite {
       if (h == 0) assert(cost(n) == 0L, s"seed $n has nonzero cost")
     }
   }
+
+  test("GridNeighbors.epsPairs: salted dense cells are value-identical " +
+      "to brute force, and the dense path IS a salted shuffle-hash join") {
+    import org.apache.spark.sql.functions._
+    // one pathologically dense cell (120 points jittered inside a
+    // single eps-cell — the hot key the salting exists for) plus a
+    // sparse scatter and cross-cell near-pairs at cell borders
+    val eps = 0.1
+    val pts = ((0 until 120).map { i =>
+      (i.toLong, 0.55 + (i % 11) * 0.004, 0.55 + (i / 11) * 0.004)
+    } ++ Seq((200L, 0.101, 0.05), (201L, 0.099, 0.05), // border pair
+      (202L, 0.9, 0.9), (203L, 0.3, 0.7))) // isolated
+      .toDF("id", "x", "y")
+    val got = graft.ops.GridNeighbors
+      .epsPairs(pts, eps, denseThreshold = 64, salts = 4)
+    val brute = pts.select(col("id").as("ai"), col("x").as("ax"),
+        col("y").as("ay"))
+      .crossJoin(pts.select(col("id").as("bi"), col("x").as("bx"),
+        col("y").as("by")))
+      .filter(col("ai") =!= col("bi") &&
+        (col("ax") - col("bx")) * (col("ax") - col("bx")) +
+          (col("ay") - col("by")) * (col("ay") - col("by")) < eps * eps)
+      .select("ai", "bi")
+    assert(got.count() == brute.count())
+    assert(got.exceptAll(brute).isEmpty && brute.exceptAll(got).isEmpty,
+      "salted grid pairs must equal brute-force pairs exactly")
+    // the plan pin (VERDICT r11 #6): the dense route must execute as a
+    // ShuffledHashJoin on (cell, salt) — a broadcast or sort-merge there
+    // means the hint was lost and the hot cell pins one reducer again
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      s"dense-cell path must be a salted SHUFFLE_HASH join:\n$plan")
+  }
 }

@@ -718,6 +718,84 @@ class TxLogSpec extends AnyFunSuite {
     TxLog.drop(root)
   }
 
+  test("a publish failure AFTER all claims auto-aborts the transaction: " +
+      "nothing stays undecided, checkpoints/streams/vacuum unblocked") {
+    val root = java.nio.file.Files.createTempDirectory("txpubfail_").toString
+    val (a, b) = (s"$root/a", s"$root/b")
+    TxLog.create((1L to 10L).map(i => (i, i)).toDF("id", "v"), a)
+    TxLog.create((1L to 4L).map(i => (i, i)).toDF("id", "v"), b)
+    TxLog.failNextPublish.set(true)
+    intercept[java.io.IOException] {
+      TxLog.appendAll(s"$root/_txn", Seq(
+        (11L to 20L).map(i => (i, i)).toDF("id", "v") -> a,
+        (5L to 8L).map(i => (i, i)).toDF("id", "v") -> b))
+    }
+    // pre-fix this window left BOTH tables UNDECIDED (ADVICE r11 #1):
+    // checkpoints refused and every streaming consumer stalled until a
+    // manual abortTx. Now the failed publish aborts atomically — the
+    // claimed slots are decided no-op versions.
+    Seq(a, b).foreach { t =>
+      assert(TxLog.currentVersion(t) == 1,
+        "the claimed slot survives as an aborted no-op version")
+      TxLog.checkpoint(t) // undecided would refuse
+    }
+    assert(TxLog.read(spark, a).count() == 10L)
+    assert(TxLog.read(spark, b).count() == 4L)
+    // the NEXT transaction proceeds normally on fresh slots
+    TxLog.appendAll(s"$root/_txn", Seq(
+      (11L to 20L).map(i => (i, i)).toDF("id", "v") -> a,
+      (5L to 8L).map(i => (i, i)).toDF("id", "v") -> b))
+    assert(TxLog.read(spark, a).count() == 20L)
+    assert(TxLog.read(spark, b).count() == 8L)
+    TxLog.drop(root)
+  }
+
+  test("a table CREATED by a transaction that aborts (or dies before " +
+      "publish) still resolves its schema: reads return a typed empty " +
+      "frame, not 'schema unrecoverable'") {
+    val root = java.nio.file.Files.createTempDirectory("txcreateab_").toString
+    val t = s"$root/newt"
+    TxLog.failNextPublish.set(true)
+    intercept[java.io.IOException] {
+      TxLog.appendAll(s"$root/_txn", Seq(
+        (1L to 5L).map(i => (i, s"n$i")).toDF("id", "name") -> t))
+    }
+    // the schema line rides in the RAW claim entry (ADVICE r11 #3), so
+    // the aborted creation leaves exactly createEmpty's shape: version
+    // 0 exists, reads are empty but fully typed
+    assert(TxLog.currentVersion(t) == 0)
+    val df = TxLog.read(spark, t)
+    assert(df.count() == 0L)
+    assert(df.schema.fieldNames.toSeq == Seq("id", "name"))
+    // and data lands normally afterwards
+    TxLog.append((1L to 5L).map(i => (i, s"n$i")).toDF("id", "name"), t)
+    assert(TxLog.read(spark, t).count() == 5L)
+    TxLog.drop(root)
+  }
+
+  test("vacuum refuses while a multi-table transaction is UNDECIDED: " +
+      "its staged files are not yet protected by any resolved state, " +
+      "and a zero-age vacuum would delete data the publish references") {
+    val root = java.nio.file.Files.createTempDirectory("txvacund_").toString
+    val t = s"$root/t"
+    TxLog.create((1L to 10L).map(i => (i, i)).toDF("id", "v"), t)
+    val staged = TxLog.stageChecked(
+      (11L to 20L).map(i => (i, i)).toDF("id", "v"), t)
+    val parts = Seq(t -> staged.map(f => s"add\t$f"))
+    val (txName, _) = TxLog.claimOnly(s"$root/_txn", parts)
+    val ex = intercept[IllegalArgumentException] {
+      TxLog.vacuum(t, retainAfter = TxLog.currentVersion(t), minAgeMs = 0)
+    }
+    assert(ex.getMessage.contains("decided"), ex.getMessage)
+    // deciding the transaction (publish here) unblocks vacuum, and the
+    // published files are protected like any live file
+    TxLog.publishTx(s"$root/_txn", txName, parts)
+    TxLog.vacuum(t, retainAfter = TxLog.currentVersion(t), minAgeMs = 0)
+    assert(TxLog.read(spark, t).count() == 20L,
+      "post-decision vacuum must not touch the transaction's files")
+    TxLog.drop(root)
+  }
+
   test("a streaming consumer never reads past an UNDECIDED multi-table " +
       "transaction: the offer stalls below it, publish releases the " +
       "full version content") {
