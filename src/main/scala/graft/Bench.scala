@@ -43,7 +43,7 @@ object Bench {
     // one consumer per artifact key here makes every timed run a pure
     // SERVE. Failures are ignored — the timed loop reports them.
     val prebuild = Seq("q29_", "q76_", "q92_", "q233_", "q258_", "q264_",
-      "q268_", "q373_")
+      "q268_", "q373_", "q430_")
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => prebuild.exists(n.startsWith) }
       .foreach { case (n, fn) =>

@@ -924,6 +924,25 @@ object TxLog {
       dvFrameFrom(spark, dir, st.dv.toMap))
   }
 
+  /** DV-correct read RESTRICTED to `files` (a subset of the snapshot's
+    * live set — zone-map / partition-pruning callers): outstanding
+    * deletion vectors still apply per kept file, pruned-away files'
+    * vectors are irrelevant by construction (they key on (file, pos)).
+    * The connector's catalog scan uses this so log-resident statistics
+    * prune file IO through the BY-NAME read path too, not only the
+    * path-based one. */
+  def readPruned(spark: SparkSession, dir: String, files: Seq[String],
+      asOf: Option[Int] = None): DataFrame = {
+    val v = asOf.getOrElse(currentVersion(dir))
+    val st = state(dir, Some(v))
+    val keep = files.toSet
+    val live = st.live.keys.toSeq.filter(keep)
+    if (live.isEmpty) return emptyRead(spark, dir, v)
+    readFiles(spark, dir, live,
+      dvFrameFrom(spark, dir,
+        st.dv.toMap.filter { case (f, _) => keep(f) }))
+  }
+
   /** Empty-snapshot read: recover the schema from the most recently
     * removed file that still exists (pre-vacuum it always does — the
     * remove that emptied the table referenced it). Lazy newest-first

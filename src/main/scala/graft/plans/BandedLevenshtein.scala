@@ -68,10 +68,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // a RESOLUTION rule so it converts the statements before the
     // built-in row-level rewrite rules reject the table (Delta's shape).
     e.injectResolutionRule(s => new TxLogDmlRule(s))
-    // readStream.table("lake.t"): fill the V1 streaming fallback on
-    // catalog-loaded txlog tables (reuses the DSv1 source's offset /
-    // admission-control logic — see TxLogStreamingRule).
-    e.injectResolutionRule(s => new TxLogStreamingRule(s))
+    // txlog.`/path` relations for SELECT and DML — must run in the
+    // HINT batch, before ResolveSQLOnFile refuses the non-file provider
+    e.injectHintResolutionRule(s => new TxLogPathRule(s))
     // CDF as SQL: SELECT * FROM table_changes('lake.t', v1[, v2])
     e.injectTableFunction(TableChanges.fn)
     // lakehouse maintenance statements (OPTIMIZE/VACUUM/DESCRIBE

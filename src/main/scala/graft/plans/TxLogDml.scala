@@ -122,28 +122,7 @@ class TxLogDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
-  /** `txlog.`/path`` relations (Delta's `delta.`/path`` shape): a
-    * two-part identifier whose head is the source name and whose tail
-    * is an existing txlog table directory resolves to the PATH-BASED
-    * relation — SELECT and DML both work with no catalog registered.
-    * Only directories that actually hold a committed log qualify, so a
-    * real catalog named `txlog` still wins everywhere else. */
-  private def resolveTxlogPaths(plan: LogicalPlan): LogicalPlan =
-    plan.resolveOperators {
-      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
-          if u.multipartIdentifier.length == 2 &&
-            u.multipartIdentifier.head.equalsIgnoreCase("txlog") &&
-            u.multipartIdentifier(1).contains("/") &&
-            (try TxLog.currentVersion(u.multipartIdentifier(1)) >= 0
-             catch { case _: Throwable => false }) =>
-        val rel = new graft.sources.TxLogDataSource().createRelation(
-          spark.sqlContext, Map("path" -> u.multipartIdentifier(1)))
-        org.apache.spark.sql.execution.datasources.LogicalRelation(
-          rel, isStreaming = false)
-    }
-
-  override def apply(plan0: LogicalPlan): LogicalPlan = {
-    val plan = resolveTxlogPaths(plan0)
+  override def apply(plan: LogicalPlan): LogicalPlan = {
     plan match {
     case d @ DeleteFromTable(t, cond) if d.resolved =>
       txlogTarget(t) match {
@@ -183,45 +162,31 @@ class TxLogDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 }
 
-/** STREAMING READS BY NAME (`spark.readStream.table("lake.t")`,
-  * VERDICT r11 #2): the analyzer resolves a catalog-loaded txlog table
-  * in a streaming plan to a [[StreamingRelationV2]] with no streaming
-  * capability and no V1 fallback — the engine would refuse it. This
-  * resolution rule fills the node's `v1Relation` with the DSv1 txlog
-  * source over the table's directory, REUSING the hardened offset /
-  * admission-control / undecided-transaction logic of
-  * [[graft.sources.TxLogStreamSource]] verbatim instead of duplicating
-  * it behind a second (DSv2 MicroBatchStream) implementation — the
-  * same composition Spark itself uses for session-catalog V1-provider
-  * tables, and the reason `maxVersionsPerTrigger` / `startingVersion` /
-  * `Trigger.AvailableNow` behave identically by name and by path.
-  * Reader options pass through `extraOptions`. */
-class TxLogStreamingRule(spark: SparkSession) extends Rule[LogicalPlan] {
-  import org.apache.spark.sql.catalyst.streaming.StreamingRelationV2
-  import org.apache.spark.sql.execution.datasources.DataSource
-  import org.apache.spark.sql.execution.streaming.runtime.StreamingRelation
-
+/** `txlog.`/path`` relations (Delta's `delta.`/path`` shape, VERDICT
+  * r11 #3): a two-part identifier whose head is the source name and
+  * whose tail is an existing txlog table directory resolves to the
+  * PATH-BASED relation — SELECT and DML both work with no catalog
+  * registered. This must run in the analyzer's HINT batch (before the
+  * Resolution batch): the built-in `ResolveSQLOnFile` rule claims the
+  * same `source.`path`` shape first and REFUSES non-file providers, so
+  * a resolution-position rule never sees the node. Only directories
+  * that actually hold a committed log qualify, so a real catalog named
+  * `txlog` still wins everywhere else; streaming relations pass
+  * through (the by-name streaming surface is the DSv2
+  * [[graft.sources.TxLogMicroBatchStream]]). */
+class TxLogPathRule(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperators {
-      case s: StreamingRelationV2 if s.v1Relation.isEmpty &&
-          s.table.isInstanceOf[TxLogTable] =>
-        val t = s.table.asInstanceOf[TxLogTable]
-        require(t.asOf.isEmpty,
-          s"cannot stream from the time-travel snapshot ${t.name()}")
-        import scala.jdk.CollectionConverters._
-        val opts = s.extraOptions.asCaseSensitiveMap().asScala.toMap
-        // the CDF schema carries two extra meta columns the catalog
-        // table does not declare — by-name output attrs could not bind;
-        // the path API (`format("txlog").option("readChangeFeed", ...)`)
-        // is the CDF streaming surface
-        require(!opts.get("readChangeFeed").exists(_.trim.toBoolean),
-          "streaming CDF reads go through the path API: " +
-            "spark.readStream.format(\"txlog\")" +
-            ".option(\"readChangeFeed\", \"true\").load(dir)")
-        val ds = DataSource(
-          spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
-          className = "txlog", options = opts + ("path" -> t.dir))
-        s.copy(v1Relation = Some(StreamingRelation(ds)))
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+          if !u.isStreaming && u.multipartIdentifier.length == 2 &&
+            u.multipartIdentifier.head.equalsIgnoreCase("txlog") &&
+            u.multipartIdentifier(1).contains("/") &&
+            (try TxLog.currentVersion(u.multipartIdentifier(1)) >= 0
+             catch { case _: Throwable => false }) =>
+        val rel = new graft.sources.TxLogDataSource().createRelation(
+          spark.sqlContext, Map("path" -> u.multipartIdentifier(1)))
+        org.apache.spark.sql.execution.datasources.LogicalRelation(
+          rel, isStreaming = false)
     }
 }
 

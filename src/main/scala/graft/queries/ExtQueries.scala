@@ -4250,5 +4250,263 @@ object ExtQueries {
              |  CAST(count(*) AS BIGINT) AS n_rows,
              |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
              |FROM orders CROSS JOIN (VALUES ('latest'), ('pre_optimize')) p(probe)
-             |GROUP BY probe ORDER BY probe""".stripMargin)))
+             |GROUP BY probe ORDER BY probe""".stripMargin)),
+
+    // q425 — STREAMING READS BY NAME (`readStream.table("lake.t")`,
+    // VERDICT r11 #2): the SQL-addressable and streaming surfaces now
+    // compose — the analyzer resolves the catalog table to a streaming
+    // relation whose V1 fallback is the SAME hardened DSv1 source the
+    // path API uses (TxLogStreamingRule), so admission control carries
+    // over verbatim: a 4-version backlog at maxVersionsPerTrigger=2
+    // under Trigger.AvailableNow drains as exactly 2 bounded batches
+    // (pinned through the exactly-once sink's version counter — one
+    // destination commit per micro-batch), stopping at the start-time
+    // snapshot. Restart continuity through the catalog path is pinned
+    // in TxLogSourceSpec.
+    QuerySpec("q425_stream_table_by_name",
+      (s, dir) => {
+        import graft.core.TxLog
+        val base = Scratch.dir("lakecat", dir)
+        val t = s"$base/q425src"
+        val dst = Scratch.dir("q425dst", dir)
+        val cp = Scratch.dir("q425cp", dir)
+        Seq(t, dst, cp).foreach(TxLog.drop)
+        new java.io.File(base).mkdirs()
+        s.conf.set("spark.sql.catalog.graft_lake",
+          classOf[graft.sources.TxLogCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_lake.base", base)
+        val orders = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+        (0 to 3).foreach(m =>
+          TxLog.append(orders.filter(col("o_orderkey") % 4 === m), t))
+        val q = s.readStream
+          .option("maxVersionsPerTrigger", "2")
+          .table("graft_lake.q425src")
+          .writeStream.format("txlog")
+          .option("checkpointLocation", cp)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start(dst)
+        q.awaitTermination()
+        val nBatches = (TxLog.currentVersion(dst) + 1).toLong
+        s.read.format("txlog").load(dst)
+          .agg(count(lit(1)).as("n_rows"),
+            Stable.dsum(col("o_totalprice")).as("revenue"))
+          .select(lit(nBatches).as("n_batches"), col("n_rows"),
+            col("revenue"))
+      },
+      Some("""SELECT CAST(2 AS BIGINT) AS n_batches,
+             |  CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             |FROM orders""".stripMargin)),
+
+    // q426 — DML ON PATH-BASED RELATIONS (`txlog.`/path``, Delta's
+    // `delta.`/path`` shape — VERDICT r11 #3): the full q421 statement
+    // alphabet (three-clause MERGE, UPDATE ... WHERE, DELETE ... WHERE,
+    // closing SELECT) runs against a BARE DIRECTORY with no catalog
+    // registered — the resolution rule recognizes a two-part identifier
+    // whose head is the source name and whose tail is a committed txlog
+    // directory and resolves it to the path relation, for reads and
+    // mutations alike. Same hash discipline as q421: the net state and
+    // the per-statement version counter both enter the row.
+    QuerySpec("q426_txlog_path_dml",
+      (s, dir) => {
+        import graft.core.TxLog
+        val t = Scratch.dir("q426pdml", dir)
+        TxLog.drop(t)
+        val orders = Tables.load(s, dir, "orders")
+        TxLog.create(orders.filter(col("o_orderkey") % 3 =!= 0)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderpriority")), t)
+        orders.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey").as("k"),
+            (col("o_totalprice") + 1000.0).as("np"))
+          .createOrReplaceTempView("q426_src")
+        s.sql(s"""
+          MERGE INTO txlog.`$t` t USING q426_src s ON t.o_orderkey = s.k
+          WHEN MATCHED AND s.np > 200000 THEN DELETE
+          WHEN MATCHED THEN UPDATE SET o_totalprice = s.np
+          WHEN NOT MATCHED THEN
+            INSERT (o_orderkey, o_totalprice, o_orderpriority)
+            VALUES (s.k, s.np, 'merged')
+        """)
+        s.sql(s"UPDATE txlog.`$t` SET o_totalprice = o_totalprice * 2 " +
+          "WHERE o_orderkey % 5 = 0")
+        s.sql(s"DELETE FROM txlog.`$t` " +
+          "WHERE o_orderpriority = 'merged' AND o_orderkey % 7 = 0")
+        val versions = (TxLog.currentVersion(t)).toLong // create + 3 DML
+        s.sql(s"SELECT * FROM txlog.`$t`")
+          .groupBy(when(col("o_orderpriority") === "merged", "merged")
+            .otherwise("original").as("cls"))
+          .agg(count(lit(1)).as("n_rows"),
+            Stable.dsum(col("o_totalprice")).as("revenue"))
+          .select(col("cls"), lit(versions).as("n_dml_versions"),
+            col("n_rows"), col("revenue"))
+          .orderBy("cls")
+      },
+      Some("""WITH t AS (
+             |  SELECT o_orderkey AS k, o_totalprice AS p,
+             |    o_orderpriority AS pr
+             |  FROM orders WHERE o_orderkey % 3 <> 0),
+             |s AS (
+             |  SELECT o_orderkey AS k, o_totalprice + 1000.0 AS np
+             |  FROM orders WHERE o_orderkey % 2 = 0),
+             |merged AS (
+             |  SELECT t.k, CASE WHEN s.k IS NOT NULL THEN s.np ELSE t.p END AS p,
+             |    t.pr
+             |  FROM t LEFT JOIN s ON t.k = s.k
+             |  WHERE NOT (s.k IS NOT NULL AND s.np > 200000)
+             |  UNION ALL
+             |  SELECT s.k, s.np, 'merged'
+             |  FROM s LEFT JOIN t ON s.k = t.k WHERE t.k IS NULL),
+             |updated AS (
+             |  SELECT k, CASE WHEN k % 5 = 0 THEN p * 2 ELSE p END AS p, pr
+             |  FROM merged),
+             |final AS (
+             |  SELECT * FROM updated WHERE NOT (pr = 'merged' AND k % 7 = 0))
+             |SELECT CASE WHEN pr = 'merged' THEN 'merged'
+             |    ELSE 'original' END AS cls,
+             |  CAST(3 AS BIGINT) AS n_dml_versions,
+             |  CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             |FROM final GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // q427 — `ALTER TABLE ... ADD COLUMN` (VERDICT r11 #4): the SQL
+    // verb bridges the catalog's alterTable to the in-log schema line
+    // (TxLog.evolveSchema — a metadata-only commit, Delta's metaData
+    // action); reads null-backfill the new column for every file
+    // written before the evolution. The hash pins the whole lifecycle:
+    // create → append → ADD COLUMN → append wider → scan, with the
+    // backfilled vs present populations split, the evolved column
+    // summed, and the version counter (2 data + 1 metadata commits)
+    // under the row.
+    QuerySpec("q427_txlog_add_column",
+      (s, dir) => {
+        import graft.core.TxLog
+        val base = Scratch.dir("lakecat", dir)
+        val t = s"$base/q427m"
+        TxLog.drop(t)
+        new java.io.File(base).mkdirs()
+        s.conf.set("spark.sql.catalog.graft_lake",
+          classOf[graft.sources.TxLogCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_lake.base", base)
+        val orders = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+        TxLog.create(orders.filter(col("o_orderkey") % 2 === 0), t) // v0
+        s.sql("ALTER TABLE graft_lake.q427m ADD COLUMNS (bonus DOUBLE)") // v1
+        TxLog.append(orders.filter(col("o_orderkey") % 2 =!= 0)
+          .withColumn("bonus",
+            (col("o_orderkey") % 100).cast("double")), t)           // v2
+        val versions = TxLog.currentVersion(t).toLong
+        s.sql("SELECT * FROM graft_lake.q427m")
+          .groupBy(when(col("bonus").isNull, "backfilled")
+            .otherwise("present").as("cls"))
+          .agg(count(lit(1)).as("n_rows"),
+            Stable.dsum(col("o_totalprice")).as("revenue"),
+            sum(coalesce(col("bonus"), lit(0.0))).as("bonus_total"))
+          .select(col("cls"), lit(versions).as("n_versions"),
+            col("n_rows"), col("revenue"), col("bonus_total"))
+          .orderBy("cls")
+      },
+      Some("""SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'backfilled'
+             |    ELSE 'present' END AS cls,
+             |  CAST(2 AS BIGINT) AS n_versions,
+             |  CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+             |  CAST(SUM(CASE WHEN o_orderkey % 2 = 0 THEN 0
+             |    ELSE CAST(o_orderkey % 100 AS DOUBLE) END) AS DOUBLE)
+             |    AS bonus_total
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // q428 — CDF AS SQL (`table_changes`, VERDICT r11 #5 — Delta's
+    // TVF): the change feed becomes queryable from pure SQL through an
+    // injected table-valued function over TxLog.changeFeed, with the
+    // end version defaulting to the current one. The probe reads the
+    // feed from version 1 (skipping the create) over an append and a
+    // merge-on-read DV delete, grouped per (change_type, version) —
+    // the same shape q414 pins through the reader option, now as a
+    // FROM-clause citizen composable with any SQL.
+    QuerySpec("q428_table_changes_sql",
+      (s, dir) => {
+        import graft.core.TxLog
+        val base = Scratch.dir("lakecat", dir)
+        val t = s"$base/q428m"
+        TxLog.drop(t)
+        new java.io.File(base).mkdirs()
+        s.conf.set("spark.sql.catalog.graft_lake",
+          classOf[graft.sources.TxLogCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_lake.base", base)
+        val orders = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+        TxLog.create(orders.filter(col("o_orderkey") % 2 === 0), t) // v0
+        TxLog.append(orders.filter(col("o_orderkey") % 2 =!= 0), t) // v1
+        TxLog.deleteWhereDV(s, t, col("o_orderkey") % 5 === 0)      // v2
+        s.sql("""SELECT _change_type AS change_type,
+                 _commit_version AS commit_version, count(*) AS n_rows,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS revenue
+               FROM table_changes('graft_lake.q428m', 1)
+               GROUP BY 1, 2 ORDER BY commit_version, change_type""")
+      },
+      Some("""SELECT * FROM (
+             |  SELECT 'insert' AS change_type, CAST(1 AS BIGINT) AS commit_version,
+             |    CAST(count(*) AS BIGINT) AS n_rows,
+             |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             |  FROM orders WHERE o_orderkey % 2 <> 0
+             |  UNION ALL
+             |  SELECT 'delete', 2, CAST(count(*) AS BIGINT),
+             |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |  FROM orders WHERE o_orderkey % 5 = 0
+             |) ORDER BY commit_version, change_type""".stripMargin)),
+
+    // q429 — UNCORRELATED SUBQUERIES IN DML CONDITIONS (VERDICT r11
+    // #8): `DELETE ... WHERE k IN (SELECT ...)` and an UPDATE whose SET
+    // expression carries a scalar subquery both run against a txlog
+    // table — the DML rule pre-evaluates uncorrelated subqueries to
+    // literals (a constant for the whole statement; the IN-list is
+    // bounded and refused beyond it — join-shaped mutations belong in
+    // MERGE). The scalar is a count (an exact integer) so the update
+    // arithmetic is engine-portable; correlated subqueries still refuse
+    // with a clear message (spec-pinned).
+    QuerySpec("q429_txlog_dml_subquery",
+      (s, dir) => {
+        import graft.core.TxLog
+        val base = Scratch.dir("lakecat", dir)
+        val t = s"$base/q429m"
+        TxLog.drop(t)
+        new java.io.File(base).mkdirs()
+        s.conf.set("spark.sql.catalog.graft_lake",
+          classOf[graft.sources.TxLogCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_lake.base", base)
+        val orders = Tables.load(s, dir, "orders")
+        TxLog.create(orders.filter(col("o_orderkey") % 3 =!= 0)
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice")), t)
+        Tables.load(s, dir, "customer")
+          .select(col("c_custkey"), col("c_acctbal"))
+          .createOrReplaceTempView("q429_cust")
+        s.sql("""DELETE FROM graft_lake.q429m WHERE o_custkey IN
+                 (SELECT c_custkey FROM q429_cust WHERE c_acctbal < 0)""")
+        s.sql("""UPDATE graft_lake.q429m SET o_totalprice = o_totalprice +
+                 (SELECT count(*) FROM q429_cust WHERE c_acctbal > 9000)
+               WHERE o_orderkey % 5 = 0""")
+        val versions = TxLog.currentVersion(t).toLong
+        s.sql("SELECT * FROM graft_lake.q429m")
+          .agg(count(lit(1)).as("n_rows"),
+            Stable.dsum(col("o_totalprice")).as("revenue"))
+          .select(lit(versions).as("n_versions"), col("n_rows"),
+            col("revenue"))
+      },
+      Some("""WITH kept AS (
+             |  SELECT o_orderkey AS k, o_totalprice AS p FROM orders
+             |  WHERE o_orderkey % 3 <> 0 AND o_custkey NOT IN
+             |    (SELECT c_custkey FROM customer WHERE c_acctbal < 0)),
+             |bump AS (SELECT count(*) AS b FROM customer
+             |         WHERE c_acctbal > 9000),
+             |final AS (
+             |  SELECT CASE WHEN k % 5 = 0 THEN p + b ELSE p END AS p
+             |  FROM kept CROSS JOIN bump)
+             |SELECT CAST(2 AS BIGINT) AS n_versions,
+             |  CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             |FROM final""".stripMargin)))
 }

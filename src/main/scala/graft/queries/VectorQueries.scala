@@ -2504,5 +2504,97 @@ object VectorQueries {
               |  (SELECT CAST(COALESCE(SUM(sz), 0) AS BIGINT) FROM sizes
               |    JOIN over_ USING (cent_id)) AS n_vecs_reencoded
               |FROM res r CROSS JOIN (VALUES ('after'), ('before')) ph(phase)
+              |ORDER BY ph.phase, r.q_id, r.rnk""".stripMargin)),
+
+    // q430 — ANN MAINTENANCE AS AN OPERATOR on the PERSISTED index
+    // (VERDICT r11 #7, promoting q423's in-query split): the index
+    // lives as parquet artifacts (roots + id-grain membership, the
+    // q258 build-once/serve-many layout), and ops.AnnIndex.optimize
+    // runs the imbalance policy against them — oversized cells split
+    // into 2 deterministic sub-centroids, ONLY their members
+    // re-assigned, and a generation-2 artifact set (subcents +
+    // membership_v2) published for serving to cut over to. Both
+    // generations are served FROM DISK under one hash: searches probe
+    // root centroids and expand through membership_v2's preserved
+    // root_id, so the exact-rerank results are invariant across the
+    // cycle; the rebuild counters (cells rebuilt, vectors re-assigned)
+    // are returned by the operator and recomputed by the oracle — an
+    // index-wide rebuild or a lost member flips the row.
+    QuerySpec("q430_ann_index_optimize",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val idx = ArtifactMemo.dir(dir, "embeddings", "annidx_m") { t =>
+          val roots = seedCentroids(emb)
+          graft.core.Sinks.parquet(roots, s"$t/roots")
+          graft.core.Sinks.parquet(
+            nearestCentroid(emb, roots, carryEmbedding = false),
+            s"$t/membership")
+        }
+        val out = Scratch.dir("q430opt", dir)
+        val roots = s.read.parquet(s"$idx/roots")
+        val gen1 = s.read.parquet(s"$idx/membership")
+        // 1.05× mean: same fixture-scale policy rationale as q423
+        val (nRebuilt, nReassigned) = graft.ops.AnnIndex.optimize(emb, gen1, out, imbalance = 1.05)
+        val gen2 = s.read.parquet(s"$out/membership_v2")
+        def serve(membership: DataFrame, phase: String): DataFrame = {
+          val queries = emb.filter(col("vec_id") >= 3 && col("vec_id") < 6)
+            .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+          val probes = queries.crossJoin(broadcast(roots))
+            .select(col("q_id"), col("q_vec"), col("cent_id"),
+              round(call_function("graft_cosine", col("cent_vec"),
+                col("q_vec")), 6).as("p_sim"))
+            .withColumn("pr", row_number().over(Window.partitionBy("q_id")
+              .orderBy(desc("p_sim"), col("cent_id"))))
+            .filter(col("pr") <= 2)
+            .select(col("q_id"), col("q_vec"), col("cent_id").as("root_id"))
+          probes.join(membership, "root_id")
+            .join(emb, "vec_id")
+            .select(col("q_id"), col("vec_id"),
+              round(call_function("graft_cosine", col("q_vec"),
+                col("embedding")), 6).as("sim"))
+            .withColumn("rnk", row_number().over(Window.partitionBy("q_id")
+              .orderBy(desc("sim"), col("vec_id"))).cast("long"))
+            .filter(col("rnk") <= 5)
+            .select(lit(phase).as("phase"), col("q_id"), col("rnk"),
+              col("vec_id"), col("sim"))
+        }
+        serve(gen1.select(col("vec_id"), col("cent_id").as("root_id")),
+            "before")
+          .unionByName(serve(gen2.select("vec_id", "root_id"), "after"))
+          .select(col("phase"), col("q_id"), col("rnk"), col("vec_id"),
+            col("sim"), lit(nRebuilt).as("n_cells_rebuilt"),
+            lit(nReassigned).as("n_vecs_reassigned"))
+          .orderBy("phase", "q_id", "rnk")
+      },
+      Some(s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent_vec
+              |    FROM embeddings WHERE vec_id < $ivfK),
+              |assigned AS (SELECT vec_id, embedding, cent_id FROM (
+              |  SELECT e.vec_id, e.embedding, c.cent_id,
+              |    row_number() OVER (PARTITION BY e.vec_id
+              |      ORDER BY round(${duckCos("c.cent_vec", "e.embedding")}, 6) DESC, c.cent_id) AS rn
+              |  FROM embeddings e, cents c) WHERE rn = 1),
+              |sizes AS (SELECT cent_id, count(*) AS sz FROM assigned GROUP BY 1),
+              |over_ AS (SELECT cent_id FROM sizes
+              |  WHERE sz > 1.05 * (SELECT count(*) FROM embeddings) / $ivfK),
+              |queries AS (SELECT vec_id AS q_id, embedding AS q_vec
+              |  FROM embeddings WHERE vec_id >= 3 AND vec_id < 6),
+              |probes AS (SELECT q_id, q_vec, cent_id FROM (
+              |  SELECT q.q_id, q.q_vec, c.cent_id,
+              |    row_number() OVER (PARTITION BY q.q_id
+              |      ORDER BY round(${duckCos("c.cent_vec", "q.q_vec")}, 6) DESC, c.cent_id) AS pr
+              |  FROM queries q, cents c) WHERE pr <= 2),
+              |ranked AS (SELECT q_id, vec_id, sim,
+              |    row_number() OVER (PARTITION BY q_id
+              |      ORDER BY sim DESC, vec_id) AS rnk FROM (
+              |  SELECT p.q_id, a.vec_id,
+              |    round(${duckCos("p.q_vec", "a.embedding")}, 6) AS sim
+              |  FROM probes p JOIN assigned a ON a.cent_id = p.cent_id)),
+              |res AS (SELECT q_id, rnk, vec_id, sim FROM ranked WHERE rnk <= 5)
+              |SELECT ph.phase, r.q_id, CAST(r.rnk AS BIGINT) AS rnk,
+              |  r.vec_id, r.sim,
+              |  (SELECT CAST(count(*) AS BIGINT) FROM over_) AS n_cells_rebuilt,
+              |  (SELECT CAST(COALESCE(SUM(sz), 0) AS BIGINT) FROM sizes
+              |    JOIN over_ USING (cent_id)) AS n_vecs_reassigned
+              |FROM res r CROSS JOIN (VALUES ('after'), ('before')) ph(phase)
               |ORDER BY ph.phase, r.q_id, r.rnk""".stripMargin)))
 }

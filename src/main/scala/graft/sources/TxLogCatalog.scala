@@ -186,12 +186,15 @@ class TxLogTable(val dir: String, ident: String,
   override def capabilities(): java.util.Set[TableCapability] =
     // V1_BATCH_WRITE (not BATCH_WRITE): the write IS a V1Write, and the
     // planner only takes the AppendDataExecV1 fallback for tables that
-    // declare it (the JDBC-v2 pattern)
-    Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE).asJava
+    // declare it (the JDBC-v2 pattern). MICRO_BATCH_READ makes
+    // `spark.readStream.table("lake.t")` first-class (VERDICT r11 #2):
+    // the scan's [[TxLogMicroBatchStream]] shares the DSv1 source's
+    // offset/admission logic through [[TxLogOffsets]].
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
-      : ScanBuilder = new TxLogV1ScanBuilder(dir, schema, asOf)
+      : ScanBuilder = new TxLogV1ScanBuilder(dir, schema, asOf, options)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(asOf.isEmpty,
@@ -218,9 +221,13 @@ class TxLogTable(val dir: String, ident: String,
   * catalog read of a DV-bearing table must stay on the merge-on-read
   * plan anyway. */
 class TxLogV1ScanBuilder(dir: String, tableSchema: StructType,
-    asOf: Option[Int] = None)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    asOf: Option[Int] = None,
+    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   private var required: StructType = tableSchema
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] =
+    Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     // empty projection (e.g. count(*)) keeps one narrow column — a
@@ -231,13 +238,45 @@ class TxLogV1ScanBuilder(dir: String, tableSchema: StructType,
       else requiredSchema
   }
 
+  /** Filters are accepted for PLAN-TIME FILE PRUNING on the
+    * log-resident zone maps / partition values (the same
+    * [[TxLogZoneMaps]] tests the path connector's FileIndex applies) —
+    * and ALL of them are returned as residual, so Spark re-evaluates
+    * every row exactly as before: pruning can only skip files that
+    * provably hold no match. */
+  override def pushFilters(
+      filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    pushed = filters
+    filters
+  }
+
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+    pushed
+
   override def build(): Scan = new V1Scan with SupportsReportStatistics {
     override def readSchema(): StructType = required
 
     override def toV1TableScan[T <: BaseRelation with TableScan](
         context: SQLContext): T =
-      new TxLogCatalogRelation(context, dir, required, asOf)
+      new TxLogCatalogRelation(context, dir, required, asOf, pushed)
         .asInstanceOf[T]
+
+    /** `readStream.table("lake.t")` — the engine routes here when the
+      * table declares MICRO_BATCH_READ. */
+    override def toMicroBatchStream(checkpointLocation: String)
+        : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+      require(asOf.isEmpty,
+        s"cannot stream from a time-travel snapshot of $dir — it is frozen")
+      require(!Option(options.get("readChangeFeed")).exists(_.trim.toBoolean),
+        "streaming CDF reads carry extra meta columns the catalog table " +
+          "does not declare — use the path API: spark.readStream" +
+          ".format(\"txlog\").option(\"readChangeFeed\", \"true\").load(dir)")
+      new TxLogMicroBatchStream(dir, required,
+        Option(options.get("startingVersion")).map(_.trim.toInt).getOrElse(0),
+        Option(options.get("ignoreChanges")).exists(_.trim.toBoolean),
+        Option(options.get("maxVersionsPerTrigger")).map(_.trim.toInt))
+    }
 
     /** Log-resident size: the snapshot's files' on-disk lengths.
       * Catalyst costs this relation like any file source — small
@@ -250,16 +289,154 @@ class TxLogV1ScanBuilder(dir: String, tableSchema: StructType,
   }
 }
 
+/** The DSv2 [[MicroBatchStream]] behind `readStream.table("lake.t")`
+  * (VERDICT r11 #2): offsets are log versions (exactly the DSv1
+  * source's contract — [[TxLogOffsets]] is the single shared
+  * implementation of admission control, AvailableNow draining, and the
+  * undecided-transaction stall), and each batch's row reading delegates
+  * to Spark's own vectorized [[ParquetScan]] over the versions' added
+  * files — column pruning honored (`readSchema` arrives pruned from the
+  * ScanBuilder), schema evolution null-backfilled by the parquet
+  * reader, whole-stage-codegen-compatible columnar batches. The engine
+  * owns offset checkpointing (it passes the recovered start into
+  * `latestOffset`), so no hand-rolled checkpoint parsing is needed on
+  * this path. */
+class TxLogMicroBatchStream(dir: String, readSchema: StructType,
+    startingVersion: Int, ignoreChanges: Boolean,
+    maxVersionsPerTrigger: Option[Int])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming
+      .SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming
+      .SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2, ReadLimit}
+  import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+  import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+
+  @volatile private var availableNowTarget: Int = Int.MaxValue
+
+  private def versionOf(o: OffsetV2): Int = o match {
+    case LongOffset(v) => v.toInt
+    case other => other.json().trim.toInt
+  }
+
+  override def initialOffset(): OffsetV2 =
+    LongOffset((startingVersion - 1).toLong)
+
+  override def deserializeOffset(json: String): OffsetV2 =
+    LongOffset(json.trim.toLong)
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxVersionsPerTrigger.map(n => ReadLimit.maxFiles(math.max(n, 1)))
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    availableNowTarget = TxLog.currentVersion(dir)
+  }
+
+  override def reportLatestOffset(): OffsetV2 = {
+    val v = TxLog.currentVersion(dir)
+    if (v < math.max(startingVersion, 0)) null else LongOffset(v.toLong)
+  }
+
+  override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val base = if (start == null) startingVersion - 1 else versionOf(start)
+    TxLogOffsets.nextOffset(dir, base, limit, availableNowTarget) match {
+      case Some(v) => LongOffset(v.toLong)
+      case None => start
+    }
+  }
+
+  /** Unused on the admission-control path (the engine calls the
+    * two-argument overload), but part of the base interface. */
+  override def latestOffset(): OffsetV2 =
+    latestOffset(null, ReadLimit.allAvailable())
+
+  /** The reader factory matching the last-planned range. The engine
+    * plans and reads one micro-batch at a time on the driver, so a
+    * single slot is sufficient — and `createReaderFactory` has no range
+    * arguments, making this the standard connector shape. */
+  @volatile private var lastBatch
+      : org.apache.spark.sql.connector.read.Batch = _
+
+  override def planInputPartitions(start: OffsetV2, end: OffsetV2)
+      : Array[InputPartition] = {
+    val files = TxLogOffsets.addedFiles(dir, versionOf(start),
+      versionOf(end), ignoreChanges)
+    lastBatch = TxLogMicroBatchStream.parquetBatch(dir, files, readSchema)
+    lastBatch.planInputPartitions()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    lastBatch.createReaderFactory()
+
+  override def commit(end: OffsetV2): Unit = ()
+  override def stop(): Unit = ()
+  override def toString: String = s"TxLogMicroBatchStream[$dir]"
+}
+
+object TxLogMicroBatchStream {
+  import org.apache.spark.sql.execution.datasources.InMemoryFileIndex
+  import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
+
+  /** One micro-batch's files as a vectorized parquet [[Batch]]: an
+    * in-memory file index over exactly the added files, Spark's stock
+    * ParquetScan on top — reader factories, codegen-ready columnar
+    * output, and missing-column null-backfill all inherited. */
+  private[sources] def parquetBatch(dir: String, files: Seq[String],
+      readSchema: StructType)
+      : org.apache.spark.sql.connector.read.Batch = {
+    val spark = SparkSession.active
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val paths = files.map(f =>
+      new org.apache.hadoop.fs.Path(new File(dir, f).toURI))
+    val index = new InMemoryFileIndex(spark, paths,
+      Map.empty[String, String], Some(readSchema))
+    ParquetScan(spark,
+      spark.sessionState.newHadoopConfWithOptions(Map.empty),
+      index,
+      dataSchema = readSchema,
+      readDataSchema = readSchema,
+      readPartitionSchema = new StructType(),
+      pushedFilters = Array.empty,
+      options = new CaseInsensitiveStringMap(
+        java.util.Collections.singletonMap("mergeSchema", "true")),
+      pushedAggregate = None,
+      partitionFilters = Seq.empty,
+      dataFilters = Seq.empty).toBatch
+  }
+}
+
 /** The V1 leg of the catalog scan: the DV-correct [[TxLog.read]] plan,
-  * pruned to the pushed columns. */
+  * pruned to the pushed columns — and to the pushed FILTERS' surviving
+  * files via the log-resident zone maps ([[TxLogZoneMaps]], shared
+  * with the path connector), so by-name reads skip the same file IO
+  * path reads do. [[TxLogSourceIO]] records kept/total for the spec. */
 class TxLogCatalogRelation(override val sqlContext: SQLContext,
-    dir: String, required: StructType, asOf: Option[Int] = None)
+    dir: String, required: StructType, asOf: Option[Int] = None,
+    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends BaseRelation with TableScan {
   override def schema: StructType = required
   override def needConversion: Boolean = false
   override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
     import org.apache.spark.sql.functions.{col, lit}
-    val base = TxLog.read(sqlContext.sparkSession, dir, asOf)
+    val spark = sqlContext.sparkSession
+    val version = asOf.getOrElse(TxLog.currentVersion(dir))
+    val live = TxLog.snapshot(dir, Some(version))
+    val kept =
+      if (filters.isEmpty || live.isEmpty) live
+      else {
+        val zones = new TxLogZoneMaps(dir, version)
+        live.filter(f =>
+          filters.forall(TxLogFilterPrune.survives(zones, f, _)))
+      }
+    TxLogSourceIO.lastKept.set(kept.size)
+    TxLogSourceIO.lastTotal.set(live.size)
+    val base =
+      if (live.isEmpty) TxLog.read(spark, dir, asOf)
+      else if (kept.isEmpty) TxLog.read(spark, dir, asOf).limit(0)
+      else if (kept.size == live.size) TxLog.read(spark, dir, asOf)
+      else TxLog.readPruned(spark, dir, kept, asOf)
     // the recorded union schema can name a column NO live file carries
     // anymore (the last file holding it was deleted whole, without a
     // rewrite) — null-backfill instead of failing the scan (review

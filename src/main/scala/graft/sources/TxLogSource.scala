@@ -243,6 +243,65 @@ class TxLogDataSource extends RelationProvider
   }
 }
 
+/** The offset/admission logic SHARED between the DSv1 streaming source
+  * ([[TxLogStreamSource]] — the path API) and the DSv2
+  * [[TxLogMicroBatchStream]] (the catalog / `readStream.table` API):
+  * one implementation, two connector generations (VERDICT r11 #2). */
+private[sources] object TxLogOffsets {
+  import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxFiles}
+
+  /** Highest version in (base, hi] BEFORE the first UNDECIDED
+    * multi-table transaction: offering an undecided version would make
+    * the consumer read it as empty and move past it — when the
+    * transaction later publishes, those rows would be permanently
+    * skipped (review r11 #2). The stream waits below it instead; an
+    * operator decides a dead transaction with [[TxLog.abortTx]]. */
+  def decidedThrough(dir: String, base: Int, hi: Int): Int = {
+    var v = base + 1
+    while (v <= hi && !TxLog.versionUndecided(dir, v)) v += 1
+    v - 1
+  }
+
+  /** The next end offset past `base` under `limit`, clamped to the
+    * AvailableNow drain target; None = no new data. The undecided scan
+    * is clamped to the read-limit cap FIRST: versions beyond it cannot
+    * be offered this trigger anyway, and scanning the whole backlog
+    * per trigger is O(backlog²/cap) file IO over a capped drain
+    * (review r11 #2.7). */
+  def nextOffset(dir: String, base: Int, limit: ReadLimit,
+      availableNowTarget: Int): Option[Int] = {
+    val avail = math.min(TxLog.currentVersion(dir), availableNowTarget)
+    val scanHi = limit match {
+      case f: ReadMaxFiles =>
+        math.min(avail, base + math.max(f.maxFiles(), 1))
+      case _ => avail
+    }
+    val cur = decidedThrough(dir, base, scanHi)
+    if (cur <= base) None else Some(cur)
+  }
+
+  /** The files ADDED by versions (from, to], with the append-only
+    * guard: a version that deletes rows fails the stream unless
+    * `ignoreChanges` opted into re-emission (Delta's semantics). */
+  def addedFiles(dir: String, from: Int, to: Int,
+      ignoreChanges: Boolean): Seq[String] =
+    (from + 1 to to).flatMap { v =>
+      val (adds, _) = try TxLog.changes(dir, v) catch {
+        case _: java.nio.file.NoSuchFileException =>
+          throw new IllegalStateException(
+            s"streaming read needs raw log entries, but version $v of " +
+              s"$dir was truncated below a checkpoint — start the stream " +
+              "at a retained version (startingVersion)")
+      }
+      if (!ignoreChanges && TxLog.versionDeletes(dir, v))
+        throw new IllegalStateException(
+          s"version $v of $dir deletes rows (OPTIMIZE/DELETE/UPDATE/DV); " +
+            "streaming reads are append-only — set ignoreChanges=true " +
+            "to re-emit rewritten rows")
+      adds
+    }
+}
+
 object TxLogDataSource {
   /** Unwrap a possibly URI-qualified local path (see createRelation). */
   private[sources] def localPath(raw: String): String = {
@@ -339,32 +398,14 @@ class TxLogStreamSource(sqlContext: SQLContext, dir: String,
     // a FRESH stream has no checkpointed offset — the engine passes
     // null, not initialOffset() (the KafkaSource contract)
     val base = if (start == null) startingVersion - 1 else versionOfV2(start)
-    val avail = math.min(TxLog.currentVersion(dir), availableNowTarget)
-    // clamp the undecided scan to the read-limit cap FIRST: versions
-    // beyond it cannot be offered this trigger anyway, and scanning
-    // the whole backlog per trigger is O(backlog²/cap) file IO over a
-    // capped drain (review r11 #2.7)
-    val scanHi = limit match {
-      case f: ReadMaxFiles =>
-        math.min(avail, base + math.max(f.maxFiles(), 1))
-      case _ => avail
+    TxLogOffsets.nextOffset(dir, base, limit, availableNowTarget) match {
+      case Some(v) => LongOffset(v.toLong)
+      case None => start
     }
-    val cur = decidedThrough(base, scanHi)
-    if (cur <= base) return start
-    LongOffset(cur.toLong)
   }
 
-  /** Highest version in (base, hi] BEFORE the first UNDECIDED
-    * multi-table transaction: offering an undecided version would make
-    * the consumer read it as empty and move past it — when the
-    * transaction later publishes, those rows would be permanently
-    * skipped (review r11 #2). The stream waits below it instead; an
-    * operator decides a dead transaction with [[TxLog.abortTx]]. */
-  private def decidedThrough(base: Int, hi: Int): Int = {
-    var v = base + 1
-    while (v <= hi && !TxLog.versionUndecided(dir, v)) v += 1
-    v - 1
-  }
+  private def decidedThrough(base: Int, hi: Int): Int =
+    TxLogOffsets.decidedThrough(dir, base, hi)
 
   /** Rate-limit base recovered from the checkpoint's offset log at
     * construction. A capped `getOffset` must NEVER fall below an
@@ -449,23 +490,7 @@ class TxLogStreamSource(sqlContext: SQLContext, dir: String,
             .map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
       return org.apache.spark.sql.GraftSqlBridge.streamingFrame(spark0, batch)
     }
-    val added = (from + 1 to to).flatMap { v =>
-      val (adds, _) = try TxLog.changes(dir, v) catch {
-        case _: java.nio.file.NoSuchFileException =>
-          throw new IllegalStateException(
-            s"streaming read needs raw log entries, but version $v of " +
-              s"$dir was truncated below a checkpoint — start the stream " +
-              "at a retained version (startingVersion)")
-      }
-      // remove lines AND deletion-vector lines both delete rows a
-      // tailing consumer already emitted
-      if (!ignoreChanges && TxLog.versionDeletes(dir, v))
-        throw new IllegalStateException(
-          s"version $v of $dir deletes rows (OPTIMIZE/DELETE/UPDATE/DV); " +
-            "streaming reads are append-only — set ignoreChanges=true " +
-            "to re-emit rewritten rows")
-      adds
-    }
+    val added = TxLogOffsets.addedFiles(dir, from, to, ignoreChanges)
     val spark = sqlContext.sparkSession
     val batch =
       if (added.isEmpty)
@@ -514,6 +539,100 @@ object TxLogSourceIO {
   val lastTotal = new java.util.concurrent.atomic.AtomicInteger(0)
 }
 
+/** The log-resident file statistics of one frozen snapshot, with the
+  * conservative three-valued survival tests shared by BOTH pruning
+  * fronts: the path connector's [[TxLogFileIndex]] (catalyst
+  * `Expression` filters) and the catalog scan's
+  * [[TxLogCatalogRelation]] (`sources.Filter` pushdown) — one
+  * implementation, so the two read paths cannot drift. Only
+  * provably-false files drop; any unrecognized shape keeps the file
+  * (the parquet scan re-evaluates every filter). */
+private[sources] class TxLogZoneMaps(dir: String, version: Int) {
+  val stats: Map[String, Map[String, (Long, Long)]] =
+    TxLog.fileStatsAll(dir, Some(version))
+  val strStats: Map[String, Map[String, (String, String)]] =
+    TxLog.fileStatsStrAll(dir, Some(version))
+  val pvals: Map[String, Map[String, String]] =
+    TxLog.partitionValues(dir, Some(version))
+
+  private def asLong(v: Any): Option[Long] = v match {
+    case l: Long => Some(l)
+    case i: Int => Some(i.toLong)
+    case s: Short => Some(s.toLong)
+    case b: Byte => Some(b.toLong)
+    case _ => None
+  }
+
+  /** String literals arrive as UTF8String (catalyst) or String (source
+    * filters); zone bounds compare in UTF8 BINARY order either way —
+    * the order the stats writer used. */
+  private def asU8(v: Any): Option[UTF8String] = v match {
+    case u: UTF8String => Some(u)
+    case s: String => Some(UTF8String.fromString(s))
+    case _ => None
+  }
+
+  /** Equality survives if the zone map's [lo, hi] contains the value,
+    * or the recorded partition value matches; no recorded metadata →
+    * conservative keep. */
+  def eqSurvives(file: String, col: String, v: Any): Boolean = {
+    val zone = for {
+      x <- asLong(v)
+      (lo, hi) <- stats.getOrElse(file, Map.empty).get(col)
+    } yield lo <= x && x <= hi
+    val strZone = asU8(v).flatMap { u =>
+      strStats.getOrElse(file, Map.empty).get(col).map { case (lo, hi) =>
+        UTF8String.fromString(lo).compareTo(u) <= 0 &&
+          u.compareTo(UTF8String.fromString(hi)) <= 0
+      }
+    }
+    val part = asU8(v).flatMap(u =>
+      pvals.getOrElse(file, Map.empty).get(col).map(_ == u.toString))
+    zone.getOrElse(true) && strZone.getOrElse(true) && part.getOrElse(true)
+  }
+
+  /** Range bound check against the long zone maps, or the string zone
+    * maps when the literal is a string — `pred(loCmp, hiCmp)` receives
+    * compareTo signs in the string case, so one rule serves both. */
+  def boundSurvives(file: String, col: String)
+      (pred: (Long, Long, Long) => Boolean)(v: Any): Boolean = {
+    val long = for {
+      x <- asLong(v)
+      (lo, hi) <- stats.getOrElse(file, Map.empty).get(col)
+    } yield pred(lo, hi, x)
+    val str = asU8(v).flatMap { u =>
+      strStats.getOrElse(file, Map.empty).get(col).map { case (lo, hi) =>
+        pred(UTF8String.fromString(lo).compareTo(u).sign.toLong,
+          UTF8String.fromString(hi).compareTo(u).sign.toLong, 0L)
+      }
+    }
+    long.orElse(str).getOrElse(true)
+  }
+}
+
+/** [[org.apache.spark.sql.sources.Filter]]-side survival walk (the
+  * catalog scan's pushdown front of [[TxLogZoneMaps]]). */
+private[sources] object TxLogFilterPrune {
+  import org.apache.spark.sql.sources._
+
+  def survives(z: TxLogZoneMaps, file: String, f: Filter): Boolean =
+    f match {
+      case And(l, r) => survives(z, file, l) && survives(z, file, r)
+      case Or(l, r) => survives(z, file, l) || survives(z, file, r)
+      case EqualTo(c, v) => z.eqSurvives(file, c, v)
+      case In(c, vs) => vs.isEmpty || vs.exists(v => z.eqSurvives(file, c, v))
+      case GreaterThan(c, v) =>
+        z.boundSurvives(file, c)((lo, hi, x) => hi > x)(v)
+      case GreaterThanOrEqual(c, v) =>
+        z.boundSurvives(file, c)((lo, hi, x) => hi >= x)(v)
+      case LessThan(c, v) =>
+        z.boundSurvives(file, c)((lo, hi, x) => lo < x)(v)
+      case LessThanOrEqual(c, v) =>
+        z.boundSurvives(file, c)((lo, hi, x) => lo <= x)(v)
+      case _ => true
+    }
+}
+
 /** The snapshot's live files as a [[FileIndex]], with `listFiles`
   * applying log-resident zone maps and partition values against the
   * scan's data filters — Delta's `TahoeFileIndex` shape. The snapshot
@@ -523,12 +642,7 @@ class TxLogFileIndex(val dir: String, version: Int, live: Seq[String],
     val pinned: Boolean = false)
     extends FileIndex {
 
-  private val stats: Map[String, Map[String, (Long, Long)]] =
-    TxLog.fileStatsAll(dir, Some(version))
-  private val strStats: Map[String, Map[String, (String, String)]] =
-    TxLog.fileStatsStrAll(dir, Some(version))
-  private val pvals: Map[String, Map[String, String]] =
-    TxLog.partitionValues(dir, Some(version))
+  private val zones = new TxLogZoneMaps(dir, version)
   private val statuses: Seq[(String, FileStatus)] = live.map { f =>
     val file = new File(dir, f)
     f -> new FileStatus(file.length(), false, 1, 64 << 20,
@@ -581,61 +695,12 @@ class TxLogFileIndex(val dir: String, version: Int, live: Seq[String],
     case _ => true
   }
 
-  private def asLong(v: Any): Option[Long] = v match {
-    case l: Long => Some(l)
-    case i: Int => Some(i.toLong)
-    case s: Short => Some(s.toLong)
-    case b: Byte => Some(b.toLong)
-    case _ => None
-  }
+  private def eqSurvives(file: String, col: String, v: Any): Boolean =
+    zones.eqSurvives(file, col, v)
 
-  /** Equality survives if the zone map's [lo, hi] contains the value
-    * (integral columns — or STRING columns in binary UTF8 order), or
-    * the recorded partition value matches; no recorded metadata →
-    * conservative keep. */
-  private def eqSurvives(file: String, col: String, v: Any): Boolean = {
-    val zone = for {
-      x <- asLong(v)
-      (lo, hi) <- stats.getOrElse(file, Map.empty).get(col)
-    } yield lo <= x && x <= hi
-    val strZone = v match {
-      case u: UTF8String =>
-        strStats.getOrElse(file, Map.empty).get(col).map { case (lo, hi) =>
-          UTF8String.fromString(lo).compareTo(u) <= 0 &&
-            u.compareTo(UTF8String.fromString(hi)) <= 0
-        }
-      case _ => None
-    }
-    val part = v match {
-      case u: UTF8String =>
-        pvals.getOrElse(file, Map.empty).get(col).map(_ == u.toString)
-      case _ => None
-    }
-    zone.getOrElse(true) && strZone.getOrElse(true) && part.getOrElse(true)
-  }
-
-  /** Range bound check against the long zone maps, or the string zone
-    * maps when the literal is a string — `pred(loCmp, hiCmp)` receives
-    * compareTo signs in the string case, so one rule serves both. */
   private def boundSurvives(file: String, col: String)
-      (pred: (Long, Long, Long) => Boolean)(v: Any): Boolean = {
-    val long = for {
-      x <- asLong(v)
-      (lo, hi) <- stats.getOrElse(file, Map.empty).get(col)
-    } yield pred(lo, hi, x)
-    // string bounds reuse the same predicate through compareTo signs:
-    // pred is always of the shape `hi > x` / `lo <= x` / ... — feed it
-    // (sign(lo cmp x), sign(hi cmp x), 0) so the comparisons hold
-    val str = v match {
-      case u: UTF8String =>
-        strStats.getOrElse(file, Map.empty).get(col).map { case (lo, hi) =>
-          pred(UTF8String.fromString(lo).compareTo(u).sign.toLong,
-            UTF8String.fromString(hi).compareTo(u).sign.toLong, 0L)
-        }
-      case _ => None
-    }
-    long.orElse(str).getOrElse(true)
-  }
+      (pred: (Long, Long, Long) => Boolean)(v: Any): Boolean =
+    zones.boundSurvives(file, col)(pred)(v)
 }
 
 /** `option("history", "true")`: the table's commit history as a

@@ -11,6 +11,45 @@ class NewOpsSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
   private def run(name: String) = SparkEntry.queries(name)(spark, sf)
 
+  test("AnnIndex.optimize: rebuild bounded to oversized cells, " +
+      "generation 2 preserves root membership; balanced index no-ops") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files.createTempDirectory("annopt_").toString
+    // 10 vectors in 2 cells: cell 0 holds 8 (oversized at 1.5× mean),
+    // cell 1 holds 2
+    // cell-0 members fan out in angle (so the 2 sub-seeds genuinely
+    // partition them); cell-1 members are a distinct constant direction
+    val emb = (0L until 10L).map(i =>
+      (i, if (i < 8) Array(1f, i.toFloat, 0f, 0f)
+          else Array(0f, 0f, 1f, 1f)))
+      .toDF("vec_id", "embedding")
+    val membership = (0L until 10L).map(i => (i, if (i < 8) 0L else 1L))
+      .toDF("vec_id", "cent_id")
+    val (rebuilt, reassigned) = graft.ops.AnnIndex.optimize(emb, membership, out, imbalance = 1.5)
+    assert(rebuilt == 1L && reassigned == 8L,
+      s"exactly the oversized cell rebuilds, got ($rebuilt, $reassigned)")
+    val v2 = spark.read.parquet(s"$out/membership_v2")
+    assert(v2.count() == 10L, "no member lost or duplicated")
+    // root membership is PRESERVED through the split — the serve-path
+    // invariance hinges on exactly this
+    assert(v2.filter(col("root_id") === 0L).count() == 8L &&
+      v2.filter(col("root_id") === 1L).count() == 2L)
+    assert(spark.read.parquet(s"$out/subcents").count() == 2L,
+      "2 deterministic sub-centroids per split cell")
+    assert(v2.filter(col("root_id") === 0L).select("sub_id")
+      .distinct().count() == 2L, "the split cell's members spread " +
+        "across both sub-cells or collapse to one — but through sub ids")
+    // balanced index (high threshold): nothing rebuilds, gen2 == gen1
+    val out2 = java.nio.file.Files.createTempDirectory("annopt2_").toString
+    val (r2, n2) = graft.ops.AnnIndex.optimize(emb, membership, out2, imbalance = 10.0)
+    assert(r2 == 0L && n2 == 0L)
+    val same = spark.read.parquet(s"$out2/membership_v2")
+      .select(col("vec_id"), col("root_id").as("cent_id"))
+    assert(same.exceptAll(membership).isEmpty &&
+      membership.exceptAll(same).isEmpty)
+  }
+
   test("q56_kmeans_ivf: learned clusters partition all vectors") {
     val rows = run("q56_kmeans_ivf").collect()
     assert(rows.nonEmpty && rows.length <= 4)

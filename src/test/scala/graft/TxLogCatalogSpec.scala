@@ -324,6 +324,114 @@ class TxLogCatalogSpec extends AnyFunSuite {
     assert(got.length == 1 && got.head.isNullAt(2), s"got ${got.toSeq}")
   }
 
+  test("ALTER TABLE ADD COLUMN: metadata-only commit, reads backfill, " +
+      "guards refuse non-nullable / duplicate / non-add changes") {
+    spark.sql("CREATE TABLE lake.alt (id BIGINT, v DOUBLE) USING txlog")
+    spark.sql("INSERT INTO lake.alt VALUES (1, 10.0), (2, 20.0)")
+    val vBefore = TxLog.currentVersion(dirOf("alt"))
+    spark.sql("ALTER TABLE lake.alt ADD COLUMNS (tag STRING)")
+    assert(TxLog.currentVersion(dirOf("alt")) == vBefore + 1,
+      "ADD COLUMN is exactly one metadata commit")
+    // pre-evolution rows read back with the new column null-backfilled
+    val rows = spark.sql("SELECT id, tag FROM lake.alt ORDER BY id").collect()
+    assert(rows.length == 2 && rows.forall(_.isNullAt(1)))
+    spark.sql("INSERT INTO lake.alt VALUES (3, 30.0, 'wide')")
+    assert(spark.sql(
+      "SELECT count(*) FROM lake.alt WHERE tag IS NULL").head().getLong(0)
+      == 2L)
+    assert(spark.sql(
+      "SELECT count(*) FROM lake.alt WHERE tag = 'wide'").head().getLong(0)
+      == 1L)
+    // guards: duplicate name, NOT NULL (backfill would violate it)
+    intercept[Exception] {
+      spark.sql("ALTER TABLE lake.alt ADD COLUMNS (tag STRING)") }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE lake.alt ADD COLUMNS (req INT NOT NULL)") }
+    // evolveSchema itself is widen-only
+    intercept[IllegalArgumentException] {
+      TxLog.evolveSchema(dirOf("alt"),
+        new org.apache.spark.sql.types.StructType().add("id",
+          org.apache.spark.sql.types.LongType))
+    }
+    spark.sql("DROP TABLE lake.alt")
+  }
+
+  test("DML subqueries: uncorrelated IN and scalar subqueries " +
+      "pre-evaluate; correlated ones refuse with a clear message") {
+    spark.sql("CREATE TABLE lake.subq (id BIGINT, grp BIGINT, v DOUBLE) " +
+      "USING txlog")
+    spark.sql("INSERT INTO lake.subq VALUES " +
+      "(1, 0, 10.0), (2, 1, 20.0), (3, 0, 30.0), (4, 1, 40.0)")
+    Seq(1L, 3L).toDF("bad").createOrReplaceTempView("subq_bad")
+    spark.sql(
+      "DELETE FROM lake.subq WHERE id IN (SELECT bad FROM subq_bad)")
+    assert(spark.sql("SELECT count(*) FROM lake.subq").head().getLong(0)
+      == 2L)
+    spark.sql("UPDATE lake.subq SET v = v + " +
+      "(SELECT count(*) FROM subq_bad) WHERE id = 2")
+    assert(spark.sql("SELECT CAST(sum(v) AS BIGINT) FROM lake.subq")
+      .head().getLong(0) == 62L, "scalar subquery must fold to 2")
+    // correlated: the inner plan references the outer row — refused
+    val ex = intercept[Exception] {
+      spark.sql("DELETE FROM lake.subq t WHERE v > " +
+        "(SELECT avg(v) FROM lake.subq i WHERE i.grp = t.grp)")
+    }
+    assert(ex.getMessage.toLowerCase.contains("uncorrelated"),
+      s"expected the uncorrelated-only refusal, got: ${ex.getMessage}")
+    spark.sql("DROP TABLE lake.subq")
+  }
+
+  test("txlog.`/path` resolves SELECT and DML with no catalog; a " +
+      "non-table path stays unresolved") {
+    val t = java.nio.file.Files.createTempDirectory("txpath_").toString
+    TxLog.drop(t)
+    TxLog.create((1L to 10L).map(i => (i, i * 1.0)).toDF("id", "v"), t)
+    assert(spark.sql(s"SELECT count(*) FROM txlog.`$t`").head().getLong(0)
+      == 10L)
+    spark.sql(s"DELETE FROM txlog.`$t` WHERE id % 2 = 0")
+    spark.sql(s"UPDATE txlog.`$t` SET v = v * 10 WHERE id = 1")
+    assert(spark.sql(s"SELECT CAST(sum(v) AS BIGINT) FROM txlog.`$t`")
+      .head().getLong(0) == (10L + 3L + 5L + 7L + 9L),
+      "path DML must mutate through the log protocol")
+    assert(TxLog.currentVersion(t) == 2, "one version per DML statement")
+    // a directory with no committed log does NOT resolve — the rule
+    // leaves the relation alone and the normal error surfaces
+    val empty = java.nio.file.Files.createTempDirectory("txnopath_").toString
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM txlog.`$empty`").collect() }
+    TxLog.drop(t)
+  }
+
+  test("catalog reads prune files on log-resident zone maps: pushed " +
+      "filters skip provably-empty files, results stay exact") {
+    val t = dirOf("zprune")
+    TxLog.drop(t)
+    // three stats-carrying files with disjoint id ranges
+    (0 until 3).foreach { i =>
+      TxLog.appendWithStats(spark,
+        spark.range(i * 100L, i * 100L + 100L)
+          .select(col("id"), (col("id") * 2).as("v")).coalesce(1),
+        t, Seq("id"))
+    }
+    val rows = spark.sql(
+      "SELECT count(*) AS n, CAST(sum(v) AS BIGINT) AS sv " +
+        "FROM lake.zprune WHERE id >= 250").head()
+    assert(rows.getLong(0) == 50L &&
+      rows.getLong(1) == (250L until 300L).map(_ * 2).sum,
+      "pruned read must return exactly the matching rows")
+    assert(graft.sources.TxLogSourceIO.lastTotal.get() == 3 &&
+      graft.sources.TxLogSourceIO.lastKept.get() == 1,
+      s"zone maps must keep 1/3 files through the CATALOG scan, kept " +
+        s"${graft.sources.TxLogSourceIO.lastKept.get()}/" +
+        s"${graft.sources.TxLogSourceIO.lastTotal.get()}")
+    // a filter matching nothing prunes everything and reads empty
+    assert(spark.sql(
+      "SELECT count(*) FROM lake.zprune WHERE id > 100000").head()
+      .getLong(0) == 0L)
+    assert(graft.sources.TxLogSourceIO.lastKept.get() == 0)
+    spark.sql("DROP TABLE lake.zprune")
+  }
+
   test("catalog reads report log-resident statistics: a small catalog " +
       "table broadcasts in a join") {
     TxLog.create((1L to 5L).map(i => (i, s"n$i")).toDF("k", "name"),

@@ -439,6 +439,62 @@ class TxLogSourceSpec extends AnyFunSuite {
     TxLog.drop(t)
   }
 
+  test("readStream.table drives the DSv2 MicroBatchStream: capped " +
+      "AvailableNow drain by NAME, duplicate-free restart on the same " +
+      "checkpoint, undecided transactions stall the offer") {
+    val base = java.nio.file.Files.createTempDirectory("txmbs_").toString
+    val t = s"$base/stbl"
+    TxLog.create(spark.range(10L).select(col("id")).coalesce(1), t)
+    (1 until 4).foreach(i => TxLog.append(
+      spark.range(i * 10L, i * 10L + 10L).select(col("id")).coalesce(1), t))
+    spark.conf.set("spark.sql.catalog.graft_tlake",
+      classOf[graft.sources.TxLogCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_tlake.base", base)
+    val ckpt = java.nio.file.Files.createTempDirectory("txmbs_ck_").toString
+    val batchSizes = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    def drain(): Seq[Long] = {
+      val q = spark.readStream
+        .option("maxVersionsPerTrigger", "2")
+        .table("graft_tlake.stbl")
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batchSizes.add(b.count()): Unit
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      import scala.jdk.CollectionConverters._
+      val s = batchSizes.asScala.toSeq.filter(_ > 0)
+      batchSizes.clear(); s
+    }
+    val sizes = drain()
+    assert(sizes.sum == 40L && sizes == Seq(20L, 20L),
+      s"4 versions at cap 2 must drain by NAME as 2×2-version batches, " +
+        s"got $sizes")
+    // restart on the same checkpoint: the engine hands the DSv2
+    // latestOffset the checkpointed offset — nothing re-emits
+    (4 until 6).foreach(i => TxLog.append(
+      spark.range(i * 10L, i * 10L + 10L).select(col("id")).coalesce(1), t))
+    val sizes2 = drain()
+    assert(sizes2.sum == 20L, s"restart must ship only v4..v5, got $sizes2")
+    // an UNDECIDED multi-table transaction stalls the by-name offer at
+    // the same version the path API stalls at (shared TxLogOffsets)
+    val staged = TxLog.stageChecked(
+      spark.range(100L, 105L).select(col("id")), t)
+    val parts = Seq(t -> staged.map(f => s"add\t$f"))
+    val (txName, _) = TxLog.claimOnly(s"$base/_txn", parts)
+    TxLog.append(spark.range(60L, 70L).select(col("id")).coalesce(1), t)
+    val sizes3 = drain()
+    assert(sizes3.sum == 0L,
+      s"the offer must stall below the undecided version, got $sizes3")
+    TxLog.publishTx(s"$base/_txn", txName, parts)
+    val sizes4 = drain()
+    assert(sizes4.sum == 15L,
+      s"publish releases the stalled versions in order, got $sizes4")
+    TxLog.drop(base)
+  }
+
   test("streaming CDF honors maxVersionsPerTrigger: capped batches of " +
       "row-level changes, restart resumes above the checkpoint, " +
       "truncated history refuses with the version") {
