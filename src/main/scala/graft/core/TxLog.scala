@@ -521,10 +521,14 @@ object TxLog {
     * (or are new), so a stale narrower-than-union line can never
     * appear. */
   private def schemaLine(df: DataFrame, dir: String,
-      exact: Boolean = false): Seq[String] = {
+      exact: Boolean = false): Seq[String] =
+    schemaLineOf(df.schema, dir, exact)
+
+  private def schemaLineOf(schema: org.apache.spark.sql.types.StructType,
+      dir: String, exact: Boolean = false): Seq[String] = {
     import org.apache.spark.sql.types.{DataType, StructType}
     if (currentVersion(dir) < 0)
-      return Seq(s"schema\t${escapeVal(df.schema.json)}")
+      return Seq(s"schema\t${escapeVal(schema.json)}")
     state(dir, None).schemaJson match {
       case None => Seq.empty // legacy table — stay on the fallback path
       case Some(j) =>
@@ -532,11 +536,11 @@ object TxLog {
         // replace() swaps the WHOLE live set: the new schema is exactly
         // the frame's (a replaced-away column must not linger)
         val next =
-          if (exact) df.schema
+          if (exact) schema
           else {
             val have = prior.fieldNames.toSet
             StructType(prior.fields ++
-              df.schema.fields.filterNot(f => have(f.name)))
+              schema.fields.filterNot(f => have(f.name)))
           }
         if (next == prior) Seq.empty
         else Seq(s"schema\t${escapeVal(next.json)}")
@@ -1213,6 +1217,30 @@ object TxLog {
     val adds = stageEnforced(df, dir)
     claimVersion(dir, cur + 1,
       adds.map(f => s"add\t$f") ++ schemaLine(df, dir) :+
+        s"txn\t$app\t$txnId")
+  }
+
+  /** Driver-side commit of EXECUTOR-staged files as one idempotent
+    * streaming epoch — the DSv2 streaming write's commit leg
+    * ([[graft.sources.TxLogStreamingWrite]]): tasks already wrote the
+    * parquet files straight into the table directory (invisible until
+    * referenced, like every staged file), so the driver only validates
+    * constraints against exactly those bytes and claims adds + schema +
+    * txn marker. A REPLAYED epoch (marker already in the log — the
+    * checkpoint-recovery path) deletes its re-staged files and returns
+    * -1: exactly-once by protocol, the appendIdempotent contract
+    * without a driver-side restage. */
+  def commitStagedIdempotent(spark: SparkSession, dir: String,
+      files: Seq[String], schema: org.apache.spark.sql.types.StructType,
+      app: String, txnId: Long): Int = {
+    if (txnSeen(dir, app, txnId)) {
+      files.foreach(f => Files.deleteIfExists(Paths.get(dir, f)))
+      return -1
+    }
+    validateStaged(spark, dir, files)
+    val cur = currentVersion(dir)
+    claimVersion(dir, cur + 1,
+      files.map(f => s"add\t$f") ++ schemaLineOf(schema, dir) :+
         s"txn\t$app\t$txnId")
   }
 

@@ -4508,5 +4508,52 @@ object ExtQueries {
              |SELECT CAST(2 AS BIGINT) AS n_versions,
              |  CAST(count(*) AS BIGINT) AS n_rows,
              |  CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-             |FROM final""".stripMargin)))
+             |FROM final""".stripMargin)),
+
+    // q431 — STREAMING WRITES BY NAME (`writeStream.toTable`): the
+    // symmetric half of q425. The table declares STREAMING_WRITE:
+    // executor tasks write their partitions as parquet files DIRECTLY
+    // into the table directory (invisible until referenced — the
+    // staging contract), and the driver commits each epoch through the
+    // idempotent txn protocol keyed (queryId, epochId) — so the whole
+    // path is exactly-once with no foreachBatch and no DSv1 sink. A
+    // 4-version backlog at cap 2 must land as exactly 2 destination
+    // epochs (the table auto-created by toTable at version 0, so the
+    // counter pins batch structure AND creation), and the rows read
+    // back BY NAME must equal the source relation.
+    QuerySpec("q431_stream_write_table",
+      (s, dir) => {
+        import graft.core.TxLog
+        val base = Scratch.dir("lakecat", dir)
+        val src = Scratch.dir("q431src", dir)
+        val cp = Scratch.dir("q431cp", dir)
+        val dst = s"$base/q431d"
+        Seq(src, cp, dst).foreach(TxLog.drop)
+        new java.io.File(base).mkdirs()
+        s.conf.set("spark.sql.catalog.graft_lake",
+          classOf[graft.sources.TxLogCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_lake.base", base)
+        val orders = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+        (0 to 3).foreach(m =>
+          TxLog.append(orders.filter(col("o_orderkey") % 4 === m), src))
+        val q = s.readStream.format("txlog")
+          .option("maxVersionsPerTrigger", "2").load(src)
+          .writeStream
+          .option("checkpointLocation", cp)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .toTable("graft_lake.q431d")
+        q.awaitTermination()
+        // v0 = toTable's CREATE (schema-only), then one version per epoch
+        val nEpochs = TxLog.currentVersion(dst).toLong
+        s.sql("SELECT * FROM graft_lake.q431d")
+          .agg(count(lit(1)).as("n_rows"),
+            Stable.dsum(col("o_totalprice")).as("revenue"))
+          .select(lit(nEpochs).as("n_epochs"), col("n_rows"),
+            col("revenue"))
+      },
+      Some("""SELECT CAST(2 AS BIGINT) AS n_epochs,
+             |  CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             |FROM orders""".stripMargin)))
 }

@@ -190,8 +190,13 @@ class TxLogTable(val dir: String, ident: String,
     // `spark.readStream.table("lake.t")` first-class (VERDICT r11 #2):
     // the scan's [[TxLogMicroBatchStream]] shares the DSv1 source's
     // offset/admission logic through [[TxLogOffsets]].
+    // STREAMING_WRITE completes the by-name streaming symmetry
+    // (writeStream.toTable): executor tasks write parquet straight
+    // into the table dir, the driver commits them as one idempotent
+    // epoch — see [[TxLogStreamingWrite]].
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE).asJava
+      TableCapability.V1_BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = new TxLogV1ScanBuilder(dir, schema, asOf, options)
@@ -209,9 +214,165 @@ class TxLogTable(val dir: String, ident: String,
               if (overwrite) TxLog.replace(data, dir): Unit
               else TxLog.append(data, dir): Unit
           }
+        /** `writeStream.toTable("lake.t")` — the engine routes here
+          * when the table declares STREAMING_WRITE. The stream's
+          * identity for the exactly-once txn markers is the QUERY id
+          * (persisted in the checkpoint — stable across restarts, the
+          * same role the DSv1 sink's txnAppId plays). */
+        override def toStreaming: org.apache.spark.sql.connector.write
+            .streaming.StreamingWrite = {
+          require(!overwrite,
+            "txlog streaming writes are Append-only (Complete output " +
+              "mode would need a replace-per-epoch protocol)")
+          new TxLogStreamingWrite(dir, info.schema(), info.queryId())
+        }
       }
     }
   }
+}
+
+/** The DSv2 streaming write behind `writeStream.toTable("lake.t")`:
+  * each task writes its partition's rows as ONE parquet file DIRECTLY
+  * into the table directory (uniquely named, invisible until a commit
+  * references it — the standard staging contract, so a task/epoch crash
+  * leaves only the orphans vacuum already ignores), rows encoded by
+  * Spark's own [[ParquetWriteSupport]] so the bytes are
+  * indistinguishable from a batch write's. The driver's per-epoch
+  * commit is [[TxLog.commitStagedIdempotent]]: CHECK constraints
+  * validate against exactly the staged bytes, the commit carries the
+  * `txn (queryId, epochId)` marker, and a replayed epoch deletes its
+  * re-staged files — exactly-once by protocol, matching the DSv1 sink
+  * (q296's proof) on the by-name path. */
+class TxLogStreamingWrite(dir: String, writeSchema: StructType,
+    queryId: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import org.apache.spark.sql.connector.write.{PhysicalWriteInfo, WriterCommitMessage}
+  import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : StreamingDataWriterFactory = {
+    val spark = SparkSession.active
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    // the write-side parquet conf Spark's ParquetFileFormat would build:
+    // schema under ParquetWriteSupport's key plus the session's write
+    // options — so the staged bytes match batch-written ones
+    val conf = spark.sessionState.newHadoopConf()
+    val sql = spark.sessionState.conf
+    org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
+      .setSchema(writeSchema, conf)
+    conf.set(org.apache.spark.sql.internal.SQLConf
+      .PARQUET_WRITE_LEGACY_FORMAT.key,
+      sql.writeLegacyParquetFormat.toString)
+    conf.set(org.apache.spark.sql.internal.SQLConf
+      .PARQUET_OUTPUT_TIMESTAMP_TYPE.key,
+      sql.parquetOutputTimestampType.toString)
+    conf.set(org.apache.spark.sql.internal.SQLConf
+      .PARQUET_FIELD_ID_WRITE_ENABLED.key,
+      sql.parquetFieldIdWriteEnabled.toString)
+    conf.set(org.apache.spark.sql.internal.SQLConf
+      .PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key,
+      sql.getConf(org.apache.spark.sql.internal.SQLConf
+        .PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE).toString)
+    // datetime rebase markers: ParquetWriteSupport records them as file
+    // metadata; ParquetFileFormat sets both explicitly on its write conf
+    conf.set(org.apache.spark.sql.internal.SQLConf
+      .PARQUET_REBASE_MODE_IN_WRITE.key,
+      sql.getConf(org.apache.spark.sql.internal.SQLConf
+        .PARQUET_REBASE_MODE_IN_WRITE).toString)
+    conf.set(org.apache.spark.sql.internal.SQLConf
+      .PARQUET_INT96_REBASE_MODE_IN_WRITE.key,
+      sql.getConf(org.apache.spark.sql.internal.SQLConf
+        .PARQUET_INT96_REBASE_MODE_IN_WRITE).toString)
+    new TxLogStreamWriterFactory(dir,
+      new org.apache.spark.util.SerializableConfiguration(conf))
+  }
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val files = messages.collect {
+      case TxLogWriteMessage(name) if name != null => name
+    }.toSeq
+    TxLog.commitStagedIdempotent(SparkSession.active, dir, files,
+      writeSchema, queryId, epochId): Unit
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case TxLogWriteMessage(name) if name != null =>
+        java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(dir, name)): Unit
+      case _ => ()
+    }
+
+  override def toString: String = s"TxLogStreamingWrite[$dir]"
+}
+
+/** One staged file name per task (null = empty partition, no file). */
+case class TxLogWriteMessage(name: String)
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+class TxLogStreamWriterFactory(dir: String,
+    conf: org.apache.spark.util.SerializableConfiguration)
+    extends org.apache.spark.sql.connector.write.streaming
+      .StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[
+        org.apache.spark.sql.catalyst.InternalRow] =
+    new TxLogDataWriter(dir,
+      s"part-${java.util.UUID.randomUUID().toString.take(8)}" +
+        s"-e$epochId-p$partitionId.parquet", conf)
+}
+
+/** Executor-side writer: lazily opens one parquet file on the first row
+  * (empty partitions produce NO file), encodes through
+  * [[ParquetWriteSupport]] via the builder API with the driver-prepared
+  * conf. */
+class TxLogDataWriter(dir: String, name: String,
+    conf: org.apache.spark.util.SerializableConfiguration)
+    extends org.apache.spark.sql.connector.write.DataWriter[
+      org.apache.spark.sql.catalyst.InternalRow] {
+  import org.apache.spark.sql.catalyst.InternalRow
+
+  private var writer: org.apache.parquet.hadoop.ParquetWriter[InternalRow] = _
+  private var rows = 0L
+
+  private class RowBuilder(path: org.apache.hadoop.fs.Path)
+      extends org.apache.parquet.hadoop.ParquetWriter.Builder[
+        InternalRow, RowBuilder](path) {
+    override def self(): RowBuilder = this
+    override def getWriteSupport(c: org.apache.hadoop.conf.Configuration)
+        : org.apache.parquet.hadoop.api.WriteSupport[InternalRow] =
+      new org.apache.spark.sql.execution.datasources.parquet
+        .ParquetWriteSupport
+  }
+
+  override def write(row: InternalRow): Unit = {
+    if (writer == null) {
+      writer = new RowBuilder(new org.apache.hadoop.fs.Path(
+          new File(dir, name).toURI))
+        .withConf(conf.value)
+        .withCompressionCodec(
+          org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+        .build()
+    }
+    writer.write(row)
+    rows += 1
+  }
+
+  override def commit()
+      : org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    if (writer != null) writer.close()
+    TxLogWriteMessage(if (rows > 0) name else null)
+  }
+
+  override def abort(): Unit = {
+    if (writer != null) writer.close()
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(dir, name)): Unit
+  }
+
+  override def close(): Unit = ()
 }
 
 /** Column-pruning scan builder → [[V1Scan]] with log-resident stats.

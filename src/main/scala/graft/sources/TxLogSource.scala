@@ -247,7 +247,7 @@ class TxLogDataSource extends RelationProvider
   * ([[TxLogStreamSource]] — the path API) and the DSv2
   * [[TxLogMicroBatchStream]] (the catalog / `readStream.table` API):
   * one implementation, two connector generations (VERDICT r11 #2). */
-private[sources] object TxLogOffsets {
+private[graft] object TxLogOffsets {
   import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxFiles}
 
   /** Highest version in (base, hi] BEFORE the first UNDECIDED

@@ -477,4 +477,84 @@ object GraftProperties extends Properties("graft") {
       TxLog.drop(root)
       gotA == expectA.toSet && gotB == expectB.toSet
     }
+
+  // GridNeighbors (q334's salted eps-grid): for ANY point set —
+  // including ones engineered to overflow the dense threshold — the
+  // salted/sparse split must return exactly the brute-force pair set,
+  // at every threshold and salt width.
+  private val ptsGen: Gen[(List[(Double, Double)], Int, Int)] = for {
+    n <- Gen.choose(5, 40)
+    // half the points cluster inside one eps-cell (the hot key), half
+    // scatter — borders land across cell boundaries
+    pts <- Gen.listOfN(n, for {
+      hot <- Gen.oneOf(true, false)
+      x <- Gen.choose(0.0, 1.0)
+      y <- Gen.choose(0.0, 1.0)
+    } yield if (hot) (0.25 + x * 0.09, 0.25 + y * 0.09) else (x, y))
+    thresh <- Gen.oneOf(1, 4, 1000) // always-salt / mixed / never-salt
+    salts <- Gen.oneOf(1, 3)
+  } yield (pts, thresh, salts)
+
+  property("GridNeighbors.epsPairs == brute force at any density skew, " +
+      "threshold, and salt width") = forAll(ptsGen) {
+    case (pts, thresh, salts) =>
+      val eps = 0.1
+      val df = pts.zipWithIndex
+        .map { case ((x, y), i) => (i.toLong, x, y) }
+        .toDF("id", "x", "y")
+      val got = graft.ops.GridNeighbors
+        .epsPairs(df, eps, denseThreshold = thresh, salts = salts)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val brute = (for {
+        (a, i) <- pts.zipWithIndex; (b, j) <- pts.zipWithIndex
+        if i != j
+        dx = a._1 - b._1; dy = a._2 - b._2
+        if dx * dx + dy * dy < eps * eps
+      } yield (i.toLong, j.toLong)).toSet
+      got == brute
+  }
+
+  // TxLogOffsets (shared by the DSv1 source and the DSv2
+  // MicroBatchStream): offers advance monotonically, never exceed the
+  // cap or the drain target, and never cross an undecided version.
+  property("TxLogOffsets.nextOffset: capped, monotone, and " +
+      "undecided-stalling on arbitrary logs") =
+    forAll(Gen.choose(2, 8), Gen.choose(1, 3), Gen.choose(0, 7)) {
+      (versions, cap, undecidedAt) =>
+        import graft.core.TxLog
+        val root = java.nio.file.Files
+          .createTempDirectory("offprop_").toString
+        val t = s"$root/t"
+        TxLog.create(spark.range(1L).selectExpr("id"), t)
+        (1 until versions).foreach(i =>
+          TxLog.append(spark.range(i, i + 1L).selectExpr("id"), t))
+        // an undecided claim lands at version `versions` when in range
+        val undecided = undecidedAt < versions
+        if (undecided) {
+          val parts = Seq(t -> TxLog.stageChecked(
+            spark.range(100L, 101L).selectExpr("id"), t)
+            .map(f => s"add\t$f"))
+          TxLog.claimOnly(s"$root/_txn", parts): Unit
+        }
+        val lim = org.apache.spark.sql.connector.read.streaming
+          .ReadLimit.maxFiles(cap)
+        var base = -1
+        var steps = 0
+        var ok = true
+        var advanced = true
+        while (advanced && steps < 50) {
+          graft.sources.TxLogOffsets
+            .nextOffset(t, base, lim, Int.MaxValue) match {
+            case Some(v) =>
+              ok = ok && v > base && v - base <= cap &&
+                v <= versions - 1 // never offers the undecided slot
+              base = v
+            case None => advanced = false
+          }
+          steps += 1
+        }
+        TxLog.drop(root)
+        // every decided version must eventually be offered
+        ok && base == versions - 1
+    }
 }

@@ -495,6 +495,54 @@ class TxLogSourceSpec extends AnyFunSuite {
     TxLog.drop(base)
   }
 
+  test("writeStream.toTable drives the DSv2 streaming write: one " +
+      "idempotent epoch per micro-batch, auto-created table, restart " +
+      "ships only new versions, bytes read back exactly") {
+    val base = java.nio.file.Files.createTempDirectory("txsw_").toString
+    val src = s"$base/src"
+    TxLog.create(spark.range(10L)
+      .select(col("id"), (col("id") % 3).as("grp"),
+        concat(lit("n"), col("id")).as("name")).coalesce(1), src)
+    (1 until 3).foreach(i => TxLog.append(spark.range(i * 10L, i * 10L + 10L)
+      .select(col("id"), (col("id") % 3).as("grp"),
+        concat(lit("n"), col("id")).as("name")).coalesce(1), src))
+    spark.conf.set("spark.sql.catalog.graft_wlake",
+      classOf[graft.sources.TxLogCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_wlake.base", base)
+    val ckpt = java.nio.file.Files.createTempDirectory("txsw_ck_").toString
+    def drain(): Unit = {
+      val q = spark.readStream.format("txlog")
+        .option("maxVersionsPerTrigger", "1").load(src)
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable("graft_wlake.dst")
+      q.awaitTermination()
+    }
+    drain()
+    val dst = s"$base/dst"
+    // v0 = auto-CREATE (schema only), then exactly one version per epoch
+    assert(TxLog.currentVersion(dst) == 3,
+      s"3 capped epochs expected, table at v${TxLog.currentVersion(dst)}")
+    assert(spark.sql("SELECT count(*) FROM graft_wlake.dst")
+      .head().getLong(0) == 30L)
+    // the written bytes ARE the source rows (names and grps intact)
+    assert(spark.sql(
+      "SELECT count(*) FROM graft_wlake.dst WHERE name = concat('n', id) " +
+        "AND grp = id % 3").head().getLong(0) == 30L)
+    // restart on the same checkpoint with one new upstream version:
+    // nothing re-lands (exactly-once via the (queryId, epochId) txn
+    // markers), only the new version ships
+    TxLog.append(spark.range(30L, 35L)
+      .select(col("id"), (col("id") % 3).as("grp"),
+        concat(lit("n"), col("id")).as("name")).coalesce(1), src)
+    drain()
+    assert(spark.sql("SELECT count(*) FROM graft_wlake.dst")
+      .head().getLong(0) == 35L,
+      "restart must ship exactly the new version's rows")
+    assert(TxLog.currentVersion(dst) == 4)
+    TxLog.drop(base)
+  }
+
   test("streaming CDF honors maxVersionsPerTrigger: capped batches of " +
       "row-level changes, restart resumes above the checkpoint, " +
       "truncated history refuses with the version") {
