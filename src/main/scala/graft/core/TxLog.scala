@@ -1702,17 +1702,23 @@ object TxLog {
       == parts.size, "duplicate table dirs in one transaction")
     new File(txRoot).mkdirs()
     val txName = s"tx-${java.util.UUID.randomUUID().toString.take(12)}.txt"
-    // SCHEMA lines ride in each table's RAW claim entry, not the shared
-    // tx file: a table CREATED by a transaction that later aborts (or
-    // whose writer dies undecided) must still resolve a schema —
-    // otherwise the table "exists" (version 0 claimed) but read()
-    // throws "schema unrecoverable" forever (ADVICE r11 #3). The
-    // resolved view is identical on publish (resolveLines passes raw
-    // non-xref lines through); the only visible difference is that an
-    // aborted creation leaves a typed EMPTY table — createEmpty's
-    // exact shape — instead of a poisoned one.
+    // For a table CREATED by this transaction, the SCHEMA line rides in
+    // the RAW claim entry, not the shared tx file: a creating
+    // transaction that aborts (or dies undecided) must still resolve a
+    // schema — otherwise the table "exists" (version 0 claimed) but
+    // read() throws "schema unrecoverable" forever (ADVICE r11 #3).
+    // The resolved view is identical on publish (resolveLines passes
+    // raw non-xref lines through); the only visible difference is that
+    // an aborted creation leaves a typed EMPTY table — createEmpty's
+    // exact shape. EXISTING tables keep their schema lines in the tx
+    // file: their schema change (e.g. replaceAll's exact snap) must
+    // stay atomic with the data it describes — an abort must not leave
+    // a new schema over old rows.
     val split = parts.map { case (dir, lines, expected) =>
-      val (schema, data) = lines.partition(_.startsWith("schema\t"))
+      val creating = expected.getOrElse(currentVersion(dir)) < 0
+      val (schema, data) =
+        if (creating) lines.partition(_.startsWith("schema\t"))
+        else (Seq.empty[String], lines)
       (dir, schema, data, expected)
     }
     val claimed = scala.collection.mutable.ListBuffer.empty[(String, Int)]

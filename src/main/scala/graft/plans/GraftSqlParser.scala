@@ -29,11 +29,15 @@ import org.apache.spark.sql.types.{LongType, StructType}
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   private val Optimize =
-    """(?is)\s*OPTIMIZE\s+([\w.`]+)\s*(?:ZORDER\s+BY\s*\(([^)]*)\)\s*)?;?\s*""".r
+    """(?is)\s*OPTIMIZE\s+([\w./`]+)\s*(?:ZORDER\s+BY\s*\(([^)]*)\)\s*)?;?\s*""".r
   private val Vacuum =
-    """(?is)\s*VACUUM\s+([\w.`]+)\s*(?:RETAIN\s+(\d+)\s+VERSIONS\s*)?;?\s*""".r
+    """(?is)\s*VACUUM\s+([\w./`]+)\s*(?:RETAIN\s+(\d+)\s+VERSIONS\s*)?;?\s*""".r
   private val History =
-    """(?is)\s*DESCRIBE\s+HISTORY\s+([\w.`]+)\s*;?\s*""".r
+    """(?is)\s*DESCRIBE\s+HISTORY\s+([\w./`]+)\s*;?\s*""".r
+  private val Restore =
+    """(?is)\s*RESTORE\s+(?:TABLE\s+)?([\w./`]+)\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+  private val Clone =
+    """(?is)\s*CREATE\s+TABLE\s+([\w./`]+)\s+SHALLOW\s+CLONE\s+([\w./`]+)\s*;?\s*""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case Optimize(name, zorder) =>
@@ -46,6 +50,11 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         Option(retain).map(_.toInt))
     case History(name) =>
       DescribeHistoryCommand(delegate.parseMultipartIdentifier(name))
+    case Restore(name, v) =>
+      RestoreTableCommand(delegate.parseMultipartIdentifier(name), v.toInt)
+    case Clone(dst, src) =>
+      CloneTableCommand(delegate.parseMultipartIdentifier(dst),
+        delegate.parseMultipartIdentifier(src))
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -127,16 +136,79 @@ object TableChanges {
 }
 
 private object MaintenanceTarget {
-  /** Resolve a maintenance statement's table name to its txlog dir. */
+  /** Resolve a maintenance statement's table name to its txlog dir —
+    * catalog names (`lake.t`) and bare `txlog.`/path`` relations both
+    * qualify (the same alphabet the DML rule accepts). */
   def dirOf(spark: SparkSession, nameParts: Seq[String]): String =
-    GraftSqlBridge.lookupV2Table(spark, nameParts) match {
-      case t: TxLogTable =>
-        require(t.asOf.isEmpty,
-          s"cannot run maintenance on the time-travel snapshot ${t.name()}")
-        t.dir
-      case other => throw new UnsupportedOperationException(
-        s"${nameParts.mkString(".")} is not a txlog table: ${other.name()}")
+    nameParts match {
+      case Seq(src, path) if src.equalsIgnoreCase("txlog")
+          && path.contains("/")
+          && (try TxLog.currentVersion(path) >= 0
+              catch { case _: Throwable => false }) => path
+      case _ => GraftSqlBridge.lookupV2Table(spark, nameParts) match {
+        case t: TxLogTable =>
+          require(t.asOf.isEmpty,
+            s"cannot run maintenance on the time-travel snapshot ${t.name()}")
+          t.dir
+        case other => throw new UnsupportedOperationException(
+          s"${nameParts.mkString(".")} is not a txlog table: ${other.name()}")
+      }
     }
+
+  /** A CLONE's DESTINATION does not exist yet — resolve it to the dir
+    * it WILL occupy: a `txlog.`/path`` tail verbatim, or a catalog
+    * identifier through the catalog's directory layout. */
+  def newDirOf(spark: SparkSession, nameParts: Seq[String]): String =
+    nameParts match {
+      case Seq(src, path) if src.equalsIgnoreCase("txlog")
+          && path.contains("/") => path
+      case _ =>
+        require(nameParts.size >= 2,
+          "SHALLOW CLONE destination must be catalog-qualified " +
+            s"(lake.t) or a txlog.`/path`, got ${nameParts.mkString(".")}")
+        GraftSqlBridge.catalogPlugin(spark, nameParts.head) match {
+          case c: graft.sources.TxLogCatalog =>
+            c.tableDir(org.apache.spark.sql.connector.catalog.Identifier
+              .of(nameParts.tail.init.toArray, nameParts.last))
+          case other => throw new UnsupportedOperationException(
+            s"SHALLOW CLONE destination catalog must be a TxLogCatalog, " +
+              s"got ${other.name()}")
+        }
+    }
+}
+
+/** `RESTORE [TABLE] t [TO] VERSION AS OF n` → [[TxLog.restore]]: the
+  * bad-deploy undo as SQL (Delta's verb) — live set, deletion vectors,
+  * and schema snap back as one new auditable commit; the undone
+  * versions stay time-travelable. */
+case class RestoreTableCommand(nameParts: Seq[String], toVersion: Int)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("restored_to", LongType, nullable = false)(),
+    AttributeReference("new_version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = MaintenanceTarget.dirOf(spark, nameParts)
+    val v = TxLog.restore(dir, toVersion)
+    TxLogDml.refresh(spark, dir)
+    Seq(Row(toVersion.toLong, v.toLong))
+  }
+}
+
+/** `CREATE TABLE dst SHALLOW CLONE src` → [[TxLog.shallowClone]]:
+  * zero-copy branch of the source's CURRENT snapshot (translated add
+  * lines + deletion vectors; no data IO) — mutations on either side
+  * stay invisible to the other from that point on. */
+case class CloneTableCommand(dstParts: Seq[String], srcParts: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("cloned_version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val srcDir = MaintenanceTarget.dirOf(spark, srcParts)
+    val dstDir = MaintenanceTarget.newDirOf(spark, dstParts)
+    val v = TxLog.shallowClone(srcDir, dstDir)
+    TxLogDml.refresh(spark, dstDir)
+    Seq(Row(v.toLong))
+  }
 }
 
 /** `OPTIMIZE t [ZORDER BY (x, y)]` → [[TxLog.optimize]]: compact the

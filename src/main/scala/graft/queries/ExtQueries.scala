@@ -4555,5 +4555,57 @@ object ExtQueries {
       Some("""SELECT CAST(2 AS BIGINT) AS n_epochs,
              |  CAST(count(*) AS BIGINT) AS n_rows,
              |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-             |FROM orders""".stripMargin)))
+             |FROM orders""".stripMargin)),
+
+    // q432 — RESTORE / SHALLOW CLONE / path maintenance AS SQL: the
+    // remaining operator verbs a lakehouse admin types, through the
+    // injected parser. A bad deploy (destructive INSERT OVERWRITE
+    // shape) is undone by `RESTORE TABLE ... TO VERSION AS OF` (zero
+    // data IO, the bad version stays time-travelable); the restored
+    // table is branched zero-copy by `CREATE TABLE ... SHALLOW CLONE`
+    // and the clone is mutated by SQL DELETE — proving branch
+    // independence under the hash (source must NOT lose the deleted
+    // rows); `OPTIMIZE txlog.`/path`` exercises maintenance on a BARE
+    // path (no catalog) and must change layout only. The version
+    // counters pin each verb to exactly one commit.
+    QuerySpec("q432_txlog_restore_clone_sql",
+      (s, dir) => {
+        import graft.core.TxLog
+        val base = Scratch.dir("lakecat", dir)
+        val t = s"$base/q432m"
+        val c = s"$base/q432c"
+        Seq(t, c).foreach(TxLog.drop)
+        new java.io.File(base).mkdirs()
+        s.conf.set("spark.sql.catalog.graft_lake",
+          classOf[graft.sources.TxLogCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_lake.base", base)
+        val orders = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+        TxLog.create(orders.filter(col("o_orderkey") % 2 === 0), t) // v0
+        TxLog.append(orders.filter(col("o_orderkey") % 2 =!= 0), t) // v1
+        TxLog.replace(orders.filter(col("o_totalprice") > 300000), t) // v2: bad
+        s.sql("RESTORE TABLE graft_lake.q432m TO VERSION AS OF 1")  // v3
+        s.sql("CREATE TABLE graft_lake.q432c SHALLOW CLONE graft_lake.q432m")
+        s.sql("DELETE FROM graft_lake.q432c WHERE o_orderkey % 3 = 0")
+        s.sql(s"OPTIMIZE txlog.`$t`")                               // v4
+        val vs = TxLog.currentVersion(t).toLong
+        val vc = TxLog.currentVersion(c).toLong
+        Seq(("source", s"$base/q432m", vs), ("clone", s"$base/q432c", vc))
+          .map { case (probe, d, v) =>
+            TxLog.read(s, d)
+              .agg(count(lit(1)).as("n_rows"),
+                Stable.dsum(col("o_totalprice")).as("revenue"))
+              .select(lit(probe).as("probe"), lit(v).as("n_versions"),
+                col("n_rows"), col("revenue"))
+          }.reduce(_ unionByName _).orderBy("probe")
+      },
+      Some("""SELECT 'clone' AS probe, CAST(1 AS BIGINT) AS n_versions,
+             |  CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             |FROM orders WHERE o_orderkey % 3 <> 0
+             |UNION ALL
+             |SELECT 'source', CAST(4 AS BIGINT), CAST(count(*) AS BIGINT),
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |FROM orders
+             |ORDER BY probe""".stripMargin)))
 }

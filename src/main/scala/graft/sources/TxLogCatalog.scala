@@ -47,7 +47,7 @@ class TxLogCatalog extends TableCatalog {
 
   override def name(): String = catalogName
 
-  private[sources] def tableDir(ident: Identifier): String =
+  def tableDir(ident: Identifier): String =
     (ident.namespace() :+ ident.name())
       .foldLeft(new File(base))(new File(_, _)).toString
 

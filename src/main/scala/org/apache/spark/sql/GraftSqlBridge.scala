@@ -50,6 +50,15 @@ object GraftSqlBridge {
     }
   }
 
+  /** The CATALOG PLUGIN registered under a name (`catalogManager` is
+    * `private[sql]`) — what SHALLOW CLONE needs to resolve its
+    * NOT-YET-EXISTING destination identifier to the directory it will
+    * occupy (loadTable would throw NoSuchTable). */
+  def catalogPlugin(spark: SparkSession, name: String)
+      : org.apache.spark.sql.connector.catalog.CatalogPlugin =
+    spark.asInstanceOf[classic.SparkSession]
+      .sessionState.catalogManager.catalog(name)
+
   /** Re-tag a batch plan's rows as a STREAMING DataFrame —
     * `internalCreateDataFrame(isStreaming = true)` is `private[sql]`
     * and is what every DSv1 streaming `Source.getBatch` must return

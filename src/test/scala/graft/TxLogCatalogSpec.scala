@@ -432,6 +432,53 @@ class TxLogCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE lake.zprune")
   }
 
+  test("RESTORE / SHALLOW CLONE SQL verbs and maintenance on bare " +
+      "paths: restore refuses nonexistent versions, clones are " +
+      "independent, DESCRIBE HISTORY works on txlog.`/path`") {
+    spark.sql("CREATE TABLE lake.rst (id BIGINT, v DOUBLE) USING txlog")
+    spark.sql("INSERT INTO lake.rst VALUES (1, 10.0), (2, 20.0)")
+    spark.sql("INSERT OVERWRITE lake.rst VALUES (9, 90.0)") // bad deploy
+    val r = spark.sql(
+      "RESTORE TABLE lake.rst TO VERSION AS OF 1").head()
+    assert(r.getLong(0) == 1L && r.getLong(1) == 3L)
+    assert(spark.sql("SELECT count(*) FROM lake.rst").head().getLong(0)
+      == 2L)
+    intercept[Exception] {
+      spark.sql("RESTORE TABLE lake.rst TO VERSION AS OF 99") }
+    // zero-copy branch + independent mutation
+    spark.sql("CREATE TABLE lake.rstc SHALLOW CLONE lake.rst")
+    spark.sql("DELETE FROM lake.rstc WHERE id = 1")
+    assert(spark.sql("SELECT count(*) FROM lake.rstc").head().getLong(0)
+      == 1L)
+    assert(spark.sql("SELECT count(*) FROM lake.rst").head().getLong(0)
+      == 2L, "the clone's DELETE must not touch the source")
+    // maintenance verbs on a BARE path — same alphabet as the catalog
+    val dir = dirOf("rst")
+    assert(spark.sql(s"DESCRIBE HISTORY txlog.`$dir`").count() >= 4L)
+    spark.sql(s"OPTIMIZE txlog.`$dir`")
+    assert(spark.sql("SELECT count(*) FROM lake.rst").head().getLong(0)
+      == 2L, "OPTIMIZE changes layout, never content")
+    assert(spark.sql(s"RESTORE txlog.`$dir` VERSION AS OF 2").head()
+      .getLong(0) == 2L, "RESTORE accepts the path form and " +
+        "the optional-keyword syntax")
+    assert(spark.sql("SELECT id FROM lake.rst").head().getLong(0) == 9L)
+    spark.sql("DROP TABLE lake.rst")
+    spark.sql("DROP TABLE lake.rstc")
+  }
+
+  test("CREATE TABLE ... AS SELECT lands schema + rows in the catalog " +
+      "(non-atomic CTAS through createTable + the V1 write)") {
+    spark.sql("CREATE TABLE lake.ctas USING txlog AS " +
+      "SELECT id, id * 2.0 AS v FROM range(5)")
+    assert(spark.sql("SELECT count(*) FROM lake.ctas").head().getLong(0)
+      == 5L)
+    assert(spark.sql("SELECT CAST(sum(v) AS BIGINT) FROM lake.ctas")
+      .head().getLong(0) == 20L)
+    // v0 = CREATE (schema), v1 = the SELECT's rows
+    assert(TxLog.currentVersion(dirOf("ctas")) == 1)
+    spark.sql("DROP TABLE lake.ctas")
+  }
+
   test("catalog reads report log-resident statistics: a small catalog " +
       "table broadcasts in a join") {
     TxLog.create((1L to 5L).map(i => (i, s"n$i")).toDF("k", "name"),
