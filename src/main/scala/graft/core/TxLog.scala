@@ -79,6 +79,69 @@ object TxLog {
     }
   }
 
+  /** Race-window seam for the append-retry specs: runs between an
+    * appender's version read and its claim — a test injects a
+    * competing commit here to force a deterministic lost race. */
+  private[graft] var appendRaceHook: () => Unit = () => ()
+
+  /** Claim an APPEND-shaped commit at the next free version, RETRYING
+    * a lost claim race: blind appends COMMUTE (Delta's conflict rule —
+    * concurrent appends never conflict with each other), so the loser
+    * re-validates its staged files against the winner's new state (a
+    * racing `addConstraint` must still gate it — constraints validate
+    * existing rows, and ours were unreferenced when the winner checked)
+    * and takes the next slot instead of failing the whole job. Strict
+    * optimistic concurrency stays for every commit that READ state to
+    * decide what to write (replace/upsert/delete/optimize/restore and
+    * the multi-table claims): those must conflict. `mkLines` re-derives
+    * the commit lines per attempt, so a racing schema evolution folds
+    * into the recorded union schema. */
+  private def claimAppendRetrying(spark: SparkSession, dir: String,
+      staged: Seq[String], mkLines: () => Seq[String],
+      maxRetries: Int = 20): Int = {
+    var attempt = 0
+    while (true) {
+      val v = currentVersion(dir) + 1
+      appendRaceHook()
+      try return claimVersion(dir, v, mkLines())
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+          validateStaged(spark, dir, staged)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** The txn-marked variant ([[appendIdempotent]] /
+    * [[commitStagedIdempotent]]): a retry must ALSO re-check the txn
+    * marker — the race may have been lost to a replica of THIS batch
+    * (two speculative drivers), in which case the staged duplicates
+    * are deleted and the replay contract (-1) holds. */
+  private def claimTxnRetrying(spark: SparkSession, dir: String,
+      staged: Seq[String], app: String, txnId: Long,
+      mkLines: () => Seq[String], maxRetries: Int = 20): Int = {
+    var attempt = 0
+    while (true) {
+      val v = currentVersion(dir) + 1
+      appendRaceHook()
+      try return claimVersion(dir, v,
+        mkLines() :+ s"txn\t$app\t$txnId")
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+          if (txnSeen(dir, app, txnId)) {
+            staged.foreach(f => Files.deleteIfExists(Paths.get(dir, f)))
+            return -1
+          }
+          validateStaged(spark, dir, staged)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Highest committed version, or -1 for an uninitialized table.
     * Checkpoint files count: a log whose raw entries were truncated
     * below its latest checkpoint still resolves. */
@@ -331,10 +394,12 @@ object TxLog {
     * payoff of [[optimize]]'s z-order clustering. */
   def appendWithStats(spark: SparkSession, df: DataFrame, dir: String,
       statsCols: Seq[String]): Int = {
-    val cur = currentVersion(dir)
     val staged = stageEnforced(df, dir)
-    claimVersion(dir, cur + 1,
-      statAddLines(spark, dir, staged, statsCols) ++ schemaLine(df, dir))
+    // bounds are content properties of the staged files — computed once;
+    // only the schema union re-derives per retry attempt
+    val statLines = statAddLines(spark, dir, staged, statsCols)
+    claimAppendRetrying(spark, dir, staged,
+      () => statLines ++ schemaLine(df, dir))
   }
 
   /** Add lines with per-file min/max triples for `statsCols`, computed
@@ -590,11 +655,12 @@ object TxLog {
     claimVersion(dir, cur + 1, Seq(s"schema\t${escapeVal(next.json)}"))
   }
 
-  /** APPEND: new files only, nothing removed. */
+  /** APPEND: new files only, nothing removed — lost claim races RETRY
+    * ([[claimAppendRetrying]]: blind appends commute). */
   def append(df: DataFrame, dir: String): Int = {
-    val cur = currentVersion(dir)
-    claimVersion(dir, cur + 1,
-      stageEnforced(df, dir).map(f => s"add\t$f") ++ schemaLine(df, dir))
+    val staged = stageEnforced(df, dir)
+    claimAppendRetrying(df.sparkSession, dir, staged,
+      () => staged.map(f => s"add\t$f") ++ schemaLine(df, dir))
   }
 
   /** REPLACE (SaveMode.Overwrite through the connector): one atomic
@@ -624,7 +690,6 @@ object TxLog {
       constraint: org.apache.spark.sql.Column): Int = {
     // stage-first like every writer: the frame executes once, the
     // check runs on the deterministic staged re-read
-    val cur = currentVersion(dir)
     val staged = stageEnforced(df, dir)
     if (staged.nonEmpty) {
       val stagedDf = df.sparkSession.read.option("mergeSchema", "true")
@@ -637,8 +702,8 @@ object TxLog {
           s"CHECK constraint violated by the incoming batch: $constraint")
       }
     }
-    claimVersion(dir, cur + 1,
-      staged.map(f => s"add\t$f") ++ schemaLine(df, dir))
+    claimAppendRetrying(df.sparkSession, dir, staged,
+      () => staged.map(f => s"add\t$f") ++ schemaLine(df, dir))
   }
 
   /** LOG-RESIDENT CHECK constraints (Delta's `ALTER TABLE ... ADD
@@ -779,7 +844,8 @@ object TxLog {
         s"p:${escapeVal(c)}=${escapeVal(vals.getOrElse(c, ""))}")
       (s"add\t$name" +: markers).mkString("\t")
     }
-    claimVersion(dir, cur + 1, adds ++ schemaLine(df, dir))
+    claimAppendRetrying(spark, dir, named.map(_._1),
+      () => adds ++ schemaLine(df, dir))
   }
 
   /** Undo Spark's partition-path escaping (`%xx`, uppercase hex — the
@@ -1213,11 +1279,9 @@ object TxLog {
   def appendIdempotent(df: DataFrame, dir: String,
       app: String, txnId: Long): Int = {
     if (txnSeen(dir, app, txnId)) return -1
-    val cur = currentVersion(dir)
     val adds = stageEnforced(df, dir)
-    claimVersion(dir, cur + 1,
-      adds.map(f => s"add\t$f") ++ schemaLine(df, dir) :+
-        s"txn\t$app\t$txnId")
+    claimTxnRetrying(df.sparkSession, dir, adds, app, txnId,
+      () => adds.map(f => s"add\t$f") ++ schemaLine(df, dir))
   }
 
   /** Driver-side commit of EXECUTOR-staged files as one idempotent
@@ -1238,10 +1302,8 @@ object TxLog {
       return -1
     }
     validateStaged(spark, dir, files)
-    val cur = currentVersion(dir)
-    claimVersion(dir, cur + 1,
-      files.map(f => s"add\t$f") ++ schemaLineOf(schema, dir) :+
-        s"txn\t$app\t$txnId")
+    claimTxnRetrying(spark, dir, files, app, txnId,
+      () => files.map(f => s"add\t$f") ++ schemaLineOf(schema, dir))
   }
 
   /** Has `(app, txnId)` already committed? Scanned from the replayed

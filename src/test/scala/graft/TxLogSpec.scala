@@ -718,6 +718,60 @@ class TxLogSpec extends AnyFunSuite {
     TxLog.drop(root)
   }
 
+  test("concurrent blind appends COMMUTE: a lost claim race retries at " +
+      "the next slot instead of failing; both writers' rows land") {
+    val t = freshTable()
+    val v0 = TxLog.currentVersion(t)
+    // deterministic lost race: between the appender's version read and
+    // its claim, a competing commit takes the slot
+    TxLog.appendRaceHook = () => {
+      TxLog.appendRaceHook = () => () // fire once
+      TxLog.append(Seq((500L, 0L)).toDF("id", "grp"), t): Unit
+    }
+    try TxLog.append(Seq((600L, 1L)).toDF("id", "grp"), t)
+    finally TxLog.appendRaceHook = () => ()
+    assert(TxLog.currentVersion(t) == v0 + 2,
+      "both appends must commit, sequential versions")
+    val ids = TxLog.read(spark, t).select("id").as[Long].collect().toSet
+    assert(ids.contains(500L) && ids.contains(600L),
+      "no append lost in the race")
+    // genuinely concurrent: two threads, one barrier — both succeed
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = Seq(700L, 701L).map { id =>
+      new Thread(() => {
+        barrier.await()
+        try TxLog.append(Seq((id, 0L)).toDF("id", "grp"), t): Unit
+        catch { case e: Throwable => errs.add(e): Unit }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"blind appends must never conflict: $errs")
+    val after = TxLog.read(spark, t).select("id").as[Long].collect().toSet
+    assert(after.contains(700L) && after.contains(701L))
+    TxLog.drop(t)
+  }
+
+  test("a RETRYING appender still honors a constraint the race winner " +
+      "added: its staged rows were unreferenced when the winner " +
+      "validated existing data") {
+    val t = freshTable() // ids 0..99
+    TxLog.appendRaceHook = () => {
+      TxLog.appendRaceHook = () => ()
+      // the competing commit is a METADATA change: a constraint the
+      // retrying appender's staged rows violate
+      TxLog.addConstraint(spark, t, "small_ids", "id < 1000"): Unit
+    }
+    val ex =
+      try intercept[IllegalArgumentException] {
+        TxLog.append(Seq((5000L, 0L)).toDF("id", "grp"), t)
+      } finally TxLog.appendRaceHook = () => ()
+    assert(ex.getMessage.contains("CHECK constraint"), ex.getMessage)
+    assert(!TxLog.read(spark, t).select("id").as[Long].collect()
+      .contains(5000L), "the violating retry must not have committed")
+    TxLog.drop(t)
+  }
+
   test("a publish failure AFTER all claims auto-aborts the transaction: " +
       "nothing stays undecided, checkpoints/streams/vacuum unblocked") {
     val root = java.nio.file.Files.createTempDirectory("txpubfail_").toString
