@@ -187,6 +187,9 @@ object TxLog {
     val txns = scala.collection.mutable.LinkedHashSet.empty[String]
     /** Active table CHECK constraints, name → SQL expression text. */
     val cons = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    /** Table properties (TBLPROPERTIES), key → value — pure metadata,
+      * carried through checkpoints like constraints. */
+    val props = scala.collection.mutable.LinkedHashMap.empty[String, String]
     /** Last recorded table schema (JSON), Delta's metaData action. */
     var schemaJson: Option[String] = None
     /** True when the fold crossed an UNRESOLVED `xref` entry (a
@@ -222,6 +225,12 @@ object TxLog {
         }
         else if (l.startsWith("unconstraint\t"))
           cons -= unescapeVal(l.substring("unconstraint\t".length)): Unit
+        else if (l.startsWith("property\t")) l.split('\t') match {
+          case Array(_, k, v) => props(unescapeVal(k)) = unescapeVal(v)
+          case _ => ()
+        }
+        else if (l.startsWith("unproperty\t"))
+          props -= unescapeVal(l.substring("unproperty\t".length)): Unit
         else if (l.startsWith("schema\t"))
           schemaJson = Some(unescapeVal(l.substring("schema\t".length)))
       }
@@ -237,6 +246,8 @@ object TxLog {
         } ++ txns.toSeq ++
         cons.toSeq.map { case (n, sql) =>
           s"constraint\t${escapeVal(n)}\t${escapeVal(sql)}" } ++
+        props.toSeq.map { case (k, v) =>
+          s"property\t${escapeVal(k)}\t${escapeVal(v)}" } ++
         schemaJson.map(j => s"schema\t${escapeVal(j)}")
   }
 
@@ -627,11 +638,35 @@ object TxLog {
   /** CREATE an EMPTY table (the catalog's `CREATE TABLE` surface):
     * version 0 carries only the schema line — no data files — and the
     * recorded in-log schema serves reads until data lands (the same
-    * mechanism that keeps an emptied-then-vacuumed table readable). */
+    * mechanism that keeps an emptied-then-vacuumed table readable).
+    * `properties` (TBLPROPERTIES) land as metadata lines, carried
+    * through checkpoints like constraints. */
   def createEmpty(dir: String,
-      schema: org.apache.spark.sql.types.StructType): Int = {
+      schema: org.apache.spark.sql.types.StructType,
+      properties: Map[String, String] = Map.empty): Int = {
     require(currentVersion(dir) < 0, s"$dir already has a version 0")
-    claimVersion(dir, 0, Seq(s"schema\t${escapeVal(schema.json)}"))
+    claimVersion(dir, 0, s"schema\t${escapeVal(schema.json)}" +:
+      properties.toSeq.map { case (k, v) =>
+        s"property\t${escapeVal(k)}\t${escapeVal(v)}" })
+  }
+
+  /** Current TBLPROPERTIES (log metadata). */
+  def tableProperties(dir: String,
+      asOf: Option[Int] = None): Map[String, String] =
+    if (currentVersion(dir) < 0) Map.empty
+    else state(dir, asOf).props.toMap
+
+  /** `ALTER TABLE ... SET/UNSET TBLPROPERTIES` — one metadata-only
+    * commit; empty inputs no-op without burning a version. */
+  def alterProperties(dir: String, set: Map[String, String],
+      unset: Seq[String] = Seq.empty): Int = {
+    val cur = currentVersion(dir)
+    require(cur >= 0, s"$dir is not a TxLog table")
+    if (set.isEmpty && unset.isEmpty) return cur
+    claimVersion(dir, cur + 1,
+      set.toSeq.map { case (k, v) =>
+        s"property\t${escapeVal(k)}\t${escapeVal(v)}" } ++
+        unset.map(k => s"unproperty\t${escapeVal(k)}"))
   }
 
   /** SCHEMA EVOLUTION as its own commit (`ALTER TABLE ... ADD COLUMN`
@@ -1430,15 +1465,19 @@ object TxLog {
   }
 
   def shallowClone(srcDir: String, dstDir: String): Int = {
-    val srcLive = snapshot(srcDir)
-    val srcDvs = dvSources(srcDir, None)
+    val srcSt = state(srcDir, None)
+    val srcLive = srcSt.live.keys.toSeq
+    val srcDvs = srcSt.dv.toMap
     val rel = Paths.get(dstDir).toAbsolutePath
       .relativize(Paths.get(srcDir).toAbsolutePath)
     new File(dstDir).mkdirs()
     def tr(f: String) = s"$rel${File.separator}$f"
     // outstanding source DVs carry over, keys AND sidecar paths
     // translated — a clone of a merge-on-read table must not resurrect
-    // deleted rows (pure log rewrite, no data IO)
+    // deleted rows (pure log rewrite, no data IO). The source's
+    // METADATA clones too: recorded schema (a clone of an EMPTY or
+    // schema-evolved table must stay self-describing), CHECK
+    // constraints, and TBLPROPERTIES — Delta's clone semantics.
     val lines = srcLive.map(f => s"add\t${tr(f)}") ++
       srcDvs.toSeq.filter { case (f, _) => srcLive.contains(f) }
         .sortBy(_._1).flatMap { case (f, (inline, sidecars)) =>
@@ -1446,7 +1485,12 @@ object TxLog {
             Seq(s"dv\t${tr(f)}\t${inline.toSeq.sorted.mkString(",")}")
           else Seq.empty) ++
             sidecars.map(sc => s"dvf\t${tr(f)}\t${tr(sc)}")
-        }
+        } ++
+      srcSt.cons.toSeq.map { case (n, sql) =>
+        s"constraint\t${escapeVal(n)}\t${escapeVal(sql)}" } ++
+      srcSt.props.toSeq.map { case (k, v) =>
+        s"property\t${escapeVal(k)}\t${escapeVal(v)}" } ++
+      srcSt.schemaJson.map(j => s"schema\t${escapeVal(j)}")
     try claimVersion(dstDir, 0, lines)
     catch {
       case _: java.util.ConcurrentModificationException =>

@@ -107,7 +107,13 @@ class TxLogCatalog extends TableCatalog {
       throw new org.apache.spark.sql.catalyst.analysis
         .TableAlreadyExistsException(
           Seq(catalogName) ++ ident.namespace() :+ ident.name())
-    TxLog.createEmpty(dir, schema)
+    // TBLPROPERTIES persist as log metadata; the engine-injected
+    // bookkeeping keys (provider/owner/location) stay out of the log —
+    // they are session facts, not table facts
+    TxLog.createEmpty(dir, schema,
+      properties = Option(properties).map(_.asScala.toMap)
+        .getOrElse(Map.empty)
+        .view.filterKeys(k => !TxLogCatalog.ReservedProps(k)).toMap)
     new TxLogTable(dir, ident.toString)
   }
 
@@ -124,6 +130,10 @@ class TxLogCatalog extends TableCatalog {
         Seq(catalogName) ++ ident.namespace() :+ ident.name())
     val prior = TxLog.tableSchema(dir).getOrElse(
       TxLog.read(SparkSession.active, dir).schema)
+    // property changes batch into ONE metadata commit; column adds
+    // evolve the schema in another (each verb = one auditable version)
+    val setProps = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val unsetProps = scala.collection.mutable.ListBuffer.empty[String]
     val next = changes.foldLeft(prior) {
       case (st, add: TableChange.AddColumn) =>
         require(add.fieldNames().length == 1,
@@ -135,11 +145,18 @@ class TxLogCatalog extends TableCatalog {
         require(add.isNullable,
           "an added column must be nullable: existing rows null-backfill")
         st.add(n, add.dataType(), nullable = true)
+      case (st, p: TableChange.SetProperty) =>
+        setProps(p.property()) = p.value(); st
+      case (st, p: TableChange.RemoveProperty) =>
+        unsetProps += p.property(); st
       case (_, other) => throw new UnsupportedOperationException(
-        s"unsupported ALTER on a txlog table: $other (ADD COLUMN only; " +
-          "constraints go through TxLog.addConstraint)")
+        s"unsupported ALTER on a txlog table: $other (ADD COLUMN / " +
+          "SET/UNSET TBLPROPERTIES; constraints go through " +
+          "TxLog.addConstraint)")
     }
-    TxLog.evolveSchema(dir, next)
+    if (setProps.nonEmpty || unsetProps.nonEmpty)
+      TxLog.alterProperties(dir, setProps.toMap, unsetProps.toSeq): Unit
+    if (next != prior) TxLog.evolveSchema(dir, next): Unit
     new TxLogTable(dir, ident.toString)
   }
 
@@ -153,6 +170,13 @@ class TxLogCatalog extends TableCatalog {
       newIdent: Identifier): Unit =
     throw new UnsupportedOperationException(
       "renameTable is not supported (shallowClone + drop covers it)")
+}
+
+object TxLogCatalog {
+  /** Engine-injected bookkeeping keys excluded from the persisted
+    * TBLPROPERTIES (the session supplies them per statement). */
+  private val ReservedProps: Set[String] =
+    Set("provider", "owner", "location", "external", "comment")
 }
 
 /** The DSv2 [[Table]] over one transaction-log directory. Batch read
@@ -182,6 +206,11 @@ class TxLogTable(val dir: String, ident: String,
       TxLog.read(SparkSession.active, dir, asOf).schema
     }
   }
+
+  /** Persisted TBLPROPERTIES (`SHOW TBLPROPERTIES lake.t` reads these)
+    * plus the provider marker. */
+  override def properties(): java.util.Map[String, String] =
+    (TxLog.tableProperties(dir, asOf) + ("provider" -> "txlog")).asJava
 
   override def capabilities(): java.util.Set[TableCapability] =
     // V1_BATCH_WRITE (not BATCH_WRITE): the write IS a V1Write, and the

@@ -50,6 +50,28 @@ class NewOpsSpec extends AnyFunSuite {
       membership.exceptAll(same).isEmpty)
   }
 
+  test("OPTIMIZE INDEX SQL verb runs the maintenance operator against " +
+      "persisted artifacts and reports the bounded-rebuild counters") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val idx = java.nio.file.Files.createTempDirectory("annsql_").toString
+    val embP = java.nio.file.Files.createTempDirectory("annsqle_").toString
+    (0L until 10L).map(i =>
+      (i, if (i < 8) Array(1f, i.toFloat, 0f, 0f)
+          else Array(0f, 0f, 1f, 1f)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$embP/emb")
+    (0L until 10L).map(i => (i, if (i < 8) 0L else 1L))
+      .toDF("vec_id", "cent_id")
+      .write.mode("overwrite").parquet(s"$idx/membership")
+    val r = spark.sql(
+      s"OPTIMIZE INDEX '$idx' USING '$embP/emb' IMBALANCE 1.5").head()
+    assert(r.getLong(0) == 1L && r.getLong(1) == 8L,
+      s"expected (1 cell, 8 vectors), got $r")
+    assert(spark.read.parquet(s"$idx/membership_v2").count() == 10L)
+    assert(spark.read.parquet(s"$idx/subcents").count() == 2L)
+  }
+
   test("q56_kmeans_ivf: learned clusters partition all vectors") {
     val rows = run("q56_kmeans_ivf").collect()
     assert(rows.nonEmpty && rows.length <= 4)

@@ -452,6 +452,15 @@ class TxLogCatalogSpec extends AnyFunSuite {
       == 1L)
     assert(spark.sql("SELECT count(*) FROM lake.rst").head().getLong(0)
       == 2L, "the clone's DELETE must not touch the source")
+    // a clone carries the source's METADATA: schema, constraints,
+    // properties (self-describing even when empty)
+    spark.sql("ALTER TABLE lake.rst SET TBLPROPERTIES ('tier' = 'gold')")
+    spark.sql("CREATE TABLE lake.rstc2 SHALLOW CLONE lake.rst")
+    assert(TxLog.tableProperties(dirOf("rstc2")).get("tier")
+      .contains("gold"), "clone must carry TBLPROPERTIES")
+    assert(TxLog.tableSchema(dirOf("rstc2")).isDefined,
+      "clone must carry the recorded schema")
+    spark.sql("DROP TABLE lake.rstc2")
     // maintenance verbs on a BARE path — same alphabet as the catalog
     val dir = dirOf("rst")
     assert(spark.sql(s"DESCRIBE HISTORY txlog.`$dir`").count() >= 4L)
@@ -477,6 +486,36 @@ class TxLogCatalogSpec extends AnyFunSuite {
     // v0 = CREATE (schema), v1 = the SELECT's rows
     assert(TxLog.currentVersion(dirOf("ctas")) == 1)
     spark.sql("DROP TABLE lake.ctas")
+  }
+
+  test("TBLPROPERTIES persist in the log: CREATE ... TBLPROPERTIES, " +
+      "SHOW TBLPROPERTIES, ALTER SET/UNSET — survive checkpoints") {
+    spark.sql("CREATE TABLE lake.props (id BIGINT) USING txlog " +
+      "TBLPROPERTIES ('team' = 'data-eng', 'pii' = 'false')")
+    def show(): Map[String, String] =
+      spark.sql("SHOW TBLPROPERTIES lake.props").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+    val p0 = show()
+    assert(p0.get("team").contains("data-eng") &&
+      p0.get("pii").contains("false"), s"got $p0")
+    spark.sql("ALTER TABLE lake.props SET TBLPROPERTIES " +
+      "('pii' = 'true', 'retention' = '30d')")
+    spark.sql("ALTER TABLE lake.props UNSET TBLPROPERTIES ('team')")
+    val p1 = show()
+    assert(p1.get("pii").contains("true") &&
+      p1.get("retention").contains("30d") && !p1.contains("team"),
+      s"got $p1")
+    // properties ride checkpoints like constraints: checkpoint, drop
+    // the raw history, read back
+    (1 to 10).foreach(_ => spark.sql(
+      "INSERT INTO lake.props VALUES (1)")) // crosses the auto-ckpt cadence
+    val dir = dirOf("props")
+    val ck = TxLog.checkpoint(dir)
+    (0 until ck).foreach(v => java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(dir, "_log", f"$v%08d.txt")))
+    assert(TxLog.tableProperties(dir).get("retention").contains("30d"),
+      "properties must survive raw-log truncation via the checkpoint")
+    spark.sql("DROP TABLE lake.props")
   }
 
   test("catalog reads report log-resident statistics: a small catalog " +
