@@ -4607,5 +4607,127 @@ object ExtQueries {
              |SELECT 'source', CAST(4 AS BIGINT), CAST(count(*) AS BIGINT),
              |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
              |FROM orders
-             |ORDER BY probe""".stripMargin)))
+             |ORDER BY probe""".stripMargin)),
+
+    // q433 — TBLPROPERTIES + CLONE METADATA as SQL: properties persist
+    // as checkpoint-carried log lines (previously CREATE TABLE silently
+    // dropped them), SHOW TBLPROPERTIES reads them back, ALTER
+    // SET TBLPROPERTIES is one metadata commit, and SHALLOW CLONE
+    // carries schema + properties so the branch is self-describing.
+    // The hash pins the pivoted properties of source and clone after
+    // an update (the clone snapshots the POST-update value), plus each
+    // table's content — governance metadata and data under one row.
+    QuerySpec("q433_txlog_properties_sql",
+      (s, dir) => {
+        import graft.core.TxLog
+        val base = Scratch.dir("lakecat", dir)
+        val t = s"$base/q433m"
+        val c = s"$base/q433c"
+        Seq(t, c).foreach(TxLog.drop)
+        new java.io.File(base).mkdirs()
+        s.conf.set("spark.sql.catalog.graft_lake",
+          classOf[graft.sources.TxLogCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_lake.base", base)
+        s.sql("""CREATE TABLE graft_lake.q433m
+                 (o_orderkey BIGINT, o_totalprice DOUBLE) USING txlog
+                 TBLPROPERTIES ('tier' = 'bronze', 'pii' = 'false')""")
+        TxLog.append(Tables.load(s, dir, "orders")
+          .select(col("o_orderkey").cast("long"),
+            col("o_totalprice").cast("double")), t)
+        s.sql("ALTER TABLE graft_lake.q433m " +
+          "SET TBLPROPERTIES ('tier' = 'silver')")
+        s.sql("CREATE TABLE graft_lake.q433c SHALLOW CLONE graft_lake.q433m")
+        s.sql("DELETE FROM graft_lake.q433c WHERE o_orderkey % 2 = 0")
+        import s.implicits._
+        Seq(("clone", c), ("main", t)).map { case (probe, d) =>
+          val props = TxLog.tableProperties(d)
+          val agg = TxLog.read(s, d)
+            .agg(count(lit(1)), Stable.dsum(col("o_totalprice"))).head()
+          (probe, props.getOrElse("tier", "?"), props.getOrElse("pii", "?"),
+            agg.getLong(0), agg.getDouble(1))
+        }.toDF("probe", "tier", "pii", "n_rows", "revenue")
+          .orderBy("probe")
+      },
+      Some("""SELECT 'clone' AS probe, 'silver' AS tier, 'false' AS pii,
+             |  CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             |FROM orders WHERE o_orderkey % 2 <> 0
+             |UNION ALL
+             |SELECT 'main', 'silver', 'false', CAST(count(*) AS BIGINT),
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |FROM orders
+             |ORDER BY probe""".stripMargin)),
+
+    // q434 — LAKEHOUSE TRAINING-DATA PIPELINE capstone: the
+    // documents corpus flows through every round-12 surface in one
+    // story — (1) staged into a txlog source table in two commits;
+    // (2) STREAMED BY NAME into a catalog table via writeStream.toTable
+    // (the DSv2 StreamingWrite — exactly-once epochs); (3) CURATED by
+    // SQL DML: exact near-dup removal keeps the lowest doc_id per
+    // (source, n_chars, 16-char prefix) fingerprint via an uncorrelated
+    // IN-subquery DELETE, then a quality DELETE drops short docs;
+    // (4) AUDITED from pure SQL via table_changes over the two
+    // ingest epochs (v1..v2 — a pure-insert range, layout-independent
+    // by construction, unlike the COW DELETEs whose delete+reinsert
+    // pairs depend on file boundaries) — the ingested row count enters
+    // the hash next to the surviving corpus stats, so a lost epoch and
+    // a half-applied DELETE flip different columns.
+    QuerySpec("q434_lakehouse_docs_pipeline",
+      (s, dir) => {
+        import graft.core.TxLog
+        val base = Scratch.dir("lakecat", dir)
+        val src = Scratch.dir("q434src", dir)
+        val cp = Scratch.dir("q434cp", dir)
+        val dst = s"$base/q434docs"
+        Seq(src, cp, dst).foreach(TxLog.drop)
+        new java.io.File(base).mkdirs()
+        s.conf.set("spark.sql.catalog.graft_lake",
+          classOf[graft.sources.TxLogCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_lake.base", base)
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("lang"),
+            col("n_chars"), col("text"))
+        TxLog.append(docs.filter(col("doc_id") % 2 === 0), src)
+        TxLog.append(docs.filter(col("doc_id") % 2 =!= 0), src)
+        val q = s.readStream.format("txlog")
+          .option("maxVersionsPerTrigger", "1").load(src)
+          .writeStream.option("checkpointLocation", cp)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .toTable("graft_lake.q434docs")
+        q.awaitTermination()
+        // near-dup fingerprint: keep the LOWEST doc_id per
+        // (source, n_chars, 16-char prefix) group — the non-survivors
+        // resolve through an uncorrelated subquery over the PRE-DELETE
+        // snapshot (standard SQL DELETE semantics, mirrored in DuckDB)
+        s.sql("""DELETE FROM graft_lake.q434docs WHERE doc_id IN (
+                   SELECT doc_id FROM (
+                     SELECT doc_id, min(doc_id) OVER (PARTITION BY
+                       source, n_chars, substring(text, 1, 16)) AS keep
+                     FROM graft_lake.q434docs) WHERE doc_id <> keep)""")
+        s.sql("DELETE FROM graft_lake.q434docs WHERE n_chars < 40")
+        // audit the INGEST epochs (v1..v2): a pure-insert range whose
+        // row count is exactly the staged corpus, from pure SQL
+        val ingested = s.sql(
+          "SELECT count(*) FROM table_changes('graft_lake.q434docs', 1, 2)")
+          .head().getLong(0)
+        s.sql("SELECT * FROM graft_lake.q434docs")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("total_chars"))
+          .select(col("lang"), lit(ingested).as("ingested"),
+            col("n_docs"), col("total_chars"))
+          .orderBy("lang")
+      },
+      Some("""WITH fp AS (
+             |  SELECT doc_id, source, lang, n_chars, text,
+             |    min(doc_id) OVER (PARTITION BY source, n_chars,
+             |      substring(text, 1, 16)) AS keep
+             |  FROM documents),
+             |survivors AS (
+             |  SELECT * FROM fp WHERE doc_id = keep AND n_chars >= 40)
+             |SELECT lang,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM documents) AS ingested,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+             |FROM survivors GROUP BY lang ORDER BY lang""".stripMargin)))
 }
