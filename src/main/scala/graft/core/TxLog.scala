@@ -115,16 +115,27 @@ object TxLog {
   }
 
   /** The txn-marked variant ([[appendIdempotent]] /
-    * [[commitStagedIdempotent]]): a retry must ALSO re-check the txn
-    * marker — the race may have been lost to a replica of THIS batch
-    * (two speculative drivers), in which case the staged duplicates
-    * are deleted and the replay contract (-1) holds. */
+    * [[commitStagedIdempotent]]): the marker is re-checked on EVERY
+    * attempt, AFTER reading the claim target — the race may be against
+    * a replica of THIS batch (two speculative drivers), and a check
+    * done only before the loop leaves a window where the replica's
+    * commit lands between the caller's early check and the claim
+    * (review r12 #3). The check-then-claim pair is sound because slots
+    * claim sequentially: a duplicate committing at a slot below ours
+    * is visible to our check (it reads the latest state), and one
+    * racing for OUR slot makes the atomic claim fail — the retry then
+    * sees its marker. On detection the duplicate staging is deleted
+    * and the replay contract (-1) holds. */
   private def claimTxnRetrying(spark: SparkSession, dir: String,
       staged: Seq[String], app: String, txnId: Long,
       mkLines: () => Seq[String], maxRetries: Int = 20): Int = {
     var attempt = 0
     while (true) {
       val v = currentVersion(dir) + 1
+      if (txnSeen(dir, app, txnId)) {
+        staged.foreach(f => Files.deleteIfExists(Paths.get(dir, f)))
+        return -1
+      }
       appendRaceHook()
       try return claimVersion(dir, v,
         mkLines() :+ s"txn\t$app\t$txnId")
@@ -132,10 +143,6 @@ object TxLog {
         case e: java.util.ConcurrentModificationException =>
           attempt += 1
           if (attempt > maxRetries) throw e
-          if (txnSeen(dir, app, txnId)) {
-            staged.foreach(f => Files.deleteIfExists(Paths.get(dir, f)))
-            return -1
-          }
           validateStaged(spark, dir, staged)
       }
     }
@@ -549,6 +556,23 @@ object TxLog {
       f -> stats
     }.toMap
 
+  /** ONE log fold serving every pruning consumer at once: the ordered
+    * live-file list plus all three per-file metadata maps (long zone
+    * maps, string zone maps, partition values). The per-map accessors
+    * above each replay the log themselves — a filtered catalog scan
+    * calling all of them (review r12) paid five folds where this pays
+    * one. */
+  def pruneBundle(dir: String, asOf: Option[Int] = None)
+      : (Seq[String], Map[String, Map[String, (Long, Long)]],
+         Map[String, Map[String, (String, String)]],
+         Map[String, Map[String, String]]) = {
+    val parsed = state(dir, asOf).live.values.toSeq.map(parseAdd)
+    (parsed.map(_._1),
+      parsed.map(p => p._1 -> p._3).toMap,
+      parsed.map(p => p._1 -> p._4).toMap,
+      parsed.map(p => p._1 -> p._2).toMap)
+  }
+
   /** ALL per-file STRING zone maps (binary UTF8 [min, max]) — the
     * string-column counterpart of [[fileStatsAll]], written by
     * [[appendWithStats]] for string-typed stats columns as `s:` markers
@@ -659,14 +683,35 @@ object TxLog {
   /** `ALTER TABLE ... SET/UNSET TBLPROPERTIES` — one metadata-only
     * commit; empty inputs no-op without burning a version. */
   def alterProperties(dir: String, set: Map[String, String],
-      unset: Seq[String] = Seq.empty): Int = {
+      unset: Seq[String] = Seq.empty): Int =
+    alterMetadata(dir, set, unset, None)
+
+  /** One ALTER statement = ONE metadata commit: property sets/unsets
+    * and a widened schema land atomically — two separate commits would
+    * let a failure (or lost claim race) between them leave a
+    * half-applied statement with no rollback (review r12 #5). Empty
+    * inputs no-op without burning a version. */
+  def alterMetadata(dir: String, set: Map[String, String] = Map.empty,
+      unset: Seq[String] = Seq.empty,
+      newSchema: Option[org.apache.spark.sql.types.StructType] = None)
+      : Int = {
     val cur = currentVersion(dir)
     require(cur >= 0, s"$dir is not a TxLog table")
-    if (set.isEmpty && unset.isEmpty) return cur
-    claimVersion(dir, cur + 1,
-      set.toSeq.map { case (k, v) =>
+    newSchema.foreach { next =>
+      tableSchema(dir).foreach { prior =>
+        prior.fields.foreach { f =>
+          require(next.fields.contains(f),
+            s"schema evolution is widen-only: field '${f.name}' of the " +
+              "current schema is missing or changed in the new one")
+        }
+      }
+    }
+    val lines = set.toSeq.map { case (k, v) =>
         s"property\t${escapeVal(k)}\t${escapeVal(v)}" } ++
-        unset.map(k => s"unproperty\t${escapeVal(k)}"))
+      unset.map(k => s"unproperty\t${escapeVal(k)}") ++
+      newSchema.map(s => s"schema\t${escapeVal(s.json)}")
+    if (lines.isEmpty) return cur
+    claimVersion(dir, cur + 1, lines)
   }
 
   /** SCHEMA EVOLUTION as its own commit (`ALTER TABLE ... ADD COLUMN`
@@ -677,18 +722,8 @@ object TxLog {
     * or retyping a column under live files would make them unreadable
     * (that path is `replace`, which swaps the data too). */
   def evolveSchema(dir: String,
-      next: org.apache.spark.sql.types.StructType): Int = {
-    val cur = currentVersion(dir)
-    require(cur >= 0, s"$dir is not a TxLog table")
-    tableSchema(dir).foreach { prior =>
-      prior.fields.foreach { f =>
-        require(next.fields.contains(f),
-          s"schema evolution is widen-only: field '${f.name}' of the " +
-            "current schema is missing or changed in the new one")
-      }
-    }
-    claimVersion(dir, cur + 1, Seq(s"schema\t${escapeVal(next.json)}"))
-  }
+      next: org.apache.spark.sql.types.StructType): Int =
+    alterMetadata(dir, newSchema = Some(next))
 
   /** APPEND: new files only, nothing removed — lost claim races RETRY
     * ([[claimAppendRetrying]]: blind appends commute). */
@@ -1466,6 +1501,14 @@ object TxLog {
 
   def shallowClone(srcDir: String, dstDir: String): Int = {
     val srcSt = state(srcDir, None)
+    // an UNDECIDED multi-table transaction resolves to nothing — a
+    // clone taken inside that window would PERMANENTLY omit the
+    // transaction's rows once it publishes (review r12 #2: vacuum and
+    // checkpoint both refuse over this window; the clone persists the
+    // weak view, so it must too)
+    require(!srcSt.pendingXref,
+      s"cannot clone $srcDir: a multi-table transaction in range has " +
+        "not been decided yet (publish or TxLog.abortTx it first)")
     val srcLive = srcSt.live.keys.toSeq
     val srcDvs = srcSt.dv.toMap
     val rel = Paths.get(dstDir).toAbsolutePath
@@ -1820,23 +1863,26 @@ object TxLog {
     // file: their schema change (e.g. replaceAll's exact snap) must
     // stay atomic with the data it describes — an abort must not leave
     // a new schema over old rows.
-    val split = parts.map { case (dir, lines, expected) =>
-      val creating = expected.getOrElse(currentVersion(dir)) < 0
-      val (schema, data) =
-        if (creating) lines.partition(_.startsWith("schema\t"))
-        else (Seq.empty[String], lines)
-      (dir, schema, data, expected)
-    }
+    // the creating decision and the claim target derive from ONE
+    // version read per table: deciding "creating" from an earlier read
+    // would let a table created in between receive its schema line RAW
+    // — surviving an abort over the other writer's rows (review r12 #6)
     val claimed = scala.collection.mutable.ListBuffer.empty[(String, Int)]
+    val published = scala.collection.mutable
+      .ListBuffer.empty[(String, Seq[String])]
     try {
-      split.zipWithIndex.foreach { case ((dir, schema, _, expected), i) =>
+      parts.zipWithIndex.foreach { case ((dir, lines, expected), i) =>
         new File(dir).mkdirs()
+        val cur = expected.getOrElse(currentVersion(dir))
+        val (schema, data) =
+          if (cur < 0) lines.partition(_.startsWith("schema\t"))
+          else (Seq.empty[String], lines)
         val rel = Paths.get(dir).toAbsolutePath.normalize()
           .relativize(Paths.get(txRoot).toAbsolutePath.normalize())
-        val v = claimVersion(dir,
-          expected.getOrElse(currentVersion(dir)) + 1,
+        val v = claimVersion(dir, cur + 1,
           s"xref\t$rel${File.separator}$txName\t$i" +: schema)
         claimed += ((dir, v))
+        published += ((dir, data))
       }
     } catch {
       case e: Throwable =>
@@ -1856,7 +1902,7 @@ object TxLog {
     // participating tables until a manual abortTx (ADVICE r11 #1).
     // abortTx is atomic and idempotent: if the publish link actually
     // landed before the throw, it harmlessly returns false.
-    try publishTx(txRoot, txName, split.map(p => (p._1, p._3)))
+    try publishTx(txRoot, txName, published.toSeq)
     catch {
       case e: Throwable =>
         // abort can itself fail on the same broken filesystem — keep

@@ -31,15 +31,15 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val OptimizeIndex =
     """(?is)\s*OPTIMIZE\s+INDEX\s+'([^']+)'\s+USING\s+'([^']+)'\s*(?:IMBALANCE\s+([0-9.]+)\s*)?(?:INTO\s+'([^']+)'\s*)?;?\s*""".r
   private val Optimize =
-    """(?is)\s*OPTIMIZE\s+([\w./`]+)\s*(?:ZORDER\s+BY\s*\(([^)]*)\)\s*)?;?\s*""".r
+    """(?is)\s*OPTIMIZE\s+((?:`[^`]+`|[\w.])+)\s*(?:ZORDER\s+BY\s*\(([^)]*)\)\s*)?;?\s*""".r
   private val Vacuum =
-    """(?is)\s*VACUUM\s+([\w./`]+)\s*(?:RETAIN\s+(\d+)\s+VERSIONS\s*)?;?\s*""".r
+    """(?is)\s*VACUUM\s+((?:`[^`]+`|[\w.])+)\s*(?:RETAIN\s+(\d+)\s+VERSIONS\s*)?;?\s*""".r
   private val History =
-    """(?is)\s*DESCRIBE\s+HISTORY\s+([\w./`]+)\s*;?\s*""".r
+    """(?is)\s*DESCRIBE\s+HISTORY\s+((?:`[^`]+`|[\w.])+)\s*;?\s*""".r
   private val Restore =
-    """(?is)\s*RESTORE\s+(?:TABLE\s+)?([\w./`]+)\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+    """(?is)\s*RESTORE\s+(?:TABLE\s+)?((?:`[^`]+`|[\w.])+)\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
   private val Clone =
-    """(?is)\s*CREATE\s+TABLE\s+([\w./`]+)\s+SHALLOW\s+CLONE\s+([\w./`]+)\s*;?\s*""".r
+    """(?is)\s*CREATE\s+TABLE\s+((?:`[^`]+`|[\w.])+)\s+SHALLOW\s+CLONE\s+((?:`[^`]+`|[\w.])+)\s*;?\s*""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     // INDEX form first: the table-OPTIMIZE pattern would otherwise

@@ -154,9 +154,10 @@ class TxLogCatalog extends TableCatalog {
           "SET/UNSET TBLPROPERTIES; constraints go through " +
           "TxLog.addConstraint)")
     }
-    if (setProps.nonEmpty || unsetProps.nonEmpty)
-      TxLog.alterProperties(dir, setProps.toMap, unsetProps.toSeq): Unit
-    if (next != prior) TxLog.evolveSchema(dir, next): Unit
+    // ONE metadata commit for the whole statement — a failure between
+    // two commits would leave a half-applied ALTER (review r12 #5)
+    TxLog.alterMetadata(dir, setProps.toMap, unsetProps.toSeq,
+      if (next != prior) Some(next) else None): Unit
     new TxLogTable(dir, ident.toString)
   }
 
@@ -611,22 +612,25 @@ class TxLogCatalogRelation(override val sqlContext: SQLContext,
   override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
     import org.apache.spark.sql.functions.{col, lit}
     val spark = sqlContext.sparkSession
+    // PIN the version once and thread it through every read below: the
+    // prune decision and the read must see the SAME snapshot — with
+    // asOf=None re-resolved per call, a commit landing between them
+    // intersects a stale kept-list with a new live set (review r12 #1:
+    // a concurrent OPTIMIZE made a matching scan return 0 rows)
     val version = asOf.getOrElse(TxLog.currentVersion(dir))
-    val live = TxLog.snapshot(dir, Some(version))
+    val zones = new TxLogZoneMaps(dir, version) // one fold: live + maps
+    val live = zones.live
     val kept =
       if (filters.isEmpty || live.isEmpty) live
-      else {
-        val zones = new TxLogZoneMaps(dir, version)
-        live.filter(f =>
-          filters.forall(TxLogFilterPrune.survives(zones, f, _)))
-      }
+      else live.filter(f =>
+        filters.forall(TxLogFilterPrune.survives(zones, f, _)))
     TxLogSourceIO.lastKept.set(kept.size)
     TxLogSourceIO.lastTotal.set(live.size)
     val base =
-      if (live.isEmpty) TxLog.read(spark, dir, asOf)
-      else if (kept.isEmpty) TxLog.read(spark, dir, asOf).limit(0)
-      else if (kept.size == live.size) TxLog.read(spark, dir, asOf)
-      else TxLog.readPruned(spark, dir, kept, asOf)
+      if (live.isEmpty) TxLog.read(spark, dir, Some(version))
+      else if (kept.isEmpty) TxLog.read(spark, dir, Some(version)).limit(0)
+      else if (kept.size == live.size) TxLog.read(spark, dir, Some(version))
+      else TxLog.readPruned(spark, dir, kept, Some(version))
     // the recorded union schema can name a column NO live file carries
     // anymore (the last file holding it was deleted whole, without a
     // rewrite) — null-backfill instead of failing the scan (review

@@ -548,12 +548,14 @@ object TxLogSourceIO {
   * provably-false files drop; any unrecognized shape keeps the file
   * (the parquet scan re-evaluates every filter). */
 private[sources] class TxLogZoneMaps(dir: String, version: Int) {
-  val stats: Map[String, Map[String, (Long, Long)]] =
-    TxLog.fileStatsAll(dir, Some(version))
-  val strStats: Map[String, Map[String, (String, String)]] =
-    TxLog.fileStatsStrAll(dir, Some(version))
-  val pvals: Map[String, Map[String, String]] =
-    TxLog.partitionValues(dir, Some(version))
+  // ONE log fold feeds everything (review r12: the three per-map
+  // accessors each replayed the log themselves)
+  private val bundle = TxLog.pruneBundle(dir, Some(version))
+  /** The snapshot's live files, log order. */
+  val live: Seq[String] = bundle._1
+  val stats: Map[String, Map[String, (Long, Long)]] = bundle._2
+  val strStats: Map[String, Map[String, (String, String)]] = bundle._3
+  val pvals: Map[String, Map[String, String]] = bundle._4
 
   private def asLong(v: Any): Option[Long] = v match {
     case l: Long => Some(l)

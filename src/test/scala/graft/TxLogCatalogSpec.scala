@@ -475,6 +475,20 @@ class TxLogCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE lake.rstc")
   }
 
+  test("maintenance verbs accept hyphenated/backticked paths: the " +
+      "identifier regex honors any non-backtick char inside quotes") {
+    val root = java.nio.file.Files.createTempDirectory("txhyph_").toString
+    val t = s"$root/my-data set.v2" // hyphen + space + extra dot
+    TxLog.create((1L to 6L).map(i => (i, i * 1.0)).toDF("id", "v"), t)
+    assert(spark.sql(s"DESCRIBE HISTORY txlog.`$t`").count() == 1L)
+    spark.sql(s"OPTIMIZE txlog.`$t`")
+    assert(spark.sql(s"SELECT count(*) FROM txlog.`$t`").head().getLong(0)
+      == 6L)
+    assert(spark.sql(s"RESTORE txlog.`$t` VERSION AS OF 0").head()
+      .getLong(0) == 0L)
+    TxLog.drop(root)
+  }
+
   test("CREATE TABLE ... AS SELECT lands schema + rows in the catalog " +
       "(non-atomic CTAS through createTable + the V1 write)") {
     spark.sql("CREATE TABLE lake.ctas USING txlog AS " +

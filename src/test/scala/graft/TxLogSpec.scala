@@ -772,6 +772,47 @@ class TxLogSpec extends AnyFunSuite {
     TxLog.drop(t)
   }
 
+  test("a duplicate txn-marked epoch that loses the race to its own " +
+      "replica is detected and dropped — never committed twice") {
+    val t = freshTable()
+    val before = TxLog.read(spark, t).count()
+    // deterministic replica race: between this driver's version read
+    // and its claim, the REPLICA commits the same (app, epoch)
+    TxLog.appendRaceHook = () => {
+      TxLog.appendRaceHook = () => ()
+      TxLog.appendIdempotent(Seq((900L, 0L)).toDF("id", "grp"),
+        t, "appA", 7L): Unit
+    }
+    val r =
+      try TxLog.appendIdempotent(Seq((900L, 0L)).toDF("id", "grp"),
+        t, "appA", 7L)
+      finally TxLog.appendRaceHook = () => ()
+    assert(r == -1, "the loser must report the replay code")
+    assert(TxLog.read(spark, t).count() == before + 1,
+      "the epoch's rows must land exactly once")
+    TxLog.drop(t)
+  }
+
+  test("shallowClone refuses over an UNDECIDED multi-table " +
+      "transaction — a clone would permanently omit its rows") {
+    val root = java.nio.file.Files.createTempDirectory("txclone_").toString
+    val t = s"$root/t"
+    TxLog.create((1L to 5L).map(i => (i, i)).toDF("id", "v"), t)
+    val staged = TxLog.stageChecked(
+      (6L to 9L).map(i => (i, i)).toDF("id", "v"), t)
+    val parts = Seq(t -> staged.map(f => s"add\t$f"))
+    val (txName, _) = TxLog.claimOnly(s"$root/_txn", parts)
+    val ex = intercept[IllegalArgumentException] {
+      TxLog.shallowClone(t, s"$root/c")
+    }
+    assert(ex.getMessage.contains("decided"), ex.getMessage)
+    TxLog.publishTx(s"$root/_txn", txName, parts)
+    TxLog.shallowClone(t, s"$root/c")
+    assert(TxLog.read(spark, s"$root/c").count() == 9L,
+      "a post-decision clone carries the full published state")
+    TxLog.drop(root)
+  }
+
   test("a publish failure AFTER all claims auto-aborts the transaction: " +
       "nothing stays undecided, checkpoints/streams/vacuum unblocked") {
     val root = java.nio.file.Files.createTempDirectory("txpubfail_").toString
