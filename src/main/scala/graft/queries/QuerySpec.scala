@@ -18,8 +18,28 @@ final case class QuerySpec(
   * otherwise race on one directory while one of them is deleting log
   * entries (ADVICE r9 on q404/q405 — the hashCode-only path). */
 object Scratch {
+  /** Scratch root: a RAM-backed tmpfs when the box has one (the
+    * lakehouse demos' per-commit filesystem round-trips and the
+    * streaming queries' checkpoint IO are pure harness overhead at
+    * fixture scale — VERDICT r12 #6; hard links and atomic moves work
+    * identically on tmpfs, so no protocol spec weakens), else the JVM
+    * temp dir. Override with -Dgraft.scratch.dir. */
+  private val root: String = sys.props.get("graft.scratch.dir")
+    .orElse(Some("/dev/shm").filter { p =>
+      val f = new java.io.File(p); f.isDirectory && f.canWrite })
+    .getOrElse(System.getProperty("java.io.tmpdir"))
+
   def dir(prefix: String, corpusDir: String): String =
-    new java.io.File(System.getProperty("java.io.tmpdir"),
+    new java.io.File(root,
       s"graft_${prefix}_${Integer.toHexString(corpusDir.hashCode)}_p" +
         ProcessHandle.current().pid()).toString
+
+  /** A fresh unique directory under the scratch root — the
+    * `Files.createTempDirectory` drop-in for streaming checkpoints and
+    * sink dirs, so they land on the tmpfs too. */
+  def tmp(prefix: String): String = {
+    val r = new java.io.File(root)
+    r.mkdirs()
+    java.nio.file.Files.createTempDirectory(r.toPath, prefix).toString
+  }
 }

@@ -24,7 +24,7 @@ object StreamQueries {
     * here (cleanup, schema options) applies to all stream sources. */
   private def fileStream(s: SparkSession, dir: String, table: String): DataFrame = {
     val schema = s.read.parquet(s"$dir/$table.parquet").schema
-    val tmp = Files.createTempDirectory("graft_stream_")
+    val tmp = Paths.get(graft.queries.Scratch.tmp("graft_stream_"))
     val link = Files.createSymbolicLink(
       tmp.resolve(s"$table.parquet"),
       Paths.get(s"$dir/$table.parquet").toAbsolutePath)
@@ -512,7 +512,7 @@ object StreamQueries {
         relaidEvents.keys.filter(k => k._1 == dir && k._2 != fp)
           .foreach(k => relaidEvents.remove(k).foreach(deleteRecursively))
         val tmp = relaidEvents.getOrElseUpdate((dir, fp), {
-          val t = Files.createTempDirectory("graft_upd_").toString
+          val t = graft.queries.Scratch.tmp("graft_upd_")
           Tables.load(s, dir, "events")
             .repartitionByRange(4, col("event_id"))
             .write.mode(SaveMode.Overwrite).parquet(t)
@@ -527,7 +527,7 @@ object StreamQueries {
         // passes through the driver, so the path survives
         // high-cardinality keys (VERDICT r8: the collect() form's
         // "tiny" assumption dies at scale).
-        val out = Files.createTempDirectory("graft_upd_sink_").toString
+        val out = graft.queries.Scratch.tmp("graft_upd_sink_")
         sinkDirs.add(out)
         val q = agg.writeStream.outputMode("update")
           .foreachBatch { (b: Dataset[Row], id: Long) =>
@@ -569,7 +569,7 @@ object StreamQueries {
         relaidEvents.keys.filter(k => k._1 == dir && k._2 != fp)
           .foreach(k => relaidEvents.remove(k).foreach(deleteRecursively))
         val tmp = relaidEvents.getOrElseUpdate((dir, fp), {
-          val t = Files.createTempDirectory("graft_upd_").toString
+          val t = graft.queries.Scratch.tmp("graft_upd_")
           Tables.load(s, dir, "events")
             .repartitionByRange(4, col("event_id"))
             .write.mode(SaveMode.Overwrite).parquet(t)
@@ -580,7 +580,7 @@ object StreamQueries {
           .option("maxFilesPerTrigger", "1").parquet(tmp)
           .filter(col("event_type") === "purchase")
           .select(col("event_id"), col("user_id"), col("value"))
-        val out = Files.createTempDirectory("graft_sink_").toString
+        val out = graft.queries.Scratch.tmp("graft_sink_")
         sinkDirs.add(out)
         val q = graft.core.Sinks.foreachBatchParquet(purchases, out)
         q.awaitTermination()
@@ -622,7 +622,7 @@ object StreamQueries {
         relaidEvents.keys.filter(k => k._1 == dir && k._2 != fp)
           .foreach(k => relaidEvents.remove(k).foreach(deleteRecursively))
         val tmp = relaidEvents.getOrElseUpdate((dir, fp), {
-          val t = Files.createTempDirectory("graft_upd_").toString
+          val t = graft.queries.Scratch.tmp("graft_upd_")
           Tables.load(s, dir, "events")
             .repartitionByRange(4, col("event_id"))
             .write.mode(SaveMode.Overwrite).parquet(t)
@@ -636,7 +636,7 @@ object StreamQueries {
             when(col("event_type") === "signup", "I")
               .when(col("event_type") === "error", "D")
               .otherwise("U").as("op"))
-        val out = Files.createTempDirectory("graft_cdc_").toString
+        val out = graft.queries.Scratch.tmp("graft_cdc_")
         sinkDirs.add(out)
         @volatile var gen: Option[String] = None
         val q = changes.writeStream
@@ -710,7 +710,7 @@ object StreamQueries {
         relaidEvents.keys.filter(k => k._1 == dir && k._2 != fp)
           .foreach(k => relaidEvents.remove(k).foreach(deleteRecursively))
         val tmp = relaidEvents.getOrElseUpdate((dir, fp), {
-          val t = Files.createTempDirectory("graft_upd_").toString
+          val t = graft.queries.Scratch.tmp("graft_upd_")
           Tables.load(s, dir, "events")
             .repartitionByRange(4, col("event_id"))
             .write.mode(SaveMode.Overwrite).parquet(t)
@@ -721,7 +721,7 @@ object StreamQueries {
           .option("maxFilesPerTrigger", "1").parquet(tmp)
           .filter(col("event_type") === "purchase")
           .select(col("event_id"), col("user_id"), col("value"))
-        val dbRoot = Files.createTempDirectory("graft_jdbc_").toString
+        val dbRoot = graft.queries.Scratch.tmp("graft_jdbc_")
         sinkDirs.add(dbRoot)
         val url = s"jdbc:derby:$dbRoot/db;create=true"
         def applyBatch(batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
@@ -736,7 +736,7 @@ object StreamQueries {
             url, "SINK", "app", "app")
         }
         def runOnce(): Unit = {
-          val ck = Files.createTempDirectory("graft_jdbc_ck_").toString
+          val ck = graft.queries.Scratch.tmp("graft_jdbc_ck_")
           sinkDirs.add(ck)
           val q = purchases.writeStream.foreachBatch(applyBatch _)
             .option("checkpointLocation", ck)
@@ -777,7 +777,7 @@ object StreamQueries {
         relaidEvents.keys.filter(k => k._1 == dir && k._2 != fp)
           .foreach(k => relaidEvents.remove(k).foreach(deleteRecursively))
         val tmp = relaidEvents.getOrElseUpdate((dir, fp), {
-          val t = Files.createTempDirectory("graft_upd_").toString
+          val t = graft.queries.Scratch.tmp("graft_upd_")
           Tables.load(s, dir, "events")
             .repartitionByRange(4, col("event_id"))
             .write.mode(SaveMode.Overwrite).parquet(t)
@@ -788,11 +788,11 @@ object StreamQueries {
           .option("maxFilesPerTrigger", "1").parquet(tmp)
           .filter(col("event_type") === "click")
           .select(col("event_id"), col("user_id"), col("value"))
-        val table = Files.createTempDirectory("graft_txsink_").toString
+        val table = graft.queries.Scratch.tmp("graft_txsink_")
         sinkDirs.add(table)
         graft.core.TxLog.drop(table)
         def runOnce(): Unit = {
-          val ck = Files.createTempDirectory("graft_txsink_ck_").toString
+          val ck = graft.queries.Scratch.tmp("graft_txsink_ck_")
           sinkDirs.add(ck)
           val q = clicks.writeStream.foreachBatch {
               (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
@@ -841,7 +841,7 @@ object StreamQueries {
         relaidEvents.keys.filter(k => k._1 == dir && k._2 != fp)
           .foreach(k => relaidEvents.remove(k).foreach(deleteRecursively))
         val tmp = relaidEvents.getOrElseUpdate((dir, fp), {
-          val t = Files.createTempDirectory("graft_upd_").toString
+          val t = graft.queries.Scratch.tmp("graft_upd_")
           Tables.load(s, dir, "events")
             .repartitionByRange(4, col("event_id"))
             .write.mode(SaveMode.Overwrite).parquet(t)
@@ -852,11 +852,11 @@ object StreamQueries {
           .option("maxFilesPerTrigger", "1").parquet(tmp)
           .select(col("event_id"), col("user_id"),
             round(col("value") * 100, 0).cast("long").as("cents"))
-        val table = Files.createTempDirectory("graft_lake_").toString
+        val table = graft.queries.Scratch.tmp("graft_lake_")
         sinkDirs.add(table)
         TxLog.drop(table)
         def runOnce(): Unit = {
-          val ck = Files.createTempDirectory("graft_lake_ck_").toString
+          val ck = graft.queries.Scratch.tmp("graft_lake_ck_")
           sinkDirs.add(ck)
           val q = feed.writeStream.foreachBatch {
               (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
@@ -1249,7 +1249,7 @@ object StreamQueries {
     relaidEvents.keys.filter(k => k._1 == dir && k._2 != fp)
       .foreach(k => relaidEvents.remove(k).foreach(deleteRecursively))
     val tmp = relaidEvents.getOrElseUpdate((dir, fp), {
-      val t = Files.createTempDirectory("graft_upd_").toString
+      val t = graft.queries.Scratch.tmp("graft_upd_")
       Tables.load(s, dir, "events")
         .repartitionByRange(4, col("event_id"))
         .write.mode(SaveMode.Overwrite).parquet(t)
@@ -1261,7 +1261,7 @@ object StreamQueries {
       .select(col("event_type"),
         date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hr"),
         col("value").cast("decimal(18,2)").as("v"))
-    val out = Files.createTempDirectory("graft_mvm_").toString
+    val out = graft.queries.Scratch.tmp("graft_mvm_")
     sinkDirs.add(out)
     @volatile var gen: Option[String] = None
     val q = src.writeStream
@@ -1329,7 +1329,7 @@ object StreamQueries {
     outerRelay.keys.filter(k => k._1 == dir && k._2 != fp)
       .foreach(k => outerRelay.remove(k).foreach(deleteRecursively))
     outerRelay.getOrElseUpdate((dir, fp, sentinelBatches), {
-      val t = Files.createTempDirectory("graft_outer_").toString
+      val t = graft.queries.Scratch.tmp("graft_outer_")
       val ev = Tables.load(s, dir, "events")
         .select("event_id", "ts", "user_id", "event_type")
       ev.coalesce(1).write.mode(SaveMode.Overwrite).parquet(t)

@@ -347,6 +347,12 @@ class TxLogCatalogSpec extends AnyFunSuite {
       spark.sql("ALTER TABLE lake.alt ADD COLUMNS (tag STRING)") }
     intercept[Exception] {
       spark.sql("ALTER TABLE lake.alt ADD COLUMNS (req INT NOT NULL)") }
+    // FIRST/AFTER would silently append at the end — explicit refusal
+    // (ADVICE r12)
+    intercept[Exception] {
+      spark.sql("ALTER TABLE lake.alt ADD COLUMNS (early INT FIRST)") }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE lake.alt ADD COLUMNS (mid INT AFTER id)") }
     // evolveSchema itself is widen-only
     intercept[IllegalArgumentException] {
       TxLog.evolveSchema(dirOf("alt"),
@@ -354,6 +360,42 @@ class TxLogCatalogSpec extends AnyFunSuite {
           org.apache.spark.sql.types.LongType))
     }
     spark.sql("DROP TABLE lake.alt")
+  }
+
+  test("declarative PARTITIONED BY: table metadata every writer " +
+      "inherits; catalog scans prune on partition values (int " +
+      "literals included) before zone maps") {
+    spark.sql("CREATE TABLE lake.pt (id BIGINT, grp BIGINT, v DOUBLE) " +
+      "USING txlog PARTITIONED BY (grp)")
+    assert(TxLog.partitionColumns(dirOf("pt")) == Seq("grp"))
+    // SQL INSERT lands partition-pure files with p: markers
+    spark.sql(
+      "INSERT INTO lake.pt VALUES (1, 0, 1.0), (2, 1, 2.0), (3, 0, 3.0)")
+    val pv1 = TxLog.partitionValues(dirOf("pt"))
+    assert(pv1.nonEmpty && pv1.values.forall(_.get("grp").nonEmpty),
+      s"every SQL-inserted file must carry its grp marker, got $pv1")
+    // the Scala append inherits the declared layout too
+    TxLog.append(Seq((4L, 2L, 4.0), (5L, 0L, 5.0)).toDF("id", "grp", "v"),
+      dirOf("pt"))
+    assert(TxLog.partitionValues(dirOf("pt")).values
+      .forall(_.get("grp").nonEmpty))
+    // partition-predicate SELECT by name: files of other partitions
+    // never scanned — the counter pins real pruning, an INT literal
+    assert(spark.sql("SELECT CAST(sum(v) AS BIGINT) FROM lake.pt " +
+      "WHERE grp = 0").head().getLong(0) == 9L)
+    assert(graft.sources.TxLogSourceIO.lastKept.get()
+      < graft.sources.TxLogSourceIO.lastTotal.get(),
+      "partition pruning must skip files of other partitions")
+    // INSERT OVERWRITE keeps the layout (replacePartitioned)
+    spark.sql("INSERT OVERWRITE lake.pt VALUES (9, 7, 90.0)")
+    val pv2 = TxLog.partitionValues(dirOf("pt"))
+    assert(pv2.values.forall(_.get("grp").contains("7")))
+    // non-identity transforms refuse
+    intercept[Exception] {
+      spark.sql("CREATE TABLE lake.ptb (id BIGINT) USING txlog " +
+        "PARTITIONED BY (bucket(4, id))")
+    }
+    spark.sql("DROP TABLE lake.pt")
   }
 
   test("DML subqueries: uncorrelated IN and scalar subqueries " +
@@ -371,14 +413,75 @@ class TxLogCatalogSpec extends AnyFunSuite {
       "(SELECT count(*) FROM subq_bad) WHERE id = 2")
     assert(spark.sql("SELECT CAST(sum(v) AS BIGINT) FROM lake.subq")
       .head().getLong(0) == 62L, "scalar subquery must fold to 2")
-    // correlated: the inner plan references the outer row — refused
-    val ex = intercept[Exception] {
-      spark.sql("DELETE FROM lake.subq t WHERE v > " +
-        "(SELECT avg(v) FROM lake.subq i WHERE i.grp = t.grp)")
-    }
-    assert(ex.getMessage.toLowerCase.contains("uncorrelated"),
-      s"expected the uncorrelated-only refusal, got: ${ex.getMessage}")
+    // correlated scalar subquery in DELETE: since r13 this EXECUTES
+    // through the join executor (self-referencing group average —
+    // the avg evaluates over the pre-delete snapshot, SQL semantics):
+    // remaining rows are (2, grp1, 22.0) and (4, grp1, 40.0) → grp-1
+    // avg 31 → id 4 dies
+    spark.sql("DELETE FROM lake.subq t WHERE v > " +
+      "(SELECT avg(v) FROM lake.subq i WHERE i.grp = t.grp)")
+    assert(spark.sql("SELECT id FROM lake.subq").collect()
+      .map(_.getLong(0)).toSeq == Seq(2L))
     spark.sql("DROP TABLE lake.subq")
+  }
+
+  test("correlated-subquery DELETE: EXISTS/IN with outer refs plan as " +
+      "joins over the stable row identity and commit as deletion " +
+      "vectors; NULL/FALSE rows survive; UPDATE still refuses") {
+    TxLog.create(Seq((1L, 10L, 5.0), (2L, 20L, 15.0), (3L, 30L, 25.0),
+      (4L, 40L, 35.0), (5L, 10L, 45.0)).toDF("id", "k", "v"),
+      dirOf("cdel"))
+    Seq((10L, true), (30L, false)).toDF("rk", "bad")
+      .createOrReplaceTempView("cdel_ref")
+    val vBefore = TxLog.currentVersion(dirOf("cdel"))
+    // correlated EXISTS with an extra inner predicate + outer arithmetic
+    spark.sql("""DELETE FROM lake.cdel t WHERE EXISTS (
+                   SELECT 1 FROM cdel_ref r
+                   WHERE r.rk = t.k AND r.bad AND t.v < 40)""")
+    // only id 1 matches (k=10, bad=true, v=5<40); id 5 shares k=10 but
+    // v=45 fails the outer predicate, id 3's ref row has bad=false
+    assert(spark.sql("SELECT id FROM lake.cdel ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq == Seq(2L, 3L, 4L, 5L))
+    // committed as deletion vectors, one O(matches) version
+    assert(TxLog.currentVersion(dirOf("cdel")) == vBefore + 1)
+    assert(TxLog.hasDeletionVectors(dirOf("cdel")))
+    // NOT EXISTS (anti-join shape) through the same executor: rows
+    // whose k has no ref row die — k=20 (id 2) and k=40 (id 4)
+    spark.sql("""DELETE FROM lake.cdel t WHERE NOT EXISTS (
+                   SELECT 1 FROM cdel_ref r WHERE r.rk = t.k)""")
+    assert(spark.sql("SELECT id FROM lake.cdel ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq == Seq(3L, 5L))
+    // correlated UPDATE keeps the clear refusal (belongs in MERGE)
+    val e = intercept[Exception] {
+      spark.sql("""UPDATE lake.cdel t SET v = 0 WHERE EXISTS (
+                     SELECT 1 FROM cdel_ref r WHERE r.rk = t.k)""")
+    }
+    assert(e.getMessage.contains("MERGE"))
+    spark.sql("DROP TABLE lake.cdel")
+  }
+
+  test("MERGE WITH SCHEMA EVOLUTION: a wider source evolves the " +
+      "target through the catalog's alterTable (one metadata commit), " +
+      "old rows null-backfill, the merge itself is one data commit") {
+    TxLog.create(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v"),
+      dirOf("mev"))
+    Seq((2L, 21.0, "u2"), (3L, 30.0, "u3")).toDF("id", "v", "tag")
+      .createOrReplaceTempView("mev_src")
+    val vBefore = TxLog.currentVersion(dirOf("mev"))
+    spark.sql("""MERGE WITH SCHEMA EVOLUTION INTO lake.mev t
+                 USING mev_src s ON t.id = s.id
+                 WHEN MATCHED THEN UPDATE SET *
+                 WHEN NOT MATCHED THEN INSERT *""")
+    // one metadata commit (ADD COLUMN tag) + one merge commit
+    assert(TxLog.currentVersion(dirOf("mev")) == vBefore + 2)
+    val rows = spark.sql(
+      "SELECT id, v, tag FROM lake.mev ORDER BY id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getDouble(1),
+      if (r.isNullAt(2)) null else r.getString(2))).toSeq ==
+      Seq((1L, 10.0, null), (2L, 21.0, "u2"), (3L, 30.0, "u3")))
+    assert(TxLog.tableSchema(dirOf("mev")).get.fieldNames.toSeq
+      == Seq("id", "v", "tag"))
+    spark.sql("DROP TABLE lake.mev")
   }
 
   test("txlog.`/path` resolves SELECT and DML with no catalog; a " +
@@ -489,17 +592,58 @@ class TxLogCatalogSpec extends AnyFunSuite {
     TxLog.drop(root)
   }
 
-  test("CREATE TABLE ... AS SELECT lands schema + rows in the catalog " +
-      "(non-atomic CTAS through createTable + the V1 write)") {
+  test("CREATE TABLE ... AS SELECT is ATOMIC through the staging " +
+      "catalog: schema + rows land as ONE version 0") {
     spark.sql("CREATE TABLE lake.ctas USING txlog AS " +
       "SELECT id, id * 2.0 AS v FROM range(5)")
     assert(spark.sql("SELECT count(*) FROM lake.ctas").head().getLong(0)
       == 5L)
     assert(spark.sql("SELECT CAST(sum(v) AS BIGINT) FROM lake.ctas")
       .head().getLong(0) == 20L)
-    // v0 = CREATE (schema), v1 = the SELECT's rows
-    assert(TxLog.currentVersion(dirOf("ctas")) == 1)
+    // one staged-table commit: data + schema together at version 0
+    assert(TxLog.currentVersion(dirOf("ctas")) == 0)
     spark.sql("DROP TABLE lake.ctas")
+  }
+
+  test("CREATE OR REPLACE TABLE AS SELECT: one atomic commit swaps " +
+      "data + schema + properties; history stays time-travelable; " +
+      "old constraints and properties die with the old definition") {
+    spark.sql("CREATE TABLE lake.cor USING txlog " +
+      "TBLPROPERTIES ('old'='p') AS SELECT id FROM range(3)")
+    TxLog.addConstraint(spark, dirOf("cor"), "pos", "id >= 0")
+    val vBefore = TxLog.currentVersion(dirOf("cor"))
+    spark.sql("CREATE OR REPLACE TABLE lake.cor USING txlog " +
+      "TBLPROPERTIES ('new'='q') AS " +
+      "SELECT id AS k, id * 10.0 AS w FROM range(4)")
+    val dir = dirOf("cor")
+    assert(TxLog.currentVersion(dir) == vBefore + 1,
+      "CORTAS is exactly one commit")
+    // new definition visible: schema, rows, properties
+    assert(spark.sql("SELECT * FROM lake.cor").schema.fieldNames.toSeq
+      == Seq("k", "w"))
+    assert(spark.sql("SELECT CAST(sum(w) AS BIGINT) FROM lake.cor")
+      .head().getLong(0) == 60L)
+    assert(TxLog.tableProperties(dir) == Map("new" -> "q"),
+      "REPLACE installs the new properties and drops the old")
+    assert(TxLog.constraints(dir).isEmpty,
+      "old CHECK constraints die with the old definition")
+    // history preserved: the pre-replace content still time-travels
+    assert(TxLog.read(spark, dir, Some(vBefore)).count() == 3L)
+    // plain REPLACE TABLE (no AS SELECT): empty table, new schema, one
+    // commit
+    spark.sql("REPLACE TABLE lake.cor (a BIGINT, b STRING) USING txlog")
+    assert(spark.sql("SELECT * FROM lake.cor").schema.fieldNames.toSeq
+      == Seq("a", "b"))
+    assert(spark.sql("SELECT count(*) FROM lake.cor").head().getLong(0)
+      == 0L)
+    // REPLACE on a nonexistent table refuses; OR REPLACE creates
+    intercept[Exception] {
+      spark.sql("REPLACE TABLE lake.nope (x INT) USING txlog") }
+    spark.sql("CREATE OR REPLACE TABLE lake.cor2 USING txlog AS " +
+      "SELECT 1 AS one")
+    assert(spark.sql("SELECT one FROM lake.cor2").head().getInt(0) == 1)
+    spark.sql("DROP TABLE lake.cor")
+    spark.sql("DROP TABLE lake.cor2")
   }
 
   test("TBLPROPERTIES persist in the log: CREATE ... TBLPROPERTIES, " +

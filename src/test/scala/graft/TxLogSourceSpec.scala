@@ -543,6 +543,85 @@ class TxLogSourceSpec extends AnyFunSuite {
     TxLog.drop(base)
   }
 
+  test("writeStream.toTable on a PARTITIONED table: executor tasks " +
+      "write partition-pure files, epochs commit p: markers, streamed " +
+      "files prune like batch ones") {
+    val base = java.nio.file.Files.createTempDirectory("txswp_").toString
+    val src = s"$base/src"
+    TxLog.create(spark.range(20L)
+      .select(col("id"), (col("id") % 4).as("grp")).coalesce(1), src)
+    spark.conf.set("spark.sql.catalog.graft_plake",
+      classOf[graft.sources.TxLogCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_plake.base", base)
+    spark.sql("CREATE TABLE graft_plake.pdst (id BIGINT, grp BIGINT) " +
+      "USING txlog PARTITIONED BY (grp)")
+    val ckpt = java.nio.file.Files.createTempDirectory("txswp_ck_").toString
+    val q = spark.readStream.format("txlog").load(src)
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable("graft_plake.pdst")
+    q.awaitTermination()
+    val dst = s"$base/pdst"
+    val pv = TxLog.partitionValues(dst)
+    assert(pv.size >= 4, s"one partition-pure file per grp value, got $pv")
+    assert(pv.values.forall(m => m.get("grp").exists(Set("0","1","2","3"))),
+      s"markers must carry the cast-to-string grp values, got $pv")
+    // each file holds exactly its partition's rows
+    assert(spark.sql("SELECT count(*) FROM graft_plake.pdst " +
+      "WHERE grp = 2").head().getLong(0) == 5L)
+    assert(graft.sources.TxLogSourceIO.lastKept.get()
+      < graft.sources.TxLogSourceIO.lastTotal.get(),
+      "a streamed partitioned table must prune by partition value")
+    spark.sql("DROP TABLE graft_plake.pdst")
+    TxLog.drop(base)
+  }
+
+  test("streaming CDF BY NAME: readStream.option(readChangeFeed)" +
+      ".table resolves through the DSv1 CDF source — meta columns, " +
+      "deletes as rows, restart-safe above the checkpoint") {
+    val base = java.nio.file.Files.createTempDirectory("txcdfn_").toString
+    val t = s"$base/src"
+    TxLog.create(spark.range(10L)
+      .select(col("id"), (col("id") % 2).as("grp")).coalesce(1), t) // v0
+    TxLog.append(spark.range(10L, 16L)
+      .select(col("id"), (col("id") % 2).as("grp")).coalesce(1), t) // v1
+    TxLog.deleteWhereDV(spark, t, col("id") < 3)                    // v2
+    spark.conf.set("spark.sql.catalog.graft_cdfn",
+      classOf[graft.sources.TxLogCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_cdfn.base", base)
+    val ckpt = java.nio.file.Files.createTempDirectory("txcdfn_ck_").toString
+    val acc = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Long, Long)]
+    def drain(): Unit = {
+      val q = spark.readStream
+        .option("readChangeFeed", "true")
+        .table("graft_cdfn.src")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          acc.synchronized {
+            acc ++= df.collect().map(r =>
+              (r.getAs[String]("_change_type"),
+                r.getAs[Long]("_commit_version"), r.getAs[Long]("id")))
+          }: Unit
+        }.start()
+      q.awaitTermination()
+    }
+    drain()
+    assert(acc.count(_._1 == "insert") == 16, s"got $acc")
+    assert(acc.filter(_._1 == "delete").map(_._3).sorted == Seq(0L, 1L, 2L))
+    // restart: only NEW versions ship
+    val before = acc.size
+    TxLog.append(spark.range(16L, 18L)
+      .select(col("id"), (col("id") % 2).as("grp")).coalesce(1), t) // v3
+    drain()
+    val fresh = acc.drop(before)
+    assert(fresh.forall(e => e._1 == "insert" && e._2 == 3L)
+      && fresh.size == 2, s"restart must ship only v3, got $fresh")
+    TxLog.drop(base)
+  }
+
   test("streaming CDF honors maxVersionsPerTrigger: capped batches of " +
       "row-level changes, restart resumes above the checkpoint, " +
       "truncated history refuses with the version") {

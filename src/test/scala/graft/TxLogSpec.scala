@@ -1055,6 +1055,58 @@ class TxLogSpec extends AnyFunSuite {
     TxLog.drop(root)
   }
 
+  test("an EMPTY-STRING table property survives replay, checkpoints, " +
+      "and clones (ADVICE r12: trailing-split loss)") {
+    val t = freshTable()
+    TxLog.alterProperties(t, Map("empty.prop" -> "", "k" -> "v"))
+    assert(TxLog.tableProperties(t) ==
+      Map("empty.prop" -> "", "k" -> "v"))
+    TxLog.checkpoint(t)
+    assert(TxLog.tableProperties(t)("empty.prop") == "",
+      "checkpoint round-trip must keep the empty value")
+    val c = java.nio.file.Files.createTempDirectory("txprop_clone_").toString
+    TxLog.drop(c)
+    TxLog.shallowClone(t, c)
+    assert(TxLog.tableProperties(c)("empty.prop") == "")
+    Seq(t, c).foreach(TxLog.drop)
+  }
+
+  test("evolveSchema refuses a NON-NULLABLE added column (ADVICE r12: " +
+      "pre-evolution files would null-backfill a column the schema " +
+      "declares non-null)") {
+    import org.apache.spark.sql.types._
+    val t = freshTable()
+    val prior = TxLog.tableSchema(t).get
+    val bad = StructType(prior.fields :+
+      StructField("strict", LongType, nullable = false))
+    val e = intercept[IllegalArgumentException] {
+      TxLog.evolveSchema(t, bad)
+    }
+    assert(e.getMessage.contains("nullable"))
+    // the nullable form still works
+    TxLog.evolveSchema(t, StructType(prior.fields :+
+      StructField("loose", LongType, nullable = true)))
+    assert(TxLog.tableSchema(t).get.fieldNames.contains("loose"))
+    TxLog.drop(t)
+  }
+
+  test("an all-empty-partition streaming epoch claims NO version " +
+      "(ADVICE r12: empty commits skew version counters)") {
+    val t = freshTable()
+    val v = TxLog.currentVersion(t)
+    val r = TxLog.commitStagedIdempotent(spark, t, Seq.empty,
+      TxLog.read(spark, t).schema, "appX", 7L)
+    assert(r == -1 && TxLog.currentVersion(t) == v,
+      "empty epoch must not burn a log version")
+    // and a later NON-empty epoch with the same id still commits (the
+    // skipped epoch recorded no marker)
+    val staged = TxLog.stage(Seq((500L, 0L)).toDF("id", "grp"), t)
+    val r2 = TxLog.commitStagedIdempotent(spark, t, staged,
+      TxLog.read(spark, t).schema, "appX", 7L)
+    assert(r2 == v + 1)
+    TxLog.drop(t)
+  }
+
   test("change feed: a shallow clone's v0 inserts only the rows " +
       "surviving its carried-over deletion vectors") {
     val src = java.nio.file.Files.createTempDirectory("txcdf_src_").toString
