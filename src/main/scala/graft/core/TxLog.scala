@@ -416,10 +416,25 @@ object TxLog {
     * payoff of [[optimize]]'s z-order clustering. */
   def appendWithStats(spark: SparkSession, df: DataFrame, dir: String,
       statsCols: Seq[String]): Int = {
+    // DECLARED stats columns union with the explicit request — a
+    // caller asking for extra bounds never drops the table's own
+    val cols = (statsCols ++ statsColumns(dir)).distinct
+    val declared = partitionColumns(dir)
+    if (declared.nonEmpty) {
+      // declared layout wins: partition-pure files whose add lines
+      // carry BOTH `p:` markers and the zone-map triples (parseAdd
+      // consumes marker fields order-independently)
+      val (staged, pLines) = stagePartitioned(spark, df, dir, declared)
+      val statM = statMarkersFor(spark, dir, staged, cols)
+      val full = staged.zip(pLines).map { case (n, l) =>
+        (l +: statM.getOrElse(n, Seq.empty)).mkString("\t") }
+      return claimAppendRetrying(spark, dir, staged,
+        () => full ++ schemaLine(df, dir))
+    }
     val staged = stageEnforced(df, dir)
     // bounds are content properties of the staged files — computed once;
     // only the schema union re-derives per retry attempt
-    val statLines = statAddLines(spark, dir, staged, statsCols)
+    val statLines = statAddLines(spark, dir, staged, cols)
     claimAppendRetrying(spark, dir, staged,
       () => statLines ++ schemaLine(df, dir))
   }
@@ -430,9 +445,26 @@ object TxLog {
     * the file-grain bounds map reaches the driver. */
   private def statAddLines(spark: SparkSession, dir: String,
       staged: Seq[String], statsCols: Seq[String]): Seq[String] = {
+    val markers = statMarkersFor(spark, dir, staged, statsCols)
+    staged.map { f =>
+      (s"add\t$f" +: markers.getOrElse(new File(f).getName, Seq.empty))
+        .mkString("\t")
+    }
+  }
+
+  /** The marker FIELDS of [[statAddLines]] keyed by staged basename —
+    * for writers that must compose them with other per-file fields on
+    * one add line (a partitioned table's `p:` markers). */
+  private def statMarkersFor(spark: SparkSession, dir: String,
+      staged: Seq[String], statsCols0: Seq[String])
+      : Map[String, Seq[String]] = {
     import org.apache.spark.sql.functions.{col, max, min}
-    if (statsCols.isEmpty) return staged.map(f => s"add\t$f")
+    if (statsCols0.isEmpty || staged.isEmpty) return Map.empty
     val src = spark.read.parquet(staged.map(f => s"$dir/$f"): _*)
+    // a declared stats column missing from this batch's schema (a
+    // narrow pre-evolution write) stays statless — conservative keep
+    val statsCols = statsCols0.filter(c => src.schema.exists(_.name == c))
+    if (statsCols.isEmpty) return Map.empty
     // type-aware bounds: string columns get `s:` markers in binary UTF8
     // order (what Spark's min/max over strings IS); everything else is
     // cast to the exact-long triples [[pruneSnapshot]] consumes
@@ -457,13 +489,10 @@ object TxLog {
           else Some(s"$c\t${r.getLong(1 + 2 * i)}\t${r.getLong(2 + 2 * i)}")
         })
       .toMap
-    staged.map { f =>
-      // a staged file can legitimately be EMPTY (a sampled range
-      // exchange may produce a 0-row partition) — it has no bounds row;
-      // record it statless, the conservative always-kept shape
-      val triples = bounds.getOrElse(new File(f).getName, Seq.empty)
-      (s"add\t$f" +: triples).mkString("\t")
-    }
+    // a staged file can legitimately be EMPTY (a sampled range
+    // exchange may produce a 0-row partition) — it has no bounds row;
+    // record it statless, the conservative always-kept shape
+    bounds
   }
 
   /** Minimal %xx escaping for partition values stored in log lines:
@@ -663,6 +692,48 @@ object TxLog {
     claimVersion(dir, 0,
       stage(df, dir).map(f => s"add\t$f") ++ schemaLine(df, dir))
 
+  /** IN-PLACE conversion of an existing plain-parquet directory into a
+    * txlog table (Delta's `CONVERT TO DELTA`): version 0 REFERENCES
+    * the directory's parquet files verbatim — zero bytes rewritten,
+    * zero bytes copied, which is the only adoption path that works at
+    * 100 TB. The committed schema is the files' merged schema; stats
+    * markers for `statsCols` are computed in one distributed pass so
+    * the converted table prunes from day one. FLAT layouts only: a
+    * Hive-partitioned tree stores partition values in paths, not in
+    * the files, and this engine keeps real columns in the data
+    * (Iceberg's choice) — converting one would silently drop those
+    * columns, so it refuses with the remedy. Crash-safe like every
+    * commit: until the version-0 claim lands, the directory is still
+    * just parquet. */
+  def convert(spark: SparkSession, dir: String,
+      statsCols: Seq[String] = Seq.empty): Int = {
+    require(currentVersion(dir) < 0, s"$dir is already a txlog table")
+    val d = new File(dir)
+    require(d.isDirectory, s"$dir is not a directory")
+    val entries = Option(d.listFiles()).getOrElse(Array.empty)
+    val subdirs = entries.filter(f => f.isDirectory &&
+      !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    require(subdirs.isEmpty,
+      s"CONVERT supports flat parquet directories only; $dir holds " +
+        s"subdirectories (${subdirs.take(3).map(_.getName).mkString(", ")})" +
+        " — a Hive-partitioned layout keeps partition values in paths, " +
+        "not in the files; read it with spark.read.parquet and write a " +
+        "new table instead")
+    val files = entries.filter(f => f.isFile &&
+        f.getName.endsWith(".parquet") && !f.getName.startsWith(".") &&
+        !f.getName.startsWith("_"))
+      .map(_.getName).sorted.toSeq
+    require(files.nonEmpty, s"$dir holds no parquet files to convert")
+    val schema = spark.read.option("mergeSchema", "true")
+      .parquet(files.map(f => s"$dir/$f"): _*).schema
+    val adds = enrichLines(spark, dir,
+      files.map(f => s"add\t$f"), statsCols)
+    claimVersion(dir, 0, adds ++ schemaLineOf(schema, dir) ++
+      (if (statsCols.isEmpty) Seq.empty
+       else Seq(s"property\t${escapeVal(StatsColsProp)}\t" +
+         escapeVal(statsCols.map(escapeVal).mkString(",")))))
+  }
+
   /** CREATE an EMPTY table (the catalog's `CREATE TABLE` surface):
     * version 0 carries only the schema line — no data files — and the
     * recorded in-log schema serves reads until data lands (the same
@@ -748,8 +819,12 @@ object TxLog {
     if (declared.nonEmpty)
       return appendPartitioned(df.sparkSession, df, dir, declared)
     val staged = stageEnforced(df, dir)
+    // declared-stats markers are content properties of the staged
+    // files — computed once, reused across claim-retry attempts
+    val lines = withDeclaredStats(df.sparkSession, dir,
+      staged.map(f => s"add\t$f"))
     claimAppendRetrying(df.sparkSession, dir, staged,
-      () => staged.map(f => s"add\t$f") ++ schemaLine(df, dir))
+      () => lines ++ schemaLine(df, dir))
   }
 
   /** REPLACE (SaveMode.Overwrite through the connector): one atomic
@@ -767,7 +842,8 @@ object TxLog {
       val removes = snapshot(dir, Some(cur))
       claimVersion(dir, cur + 1,
         removes.map(f => s"remove\t$f") ++
-          stageEnforced(df, dir).map(f => s"add\t$f") ++
+          withDeclaredStats(df.sparkSession, dir,
+            stageEnforced(df, dir).map(f => s"add\t$f")) ++
           schemaLine(df, dir, exact = true))
     }
   }
@@ -781,8 +857,9 @@ object TxLog {
   def appendChecked(df: DataFrame, dir: String,
       constraint: org.apache.spark.sql.Column): Int = {
     // stage-first like every writer: the frame executes once, the
-    // check runs on the deterministic staged re-read
-    val staged = stageEnforced(df, dir)
+    // check runs on the deterministic staged re-read; a declared-
+    // partitioned table's batch stages partition-pure with markers
+    val (staged, lines) = stageLinesEnforced(df.sparkSession, df, dir)
     if (staged.nonEmpty) {
       val stagedDf = df.sparkSession.read.option("mergeSchema", "true")
         .parquet(staged.map(f => s"$dir/$f"): _*)
@@ -795,7 +872,7 @@ object TxLog {
       }
     }
     claimAppendRetrying(df.sparkSession, dir, staged,
-      () => staged.map(f => s"add\t$f") ++ schemaLine(df, dir))
+      () => lines ++ schemaLine(df, dir))
   }
 
   /** LOG-RESIDENT CHECK constraints (Delta's `ALTER TABLE ... ADD
@@ -899,7 +976,8 @@ object TxLog {
     * from. One distributed write; no per-partition driver loop. */
   def appendPartitioned(spark: SparkSession, df: DataFrame, dir: String,
       partCols: Seq[String]): Int = {
-    val (names, adds) = stagePartitioned(spark, df, dir, partCols)
+    val (names, adds0) = stagePartitioned(spark, df, dir, partCols)
+    val adds = withDeclaredStats(spark, dir, adds0)
     claimAppendRetrying(spark, dir, names,
       () => adds ++ schemaLine(df, dir))
   }
@@ -923,6 +1001,55 @@ object TxLog {
   private[graft] def encodePartitionCols(cols: Seq[String]): String =
     cols.map(escapeVal).mkString(",")
 
+  /** The reserved table property carrying DECLARATIVE data-skipping
+    * columns (Delta's `delta.dataSkippingStatsColumns`): once set,
+    * EVERY writer — batch appends, SQL INSERT, DML rewrites, MERGE,
+    * streaming epochs, OPTIMIZE — records per-file min/max zone-map
+    * markers for these columns on its add lines, and every catalog
+    * scan prunes on them ([[pruneSnapshot]] / the connector's
+    * FileIndex). Same design as [[PartitionColsProp]]: data skipping
+    * is TABLE metadata every writer inherits, not a convention each
+    * caller must remember — at 100 TB, a writer that forgets stats
+    * silently grows the unprunable set forever. Cost: one extra
+    * distributed aggregate over each staged batch (file-grain bounds
+    * only reach the driver) — opt-in via the property. */
+  val StatsColsProp: String = "graft.stats.columns"
+
+  /** The table's DECLARED data-skipping columns (empty when unset or
+    * the table does not exist yet). */
+  def statsColumns(dir: String): Seq[String] =
+    if (currentVersion(dir) < 0) Seq.empty
+    else tableProperties(dir).get(StatsColsProp).toSeq
+      .flatMap(_.split(',')).filter(_.nonEmpty).map(unescapeVal)
+
+  /** Enrich finished add lines with zone-map markers for the table's
+    * DECLARED stats columns — the single seam every line-producing
+    * writer funnels through. Columns absent from the staged schema are
+    * skipped (a narrow pre-evolution batch stays writable); statless
+    * files remain the conservative always-kept shape. */
+  private def withDeclaredStats(spark: SparkSession, dir: String,
+      lines: Seq[String]): Seq[String] =
+    enrichLines(spark, dir, lines, statsColumns(dir))
+
+  /** The explicit-columns form — for the CTAS/RTAS staging leg, where
+    * the stats columns come from the NEW definition's properties (not
+    * yet committed to the log this writer stages into). */
+  private[graft] def enrichLines(spark: SparkSession, dir: String,
+      lines: Seq[String], cols: Seq[String]): Seq[String] = {
+    if (cols.isEmpty || lines.isEmpty) return lines
+    val files = lines.map(l => parseAdd(l)._1)
+    val markers = statMarkersFor(spark, dir, files, cols)
+    lines.map { l =>
+      val base = new File(parseAdd(l)._1).getName
+      (l +: markers.getOrElse(base, Seq.empty)).mkString("\t")
+    }
+  }
+
+  /** Decode a comma-joined escaped column list (the encoding of
+    * [[PartitionColsProp]] / [[StatsColsProp]] values). */
+  private[graft] def decodeCols(v: String): Seq[String] =
+    v.split(',').toSeq.filter(_.nonEmpty).map(unescapeVal)
+
   /** REPLACE the whole live set with `df` staged PARTITION-PURE — the
     * overwrite path of a declaratively partitioned table (one atomic
     * commit, old state stays time-travelable, new files carry `p:`
@@ -930,11 +1057,101 @@ object TxLog {
   def replacePartitioned(spark: SparkSession, df: DataFrame, dir: String,
       partCols: Seq[String]): Int = {
     val cur = currentVersion(dir)
-    val (_, adds) = stagePartitioned(spark, df, dir, partCols)
+    val (_, adds0) = stagePartitioned(spark, df, dir, partCols)
+    val adds = withDeclaredStats(spark, dir, adds0)
     if (cur < 0) claimVersion(dir, 0, adds ++ schemaLine(df, dir))
     else claimVersion(dir, cur + 1,
       snapshot(dir, Some(cur)).map(f => s"remove\t$f") ++ adds ++
         schemaLine(df, dir, exact = true))
+  }
+
+  /** `INSERT OVERWRITE ... WHERE`-scoped replace (Delta's
+    * `replaceWhere`): ONE atomic commit that deletes the rows matching
+    * `pred` and inserts `data` — and REFUSES a batch holding any row
+    * OUTSIDE the predicate (the contract that makes an idempotent
+    * partition reload safe to retry: re-running it can never leak rows
+    * into partitions it does not own). The delete leg is the same
+    * metadata-first machinery as [[deleteWhere]]: provably-covered
+    * files drop with zero read, pruned files never scan — a
+    * partition-aligned `INSERT OVERWRITE t PARTITION (day = X)` on a
+    * 100 TB table reads nothing but X's survivors (none). */
+  def replaceWhere(spark: SparkSession, dir: String, data: DataFrame,
+      pred: org.apache.spark.sql.Column): Int = {
+    val cur = currentVersion(dir)
+    require(cur >= 0, s"$dir is not a TxLog table")
+    val st = state(dir, Some(cur))
+    val (dataStaged, dataLines) = stageLinesEnforced(spark, data, dir)
+    try {
+      if (dataStaged.nonEmpty) {
+        val stagedDf = spark.read.option("mergeSchema", "true")
+          .parquet(dataStaged.map(f => s"$dir/$f"): _*)
+        val bad = stagedDf.filter(!pred || pred.isNull).limit(1).count()
+        if (bad > 0) throw new IllegalArgumentException(
+          s"replaceWhere: the incoming batch holds rows outside the " +
+            s"overwritten predicate $pred")
+      }
+      val (proven, candidates) = classifyByPredicate(st, pred)
+      val affected = affectedFiles(spark, dir, candidates,
+        df => df.filter(pred))
+      val keepLines =
+        if (affected.isEmpty) Seq.empty[String]
+        else {
+          val keep = readFiles(spark, dir, affected,
+              dvFrameFrom(spark, dir, st.dv.toMap))
+            .filter(!pred || pred.isNull)
+          if (keep.isEmpty) Seq.empty[String]
+          else stageLinesEnforced(spark, keep, dir)._2
+        }
+      claimVersion(dir, cur + 1,
+        (proven ++ affected).map(f => s"remove\t$f") ++
+          keepLines ++ dataLines ++ schemaLine(data, dir))
+    } catch { case e: Throwable =>
+      // a refused batch (or lost claim race) leaves no orphans behind
+      dataStaged.foreach(f => Files.deleteIfExists(Paths.get(dir, f)))
+      throw e
+    }
+  }
+
+  /** DYNAMIC partition overwrite (`partitionOverwriteMode=dynamic`):
+    * replace exactly the partitions PRESENT in `data`, leave every
+    * other partition untouched — one atomic commit. The victim set
+    * comes from log metadata alone (staged markers ∩ recorded
+    * markers); a live file with NO recorded partition values makes the
+    * victim set undecidable, so the write refuses and names the
+    * remedy (OPTIMIZE re-layouts, recording markers). NULL and ""
+    * partition values share Spark's directory sentinel and therefore
+    * overwrite as ONE partition — the engine inherits that conflation
+    * from the dynamic-partition rendering itself. */
+  def replaceDynamicPartitions(spark: SparkSession, data: DataFrame,
+      dir: String): Int = {
+    val partCols = partitionColumns(dir)
+    require(partCols.nonEmpty,
+      "dynamic partition overwrite needs a declared-partitioned table " +
+        s"(CREATE TABLE ... PARTITIONED BY): $dir declares none")
+    val cur = currentVersion(dir)
+    val pv = partitionValues(dir, Some(cur))
+    val live = snapshot(dir, Some(cur))
+    val unmarked = live.filterNot(f =>
+      partCols.forall(c => pv.getOrElse(f, Map.empty).contains(c)))
+    require(unmarked.isEmpty,
+      s"dynamic partition overwrite is undecidable: ${unmarked.size} " +
+        "live files carry no partition markers (written before the " +
+        "layout was declared) — run OPTIMIZE first to re-layout them")
+    val (staged, lines0) = stagePartitioned(spark, data, dir, partCols)
+    val lines = withDeclaredStats(spark, dir, lines0)
+    try {
+      def tuple(m: Map[String, String]): Seq[String] =
+        partCols.map(c => m.getOrElse(c, ""))
+      val incoming: Set[Seq[String]] =
+        lines.map(l => tuple(parseAdd(l)._2)).toSet
+      val victims = live.filter(f => incoming.contains(tuple(pv(f))))
+      claimVersion(dir, cur + 1,
+        victims.map(f => s"remove\t$f") ++ lines ++
+          schemaLine(data, dir))
+    } catch { case e: Throwable =>
+      staged.foreach(f => Files.deleteIfExists(Paths.get(dir, f)))
+      throw e
+    }
   }
 
   /** Staging for the catalog's ATOMIC CREATE/REPLACE TABLE (the
@@ -944,11 +1161,15 @@ object TxLog {
     * definition, and the old table's constraints die with it in
     * [[commitDefinition]]. */
   private[graft] def stageForDefinition(spark: SparkSession, df: DataFrame,
-      dir: String, partCols: Seq[String]): (Seq[String], Seq[String]) =
-    if (partCols.isEmpty) {
-      val n = stage(df, dir); (n, n.map(f => s"add\t$f"))
-    } else stagePartitioned(spark, df, dir, partCols,
-      checkConstraints = false)
+      dir: String, partCols: Seq[String],
+      statsCols: Seq[String] = Seq.empty): (Seq[String], Seq[String]) = {
+    val (names, lines) =
+      if (partCols.isEmpty) {
+        val n = stage(df, dir); (n, n.map(f => s"add\t$f"))
+      } else stagePartitioned(spark, df, dir, partCols,
+        checkConstraints = false)
+    (names, enrichLines(spark, dir, lines, statsCols))
+  }
 
   /** ONE atomic commit installing a whole table DEFINITION —
     * `CREATE [OR REPLACE] TABLE [AS SELECT]` through the catalog's
@@ -985,7 +1206,9 @@ object TxLog {
     * with `p:` markers). Constraint-checked like every staging path. */
   private def stagePartitioned(spark: SparkSession, df: DataFrame,
       dir: String, partCols: Seq[String],
-      checkConstraints: Boolean = true): (Seq[String], Seq[String]) = {
+      checkConstraints: Boolean = true,
+      arrange: (DataFrame, Seq[String]) => DataFrame = (d, _) => d)
+      : (Seq[String], Seq[String]) = {
     import org.apache.spark.sql.functions.col
     require(partCols.nonEmpty, "partCols must be non-empty")
     new File(dir).mkdirs()
@@ -994,7 +1217,13 @@ object TxLog {
     val dup = partCols.zip(shadows).foldLeft(df) { case (d, (c, s)) =>
       d.withColumn(s, col(c).cast("string"))
     }
-    dup.write.partitionBy(shadows: _*).mode("overwrite").parquet(tmp.toString)
+    // `arrange` lets OPTIMIZE inject its layout (range-partition by
+    // shadow values + cluster key, sorted within) BEFORE the dynamic
+    // partitionBy writer; a child already sorted on the shadow prefix
+    // satisfies the writer's required ordering, so the secondary
+    // cluster order survives into the files
+    arrange(dup, shadows)
+      .write.partitionBy(shadows: _*).mode("overwrite").parquet(tmp.toString)
     // walk the partition directory tree: each leaf parquet file sits
     // under one __p_c=<escaped value> path per partition column
     def leaves(d: File, vals: Map[String, String])
@@ -1039,7 +1268,10 @@ object TxLog {
     val pv = partitionValues(dir, asOf)
     val kept = live.filter { f =>
       val vals = pv.getOrElse(f, Map.empty)
-      filter.forall { case (c, v) => vals.get(c).forall(_ == v) }
+      // a recorded sentinel (null OR "" — the dynamic-partition writer
+      // conflates them) yields no information: conservative keep
+      filter.forall { case (c, v) =>
+        vals.get(c).filter(_ != MetaSurvive.NullPartition).forall(_ == v) }
     }
     (kept, live.size)
   }
@@ -1077,14 +1309,23 @@ object TxLog {
       pred: org.apache.spark.sql.Column): Int = {
     val cur = currentVersion(dir)
     val st = state(dir, Some(cur))
-    val affected = affectedFiles(spark, dir, st.live.keys.toSeq,
+    // metadata first: files the predicate provably misses never enter
+    // the probe scan; files it provably COVERS drop from the log with
+    // no read at all (partition-aligned DELETE is O(metadata))
+    val (proven, candidates) = classifyByPredicate(st, pred)
+    val affected = affectedFiles(spark, dir, candidates,
       df => df.filter(pred))
-    if (affected.isEmpty) return cur
-    val keep = readFiles(spark, dir, affected,
-        dvFrameFrom(spark, dir, st.dv.toMap))
-      .filter(!pred || pred.isNull)
-    val adds = if (keep.isEmpty) Seq.empty[String] else stage(keep, dir)
-    commit(dir, cur, adds, affected)
+    if (affected.isEmpty && proven.isEmpty) return cur
+    val adds =
+      if (affected.isEmpty) Seq.empty[String]
+      else {
+        val keep = readFiles(spark, dir, affected,
+            dvFrameFrom(spark, dir, st.dv.toMap))
+          .filter(!pred || pred.isNull)
+        if (keep.isEmpty) Seq.empty[String]
+        else stageLinesEnforced(spark, keep, dir)._2
+      }
+    commitLines(dir, cur, adds, proven ++ affected)
   }
 
   /** UPDATE ... SET ... WHERE: copy-on-write — every live file holding
@@ -1110,7 +1351,11 @@ object TxLog {
     val tableCols = tableSchema.fieldNames.toSet
     require(setMap.keySet.subsetOf(tableCols),
       s"unknown UPDATE columns: ${setMap.keySet -- tableCols}")
-    val affected = affectedFiles(spark, dir, st.live.keys.toSeq,
+    // metadata pruning narrows the probe; PROVEN-all-match files skip
+    // it entirely (every row rewrites — they are affected by
+    // definition, an empty file rewriting to nothing is harmless)
+    val (proven, candidates) = classifyByPredicate(st, pred)
+    val affected = proven ++ affectedFiles(spark, dir, candidates,
       df => df.filter(pred))
     if (affected.isEmpty) return cur
     val src0 = readFiles(spark, dir, affected,
@@ -1130,9 +1375,9 @@ object TxLog {
         case None => org.apache.spark.sql.functions.col(c)
       }
     }: _*)
-    claimVersion(dir, cur + 1,
-      affected.map(f => s"remove\t$f") ++
-        stageEnforced(rewritten, dir).map(f => s"add\t$f"))
+    commitLines(dir, cur,
+      stageLinesEnforced(spark, rewritten, dir)._2,
+      affected)
   }
 
   /** Affected-file probe for external executors
@@ -1308,12 +1553,20 @@ object TxLog {
     val st = state(dir, Some(cur))
     val live = st.live.keys.toSeq
     if (live.isEmpty) return cur
+    // same metadata split as [[deleteWhere]]: pruned files never scan;
+    // PROVEN files need no vectors — the whole file drops in the same
+    // commit (a DV spanning every row would just be a slower remove)
+    val (proven, candidates) = classifyByPredicate(st, pred)
+    if (candidates.isEmpty) {
+      if (proven.isEmpty) return cur
+      return claimVersion(dir, cur + 1, proven.map(f => s"remove\t$f"))
+    }
     val hits = spark.read.option("mergeSchema", "true")
-      .parquet(live.map(f => s"$dir/$f"): _*)
+      .parquet(candidates.map(f => s"$dir/$f"): _*)
       .filter(pred)
       .select(col("_metadata.file_name").as("file"),
         col("_metadata.row_index").as("pos"))
-    commitDvHits(spark, dir, cur, st, hits)
+    commitDvHits(spark, dir, cur, st, hits, proven)
   }
 
   /** MERGE-ON-READ delete of an EXPLICIT hit set — (`file` basename,
@@ -1328,7 +1581,8 @@ object TxLog {
   }
 
   private def commitDvHits(spark: SparkSession, dir: String, cur: Int,
-      st: LogState, hits: DataFrame): Int = {
+      st: LogState, hits: DataFrame,
+      wholesaleRemoves: Seq[String] = Seq.empty): Int = {
     import org.apache.spark.sql.functions.col
     val live = st.live.keys.toSeq
     val fresh = dvFrameFrom(spark, dir, st.dv.toMap) match {
@@ -1342,7 +1596,11 @@ object TxLog {
       // file-grain metadata collect (the affected-file LIST, never rows)
       val touchedNames = freshP.select("file").distinct().collect()
         .map(_.getString(0)).toSet
-      if (touchedNames.isEmpty) return cur
+      val removes = wholesaleRemoves.map(f => s"remove\t$f")
+      if (touchedNames.isEmpty) {
+        if (wholesaleRemoves.isEmpty) return cur
+        return claimVersion(dir, cur + 1, removes)
+      }
       val byName = live.groupBy(f => new File(f).getName)
       byName.find(_._2.size > 1).foreach { case (_, fs) =>
         throw new IllegalStateException(
@@ -1354,7 +1612,7 @@ object TxLog {
       val lines = touchedNames.toSeq.sorted.map { n =>
         s"dvf\t${byName(n).head}\t$sidecar"
       }
-      claimVersion(dir, v, lines)
+      claimVersion(dir, v, removes ++ lines)
     } finally { freshP.unpersist(): Unit }
   }
 
@@ -1365,6 +1623,196 @@ object TxLog {
     * and only the matching FILE NAME list reaches the driver). At
     * real scale the scan itself is first pruned by log-resident
     * zone maps ([[pruneSnapshot]]) — the protocol is unchanged. */
+  /** Writer-side metadata pruning: split the live set into
+    * (PROVEN-all-match, candidate) file lists for a DML predicate —
+    * pure log metadata, zero data IO. A file lands in neither list
+    * when its recorded partition values / zone maps prove NO row can
+    * satisfy `pred` (safe for DELETE/UPDATE: only TRUE rows act); in
+    * PROVEN when its partition values prove EVERY row satisfies it
+    * (the Delta partition-aligned DELETE fast path: drop the file from
+    * the log, no read, no rewrite). On a 100 TB date-partitioned table
+    * `DELETE WHERE day = X` must be O(that partition's metadata), not
+    * a full-table probe scan. Unparseable/unrecognized predicates
+    * degrade to (nothing proven, all live candidates). */
+  private def classifyByPredicate(st: LogState,
+      pred: org.apache.spark.sql.Column): (Seq[String], Seq[String]) = {
+    val all = st.live.keys.toSeq
+    val expr =
+      try Some(org.apache.spark.sql.GraftSqlBridge.exprOf(pred))
+      catch { case scala.util.control.NonFatal(_) => None }
+    expr match {
+      case None => (Seq.empty, all)
+      case Some(e) =>
+        val n = MetaSurvive.normalize(e)
+        val metas = st.live.toSeq.map { case (f, l) =>
+          val (_, pv, zm, sm) = parseAdd(l)
+          f -> MetaSurvive.FileMeta(pv, zm, sm)
+        }
+        val surviving = metas.filter { case (_, m) =>
+          MetaSurvive.survives(m, n) }
+        val (proven, candidates) = surviving.partition { case (_, m) =>
+          MetaSurvive.provesAll(m, n) }
+        (proven.map(_._1), candidates.map(_._1))
+    }
+  }
+
+  /** The expression walk behind [[classifyByPredicate]] — the
+    * writer-side twin of the catalog scan's
+    * [[graft.sources.TxLogFileIndex]] survival walk, extended to match
+    * UNRESOLVED attributes (the Column API's `col("x") === 5` never
+    * passes an analyzer) and to PROVE full-file matches. Three-valued
+    * and conservative: any unrecognized shape survives and proves
+    * nothing. */
+  private object MetaSurvive {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.unsafe.types.UTF8String
+
+    /** Spark's dynamic-partition rendering of NULL **and empty-string**
+      * values: a recorded sentinel is AMBIGUOUS (null or ""), so it
+      * yields no information — never prune on it, never prove with it. */
+    val NullPartition = "__HIVE_DEFAULT_PARTITION__"
+
+    final case class FileMeta(pv: Map[String, String],
+        zm: Map[String, (Long, Long)], sm: Map[String, (String, String)])
+
+    private object AttrName {
+      def unapply(e: Expression): Option[String] = e match {
+        case a: AttributeReference => Some(a.name)
+        case u: UnresolvedAttribute => Some(u.nameParts.last)
+        case _ => None
+      }
+    }
+
+    /** The Column DSL never builds binary comparison nodes — `=== < >
+      * && isin` all arrive as catalyst `UnresolvedFunction` calls that
+      * only the analyzer would rewrite. Fold the fixed arithmetic of
+      * this walk back into real nodes; anything unrecognized stays
+      * as-is (the walk treats it conservatively). */
+    def normalize(e: Expression): Expression = e match {
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if f.nameParts.size == 1 && !f.isDistinct =>
+        val args = f.arguments.map(normalize)
+        (f.nameParts.head.toLowerCase(java.util.Locale.ROOT), args) match {
+          case ("=" | "==", Seq(l, r)) => EqualTo(l, r)
+          case ("<", Seq(l, r)) => LessThan(l, r)
+          case ("<=", Seq(l, r)) => LessThanOrEqual(l, r)
+          case (">", Seq(l, r)) => GreaterThan(l, r)
+          case (">=", Seq(l, r)) => GreaterThanOrEqual(l, r)
+          case ("and", Seq(l, r)) => And(l, r)
+          case ("or", Seq(l, r)) => Or(l, r)
+          case ("in", v +: rest) if rest.nonEmpty => In(v, rest)
+          case ("isnull", Seq(v)) => IsNull(v)
+          case ("isnotnull", Seq(v)) => IsNotNull(v)
+          case _ => f
+        }
+      case other => other.mapChildren(normalize)
+    }
+
+    /** `cast(col AS string)` renderings that are injective on their
+      * type — the only values partition-marker equality may use. */
+    private def render(v: Any): Option[String] = v match {
+      case null => None
+      case u: UTF8String => Some(u.toString)
+      case s: String => Some(s)
+      case l: Long => Some(l.toString)
+      case i: Int => Some(i.toString)
+      case s: Short => Some(s.toString)
+      case b: Byte => Some(b.toString)
+      case b: Boolean => Some(b.toString)
+      case _ => None
+    }
+
+    private def asLong(v: Any): Option[Long] = v match {
+      case l: Long => Some(l)
+      case i: Int => Some(i.toLong)
+      case s: Short => Some(s.toLong)
+      case b: Byte => Some(b.toLong)
+      case _ => None
+    }
+
+    private def asU8(v: Any): Option[UTF8String] = v match {
+      case u: UTF8String => Some(u)
+      case s: String => Some(UTF8String.fromString(s))
+      case _ => None
+    }
+
+    private def eqSurvives(m: FileMeta, c: String, v: Any): Boolean = {
+      val zone = for { x <- asLong(v); (lo, hi) <- m.zm.get(c) }
+        yield lo <= x && x <= hi
+      val str = asU8(v).flatMap { u =>
+        m.sm.get(c).map { case (lo, hi) =>
+          UTF8String.fromString(lo).compareTo(u) <= 0 &&
+            u.compareTo(UTF8String.fromString(hi)) <= 0 }
+      }
+      val part = for {
+        s <- render(v); p <- m.pv.get(c) if p != NullPartition
+      } yield p == s
+      zone.getOrElse(true) && str.getOrElse(true) && part.getOrElse(true)
+    }
+
+    private def boundSurvives(m: FileMeta, c: String)
+        (pred: (Long, Long, Long) => Boolean)(v: Any): Boolean = {
+      val long = for { x <- asLong(v); (lo, hi) <- m.zm.get(c) }
+        yield pred(lo, hi, x)
+      val str = asU8(v).flatMap { u =>
+        m.sm.get(c).map { case (lo, hi) =>
+          pred(UTF8String.fromString(lo).compareTo(u).sign.toLong,
+            UTF8String.fromString(hi).compareTo(u).sign.toLong, 0L) }
+      }
+      long.orElse(str).getOrElse(true)
+    }
+
+    /** Can the file hold a row where `e` is TRUE? */
+    def survives(m: FileMeta, e: Expression): Boolean = e match {
+      case And(l, r) => survives(m, l) && survives(m, r)
+      case Or(l, r) => survives(m, l) || survives(m, r)
+      case EqualTo(AttrName(c), Literal(v, _)) => eqSurvives(m, c, v)
+      case EqualTo(Literal(v, _), AttrName(c)) => eqSurvives(m, c, v)
+      case In(AttrName(c), vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        vs.isEmpty ||
+          vs.exists { case Literal(v, _) => eqSurvives(m, c, v) }
+      case GreaterThan(AttrName(c), Literal(v, _)) =>
+        boundSurvives(m, c)((_, hi, x) => hi > x)(v)
+      case GreaterThanOrEqual(AttrName(c), Literal(v, _)) =>
+        boundSurvives(m, c)((_, hi, x) => hi >= x)(v)
+      case LessThan(AttrName(c), Literal(v, _)) =>
+        boundSurvives(m, c)((lo, _, x) => lo < x)(v)
+      case LessThanOrEqual(AttrName(c), Literal(v, _)) =>
+        boundSurvives(m, c)((lo, _, x) => lo <= x)(v)
+      case GreaterThan(Literal(v, _), AttrName(c)) => // v > col ≡ col < v
+        boundSurvives(m, c)((lo, _, x) => lo < x)(v)
+      case GreaterThanOrEqual(Literal(v, _), AttrName(c)) =>
+        boundSurvives(m, c)((lo, _, x) => lo <= x)(v)
+      case LessThan(Literal(v, _), AttrName(c)) =>
+        boundSurvives(m, c)((_, hi, x) => hi > x)(v)
+      case LessThanOrEqual(Literal(v, _), AttrName(c)) =>
+        boundSurvives(m, c)((_, hi, x) => hi >= x)(v)
+      case IsNull(AttrName(c)) =>
+        // a non-sentinel recorded partition value means NO nulls
+        m.pv.get(c).forall(_ == NullPartition)
+      case _ => true
+    }
+
+    /** Is `e` provably TRUE for EVERY row of the file? Partition-value
+      * equality only — the single per-file fact strong enough to prove
+      * universally. Never proves through a sentinel (null vs "" is
+      * ambiguous) and never through a non-injective rendering. */
+    def provesAll(m: FileMeta, e: Expression): Boolean = e match {
+      case And(l, r) => provesAll(m, l) && provesAll(m, r)
+      case Or(l, r) => provesAll(m, l) || provesAll(m, r)
+      case EqualTo(AttrName(c), Literal(v, _)) => provedEq(m, c, v)
+      case EqualTo(Literal(v, _), AttrName(c)) => provedEq(m, c, v)
+      case In(AttrName(c), vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        vs.exists { case Literal(v, _) => provedEq(m, c, v) }
+      case _ => false
+    }
+
+    private def provedEq(m: FileMeta, c: String, v: Any): Boolean =
+      render(v).exists(s =>
+        m.pv.get(c).exists(p => p != NullPartition && p == s))
+  }
+
   private def affectedFiles(spark: SparkSession, dir: String,
       live: Seq[String], matcher: DataFrame => DataFrame): Seq[String] = {
     import org.apache.spark.sql.functions.col
@@ -1417,6 +1865,42 @@ object TxLog {
   private[graft] def stageChecked(df: DataFrame, dir: String): Seq[String] =
     stageEnforced(df, dir)
 
+  /** [[stageChecked]] returning FINISHED add lines (partition markers
+    * included on a declared-partitioned table) — the SQL MERGE
+    * executor's staging leg ([[graft.plans.TxLogDml]]). */
+  private[graft] def stageCheckedLines(spark: SparkSession,
+      df: DataFrame, dir: String): Seq[String] =
+    stageLinesEnforced(spark, df, dir)._2
+
+  /** Stage `df` under the table's DECLARED layout — partition-pure
+    * files with finished `p:`-marked add lines when partition columns
+    * are declared, plain staging otherwise; constraint-checked either
+    * way. EVERY rewriting writer (DELETE/UPDATE survivors, upsert,
+    * MERGE) stages through this: without it a rewrite silently demotes
+    * a partitioned table's files to unprunable (no markers →
+    * conservative keep on every partition predicate), and on a 100 TB
+    * table one DELETE would grow the unprunable set forever. A rewrite
+    * that CHANGES a partition column's value (UPDATE SET part = ...)
+    * lands rows in their new partition files for free. */
+  private[graft] def stageLinesEnforced(spark: SparkSession,
+      df: DataFrame, dir: String): (Seq[String], Seq[String]) = {
+    val declared = partitionColumns(dir)
+    val (names, lines) =
+      if (declared.nonEmpty) stagePartitioned(spark, df, dir, declared)
+      else {
+        val n = stageEnforced(df, dir)
+        (n, n.map(f => s"add\t$f"))
+      }
+    (names, withDeclaredStats(spark, dir, lines))
+  }
+
+  /** Commit with PRE-BUILT add lines (marker-carrying) — the
+    * rewriting writers' claim leg. */
+  private[graft] def commitLines(dir: String, expected: Int,
+      addLines: Seq[String], removes: Seq[String]): Int =
+    claimVersion(dir, expected + 1,
+      removes.map(f => s"remove\t$f") ++ addLines)
+
   /** DV-aware scan of `files` as of the vectors in `dv`: rows whose
     * (file, position) is deleted never reach the caller. */
   private def readFiles(spark: SparkSession, dir: String,
@@ -1460,7 +1944,7 @@ object TxLog {
     // whose keys drove the rewrite (ADVICE r10).
     val cur = currentVersion(dir)
     val st = state(dir, Some(cur))
-    val srcStaged = stageEnforced(source, dir)
+    val (srcStaged, srcLines) = stageLinesEnforced(spark, source, dir)
     val src =
       if (srcStaged.isEmpty) source.limit(0)
       else spark.read.option("mergeSchema", "true")
@@ -1469,17 +1953,18 @@ object TxLog {
     try {
       val affected = affectedFiles(spark, dir, st.live.keys.toSeq,
         df => df.join(keys, Seq(keyCol), "left_semi"))
-      val survivors =
+      val survivorLines =
         if (affected.isEmpty) Seq.empty[String]
         else {
           val kept = readFiles(spark, dir, affected,
               dvFrameFrom(spark, dir, st.dv.toMap))
             .join(keys, Seq(keyCol), "left_anti")
-          if (kept.isEmpty) Seq.empty[String] else stage(kept, dir)
+          if (kept.isEmpty) Seq.empty[String]
+          else stageLinesEnforced(spark, kept, dir)._2
         }
       claimVersion(dir, cur + 1,
         affected.map(f => s"remove\t$f") ++
-          (survivors ++ srcStaged).map(f => s"add\t$f") ++
+          survivorLines ++ srcLines ++
           schemaLine(source, dir))
     } finally { keys.unpersist(): Unit }
   }
@@ -1493,9 +1978,9 @@ object TxLog {
   def appendIdempotent(df: DataFrame, dir: String,
       app: String, txnId: Long): Int = {
     if (txnSeen(dir, app, txnId)) return -1
-    val adds = stageEnforced(df, dir)
+    val (adds, lines) = stageLinesEnforced(df.sparkSession, df, dir)
     claimTxnRetrying(df.sparkSession, dir, adds, app, txnId,
-      () => adds.map(f => s"add\t$f") ++ schemaLine(df, dir))
+      () => lines ++ schemaLine(df, dir))
   }
 
   /** Driver-side commit of EXECUTOR-staged files as one idempotent
@@ -1522,8 +2007,11 @@ object TxLog {
     // so skipping keeps the exactly-once contract
     if (files.isEmpty) return -1
     validateStaged(spark, dir, files)
+    // declared-stats bounds per epoch batch (one distributed agg over
+    // the epoch's files) — streamed files prune exactly like batch ones
+    val lines = withDeclaredStats(spark, dir, files.map(f => s"add\t$f"))
     claimTxnRetrying(spark, dir, files, app, txnId,
-      () => files.map(f => s"add\t$f") ++ schemaLineOf(schema, dir))
+      () => lines ++ schemaLineOf(schema, dir))
   }
 
   /** The PARTITIONED form of [[commitStagedIdempotent]] — the DSv2
@@ -1541,12 +2029,14 @@ object TxLog {
     }
     if (files.isEmpty) return -1
     validateStaged(spark, dir, files.map(_._1))
-    claimTxnRetrying(spark, dir, files.map(_._1), app, txnId,
-      () => files.map { case (f, vals) =>
+    val lines = withDeclaredStats(spark, dir,
+      files.map { case (f, vals) =>
         val markers = vals.toSeq.map { case (c, v) =>
           s"p:${escapeVal(c)}=${escapeVal(v)}" }
         (s"add\t$f" +: markers).mkString("\t")
-      } ++ schemaLineOf(schema, dir))
+      })
+    claimTxnRetrying(spark, dir, files.map(_._1), app, txnId,
+      () => lines ++ schemaLineOf(schema, dir))
   }
 
   /** Has `(app, txnId)` already committed? Scanned from the replayed
@@ -1584,33 +2074,73 @@ object TxLog {
     // content — the change feed skips marked versions wholesale (Delta's
     // `dataChange = false` on OPTIMIZE's add/remove actions). Readers
     // ignore unknown line types, so pre-marker logs interoperate.
-    if (clusterBy.isEmpty)
+    val zOpt: Option[org.apache.spark.sql.Column] =
+      if (clusterBy.isEmpty) None
+      else {
+        require(clusterBy.size == 2,
+          s"clusterBy takes exactly 2 columns (2-D Morton curve), got $clusterBy")
+        graft.functions.GraftFunctions.register(spark)
+        val Seq(cx, cy) = clusterBy
+        // global bounds: one aggregate pass, a 1-row metadata frame
+        val b = src.agg(min(col(cx).cast("double")), max(col(cx).cast("double")),
+          min(col(cy).cast("double")), max(col(cy).cast("double"))).head()
+        def scaled(c: String, lo: Double, hi: Double) =
+          if (hi <= lo) lit(0L)
+          else floor((col(c).cast("double") - lit(lo))
+            * lit(65535.0) / lit(hi - lo)).cast("long")
+        Some(call_function("graft_zorder2",
+          scaled(cx, b.getDouble(0), b.getDouble(1)),
+          scaled(cy, b.getDouble(2), b.getDouble(3))))
+      }
+    val declared = partitionColumns(dir)
+    if (declared.nonEmpty) {
+      // a DECLARED-partitioned table compacts WITHIN partitions — the
+      // rewritten files stay partition-pure and keep their `p:` markers
+      // (a layout pass that demoted files to unprunable would undo the
+      // table's own point). One distributed job: range-partition on
+      // (partition shadows, curve position), sort within, and let the
+      // partitionBy writer split boundary tasks into pure files.
+      // `nFiles` bounds the TASK count; equal partition tuples land in
+      // one task, so the simple path compacts to one file per value.
+      val arrange: (DataFrame, Seq[String]) => DataFrame = (d, sh) => {
+        val keys = sh.map(col) ++ zOpt.map(_ => col("__gz")).toSeq
+        val base = zOpt.fold(d)(z => d.withColumn("__gz", z))
+        val arranged = base
+          .repartitionByRange(math.max(nFiles, 1), keys: _*)
+          .sortWithinPartitions(keys: _*)
+        // the curve helper never reaches the files; dropping it is a
+        // projection, so the physical row order survives
+        zOpt.fold(arranged)(_ => arranged.drop("__gz"))
+      }
+      // constraint re-check skipped: bit-identical rows (nodc), same
+      // contract as the unpartitioned compaction path
+      val (staged, lines) = stagePartitioned(spark, src, dir, declared,
+        checkConstraints = false, arrange = arrange)
+      val statM = statMarkersFor(spark, dir, staged,
+        (clusterBy ++ statsColumns(dir)).distinct)
+      val full = staged.zip(lines).map { case (n, l) =>
+        (l +: statM.getOrElse(n, Seq.empty)).mkString("\t") }
       return claimVersion(dir, cur + 1,
-        live.map(f => s"remove\t$f") ++
-          stage(src.coalesce(nFiles), dir).map(f => s"add\t$f") :+ "nodc")
-    require(clusterBy.size == 2,
-      s"clusterBy takes exactly 2 columns (2-D Morton curve), got $clusterBy")
-    graft.functions.GraftFunctions.register(spark)
-    val Seq(cx, cy) = clusterBy
-    // global bounds: one aggregate pass, a 1-row metadata frame
-    val b = src.agg(min(col(cx).cast("double")), max(col(cx).cast("double")),
-      min(col(cy).cast("double")), max(col(cy).cast("double"))).head()
-    def scaled(c: String, lo: Double, hi: Double) =
-      if (hi <= lo) lit(0L)
-      else floor((col(c).cast("double") - lit(lo))
-        * lit(65535.0) / lit(hi - lo)).cast("long")
-    val z = call_function("graft_zorder2",
-      scaled(cx, b.getDouble(0), b.getDouble(1)),
-      scaled(cy, b.getDouble(2), b.getDouble(3)))
-    // curve-ordered layout; the helper column never reaches the files
-    val clustered = src.withColumn("__z", z)
-      .repartitionByRange(nFiles, col("__z"))
-      .sortWithinPartitions(col("__z"))
-      .drop("__z")
-    val staged = stage(clustered, dir)
-    claimVersion(dir, cur + 1,
-      live.map(f => s"remove\t$f") ++
-        statAddLines(spark, dir, staged, clusterBy) :+ "nodc")
+        live.map(f => s"remove\t$f") ++ full :+ "nodc")
+    }
+    zOpt match {
+      case None =>
+        claimVersion(dir, cur + 1,
+          live.map(f => s"remove\t$f") ++
+            statAddLines(spark, dir, stage(src.coalesce(nFiles), dir),
+              statsColumns(dir)) :+ "nodc")
+      case Some(z) =>
+        // curve-ordered layout; the helper column never reaches the files
+        val clustered = src.withColumn("__z", z)
+          .repartitionByRange(nFiles, col("__z"))
+          .sortWithinPartitions(col("__z"))
+          .drop("__z")
+        val staged = stage(clustered, dir)
+        claimVersion(dir, cur + 1,
+          live.map(f => s"remove\t$f") ++
+            statAddLines(spark, dir, staged,
+              (clusterBy ++ statsColumns(dir)).distinct) :+ "nodc")
+    }
   }
 
   /** SHALLOW CLONE: a new table whose version 0 REFERENCES the source's
@@ -2194,7 +2724,7 @@ object TxLog {
   def appendAll(txRoot: String,
       batches: Seq[(DataFrame, String)]): Seq[Int] =
     commitAllLines(txRoot, batches.map { case (df, dir) =>
-      dir -> (stageEnforced(df, dir).map(f => s"add\t$f") ++
+      dir -> (stageLinesEnforced(df.sparkSession, df, dir)._2 ++
         schemaLine(df, dir))
     })
 
@@ -2213,7 +2743,7 @@ object TxLog {
         if (cur < 0) Seq.empty
         else snapshot(dir, Some(cur)).map(f => s"remove\t$f")
       (dir,
-        removes ++ stageEnforced(df, dir).map(f => s"add\t$f") ++
+        removes ++ stageLinesEnforced(df.sparkSession, df, dir)._2 ++
           schemaLine(df, dir, exact = true),
         Some(cur))
     })

@@ -42,6 +42,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?((?:`[^`]+`|[\w.])+)\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
   private val Clone =
     """(?is)\s*CREATE\s+TABLE\s+((?:`[^`]+`|[\w.])+)\s+SHALLOW\s+CLONE\s+((?:`[^`]+`|[\w.])+)\s*;?\s*""".r
+  private val Convert =
+    """(?is)\s*CONVERT\s+TO\s+TXLOG\s+parquet\s*\.\s*`([^`]+)`\s*(?:STATS\s*\(([^)]*)\)\s*)?;?\s*""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     // INDEX form first: the table-OPTIMIZE pattern would otherwise
@@ -66,6 +68,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case Clone(dst, src) =>
       CloneTableCommand(delegate.parseMultipartIdentifier(dst),
         delegate.parseMultipartIdentifier(src))
+    case Convert(path, stats) =>
+      ConvertToTxLogCommand(path, Option(stats).toSeq
+        .flatMap(_.split(',')).map(_.trim.stripPrefix("`").stripSuffix("`"))
+        .filter(_.nonEmpty))
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -212,6 +218,26 @@ case class OptimizeIndexCommand(idxDir: String, embSrc: String,
     val (rebuilt, reassigned) = graft.ops.AnnIndex.optimize(
       emb, membership, outDir.getOrElse(idxDir), imbalance)
     Seq(Row(rebuilt, reassigned))
+  }
+}
+
+/** `CONVERT TO TXLOG parquet.`/path` [STATS (c, ...)]` →
+  * [[TxLog.convert]] (Delta's `CONVERT TO DELTA`): in-place adoption
+  * of a flat parquet directory — version 0 references the existing
+  * files verbatim, zero bytes moved; the optional STATS clause
+  * declares data-skipping columns (one distributed bounds pass, then
+  * persisted as `graft.stats.columns` so every later writer inherits
+  * them). After conversion the directory answers `txlog.`/path``
+  * reads, DML, time travel, and maintenance like any native table. */
+case class ConvertToTxLogCommand(path: String, statsCols: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("files_converted", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = TxLog.convert(spark, path, statsCols)
+    TxLogDml.refresh(spark, path)
+    Seq(Row(v.toLong, TxLog.snapshot(path).size.toLong))
   }
 }
 

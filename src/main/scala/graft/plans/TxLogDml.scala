@@ -5,7 +5,7 @@ import graft.sources.TxLogTable
 import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression, NamedExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertAction, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, Project, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertAction, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, OverwritePartitionsDynamic, Project, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -172,6 +172,19 @@ class TxLogDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
             m.notMatchedBySourceActions.map(TxLogDml.rowAction(attrs, _)))
         case None => m
       }
+    // `INSERT OVERWRITE` in partitionOverwriteMode=dynamic: Spark has
+    // NO V1 write fallback for OverwritePartitionsDynamic (the
+    // capability check demands a real DSv2 BATCH_WRITE), so the rule
+    // rewrites the resolved plan — query already aligned/cast to the
+    // table schema by ResolveOutputRelation — onto the engine's
+    // replaceDynamicPartitions, whose victim set is pure log metadata
+    // (staged partition markers ∩ recorded markers, zero data read).
+    case o @ OverwritePartitionsDynamic(t, query, _, _, _) if o.resolved =>
+      txlogTarget(t) match {
+        case Some((attrs, dir)) =>
+          TxLogDynamicOverwriteCommand(dir, attrs.map(_.name), query)
+        case None => o
+      }
     case p => p
     }
   }
@@ -280,6 +293,24 @@ case class TxLogUpdateCommand(dir: String, cond: Column,
     sets: Seq[(String, Column)]) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     TxLog.updateWhere(spark, dir, cond, sets)
+    TxLogDml.refresh(spark, dir)
+    Seq.empty
+  }
+}
+
+/** `INSERT OVERWRITE t SELECT ...` under partitionOverwriteMode=dynamic
+  * → [[TxLog.replaceDynamicPartitions]]: replace exactly the partitions
+  * present in the batch, one atomic commit. The aligned query's columns
+  * are renamed to the table's (position-aligned by the analyzer); the
+  * engine refuses non-partitioned tables and marker-less live files
+  * with actionable messages. */
+case class TxLogDynamicOverwriteCommand(dir: String, colNames: Seq[String],
+    query: LogicalPlan) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val df = GraftSqlBridge.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], query)
+      .toDF(colNames: _*)
+    TxLog.replaceDynamicPartitions(spark, df, dir)
     TxLogDml.refresh(spark, dir)
     Seq.empty
   }
@@ -505,7 +536,7 @@ object TxLogDml {
               .filter(!coalesce(deleteCond, lit(false)))
               .select(values.values.toSeq.map { case (a, c) =>
                 c.cast(a.dataType).as(a.name) }: _*)
-            TxLog.stageChecked(survivors, dir)
+            TxLog.stageCheckedLines(spark, survivors, dir)
           } finally { joined.unpersist(): Unit }
         }
       // 3. inserts: source rows unmatched anywhere in the target
@@ -539,11 +570,11 @@ object TxLogDml {
           val rows = unmatchedSrc.filter(keep)
             .select(values.values.toSeq.map { case (a, c) =>
               c.cast(a.dataType).as(a.name) }: _*)
-          TxLog.stageChecked(rows, dir)
+          TxLog.stageCheckedLines(spark, rows, dir)
         }
       // 4. one atomic commit
       if (affected.isEmpty && inserts.isEmpty) cur
-      else TxLog.commit(dir, cur, rewrites ++ inserts, affected)
+      else TxLog.commitLines(dir, cur, rewrites ++ inserts, affected)
     } finally { srcDf.unpersist(): Unit }
   }
 }

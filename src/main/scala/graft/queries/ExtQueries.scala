@@ -5075,5 +5075,328 @@ object ExtQueries {
              |  CAST(count(*) AS BIGINT) AS n_rows,
              |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
              |    AS revenue
-             |FROM orders WHERE o_orderkey % 11 <> 0""".stripMargin)))
+             |FROM orders WHERE o_orderkey % 11 <> 0""".stripMargin)),
+
+    // q441 — PARTITION-ALIGNED DML (the Delta fast paths): on a
+    // declaratively partitioned table, (1) `DELETE WHERE part = v` is
+    // METADATA-ONLY — the commit carries remove lines, zero data read,
+    // zero rewrite (at 100 TB, dropping a day is O(that day's file
+    // list)); (2) a partition-predicate UPDATE rewrites ONLY that
+    // partition's files (the affected-file probe scans candidates the
+    // log metadata cannot exclude, not the table); (3) OPTIMIZE
+    // compacts WITHIN partitions, so maintenance never demotes files
+    // to unprunable. All three proofs pin as booleans read from the
+    // log itself, hashed next to the surviving content.
+    QuerySpec("q441_partition_aligned_dml",
+      (s, dir) => {
+        import graft.core.TxLog
+        val base = Scratch.dir("lakecat", dir)
+        val t = s"$base/q441p"
+        TxLog.drop(t)
+        new java.io.File(base).mkdirs()
+        s.conf.set("spark.sql.catalog.graft_lake",
+          classOf[graft.sources.TxLogCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_lake.base", base)
+        s.sql("""CREATE TABLE graft_lake.q441p (
+                   l_orderkey BIGINT, l_returnflag STRING,
+                   l_extendedprice DOUBLE)
+                 USING txlog PARTITIONED BY (l_returnflag)""")
+        TxLog.append(Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_returnflag"),
+            col("l_extendedprice").cast("double")), t) // v1
+        def lines(v: Int): Seq[String] =
+          new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(t, "_log", f"$v%08d.txt")), "UTF-8")
+            .linesIterator.filterNot(_.startsWith("ts\t")).toSeq
+        // 1. partition-aligned DELETE: provably-covered files drop
+        // from the log with no read at all
+        s.sql("DELETE FROM graft_lake.q441p WHERE l_returnflag = 'R'")
+        val delLines = lines(TxLog.currentVersion(t))
+        val deleteMetadataOnly = delLines.nonEmpty &&
+          delLines.forall(_.startsWith("remove\t"))
+        // 2. partition-predicate UPDATE: victims confined to 'A' files
+        val pvBefore = TxLog.partitionValues(t)
+        s.sql("""UPDATE graft_lake.q441p SET l_extendedprice = 0.0
+                 WHERE l_returnflag = 'A'""")
+        val updScoped = {
+          val removed = lines(TxLog.currentVersion(t))
+            .filter(_.startsWith("remove\t")).map(_.split('\t')(1))
+          removed.nonEmpty && removed.forall(f =>
+            pvBefore.getOrElse(f, Map.empty)
+              .get("l_returnflag").contains("A"))
+        }
+        // 3. OPTIMIZE compacts within partitions — markers survive
+        s.sql("OPTIMIZE graft_lake.q441p")
+        val pvAfter = TxLog.partitionValues(t)
+        val optimizeMarked = TxLog.snapshot(t).forall(f =>
+          pvAfter.getOrElse(f, Map.empty).contains("l_returnflag"))
+        // the pruned scan still serves the surviving content exactly
+        s.sql("SELECT * FROM graft_lake.q441p")
+          .agg(count(lit(1)).as("n_rows"),
+            Stable.dsum(col("l_extendedprice")).as("revenue"))
+          .select(lit(deleteMetadataOnly).as("delete_metadata_only"),
+            lit(updScoped).as("update_scoped"),
+            lit(optimizeMarked).as("optimize_marked"),
+            col("n_rows"), col("revenue"))
+      },
+      Some("""SELECT TRUE AS delete_metadata_only, TRUE AS update_scoped,
+             |  TRUE AS optimize_marked,
+             |  CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(0 AS DECIMAL(18,2))
+             |    ELSE CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE)
+             |    AS revenue
+             |FROM lineitem WHERE l_returnflag <> 'R'""".stripMargin)),
+
+    // q442 — `INSERT OVERWRITE` both ways (Delta's replaceWhere +
+    // dynamic partition overwrite, through Spark's own V2 overwrite
+    // plans): (1) a STATIC `PARTITION (l_returnflag = 'N')` spec
+    // arrives as OverwriteByExpression → TxLog.replaceWhere — one
+    // atomic commit whose delete leg is partition-aligned (provably-
+    // covered files drop with zero read) and whose scope CONTRACT
+    // refuses any batch row outside the predicate (the idempotent
+    // partition-reload guarantee: a retry can never leak rows into
+    // partitions it does not own); (2) `partitionOverwriteMode=
+    // dynamic` with no spec arrives as OverwritePartitionsDynamic →
+    // TxLog.replaceDynamicPartitions — the victim set is staged
+    // markers ∩ recorded markers, pure log metadata. The hash pins
+    // both commits' victim scoping (read from the log itself) and the
+    // exact surviving content of all three partitions — on a 100 TB
+    // date-partitioned table this is THE daily-reload verb: replace
+    // one day by reading nothing but that day's file list.
+    QuerySpec("q442_insert_overwrite",
+      (s, dir) => {
+        import graft.core.TxLog
+        val base = Scratch.dir("lakecat", dir)
+        val t = s"$base/q442o"
+        TxLog.drop(t)
+        new java.io.File(base).mkdirs()
+        s.conf.set("spark.sql.catalog.graft_lake",
+          classOf[graft.sources.TxLogCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_lake.base", base)
+        s.sql("""CREATE TABLE graft_lake.q442o (
+                   l_orderkey BIGINT, l_returnflag STRING,
+                   l_extendedprice DOUBLE)
+                 USING txlog PARTITIONED BY (l_returnflag)""")
+        val li = Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_returnflag"),
+            col("l_extendedprice").cast("double"))
+        TxLog.append(li, t)
+        li.createOrReplaceTempView("q442_src")
+        def removedOnly(v: Int, part: String): Boolean = {
+          val pv = TxLog.partitionValues(t, Some(v - 1))
+          val removed = new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(t, "_log", f"$v%08d.txt")), "UTF-8")
+            .linesIterator.filter(_.startsWith("remove\t"))
+            .map(_.split('\t')(1)).toSeq
+          removed.nonEmpty && removed.forall(f =>
+            pv.getOrElse(f, Map.empty).get("l_returnflag").contains(part))
+        }
+        // 1. static scope: replace partition N with negated prices
+        // (negation is IEEE-exact — no cross-engine rounding hazard)
+        s.sql("""INSERT OVERWRITE graft_lake.q442o
+                   PARTITION (l_returnflag = 'N')
+                 SELECT l_orderkey, -l_extendedprice FROM q442_src
+                 WHERE l_returnflag = 'N'""")
+        val staticScoped = removedOnly(TxLog.currentVersion(t), "N")
+        // 2. dynamic mode: the batch holds only partition A — exactly
+        // A's files become victims, N and R stay untouched
+        val prevMode = s.conf.get(
+          "spark.sql.sources.partitionOverwriteMode", "static")
+        val dynScoped = try {
+          s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+          s.sql("""INSERT OVERWRITE graft_lake.q442o
+                   SELECT l_orderkey, l_returnflag,
+                     CAST(l_orderkey AS DOUBLE) FROM q442_src
+                   WHERE l_returnflag = 'A'""")
+          removedOnly(TxLog.currentVersion(t), "A")
+        } finally {
+          s.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+        }
+        s.sql("SELECT * FROM graft_lake.q442o")
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_rows"),
+            Stable.dsum(col("l_extendedprice")).as("revenue"))
+          .select(lit(staticScoped).as("static_scoped"),
+            lit(dynScoped).as("dynamic_scoped"),
+            col("l_returnflag"), col("n_rows"), col("revenue"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT TRUE AS static_scoped, TRUE AS dynamic_scoped,
+             |  l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(SUM(CASE
+             |    WHEN l_returnflag = 'N'
+             |      THEN -CAST(l_extendedprice AS DECIMAL(18,2))
+             |    WHEN l_returnflag = 'A'
+             |      THEN CAST(l_orderkey AS DECIMAL(18,2))
+             |    ELSE CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE)
+             |    AS revenue
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
+
+    // q443 — DECLARATIVE DATA-SKIPPING COLUMNS (Delta's
+    // `delta.dataSkippingStatsColumns`): `TBLPROPERTIES
+    // ('graft.stats.columns' = 'o_orderkey')` makes zone-map stats
+    // TABLE metadata every writer inherits — the CTAS batch, each SQL
+    // INSERT, and the survivor files a DELETE rewrites all record
+    // per-file min/max markers with no caller opting in, and catalog
+    // scans prune on them. The declarative twin of PARTITIONED BY
+    // (q435): partitioning gives the coarse cut, stats columns give
+    // the fine cut WITHIN whatever layout the data arrives in — at
+    // 100 TB a writer that forgets stats silently grows the unprunable
+    // set forever, so the table declares them once. The hash pins the
+    // every-file-marked invariant (read from the log), the pruning
+    // counter on a selective key-range scan, and the exact surviving
+    // content after the DELETE exercised the rewrite path.
+    QuerySpec("q443_declarative_stats",
+      (s, dir) => {
+        import graft.core.TxLog
+        val base = Scratch.dir("lakecat", dir)
+        val t = s"$base/q443s"
+        TxLog.drop(t)
+        new java.io.File(base).mkdirs()
+        s.conf.set("spark.sql.catalog.graft_lake",
+          classOf[graft.sources.TxLogCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_lake.base", base)
+        val orders = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice").cast("double"))
+        // deterministic split point both engines compute identically
+        val mid = orders.agg(max(col("o_orderkey"))).head().getLong(0) / 2
+        orders.filter(col("o_orderkey") <= mid)
+          .createOrReplaceTempView("q443_lo")
+        orders.filter(col("o_orderkey") > mid)
+          .createOrReplaceTempView("q443_hi")
+        // CTAS: stats columns take effect on the very first batch
+        s.sql("""CREATE TABLE graft_lake.q443s
+                 USING txlog
+                 TBLPROPERTIES ('graft.stats.columns' = 'o_orderkey')
+                 AS SELECT * FROM q443_lo""")
+        // a later INSERT inherits the declaration — disjoint key range,
+        // so its files are provably outside the probe below
+        s.sql("INSERT INTO graft_lake.q443s SELECT * FROM q443_hi")
+        // every live file carries o_orderkey bounds, no caller asked
+        val zm = TxLog.fileStatsAll(t)
+        val allMarked = TxLog.snapshot(t).forall(f =>
+          zm.getOrElse(f, Map.empty).contains("o_orderkey"))
+        // selective range scan: execution populates the counters
+        val loRows = s.sql(
+          s"SELECT count(*) FROM graft_lake.q443s WHERE o_orderkey <= $mid")
+          .head().getLong(0)
+        val pruned = graft.sources.TxLogSourceIO.lastKept.get() <
+          graft.sources.TxLogSourceIO.lastTotal.get()
+        // the DELETE's survivor rewrite must keep the table prunable
+        s.sql("DELETE FROM graft_lake.q443s WHERE o_orderkey % 10 = 7")
+        val zm2 = TxLog.fileStatsAll(t)
+        val rewriteMarked = TxLog.snapshot(t).forall(f =>
+          zm2.getOrElse(f, Map.empty).contains("o_orderkey"))
+        s.sql("SELECT * FROM graft_lake.q443s")
+          .agg(count(lit(1)).as("n_rows"),
+            Stable.dsum(col("o_totalprice")).as("revenue"))
+          .select(lit(allMarked).as("all_marked"),
+            lit(pruned).as("pruned"),
+            lit(rewriteMarked).as("rewrite_marked"),
+            lit(loRows).as("lo_rows"), col("n_rows"), col("revenue"))
+      },
+      Some("""SELECT TRUE AS all_marked, TRUE AS pruned,
+             |  TRUE AS rewrite_marked,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM orders
+             |   WHERE o_orderkey <=
+             |     (SELECT CAST(floor(max(o_orderkey) / 2.0) AS BIGINT)
+             |      FROM orders)) AS lo_rows,
+             |  CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS revenue
+             |FROM orders WHERE o_orderkey % 10 <> 7""".stripMargin)),
+
+    // q444 — `CONVERT TO TXLOG` (Delta's `CONVERT TO DELTA`): in-place
+    // adoption of an existing plain-parquet directory — version 0
+    // REFERENCES the directory's files verbatim (the hash pins file
+    // IDENTITY: post-convert snapshot == the original basenames), the
+    // STATS clause computes data-skipping bounds in the same pass, and
+    // from that commit on the directory is a full table: path DML
+    // (copy-on-write DELETE), time travel back to the pre-DML state,
+    // maintenance verbs. At 100 TB this is THE migration story — a
+    // petabyte parquet lake becomes transactional without moving a
+    // byte, which no read-rewrite import can offer.
+    QuerySpec("q444_convert_to_txlog",
+      (s, dir) => {
+        import graft.core.TxLog
+        val p = Scratch.dir("q444plain", dir)
+        TxLog.drop(p)
+        Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice").cast("double"))
+          .repartition(3)
+          .write.mode("overwrite").parquet(p)
+        val original = new java.io.File(p).listFiles()
+          .filter(f => f.getName.endsWith(".parquet")).map(_.getName).toSet
+        s.sql(s"CONVERT TO TXLOG parquet.`$p` STATS (o_orderkey)")
+        val inPlace = TxLog.snapshot(p).toSet == original
+        val zm = TxLog.fileStatsAll(p)
+        val statsMarked = TxLog.snapshot(p).forall(f =>
+          zm.getOrElse(f, Map.empty).contains("o_orderkey"))
+        val origRows = TxLog.read(s, p).count()
+        // the converted directory is a first-class DML target
+        s.sql(s"DELETE FROM txlog.`$p` WHERE o_orderkey % 7 = 0")
+        // and the PRE-DML state stays time-travelable (version 0)
+        val v0Rows = TxLog.read(s, p, Some(0)).count()
+        s.sql(s"SELECT * FROM txlog.`$p`")
+          .agg(count(lit(1)).as("n_rows"),
+            Stable.dsum(col("o_totalprice")).as("revenue"))
+          .select(lit(inPlace).as("in_place"),
+            lit(statsMarked).as("stats_marked"),
+            lit(v0Rows == origRows).as("time_travel_intact"),
+            col("n_rows"), col("revenue"))
+      },
+      Some("""SELECT TRUE AS in_place, TRUE AS stats_marked,
+             |  TRUE AS time_travel_intact,
+             |  CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS revenue
+             |FROM orders WHERE o_orderkey % 7 <> 0""".stripMargin)),
+
+    // q445 — `SHOW PARTITIONS` through Spark's own V2 command surface:
+    // TxLogTable implements SupportsPartitionManagement (read side), so
+    // ShowPartitionsExec lists the DISTINCT recorded partition tuples
+    // from log metadata alone — zero data IO at any table size (the
+    // operational companion to q435's pruning: an operator asks "what
+    // partitions exist?" before asking "how big is each?"). The hash
+    // pins exactness BOTH ways (SHOW's row set == the distinct values
+    // actually in the data, proven by inner-join + count equality), the
+    // partial-spec form (`PARTITION (l_returnflag = 'A')` → exactly one
+    // row), and each partition's row count.
+    QuerySpec("q445_show_partitions",
+      (s, dir) => {
+        import graft.core.TxLog
+        val base = Scratch.dir("lakecat", dir)
+        val t = s"$base/q445p"
+        TxLog.drop(t)
+        new java.io.File(base).mkdirs()
+        s.conf.set("spark.sql.catalog.graft_lake",
+          classOf[graft.sources.TxLogCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_lake.base", base)
+        s.sql("""CREATE TABLE graft_lake.q445p (
+                   l_orderkey BIGINT, l_returnflag STRING)
+                 USING txlog PARTITIONED BY (l_returnflag)""")
+        TxLog.append(Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_returnflag")), t)
+        val shown = s.sql("SHOW PARTITIONS graft_lake.q445p")
+        val specOk = s.sql("""SHOW PARTITIONS graft_lake.q445p
+                              PARTITION (l_returnflag = 'A')""")
+          .collect().map(_.getString(0)).toSeq == Seq("l_returnflag=A")
+        val counts = s.sql("SELECT * FROM graft_lake.q445p")
+          .groupBy("l_returnflag").agg(count(lit(1)).as("n_rows"))
+          .select(concat(lit("l_returnflag="), col("l_returnflag"))
+            .as("partition"), col("n_rows"))
+        val matched = shown.join(counts, Seq("partition"), "inner")
+        val exact = shown.count() == counts.count() &&
+          matched.count() == counts.count()
+        matched.select(lit(exact).as("exact"),
+            lit(specOk).as("spec_filtered"),
+            col("partition"), col("n_rows"))
+          .orderBy("partition")
+      },
+      Some("""SELECT TRUE AS exact, TRUE AS spec_filtered,
+             |  'l_returnflag=' || l_returnflag AS partition,
+             |  CAST(count(*) AS BIGINT) AS n_rows
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY partition""".stripMargin)))
 }

@@ -285,7 +285,8 @@ object TxLogCatalog {
   * because the log protocol already IS the group-replacement commit. */
 class TxLogTable(val dir: String, ident: String,
     val asOf: Option[Int] = None)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsPartitionManagement {
 
   override def name(): String = ident
 
@@ -310,6 +311,75 @@ class TxLogTable(val dir: String, ident: String,
       org.apache.spark.sql.connector.expressions.Expressions.identity(c))
       .toArray
 
+  // ---- SupportsPartitionManagement: the READ side only ----
+  // `SHOW PARTITIONS lake.t [PARTITION (c = v)]` lists the DISTINCT
+  // recorded partition tuples from log metadata alone — zero data IO
+  // at any table size. Mutating verbs refuse with the engine's actual
+  // verb: partitions materialize through writes and die through
+  // (metadata-only) partition-aligned DELETE, never through ALTER.
+
+  override def partitionSchema(): StructType =
+    StructType(TxLog.partitionColumns(dir).map(c => schema(c)))
+
+  override def createPartition(id: org.apache.spark.sql.catalyst.InternalRow,
+      props: java.util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "txlog partitions materialize through writes — INSERT the rows")
+
+  override def dropPartition(
+      id: org.apache.spark.sql.catalyst.InternalRow): Boolean =
+    throw new UnsupportedOperationException(
+      "use DELETE FROM ... WHERE <partition predicate>: a " +
+        "partition-aligned delete commits metadata-only")
+
+  override def replacePartitionMetadata(
+      id: org.apache.spark.sql.catalyst.InternalRow,
+      props: java.util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "txlog partitions carry no mutable metadata")
+
+  override def loadPartitionMetadata(
+      id: org.apache.spark.sql.catalyst.InternalRow)
+      : java.util.Map[String, String] =
+    java.util.Collections.emptyMap()
+
+  override def listPartitionIdentifiers(names: Array[String],
+      id: org.apache.spark.sql.catalyst.InternalRow)
+      : Array[org.apache.spark.sql.catalyst.InternalRow] = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    val partCols = TxLog.partitionColumns(dir)
+    require(names.forall(partCols.contains),
+      s"unknown partition columns: ${names.filterNot(partCols.contains)
+        .mkString(", ")}")
+    val ps = partitionSchema()
+    def castMarker(s: String, dt: org.apache.spark.sql.types.DataType): Any =
+      // the dynamic-partition sentinel is ambiguous (null or "") —
+      // rendered as null, matching Spark's own SHOW PARTITIONS default
+      if (s == "__HIVE_DEFAULT_PARTITION__") null
+      else org.apache.spark.sql.catalyst.expressions.Cast(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s),
+          org.apache.spark.sql.types.StringType), dt, Some("UTC"))
+        .eval(null)
+    // distinct FULLY-marked tuples; files written before the layout
+    // was declared carry no markers and belong to no listable
+    // partition (OPTIMIZE re-layouts them)
+    val tuples = TxLog.partitionValues(dir, asOf).values
+      .map(m => partCols.map(m.get))
+      .filter(_.forall(_.isDefined)).toSet
+    val rows = tuples.toSeq.map { t =>
+      InternalRow.fromSeq(t.zip(ps.fields).map {
+        case (v, f) => castMarker(v.get, f.dataType) })
+    }
+    rows.filter { r =>
+      names.zipWithIndex.forall { case (n, i) =>
+        val idx = partCols.indexOf(n)
+        val dt = ps.fields(idx).dataType
+        r.get(idx, dt) == id.get(i, dt)
+      }
+    }.toArray
+  }
+
   override def capabilities(): java.util.Set[TableCapability] =
     // V1_BATCH_WRITE (not BATCH_WRITE): the write IS a V1Write, and the
     // planner only takes the AppendDataExecV1 fallback for tables that
@@ -325,9 +395,14 @@ class TxLogTable(val dir: String, ident: String,
     // on this table — Spark's ResolveMergeIntoSchemaEvolution computes
     // the widen-only TableChanges and routes them through alterTable
     // (one metadata commit), the same machinery as ADD COLUMN (q427)
+    // OVERWRITE_BY_FILTER / OVERWRITE_DYNAMIC: INSERT OVERWRITE with a
+    // static PARTITION spec (or DataFrameWriterV2.overwrite(cond))
+    // routes to TxLog.replaceWhere's scoped atomic replace, and
+    // partitionOverwriteMode=dynamic to replaceDynamicPartitions
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.STREAMING_WRITE,
-      TableCapability.TRUNCATE,
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.OVERWRITE_DYNAMIC,
       TableCapability.AUTOMATIC_SCHEMA_EVOLUTION).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
@@ -336,15 +411,47 @@ class TxLogTable(val dir: String, ident: String,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(asOf.isEmpty,
       s"cannot write to the time-travel snapshot $ident — it is frozen")
-    new WriteBuilder with SupportsTruncate {
+    new WriteBuilder with org.apache.spark.sql.connector.write.SupportsOverwrite
+        with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
       private var overwrite = false
+      private var overwriteBy
+          : Option[Array[org.apache.spark.sql.sources.Filter]] = None
+      private var dynamic = false
       override def truncate(): WriteBuilder = { overwrite = true; this }
+      /** `INSERT OVERWRITE t [PARTITION (c = v)]` / DataFrameWriterV2
+        * `overwrite(cond)` — Spark hands the scope as source filters;
+        * an AlwaysTrue-only scope IS a truncate. */
+      override def overwrite(
+          filters: Array[org.apache.spark.sql.sources.Filter])
+          : WriteBuilder = {
+        if (filters.forall(
+            _.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue]))
+          overwrite = true
+        else overwriteBy = Some(filters)
+        this
+      }
+      /** `partitionOverwriteMode=dynamic`: replace exactly the
+        * partitions present in the incoming batch. */
+      override def overwriteDynamicPartitions(): WriteBuilder = {
+        dynamic = true; this
+      }
       override def build(): V1Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: DataFrame, ignored: Boolean): Unit =
-              if (overwrite) TxLog.replace(data, dir): Unit
-              else TxLog.append(data, dir): Unit
+              if (dynamic)
+                TxLog.replaceDynamicPartitions(data.sparkSession, data,
+                  dir): Unit
+              else overwriteBy match {
+                case Some(filters) =>
+                  val pred = filters.map(TxLogFilterColumns.toColumn)
+                    .reduceLeft(_ && _)
+                  TxLog.replaceWhere(data.sparkSession, dir, data,
+                    pred): Unit
+                case None =>
+                  if (overwrite) TxLog.replace(data, dir): Unit
+                  else TxLog.append(data, dir): Unit
+              }
           }
         /** `writeStream.toTable("lake.t")` — the engine routes here
           * when the table declares STREAMING_WRITE. The stream's
@@ -353,13 +460,45 @@ class TxLogTable(val dir: String, ident: String,
           * same role the DSv1 sink's txnAppId plays). */
         override def toStreaming: org.apache.spark.sql.connector.write
             .streaming.StreamingWrite = {
-          require(!overwrite,
+          require(!overwrite && overwriteBy.isEmpty && !dynamic,
             "txlog streaming writes are Append-only (Complete output " +
               "mode would need a replace-per-epoch protocol)")
           new TxLogStreamingWrite(dir, info.schema(), info.queryId())
         }
       }
     }
+  }
+}
+
+/** [[org.apache.spark.sql.sources.Filter]] → [[Column]] for the
+  * overwrite-scope handoff: Spark planned `INSERT OVERWRITE`'s static
+  * partition spec (or DataFrameWriterV2's condition) into source
+  * filters; the engine re-expresses them as the one predicate its
+  * replaceWhere machinery prunes, probes, and validates with.
+  * Unsupported shapes REFUSE loudly — a silently-widened overwrite
+  * scope would delete rows the statement never named. */
+private[sources] object TxLogFilterColumns {
+  import org.apache.spark.sql.functions.{col, lit, not}
+  import org.apache.spark.sql.sources._
+
+  def toColumn(f: Filter): org.apache.spark.sql.Column = f match {
+    case AlwaysTrue() => lit(true)
+    case AlwaysFalse() => lit(false)
+    case EqualTo(a, v) => col(a) === lit(v)
+    case EqualNullSafe(a, v) => col(a) <=> lit(v)
+    case In(a, vs) => col(a).isin(vs.toIndexedSeq: _*)
+    case GreaterThan(a, v) => col(a) > lit(v)
+    case GreaterThanOrEqual(a, v) => col(a) >= lit(v)
+    case LessThan(a, v) => col(a) < lit(v)
+    case LessThanOrEqual(a, v) => col(a) <= lit(v)
+    case IsNull(a) => col(a).isNull
+    case IsNotNull(a) => col(a).isNotNull
+    case And(l, r) => toColumn(l) && toColumn(r)
+    case Or(l, r) => toColumn(l) || toColumn(r)
+    case Not(x) => not(toColumn(x))
+    case other => throw new UnsupportedOperationException(
+      s"overwrite scope $other is not expressible as a txlog " +
+        "replaceWhere predicate")
   }
 }
 
@@ -394,8 +533,12 @@ class TxLogStagedTable(dir: String, ident: String,
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: DataFrame, ignored: Boolean): Unit = {
+              // stats columns come from the NEW definition's props —
+              // the CTAS/RTAS batch skips like any later write's
               val (n, lines) = TxLog.stageForDefinition(
-                data.sparkSession, data, dir, partCols)
+                data.sparkSession, data, dir, partCols,
+                props.get(TxLog.StatsColsProp).toSeq
+                  .flatMap(TxLog.decodeCols))
               names ++= n
               addLines ++= lines
             }

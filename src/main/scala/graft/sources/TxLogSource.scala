@@ -605,8 +605,13 @@ private[sources] class TxLogZoneMaps(dir: String, version: Int) {
           u.compareTo(UTF8String.fromString(hi)) <= 0
       }
     }
+    // a recorded __HIVE_DEFAULT_PARTITION__ is AMBIGUOUS (the dynamic
+    // partition writer renders BOTH null and "" as the sentinel) — it
+    // yields no information, so never prune on it: `WHERE c = ''` must
+    // still reach the rows that really hold empty strings
     val part = asPartStr(v).flatMap(s =>
-      pvals.getOrElse(file, Map.empty).get(col).map(_ == s))
+      pvals.getOrElse(file, Map.empty).get(col)
+        .filter(_ != "__HIVE_DEFAULT_PARTITION__").map(_ == s))
     zone.getOrElse(true) && strZone.getOrElse(true) && part.getOrElse(true)
   }
 

@@ -19,6 +19,23 @@ object GraftSqlBridge {
   def columnOf(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
     classic.ExpressionUtils.column(e)
 
+  /** The inverse: a [[Column]]'s catalyst [[Expression]]
+    * (`classic.ExpressionUtils.expression` is `private[sql]`) — what
+    * the DML writers' metadata pruning needs to walk a caller-supplied
+    * predicate against log-resident partition values / zone maps
+    * before any data is scanned. The expression may be UNRESOLVED
+    * (`col("x") === 5` yields an UnresolvedAttribute) — consumers
+    * match by name, conservatively. */
+  def exprOf(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c) match {
+      // the Column DSL yields a LAZY node wrapper; force the real
+      // conversion so consumers see catalyst children (still possibly
+      // unresolved — `===` arrives as UnresolvedFunction("="))
+      case classic.ColumnNodeExpression(node) =>
+        classic.ColumnNodeToExpressionConverter(node)
+      case e => e
+    }
+
   /** Drop the session catalog's cached data-source relations
     * (`sessionState.catalog` is `private[sql]`): a
     * `CREATE TABLE ... USING txlog` relation caches its FileIndex

@@ -689,4 +689,117 @@ class TxLogCatalogSpec extends AnyFunSuite {
       s"a 5-row catalog table must broadcast, plan:\n$plan")
     assert(joined.count() == 1000L)
   }
+
+  test("INSERT OVERWRITE PARTITION replaces exactly that partition: " +
+      "metadata-scoped delete leg, one atomic version, untouched " +
+      "partitions keep their very files") {
+    spark.sql("""CREATE TABLE lake.ow (id BIGINT, grp STRING, v DOUBLE)
+                 USING txlog PARTITIONED BY (grp)""")
+    val t = dirOf("ow")
+    TxLog.append(spark.range(60L).select(col("id"),
+      concat(lit("g"), (col("id") % 3).cast("string")).as("grp"),
+      (col("id") * 1.0).as("v")), t) // v1
+    val before = TxLog.partitionValues(t)
+    val keepers = before.collect {
+      case (f, m) if !m.get("grp").contains("g1") => f }.toSet
+    spark.sql("""INSERT OVERWRITE lake.ow PARTITION (grp = 'g1')
+                 SELECT id, v FROM (VALUES (900, 9.0), (901, 9.5))
+                 AS t(id, v)""")
+    assert(TxLog.currentVersion(t) == 2,
+      "the scoped overwrite must be ONE atomic version")
+    val after = TxLog.partitionValues(t)
+    assert(keepers.subsetOf(after.keySet),
+      "untouched partitions' files must survive BY IDENTITY")
+    assert(after.values.forall(_.contains("grp")),
+      "the replacement files must carry markers")
+    val g1 = spark.sql("SELECT id FROM lake.ow WHERE grp = 'g1'")
+      .collect().map(_.getLong(0)).toSet
+    assert(g1 == Set(900L, 901L), s"g1 content replaced, got $g1")
+    assert(spark.sql("SELECT count(*) FROM lake.ow").head().getLong(0)
+      == 42L, "2 new g1 rows + 40 untouched g0/g2 rows")
+    // the pre-overwrite state stays time-travelable
+    assert(TxLog.read(spark, t, Some(1)).count() == 60L)
+  }
+
+  test("replaceWhere refuses a batch holding rows OUTSIDE the " +
+      "overwritten scope, leaving no version and no orphans") {
+    spark.sql("""CREATE TABLE lake.ow2 (id BIGINT, grp STRING)
+                 USING txlog PARTITIONED BY (grp)""")
+    val t = dirOf("ow2")
+    TxLog.append(Seq((1L, "a"), (2L, "b")).toDF("id", "grp"), t)
+    val v = TxLog.currentVersion(t)
+    intercept[IllegalArgumentException] {
+      TxLog.replaceWhere(spark, t,
+        Seq((9L, "a"), (10L, "b")).toDF("id", "grp"),
+        col("grp") === "a")
+    }
+    assert(TxLog.currentVersion(t) == v, "a refused batch burns nothing")
+    assert(TxLog.read(spark, t).count() == 2L)
+  }
+
+  test("CONVERT TO TXLOG adopts a flat parquet dir IN PLACE: file " +
+      "identity preserved, stats persisted as declared, DML and time " +
+      "travel work; refuses partitioned trees and double conversion") {
+    val p = java.nio.file.Files.createTempDirectory("convert_").toString
+    TxLog.drop(p)
+    spark.range(50L).select(col("id"), (col("id") % 5).as("g"))
+      .repartition(2).write.mode("overwrite").parquet(p)
+    val orig = new java.io.File(p).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    spark.sql(s"CONVERT TO TXLOG parquet.`$p` STATS (id)")
+    assert(TxLog.snapshot(p).toSet == orig,
+      "conversion must reference the very files, not copies")
+    assert(TxLog.statsColumns(p) == Seq("id"))
+    assert(TxLog.fileStatsAll(p).values.forall(_.contains("id")))
+    // the STATS declaration persists: a LATER append marks its files
+    TxLog.append(spark.range(100L, 110L)
+      .select(col("id"), (col("id") % 5).as("g")), p)
+    val zm = TxLog.fileStatsAll(p)
+    assert(TxLog.snapshot(p).forall(f =>
+      zm.getOrElse(f, Map.empty).contains("id")))
+    spark.sql(s"DELETE FROM txlog.`$p` WHERE id >= 100")
+    assert(TxLog.read(spark, p).count() == 50L)
+    assert(TxLog.read(spark, p, Some(0)).count() == 50L,
+      "the pre-append state stays time-travelable")
+    intercept[IllegalArgumentException] { TxLog.convert(spark, p) }
+    // a Hive-partitioned tree refuses with the remedy
+    val p2 = java.nio.file.Files.createTempDirectory("convert2_").toString
+    spark.range(10L).select(col("id"), (col("id") % 2).as("g"))
+      .write.mode("overwrite").partitionBy("g").parquet(p2)
+    val e = intercept[IllegalArgumentException] { TxLog.convert(spark, p2) }
+    assert(e.getMessage.contains("flat"), e.getMessage)
+    TxLog.drop(p)
+  }
+
+  test("dynamic partition overwrite replaces exactly the incoming " +
+      "partitions; refuses when live files carry no markers") {
+    spark.sql("""CREATE TABLE lake.dyn (id BIGINT, grp STRING)
+                 USING txlog PARTITIONED BY (grp)""")
+    val t = dirOf("dyn")
+    TxLog.append(Seq((1L, "a"), (2L, "b"), (3L, "c"))
+      .toDF("id", "grp"), t)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      spark.sql("""INSERT OVERWRITE lake.dyn
+                   SELECT id, grp FROM (VALUES (10, 'a'), (11, 'b'))
+                   AS t(id, grp)""")
+    } finally {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    }
+    val got = spark.sql("SELECT id, grp FROM lake.dyn ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((3L, "c"), (10L, "a"), (11L, "b")),
+      s"only a and b replace, c survives: $got")
+    // undecidable case: a table with marker-less live files refuses
+    val t2 = dirOf("dyn2")
+    TxLog.create(Seq((1L, "a")).toDF("id", "grp"), t2) // v0: NO markers
+    TxLog.alterProperties(t2,
+      Map(TxLog.PartitionColsProp -> "grp"))
+    val e = intercept[IllegalArgumentException] {
+      TxLog.replaceDynamicPartitions(spark,
+        Seq((2L, "a")).toDF("id", "grp"), t2)
+    }
+    assert(e.getMessage.contains("OPTIMIZE"),
+      "the refusal must name the remedy")
+  }
 }

@@ -1123,4 +1123,257 @@ class TxLogSpec extends AnyFunSuite {
     assert(feed.filter(col("grp") === 1).count() == 0L)
     Seq(src, dst).foreach(TxLog.drop)
   }
+
+  /** A declared-partitioned table: id/amt over grp ∈ g0,g1,g2. */
+  private def freshPartitioned(n: Long = 90L): String = {
+    val t = java.nio.file.Files.createTempDirectory("txlog_dml_p_").toString
+    TxLog.drop(t)
+    TxLog.createEmpty(t,
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "id BIGINT, grp STRING, amt BIGINT"),
+      Map(TxLog.PartitionColsProp -> "grp"))
+    TxLog.append(spark.range(n).select(col("id"),
+      concat(lit("g"), (col("id") % 3).cast("string")).as("grp"),
+      (col("id") * 10).as("amt")), t)
+    t
+  }
+
+  private def logLines(t: String, v: Int): Seq[String] =
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(t, "_log", f"$v%08d.txt")), "UTF-8")
+      .linesIterator.toSeq
+
+  test("every rewriting writer keeps a declared-partitioned table's " +
+      "files marked: DELETE/UPDATE survivors, upsert, OPTIMIZE") {
+    val t = freshPartitioned()
+    def allMarked(): Unit = {
+      val pv = TxLog.partitionValues(t)
+      val bare = TxLog.snapshot(t).filterNot(f =>
+        pv.getOrElse(f, Map.empty).contains("grp"))
+      assert(bare.isEmpty, s"unmarked live files after a rewrite: $bare")
+    }
+    allMarked()
+    TxLog.deleteWhere(spark, t, col("id") % 7 === 0)   // non-partition pred
+    allMarked()
+    TxLog.updateWhere(spark, t, col("id") < 30,
+      Seq("amt" -> lit(0L)))
+    allMarked()
+    TxLog.upsert(spark, t,
+      Seq((1L, "g1", 999L), (900L, "g0", 1L)).toDF("id", "grp", "amt"),
+      "id")
+    allMarked()
+    TxLog.optimize(spark, t, nFiles = 4)
+    allMarked()
+    // content stayed correct through all four rewrites
+    val rows = TxLog.read(spark, t)
+    assert(rows.filter(col("id") % 7 === 0 && col("id") =!= 900L &&
+      col("id") =!= 1L).count() == 0L)
+    assert(rows.filter(col("id") === 1L).select("amt")
+      .as[Long].head() == 999L)
+    // and pruning still fires exactly: g1 files only + nothing bare
+    val (kept, total) = TxLog.prunePartitions(t, Map("grp" -> "g1"))
+    assert(kept.size < total, s"pruning lost: kept ${kept.size}/$total")
+    assert(TxLog.readWhere(spark, t, Map("grp" -> "g1")).count() ==
+      rows.filter(col("grp") === "g1").count())
+    TxLog.drop(t)
+  }
+
+  test("partition-aligned DELETE is metadata-only: the commit carries " +
+      "remove lines, no rewrite, no scan-born adds — both CoW and DV") {
+    val t = freshPartitioned()
+    val before = TxLog.read(spark, t).count()
+    val g1 = TxLog.read(spark, t).filter(col("grp") === "g1").count()
+    val v = TxLog.deleteWhere(spark, t, col("grp") === "g1")
+    val lines = logLines(t, v).filterNot(_.startsWith("ts\t"))
+    assert(lines.nonEmpty && lines.forall(_.startsWith("remove\t")),
+      s"expected a pure-remove commit, got $lines")
+    assert(TxLog.read(spark, t).count() == before - g1)
+    // the DV path takes the same shortcut (a full-file vector is just
+    // a slower remove)
+    val g2 = TxLog.read(spark, t).filter(col("grp") === "g2").count()
+    val v2 = TxLog.deleteWhereDV(spark, t, col("grp") === "g2")
+    val lines2 = logLines(t, v2).filterNot(_.startsWith("ts\t"))
+    assert(lines2.nonEmpty && lines2.forall(_.startsWith("remove\t")),
+      s"expected a pure-remove DV commit, got $lines2")
+    assert(TxLog.read(spark, t).count() == before - g1 - g2)
+    assert(TxLog.read(spark, t).filter(col("grp") =!= "g0").count() == 0L)
+    // time travel still reads the pre-delete state
+    assert(TxLog.read(spark, t, Some(v - 1)).count() == before)
+    TxLog.drop(t)
+  }
+
+  test("a partition-predicate UPDATE touches only that partition's " +
+      "files, and rewriting a partition column re-homes the rows") {
+    val t = freshPartitioned()
+    val pvBefore = TxLog.partitionValues(t)
+    val v = TxLog.updateWhere(spark, t, col("grp") === "g1",
+      Seq("amt" -> lit(-1L)))
+    val removed = logLines(t, v).filter(_.startsWith("remove\t"))
+      .map(_.split('\t')(1))
+    assert(removed.nonEmpty &&
+      removed.forall(f => pvBefore(f).get("grp").contains("g1")),
+      s"UPDATE rewrote files outside its partition: $removed")
+    assert(TxLog.read(spark, t)
+      .filter(col("grp") === "g1" && col("amt") =!= -1L).count() == 0L)
+    // partition-column UPDATE: rows land in their new partition's files
+    TxLog.updateWhere(spark, t, col("grp") === "g1",
+      Seq("grp" -> lit("g9")))
+    assert(TxLog.readWhere(spark, t, Map("grp" -> "g9"))
+      .count() == 30L)
+    val (kept, _) = TxLog.prunePartitions(t, Map("grp" -> "g1"))
+    assert(kept.isEmpty, s"stale g1 markers survived the re-home: $kept")
+    TxLog.drop(t)
+  }
+
+  test("OPTIMIZE on a declared-partitioned table compacts WITHIN " +
+      "partitions; ZORDER keeps markers AND per-file cluster bounds") {
+    val t = freshPartitioned(300L)
+    TxLog.append(spark.range(300L, 600L).select(col("id"),
+      concat(lit("g"), (col("id") % 3).cast("string")).as("grp"),
+      (col("id") * 10).as("amt")), t)
+    val before = TxLog.read(spark, t).count()
+    TxLog.optimize(spark, t, nFiles = 3)
+    val pv = TxLog.partitionValues(t)
+    assert(TxLog.snapshot(t).forall(f =>
+      pv.getOrElse(f, Map.empty).contains("grp")),
+      "compaction demoted files to unprunable")
+    assert(TxLog.read(spark, t).count() == before)
+    // zorder on a partitioned table: one job, add lines carry BOTH
+    // marker kinds — partition value + cluster-column zone bounds
+    TxLog.optimize(spark, t, nFiles = 6, clusterBy = Seq("id", "amt"))
+    val pv2 = TxLog.partitionValues(t)
+    val zm = TxLog.fileStatsAll(t)
+    val live = TxLog.snapshot(t)
+    assert(live.forall(f => pv2.getOrElse(f, Map.empty).contains("grp")),
+      "zorder dropped partition markers")
+    assert(live.forall(f => zm.getOrElse(f, Map.empty).contains("id")),
+      "zorder dropped cluster bounds")
+    assert(TxLog.read(spark, t).count() == before)
+    // change feed skips both layout-only versions (nodc)
+    assert(TxLog.changeFeed(spark, t,
+      TxLog.currentVersion(t) - 1, TxLog.currentVersion(t)).count() == 0L)
+    TxLog.drop(t)
+  }
+
+  test("the null/empty-string partition sentinel never prunes and " +
+      "never proves: WHERE c = '' still finds real empty strings") {
+    val t = java.nio.file.Files.createTempDirectory("txlog_sent_").toString
+    TxLog.drop(t)
+    TxLog.createEmpty(t,
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "id BIGINT, k STRING"),
+      Map(TxLog.PartitionColsProp -> "k"))
+    // one ambiguous partition: nulls AND empty strings share the
+    // __HIVE_DEFAULT_PARTITION__ rendering in the dynamic writer
+    TxLog.append(Seq((1L, ""), (2L, null), (3L, "x")).toDF("id", "k"), t)
+    assert(TxLog.readWhere(spark, t, Map("k" -> ""))
+      .filter(col("k") === "").count() == 1L,
+      "empty-string rows were pruned away with the null sentinel")
+    // a DELETE on k='' must NOT wholesale-drop the sentinel file (it
+    // would take the null row with it) — the rewrite keeps id=2
+    TxLog.deleteWhere(spark, t, col("k") === "")
+    val left = TxLog.read(spark, t).select("id").as[Long].collect().toSet
+    assert(left == Set(2L, 3L), s"sentinel file mishandled: $left")
+    TxLog.drop(t)
+  }
+
+  test("declared stats columns (graft.stats.columns): every writer " +
+      "records zone-map bounds — append, DML survivors, upsert, " +
+      "OPTIMIZE — and scans prune on them") {
+    val t = java.nio.file.Files.createTempDirectory("txlog_stats_").toString
+    TxLog.drop(t)
+    TxLog.createEmpty(t,
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "id BIGINT, grp STRING, amt BIGINT"),
+      Map(TxLog.StatsColsProp -> "id"))
+    def allMarked(tag: String): Unit = {
+      val zm = TxLog.fileStatsAll(t)
+      val bare = TxLog.snapshot(t).filterNot(f =>
+        zm.getOrElse(f, Map.empty).contains("id"))
+      assert(bare.isEmpty, s"$tag left statless live files: $bare")
+    }
+    TxLog.append(spark.range(100L).select(col("id"),
+      lit("a").as("grp"), (col("id") * 2).as("amt")), t)
+    allMarked("append")
+    TxLog.deleteWhere(spark, t, col("id") % 3 === 0)
+    allMarked("deleteWhere survivors")
+    TxLog.updateWhere(spark, t, col("id") === 1L, Seq("amt" -> lit(-1L)))
+    allMarked("updateWhere rewrite")
+    TxLog.upsert(spark, t,
+      Seq((1L, "b", 5L), (500L, "c", 6L)).toDF("id", "grp", "amt"), "id")
+    allMarked("upsert")
+    TxLog.optimize(spark, t, nFiles = 2)
+    allMarked("optimize")
+    // the bounds are REAL: a disjoint-range append prunes
+    TxLog.append(spark.range(1000L, 1100L).select(col("id"),
+      lit("z").as("grp"), col("id").as("amt")), t)
+    val (kept, total) = TxLog.pruneSnapshot(t, "id", 1000L, 1100L)
+    assert(kept.size < total, s"stats did not prune: ${kept.size}/$total")
+    TxLog.drop(t)
+  }
+
+  test("declared stats columns degrade conservatively: a batch whose " +
+      "schema lacks the column stays writable, its files statless") {
+    val t = java.nio.file.Files.createTempDirectory("txlog_stats2_").toString
+    TxLog.drop(t)
+    TxLog.createEmpty(t,
+      org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, v BIGINT"),
+      Map(TxLog.StatsColsProp -> "ghost"))
+    TxLog.append(Seq((1L, 2L)).toDF("id", "v"), t)
+    assert(TxLog.read(spark, t).count() == 1L)
+    assert(TxLog.fileStatsAll(t).values.forall(!_.contains("ghost")))
+    TxLog.drop(t)
+  }
+
+  test("the streaming epoch commit inherits declared stats: " +
+      "commitStagedIdempotent marks the epoch's files") {
+    val t = java.nio.file.Files.createTempDirectory("txlog_stats3_").toString
+    TxLog.drop(t)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, v BIGINT")
+    TxLog.createEmpty(t, schema, Map(TxLog.StatsColsProp -> "id"))
+    // stage one file the way an executor task would (bytes in the
+    // table dir, invisible until the commit references it)
+    val staged = TxLog.stage(
+      spark.range(7L).select(col("id"), (col("id") * 3).as("v")), t)
+    val v = TxLog.commitStagedIdempotent(spark, t, staged, schema,
+      "stats-spec", 1L)
+    assert(v >= 0)
+    val zm = TxLog.fileStatsAll(t)
+    assert(staged.forall(f => zm.getOrElse(f, Map.empty).contains("id")),
+      s"epoch files statless: $zm")
+    TxLog.drop(t)
+  }
+
+  test("stat-bearing and idempotent appends inherit the declared " +
+      "layout: p: markers and zone triples share one add line") {
+    val t = freshPartitioned()
+    val v = TxLog.appendWithStats(spark,
+      spark.range(900L, 960L).select(col("id"),
+        concat(lit("g"), (col("id") % 3).cast("string")).as("grp"),
+        (col("id") * 10).as("amt")), t, Seq("id"))
+    val adds = logLines(t, v).filter(_.startsWith("add\t"))
+      .map(_.split('\t')(1))
+    val pv = TxLog.partitionValues(t)
+    val zm = TxLog.fileStatsAll(t)
+    assert(adds.nonEmpty && adds.forall(f =>
+      pv.getOrElse(f, Map.empty).contains("grp") &&
+        zm.getOrElse(f, Map.empty).contains("id")),
+      "appendWithStats lost markers or bounds on a partitioned table")
+    val v2 = TxLog.appendIdempotent(
+      spark.range(960L, 990L).select(col("id"),
+        concat(lit("g"), (col("id") % 3).cast("string")).as("grp"),
+        (col("id") * 10).as("amt")), t, "spec-app", 42L)
+    val adds2 = logLines(t, v2).filter(_.startsWith("add\t"))
+      .map(_.split('\t')(1))
+    val pv2 = TxLog.partitionValues(t)
+    assert(adds2.nonEmpty && adds2.forall(f =>
+      pv2.getOrElse(f, Map.empty).contains("grp")),
+      "appendIdempotent lost markers on a partitioned table")
+    assert(TxLog.appendIdempotent(
+      spark.range(5L).select(col("id"), lit("g0").as("grp"),
+        lit(0L).as("amt")), t, "spec-app", 42L) == -1,
+      "replay guard must still hold on the partitioned path")
+    TxLog.drop(t)
+  }
 }
