@@ -142,17 +142,36 @@ class TxLogDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
       }
     case u @ UpdateTable(t, assignments, cond) if u.resolved =>
       txlogTarget(t) match {
-        case Some((_, dir)) =>
-          val sets = assignments.map {
-            case Assignment(k: AttributeReference, v) =>
-              k.name -> GraftSqlBridge.columnOf(byName(v))
-            case other => throw new UnsupportedOperationException(
-              s"UPDATE on a txlog table supports top-level column " +
-                s"assignments only, got $other")
+        case Some((attrs, dir)) =>
+          // CORRELATED condition (EXISTS/IN with outer refs): route to
+          // the join-shaped executor, same seam as correlated DELETE —
+          // Spark decorrelates the Filter into the join it really is
+          // over the stable (file, position) identity, and only the
+          // matched files rewrite. SET values must stay subquery-free
+          // (a subquery-valued SET is MERGE's job).
+          if (cond.exists(TxLogDml.hasCorrelatedSubquery)) {
+            import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+            val sets = assignments.map { a =>
+              val (k, v) = TxLogDml.assignment(attrs, a)
+              require(!v.exists(_.isInstanceOf[SubqueryExpression]),
+                "UPDATE SET expressions with subqueries belong in " +
+                  s"MERGE INTO, got: ${v.sql}")
+              k -> new GraftExprHolder(v)
+            }
+            TxLogUpdateJoinCommand(dir, attrs,
+              new GraftExprHolder(cond.get), sets)
+          } else {
+            val sets = assignments.map {
+              case Assignment(k: AttributeReference, v) =>
+                k.name -> GraftSqlBridge.columnOf(byName(v))
+              case other => throw new UnsupportedOperationException(
+                s"UPDATE on a txlog table supports top-level column " +
+                  s"assignments only, got $other")
+            }
+            TxLogUpdateCommand(dir,
+              cond.map(c => GraftSqlBridge.columnOf(byName(c)))
+                .getOrElse(lit(true)), sets)
           }
-          TxLogUpdateCommand(dir,
-            cond.map(c => GraftSqlBridge.columnOf(byName(c)))
-              .getOrElse(lit(true)), sets)
         case None => u
       }
     // `!needSchemaEvolution`: MERGE WITH SCHEMA EVOLUTION first goes to
@@ -288,6 +307,24 @@ case class TxLogDeleteJoinCommand(dir: String, targetAttrs: Seq[Attribute],
   }
 }
 
+/** `UPDATE t SET ... WHERE <condition with CORRELATED subqueries>` →
+  * [[TxLogDml.updateJoin]]: the condition evaluates as a Filter over
+  * the live table remapped onto the statement's attribute ids (Spark
+  * decorrelates it into the real join), and ONLY the files holding a
+  * match rewrite copy-on-write — matched rows get the SETs, the rest
+  * of each file carries over bit-identical. Both holders hide resolved
+  * expressions from CheckAnalysis (see [[GraftExprHolder]]). */
+case class TxLogUpdateJoinCommand(dir: String, targetAttrs: Seq[Attribute],
+    cond: GraftExprHolder, sets: Seq[(Attribute, GraftExprHolder)])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    TxLogDml.updateJoin(spark, dir, targetAttrs, cond.e,
+      sets.map { case (a, h) => a -> h.e })
+    TxLogDml.refresh(spark, dir)
+    Seq.empty
+  }
+}
+
 /** `UPDATE t SET c = e, ... WHERE cond` → [[TxLog.updateWhere]]. */
 case class TxLogUpdateCommand(dir: String, cond: Column,
     sets: Seq[(String, Column)]) extends LeafRunnableCommand {
@@ -376,6 +413,57 @@ object TxLogDml {
     TxLog.deleteHitsDV(spark, dir, hits)
   }
 
+  /** Correlated-condition UPDATE (VERDICT r12 #4's missing half): the
+    * full condition — outer references and all — evaluates ONCE as a
+    * Filter over the (file, position)-keyed live table, Spark
+    * decorrelates it, and the hit set drives a copy-on-write rewrite
+    * confined to the files that actually hold matches. Two-phase like
+    * Delta's UpdateCommand: find (distributed probe, only the FILE
+    * LIST reaches the driver), then rewrite (matched rows get the
+    * SETs, every other row of an affected file carries over). */
+  def updateJoin(spark: SparkSession, dir: String,
+      tgtAttrs: Seq[Attribute], cond: Expression,
+      sets: Seq[(Attribute, Expression)]): Int = {
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    import org.apache.spark.sql.functions.when
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val cur = TxLog.currentVersion(dir)
+    val live = TxLog.snapshot(dir)
+    if (live.isEmpty) return cur
+    def keyedAligned(files: Seq[String]): DataFrame =
+      alignedTarget(spark, TxLog.readLiveFilesKeyed(spark, dir, files),
+        tgtAttrs, keep = Seq(
+          "__f" -> AttributeReference("__f",
+            org.apache.spark.sql.types.StringType)(),
+          "__p" -> AttributeReference("__p",
+            org.apache.spark.sql.types.LongType)()))
+    val hits = GraftSqlBridge.ofRows(cs,
+        Filter(cond, keyedAligned(live).queryExecution.analyzed))
+      .select(col("__f").as("__hf"), col("__p").as("__hp"))
+      .persist()
+    try {
+      // file-grain collect: the affected-file LIST, never rows
+      val affected = hits.select("__hf").distinct().collect()
+        .map(_.getString(0)).toSeq
+      if (affected.isEmpty) return cur
+      val marked = keyedAligned(affected).join(hits,
+        col("__f") === col("__hf") && col("__p") === col("__hp"),
+        "left_outer")
+      val setMap = sets.map { case (a, e) => a.exprId -> e }.toMap
+      val rewritten = marked.select(tgtAttrs.map { a =>
+        val orig = GraftSqlBridge.columnOf(a)
+        setMap.get(a.exprId) match {
+          case Some(e) => when(col("__hf").isNotNull,
+              GraftSqlBridge.columnOf(e).cast(a.dataType))
+            .otherwise(orig).as(a.name)
+          case None => orig.as(a.name)
+        }
+      }: _*)
+      TxLog.commitLines(dir, cur,
+        TxLog.stageCheckedLines(spark, rewritten, dir), affected)
+    } finally { hits.unpersist(): Unit }
+  }
+
   /** Invalidate session-catalog relation caches for `dir` after a
     * mutation: a `CREATE TABLE ... USING txlog` relation is cached
     * with its FileIndex SNAPSHOT frozen at resolution, so without
@@ -414,7 +502,7 @@ object TxLogDml {
       s"unsupported WHEN NOT MATCHED action on a txlog table: $other")
   }
 
-  private def assignment(tgt: Seq[Attribute],
+  private[plans] def assignment(tgt: Seq[Attribute],
       a: Assignment): (Attribute, Expression) = a.key match {
     case k: AttributeReference =>
       tgt.find(_.exprId == k.exprId).getOrElse(

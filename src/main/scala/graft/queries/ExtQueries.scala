@@ -5398,5 +5398,67 @@ object ExtQueries {
              |  'l_returnflag=' || l_returnflag AS partition,
              |  CAST(count(*) AS BIGINT) AS n_rows
              |FROM lineitem GROUP BY l_returnflag
-             |ORDER BY partition""".stripMargin)))
+             |ORDER BY partition""".stripMargin)),
+
+    // q446 — CORRELATED-subquery UPDATE (the half VERDICT r12 #4 left
+    // refused): `UPDATE ... WHERE EXISTS (SELECT ... WHERE outer.k =
+    // inner.k)` routes to the join executor — the condition evaluates
+    // once over the (file, position)-keyed table, Spark decorrelates
+    // it into the semi-join it really is, and ONLY files holding a
+    // match rewrite copy-on-write. Proven by file IDENTITY: a sentinel
+    // file whose rows cannot match (negative keys) survives the UPDATE
+    // as the very same file, pinned in the hash next to the updated
+    // content. Delta ships the same shape via its UpdateCommand
+    // find-then-rewrite pass.
+    QuerySpec("q446_correlated_update",
+      (s, dir) => {
+        import graft.core.TxLog
+        import s.implicits._
+        val base = Scratch.dir("lakecat", dir)
+        val t = s"$base/q446c"
+        TxLog.drop(t)
+        new java.io.File(base).mkdirs()
+        s.conf.set("spark.sql.catalog.graft_lake",
+          classOf[graft.sources.TxLogCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_lake.base", base)
+        s.sql("""CREATE TABLE graft_lake.q446c (
+                   c_custkey BIGINT, c_acctbal DOUBLE) USING txlog""")
+        TxLog.append(Tables.load(s, dir, "customer")
+          .select(col("c_custkey"), col("c_acctbal").cast("double")), t)
+        val afterMain = TxLog.snapshot(t).toSet
+        // the sentinel file: negative keys no order can reference
+        TxLog.append((-5L to -1L).map(k => (k, 10.0))
+          .toDF("c_custkey", "c_acctbal"), t)
+        val sentinel = TxLog.snapshot(t).toSet -- afterMain
+        Tables.load(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderstatus"))
+          .createOrReplaceTempView("q446_orders")
+        s.sql("""UPDATE graft_lake.q446c AS c SET c_acctbal = 0.0
+                 WHERE EXISTS (SELECT 1 FROM q446_orders o
+                   WHERE o.o_custkey = c.c_custkey
+                     AND o.o_orderstatus = 'O')""")
+        val untouched = sentinel.subsetOf(TxLog.snapshot(t).toSet)
+        s.sql("SELECT * FROM graft_lake.q446c")
+          .agg(count(lit(1)).as("n_rows"),
+            count(when(col("c_acctbal") === 0.0, 1)).as("n_zero"),
+            Stable.dsum(col("c_acctbal")).as("total_bal"))
+          .select(lit(untouched).as("untouched_preserved"),
+            col("n_rows"), col("n_zero"), col("total_bal"))
+      },
+      Some("""WITH base AS (
+             |  SELECT CASE WHEN c_custkey IN
+             |      (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+             |    THEN CAST(0 AS DECIMAL(18,2))
+             |    ELSE CAST(c_acctbal AS DECIMAL(18,2)) END AS bal
+             |  FROM customer
+             |  UNION ALL
+             |  SELECT CAST(10 AS DECIMAL(18,2)) AS bal
+             |  FROM range(5)
+             |)
+             |SELECT TRUE AS untouched_preserved,
+             |  CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(count(CASE WHEN bal = 0 THEN 1 END) AS BIGINT)
+             |    AS n_zero,
+             |  CAST(SUM(bal) AS DOUBLE) AS total_bal
+             |FROM base""".stripMargin)))
 }

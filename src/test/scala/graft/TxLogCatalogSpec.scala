@@ -427,7 +427,7 @@ class TxLogCatalogSpec extends AnyFunSuite {
 
   test("correlated-subquery DELETE: EXISTS/IN with outer refs plan as " +
       "joins over the stable row identity and commit as deletion " +
-      "vectors; NULL/FALSE rows survive; UPDATE still refuses") {
+      "vectors; NULL/FALSE rows survive") {
     TxLog.create(Seq((1L, 10L, 5.0), (2L, 20L, 15.0), (3L, 30L, 25.0),
       (4L, 40L, 35.0), (5L, 10L, 45.0)).toDF("id", "k", "v"),
       dirOf("cdel"))
@@ -451,13 +451,48 @@ class TxLogCatalogSpec extends AnyFunSuite {
                    SELECT 1 FROM cdel_ref r WHERE r.rk = t.k)""")
     assert(spark.sql("SELECT id FROM lake.cdel ORDER BY id").collect()
       .map(_.getLong(0)).toSeq == Seq(3L, 5L))
-    // correlated UPDATE keeps the clear refusal (belongs in MERGE)
-    val e = intercept[Exception] {
-      spark.sql("""UPDATE lake.cdel t SET v = 0 WHERE EXISTS (
-                     SELECT 1 FROM cdel_ref r WHERE r.rk = t.k)""")
-    }
-    assert(e.getMessage.contains("MERGE"))
     spark.sql("DROP TABLE lake.cdel")
+  }
+
+  test("correlated-subquery UPDATE rewrites ONLY files holding a " +
+      "match (file identity proves the scope); SET-subqueries refuse") {
+    TxLog.create(Seq((1L, 10L, 5.0), (2L, 20L, 15.0), (3L, 30L, 25.0))
+      .toDF("id", "k", "v"), dirOf("cupd"))
+    // a file whose rows cannot match — must survive BY IDENTITY
+    TxLog.append(Seq((9L, 999L, 90.0)).toDF("id", "k", "v"),
+      dirOf("cupd"))
+    val sentinel = TxLog.snapshot(dirOf("cupd")).toSet
+      .filter { f =>
+        spark.read.parquet(s"${dirOf("cupd")}/$f")
+          .filter(col("k") === 999L).count() > 0 }
+    Seq((10L, true), (30L, false)).toDF("rk", "bad")
+      .createOrReplaceTempView("cupd_ref")
+    val vBefore = TxLog.currentVersion(dirOf("cupd"))
+    spark.sql("""UPDATE lake.cupd t SET v = -1.0 WHERE EXISTS (
+                   SELECT 1 FROM cupd_ref r WHERE r.rk = t.k AND r.bad)""")
+    // only id 1 matches (k=10, bad=true); id 3's ref row has bad=false
+    assert(spark.sql("SELECT id, v FROM lake.cupd ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      Seq((1L, -1.0), (2L, 15.0), (3L, 25.0), (9L, 90.0)))
+    assert(TxLog.currentVersion(dirOf("cupd")) == vBefore + 1,
+      "one atomic version")
+    assert(sentinel.subsetOf(TxLog.snapshot(dirOf("cupd")).toSet),
+      "the unmatched file must survive as the very same file")
+    // NOT EXISTS through the same executor
+    spark.sql("""UPDATE lake.cupd t SET v = 0.0 WHERE NOT EXISTS (
+                   SELECT 1 FROM cupd_ref r WHERE r.rk = t.k)""")
+    assert(spark.sql("SELECT id FROM lake.cupd WHERE v = 0.0 ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L, 9L))
+    // a subquery-valued SET stays MERGE's job
+    val e = intercept[Exception] {
+      spark.sql("""UPDATE lake.cupd t
+                   SET v = (SELECT max(rk) FROM cupd_ref r
+                            WHERE r.rk = t.k)
+                   WHERE EXISTS (SELECT 1 FROM cupd_ref r
+                                 WHERE r.rk = t.k)""")
+    }
+    assert(e.getMessage.contains("MERGE"), e.getMessage)
+    spark.sql("DROP TABLE lake.cupd")
   }
 
   test("MERGE WITH SCHEMA EVOLUTION: a wider source evolves the " +
