@@ -2224,7 +2224,12 @@ object TxLog {
     // METADATA clones too: recorded schema (a clone of an EMPTY or
     // schema-evolved table must stay self-describing), CHECK
     // constraints, and TBLPROPERTIES — Delta's clone semantics.
-    val lines = srcLive.map(f => s"add\t${tr(f)}") ++
+    // marker fields (p: partition values, zone triples, s: string
+    // bounds) carry VERBATIM — the clone must prune exactly like the
+    // source, and a clone whose files lost their markers would refuse
+    // dynamic partition overwrite and scan everything forever
+    val lines = srcSt.live.toSeq.sortBy(_._1).map { case (f, l) =>
+      (Seq("add", tr(f)) ++ l.split('\t').drop(2)).mkString("\t") } ++
       srcDvs.toSeq.filter { case (f, _) => srcLive.contains(f) }
         .sortBy(_._1).flatMap { case (f, (inline, sidecars)) =>
           (if (inline.nonEmpty)
@@ -2243,6 +2248,95 @@ object TxLog {
         throw new java.util.ConcurrentModificationException(
           s"$dstDir already has a version 0")
     }
+  }
+
+  /** DEEP CLONE: a new independent table holding COPIES of the
+    * source's live data files and DV sidecars — one file-copy pass
+    * plus one version-0 commit carrying the source's add-line marker
+    * fields (partition values, zone maps) verbatim, its outstanding
+    * deletion vectors, CHECK constraints, TBLPROPERTIES, and schema.
+    * Unlike [[shallowClone]], vacuuming the source can never break a
+    * deep clone — the price is the copy, the payoff is a clone with
+    * an independent retention lifecycle (Delta's DEEP CLONE
+    * semantics). Sources that are themselves shallow clones flatten:
+    * `../src/part-x.parquet` references copy in as local basenames. */
+  def deepClone(srcDir: String, dstDir: String): Int = {
+    val srcSt = state(srcDir, None)
+    require(!srcSt.pendingXref,
+      s"cannot clone $srcDir: a multi-table transaction in range has " +
+        "not been decided yet (publish or TxLog.abortTx it first)")
+    val live = srcSt.live.toSeq.sortBy(_._1)
+    def base(f: String) = new File(f).getName
+    live.groupBy(e => base(e._1)).find(_._2.size > 1).foreach { case (n, _) =>
+      throw new IllegalStateException(
+        s"deep clone needs unique live-file basenames, duplicated: $n") }
+    val sidecars = srcSt.dv.toSeq
+      .filter { case (f, _) => srcSt.live.contains(f) }
+      .flatMap(_._2._2).distinct
+    sidecars.groupBy(base).find(_._2.size > 1).foreach { case (n, _) =>
+      throw new IllegalStateException(
+        s"deep clone needs unique DV-sidecar basenames, duplicated: $n") }
+    new File(dstDir).mkdirs()
+    // copies land BEFORE the claim: until version 0 exists the
+    // destination is just files, and a crash leaves reclaimable litter
+    live.foreach { case (f, _) =>
+      Files.copy(Paths.get(srcDir, f).normalize(),
+        Paths.get(dstDir, base(f)),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit }
+    if (sidecars.nonEmpty) new File(dstDir, "_dv").mkdirs()
+    val scMap = sidecars.map { sc =>
+      val to = s"_dv/${base(sc)}"
+      // a sidecar is a parquet DIRECTORY (Spark-written part files) —
+      // copy the tree, not the directory entry
+      val fromP = Paths.get(srcDir, sc).normalize()
+      val toP = Paths.get(dstDir, to)
+      val walk = Files.walk(fromP)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.foreach { p =>
+          val tgt = toP.resolve(fromP.relativize(p))
+          if (Files.isDirectory(p)) Files.createDirectories(tgt): Unit
+          else {
+            Files.createDirectories(tgt.getParent): Unit
+            Files.copy(p, tgt,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+          }
+        }
+      } finally walk.close()
+      sc -> to
+    }.toMap
+    val lines = live.map { case (f, l) =>
+      (Seq("add", base(f)) ++ l.split('\t').drop(2)).mkString("\t") } ++
+      srcSt.dv.toSeq.filter { case (f, _) => srcSt.live.contains(f) }
+        .sortBy(_._1).flatMap { case (f, (inline, scs)) =>
+          (if (inline.nonEmpty)
+            Seq(s"dv\t${base(f)}\t${inline.toSeq.sorted.mkString(",")}")
+          else Seq.empty) ++ scs.map(sc => s"dvf\t${base(f)}\t${scMap(sc)}")
+        } ++
+      srcSt.cons.toSeq.map { case (n, sql) =>
+        s"constraint\t${escapeVal(n)}\t${escapeVal(sql)}" } ++
+      srcSt.props.toSeq.map { case (k, v) =>
+        s"property\t${escapeVal(k)}\t${escapeVal(v)}" } ++
+      srcSt.schemaJson.map(j => s"schema\t${escapeVal(j)}")
+    try claimVersion(dstDir, 0, lines)
+    catch {
+      case _: java.util.ConcurrentModificationException =>
+        throw new java.util.ConcurrentModificationException(
+          s"$dstDir already has a version 0")
+    }
+  }
+
+  /** TRUNCATE: one atomic pure-remove commit emptying the CURRENT
+    * snapshot — zero data IO at any size, and the pre-truncate state
+    * stays time-travelable until vacuumed (a versioned empty, not a
+    * destructive wipe). Schema, properties, and constraints survive:
+    * truncate moves data, not the definition. */
+  def truncate(dir: String): Int = {
+    val cur = currentVersion(dir)
+    require(cur >= 0, s"$dir is not a TxLog table")
+    val live = snapshot(dir, Some(cur))
+    if (live.isEmpty) return cur
+    claimVersion(dir, cur + 1, live.map(f => s"remove\t$f"))
   }
 
   /** Drop data files no longer live at the CURRENT version and not

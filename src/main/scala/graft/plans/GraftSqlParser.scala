@@ -41,7 +41,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val Restore =
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?((?:`[^`]+`|[\w.])+)\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
   private val Clone =
-    """(?is)\s*CREATE\s+TABLE\s+((?:`[^`]+`|[\w.])+)\s+SHALLOW\s+CLONE\s+((?:`[^`]+`|[\w.])+)\s*;?\s*""".r
+    """(?is)\s*CREATE\s+TABLE\s+((?:`[^`]+`|[\w.])+)\s+(SHALLOW|DEEP)\s+CLONE\s+((?:`[^`]+`|[\w.])+)\s*;?\s*""".r
   private val Convert =
     """(?is)\s*CONVERT\s+TO\s+TXLOG\s+parquet\s*\.\s*`([^`]+)`\s*(?:STATS\s*\(([^)]*)\)\s*)?;?\s*""".r
 
@@ -65,9 +65,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       DescribeDetailCommand(delegate.parseMultipartIdentifier(name))
     case Restore(name, v) =>
       RestoreTableCommand(delegate.parseMultipartIdentifier(name), v.toInt)
-    case Clone(dst, src) =>
+    case Clone(dst, kind, src) =>
       CloneTableCommand(delegate.parseMultipartIdentifier(dst),
-        delegate.parseMultipartIdentifier(src))
+        delegate.parseMultipartIdentifier(src),
+        deep = kind.equalsIgnoreCase("DEEP"))
     case Convert(path, stats) =>
       ConvertToTxLogCommand(path, Option(stats).toSeq
         .flatMap(_.split(',')).map(_.trim.stripPrefix("`").stripSuffix("`"))
@@ -258,18 +259,23 @@ case class RestoreTableCommand(nameParts: Seq[String], toVersion: Int)
   }
 }
 
-/** `CREATE TABLE dst SHALLOW CLONE src` → [[TxLog.shallowClone]]:
-  * zero-copy branch of the source's CURRENT snapshot (translated add
-  * lines + deletion vectors; no data IO) — mutations on either side
-  * stay invisible to the other from that point on. */
-case class CloneTableCommand(dstParts: Seq[String], srcParts: Seq[String])
-    extends LeafRunnableCommand {
+/** `CREATE TABLE dst SHALLOW|DEEP CLONE src` → [[TxLog.shallowClone]]
+  * / [[TxLog.deepClone]]: SHALLOW branches the source's CURRENT
+  * snapshot zero-copy (translated add lines + deletion vectors, no
+  * data IO); DEEP copies the live files and sidecars so the clone's
+  * retention lifecycle is fully independent — vacuuming the source
+  * can never break it. Either way mutations on one side stay
+  * invisible to the other from that point on, and marker fields
+  * (partition values, zone maps) carry verbatim. */
+case class CloneTableCommand(dstParts: Seq[String], srcParts: Seq[String],
+    deep: Boolean = false) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("cloned_version", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val srcDir = MaintenanceTarget.dirOf(spark, srcParts)
     val dstDir = MaintenanceTarget.newDirOf(spark, dstParts)
-    val v = TxLog.shallowClone(srcDir, dstDir)
+    val v = if (deep) TxLog.deepClone(srcDir, dstDir)
+            else TxLog.shallowClone(srcDir, dstDir)
     TxLogDml.refresh(spark, dstDir)
     Seq(Row(v.toLong))
   }

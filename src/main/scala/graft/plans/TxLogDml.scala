@@ -470,7 +470,7 @@ object TxLogDml {
     * this a post-DML SELECT through the table name silently reads
     * the pre-DML version (the V2 catalog path loads a fresh table
     * per statement and doesn't need it). */
-  private[plans] def refresh(spark: SparkSession, dir: String): Unit =
+  private[graft] def refresh(spark: SparkSession, dir: String): Unit =
     try {
       spark.catalog.refreshByPath(dir)
       // refreshByPath touches the dataframe cache manager only — the

@@ -5460,5 +5460,139 @@ object ExtQueries {
              |  CAST(count(CASE WHEN bal = 0 THEN 1 END) AS BIGINT)
              |    AS n_zero,
              |  CAST(SUM(bal) AS DOUBLE) AS total_bal
-             |FROM base""".stripMargin)))
+             |FROM base""".stripMargin)),
+
+    // q447 — `TRUNCATE TABLE` through Spark's V2 TruncateTableExec
+    // (TxLogTable implements TruncatableTable): ONE pure-remove commit
+    // — zero data IO no matter the table size, the definition
+    // (schema, partitioning, stats declaration) survives, the
+    // pre-truncate state stays time-travelable, and the next load
+    // inherits the declared layout. The daily "reset the staging
+    // table" verb, versioned instead of destructive. The hash pins the
+    // metadata-only commit shape (read from the log), the definition
+    // survival, the time-travel count, and the reloaded content.
+    QuerySpec("q447_truncate_table",
+      (s, dir) => {
+        import graft.core.TxLog
+        val base = Scratch.dir("lakecat", dir)
+        val t = s"$base/q447t"
+        TxLog.drop(t)
+        new java.io.File(base).mkdirs()
+        s.conf.set("spark.sql.catalog.graft_lake",
+          classOf[graft.sources.TxLogCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_lake.base", base)
+        s.sql("""CREATE TABLE graft_lake.q447t (
+                   l_orderkey BIGINT, l_returnflag STRING,
+                   l_extendedprice DOUBLE)
+                 USING txlog PARTITIONED BY (l_returnflag)""")
+        val li = Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_returnflag"),
+            col("l_extendedprice").cast("double"))
+        TxLog.append(li, t)
+        val preRows = TxLog.read(s, t).count()
+        val preVersion = TxLog.currentVersion(t)
+        s.sql("TRUNCATE TABLE graft_lake.q447t")
+        val tl = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(t, "_log",
+            f"${TxLog.currentVersion(t)}%08d.txt")), "UTF-8")
+          .linesIterator.filterNot(_.startsWith("ts\t")).toSeq
+        val metadataOnly = tl.nonEmpty &&
+          tl.forall(_.startsWith("remove\t"))
+        val emptied =
+          s.sql("SELECT count(*) FROM graft_lake.q447t")
+            .head().getLong(0) == 0L
+        val defSurvived = TxLog.partitionColumns(t) == Seq("l_returnflag")
+        val ttRows = TxLog.read(s, t, Some(preVersion)).count()
+        // the table reloads under its declared layout
+        li.filter(col("l_returnflag") =!= "R")
+          .createOrReplaceTempView("q447_reload")
+        s.sql("INSERT INTO graft_lake.q447t SELECT * FROM q447_reload")
+        val pv = TxLog.partitionValues(t)
+        val reloadMarked = TxLog.snapshot(t).forall(f =>
+          pv.getOrElse(f, Map.empty).contains("l_returnflag"))
+        s.sql("SELECT * FROM graft_lake.q447t")
+          .agg(count(lit(1)).as("n_rows"),
+            Stable.dsum(col("l_extendedprice")).as("revenue"))
+          .select(lit(metadataOnly && emptied).as("truncate_clean"),
+            lit(defSurvived && reloadMarked).as("definition_survived"),
+            lit(ttRows == preRows).as("time_travel_intact"),
+            col("n_rows"), col("revenue"))
+      },
+      Some("""SELECT TRUE AS truncate_clean, TRUE AS definition_survived,
+             |  TRUE AS time_travel_intact,
+             |  CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS revenue
+             |FROM lineitem WHERE l_returnflag <> 'R'""".stripMargin)),
+
+    // q448 — `CREATE TABLE dst DEEP CLONE src`: an INDEPENDENT copy —
+    // live files and DV sidecars duplicate, marker fields and metadata
+    // carry verbatim — so the clone's retention lifecycle detaches
+    // from the source's. The probe is the exact hazard SHALLOW CLONE
+    // documents: OPTIMIZE + aggressive VACUUM on the source reclaims
+    // every file the clone would have referenced — the deep clone
+    // keeps serving the full DV-filtered content, and mutating it
+    // leaves the source untouched. At 100 TB this is the
+    // dev-environment / archival fork verb: pay the copy once, own
+    // the lifecycle forever.
+    QuerySpec("q448_deep_clone",
+      (s, dir) => {
+        import graft.core.TxLog
+        val base = Scratch.dir("lakecat", dir)
+        val src = s"$base/q448s"
+        val dst = s"$base/q448d"
+        Seq(src, dst).foreach(TxLog.drop)
+        new java.io.File(base).mkdirs()
+        s.conf.set("spark.sql.catalog.graft_lake",
+          classOf[graft.sources.TxLogCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_lake.base", base)
+        s.sql("""CREATE TABLE graft_lake.q448s (
+                   o_orderkey BIGINT, o_totalprice DOUBLE)
+                 USING txlog""")
+        TxLog.append(Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice").cast("double")),
+          src)
+        // outstanding deletion vectors must carry into the clone
+        TxLog.deleteWhereDV(s, src, col("o_orderkey") % 9 === 0)
+        s.sql("CREATE TABLE graft_lake.q448d DEEP CLONE graft_lake.q448s")
+        val srcRows = TxLog.read(s, src).count()
+        // the shallow-clone killer: rewrite + reclaim EVERY old source
+        // file the clone could have referenced
+        s.sql("OPTIMIZE graft_lake.q448s")
+        val prevAge = s.conf
+          .getOption("spark.graft.txlog.vacuum.minAgeMs")
+        s.conf.set("spark.graft.txlog.vacuum.minAgeMs", "0")
+        val vacuumed = try
+          s.sql("VACUUM graft_lake.q448s RETAIN 1 VERSIONS")
+            .head().getLong(0) > 0
+        finally prevAge match {
+          case Some(v) =>
+            s.conf.set("spark.graft.txlog.vacuum.minAgeMs", v)
+          case None =>
+            s.conf.unset("spark.graft.txlog.vacuum.minAgeMs")
+        }
+        val cloneSurvives =
+          s.sql("SELECT count(*) FROM graft_lake.q448d")
+            .head().getLong(0) == srcRows
+        // divergence: a clone-side DELETE leaves the source untouched
+        s.sql("DELETE FROM graft_lake.q448d WHERE o_orderkey % 2 = 0")
+        val srcUntouched =
+          s.sql("SELECT count(*) FROM graft_lake.q448s")
+            .head().getLong(0) == srcRows
+        s.sql("SELECT * FROM graft_lake.q448d")
+          .agg(count(lit(1)).as("n_rows"),
+            Stable.dsum(col("o_totalprice")).as("revenue"))
+          .select(lit(vacuumed).as("source_vacuumed"),
+            lit(cloneSurvives).as("clone_survives_vacuum"),
+            lit(srcUntouched).as("source_untouched"),
+            col("n_rows"), col("revenue"))
+      },
+      Some("""SELECT TRUE AS source_vacuumed,
+             |  TRUE AS clone_survives_vacuum, TRUE AS source_untouched,
+             |  CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS revenue
+             |FROM orders
+             |WHERE o_orderkey % 9 <> 0 AND o_orderkey % 2 <> 0"""
+        .stripMargin)))
 }

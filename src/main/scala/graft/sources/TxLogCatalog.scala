@@ -286,9 +286,21 @@ object TxLogCatalog {
 class TxLogTable(val dir: String, ident: String,
     val asOf: Option[Int] = None)
     extends Table with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsPartitionManagement {
+    with org.apache.spark.sql.connector.catalog.SupportsPartitionManagement
+    with org.apache.spark.sql.connector.catalog.TruncatableTable {
 
   override def name(): String = ident
+
+  /** `TRUNCATE TABLE lake.t` (Spark's V2 TruncateTableExec): one
+    * atomic pure-remove commit — zero data IO, pre-truncate state
+    * stays time-travelable, definition survives. */
+  override def truncateTable(): Boolean = {
+    require(asOf.isEmpty,
+      s"cannot truncate the time-travel snapshot $ident — it is frozen")
+    TxLog.truncate(dir)
+    graft.plans.TxLogDml.refresh(SparkSession.active, dir)
+    true
+  }
 
   override lazy val schema: StructType = {
     // the recorded in-log schema serves planning without building the

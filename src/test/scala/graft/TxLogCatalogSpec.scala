@@ -772,6 +772,81 @@ class TxLogCatalogSpec extends AnyFunSuite {
     assert(TxLog.read(spark, t).count() == 2L)
   }
 
+  test("TRUNCATE TABLE empties as ONE pure-remove commit: definition " +
+      "survives, history stays time-travelable, re-insert works") {
+    spark.sql("""CREATE TABLE lake.trc (id BIGINT, grp STRING)
+                 USING txlog PARTITIONED BY (grp)
+                 TBLPROPERTIES ('graft.stats.columns' = 'id')""")
+    val t = dirOf("trc")
+    TxLog.append(spark.range(40L).select(col("id"),
+      (col("id") % 2).cast("string").as("grp")), t)
+    val preVersion = TxLog.currentVersion(t)
+    spark.sql("TRUNCATE TABLE lake.trc")
+    assert(spark.sql("SELECT count(*) FROM lake.trc").head().getLong(0)
+      == 0L)
+    // pure-remove commit: no data files written, one version
+    assert(TxLog.currentVersion(t) == preVersion + 1)
+    assert(TxLog.snapshot(t).isEmpty)
+    // the definition survives truncation
+    assert(TxLog.partitionColumns(t) == Seq("grp"))
+    assert(TxLog.statsColumns(t) == Seq("id"))
+    // the pre-truncate state stays time-travelable
+    assert(TxLog.read(spark, t, Some(preVersion)).count() == 40L)
+    // and the table is immediately writable under its declared layout
+    TxLog.append(spark.range(5L).select(col("id"),
+      lit("x").as("grp")), t)
+    assert(spark.sql("SELECT count(*) FROM lake.trc").head().getLong(0)
+      == 5L)
+    val pv = TxLog.partitionValues(t)
+    assert(TxLog.snapshot(t).forall(f =>
+      pv.getOrElse(f, Map.empty).contains("grp")))
+    spark.sql("DROP TABLE lake.trc")
+  }
+
+  test("DEEP CLONE copies files + carries markers/DVs/metadata; " +
+      "vacuuming the source cannot break it (the shallow-clone " +
+      "caveat, eliminated); SHALLOW clones keep marker fields too") {
+    spark.sql("""CREATE TABLE lake.dsrc (id BIGINT, grp STRING, v DOUBLE)
+                 USING txlog PARTITIONED BY (grp)""")
+    val src = dirOf("dsrc")
+    TxLog.append(spark.range(60L).select(col("id"),
+      (col("id") % 3).cast("string").as("grp"),
+      (col("id") * 1.0).as("v")), src)
+    TxLog.deleteWhereDV(spark, src, col("id") % 10 === 0) // outstanding DVs
+    val expect = TxLog.read(spark, src).count()
+    spark.sql("CREATE TABLE lake.dclone DEEP CLONE lake.dsrc")
+    val dst = dirOf("dclone")
+    assert(TxLog.read(spark, dst).count() == expect,
+      "deep clone must serve the DV-filtered content")
+    // markers carried: the clone prunes like the source
+    val pv = TxLog.partitionValues(dst)
+    assert(TxLog.snapshot(dst).forall(f =>
+      pv.getOrElse(f, Map.empty).contains("grp")),
+      "deep clone lost partition markers")
+    // a SHALLOW clone keeps marker fields too (they ride the
+    // translated add lines verbatim)
+    spark.sql("CREATE TABLE lake.sclone SHALLOW CLONE lake.dsrc")
+    val spv = TxLog.partitionValues(dirOf("sclone"))
+    assert(TxLog.snapshot(dirOf("sclone")).forall(f =>
+      spv.getOrElse(f, Map.empty).contains("grp")),
+      "shallow clone lost partition markers")
+    // source rewrite + aggressive vacuum: the deep clone's copies are
+    // its own — reads survive what would break a shallow clone
+    spark.sql("OPTIMIZE lake.dsrc")
+    spark.conf.set("spark.graft.txlog.vacuum.minAgeMs", "0")
+    try spark.sql("VACUUM lake.dsrc RETAIN 1 VERSIONS")
+    finally spark.conf.unset("spark.graft.txlog.vacuum.minAgeMs")
+    assert(TxLog.read(spark, dst).count() == expect,
+      "deep clone must survive source vacuum")
+    // divergence: mutating the clone leaves the source untouched
+    TxLog.deleteWhere(spark, dst, col("grp") === "g" || lit(true))
+    assert(TxLog.read(spark, dst).count() == 0L)
+    assert(spark.sql("SELECT count(*) FROM lake.dsrc").head().getLong(0)
+      == expect)
+    Seq("dclone", "sclone", "dsrc").foreach(n =>
+      spark.sql(s"DROP TABLE lake.$n"))
+  }
+
   test("CONVERT TO TXLOG adopts a flat parquet dir IN PLACE: file " +
       "identity preserved, stats persisted as declared, DML and time " +
       "travel work; refuses partitioned trees and double conversion") {
