@@ -2352,7 +2352,8 @@ object TxLog {
     * are invisible here, so retention policy must span clones (see
     * [[shallowClone]]). */
   def vacuum(dir: String, retainAfter: Int,
-      minAgeMs: Long = DefaultVacuumMinAgeMs): Seq[String] = {
+      minAgeMs: Long = DefaultVacuumMinAgeMs,
+      dryRun: Boolean = false): Seq[String] = {
     val cur = currentVersion(dir)
     // An UNDECIDED multi-table transaction's staged files resolve to
     // NOTHING (the xref is a hole until publish), so protectedFiles
@@ -2378,7 +2379,8 @@ object TxLog {
         && f.lastModified() <= horizon)
       .map(_.getName)
     val victims = onDisk.filterNot(protectedFiles)
-    victims.foreach(f => Files.deleteIfExists(Paths.get(dir, f)))
+    if (!dryRun)
+      victims.foreach(f => Files.deleteIfExists(Paths.get(dir, f)))
     // DELETION-VECTOR sidecars age out with the versions that
     // referenced them: a sidecar no retained version's outstanding dvf
     // lines mention is dead weight (OPTIMIZE/COW rewrites cleared its
@@ -2391,7 +2393,7 @@ object TxLog {
       .getOrElse(Array.empty)
       .filter(d => d.isDirectory && d.lastModified() <= horizon
         && !keptSidecars.contains(d.getName))
-    dvVictims.foreach(d => drop(d.toString))
+    if (!dryRun) dvVictims.foreach(d => drop(d.toString))
     victims.toSeq ++ dvVictims.map(d => s"_dv/${d.getName}")
   }
 

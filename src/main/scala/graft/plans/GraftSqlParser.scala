@@ -33,13 +33,15 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val Optimize =
     """(?is)\s*OPTIMIZE\s+((?:`[^`]+`|[\w.])+)\s*(?:ZORDER\s+BY\s*\(([^)]*)\)\s*)?;?\s*""".r
   private val Vacuum =
-    """(?is)\s*VACUUM\s+((?:`[^`]+`|[\w.])+)\s*(?:RETAIN\s+(\d+)\s+VERSIONS\s*)?;?\s*""".r
+    """(?is)\s*VACUUM\s+((?:`[^`]+`|[\w.])+)\s*(?:RETAIN\s+(\d+)\s+VERSIONS\s*)?(DRY\s+RUN\s*)?;?\s*""".r
   private val History =
     """(?is)\s*DESCRIBE\s+HISTORY\s+((?:`[^`]+`|[\w.])+)\s*;?\s*""".r
   private val Detail =
     """(?is)\s*DESCRIBE\s+DETAIL\s+((?:`[^`]+`|[\w.])+)\s*;?\s*""".r
   private val Restore =
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?((?:`[^`]+`|[\w.])+)\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+  private val RestoreTs =
+    """(?is)\s*RESTORE\s+(?:TABLE\s+)?((?:`[^`]+`|[\w.])+)\s+(?:TO\s+)?TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""".r
   private val Clone =
     """(?is)\s*CREATE\s+TABLE\s+((?:`[^`]+`|[\w.])+)\s+(SHALLOW|DEEP)\s+CLONE\s+((?:`[^`]+`|[\w.])+)\s*;?\s*""".r
   private val Convert =
@@ -56,15 +58,17 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         .flatMap(_.split(',')).map(_.trim.stripPrefix("`").stripSuffix("`"))
         .filter(_.nonEmpty)
       OptimizeTableCommand(delegate.parseMultipartIdentifier(name), cols)
-    case Vacuum(name, retain) =>
+    case Vacuum(name, retain, dry) =>
       VacuumTableCommand(delegate.parseMultipartIdentifier(name),
-        Option(retain).map(_.toInt))
+        Option(retain).map(_.toInt), dryRun = dry != null)
     case History(name) =>
       DescribeHistoryCommand(delegate.parseMultipartIdentifier(name))
     case Detail(name) =>
       DescribeDetailCommand(delegate.parseMultipartIdentifier(name))
     case Restore(name, v) =>
       RestoreTableCommand(delegate.parseMultipartIdentifier(name), v.toInt)
+    case RestoreTs(name, ts) =>
+      RestoreTimestampCommand(delegate.parseMultipartIdentifier(name), ts)
     case Clone(dst, kind, src) =>
       CloneTableCommand(delegate.parseMultipartIdentifier(dst),
         delegate.parseMultipartIdentifier(src),
@@ -307,9 +311,14 @@ case class OptimizeTableCommand(nameParts: Seq[String],
   * n versions time-travelable (default 10); the file-age guard comes
   * from `spark.graft.txlog.vacuum.minAgeMs`. */
 case class VacuumTableCommand(nameParts: Seq[String],
-    retainVersions: Option[Int]) extends LeafRunnableCommand {
-  override val output: Seq[Attribute] = Seq(
-    AttributeReference("files_deleted", LongType, nullable = false)())
+    retainVersions: Option[Int], dryRun: Boolean = false)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    if (dryRun) Seq(
+      AttributeReference("path", org.apache.spark.sql.types.StringType,
+        nullable = false)())
+    else Seq(
+      AttributeReference("files_deleted", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val dir = MaintenanceTarget.dirOf(spark, nameParts)
     // RETAIN 0 would unprotect the CURRENT snapshot itself: the
@@ -323,9 +332,32 @@ case class VacuumTableCommand(nameParts: Seq[String],
       .getOrElse(TxLog.DefaultVacuumMinAgeMs)
     val retainAfter =
       TxLog.currentVersion(dir) - retainVersions.getOrElse(10) + 1
-    val n = TxLog.vacuum(dir, retainAfter, minAge).size.toLong
+    val victims = TxLog.vacuum(dir, retainAfter, minAge, dryRun = dryRun)
+    if (dryRun) victims.sorted.map(Row(_))
+    else {
+      TxLogDml.refresh(spark, dir)
+      Seq(Row(victims.size.toLong))
+    }
+  }
+}
+
+/** `RESTORE [TABLE] t [TO] TIMESTAMP AS OF '<instant>'` — the
+  * timestamp twin of [[RestoreTableCommand]]: the target version is
+  * the newest commit at or before the instant ([[TxLog.versionAt]],
+  * same resolution as `timestampAsOf` reads), then the same
+  * snap-back-as-new-commit protocol. */
+case class RestoreTimestampCommand(nameParts: Seq[String], ts: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("restored_to", LongType, nullable = false)(),
+    AttributeReference("new_version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = MaintenanceTarget.dirOf(spark, nameParts)
+    val v = TxLog.versionAt(dir,
+      graft.sources.TxLogDataSource.parseInstant(ts))
+    val nv = TxLog.restore(dir, v)
     TxLogDml.refresh(spark, dir)
-    Seq(Row(n))
+    Seq(Row(v.toLong, nv.toLong))
   }
 }
 

@@ -5594,5 +5594,75 @@ object ExtQueries {
              |    AS revenue
              |FROM orders
              |WHERE o_orderkey % 9 <> 0 AND o_orderkey % 2 <> 0"""
-        .stripMargin)))
+        .stripMargin)),
+
+    // q449 — RETENTION LIFECYCLE verbs: `VACUUM ... DRY RUN` previews
+    // victims WITHOUT deleting (the operator's safety check before an
+    // irreversible reclaim — Delta's verb), `RESTORE ... TO TIMESTAMP
+    // AS OF` snaps back through the recorded commit instants (the
+    // "what did the table look like before last night's bad load"
+    // undo when nobody knows the version number), and the real VACUUM
+    // then reclaims under the retention window while the restored
+    // state keeps reading. The hash pins the preview's
+    // non-destructiveness (time travel still works after it), the
+    // timestamp resolution, the reclaim actually deleting, and the
+    // exact post-restore content.
+    QuerySpec("q449_retention_ops",
+      (s, dir) => {
+        import graft.core.TxLog
+        val base = Scratch.dir("lakecat", dir)
+        val t = s"$base/q449r"
+        TxLog.drop(t)
+        new java.io.File(base).mkdirs()
+        s.conf.set("spark.sql.catalog.graft_lake",
+          classOf[graft.sources.TxLogCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_lake.base", base)
+        s.sql("""CREATE TABLE graft_lake.q449r (
+                   o_orderkey BIGINT, o_totalprice DOUBLE) USING txlog""")
+        val orders = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice").cast("double"))
+        TxLog.append(orders, t)                                   // v1
+        TxLog.setCommitInstant(t, 1, 1000L)
+        orders.filter(col("o_orderkey") % 2 === 0)
+          .createOrReplaceTempView("q449_half")
+        s.sql("INSERT OVERWRITE graft_lake.q449r " +
+          "SELECT * FROM q449_half")                              // v2
+        TxLog.setCommitInstant(t, 2, 2000L)
+        val origRows = orders.count()
+        val prevAge = s.conf
+          .getOption("spark.graft.txlog.vacuum.minAgeMs")
+        s.conf.set("spark.graft.txlog.vacuum.minAgeMs", "0")
+        val (previewSafe, restoredToV1, vacuumed) = try {
+          val preview = s.sql(
+            "VACUUM graft_lake.q449r RETAIN 1 VERSIONS DRY RUN")
+            .collect().map(_.getString(0)).toSet
+          // the preview deleted nothing: v1 still time-travels whole
+          val safe = preview.nonEmpty &&
+            TxLog.read(s, t, Some(1)).count() == origRows
+          val r = s.sql(
+            "RESTORE TABLE graft_lake.q449r TO TIMESTAMP AS OF '1500'")
+            .head()
+          val deleted = s.sql("VACUUM graft_lake.q449r RETAIN 1 VERSIONS")
+            .head().getLong(0)
+          (safe, r.getLong(0) == 1L, deleted > 0)
+        } finally prevAge match {
+          case Some(v) =>
+            s.conf.set("spark.graft.txlog.vacuum.minAgeMs", v)
+          case None =>
+            s.conf.unset("spark.graft.txlog.vacuum.minAgeMs")
+        }
+        s.sql("SELECT * FROM graft_lake.q449r")
+          .agg(count(lit(1)).as("n_rows"),
+            Stable.dsum(col("o_totalprice")).as("revenue"))
+          .select(lit(previewSafe).as("preview_nondestructive"),
+            lit(restoredToV1).as("restored_to_v1"),
+            lit(vacuumed).as("vacuum_reclaimed"),
+            col("n_rows"), col("revenue"))
+      },
+      Some("""SELECT TRUE AS preview_nondestructive,
+             |  TRUE AS restored_to_v1, TRUE AS vacuum_reclaimed,
+             |  CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS revenue
+             |FROM orders""".stripMargin)))
 }

@@ -314,7 +314,7 @@ object TxLogDataSource {
   }
 
   /** `timestampAsOf` accepts epoch millis or a local timestamp string. */
-  private[sources] def parseInstant(ts: String): Long =
+  private[graft] def parseInstant(ts: String): Long =
     ts.trim.toLongOption.getOrElse(
       java.sql.Timestamp.valueOf(ts.trim).getTime)
 }

@@ -772,6 +772,39 @@ class TxLogCatalogSpec extends AnyFunSuite {
     assert(TxLog.read(spark, t).count() == 2L)
   }
 
+  test("VACUUM DRY RUN lists victims without deleting; RESTORE TO " +
+      "TIMESTAMP AS OF resolves through the recorded commit instants") {
+    spark.sql("CREATE TABLE lake.vdr (id BIGINT) USING txlog")
+    val t = dirOf("vdr")
+    TxLog.append(spark.range(10L).toDF("id"), t)          // v1
+    TxLog.setCommitInstant(t, 1, 1000L)
+    spark.sql("INSERT OVERWRITE lake.vdr SELECT id FROM range(3)") // v2
+    TxLog.setCommitInstant(t, 2, 2000L)
+    spark.conf.set("spark.graft.txlog.vacuum.minAgeMs", "0")
+    try {
+      val preview = spark.sql("VACUUM lake.vdr RETAIN 1 VERSIONS DRY RUN")
+        .collect().map(_.getString(0)).toSet
+      assert(preview.nonEmpty, "v1's overwritten files must be victims")
+      // DRY RUN deleted nothing: time travel to v1 still reads
+      assert(TxLog.read(spark, t, Some(1)).count() == 10L)
+      assert(preview.forall(f =>
+        new java.io.File(t, f).exists()), "dry run must not delete")
+      // restore BY TIMESTAMP: instant 1500 resolves to v1
+      val r = spark.sql(
+        "RESTORE TABLE lake.vdr TO TIMESTAMP AS OF '1500'").head()
+      assert(r.getLong(0) == 1L)
+      assert(spark.sql("SELECT count(*) FROM lake.vdr").head().getLong(0)
+        == 10L)
+      // the real vacuum now deletes what the preview named (v2's
+      // files stay protected: the restore re-referenced v1's, and
+      // RETAIN 1 protects only the current version)
+      val deleted = spark.sql("VACUUM lake.vdr RETAIN 1 VERSIONS")
+        .head().getLong(0)
+      assert(deleted > 0)
+    } finally spark.conf.unset("spark.graft.txlog.vacuum.minAgeMs")
+    spark.sql("DROP TABLE lake.vdr")
+  }
+
   test("TRUNCATE TABLE empties as ONE pure-remove commit: definition " +
       "survives, history stays time-travelable, re-insert works") {
     spark.sql("""CREATE TABLE lake.trc (id BIGINT, grp STRING)
