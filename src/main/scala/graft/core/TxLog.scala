@@ -199,6 +199,21 @@ object TxLog {
     val props = scala.collection.mutable.LinkedHashMap.empty[String, String]
     /** Last recorded table schema (JSON), Delta's metaData action. */
     var schemaJson: Option[String] = None
+    /** Source files already ingested by `COPY INTO` (canonical paths,
+      * escaped in the log) — the idempotent-load ledger: a re-run of
+      * the same COPY INTO skips them. Monotone ingest HISTORY, not
+      * content state: RESTORE leaves it alone (the files were loaded
+      * once, restoring data does not un-load them); REPLACE TABLE
+      * clears it (a new definition owes nothing to the old ingest). */
+    val copied = scala.collection.mutable.LinkedHashSet.empty[String]
+    /** REQUIRED reader features (`feature` lines — Delta's protocol
+      * action): a table whose correct interpretation needs machinery
+      * beyond "ignore unknown line types" DECLARES it, and a reader
+      * that does not implement the feature refuses the whole table
+      * instead of silently misreading it (e.g. a pre-column-mapping
+      * reader would surface physical storage names and resurrect
+      * dropped columns). Monotone — features never retire. */
+    val features = scala.collection.mutable.LinkedHashSet.empty[String]
     /** True when the fold crossed an UNRESOLVED `xref` entry (a
       * pending multi-table transaction): checkpointing such a state
       * would permanently bake the pre-publish view in — [[checkpoint]]
@@ -242,6 +257,12 @@ object TxLog {
         }
         else if (l.startsWith("unproperty\t"))
           props -= unescapeVal(l.substring("unproperty\t".length)): Unit
+        else if (l.startsWith("copysrc\t"))
+          copied += unescapeVal(l.substring("copysrc\t".length)): Unit
+        else if (l.startsWith("uncopysrc\t"))
+          copied -= unescapeVal(l.substring("uncopysrc\t".length)): Unit
+        else if (l.startsWith("feature\t"))
+          features += unescapeVal(l.substring("feature\t".length)): Unit
         else if (l.startsWith("schema\t"))
           schemaJson = Some(unescapeVal(l.substring("schema\t".length)))
       }
@@ -259,6 +280,8 @@ object TxLog {
           s"constraint\t${escapeVal(n)}\t${escapeVal(sql)}" } ++
         props.toSeq.map { case (k, v) =>
           s"property\t${escapeVal(k)}\t${escapeVal(v)}" } ++
+        copied.toSeq.map(s => s"copysrc\t${escapeVal(s)}") ++
+        features.toSeq.map(f => s"feature\t${escapeVal(f)}") ++
         schemaJson.map(j => s"schema\t${escapeVal(j)}")
   }
 
@@ -326,8 +349,23 @@ object TxLog {
     }
     (start to v).foreach(i =>
       st.apply(entryLines(dir, i, () => st.pendingXref = true)))
+    // PROTOCOL GATE: a table declaring a reader feature this engine
+    // does not implement refuses WHOLE — readers and writers both fold
+    // through here, so neither can silently misread or corrupt it.
+    // "Ignore unknown line types" covers additive bookkeeping only;
+    // `feature` lines mark the changes where ignoring IS misreading.
+    val unknown = st.features.toSet -- SupportedReaderFeatures
+    if (unknown.nonEmpty) throw new UnsupportedOperationException(
+      s"$dir requires table feature(s) ${unknown.toSeq.sorted
+        .mkString(", ")} that this engine version does not implement — " +
+        "upgrade the engine to use this table")
     st
   }
+
+  /** Reader features this engine implements (the [[LogState.features]]
+    * gate). Never remove an entry; add one whenever a new line type
+    * changes the meaning of existing state rather than extending it. */
+  val SupportedReaderFeatures: Set[String] = Set("column-mapping")
 
   /** Write a CHECKPOINT of the replayed state at `asOf` (default
     * current): subsequent readers replay from it instead of version 0.
@@ -377,11 +415,18 @@ object TxLog {
       removes.map(f => s"remove\t$f") ++ adds.map(f => s"add\t$f"))
 
   /** Stage `df` as uniquely-named parquet files in the table directory
-    * (INVISIBLE until a commit references them); returns their names. */
-  def stage(df: DataFrame, dir: String): Seq[String] = {
+    * (INVISIBLE until a commit references them); returns their names.
+    * On a column-mapped table the frame writes under PHYSICAL storage
+    * names ([[toPhysicalDf]]) — every writer inherits the mapping. */
+  def stage(df: DataFrame, dir: String): Seq[String] =
+    stage(df, dir, useMapping = true)
+
+  private def stage(df: DataFrame, dir: String,
+      useMapping: Boolean): Seq[String] = {
     new File(dir).mkdirs()
     val tmp = Files.createTempDirectory(Paths.get(dir), ".stage-")
-    df.write.mode("overwrite").parquet(tmp.toString)
+    (if (useMapping) toPhysicalDf(df, dir) else df)
+      .write.mode("overwrite").parquet(tmp.toString)
     val parts = Option(tmp.toFile.listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
       .sortBy(_.getName)
@@ -734,6 +779,52 @@ object TxLog {
          escapeVal(statsCols.map(escapeVal).mkString(",")))))
   }
 
+  /** Source files already ingested by [[copyInto]] — canonical paths. */
+  def copiedSources(dir: String): Set[String] =
+    if (currentVersion(dir) < 0) Set.empty
+    else state(dir, None).copied.toSet
+
+  /** IDEMPOTENT FILE LOADING (Delta's `COPY INTO`): ingest the parquet
+    * files under `src` that this table has NOT loaded yet — each commit
+    * records the ingested files' canonical paths as `copysrc` ledger
+    * lines, so re-running the same statement after a crash, a retry,
+    * or on a schedule loads each file EXACTLY ONCE while new files
+    * appearing in the directory keep flowing in. The load itself is a
+    * normal append (constraint-checked, partition-pure on a declared
+    * layout, declared-stats markers), so COPY INTO composes with every
+    * other table feature. Returns (version, files loaded, rows loaded);
+    * (current, 0, 0) when nothing is new. */
+  def copyInto(spark: SparkSession, dir: String, src: String)
+      : (Int, Int, Long) = {
+    val cur = currentVersion(dir)
+    require(cur >= 0, s"$dir is not a TxLog table")
+    val d = new File(src)
+    require(d.isDirectory, s"COPY INTO source $src is not a directory")
+    val all = Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+      .sortBy(_.getName)
+    val seen = state(dir, Some(cur)).copied.toSet
+    val fresh = all.map(_.getCanonicalPath).filterNot(seen).toSeq
+    if (fresh.isEmpty) return (cur, 0, 0L)
+    val df = spark.read.option("mergeSchema", "true")
+      .parquet(fresh: _*)
+    val (staged, lines) = stageLinesEnforced(spark, df, dir)
+    try {
+      // footer-grain count of the staged copy — the rows this load adds
+      val rows =
+        if (staged.isEmpty) 0L
+        else spark.read.parquet(staged.map(f => s"$dir/$f"): _*).count()
+      val v = claimVersion(dir, cur + 1,
+        lines ++ fresh.map(p => s"copysrc\t${escapeVal(p)}") ++
+          schemaLine(df, dir))
+      (v, fresh.size, rows)
+    } catch { case e: Throwable =>
+      staged.foreach(f => Files.deleteIfExists(Paths.get(dir, f)))
+      throw e
+    }
+  }
+
   /** CREATE an EMPTY table (the catalog's `CREATE TABLE` surface):
     * version 0 carries only the schema line — no data files — and the
     * recorded in-log schema serves reads until data lands (the same
@@ -772,6 +863,11 @@ object TxLog {
       : Int = {
     val cur = currentVersion(dir)
     require(cur >= 0, s"$dir is not a TxLog table")
+    (set.keys ++ unset).foreach(k => require(
+      k != ColumnMappingProp && k != RetiredColsProp,
+      s"$k is engine-managed (RENAME/DROP COLUMN maintain it) and " +
+        "cannot be set or unset directly"))
+    var mapLines = Seq.empty[String]
     newSchema.foreach { next =>
       tableSchema(dir).foreach { prior =>
         prior.fields.foreach { f =>
@@ -784,15 +880,37 @@ object TxLog {
         // the schema forbids (ADVICE r12 — the catalog's alterTable
         // already guards this; direct library calls must too)
         val have = prior.fieldNames.toSet
-        next.fields.filterNot(f => have(f.name)).foreach(f =>
+        val added = next.fields.filterNot(f => have(f.name))
+        added.foreach(f =>
           require(f.nullable,
             s"added column '${f.name}' must be nullable: existing rows " +
               "null-backfill it"))
+        // an added column whose name collides with RETIRED or MAPPED
+        // physical storage must bind to a FRESH physical name — binding
+        // it to the colliding one would resurrect a dropped column's
+        // bytes (or alias a renamed column's) from pre-existing files
+        val cm = columnMapping(dir)
+        if (cm.active && added.nonEmpty) {
+          val used = scala.collection.mutable.Set.empty[String]
+          used ++= cm.retired ++= cm.toPhys.values ++=
+            prior.fieldNames.map(cm.phys)
+          var m2 = cm.toPhys
+          added.foreach { f =>
+            if (used(f.name)) {
+              var i = 1
+              while (used(s"${f.name}__r$i")) i += 1
+              m2 += f.name -> s"${f.name}__r$i"
+              used += s"${f.name}__r$i": Unit
+            } else used += f.name: Unit
+          }
+          if (m2 != cm.toPhys) mapLines = mappingLines(m2, cm.retired)
+        }
       }
     }
     val lines = set.toSeq.map { case (k, v) =>
         s"property\t${escapeVal(k)}\t${escapeVal(v)}" } ++
       unset.map(k => s"unproperty\t${escapeVal(k)}") ++
+      mapLines ++
       newSchema.map(s => s"schema\t${escapeVal(s.json)}")
     if (lines.isEmpty) return cur
     claimVersion(dir, cur + 1, lines)
@@ -861,8 +979,9 @@ object TxLog {
     // partitioned table's batch stages partition-pure with markers
     val (staged, lines) = stageLinesEnforced(df.sparkSession, df, dir)
     if (staged.nonEmpty) {
-      val stagedDf = df.sparkSession.read.option("mergeSchema", "true")
-        .parquet(staged.map(f => s"$dir/$f"): _*)
+      val stagedDf = logicalizeStaged(
+        df.sparkSession.read.option("mergeSchema", "true")
+          .parquet(staged.map(f => s"$dir/$f"): _*), dir)
       val bad = stagedDf.filter(!constraint || constraint.isNull)
         .limit(1).count()
       if (bad > 0) {
@@ -950,8 +1069,9 @@ object TxLog {
     val violated = cs.values.map { sql =>
       val c = expr(sql); !c || c.isNull
     }.reduce(_ || _)
-    val bad = spark.read.option("mergeSchema", "true")
-      .parquet(staged.map(f => s"$dir/$f"): _*)
+    // constraint texts bind LOGICAL names; staged files store physical
+    val bad = logicalizeStaged(spark.read.option("mergeSchema", "true")
+        .parquet(staged.map(f => s"$dir/$f"): _*), dir)
       .filter(violated).limit(1).count() > 0
     if (bad) {
       staged.foreach(f => Files.deleteIfExists(Paths.get(dir, f)))
@@ -1050,6 +1170,205 @@ object TxLog {
   private[graft] def decodeCols(v: String): Seq[String] =
     v.split(',').toSeq.filter(_.nonEmpty).map(unescapeVal)
 
+  /** COLUMN MAPPING (Delta's `columnMapping` name mode): the reserved
+    * property carrying `logical=physical` pairs for columns whose
+    * in-file storage name differs from the schema name — what makes
+    * `ALTER TABLE ... RENAME COLUMN` a METADATA-ONLY commit instead of
+    * a 100 TB rewrite. Identity columns are omitted; an absent/empty
+    * property means every column stores under its own name (all
+    * pre-mapping tables). */
+  val ColumnMappingProp: String = "graft.column.mapping"
+
+  /** The physical storage names of DROPPED columns — still present in
+    * old files, never surfaced by reads, and never reusable by a later
+    * ADD COLUMN (re-binding a new logical column to a retired physical
+    * name would resurrect the dropped column's values). */
+  val RetiredColsProp: String = "graft.column.retired"
+
+  /** Parsed column-mapping state: logical→physical plus the retired
+    * physical set. `active` gates every read/write seam — inactive
+    * tables (the overwhelmingly common case) pay nothing. */
+  final case class ColMap(toPhys: Map[String, String],
+      retired: Set[String]) {
+    def active: Boolean = toPhys.nonEmpty || retired.nonEmpty
+    def phys(c: String): String = toPhys.getOrElse(c, c)
+  }
+
+  def columnMapping(dir: String, asOf: Option[Int] = None): ColMap =
+    if (currentVersion(dir) < 0) ColMap(Map.empty, Set.empty)
+    else {
+      val props = tableProperties(dir, asOf)
+      ColMap(
+        props.get(ColumnMappingProp).toSeq.flatMap(_.split(','))
+          .filter(_.nonEmpty).map { kv =>
+            val i = kv.indexOf('=')
+            unescapeVal(kv.substring(0, i)) -> unescapeVal(kv.substring(i + 1))
+          }.toMap,
+        props.get(RetiredColsProp).toSeq.flatMap(_.split(','))
+          .filter(_.nonEmpty).map(unescapeVal).toSet)
+    }
+
+  /** The property/unproperty lines recording a mapping transition —
+    * emitted inside the SAME commit as the schema change they belong
+    * to (a rename whose mapping landed in a different version than its
+    * schema would have a torn window). */
+  private def mappingLines(m: Map[String, String],
+      retired: Set[String]): Seq[String] = Seq(
+    if (m.isEmpty) s"unproperty\t${escapeVal(ColumnMappingProp)}"
+    else s"property\t${escapeVal(ColumnMappingProp)}\t" + escapeVal(
+      m.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${escapeVal(k)}=${escapeVal(v)}" }
+        .mkString(",")),
+    if (retired.isEmpty) s"unproperty\t${escapeVal(RetiredColsProp)}"
+    else s"property\t${escapeVal(RetiredColsProp)}\t" + escapeVal(
+      retired.toSeq.sorted.map(escapeVal).mkString(",")))
+
+  /** The `feature` declaration line for `name`, or nothing when the
+    * table already declares it (features are monotone — once declared,
+    * every reader must implement it forever). */
+  private def featureLine(dir: String, name: String): Seq[String] =
+    if (state(dir, None).features.contains(name)) Seq.empty
+    else Seq(s"feature\t${escapeVal(name)}")
+
+  /** REQUIRED reader features declared by the table. */
+  def tableFeatures(dir: String): Set[String] =
+    if (currentVersion(dir) < 0) Set.empty
+    else state(dir, None).features.toSet
+
+  /** Columns whose NAME is load-bearing metadata cannot be renamed or
+    * dropped: partition columns (their `p:` markers and declared
+    * layout key on them), declared stats columns (zone-map recording
+    * selects by name), and any column a CHECK constraint's SQL text
+    * references (the text would silently stop binding). The remedy is
+    * always to change that declaration first. */
+  private def guardMappable(dir: String, col: String, verb: String): Unit = {
+    require(!partitionColumns(dir).contains(col),
+      s"cannot $verb '$col': it is a declared partition column")
+    require(!statsColumns(dir).contains(col),
+      s"cannot $verb '$col': it is a declared data-skipping column — " +
+        s"ALTER ... SET TBLPROPERTIES('$StatsColsProp') without it first")
+    val pat = java.util.regex.Pattern.compile(
+      "(?i)(?<![\\w`])" + java.util.regex.Pattern.quote(col) + "(?![\\w`])")
+    val refs = constraints(dir).collect {
+      case (n, sql) if pat.matcher(sql).find() => n }
+    require(refs.isEmpty,
+      s"cannot $verb '$col': referenced by CHECK constraint(s) " +
+        refs.mkString(", "))
+  }
+
+  /** `ALTER TABLE ... RENAME COLUMN from TO to` — ONE metadata commit:
+    * the schema renames the field and the mapping binds the new
+    * logical name to the column's unchanged PHYSICAL storage name, so
+    * zero data bytes move at any table size. Renaming back to the
+    * physical name collapses the mapping entry (a→b→a is identity
+    * again). Old files keep pruning conservatively on markers recorded
+    * under the old name until an OPTIMIZE re-records them. */
+  def renameColumn(dir: String, from: String, to: String): Int = {
+    val cur = currentVersion(dir)
+    require(cur >= 0, s"$dir is not a TxLog table")
+    val schema = tableSchema(dir).getOrElse(
+      throw new UnsupportedOperationException(
+        s"RENAME COLUMN needs a recorded in-log schema on $dir — " +
+          "legacy tables record one on their next write"))
+    require(schema.fieldNames.contains(from), s"no such column: '$from'")
+    require(!schema.fieldNames.exists(_.equalsIgnoreCase(to)),
+      s"column '$to' already exists")
+    require(!to.contains('=') && !to.contains(','),
+      "a mapped column name cannot contain '=' or ','")
+    guardMappable(dir, from, "rename")
+    val cm = columnMapping(dir)
+    val phys = cm.phys(from)
+    val m2 = (cm.toPhys - from) ++
+      (if (phys == to) Map.empty[String, String] else Map(to -> phys))
+    val next = org.apache.spark.sql.types.StructType(schema.fields.map(f =>
+      if (f.name == from) f.copy(name = to) else f))
+    claimVersion(dir, cur + 1,
+      featureLine(dir, "column-mapping") ++ mappingLines(m2, cm.retired) :+
+        s"schema\t${escapeVal(next.json)}")
+  }
+
+  /** `ALTER TABLE ... DROP COLUMN c` — ONE metadata commit: the schema
+    * drops the field and the column's physical storage name RETIRES
+    * (old files still carry the bytes until rewritten/vacuumed; reads
+    * project them away; a later ADD COLUMN of the same name binds to a
+    * FRESH physical name so the dropped values can never resurrect).
+    * Delta's drop-column semantics — the 100 TB alternative to a
+    * full-table rewrite. */
+  def dropColumn(dir: String, name: String): Int = {
+    val cur = currentVersion(dir)
+    require(cur >= 0, s"$dir is not a TxLog table")
+    val schema = tableSchema(dir).getOrElse(
+      throw new UnsupportedOperationException(
+        s"DROP COLUMN needs a recorded in-log schema on $dir — " +
+          "legacy tables record one on their next write"))
+    require(schema.fieldNames.contains(name), s"no such column: '$name'")
+    require(schema.fields.length > 1, "cannot drop the only column")
+    guardMappable(dir, name, "drop")
+    val cm = columnMapping(dir)
+    val next = org.apache.spark.sql.types.StructType(
+      schema.fields.filterNot(_.name == name))
+    claimVersion(dir, cur + 1,
+      featureLine(dir, "column-mapping") ++
+        mappingLines(cm.toPhys - name, cm.retired + cm.phys(name)) :+
+        s"schema\t${escapeVal(next.json)}")
+  }
+
+  /** LOGICAL → PHYSICAL rename of an outgoing frame — the single seam
+    * every staging writer passes through on a mapped table. Refuses a
+    * NEW column (not in the recorded schema) whose name collides with
+    * retired/mapped physical storage: committing it would alias a
+    * dead column's bytes (the remedy is ALTER TABLE ADD COLUMN, which
+    * allocates a fresh physical name). */
+  private def toPhysicalDf(df: DataFrame, dir: String): DataFrame = {
+    val cm = columnMapping(dir)
+    if (!cm.active) return df
+    import org.apache.spark.sql.functions.col
+    val logical = tableSchema(dir).map(_.fieldNames.toSet)
+      .getOrElse(Set.empty)
+    val taken = cm.retired ++ cm.toPhys.values
+    df.columns.filterNot(logical).find(taken) match {
+      case Some(c) => throw new IllegalArgumentException(
+        s"new column '$c' collides with a renamed or dropped column's " +
+          "physical storage name — ALTER TABLE ADD COLUMN first (it " +
+          "allocates a fresh physical name)")
+      case None => ()
+    }
+    df.select(df.columns.map(c => col(c).as(cm.phys(c))).toIndexedSeq: _*)
+  }
+
+  /** PHYSICAL → LOGICAL projection of a frame read from data files:
+    * mapped columns re-surface under their schema names, retired
+    * (dropped) columns vanish, and logical columns no file carries
+    * null-backfill — the read-side half of column mapping, applied by
+    * [[readFiles]] so every consumer (scans, DML probes, time travel)
+    * sees only logical names. `keep` preserves row-identity helper
+    * columns ([[readLiveFilesKeyed]]'s `__f`/`__p`). */
+  private def projectToLogical(df: DataFrame, dir: String,
+      asOf: Option[Int], keep: Seq[String] = Seq.empty): DataFrame = {
+    val cm = columnMapping(dir, asOf)
+    if (!cm.active) return df
+    import org.apache.spark.sql.functions.{col, lit}
+    val logical = tableSchema(dir, asOf).getOrElse(return df)
+    val have = df.columns.toSet
+    df.select((logical.fields.toSeq.map { f =>
+      val p = cm.phys(f.name)
+      if (have(p)) col(p).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    } ++ keep.map(col)): _*)
+  }
+
+  /** PHYSICAL → LOGICAL alias-only rename for a re-read of freshly
+    * STAGED files (they hold exactly the written columns — no retired
+    * ghosts to project away, no missing columns to backfill). */
+  private def logicalizeStaged(df: DataFrame, dir: String): DataFrame = {
+    val cm = columnMapping(dir)
+    if (cm.toPhys.isEmpty) return df
+    import org.apache.spark.sql.functions.col
+    val rev = cm.toPhys.map(_.swap)
+    df.select(df.columns.map(c =>
+      col(c).as(rev.getOrElse(c, c))).toIndexedSeq: _*)
+  }
+
   /** REPLACE the whole live set with `df` staged PARTITION-PURE — the
     * overwrite path of a declaratively partitioned table (one atomic
     * commit, old state stays time-travelable, new files carry `p:`
@@ -1083,8 +1402,9 @@ object TxLog {
     val (dataStaged, dataLines) = stageLinesEnforced(spark, data, dir)
     try {
       if (dataStaged.nonEmpty) {
-        val stagedDf = spark.read.option("mergeSchema", "true")
-          .parquet(dataStaged.map(f => s"$dir/$f"): _*)
+        val stagedDf = logicalizeStaged(
+          spark.read.option("mergeSchema", "true")
+            .parquet(dataStaged.map(f => s"$dir/$f"): _*), dir)
         val bad = stagedDf.filter(!pred || pred.isNull).limit(1).count()
         if (bad > 0) throw new IllegalArgumentException(
           s"replaceWhere: the incoming batch holds rows outside the " +
@@ -1163,11 +1483,15 @@ object TxLog {
   private[graft] def stageForDefinition(spark: SparkSession, df: DataFrame,
       dir: String, partCols: Seq[String],
       statsCols: Seq[String] = Seq.empty): (Seq[String], Seq[String]) = {
+    // the OLD table's column mapping must NOT apply: this data is the
+    // NEW definition's, and commitDefinition clears the mapping in the
+    // same commit that references these files
     val (names, lines) =
       if (partCols.isEmpty) {
-        val n = stage(df, dir); (n, n.map(f => s"add\t$f"))
+        val n = stage(df, dir, useMapping = false)
+        (n, n.map(f => s"add\t$f"))
       } else stagePartitioned(spark, df, dir, partCols,
-        checkConstraints = false)
+        checkConstraints = false, useMapping = false)
     (names, enrichLines(spark, dir, lines, statsCols))
   }
 
@@ -1196,8 +1520,13 @@ object TxLog {
         .map(k => s"unproperty\t${escapeVal(k)}").toSeq
       val uncons = st.cons.keys
         .map(n => s"unconstraint\t${escapeVal(n)}").toSeq
+      // the COPY INTO ledger clears with the old definition: a replaced
+      // table owes nothing to what the PREVIOUS content ingested
+      val uncopies = st.copied.toSeq
+        .map(s => s"uncopysrc\t${escapeVal(s)}")
       claimVersion(dir, expectedVersion + 1,
-        removes ++ uncons ++ unprops ++ addLines ++ propLines :+ schemaL)
+        removes ++ uncons ++ unprops ++ uncopies ++
+          addLines ++ propLines :+ schemaL)
     }
   }
 
@@ -1207,15 +1536,19 @@ object TxLog {
   private def stagePartitioned(spark: SparkSession, df: DataFrame,
       dir: String, partCols: Seq[String],
       checkConstraints: Boolean = true,
-      arrange: (DataFrame, Seq[String]) => DataFrame = (d, _) => d)
+      arrange: (DataFrame, Seq[String]) => DataFrame = (d, _) => d,
+      useMapping: Boolean = true)
       : (Seq[String], Seq[String]) = {
     import org.apache.spark.sql.functions.col
     require(partCols.nonEmpty, "partCols must be non-empty")
     new File(dir).mkdirs()
     val tmp = Files.createTempDirectory(Paths.get(dir), ".stagep-")
     val shadows = partCols.map(c => s"__p_$c")
-    val dup = partCols.zip(shadows).foldLeft(df) { case (d, (c, s)) =>
-      d.withColumn(s, col(c).cast("string"))
+    // physical storage names on a mapped table (partition columns are
+    // rename-proof, so the shadow references below still bind)
+    val mapped = if (useMapping) toPhysicalDf(df, dir) else df
+    val dup = partCols.zip(shadows).foldLeft(mapped) {
+      case (d, (c, s)) => d.withColumn(s, col(c).cast("string"))
     }
     // `arrange` lets OPTIMIZE inject its layout (range-partition by
     // shadow values + cluster key, sorted within) BEFORE the dynamic
@@ -1292,7 +1625,7 @@ object TxLog {
     if (kept.isEmpty) return read(spark, dir, Some(v)).limit(0)
     val st = state(dir, Some(v))
     val base = readFiles(spark, dir, kept, dvFrameFrom(spark, dir,
-      st.dv.toMap.filter { case (f, _) => kept.contains(f) }))
+      st.dv.toMap.filter { case (f, _) => kept.contains(f) }), Some(v))
     filter.foldLeft(base) { case (d, (c, value)) =>
       d.filter(col(c).cast("string") === lit(value))
     }
@@ -1413,7 +1746,7 @@ object TxLog {
     val st = state(dir, Some(v)) // ONE fold serves file list + vectors
     if (st.live.isEmpty) return emptyRead(spark, dir, v)
     readFiles(spark, dir, st.live.keys.toSeq,
-      dvFrameFrom(spark, dir, st.dv.toMap))
+      dvFrameFrom(spark, dir, st.dv.toMap), Some(v))
   }
 
   /** DV-correct read RESTRICTED to `files` (a subset of the snapshot's
@@ -1432,7 +1765,7 @@ object TxLog {
     if (live.isEmpty) return emptyRead(spark, dir, v)
     readFiles(spark, dir, live,
       dvFrameFrom(spark, dir,
-        st.dv.toMap.filter { case (f, _) => keep(f) }))
+        st.dv.toMap.filter { case (f, _) => keep(f) }), Some(v))
   }
 
   /** Empty-snapshot read: recover the schema from the most recently
@@ -1559,13 +1892,19 @@ object TxLog {
     val (proven, candidates) = classifyByPredicate(st, pred)
     if (candidates.isEmpty) {
       if (proven.isEmpty) return cur
-      return claimVersion(dir, cur + 1, proven.map(f => s"remove\t$f"))
+      return claimOverAppendsRetrying(dir, cur,
+        proven.map(f => s"remove\t$f"))
     }
-    val hits = spark.read.option("mergeSchema", "true")
-      .parquet(candidates.map(f => s"$dir/$f"): _*)
+    // bind the row identity BEFORE the logical projection (mapped
+    // tables): `_metadata` is only reachable on the scan's own output
+    val hits = projectToLogical(
+        spark.read.option("mergeSchema", "true")
+          .parquet(candidates.map(f => s"$dir/$f"): _*)
+          .withColumn("__dvf", col("_metadata.file_name"))
+          .withColumn("__dvp", col("_metadata.row_index")),
+        dir, None, keep = Seq("__dvf", "__dvp"))
       .filter(pred)
-      .select(col("_metadata.file_name").as("file"),
-        col("_metadata.row_index").as("pos"))
+      .select(col("__dvf").as("file"), col("__dvp").as("pos"))
     commitDvHits(spark, dir, cur, st, hits, proven)
   }
 
@@ -1599,7 +1938,7 @@ object TxLog {
       val removes = wholesaleRemoves.map(f => s"remove\t$f")
       if (touchedNames.isEmpty) {
         if (wholesaleRemoves.isEmpty) return cur
-        return claimVersion(dir, cur + 1, removes)
+        return claimOverAppendsRetrying(dir, cur, removes)
       }
       val byName = live.groupBy(f => new File(f).getName)
       byName.find(_._2.size > 1).foreach { case (_, fs) =>
@@ -1612,7 +1951,7 @@ object TxLog {
       val lines = touchedNames.toSeq.sorted.map { n =>
         s"dvf\t${byName(n).head}\t$sidecar"
       }
-      claimVersion(dir, v, removes ++ lines)
+      claimOverAppendsRetrying(dir, cur, removes ++ lines)
     } finally { freshP.unpersist(): Unit }
   }
 
@@ -1818,10 +2157,14 @@ object TxLog {
     import org.apache.spark.sql.functions.col
     if (live.isEmpty) return Seq.empty
     // bind the metadata column BEFORE the matcher: a join inside the
-    // matcher projects the scan's `_metadata` away
-    val base = spark.read.option("mergeSchema", "true")
-      .parquet(live.map(f => s"$dir/$f"): _*)
-      .withColumn("__f", col("_metadata.file_name"))
+    // matcher projects the scan's `_metadata` away. The matcher's
+    // predicates bind LOGICAL names — project the mapped storage
+    // names onto them, keeping the file key.
+    val base = projectToLogical(
+      spark.read.option("mergeSchema", "true")
+        .parquet(live.map(f => s"$dir/$f"): _*)
+        .withColumn("__f", col("_metadata.file_name")),
+      dir, None, keep = Seq("__f"))
     val names = matcher(base)
       .select(col("__f")).distinct()
       .collect().map(_.getString(0)).toSet
@@ -1848,10 +2191,12 @@ object TxLog {
       files: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.col
     val st = state(dir, None)
-    val base = spark.read.option("mergeSchema", "true")
-      .parquet(files.map(f => s"$dir/$f"): _*)
-      .withColumn("__f", col("_metadata.file_name"))
-      .withColumn("__p", col("_metadata.row_index"))
+    val base = projectToLogical(
+      spark.read.option("mergeSchema", "true")
+        .parquet(files.map(f => s"$dir/$f"): _*)
+        .withColumn("__f", col("_metadata.file_name"))
+        .withColumn("__p", col("_metadata.row_index")),
+      dir, None, keep = Seq("__f", "__p"))
     dvFrameFrom(spark, dir,
       st.dv.toMap.filter { case (f, _) => files.contains(f) }) match {
       case None => base
@@ -1895,16 +2240,68 @@ object TxLog {
   }
 
   /** Commit with PRE-BUILT add lines (marker-carrying) — the
-    * rewriting writers' claim leg. */
+    * rewriting writers' claim leg. Retries across pure blind appends
+    * ([[claimOverAppendsRetrying]]). */
   private[graft] def commitLines(dir: String, expected: Int,
       addLines: Seq[String], removes: Seq[String]): Int =
-    claimVersion(dir, expected + 1,
+    claimOverAppendsRetrying(dir, expected,
       removes.map(f => s"remove\t$f") ++ addLines)
 
+  /** Is version `v` a PURE BLIND APPEND — new data files and their
+    * bookkeeping only (add/txn/copysrc lines, a widened union schema),
+    * nothing removed, no vectors, no constraint/property/layout
+    * changes, and DECIDED? Only such versions commute with a
+    * read-based DML commit. */
+  private def isPureAppend(dir: String, v: Int): Boolean =
+    !versionUndecided(dir, v) && entryLines(dir, v).forall(l =>
+      l.startsWith("add\t") || l.startsWith("txn\t") ||
+        l.startsWith("copysrc\t") || l.startsWith("schema\t") ||
+        l.startsWith("ts\t")) // every commit's instant stamp
+
+  /** WRITE-SERIALIZABLE conflict resolution (Delta's default level):
+    * a commit whose removes/rewrites were computed against snapshot
+    * `expected` lost the claim race — it may re-claim at the new head
+    * IFF every interfering version is a [[isPureAppend]] blind append.
+    * Sound because appends cannot invalidate the computed write set:
+    * nothing this commit removes was removed, no deletion vector
+    * landed, no constraint/property/layout changed under it. The
+    * documented WriteSerializable anomaly applies exactly as in Delta:
+    * rows appended concurrently with a DELETE survive even if they
+    * match its predicate (they serialize AFTER it). Anything stronger
+    * — a concurrent DML, OPTIMIZE, RESTORE, metadata change — still
+    * conflicts. At 100 TB this is the difference between ingest and
+    * maintenance coexisting vs the nightly DELETE killing every
+    * concurrent append stream (or vice versa). */
+  private def claimOverAppendsRetrying(dir: String, expected: Int,
+      lines: Seq[String], maxRetries: Int = 20): Int = {
+    var base = expected
+    var attempt = 0
+    while (true) {
+      appendRaceHook()
+      try return claimVersion(dir, base + 1, lines)
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          val cur = currentVersion(dir)
+          val commutes = attempt <= maxRetries && cur > base &&
+            (base + 1 to cur).forall(v => isPureAppend(dir, v))
+          if (!commutes) throw e
+          base = cur
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** DV-aware scan of `files` as of the vectors in `dv`: rows whose
-    * (file, position) is deleted never reach the caller. */
+    * (file, position) is deleted never reach the caller. On a
+    * column-mapped table the result projects PHYSICAL storage names
+    * back onto the logical schema at `asOf` ([[projectToLogical]]) —
+    * the one seam that makes every consumer (scans, DML probes, time
+    * travel) see renamed columns under their schema names and dropped
+    * columns not at all. */
   private def readFiles(spark: SparkSession, dir: String,
-      files: Seq[String], dv: Option[DataFrame]): DataFrame = {
+      files: Seq[String], dv: Option[DataFrame],
+      asOf: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.functions.col
     if (files.isEmpty)
       throw new IllegalArgumentException("empty snapshot read")
@@ -1913,7 +2310,7 @@ object TxLog {
     // as NULL (q380). Footer-merge cost is per-file metadata IO.
     val base = spark.read.option("mergeSchema", "true")
       .parquet(files.map(f => s"$dir/$f"): _*)
-    dv match {
+    val merged = dv match {
       case None => base
       case Some(dvDf) =>
         val cols = base.columns.map(col)
@@ -1926,6 +2323,7 @@ object TxLog {
           .join(dvDf, Seq("__f", "__p"), "left_anti")
           .select(cols: _*)
     }
+    projectToLogical(merged, dir, asOf)
   }
 
   /** MERGE/UPSERT by key (insert-or-replace whole rows): copy-on-write
@@ -1947,8 +2345,8 @@ object TxLog {
     val (srcStaged, srcLines) = stageLinesEnforced(spark, source, dir)
     val src =
       if (srcStaged.isEmpty) source.limit(0)
-      else spark.read.option("mergeSchema", "true")
-        .parquet(srcStaged.map(f => s"$dir/$f"): _*)
+      else logicalizeStaged(spark.read.option("mergeSchema", "true")
+        .parquet(srcStaged.map(f => s"$dir/$f"): _*), dir)
     val keys = src.select(keyCol).distinct().persist()
     try {
       val affected = affectedFiles(spark, dir, st.live.keys.toSeq,
@@ -2102,10 +2500,13 @@ object TxLog {
       // partitionBy writer split boundary tasks into pure files.
       // `nFiles` bounds the TASK count; equal partition tuples land in
       // one task, so the simple path compacts to one file per value.
+      // the curve column is computed on the LOGICAL frame here (before
+      // staging maps storage names) so ZORDER BY still binds after a
+      // RENAME COLUMN; `arrange` only orders by it and drops it
+      val srcZ = zOpt.fold(src)(z => src.withColumn("__gz", z))
       val arrange: (DataFrame, Seq[String]) => DataFrame = (d, sh) => {
         val keys = sh.map(col) ++ zOpt.map(_ => col("__gz")).toSeq
-        val base = zOpt.fold(d)(z => d.withColumn("__gz", z))
-        val arranged = base
+        val arranged = d
           .repartitionByRange(math.max(nFiles, 1), keys: _*)
           .sortWithinPartitions(keys: _*)
         // the curve helper never reaches the files; dropping it is a
@@ -2114,7 +2515,7 @@ object TxLog {
       }
       // constraint re-check skipped: bit-identical rows (nodc), same
       // contract as the unpartitioned compaction path
-      val (staged, lines) = stagePartitioned(spark, src, dir, declared,
+      val (staged, lines) = stagePartitioned(spark, srcZ, dir, declared,
         checkConstraints = false, arrange = arrange)
       val statM = statMarkersFor(spark, dir, staged,
         (clusterBy ++ statsColumns(dir)).distinct)
@@ -2194,12 +2595,28 @@ object TxLog {
         Seq(s"dv\t$f\t${inline.toSeq.sorted.mkString(",")}")
       else Seq.empty) ++ sidecars.map(sc => s"dvf\t$f\t$sc")
     }
+    val curSt = state(dir, Some(cur))
     val schemaSnap = st.schemaJson.toSeq
-      .filter(j => !state(dir, Some(cur)).schemaJson.contains(j))
+      .filter(j => !curSt.schemaJson.contains(j))
       .map(j => s"schema\t${escapeVal(j)}")
+    // LAYOUT-critical reserved properties travel with the data they
+    // describe: a restore across a RENAME/DROP COLUMN (or a REPLACE
+    // that changed partitioning/stats declarations) must snap them
+    // back WITH the schema — current mapping over the restored schema
+    // would mis-bind columns. User TBLPROPERTIES stay current
+    // (governance, like constraints).
+    val layoutSnap = Seq(PartitionColsProp, StatsColsProp,
+        ColumnMappingProp, RetiredColsProp).flatMap { k =>
+      (st.props.get(k), curSt.props.get(k)) match {
+        case (Some(v), c) if !c.contains(v) =>
+          Seq(s"property\t${escapeVal(k)}\t${escapeVal(v)}")
+        case (None, Some(_)) => Seq(s"unproperty\t${escapeVal(k)}")
+        case _ => Seq.empty
+      }
+    }
     claimVersion(dir, cur + 1,
       snapshot(dir, Some(cur)).map(f => s"remove\t$f") ++
-        st.live.values.toSeq ++ dvLines ++ schemaSnap)
+        st.live.values.toSeq ++ dvLines ++ layoutSnap ++ schemaSnap)
   }
 
   def shallowClone(srcDir: String, dstDir: String): Int = {
@@ -2241,6 +2658,10 @@ object TxLog {
         s"constraint\t${escapeVal(n)}\t${escapeVal(sql)}" } ++
       srcSt.props.toSeq.map { case (k, v) =>
         s"property\t${escapeVal(k)}\t${escapeVal(v)}" } ++
+      // the COPY INTO ledger clones too: re-running the same COPY INTO
+      // against the clone must not double-load what the source ingested
+      srcSt.copied.toSeq.map(s => s"copysrc\t${escapeVal(s)}") ++
+      srcSt.features.toSeq.map(f => s"feature\t${escapeVal(f)}") ++
       srcSt.schemaJson.map(j => s"schema\t${escapeVal(j)}")
     try claimVersion(dstDir, 0, lines)
     catch {
@@ -2317,6 +2738,10 @@ object TxLog {
         s"constraint\t${escapeVal(n)}\t${escapeVal(sql)}" } ++
       srcSt.props.toSeq.map { case (k, v) =>
         s"property\t${escapeVal(k)}\t${escapeVal(v)}" } ++
+      // the COPY INTO ledger clones too: re-running the same COPY INTO
+      // against the clone must not double-load what the source ingested
+      srcSt.copied.toSeq.map(s => s"copysrc\t${escapeVal(s)}") ++
+      srcSt.features.toSeq.map(f => s"feature\t${escapeVal(f)}") ++
       srcSt.schemaJson.map(j => s"schema\t${escapeVal(j)}")
     try claimVersion(dstDir, 0, lines)
     catch {
@@ -2513,6 +2938,12 @@ object TxLog {
     val cur = currentVersion(dir)
     require(fromVersion >= 0 && fromVersion <= toVersion && toVersion <= cur,
       s"change-feed range [$fromVersion, $toVersion] outside [0, $cur]")
+    // a RENAME/DROP COLUMN inside or before the range would make the
+    // feed's frames disagree on column identity across versions —
+    // Delta blocks CDF reads across column-mapping schema changes too
+    require(!columnMapping(dir, Some(toVersion)).active,
+      s"the change feed of $dir is unavailable after a RENAME or DROP " +
+        "COLUMN (column mapping active) — read snapshots in batch instead")
     def tagged(df: DataFrame, tpe: String, v: Int): DataFrame =
       df.withColumn("_change_type", lit(tpe))
         .withColumn("_commit_version", lit(v.toLong))

@@ -46,6 +46,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*CREATE\s+TABLE\s+((?:`[^`]+`|[\w.])+)\s+(SHALLOW|DEEP)\s+CLONE\s+((?:`[^`]+`|[\w.])+)\s*;?\s*""".r
   private val Convert =
     """(?is)\s*CONVERT\s+TO\s+TXLOG\s+parquet\s*\.\s*`([^`]+)`\s*(?:STATS\s*\(([^)]*)\)\s*)?;?\s*""".r
+  private val CopyInto =
+    """(?is)\s*COPY\s+INTO\s+((?:`[^`]+`|[\w.])+)\s+FROM\s+'([^']+)'\s+FILEFORMAT\s*=\s*PARQUET\s*;?\s*""".r
+  private val AddConstraint =
+    """(?is)\s*ALTER\s+TABLE\s+((?:`[^`]+`|[\w.])+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.*)\)\s*;?\s*""".r
+  private val DropConstraint =
+    """(?is)\s*ALTER\s+TABLE\s+((?:`[^`]+`|[\w.])+)\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     // INDEX form first: the table-OPTIMIZE pattern would otherwise
@@ -77,6 +83,13 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       ConvertToTxLogCommand(path, Option(stats).toSeq
         .flatMap(_.split(',')).map(_.trim.stripPrefix("`").stripSuffix("`"))
         .filter(_.nonEmpty))
+    case CopyInto(name, path) =>
+      CopyIntoCommand(delegate.parseMultipartIdentifier(name), path)
+    case AddConstraint(name, cname, expr) =>
+      AddConstraintCommand(delegate.parseMultipartIdentifier(name),
+        cname, expr.trim)
+    case DropConstraint(name, cname) =>
+      DropConstraintCommand(delegate.parseMultipartIdentifier(name), cname)
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -246,6 +259,55 @@ case class ConvertToTxLogCommand(path: String, statsCols: Seq[String])
   }
 }
 
+/** `COPY INTO t FROM '<dir>' FILEFORMAT = PARQUET` →
+  * [[TxLog.copyInto]] (Delta's idempotent-load verb): ingest exactly
+  * the parquet files under the source directory this table has not
+  * loaded yet — the commit carries a `copysrc` ledger line per
+  * ingested file, so the statement is safe to re-run after a crash or
+  * on a schedule: each file loads exactly once, new files keep
+  * flowing. The load is a normal constraint-checked append
+  * (partition-pure on a declared layout, declared-stats markers). */
+case class CopyIntoCommand(nameParts: Seq[String], src: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("num_files", LongType, nullable = false)(),
+    AttributeReference("num_rows", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = MaintenanceTarget.dirOf(spark, nameParts)
+    val (v, nf, nr) = TxLog.copyInto(spark, dir, src)
+    if (nf > 0) TxLogDml.refresh(spark, dir)
+    Seq(Row(v.toLong, nf.toLong, nr))
+  }
+}
+
+/** `ALTER TABLE t ADD CONSTRAINT name CHECK (expr)` →
+  * [[TxLog.addConstraint]] (Delta's verb): validates EXISTING rows in
+  * one aggregate pass, then every future write — batch, SQL INSERT,
+  * DML rewrites, streaming epochs — is gated on the staged batch
+  * (stage-first, reject-whole-batch semantics). The constraint text
+  * lives in the log, carried through checkpoints and clones. */
+case class AddConstraintCommand(nameParts: Seq[String], cname: String,
+    checkSql: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = MaintenanceTarget.dirOf(spark, nameParts)
+    Seq(Row(TxLog.addConstraint(spark, dir, cname, checkSql).toLong))
+  }
+}
+
+/** `ALTER TABLE t DROP CONSTRAINT name` → [[TxLog.dropConstraint]]. */
+case class DropConstraintCommand(nameParts: Seq[String], cname: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = MaintenanceTarget.dirOf(spark, nameParts)
+    Seq(Row(TxLog.dropConstraint(dir, cname).toLong))
+  }
+}
+
 /** `RESTORE [TABLE] t [TO] VERSION AS OF n` → [[TxLog.restore]]: the
   * bad-deploy undo as SQL (Delta's verb) — live set, deletion vectors,
   * and schema snap back as one new auditable commit; the undone
@@ -392,7 +454,8 @@ case class DescribeDetailCommand(nameParts: Seq[String])
       TxLog.partitionColumns(dir).mkString(","),
       TxLog.hasDeletionVectors(dir),
       TxLog.constraints(dir).size.toLong,
-      (props - TxLog.PartitionColsProp).size.toLong))
+      (props - TxLog.PartitionColsProp - TxLog.ColumnMappingProp
+        - TxLog.RetiredColsProp).size.toLong))
   }
 }
 

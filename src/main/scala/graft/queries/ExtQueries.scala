@@ -5664,5 +5664,300 @@ object ExtQueries {
              |  CAST(count(*) AS BIGINT) AS n_rows,
              |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
              |    AS revenue
-             |FROM orders""".stripMargin)))
+             |FROM orders""".stripMargin)),
+
+    // q450 — `COPY INTO ... FILEFORMAT = PARQUET`: Delta's idempotent
+    // file-loading verb. The commit carries a `copysrc` ledger line
+    // per ingested file (canonical path), so the statement is safe to
+    // re-run — a retried load after a crash, or a scheduled sweep of a
+    // landing directory, ingests each file EXACTLY ONCE while files
+    // that appear later keep flowing in. The hash pins all three
+    // phases: the first load takes everything, the immediate re-run is
+    // a no-op (0 files), and after new files land in the directory the
+    // third run loads ONLY them — with the final table content checked
+    // against the oracle's recomputation from the base parquet.
+    QuerySpec("q450_copy_into",
+      (s, dir) => {
+        import graft.core.TxLog
+        val base = Scratch.dir("lakecat", dir)
+        val t = s"$base/q450c"
+        val src = s"$base/q450src"
+        TxLog.drop(t)
+        TxLog.drop(src) // plain directory; drop clears the tree too
+        new java.io.File(base).mkdirs()
+        s.conf.set("spark.sql.catalog.graft_lake",
+          classOf[graft.sources.TxLogCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_lake.base", base)
+        s.sql("""CREATE TABLE graft_lake.q450c (
+                   l_orderkey BIGINT, l_quantity DOUBLE) USING txlog""")
+        val li = Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity").cast("double"))
+        val first = li.filter(col("l_orderkey") % 3 === 0)
+        val later = li.filter(col("l_orderkey") % 3 === 1)
+        first.repartition(2).write.mode("overwrite").parquet(src)
+        def copy() = s.sql(
+          s"COPY INTO graft_lake.q450c FROM '$src' FILEFORMAT = PARQUET")
+          .head()
+        val r1 = copy()
+        val r2 = copy() // idempotent: nothing new → 0 files, 0 rows
+        later.coalesce(1).write.mode("append").parquet(src) // lands later
+        val r3 = copy()
+        val firstN = first.count()
+        val laterN = later.count()
+        s.sql("SELECT * FROM graft_lake.q450c")
+          .agg(count(lit(1)).as("n_rows"),
+            Stable.dsum(col("l_quantity")).as("sum_qty"))
+          .select(
+            lit(r1.getLong(1) == 2L && r1.getLong(2) == firstN)
+              .as("first_loaded_all"),
+            lit(r2.getLong(1) == 0L && r2.getLong(2) == 0L)
+              .as("rerun_noop"),
+            lit(r3.getLong(2) == laterN).as("new_files_only"),
+            col("n_rows"), col("sum_qty"))
+      },
+      Some("""SELECT TRUE AS first_loaded_all, TRUE AS rerun_noop,
+             |  TRUE AS new_files_only,
+             |  CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS sum_qty
+             |FROM lineitem WHERE l_orderkey % 3 IN (0, 1)"""
+        .stripMargin)),
+
+    // q451 — `ALTER TABLE ... RENAME COLUMN` via COLUMN MAPPING
+    // (Delta's name-mapping mode): ONE metadata commit binds the new
+    // logical name to the column's unchanged physical storage name —
+    // zero data bytes move, which is the only rename that exists at
+    // 100 TB. The hash pins the whole lifecycle: pre-rename files read
+    // under the new name, a post-rename INSERT stores under the
+    // mapping, DELETE binds the new name over old files, and time
+    // travel to the pre-rename version still shows the ORIGINAL
+    // column name with all original rows.
+    QuerySpec("q451_rename_column",
+      (s, dir) => {
+        import graft.core.TxLog
+        val base = Scratch.dir("lakecat", dir)
+        val t = s"$base/q451r"
+        TxLog.drop(t)
+        new java.io.File(base).mkdirs()
+        s.conf.set("spark.sql.catalog.graft_lake",
+          classOf[graft.sources.TxLogCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_lake.base", base)
+        s.sql("""CREATE TABLE graft_lake.q451r (
+                   c_custkey BIGINT, c_acctbal DOUBLE) USING txlog""")
+        val cust = Tables.load(s, dir, "customer")
+          .select(col("c_custkey"), col("c_acctbal").cast("double"))
+        cust.filter(col("c_custkey") <= 1000)
+          .createOrReplaceTempView("q451_first")
+        cust.filter(col("c_custkey") > 1000)
+          .withColumnRenamed("c_acctbal", "balance")
+          .createOrReplaceTempView("q451_later")
+        s.sql("INSERT INTO graft_lake.q451r SELECT * FROM q451_first") // v1
+        s.sql("ALTER TABLE graft_lake.q451r " +
+          "RENAME COLUMN c_acctbal TO balance")                       // v2
+        val files2 = TxLog.snapshot(t).toSet
+        // DML binds the NEW name over PRE-RENAME files (CoW rewrite)
+        s.sql("DELETE FROM graft_lake.q451r WHERE balance < 0")       // v3
+        // a post-rename write stores under the mapped physical name
+        s.sql("INSERT INTO graft_lake.q451r SELECT * FROM q451_later")
+        val renamedSchema = s.table("graft_lake.q451r")
+          .schema.fieldNames.toSeq == Seq("c_custkey", "balance")
+        val zeroRewriteRename = files2 == TxLog.snapshot(t, Some(1)).toSet
+        val tt = s.sql("SELECT * FROM graft_lake.q451r VERSION AS OF 1")
+        val ttOldName = tt.schema.fieldNames.toSeq ==
+          Seq("c_custkey", "c_acctbal") &&
+          tt.count() == cust.filter(col("c_custkey") <= 1000).count()
+        s.sql("SELECT * FROM graft_lake.q451r")
+          .agg(count(lit(1)).as("n_rows"),
+            Stable.dsum(col("balance")).as("sum_balance"))
+          .select(lit(renamedSchema).as("renamed_schema"),
+            lit(zeroRewriteRename).as("rename_moved_no_files"),
+            lit(ttOldName).as("time_travel_old_name"),
+            col("n_rows"), col("sum_balance"))
+      },
+      Some("""WITH cur AS (
+             |  SELECT c_custkey, c_acctbal AS balance FROM customer
+             |  WHERE c_custkey <= 1000 AND c_acctbal >= 0
+             |  UNION ALL
+             |  SELECT c_custkey, c_acctbal AS balance FROM customer
+             |  WHERE c_custkey > 1000)
+             |SELECT TRUE AS renamed_schema,
+             |  TRUE AS rename_moved_no_files,
+             |  TRUE AS time_travel_old_name,
+             |  CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(SUM(CAST(balance AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS sum_balance
+             |FROM cur""".stripMargin)),
+
+    // q452 — `ALTER TABLE ... DROP COLUMN` + no-resurrection: the drop
+    // is ONE metadata commit that RETIRES the column's physical
+    // storage name (old files keep the bytes until rewritten; reads
+    // project them away). The sharp edge this query pins: a LATER
+    // `ADD COLUMN` of the SAME name binds a fresh physical name, so
+    // the dropped values can never leak back — the re-added column
+    // reads NULL for every pre-existing row, and only rows written
+    // after the re-add carry values. Time travel before the drop
+    // still serves the original column.
+    QuerySpec("q452_drop_column",
+      (s, dir) => {
+        import graft.core.TxLog
+        val base = Scratch.dir("lakecat", dir)
+        val t = s"$base/q452d"
+        TxLog.drop(t)
+        new java.io.File(base).mkdirs()
+        s.conf.set("spark.sql.catalog.graft_lake",
+          classOf[graft.sources.TxLogCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_lake.base", base)
+        s.sql("""CREATE TABLE graft_lake.q452d (
+                   o_orderkey BIGINT, o_totalprice DOUBLE,
+                   o_orderstatus STRING) USING txlog""")
+        val ord = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice").cast("double"),
+            col("o_orderstatus"))
+        ord.filter(col("o_orderkey") % 4 === 0)
+          .createOrReplaceTempView("q452_first")
+        ord.filter(col("o_orderkey") % 4 === 1)
+          .createOrReplaceTempView("q452_later")
+        s.sql("INSERT INTO graft_lake.q452d SELECT * FROM q452_first") // v1
+        s.sql("ALTER TABLE graft_lake.q452d DROP COLUMN o_orderstatus")    // v2
+        val dropped = s.table("graft_lake.q452d")
+          .schema.fieldNames.toSeq == Seq("o_orderkey", "o_totalprice")
+        s.sql("ALTER TABLE graft_lake.q452d ADD COLUMN o_orderstatus STRING")
+        // the re-added column must read NULL everywhere — resurrection
+        // of the dropped values would show up right here
+        val resurrected = s.sql("SELECT count(*) FROM graft_lake.q452d " +
+          "WHERE o_orderstatus IS NOT NULL").head().getLong(0)
+        s.sql("INSERT INTO graft_lake.q452d SELECT * FROM q452_later")
+        val ttComments = s.sql(
+          "SELECT count(o_orderstatus) FROM graft_lake.q452d VERSION AS OF 1")
+          .head().getLong(0)
+        val firstN = ord.filter(col("o_orderkey") % 4 === 0)
+          .filter(col("o_orderstatus").isNotNull).count()
+        s.sql("SELECT * FROM graft_lake.q452d")
+          .agg(count(lit(1)).as("n_rows"),
+            count(col("o_orderstatus")).as("n_comments"),
+            Stable.dsum(col("o_totalprice")).as("revenue"))
+          .select(lit(dropped).as("dropped_schema"),
+            lit(resurrected == 0L).as("no_resurrection"),
+            lit(ttComments == firstN).as("time_travel_serves_dropped"),
+            col("n_rows"), col("n_comments"), col("revenue"))
+      },
+      Some("""SELECT TRUE AS dropped_schema, TRUE AS no_resurrection,
+             |  TRUE AS time_travel_serves_dropped,
+             |  CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(count(*) FILTER (WHERE o_orderkey % 4 = 1
+             |    AND o_orderstatus IS NOT NULL) AS BIGINT) AS n_comments,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS revenue
+             |FROM orders WHERE o_orderkey % 4 IN (0, 1)"""
+        .stripMargin)),
+
+    // q453 — WRITE-SERIALIZABLE CONCURRENCY (Delta's default isolation):
+    // a DELETE whose commit window is interleaved by a BLIND APPEND
+    // retries and lands instead of failing optimistic concurrency —
+    // on a 100 TB table the nightly retention DELETE and the ingest
+    // streams must coexist; strict OCC would kill one of them every
+    // time. The interleave is injected deterministically (the append
+    // commits between the DELETE's snapshot read and its claim), and
+    // the WriteSerializable outcome is exact: delete applied to the
+    // old snapshot, appended rows all survive (they serialize AFTER
+    // the delete), one retried commit, no exception. Anything beyond
+    // a pure append (OPTIMIZE/DML/metadata) still conflicts — the
+    // spec suite pins that half.
+    QuerySpec("q453_concurrent_append_dml",
+      (s, dir) => {
+        import graft.core.TxLog
+        val base = Scratch.dir("lakecat", dir)
+        val t = s"$base/q453w"
+        TxLog.drop(t)
+        val ord = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice").cast("double"))
+        TxLog.create(ord.filter(col("o_orderkey") % 2 === 0), t) // v0
+        val late = ord.filter(col("o_orderkey") % 2 === 1)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
+        // the blind append lands INSIDE the DELETE's commit window
+        TxLog.appendRaceHook = () => {
+          TxLog.appendRaceHook = () => ()
+          TxLog.append(late, t): Unit
+        }
+        val deleteLanded = try {
+          TxLog.deleteWhere(s, t, col("o_totalprice") < 50000.0); true
+        } finally { TxLog.appendRaceHook = () => () }
+        // v1 = the racing append, v2 = the retried delete
+        val serialized = TxLog.currentVersion(t) == 2
+        TxLog.read(s, t)
+          .agg(count(lit(1)).as("n_rows"),
+            Stable.dsum(col("o_totalprice")).as("revenue"))
+          .select(lit(deleteLanded).as("delete_survived_race"),
+            lit(serialized).as("append_then_delete_versions"),
+            col("n_rows"), col("revenue"))
+      },
+      Some("""WITH cur AS (
+             |  SELECT o_totalprice FROM orders
+             |  WHERE o_orderkey % 2 = 0 AND o_totalprice >= 50000.0
+             |  UNION ALL
+             |  SELECT o_totalprice FROM orders WHERE o_orderkey % 2 = 1)
+             |SELECT TRUE AS delete_survived_race,
+             |  TRUE AS append_then_delete_versions,
+             |  CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS revenue
+             |FROM cur""".stripMargin)),
+
+    // q454 — CHECK constraints as SQL verbs (Delta's `ALTER TABLE ...
+    // ADD CONSTRAINT name CHECK (...)` / `DROP CONSTRAINT`): the
+    // governance gate becomes operable without touching the library
+    // API. The hash pins the full lifecycle: existing rows validate at
+    // ADD time, a violating batch is rejected WHOLE (nothing commits —
+    // stage-first atomicity), compliant batches flow, DESCRIBE DETAIL
+    // counts the active constraint, and after DROP CONSTRAINT the
+    // formerly-refused row lands.
+    QuerySpec("q454_sql_constraints",
+      (s, dir) => {
+        import graft.core.TxLog
+        val base = Scratch.dir("lakecat", dir)
+        val t = s"$base/q454c"
+        TxLog.drop(t)
+        new java.io.File(base).mkdirs()
+        s.conf.set("spark.sql.catalog.graft_lake",
+          classOf[graft.sources.TxLogCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_lake.base", base)
+        s.sql("""CREATE TABLE graft_lake.q454c (
+                   l_orderkey BIGINT, l_quantity DOUBLE) USING txlog""")
+        val li = Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity").cast("double"))
+        li.filter(col("l_orderkey") % 5 === 0)
+          .createOrReplaceTempView("q454_first")
+        li.filter(col("l_orderkey") % 5 === 1)
+          .createOrReplaceTempView("q454_later")
+        s.sql("INSERT INTO graft_lake.q454c SELECT * FROM q454_first")
+        s.sql("ALTER TABLE graft_lake.q454c " +
+          "ADD CONSTRAINT qty_pos CHECK (l_quantity > 0)")
+        val before = s.sql("SELECT count(*) FROM graft_lake.q454c")
+          .head().getLong(0)
+        val refused = try {
+          s.sql("INSERT INTO graft_lake.q454c VALUES (-1, -7.5)"); false
+        } catch { case _: Throwable => true }
+        val unchanged = s.sql("SELECT count(*) FROM graft_lake.q454c")
+          .head().getLong(0) == before
+        s.sql("INSERT INTO graft_lake.q454c SELECT * FROM q454_later")
+        val counted = s.sql("DESCRIBE DETAIL graft_lake.q454c")
+          .select("num_constraints").head().getLong(0) == 1L
+        s.sql("ALTER TABLE graft_lake.q454c DROP CONSTRAINT qty_pos")
+        s.sql("INSERT INTO graft_lake.q454c VALUES (-1, -7.5)")
+        s.sql("SELECT * FROM graft_lake.q454c")
+          .agg(count(lit(1)).as("n_rows"),
+            Stable.dsum(col("l_quantity")).as("sum_qty"))
+          .select(lit(refused && unchanged).as("violation_rejected_whole"),
+            lit(counted).as("constraint_in_detail"),
+            col("n_rows"), col("sum_qty"))
+      },
+      Some("""WITH cur AS (
+             |  SELECT l_quantity FROM lineitem WHERE l_orderkey % 5 IN (0, 1)
+             |  UNION ALL SELECT -7.5)
+             |SELECT TRUE AS violation_rejected_whole,
+             |  TRUE AS constraint_in_detail,
+             |  CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS sum_qty
+             |FROM cur""".stripMargin)))
 }

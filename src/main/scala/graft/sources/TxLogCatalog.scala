@@ -119,6 +119,10 @@ class TxLogCatalog extends TableCatalog
     val userProps = Option(properties).map(_.asScala.toMap)
       .getOrElse(Map.empty)
       .view.filterKeys(k => !TxLogCatalog.ReservedProps(k)).toMap
+    userProps.keys.foreach(k => require(
+      k != TxLog.ColumnMappingProp && k != TxLog.RetiredColsProp,
+      s"$k is engine-managed (RENAME/DROP COLUMN maintain it) and " +
+        "cannot be declared in TBLPROPERTIES"))
     val partProp =
       if (partCols.isEmpty) Map.empty[String, String]
       else Map(TxLog.PartitionColsProp ->
@@ -140,6 +144,29 @@ class TxLogCatalog extends TableCatalog
         Seq(catalogName) ++ ident.namespace() :+ ident.name())
     val prior = TxLog.tableSchema(dir).getOrElse(
       TxLog.read(SparkSession.active, dir).schema)
+    // RENAME/DROP COLUMN are their own single-change commits — the
+    // mapping transition and the schema change must land atomically
+    // ([[TxLog.renameColumn]]/[[TxLog.dropColumn]], metadata-only:
+    // zero data bytes move at any table size)
+    changes.toSeq match {
+      case Seq(r: TableChange.RenameColumn) =>
+        require(r.fieldNames().length == 1,
+          "txlog RENAME COLUMN supports top-level columns only")
+        TxLog.renameColumn(dir, r.fieldNames()(0), r.newName()): Unit
+        graft.plans.TxLogDml.refresh(SparkSession.active, dir)
+        return new TxLogTable(dir, ident.toString)
+      case Seq(d: TableChange.DeleteColumn) =>
+        require(d.fieldNames().length == 1,
+          "txlog DROP COLUMN supports top-level columns only")
+        TxLog.dropColumn(dir, d.fieldNames()(0)): Unit
+        graft.plans.TxLogDml.refresh(SparkSession.active, dir)
+        return new TxLogTable(dir, ident.toString)
+      case cs if cs.exists(c => c.isInstanceOf[TableChange.RenameColumn]
+          || c.isInstanceOf[TableChange.DeleteColumn]) =>
+        throw new UnsupportedOperationException(
+          "RENAME/DROP COLUMN must be the statement's only change")
+      case _ => ()
+    }
     // property changes batch into ONE metadata commit; column adds
     // evolve the schema in another (each verb = one auditable version)
     val setProps = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -195,6 +222,10 @@ class TxLogCatalog extends TableCatalog
     val userProps = Option(properties).map(_.asScala.toMap)
       .getOrElse(Map.empty)
       .view.filterKeys(k => !TxLogCatalog.ReservedProps(k)).toMap
+    userProps.keys.foreach(k => require(
+      k != TxLog.ColumnMappingProp && k != TxLog.RetiredColsProp,
+      s"$k is engine-managed (RENAME/DROP COLUMN maintain it) and " +
+        "cannot be declared in TBLPROPERTIES"))
     val partProp =
       if (partCols.isEmpty) Map.empty[String, String]
       else Map(TxLog.PartitionColsProp ->
@@ -475,6 +506,12 @@ class TxLogTable(val dir: String, ident: String,
           require(!overwrite && overwriteBy.isEmpty && !dynamic,
             "txlog streaming writes are Append-only (Complete output " +
               "mode would need a replace-per-epoch protocol)")
+          // executor tasks write the frame's column names VERBATIM —
+          // on a mapped table that would store logical names the reads
+          // no longer bind; refuse until the writer maps them
+          require(!TxLog.columnMapping(dir).active,
+            s"streaming writes to $dir are unavailable after a RENAME " +
+              "or DROP COLUMN (column mapping active) — use batch appends")
           new TxLogStreamingWrite(dir, info.schema(), info.queryId())
         }
       }
@@ -817,6 +854,11 @@ class TxLogV1ScanBuilder(dir: String, tableSchema: StructType,
           "extension (spark.sql.extensions=graft.plans.GraftExtensions); " +
           "without it use the path API: spark.readStream" +
           ".format(\"txlog\").option(\"readChangeFeed\", \"true\").load(dir)")
+      // same block as the DSv1 source: a RENAME/DROP COLUMN shifts
+      // column identity mid-stream (Delta blocks this too)
+      require(!TxLog.columnMapping(dir).active,
+        s"streaming reads of $dir are unavailable after a RENAME or " +
+          "DROP COLUMN (column mapping active) — read snapshots in batch")
       new TxLogMicroBatchStream(dir, required,
         Option(options.get("startingVersion")).map(_.trim.toInt).getOrElse(0),
         Option(options.get("ignoreChanges")).exists(_.trim.toBoolean),

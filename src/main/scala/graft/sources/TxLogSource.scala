@@ -136,6 +136,12 @@ class TxLogDataSource extends RelationProvider
       parameters: Map[String, String])
       : org.apache.spark.sql.execution.streaming.Source = {
     val dir = TxLogDataSource.localPath(parameters("path"))
+    // a RENAME/DROP COLUMN shifts column identity mid-stream — batches
+    // before and after would disagree on what a name means. Delta
+    // blocks streaming reads across column-mapping changes too.
+    require(!TxLog.columnMapping(dir).active,
+      s"streaming reads of $dir are unavailable after a RENAME or " +
+        "DROP COLUMN (column mapping active) — read snapshots in batch")
     val (_, st) = sourceSchema(sqlContext, schema, providerName, parameters)
     new TxLogStreamSource(sqlContext, dir, st,
       parameters.get("startingVersion").map(_.trim.toInt).getOrElse(0),
@@ -185,7 +191,11 @@ class TxLogDataSource extends RelationProvider
     // pinned relation, and `version == currentVersion` cannot tell
     // "pinned to what happens to be latest" from "default latest"
     // (review r11 #2.4)
-    if (live.isEmpty || TxLog.hasDeletionVectors(dir, Some(version)))
+    if (live.isEmpty || TxLog.hasDeletionVectors(dir, Some(version)) ||
+        // column mapping: files store PHYSICAL names — the row relation
+        // wraps TxLog.read's logical projection; a HadoopFsRelation
+        // over the raw files would surface storage names
+        TxLog.columnMapping(dir, Some(version)).active)
       new TxLogRowRelation(sqlContext, dir, Some(version),
         pinned = asOf.isDefined)
     else {
@@ -474,6 +484,12 @@ class TxLogStreamSource(sqlContext: SQLContext, dir: String,
       : org.apache.spark.sql.DataFrame = {
     val from = start.map(versionOf).getOrElse(startingVersion - 1)
     val to = versionOf(end)
+    // a RENAME/DROP COLUMN landing mid-stream (after createSource's
+    // guard passed) would silently null-backfill renamed columns in
+    // later batches — fail the stream instead, like Delta
+    require(!TxLog.columnMapping(dir, Some(to)).active,
+      s"stream of $dir hit a RENAME/DROP COLUMN at or before version " +
+        s"$to — restart consumers against the new schema in batch mode")
     deliveredThrough = math.max(deliveredThrough, to)
     val spark0 = sqlContext.sparkSession
     // CDF mode: the batch IS the change feed of the version interval —
@@ -774,12 +790,16 @@ class TxLogCdfRelation(override val sqlContext: SQLContext, dir: String,
   }
 }
 
-/** Fallback relation for DV-bearing or emptied snapshots: wraps the
-  * merge-on-read [[TxLog.read]] plan (parquet scan anti-joined against
-  * the deletion-vector frame) behind a pruned row scan. Filters are
-  * left to Spark (the DSv1 contract re-evaluates unhandled filters);
-  * column pruning is honored so the anti-join carries only the
-  * requested columns plus the join metadata. */
+/** Fallback relation for DV-bearing, emptied, or COLUMN-MAPPED
+  * snapshots: wraps the merge-on-read [[TxLog.read]] plan (parquet
+  * scan anti-joined against the deletion-vector frame, physical names
+  * projected back to logical) behind a pruned row scan. Filters do
+  * double duty: they prune FILES through the log-resident zone maps
+  * (the same [[TxLogFilterPrune]] walk the catalog scan runs) and
+  * re-apply on the wrapped frame so Catalyst pushes them into the
+  * parquet scan — Spark still re-evaluates every row above (the DSv1
+  * contract), so an untranslatable filter only costs the skipped
+  * pushdown, never correctness. */
 class TxLogRowRelation(override val sqlContext: SQLContext,
     val dir: String, val asOf: Option[Int], val pinned: Boolean = false)
     extends BaseRelation with PrunedFilteredScan {
@@ -793,11 +813,28 @@ class TxLogRowRelation(override val sqlContext: SQLContext,
 
   override def buildScan(requiredColumns: Array[String],
       filters: Array[Filter]): RDD[Row] = {
-    val df = TxLog.read(spark, dir, asOf)
+    // pin the version once: prune decision and read must see the SAME
+    // snapshot (the catalog relation learned this in review r12 #1)
+    val version = asOf.getOrElse(TxLog.currentVersion(dir))
+    val zones = new TxLogZoneMaps(dir, version)
+    val live = zones.live
+    val kept =
+      if (filters.isEmpty || live.isEmpty) live
+      else live.filter(f =>
+        filters.forall(TxLogFilterPrune.survives(zones, f, _)))
+    val base =
+      if (live.isEmpty || kept.size == live.size)
+        TxLog.read(spark, dir, Some(version))
+      else if (kept.isEmpty)
+        TxLog.read(spark, dir, Some(version)).limit(0)
+      else TxLog.readPruned(spark, dir, kept, Some(version))
+    val filtered = filters
+      .flatMap(f => scala.util.Try(TxLogFilterColumns.toColumn(f)).toOption)
+      .foldLeft(base)(_ filter _)
     val pruned =
-      if (requiredColumns.isEmpty) df
-      else df.select(requiredColumns.map(org.apache.spark.sql.functions.col)
-        .toIndexedSeq: _*)
+      if (requiredColumns.isEmpty) filtered
+      else filtered.select(requiredColumns
+        .map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
     pruned.queryExecution.toRdd.asInstanceOf[RDD[Row]]
   }
 }

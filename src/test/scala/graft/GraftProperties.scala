@@ -557,4 +557,111 @@ object GraftProperties extends Properties("graft") {
         // every decided version must eventually be offered
         ok && base == versions - 1
     }
+
+  /** COLUMN-MAPPING MODEL CHECK: a random interleaving of RENAME /
+    * DROP / ADD COLUMN / append / delete / OPTIMIZE against one table
+    * must read EXACTLY like a trivial in-memory model of the same ops.
+    * This is where the sharp edges live (rename→add of the old name →
+    * fresh physical allocation; drop→optimize→add; renames of columns
+    * later deleted on), so the model is the cheapest way to catch an
+    * interaction the pointwise specs miss. */
+  property("column-mapping: random rename/drop/add/append/delete/" +
+      "optimize sequences read like the in-memory model") = {
+    import graft.core.TxLog
+    sealed trait Op
+    case class Rename(fromIdx: Int, toIdx: Int) extends Op
+    case class DropCol(idx: Int) extends Op
+    case class AddCol(idx: Int) extends Op
+    case class Append(n: Int) extends Op
+    case class Delete(rowPick: Int) extends Op
+    case object Optimize extends Op
+    val pool = Vector("a", "b", "c", "d", "e")
+    val opGen: Gen[Op] = Gen.frequency(
+      3 -> (for { f <- Gen.choose(0, 4); t <- Gen.choose(0, 4) }
+        yield Rename(f, t)),
+      2 -> Gen.choose(0, 4).map(DropCol(_)),
+      3 -> Gen.choose(0, 4).map(AddCol(_)),
+      4 -> Gen.choose(1, 3).map(Append(_)),
+      3 -> Gen.choose(0, 9).map(Delete(_)),
+      1 -> Gen.const(Optimize))
+    forAll(Gen.listOfN(6, opGen)) { ops =>
+      val t = java.nio.file.Files
+        .createTempDirectory("cmprop_").toString
+      TxLog.drop(t)
+      var cols: Vector[String] = Vector("a", "b")
+      var rows: Vector[Map[String, Option[Long]]] =
+        (0L until 4L).toVector.map(i =>
+          Map("a" -> Some(i), "b" -> Some(i * 2)))
+      TxLog.create(rows.map(r =>
+        (r("a").get, r("b").get)).toDF("a", "b"), t)
+      var ctr = 100L
+      def appendDf(n: Int): Unit = {
+        val fresh = (0 until n).toVector.map { _ =>
+          ctr += 1
+          cols.zipWithIndex.map { case (c, i) =>
+            c -> Some(ctr * 31L + i) }.toMap
+        }
+        rows ++= fresh
+        val data = fresh.map(r => org.apache.spark.sql.Row(
+          cols.map(c => r(c).get): _*))
+        val schema = org.apache.spark.sql.types.StructType(cols.map(c =>
+          org.apache.spark.sql.types.StructField(c,
+            org.apache.spark.sql.types.LongType)))
+        TxLog.append(spark.createDataFrame(
+          spark.sparkContext.parallelize(data, 1), schema), t): Unit
+      }
+      ops.foreach {
+        case Rename(f, ti) =>
+          val from = cols(f % cols.size)
+          val to = pool(ti)
+          if (!cols.contains(to)) {
+            TxLog.renameColumn(t, from, to)
+            cols = cols.map(c => if (c == from) to else c)
+            rows = rows.map(r => (r - from) + (to -> r(from)))
+          }
+        case DropCol(i) =>
+          if (cols.size > 1) {
+            val c = cols(i % cols.size)
+            TxLog.dropColumn(t, c)
+            cols = cols.filterNot(_ == c)
+            rows = rows.map(_ - c)
+          }
+        case AddCol(i) =>
+          val c = pool(i)
+          if (!cols.contains(c)) {
+            val sch = TxLog.tableSchema(t).get
+              .add(c, org.apache.spark.sql.types.LongType)
+            TxLog.evolveSchema(t, sch): Unit
+            cols = cols :+ c
+            rows = rows.map(_ + (c -> None))
+          }
+        case Append(n) => appendDf(n)
+        case Delete(pick) =>
+          if (rows.nonEmpty) {
+            val key = cols.head
+            val candidates = rows.flatMap(_(key))
+            if (candidates.nonEmpty) {
+              val v = candidates(pick % candidates.size)
+              TxLog.deleteWhere(spark, t, col(key) === lit(v)): Unit
+              rows = rows.filterNot(_(key).contains(v))
+            }
+          }
+        case Optimize =>
+          if (TxLog.snapshot(t).nonEmpty) TxLog.optimize(spark, t, 1): Unit
+      }
+      val sortedCols = cols.sorted
+      val engine = TxLog.read(spark, t)
+        .select(sortedCols.map(col): _*).collect()
+        .map(r => sortedCols.indices.map(i =>
+          if (r.isNullAt(i)) None else Some(r.getLong(i))).toVector)
+        .toVector.sortBy(_.toString)
+      val model = rows.map(r => sortedCols.map(r(_)).toVector)
+        .sortBy(_.toString)
+      TxLog.drop(t)
+      val ok = engine == model
+      if (!ok) println(s"ops=$ops\nengine=$engine\nmodel=$model")
+      ok
+    }
+  }
+
 }

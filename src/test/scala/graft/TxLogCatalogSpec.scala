@@ -945,4 +945,116 @@ class TxLogCatalogSpec extends AnyFunSuite {
     assert(e.getMessage.contains("OPTIMIZE"),
       "the refusal must name the remedy")
   }
+
+  test("RENAME COLUMN is metadata-only: old files read under the new " +
+      "name, writes and DML bind it, time travel keeps the old name") {
+    spark.sql("CREATE TABLE lake.ren (id BIGINT, val DOUBLE) USING txlog")
+    spark.sql("INSERT INTO lake.ren VALUES (1, 10.0), (2, -5.0), (3, 30.0)")
+    val filesBefore = TxLog.snapshot(dirOf("ren")).toSet
+    spark.sql("ALTER TABLE lake.ren RENAME COLUMN val TO amount")
+    assert(TxLog.snapshot(dirOf("ren")).toSet == filesBefore,
+      "a rename must move ZERO data files")
+    assert(spark.table("lake.ren").schema.fieldNames.toSeq
+      == Seq("id", "amount"))
+    assert(spark.sql("SELECT CAST(sum(amount) AS LONG) FROM lake.ren")
+      .head().getLong(0) == 35L, "old files must read under the new name")
+    // writes bind the new logical name, storing under the old physical
+    spark.sql("INSERT INTO lake.ren VALUES (4, 5.0)")
+    // DML through the new name over pre-rename files
+    spark.sql("DELETE FROM lake.ren WHERE amount < 0")
+    assert(spark.sql("SELECT CAST(sum(amount) AS LONG) FROM lake.ren")
+      .head().getLong(0) == 45L)
+    // filter pushdown path (row relation): predicate on the new name
+    assert(spark.sql("SELECT count(*) FROM lake.ren WHERE amount > 8.0")
+      .head().getLong(0) == 2L)
+    // time travel BEFORE the rename: the old name, all original rows
+    val v1 = spark.sql("SELECT * FROM lake.ren VERSION AS OF 1")
+    assert(v1.schema.fieldNames.toSeq == Seq("id", "val") &&
+      v1.count() == 3L)
+    // rename BACK to the physical name collapses the mapping entry
+    spark.sql("ALTER TABLE lake.ren RENAME COLUMN amount TO val")
+    assert(!TxLog.columnMapping(dirOf("ren")).active,
+      "a→b→a must be identity again")
+    spark.sql("DROP TABLE lake.ren")
+  }
+
+  test("DROP COLUMN retires the physical name: reads project it away, " +
+      "a re-added column of the same name can NEVER resurrect old " +
+      "values, and restore across the drop brings them back") {
+    spark.sql(
+      "CREATE TABLE lake.dropc (id BIGINT, note STRING, v DOUBLE) USING txlog")
+    spark.sql("INSERT INTO lake.dropc VALUES " +
+      "(1, 'aa', 1.0), (2, 'bb', 2.0)")                          // v1
+    spark.sql("ALTER TABLE lake.dropc DROP COLUMN note")          // v2
+    assert(spark.table("lake.dropc").schema.fieldNames.toSeq
+      == Seq("id", "v"))
+    assert(spark.sql("SELECT * FROM lake.dropc").count() == 2L)
+    // re-ADD the same logical name: binds a FRESH physical name —
+    // the dropped values must NOT come back
+    spark.sql("ALTER TABLE lake.dropc ADD COLUMN note STRING")    // v3
+    assert(spark.sql(
+      "SELECT count(*) FROM lake.dropc WHERE note IS NOT NULL")
+      .head().getLong(0) == 0L,
+      "dropped values resurrected through a re-added column")
+    spark.sql("INSERT INTO lake.dropc VALUES (3, 9.0, 'new')")    // v4
+    val r = spark.sql("SELECT id, note FROM lake.dropc ORDER BY id")
+      .collect().map(x => (x.getLong(0), Option(x.getString(1))))
+    assert(r.toSeq == Seq((1L, None), (2L, None), (3L, Some("new"))))
+    // time travel to v1: the ORIGINAL column and values
+    val tt = spark.sql(
+      "SELECT note FROM lake.dropc VERSION AS OF 1 ORDER BY note")
+      .collect().map(_.getString(0)).toSeq
+    assert(tt == Seq("aa", "bb"))
+    // restore across the drop: schema AND mapping snap back together
+    spark.sql("RESTORE TABLE lake.dropc VERSION AS OF 1")
+    assert(spark.table("lake.dropc").schema.fieldNames.toSeq
+      == Seq("id", "note", "v"))
+    assert(spark.sql(
+      "SELECT note FROM lake.dropc ORDER BY note").collect()
+      .map(_.getString(0)).toSeq == Seq("aa", "bb"),
+      "restore must rebind the original physical storage")
+    spark.sql("DROP TABLE lake.dropc")
+  }
+
+  test("column-mapping guards: partition/stats/constraint columns " +
+      "refuse rename+drop; streaming and CDF refuse on mapped tables") {
+    spark.sql("CREATE TABLE lake.cmg (id BIGINT, grp STRING, v DOUBLE) " +
+      "USING txlog PARTITIONED BY (grp)")
+    spark.sql("INSERT INTO lake.cmg VALUES (1, 'a', 1.0)")
+    // Spark's AlterTableExec may wrap the refusal — walk the chain
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(intercept[Exception] {
+      spark.sql("ALTER TABLE lake.cmg RENAME COLUMN grp TO g2")
+    }).exists(_.contains("partition")))
+    assert(chain(intercept[Exception] {
+      spark.sql("ALTER TABLE lake.cmg DROP COLUMN grp")
+    }).exists(_.contains("partition")))
+    TxLog.addConstraint(spark, dirOf("cmg"), "v_pos", "v > 0")
+    assert(chain(intercept[Exception] {
+      spark.sql("ALTER TABLE lake.cmg RENAME COLUMN v TO w")
+    }).exists(_.contains("constraint")))
+    TxLog.dropConstraint(dirOf("cmg"), "v_pos")
+    spark.sql("ALTER TABLE lake.cmg RENAME COLUMN v TO w")
+    // streaming + CDF refuse once mapping is active (the refusal may
+    // surface wrapped in a StreamingQueryException — walk the chain)
+    val sx = intercept[Exception] {
+      spark.readStream.format("txlog").load(dirOf("cmg"))
+        .writeStream.format("noop")
+        .option("checkpointLocation", java.nio.file.Files
+          .createTempDirectory("cmg_ck_").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(sx).exists(_.contains("RENAME")), msgs(sx).mkString(" | "))
+    assert(intercept[IllegalArgumentException] {
+      TxLog.changeFeed(spark, dirOf("cmg"), 0,
+        TxLog.currentVersion(dirOf("cmg"))).collect()
+    }.getMessage.contains("RENAME"))
+    spark.sql("DROP TABLE lake.cmg")
+  }
 }

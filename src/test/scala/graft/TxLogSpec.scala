@@ -1376,4 +1376,111 @@ class TxLogSpec extends AnyFunSuite {
       "replay guard must still hold on the partitioned path")
     TxLog.drop(t)
   }
+
+  test("COPY INTO ledger: exactly-once per source file, survives " +
+      "checkpointing, clones carry it, REPLACE TABLE clears it") {
+    val t = freshTable()
+    val src = java.nio.file.Files.createTempDirectory("copysrc_").toString
+    TxLog.drop(src)
+    spark.range(0L, 50L).select(col("id"), (col("id") % 5).as("grp"))
+      .repartition(2).write.mode("overwrite").parquet(src)
+    val (_, nf1, nr1) = TxLog.copyInto(spark, t, src)
+    assert(nf1 == 2 && nr1 == 50L, s"first load: ($nf1, $nr1)")
+    val (_, nf2, nr2) = TxLog.copyInto(spark, t, src)
+    assert(nf2 == 0 && nr2 == 0L, "re-run must be a no-op")
+    spark.range(50L, 60L).select(col("id"), (col("id") % 5).as("grp"))
+      .coalesce(1).write.mode("append").parquet(src)
+    val (_, nf3, nr3) = TxLog.copyInto(spark, t, src)
+    assert(nf3 == 1 && nr3 == 10L, "only the new file loads")
+    assert(TxLog.read(spark, t).count() == 160L) // 100 base + 60 copied
+    // ledger survives a checkpoint (serialize/apply round-trip)
+    (0 until TxLog.CheckpointInterval + 1).foreach(_ =>
+      TxLog.append(Seq((999L, 0L)).toDF("id", "grp"), t))
+    val (_, nf4, _) = TxLog.copyInto(spark, t, src)
+    assert(nf4 == 0, "ledger lost across a checkpoint")
+    // a clone carries the ledger: COPY INTO the clone is a no-op too
+    val c = java.nio.file.Files.createTempDirectory("copyclone_").toString
+    TxLog.drop(c)
+    TxLog.shallowClone(t, c)
+    val (_, nfc, _) = TxLog.copyInto(spark, c, src)
+    assert(nfc == 0, "clone must not re-ingest the source's files")
+    // REPLACE TABLE (commitDefinition) clears it: files load again
+    val d = java.nio.file.Files.createTempDirectory("copyrepl_").toString
+    TxLog.drop(d)
+    TxLog.createEmpty(d,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("grp",
+          org.apache.spark.sql.types.LongType))))
+    assert(TxLog.copyInto(spark, d, src)._2 == 3)
+    val sch = TxLog.tableSchema(d).get
+    TxLog.commitDefinition(d, Seq.empty, sch, Map.empty,
+      TxLog.currentVersion(d))
+    assert(TxLog.copiedSources(d).isEmpty,
+      "REPLACE must clear the COPY INTO ledger")
+    assert(TxLog.copyInto(spark, d, src)._2 == 3,
+      "a replaced table re-ingests: its new content owes nothing " +
+        "to the old definition's loads")
+    Seq(t, src, c, d).foreach(TxLog.drop)
+  }
+
+  test("WriteSerializable: DML commits retry across PURE blind appends " +
+      "(CoW and DV paths), but a concurrent OPTIMIZE still conflicts") {
+    val t = freshTable() // ids 0..99
+    // a blind append lands exactly inside the DELETE's commit window
+    TxLog.appendRaceHook = () => {
+      TxLog.appendRaceHook = () => ()
+      TxLog.append(Seq((500L, 9L)).toDF("id", "grp"), t): Unit
+    }
+    try TxLog.deleteWhere(spark, t, col("id") < 10L)
+    finally TxLog.appendRaceHook = () => ()
+    val ids = TxLog.read(spark, t).select("id").as[Long].collect().toSet
+    assert(!ids.exists(_ < 10L) && ids.contains(500L),
+      "both the delete and the racing append must land")
+    // DV path commutes too
+    TxLog.appendRaceHook = () => {
+      TxLog.appendRaceHook = () => ()
+      TxLog.append(Seq((501L, 9L)).toDF("id", "grp"), t): Unit
+    }
+    try TxLog.deleteWhereDV(spark, t, col("id") === 10L)
+    finally TxLog.appendRaceHook = () => ()
+    val ids2 = TxLog.read(spark, t).select("id").as[Long].collect().toSet
+    assert(!ids2.contains(10L) && ids2.contains(501L),
+      "the DV delete and the racing append must both land")
+    // anything beyond a blind append still conflicts: OPTIMIZE removes
+    TxLog.appendRaceHook = () => {
+      TxLog.appendRaceHook = () => ()
+      TxLog.optimize(spark, t, 1): Unit
+    }
+    try intercept[java.util.ConcurrentModificationException] {
+      TxLog.deleteWhere(spark, t, col("id") < 20L)
+    } finally TxLog.appendRaceHook = () => ()
+    TxLog.drop(t)
+  }
+
+  test("table-features protocol gate: RENAME declares column-mapping; " +
+      "an UNKNOWN required feature refuses the whole table") {
+    val t = freshTable()
+    TxLog.renameColumn(t, "grp", "bucket")
+    assert(TxLog.tableFeatures(t) == Set("column-mapping"))
+    assert(TxLog.read(spark, t).columns.contains("bucket"))
+    // declaration survives checkpointing (serialize/apply round-trip)
+    TxLog.checkpoint(t)
+    assert(TxLog.tableFeatures(t) == Set("column-mapping"))
+    // a feature from the future: hand-write the next version's entry
+    // exactly as a newer engine would (readers ignore unknown LINE
+    // types, but must refuse unknown FEATURES — that is the gate)
+    val v = TxLog.currentVersion(t) + 1
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(t, "_log", f"$v%08d.txt"),
+      "feature\tquantum-vacuum\n".getBytes("UTF-8"))
+    val e = intercept[UnsupportedOperationException] {
+      TxLog.read(spark, t).count()
+    }
+    assert(e.getMessage.contains("quantum-vacuum") &&
+      e.getMessage.contains("upgrade"),
+      s"refusal must name the missing feature: ${e.getMessage}")
+    TxLog.drop(t)
+  }
 }
