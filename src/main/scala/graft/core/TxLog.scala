@@ -1346,10 +1346,17 @@ object TxLog {
   private def projectToLogical(df: DataFrame, dir: String,
       asOf: Option[Int], keep: Seq[String] = Seq.empty): DataFrame = {
     val cm = columnMapping(dir, asOf)
-    if (!cm.active) return df
     import org.apache.spark.sql.functions.{col, lit}
     val logical = tableSchema(dir, asOf).getOrElse(return df)
     val have = df.columns.toSet
+    // mapping-inactive fast path — but ONLY when every logical column is
+    // physically present: a schema evolved by ADD COLUMN with no
+    // subsequent append has a recorded column that NO live file carries,
+    // which mergeSchema cannot surface and must be null-backfilled here
+    // (the catalog's buildScan already does; the path read didn't —
+    // found by the column-mapping ScalaCheck property, seed
+    // Zv_ZXp74ByRSzbWUrxkk-KO-vuBnjEMQKb9rSMD9DTI=, ops [AddCol(d)])
+    if (!cm.active && logical.fieldNames.forall(have)) return df
     df.select((logical.fields.toSeq.map { f =>
       val p = cm.phys(f.name)
       if (have(p)) col(p).as(f.name)

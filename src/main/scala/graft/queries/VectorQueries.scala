@@ -2162,17 +2162,58 @@ object VectorQueries {
           .join(core.select(col("id").as("ai")), "ai")
           .join(core.select(col("id").as("bi")), "bi")
           .select(col("ai").as("src"), col("bi").as("dst"))
-        ce.count() // materialize the corpus-scale phase before retuning
-        val ns = graft.core.Tuned.session(s,
-          "spark.sql.shuffle.partitions" -> "4",
-          "spark.sql.adaptive.enabled" -> "false")
-        val labels = graft.core.Tuned.rehome(
-          graft.ops.ConnectedComponents.minLabelPropagation(
-            graft.core.Tuned.rehome(ce, ns)), s)
-        // isolated core points (no core neighbor) are their own cluster
-        val clab = core.join(labels.withColumnRenamed("node", "id"),
-            Seq("id"), "left")
-          .select(col("id"), coalesce(col("cid"), col("id")).as("cid"))
+        // GRID-CONTRACTED components (optimization r13; guide §8 —
+        // decide on a lightweight proxy, move the heavy rows once):
+        // cores sharing a cell of width eps/2 are pairwise < eps apart
+        // (max in-cell distance eps/√2 < eps strictly), hence mutually
+        // adjacent in the core graph — contract each cell to its MIN
+        // core id. Contraction preserves components exactly (every
+        // same-cell pair is a true edge; every true edge maps to a
+        // contracted edge or self-loop), so labels — min core id per
+        // component — are bit-identical; the oracle pins it. The
+        // contracted graph is GRID-bounded: ≤ (range/(eps/2))² nodes and
+        // ≤ 24× that many distinct edges REGARDLESS of corpus size (the
+        // same boundedness class as the broadcast dense-cell list
+        // above), so its components resolve in one driver union-find —
+        // replacing the iterative CC loop, which cost 22 measured
+        // propagation rounds (≈6–11 s of pure per-round scheduling at
+        // ANY scale factor) with two broadcast-hash maps and a
+        // metadata-grain collect.
+        val w2 = eps / 2
+        val cw = core
+          .join(pts.select(col("vec_id").as("id"), col("x"), col("y")), "id")
+          .select(col("id"),
+            floor(col("x") / w2).cast("long").as("gx"),
+            floor(col("y") / w2).cast("long").as("gy"))
+        val rep = cw.groupBy("gx", "gy").agg(min("id").as("rep"))
+        val coreRep = cw.join(broadcast(rep), Seq("gx", "gy"))
+          .select(col("id"), col("rep")).persistTracked()
+        val cEdges = ce
+          .join(coreRep.select(col("id").as("src"), col("rep").as("rs")), "src")
+          .join(coreRep.select(col("id").as("dst"), col("rep").as("rd")), "dst")
+          .filter(col("rs") =!= col("rd"))
+          .select(col("rs").as("src"), col("rd").as("dst")).distinct()
+        val labels = graft.ops.ConnectedComponents.driverComponents(
+            rep.select(col("rep").as("node")), cEdges)
+          .getOrElse {
+            // grid bound exceeded (an unbounded plane): the distributed
+            // O(log n) loop over the SAME contracted graph — identical
+            // labels, still far smaller than the raw core graph
+            val ns = graft.core.Tuned.session(s,
+              "spark.sql.shuffle.partitions" -> "4",
+              "spark.sql.adaptive.enabled" -> "false")
+            val l = graft.core.Tuned.rehome(
+              graft.ops.ConnectedComponents.alternatingStar(
+                graft.core.Tuned.rehome(cEdges, ns), assumeDistinct = true), s)
+            rep.select(col("rep").as("node")).join(l, Seq("node"), "left")
+              .select(col("node"), coalesce(col("cid"), col("node")).as("cid"))
+          }
+        // every core adopts its cell representative's component label;
+        // isolated cores are alone in their cell (a same-cell core would
+        // be a neighbor), so rep = self = label, as before
+        val clab = coreRep
+          .join(broadcast(labels.withColumnRenamed("node", "rep")), "rep")
+          .select(col("id"), col("cid"))
           .persistTracked()
         val blab = nb.join(core.select(col("id").as("ai")), Seq("ai"), "left_anti")
           .join(clab.select(col("id").as("bi"), col("cid")), "bi")

@@ -201,6 +201,29 @@ object GraftProperties extends Properties("graft") {
         got.forall { case (n, c) => want.contains(n) || c == n }
     }
 
+  property("ConnectedComponents.driverComponents matches union-find") =
+    forAll(edgesGen) { edges =>
+      val df = edges.toDF("src", "dst")
+      val nodes = df.select(col("src")).union(df.select(col("dst")))
+        .distinct().toDF("node")
+      val got = graft.ops.ConnectedComponents.driverComponents(nodes, df)
+        .get.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      spark.catalog.clearCache()
+      // driverComponents labels every node in `nodes` (self-loop-only
+      // ones label themselves), like alternatingStar
+      val want = unionFind(edges.filter { case (a, b) => a != b })
+      want.forall { case (n, c) => got.get(n).contains(c) } &&
+        got.forall { case (n, c) => want.contains(n) || c == n }
+    }
+
+  property("ConnectedComponents.driverComponents refuses above its bound") =
+    forAll(Gen.choose(2, 12)) { n =>
+      val edges = (1L until n.toLong).map(i => (i - 1, i)).toDF("src", "dst")
+      val nodes = (0L until n.toLong).map(Tuple1(_)).toDF("node")
+      graft.ops.ConnectedComponents
+        .driverComponents(nodes, edges, maxNodes = 1, maxEdges = 1).isEmpty
+    }
+
   property("fitThumb: never upscales, long side lands exactly on 256") =
     forAll(Gen.choose(1, 4000), Gen.choose(1, 4000)) { (w, h) =>
       val (tw, th) = graft.functions.Multimodal.fitThumb(w, h)
