@@ -19,10 +19,10 @@ object ProbeStreamCost {
     val dir = "/root/testdata/sf0.1"
     spark.range(1000000).selectExpr("sum(id)").collect()
 
-    for (iter <- 1 to 2) {
-      println(s"--- iter $iter")
+    for (iter <- 1 to 3; ck <- Seq("tmp", "shm"); parts <- Seq("8")) {
+      println(s"--- iter $iter ck=$ck parts=$parts")
       val s = graft.core.Tuned.session(spark,
-        "spark.sql.shuffle.partitions" -> "8")
+        "spark.sql.shuffle.partitions" -> parts)
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       val tmp = graft.queries.Scratch.tmp("probe_scost_")
       java.nio.file.Files.createSymbolicLink(
@@ -35,10 +35,13 @@ object ProbeStreamCost {
         .agg(count(lit(1)).as("n_events"))
       val mem = "probe_" + iter + "_" + System.nanoTime()
       val t0 = System.nanoTime()
-      val q = agg.writeStream.format("memory").queryName(mem)
+      val w0 = agg.writeStream.format("memory").queryName(mem)
         .outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
+      val w = if (ck == "shm")
+        w0.option("checkpointLocation", graft.queries.Scratch.tmp("probe_ck_"))
+      else w0
+      val q = w.start()
       q.awaitTermination()
       val tRun = (System.nanoTime() - t0) / 1e9
       val t1 = System.nanoTime()

@@ -12,7 +12,8 @@ object ProbeTiming {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     SparkEntry.configure(spark)
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

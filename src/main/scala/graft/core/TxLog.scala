@@ -980,7 +980,9 @@ object TxLog {
     val (staged, lines) = stageLinesEnforced(df.sparkSession, df, dir)
     if (staged.nonEmpty) {
       val stagedDf = logicalizeStaged(
-        df.sparkSession.read.option("mergeSchema", "true")
+        // staged files come from ONE write — identical schemas, no
+        // footer-merge job needed
+        df.sparkSession.read
           .parquet(staged.map(f => s"$dir/$f"): _*), dir)
       val bad = stagedDf.filter(!constraint || constraint.isNull)
         .limit(1).count()
@@ -1070,7 +1072,8 @@ object TxLog {
       val c = expr(sql); !c || c.isNull
     }.reduce(_ || _)
     // constraint texts bind LOGICAL names; staged files store physical
-    val bad = logicalizeStaged(spark.read.option("mergeSchema", "true")
+    // staged files come from ONE write — identical schemas
+    val bad = logicalizeStaged(spark.read
         .parquet(staged.map(f => s"$dir/$f"): _*), dir)
       .filter(violated).limit(1).count() > 0
     if (bad) {
@@ -1410,7 +1413,8 @@ object TxLog {
     try {
       if (dataStaged.nonEmpty) {
         val stagedDf = logicalizeStaged(
-          spark.read.option("mergeSchema", "true")
+          // staged files come from ONE write — identical schemas
+          spark.read
             .parquet(dataStaged.map(f => s"$dir/$f"): _*), dir)
         val bad = stagedDf.filter(!pred || pred.isNull).limit(1).count()
         if (bad > 0) throw new IllegalArgumentException(
@@ -1905,8 +1909,7 @@ object TxLog {
     // bind the row identity BEFORE the logical projection (mapped
     // tables): `_metadata` is only reachable on the scan's own output
     val hits = projectToLogical(
-        spark.read.option("mergeSchema", "true")
-          .parquet(candidates.map(f => s"$dir/$f"): _*)
+        scanUnderLogSchema(spark, dir, candidates)
           .withColumn("__dvf", col("_metadata.file_name"))
           .withColumn("__dvp", col("_metadata.row_index")),
         dir, None, keep = Seq("__dvf", "__dvp"))
@@ -2168,8 +2171,7 @@ object TxLog {
     // predicates bind LOGICAL names — project the mapped storage
     // names onto them, keeping the file key.
     val base = projectToLogical(
-      spark.read.option("mergeSchema", "true")
-        .parquet(live.map(f => s"$dir/$f"): _*)
+      scanUnderLogSchema(spark, dir, live)
         .withColumn("__f", col("_metadata.file_name")),
       dir, None, keep = Seq("__f"))
     val names = matcher(base)
@@ -2199,8 +2201,7 @@ object TxLog {
     import org.apache.spark.sql.functions.col
     val st = state(dir, None)
     val base = projectToLogical(
-      spark.read.option("mergeSchema", "true")
-        .parquet(files.map(f => s"$dir/$f"): _*)
+      scanUnderLogSchema(spark, dir, files)
         .withColumn("__f", col("_metadata.file_name"))
         .withColumn("__p", col("_metadata.row_index")),
       dir, None, keep = Seq("__f", "__p"))
@@ -2306,17 +2307,38 @@ object TxLog {
     * the one seam that makes every consumer (scans, DML probes, time
     * travel) see renamed columns under their schema names and dropped
     * columns not at all. */
+  /** Parquet scan of table-resident LIVE files under the RECORDED
+    * (physical-name) schema when the log carries one. Commits may
+    * EVOLVE the schema (add columns) — the union schema is the table
+    * schema, old files read the new columns as NULL (q380) — and the
+    * log RECORDS that union (schema lines; evolution is
+    * add-nullable-columns-only, so no per-file type reconciliation is
+    * ever needed). The mergeSchema footer walk this replaces ran a
+    * SPARK JOB per read (SchemaMergeUtils.mergeSchemasInParallel — the
+    * single largest stack-sample bucket across the lakehouse query
+    * family, ~0.5–1 s per query at sf0.1); legacy tables without a
+    * schema line keep the mergeSchema fallback. Physical storage names
+    * come from the column mapping; [[projectToLogical]] restores
+    * logical names downstream. */
+  private def scanUnderLogSchema(spark: SparkSession, dir: String,
+      files: Seq[String], asOf: Option[Int] = None): DataFrame =
+    tableSchema(dir, asOf) match {
+      case Some(logical) =>
+        val cm = columnMapping(dir, asOf)
+        val phys = org.apache.spark.sql.types.StructType(
+          logical.fields.map(f => f.copy(name = cm.phys(f.name))))
+        spark.read.schema(phys).parquet(files.map(f => s"$dir/$f"): _*)
+      case None => spark.read.option("mergeSchema", "true")
+        .parquet(files.map(f => s"$dir/$f"): _*)
+    }
+
   private def readFiles(spark: SparkSession, dir: String,
       files: Seq[String], dv: Option[DataFrame],
       asOf: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.functions.col
     if (files.isEmpty)
       throw new IllegalArgumentException("empty snapshot read")
-    // mergeSchema: commits may EVOLVE the schema (add columns) — the
-    // union schema is the table schema, old files read the new columns
-    // as NULL (q380). Footer-merge cost is per-file metadata IO.
-    val base = spark.read.option("mergeSchema", "true")
-      .parquet(files.map(f => s"$dir/$f"): _*)
+    val base = scanUnderLogSchema(spark, dir, files, asOf)
     val merged = dv match {
       case None => base
       case Some(dvDf) =>
@@ -2352,7 +2374,7 @@ object TxLog {
     val (srcStaged, srcLines) = stageLinesEnforced(spark, source, dir)
     val src =
       if (srcStaged.isEmpty) source.limit(0)
-      else logicalizeStaged(spark.read.option("mergeSchema", "true")
+      else logicalizeStaged(spark.read // one write — identical schemas
         .parquet(srcStaged.map(f => s"$dir/$f"): _*), dir)
     val keys = src.select(keyCol).distinct().persist()
     try {
@@ -3017,8 +3039,7 @@ object TxLog {
           else {
             val tgt = onExisting.keys.toSeq
             val pos = dvFrameFrom(spark, dir, onExisting).get
-            val base = spark.read.option("mergeSchema", "true")
-              .parquet(tgt.map(f => s"$dir/$f"): _*)
+            val base = scanUnderLogSchema(spark, dir, tgt, Some(v))
             val cols = base.columns.map(col)
             Seq(tagged(base
               .withColumn("__f", col("_metadata.file_name"))

@@ -50,7 +50,13 @@ object PrefixSum {
     // One evaluation of spark_partition_id, pinned by the persist below:
     // the ranged exchange samples boundaries per execution, so the pid
     // column must never be recomputed across the two uses of `local`.
-    val ranged = df.repartitionByRange(numParts, keyCols.map(col): _*)
+    // The INPUT persists too (optimization r13): repartitionByRange runs
+    // a separate range-SAMPLING job per execution, so an unpersisted
+    // input pipeline ran once for the sampler and again for the real
+    // exchange — on q43/q312-class callers that doubled the corpus-scale
+    // pass feeding every cumsum.
+    val base = df.persistTracked()
+    val ranged = base.repartitionByRange(numParts, keyCols.map(col): _*)
       .withColumn(pidC, spark_partition_id())
     val wLocal = Window.partitionBy(pidC).orderBy(keyCols.map(col): _*)
     val local = ranged

@@ -3405,13 +3405,35 @@ object AnalyticsQueries {
     // q354 — approximate functional-dependency discovery (the schema
     // profiler's "does X determine Y?" sweep): for each candidate FD,
     // violations = Σ_x (count(x) − max_y count(x,y)) — the minimum number
-    // of rows to delete for the FD to hold exactly (g3 error). All
-    // candidates ride ONE unioned (fd, x, y) aggregate; integers
-    // throughout, one division at output. Declared-true FDs
+    // of rows to delete for the FD to hold exactly (g3 error). Each
+    // candidate aggregates on its native key types (see the body note);
+    // integers throughout, one division at output. Declared-true FDs
     // (nation→region, orderkey→orderdate) land at 0 by construction —
     // the audit proves the data, not the assumption.
     QuerySpec("q354_fd_discovery",
       (s, dir) => {
+        // Per-candidate pipelines instead of one unioned (fd, x, y)
+        // frame (optimization r13, guide §2.3 — shuffle fewer bytes):
+        // the union forced every key through CAST(... AS STRING) so the
+        // four branches type-align, roughly doubling both keyed-shuffle
+        // passes' bytes. Aggregating each candidate on its NATIVE key
+        // types and unioning the four single-row results keeps the same
+        // two-phase math (violations = Σ_x (count(x) − max_y count(x,y)),
+        // the g3 error) bit-for-bit — the four subtrees still execute
+        // concurrently inside the one job.
+        def fd(name: String, df: org.apache.spark.sql.DataFrame,
+            x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+          df.select(x.as("x"), y.as("y"))
+            .groupBy("x", "y").agg(count(lit(1)).as("c"))
+            .groupBy("x").agg(sum("c").as("n"), max("c").as("mx"))
+            .agg(sum("n").as("n_rows"),
+              sum(col("n") - col("mx")).as("n_violations"),
+              count(lit(1)).as("n_keys"))
+            .select(lit(name).as("fd"), col("n_rows"), col("n_keys"),
+              col("n_violations"),
+              (col("n_violations").cast("double") / col("n_rows"))
+                .as("violation_rate"),
+              (col("n_violations") === 0).as("holds"))
         val oc = Tables.load(s, dir, "orders")
           .join(Tables.load(s, dir, "customer"),
             col("o_custkey") === col("c_custkey"))
@@ -3421,24 +3443,13 @@ object AnalyticsQueries {
         val lo = Tables.load(s, dir, "lineitem")
           .join(Tables.load(s, dir, "orders"),
             col("l_orderkey") === col("o_orderkey"))
-        val pairs = oc.select(lit("custkey->mktsegment").as("fd"),
-            col("o_custkey").cast("string").as("x"), col("c_mktsegment").as("y"))
-          .union(nr.select(lit("nation->region"),
-            col("n_nationkey").cast("string"), col("r_regionkey").cast("string")))
-          .union(Tables.load(s, dir, "orders")
-            .select(lit("custkey->priority"), col("o_custkey").cast("string"),
-              col("o_orderpriority")))
-          .union(lo.select(lit("orderkey->orderdate"),
-            col("l_orderkey").cast("string"), col("o_orderdate").cast("string")))
-        val cxy = pairs.groupBy("fd", "x", "y").agg(count(lit(1)).as("c"))
-        cxy.groupBy("fd", "x").agg(sum("c").as("n"), max("c").as("mx"))
-          .groupBy("fd")
-          .agg(sum("n").as("n_rows"), sum(col("n") - col("mx")).as("n_violations"),
-            count(lit(1)).as("n_keys"))
-          .select(col("fd"), col("n_rows"), col("n_keys"), col("n_violations"),
-            (col("n_violations").cast("double") / col("n_rows"))
-              .as("violation_rate"),
-            (col("n_violations") === 0).as("holds"))
+        fd("custkey->mktsegment", oc, col("o_custkey"), col("c_mktsegment"))
+          .unionByName(fd("nation->region", nr,
+            col("n_nationkey"), col("r_regionkey")))
+          .unionByName(fd("custkey->priority", Tables.load(s, dir, "orders"),
+            col("o_custkey"), col("o_orderpriority")))
+          .unionByName(fd("orderkey->orderdate", lo,
+            col("l_orderkey"), col("o_orderdate")))
           .orderBy("fd")
       },
       Some("""WITH pairs AS (

@@ -1263,6 +1263,7 @@ object ExtQueries {
             min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
         val mem = "stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
         val q = stream.writeStream.format("memory").queryName(mem)
+          .option("checkpointLocation", Scratch.streamCk())
           .outputMode("complete")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
@@ -3602,6 +3603,7 @@ object ExtQueries {
               case (r, (k, v)) => r.option(k, v)
             }.load(t)
             .writeStream.format("memory").queryName(mem)
+            .option("checkpointLocation", Scratch.streamCk())
             .outputMode("append")
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
             .start()
@@ -3818,6 +3820,7 @@ object ExtQueries {
         val q = s.readStream.format("txlog")
           .option("readChangeFeed", "true").load(t)
           .writeStream.format("memory").queryName(mem)
+          .option("checkpointLocation", Scratch.streamCk())
           .outputMode("append")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()

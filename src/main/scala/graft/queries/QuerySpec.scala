@@ -42,4 +42,33 @@ object Scratch {
     r.mkdirs()
     java.nio.file.Files.createTempDirectory(r.toPath, prefix).toString
   }
+
+  private val ckDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  sys.addShutdownHook {
+    ckDirs.forEach { d =>
+      try {
+        val s = java.nio.file.Files.walk(java.nio.file.Paths.get(d))
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p): Unit)
+        } finally s.close()
+      } catch { case _: Throwable => () }
+    }
+  }
+
+  /** Fresh checkpoint dir on the scratch tmpfs for a bounded stream,
+    * deleted (recursively) at JVM exit. Spark's IMPLICIT temp checkpoint
+    * lands on `java.io.tmpdir` — a disk filesystem here — and pays disk
+    * fsync latency in every WAL commit and state-store commit; measured
+    * on a warm single-batch windowed aggregation at sf0.1:
+    * 0.97–1.11 s (/tmp) → 0.84–1.01 s (tmpfs) per run. Same lifecycle
+    * as the implicit dir (fresh per start, removed on exit). */
+  def streamCk(): String = {
+    val d = tmp("graft_ck_")
+    ckDirs.add(d)
+    d
+  }
 }

@@ -200,9 +200,12 @@ class TxLogDataSource extends RelationProvider
         pinned = asOf.isDefined)
     else {
       // union schema over the live files (commits may evolve the schema
-      // — q380): per-file footer metadata IO, plan-time only
-      val dataSchema = spark.read.option("mergeSchema", "true")
-        .parquet(live.map(f => s"$dir/$f"): _*).schema
+      // — q380): the log RECORDS it (schema lines), so serve it without
+      // the footer-merge Spark job; legacy tables without a schema line
+      // keep the mergeSchema inference
+      val dataSchema = TxLog.tableSchema(dir, Some(version)).getOrElse(
+        spark.read.option("mergeSchema", "true")
+          .parquet(live.map(f => s"$dir/$f"): _*).schema)
       HadoopFsRelation(
         location = new TxLogFileIndex(dir, version, live,
           pinned = asOf.isDefined),
@@ -512,6 +515,15 @@ class TxLogStreamSource(sqlContext: SQLContext, dir: String,
       if (added.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], declaredSchema)
+      else if (!TxLog.columnMapping(dir).active)
+        // the declared schema IS the union schema (evolution is
+        // add-nullable-only): an explicit-schema read null-fills absent
+        // columns per file without mergeSchema's per-batch footer-merge
+        // Spark job
+        spark.read.schema(declaredSchema)
+          .parquet(added.map(f => s"$dir/$f"): _*)
+          .select(declaredSchema.fieldNames
+            .map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
       else
         spark.read.option("mergeSchema", "true")
           .parquet(added.map(f => s"$dir/$f"): _*)

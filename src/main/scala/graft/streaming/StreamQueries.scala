@@ -67,6 +67,7 @@ object StreamQueries {
     val s = df.sparkSession
     val mem = "stream_" + UUID.randomUUID().toString.replace("-", "")
     val q = df.writeStream.format("memory").queryName(mem)
+      .option("checkpointLocation", graft.queries.Scratch.streamCk())
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     s.table(mem)
@@ -530,6 +531,7 @@ object StreamQueries {
         val out = graft.queries.Scratch.tmp("graft_upd_sink_")
         sinkDirs.add(out)
         val q = agg.writeStream.outputMode("update")
+          .option("checkpointLocation", graft.queries.Scratch.streamCk())
           .foreachBatch { (b: Dataset[Row], id: Long) =>
             b.withColumn("batch_id", lit(id))
               .write.mode(SaveMode.Overwrite)
@@ -640,6 +642,7 @@ object StreamQueries {
         sinkDirs.add(out)
         @volatile var gen: Option[String] = None
         val q = changes.writeStream
+          .option("checkpointLocation", graft.queries.Scratch.streamCk())
           .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
             val delta = batch.groupBy("user_id")
               .agg(max(struct(col("tsu"), col("event_id"), col("op"))).as("m"),
@@ -1148,6 +1151,7 @@ object StreamQueries {
           .toDF("user_id", "n_events", "last_event_id")
         val mem = "stream_" + UUID.randomUUID().toString.replace("-", "")
         val q = out.writeStream.format("memory").queryName(mem)
+          .option("checkpointLocation", graft.queries.Scratch.streamCk())
           .outputMode("update").trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
         s.table(mem)
@@ -1265,6 +1269,7 @@ object StreamQueries {
     sinkDirs.add(out)
     @volatile var gen: Option[String] = None
     val q = src.writeStream
+      .option("checkpointLocation", graft.queries.Scratch.streamCk())
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val delta = batch.groupBy("event_type", "hr")
           .agg(sum("v").as("sv"), count(lit(1)).as("n"))
@@ -1487,6 +1492,7 @@ object StreamQueries {
     val s = df.sparkSession
     val mem = "stream_" + UUID.randomUUID().toString.replace("-", "")
     val q = df.writeStream.format("memory").queryName(mem)
+      .option("checkpointLocation", graft.queries.Scratch.streamCk())
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     s.table(mem)
