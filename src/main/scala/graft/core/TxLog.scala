@@ -689,15 +689,19 @@ object TxLog {
   /** IN-LOG SCHEMA (Delta's metaData action): data commits record the
     * table's UNION schema as an (escaped JSON) `schema` line whenever a
     * write changes it — new columns append, existing field types win.
-    * Purely advisory for live reads (the scan's mergeSchema over real
-    * footers stays the source of truth) but load-bearing for the one
-    * state footers cannot serve: a table EMPTIED by deletes whose
-    * removed files were since vacuumed reads as an empty frame with the
-    * recorded schema instead of failing schema-unrecoverable. Legacy
-    * tables without a recorded line keep the removed-file-walk
-    * fallback; writers only START recording on tables that have one
-    * (or are new), so a stale narrower-than-union line can never
-    * appear. */
+    * The recorded schema is AUTHORITATIVE for live reads since
+    * optimization r13 (`scanUnderLogSchema` / `TxLogSource` read under
+    * it instead of running a footer-merge job per read), so a write
+    * whose existing-column types differ from it would produce files
+    * unreadable under the now-load-bearing line — such writes REFUSE
+    * below (evolution stays add-nullable-columns-only; ADVICE r13).
+    * Also serves the one state footers never could: a table EMPTIED by
+    * deletes whose removed files were since vacuumed reads as an empty
+    * frame with the recorded schema instead of failing
+    * schema-unrecoverable. Legacy tables without a recorded line keep
+    * the removed-file-walk fallback; writers only START recording on
+    * tables that have one (or are new), so a stale narrower-than-union
+    * line can never appear. */
   private def schemaLine(df: DataFrame, dir: String,
       exact: Boolean = false): Seq[String] =
     schemaLineOf(df.schema, dir, exact)
@@ -716,6 +720,20 @@ object TxLog {
         val next =
           if (exact) schema
           else {
+            // write-time guard (ADVICE r13): reads trust the recorded
+            // types, so an append changing an existing column's TYPE
+            // would commit files misread under them — refuse with the
+            // remedy instead of silently keeping the prior type
+            val priorTypes = prior.fields.map(f => f.name -> f.dataType).toMap
+            val drift = schema.fields.filter(f =>
+              priorTypes.get(f.name).exists(_ != f.dataType))
+            require(drift.isEmpty,
+              s"append to $dir changes existing column type(s): " +
+                drift.map(f =>
+                  s"${f.name} ${priorTypes(f.name).simpleString} -> " +
+                    f.dataType.simpleString).mkString(", ") +
+                " — cast the input to the table's types (evolution is " +
+                "add-nullable-columns-only)")
             val have = prior.fieldNames.toSet
             StructType(prior.fields ++
               schema.fields.filterNot(f => have(f.name)))

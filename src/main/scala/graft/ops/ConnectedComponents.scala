@@ -123,7 +123,16 @@ object ConnectedComponents {
     * contracted edges took 22 propagation rounds / 6 star rounds ≈
     * 6–11 s; the union-find resolves them in milliseconds). */
   def driverComponents(nodes: DataFrame, edges: DataFrame,
-      maxNodes: Long = 1L << 20, maxEdges: Long = 1L << 22): Option[DataFrame] = {
+      maxNodes: Long = 1L << 20, maxEdges: Long = 1L << 20): Option[DataFrame] = {
+    // Bounds must stay collectable: limit() takes an Int, and a bound at
+    // or above Int.MaxValue would overflow toInt and silently SHRINK the
+    // limit (ADVICE r13) — and rows that large have no business on the
+    // driver anyway. maxEdges default tightened 4M → 1M (VERDICT r13 #6:
+    // 4M Rows was hundreds of MB of driver heap near the limit).
+    require(maxNodes > 0 && maxNodes < Int.MaxValue - 1,
+      s"maxNodes out of collectable range: $maxNodes")
+    require(maxEdges > 0 && maxEdges < Int.MaxValue - 1,
+      s"maxEdges out of collectable range: $maxEdges")
     val spark = nodes.sparkSession
     // ONE job per side: collect through limit(max+1) and bound-check the
     // length — a separate count() guard would run the (typically

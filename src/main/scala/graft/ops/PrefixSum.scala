@@ -62,16 +62,52 @@ object PrefixSum {
     val local = ranged
       .withColumn(locC, sum(col(valueCol)).over(wLocal))
       .persistTracked()
-    // Exclusive prefix of the per-partition totals. The unpartitioned
-    // window is deliberate: numParts rows, not data rows.
-    val wOff = Window.orderBy(pidC)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = local.groupBy(pidC)
-      .agg(sum(col(valueCol)).as(totC))
-      .withColumn(offC, coalesce(sum(col(totC)).over(wOff), lit(0L)))
-      .select(pidC, offC)
-    local.join(broadcast(offsets), pidC)
-      .withColumn(out, col(locC) + col(offC))
-      .drop(pidC, locC, offC)
+    import org.apache.spark.sql.types._
+    val integral = df.schema(valueCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    if (integral) {
+      // Exclusive prefix of the per-partition totals, computed on the
+      // DRIVER (optimization r14): the totals are O(numParts) rows —
+      // metadata-grain at any corpus size (the Quantiles 1-row head()
+      // precedent) — so collecting them and re-emitting the running
+      // offsets as an O(1)-indexed ARRAY LITERAL removes, from EVERY
+      // cumsum, the single-partition window exchange, the broadcast
+      // exchange, and the pid join (3 exchange-ish plan nodes + their
+      // driver-scheduled jobs; q312 chains three cumsums and spent its
+      // time in exactly this per-cumsum job train). Values are
+      // bit-identical: same per-partition totals, same exclusive
+      // running sum, integer arithmetic throughout.
+      val tot = local.groupBy(pidC).agg(sum(col(valueCol)).as(totC))
+        .collect()
+        .map(r => (r.getInt(0), if (r.isNullAt(1)) 0L else r.getLong(1)))
+        .sortBy(_._1)
+      val maxPid = if (tot.isEmpty) 0 else tot.map(_._1).max
+      val offs = new Array[Long](maxPid + 1)
+      var run = 0L
+      tot.foreach { case (p, t) => offs(p) = run; run += t }
+      // element_at is 1-based; pids are dense [0, actualParts) (AQE
+      // coalescing merges ADJACENT range partitions, preserving both
+      // density and key order). Absent pids hold no rows; their array
+      // slot is never read.
+      local
+        .withColumn(out,
+          col(locC) + element_at(typedlit(offs.toSeq), col(pidC) + 1))
+        .drop(pidC, locC)
+    } else {
+      // Non-integral values (decimal callers): the original broadcast
+      // merge — exclusive prefix of the per-partition totals via the
+      // deliberate unpartitioned window (numParts rows, not data rows).
+      val wOff = Window.orderBy(pidC)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = local.groupBy(pidC)
+        .agg(sum(col(valueCol)).as(totC))
+        .withColumn(offC, coalesce(sum(col(totC)).over(wOff), lit(0L)))
+        .select(pidC, offC)
+      local.join(broadcast(offsets), pidC)
+        .withColumn(out, col(locC) + col(offC))
+        .drop(pidC, locC, offC)
+    }
   }
 }

@@ -3429,6 +3429,11 @@ object AnalyticsQueries {
             .agg(sum("n").as("n_rows"),
               sum(col("n") - col("mx")).as("n_violations"),
               count(lit(1)).as("n_keys"))
+            // a candidate with EMPTY input must contribute zero rows
+            // (like the oracle's GROUP BY fd), not the global agg's
+            // single all-NULL row (ADVICE r13); no-op on any non-empty
+            // corpus — n_rows is a sum over ≥1 rows there
+            .filter(col("n_rows").isNotNull)
             .select(lit(name).as("fd"), col("n_rows"), col("n_keys"),
               col("n_violations"),
               (col("n_violations").cast("double") / col("n_rows"))

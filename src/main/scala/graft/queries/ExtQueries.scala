@@ -1262,12 +1262,14 @@ object ExtQueries {
             sum(col("length").cast("long")).as("total_bytes"),
             min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
         val mem = "stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val ck = Scratch.streamCk()
         val q = stream.writeStream.format("memory").queryName(mem)
-          .option("checkpointLocation", Scratch.streamCk())
+          .option("checkpointLocation", ck)
           .outputMode("complete")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
+        Scratch.dropCk(ck)
         s.table(mem).orderBy("shard")
       },
       Some("""WITH b AS (SELECT doc_id,
@@ -3599,15 +3601,17 @@ object ExtQueries {
         def drain(opts: Map[String, String]): org.apache.spark.sql.DataFrame = {
           val mem = "q411_" +
             java.util.UUID.randomUUID().toString.replace("-", "")
+          val ck = Scratch.streamCk()
           val q = opts.foldLeft(s.readStream.format("txlog")) {
               case (r, (k, v)) => r.option(k, v)
             }.load(t)
             .writeStream.format("memory").queryName(mem)
-            .option("checkpointLocation", Scratch.streamCk())
+            .option("checkpointLocation", ck)
             .outputMode("append")
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
             .start()
           q.awaitTermination()
+          Scratch.dropCk(ck)
           s.table(mem)
         }
         Seq(("full_tail", Map.empty[String, String]),
@@ -3817,14 +3821,16 @@ object ExtQueries {
         TxLog.deleteWhereDV(s, t, col("o_orderkey") % 5 === 0)      // v2
         val mem = "q415_" +
           java.util.UUID.randomUUID().toString.replace("-", "")
+        val ck = Scratch.streamCk()
         val q = s.readStream.format("txlog")
           .option("readChangeFeed", "true").load(t)
           .writeStream.format("memory").queryName(mem)
-          .option("checkpointLocation", Scratch.streamCk())
+          .option("checkpointLocation", ck)
           .outputMode("append")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
+        Scratch.dropCk(ck)
         s.table(mem)
           .groupBy(col("_change_type").as("change_type"),
             col("_commit_version").as("commit_version"))

@@ -59,16 +59,36 @@ object Scratch {
     }
   }
 
-  /** Fresh checkpoint dir on the scratch tmpfs for a bounded stream,
-    * deleted (recursively) at JVM exit. Spark's IMPLICIT temp checkpoint
-    * lands on `java.io.tmpdir` — a disk filesystem here — and pays disk
-    * fsync latency in every WAL commit and state-store commit; measured
-    * on a warm single-batch windowed aggregation at sf0.1:
-    * 0.97–1.11 s (/tmp) → 0.84–1.01 s (tmpfs) per run. Same lifecycle
-    * as the implicit dir (fresh per start, removed on exit). */
+  /** Fresh checkpoint dir on the scratch tmpfs for a bounded stream.
+    * Spark's IMPLICIT temp checkpoint lands on `java.io.tmpdir` — a
+    * disk filesystem here — and pays disk fsync latency in every WAL
+    * commit and state-store commit; measured on a warm single-batch
+    * windowed aggregation at sf0.1: 0.97–1.11 s (/tmp) → 0.84–1.01 s
+    * (tmpfs) per run. Callers [[dropCk]] right after the bounded query
+    * terminates (Spark deletes ITS implicit dir on query stop, and
+    * these live in RAM — a long multi-query run must not accumulate
+    * them; ADVICE r13); the JVM-exit hook stays as the backstop for
+    * abnormal exits. NOT for restartable streams: a checkpoint that
+    * must survive the query (replay/restart specs) manages its own
+    * durable dir. */
   def streamCk(): String = {
     val d = tmp("graft_ck_")
     ckDirs.add(d)
     d
+  }
+
+  /** Eagerly delete a [[streamCk]] dir once its bounded stream has
+    * terminated (and deregister it from the exit hook). Best-effort —
+    * a failure leaves it to the hook. */
+  def dropCk(d: String): Unit = {
+    ckDirs.remove(d)
+    try {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(d))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p): Unit)
+      } finally s.close()
+    } catch { case _: Throwable => () }
   }
 }

@@ -1417,16 +1417,32 @@ object TextQueries {
           .union(snmPairs(docs).select(col("doc_a"), col("doc_b")))
           .distinct()
           .persistTracked()
-        edges.count()
-        // Same non-mutating phase switch as q76: iterative rounds on a
-        // tuned session clone, shared session conf untouched.
-        val ns = graft.core.Tuned.session(s,
-          "spark.sql.shuffle.partitions" -> "4",
-          "spark.sql.adaptive.enabled" -> "false")
-        graft.ops.ConnectedComponents.alternatingStar(
-            graft.core.Tuned.rehome(
-              edges.select(col("doc_a").as("src"), col("doc_b").as("dst")), ns),
-            assumeDistinct = true)
+        val nEdges = edges.count()
+        val e2 = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        // The q334 lesson applied (optimization r14): the candidate edge
+        // set is near-dup-density-bounded, NOT corpus-bounded, so it is
+        // size-GUARDED, not assumed small — the count above (already
+        // materializing the persist) gates a driver union-find; above
+        // the bound the distributed O(log n) loop runs as before.
+        // Labels are identical by the driverComponents contract
+        // (cid = min node id per component; ScalaCheck-pinned).
+        // Measured at sf0.1: the alternatingStar path cost 3 rounds ×
+        // ~3 driver-scheduled jobs on a ~200-edge graph — pure
+        // scheduling floor, same class as q334's 22 propagation rounds.
+        val labels =
+          (if (nEdges <= (1L << 20))
+            graft.ops.ConnectedComponents.driverComponents(
+              e2.select(col("src")).limit(0), e2)
+          else None).getOrElse {
+            // Same non-mutating phase switch as q76: iterative rounds
+            // on a tuned session clone, shared session conf untouched.
+            val ns = graft.core.Tuned.session(s,
+              "spark.sql.shuffle.partitions" -> "4",
+              "spark.sql.adaptive.enabled" -> "false")
+            graft.ops.ConnectedComponents.alternatingStar(
+              graft.core.Tuned.rehome(e2, ns), assumeDistinct = true)
+          }
+        labels
           .select(col("node").as("doc_id"), col("cid").as("cluster_id"),
             (col("node") === col("cid")).as("keep"))
           .orderBy("doc_id")

@@ -2185,16 +2185,28 @@ object VectorQueries {
           .select(col("id"),
             floor(col("x") / w2).cast("long").as("gx"),
             floor(col("y") / w2).cast("long").as("gy"))
+        // The bounded-grid assumption is CHECKED, not assumed (ADVICE
+        // r13): rep is persisted and counted once, and both forced
+        // broadcasts below (rep here, labels after the CC step — labels
+        // has at most one row per rep) engage only under the same node
+        // bound driverComponents enforces; an unbounded plane falls back
+        // to plain shuffle joins instead of OOMing on the broadcast.
         val rep = cw.groupBy("gx", "gy").agg(min("id").as("rep"))
-        val coreRep = cw.join(broadcast(rep), Seq("gx", "gy"))
+          .persistTracked()
+        val repBounded = rep.count() <= (1L << 20)
+        def maybeB(df: org.apache.spark.sql.DataFrame) =
+          if (repBounded) broadcast(df) else df
+        val coreRep = cw.join(maybeB(rep), Seq("gx", "gy"))
           .select(col("id"), col("rep")).persistTracked()
         val cEdges = ce
           .join(coreRep.select(col("id").as("src"), col("rep").as("rs")), "src")
           .join(coreRep.select(col("id").as("dst"), col("rep").as("rd")), "dst")
           .filter(col("rs") =!= col("rd"))
           .select(col("rs").as("src"), col("rd").as("dst")).distinct()
-        val labels = graft.ops.ConnectedComponents.driverComponents(
+        val labels = (if (repBounded)
+          graft.ops.ConnectedComponents.driverComponents(
             rep.select(col("rep").as("node")), cEdges)
+          else None)
           .getOrElse {
             // grid bound exceeded (an unbounded plane): the distributed
             // O(log n) loop over the SAME contracted graph — identical
@@ -2212,7 +2224,7 @@ object VectorQueries {
         // isolated cores are alone in their cell (a same-cell core would
         // be a neighbor), so rep = self = label, as before
         val clab = coreRep
-          .join(broadcast(labels.withColumnRenamed("node", "rep")), "rep")
+          .join(maybeB(labels.withColumnRenamed("node", "rep")), "rep")
           .select(col("id"), col("cid"))
           .persistTracked()
         val blab = nb.join(core.select(col("id").as("ai")), Seq("ai"), "left_anti")

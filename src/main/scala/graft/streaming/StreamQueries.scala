@@ -66,10 +66,12 @@ object StreamQueries {
   private def runComplete(df: DataFrame): DataFrame = {
     val s = df.sparkSession
     val mem = "stream_" + UUID.randomUUID().toString.replace("-", "")
+    val ck = graft.queries.Scratch.streamCk()
     val q = df.writeStream.format("memory").queryName(mem)
-      .option("checkpointLocation", graft.queries.Scratch.streamCk())
+      .option("checkpointLocation", ck)
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    graft.queries.Scratch.dropCk(ck)
     s.table(mem)
   }
 
@@ -530,8 +532,9 @@ object StreamQueries {
         // "tiny" assumption dies at scale).
         val out = graft.queries.Scratch.tmp("graft_upd_sink_")
         sinkDirs.add(out)
+        val ck = graft.queries.Scratch.streamCk()
         val q = agg.writeStream.outputMode("update")
-          .option("checkpointLocation", graft.queries.Scratch.streamCk())
+          .option("checkpointLocation", ck)
           .foreachBatch { (b: Dataset[Row], id: Long) =>
             b.withColumn("batch_id", lit(id))
               .write.mode(SaveMode.Overwrite)
@@ -539,6 +542,7 @@ object StreamQueries {
           }
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
+        graft.queries.Scratch.dropCk(ck)
         // final state per key = its LAST emitted update; a key appears
         // at most once per batch, so max_by over batch_id is exact
         s.read.parquet(s"$out/batch_*")
@@ -641,8 +645,9 @@ object StreamQueries {
         val out = graft.queries.Scratch.tmp("graft_cdc_")
         sinkDirs.add(out)
         @volatile var gen: Option[String] = None
+        // checkpoint rides under `out` (set below) — deleted with the
+        // sink dir by the exit hook
         val q = changes.writeStream
-          .option("checkpointLocation", graft.queries.Scratch.streamCk())
           .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
             val delta = batch.groupBy("user_id")
               .agg(max(struct(col("tsu"), col("event_id"), col("op"))).as("m"),
@@ -1150,10 +1155,12 @@ object StreamQueries {
             TimeMode.None(), OutputMode.Update())
           .toDF("user_id", "n_events", "last_event_id")
         val mem = "stream_" + UUID.randomUUID().toString.replace("-", "")
+        val ck = graft.queries.Scratch.streamCk()
         val q = out.writeStream.format("memory").queryName(mem)
-          .option("checkpointLocation", graft.queries.Scratch.streamCk())
+          .option("checkpointLocation", ck)
           .outputMode("update").trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
+        graft.queries.Scratch.dropCk(ck)
         s.table(mem)
           .orderBy("user_id")
       },
@@ -1268,8 +1275,9 @@ object StreamQueries {
     val out = graft.queries.Scratch.tmp("graft_mvm_")
     sinkDirs.add(out)
     @volatile var gen: Option[String] = None
+    // checkpoint rides under `out` (set below) — deleted with the
+    // sink dir by the exit hook
     val q = src.writeStream
-      .option("checkpointLocation", graft.queries.Scratch.streamCk())
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val delta = batch.groupBy("event_type", "hr")
           .agg(sum("v").as("sv"), count(lit(1)).as("n"))
@@ -1491,10 +1499,12 @@ object StreamQueries {
   private def runAppend(df: DataFrame): DataFrame = {
     val s = df.sparkSession
     val mem = "stream_" + UUID.randomUUID().toString.replace("-", "")
+    val ck = graft.queries.Scratch.streamCk()
     val q = df.writeStream.format("memory").queryName(mem)
-      .option("checkpointLocation", graft.queries.Scratch.streamCk())
+      .option("checkpointLocation", ck)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    graft.queries.Scratch.dropCk(ck)
     s.table(mem)
   }
 }

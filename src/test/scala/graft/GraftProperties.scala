@@ -224,6 +224,31 @@ object GraftProperties extends Properties("graft") {
         .driverComponents(nodes, edges, maxNodes = 1, maxEdges = 1).isEmpty
     }
 
+  property("driverComponents boundary: exactly-at-bound serves, " +
+    "one-over falls back, uncollectable bounds refuse") =
+    forAll(Gen.choose(3, 12)) { n => // n≥3 keeps maxEdges = n−2 positive
+      val edges = (1L until n.toLong).map(i => (i - 1, i)).toDF("src", "dst")
+      val nodes = (0L until n.toLong).map(Tuple1(_)).toDF("node")
+      val cc = graft.ops.ConnectedComponents
+      // at the bound: served (n nodes / n-1 edges fit exactly)
+      val atBound = cc.driverComponents(nodes, edges,
+        maxNodes = n.toLong, maxEdges = n.toLong - 1)
+      // one over either bound: refused (caller falls back to the
+      // distributed loop — the q89/q334 guard path)
+      val overNodes = cc.driverComponents(nodes, edges,
+        maxNodes = n.toLong - 1, maxEdges = n.toLong - 1)
+      val overEdges = cc.driverComponents(nodes, edges,
+        maxNodes = n.toLong, maxEdges = n.toLong - 2)
+      // bounds at/above Int.MaxValue used to overflow toInt and
+      // silently SHRINK the limit (ADVICE r13) — now they refuse loudly
+      val huge = try {
+        cc.driverComponents(nodes, edges, maxNodes = Int.MaxValue.toLong)
+        false
+      } catch { case _: IllegalArgumentException => true }
+      atBound.exists(_.count() == n.toLong) &&
+        overNodes.isEmpty && overEdges.isEmpty && huge
+    }
+
   property("fitThumb: never upscales, long side lands exactly on 256") =
     forAll(Gen.choose(1, 4000), Gen.choose(1, 4000)) { (w, h) =>
       val (tw, th) = graft.functions.Multimodal.fitThumb(w, h)
