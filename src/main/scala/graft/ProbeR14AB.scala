@@ -38,21 +38,33 @@ object ProbeR14AB {
     spark.sparkContext.setLogLevel("ERROR")
     SparkEntry.configure(spark)
     spark.range(1000000).selectExpr("sum(id)").collect()
+    // deterministic signal alongside the (noisy-box) wall times: the
+    // number of driver-scheduled jobs per query
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          { jobs.incrementAndGet(); () }
+      })
     def loadAvg: Double = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     val all = SparkEntry.queries
     var total = 0.0
     all.keys.toSeq.sorted.filter(n => names.exists(n.contains)).foreach { n =>
+      var nJobs = 0
       val ts = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
+        jobs.set(0)
         try all(n)(spark, dir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
           System.err.println(s"[ab] $n FAILED: ${e.getMessage}") }
         spark.catalog.clearCache()
+        nJobs = jobs.get()
         (System.nanoTime() - t0) / 1e9
       }
       total += ts.min
-      println(f"[ab] $variant $n%-36s ${ts.min}%6.2f s  load=$loadAvg%.1f")
+      println(f"[ab] $variant $n%-36s ${ts.min}%6.2f s  jobs=$nJobs%3d load=$loadAvg%.1f")
     }
     println(f"[ab] $variant TOTAL $total%8.2f s load=$loadAvg%.1f")
     spark.stop()

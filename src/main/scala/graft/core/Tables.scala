@@ -17,10 +17,56 @@ object Tables {
   val all: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Corpus-table schemas, memoized per (canonical path, file-metadata
+    * fingerprint) — a bare `spark.read.parquet(path)` runs a SPARK JOB
+    * per load just to infer the schema (ParquetFileFormat.inferSchema →
+    * mergeSchemasInParallel, even with mergeSchema off; stack-sampled
+    * in optimization r14), and queries call [[load]] 1–5 times each.
+    * Passing the memoized schema skips that job entirely. This is
+    * METADATA caching (what a catalog/metastore does), not result
+    * caching: every fresh JVM re-reads footers on first touch, and the
+    * fingerprint (name/size/mtime of the data files — filesystem
+    * metadata only, ~1 ms) invalidates the entry when a test fixture
+    * regenerates a table at the same path. */
+  private val schemaMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, String), StructType]
+
+  private def dirFingerprint(path: java.nio.file.Path): String =
+    try {
+      if (!java.nio.file.Files.exists(path)) s"absent:$path"
+      else if (java.nio.file.Files.isRegularFile(path))
+        s"${java.nio.file.Files.size(path)}:" +
+          java.nio.file.Files.getLastModifiedTime(path).toMillis
+      else {
+        val s = java.nio.file.Files.list(path)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.map(p => s"${p.getFileName}:" +
+              (try s"${java.nio.file.Files.size(p)}:" +
+                java.nio.file.Files.getLastModifiedTime(p).toMillis
+               catch { case _: Throwable => "?" }))
+            .toSeq.sorted.mkString(",")
+        } finally s.close()
+      }
+    } catch { case _: Throwable => s"unreadable:$path" }
+
+  private[graft] def schemaOf(spark: SparkSession, path: String): StructType = {
+    val p = java.nio.file.Paths.get(path).toAbsolutePath.normalize()
+    schemaMemo.getOrElseUpdate((p.toString, dirFingerprint(p)),
+      spark.read.parquet(path).schema)
+  }
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    val path = s"$sfDir/$name.parquet"
+    val df = spark.read.schema(schemaOf(spark, path)).parquet(path)
     if (name == "events") normalizeTs(df) else df
   }
+
+  /** Read a WITHIN-PROCESS-IMMUTABLE parquet directory (memoized
+    * artifacts, event relays) under the memoized schema — same
+    * inference-job skip as [[load]], same fingerprint invalidation. */
+  def readStable(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(schemaOf(spark, path)).parquet(path)
 
   /** `events.ts` arrives in whatever physical type the corpus generator
     * chose that round; normalize every variant to session-local

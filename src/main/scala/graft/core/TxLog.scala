@@ -1852,7 +1852,7 @@ object TxLog {
       wanted.groupBy(_._1).toSeq.flatMap { case (sc, fs) =>
         val names = fs.map { case (_, f) => new File(f).getName }.toSet
         val byName = fs.map { case (_, f) => new File(f).getName -> f }.toMap
-        spark.read.parquet(s"$dir/$sc")
+        spark.read.schema(dvSidecarSchema).parquet(s"$dir/$sc")
           .filter(col("file").isin(names.toSeq: _*))
           .collect()
           .map(r => (byName(r.getString(0)), r.getLong(1)))
@@ -1873,6 +1873,17 @@ object TxLog {
       asOf: Option[Int]): Option[DataFrame] =
     dvFrameFrom(spark, dir, dvSources(dir, asOf))
 
+  /** DV sidecars are ENGINE-written ([[commitDvHits]]): (file STRING,
+    * pos BIGINT), always. Declaring the schema on every sidecar read
+    * skips the per-read schema-inference Spark job a bare
+    * spark.read.parquet runs (ParquetFileFormat.inferSchema — one
+    * driver-scheduled job per dvFrameFrom call; stack-sampled r14). */
+  private val dvSidecarSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("file",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("pos",
+      org.apache.spark.sql.types.LongType)))
+
   private def dvFrameFrom(spark: SparkSession, dir: String,
       src: Map[String, (Set[Long], Seq[String])]): Option[DataFrame] = {
     import org.apache.spark.sql.functions.col
@@ -1889,7 +1900,7 @@ object TxLog {
         sidecars.map(sc => (sc, new File(f).getName)) }
       .groupBy(_._1).toSeq.map { case (sc, fs) =>
         val names = fs.map(_._2).distinct
-        spark.read.parquet(s"$dir/$sc")
+        spark.read.schema(dvSidecarSchema).parquet(s"$dir/$sc")
           .filter(col("file").isin(names: _*))
           .toDF("__f", "__p")
       }

@@ -124,7 +124,7 @@ object VectorQueries {
       pqAssign(sv, cb).drop("v")
         .write.mode("overwrite").parquet(s"$t/codes")
     }
-    (s.read.parquet(s"$base/codebook"), s.read.parquet(s"$base/codes"))
+    (Tables.readStable(s, s"$base/codebook"), Tables.readStable(s, s"$base/codes"))
   }
 
   private def duckPqL2(a: String, b: String): String =
@@ -383,13 +383,13 @@ object VectorQueries {
   private def knnArtifacts(s: org.apache.spark.sql.SparkSession,
       dir: String): (DataFrame, DataFrame) = {
     val base = knnBase(s, dir)
-    (s.read.parquet(s"$base/g0"), s.read.parquet(s"$base/r1"))
+    (Tables.readStable(s, s"$base/g0"), Tables.readStable(s, s"$base/r1"))
   }
 
   /** q373's persisted upper-layer ranked sweep (see [[knnArtifacts]]). */
   private def knnLayer1(s: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame =
-    s.read.parquet(s"${knnBase(s, dir)}/l1r1")
+    Tables.readStable(s, s"${knnBase(s, dir)}/l1r1")
 
   /** q233's oracle pipeline as shared CTEs: `g0` the IVF-cell init graph,
     * `r` the post-sweep ranked candidates, `g1` the refined kNN graph —
@@ -1871,9 +1871,9 @@ object VectorQueries {
         // SERVE: only index-artifact scans + the query vectors
         ivfPqServe(
           emb.filter(col("vec_id") < 8),
-          s.read.parquet(s"$idx/centroids"),
-          s.read.parquet(s"$idx/codebook"),
-          s.read.parquet(s"$idx/codes"))
+          Tables.readStable(s, s"$idx/centroids"),
+          Tables.readStable(s, s"$idx/codebook"),
+          Tables.readStable(s, s"$idx/codes"))
       },
       Some(duckIvfPqOracle)),
 
@@ -2052,9 +2052,9 @@ object VectorQueries {
           graft.core.Sinks.parquet(codesB, s"$t/codes")
         }
         // MAINTAIN: encode the delta against the LOADED artifacts
-        val cL = s.read.parquet(s"$idx/centroids")
-        val cbL = s.read.parquet(s"$idx/codebook")
-        val codesL = s.read.parquet(s"$idx/codes")
+        val cL = Tables.readStable(s, s"$idx/centroids")
+        val cbL = Tables.readStable(s, s"$idx/codebook")
+        val codesL = Tables.readStable(s, s"$idx/codes")
         val residD = nearestCentroid(delta, cL)
           .join(broadcast(cL), "cent_id")
           .select(col("vec_id"), col("cent_id").as("list_id"),
@@ -2118,9 +2118,9 @@ object VectorQueries {
         }
         // SERVE from the compacted generation
         ivfPqServe(emb.filter(col("vec_id") < 8),
-          s.read.parquet(s"$idx/centroids"),
-          s.read.parquet(s"$idx/codebook"),
-          s.read.parquet(s"$idx/codes_v2"))
+          Tables.readStable(s, s"$idx/centroids"),
+          Tables.readStable(s, s"$idx/codebook"),
+          Tables.readStable(s, s"$idx/codes_v2"))
       },
       Some(duckIvfPqOracleFor("TRUE",
         "NOT (a1.vec_id >= 8 AND a1.vec_id % 7 = 3)"))),
@@ -2584,11 +2584,11 @@ object VectorQueries {
             s"$t/membership")
         }
         val out = Scratch.dir("q430opt", dir)
-        val roots = s.read.parquet(s"$idx/roots")
-        val gen1 = s.read.parquet(s"$idx/membership")
+        val roots = Tables.readStable(s, s"$idx/roots")
+        val gen1 = Tables.readStable(s, s"$idx/membership")
         // 1.05× mean: same fixture-scale policy rationale as q423
         val (nRebuilt, nReassigned) = graft.ops.AnnIndex.optimize(emb, gen1, out, imbalance = 1.05)
-        val gen2 = s.read.parquet(s"$out/membership_v2")
+        val gen2 = Tables.readStable(s, s"$out/membership_v2")
         def serve(membership: DataFrame, phase: String): DataFrame = {
           val queries = emb.filter(col("vec_id") >= 3 && col("vec_id") < 6)
             .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))

@@ -23,7 +23,7 @@ object StreamQueries {
     * temp-dir symlink. One mechanism for every streamed table — a fix
     * here (cleanup, schema options) applies to all stream sources. */
   private def fileStream(s: SparkSession, dir: String, table: String): DataFrame = {
-    val schema = s.read.parquet(s"$dir/$table.parquet").schema
+    val schema = Tables.schemaOf(s, s"$dir/$table.parquet")
     val tmp = Paths.get(graft.queries.Scratch.tmp("graft_stream_"))
     val link = Files.createSymbolicLink(
       tmp.resolve(s"$table.parquet"),
@@ -521,7 +521,7 @@ object StreamQueries {
             .write.mode(SaveMode.Overwrite).parquet(t)
           t
         })
-        val schema = s.read.parquet(tmp).schema
+        val schema = Tables.schemaOf(s, tmp)
         val agg = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1").parquet(tmp)
           .groupBy("event_type").agg(count(lit(1)).as("n_events"))
@@ -581,7 +581,7 @@ object StreamQueries {
             .write.mode(SaveMode.Overwrite).parquet(t)
           t
         })
-        val schema = s.read.parquet(tmp).schema
+        val schema = Tables.schemaOf(s, tmp)
         val purchases = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1").parquet(tmp)
           .filter(col("event_type") === "purchase")
@@ -634,7 +634,7 @@ object StreamQueries {
             .write.mode(SaveMode.Overwrite).parquet(t)
           t
         })
-        val schema = s.read.parquet(tmp).schema
+        val schema = Tables.schemaOf(s, tmp)
         val changes = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1").parquet(tmp)
           .select(col("user_id"), unix_micros(col("ts")).as("tsu"),
@@ -724,7 +724,7 @@ object StreamQueries {
             .write.mode(SaveMode.Overwrite).parquet(t)
           t
         })
-        val schema = s.read.parquet(tmp).schema
+        val schema = Tables.schemaOf(s, tmp)
         def purchases = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1").parquet(tmp)
           .filter(col("event_type") === "purchase")
@@ -791,7 +791,7 @@ object StreamQueries {
             .write.mode(SaveMode.Overwrite).parquet(t)
           t
         })
-        val schema = s.read.parquet(tmp).schema
+        val schema = Tables.schemaOf(s, tmp)
         def clicks = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1").parquet(tmp)
           .filter(col("event_type") === "click")
@@ -855,7 +855,7 @@ object StreamQueries {
             .write.mode(SaveMode.Overwrite).parquet(t)
           t
         })
-        val schema = s.read.parquet(tmp).schema
+        val schema = Tables.schemaOf(s, tmp)
         def feed = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1").parquet(tmp)
           .select(col("event_id"), col("user_id"),
@@ -933,7 +933,7 @@ object StreamQueries {
       (s0, dir) => {
         val s = stateSession(s0)
         val tmp = sentinelRelay(s, dir)
-        val schema = s.read.parquet(tmp).schema
+        val schema = Tables.schemaOf(s, tmp)
         val src = s.readStream.schema(schema)
           .parquet(tmp) // ONE batch: the no-data eviction batch flushes (r10)
         val clicks = src.filter(col("event_type") === "click")
@@ -981,7 +981,7 @@ object StreamQueries {
       (s0, dir) => {
         val s = stateSession(s0)
         val tmp = sentinelRelay(s, dir)
-        val schema = s.read.parquet(tmp).schema
+        val schema = Tables.schemaOf(s, tmp)
         val src = s.readStream.schema(schema)
           .parquet(tmp) // ONE batch: the no-data eviction batch flushes (r10)
         val clicks = src.filter(col("event_type") === "click")
@@ -1041,7 +1041,7 @@ object StreamQueries {
       (s0, dir) => {
         val s = stateSession(s0)
         val tmp = sentinelRelay(s, dir, sentinelBatches = 2)
-        val schema = s.read.parquet(tmp).schema
+        val schema = Tables.schemaOf(s, tmp)
         val src = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1").parquet(tmp)
         val quarter = src
@@ -1096,7 +1096,7 @@ object StreamQueries {
             "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
         import s.implicits._
         val tmp = sentinelRelay(s, dir)
-        val schema = s.read.parquet(tmp).schema
+        val schema = Tables.schemaOf(s, tmp)
         val src = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1").parquet(tmp)
         val ev = src
@@ -1210,7 +1210,7 @@ object StreamQueries {
         val (tmp, gen) = maintainHourlyMv(s, dir)
         val ns = graft.core.Tuned.session(s)
           .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-        val base = ns.read.parquet(tmp)
+        val base = Tables.readStable(ns, tmp)
         val basePath = base.queryExecution.analyzed.collectFirst {
           case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
             l.relation.asInstanceOf[
@@ -1224,7 +1224,7 @@ object StreamQueries {
         if (!ns.experimental.extraOptimizations.contains(rule))
           ns.experimental.extraOptimizations =
             ns.experimental.extraOptimizations :+ rule
-        val q = ns.read.parquet(tmp)
+        val q = Tables.readStable(ns, tmp)
           .groupBy("event_type")
           .agg(sum(col("value").cast("decimal(18,2)")).as("sum_value"),
             count(lit(1)).as("n_events"))
@@ -1266,7 +1266,7 @@ object StreamQueries {
         .write.mode(SaveMode.Overwrite).parquet(t)
       t
     })
-    val schema = s.read.parquet(tmp).schema
+    val schema = Tables.schemaOf(s, tmp)
     val src = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(tmp)
       .select(col("event_type"),
