@@ -4755,16 +4755,32 @@ object TextQueries {
     // integer recurrence. Top 20 by rank with word tiebreak.
     QuerySpec("q392_textrank_keywords",
       (s, dir) => {
-        val tok = Tables.load(s, dir, "documents")
-          .select(col("doc_id"),
-            posexplode(Text.tokens(lower(col("text")))).as(Seq("pos", "w")))
-          .filter(!col("w").isInCollection(Text.stopwords))
-          .persistTracked()
-        val fwd = tok.as("a").join(tok.as("b"),
-            col("a.doc_id") === col("b.doc_id") &&
-              (col("b.pos") - col("a.pos")).isin(1, 2) &&
-              col("a.w") =!= col("b.w"))
-          .select(col("a.w").as("src"), col("b.w").as("dst"))
+        // Pair generation is SCAN-LOCAL (optimization r14, the q126 PMI
+        // rule — no doc_id self-join): positions strictly increase, so
+        // a partner at original-position distance 1 or 2 can only be
+        // one of the next TWO stopword-filtered entries — each token
+        // checks exactly those, an O(tokens) HOF pass replacing the
+        // exploded corpus self-join (token-grain exchange + join whose
+        // doc_id key groups grow with document length). Same pair set:
+        // the downstream distinct() collapses occurrence multiplicity
+        // exactly as it did the join's row multiplicity.
+        val w = Text.tokens(lower(col("text")))
+        val tw = filter(
+          transform(w, (x, i) => struct(i.as("pos"), x.as("w"))),
+          e => !e.getField("w").isInCollection(Text.stopwords))
+        val fwd = Tables.load(s, dir, "documents")
+          .select(tw.as("tw"))
+          .select(explode(flatten(transform(col("tw"), (a, i) =>
+            transform(
+              filter(
+                transform(sequence(lit(1), lit(2)),
+                  k => element_at(col("tw"), i + lit(1) + k)),
+                b => b.isNotNull &&
+                  (b.getField("pos") - a.getField("pos")).isin(1, 2) &&
+                  a.getField("w") =!= b.getField("w")),
+              b => struct(a.getField("w").as("src"),
+                b.getField("w").as("dst")))))).as("p"))
+          .select(col("p.src").as("src"), col("p.dst").as("dst"))
         val edges = fwd.unionByName(
             fwd.select(col("dst").as("src"), col("src").as("dst")))
           .distinct().persistTracked()
